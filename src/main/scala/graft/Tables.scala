@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared helpers for every query in the inventory (SURVEY.md §7.0).
+  *
+  * Determinism rules (SURVEY.md §7.4) enforced here:
+  *  - grouped sums of double columns go through an exact DECIMAL cast so the
+  *    parallel (partial/final) summation order cannot perturb the 6-dp
+  *    rounding that the DuckDB oracle compare hashes;
+  *  - every oracled query ends with an ORDER BY on a unique key list.
+  */
+object Tables {
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** Read one driver-generated table: `$sfDir/<name>.parquet`. */
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Read the `events` table. Its parquet `ts` is nanosecond-precision,
+    * which Spark's vectorized reader rejects; read it as raw Long nanos
+    * (legacy conf) and truncate to µs — byte-identical to what DuckDB's
+    * reader produces for the oracle side (it truncates ns→µs too). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, sfDir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Exact-arithmetic image of a double column: DECIMAL(18, s).
+    * Sums/avgs over this are order-independent, hence identical between
+    * Spark's parallel partial aggregation and DuckDB's. */
+  def dec(c: Column, scale: Int = 6): Column = c.cast(DecimalType(18, scale))
+
+  /** Exact decimal sum rendered back as a rounded double (what the oracle
+    * emits via round(CAST(sum(...) AS DOUBLE), 6)). */
+  def dsum(c: Column, scale: Int = 6): Column =
+    round(sum(dec(c, scale)).cast("double"), 6)
+
+  /** Exact decimal average rendered as a rounded double. Spark's and
+    * DuckDB's avg-over-decimal result types differ, so both sides compute
+    * sum/count explicitly. */
+  def davg(c: Column, scale: Int = 6): Column =
+    round(sum(dec(c, scale)).cast("double") / count(lit(1)), 6)
+
+  /** Round a double expression to 6 dp (non-aggregated path). */
+  def r6(c: Column): Column = round(c.cast("double"), 6)
+}

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.GeoMean
+
+/** §2.D aggregation operators (SURVEY.md). The flagship `agg_group` is the
+  * TPC-H-Q1-shaped pricing summary mandated by the reference's
+  * transform-and-summarize stage (/root/reference/README.md:23-24).
+  *
+  * Scale notes: every query here is a single hash aggregation —
+  * partial (map-side) + final after one shuffle on the grouping keys. At
+  * 100 TB the cardinality of every grouping key used here (returnflag ×
+  * linestatus, event_type, mktsegment) is tiny, so the shuffle moves only
+  * the partially-aggregated state, not data.
+  */
+object Aggregates {
+
+  val queries: Map[String, QFn] = Map(
+    "agg_group" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "agg_count_distinct" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))
+    }),
+
+    // no-oracle: HLL sketch values differ engine-to-engine; the scalatest
+    // spec asserts the estimate is within ±5% of the exact count.
+    "agg_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "agg_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("rf"), col("ls"))
+    }),
+
+    "agg_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("rf"), col("ls"))
+    }),
+
+    "agg_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+      s.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_qty,
+               count(1) AS n
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY rf, ls
+      """)
+    }),
+
+    "agg_filtered" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          dsum(when(col("l_discount") > 0.05, col("l_extendedprice"))).as("disc_rev"),
+          count(when(col("l_quantity") > 25, lit(1))).as("n_bulky"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "agg_collect" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          sort_array(collect_set(col("event_type"))).as("types"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    "agg_pivot" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(dsum(col("o_totalprice")))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "agg_custom_udaf" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(GeoMean.geoMean(col("l_extendedprice")), 6).as("geo_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }))
+
+  private val decSum6 = (e: String) =>
+    s"round(CAST(sum(CAST($e AS DECIMAL(18,6))) AS DOUBLE), 6)"
+  private val decAvg6 = (e: String) =>
+    s"round(CAST(sum(CAST($e AS DECIMAL(18,6))) AS DOUBLE) / count(1), 6)"
+
+  val oracles: Map[String, String] = Map(
+    "agg_group" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         ${decSum6("l_quantity")} AS sum_qty,
+         ${decSum6("l_extendedprice")} AS sum_base_price,
+         ${decSum6("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         ${decSum6("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+         ${decAvg6("l_quantity")} AS avg_qty,
+         ${decAvg6("l_extendedprice")} AS avg_price,
+         ${decAvg6("l_discount")} AS avg_disc,
+         count(1) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "agg_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(1) AS n_events
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "agg_rollup" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+         ${decSum6("l_quantity")} AS sum_qty, count(1) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY rf, ls""",
+    "agg_cube" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+         ${decSum6("l_quantity")} AS sum_qty, count(1) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY rf, ls""",
+    "agg_grouping_sets" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+         ${decSum6("l_quantity")} AS sum_qty, count(1) AS n
+         FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ()) ORDER BY rf, ls""",
+    "agg_filtered" ->
+      s"""SELECT l_returnflag,
+         ${decSum6("CASE WHEN l_discount > 0.05 THEN l_extendedprice END")} AS disc_rev,
+         count(CASE WHEN l_quantity > 25 THEN 1 END) AS n_bulky, count(1) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_collect" ->
+      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types, count(1) AS n_events
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "agg_pivot" ->
+      s"""SELECT c_mktsegment,
+         ${decSum6("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS "F",
+         ${decSum6("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS "O",
+         ${decSum6("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS "P"
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "agg_custom_udaf" ->
+      """SELECT l_returnflag, round(exp(avg(ln(l_extendedprice))), 6) AS geo_price, count(1) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+  ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
+}
