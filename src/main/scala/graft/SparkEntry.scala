@@ -17,8 +17,14 @@ object SparkEntry {
     queries("agg_group")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Aggregates.queries
+    operators.Aggregates.queries ++
+      operators.Relational.queries ++
+      operators.SetOps.queries ++
+      operators.Windows.queries
 
   def oracleSql: Map[String, String] =
-    operators.Aggregates.oracles
+    operators.Aggregates.oracles ++
+      operators.Relational.oracles ++
+      operators.SetOps.oracles ++
+      operators.Windows.oracles
 }

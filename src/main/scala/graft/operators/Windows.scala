@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** §2.E window functions + §2.H batch twins of the streaming windows
+  * (SURVEY.md). The twins pin down tumbling/sliding/session semantics in
+  * pure relational form so the DuckDB oracle can check them; the streaming
+  * variants in graft.streaming reuse the same shapes.
+  *
+  * Scale notes: every window here partitions by a key (user_id, segment,
+  * custkey) — one shuffle, then per-partition sort; no global sort. Window
+  * start timestamps are emitted as epoch-second BIGINTs so the oracle
+  * compare never depends on timestamp-zone rendering.
+  */
+object Windows {
+
+  val queries: Map[String, QFn] = Map(
+    "win_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"), col("c_mktsegment"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("c_mktsegment"), col("rn"))
+    }),
+
+    "win_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .select(
+          col("event_id"), col("user_id"),
+          coalesce(lag(col("event_id"), 1).over(w), lit(-1L)).as("prev_id"),
+          coalesce(lead(col("event_id"), 1).over(w), lit(-1L)).as("next_id"),
+          coalesce(col("us") - lag(col("us"), 1).over(w), lit(-1L)).as("gap_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    "win_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .select(
+          col("event_id"), col("user_id"),
+          round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 6).as("run_sum"),
+          round(avg(col("value")).over(w.rowsBetween(-2, 0)), 6).as("mov_avg"))
+        .orderBy(col("event_id"))
+    }),
+
+    "win_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("es"))
+        .rangeBetween(-604800L, 0L)
+      t(s, dir, "orders")
+        .withColumn("es", unix_timestamp(col("o_orderdate")))
+        .select(
+          col("o_orderkey"), col("o_custkey"),
+          round(sum(col("o_totalprice")).over(w), 6).as("sum_7d"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "win_analytic" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"), col("c_mktsegment"),
+          first(col("c_custkey")).over(wFull).as("poorest"),
+          last(col("c_custkey")).over(wFull).as("richest"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+    }),
+
+    "topk_per_group" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val spend = o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("c_custkey"))
+        .agg(dsum(col("o_totalprice")).as("spend"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("spend").desc, col("c_custkey"))
+      spend.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy(col("c_mktsegment"), col("rn"))
+    }),
+
+    // ---- §2.H batch twins (oracle-checked semantics for the streams) ----
+    "win_tumbling_batch" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+        .select(
+          unix_timestamp(col("window.start")).as("w_start_s"),
+          col("event_type"), col("n"), col("v"))
+        .orderBy(col("w_start_s"), col("event_type"))
+    }),
+
+    "win_sliding_batch" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+        .select(
+          unix_timestamp(col("window.start")).as("w_start_s"),
+          col("event_type"), col("n"), col("v"))
+        .orderBy(col("w_start_s"), col("event_type"))
+    }),
+
+    "win_session_batch" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("new_sess",
+          when(col("us") - lag(col("us"), 1).over(w) > 1800L * 1000000L, 1)
+            .when(lag(col("us"), 1).over(w).isNull, 1).otherwise(0))
+        .withColumn("sid", sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+        .orderBy(col("user_id"), col("sid"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "win_rank" ->
+      """SELECT c_custkey, c_mktsegment,
+         row_number() OVER w AS rn, rank() OVER w AS rnk,
+         dense_rank() OVER w AS drnk, ntile(4) OVER w AS quartile
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC NULLS LAST, c_custkey)
+         ORDER BY c_mktsegment, rn""",
+    "win_lag_lead" ->
+      """SELECT event_id, user_id,
+         coalesce(lag(event_id, 1) OVER w, -1) AS prev_id,
+         coalesce(lead(event_id, 1) OVER w, -1) AS next_id,
+         coalesce(epoch_us(ts) - lag(epoch_us(ts), 1) OVER w, -1) AS gap_us
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         ORDER BY event_id""",
+    "win_running" ->
+      """SELECT event_id, user_id,
+         round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS run_sum,
+         round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+         FROM events ORDER BY event_id""",
+    "win_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate) // 1000000
+           RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 6) AS sum_7d
+         FROM orders ORDER BY o_orderkey""",
+    "win_analytic" ->
+      """SELECT c_custkey, c_mktsegment,
+         first_value(c_custkey) OVER wf AS poorest,
+         last_value(c_custkey) OVER wf AS richest,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cume
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey),
+                wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY c_mktsegment, c_custkey""",
+    "topk_per_group" ->
+      """SELECT * FROM (
+           SELECT c_mktsegment, c_custkey,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS spend,
+             row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) DESC, c_custkey) AS rn
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_mktsegment, c_custkey)
+         WHERE rn <= 3 ORDER BY c_mktsegment, rn""",
+    "win_tumbling_batch" ->
+      """SELECT (epoch_us(ts) // 300000000) * 300 AS w_start_s, event_type,
+         count(1) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
+         FROM events GROUP BY 1, 2 ORDER BY w_start_s, event_type""",
+    "win_sliding_batch" ->
+      """SELECT ((epoch_us(ts) // 300000000) - i) * 300 AS w_start_s, event_type,
+         count(1) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
+         FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i)
+         GROUP BY 1, 2 ORDER BY w_start_s, event_type""",
+    "win_session_batch" ->
+      """SELECT user_id, sid, count(1) AS n_events,
+         min(us) AS start_us, max(us) AS end_us
+         FROM (
+           SELECT user_id, event_id, us,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM (
+             SELECT user_id, event_id, epoch_us(ts) AS us,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+                      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+                    THEN 1
+                    WHEN lag(epoch_us(ts), 1)
+                      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+             FROM events))
+         GROUP BY user_id, sid ORDER BY user_id, sid"""
+  ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
+}
