@@ -20,11 +20,17 @@ object SparkEntry {
     operators.Aggregates.queries ++
       operators.Relational.queries ++
       operators.SetOps.queries ++
-      operators.Windows.queries
+      operators.Windows.queries ++
+      functions.ScalarBank.queries ++
+      operators.TextOps.queries ++
+      operators.VectorOps.queries
 
   def oracleSql: Map[String, String] =
     operators.Aggregates.oracles ++
       operators.Relational.oracles ++
       operators.SetOps.oracles ++
-      operators.Windows.oracles
+      operators.Windows.oracles ++
+      functions.ScalarBank.oracles ++
+      operators.TextOps.oracles ++
+      operators.VectorOps.oracles
 }

@@ -1,0 +1,182 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** §2.G scalar-function banks (SURVEY.md) — the reference's
+  * "clean or reformat the data" transform stage
+  * (/root/reference/README.md:23) made concrete across the string / date /
+  * math / conditional / array / map / JSON surfaces.
+  *
+  * Everything here is a built-in codegen'd expression — per-row, no
+  * shuffle; at 100 TB these run inside the scan's whole-stage-codegen span.
+  * Dialect guards for the DuckDB oracles: regexes stay inside simple
+  * character classes, DuckDB regexp_replace gets the 'g' flag (Spark
+  * replaces globally by default), coarse `round()` on data-derived doubles
+  * is avoided (half-up vs half-even would diverge; 6-dp rounding of 2-dp
+  * data is exact).
+  */
+object ScalarBank {
+
+  val queries: Map[String, QFn] = Map(
+    "fn_string" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          lower(col("p_brand")).as("lo"),
+          trim(col("p_name")).as("tr"),
+          substring(col("p_name"), 1, 8).as("sub"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("cw"),
+          lpad(col("p_size").cast("string"), 3, "0").as("lp"),
+          length(col("p_name")).as("len"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("novowel"),
+          split_part(col("p_type"), lit(" "), lit(1)).as("first_word"),
+          regexp_extract(col("p_brand"), "#([0-9]+)", 1).as("brand_num"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "fn_datetime" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          date_add(col("o_orderdate").cast("date"), 3).as("plus3"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"),
+          last_day(col("o_orderdate").cast("date")).as("eom"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "fn_math" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          abs(col("l_discount") - col("l_tax")).as("adiff"),
+          ceil(col("l_quantity") / 7.0).cast("bigint").as("cl"),
+          floor(col("l_quantity") / 7.0).cast("bigint").as("fl"),
+          r6(sqrt(col("l_extendedprice"))).as("sq"),
+          r6(pow(col("l_discount"), 2)).as("p2"),
+          r6(log(col("l_extendedprice"))).as("lg"),
+          greatest(col("l_discount"), col("l_tax")).as("gr"),
+          least(col("l_discount"), col("l_tax")).as("ls"),
+          r6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    }),
+
+    "fn_cond" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          when(col("c_acctbal") >= 5000, "high")
+            .when(col("c_acctbal") >= 0, "mid")
+            .otherwise("neg").as("tier"),
+          expr("nullif(c_mktsegment, 'BUILDING')").as("seg_n"),
+          coalesce(expr("nullif(c_mktsegment, 'BUILDING')"), lit("B")).as("seg_filled"),
+          when(col("c_acctbal") < 0, "overdrawn").otherwise("ok").as("status"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "fn_array" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(expr("aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE))"), 6).as("vsum"),
+          size(expr("filter(embedding, x -> x > 0)")).as("n_pos"),
+          expr("transform(slice(embedding, 1, 3), x -> round(CAST(x AS DOUBLE), 6))").as("first3"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // no-oracle: DuckDB MAP ordering/representation differs; unit-tested.
+    "fn_map" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("m", expr("map('type', event_type, 'k', CAST(get_json_object(props, '$.k') AS STRING))"))
+        .select(
+          col("event_id"),
+          map_keys(col("m")).as("ks"),
+          map_values(col("m")).as("vs"),
+          expr("m['type']").as("type_v"))
+        .orderBy(col("event_id"))
+    }),
+
+    "fn_json" -> ((s, dir) => {
+      events(s, dir)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType)
+          ))).getField("k").as("k_struct"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.J udf_scalar: Scala UDF in a query (prod note: prefer built-in
+    // expression composition — UDFs are codegen-opaque; this exists to
+    // cover the UDF surface itself).
+    "udf_scalar" -> ((s, dir) => {
+      val cleanText = udf((x: String) =>
+        if (x == null) null else x.trim.toLowerCase.replaceAll("\\s+", " "))
+      t(s, dir, "part")
+        .select(col("p_partkey"), cleanText(col("p_name")).as("clean_name"))
+        .orderBy(col("p_partkey"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo, trim(p_name) AS tr,
+         substring(p_name, 1, 8) AS sub, concat_ws('-', p_brand, p_type) AS cw,
+         lpad(CAST(p_size AS VARCHAR), 3, '0') AS lp, length(p_name) AS len,
+         regexp_replace(p_name, '[aeiou]', '', 'g') AS novowel,
+         split_part(p_type, ' ', 1) AS first_word,
+         regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num
+         FROM part ORDER BY p_partkey""",
+    "fn_datetime" ->
+      """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+         day(o_orderdate) AS d,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+         CAST(o_orderdate AS DATE) + 3 AS plus3,
+         date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+         last_day(CAST(o_orderdate AS DATE)) AS eom,
+         epoch_us(o_orderdate) // 1000000 AS epoch_s
+         FROM orders ORDER BY o_orderkey""",
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         abs(l_discount - l_tax) AS adiff,
+         CAST(ceil(l_quantity / 7.0) AS BIGINT) AS cl,
+         CAST(floor(l_quantity / 7.0) AS BIGINT) AS fl,
+         round(CAST(sqrt(l_extendedprice) AS DOUBLE), 6) AS sq,
+         round(CAST(pow(l_discount, 2) AS DOUBLE), 6) AS p2,
+         round(CAST(ln(l_extendedprice) AS DOUBLE), 6) AS lg,
+         greatest(l_discount, l_tax) AS gr, least(l_discount, l_tax) AS ls,
+         round(CAST(l_extendedprice * (1.0 - l_discount) AS DOUBLE), 6) AS rev
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""",
+    "fn_cond" ->
+      """SELECT c_custkey,
+         CASE WHEN c_acctbal >= 5000 THEN 'high' WHEN c_acctbal >= 0 THEN 'mid' ELSE 'neg' END AS tier,
+         nullif(c_mktsegment, 'BUILDING') AS seg_n,
+         coalesce(nullif(c_mktsegment, 'BUILDING'), 'B') AS seg_filled,
+         CASE WHEN c_acctbal < 0 THEN 'overdrawn' ELSE 'ok' END AS status
+         FROM customer ORDER BY c_custkey""",
+    "fn_array" ->
+      """SELECT vec_id, len(embedding) AS dim,
+         round(list_aggregate(list_transform(embedding, x -> x::DOUBLE), 'sum'), 6) AS vsum,
+         len(list_filter(embedding, x -> x > 0)) AS n_pos,
+         list_transform(embedding[1:3], x -> round(x::DOUBLE, 6)) AS first3
+         FROM embeddings ORDER BY vec_id""",
+    "fn_json" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+         json_extract_string(props, '$.k') AS k_str,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_struct
+         FROM events ORDER BY event_id""",
+    "udf_scalar" ->
+      """SELECT p_partkey, regexp_replace(lower(trim(p_name)), '\s+', ' ', 'g') AS clean_name
+         FROM part ORDER BY p_partkey"""
+  ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
+}

@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** §2.I text-analysis / dedup operators over the `documents` table
+  * (SURVEY.md; BASELINE.json north star: "dedup, similarity search,
+  * text analysis" as first-class large-scale training-data-pipeline ops).
+  *
+  * Scale notes: token-grain queries explode to |doc|×|tokens| rows but
+  * aggregate immediately with map-side partial aggregation, so the shuffle
+  * carries only (token → partial count) state — vocabulary-bounded, not
+  * corpus-bounded. The pairwise Jaccard query bounds its candidate set by
+  * doc_id (a constant-size probe window) so its cost is flat in corpus
+  * size; the MinHash/LSH path in MinHashDedup is the scale-out answer for
+  * all-pairs similarity.
+  */
+object TextOps {
+
+  private val stop = Seq("the", "a", "of", "and", "to", "in")
+
+  val queries: Map[String, QFn] = Map(
+    "text_normalize_hash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          sha2(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 256).as("content_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("token"))
+    }),
+
+    "text_docfreq" -> ((s, dir) => {
+      val byTok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      byTok
+        .withColumn("rnk", row_number().over(Window.orderBy(col("df").desc, col("token"))))
+        .orderBy(col("rnk"))
+    }),
+
+    "text_lang_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          davg(col("n_chars")).as("avg_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    "text_quality" -> ((s, dir) => {
+      val stopArr = array(stop.map(lit): _*)
+      t(s, dir, "documents")
+        .withColumn("toks", split(lower(col("text")), " "))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          r6(col("n_chars").cast("double") / size(col("toks"))).as("chars_per_tok"),
+          r6(size(filter(col("toks"), x => array_contains(stopArr, x))).cast("double") / size(col("toks"))).as("stop_ratio"),
+          r6(log(lit(1.0) + size(col("toks"))) *
+            (lit(1.0) - size(filter(col("toks"), x => array_contains(stopArr, x))).cast("double") / size(col("toks")))).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // n-gram-profile language ID (Cavnar–Trenkle-shaped, unigram profiles
+    // learned from the corpus itself): score(doc, lang) = Σ_t
+    // count_doc(t) · count_lang(t); prediction = argmax with lexicographic
+    // tie-break. Pure integer arithmetic → oracle-exact.
+    "text_langid" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tok = docs.select(col("doc_id"), col("lang"),
+          explode(split(lower(col("text")), " ")).as("token"))
+        .groupBy(col("doc_id"), col("lang"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val profile = tok.groupBy(col("lang").as("p_lang"), col("token").as("p_token"))
+        .agg(sum(col("tf")).as("lf"))
+      val scores = tok.join(profile, tok("token") === profile("p_token"))
+        .groupBy(col("doc_id"), col("lang"), col("p_lang"))
+        .agg(sum(col("tf") * col("lf")).as("score"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("p_lang"))
+      scores.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("p_lang").as("pred_lang"), col("score"),
+          (col("p_lang") === col("lang")).as("correct"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // document fingerprint: polynomial rolling hash over the token stream,
+    // folded left with modular arithmetic (overflow-free in both engines).
+    "text_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          expr("""aggregate(split(lower(text), ' '), 0L,
+                  (acc, t) -> (acc * 131 + (length(t) * 31 + ascii(t))) % 1000000007)""").as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // §2.J udtf_generator: row expander — one row per 2-gram.
+    "udtf_generator" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("toks", split(lower(col("text")), " "))
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("gram"))
+        .groupBy(col("gram"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("gram"))
+    }),
+
+    // BPE-ish token counting: word-piece extraction by regex class.
+    "text_bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("n_pieces"),
+          size(array_distinct(expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))).as("n_uniq"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // unigram-set Jaccard near-dup scan over a bounded probe window
+    // (doc_id < 256 both sides keeps the candidate pair set constant-size
+    // regardless of corpus scale; the unbounded path is MinHash/LSH).
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").filter(col("doc_id") < 256)
+        .select(col("doc_id"), explode(array_distinct(split(lower(col("text")), " "))).as("token"))
+      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+      val a = toks.as("a"); val b = toks.as("b")
+      val inter = a.join(b, col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("nt", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("nt", "n2"), "d2")
+        .withColumn("jaccard", r6(col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("d1"), col("d2"), col("jaccard"))
+        .orderBy(col("d1"), col("d2"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "text_normalize_hash" ->
+      """SELECT doc_id, sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
+         FROM documents ORDER BY doc_id""",
+    "text_tokens" ->
+      """SELECT token, count(1) AS cnt FROM
+         (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+         GROUP BY token ORDER BY token""",
+    "text_docfreq" ->
+      """SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS rnk FROM
+         (SELECT token, count(DISTINCT doc_id) AS df FROM
+           (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+          GROUP BY token)
+         ORDER BY rnk""",
+    "text_lang_stats" ->
+      """SELECT lang, source, count(1) AS n_docs,
+         round(CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / count(1), 6) AS avg_chars,
+         min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "text_quality" ->
+      """SELECT doc_id,
+         len(toks) AS n_tokens,
+         round(CAST(n_chars AS DOUBLE) / len(toks), 6) AS chars_per_tok,
+         round(CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(toks), 6) AS stop_ratio,
+         round(ln(1.0 + len(toks)) * (1.0 - CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(toks)), 6) AS quality
+         FROM (SELECT doc_id, n_chars, string_split(lower(text), ' ') AS toks FROM documents)
+         ORDER BY doc_id""",
+    "text_langid" ->
+      """WITH tok AS (
+           SELECT doc_id, lang, token, count(1) AS tf FROM
+             (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+           GROUP BY doc_id, lang, token),
+         profile AS (
+           SELECT lang AS p_lang, token AS p_token, sum(tf) AS lf FROM tok GROUP BY 1, 2),
+         scores AS (
+           SELECT tok.doc_id, tok.lang, profile.p_lang, sum(tok.tf * profile.lf) AS score
+           FROM tok JOIN profile ON tok.token = profile.p_token
+           GROUP BY 1, 2, 3)
+         SELECT doc_id, p_lang AS pred_lang, score, p_lang = lang AS correct FROM scores
+         QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, p_lang) = 1
+         ORDER BY doc_id""",
+    "text_fingerprint" ->
+      """SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(lower(text), ' '), t -> CAST(length(t) * 31 + ascii(t) AS BIGINT))),
+                     (acc, v) -> (acc * 131 + v) % 1000000007) AS fp
+         FROM documents ORDER BY doc_id""",
+    "udtf_generator" ->
+      """SELECT gram, count(1) AS cnt FROM
+         (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS gram
+          FROM (SELECT string_split(lower(text), ' ') AS toks FROM documents))
+         GROUP BY gram ORDER BY gram""",
+    "text_bpe_tokens" ->
+      """SELECT doc_id, len(regexp_extract_all(text, '[a-z0-9]+')) AS n_pieces,
+         len(list_distinct(regexp_extract_all(text, '[a-z0-9]+'))) AS n_uniq
+         FROM documents ORDER BY doc_id""",
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS token
+           FROM documents WHERE doc_id < 256),
+         sizes AS (SELECT doc_id, count(1) AS nt FROM toks GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2, count(1) AS inter
+           FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT d1, d2,
+           round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) AS jaccard
+         FROM (SELECT inter.d1, inter.d2, inter.inter, s1.nt AS n1, s2.nt AS n2
+               FROM inter JOIN sizes s1 ON inter.d1 = s1.doc_id
+               JOIN sizes s2 ON inter.d2 = s2.doc_id)
+         WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) >= 0.5
+         ORDER BY d1, d2"""
+  ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
+}

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+import graft.functions.CosineSim.cosine_sim
+
+/** §2.I similarity search over the `embeddings` table (BASELINE.json north
+  * star). Three tiers:
+  *
+  *  - brute force (`vec_cosine_topk`, `vec_knn_join`, `dedup_embed_cosine`)
+  *    — exact, oracled; the probe side is broadcast so the big side is
+  *    never shuffled: a single scan + local top-k at any scale;
+  *  - `expr_custom` — same brute force through the native codegen'd
+  *    CosineSim Catalyst expression (the 100 TB hot-loop form);
+  *  - bucketed ANN (`vec_lsh_ann`, `vec_ivf_ann`) — the scale path:
+  *    candidates are restricted to matching buckets (random-hyperplane
+  *    signs) / nearest centroid cells (label-seeded IVF), so the pairwise
+  *    work drops from N·M to N·M/buckets. No oracle (algorithmic recall
+  *    is property-tested in the unit suite against brute force).
+  *
+  * The HOF cosine casts every float to double BEFORE multiplying and folds
+  * left sequentially — bit-identical to the DuckDB oracle arithmetic and to
+  * the CosineSim expression.
+  */
+object VectorOps {
+
+  private val hofCos =
+    """aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)
+       / (sqrt(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+          * sqrt(aggregate(qv, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"""
+
+  private val sqlCosDuck =
+    """list_aggregate(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE), 'sum')
+       / (sqrt(list_aggregate(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE), 'sum'))
+          * sqrt(list_aggregate(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE), 'sum')))"""
+
+  val queries: Map[String, QFn] = Map(
+    "vec_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      emb.crossJoin(broadcast(q))
+        .withColumn("sim", round(expr(hofCos), 6))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    "vec_knn_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+      emb.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("sim", round(expr(hofCos), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("sim"), col("rn"))
+        .orderBy(col("probe_id"), col("rn"))
+    }),
+
+    // embedding-cosine near-duplicate detection over a bounded window
+    // (vec_id < 256 both sides): pairs above threshold. The unbounded
+    // equivalent is vec_lsh_ann's bucket join.
+    "dedup_embed_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 256)
+      val b = emb.select(col("vec_id").as("vid2"), col("embedding").as("qv"))
+      emb.crossJoin(broadcast(b))
+        .filter(col("vec_id") < col("vid2"))
+        .withColumn("sim", round(expr(hofCos), 6))
+        .filter(col("sim") >= 0.5)
+        .select(col("vec_id").as("v1"), col("vid2").as("v2"), col("sim"))
+        .orderBy(col("v1"), col("v2"))
+    }),
+
+    // same brute-force top-k through the native codegen'd Catalyst
+    // expression; k=20 to keep the result distinct from vec_cosine_topk.
+    "expr_custom" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      emb.crossJoin(broadcast(q))
+        .withColumn("sim", round(cosine_sim(col("embedding"), col("qv")), 6))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(20)
+    }),
+
+    // no-oracle: random-hyperplane LSH. 8 deterministic planes → 8 sign
+    // bits → bucket id; candidates share the probe's bucket.
+    "vec_lsh_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      // deterministic pseudo-random hyperplanes (fixed mixed-congruential
+      // scheme — stable across runs/engines, no RNG state)
+      val planes: Seq[Seq[Double]] = (0 until 8).map { j =>
+        (0 until 64).map { i =>
+          (((j * 1315423911L + i * 2654435761L) % 2001 + 2001) % 2001 - 1000) / 1000.0
+        }
+      }
+      val planeCols = planes.map(p => array(p.map(lit): _*))
+      val withBucket = emb.withColumn("bucket",
+        (0 until 8).map { j =>
+          val d = aggregate(
+            zip_with(col("embedding"), planeCols(j), (x, y) => x.cast("double") * y),
+            lit(0.0), (acc, v) => acc + v)
+          when(d > 0, lit(1 << j)).otherwise(lit(0))
+        }.reduce(_ + _))
+      val probes = withBucket.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("qv"), col("bucket").as("pbucket"))
+      val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+      withBucket.join(broadcast(probes),
+          col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
+        .withColumn("sim", round(expr(hofCos), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("sim"), col("rn"))
+        .orderBy(col("probe_id"), col("rn"))
+    }),
+
+    // no-oracle: IVF-style ANN — coarse cells seeded by the label column
+    // (k-means stand-in, deterministic); probe → nearest 2 centroids →
+    // exact cosine inside those cells only.
+    "vec_ivf_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("v").cast("double")).as("cv"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pairs"))
+        .select(col("label").as("c_label"),
+          expr("transform(pairs, p -> CAST(p.cv AS FLOAT))").as("qv"))
+      val probes = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      val wc = Window.partitionBy(col("probe_id")).orderBy(col("csim").desc, col("c_label"))
+      val probeCells = probes.crossJoin(broadcast(centroids))
+        .withColumn("csim", round(expr(hofCos), 6))
+        .withColumn("crn", row_number().over(wc))
+        .filter(col("crn") <= 2)
+        .select(col("probe_id"), col("c_label"))
+      val cands = emb.join(broadcast(probeCells), emb("label") === probeCells("c_label"))
+        .filter(col("vec_id") =!= col("probe_id"))
+      val probeVecs = probes.select(col("probe_id").as("p2"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+      cands.join(broadcast(probeVecs), col("probe_id") === col("p2"))
+        .withColumn("sim", round(expr(hofCos), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("sim"), col("rn"))
+        .orderBy(col("probe_id"), col("rn"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "vec_cosine_topk" ->
+      s"""SELECT e.vec_id, round($sqlCosDuck, 6) AS sim
+         FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         WHERE e.vec_id <> 0
+         ORDER BY sim DESC, e.vec_id LIMIT 10""",
+    "vec_knn_join" ->
+      s"""SELECT probe_id, vec_id AS neighbor_id, sim, rn FROM (
+           SELECT q.probe_id, e.vec_id, round($sqlCosDuck, 6) AS sim,
+             row_number() OVER (PARTITION BY q.probe_id
+               ORDER BY round($sqlCosDuck, 6) DESC, e.vec_id) AS rn
+           FROM embeddings e,
+                (SELECT vec_id AS probe_id, embedding AS qv FROM embeddings WHERE vec_id < 8) q
+           WHERE e.vec_id <> q.probe_id)
+         WHERE rn <= 3 ORDER BY probe_id, rn""",
+    "dedup_embed_cosine" ->
+      s"""SELECT e.vec_id AS v1, q.vid2 AS v2, round($sqlCosDuck, 6) AS sim
+         FROM (SELECT * FROM embeddings WHERE vec_id < 256) e,
+              (SELECT vec_id AS vid2, embedding AS qv FROM embeddings WHERE vec_id < 256) q
+         WHERE e.vec_id < q.vid2 AND round($sqlCosDuck, 6) >= 0.5
+         ORDER BY v1, v2""",
+    "expr_custom" ->
+      s"""SELECT e.vec_id, round($sqlCosDuck, 6) AS sim
+         FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         WHERE e.vec_id <> 0
+         ORDER BY sim DESC, e.vec_id LIMIT 20"""
+  ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
+}

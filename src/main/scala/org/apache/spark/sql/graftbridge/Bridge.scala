@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 made Column expression-agnostic and hid the Expression↔Column
+  * bridge behind `private[sql]`; this shim (in a spark-sql subpackage, like
+  * any third-party Catalyst extension needs) re-exports just the two
+  * conversions our custom expressions use. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
