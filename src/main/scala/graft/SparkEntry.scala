@@ -23,7 +23,10 @@ object SparkEntry {
       operators.Windows.queries ++
       functions.ScalarBank.queries ++
       operators.TextOps.queries ++
-      operators.VectorOps.queries
+      operators.VectorOps.queries ++
+      operators.EtlOps.queries ++
+      operators.MinHashDedup.queries ++
+      operators.Multimodal.queries
 
   def oracleSql: Map[String, String] =
     operators.Aggregates.oracles ++
@@ -32,5 +35,8 @@ object SparkEntry {
       operators.Windows.oracles ++
       functions.ScalarBank.oracles ++
       operators.TextOps.oracles ++
-      operators.VectorOps.oracles
+      operators.VectorOps.oracles ++
+      operators.EtlOps.oracles ++
+      operators.MinHashDedup.oracles ++
+      operators.Multimodal.oracles
 }

@@ -1,0 +1,141 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** §2.A scans / sinks / load semantics (SURVEY.md) — the reference's
+  * extract (JSON/CSV ingest, README.md:22-23), load (README.md:24,:28-29:
+  * audit timestamps, idempotent re-ingest/upsert) and store stages,
+  * modeled relationally (parquet collections stand in for the course's
+  * MongoDB — an infrastructure choice, not a semantic one; SURVEY §1.2).
+  *
+  * Scale notes: `upsert_load` is the relational MERGE shape — union + keyed
+  * window keep-latest — which shuffles once on the upsert key; at 100 TB
+  * this is exactly the Delta/Iceberg MERGE plan minus the transaction log.
+  * `sink_parquet` demonstrates partitioned layout (partition pruning on
+  * read is free after this).
+  */
+object EtlOps {
+
+  private def tmpDir(name: String): String = {
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), "graft_etl", name)
+    Files.createDirectories(p.getParent)
+    p.toString
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "scan_parquet" -> ((s, dir) => {
+      // projection + predicate both reach the parquet scan (PushedFilters /
+      // ReadSchema — asserted in the unit spec via .explain)
+      t(s, dir, "part")
+        .filter(col("p_size") > 25)
+        .select(col("p_partkey"), col("p_name"), col("p_size"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "scan_jsonl" -> ((s, dir) => {
+      // extract stage: JSONL payload dump → schema-applied JSON ingest
+      val path = tmpDir(s"jsonl_${dir.replaceAll("[^0-9.]", "")}")
+      events(s, dir).select(col("props"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).text(path)
+      s.read.schema(StructType(Seq(StructField("k", IntegerType)))).json(path)
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k"))
+    }),
+
+    "scan_csv" -> ((s, dir) => {
+      val path = tmpDir(s"csv_${dir.replaceAll("[^0-9.]", "")}")
+      events(s, dir).select(col("event_id"), col("event_type"), col("value"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+      s.read.option("header", "true")
+        .schema(StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType))))
+        .csv(path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+        .orderBy(col("event_type"))
+    }),
+
+    "sink_parquet" -> ((s, dir) => {
+      val path = tmpDir(s"sink_${dir.replaceAll("[^0-9.]", "")}")
+      t(s, dir, "lineitem")
+        .write.mode(SaveMode.Overwrite).partitionBy("l_returnflag").parquet(path)
+      s.read.parquet(path)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "ingest_audit" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_id"), col("event_type"))
+        .withColumn("_ingested_at", lit("2026-01-01 00:00:00").cast("timestamp"))
+        .withColumn("_source", lit("events_api"))
+        .orderBy(col("event_id"))
+    }),
+
+    "upsert_load" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val batch1 = o
+        .withColumn("_ingested_at", lit("2026-01-01 00:00:00").cast("timestamp"))
+      val batch2 = o.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+        .withColumn("_ingested_at", lit("2026-01-02 00:00:00").cast("timestamp"))
+      val w = Window.partitionBy(col("o_orderkey"))
+        .orderBy(col("_ingested_at").desc)
+      batch1.unionByName(batch2)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderkey"), r6(col("o_totalprice")).as("price"), col("_ingested_at"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // §2.I multimodal: opaque binary payload columns flow through the
+    // relational pipeline with typed metadata.
+    "multimodal_cols" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .select(
+          col("doc_id"),
+          octet_length(col("payload")).as("n_bytes"),
+          (decode(col("payload"), "UTF-8") === col("text")).as("roundtrip_ok"),
+          base64(encode(substring(col("text"), 1, 12), "UTF-8")).as("head_b64"))
+        .orderBy(col("doc_id"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "scan_parquet" ->
+      """SELECT p_partkey, p_name, p_size FROM part WHERE p_size > 25 ORDER BY p_partkey""",
+    "scan_jsonl" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(1) AS n
+         FROM events GROUP BY k ORDER BY k""",
+    "scan_csv" ->
+      """SELECT event_type, count(1) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "sink_parquet" ->
+      """SELECT l_returnflag, count(1) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "ingest_audit" ->
+      """SELECT event_id, event_type,
+         TIMESTAMP '2026-01-01 00:00:00' AS _ingested_at, 'events_api' AS _source
+         FROM events ORDER BY event_id""",
+    "upsert_load" ->
+      """SELECT o_orderkey, round(CAST(o_totalprice AS DOUBLE), 6) AS price, _ingested_at FROM (
+           SELECT o_orderkey, o_totalprice, TIMESTAMP '2026-01-01 00:00:00' AS _ingested_at FROM orders
+           UNION ALL
+           SELECT o_orderkey, o_totalprice * 1.1, TIMESTAMP '2026-01-02 00:00:00' FROM orders
+           WHERE o_orderkey % 3 = 0)
+         QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY _ingested_at DESC) = 1
+         ORDER BY o_orderkey""",
+    "multimodal_cols" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+         decode(encode(text)) = text AS roundtrip_ok,
+         to_base64(encode(substring(text, 1, 12))) AS head_b64
+         FROM documents ORDER BY doc_id"""
+  ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** §2.I multimodal pipeline plumbing (BASELINE.json north star
+  * "multimodal columns").
+  *
+  * Media decode / feature extraction in a real deployment runs as a
+  * vectorized batch UDF over opaque binary columns (image/audio/video
+  * bytes) with typed metadata alongside. The decode libraries are not in
+  * this container, so `fakeDecode` below is a clearly-marked deterministic
+  * STUB — but everything Spark-side is real and load-bearing: the binary
+  * column flows through the scan, the work runs as `mapPartitions` on the
+  * executors (one JVM-side batch per partition, the same batch shape
+  * `mapInPandas`/Arrow would see), the output schema is a typed struct, and
+  * partitioning is preserved so a downstream groupBy can co-locate.
+  */
+object Multimodal {
+
+  case class MediaIn(doc_id: Long, payload: Array[Byte])
+  case class MediaFeat(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+      checksum: Long, histo: Array[Long])
+
+  /** STUB decode: deterministic pseudo-features from the raw bytes.
+    * A real pipeline would replace the body with an image/audio decoder
+    * over the same signature (bytes in → typed features out). */
+  def fakeDecode(m: MediaIn): MediaFeat = {
+    val bs = m.payload
+    var checksum = 0L
+    val histo = new Array[Long](16)
+    var i = 0
+    while (i < bs.length) {
+      checksum = (checksum * 131 + (bs(i) & 0xff)) % 1000000007L
+      histo((bs(i) & 0xff) % 16) += 1
+      i += 1
+    }
+    MediaFeat(m.doc_id, bs.length, 64 + (checksum % 512).toInt,
+      64 + ((checksum >> 9) % 512).toInt, checksum, histo)
+  }
+
+  val queries: Map[String, QFn] = Map(
+    // binary payload → per-partition batch "decode" → typed features.
+    "mm_decode_stub" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[MediaIn]
+      media.mapPartitions(_.map(fakeDecode))
+        .toDF()
+        .orderBy(col("doc_id"))
+    }))
+
+  val oracles: Map[String, String] = Map.empty
+}
