@@ -26,7 +26,8 @@ object SparkEntry {
       operators.VectorOps.queries ++
       operators.EtlOps.queries ++
       operators.MinHashDedup.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      sources.RestQueries.queries
 
   def oracleSql: Map[String, String] =
     operators.Aggregates.oracles ++
@@ -38,5 +39,6 @@ object SparkEntry {
       operators.VectorOps.oracles ++
       operators.EtlOps.oracles ++
       operators.MinHashDedup.oracles ++
-      operators.Multimodal.oracles
+      operators.Multimodal.oracles ++
+      sources.RestQueries.oracles
 }

