@@ -17,5 +17,6 @@ object Smoke {
     df.show(20, truncate = false)
     println(s"entry rows=${df.count()}")
     spark.stop()
+    sys.exit(0)
   }
 }

@@ -27,7 +27,8 @@ object SparkEntry {
       operators.EtlOps.queries ++
       operators.MinHashDedup.queries ++
       operators.Multimodal.queries ++
-      sources.RestQueries.queries
+      sources.RestQueries.queries ++
+      streaming.Streams.queries
 
   def oracleSql: Map[String, String] =
     operators.Aggregates.oracles ++
@@ -40,5 +41,6 @@ object SparkEntry {
       operators.EtlOps.oracles ++
       operators.MinHashDedup.oracles ++
       operators.Multimodal.oracles ++
-      sources.RestQueries.oracles
+      sources.RestQueries.oracles ++
+      streaming.Streams.oracles
 }

@@ -38,5 +38,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // hard-exit: the rest_source stub's HTTP dispatcher (and any streaming
+    // leftovers) are non-daemon threads that would keep the forked JVM —
+    // and hence the harness — alive forever after main returns.
+    sys.exit(0)
   }
 }

@@ -1,0 +1,170 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables.{dsum, QFn}
+
+/** §2.H Structured Streaming operators (SURVEY.md): the reference's
+  * continuous paginated pull + incremental load loop
+  * (/root/reference/README.md:13,:24,:29,:33-34) re-expressed as
+  * micro-batch streams over the events table.
+  *
+  * Each registered query runs a REAL streaming query (file source → memory
+  * or foreachBatch sink) to completion via processAllAvailable, then
+  * returns the materialized result — so the driver's harness exercises the
+  * streaming engine, not a batch stand-in. Semantics are pinned by the
+  * oracled batch twins in operators.Windows (win_*_batch) and the
+  * MemoryStream unit specs (late data, duplicates, session gaps).
+  *
+  * Scale notes: all stateful aggs key their state by (window, type) or
+  * user — state is hash-partitioned across executors by the same shuffle
+  * as the batch twin; watermarks bound state growth; the upsert sink's
+  * per-batch MERGE is the foreachBatch pattern that backs Delta/Iceberg
+  * upserts on a real cluster (here: staged parquet rewrite).
+  */
+object Streams {
+
+  private val eventSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // ns in the parquet footer; nanosAsLong read
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over the events parquet with µs timestamps.
+    * The file-stream source needs a directory, so the single events file is
+    * staged (symlinked) into a tmp dir per scale factor. */
+  private def eventsStream(s: SparkSession, sfDir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tag = sfDir.replaceAll("[^0-9.]", "")
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream", s"events_$tag")
+    Files.createDirectories(dir)
+    val link = dir.resolve("events.parquet")
+    if (!Files.exists(link))
+      Files.createSymbolicLink(link, Paths.get(sfDir, "events.parquet"))
+    s.readStream.schema(eventSchema).parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Run a streaming aggregation to completion into a memory sink. */
+  private def runToTable(s: SparkSession, df: DataFrame, name: String,
+      mode: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try { q.processAllAvailable() } finally q.stop()
+    s.table(name)
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "stream_tumbling" -> ((s, dir) => {
+      val agg = eventsStream(s, dir)
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+      runToTable(s, agg, "mem_tumbling", "complete")
+        .select(unix_timestamp(col("window.start")).as("w_start_s"),
+          col("event_type"), col("n"), col("v"))
+        .orderBy(col("w_start_s"), col("event_type"))
+    }),
+
+    "stream_sliding" -> ((s, dir) => {
+      val agg = eventsStream(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+      runToTable(s, agg, "mem_sliding", "complete")
+        .select(unix_timestamp(col("window.start")).as("w_start_s"),
+          col("event_type"), col("n"), col("v"))
+        .orderBy(col("w_start_s"), col("event_type"))
+    }),
+
+    "stream_session" -> ((s, dir) => {
+      val agg = eventsStream(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      runToTable(s, agg, "mem_session", "complete")
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("sess_start_s"),
+          unix_timestamp(col("session_window.end")).as("sess_end_s"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("sess_start_s"))
+    }),
+
+    "stream_watermark" -> ((s, dir) => {
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      runToTable(s, agg, "mem_watermark", "update")
+        .select(unix_timestamp(col("window.start")).as("w_start_s"),
+          col("event_type"), col("n"))
+        .orderBy(col("w_start_s"), col("event_type"))
+    }),
+
+    "stream_dedup" -> ((s, dir) => {
+      val dd = eventsStream(s, dir)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates("event_id")
+        .select(col("event_id"), col("event_type"))
+      runToTable(s, dd, "mem_dedup", "append")
+        .orderBy(col("event_id"))
+    }),
+
+    // foreachBatch upsert (the MongoDB-load analogue, README.md:24,:29):
+    // two micro-batches — original events, then a corrected re-send of
+    // every 5th event — merged key-wise into a parquet "collection";
+    // replay is idempotent (latest batch wins per event_id).
+    "stream_upsert_sink" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tag = dir.replaceAll("[^0-9.]", "")
+      val inDir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream", s"in_$tag")
+      val tgtDir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream", s"tgt_$tag")
+      org.apache.commons.io.FileUtils.deleteQuietly(inDir.toFile)
+      org.apache.commons.io.FileUtils.deleteQuietly(tgtDir.toFile)
+      Files.createDirectories(inDir)
+      // batch 1: the raw feed; batch 2: corrected duplicates (value * 2)
+      val raw = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      raw.coalesce(1).write.mode(SaveMode.Overwrite).parquet(inDir.resolve("b1").toString)
+      raw.filter(col("event_id") % 5 === 0)
+        .withColumn("value", col("value") * 2)
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(inDir.resolve("b2").toString)
+      // stream the two batches in order, one file-batch per trigger
+      Files.list(inDir.resolve("b1")).filter(_.toString.endsWith(".parquet"))
+        .forEach(p => Files.move(p, inDir.resolve("0_batch.parquet"), StandardCopyOption.REPLACE_EXISTING))
+      Files.list(inDir.resolve("b2")).filter(_.toString.endsWith(".parquet"))
+        .forEach(p => Files.move(p, inDir.resolve("1_batch.parquet"), StandardCopyOption.REPLACE_EXISTING))
+      val stream = s.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("event_type", StringType), StructField("value", DoubleType))))
+        .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+        .parquet(inDir.toString)
+      val q = stream.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val ss = batch.sparkSession
+          val incoming = batch.withColumn("_batch", lit(batchId))
+          val merged =
+            if (Files.exists(tgtDir)) {
+              val existing = ss.read.parquet(tgtDir.toString)
+              val w = Window.partitionBy(col("event_id")).orderBy(col("_batch").desc)
+              existing.unionByName(incoming)
+                .withColumn("rn", row_number().over(w))
+                .filter(col("rn") === 1).drop("rn")
+            } else incoming
+          val staged = tgtDir.resolveSibling(tgtDir.getFileName.toString + "_staged")
+          merged.write.mode(SaveMode.Overwrite).parquet(staged.toString)
+          org.apache.commons.io.FileUtils.deleteQuietly(tgtDir.toFile)
+          Files.move(staged, tgtDir, StandardCopyOption.ATOMIC_MOVE)
+          (): Unit
+        }
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+      s.read.parquet(tgtDir.toString)
+        .select(col("event_id"), col("event_type"), round(col("value"), 6).as("value"))
+        .orderBy(col("event_id"))
+    }))
+
+  val oracles: Map[String, String] = Map.empty
+}

@@ -1,0 +1,107 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** §2.H streaming semantics (SURVEY.md §5.2.4): MemoryStream-driven tests
+  * for watermark late-data exclusion, stateful dedup, and equality of the
+  * streaming windows with their oracled batch twins. */
+class StreamingSpec extends SparkSuite {
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:$sec%02d")
+
+  test("watermark drops late rows from the aggregation (append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val agg = in.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Ev(1, ts(0), 1, "view", 1.0), Ev(2, ts(2), 1, "view", 1.0))
+      q.processAllAvailable()
+      // advance watermark far past the first window...
+      in.addData(Ev(3, ts(60), 1, "view", 1.0))
+      q.processAllAvailable()
+      // ...then send a LATE row for the first window: must be dropped
+      in.addData(Ev(4, ts(1), 1, "view", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(5, ts(120), 1, "view", 1.0)) // flush
+      q.processAllAvailable()
+      val first = spark.table("wm_test")
+        .filter(col("window.start") === ts(0)).agg(sum("n")).head
+      assert(first.getLong(0) === 2, "late row must not be counted")
+    } finally q.stop()
+  }
+
+  test("streaming dedup by event_id keeps first occurrence only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val dd = in.toDF().withWatermark("ts", "10 minutes").dropDuplicates("event_id")
+    val q = dd.writeStream.format("memory").queryName("dd_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Ev(1, ts(0), 1, "view", 1.0), Ev(2, ts(1), 1, "click", 2.0))
+      q.processAllAvailable()
+      in.addData(Ev(1, ts(2), 1, "view", 99.0)) // duplicate id, different payload
+      q.processAllAvailable()
+      val rows = spark.table("dd_test").collect()
+      assert(rows.length === 2)
+      assert(rows.filter(_.getLong(0) == 1).head.getDouble(4) === 1.0, "first wins")
+    } finally q.stop()
+  }
+
+  test("stream_tumbling equals its oracled batch twin") {
+    val streamed = q("stream_tumbling").collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("win_tumbling_batch")(spark, sf).collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+  }
+
+  test("stream_sliding equals its oracled batch twin") {
+    val streamed = q("stream_sliding").collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("win_sliding_batch")(spark, sf).collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+  }
+
+  test("stream_session gap semantics match the windowed batch twin") {
+    // same (user, session-count) profile: the batch twin sessionizes with
+    // lag+cumsum at 30-minute gap; session_window must agree on counts
+    val streamed = q("stream_session")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = SparkEntry.queries("win_session_batch")(spark, sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+
+  test("stream_dedup passes every distinct event exactly once") {
+    val out = q("stream_dedup")
+    assert(out.count() ===
+      graft.Tables.events(spark, sf).select("event_id").distinct().count())
+  }
+
+  test("stream_upsert_sink: corrected batch overwrites, others untouched") {
+    val out = q("stream_upsert_sink").cache()
+    val raw = graft.Tables.events(spark, sf)
+      .select(col("event_id"), round(col("value"), 6).as("value"))
+    assert(out.count() === raw.count(), "upsert must not duplicate keys")
+    val joined = out.alias("o").join(raw.alias("r"), "event_id")
+      .select(col("event_id"), col("o.value").as("got"), col("r.value").as("orig"))
+    val corrected = joined.filter(col("event_id") % 5 === 0)
+    val untouched = joined.filter(col("event_id") % 5 =!= 0)
+    assert(corrected.filter(abs(col("got") - col("orig") * 2) > 1e-6).count() === 0)
+    assert(untouched.filter(col("got") =!= col("orig")).count() === 0)
+    out.unpersist()
+  }
+}
