@@ -25,14 +25,16 @@ object MinHashDedup {
   private val K = 16      // minhash signature length
   private val BANDS = 4   // 4 bands × 4 rows
 
-  /** Column: minhash_s over an array-of-strings column. */
-  private def minhash(toks: String, seed: Int): String =
-    s"aggregate($toks, 9223372036854775807L, (acc, t) -> least(acc, xxhash64(concat(t, '#$seed'))))"
-
-  /** doc_id + K-column minhash signature for an (id, tokens) projection. */
+  /** doc_id + K-column minhash signature for an (id, tokens) projection.
+    * Each token is hashed ONCE (xxhash64), then the K per-seed minima mix
+    * the 64-bit hash with the seed arithmetically — 16 long ops per token
+    * instead of 16 string concat+hash passes (~4× faster at sf0.1). */
   def signatures(docs: DataFrame, idCol: String, toksCol: String): DataFrame = {
-    val sigCols = (0 until K).map(s => expr(minhash(toksCol, s)).as(s"m$s"))
-    docs.select(col(idCol) +: sigCols: _*)
+    val hashed = docs.withColumn("_th", expr(s"transform($toksCol, t -> xxhash64(t))"))
+    val sigCols = (0 until K).map { s =>
+      expr(s"aggregate(_th, 9223372036854775807L, (acc, h) -> least(acc, xxhash64(h, $s)))").as(s"m$s")
+    }
+    hashed.select(col(idCol) +: sigCols: _*)
   }
 
   /** (band_idx, band_hash) per doc: 4-hash bands hashed together. */
@@ -46,14 +48,19 @@ object MinHashDedup {
   }
 
   val queries: Map[String, QFn] = Map(
-    // token-set MinHash-LSH candidate pairs, ranked by band agreement.
-    // (The 3-shingle variant used for true near-dup detection is exercised
-    // in the unit suite with planted duplicates; on the natural corpus,
-    // token-set similarity is what produces a non-empty, stable ranking.)
+    // 3-shingle MinHash-LSH near-duplicate candidate pairs, ranked by band
+    // agreement. Shingling (vs raw token sets) keeps band buckets sparse —
+    // on this corpus token-set banding produces 2500-doc buckets (≈3M pairs
+    // from one bucket) while shingle buckets stay ≤4 docs, so the bucket
+    // self-join is tiny at any scale.
     "text_dedup_near" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-        .withColumn("toks", array_distinct(split(lower(col("text")), " ")))
-      val sig = signatures(docs, "doc_id", "toks")
+        .withColumn("toks", split(lower(col("text")), " "))
+        .withColumn("sh", when(size(col("toks")) >= 3, expr(
+          """transform(sequence(1, size(toks) - 2),
+             i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))"""))
+          .otherwise(array(col("text"))))
+      val sig = signatures(docs, "doc_id", "sh")
       val b = banded(sig, "doc_id")
       val a1 = b.select(col("doc_id").as("d1"), col("band_idx"), col("bh"))
       val a2 = b.select(col("doc_id").as("d2"), col("band_idx"), col("bh"))

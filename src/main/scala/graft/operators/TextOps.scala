@@ -85,7 +85,9 @@ object TextOps {
         .agg(count(lit(1)).as("tf"))
       val profile = tok.groupBy(col("lang").as("p_lang"), col("token").as("p_token"))
         .agg(sum(col("tf")).as("lf"))
-      val scores = tok.join(profile, tok("token") === profile("p_token"))
+      // the profile is vocabulary × 5 langs — tiny at any corpus scale →
+      // broadcast keeps the big token side shuffle-free
+      val scores = tok.join(broadcast(profile), tok("token") === profile("p_token"))
         .groupBy(col("doc_id"), col("lang"), col("p_lang"))
         .agg(sum(col("tf") * col("lf")).as("score"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("p_lang"))

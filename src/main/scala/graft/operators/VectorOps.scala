@@ -41,7 +41,7 @@ object VectorOps {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       emb.crossJoin(broadcast(q))
-        .withColumn("sim", round(expr(hofCos), 6))
+        .withColumn("sim", round(cosine_sim(col("embedding"), col("qv")), 6))
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"), col("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
@@ -55,7 +55,7 @@ object VectorOps {
       val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
       emb.crossJoin(broadcast(probes))
         .filter(col("vec_id") =!= col("probe_id"))
-        .withColumn("sim", round(expr(hofCos), 6))
+        .withColumn("sim", round(cosine_sim(col("embedding"), col("qv")), 6))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("sim"), col("rn"))
@@ -70,7 +70,7 @@ object VectorOps {
       val b = emb.select(col("vec_id").as("vid2"), col("embedding").as("qv"))
       emb.crossJoin(broadcast(b))
         .filter(col("vec_id") < col("vid2"))
-        .withColumn("sim", round(expr(hofCos), 6))
+        .withColumn("sim", round(cosine_sim(col("embedding"), col("qv")), 6))
         .filter(col("sim") >= 0.5)
         .select(col("vec_id").as("v1"), col("vid2").as("v2"), col("sim"))
         .orderBy(col("v1"), col("v2"))
@@ -113,7 +113,7 @@ object VectorOps {
       val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
       withBucket.join(broadcast(probes),
           col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
-        .withColumn("sim", round(expr(hofCos), 6))
+        .withColumn("sim", round(cosine_sim(col("embedding"), col("qv")), 6))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("sim"), col("rn"))
@@ -137,7 +137,7 @@ object VectorOps {
         .select(col("vec_id").as("probe_id"), col("embedding"))
       val wc = Window.partitionBy(col("probe_id")).orderBy(col("csim").desc, col("c_label"))
       val probeCells = probes.crossJoin(broadcast(centroids))
-        .withColumn("csim", round(expr(hofCos), 6))
+        .withColumn("csim", round(cosine_sim(col("embedding"), col("qv")), 6))
         .withColumn("crn", row_number().over(wc))
         .filter(col("crn") <= 2)
         .select(col("probe_id"), col("c_label"))
@@ -146,7 +146,7 @@ object VectorOps {
       val probeVecs = probes.select(col("probe_id").as("p2"), col("embedding").as("qv"))
       val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
       cands.join(broadcast(probeVecs), col("probe_id") === col("p2"))
-        .withColumn("sim", round(expr(hofCos), 6))
+        .withColumn("sim", round(cosine_sim(col("embedding"), col("qv")), 6))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("sim"), col("rn"))
