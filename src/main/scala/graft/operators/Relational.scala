@@ -178,6 +178,21 @@ object Relational {
         .filter(col("rn") === 1)
         .select(col("event_id"), col("user_id"), coalesce(col("view_id"), lit(-1L)).as("prior_view_id"))
         .orderBy(col("event_id"))
+    }),
+
+    // same as-of semantics through the NATIVE operator (custom logical
+    // node + strategy + sort-merge exec, graft.plans.AsofJoin) — linear
+    // merge instead of the emulation's pair blow-up; checked against the
+    // identical oracle.
+    "join_asof_native" -> ((s, dir) => {
+      val e = events(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+      graft.plans.AsofJoinApi.asofJoin(p, v, "user_id", "v_user", "ts", "v_ts", "view_id")
+        .select(col("event_id"), col("user_id"), coalesce(col("view_id"), lit(-1L)).as("prior_view_id"))
+        .orderBy(col("event_id"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -257,6 +272,15 @@ object Relational {
          CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) c
          ORDER BY r_name, c_mktsegment""",
     "join_asof" ->
+      """SELECT event_id, user_id, coalesce(view_id, -1) AS prior_view_id FROM (
+           SELECT p.event_id, p.user_id, v.event_id AS view_id,
+                  row_number() OVER (PARTITION BY p.event_id
+                    ORDER BY v.ts DESC NULLS LAST, v.event_id DESC NULLS LAST) AS rn
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+             ON v.user_id = p.user_id AND v.ts < p.ts)
+         WHERE rn = 1 ORDER BY event_id""",
+    "join_asof_native" ->
       """SELECT event_id, user_id, coalesce(view_id, -1) AS prior_view_id FROM (
            SELECT p.event_id, p.user_id, v.event_id AS view_id,
                   row_number() OVER (PARTITION BY p.event_id
