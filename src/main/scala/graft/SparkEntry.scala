@@ -25,6 +25,7 @@ object SparkEntry {
       operators.TextOps.queries ++
       operators.VectorOps.queries ++
       operators.EtlOps.queries ++
+      operators.TypedOps.queries ++
       operators.MinHashDedup.queries ++
       operators.Multimodal.queries ++
       sources.RestQueries.queries ++
@@ -39,6 +40,7 @@ object SparkEntry {
       operators.TextOps.oracles ++
       operators.VectorOps.oracles ++
       operators.EtlOps.oracles ++
+      operators.TypedOps.oracles ++
       operators.MinHashDedup.oracles ++
       operators.Multimodal.oracles ++
       sources.RestQueries.oracles ++
