@@ -28,6 +28,7 @@ object SparkEntry {
       operators.TypedOps.queries ++
       operators.MinHashDedup.queries ++
       operators.Multimodal.queries ++
+      operators.MultimodalFrames.queries ++
       sources.RestQueries.queries ++
       streaming.Streams.queries
 
@@ -43,6 +44,7 @@ object SparkEntry {
       operators.TypedOps.oracles ++
       operators.MinHashDedup.oracles ++
       operators.Multimodal.oracles ++
+      operators.MultimodalFrames.oracles ++
       sources.RestQueries.oracles ++
       streaming.Streams.oracles
 }

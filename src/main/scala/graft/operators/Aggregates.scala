@@ -118,6 +118,32 @@ object Aggregates {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // exact interpolated quantiles (sort-based; the sf-scale gold answer)
+    "agg_quantiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5D)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9D)"), 6).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // no-oracle: t-digest-style sketch quantiles — the 100 TB path (exact
+    // percentile needs a per-group sort; the sketch merges map-side).
+    // Unit spec bounds it against the exact values.
+    "agg_approx_quantile" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_approx(l_extendedprice, array(0.5D, 0.9D), 10000)").as("q"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          round(element_at(col("q"), 1), 6).as("p50"),
+          round(element_at(col("q"), 2), 6).as("p90"), col("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "agg_custom_udaf" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -175,6 +201,12 @@ object Aggregates {
          ${decSum6("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS "P"
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "agg_quantiles" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+         round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+         count(1) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_custom_udaf" ->
       """SELECT l_returnflag, round(exp(avg(ln(l_extendedprice))), 6) AS geo_price, count(1) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""

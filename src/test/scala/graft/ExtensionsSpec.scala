@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Catalyst extension points: the cosine_sim SQL registration, the
+  * redundant-round optimizer rule, and the as-of strategy (runtime path —
+  * the builder-time GraftExtensions wires these same three objects via
+  * SparkSessionExtensions; getOrCreate in a shared-JVM test suite cannot
+  * exercise builder-time injection without tearing down every session). */
+class ExtensionsSpec extends SparkSuite {
+
+  test("cosine_sim is callable from SQL text after registration") {
+    graft.functions.CosineSim.register(spark)
+    val v = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS s")
+      .head.getDouble(0)
+    assert(math.abs(v - 1.0) < 1e-12)
+  }
+
+  test("CollapseRedundantRound rewrites round(round(e,3),6) to round(e,3)") {
+    val df = spark.sql("SELECT round(round(c, 3), 6) AS r FROM VALUES (1.2345678D) AS t(c)")
+    val before = df.queryExecution.analyzed
+    val after = graft.plans.CollapseRedundantRound(before)
+    def countRounds(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int = {
+      var n = 0
+      p.transformAllExpressions {
+        case r: org.apache.spark.sql.catalyst.expressions.Round => n += 1; r
+      }
+      n
+    }
+    assert(countRounds(before) === 2)
+    assert(countRounds(after) === 1)
+    assert(df.head.getDouble(0) === 1.235) // semantics unchanged
+  }
+
+  test("CollapseRedundantRound keeps a genuinely tighter outer round") {
+    val df = spark.sql("SELECT round(round(c, 6), 3) AS r FROM VALUES (1.2345678D) AS t(c)")
+    val after = graft.plans.CollapseRedundantRound(df.queryExecution.analyzed)
+    var n = 0
+    after.transformAllExpressions {
+      case r: org.apache.spark.sql.catalyst.expressions.Round => n += 1; r
+    }
+    assert(n === 2, "outer round(…,3) narrows the value and must stay")
+  }
+
+  test("as-of strategy handles ties and empty right side") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (1L, 20L), (2L, 15L)).toDF("k", "t")
+    val right = Seq((1L, 5L, 100L), (1L, 5L, 103L), (1L, 15L, 101L), (3L, 1L, 102L))
+      .toDF("k2", "t2", "id")
+    val out = graft.plans.AsofJoinApi.asofJoin(left, right, "k", "k2", "t", "t2", "id")
+      .select($"k", $"t", $"id").collect().map(_.toSeq).toSet
+    assert(out === Set(
+      Seq(1L, 10L, 103L),   // tie on t2=5 → greatest id wins
+      Seq(1L, 20L, 101L),   // latest strictly-before
+      Seq(2L, 15L, null)))  // key with no right rows null-extends
+  }
+}

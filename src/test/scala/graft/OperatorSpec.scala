@@ -27,6 +27,26 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("agg_approx_quantile is within 2% of the exact percentiles") {
+    val approx = q("agg_approx_quantile").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = q("agg_quantiles").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (p50, p90)) =>
+      assert(math.abs(approx(k)._1 - p50) / p50 < 0.02, s"$k p50")
+      assert(math.abs(approx(k)._2 - p90) / p90 < 0.02, s"$k p90")
+    }
+  }
+
+  test("mm_frame_sample: every 4th 256-byte frame, sizes consistent") {
+    val r = q("mm_frame_sample").head
+    val nFrames = r.getInt(1); val nSampled = r.getInt(2)
+    assert(nSampled === (nFrames + 3) / 4)
+    val frames = r.getSeq[org.apache.spark.sql.Row](3)
+    assert(frames.head.getInt(0) === 0)
+    assert(frames.forall(f => f.getInt(2) <= 256 && f.getInt(2) > 0))
+  }
+
   test("fn_map: map construction round-trips keys and values") {
     val rows = q("fn_map").limit(5).collect()
     rows.foreach { r =>
