@@ -50,11 +50,18 @@ object Streams {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
-  /** Run a streaming aggregation to completion into a memory sink. */
+  /** Run a streaming aggregation to completion into a memory sink.
+    * State-store instances scale with shuffle partitions; for these
+    * bounded replays 8 partitions cut per-batch state-commit overhead
+    * without changing results (restored right after the plan is bound). */
   private def runToTable(s: SparkSession, df: DataFrame, name: String,
       mode: String): DataFrame = {
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    try { q.processAllAvailable() } finally q.stop()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+      try { q.processAllAvailable() } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
