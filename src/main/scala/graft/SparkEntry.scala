@@ -26,6 +26,7 @@ object SparkEntry {
       operators.VectorOps.queries ++
       operators.EtlOps.queries ++
       operators.TypedOps.queries ++
+      operators.ScaleOps.queries ++
       operators.MinHashDedup.queries ++
       operators.Multimodal.queries ++
       operators.MultimodalFrames.queries ++
@@ -42,6 +43,7 @@ object SparkEntry {
       operators.VectorOps.oracles ++
       operators.EtlOps.oracles ++
       operators.TypedOps.oracles ++
+      operators.ScaleOps.oracles ++
       operators.MinHashDedup.oracles ++
       operators.Multimodal.oracles ++
       operators.MultimodalFrames.oracles ++

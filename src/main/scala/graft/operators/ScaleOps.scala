@@ -1,0 +1,78 @@
+package graft.operators
+
+import java.nio.file.Paths
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Cluster-scale layout patterns demonstrated as runnable, oracled queries
+  * (BASELINE.json north star: every operator designed for 100 TB).
+  *
+  * `join_bucketed`: both sides persisted bucketed-by-join-key → the join
+  * plans with NO shuffle exchange on either side (asserted in the unit
+  * spec). At 100 TB this is the difference between moving both tables over
+  * the network per join and never moving them at all — bucketing is decided
+  * once at write time and amortized over every subsequent join/agg on the
+  * key.
+  *
+  * `join_skew_salted`: the standard hot-key defuser — the build side is
+  * replicated SALT ways, the probe side picks a deterministic salt per row,
+  * and the join key becomes (key, salt) so one hot key's rows spread over
+  * SALT reducers instead of one straggler. Result provably equals the
+  * unsalted join (same oracle).
+  */
+object ScaleOps {
+
+  private val SALT = 8
+
+  val queries: Map[String, QFn] = Map(
+    "join_bucketed" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^0-9.]", "")
+      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_wh")
+      val oTbl = s"orders_b_$tag".replace(".", "_")
+      val cTbl = s"customer_b_$tag".replace(".", "_")
+      if (!s.catalog.tableExists(oTbl)) {
+        // external bucketed tables (bucket metadata needs the catalog;
+        // explicit path keeps the warehouse conf untouched)
+        t(s, dir, "orders").write.mode(SaveMode.Overwrite)
+          .option("path", base.resolve(oTbl).toString)
+          .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(oTbl)
+        t(s, dir, "customer").write.mode(SaveMode.Overwrite)
+          .option("path", base.resolve(cTbl).toString)
+          .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(cTbl)
+      }
+      val o = s.table(oTbl); val c = s.table(cTbl)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "join_skew_salted" -> ((s, dir) => {
+      val e = events(s, dir)
+      // per-user dimension derived once (stands in for a hot-key-prone dim)
+      val dim = e.groupBy(col("user_id").as("d_user"))
+        .agg(countDistinct(col("event_type")).as("n_types"))
+      val salted = dim.withColumn("salt", explode(array((0 until SALT).map(lit): _*)))
+      val probe = e.withColumn("salt", (col("event_id") % SALT).cast("int"))
+      probe.join(salted,
+          probe("user_id") === salted("d_user") && probe("salt") === salted("salt"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), max(col("n_types")).as("n_types"))
+        .orderBy(col("user_id"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "join_bucketed" ->
+      """SELECT c_mktsegment, count(1) AS n_orders,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "join_skew_salted" ->
+      """SELECT user_id, count(1) AS n_events, max(n_types) AS n_types
+         FROM events JOIN (SELECT user_id AS d_user, count(DISTINCT event_type) AS n_types
+                           FROM events GROUP BY user_id) d
+           ON user_id = d_user
+         GROUP BY user_id ORDER BY user_id"""
+  ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
+}
