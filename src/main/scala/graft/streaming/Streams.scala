@@ -118,6 +118,41 @@ object Streams {
         .orderBy(col("event_id"))
     }),
 
+    // arbitrary keyed state via mapGroupsWithState: per-user running
+    // counter + latest event type, the custom-state surface
+    // (KeyValueGroupedDataset) the north star names explicitly. In-batch
+    // arrival order is not guaranteed, so each batch's group is sorted by
+    // (ts, event_id) before folding into state — deterministic replay.
+    "stream_custom_state" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val src = eventsStream(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .as[(Long, Long, String, Long)]
+      val updated = src.groupByKey(_._2)
+        .mapGroupsWithState[(Long, String, Long, Long), (Long, Long, String)](
+          GroupStateTimeout.NoTimeout) {
+          case (uid, rows, state: GroupState[(Long, String, Long, Long)]) =>
+            var (n, lastType, lastTs, lastId) =
+              state.getOption.getOrElse((0L, "", Long.MinValue, Long.MinValue))
+            rows.toSeq.sortBy(r => (r._4, r._1)).foreach { r =>
+              n += 1
+              if (r._4 > lastTs || (r._4 == lastTs && r._1 > lastId)) {
+                lastType = r._3; lastTs = r._4; lastId = r._1
+              }
+            }
+            state.update((n, lastType, lastTs, lastId))
+            (uid, n, lastType)
+        }
+      val q = updated.toDF("user_id", "n_events", "last_type")
+        .writeStream.format("memory").queryName("mem_custom_state")
+        .outputMode(OutputMode.Update).start()
+      try { q.processAllAvailable() } finally q.stop()
+      // single-file source → one micro-batch → one update row per user
+      s.table("mem_custom_state").orderBy(col("user_id"))
+    }),
+
     // foreachBatch upsert (the MongoDB-load analogue, README.md:24,:29):
     // two micro-batches — original events, then a corrected re-send of
     // every 5th event — merged key-wise into a parquet "collection";
@@ -173,5 +208,15 @@ object Streams {
         .orderBy(col("event_id"))
     }))
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "stream_custom_state" ->
+      """SELECT user_id, n_events, last_type FROM (
+           SELECT user_id,
+             count(1) OVER (PARTITION BY user_id) AS n_events,
+             event_type AS last_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+           FROM events)
+         WHERE rn = 1 ORDER BY user_id"""
+  ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
 }
