@@ -120,12 +120,12 @@ object Streams {
 
     // arbitrary keyed state via mapGroupsWithState: per-user running
     // counter + latest event type, the custom-state surface
-    // (KeyValueGroupedDataset) the north star names explicitly. In-batch
-    // arrival order is not guaranteed, so each batch's group is sorted by
-    // (ts, event_id) before folding into state — deterministic replay.
+    // (KeyValueGroupedDataset) the north star names explicitly. The fold is
+    // order-insensitive (count + strict max on (ts, event_id)), so no
+    // in-batch sort is needed for determinism.
     "stream_custom_state" -> ((s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
       val src = eventsStream(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("ts_us"))
@@ -136,7 +136,7 @@ object Streams {
           case (uid, rows, state: GroupState[(Long, String, Long, Long)]) =>
             var (n, lastType, lastTs, lastId) =
               state.getOption.getOrElse((0L, "", Long.MinValue, Long.MinValue))
-            rows.toSeq.sortBy(r => (r._4, r._1)).foreach { r =>
+            rows.foreach { r =>
               n += 1
               if (r._4 > lastTs || (r._4 == lastTs && r._1 > lastId)) {
                 lastType = r._3; lastTs = r._4; lastId = r._1
@@ -145,12 +145,10 @@ object Streams {
             state.update((n, lastType, lastTs, lastId))
             (uid, n, lastType)
         }
-      val q = updated.toDF("user_id", "n_events", "last_type")
-        .writeStream.format("memory").queryName("mem_custom_state")
-        .outputMode(OutputMode.Update).start()
-      try { q.processAllAvailable() } finally q.stop()
       // single-file source → one micro-batch → one update row per user
-      s.table("mem_custom_state").orderBy(col("user_id"))
+      runToTable(s, updated.toDF("user_id", "n_events", "last_type"),
+        "mem_custom_state", "update")
+        .orderBy(col("user_id"))
     }),
 
     // foreachBatch upsert (the MongoDB-load analogue, README.md:24,:29):
