@@ -22,7 +22,7 @@ object MultimodalFrames {
         .withColumn("n_frames", ceil(octet_length(col("payload")) / 256.0).cast("int"))
         .withColumn("sampled", expr(
           """transform(
-               filter(sequence(0, n_frames - 1), i -> i % 4 = 0),
+               filter(sequence(0, greatest(n_frames, 1) - 1), i -> i % 4 = 0 AND i < n_frames),
                i -> struct(i AS frame_idx,
                            crc32(substring(payload, i * 256 + 1, 256)) AS digest,
                            octet_length(substring(payload, i * 256 + 1, 256)) AS frame_bytes))"""))

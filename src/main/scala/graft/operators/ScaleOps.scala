@@ -54,7 +54,9 @@ object ScaleOps {
       val dim = e.groupBy(col("user_id").as("d_user"))
         .agg(countDistinct(col("event_type")).as("n_types"))
       val salted = dim.withColumn("salt", explode(array((0 until SALT).map(lit): _*)))
-      val probe = e.withColumn("salt", (col("event_id") % SALT).cast("int"))
+      // pmod over a null-coalesced id: negative ids still land in 0..SALT-1
+      // and null ids keep a valid salt, preserving plain-join equality
+      val probe = e.withColumn("salt", pmod(coalesce(col("event_id"), lit(0L)), lit(SALT)).cast("int"))
       probe.join(salted,
           probe("user_id") === salted("d_user") && probe("salt") === salted("salt"))
         .groupBy(col("user_id"))

@@ -43,6 +43,10 @@ object TextOps {
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
         .groupBy(col("token"))
         .agg(countDistinct(col("doc_id")).as("df"))
+      // un-partitioned window = single-partition sort, acceptable here by
+      // design: the input is the VOCABULARY (post-aggregation), whose
+      // cardinality is bounded by the language, not the corpus — at 100 TB
+      // this is still ~1M tiny rows, not a data-sized sort
       byTok
         .withColumn("rnk", row_number().over(Window.orderBy(col("df").desc, col("token"))))
         .orderBy(col("rnk"))

@@ -12,24 +12,20 @@ import graft.functions.CosineSim.cosine_sim
   *  - brute force (`vec_cosine_topk`, `vec_knn_join`, `dedup_embed_cosine`)
   *    — exact, oracled; the probe side is broadcast so the big side is
   *    never shuffled: a single scan + local top-k at any scale;
-  *  - `expr_custom` — same brute force through the native codegen'd
-  *    CosineSim Catalyst expression (the 100 TB hot-loop form);
+  *  - `expr_custom` — the §2.J registration of that same CosineSim path
+  *    at k=20 (query distinct from vec_cosine_topk's k=10);
   *  - bucketed ANN (`vec_lsh_ann`, `vec_ivf_ann`) — the scale path:
   *    candidates are restricted to matching buckets (random-hyperplane
   *    signs) / nearest centroid cells (label-seeded IVF), so the pairwise
   *    work drops from N·M to N·M/buckets. No oracle (algorithmic recall
   *    is property-tested in the unit suite against brute force).
   *
-  * The HOF cosine casts every float to double BEFORE multiplying and folds
-  * left sequentially — bit-identical to the DuckDB oracle arithmetic and to
-  * the CosineSim expression.
+  * Every query computes cosine through the codegen'd CosineSim expression,
+  * which casts each float to double BEFORE multiplying and folds left
+  * sequentially — bit-identical to the DuckDB oracle arithmetic (and to
+  * the HOF formulation the unit spec cross-checks against).
   */
 object VectorOps {
-
-  private val hofCos =
-    """aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)
-       / (sqrt(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-          * sqrt(aggregate(qv, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"""
 
   private val sqlCosDuck =
     """list_aggregate(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE), 'sum')

@@ -89,26 +89,37 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
       li.map { lRow =>
         val lk = lKey.eval(lRow)
         val lt = lTs.eval(lRow)
-        // consume right rows that are no longer ahead of this left row
-        var continue = true
-        while (continue && lookahead != null) {
-          val rk = rKey.eval(lookahead)
-          val ck = keyOrd.compare(rk, lk)
-          if (ck < 0) {
-            // right row for an earlier key — discard
-            advanceLookahead()
-          } else if (ck == 0 && tsOrd.compare(rTs.eval(lookahead), lt) < 0) {
-            buffered = lookahead; bufferedKey = rk
-            advanceLookahead()
-          } else {
-            continue = false
-          }
-        }
-        if (buffered != null && keyOrd.compare(bufferedKey, lk) == 0 &&
-            tsOrd.compare(rTs.eval(buffered), lt) < 0) {
-          joined(lRow, buffered)
-        } else {
+        if (lk == null || lt == null) {
+          // SQL join semantics: a null key/ts never matches — null-extend.
+          // (Interpreted orderings unbox null to 0, so nulls must never
+          // reach the comparators.)
           joined(lRow, nullRight)
+        } else {
+          // consume right rows that are no longer ahead of this left row
+          var continue = true
+          while (continue && lookahead != null) {
+            val rk = rKey.eval(lookahead)
+            val rt = if (rk == null) null else rTs.eval(lookahead)
+            if (rk == null || rt == null) {
+              advanceLookahead() // null-keyed right rows match nothing
+            } else {
+              val ck = keyOrd.compare(rk, lk)
+              if (ck < 0) {
+                advanceLookahead() // right row for an earlier key — discard
+              } else if (ck == 0 && tsOrd.compare(rt, lt) < 0) {
+                buffered = lookahead; bufferedKey = rk
+                advanceLookahead()
+              } else {
+                continue = false
+              }
+            }
+          }
+          if (buffered != null && keyOrd.compare(bufferedKey, lk) == 0 &&
+              tsOrd.compare(rTs.eval(buffered), lt) < 0) {
+            joined(lRow, buffered)
+          } else {
+            joined(lRow, nullRight)
+          }
         }
       }
     }

@@ -13,7 +13,9 @@ import org.apache.spark.sql.types.IntegerType
   * Injected via GraftExtensions.injectOptimizerRule. */
 object CollapseRedundantRound extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case Round(inner @ Round(_, Literal(s1: Int, IntegerType), _), Literal(s2: Int, IntegerType), _)
-        if s2 >= s1 => inner
+    case outer @ Round(inner @ Round(_, Literal(s1: Int, IntegerType), _), Literal(s2: Int, IntegerType), _)
+        // type guard: over DecimalType, Round computes a NEW precision/scale,
+        // so dropping the outer call would change the plan schema
+        if s2 >= s1 && outer.dataType == inner.dataType => inner
   }
 }

@@ -65,14 +65,13 @@ final class RestScanBuilder(options: CaseInsensitiveStringMap)
   private var pushed: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // event_type equality becomes a server-side query param; everything
-    // else stays a post-scan filter for Spark.
-    val (supported, rest) = filters.partition {
-      case EqualTo("event_type", _: String) => true
-      case _ => false
-    }
-    pushed = supported
-    rest
+    // ONE event_type equality becomes a server-side query param (the API
+    // accepts a single value); any further filters — including additional
+    // event_type equalities — stay with Spark post-scan so conjunctions
+    // like a='x' AND a='y' still evaluate correctly to empty.
+    val first = filters.collectFirst { case f @ EqualTo("event_type", _: String) => f }
+    pushed = first.toArray
+    filters.filterNot(f => first.contains(f))
   }
   override def pushedFilters(): Array[Filter] = pushed
 

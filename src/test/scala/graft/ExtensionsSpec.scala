@@ -43,6 +43,20 @@ class ExtensionsSpec extends SparkSuite {
     assert(n === 2, "outer round(…,3) narrows the value and must stay")
   }
 
+  test("as-of join null-extends null keys/timestamps (never matches them)") {
+    import spark.implicits._
+    val left = Seq((Some(1L), Some(10L)), (None, Some(10L)), (Some(1L), None))
+      .toDF("k", "t")
+    val right = Seq((Some(1L), Some(5L), 100L), (None, Some(5L), 101L))
+      .toDF("k2", "t2", "id")
+    val out = graft.plans.AsofJoinApi.asofJoin(left, right, "k", "k2", "t", "t2", "id")
+      .select($"k", $"t", $"id").collect().map(_.toSeq).toSet
+    assert(out === Set(
+      Seq(1L, 10L, 100L),   // real match
+      Seq(null, 10L, null), // null key never matches (even vs null-key right)
+      Seq(1L, null, null))) // null ts never matches
+  }
+
   test("as-of strategy handles ties and empty right side") {
     import spark.implicits._
     val left = Seq((1L, 10L), (1L, 20L), (2L, 15L)).toDF("k", "t")

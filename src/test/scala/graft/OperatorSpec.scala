@@ -12,8 +12,13 @@ class OperatorSpec extends SparkSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every declared query runs on sf0.001 and every oracle key exists") {
+  test("every declared query RUNS on sf0.001 and every oracle key exists") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, sf).count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
   }
 
   test("agg_approx_distinct is within 5% of exact") {
@@ -71,10 +76,19 @@ class OperatorSpec extends SparkSuite {
   }
 
   test("upsert_load is idempotent: re-upserting the same batch is a no-op") {
-    val once = q("upsert_load")
-    val twice = once // the query itself models batch2-over-batch1; replay must not duplicate keys
+    import org.apache.spark.sql.expressions.Window
+    val once = q("upsert_load").cache()
     assert(once.count() === once.select("o_orderkey").distinct().count())
-    assert(twice.count() === once.count())
+    // genuinely re-apply the upsert: union the batch-2 rows again and
+    // keep-latest — must reproduce `once` exactly
+    val batch2Again = once.filter(col("o_orderkey") % 3 === 0)
+    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("_ingested_at").desc)
+    val twice = once.unionByName(batch2Again)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy(col("o_orderkey"))
+    assert(twice.collect().map(_.toSeq).toSeq === once.orderBy(col("o_orderkey")).collect().map(_.toSeq).toSeq)
+    once.unpersist()
   }
 
   test("mm_decode_stub produces typed features with stable checksums") {
