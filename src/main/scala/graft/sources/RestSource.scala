@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -65,13 +65,15 @@ final class RestScanBuilder(options: CaseInsensitiveStringMap)
   private var pushed: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // ONE event_type equality becomes a server-side query param (the API
-    // accepts a single value); any further filters — including additional
-    // event_type equalities — stay with Spark post-scan so conjunctions
+    // ONE event_type equality and ONE event_id lower bound become
+    // server-side query params (the incremental-extraction pattern:
+    // `event_id > last_seen` → &min_id=); everything else — including
+    // additional equalities — stays with Spark post-scan so conjunctions
     // like a='x' AND a='y' still evaluate correctly to empty.
-    val first = filters.collectFirst { case f @ EqualTo("event_type", _: String) => f }
-    pushed = first.toArray
-    filters.filterNot(f => first.contains(f))
+    val eq = filters.collectFirst { case f @ EqualTo("event_type", _: String) => f }
+    val gt = filters.collectFirst { case f @ GreaterThan("event_id", _: Long) => f }
+    pushed = (eq.toSeq ++ gt.toSeq).toArray
+    filters.filterNot(f => pushed.contains(f))
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -99,6 +101,7 @@ final class RestScan(options: CaseInsensitiveStringMap, requiredSchema: StructTy
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val typeParam = pushed.collectFirst { case EqualTo("event_type", v: String) => v }
+    val minIdParam = pushed.collectFirst { case GreaterThan("event_id", v: Long) => v }
     RestReaderFactory(
       options.get("url"),
       options.getInt("pageSize", 100),
@@ -106,6 +109,7 @@ final class RestScan(options: CaseInsensitiveStringMap, requiredSchema: StructTy
       Option(options.get("failMode")),
       options.getInt("maxRetries", 4),
       typeParam,
+      minIdParam,
       requiredSchema.fieldNames.toSeq)
   }
 }
@@ -114,7 +118,7 @@ case class RestInputPartition(firstPage: Int, lastPage: Int) extends InputPartit
 
 case class RestReaderFactory(url: String, pageSize: Int, authTokenEnv: Option[String],
     failMode: Option[String], maxRetries: Int, typeParam: Option[String],
-    fields: Seq[String]) extends PartitionReaderFactory {
+    minIdParam: Option[Long], fields: Seq[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[RestInputPartition]
     new RestPartitionReader(p, this)
@@ -132,6 +136,7 @@ final class RestPartitionReader(part: RestInputPartition, cfg: RestReaderFactory
   private def fetchPage(p: Int): Iterator[JsonNode] = {
     val params = Seq(s"page=$p", s"limit=${cfg.pageSize}") ++
       cfg.typeParam.map(t => s"event_type=$t") ++
+      cfg.minIdParam.map(m => s"min_id=$m") ++
       cfg.failMode.map(f => s"fail=$f")
     val sep = if (cfg.url.contains("?")) "&" else "?"
     val target = new java.net.URI(cfg.url + sep + params.mkString("&")).toURL

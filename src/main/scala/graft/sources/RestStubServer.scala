@@ -69,7 +69,10 @@ object RestStubServer {
           val start = page * limit
           val end = math.min(start + limit, totalRows)
           val typeFilter = params.get("event_type")
-          val rows = (start until end).map(recordJson)
+          val minId = params.get("min_id").map(_.toLong)
+          val rows = (start until end)
+            .filter(id => minId.forall(id > _))
+            .map(recordJson)
             .filter(r => typeFilter.forall(t => r.contains(s""""$t"""")))
           send(200, rows.mkString("[", ", ", "]"))
         }

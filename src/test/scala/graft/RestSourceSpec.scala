@@ -48,6 +48,25 @@ class RestSourceSpec extends SparkSuite {
     } finally stub.stop()
   }
 
+  test("incremental extraction: event_id > N is pushed as min_id param") {
+    val stub = RestStubServer.start(totalRows = 200L)
+    try {
+      val df = read(stub.url).filter(col("event_id") > 149L)
+      assert(df.count() === 50)
+      assert(df.agg(min(col("event_id"))).head.getLong(0) === 150L)
+    } finally stub.stop()
+  }
+
+  test("contradictory event_type equalities return empty, not wrong rows") {
+    val stub = RestStubServer.start(totalRows = 100L)
+    try {
+      val df = read(stub.url)
+        .filter(col("event_type") === "click")
+        .filter(col("event_type") === "view")
+      assert(df.count() === 0)
+    } finally stub.stop()
+  }
+
   test("rate limit: 429 then success is retried transparently") {
     val stub = RestStubServer.start(totalRows = 100L)
     try {
