@@ -15,6 +15,13 @@ class RestSourceSpec extends SparkSuite {
     extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
   }
 
+  test("etl_end_to_end: extract->transform->validate->load over the live API") {
+    val out = q("etl_end_to_end").collect()
+    assert(out.map(_.getLong(1)).sum === 1000L, "all stub rows valid & loaded once")
+    assert(out.map(_.getString(0)).toSet ===
+      Set("click", "view", "purchase", "signup", "error"))
+  }
+
   test("paginated read returns every record exactly once") {
     val stub = RestStubServer.start(totalRows = 200L)
     try {
