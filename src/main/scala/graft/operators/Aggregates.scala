@@ -34,6 +34,24 @@ object Aggregates {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // TPC-H-Q3-shaped shipping priority: segment-filtered customer ⋈
+    // date-filtered orders ⋈ shipdate-filtered lineitem → per-order
+    // revenue → top 10. Exercises the multi-join + agg + TakeOrdered
+    // pipeline end to end.
+    "q3_shipping" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1996-06-30").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1996-06-30").cast("timestamp"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
     "agg_count_distinct" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -171,6 +189,17 @@ object Aggregates {
          count(1) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q3_shipping" ->
+      s"""SELECT l_orderkey, o_orderdate,
+         ${decSum6("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1996-06-30 00:00:00'
+           AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "agg_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(1) AS n_events
          FROM events GROUP BY event_type ORDER BY event_type""",
