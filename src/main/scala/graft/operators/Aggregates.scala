@@ -52,6 +52,30 @@ object Aggregates {
         .limit(10)
     }),
 
+    // HAVING-gated aggregation (TPC-H Q18 shape): orders whose total
+    // quantity exceeds a threshold.
+    "agg_having" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_lines"))
+        .filter(col("sum_qty") > 150)
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // correlated scalar subquery (Catalyst decorrelates it into a join):
+    // customers above their own segment's average balance.
+    "sub_scalar" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("sub_customer")
+      s.sql("""
+        SELECT c_custkey, c_mktsegment, round(CAST(c_acctbal AS DOUBLE), 6) AS bal
+        FROM sub_customer o
+        WHERE c_acctbal > (
+          SELECT CAST(sum(CAST(i.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(1)
+          FROM sub_customer i WHERE i.c_mktsegment = o.c_mktsegment)
+        ORDER BY c_custkey
+      """)
+    }),
+
     "agg_count_distinct" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -200,6 +224,17 @@ object Aggregates {
            AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
          GROUP BY l_orderkey, o_orderdate
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "agg_having" ->
+      s"""SELECT l_orderkey, ${decSum6("l_quantity")} AS sum_qty, count(1) AS n_lines
+         FROM lineitem GROUP BY l_orderkey
+         HAVING ${decSum6("l_quantity")} > 150 ORDER BY l_orderkey""",
+    "sub_scalar" ->
+      """SELECT c_custkey, c_mktsegment, round(CAST(c_acctbal AS DOUBLE), 6) AS bal
+         FROM customer o
+         WHERE c_acctbal > (
+           SELECT CAST(sum(CAST(i.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(1)
+           FROM customer i WHERE i.c_mktsegment = o.c_mktsegment)
+         ORDER BY c_custkey""",
     "agg_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(1) AS n_events
          FROM events GROUP BY event_type ORDER BY event_type""",

@@ -95,6 +95,26 @@ object EtlOps {
         .orderBy(col("o_orderkey"))
     }),
 
+    // SCD Type-2 dimension history — the spec's "audits or updates"
+    // (README.md:29) done the warehouse way: a changed attribute closes the
+    // old row's validity window and opens a new current row; unchanged keys
+    // keep one open-ended row. One window over (key, valid_from).
+    "scd2_history" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_custkey")).orderBy(col("valid_from"))
+      val v1 = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+        .withColumn("valid_from", lit("2026-01-01 00:00:00").cast("timestamp"))
+      val v2 = v1.filter(col("c_custkey") % 4 === 0)
+        .withColumn("segment", lit("MOVED"))
+        .withColumn("valid_from", lit("2026-02-01 00:00:00").cast("timestamp"))
+      v1.unionByName(v2)
+        .withColumn("valid_to",
+          coalesce(lead(col("valid_from"), 1).over(w),
+            lit("9999-12-31 00:00:00").cast("timestamp")))
+        .withColumn("is_current", lead(col("valid_from"), 1).over(w).isNull)
+        .orderBy(col("c_custkey"), col("valid_from"))
+    }),
+
     // §2.I multimodal: opaque binary payload columns flow through the
     // relational pipeline with typed metadata.
     "multimodal_cols" -> ((s, dir) => {
@@ -132,6 +152,18 @@ object EtlOps {
            WHERE o_orderkey % 3 = 0)
          QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY _ingested_at DESC) = 1
          ORDER BY o_orderkey""",
+    "scd2_history" ->
+      """SELECT c_custkey, segment, valid_from,
+           coalesce(lead(valid_from, 1) OVER w, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+           lead(valid_from, 1) OVER w IS NULL AS is_current
+         FROM (
+           SELECT c_custkey, c_mktsegment AS segment,
+                  TIMESTAMP '2026-01-01 00:00:00' AS valid_from FROM customer
+           UNION ALL
+           SELECT c_custkey, 'MOVED', TIMESTAMP '2026-02-01 00:00:00' FROM customer
+           WHERE c_custkey % 4 = 0)
+         WINDOW w AS (PARTITION BY c_custkey ORDER BY valid_from)
+         ORDER BY c_custkey, valid_from""",
     "multimodal_cols" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
          decode(encode(text)) = text AS roundtrip_ok,
