@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
-import graft.Tables.{dsum, QFn}
+import graft.Tables.{dsum, t, QFn}
 
 /** §2.H Structured Streaming operators (SURVEY.md): the reference's
   * continuous paginated pull + incremental load loop
@@ -118,6 +118,20 @@ object Streams {
         .orderBy(col("event_id"))
     }),
 
+    // stream-static join: the micro-batch stream enriched against a static
+    // dimension (the connector pattern: incoming feed ⋈ reference data).
+    // The static side is broadcast into every micro-batch.
+    "stream_static_join" -> ((s, dir) => {
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val joined = eventsStream(s, dir)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"), "inner")
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+      runToTable(s, joined, "mem_static_join", "complete")
+        .orderBy(col("c_mktsegment"), col("event_type"))
+    }),
+
     // arbitrary keyed state via mapGroupsWithState: per-user running
     // counter + latest event type, the custom-state surface
     // (KeyValueGroupedDataset) the north star names explicitly. The fold is
@@ -207,6 +221,12 @@ object Streams {
     }))
 
   val oracles: Map[String, String] = Map(
+    "stream_static_join" ->
+      """SELECT c_mktsegment, event_type, count(1) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment, event_type
+         ORDER BY c_mktsegment, event_type""",
     "stream_custom_state" ->
       """SELECT user_id, n_events, last_type FROM (
            SELECT user_id,
