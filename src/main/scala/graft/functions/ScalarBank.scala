@@ -88,18 +88,25 @@ object ScalarBank {
           size(col("embedding")).as("dim"),
           round(expr("aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE))"), 6).as("vsum"),
           size(expr("filter(embedding, x -> x > 0)")).as("n_pos"),
-          expr("transform(slice(embedding, 1, 3), x -> round(CAST(x AS DOUBLE), 6))").as("first3"))
+          // boundary serialization: micro-scaled BIGINTs joined to one
+          // string (double→string rendering differs across engines; the
+          // driver's pandas compare cannot hash array cells)
+          expr("""array_join(transform(slice(embedding, 1, 3),
+                  x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS STRING)), ',')""").as("first3"))
         .orderBy(col("vec_id"))
     }),
 
-    // no-oracle: DuckDB MAP ordering/representation differs; unit-tested.
+    // keys/values are serialized at the boundary (Spark preserves map
+    // insertion order, so 'type,k' is deterministic); the typed map form
+    // is covered in the unit suite. concat_ws skips a null 'k' value
+    // identically in both engines.
     "fn_map" -> ((s, dir) => {
       events(s, dir)
         .withColumn("m", expr("map('type', event_type, 'k', CAST(get_json_object(props, '$.k') AS STRING))"))
         .select(
           col("event_id"),
-          map_keys(col("m")).as("ks"),
-          map_values(col("m")).as("vs"),
+          concat_ws(",", map_keys(col("m"))).as("ks"),
+          concat_ws(",", map_values(col("m"))).as("vs"),
           expr("m['type']").as("type_v"))
         .orderBy(col("event_id"))
     }),
@@ -167,8 +174,13 @@ object ScalarBank {
       """SELECT vec_id, len(embedding) AS dim,
          round(list_aggregate(list_transform(embedding, x -> x::DOUBLE), 'sum'), 6) AS vsum,
          len(list_filter(embedding, x -> x > 0)) AS n_pos,
-         list_transform(embedding[1:3], x -> round(x::DOUBLE, 6)) AS first3
+         array_to_string(list_transform(embedding[1:3], x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)), ',') AS first3
          FROM embeddings ORDER BY vec_id""",
+    "fn_map" ->
+      """SELECT event_id, 'type,k' AS ks,
+         concat_ws(',', event_type, json_extract_string(props, '$.k')) AS vs,
+         event_type AS type_v
+         FROM events ORDER BY event_id""",
     "fn_json" ->
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,

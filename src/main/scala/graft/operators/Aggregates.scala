@@ -142,10 +142,13 @@ object Aggregates {
     }),
 
     "agg_collect" -> ((s, dir) => {
+      // the collected set is serialized at the query boundary (the driver's
+      // pandas compare cannot hash ndarray cells); the typed-array form is
+      // covered in the unit suite.
       events(s, dir)
         .groupBy(col("user_id"))
         .agg(
-          sort_array(collect_set(col("event_type"))).as("types"),
+          concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"),
           count(lit(1)).as("n_events"))
         .orderBy(col("user_id"))
     }),
@@ -256,7 +259,7 @@ object Aggregates {
          count(CASE WHEN l_quantity > 25 THEN 1 END) AS n_bulky, count(1) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_collect" ->
-      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types, count(1) AS n_events
+      """SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types, count(1) AS n_events
          FROM events GROUP BY user_id ORDER BY user_id""",
     "agg_pivot" ->
       s"""SELECT c_mktsegment,

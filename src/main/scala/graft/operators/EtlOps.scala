@@ -108,9 +108,12 @@ object EtlOps {
         .withColumn("segment", lit("MOVED"))
         .withColumn("valid_from", lit("2026-02-01 00:00:00").cast("timestamp"))
       v1.unionByName(v2)
+        // open-row sentinel stays inside pandas' datetime64[ns] range
+        // (max 2262-04-11) so the verify dump round-trips; 9999-12-31
+        // overflows the driver-side compare.
         .withColumn("valid_to",
           coalesce(lead(col("valid_from"), 1).over(w),
-            lit("9999-12-31 00:00:00").cast("timestamp")))
+            lit("2200-01-01 00:00:00").cast("timestamp")))
         .withColumn("is_current", lead(col("valid_from"), 1).over(w).isNull)
         .orderBy(col("c_custkey"), col("valid_from"))
     }),
@@ -154,7 +157,7 @@ object EtlOps {
          ORDER BY o_orderkey""",
     "scd2_history" ->
       """SELECT c_custkey, segment, valid_from,
-           coalesce(lead(valid_from, 1) OVER w, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+           coalesce(lead(valid_from, 1) OVER w, TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
            lead(valid_from, 1) OVER w IS NULL AS is_current
          FROM (
            SELECT c_custkey, c_mktsegment AS segment,

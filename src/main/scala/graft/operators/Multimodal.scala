@@ -42,6 +42,8 @@ object Multimodal {
 
   val queries: Map[String, QFn] = Map(
     // binary payload → per-partition batch "decode" → typed features.
+    // The histogram is serialized at the query boundary (driver's pandas
+    // compare cannot hash array cells); the typed form stays unit-tested.
     "mm_decode_stub" -> ((s, dir) => {
       import s.implicits._
       val media = t(s, dir, "documents")
@@ -49,8 +51,29 @@ object Multimodal {
         .as[MediaIn]
       media.mapPartitions(_.map(fakeDecode))
         .toDF()
+        .withColumn("histo", expr("array_join(transform(histo, x -> CAST(x AS STRING)), ',')"))
         .orderBy(col("doc_id"))
     }))
 
-  val oracles: Map[String, String] = Map.empty
+  // the stub decode is pure integer arithmetic over the payload bytes, so
+  // it is oracle-expressible: the corpus is ASCII (verified at all SFs),
+  // so DuckDB's per-char ord() equals the UTF-8 byte the Scala side folds.
+  val oracles: Map[String, String] = Map(
+    "mm_decode_stub" ->
+      """WITH b AS (
+           SELECT doc_id, strlen(text) AS n_bytes,
+             list_transform(range(1, strlen(text) + 1), i -> CAST(ord(text[i]) AS BIGINT)) AS bytes
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_bytes, bytes,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), bytes),
+                         (acc, v) -> (acc * 131 + v) % 1000000007) AS checksum
+           FROM b)
+         SELECT doc_id, n_bytes,
+           CAST(64 + checksum % 512 AS INTEGER) AS width,
+           CAST(64 + (checksum >> 9) % 512 AS INTEGER) AS height,
+           checksum,
+           array_to_string(list_transform(range(0, 16), k -> len(list_filter(bytes, x -> x % 16 = k))), ',') AS histo
+         FROM c ORDER BY doc_id"""
+  ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
 }

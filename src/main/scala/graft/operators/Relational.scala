@@ -51,7 +51,11 @@ object Relational {
         .select(
           col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
           col("l_shipdate").cast("date").as("ship_d"),
-          col("l_extendedprice").cast("decimal(12,2)").as("price_dec"),
+          // the decimal(12,2) coercion is the operator under test; the
+          // boundary renders it as a rounded double because the driver's
+          // pandas compare sees parquet DECIMAL as Python Decimal objects
+          // while DuckDB dumps float64 — same values, different hash.
+          round(col("l_extendedprice").cast("decimal(12,2)").cast("double"), 2).as("price_dec"),
           col("l_linenumber").cast("bigint").as("ln_big"),
           col("l_linenumber").cast("string").as("ln_str"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
@@ -211,7 +215,7 @@ object Relational {
     "cast_coerce" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
          CAST(l_shipdate AS DATE) AS ship_d,
-         CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+         round(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE), 2) AS price_dec,
          CAST(l_linenumber AS BIGINT) AS ln_big,
          CAST(l_linenumber AS VARCHAR) AS ln_str
          FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""",

@@ -187,9 +187,9 @@ object TextOps {
              (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS token FROM documents)
            GROUP BY doc_id, lang, token),
          profile AS (
-           SELECT lang AS p_lang, token AS p_token, sum(tf) AS lf FROM tok GROUP BY 1, 2),
+           SELECT lang AS p_lang, token AS p_token, CAST(sum(tf) AS BIGINT) AS lf FROM tok GROUP BY 1, 2),
          scores AS (
-           SELECT tok.doc_id, tok.lang, profile.p_lang, sum(tok.tf * profile.lf) AS score
+           SELECT tok.doc_id, tok.lang, profile.p_lang, CAST(sum(tok.tf * profile.lf) AS BIGINT) AS score
            FROM tok JOIN profile ON tok.token = profile.p_token
            GROUP BY 1, 2, 3)
          SELECT doc_id, p_lang AS pred_lang, score, p_lang = lang AS correct FROM scores

@@ -60,14 +60,16 @@ object VectorOps {
 
     // embedding-cosine near-duplicate detection over a bounded window
     // (vec_id < 256 both sides): pairs above threshold. The unbounded
-    // equivalent is vec_lsh_ann's bucket join.
+    // equivalent is vec_lsh_ann's bucket join. Threshold 0.3 yields a
+    // non-empty pair set at sf0.01 (max pairwise sim there is ~0.44), so
+    // the oracle compares real rows rather than an empty result.
     "dedup_embed_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").filter(col("vec_id") < 256)
       val b = emb.select(col("vec_id").as("vid2"), col("embedding").as("qv"))
       emb.crossJoin(broadcast(b))
         .filter(col("vec_id") < col("vid2"))
         .withColumn("sim", round(cosine_sim(col("embedding"), col("qv")), 6))
-        .filter(col("sim") >= 0.5)
+        .filter(col("sim") >= 0.3)
         .select(col("vec_id").as("v1"), col("vid2").as("v2"), col("sim"))
         .orderBy(col("v1"), col("v2"))
     }),
@@ -168,7 +170,7 @@ object VectorOps {
       s"""SELECT e.vec_id AS v1, q.vid2 AS v2, round($sqlCosDuck, 6) AS sim
          FROM (SELECT * FROM embeddings WHERE vec_id < 256) e,
               (SELECT vec_id AS vid2, embedding AS qv FROM embeddings WHERE vec_id < 256) q
-         WHERE e.vec_id < q.vid2 AND round($sqlCosDuck, 6) >= 0.5
+         WHERE e.vec_id < q.vid2 AND round($sqlCosDuck, 6) >= 0.3
          ORDER BY v1, v2""",
     "expr_custom" ->
       s"""SELECT e.vec_id, round($sqlCosDuck, 6) AS sim

@@ -191,8 +191,8 @@ object Windows {
          min(us) AS start_us, max(us) AS end_us
          FROM (
            SELECT user_id, event_id, us,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
            FROM (
              SELECT user_id, event_id, epoch_us(ts) AS us,
                CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
