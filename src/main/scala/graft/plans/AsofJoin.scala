@@ -150,9 +150,18 @@ object AsofJoinApi {
     val rp = Bridge.analyzed(right)
     def attr(p: LogicalPlan, n: String) = p.output.find(_.name == n)
       .getOrElse(throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
-    Bridge.ofRows(spark, AsofJoin(lp, rp,
-      attr(lp, leftKey), attr(rp, rightKey),
-      attr(lp, leftTs), attr(rp, rightTs), attr(rp, rightTie)))
+    val (lk, rk) = (attr(lp, leftKey), attr(rp, rightKey))
+    val (lt, rt) = (attr(lp, leftTs), attr(rp, rightTs))
+    // fail at plan time, not with a ClassCastException inside the executor
+    // orderings: the interpreted comparators assume both sides share a type
+    def sameType(what: String, a: Attribute, b: Attribute): Unit =
+      if (a.dataType != b.dataType)
+        throw new IllegalArgumentException(
+          s"asofJoin $what types must match: ${a.name} is ${a.dataType.sql}, " +
+            s"${b.name} is ${b.dataType.sql} — cast one side first")
+    sameType("key", lk, rk)
+    sameType("timestamp", lt, rt)
+    Bridge.ofRows(spark, AsofJoin(lp, rp, lk, rk, lt, rt, attr(rp, rightTie)))
   }
 }
 

@@ -5,6 +5,7 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -20,65 +21,166 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Scale design: one InputPartition per page range → page fetches fan out
   * across executors; `SupportsPushDownRequiredColumns` prunes the parsed
-  * JSON to the needed fields; `SupportsPushDownFilters` translates
-  * `event_type = 'x'` into an API query parameter (README.md:13's query
-  * params), so filtering happens server-side. Retry with exponential
-  * backoff on 429/5xx; credentials come from an env var named in options
-  * (never inline — README.md:17-18).
+  * JSON to the needed fields; `SupportsPushDownFilters` forwards
+  * `event_type = 'x'` / `event_id > n` as API query parameters
+  * (README.md:13's query params) but RETURNS every filter to Spark — the
+  * params are best-effort hints and Spark re-evaluates post-scan, so a
+  * server that applies them loosely (or not at all) can only cost I/O,
+  * never correctness. Retry with exponential backoff on 429/5xx honoring
+  * `Retry-After`, plus optional proactive pacing via `requestsPerSecond`
+  * (token-bucket per partition reader; the effective global rate is
+  * rps × concurrent partitions, so size it for your parallelism).
+  * Credentials come from an env var named in options (never inline —
+  * README.md:17-18).
+  *
+  * Schema resolution (README.md:13 "document its response structure" — the
+  * endpoint's JSON is arbitrary, possibly nested):
+  *   1. `schema` option (DDL string, e.g. "id BIGINT, meta STRUCT<k: STRING>"),
+  *      or an explicit `.schema(...)` on the reader;
+  *   2. `inferSchema=true` → sample the first page and infer field types
+  *      recursively (objects → STRUCT, arrays → ARRAY, integral → BIGINT,
+  *      numeric → DOUBLE, bool, else STRING);
+  *   3. neither → the events-shaped default (back-compat with the stub).
   *
   * Usage:
   * {{{
   *   spark.read.format("graft.sources.rest")
   *     .option("url", "http://host/records")
   *     .option("pages", "20").option("pageSize", "50")
-  *     .option("authTokenEnv", "API_TOKEN")      // optional
+  *     .option("inferSchema", "true")             // or .option("schema", ddl)
+  *     .option("authTokenEnv", "API_TOKEN")       // optional
+  *     .option("requestsPerSecond", "10")         // optional pacing
   *     .load()
   * }}}
   */
 class RestSource extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = RestSource.schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Option(options.get("schema")).map(StructType.fromDDL).getOrElse {
+      if (options.getBoolean("inferSchema", false)) RestSource.sampleSchema(options)
+      else RestSource.defaultSchema
+    }
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new RestTable(new CaseInsensitiveStringMap(properties))
+    new RestTable(schema, new CaseInsensitiveStringMap(properties))
 }
 
 object RestSource {
-  val schema: StructType = StructType(Seq(
+  /** Back-compat default for endpoints shaped like the events table. */
+  val defaultSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType)))
+
+  private val mapper = new ObjectMapper()
+
+  /** First-page sampling inference: fetch page 0 once and merge the field
+    * types observed across its records. Driver-side, one request. */
+  def sampleSchema(options: CaseInsensitiveStringMap): StructType = {
+    val url = options.get("url")
+    val limit = options.getInt("sampleSize", options.getInt("pageSize", 100))
+    val sep = if (url.contains("?")) "&" else "?"
+    val target = new java.net.URI(s"$url${sep}page=0&limit=$limit").toURL
+    val conn = target.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(5000); conn.setReadTimeout(15000)
+    Option(options.get("authTokenEnv")).flatMap(e => sys.env.get(e)).foreach { tok =>
+      conn.setRequestProperty("Authorization", s"Bearer $tok")
+    }
+    try {
+      if (conn.getResponseCode != 200)
+        throw new java.io.IOException(
+          s"rest_source: schema sampling got HTTP ${conn.getResponseCode} from $url")
+      val node = mapper.readTree(conn.getInputStream.readAllBytes())
+      if (!node.isArray || !node.elements().hasNext)
+        throw new java.io.IOException(
+          s"rest_source: schema sampling needs a non-empty JSON array page, got: $node")
+      node.elements().asScala.map(inferType).reduce(mergeType) match {
+        case st: StructType => st
+        case other => throw new java.io.IOException(
+          s"rest_source: records must be JSON objects, inferred $other")
+      }
+    } finally conn.disconnect()
+  }
+
+  private[sources] def inferType(n: JsonNode): DataType =
+    if (n == null || n.isNull) StringType
+    else if (n.isBoolean) BooleanType
+    else if (n.isIntegralNumber) LongType
+    else if (n.isNumber) DoubleType
+    else if (n.isObject) StructType(
+      n.properties().asScala.toSeq.map(e => StructField(e.getKey, inferType(e.getValue))))
+    else if (n.isArray) {
+      val elems = n.elements().asScala.toSeq
+      ArrayType(if (elems.isEmpty) StringType else elems.map(inferType).reduce(mergeType))
+    } else StringType
+
+  private[sources] def mergeType(a: DataType, b: DataType): DataType = (a, b) match {
+    case (x, y) if x == y => x
+    case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+    case (x: StructType, y: StructType) =>
+      val byName = y.fields.map(f => f.name -> f.dataType).toMap
+      val merged = x.fields.map(f =>
+        StructField(f.name, byName.get(f.name).map(mergeType(f.dataType, _)).getOrElse(f.dataType)))
+      val extra = y.fields.filterNot(f => x.fieldNames.contains(f.name))
+      StructType(merged ++ extra)
+    case (ArrayType(x, _), ArrayType(y, _)) => ArrayType(mergeType(x, y))
+    case _ => StringType // incompatible observations degrade to string
+  }
+
+  /** JSON node → Catalyst value for the requested type (recursive:
+    * nested structs and arrays included). Missing/null fields → null. */
+  private[sources] def toCatalyst(n: JsonNode, dt: DataType): Any =
+    if (n == null || n.isNull) null
+    else dt match {
+      case LongType => java.lang.Long.valueOf(n.asLong())
+      case IntegerType => java.lang.Integer.valueOf(n.asInt())
+      case DoubleType => java.lang.Double.valueOf(n.asDouble())
+      case BooleanType => java.lang.Boolean.valueOf(n.asBoolean())
+      case StringType => UTF8String.fromString(if (n.isTextual) n.asText() else n.toString)
+      case st: StructType =>
+        InternalRow.fromSeq(st.fields.toSeq.map(f => toCatalyst(n.get(f.name), f.dataType)))
+      case ArrayType(et, _) =>
+        new GenericArrayData(n.elements().asScala.map(toCatalyst(_, et)).toArray)
+      case other =>
+        throw new UnsupportedOperationException(s"rest_source: unsupported type $other")
+    }
 }
 
-final class RestTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+final class RestTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
   override def name(): String = s"rest(${options.get("url")})"
-  override def schema(): StructType = RestSource.schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
-    new RestScanBuilder(options)
+    new RestScanBuilder(tableSchema, options)
 }
 
-final class RestScanBuilder(options: CaseInsensitiveStringMap)
+final class RestScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
-  private var requiredSchema: StructType = RestSource.schema
+  private var requiredSchema: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // ONE event_type equality and ONE event_id lower bound become
     // server-side query params (the incremental-extraction pattern:
-    // `event_id > last_seen` → &min_id=); everything else — including
-    // additional equalities — stays with Spark post-scan so conjunctions
-    // like a='x' AND a='y' still evaluate correctly to empty.
+    // `event_id > last_seen` → &min_id=). ALL filters are returned to
+    // Spark for post-scan re-evaluation — the standard DSv2 posture for a
+    // source that cannot guarantee the server applies a predicate exactly
+    // (a real API's min_id may mean >=; a proxy may ignore the param).
     val eq = filters.collectFirst { case f @ EqualTo("event_type", _: String) => f }
     val gt = filters.collectFirst { case f @ GreaterThan("event_id", _: Long) => f }
     pushed = (eq.toSeq ++ gt.toSeq).toArray
-    filters.filterNot(f => pushed.contains(f))
+    filters
   }
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(s: StructType): Unit = {
-    requiredSchema = StructType(s.fields.filter(f => RestSource.schema.fieldNames.contains(f.name)))
+    // top-level pruning against the resolved table schema (nested pruning
+    // would be a further refinement; unneeded fields inside a kept struct
+    // cost only parse time, not network)
+    requiredSchema = StructType(s.fields.filter(f => tableSchema.fieldNames.contains(f.name)))
   }
 
   override def build(): Scan = new RestScan(options, requiredSchema, pushed)
@@ -110,7 +212,8 @@ final class RestScan(options: CaseInsensitiveStringMap, requiredSchema: StructTy
       options.getInt("maxRetries", 4),
       typeParam,
       minIdParam,
-      requiredSchema.fieldNames.toSeq)
+      requiredSchema,
+      options.getDouble("requestsPerSecond", 0.0))
   }
 }
 
@@ -118,7 +221,8 @@ case class RestInputPartition(firstPage: Int, lastPage: Int) extends InputPartit
 
 case class RestReaderFactory(url: String, pageSize: Int, authTokenEnv: Option[String],
     failMode: Option[String], maxRetries: Int, typeParam: Option[String],
-    minIdParam: Option[Long], fields: Seq[String]) extends PartitionReaderFactory {
+    minIdParam: Option[Long], requiredSchema: StructType,
+    requestsPerSecond: Double) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[RestInputPartition]
     new RestPartitionReader(p, this)
@@ -133,6 +237,18 @@ final class RestPartitionReader(part: RestInputPartition, cfg: RestReaderFactory
   private var rows: Iterator[JsonNode] = Iterator.empty
   private var current: JsonNode = _
 
+  // token-bucket pacing (proactive rate limiting, README.md:13): at most
+  // `requestsPerSecond` HTTP requests from this partition reader. 0 = off.
+  private val minIntervalNs: Long =
+    if (cfg.requestsPerSecond > 0) (1e9 / cfg.requestsPerSecond).toLong else 0L
+  private var lastRequestNs: Long = 0L
+
+  private def pace(): Unit = if (minIntervalNs > 0) {
+    val waitNs = lastRequestNs + minIntervalNs - System.nanoTime()
+    if (waitNs > 0) Thread.sleep(waitNs / 1000000, (waitNs % 1000000).toInt)
+    lastRequestNs = System.nanoTime()
+  }
+
   private def fetchPage(p: Int): Iterator[JsonNode] = {
     val params = Seq(s"page=$p", s"limit=${cfg.pageSize}") ++
       cfg.typeParam.map(t => s"event_type=$t") ++
@@ -142,6 +258,7 @@ final class RestPartitionReader(part: RestInputPartition, cfg: RestReaderFactory
     val target = new java.net.URI(cfg.url + sep + params.mkString("&")).toURL
     var attempt = 0
     while (true) {
+      pace()
       val conn = target.openConnection().asInstanceOf[java.net.HttpURLConnection]
       conn.setConnectTimeout(5000); conn.setReadTimeout(15000)
       cfg.authTokenEnv.flatMap(e => sys.env.get(e)).foreach { tok =>
@@ -158,8 +275,13 @@ final class RestPartitionReader(part: RestInputPartition, cfg: RestReaderFactory
         } else if ((code == 429 || code >= 500) && attempt < cfg.maxRetries) {
           attempt += 1
           val backoffMs = 50L << attempt // exponential backoff per README.md:33
-          logWarning(s"rest_source: HTTP $code on page $p, retry $attempt after ${backoffMs}ms")
-          Thread.sleep(backoffMs)
+          // a server-issued Retry-After (seconds) overrides a shorter backoff
+          val retryAfterMs = Option(conn.getHeaderField("Retry-After"))
+            .flatMap(_.trim.toLongOption).map(_ * 1000L).getOrElse(0L)
+          val sleepMs = math.max(backoffMs, retryAfterMs)
+          logWarning(s"rest_source: HTTP $code on page $p, retry $attempt after ${sleepMs}ms" +
+            (if (retryAfterMs > 0) " (Retry-After honored)" else ""))
+          Thread.sleep(sleepMs)
         } else {
           throw new java.io.IOException(s"rest_source: HTTP $code on page $p after $attempt retries")
         }
@@ -176,14 +298,8 @@ final class RestPartitionReader(part: RestInputPartition, cfg: RestReaderFactory
     if (rows.hasNext) { current = rows.next(); true } else false
   }
 
-  override def get(): InternalRow = {
-    val values = cfg.fields.map {
-      case "event_id" => java.lang.Long.valueOf(current.get("event_id").asLong())
-      case "event_type" => UTF8String.fromString(current.get("event_type").asText())
-      case "value" => java.lang.Double.valueOf(current.get("value").asDouble())
-    }
-    InternalRow.fromSeq(values)
-  }
+  override def get(): InternalRow =
+    RestSource.toCatalyst(current, cfg.requiredSchema).asInstanceOf[InternalRow]
 
   override def close(): Unit = ()
 }

@@ -12,7 +12,10 @@ import java.util.concurrent.ConcurrentHashMap
   * limit, connectivity):
   *
   *   GET /records?page=N&limit=M[&event_type=T]   → JSON array of records
+  *   &shape=nested   → records with a nested object + array field
+  *                     (schema-inference fixture)
   *   &fail=429once   → first hit of each page returns HTTP 429, retry wins
+  *   &fail=429retryafter → same, plus a `Retry-After: 1` header
   *   &fail=500once   → same with HTTP 500
   *   &fail=malformed → page 1 body is truncated JSON
   *   &fail=empty     → page 1 is []
@@ -32,6 +35,12 @@ object RestStubServer {
   def expectedType(id: Long): String = types(((id * 2654435761L) % 5).toInt)
   def expectedValue(id: Long): Double = ((id * 1315423911L) % 10000L) / 100.0
 
+  /** nested record shape for schema-inference tests. */
+  def nestedRecordJson(id: Long): String =
+    s"""{"event_id": $id,
+        |"meta": {"kind": "${expectedType(id)}", "score": ${expectedValue(id)}},
+        |"tags": ["t0", "t${id % 3}"]}""".stripMargin.replaceAll("\n", " ")
+
   final class Handle(val server: HttpServer, val port: Int) {
     def url: String = s"http://127.0.0.1:$port/records"
     def stop(): Unit = server.stop(0)
@@ -40,7 +49,7 @@ object RestStubServer {
   /** total pages served; beyond that → []. */
   def start(totalRows: Long = 1000L): Handle = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    val failedOnce = new ConcurrentHashMap[String, Boolean]()
+    val failedOnce = new ConcurrentHashMap[String, java.lang.Boolean]()
     server.createContext("/records", new HttpHandler {
       override def handle(x: HttpExchange): Unit = {
         val q = Option(x.getRequestURI.getQuery).getOrElse("")
@@ -58,9 +67,10 @@ object RestStubServer {
         }
         if (params.contains("requireAuth") && auth != s"Bearer ${params("requireAuth")}") {
           send(401, """{"error": "unauthorized"}""")
-        } else if ((fail == "429once" || fail == "500once") &&
-            failedOnce.putIfAbsent(s"$fail-$page", true) == null) {
-          send(if (fail == "429once") 429 else 500, """{"error": "try later"}""")
+        } else if ((fail == "429once" || fail == "429retryafter" || fail == "500once") &&
+            (failedOnce.putIfAbsent(s"$fail-$page", java.lang.Boolean.TRUE) eq null)) {
+          if (fail == "429retryafter") x.getResponseHeaders.set("Retry-After", "1")
+          send(if (fail == "500once") 500 else 429, """{"error": "try later"}""")
         } else if (fail == "malformed" && page == 1) {
           send(200, """[{"event_id": 1, "event_ty""")
         } else if (fail == "empty" && page == 1) {
@@ -70,10 +80,15 @@ object RestStubServer {
           val end = math.min(start + limit, totalRows)
           val typeFilter = params.get("event_type")
           val minId = params.get("min_id").map(_.toLong)
+          val nested = params.get("shape").contains("nested")
+          // filters apply to the record's actual fields (id/type), never
+          // to its serialized text — a substring match over JSON would be
+          // the kind of server-side inexactness the connector guards
+          // against by re-evaluating filters in Spark
           val rows = (start until end)
             .filter(id => minId.forall(id > _))
-            .map(recordJson)
-            .filter(r => typeFilter.forall(t => r.contains(s""""$t"""")))
+            .filter(id => typeFilter.forall(_ == expectedType(id)))
+            .map(id => if (nested) nestedRecordJson(id) else recordJson(id))
           send(200, rows.mkString("[", ", ", "]"))
         }
       }

@@ -176,6 +176,18 @@ class OperatorSpec extends SparkSuite {
                   * sqrt(aggregate(qv, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""").as("b"))
     assert(both.filter(col("a") =!= col("b")).count() === 0)
   }
+
+  test("cosine_sim: mismatched dimensions yield null, not a prefix value") {
+    import spark.implicits._
+    import graft.functions.CosineSim.cosine_sim
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)), // dim mismatch → null
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)))       // well-formed → 1.0
+      .toDF("a", "b")
+    val r = df.select(cosine_sim(col("a"), col("b")).as("s")).collect()
+    assert(r.count(_.isNullAt(0)) === 1)
+    assert(r.exists(x => !x.isNullAt(0) && math.abs(x.getDouble(0) - 1.0) < 1e-12))
+  }
 }
 
 /** Property tests (SURVEY.md §5.2.5): algebraic invariants on tiny

@@ -115,6 +115,78 @@ class RestSourceSpec extends SparkSuite {
     assert(e != null)
   }
 
+  test("user-supplied schema option (DDL) narrows the table schema") {
+    val stub = RestStubServer.start(totalRows = 100L)
+    try {
+      val df = read(stub.url, "schema" -> "event_id BIGINT, value DOUBLE")
+      assert(df.schema.fieldNames.toSeq === Seq("event_id", "value"))
+      val row = df.filter(col("event_id") === 7).head
+      assert(row.getDouble(1) === RestStubServer.expectedValue(7))
+    } finally stub.stop()
+  }
+
+  test("inferSchema samples the first page and handles nested objects/arrays") {
+    val stub = RestStubServer.start(totalRows = 100L)
+    try {
+      val df = spark.read.format("graft.sources.RestSource")
+        .option("url", stub.url + "?shape=nested")
+        .option("pages", "5").option("pageSize", "20")
+        .option("inferSchema", "true")
+        .load()
+      import org.apache.spark.sql.types._
+      val meta = df.schema("meta").dataType.asInstanceOf[StructType]
+      assert(meta("kind").dataType === StringType)
+      assert(meta("score").dataType === DoubleType)
+      assert(df.schema("tags").dataType === ArrayType(StringType))
+      assert(df.count() === 100)
+      val row = df.filter(col("event_id") === 7)
+        .select(col("meta.kind"), col("tags")).head
+      assert(row.getString(0) === RestStubServer.expectedType(7))
+      assert(row.getSeq[String](1) === Seq("t0", s"t${7 % 3}"))
+    } finally stub.stop()
+  }
+
+  test("pushed filters are re-evaluated by Spark (hints, not trusted)") {
+    val stub = RestStubServer.start(totalRows = 200L)
+    try {
+      val df = read(stub.url).filter(col("event_type") === "click")
+      // the equality is pushed as a query param AND kept in a post-scan
+      // Filter so a loosely-filtering server cannot corrupt results
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Filter"), plan)
+      val expected = (0L until 200L).count(RestStubServer.expectedType(_) == "click")
+      assert(df.count() === expected)
+    } finally stub.stop()
+  }
+
+  test("Retry-After header is honored on 429 (waits at least the told delay)") {
+    val stub = RestStubServer.start(totalRows = 20L)
+    try {
+      val t0 = System.nanoTime()
+      val df = spark.read.format("graft.sources.RestSource")
+        .option("url", stub.url).option("pages", "1").option("pageSize", "20")
+        .option("failMode", "429retryafter").load()
+      assert(df.count() === 20)
+      val elapsedMs = (System.nanoTime() - t0) / 1000000
+      assert(elapsedMs >= 900, s"should have slept ~1s per Retry-After, took ${elapsedMs}ms")
+    } finally stub.stop()
+  }
+
+  test("requestsPerSecond paces requests (token bucket per reader)") {
+    val stub = RestStubServer.start(totalRows = 100L)
+    try {
+      val t0 = System.nanoTime()
+      val df = spark.read.format("graft.sources.RestSource")
+        .option("url", stub.url).option("pages", "5").option("pageSize", "20")
+        .option("pagesPerPartition", "5") // one reader → sequential paced requests
+        .option("requestsPerSecond", "10").load()
+      assert(df.count() === 100)
+      val elapsedMs = (System.nanoTime() - t0) / 1000000
+      // 5 requests at 10 rps → ≥ 400ms of enforced spacing after the first
+      assert(elapsedMs >= 350, s"pacing should enforce ~400ms, took ${elapsedMs}ms")
+    } finally stub.stop()
+  }
+
   test("auth token from env-named option is sent (401 without)") {
     val stub = RestStubServer.start(totalRows = 100L)
     try {

@@ -91,6 +91,71 @@ class StreamingSpec extends SparkSuite {
       graft.Tables.events(spark, sf).select("event_id").distinct().count())
   }
 
+  test("checkpoint recovery: restart resumes committed offsets exactly once") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_ckpt")
+    val srcDir = root.resolve("src"); Files.createDirectories(srcDir)
+    val ckpt = root.resolve("ckpt").toString
+    val outDir = root.resolve("out").toString
+    def stage(name: String, vals: Seq[Long]): Unit = {
+      val tmp = root.resolve(s"stage_$name")
+      vals.toDF("v").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part = try listing.filter(_.toString.endsWith(".parquet")).findFirst().get
+        finally listing.close()
+      Files.move(part, srcDir.resolve(name))
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema("v LONG").parquet(srcDir.toString)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    stage("f1.parquet", Seq(1L, 2L, 3L))
+    runOnce() // first incarnation commits f1's offset to the checkpoint
+    stage("f2.parquet", Seq(4L, 5L))
+    runOnce() // RESTART from the same checkpoint: must process ONLY f2
+    val out = spark.read.parquet(outDir).as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L, 2L, 3L, 4L, 5L),
+      s"exactly-once across restart, got ${out.toSeq}")
+  }
+
+  test("upsertBatch rewrites only touched partitions; others byte-identical") {
+    import java.nio.file.{Files, Path}
+    import spark.implicits._
+    val tgt = Files.createTempDirectory("graft_upsert").resolve("tgt")
+    def listDir(d: Path, pred: Path => Boolean): Seq[Path] = {
+      val l = Files.list(d)
+      try l.filter(p => pred(p)).toArray(new Array[Path](_)).toSeq.sortBy(_.toString)
+      finally l.close()
+    }
+    def snapshot(): Map[String, Seq[(String, String)]] =
+      listDir(tgt, _.getFileName.toString.startsWith("_pk=")).map { d =>
+        d.getFileName.toString -> listDir(d, _.toString.endsWith(".parquet")).map { f =>
+          f.getFileName.toString -> java.util.HexFormat.of().formatHex(
+            java.security.MessageDigest.getInstance("MD5").digest(Files.readAllBytes(f)))
+        }
+      }.toMap
+    val cols = Seq("event_id", "user_id", "event_type", "value")
+    val b1 = (0L until 64L).map(i => (i, i, "view", 1.0)).toDF(cols: _*)
+    graft.streaming.Streams.upsertBatch(b1, tgt, 0L)
+    val before = snapshot()
+    assert(before.size === graft.streaming.Streams.PK_BUCKETS)
+    // keys 3 and 19 both hash to bucket 3 — exactly one partition touched
+    val b2 = Seq((3L, 3L, "view", 9.0), (19L, 19L, "click", 9.0)).toDF(cols: _*)
+    graft.streaming.Streams.upsertBatch(b2, tgt, 1L)
+    val after = snapshot()
+    before.keys.filter(_ != "_pk=3").foreach { k =>
+      assert(after(k) === before(k), s"partition $k must be byte-identical")
+    }
+    assert(after("_pk=3") !== before("_pk=3"), "touched partition must be rewritten")
+    val byId = spark.read.parquet(tgt.toString)
+      .select(col("event_id"), col("value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byId.size === 64 && byId(3L) === 9.0 && byId(19L) === 9.0 && byId(4L) === 1.0)
+  }
+
   test("stream_upsert_sink: corrected batch overwrites, others untouched") {
     val out = q("stream_upsert_sink").cache()
     val raw = graft.Tables.events(spark, sf)
