@@ -134,6 +134,40 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // PII scrubbing (training-data hygiene): redact emails and phone-like
+    // digit runs. Deterministic synthetic PII is appended per doc so the
+    // scrubber provably fires at every row; a real pipeline applies the
+    // same regexes to raw text. Per-row regex inside codegen — no shuffle.
+    "text_pii_scrub" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("dirty", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1-555-01"),
+          lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0")))
+        .select(
+          col("doc_id"),
+          size(expr("regexp_extract_all(dirty, '[a-z0-9._]+@[a-z0-9.-]+', 0)")).as("n_emails"),
+          sha2(regexp_replace(
+            regexp_replace(col("dirty"), "[a-z0-9._]+@[a-z0-9.-]+", "<EMAIL>"),
+            "\\+?[0-9][0-9()\\-]{6,}", "<PHONE>"), 256).as("scrub_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic, shuffle-free train/val/test assignment: a
+    // multiplicative hash of the key → stable 80/10/10 split, reproducible
+    // across runs, engines and cluster sizes (no RNG state; the assignment
+    // is a per-row expression, so at 100 TB it costs one scan + one agg).
+    "sample_split" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("bucket", pmod(col("doc_id") * lit(2654435761L), lit(100)))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), dsum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"), col("split"))
+    }),
+
     // unigram-set Jaccard near-dup scan over a bounded probe window
     // (doc_id < 256 both sides keeps the candidate pair set constant-size
     // regardless of corpus scale; the unbounded path is MinHash/LSH).
@@ -209,6 +243,26 @@ object TextOps {
       """SELECT doc_id, len(regexp_extract_all(text, '[a-z0-9]+')) AS n_pieces,
          len(list_distinct(regexp_extract_all(text, '[a-z0-9]+'))) AS n_uniq
          FROM documents ORDER BY doc_id""",
+    "text_pii_scrub" ->
+      """SELECT doc_id,
+         len(regexp_extract_all(dirty, '[a-z0-9._]+@[a-z0-9.-]+')) AS n_emails,
+         sha256(regexp_replace(
+           regexp_replace(dirty, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+           '\+?[0-9][0-9()\-]{6,}', '<PHONE>', 'g')) AS scrub_hash
+         FROM (SELECT doc_id,
+                 text || ' contact user' || doc_id || '@example.com or +1-555-01'
+                      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS dirty
+               FROM documents)
+         ORDER BY doc_id""",
+    "sample_split" ->
+      """SELECT lang, split, count(1) AS n_docs,
+         round(CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE), 6) AS chars
+         FROM (SELECT lang, n_chars,
+                 CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                      WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split
+               FROM documents)
+         GROUP BY lang, split ORDER BY lang, split""",
     "dedup_ngram_jaccard" ->
       """WITH toks AS (
            SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS token

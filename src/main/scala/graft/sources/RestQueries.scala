@@ -5,9 +5,11 @@ import graft.Tables._
 
 /** Registers the rest_source connector as a runnable query: spins up the
   * in-JVM stub API (deterministic data, independent of sfDir) and reads it
-  * through the DSv2 path. No DuckDB oracle (the API is not a parquet
-  * table); the unit suite covers pushdown, auth, pagination and the four
-  * failure classes. */
+  * through the DSv2 path. The stub feed is a deterministic closed form
+  * (RestStubServer.recordJson), so the DuckDB oracle reconstructs the same
+  * 1000 records from `range(0, 1000)` — the driver hash-checks the whole
+  * extract→aggregate path, not just rows>0. The unit suite covers
+  * pushdown, auth, pagination, pacing and the four failure classes. */
 object RestQueries {
   private lazy val stub = RestStubServer.start(totalRows = 1000L)
 
@@ -52,5 +54,24 @@ object RestQueries {
       .orderBy(col("event_type"))
   }
 
-  val oracles: Map[String, String] = Map.empty
+  // closed form of RestStubServer.recordJson over ids 0..999 (20 pages ×
+  // 50): type = types[(id·2654435761) mod 5], value = ((id·1315423911)
+  // mod 10000) / 100 — pure BIGINT arithmetic, identical in both engines.
+  private val stubRows =
+    """(SELECT ['click','view','purchase','signup','error'][CAST((i * 2654435761) % 5 AS INTEGER) + 1] AS event_type,
+        ((i * 1315423911) % 10000) / 100.0 AS value
+        FROM range(0, 1000) t(i))"""
+
+  val oracles: Map[String, String] = Map(
+    "rest_source" ->
+      s"""SELECT event_type, count(1) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
+         FROM $stubRows GROUP BY event_type ORDER BY event_type""",
+    // every stub record is valid and each event_id arrives once, so the
+    // pipeline's load stage passes all 1000 rows through
+    "etl_end_to_end" ->
+      s"""SELECT event_type, count(1) AS n_loaded,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
+         FROM $stubRows GROUP BY event_type ORDER BY event_type"""
+  ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
 }
