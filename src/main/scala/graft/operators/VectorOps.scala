@@ -87,8 +87,10 @@ object VectorOps {
         .limit(20)
     }),
 
-    // no-oracle: random-hyperplane LSH. 8 deterministic planes → 8 sign
-    // bits → bucket id; candidates share the probe's bucket.
+    // random-hyperplane LSH. 8 deterministic planes → 8 sign bits →
+    // bucket id; candidates share the probe's bucket. The plane
+    // coefficients are a pure integer formula, so the DuckDB oracle
+    // recomputes the identical buckets and checks the whole ANN path.
     "vec_lsh_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       // deterministic pseudo-random hyperplanes (fixed mixed-congruential
@@ -176,6 +178,30 @@ object VectorOps {
       s"""SELECT e.vec_id, round($sqlCosDuck, 6) AS sim
          FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
          WHERE e.vec_id <> 0
-         ORDER BY sim DESC, e.vec_id LIMIT 20"""
+         ORDER BY sim DESC, e.vec_id LIMIT 20""",
+    // same plane formula as the Scala side: plane(j,i) =
+    // (((j·1315423911 + i·2654435761) mod 2001 + 2001) mod 2001 − 1000)/1000
+    // — sequential left-fold dot products match Spark's aggregate() bit
+    // for bit (same IEEE ops in the same order, as with the cosine HOF).
+    "vec_lsh_ann" ->
+      s"""WITH b AS (
+           SELECT vec_id, embedding,
+             CAST(sum(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS INTEGER) AS bucket
+           FROM (
+             SELECT e0.vec_id, e0.embedding, p.j,
+               list_aggregate(list_transform(range(1, 65), i ->
+                 e0.embedding[i]::DOUBLE *
+                 ((((p.j * 1315423911 + (i - 1) * 2654435761) % 2001 + 2001) % 2001 - 1000) / 1000.0)),
+                 'sum') AS d
+             FROM embeddings e0 CROSS JOIN range(0, 8) p(j))
+           GROUP BY vec_id, embedding)
+         SELECT probe_id, vec_id AS neighbor_id, sim, rn FROM (
+           SELECT q.probe_id, e.vec_id, round($sqlCosDuck, 6) AS sim,
+             row_number() OVER (PARTITION BY q.probe_id
+               ORDER BY round($sqlCosDuck, 6) DESC, e.vec_id) AS rn
+           FROM b e JOIN (SELECT vec_id AS probe_id, embedding AS qv, bucket
+                          FROM b WHERE vec_id < 8) q
+             ON e.bucket = q.bucket AND e.vec_id <> q.probe_id)
+         WHERE rn <= 3 ORDER BY probe_id, rn"""
   ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
 }

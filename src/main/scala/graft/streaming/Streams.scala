@@ -264,7 +264,58 @@ object Streams {
         .orderBy(col("event_id"))
     }))
 
+  // the streams replay a bounded file source to completion, so their
+  // results are deterministic relational functions of `events` — each gets
+  // a direct DuckDB oracle (the win_*_batch twins pin the same shapes).
+  private val sessionized =
+    """(SELECT user_id, us,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       FROM (
+         SELECT user_id, event_id, epoch_us(ts) AS us,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+                  OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+                THEN 1
+                WHEN lag(epoch_us(ts), 1)
+                  OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_sess
+         FROM events))"""
+
   val oracles: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT (epoch_us(ts) // 300000000) * 300 AS w_start_s, event_type,
+         count(1) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
+         FROM events GROUP BY 1, 2 ORDER BY w_start_s, event_type""",
+    "stream_sliding" ->
+      """SELECT ((epoch_us(ts) // 300000000) - i) * 300 AS w_start_s, event_type,
+         count(1) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
+         FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i)
+         GROUP BY 1, 2 ORDER BY w_start_s, event_type""",
+    // session_window.end = last event ts + the 30-minute gap
+    "stream_session" ->
+      s"""SELECT user_id,
+         min(us) // 1000000 AS sess_start_s,
+         (max(us) + 1800000000) // 1000000 AS sess_end_s,
+         count(1) AS n_events
+         FROM $sessionized
+         GROUP BY user_id, sid ORDER BY user_id, sess_start_s""",
+    // single-file replay → one micro-batch → nothing is late: the update
+    // stream materializes exactly the complete tumbling counts
+    "stream_watermark" ->
+      """SELECT (epoch_us(ts) // 300000000) * 300 AS w_start_s, event_type,
+         count(1) AS n
+         FROM events GROUP BY 1, 2 ORDER BY w_start_s, event_type""",
+    // event_id is unique in the synthetic events table, so dedup is the
+    // identity projection (the duplicate-injection path is unit-tested)
+    "stream_dedup" ->
+      """SELECT event_id, event_type FROM events ORDER BY event_id""",
+    // batch 2 re-sends every 5th id with value × 2 and wins the merge
+    "stream_upsert_sink" ->
+      """SELECT event_id, event_type,
+         round(CASE WHEN event_id % 5 = 0 THEN value * 2 ELSE value END, 6) AS value
+         FROM events ORDER BY event_id""",
     "stream_static_join" ->
       """SELECT c_mktsegment, event_type, count(1) AS n,
          round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
