@@ -93,6 +93,50 @@ object EtlOps {
         .orderBy(col("l_returnflag"))
     }),
 
+    // schema evolution on ingest (the ETL reality the spec's re-ingest
+    // loop implies): batch 1 lands without a column, batch 2 adds it;
+    // mergeSchema unifies, older rows read as NULL. Fixture staged once.
+    "scan_evolve" -> ((s, dir) => {
+      val path = tmpDir(s"evolve_${dir.replaceAll("[^0-9.]", "")}")
+      if (!Files.exists(Paths.get(path, "v2", "_SUCCESS"))) {
+        val o = t(s, dir, "orders")
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$path/v1")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$path/v2")
+      }
+      s.read.option("mergeSchema", "true").parquet(s"$path/v1", s"$path/v2")
+        .groupBy(coalesce(col("o_orderstatus"), lit("pre_schema")).as("status"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("status"))
+    }),
+
+    // validation stage with a reason taxonomy: invalid rows are routed to
+    // quarantine tagged with WHY they failed (first matching rule wins) —
+    // the spec's "validate responses" stage as a per-row expression.
+    // The raw synthetic events are all valid, so deterministic corruption
+    // is injected (every 7th value negated, every 13th type garbled) to
+    // keep the oracle non-vacuous: it must compare real quarantined rows.
+    "ingest_quarantine" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("value",
+          when(col("event_id") % 7 === 0, -col("value")).otherwise(col("value")))
+        .withColumn("event_type",
+          when(col("event_id") % 13 === 0, concat(lit("x_"), col("event_type")))
+            .otherwise(col("event_type")))
+        .withColumn("reason",
+          when(col("user_id").isNull, "missing_user")
+            .when(col("ts").isNull, "missing_ts")
+            .when(col("value") < 0, "negative_value")
+            .when(!col("event_type").isin("error", "signup", "purchase", "view", "click"),
+              "unknown_type"))
+        .filter(col("reason").isNotNull)
+        .select(col("event_id"), col("event_type"), col("reason"))
+        .orderBy(col("event_id"))
+    }),
+
     "ingest_audit" -> ((s, dir) => {
       events(s, dir)
         .select(col("event_id"), col("event_type"))
@@ -165,6 +209,25 @@ object EtlOps {
          FROM events GROUP BY event_type ORDER BY event_type""",
     "sink_parquet" ->
       """SELECT l_returnflag, count(1) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "scan_evolve" ->
+      """SELECT coalesce(CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END, 'pre_schema') AS status,
+         count(1) AS n,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS total
+         FROM orders GROUP BY status ORDER BY status""",
+    "ingest_quarantine" ->
+      """SELECT event_id, event_type, reason FROM (
+           SELECT event_id, event_type,
+             CASE WHEN user_id IS NULL THEN 'missing_user'
+                  WHEN ts IS NULL THEN 'missing_ts'
+                  WHEN value < 0 THEN 'negative_value'
+                  WHEN event_type NOT IN ('error','signup','purchase','view','click')
+                    THEN 'unknown_type' END AS reason
+           FROM (
+             SELECT event_id, user_id, ts,
+               CASE WHEN event_id % 7 = 0 THEN -value ELSE value END AS value,
+               CASE WHEN event_id % 13 = 0 THEN 'x_' || event_type ELSE event_type END AS event_type
+             FROM events))
+         WHERE reason IS NOT NULL ORDER BY event_id""",
     "ingest_audit" ->
       """SELECT event_id, event_type,
          TIMESTAMP '2026-01-01 00:00:00' AS _ingested_at, 'events_api' AS _source

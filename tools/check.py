@@ -2,9 +2,24 @@
 """Local stand-in for the driver's correctness gate: run graft.Verify first
 (sbt "runMain graft.Verify <sfDir> <outDir>"), then this script compares each
 <outDir>/<name> parquet against DuckDB executing oracle_sql.json[name] over
-the same source tables. Driver-side python (duckdb/pyarrow) — NOT a library
-dependency of the Scala engine."""
-import duckdb, json, sys, glob, os
+the same source tables. Two comparisons per query:
+  1. value-tuple compare (DuckDB fetchall, order as emitted);
+  2. the driver's actual semantics — load both sides into pandas, sort
+     columns by name, sort_values over all columns, hash the str-rendered
+     frame. This catches pandas-only traps (unhashable ndarray cells,
+     HUGEINT→float64 rendering, Decimal objects, ns-timestamp overflow)
+     that tuple equality misses.
+Driver-side python (duckdb/pandas) — NOT a library dependency of the Scala
+engine."""
+import duckdb, json, sys, glob, os, hashlib
+
+
+def pandas_hash(df):
+    """Mimic the driver: sorted columns, sorted rows, str-rendered hash.
+    Raises on unhashable cells exactly like the driver does."""
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return hashlib.md5(df.astype(str).to_csv(index=False).encode()).hexdigest()
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -49,6 +64,18 @@ for name in sorted(oracle):
     if bad:
         i, gr, er = bad
         print(f"FAIL {name}: first diff at row {i}:\n  got {gr}\n  exp {er}")
+        n_fail += 1
+        continue
+    # second gate: the driver's pandas sort+hash path
+    try:
+        hg = pandas_hash(con.execute(f"SELECT * FROM read_parquet('{res_glob}')").df())
+        he = pandas_hash(con.execute(sql).df())
+    except Exception as e:
+        print(f"FAIL {name}: pandas compare crashed (driver would too): {type(e).__name__}: {e}")
+        n_fail += 1
+        continue
+    if hg != he:
+        print(f"FAIL {name}: values equal but pandas hash differs (dtype rendering trap)")
         n_fail += 1
     else:
         print(f"PASS {name} ({len(g)} rows)")
