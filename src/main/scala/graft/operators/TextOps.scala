@@ -124,6 +124,19 @@ object TextOps {
         .orderBy(col("gram"))
     }),
 
+    // same 2-gram semantics through the NATIVE Generator expression
+    // (graft.functions.NGramGenerator — custom row expander planned via
+    // GenerateExec, streaming per input row instead of materializing the
+    // n-gram array); checked against the identical oracle as udtf_generator.
+    "udtf_native" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("toks", split(lower(col("text")), " "))
+        .select(graft.functions.NGramGenerator.ngrams(col("toks"), 2))
+        .groupBy(col("gram"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("gram"))
+    }),
+
     // BPE-ish token counting: word-piece extraction by regex class.
     "text_bpe_tokens" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -235,6 +248,11 @@ object TextOps {
                      (acc, v) -> (acc * 131 + v) % 1000000007) AS fp
          FROM documents ORDER BY doc_id""",
     "udtf_generator" ->
+      """SELECT gram, count(1) AS cnt FROM
+         (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS gram
+          FROM (SELECT string_split(lower(text), ' ') AS toks FROM documents))
+         GROUP BY gram ORDER BY gram""",
+    "udtf_native" ->
       """SELECT gram, count(1) AS cnt FROM
          (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS gram
           FROM (SELECT string_split(lower(text), ' ') AS toks FROM documents))

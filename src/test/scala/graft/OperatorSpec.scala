@@ -177,6 +177,15 @@ class OperatorSpec extends SparkSuite {
     assert(both.filter(col("a") =!= col("b")).count() === 0)
   }
 
+  test("udtf_native: custom Generator plans via Generate and equals the HOF form") {
+    val native = q("udtf_native")
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("generate") && plan.toLowerCase.contains("ngramgenerator"),
+      plan.take(2000))
+    val viaHof = q("udtf_generator").collect().map(_.toSeq).toSeq
+    assert(native.collect().map(_.toSeq).toSeq === viaHof)
+  }
+
   test("cosine_sim: mismatched dimensions yield null, not a prefix value") {
     import spark.implicits._
     import graft.functions.CosineSim.cosine_sim
