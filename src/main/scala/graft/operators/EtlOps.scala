@@ -145,6 +145,28 @@ object EtlOps {
         .orderBy(col("event_id"))
     }),
 
+    // pipeline observability (the spec's monitoring concern): metrics ride
+    // the ingest job itself via Dataset.observe — no second scan of the
+    // data, which is the only affordable way to count/validate at 100 TB.
+    // The query's output IS the observed metrics row, so the oracle checks
+    // the observation machinery end to end.
+    "ingest_observe" -> ((s, dir) => {
+      import org.apache.spark.sql.Observation
+      val obs = Observation()
+      events(s, dir)
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          dsum(col("value")).as("sum_value"),
+          count(when(col("value") < 1.0, 1)).as("n_small"))
+        .write.format("noop").mode(SaveMode.Overwrite).save()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("sum_value").asInstanceOf[Double],
+        m("n_small").asInstanceOf[Long]))
+        .toDF("n_rows", "sum_value", "n_small")
+    }),
+
     "upsert_load" -> ((s, dir) => {
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
       val batch1 = o
@@ -228,6 +250,11 @@ object EtlOps {
                CASE WHEN event_id % 13 = 0 THEN 'x_' || event_type ELSE event_type END AS event_type
              FROM events))
          WHERE reason IS NOT NULL ORDER BY event_id""",
+    "ingest_observe" ->
+      """SELECT count(1) AS n_rows,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value,
+         count(CASE WHEN value < 1.0 THEN 1 END) AS n_small
+         FROM events""",
     "ingest_audit" ->
       """SELECT event_id, event_type,
          TIMESTAMP '2026-01-01 00:00:00' AS _ingested_at, 'events_api' AS _source

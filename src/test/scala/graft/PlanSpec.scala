@@ -1,0 +1,47 @@
+package graft
+
+/** Physical-plan shape assertions (SURVEY.md §4): the plans that matter at
+  * 100 TB must actually be the plans Spark produces — broadcast joins stay
+  * broadcast, top-k lowers to TakeOrdered, codegen spans cover the scalar
+  * banks, and pushed filters reach the parquet scan. */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    q(name).queryExecution.executedPlan.toString
+
+  test("join_broadcast: dimension tables broadcast, fact side never shuffles for the join") {
+    val p = plan("join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("Exchange hashpartitioning(n_nationkey")
+      && !p.contains("Exchange hashpartitioning(r_regionkey"), p.take(2000))
+  }
+
+  test("vec_cosine_topk: top-k lowers to TakeOrderedAndProject (no global sort)") {
+    val p = plan("vec_cosine_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q3_shipping: limit 10 lowers to TakeOrderedAndProject after the agg") {
+    val p = plan("q3_shipping")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("fn_math: the whole scalar bank runs inside one codegen'd scan stage") {
+    // AQE finalizes the plan on execution; `*(n)` marks codegen stage n
+    val df = q("fn_math")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project"), p.take(2000))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000)) // sort only
+  }
+
+  test("filter_pred: compound predicate is pushed to the parquet scan") {
+    val p = plan("filter_pred")
+    assert(p.contains("PushedFilters: [") && p.contains("o_orderdate"), p.take(3000))
+  }
+
+  test("join_semi/join_anti plan as semi/anti joins, not materialized subqueries") {
+    assert(plan("join_semi").contains("LeftSemi"), plan("join_semi").take(1500))
+    assert(plan("join_anti").contains("LeftAnti"), plan("join_anti").take(1500))
+  }
+}
