@@ -57,6 +57,30 @@ class ExtensionsSpec extends SparkSuite {
       Seq(1L, null, null))) // null ts never matches
   }
 
+  test("as-of join rejects mismatched key/ts types at plan time") {
+    import spark.implicits._
+    val left = Seq((1, 10L)).toDF("k", "t")          // int key
+    val right = Seq((1L, 5L, 100L)).toDF("k2", "t2", "id") // long key
+    val e = intercept[IllegalArgumentException](
+      graft.plans.AsofJoinApi.asofJoin(left, right, "k", "k2", "t", "t2", "id"))
+    assert(e.getMessage.contains("key types must match"), e.getMessage)
+  }
+
+  test("GraftSession.registerTables exposes the full surface to plain SQL") {
+    GraftSession.registerTables(spark, sf)
+    graft.functions.CosineSim.register(spark)
+    val n = spark.sql("SELECT count(1) FROM lineitem").head.getLong(0)
+    assert(n > 0)
+    // events view must be the ns-safe reader
+    val ev = spark.sql("SELECT count(1) FROM events WHERE ts IS NOT NULL").head.getLong(0)
+    assert(ev > 0)
+    // cosine_sim over the registered embeddings view from SQL text
+    val s = spark.sql(
+      """SELECT round(cosine_sim(embedding, embedding), 9) AS s
+         FROM embeddings LIMIT 1""").head.getDouble(0)
+    assert(s === 1.0)
+  }
+
   test("as-of strategy handles ties and empty right side") {
     import spark.implicits._
     val left = Seq((1L, 10L), (1L, 20L), (2L, 15L)).toDF("k", "t")
