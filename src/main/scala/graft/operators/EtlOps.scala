@@ -84,6 +84,26 @@ object EtlOps {
         .orderBy(col("event_type"))
     }),
 
+    // document-store-shaped sink (the spec's "transform for MongoDB
+    // compatibility", README.md:23-24): rows nest into JSON documents,
+    // written as JSONL and re-ingested — the full document round-trip.
+    "sink_jsonl" -> ((s, dir) => {
+      val path = tmpDir(s"sinkj_${dir.replaceAll("[^0-9.]", "")}")
+      events(s, dir)
+        .select(col("event_id"),
+          struct(col("event_type").as("type"), col("value").as("value")).as("doc"))
+        .write.mode(SaveMode.Overwrite).json(path)
+      s.read.schema(StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("doc", StructType(Seq(
+            StructField("type", StringType), StructField("value", DoubleType)))))))
+        .json(path)
+        .select(col("event_id"), col("doc.type").as("event_type"), col("doc.value").as("value"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+        .orderBy(col("event_type"))
+    }),
+
     "sink_parquet" -> ((s, dir) => {
       val path = tmpDir(s"sink_${dir.replaceAll("[^0-9.]", "")}")
       t(s, dir, "lineitem")
@@ -226,6 +246,10 @@ object EtlOps {
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(1) AS n
          FROM events GROUP BY k ORDER BY k""",
     "scan_csv" ->
+      """SELECT event_type, count(1) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "sink_jsonl" ->
       """SELECT event_type, count(1) AS n,
          round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
          FROM events GROUP BY event_type ORDER BY event_type""",

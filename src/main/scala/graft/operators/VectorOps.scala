@@ -27,10 +27,14 @@ import graft.functions.CosineSim.cosine_sim
   */
 object VectorOps {
 
-  private val sqlCosDuck =
-    """list_aggregate(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE), 'sum')
-       / (sqrt(list_aggregate(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE), 'sum'))
-          * sqrt(list_aggregate(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE), 'sum')))"""
+  /** DuckDB cosine over two aliased list columns: sequential left-fold
+    * double arithmetic, bit-matching the Spark HOF / CosineSim path. */
+  private def cosSql(a: String, b: String): String =
+    s"""list_aggregate(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), 'sum')
+       / (sqrt(list_aggregate(list_transform($a, x -> x::DOUBLE * x::DOUBLE), 'sum'))
+          * sqrt(list_aggregate(list_transform($b, x -> x::DOUBLE * x::DOUBLE), 'sum')))"""
+
+  private val sqlCosDuck = cosSql("e.embedding", "q.qv")
 
   val queries: Map[String, QFn] = Map(
     "vec_cosine_topk" -> ((s, dir) => {
@@ -120,19 +124,18 @@ object VectorOps {
         .orderBy(col("probe_id"), col("rn"))
     }),
 
-    // no-oracle: IVF-style ANN — coarse cells seeded by the label column
-    // (k-means stand-in, deterministic); probe → nearest 2 centroids →
-    // exact cosine inside those cells only.
+    // IVF-style ANN — coarse cells seeded by the label column's MEDOID
+    // (the lowest-id member per label; a deterministic k-means stand-in:
+    // bit-stable across parallelism, unlike a parallel-summed mean, so the
+    // whole path is DuckDB-oracled); probe → nearest 2 cells → exact
+    // cosine inside those cells only.
     "vec_ivf_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      val wSeed = Window.partitionBy(col("label")).orderBy(col("vec_id"))
       val centroids = emb
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("label"), col("pos"))
-        .agg(avg(col("v").cast("double")).as("cv"))
-        .groupBy(col("label"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pairs"))
-        .select(col("label").as("c_label"),
-          expr("transform(pairs, p -> CAST(p.cv AS FLOAT))").as("qv"))
+        .withColumn("seed_rn", row_number().over(wSeed))
+        .filter(col("seed_rn") === 1)
+        .select(col("label").as("c_label"), col("embedding").as("qv"))
       val probes = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("probe_id"), col("embedding"))
       val wc = Window.partitionBy(col("probe_id")).orderBy(col("csim").desc, col("c_label"))
@@ -202,6 +205,29 @@ object VectorOps {
            FROM b e JOIN (SELECT vec_id AS probe_id, embedding AS qv, bucket
                           FROM b WHERE vec_id < 8) q
              ON e.bucket = q.bucket AND e.vec_id <> q.probe_id)
+         WHERE rn <= 3 ORDER BY probe_id, rn""",
+    // medoid seeds via arg_min(embedding, vec_id) — identical to the
+    // Spark-side lowest-id-per-label row; cells then searched exactly.
+    "vec_ivf_ann" ->
+      s"""WITH centroids AS (
+           SELECT label AS c_label, arg_min(embedding, vec_id) AS qv
+           FROM embeddings GROUP BY label),
+         pc AS (
+           SELECT probe_id, c_label FROM (
+             SELECT p.vec_id AS probe_id, c.c_label,
+               row_number() OVER (PARTITION BY p.vec_id
+                 ORDER BY round(${cosSql("p.embedding", "c.qv")}, 6) DESC, c.c_label) AS crn
+             FROM embeddings p CROSS JOIN centroids c WHERE p.vec_id < 8)
+           WHERE crn <= 2)
+         SELECT probe_id, vec_id AS neighbor_id, sim, rn FROM (
+           SELECT pc.probe_id, e.vec_id, round(${cosSql("e.embedding", "q.qv")}, 6) AS sim,
+             row_number() OVER (PARTITION BY pc.probe_id
+               ORDER BY round(${cosSql("e.embedding", "q.qv")}, 6) DESC, e.vec_id) AS rn
+           FROM embeddings e
+           JOIN pc ON e.label = pc.c_label
+           JOIN (SELECT vec_id, embedding AS qv FROM embeddings WHERE vec_id < 8) q
+             ON pc.probe_id = q.vec_id
+           WHERE e.vec_id <> pc.probe_id)
          WHERE rn <= 3 ORDER BY probe_id, rn"""
   ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
 }
