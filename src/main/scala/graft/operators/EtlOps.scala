@@ -84,6 +84,30 @@ object EtlOps {
         .orderBy(col("event_type"))
     }),
 
+    // PERMISSIVE corrupt-record routing (the spec's "invalid response"
+    // concern at the batch-scan level): deterministically corrupted JSONL
+    // lines land in _corrupt_record instead of failing the job, and the
+    // query audits valid vs corrupt. Fixture staged once.
+    "scan_corrupt" -> ((s, dir) => {
+      val path = tmpDir(s"corrupt_${dir.replaceAll("[^0-9.]", "")}")
+      if (!Files.exists(Paths.get(path, "_SUCCESS")))
+        events(s, dir)
+          .select(when(col("event_id") % 10 === 0, concat(lit("{corrupt "), col("props")))
+            .otherwise(col("props")).as("line"))
+          .write.mode(SaveMode.Overwrite).text(path)
+      s.read
+        .schema(StructType(Seq(
+          StructField("k", IntegerType), StructField("_corrupt_record", StringType))))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .groupBy(
+          col("_corrupt_record").isNotNull.as("is_corrupt"),
+          coalesce(col("k"), lit(-1)).as("k"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("is_corrupt"), col("k"))
+    }),
+
     // document-store-shaped sink (the spec's "transform for MongoDB
     // compatibility", README.md:23-24): rows nest into JSON documents,
     // written as JSONL and re-ingested — the full document round-trip.
@@ -249,6 +273,12 @@ object EtlOps {
       """SELECT event_type, count(1) AS n,
          round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "scan_corrupt" ->
+      """SELECT event_id % 10 = 0 AS is_corrupt,
+         CASE WHEN event_id % 10 = 0 THEN -1
+              ELSE coalesce(CAST(json_extract_string(props, '$.k') AS INTEGER), -1) END AS k,
+         count(1) AS n
+         FROM events GROUP BY 1, 2 ORDER BY is_corrupt, k""",
     "sink_jsonl" ->
       """SELECT event_type, count(1) AS n,
          round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
