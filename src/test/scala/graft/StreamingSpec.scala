@@ -156,6 +156,44 @@ class StreamingSpec extends SparkSuite {
     assert(byId.size === 64 && byId(3L) === 9.0 && byId(19L) === 9.0 && byId(4L) === 1.0)
   }
 
+  test("checkpointed foreachBatch upsert: restart resumes batch ids, merges exactly once") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_upsert_ckpt")
+    val src = root.resolve("src"); Files.createDirectories(src)
+    val ckpt = root.resolve("ckpt").toString
+    val tgt = root.resolve("tgt")
+    val cols = Seq("event_id", "user_id", "event_type", "value")
+    def stage(name: String, rows: Seq[(Long, Long, String, Double)]): Unit = {
+      val tmp = root.resolve(s"stage_$name")
+      rows.toDF(cols: _*).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val l = Files.list(tmp)
+      val part = try l.filter(_.toString.endsWith(".parquet")).findFirst().get finally l.close()
+      Files.move(part, src.resolve(name))
+    }
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", "1").parquet(src.toString)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch((b: DataFrame, id: Long) => graft.streaming.Streams.upsertBatch(b, tgt, id))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    stage("0.parquet", (0L until 10L).map(i => (i, i, "view", 1.0)))
+    run() // first incarnation: batch 0 lands, offset committed
+    stage("1.parquet", Seq((3L, 3L, "view", 9.0), (7L, 7L, "click", 9.0)))
+    run() // RESTART: must process only file 1, as batch id 1
+    val out = spark.read.parquet(tgt.toString)
+      .select(col("event_id"), col("value"), col("_batch")).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(out.size === 10, "no duplicated keys across restart")
+    assert(out(3L) === ((9.0, 1L)) && out(7L) === ((9.0, 1L)),
+      "corrections applied with the RESUMED batch id (1, not reset to 0)")
+    assert(out(0L) === ((1.0, 0L)), "untouched keys keep their original batch")
+  }
+
   test("stream_upsert_sink: corrected batch overwrites, others untouched") {
     val out = q("stream_upsert_sink").cache()
     val raw = graft.Tables.events(spark, sf)
