@@ -147,6 +147,29 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // per-document keyword extraction: top-3 TF-IDF terms. The document
+    // frequency table is vocabulary-sized → broadcast keeps the token-grain
+    // side shuffle-free; ranking is one per-doc window. Scores round to
+    // 6 dp after the ln so the rank key is identical in both engines.
+    "text_tfidf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.count()
+      val tf = docs
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("token").as("d_token"))
+        .agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+      tf.join(broadcast(dfreq), tf("token") === dfreq("d_token"))
+        .withColumn("score",
+          round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("token"), col("score"), col("rnk"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
     // PII scrubbing (training-data hygiene): redact emails and phone-like
     // digit runs. Deterministic synthetic PII is appended per doc so the
     // scrubber provably fires at every row; a real pipeline applies the
@@ -261,6 +284,20 @@ object TextOps {
       """SELECT doc_id, len(regexp_extract_all(text, '[a-z0-9]+')) AS n_pieces,
          len(list_distinct(regexp_extract_all(text, '[a-z0-9]+'))) AS n_uniq
          FROM documents ORDER BY doc_id""",
+    "text_tfidf" ->
+      """WITH tf AS (
+           SELECT doc_id, token, count(1) AS tf FROM
+             (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+           GROUP BY doc_id, token),
+         dfreq AS (SELECT token, count(1) AS df FROM tf GROUP BY token),
+         n AS (SELECT count(1) AS n_docs FROM documents)
+         SELECT doc_id, token, score, rnk FROM (
+           SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS score,
+             row_number() OVER (PARTITION BY tf.doc_id
+               ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) DESC, tf.token) AS rnk
+           FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n)
+         WHERE rnk <= 3 ORDER BY doc_id, rnk""",
     "text_pii_scrub" ->
       """SELECT doc_id,
          len(regexp_extract_all(dirty, '[a-z0-9._]+@[a-z0-9.-]+')) AS n_emails,
