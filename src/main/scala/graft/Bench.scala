@@ -14,14 +14,18 @@ object Bench {
     // numbers measure the query, not whichever one ran first — plus the
     // one-time fixtures (bucketed tables, jsonl/csv staging) so the timed
     // queries measure the join/scan rather than fixture I/O
-    try {
-      operators.ScaleOps.prepareBucketed(spark, sfDir)
-      operators.EtlOps.stageFixtures(spark, sfDir)
-      streaming.Streams.stageUpsertInput(spark, sfDir)
-      SparkEntry.queries("agg_group")(spark, sfDir).count()
-      SparkEntry.queries("null_clean")(spark, sfDir).count()
-      SparkEntry.queries("vec_cosine_topk")(spark, sfDir).count()
-    } catch { case _: Throwable => }
+    // each step in its own try: one failed fixture must not silently skip
+    // the rest (and the timed run would then pay its staging cost)
+    def warm(label: String)(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup '$label' failed: ${e.getMessage}")
+      }
+    warm("bucketed tables")(operators.ScaleOps.prepareBucketed(spark, sfDir))
+    warm("jsonl/csv staging")(operators.EtlOps.stageFixtures(spark, sfDir))
+    warm("upsert input")(streaming.Streams.stageUpsertInput(spark, sfDir))
+    warm("agg_group")(SparkEntry.queries("agg_group")(spark, sfDir).count())
+    warm("null_clean")(SparkEntry.queries("null_clean")(spark, sfDir).count())
+    warm("vec_cosine_topk")(SparkEntry.queries("vec_cosine_topk")(spark, sfDir).count())
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {

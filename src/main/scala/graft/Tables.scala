@@ -47,4 +47,9 @@ object Tables {
 
   /** Round a double expression to 6 dp (non-aggregated path). */
   def r6(c: Column): Column = round(c.cast("double"), 6)
+
+  /** Cache tag for fixtures derived from a source directory: a digest of
+    * the FULL path, so two datasets whose paths share the same digits can
+    * never serve each other's staged fixtures. */
+  def pathTag(dir: String): String = f"${dir.hashCode & 0x7fffffff}%08x"
 }

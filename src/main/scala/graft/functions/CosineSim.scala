@@ -25,6 +25,10 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // can produce null for NON-null inputs (dimension mismatch, null
+  // element): without this, non-nullable children make ev.isNull a
+  // FalseLiteral and the generated `false = true;` fails to compile
+  override def nullable: Boolean = true
 
   /** true when either input's element type admits nulls — only then do we
     * pay the per-element null check in the hot loop. */

@@ -34,7 +34,7 @@ object EtlOps {
     * Bench warms these so the timed queries measure the scan, not fixture
     * I/O. */
   def stageJsonl(s: SparkSession, dir: String): String = {
-    val path = tmpDir(s"jsonl_${dir.replaceAll("[^0-9.]", "")}")
+    val path = tmpDir(s"jsonl_${pathTag(dir)}")
     if (!Files.exists(Paths.get(path, "_SUCCESS")))
       events(s, dir).select(col("props"))
         .write.mode(SaveMode.Overwrite).text(path)
@@ -42,7 +42,7 @@ object EtlOps {
   }
 
   def stageCsv(s: SparkSession, dir: String): String = {
-    val path = tmpDir(s"csv_${dir.replaceAll("[^0-9.]", "")}")
+    val path = tmpDir(s"csv_${pathTag(dir)}")
     if (!Files.exists(Paths.get(path, "_SUCCESS")))
       events(s, dir).select(col("event_id"), col("event_type"), col("value"))
         .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
@@ -89,7 +89,7 @@ object EtlOps {
     // lines land in _corrupt_record instead of failing the job, and the
     // query audits valid vs corrupt. Fixture staged once.
     "scan_corrupt" -> ((s, dir) => {
-      val path = tmpDir(s"corrupt_${dir.replaceAll("[^0-9.]", "")}")
+      val path = tmpDir(s"corrupt_${pathTag(dir)}")
       if (!Files.exists(Paths.get(path, "_SUCCESS")))
         events(s, dir)
           .select(when(col("event_id") % 10 === 0, concat(lit("{corrupt "), col("props")))
@@ -141,7 +141,7 @@ object EtlOps {
     // loop implies): batch 1 lands without a column, batch 2 adds it;
     // mergeSchema unifies, older rows read as NULL. Fixture staged once.
     "scan_evolve" -> ((s, dir) => {
-      val path = tmpDir(s"evolve_${dir.replaceAll("[^0-9.]", "")}")
+      val path = tmpDir(s"evolve_${pathTag(dir)}")
       if (!Files.exists(Paths.get(path, "v2", "_SUCCESS"))) {
         val o = t(s, dir, "orders")
         o.filter(col("o_orderkey") % 2 === 0)

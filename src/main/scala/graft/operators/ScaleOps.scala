@@ -32,7 +32,7 @@ object ScaleOps {
     * Bench calls this during warmup so the timed query measures the join,
     * not the fixture write. */
   def prepareBucketed(s: SparkSession, dir: String): (String, String) = {
-    val tag = f"${dir.hashCode & 0x7fffffff}%08x"
+    val tag = graft.Tables.pathTag(dir)
     val base = Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_wh_${ProcessHandle.current().pid()}")
     val oTbl = s"orders_b_$tag"

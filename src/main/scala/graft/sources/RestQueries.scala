@@ -30,8 +30,8 @@ object RestQueries {
   /** The reference's full pipeline (README.md:21-34) as ONE query:
     * extract (paginated REST, DSv2) → transform (clean/cast) → validate
     * (rule tagging) → load (audit columns + keyed upsert) → summarize.
-    * No oracle (the API is not a parquet table); deterministic stub data,
-    * asserted in the unit suite. */
+    * Oracled via the stub feed's closed form (see `stubRows` below), and
+    * asserted independently in the unit suite. */
   val etlEndToEnd: graft.Tables.QFn = (s, _) => {
     import org.apache.spark.sql.expressions.Window
     val extracted = s.read.format("graft.sources.RestSource")

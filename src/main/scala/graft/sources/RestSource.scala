@@ -94,7 +94,7 @@ object RestSource {
       if (!node.isArray || !node.elements().hasNext)
         throw new java.io.IOException(
           s"rest_source: schema sampling needs a non-empty JSON array page, got: $node")
-      node.elements().asScala.map(inferType).reduce(mergeType) match {
+      resolveNulls(node.elements().asScala.map(inferType).reduce(mergeType)) match {
         case st: StructType => st
         case other => throw new java.io.IOException(
           s"rest_source: records must be JSON objects, inferred $other")
@@ -102,8 +102,11 @@ object RestSource {
     } finally conn.disconnect()
   }
 
+  // NullType is the inference bottom: a null observation defers to any
+  // typed observation of the same field (as Spark's own JSON inference
+  // does); fields null across the whole sample resolve to string.
   private[sources] def inferType(n: JsonNode): DataType =
-    if (n == null || n.isNull) StringType
+    if (n == null || n.isNull) NullType
     else if (n.isBoolean) BooleanType
     else if (n.isIntegralNumber) LongType
     else if (n.isNumber) DoubleType
@@ -111,11 +114,13 @@ object RestSource {
       n.properties().asScala.toSeq.map(e => StructField(e.getKey, inferType(e.getValue))))
     else if (n.isArray) {
       val elems = n.elements().asScala.toSeq
-      ArrayType(if (elems.isEmpty) StringType else elems.map(inferType).reduce(mergeType))
+      ArrayType(if (elems.isEmpty) NullType else elems.map(inferType).reduce(mergeType))
     } else StringType
 
   private[sources] def mergeType(a: DataType, b: DataType): DataType = (a, b) match {
     case (x, y) if x == y => x
+    case (NullType, x) => x
+    case (x, NullType) => x
     case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
     case (x: StructType, y: StructType) =>
       val byName = y.fields.map(f => f.name -> f.dataType).toMap
@@ -127,15 +132,28 @@ object RestSource {
     case _ => StringType // incompatible observations degrade to string
   }
 
+  /** Replace any residual NullType (field null in every sampled record)
+    * with StringType so the final schema is always materializable. */
+  private[sources] def resolveNulls(dt: DataType): DataType = dt match {
+    case NullType => StringType
+    case st: StructType =>
+      StructType(st.fields.map(f => f.copy(dataType = resolveNulls(f.dataType))))
+    case ArrayType(et, n) => ArrayType(resolveNulls(et), n)
+    case other => other
+  }
+
   /** JSON node → Catalyst value for the requested type (recursive:
-    * nested structs and arrays included). Missing/null fields → null. */
+    * nested structs and arrays included). Missing/null fields → null, and
+    * type-mismatched values (e.g. "n/a" under a DOUBLE field) → null
+    * rather than Jackson's lenient 0/0.0/false coercion, so bad data is
+    * visible instead of silently skewing aggregates. */
   private[sources] def toCatalyst(n: JsonNode, dt: DataType): Any =
     if (n == null || n.isNull) null
     else dt match {
-      case LongType => java.lang.Long.valueOf(n.asLong())
-      case IntegerType => java.lang.Integer.valueOf(n.asInt())
-      case DoubleType => java.lang.Double.valueOf(n.asDouble())
-      case BooleanType => java.lang.Boolean.valueOf(n.asBoolean())
+      case LongType => if (n.isNumber) java.lang.Long.valueOf(n.asLong()) else null
+      case IntegerType => if (n.isNumber) java.lang.Integer.valueOf(n.asInt()) else null
+      case DoubleType => if (n.isNumber) java.lang.Double.valueOf(n.asDouble()) else null
+      case BooleanType => if (n.isBoolean) java.lang.Boolean.valueOf(n.asBoolean()) else null
       case StringType => UTF8String.fromString(if (n.isTextual) n.asText() else n.toString)
       case st: StructType =>
         InternalRow.fromSeq(st.fields.toSeq.map(f => toCatalyst(n.get(f.name), f.dataType)))

@@ -41,7 +41,7 @@ object Streams {
     * staged (symlinked) into a tmp dir per scale factor. */
   private def eventsStream(s: SparkSession, sfDir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tag = sfDir.replaceAll("[^0-9.]", "")
+    val tag = graft.Tables.pathTag(sfDir)
     val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream", s"events_$tag")
     Files.createDirectories(dir)
     val link = dir.resolve("events.parquet")
@@ -77,6 +77,7 @@ object Streams {
   private[graft] val PK_BUCKETS = 16
   private[graft] def upsertBatch(incoming: DataFrame, tgtDir: java.nio.file.Path,
       batchId: Long): Unit = {
+    if (incoming.isEmpty) return // an empty trigger must not touch the target
     val ss = incoming.sparkSession
     val withPk = incoming
       .withColumn("_batch", lit(batchId))
@@ -105,7 +106,7 @@ object Streams {
     * stream + merge, not this fixture write. */
   private[graft] def stageUpsertInput(s: SparkSession, dir: String): java.nio.file.Path = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tag = dir.replaceAll("[^0-9.]", "")
+    val tag = graft.Tables.pathTag(dir)
     val inDir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream", s"in_$tag")
     if (!Files.exists(inDir.resolve("0_batch.parquet")) ||
         !Files.exists(inDir.resolve("1_batch.parquet"))) {
@@ -119,6 +120,13 @@ object Streams {
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(inDir.resolve("b2").toString)
       moveSinglePart(inDir.resolve("b1"), inDir.resolve("0_batch.parquet"))
       moveSinglePart(inDir.resolve("b2"), inDir.resolve("1_batch.parquet"))
+      // FileStreamSource orders by modification time, not name — the moves
+      // preserve the staged parts' mtimes, which can tie on coarse-grained
+      // filesystems and flip batch order. Pin strictly increasing mtimes.
+      Files.setLastModifiedTime(inDir.resolve("0_batch.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(1000000L))
+      Files.setLastModifiedTime(inDir.resolve("1_batch.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(2000000L))
     }
     inDir
   }
@@ -244,7 +252,7 @@ object Streams {
     // replay is idempotent (latest batch wins per event_id).
     "stream_upsert_sink" -> ((s, dir) => {
       val inDir = stageUpsertInput(s, dir)
-      val tag = dir.replaceAll("[^0-9.]", "")
+      val tag = graft.Tables.pathTag(dir)
       val tgtDir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream", s"tgt_$tag")
       org.apache.commons.io.FileUtils.deleteQuietly(tgtDir.toFile)
       val stream = s.readStream

@@ -196,6 +196,13 @@ class OperatorSpec extends SparkSuite {
     val r = df.select(cosine_sim(col("a"), col("b")).as("s")).collect()
     assert(r.count(_.isNullAt(0)) === 1)
     assert(r.exists(x => !x.isNullAt(0) && math.abs(x.getDouble(0) - 1.0) < 1e-12))
+    // non-nullable literal arrays: ev.isNull must be a real variable, not
+    // a FalseLiteral (codegen would fail to compile otherwise)
+    val lits = spark.range(1).select(
+      cosine_sim(array(lit(1.0f), lit(0.0f)), array(lit(1.0f), lit(0.0f))).as("ok"),
+      cosine_sim(array(lit(1.0f)), array(lit(1.0f), lit(0.0f))).as("mm")).head
+    assert(math.abs(lits.getDouble(0) - 1.0) < 1e-12)
+    assert(lits.isNullAt(1))
   }
 }
 

@@ -66,9 +66,15 @@ for name in sorted(oracle):
         print(f"FAIL {name}: first diff at row {i}:\n  got {gr}\n  exp {er}")
         n_fail += 1
         continue
-    # second gate: the driver's pandas sort+hash path
+    # second gate: the driver's pandas sort+hash path. The Spark result MUST
+    # be loaded via pandas/pyarrow (not DuckDB's .df(), which normalizes
+    # DECIMAL to float64 and would mask Decimal-object / ns-timestamp traps
+    # the real driver hits).
     try:
-        hg = pandas_hash(con.execute(f"SELECT * FROM read_parquet('{res_glob}')").df())
+        import pandas as pd
+        hg = pandas_hash(pd.concat(
+            [pd.read_parquet(f) for f in sorted(glob.glob(res_glob))],
+            ignore_index=True))
         he = pandas_hash(con.execute(sql).df())
     except Exception as e:
         print(f"FAIL {name}: pandas compare crashed (driver would too): {type(e).__name__}: {e}")
