@@ -41,6 +41,15 @@ object RestStubServer {
         |"meta": {"kind": "${expectedType(id)}", "score": ${expectedValue(id)}},
         |"tags": ["t0", "t${id % 3}"]}""".stripMargin.replaceAll("\n", " ")
 
+  /** messy record shape: score is null on even ids (inference must still
+    * type it DOUBLE from the odd ids) and value is the junk string "n/a"
+    * on ids divisible by 5 (decoding must null it, not coerce to 0.0). */
+  def messyRecordJson(id: Long): String = {
+    val score = if (id % 2 == 0) "null" else expectedValue(id).toString
+    val value = if (id % 5 == 0) "\"n/a\"" else expectedValue(id).toString
+    s"""{"event_id": $id, "score": $score, "value": $value}"""
+  }
+
   final class Handle(val server: HttpServer, val port: Int) {
     def url: String = s"http://127.0.0.1:$port/records"
     def stop(): Unit = server.stop(0)
@@ -80,7 +89,7 @@ object RestStubServer {
           val end = math.min(start + limit, totalRows)
           val typeFilter = params.get("event_type")
           val minId = params.get("min_id").map(_.toLong)
-          val nested = params.get("shape").contains("nested")
+          val shape = params.getOrElse("shape", "flat")
           // filters apply to the record's actual fields (id/type), never
           // to its serialized text — a substring match over JSON would be
           // the kind of server-side inexactness the connector guards
@@ -88,7 +97,11 @@ object RestStubServer {
           val rows = (start until end)
             .filter(id => minId.forall(id > _))
             .filter(id => typeFilter.forall(_ == expectedType(id)))
-            .map(id => if (nested) nestedRecordJson(id) else recordJson(id))
+            .map(id => shape match {
+              case "nested" => nestedRecordJson(id)
+              case "messy" => messyRecordJson(id)
+              case _ => recordJson(id)
+            })
           send(200, rows.mkString("[", ", ", "]"))
         }
       }

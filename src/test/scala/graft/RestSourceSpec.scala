@@ -146,6 +146,36 @@ class RestSourceSpec extends SparkSuite {
     } finally stub.stop()
   }
 
+  test("inference: null observations defer to typed ones; junk values null out") {
+    val stub = RestStubServer.start(totalRows = 100L)
+    try {
+      val df = spark.read.format("graft.sources.RestSource")
+        .option("url", stub.url + "?shape=messy")
+        .option("pages", "5").option("pageSize", "20")
+        .option("inferSchema", "true")
+        .load()
+      import org.apache.spark.sql.types._
+      // score is null on every even id in the sample page but DOUBLE on odd
+      // ids — the bottom type must defer, not degrade the field to string
+      assert(df.schema("score").dataType === DoubleType)
+      assert(df.filter(col("event_id") === 4).head.isNullAt(df.schema.fieldIndex("score")))
+      assert(df.filter(col("event_id") === 7).head
+        .getDouble(df.schema.fieldIndex("score")) === RestStubServer.expectedValue(7))
+      // mixed string/double observations correctly degrade to STRING
+      assert(df.schema("value").dataType === StringType)
+      // ...but when a user-supplied schema forces DOUBLE, the junk "n/a"
+      // decodes as null — never Jackson's lenient 0.0
+      val forced = spark.read.format("graft.sources.RestSource")
+        .option("url", stub.url + "?shape=messy")
+        .option("pages", "5").option("pageSize", "20")
+        .option("schema", "event_id BIGINT, value DOUBLE")
+        .load()
+      val vIdx = forced.schema.fieldIndex("value")
+      assert(forced.filter(col("event_id") === 5).head.isNullAt(vIdx))
+      assert(forced.filter(col("value") === 0.0 && col("event_id") % 5 === 0).count() === 0)
+    } finally stub.stop()
+  }
+
   test("pushed filters are re-evaluated by Spark (hints, not trusted)") {
     val stub = RestStubServer.start(totalRows = 200L)
     try {
