@@ -207,22 +207,60 @@ object TextOps {
     // unigram-set Jaccard near-dup scan over a bounded probe window
     // (doc_id < 256 both sides keeps the candidate pair set constant-size
     // regardless of corpus scale; the unbounded path is MinHash/LSH).
-    "dedup_ngram_jaccard" -> ((s, dir) => {
-      val toks = t(s, dir, "documents").filter(col("doc_id") < 256)
-        .select(col("doc_id"), explode(array_distinct(split(lower(col("text")), " "))).as("token"))
-      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
-      val a = toks.as("a"); val b = toks.as("b")
-      val inter = a.join(b, col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("nt", "n1"), "d1")
-        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("nt", "n2"), "d2")
-        .withColumn("jaccard", r6(col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("d1"), col("d2"), col("jaccard"))
-        .orderBy(col("d1"), col("d2"))
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      jaccardPairs(s, dir).orderBy(col("d1"), col("d2"))),
+
+    // near-dup CLUSTERING: connected components over the Jaccard pair
+    // graph via HashMin label propagation (each node iteratively takes the
+    // min component id among itself and its neighbors — the Pregel/GraphX
+    // connected-components algorithm expressed as joins). Iterations are
+    // bounded by component diameter; each is one bounded shuffle, so the
+    // loop is the standard cluster-scale shape for iterative graph algos.
+    // Representative selection (keep doc_id == comp) is what turns
+    // pairwise near-dup detection into an actual corpus dedup decision.
+    "dedup_cluster" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 256).select(col("doc_id"))
+      val pairs = jaccardPairs(s, dir).select(col("d1"), col("d2"))
+      val edges = pairs
+        .union(pairs.select(col("d2").as("d1"), col("d1").as("d2"))).cache()
+      var labels = docs.withColumn("comp", col("doc_id")).cache()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val next = labels.join(edges, labels("doc_id") === edges("d1"))
+          .select(col("d2").as("doc_id"), col("comp"))
+          .union(labels.select(col("doc_id"), col("comp")))
+          .groupBy("doc_id").agg(min(col("comp")).as("comp"))
+          .cache()
+        changed = next.join(labels.withColumnRenamed("comp", "old"), "doc_id")
+          .filter(col("comp") =!= col("old")).count()
+        labels.unpersist(); labels = next
+        iter += 1
+      }
+      edges.unpersist()
+      labels
+        .select(col("doc_id"), col("comp"),
+          (col("doc_id") === col("comp")).as("is_representative"))
+        .orderBy(col("doc_id"))
     }))
+
+  /** Bounded-window unigram-Jaccard near-dup pairs (d1 < d2, 6-dp-rounded
+    * jaccard ≥ 0.5) — shared by the pair query and the clustering op. */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").filter(col("doc_id") < 256)
+      .select(col("doc_id"), explode(array_distinct(split(lower(col("text")), " "))).as("token"))
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+    val a = toks.as("a"); val b = toks.as("b")
+    val inter = a.join(b, col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("nt", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("nt", "n2"), "d2")
+      .withColumn("jaccard", r6(col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
 
   val oracles: Map[String, String] = Map(
     "text_normalize_hash" ->
@@ -318,6 +356,33 @@ object TextOps {
                       ELSE 'test' END AS split
                FROM documents)
          GROUP BY lang, split ORDER BY lang, split""",
+    // connected components via recursive reachability: every root a node
+    // can reach is enumerated (UNION dedups → terminates), min = component
+    "dedup_cluster" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS token
+           FROM documents WHERE doc_id < 256),
+         sizes AS (SELECT doc_id, count(1) AS nt FROM toks GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2, count(1) AS inter
+           FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT d1, d2
+           FROM (SELECT inter.d1, inter.d2, inter.inter, s1.nt AS n1, s2.nt AS n2
+                 FROM inter JOIN sizes s1 ON inter.d1 = s1.doc_id
+                 JOIN sizes s2 ON inter.d2 = s2.doc_id)
+           WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) >= 0.5),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                   UNION ALL SELECT d2, d1 FROM pairs),
+         nodes AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 256),
+         walk(node, root) AS (
+           SELECT doc_id, doc_id FROM nodes
+           UNION
+           SELECT e.b, w.root FROM walk w JOIN edges e ON e.a = w.node)
+         SELECT node AS doc_id, min(root) AS comp,
+                node = min(root) AS is_representative
+         FROM walk GROUP BY node ORDER BY doc_id""",
     "dedup_ngram_jaccard" ->
       """WITH toks AS (
            SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS token
