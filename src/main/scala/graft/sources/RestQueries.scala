@@ -25,6 +25,23 @@ object RestQueries {
         .orderBy(col("event_type"))
     }),
 
+    // the reference's CONTINUOUS ingestion loop (README.md:33) literally:
+    // the REST connector as a Structured Streaming source, draining the
+    // paginated API 5 pages per micro-batch until caught up.
+    "stream_rest_ingest" -> ((s, _) => {
+      val stream = s.readStream.format("graft.sources.RestSource")
+        .option("url", stub.url).option("pages", "20").option("pageSize", "50")
+        .option("pagesPerTrigger", "5")
+        .load()
+      val q = stream.writeStream.format("memory").queryName("mem_rest_ingest")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("mem_rest_ingest")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+        .orderBy(col("event_type"))
+    }),
+
     "etl_end_to_end" -> ((s, dir) => etlEndToEnd(s, dir)))
 
   /** The reference's full pipeline (README.md:21-34) as ONE query:
@@ -64,6 +81,11 @@ object RestQueries {
 
   val oracles: Map[String, String] = Map(
     "rest_source" ->
+      s"""SELECT event_type, count(1) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
+         FROM $stubRows GROUP BY event_type ORDER BY event_type""",
+    // the streaming drain covers the same 20 pages → identical closed form
+    "stream_rest_ingest" ->
       s"""SELECT event_type, count(1) AS n,
          round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
          FROM $stubRows GROUP BY event_type ORDER BY event_type""",

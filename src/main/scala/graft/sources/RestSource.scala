@@ -169,7 +169,7 @@ final class RestTable(tableSchema: StructType, options: CaseInsensitiveStringMap
   override def name(): String = s"rest(${options.get("url")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new RestScanBuilder(tableSchema, options)
 }
@@ -211,15 +211,7 @@ final class RestScan(options: CaseInsensitiveStringMap, requiredSchema: StructTy
   override def description(): String =
     s"RestScan(url=${options.get("url")}, pushed=${pushed.mkString(",")})"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val pages = options.getInt("pages", 1)
-    val perPart = options.getInt("pagesPerPartition", 4)
-    (0 until pages by perPart).map { first =>
-      RestInputPartition(first, math.min(first + perPart, pages) - 1): InputPartition
-    }.toArray
-  }
-
-  override def createReaderFactory(): PartitionReaderFactory = {
+  private[sources] def readerFactory(): PartitionReaderFactory = {
     val typeParam = pushed.collectFirst { case EqualTo("event_type", v: String) => v }
     val minIdParam = pushed.collectFirst { case GreaterThan("event_id", v: Long) => v }
     RestReaderFactory(
@@ -233,6 +225,60 @@ final class RestScan(options: CaseInsensitiveStringMap, requiredSchema: StructTy
       requiredSchema,
       options.getDouble("requestsPerSecond", 0.0))
   }
+
+  private[sources] def pageRanges(first: Int, until: Int): Array[InputPartition] = {
+    val perPart = options.getInt("pagesPerPartition", 4)
+    (first until until by perPart).map { p =>
+      RestInputPartition(p, math.min(p + perPart, until) - 1): InputPartition
+    }.toArray
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    pageRanges(0, options.getInt("pages", 1))
+
+  override def createReaderFactory(): PartitionReaderFactory = readerFactory()
+
+  // the reference's CONTINUOUS paginated pull (README.md:33) as a real
+  // Structured Streaming source: the offset is the next unread page;
+  // each trigger advances by pagesPerTrigger (default: all available),
+  // so a long-running query keeps draining new pages as the API grows.
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new RestMicroBatchStream(this, options)
+}
+
+final class RestMicroBatchStream(scan: RestScan, options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private val totalPages = options.getInt("pages", 1)
+  private val perTrigger = options.getInt("pagesPerTrigger", totalPages)
+
+  private case class PageOffset(page: Int) extends Offset {
+    override def json(): String = page.toString
+  }
+
+  override def initialOffset(): Offset = PageOffset(0)
+  override def deserializeOffset(json: String): Offset = PageOffset(json.toInt)
+
+  // admission control bounds each micro-batch to perTrigger pages past the
+  // committed offset — bounding inside planInputPartitions instead would
+  // silently skip pages, since the engine commits everything up to the
+  // offset this method returns.
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    PageOffset(math.min(totalPages, start.asInstanceOf[PageOffset].page + perTrigger))
+  override def reportLatestOffset(): Offset = PageOffset(totalPages)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "use latestOffset(Offset, ReadLimit) — this source supports admission control")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    scan.pageRanges(start.asInstanceOf[PageOffset].page, end.asInstanceOf[PageOffset].page)
+
+  override def createReaderFactory(): PartitionReaderFactory = scan.readerFactory()
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class RestInputPartition(firstPage: Int, lastPage: Int) extends InputPartition

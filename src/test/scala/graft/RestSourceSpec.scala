@@ -217,6 +217,26 @@ class RestSourceSpec extends SparkSuite {
     } finally stub.stop()
   }
 
+  test("streaming REST source drains pages in bounded micro-batches") {
+    val stub = RestStubServer.start(totalRows = 200L)
+    try {
+      val stream = spark.readStream.format("graft.sources.RestSource")
+        .option("url", stub.url).option("pages", "10").option("pageSize", "20")
+        .option("pagesPerTrigger", "3")
+        .load()
+      val q = stream.writeStream.format("memory").queryName("rest_stream_test")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val out = spark.table("rest_stream_test")
+      assert(out.count() === 200, "all pages drained across micro-batches")
+      assert(out.select(countDistinct(col("event_id"))).head.getLong(0) === 200,
+        "no page read twice")
+      // 10 pages at 3 per trigger → at least 4 data-bearing micro-batches
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 4, s"expected >=4 micro-batches, saw $dataBatches")
+    } finally stub.stop()
+  }
+
   test("auth token from env-named option is sent (401 without)") {
     val stub = RestStubServer.start(totalRows = 100L)
     try {
