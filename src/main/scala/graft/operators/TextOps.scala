@@ -219,30 +219,56 @@ object TextOps {
     // Representative selection (keep doc_id == comp) is what turns
     // pairwise near-dup detection into an actual corpus dedup decision.
     "dedup_cluster" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").filter(col("doc_id") < 256).select(col("doc_id"))
-      val pairs = jaccardPairs(s, dir).select(col("d1"), col("d2"))
-      val edges = pairs
-        .union(pairs.select(col("d2").as("d1"), col("d1").as("d2"))).cache()
-      var labels = docs.withColumn("comp", col("doc_id")).cache()
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < 20) {
-        val next = labels.join(edges, labels("doc_id") === edges("d1"))
-          .select(col("d2").as("doc_id"), col("comp"))
-          .union(labels.select(col("doc_id"), col("comp")))
-          .groupBy("doc_id").agg(min(col("comp")).as("comp"))
-          .cache()
-        changed = next.join(labels.withColumnRenamed("comp", "old"), "doc_id")
-          .filter(col("comp") =!= col("old")).count()
-        labels.unpersist(); labels = next
-        iter += 1
-      }
-      edges.unpersist()
-      labels
+      clusterLabels(s, dir)
         .select(col("doc_id"), col("comp"),
           (col("doc_id") === col("comp")).as("is_representative"))
         .orderBy(col("doc_id"))
+    }),
+
+    // quality-aware dedup: within each near-dup cluster keep the HIGHEST
+    // quality member (the text_quality score), not an arbitrary one —
+    // the real training-data policy (drop dups, keep the best copy).
+    "dedup_keep_best" -> ((s, dir) => {
+      val stopArr = array(stop.map(lit): _*)
+      val labels = clusterLabels(s, dir)
+      val quality = t(s, dir, "documents").filter(col("doc_id") < 256)
+        .withColumn("toks", split(lower(col("text")), " "))
+        .select(col("doc_id").as("q_doc"),
+          r6(log(lit(1.0) + size(col("toks"))) *
+            (lit(1.0) - size(filter(col("toks"), x => array_contains(stopArr, x))).cast("double") / size(col("toks")))).as("quality"))
+      val w = Window.partitionBy(col("comp")).orderBy(col("quality").desc, col("doc_id"))
+      labels.join(quality, labels("doc_id") === quality("q_doc"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("comp"), col("doc_id").as("best_doc"), col("quality").as("best_quality"))
+        .orderBy(col("comp"))
     }))
+
+  /** HashMin label propagation to a fixpoint over the Jaccard pair graph:
+    * component id = min doc_id reachable. Iterations bounded by component
+    * diameter; each is one bounded shuffle (the Pregel/GraphX shape). */
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 256).select(col("doc_id"))
+    val pairs = jaccardPairs(s, dir).select(col("d1"), col("d2"))
+    val edges = pairs
+      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2"))).cache()
+    var labels = docs.withColumn("comp", col("doc_id")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val next = labels.join(edges, labels("doc_id") === edges("d1"))
+        .select(col("d2").as("doc_id"), col("comp"))
+        .union(labels.select(col("doc_id"), col("comp")))
+        .groupBy("doc_id").agg(min(col("comp")).as("comp"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("comp", "old"), "doc_id")
+        .filter(col("comp") =!= col("old")).count()
+      labels.unpersist(); labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
 
   /** Bounded-window unigram-Jaccard near-dup pairs (d1 < d2, 6-dp-rounded
     * jaccard ≥ 0.5) — shared by the pair query and the clustering op. */
@@ -383,6 +409,40 @@ object TextOps {
          SELECT node AS doc_id, min(root) AS comp,
                 node = min(root) AS is_representative
          FROM walk GROUP BY node ORDER BY doc_id""",
+    "dedup_keep_best" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS token
+           FROM documents WHERE doc_id < 256),
+         sizes AS (SELECT doc_id, count(1) AS nt FROM toks GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2, count(1) AS inter
+           FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT d1, d2
+           FROM (SELECT inter.d1, inter.d2, inter.inter, s1.nt AS n1, s2.nt AS n2
+                 FROM inter JOIN sizes s1 ON inter.d1 = s1.doc_id
+                 JOIN sizes s2 ON inter.d2 = s2.doc_id)
+           WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) >= 0.5),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                   UNION ALL SELECT d2, d1 FROM pairs),
+         nodes AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 256),
+         walk(node, root) AS (
+           SELECT doc_id, doc_id FROM nodes
+           UNION
+           SELECT e.b, w.root FROM walk w JOIN edges e ON e.a = w.node),
+         comp AS (SELECT node AS doc_id, min(root) AS comp FROM walk GROUP BY node),
+         quality AS (
+           SELECT doc_id,
+             round(ln(1.0 + len(toks2)) * (1.0 - CAST(len(list_filter(toks2, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(toks2)), 6) AS quality
+           FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks2
+                 FROM documents WHERE doc_id < 256))
+         SELECT comp, doc_id AS best_doc, quality AS best_quality FROM (
+           SELECT c.comp, c.doc_id, q.quality,
+             row_number() OVER (PARTITION BY c.comp
+               ORDER BY q.quality DESC, c.doc_id) AS rn
+           FROM comp c JOIN quality q ON c.doc_id = q.doc_id)
+         WHERE rn = 1 ORDER BY comp""",
     "dedup_ngram_jaccard" ->
       """WITH toks AS (
            SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS token

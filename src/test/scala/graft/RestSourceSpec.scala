@@ -237,6 +237,32 @@ class RestSourceSpec extends SparkSuite {
     } finally stub.stop()
   }
 
+  test("streaming REST source resumes from the checkpointed page offset") {
+    import java.nio.file.Files
+    val stub = RestStubServer.start(totalRows = 200L)
+    val root = Files.createTempDirectory("graft_rest_ckpt")
+    val ckpt = root.resolve("ckpt").toString
+    val outDir = root.resolve("out").toString
+    try {
+      def drain(pages: Int): Unit = {
+        val stream = spark.readStream.format("graft.sources.RestSource")
+          .option("url", stub.url).option("pages", pages.toString)
+          .option("pageSize", "20").option("pagesPerTrigger", "2")
+          .load()
+        val q = stream.writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      drain(5)  // first incarnation: pages 0-4 committed to the checkpoint
+      assert(spark.read.parquet(outDir).count() === 100)
+      drain(10) // restart: the API has grown; must read ONLY pages 5-9
+      val out = spark.read.parquet(outDir)
+      assert(out.count() === 200, "restart appends exactly the new pages")
+      assert(out.select(countDistinct(col("event_id"))).head.getLong(0) === 200,
+        "no page re-read across the restart")
+    } finally stub.stop()
+  }
+
   test("auth token from env-named option is sent (401 without)") {
     val stub = RestStubServer.start(totalRows = 100L)
     try {
