@@ -48,8 +48,12 @@ object Tables {
   /** Round a double expression to 6 dp (non-aggregated path). */
   def r6(c: Column): Column = round(c.cast("double"), 6)
 
-  /** Cache tag for fixtures derived from a source directory: a digest of
-    * the FULL path, so two datasets whose paths share the same digits can
-    * never serve each other's staged fixtures. */
-  def pathTag(dir: String): String = f"${dir.hashCode & 0x7fffffff}%08x"
+  /** Cache tag for fixtures derived from a source directory: a sha-256
+    * prefix of the FULL path, so two distinct datasets can never serve
+    * each other's staged fixtures (a 32-bit hashCode would make that
+    * promise breakable by trivial collisions). */
+  def pathTag(dir: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map(b => f"$b%02x").mkString
 }

@@ -112,7 +112,7 @@ object EtlOps {
     // compatibility", README.md:23-24): rows nest into JSON documents,
     // written as JSONL and re-ingested — the full document round-trip.
     "sink_jsonl" -> ((s, dir) => {
-      val path = tmpDir(s"sinkj_${dir.replaceAll("[^0-9.]", "")}")
+      val path = tmpDir(s"sinkj_${pathTag(dir)}")
       events(s, dir)
         .select(col("event_id"),
           struct(col("event_type").as("type"), col("value").as("value")).as("doc"))
@@ -129,7 +129,7 @@ object EtlOps {
     }),
 
     "sink_parquet" -> ((s, dir) => {
-      val path = tmpDir(s"sink_${dir.replaceAll("[^0-9.]", "")}")
+      val path = tmpDir(s"sink_${pathTag(dir)}")
       t(s, dir, "lineitem")
         .write.mode(SaveMode.Overwrite).partitionBy("l_returnflag").parquet(path)
       s.read.parquet(path)

@@ -153,7 +153,9 @@ object TextOps {
     // 6 dp after the ln so the rank key is identical in both engines.
     "text_tfidf" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val nDocs = docs.count()
+      // corpus size folds into the plan as a broadcast 1-row aggregate —
+      // no eager count() action / extra scan outside the query
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
       val tf = docs
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
         .groupBy(col("doc_id"), col("token"))
@@ -162,8 +164,9 @@ object TextOps {
         .agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
       tf.join(broadcast(dfreq), tf("token") === dfreq("d_token"))
+        .crossJoin(broadcast(nDocs))
         .withColumn("score",
-          round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+          round(col("tf") * log(col("n_docs") / col("df")), 6))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("doc_id"), col("token"), col("score"), col("rnk"))
@@ -244,18 +247,22 @@ object TextOps {
         .orderBy(col("comp"))
     }))
 
-  /** HashMin label propagation to a fixpoint over the Jaccard pair graph:
+  /** HashMin label propagation to a FIXPOINT over the Jaccard pair graph:
     * component id = min doc_id reachable. Iterations bounded by component
-    * diameter; each is one bounded shuffle (the Pregel/GraphX shape). */
+    * diameter (≤ the 256-node probe window); each is one bounded shuffle
+    * (the Pregel/GraphX shape). Fails loudly rather than returning
+    * partially-propagated labels, and returns an uncached local result so
+    * repeated invocations leak no storage. */
   private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").filter(col("doc_id") < 256).select(col("doc_id"))
     val pairs = jaccardPairs(s, dir).select(col("d1"), col("d2"))
     val edges = pairs
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2"))).cache()
     var labels = docs.withColumn("comp", col("doc_id")).cache()
+    val maxIter = 300 // > any possible diameter of the 256-node window
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (changed > 0 && iter < maxIter) {
       val next = labels.join(edges, labels("doc_id") === edges("d1"))
         .select(col("d2").as("doc_id"), col("comp"))
         .union(labels.select(col("doc_id"), col("comp")))
@@ -267,7 +274,13 @@ object TextOps {
       iter += 1
     }
     edges.unpersist()
-    labels
+    require(changed == 0, s"component labeling did not converge in $maxIter iterations")
+    // window-bounded output (≤256 rows): materialize locally and release
+    // the cached lineage instead of leaking one cached RDD per call
+    import s.implicits._
+    val rows = labels.select(col("doc_id"), col("comp")).as[(Long, Long)].collect().toSeq
+    labels.unpersist()
+    rows.toDF("doc_id", "comp")
   }
 
   /** Bounded-window unigram-Jaccard near-dup pairs (d1 < d2, 6-dp-rounded

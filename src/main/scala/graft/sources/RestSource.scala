@@ -254,6 +254,7 @@ final class RestMicroBatchStream(scan: RestScan, options: CaseInsensitiveStringM
 
   private val totalPages = options.getInt("pages", 1)
   private val perTrigger = options.getInt("pagesPerTrigger", totalPages)
+  private val pageSize = options.getInt("pageSize", 100)
 
   private case class PageOffset(page: Int) extends Offset {
     override def json(): String = page.toString
@@ -265,9 +266,23 @@ final class RestMicroBatchStream(scan: RestScan, options: CaseInsensitiveStringM
   // admission control bounds each micro-batch to perTrigger pages past the
   // committed offset — bounding inside planInputPartitions instead would
   // silently skip pages, since the engine commits everything up to the
-  // offset this method returns.
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    PageOffset(math.min(totalPages, start.asInstanceOf[PageOffset].page + perTrigger))
+  // offset this method returns. The engine-supplied ReadLimit is honored:
+  // Trigger.Once/AvailableNow pass allAvailable and MUST drain everything
+  // in one batch, not stop at pagesPerTrigger.
+  override def getDefaultReadLimit: ReadLimit =
+    if (perTrigger >= totalPages) ReadLimit.allAvailable()
+    else ReadLimit.maxRows(perTrigger.toLong * pageSize)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadMaxRows}
+    val from = start.asInstanceOf[PageOffset].page
+    val advance = limit match {
+      case _: ReadAllAvailable => totalPages
+      case r: ReadMaxRows => math.max(1L, r.maxRows() / pageSize).toInt
+      case _ => perTrigger
+    }
+    PageOffset(math.min(totalPages, from + advance))
+  }
   override def reportLatestOffset(): Offset = PageOffset(totalPages)
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(

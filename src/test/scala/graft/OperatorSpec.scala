@@ -72,7 +72,7 @@ class OperatorSpec extends SparkSuite {
   test("sink_parquet writes real partition directories") {
     q("sink_parquet").collect() // runs the write
     val dir = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_etl/sink_0.001")
+      System.getProperty("java.io.tmpdir"), s"graft_etl/sink_${graft.Tables.pathTag(sf)}")
     val parts = dir.listFiles().filter(_.getName.startsWith("l_returnflag="))
     assert(parts.map(_.getName).sorted.toSeq ===
       Seq("l_returnflag=A", "l_returnflag=N", "l_returnflag=R"))

@@ -237,6 +237,22 @@ class RestSourceSpec extends SparkSuite {
     } finally stub.stop()
   }
 
+  test("one-shot trigger drains ALL pages (ReadAllAvailable overrides pagesPerTrigger)") {
+    val stub = RestStubServer.start(totalRows = 200L)
+    try {
+      val stream = spark.readStream.format("graft.sources.RestSource")
+        .option("url", stub.url).option("pages", "10").option("pageSize", "20")
+        .option("pagesPerTrigger", "2")
+        .load()
+      val q = stream.writeStream.format("memory").queryName("rest_once_test")
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .outputMode("append").start()
+      assert(q.awaitTermination(60000), "one-shot query must terminate")
+      assert(spark.table("rest_once_test").count() === 200,
+        "single batch must cover every page, not stop at pagesPerTrigger")
+    } finally stub.stop()
+  }
+
   test("streaming REST source resumes from the checkpointed page offset") {
     import java.nio.file.Files
     val stub = RestStubServer.start(totalRows = 200L)
