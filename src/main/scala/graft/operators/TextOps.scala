@@ -253,34 +253,47 @@ object TextOps {
     * (the Pregel/GraphX shape). Fails loudly rather than returning
     * partially-propagated labels, and returns an uncached local result so
     * repeated invocations leak no storage. */
+  // the label fixpoint is deterministic per source dir — memoize so
+  // dedup_keep_best reuses dedup_cluster's work within a process
+  private val labelCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Long)]]
+
   private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").filter(col("doc_id") < 256).select(col("doc_id"))
-    val pairs = jaccardPairs(s, dir).select(col("d1"), col("d2"))
-    val edges = pairs
-      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2"))).cache()
-    var labels = docs.withColumn("comp", col("doc_id")).cache()
-    val maxIter = 300 // > any possible diameter of the 256-node window
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val next = labels.join(edges, labels("doc_id") === edges("d1"))
-        .select(col("d2").as("doc_id"), col("comp"))
-        .union(labels.select(col("doc_id"), col("comp")))
-        .groupBy("doc_id").agg(min(col("comp")).as("comp"))
-        .cache()
-      changed = next.join(labels.withColumnRenamed("comp", "old"), "doc_id")
-        .filter(col("comp") =!= col("old")).count()
-      labels.unpersist(); labels = next
-      iter += 1
-    }
-    edges.unpersist()
-    require(changed == 0, s"component labeling did not converge in $maxIter iterations")
-    // window-bounded output (≤256 rows): materialize locally and release
-    // the cached lineage instead of leaking one cached RDD per call
     import s.implicits._
-    val rows = labels.select(col("doc_id"), col("comp")).as[(Long, Long)].collect().toSeq
-    labels.unpersist()
-    rows.toDF("doc_id", "comp")
+    labelCache.getOrElseUpdate(dir, {
+      // the iterative shuffles move ≤256-row frames: run them narrow so
+      // per-iteration cost is scheduling-light (restored after the loop)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 256).select(col("doc_id"))
+        val pairs = jaccardPairs(s, dir).select(col("d1"), col("d2"))
+        val edges = pairs
+          .union(pairs.select(col("d2").as("d1"), col("d1").as("d2"))).cache()
+        var labels = docs.withColumn("comp", col("doc_id")).cache()
+        val maxIter = 300 // > any possible diameter of the 256-node window
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < maxIter) {
+          val next = labels.join(edges, labels("doc_id") === edges("d1"))
+            .select(col("d2").as("doc_id"), col("comp"))
+            .union(labels.select(col("doc_id"), col("comp")))
+            .groupBy("doc_id").agg(min(col("comp")).as("comp"))
+            .cache()
+          changed = next.join(labels.withColumnRenamed("comp", "old"), "doc_id")
+            .filter(col("comp") =!= col("old")).count()
+          labels.unpersist(); labels = next
+          iter += 1
+        }
+        edges.unpersist()
+        require(changed == 0, s"component labeling did not converge in $maxIter iterations")
+        // window-bounded output (≤256 rows): materialize locally and
+        // release the cached lineage instead of leaking cached RDDs
+        val rows = labels.select(col("doc_id"), col("comp")).as[(Long, Long)].collect().toSeq
+        labels.unpersist()
+        rows
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }).toDF("doc_id", "comp")
   }
 
   /** Bounded-window unigram-Jaccard near-dup pairs (d1 < d2, 6-dp-rounded
