@@ -189,6 +189,34 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     }),
 
+    // statistical aggregates (stddev, correlation) the deterministic way:
+    // accumulate EXACT decimal moments (n, Σx, Σy, Σx², Σy², Σxy — order-
+    // independent under parallel partial aggregation), then evaluate the
+    // closed forms on those exact values. Naive stddev/corr aggregates
+    // fold doubles in partition order and are not bit-reproducible.
+    "agg_stats" -> ((s, dir) => {
+      val big = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DecimalType(38, 6))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(big(col("l_quantity"))).as("sx"),
+          sum(big(col("l_extendedprice"))).as("sy"),
+          sum(big(col("l_quantity") * col("l_quantity"))).as("sxx"),
+          sum(big(col("l_extendedprice") * col("l_extendedprice"))).as("syy"),
+          sum(big(col("l_quantity") * col("l_extendedprice"))).as("sxy"))
+        .select(
+          col("l_returnflag"), col("n"),
+          round(sqrt((col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+            / (col("n") - 1)), 6).as("stddev_qty"),
+          round((col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double"))
+            / sqrt((col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double"))
+              * (col("n") * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double"))), 6)
+            .as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "agg_custom_udaf" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -276,6 +304,21 @@ object Aggregates {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_custom_udaf" ->
       """SELECT l_returnflag, round(exp(avg(ln(l_extendedprice))), 6) AS geo_price, count(1) AS n
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_stats" ->
+      """SELECT l_returnflag, n,
+         round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)), 6) AS stddev_qty,
+         round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_qty_price
+         FROM (
+           SELECT l_returnflag, count(1) AS n,
+             sum(CAST(l_quantity AS DECIMAL(38,6))) AS sx,
+             sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS sy,
+             sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS sxx,
+             sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS syy,
+             sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS sxy
+           FROM lineitem GROUP BY l_returnflag)
+         ORDER BY l_returnflag"""
   ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
 }
