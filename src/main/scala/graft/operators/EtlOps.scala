@@ -21,8 +21,12 @@ import graft.Tables._
   */
 object EtlOps {
 
+  // per-process root (like ScaleOps' per-PID warehouse): two JVMs staging
+  // the same sfDir concurrently must not race on a non-atomic Overwrite —
+  // one could read the other's half-written fixture
   private def tmpDir(name: String): String = {
-    val p = Paths.get(System.getProperty("java.io.tmpdir"), "graft_etl", name)
+    val p = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_etl_${ProcessHandle.current().pid()}", name)
     Files.createDirectories(p.getParent)
     p.toString
   }

@@ -261,38 +261,53 @@ object TextOps {
   private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     labelCache.getOrElseUpdate(dir, {
-      // the iterative shuffles move ≤256-row frames: run them narrow so
-      // per-iteration cost is scheduling-light (restored after the loop)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        val docs = t(s, dir, "documents").filter(col("doc_id") < 256).select(col("doc_id"))
-        val pairs = jaccardPairs(s, dir).select(col("d1"), col("d2"))
-        val edges = pairs
-          .union(pairs.select(col("d2").as("d1"), col("d1").as("d2"))).cache()
-        var labels = docs.withColumn("comp", col("doc_id")).cache()
-        val maxIter = 300 // > any possible diameter of the 256-node window
-        var changed = 1L
-        var iter = 0
-        while (changed > 0 && iter < maxIter) {
-          val next = labels.join(edges, labels("doc_id") === edges("d1"))
-            .select(col("d2").as("doc_id"), col("comp"))
-            .union(labels.select(col("doc_id"), col("comp")))
-            .groupBy("doc_id").agg(min(col("comp")).as("comp"))
-            .cache()
-          changed = next.join(labels.withColumnRenamed("comp", "old"), "doc_id")
-            .filter(col("comp") =!= col("old")).count()
-          labels.unpersist(); labels = next
-          iter += 1
-        }
-        edges.unpersist()
-        require(changed == 0, s"component labeling did not converge in $maxIter iterations")
-        // window-bounded output (≤256 rows): materialize locally and
-        // release the cached lineage instead of leaking cached RDDs
-        val rows = labels.select(col("doc_id"), col("comp")).as[(Long, Long)].collect().toSeq
-        labels.unpersist()
-        rows
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // parallelism note: the iterated frames are ≤256 rows, so the
+      // per-iteration shuffles are metadata-sized; AQE coalesces them on
+      // its own — no session-global shuffle.partitions flip (a concurrent
+      // query on the same session must not silently inherit narrow
+      // parallelism)
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 256).select(col("doc_id"))
+      val pairs = jaccardPairs(s, dir).select(col("d1"), col("d2"))
+      val edges = pairs
+        .union(pairs.select(col("d2").as("d1"), col("d1").as("d2"))).cache()
+      var labels = docs.withColumn("comp", col("doc_id")).cache()
+      // HashMin labels only ever DECREASE, so sum(comp) is strictly
+      // decreasing until the fixpoint — an equal sum IS convergence. That
+      // makes the check one cheap agg on the already-cached frame instead
+      // of a compare-join + second action per iteration.
+      var sumPrev = labels.agg(sum(col("comp"))).head.getLong(0)
+      val maxIter = 40 // pointer jumping ⇒ O(log diameter) ≤ log2(256)=8; 5× slack
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        // one HashMin step: comp := min(comp, min over neighbors' comp)
+        val stepped = labels.join(edges, labels("doc_id") === edges("d1"))
+          .select(col("d2").as("doc_id"), col("comp"))
+          .union(labels.select(col("doc_id"), col("comp")))
+          .groupBy("doc_id").agg(min(col("comp")).as("comp"))
+        // pointer jump: comp := min(comp, comp[comp]) — halves the
+        // remaining propagation distance every round (O(log d) rounds
+        // total instead of O(d), the classic shortcut for cluster-scale
+        // connected components where each round is a full shuffle)
+        val next = stepped.as("x")
+          .join(stepped.select(col("doc_id").as("p"), col("comp").as("pc")).as("y"),
+            col("x.comp") === col("y.p"), "left")
+          .select(col("x.doc_id").as("doc_id"),
+            least(col("x.comp"), coalesce(col("pc"), col("x.comp"))).as("comp"))
+          .cache()
+        val sumNow = next.agg(sum(col("comp"))).head.getLong(0)
+        converged = sumNow == sumPrev
+        sumPrev = sumNow
+        labels.unpersist(); labels = next
+        iter += 1
+      }
+      edges.unpersist()
+      require(converged, s"component labeling did not converge in $maxIter iterations")
+      // window-bounded output (≤256 rows): materialize locally and
+      // release the cached lineage instead of leaking cached RDDs
+      val rows = labels.select(col("doc_id"), col("comp")).as[(Long, Long)].collect().toSeq
+      labels.unpersist()
+      rows
     }).toDF("doc_id", "comp")
   }
 

@@ -61,8 +61,10 @@ class RestSource extends TableProvider {
     }
   override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    RestSource.validateSchema(schema) // covers user DDL and .schema(...) too
     new RestTable(schema, new CaseInsensitiveStringMap(properties))
+  }
 }
 
 object RestSource {
@@ -72,34 +74,48 @@ object RestSource {
     StructField("event_type", StringType),
     StructField("value", DoubleType)))
 
-  private val mapper = new ObjectMapper()
+  private[sources] val mapper = new ObjectMapper()
 
   /** First-page sampling inference: fetch page 0 once and merge the field
-    * types observed across its records. Driver-side, one request. */
+    * types observed across its records. Driver-side, one request — but the
+    * same bounded-retry loop as the scan path (RestHttp.fetchArray): a
+    * transient 429/5xx during inference must not fail a query the readers
+    * would have survived. */
   def sampleSchema(options: CaseInsensitiveStringMap): StructType = {
     val url = options.get("url")
     val limit = options.getInt("sampleSize", options.getInt("pageSize", 100))
     val sep = if (url.contains("?")) "&" else "?"
     val target = new java.net.URI(s"$url${sep}page=0&limit=$limit").toURL
-    val conn = target.openConnection().asInstanceOf[java.net.HttpURLConnection]
-    conn.setConnectTimeout(5000); conn.setReadTimeout(15000)
-    Option(options.get("authTokenEnv")).flatMap(e => sys.env.get(e)).foreach { tok =>
-      conn.setRequestProperty("Authorization", s"Bearer $tok")
+    val token = Option(options.get("authTokenEnv")).flatMap(e => sys.env.get(e))
+    val elems = RestHttp.fetchArray(target, token, options.getInt("maxRetries", 4))
+    if (elems.isEmpty)
+      throw new java.io.IOException(
+        s"rest_source: schema sampling needs a non-empty JSON array page from $url")
+    resolveNulls(elems.map(inferType).reduce(mergeType)) match {
+      case st: StructType => st
+      case other => throw new java.io.IOException(
+        s"rest_source: records must be JSON objects, inferred $other")
     }
-    try {
-      if (conn.getResponseCode != 200)
-        throw new java.io.IOException(
-          s"rest_source: schema sampling got HTTP ${conn.getResponseCode} from $url")
-      val node = mapper.readTree(conn.getInputStream.readAllBytes())
-      if (!node.isArray || !node.elements().hasNext)
-        throw new java.io.IOException(
-          s"rest_source: schema sampling needs a non-empty JSON array page, got: $node")
-      resolveNulls(node.elements().asScala.map(inferType).reduce(mergeType)) match {
-        case st: StructType => st
-        case other => throw new java.io.IOException(
-          s"rest_source: records must be JSON objects, inferred $other")
-      }
-    } finally conn.disconnect()
+  }
+
+  /** Plan-time guard: every type the schema mentions must have a decoder
+    * in [[toCatalyst]]. A DDL like "price FLOAT, seen DATE" used to pass
+    * planning and then throw per-row inside executors — fail fast on the
+    * driver with the offending field paths instead. */
+  private[sources] def validateSchema(schema: StructType): Unit = {
+    def walk(path: String, dt: DataType): Seq[String] = dt match {
+      case LongType | IntegerType | ShortType | ByteType | DoubleType | FloatType |
+           BooleanType | StringType | DateType | TimestampType => Nil
+      case _: DecimalType => Nil
+      case st: StructType => st.fields.toSeq.flatMap(f => walk(s"$path.${f.name}", f.dataType))
+      case ArrayType(et, _) => walk(s"$path[]", et)
+      case other => Seq(s"$path: $other")
+    }
+    val bad = schema.fields.toSeq.flatMap(f => walk(f.name, f.dataType))
+    require(bad.isEmpty,
+      s"rest_source: unsupported column type(s) ${bad.mkString("; ")} — supported: " +
+        "BIGINT, INT, SMALLINT, TINYINT, DOUBLE, FLOAT, DECIMAL(p,s), BOOLEAN, " +
+        "STRING, DATE, TIMESTAMP, STRUCT, ARRAY")
   }
 
   // NullType is the inference bottom: a null observation defers to any
@@ -152,16 +168,82 @@ object RestSource {
     else dt match {
       case LongType => if (n.isNumber) java.lang.Long.valueOf(n.asLong()) else null
       case IntegerType => if (n.isNumber) java.lang.Integer.valueOf(n.asInt()) else null
+      case ShortType => if (n.isNumber) java.lang.Short.valueOf(n.asInt().toShort) else null
+      case ByteType => if (n.isNumber) java.lang.Byte.valueOf(n.asInt().toByte) else null
       case DoubleType => if (n.isNumber) java.lang.Double.valueOf(n.asDouble()) else null
+      case FloatType => if (n.isNumber) java.lang.Float.valueOf(n.asDouble().toFloat) else null
+      case d: DecimalType =>
+        if (!n.isNumber) null
+        else {
+          val dec = org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(n.asText()))
+          if (dec.changePrecision(d.precision, d.scale)) dec else null // overflow → null, like mismatches
+        }
       case BooleanType => if (n.isBoolean) java.lang.Boolean.valueOf(n.asBoolean()) else null
       case StringType => UTF8String.fromString(if (n.isTextual) n.asText() else n.toString)
+      case DateType => // ISO-8601 calendar date → days since epoch
+        if (!n.isTextual) null
+        else try Integer.valueOf(java.time.LocalDate.parse(n.asText()).toEpochDay.toInt)
+        catch { case _: java.time.format.DateTimeParseException => null }
+      case TimestampType => // ISO-8601 instant (text) or epoch millis (integral) → micros
+        if (n.isIntegralNumber) java.lang.Long.valueOf(Math.multiplyExact(n.asLong(), 1000L))
+        else if (!n.isTextual) null
+        else try {
+          val t = n.asText()
+          val instant =
+            if (t.endsWith("Z") || t.contains("+")) java.time.Instant.parse(t)
+            else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+              .toInstant(java.time.ZoneOffset.UTC)
+          java.lang.Long.valueOf(Math.addExact(
+            Math.multiplyExact(instant.getEpochSecond, 1000000L), instant.getNano / 1000L))
+        } catch { case _: java.time.format.DateTimeParseException => null }
       case st: StructType =>
         InternalRow.fromSeq(st.fields.toSeq.map(f => toCatalyst(n.get(f.name), f.dataType)))
       case ArrayType(et, _) =>
         new GenericArrayData(n.elements().asScala.map(toCatalyst(_, et)).toArray)
-      case other =>
+      case other => // unreachable behind validateSchema; kept as defense in depth
         throw new UnsupportedOperationException(s"rest_source: unsupported type $other")
     }
+}
+
+/** The one HTTP GET loop for this source: expect a JSON array body, retry
+  * 429/5xx up to `maxRetries` with exponential backoff, honoring a
+  * server-issued `Retry-After` (seconds) when it exceeds the backoff.
+  * Shared by the executor-side partition readers and the driver-side
+  * schema sampler so both survive the same transient failures. */
+private[sources] object RestHttp {
+  def fetchArray(target: java.net.URL, authToken: Option[String], maxRetries: Int,
+      pace: () => Unit = () => (), warn: String => Unit = _ => ()): Vector[JsonNode] = {
+    var attempt = 0
+    while (true) {
+      pace()
+      val conn = target.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(5000); conn.setReadTimeout(15000)
+      authToken.foreach(tok => conn.setRequestProperty("Authorization", s"Bearer $tok"))
+      try {
+        val code = conn.getResponseCode
+        if (code == 200) {
+          val body = new String(conn.getInputStream.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val node = RestSource.mapper.readTree(body) // malformed JSON throws → spec's "invalid response" class
+          if (!node.isArray) throw new java.io.IOException(s"expected JSON array, got: $node")
+          return node.elements().asScala.toVector
+        } else if ((code == 429 || code >= 500) && attempt < maxRetries) {
+          attempt += 1
+          val backoffMs = 50L << attempt // exponential backoff per README.md:33
+          // a server-issued Retry-After (seconds) overrides a shorter backoff
+          val retryAfterMs = Option(conn.getHeaderField("Retry-After"))
+            .flatMap(_.trim.toLongOption).map(_ * 1000L).getOrElse(0L)
+          val sleepMs = math.max(backoffMs, retryAfterMs)
+          warn(s"rest_source: HTTP $code from $target, retry $attempt after ${sleepMs}ms" +
+            (if (retryAfterMs > 0) " (Retry-After honored)" else ""))
+          Thread.sleep(sleepMs)
+        } else {
+          throw new java.io.IOException(s"rest_source: HTTP $code from $target after $attempt retries")
+        }
+      } finally conn.disconnect()
+    }
+    Vector.empty // unreachable
+  }
 }
 
 final class RestTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
@@ -311,7 +393,6 @@ case class RestReaderFactory(url: String, pageSize: Int, authTokenEnv: Option[St
 final class RestPartitionReader(part: RestInputPartition, cfg: RestReaderFactory)
     extends PartitionReader[InternalRow] with Logging {
 
-  private val mapper = new ObjectMapper()
   private var page = part.firstPage
   private var rows: Iterator[JsonNode] = Iterator.empty
   private var current: JsonNode = _
@@ -335,38 +416,8 @@ final class RestPartitionReader(part: RestInputPartition, cfg: RestReaderFactory
       cfg.failMode.map(f => s"fail=$f")
     val sep = if (cfg.url.contains("?")) "&" else "?"
     val target = new java.net.URI(cfg.url + sep + params.mkString("&")).toURL
-    var attempt = 0
-    while (true) {
-      pace()
-      val conn = target.openConnection().asInstanceOf[java.net.HttpURLConnection]
-      conn.setConnectTimeout(5000); conn.setReadTimeout(15000)
-      cfg.authTokenEnv.flatMap(e => sys.env.get(e)).foreach { tok =>
-        conn.setRequestProperty("Authorization", s"Bearer $tok")
-      }
-      try {
-        val code = conn.getResponseCode
-        if (code == 200) {
-          val body = new String(conn.getInputStream.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8)
-          val node = mapper.readTree(body) // malformed JSON throws → spec's "invalid response" class
-          if (!node.isArray) throw new java.io.IOException(s"expected JSON array, got: $node")
-          return node.elements().asScala.toVector.iterator
-        } else if ((code == 429 || code >= 500) && attempt < cfg.maxRetries) {
-          attempt += 1
-          val backoffMs = 50L << attempt // exponential backoff per README.md:33
-          // a server-issued Retry-After (seconds) overrides a shorter backoff
-          val retryAfterMs = Option(conn.getHeaderField("Retry-After"))
-            .flatMap(_.trim.toLongOption).map(_ * 1000L).getOrElse(0L)
-          val sleepMs = math.max(backoffMs, retryAfterMs)
-          logWarning(s"rest_source: HTTP $code on page $p, retry $attempt after ${sleepMs}ms" +
-            (if (retryAfterMs > 0) " (Retry-After honored)" else ""))
-          Thread.sleep(sleepMs)
-        } else {
-          throw new java.io.IOException(s"rest_source: HTTP $code on page $p after $attempt retries")
-        }
-      } finally conn.disconnect()
-    }
-    Iterator.empty // unreachable
+    RestHttp.fetchArray(target, cfg.authTokenEnv.flatMap(e => sys.env.get(e)),
+      cfg.maxRetries, pace = () => pace(), warn = m => logWarning(m)).iterator
   }
 
   override def next(): Boolean = {

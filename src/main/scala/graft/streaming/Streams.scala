@@ -38,11 +38,13 @@ object Streams {
 
   /** File-source stream over the events parquet with µs timestamps.
     * The file-stream source needs a directory, so the single events file is
-    * staged (symlinked) into a tmp dir per scale factor. */
+    * staged (symlinked) into a tmp dir per scale factor. All staging dirs
+    * below are per-PID (like EtlOps/ScaleOps) so concurrent JVMs never race
+    * on a non-atomic Overwrite of a shared fixture. */
   private def eventsStream(s: SparkSession, sfDir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tag = graft.Tables.pathTag(sfDir)
-    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream", s"events_$tag")
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_stream_${ProcessHandle.current().pid()}", s"events_$tag")
     Files.createDirectories(dir)
     val link = dir.resolve("events.parquet")
     if (!Files.exists(link))
@@ -93,6 +95,11 @@ object Streams {
       val merged = existing.unionByName(withPk)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).drop("rn")
+      // INVARIANT: this write MUST stay dynamic-partition-overwrite. The
+      // job reads tgtDir and overwrites the same path; dynamic mode defers
+      // deletion of replaced partitions to job commit, after the read is
+      // done. Static overwrite (or dropping the option) would delete input
+      // files mid-read. Guarded by the byte-identical-partition unit test.
       merged.write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("_pk").parquet(tgtDir.toString)
@@ -107,7 +114,7 @@ object Streams {
   private[graft] def stageUpsertInput(s: SparkSession, dir: String): java.nio.file.Path = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tag = graft.Tables.pathTag(dir)
-    val inDir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream", s"in_$tag")
+    val inDir = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_stream_${ProcessHandle.current().pid()}", s"in_$tag")
     if (!Files.exists(inDir.resolve("0_batch.parquet")) ||
         !Files.exists(inDir.resolve("1_batch.parquet"))) {
       org.apache.commons.io.FileUtils.deleteQuietly(inDir.toFile)
@@ -253,7 +260,7 @@ object Streams {
     "stream_upsert_sink" -> ((s, dir) => {
       val inDir = stageUpsertInput(s, dir)
       val tag = graft.Tables.pathTag(dir)
-      val tgtDir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream", s"tgt_$tag")
+      val tgtDir = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_stream_${ProcessHandle.current().pid()}", s"tgt_$tag")
       org.apache.commons.io.FileUtils.deleteQuietly(tgtDir.toFile)
       val stream = s.readStream
         .schema(StructType(Seq(

@@ -279,6 +279,38 @@ class RestSourceSpec extends SparkSuite {
     } finally stub.stop()
   }
 
+  test("unsupported schema type fails at plan time, not per-row in executors") {
+    val stub = RestStubServer.start(totalRows = 20L)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        read(stub.url, "schema" -> "event_id BIGINT, payload BINARY")
+      }
+      assert(e.getMessage.contains("payload"))
+    } finally stub.stop()
+  }
+
+  test("typed DDL beyond the JSON primitives decodes (FLOAT narrows DOUBLE)") {
+    val stub = RestStubServer.start(totalRows = 20L)
+    try {
+      val df = read(stub.url, "schema" -> "event_id BIGINT, value FLOAT")
+      val row = df.filter(col("event_id") === 7).head
+      assert(row.getFloat(1) === RestStubServer.expectedValue(7).toFloat)
+    } finally stub.stop()
+  }
+
+  test("schema inference survives a transient 429 (same retry loop as the scan)") {
+    val stub = RestStubServer.start(totalRows = 40L)
+    try {
+      val df = spark.read.format("graft.sources.RestSource")
+        .option("url", stub.url + "?fail=429once")
+        .option("pages", "2").option("pageSize", "20")
+        .option("inferSchema", "true")
+        .load()
+      assert(df.schema.fieldNames.toSeq === Seq("event_id", "event_type", "value"))
+      assert(df.count() === 40)
+    } finally stub.stop()
+  }
+
   test("auth token from env-named option is sent (401 without)") {
     val stub = RestStubServer.start(totalRows = 100L)
     try {
