@@ -261,16 +261,34 @@ object TextOps {
   private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     labelCache.getOrElseUpdate(dir, {
-      // parallelism note: the iterated frames are ≤256 rows, so the
-      // per-iteration shuffles are metadata-sized; AQE coalesces them on
-      // its own — no session-global shuffle.partitions flip (a concurrent
-      // query on the same session must not silently inherit narrow
-      // parallelism)
+      // parallelism note: the iterated frames are bounded by the probe
+      // window (≤256 rows), so they are pinned to ONE partition and the
+      // per-iteration joins broadcast — cached plans don't get AQE
+      // partition coalescing (canChangeCachedPlanOutputPartitioning is
+      // off), so without the explicit coalesce every round would schedule
+      // dozens of empty shuffle tasks. No session-global
+      // shuffle.partitions flip (a concurrent query on the same session
+      // must not silently inherit narrow parallelism); on an unbounded
+      // graph the same loop runs hash-partitioned — drop the coalesce and
+      // the broadcast hints and it is the standard cluster-scale shape.
+      // lineage discipline: every iterated frame is pinned — cached at the
+      // RDD layer and re-wrapped as a fresh LogicalRDD-rooted DataFrame,
+      // which BOTH avoids recomputation AND truncates the logical plan.
+      // cache() alone truncates nothing logically: each round's plan would
+      // embed the previous round's (twice, via the jump self-join), so
+      // Catalyst analysis cost grows ~4× per iteration and dominates
+      // within a handful of rounds. (The direct localCheckpoint API trips
+      // an attribute-rewrite bug on this plan shape in Spark 4.1, so the
+      // truncation is spelled out as the rdd round-trip.) Superseded RDDs
+      // are reclaimed by the ContextCleaner once the loop drops them.
+      def pin(df: DataFrame): DataFrame =
+        s.createDataFrame(df.rdd.cache(), df.schema)
       val docs = t(s, dir, "documents").filter(col("doc_id") < 256).select(col("doc_id"))
       val pairs = jaccardPairs(s, dir).select(col("d1"), col("d2"))
-      val edges = pairs
-        .union(pairs.select(col("d2").as("d1"), col("d1").as("d2"))).cache()
-      var labels = docs.withColumn("comp", col("doc_id")).cache()
+      val edges = pin(pairs
+        .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+        .coalesce(1))
+      var labels = pin(docs.withColumn("comp", col("doc_id")).coalesce(1))
       // HashMin labels only ever DECREASE, so sum(comp) is strictly
       // decreasing until the fixpoint — an equal sum IS convergence. That
       // makes the check one cheap agg on the already-cached frame instead
@@ -280,34 +298,35 @@ object TextOps {
       var converged = false
       var iter = 0
       while (!converged && iter < maxIter) {
-        // one HashMin step: comp := min(comp, min over neighbors' comp)
-        val stepped = labels.join(edges, labels("doc_id") === edges("d1"))
+        // one HashMin step: comp := min(comp, min over neighbors' comp).
+        // Checkpointed — the jump join reads it from BOTH sides, and an
+        // untruncated frame would recompute (and re-analyze) twice.
+        val stepped = pin(labels.join(broadcast(edges), labels("doc_id") === edges("d1"))
           .select(col("d2").as("doc_id"), col("comp"))
           .union(labels.select(col("doc_id"), col("comp")))
           .groupBy("doc_id").agg(min(col("comp")).as("comp"))
+          .coalesce(1))
         // pointer jump: comp := min(comp, comp[comp]) — halves the
         // remaining propagation distance every round (O(log d) rounds
         // total instead of O(d), the classic shortcut for cluster-scale
         // connected components where each round is a full shuffle)
-        val next = stepped.as("x")
-          .join(stepped.select(col("doc_id").as("p"), col("comp").as("pc")).as("y"),
+        val next = pin(stepped.as("x")
+          .join(broadcast(stepped.select(col("doc_id").as("p"), col("comp").as("pc")).as("y")),
             col("x.comp") === col("y.p"), "left")
           .select(col("x.doc_id").as("doc_id"),
             least(col("x.comp"), coalesce(col("pc"), col("x.comp"))).as("comp"))
-          .cache()
+          .coalesce(1))
         val sumNow = next.agg(sum(col("comp"))).head.getLong(0)
         converged = sumNow == sumPrev
         sumPrev = sumNow
-        labels.unpersist(); labels = next
+        labels = next
         iter += 1
       }
-      edges.unpersist()
       require(converged, s"component labeling did not converge in $maxIter iterations")
-      // window-bounded output (≤256 rows): materialize locally and
-      // release the cached lineage instead of leaking cached RDDs
-      val rows = labels.select(col("doc_id"), col("comp")).as[(Long, Long)].collect().toSeq
-      labels.unpersist()
-      rows
+      // window-bounded output (≤256 rows): materialize locally; the
+      // checkpointed per-round RDDs (≤40 × 256 rows) are reclaimed by the
+      // ContextCleaner once unreferenced
+      labels.select(col("doc_id"), col("comp")).as[(Long, Long)].collect().toSeq
     }).toDF("doc_id", "comp")
   }
 
