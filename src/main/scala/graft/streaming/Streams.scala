@@ -253,6 +253,34 @@ object Streams {
         .orderBy(col("user_id"))
     }),
 
+    // stream-stream interval join: each click paired with the same user's
+    // purchases within the following 5 minutes. BOTH sides are unbounded,
+    // so this is the genuinely stateful join: watermarks bound how long a
+    // side's rows are retained, and the time-range conjunct is what lets
+    // the engine evict state — an equi-join without it would buffer both
+    // streams forever. State is hash-partitioned by user_id, the same
+    // shuffle a batch join would use, so it scales like the batch twin.
+    "stream_stream_join" -> ((s, dir) => {
+      val clicks = eventsStream(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+      val purchases = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 5 MINUTES"))
+      runToTable(s, joined.select(col("c_id"), col("p_id"), col("c_user"),
+          unix_timestamp(col("c_ts")).as("c_ts_s")),
+        "mem_ss_join", "append")
+        .orderBy(col("c_id"), col("p_id"))
+    }),
+
     // foreachBatch upsert (the MongoDB-load analogue, README.md:24,:29):
     // two micro-batches — original events, then a corrected re-send of
     // every 5th event — merged key-wise into a parquet "collection";
@@ -337,6 +365,16 @@ object Streams {
          FROM events JOIN customer ON user_id = c_custkey
          GROUP BY c_mktsegment, event_type
          ORDER BY c_mktsegment, event_type""",
+    // bounded replay ⇒ the interval join equals its batch twin exactly
+    "stream_stream_join" ->
+      """SELECT c.event_id AS c_id, p.event_id AS p_id,
+         c.user_id AS c_user, epoch_us(c.ts) // 1000000 AS c_ts_s
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND epoch_us(p.ts) >= epoch_us(c.ts)
+          AND epoch_us(p.ts) <= epoch_us(c.ts) + 300000000
+         ORDER BY c_id, p_id""",
     "stream_custom_state" ->
       """SELECT user_id, n_events, last_type FROM (
            SELECT user_id,
