@@ -26,15 +26,18 @@ object MinHashDedup {
   private val BANDS = 4   // 4 bands × 4 rows
 
   /** doc_id + K-column minhash signature for an (id, tokens) projection.
-    * Each token is hashed ONCE (xxhash64), then the K per-seed minima mix
-    * the 64-bit hash with the seed arithmetically — 16 long ops per token
-    * instead of 16 string concat+hash passes (~4× faster at sf0.1). */
-  def signatures(docs: DataFrame, idCol: String, toksCol: String): DataFrame = {
-    val hashed = docs.withColumn("_th", expr(s"transform($toksCol, t -> xxhash64(t))"))
-    val sigCols = (0 until K).map { s =>
-      expr(s"aggregate(_th, 9223372036854775807L, (acc, h) -> least(acc, xxhash64(h, $s)))").as(s"m$s")
-    }
-    hashed.select(col(idCol) +: sigCols: _*)
+    * One fused codegen pass (functions/MinHashSig): each token hashed ONCE,
+    * all K minima updated per element — replacing the K separate
+    * interpreted `aggregate` HOFs that re-traversed the array 16× per row
+    * (the round-3 19 s text_dedup_near hot spot). `shingleWidth` > 1
+    * hash-combines width-token windows in the same pass, so shingles never
+    * materialize as strings. width=1 signatures are bit-identical to the
+    * old SQL formulation. */
+  def signatures(docs: DataFrame, idCol: String, toksCol: String,
+                 shingleWidth: Int = 1): DataFrame = {
+    val sigged = docs.withColumn("_sig",
+      graft.functions.MinHashSig.minhash_sig(col(toksCol), K, shingleWidth))
+    sigged.select(col(idCol) +: (0 until K).map(j => col("_sig").getItem(j).as(s"m$j")): _*)
   }
 
   /** (band_idx, band_hash) per doc: 4-hash bands hashed together. */
@@ -52,15 +55,12 @@ object MinHashDedup {
     // agreement. Shingling (vs raw token sets) keeps band buckets sparse —
     // on this corpus token-set banding produces 2500-doc buckets (≈3M pairs
     // from one bucket) while shingle buckets stay ≤4 docs, so the bucket
-    // self-join is tiny at any scale.
+    // self-join is tiny at any scale. Shingles are hash-combined inside the
+    // fused MinHashSig pass (shingleWidth = 3) — never built as strings.
     "text_dedup_near" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .withColumn("toks", split(lower(col("text")), " "))
-        .withColumn("sh", when(size(col("toks")) >= 3, expr(
-          """transform(sequence(1, size(toks) - 2),
-             i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))"""))
-          .otherwise(array(col("text"))))
-      val sig = signatures(docs, "doc_id", "sh")
+      val sig = signatures(docs, "doc_id", "toks", shingleWidth = 3)
       val b = banded(sig, "doc_id")
       val a1 = b.select(col("doc_id").as("d1"), col("band_idx"), col("bh"))
       val a2 = b.select(col("doc_id").as("d2"), col("band_idx"), col("bh"))
