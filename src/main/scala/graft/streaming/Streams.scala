@@ -141,44 +141,47 @@ object Streams {
   /** Run a streaming aggregation to completion into a memory sink.
     * State-store instances scale with shuffle partitions; for these
     * bounded replays 8 partitions cut per-batch state-commit overhead
-    * without changing results (restored right after the plan is bound). */
-  private def runToTable(s: SparkSession, df: DataFrame, name: String,
-      mode: String): DataFrame = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-      try { q.processAllAvailable() } finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    s.table(name)
+    * without changing results. The narrow setting lives in a CLONED
+    * session (shared SparkContext, isolated SQLConf — the stream is built
+    * by `build` against that clone), so the caller's session conf is never
+    * mutated and a concurrent query on it can't silently inherit narrow
+    * parallelism. The memory-sink view and the returned frame are bound to
+    * the clone, which is dropped with it. */
+  private def runToTable(s: SparkSession, build: SparkSession => DataFrame,
+      name: String, mode: String): DataFrame = {
+    val scoped = org.apache.spark.sql.graftbridge.Bridge.cloneSession(s)
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = build(scoped).writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try { q.processAllAvailable() } finally q.stop()
+    scoped.table(name)
   }
 
   val queries: Map[String, QFn] = Map(
     "stream_tumbling" -> ((s, dir) => {
-      val agg = eventsStream(s, dir)
+      runToTable(s, s2 => eventsStream(s2, dir)
         .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
-      runToTable(s, agg, "mem_tumbling", "complete")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("v")),
+        "mem_tumbling", "complete")
         .select(unix_timestamp(col("window.start")).as("w_start_s"),
           col("event_type"), col("n"), col("v"))
         .orderBy(col("w_start_s"), col("event_type"))
     }),
 
     "stream_sliding" -> ((s, dir) => {
-      val agg = eventsStream(s, dir)
+      runToTable(s, s2 => eventsStream(s2, dir)
         .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
-      runToTable(s, agg, "mem_sliding", "complete")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("v")),
+        "mem_sliding", "complete")
         .select(unix_timestamp(col("window.start")).as("w_start_s"),
           col("event_type"), col("n"), col("v"))
         .orderBy(col("w_start_s"), col("event_type"))
     }),
 
     "stream_session" -> ((s, dir) => {
-      val agg = eventsStream(s, dir)
+      runToTable(s, s2 => eventsStream(s2, dir)
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"))
-      runToTable(s, agg, "mem_session", "complete")
+        .agg(count(lit(1)).as("n_events")),
+        "mem_session", "complete")
         .select(col("user_id"),
           unix_timestamp(col("session_window.start")).as("sess_start_s"),
           unix_timestamp(col("session_window.end")).as("sess_end_s"),
@@ -187,22 +190,22 @@ object Streams {
     }),
 
     "stream_watermark" -> ((s, dir) => {
-      val agg = eventsStream(s, dir)
+      runToTable(s, s2 => eventsStream(s2, dir)
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-      runToTable(s, agg, "mem_watermark", "update")
+        .agg(count(lit(1)).as("n")),
+        "mem_watermark", "update")
         .select(unix_timestamp(col("window.start")).as("w_start_s"),
           col("event_type"), col("n"))
         .orderBy(col("w_start_s"), col("event_type"))
     }),
 
     "stream_dedup" -> ((s, dir) => {
-      val dd = eventsStream(s, dir)
+      runToTable(s, s2 => eventsStream(s2, dir)
         .withWatermark("ts", "10 minutes")
         .dropDuplicates("event_id")
-        .select(col("event_id"), col("event_type"))
-      runToTable(s, dd, "mem_dedup", "append")
+        .select(col("event_id"), col("event_type")),
+        "mem_dedup", "append")
         .orderBy(col("event_id"))
     }),
 
@@ -210,13 +213,14 @@ object Streams {
     // dimension (the connector pattern: incoming feed ⋈ reference data).
     // The static side is broadcast into every micro-batch.
     "stream_static_join" -> ((s, dir) => {
-      val dim = t(s, dir, "customer")
-        .select(col("c_custkey"), col("c_mktsegment"))
-      val joined = eventsStream(s, dir)
-        .join(broadcast(dim), col("user_id") === col("c_custkey"), "inner")
-        .groupBy(col("c_mktsegment"), col("event_type"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
-      runToTable(s, joined, "mem_static_join", "complete")
+      runToTable(s, { s2 =>
+        val dim = t(s2, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        eventsStream(s2, dir)
+          .join(broadcast(dim), col("user_id") === col("c_custkey"), "inner")
+          .groupBy(col("c_mktsegment"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+      }, "mem_static_join", "complete")
         .orderBy(col("c_mktsegment"), col("event_type"))
     }),
 
@@ -226,30 +230,31 @@ object Streams {
     // order-insensitive (count + strict max on (ts, event_id)), so no
     // in-batch sort is needed for determinism.
     "stream_custom_state" -> ((s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
-      val src = eventsStream(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("ts_us"))
-        .as[(Long, Long, String, Long)]
-      val updated = src.groupByKey(_._2)
-        .mapGroupsWithState[(Long, String, Long, Long), (Long, Long, String)](
-          GroupStateTimeout.NoTimeout) {
-          case (uid, rows, state: GroupState[(Long, String, Long, Long)]) =>
-            var (n, lastType, lastTs, lastId) =
-              state.getOption.getOrElse((0L, "", Long.MinValue, Long.MinValue))
-            rows.foreach { r =>
-              n += 1
-              if (r._4 > lastTs || (r._4 == lastTs && r._1 > lastId)) {
-                lastType = r._3; lastTs = r._4; lastId = r._1
+      runToTable(s, { s2 =>
+        import s2.implicits._
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+        val src = eventsStream(s2, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"))
+          .as[(Long, Long, String, Long)]
+        src.groupByKey(_._2)
+          .mapGroupsWithState[(Long, String, Long, Long), (Long, Long, String)](
+            GroupStateTimeout.NoTimeout) {
+            case (uid, rows, state: GroupState[(Long, String, Long, Long)]) =>
+              var (n, lastType, lastTs, lastId) =
+                state.getOption.getOrElse((0L, "", Long.MinValue, Long.MinValue))
+              rows.foreach { r =>
+                n += 1
+                if (r._4 > lastTs || (r._4 == lastTs && r._1 > lastId)) {
+                  lastType = r._3; lastTs = r._4; lastId = r._1
+                }
               }
-            }
-            state.update((n, lastType, lastTs, lastId))
-            (uid, n, lastType)
-        }
+              state.update((n, lastType, lastTs, lastId))
+              (uid, n, lastType)
+          }
+          .toDF("user_id", "n_events", "last_type")
       // single-file source → one micro-batch → one update row per user
-      runToTable(s, updated.toDF("user_id", "n_events", "last_type"),
-        "mem_custom_state", "update")
+      }, "mem_custom_state", "update")
         .orderBy(col("user_id"))
     }),
 
@@ -261,23 +266,24 @@ object Streams {
     // streams forever. State is hash-partitioned by user_id, the same
     // shuffle a batch join would use, so it scales like the batch twin.
     "stream_stream_join" -> ((s, dir) => {
-      val clicks = eventsStream(s, dir)
-        .filter(col("event_type") === "click")
-        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
-          col("ts").as("c_ts"))
-        .withWatermark("c_ts", "10 minutes")
-      val purchases = eventsStream(s, dir)
-        .filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
-          col("ts").as("p_ts"))
-        .withWatermark("p_ts", "10 minutes")
-      val joined = clicks.join(purchases,
-        col("c_user") === col("p_user") &&
-          col("p_ts") >= col("c_ts") &&
-          col("p_ts") <= col("c_ts") + expr("INTERVAL 5 MINUTES"))
-      runToTable(s, joined.select(col("c_id"), col("p_id"), col("c_user"),
-          unix_timestamp(col("c_ts")).as("c_ts_s")),
-        "mem_ss_join", "append")
+      runToTable(s, { s2 =>
+        val clicks = eventsStream(s2, dir)
+          .filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+            col("ts").as("c_ts"))
+          .withWatermark("c_ts", "10 minutes")
+        val purchases = eventsStream(s2, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"))
+          .withWatermark("p_ts", "10 minutes")
+        clicks.join(purchases,
+          col("c_user") === col("p_user") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 5 MINUTES"))
+          .select(col("c_id"), col("p_id"), col("c_user"),
+            unix_timestamp(col("c_ts")).as("c_ts_s"))
+      }, "mem_ss_join", "append")
         .orderBy(col("c_id"), col("p_id"))
     }),
 

@@ -21,4 +21,11 @@ object Bridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Clone of a session: shared SparkContext + shared state, but isolated
+    * SQLConf/temp views copied from the parent — the per-query conf scope
+    * (`private[sql]` in Spark 4; used to scope streaming shuffle width
+    * without mutating the caller's session). */
+  def cloneSession(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 }
