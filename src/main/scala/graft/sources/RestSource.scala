@@ -42,13 +42,27 @@ import org.apache.spark.unsafe.types.UTF8String
   *      numeric → DOUBLE, bool, else STRING);
   *   3. neither → the events-shaped default (back-compat with the stub).
   *
+  * Pagination (README.md:13): `paginationMode=page` (default) fans page
+  * ranges out across executors; `paginationMode=cursor` follows an opaque
+  * `nextCursor` chain sequentially (`dataField`/`cursorField`/
+  * `cursorParam` options name the response fields; batch only — see
+  * toMicroBatchStream for why a cursor can't be a streaming offset).
+  *
+  * Auth (README.md:12,:17-18): `authScheme` = bearer | apiKeyHeader |
+  * apiKeyQuery | basic — see [[RestAuth]]; credentials always by env-var
+  * name (`authTokenEnv`/`authUserEnv`), optionally backed by a dotenv
+  * file (`envFile` → [[DotEnv]]), never by value.
+  *
   * Usage:
   * {{{
   *   spark.read.format("graft.sources.rest")
   *     .option("url", "http://host/records")
   *     .option("pages", "20").option("pageSize", "50")
   *     .option("inferSchema", "true")             // or .option("schema", ddl)
-  *     .option("authTokenEnv", "API_TOKEN")       // optional
+  *     .option("authScheme", "bearer")            // | apiKeyHeader | apiKeyQuery | basic
+  *     .option("authTokenEnv", "API_TOKEN")       // env NAME, never a value
+  *     .option("envFile", "/etc/secrets/.env")    // optional dotenv fallback
+  *     .option("paginationMode", "cursor")        // opaque next-cursor walk
   *     .option("requestsPerSecond", "10")         // optional pacing
   *     .load()
   * }}}
@@ -85,9 +99,22 @@ object RestSource {
     val url = options.get("url")
     val limit = options.getInt("sampleSize", options.getInt("pageSize", 100))
     val sep = if (url.contains("?")) "&" else "?"
-    val target = new java.net.URI(s"$url${sep}page=0&limit=$limit").toURL
-    val token = Option(options.get("authTokenEnv")).flatMap(e => sys.env.get(e))
-    val elems = RestHttp.fetchArray(target, token, options.getInt("maxRetries", 4))
+    val auth = RestAuth.fromOptions(options)
+    val cursorMode = Option(options.get("paginationMode")).contains("cursor")
+    // the cursor walk starts cursor-less, so its sample is just limit=N
+    val params = (if (cursorMode) Nil else Seq("page=0")) ++
+      Seq(s"limit=$limit") ++ auth.queryParams
+    val target = new java.net.URI(url + sep + params.mkString("&")).toURL
+    val elems =
+      if (cursorMode) {
+        val node = RestHttp.fetchNode(target, auth, options.getInt("maxRetries", 4))
+        val dataField = Option(options.get("dataField")).getOrElse("records")
+        val data = node.get(dataField)
+        if (data == null || !data.isArray)
+          throw new java.io.IOException(
+            s"rest_source: cursor response from $url lacks array field '$dataField': $node")
+        data.elements().asScala.toVector
+      } else RestHttp.fetchArray(target, auth, options.getInt("maxRetries", 4))
     if (elems.isEmpty)
       throw new java.io.IOException(
         s"rest_source: schema sampling needs a non-empty JSON array page from $url")
@@ -205,28 +232,83 @@ object RestSource {
     }
 }
 
-/** The one HTTP GET loop for this source: expect a JSON array body, retry
-  * 429/5xx up to `maxRetries` with exponential backoff, honoring a
-  * server-issued `Retry-After` (seconds) when it exceeds the backoff.
-  * Shared by the executor-side partition readers and the driver-side
-  * schema sampler so both survive the same transient failures. */
+/** Authentication for the REST connector — the spec's token/header surface
+  * (/root/reference/README.md:12,:17-18) as a scheme matrix. Every scheme
+  * resolves credentials by env-var NAME (optionally backed by an `.env`
+  * file via [[Secrets]]); a secret VALUE never sits in an option, a plan
+  * string, or a log line — headers/params are built at request time.
+  *
+  *   authScheme=bearer      (default)  Authorization: Bearer <token>
+  *   authScheme=apiKeyHeader           <authHeaderName>: <token>   (default X-API-Key)
+  *   authScheme=apiKeyQuery            &<authQueryParam>=<token>   (default api_key)
+  *   authScheme=basic                  Authorization: Basic base64(<user>:<token>)
+  *
+  * Token from `authTokenEnv`, Basic's user from `authUserEnv`. */
+private[sources] case class RestAuth(scheme: String, tokenEnv: Option[String],
+    userEnv: Option[String], headerName: String, queryParam: String,
+    secrets: Secrets) {
+
+  private def token: Option[String] = tokenEnv.flatMap(secrets.resolve)
+
+  def applyTo(conn: java.net.HttpURLConnection): Unit = scheme match {
+    case "bearer" => token.foreach(t => conn.setRequestProperty("Authorization", s"Bearer $t"))
+    case "apiKeyHeader" => token.foreach(t => conn.setRequestProperty(headerName, t))
+    case "basic" =>
+      for (u <- userEnv.flatMap(secrets.resolve); p <- token) {
+        val b64 = java.util.Base64.getEncoder.encodeToString(
+          s"$u:$p".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        conn.setRequestProperty("Authorization", s"Basic $b64")
+      }
+    case "apiKeyQuery" => () // carried as a query param, not a header
+  }
+
+  /** Extra request query params (apiKeyQuery only), URL-encoded and
+    * appended per request — never part of the `url` option. */
+  def queryParams: Seq[String] = scheme match {
+    case "apiKeyQuery" => token.map(t =>
+      s"$queryParam=${java.net.URLEncoder.encode(t, java.nio.charset.StandardCharsets.UTF_8)}").toSeq
+    case _ => Nil
+  }
+
+  override def toString: String = s"RestAuth($scheme)" // scheme only, never values
+}
+
+private[sources] object RestAuth {
+  private val schemes = Set("bearer", "apiKeyHeader", "apiKeyQuery", "basic")
+  def fromOptions(options: CaseInsensitiveStringMap): RestAuth = {
+    val scheme = Option(options.get("authScheme")).getOrElse("bearer")
+    require(schemes(scheme),
+      s"rest_source: unknown authScheme '$scheme' — supported: ${schemes.toSeq.sorted.mkString(", ")}")
+    RestAuth(scheme,
+      Option(options.get("authTokenEnv")),
+      Option(options.get("authUserEnv")),
+      Option(options.get("authHeaderName")).getOrElse("X-API-Key"),
+      Option(options.get("authQueryParam")).getOrElse("api_key"),
+      Secrets(Option(options.get("envFile"))))
+  }
+}
+
+/** The one HTTP GET loop for this source: retry 429/5xx up to `maxRetries`
+  * with exponential backoff, honoring a server-issued `Retry-After`
+  * (seconds) when it exceeds the backoff. Shared by the executor-side
+  * partition readers (both pagination modes) and the driver-side schema
+  * sampler so all survive the same transient failures. */
 private[sources] object RestHttp {
-  def fetchArray(target: java.net.URL, authToken: Option[String], maxRetries: Int,
-      pace: () => Unit = () => (), warn: String => Unit = _ => ()): Vector[JsonNode] = {
+  /** GET + retry loop → parsed JSON body (any shape). */
+  def fetchNode(target: java.net.URL, auth: RestAuth, maxRetries: Int,
+      pace: () => Unit = () => (), warn: String => Unit = _ => ()): JsonNode = {
     var attempt = 0
     while (true) {
       pace()
       val conn = target.openConnection().asInstanceOf[java.net.HttpURLConnection]
       conn.setConnectTimeout(5000); conn.setReadTimeout(15000)
-      authToken.foreach(tok => conn.setRequestProperty("Authorization", s"Bearer $tok"))
+      auth.applyTo(conn)
       try {
         val code = conn.getResponseCode
         if (code == 200) {
           val body = new String(conn.getInputStream.readAllBytes(),
             java.nio.charset.StandardCharsets.UTF_8)
-          val node = RestSource.mapper.readTree(body) // malformed JSON throws → spec's "invalid response" class
-          if (!node.isArray) throw new java.io.IOException(s"expected JSON array, got: $node")
-          return node.elements().asScala.toVector
+          return RestSource.mapper.readTree(body) // malformed JSON throws → spec's "invalid response" class
         } else if ((code == 429 || code >= 500) && attempt < maxRetries) {
           attempt += 1
           val backoffMs = 50L << attempt // exponential backoff per README.md:33
@@ -242,7 +324,15 @@ private[sources] object RestHttp {
         }
       } finally conn.disconnect()
     }
-    Vector.empty // unreachable
+    null // unreachable
+  }
+
+  /** GET + retry loop → JSON array body (the page-numbered protocol). */
+  def fetchArray(target: java.net.URL, auth: RestAuth, maxRetries: Int,
+      pace: () => Unit = () => (), warn: String => Unit = _ => ()): Vector[JsonNode] = {
+    val node = fetchNode(target, auth, maxRetries, pace, warn)
+    if (!node.isArray) throw new java.io.IOException(s"expected JSON array, got: $node")
+    node.elements().asScala.toVector
   }
 }
 
@@ -277,13 +367,33 @@ final class RestScanBuilder(tableSchema: StructType, options: CaseInsensitiveStr
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(s: StructType): Unit = {
-    // top-level pruning against the resolved table schema (nested pruning
-    // would be a further refinement; unneeded fields inside a kept struct
-    // cost only parse time, not network)
-    requiredSchema = StructType(s.fields.filter(f => tableSchema.fieldNames.contains(f.name)))
+    // adopt the engine's pruned schema RECURSIVELY: Spark's DSv2 pushdown
+    // (PushDownUtils + nestedSchemaPruning) hands us structs already cut
+    // to the referenced subfields, and toCatalyst decodes exactly the
+    // requested shape — so a kept struct's unused subfields stop paying
+    // parse cost too. Intersect against the table schema as a guard so an
+    // engine-added column (e.g. metadata) can't reach the JSON decoder.
+    requiredSchema = RestScanBuilder.intersect(tableSchema, s)
   }
 
   override def build(): Scan = new RestScan(options, requiredSchema, pushed)
+}
+
+object RestScanBuilder {
+  /** Keep `wanted`'s (possibly nested-pruned) shape for every field that
+    * exists in `table`, recursing through structs; unknown fields drop. */
+  private[sources] def intersect(table: StructType, wanted: StructType): StructType = {
+    val byName = table.fields.map(f => f.name -> f.dataType).toMap
+    StructType(wanted.fields.flatMap { f =>
+      byName.get(f.name).map {
+        case t: StructType => f.dataType match {
+          case w: StructType => f.copy(dataType = intersect(t, w))
+          case _ => f.copy(dataType = t) // shape disagreement → serve the table's
+        }
+        case _ => f
+      }
+    })
+  }
 }
 
 final class RestScan(options: CaseInsensitiveStringMap, requiredSchema: StructType,
@@ -293,19 +403,26 @@ final class RestScan(options: CaseInsensitiveStringMap, requiredSchema: StructTy
   override def description(): String =
     s"RestScan(url=${options.get("url")}, pushed=${pushed.mkString(",")})"
 
+  private[sources] def cursorMode: Boolean =
+    Option(options.get("paginationMode")).contains("cursor")
+
   private[sources] def readerFactory(): PartitionReaderFactory = {
     val typeParam = pushed.collectFirst { case EqualTo("event_type", v: String) => v }
     val minIdParam = pushed.collectFirst { case GreaterThan("event_id", v: Long) => v }
     RestReaderFactory(
       options.get("url"),
       options.getInt("pageSize", 100),
-      Option(options.get("authTokenEnv")),
+      RestAuth.fromOptions(options),
       Option(options.get("failMode")),
       options.getInt("maxRetries", 4),
       typeParam,
       minIdParam,
       requiredSchema,
-      options.getDouble("requestsPerSecond", 0.0))
+      options.getDouble("requestsPerSecond", 0.0),
+      Option(options.get("dataField")).getOrElse("records"),
+      Option(options.get("cursorField")).getOrElse("nextCursor"),
+      Option(options.get("cursorParam")).getOrElse("cursor"),
+      options.getInt("maxRequests", 100000))
   }
 
   private[sources] def pageRanges(first: Int, until: Int): Array[InputPartition] = {
@@ -315,8 +432,15 @@ final class RestScan(options: CaseInsensitiveStringMap, requiredSchema: StructTy
     }.toArray
   }
 
+  // cursor mode is inherently a sequential walk: each page's address is
+  // only known from its predecessor's response, so there is nothing to
+  // fan out — ONE partition follows the chain (with the same per-request
+  // retry/pacing). If a cursor API offers a parallel handle (numbered
+  // shards, date slices), encode it in the url and run one reader per
+  // slice; opaque single-chain cursors cannot be split from the client.
   override def planInputPartitions(): Array[InputPartition] =
-    pageRanges(0, options.getInt("pages", 1))
+    if (cursorMode) Array(RestCursorPartition())
+    else pageRanges(0, options.getInt("pages", 1))
 
   override def createReaderFactory(): PartitionReaderFactory = readerFactory()
 
@@ -325,8 +449,15 @@ final class RestScan(options: CaseInsensitiveStringMap, requiredSchema: StructTy
   // each trigger advances by pagesPerTrigger (default: all available),
   // so a long-running query keeps draining new pages as the API grows.
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // a replayable streaming offset must address a page independently of
+    // the previous response; an opaque cursor can't (a restarted query
+    // could never re-plan a committed-but-unprocessed batch)
+    if (cursorMode) throw new UnsupportedOperationException(
+      "rest_source: paginationMode=cursor supports batch reads only — " +
+        "streaming needs page-addressable offsets (paginationMode=page)")
     new RestMicroBatchStream(this, options)
+  }
 }
 
 final class RestMicroBatchStream(scan: RestScan, options: CaseInsensitiveStringMap)
@@ -380,25 +511,28 @@ final class RestMicroBatchStream(scan: RestScan, options: CaseInsensitiveStringM
 
 case class RestInputPartition(firstPage: Int, lastPage: Int) extends InputPartition
 
-case class RestReaderFactory(url: String, pageSize: Int, authTokenEnv: Option[String],
+/** The whole cursor chain: one partition, sequential by construction. */
+case class RestCursorPartition() extends InputPartition
+
+case class RestReaderFactory(url: String, pageSize: Int, auth: RestAuth,
     failMode: Option[String], maxRetries: Int, typeParam: Option[String],
     minIdParam: Option[Long], requiredSchema: StructType,
-    requestsPerSecond: Double) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[RestInputPartition]
-    new RestPartitionReader(p, this)
-  }
+    requestsPerSecond: Double, dataField: String, cursorField: String,
+    cursorParam: String, maxRequests: Int) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: RestInputPartition => new RestPartitionReader(p, this)
+      case _: RestCursorPartition => new RestCursorReader(this)
+      case other => throw new IllegalArgumentException(s"unexpected partition $other")
+    }
 }
 
-final class RestPartitionReader(part: RestInputPartition, cfg: RestReaderFactory)
-    extends PartitionReader[InternalRow] with Logging {
+/** Shared per-reader request machinery: token-bucket pacing (proactive
+  * rate limiting, README.md:13 — at most `requestsPerSecond` HTTP requests
+  * per reader, 0 = off) and the paced/logged fetch. */
+private[sources] trait RestRequests extends Logging {
+  def cfg: RestReaderFactory
 
-  private var page = part.firstPage
-  private var rows: Iterator[JsonNode] = Iterator.empty
-  private var current: JsonNode = _
-
-  // token-bucket pacing (proactive rate limiting, README.md:13): at most
-  // `requestsPerSecond` HTTP requests from this partition reader. 0 = off.
   private val minIntervalNs: Long =
     if (cfg.requestsPerSecond > 0) (1e9 / cfg.requestsPerSecond).toLong else 0L
   private var lastRequestNs: Long = 0L
@@ -409,15 +543,83 @@ final class RestPartitionReader(part: RestInputPartition, cfg: RestReaderFactory
     lastRequestNs = System.nanoTime()
   }
 
-  private def fetchPage(p: Int): Iterator[JsonNode] = {
-    val params = Seq(s"page=$p", s"limit=${cfg.pageSize}") ++
-      cfg.typeParam.map(t => s"event_type=$t") ++
+  /** query-param tail every request carries: pushed-filter hints, failure
+    * injection (test stub), and any auth query param. */
+  protected def commonParams: Seq[String] =
+    cfg.typeParam.map(t => s"event_type=$t").toSeq ++
       cfg.minIdParam.map(m => s"min_id=$m") ++
-      cfg.failMode.map(f => s"fail=$f")
+      cfg.failMode.map(f => s"fail=$f") ++
+      cfg.auth.queryParams
+
+  protected def fetchNode(params: Seq[String]): JsonNode = {
     val sep = if (cfg.url.contains("?")) "&" else "?"
     val target = new java.net.URI(cfg.url + sep + params.mkString("&")).toURL
-    RestHttp.fetchArray(target, cfg.authTokenEnv.flatMap(e => sys.env.get(e)),
-      cfg.maxRetries, pace = () => pace(), warn = m => logWarning(m)).iterator
+    RestHttp.fetchNode(target, cfg.auth, cfg.maxRetries,
+      pace = () => pace(), warn = m => logWarning(m))
+  }
+}
+
+/** Sequential cursor walk (paginationMode=cursor): request page 1 without
+  * a cursor, then follow `cursorField` from each response's object body
+  * until it is null/absent. Every fetch goes through the same retry/
+  * backoff/pacing as the page-numbered path, so a 429 mid-walk resumes
+  * from the SAME cursor — no progress is lost and no page re-fetched. */
+final class RestCursorReader(val cfg: RestReaderFactory)
+    extends PartitionReader[InternalRow] with RestRequests {
+
+  private var cursor: Option[String] = None
+  private var done = false
+  private var requests = 0
+  private var rows: Iterator[JsonNode] = Iterator.empty
+  private var current: JsonNode = _
+
+  private def fetchNext(): Unit = {
+    require(requests < cfg.maxRequests,
+      s"rest_source: cursor walk exceeded maxRequests=${cfg.maxRequests} — " +
+        "runaway chain? raise the option if the API is really that deep")
+    requests += 1
+    val params = Seq(s"limit=${cfg.pageSize}") ++
+      cursor.map(c => s"${cfg.cursorParam}=${java.net.URLEncoder.encode(c, java.nio.charset.StandardCharsets.UTF_8)}") ++
+      commonParams
+    val node = fetchNode(params)
+    val data = node.get(cfg.dataField)
+    if (data == null || !data.isArray)
+      throw new java.io.IOException(
+        s"rest_source: cursor response lacks array field '${cfg.dataField}': $node")
+    rows = data.elements().asScala
+    val next = node.get(cfg.cursorField)
+    if (next == null || next.isNull) done = true
+    else {
+      val c = next.asText()
+      // a non-advancing cursor would walk forever — fail loudly instead
+      if (cursor.contains(c)) throw new java.io.IOException(
+        s"rest_source: cursor did not advance (server returned '$c' twice)")
+      cursor = Some(c)
+    }
+  }
+
+  override def next(): Boolean = {
+    while (!rows.hasNext && !done) fetchNext()
+    if (rows.hasNext) { current = rows.next(); true } else false
+  }
+
+  override def get(): InternalRow =
+    RestSource.toCatalyst(current, cfg.requiredSchema).asInstanceOf[InternalRow]
+
+  override def close(): Unit = ()
+}
+
+final class RestPartitionReader(part: RestInputPartition, val cfg: RestReaderFactory)
+    extends PartitionReader[InternalRow] with RestRequests {
+
+  private var page = part.firstPage
+  private var rows: Iterator[JsonNode] = Iterator.empty
+  private var current: JsonNode = _
+
+  private def fetchPage(p: Int): Iterator[JsonNode] = {
+    val node = fetchNode(Seq(s"page=$p", s"limit=${cfg.pageSize}") ++ commonParams)
+    if (!node.isArray) throw new java.io.IOException(s"expected JSON array, got: $node")
+    node.elements().asScala
   }
 
   override def next(): Boolean = {

@@ -12,13 +12,21 @@ import java.util.concurrent.ConcurrentHashMap
   * limit, connectivity):
   *
   *   GET /records?page=N&limit=M[&event_type=T]   → JSON array of records
+  *   &paging=cursor  → cursor protocol: object body {"records": [...],
+  *                     "nextCursor": "kS"} (absent on the last page);
+  *                     &cursor=kS resumes at id S
   *   &shape=nested   → records with a nested object + array field
   *                     (schema-inference fixture)
-  *   &fail=429once   → first hit of each page returns HTTP 429, retry wins
+  *   &fail=429once   → first hit of each page (or cursor) returns HTTP
+  *                     429, retry wins — strikes mid-walk in cursor mode
   *   &fail=429retryafter → same, plus a `Retry-After: 1` header
   *   &fail=500once   → same with HTTP 500
   *   &fail=malformed → page 1 body is truncated JSON
   *   &fail=empty     → page 1 is []
+  *   &requireAuth=T / &requireApiKeyHeader=T / &requireApiKeyQuery=T /
+  *   &requireBasic=user:pass → 401 unless the matching scheme presents
+  *                     exactly T (Bearer header / X-API-Key header /
+  *                     api_key param / Basic base64)
   *
   * Record i of page p (id = p·limit + i): deterministic type/value mix —
   * the unit specs recompute the same closed form to assert counts.
@@ -68,16 +76,38 @@ object RestStubServer {
         val page = params.getOrElse("page", "0").toLong
         val limit = params.getOrElse("limit", "100").toLong
         val fail = params.getOrElse("fail", "")
+        // cursor protocol: &paging=cursor → object body {"records": [...],
+        // "nextCursor": "k<start>"}; the cursor is an opaque-looking token
+        // the stub itself mints (k + next start id), absent on the last page
+        val cursorMode = params.get("paging").contains("cursor")
+        val cursorStart = params.get("cursor").map(_.stripPrefix("k").toLong)
         val auth = Option(x.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+        val apiKeyHeader = Option(x.getRequestHeaders.getFirst("X-API-Key")).getOrElse("")
         def send(code: Int, body: String): Unit = {
           val bs = body.getBytes(StandardCharsets.UTF_8)
           x.sendResponseHeaders(code, bs.length)
           x.getResponseBody.write(bs); x.close()
         }
+        def basicOk: Boolean = params.get("requireBasic").forall { cred =>
+          auth == "Basic " + java.util.Base64.getEncoder.encodeToString(
+            cred.getBytes(StandardCharsets.UTF_8))
+        }
+        // failure injection keys by cursor when present so fail modes can
+        // strike MID-walk (every request of a chain, once each), not just
+        // the first request
+        val failKey = params.getOrElse("cursor", page.toString)
         if (params.contains("requireAuth") && auth != s"Bearer ${params("requireAuth")}") {
           send(401, """{"error": "unauthorized"}""")
+        } else if (params.contains("requireApiKeyHeader") &&
+            apiKeyHeader != params("requireApiKeyHeader")) {
+          send(401, """{"error": "bad api key header"}""")
+        } else if (params.contains("requireApiKeyQuery") &&
+            !params.get("api_key").contains(params("requireApiKeyQuery"))) {
+          send(401, """{"error": "bad api key param"}""")
+        } else if (!basicOk) {
+          send(401, """{"error": "bad basic credentials"}""")
         } else if ((fail == "429once" || fail == "429retryafter" || fail == "500once") &&
-            (failedOnce.putIfAbsent(s"$fail-$page", java.lang.Boolean.TRUE) eq null)) {
+            (failedOnce.putIfAbsent(s"$fail-$failKey", java.lang.Boolean.TRUE) eq null)) {
           if (fail == "429retryafter") x.getResponseHeaders.set("Retry-After", "1")
           send(if (fail == "500once") 500 else 429, """{"error": "try later"}""")
         } else if (fail == "malformed" && page == 1) {
@@ -85,7 +115,7 @@ object RestStubServer {
         } else if (fail == "empty" && page == 1) {
           send(200, "[]")
         } else {
-          val start = page * limit
+          val start = if (cursorMode) cursorStart.getOrElse(0L) else page * limit
           val end = math.min(start + limit, totalRows)
           val typeFilter = params.get("event_type")
           val minId = params.get("min_id").map(_.toLong)
@@ -102,7 +132,11 @@ object RestStubServer {
               case "messy" => messyRecordJson(id)
               case _ => recordJson(id)
             })
-          send(200, rows.mkString("[", ", ", "]"))
+          val arr = rows.mkString("[", ", ", "]")
+          if (cursorMode) {
+            val next = if (end < totalRows) s""", "nextCursor": "k$end"""" else ""
+            send(200, s"""{"records": $arr$next}""")
+          } else send(200, arr)
         }
       }
     })

@@ -1,0 +1,212 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Round-4 REST surface: cursor/next-URL pagination, the auth scheme
+  * matrix (bearer / api-key header / api-key query / basic), and `.env`
+  * credential files (/root/reference/README.md:12-13,:17-18,91-93).
+  * All secrets flow by env NAME through [[Secrets]]; the stub asserts the
+  * exact header/param each scheme must present. */
+class RestCursorAuthSpec extends graft.SparkSuite {
+
+  private def envFile(lines: String*): String = {
+    val f = Files.createTempFile("graft_env", ".env")
+    Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+    f.toFile.deleteOnExit()
+    f.toString
+  }
+
+  private def cursorRead(url: String, extra: (String, String)*) = {
+    val base = spark.read.format("graft.sources.RestSource")
+      .option("url", url).option("paginationMode", "cursor")
+      .option("pageSize", "20")
+    extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  test("cursor pagination walks the next-cursor chain to completion") {
+    val stub = RestStubServer.start(totalRows = 200L)
+    try {
+      val df = cursorRead(stub.url + "?paging=cursor")
+      assert(df.count() === 200)
+      assert(df.agg(countDistinct(col("event_id"))).head.getLong(0) === 200,
+        "every record exactly once across the chain")
+      // chain termination: a second pass gives the same answer (no state)
+      assert(df.count() === 200)
+    } finally stub.stop()
+  }
+
+  test("cursor sampling: inferSchema reads the first cursor page's dataField") {
+    val stub = RestStubServer.start(totalRows = 100L)
+    try {
+      val df = cursorRead(stub.url + "?paging=cursor", "inferSchema" -> "true")
+      assert(df.schema.fieldNames.toSeq === Seq("event_id", "event_type", "value"))
+      assert(df.count() === 100)
+    } finally stub.stop()
+  }
+
+  test("429 mid-walk retries from the SAME cursor: no loss, no refetch") {
+    val stub = RestStubServer.start(totalRows = 100L)
+    try {
+      // failMode keys by cursor in the stub → EVERY request of the chain
+      // fails once and must be retried in place
+      val df = cursorRead(stub.url + "?paging=cursor", "failMode" -> "429once")
+      assert(df.count() === 100)
+      assert(df.agg(countDistinct(col("event_id"))).head.getLong(0) === 100)
+    } finally stub.stop()
+  }
+
+  test("cursor runaway guard: maxRequests caps the walk loudly") {
+    val stub = RestStubServer.start(totalRows = 200L)
+    try {
+      val e = intercept[Exception] {
+        cursorRead(stub.url + "?paging=cursor", "maxRequests" -> "3").count()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(t => t.getMessage != null && t.getMessage.contains("maxRequests")))
+    } finally stub.stop()
+  }
+
+  test("cursor mode refuses streaming (offsets must be page-addressable)") {
+    val stub = RestStubServer.start(totalRows = 40L)
+    try {
+      val stream = spark.readStream.format("graft.sources.RestSource")
+        .option("url", stub.url + "?paging=cursor")
+        .option("paginationMode", "cursor").option("pageSize", "20")
+        .load()
+      val q = stream.writeStream.format("memory")
+        .queryName("rest_cursor_stream").outputMode("append").start()
+      val e = intercept[Exception] {
+        try q.processAllAvailable() finally q.stop()
+      }
+      assert(e.toString.contains("cursor") ||
+        Option(e.getCause).exists(_.toString.contains("cursor")), e.toString)
+    } finally stub.stop()
+  }
+
+  test("bearer positive path: token resolved from .env, sent as Bearer") {
+    val stub = RestStubServer.start(totalRows = 60L)
+    try {
+      val env = envFile("GRAFT_TEST_TOKEN=sekrit")
+      val df = spark.read.format("graft.sources.RestSource")
+        .option("url", stub.url + "?requireAuth=sekrit")
+        .option("pages", "3").option("pageSize", "20")
+        .option("authTokenEnv", "GRAFT_TEST_TOKEN")
+        .option("envFile", env).load()
+      assert(df.count() === 60)
+    } finally stub.stop()
+  }
+
+  test("apiKeyHeader scheme sends the key in X-API-Key (401 without)") {
+    val stub = RestStubServer.start(totalRows = 60L)
+    try {
+      val env = envFile("GRAFT_TEST_KEY=sekrit")
+      def reader(withEnv: Boolean) = {
+        val base = spark.read.format("graft.sources.RestSource")
+          .option("url", stub.url + "?requireApiKeyHeader=sekrit")
+          .option("pages", "3").option("pageSize", "20")
+          .option("authScheme", "apiKeyHeader")
+          .option("authTokenEnv", "GRAFT_TEST_KEY")
+        (if (withEnv) base.option("envFile", env) else base).load()
+      }
+      assert(reader(withEnv = true).count() === 60)
+      val e = intercept[Exception](reader(withEnv = false).count())
+      assert(e.toString.contains("401") ||
+        Option(e.getCause).exists(_.toString.contains("401")))
+    } finally stub.stop()
+  }
+
+  test("apiKeyQuery scheme appends the key per request, never into plan strings") {
+    val stub = RestStubServer.start(totalRows = 60L)
+    try {
+      val env = envFile("GRAFT_TEST_KEY=qsekrit")
+      val df = spark.read.format("graft.sources.RestSource")
+        .option("url", stub.url + "?requireApiKeyQuery=qsekrit")
+        .option("pages", "3").option("pageSize", "20")
+        .option("authScheme", "apiKeyQuery")
+        .option("authTokenEnv", "GRAFT_TEST_KEY")
+        .option("envFile", env).load()
+      assert(df.count() === 60)
+      // the key is attached at request time only — the scan description
+      // (which embeds the url option) must not carry the api_key param
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("api_key=qsekrit"), plan)
+    } finally stub.stop()
+  }
+
+  test("basic scheme sends base64(user:password) from env-named credentials") {
+    val stub = RestStubServer.start(totalRows = 60L)
+    try {
+      val env = envFile("GRAFT_TEST_USER=alice", "GRAFT_TEST_PASS=s3cr3t")
+      val df = spark.read.format("graft.sources.RestSource")
+        .option("url", stub.url + "?requireBasic=alice:s3cr3t")
+        .option("pages", "3").option("pageSize", "20")
+        .option("authScheme", "basic")
+        .option("authUserEnv", "GRAFT_TEST_USER")
+        .option("authTokenEnv", "GRAFT_TEST_PASS")
+        .option("envFile", env).load()
+      assert(df.count() === 60)
+    } finally stub.stop()
+  }
+
+  test("unknown authScheme fails at plan time with the supported list") {
+    val stub = RestStubServer.start(totalRows = 20L)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        spark.read.format("graft.sources.RestSource")
+          .option("url", stub.url).option("pages", "1").option("pageSize", "20")
+          .option("authScheme", "oauth-dance").load().count()
+      }
+      assert(e.getMessage.contains("bearer"))
+    } finally stub.stop()
+  }
+
+  test("DotEnv parses comments, export, quotes, inline comments; real env wins") {
+    val f = envFile(
+      "# a comment line",
+      "",
+      "export A=1",
+      "B=\"two words\"",
+      "C='single quoted'",
+      "D=raw # trailing comment",
+      "E=\"kept # inside quotes\"",
+      "PATH=bogus-overridden-by-real-env")
+    val m = DotEnv.parse(f)
+    assert(m("A") === "1")
+    assert(m("B") === "two words")
+    assert(m("C") === "single quoted")
+    assert(m("D") === "raw")
+    assert(m("E") === "kept # inside quotes")
+    val sec = Secrets(Some(f))
+    // 12-factor: the real process environment shadows the file
+    assert(sec.resolve("PATH") === sys.env.get("PATH"))
+    assert(sec.resolve("A") === Some("1"))
+    assert(sec.resolve("MISSING_EVERYWHERE") === None)
+    // no secret value may leak through toString
+    assert(!sec.toString.contains("bogus"))
+  }
+
+  test("nested column pruning reaches the scan's read schema") {
+    val stub = RestStubServer.start(totalRows = 100L)
+    try {
+      val df = spark.read.format("graft.sources.RestSource")
+        .option("url", stub.url + "?shape=nested")
+        .option("pages", "5").option("pageSize", "20")
+        .option("schema",
+          "event_id BIGINT, meta STRUCT<kind: STRING, score: DOUBLE>, tags ARRAY<STRING>")
+        .load()
+        .select(col("meta.kind").as("kind"))
+      assert(df.count() === 100)
+      val scanSchema = df.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.readSchema()
+      }.getOrElse(fail("no BatchScanExec in plan"))
+      import org.apache.spark.sql.types.StructType
+      val meta = scanSchema("meta").dataType.asInstanceOf[StructType]
+      assert(meta.fieldNames.toSeq === Seq("kind"),
+        s"struct should be pruned to the referenced subfield, got $scanSchema")
+      assert(!scanSchema.fieldNames.contains("tags"))
+    } finally stub.stop()
+  }
+}
