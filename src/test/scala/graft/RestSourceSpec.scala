@@ -279,6 +279,45 @@ class RestSourceSpec extends SparkSuite {
     } finally stub.stop()
   }
 
+  test("kill mid-stream, restart from checkpoint: exactly-once, no refetch") {
+    import java.nio.file.Files
+    val stub = RestStubServer.start(totalRows = 200L)
+    val root = Files.createTempDirectory("graft_rest_kill")
+    val ckpt = root.resolve("ckpt").toString
+    val outDir = root.resolve("out").toString
+    try {
+      // pacing keeps each micro-batch ≥~200ms so the stop below reliably
+      // lands mid-drain instead of racing a sub-50ms full drain
+      def stream() = spark.readStream.format("graft.sources.RestSource")
+        .option("url", stub.url).option("pages", "10")
+        .option("pageSize", "20").option("pagesPerTrigger", "2")
+        .option("requestsPerSecond", "5")
+        .load()
+      // incarnation 1: stop as soon as the FIRST batch commits — mid-drain,
+      // with pages still unread and possibly a batch in flight
+      val q1 = stream().writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try {
+        val deadline = System.nanoTime() + 30L * 1000000000L
+        while (q1.recentProgress.count(_.numInputRows > 0) < 1 &&
+               System.nanoTime() < deadline) Thread.sleep(50)
+        assert(q1.recentProgress.exists(_.numInputRows > 0), "no batch committed in 30s")
+      } finally q1.stop()
+      val afterKill = spark.read.parquet(outDir).count()
+      assert(afterKill < 200, s"stop should land mid-drain, saw $afterKill rows")
+      // incarnation 2: resume from the checkpoint and drain the rest
+      val q2 = stream().writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try q2.processAllAvailable() finally q2.stop()
+      val out = spark.read.parquet(outDir)
+      // exactly-once across the kill: every record once — committed batches
+      // are not refetched, the in-flight one is replayed from the WAL and
+      // deduped by the file sink's metadata log
+      assert(out.count() === 200)
+      assert(out.select(countDistinct(col("event_id"))).head.getLong(0) === 200)
+    } finally stub.stop()
+  }
+
   test("unsupported schema type fails at plan time, not per-row in executors") {
     val stub = RestStubServer.start(totalRows = 20L)
     try {
