@@ -43,10 +43,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *   3. neither → the events-shaped default (back-compat with the stub).
   *
   * Pagination (README.md:13): `paginationMode=page` (default) fans page
-  * ranges out across executors; `paginationMode=cursor` follows an opaque
-  * `nextCursor` chain sequentially (`dataField`/`cursorField`/
-  * `cursorParam` options name the response fields; batch only — see
-  * toMicroBatchStream for why a cursor can't be a streaming offset).
+  * ranges out across executors (responses may be bare arrays or
+  * object-wrapped under `dataField`); `paginationMode=cursor` follows an
+  * opaque `nextCursor` chain sequentially; `paginationMode=nextUrl`
+  * follows a next-link field holding a (possibly relative) URL
+  * (`dataField`/`cursorField`/`cursorParam` options name the response
+  * fields; the chain modes are batch only — see toMicroBatchStream for
+  * why a chain position can't be a streaming offset). Non-secret static
+  * request headers ride along as `header.<name>` options.
   *
   * Auth (README.md:12,:17-18): `authScheme` = bearer | apiKeyHeader |
   * apiKeyQuery | basic — see [[RestAuth]]; credentials always by env-var
@@ -100,21 +104,23 @@ object RestSource {
     val limit = options.getInt("sampleSize", options.getInt("pageSize", 100))
     val sep = if (url.contains("?")) "&" else "?"
     val auth = RestAuth.fromOptions(options)
-    val cursorMode = Option(options.get("paginationMode")).contains("cursor")
-    // the cursor walk starts cursor-less, so its sample is just limit=N
-    val params = (if (cursorMode) Nil else Seq("page=0")) ++
+    val chainMode = Option(options.get("paginationMode")).exists(_ != "page")
+    // a chain walk starts cursor-less, so its sample is just limit=N
+    val params = (if (chainMode) Nil else Seq("page=0")) ++
       Seq(s"limit=$limit") ++ auth.queryParams
     val target = new java.net.URI(url + sep + params.mkString("&")).toURL
+    val node = RestHttp.fetchNode(target, auth, options.getInt("maxRetries", 4))
     val elems =
-      if (cursorMode) {
-        val node = RestHttp.fetchNode(target, auth, options.getInt("maxRetries", 4))
+      if (node.isArray) node.elements().asScala.toVector
+      else {
         val dataField = Option(options.get("dataField")).getOrElse("records")
         val data = node.get(dataField)
         if (data == null || !data.isArray)
           throw new java.io.IOException(
-            s"rest_source: cursor response from $url lacks array field '$dataField': $node")
+            s"rest_source: response from $url is neither a JSON array nor an " +
+              s"object with array field '$dataField': $node")
         data.elements().asScala.toVector
-      } else RestHttp.fetchArray(target, auth, options.getInt("maxRetries", 4))
+      }
     if (elems.isEmpty)
       throw new java.io.IOException(
         s"rest_source: schema sampling needs a non-empty JSON array page from $url")
@@ -296,12 +302,14 @@ private[sources] object RestAuth {
 private[sources] object RestHttp {
   /** GET + retry loop → parsed JSON body (any shape). */
   def fetchNode(target: java.net.URL, auth: RestAuth, maxRetries: Int,
-      pace: () => Unit = () => (), warn: String => Unit = _ => ()): JsonNode = {
+      pace: () => Unit = () => (), warn: String => Unit = _ => (),
+      headers: Map[String, String] = Map.empty): JsonNode = {
     var attempt = 0
     while (true) {
       pace()
       val conn = target.openConnection().asInstanceOf[java.net.HttpURLConnection]
       conn.setConnectTimeout(5000); conn.setReadTimeout(15000)
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
       auth.applyTo(conn)
       try {
         val code = conn.getResponseCode
@@ -403,8 +411,13 @@ final class RestScan(options: CaseInsensitiveStringMap, requiredSchema: StructTy
   override def description(): String =
     s"RestScan(url=${options.get("url")}, pushed=${pushed.mkString(",")})"
 
-  private[sources] def cursorMode: Boolean =
-    Option(options.get("paginationMode")).contains("cursor")
+  private[sources] def paginationMode: String = {
+    val m = Option(options.get("paginationMode")).getOrElse("page")
+    require(Set("page", "cursor", "nextUrl").contains(m),
+      s"rest_source: unknown paginationMode '$m' — supported: page, cursor, nextUrl")
+    m
+  }
+  private[sources] def chainMode: Boolean = paginationMode != "page"
 
   private[sources] def readerFactory(): PartitionReaderFactory = {
     val typeParam = pushed.collectFirst { case EqualTo("event_type", v: String) => v }
@@ -420,9 +433,15 @@ final class RestScan(options: CaseInsensitiveStringMap, requiredSchema: StructTy
       requiredSchema,
       options.getDouble("requestsPerSecond", 0.0),
       Option(options.get("dataField")).getOrElse("records"),
-      Option(options.get("cursorField")).getOrElse("nextCursor"),
+      Option(options.get("cursorField"))
+        .getOrElse(if (paginationMode == "nextUrl") "next" else "nextCursor"),
       Option(options.get("cursorParam")).getOrElse("cursor"),
-      options.getInt("maxRequests", 100000))
+      options.getInt("maxRequests", 100000),
+      paginationMode,
+      // non-secret static request headers: header.<name>=<value> options
+      options.entrySet().asScala
+        .filter(_.getKey.startsWith("header."))
+        .map(e => e.getKey.stripPrefix("header.") -> e.getValue).toMap)
   }
 
   private[sources] def pageRanges(first: Int, until: Int): Array[InputPartition] = {
@@ -432,14 +451,15 @@ final class RestScan(options: CaseInsensitiveStringMap, requiredSchema: StructTy
     }.toArray
   }
 
-  // cursor mode is inherently a sequential walk: each page's address is
-  // only known from its predecessor's response, so there is nothing to
-  // fan out — ONE partition follows the chain (with the same per-request
-  // retry/pacing). If a cursor API offers a parallel handle (numbered
-  // shards, date slices), encode it in the url and run one reader per
-  // slice; opaque single-chain cursors cannot be split from the client.
+  // cursor/nextUrl modes are inherently a sequential walk: each page's
+  // address is only known from its predecessor's response, so there is
+  // nothing to fan out — ONE partition follows the chain (with the same
+  // per-request retry/pacing). If a chained API offers a parallel handle
+  // (numbered shards, date slices), encode it in the url and run one
+  // reader per slice; opaque single-chain cursors cannot be split from
+  // the client.
   override def planInputPartitions(): Array[InputPartition] =
-    if (cursorMode) Array(RestCursorPartition())
+    if (chainMode) Array(RestCursorPartition())
     else pageRanges(0, options.getInt("pages", 1))
 
   override def createReaderFactory(): PartitionReaderFactory = readerFactory()
@@ -451,10 +471,10 @@ final class RestScan(options: CaseInsensitiveStringMap, requiredSchema: StructTy
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     // a replayable streaming offset must address a page independently of
-    // the previous response; an opaque cursor can't (a restarted query
-    // could never re-plan a committed-but-unprocessed batch)
-    if (cursorMode) throw new UnsupportedOperationException(
-      "rest_source: paginationMode=cursor supports batch reads only — " +
+    // the previous response; an opaque cursor/next link can't (a restarted
+    // query could never re-plan a committed-but-unprocessed batch)
+    if (chainMode) throw new UnsupportedOperationException(
+      s"rest_source: paginationMode=$paginationMode supports batch reads only — " +
         "streaming needs page-addressable offsets (paginationMode=page)")
     new RestMicroBatchStream(this, options)
   }
@@ -518,7 +538,8 @@ case class RestReaderFactory(url: String, pageSize: Int, auth: RestAuth,
     failMode: Option[String], maxRetries: Int, typeParam: Option[String],
     minIdParam: Option[Long], requiredSchema: StructType,
     requestsPerSecond: Double, dataField: String, cursorField: String,
-    cursorParam: String, maxRequests: Int) extends PartitionReaderFactory {
+    cursorParam: String, maxRequests: Int, mode: String,
+    headers: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case p: RestInputPartition => new RestPartitionReader(p, this)
@@ -551,23 +572,49 @@ private[sources] trait RestRequests extends Logging {
       cfg.failMode.map(f => s"fail=$f") ++
       cfg.auth.queryParams
 
-  protected def fetchNode(params: Seq[String]): JsonNode = {
-    val sep = if (cfg.url.contains("?")) "&" else "?"
-    val target = new java.net.URI(cfg.url + sep + params.mkString("&")).toURL
+  protected def fetchNode(params: Seq[String]): JsonNode =
+    fetchUrl(cfg.url, params)
+
+  /** fetch an arbitrary base url (nextUrl walks) + extra query params. */
+  protected def fetchUrl(base: String, params: Seq[String]): JsonNode = {
+    val target =
+      if (params.isEmpty) new java.net.URI(base).toURL
+      else {
+        val sep = if (base.contains("?")) "&" else "?"
+        new java.net.URI(base + sep + params.mkString("&")).toURL
+      }
     RestHttp.fetchNode(target, cfg.auth, cfg.maxRetries,
-      pace = () => pace(), warn = m => logWarning(m))
+      pace = () => pace(), warn = m => logWarning(m), headers = cfg.headers)
   }
+
+  /** records of a response: a bare JSON array, or — when the server wraps
+    * pages in an object ({"data": [...], "total": N}) — the array under
+    * `dataField`. */
+  protected def extractRecords(node: JsonNode): Iterator[JsonNode] =
+    if (node.isArray) node.elements().asScala
+    else {
+      val data = node.get(cfg.dataField)
+      if (data == null || !data.isArray)
+        throw new java.io.IOException(
+          s"rest_source: response is neither a JSON array nor an object " +
+            s"with array field '${cfg.dataField}': $node")
+      data.elements().asScala
+    }
 }
 
-/** Sequential cursor walk (paginationMode=cursor): request page 1 without
-  * a cursor, then follow `cursorField` from each response's object body
-  * until it is null/absent. Every fetch goes through the same retry/
-  * backoff/pacing as the page-numbered path, so a 429 mid-walk resumes
-  * from the SAME cursor — no progress is lost and no page re-fetched. */
+/** Sequential chain walk (paginationMode=cursor | nextUrl): request page 1
+  * plainly, then follow `cursorField` from each response's object body
+  * until it is null/absent. In cursor mode the field is an opaque token
+  * resent as `cursorParam`; in nextUrl mode it is the next page's URL
+  * (possibly relative — resolved against the base url, the Link-header/
+  * HATEOAS style), fetched as given plus the auth query param. Every
+  * fetch goes through the same retry/backoff/pacing as the page-numbered
+  * path, so a 429 mid-walk resumes from the SAME position — no progress
+  * lost, no page re-fetched. */
 final class RestCursorReader(val cfg: RestReaderFactory)
     extends PartitionReader[InternalRow] with RestRequests {
 
-  private var cursor: Option[String] = None
+  private var cursor: Option[String] = None // token, or next URL
   private var done = false
   private var requests = 0
   private var rows: Iterator[JsonNode] = Iterator.empty
@@ -575,25 +622,27 @@ final class RestCursorReader(val cfg: RestReaderFactory)
 
   private def fetchNext(): Unit = {
     require(requests < cfg.maxRequests,
-      s"rest_source: cursor walk exceeded maxRequests=${cfg.maxRequests} — " +
+      s"rest_source: ${cfg.mode} walk exceeded maxRequests=${cfg.maxRequests} — " +
         "runaway chain? raise the option if the API is really that deep")
     requests += 1
-    val params = Seq(s"limit=${cfg.pageSize}") ++
-      cursor.map(c => s"${cfg.cursorParam}=${java.net.URLEncoder.encode(c, java.nio.charset.StandardCharsets.UTF_8)}") ++
-      commonParams
-    val node = fetchNode(params)
-    val data = node.get(cfg.dataField)
-    if (data == null || !data.isArray)
-      throw new java.io.IOException(
-        s"rest_source: cursor response lacks array field '${cfg.dataField}': $node")
-    rows = data.elements().asScala
+    val node = (cfg.mode, cursor) match {
+      case ("nextUrl", Some(next)) =>
+        // the server authored this URL — only the auth param is appended
+        // (a server echoes paging params, never credentials)
+        fetchUrl(new java.net.URI(cfg.url).resolve(next).toString, cfg.auth.queryParams)
+      case (_, c) =>
+        fetchNode(Seq(s"limit=${cfg.pageSize}") ++
+          c.map(t => s"${cfg.cursorParam}=${java.net.URLEncoder.encode(t, java.nio.charset.StandardCharsets.UTF_8)}") ++
+          commonParams)
+    }
+    rows = extractRecords(node)
     val next = node.get(cfg.cursorField)
     if (next == null || next.isNull) done = true
     else {
       val c = next.asText()
-      // a non-advancing cursor would walk forever — fail loudly instead
+      // a non-advancing chain would walk forever — fail loudly instead
       if (cursor.contains(c)) throw new java.io.IOException(
-        s"rest_source: cursor did not advance (server returned '$c' twice)")
+        s"rest_source: ${cfg.mode} chain did not advance (server returned '$c' twice)")
       cursor = Some(c)
     }
   }
@@ -616,11 +665,9 @@ final class RestPartitionReader(part: RestInputPartition, val cfg: RestReaderFac
   private var rows: Iterator[JsonNode] = Iterator.empty
   private var current: JsonNode = _
 
-  private def fetchPage(p: Int): Iterator[JsonNode] = {
-    val node = fetchNode(Seq(s"page=$p", s"limit=${cfg.pageSize}") ++ commonParams)
-    if (!node.isArray) throw new java.io.IOException(s"expected JSON array, got: $node")
-    node.elements().asScala
-  }
+  private def fetchPage(p: Int): Iterator[JsonNode] =
+    // bare-array pages and {"data": [...]}-wrapped pages both decode
+    extractRecords(fetchNode(Seq(s"page=$p", s"limit=${cfg.pageSize}") ++ commonParams))
 
   override def next(): Boolean = {
     while (!rows.hasNext && page <= part.lastPage) {

@@ -15,6 +15,11 @@ import java.util.concurrent.ConcurrentHashMap
   *   &paging=cursor  → cursor protocol: object body {"records": [...],
   *                     "nextCursor": "kS"} (absent on the last page);
   *                     &cursor=kS resumes at id S
+  *   &paging=nexturl → same but the chain field is "next": a RELATIVE
+  *                     next-page URL echoing non-credential params
+  *   &shape=wrapped  → page-numbered responses wrapped in an object
+  *                     ({"records": [...], "total": N})
+  *   &requireHeader=name:v → 400 unless header `name` is exactly `v`
   *   &shape=nested   → records with a nested object + array field
   *                     (schema-inference fixture)
   *   &fail=429once   → first hit of each page (or cursor) returns HTTP
@@ -76,10 +81,13 @@ object RestStubServer {
         val page = params.getOrElse("page", "0").toLong
         val limit = params.getOrElse("limit", "100").toLong
         val fail = params.getOrElse("fail", "")
-        // cursor protocol: &paging=cursor → object body {"records": [...],
-        // "nextCursor": "k<start>"}; the cursor is an opaque-looking token
-        // the stub itself mints (k + next start id), absent on the last page
-        val cursorMode = params.get("paging").contains("cursor")
+        // chain protocols: &paging=cursor → object body {"records": [...],
+        // "nextCursor": "k<start>"} (opaque token the stub mints, absent on
+        // the last page); &paging=nexturl → {"records": [...], "next":
+        // "/records?...&cursor=k<start>"} (a RELATIVE next link echoing the
+        // request's non-credential params, HATEOAS-style)
+        val paging = params.getOrElse("paging", "page")
+        val cursorMode = paging == "cursor" || paging == "nexturl"
         val cursorStart = params.get("cursor").map(_.stripPrefix("k").toLong)
         val auth = Option(x.getRequestHeaders.getFirst("Authorization")).getOrElse("")
         val apiKeyHeader = Option(x.getRequestHeaders.getFirst("X-API-Key")).getOrElse("")
@@ -104,6 +112,11 @@ object RestStubServer {
         } else if (params.contains("requireApiKeyQuery") &&
             !params.get("api_key").contains(params("requireApiKeyQuery"))) {
           send(401, """{"error": "bad api key param"}""")
+        } else if (params.get("requireHeader").exists { spec =>
+            val Array(name, want) = spec.split(":", 2)
+            Option(x.getRequestHeaders.getFirst(name)) != Some(want)
+          }) {
+          send(400, """{"error": "missing required header"}""")
         } else if (!basicOk) {
           send(401, """{"error": "bad basic credentials"}""")
         } else if ((fail == "429once" || fail == "429retryafter" || fail == "500once") &&
@@ -133,9 +146,21 @@ object RestStubServer {
               case _ => recordJson(id)
             })
           val arr = rows.mkString("[", ", ", "]")
-          if (cursorMode) {
+          if (paging == "nexturl") {
+            // echo the request's paging params (never credentials) into a
+            // relative next link, swapping in the new cursor
+            val echoed = params.view
+              .filterKeys(k => !Set("cursor", "api_key").contains(k))
+              .map { case (k, v) => s"$k=$v" }.mkString("&")
+            val next = if (end < totalRows)
+              s""", "next": "/records?$echoed&cursor=k$end"""" else ""
+            send(200, s"""{"records": $arr$next}""")
+          } else if (paging == "cursor") {
             val next = if (end < totalRows) s""", "nextCursor": "k$end"""" else ""
             send(200, s"""{"records": $arr$next}""")
+          } else if (params.get("shape").contains("wrapped")) {
+            // page-numbered but object-wrapped: {"records": [...], "total": N}
+            send(200, s"""{"records": $arr, "total": $totalRows}""")
           } else send(200, arr)
         }
       }

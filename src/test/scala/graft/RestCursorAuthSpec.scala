@@ -85,6 +85,73 @@ class RestCursorAuthSpec extends graft.SparkSuite {
     } finally stub.stop()
   }
 
+  test("nextUrl pagination follows relative next links to completion") {
+    val stub = RestStubServer.start(totalRows = 200L)
+    try {
+      val df = spark.read.format("graft.sources.RestSource")
+        .option("url", stub.url + "?paging=nexturl")
+        .option("paginationMode", "nextUrl")
+        .option("pageSize", "20")
+        .load()
+      assert(df.count() === 200)
+      assert(df.agg(countDistinct(col("event_id"))).head.getLong(0) === 200)
+    } finally stub.stop()
+  }
+
+  test("nextUrl walk retries a 429 mid-chain without losing the position") {
+    val stub = RestStubServer.start(totalRows = 100L)
+    try {
+      val df = spark.read.format("graft.sources.RestSource")
+        .option("url", stub.url + "?paging=nexturl")
+        .option("paginationMode", "nextUrl")
+        .option("pageSize", "20")
+        .option("failMode", "429once")
+        .load()
+      assert(df.count() === 100)
+      assert(df.agg(countDistinct(col("event_id"))).head.getLong(0) === 100)
+    } finally stub.stop()
+  }
+
+  test("page mode decodes object-wrapped responses via dataField") {
+    val stub = RestStubServer.start(totalRows = 100L)
+    try {
+      val df = spark.read.format("graft.sources.RestSource")
+        .option("url", stub.url + "?shape=wrapped")
+        .option("pages", "5").option("pageSize", "20")
+        .load()
+      assert(df.count() === 100)
+      assert(df.agg(countDistinct(col("event_id"))).head.getLong(0) === 100)
+    } finally stub.stop()
+  }
+
+  test("static header.<name> options reach every request") {
+    val stub = RestStubServer.start(totalRows = 60L)
+    try {
+      def reader(withHeader: Boolean) = {
+        val base = spark.read.format("graft.sources.RestSource")
+          .option("url", stub.url + "?requireHeader=x-trace:abc123")
+          .option("pages", "3").option("pageSize", "20")
+        (if (withHeader) base.option("header.x-trace", "abc123") else base).load()
+      }
+      assert(reader(withHeader = true).count() === 60)
+      val e = intercept[Exception](reader(withHeader = false).count())
+      assert(e.toString.contains("400") ||
+        Option(e.getCause).exists(_.toString.contains("400")))
+    } finally stub.stop()
+  }
+
+  test("unknown paginationMode fails at plan time with the supported list") {
+    val stub = RestStubServer.start(totalRows = 20L)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        spark.read.format("graft.sources.RestSource")
+          .option("url", stub.url).option("pageSize", "20")
+          .option("paginationMode", "scroll").load().count()
+      }
+      assert(e.getMessage.contains("nextUrl"))
+    } finally stub.stop()
+  }
+
   test("bearer positive path: token resolved from .env, sent as Bearer") {
     val stub = RestStubServer.start(totalRows = 60L)
     try {
