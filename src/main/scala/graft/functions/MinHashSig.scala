@@ -131,4 +131,22 @@ object MinHashSig {
     * shingle windows instead of materializing concatenated shingles. */
   def minhash_sig(tokens: Column, k: Int, width: Int = 1): Column =
     Bridge.column(MinHashSig(Bridge.expression(tokens), k, width))
+
+  /** SQL constructor: `minhash_sig(tokens[, k[, width]])` — k/width must
+    * be INT literals (they size the generated code). */
+  private[graft] def fromExprs(exprs: Seq[Expression]): MinHashSig = {
+    def intLit(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"minhash_sig: $what must be an INT literal (it sizes the generated code), got $other")
+    }
+    MinHashSig(exprs.head,
+      if (exprs.length > 1) intLit(exprs(1), "k") else 16,
+      if (exprs.length > 2) intLit(exprs(2), "width") else 1)
+  }
+
+  /** Register `minhash_sig` for SQL use in this session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", fromExprs, "built-in")
 }

@@ -177,5 +177,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.CosineSim].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => graft.functions.CosineSim(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => graft.functions.MinHashSig.fromExprs(exprs)))
   }
 }

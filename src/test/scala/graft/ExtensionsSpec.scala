@@ -17,6 +17,22 @@ class ExtensionsSpec extends SparkSuite {
     assert(math.abs(v - 1.0) < 1e-12)
   }
 
+  test("minhash_sig is callable from SQL text; literal-typed k/width enforced") {
+    graft.functions.MinHashSig.register(spark)
+    val sql = spark.sql(
+      "SELECT minhash_sig(array('a', 'b', 'c'), 4, 1) AS sig").head.getSeq[Long](0)
+    // must agree with the Column API on the same input
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val api = Seq(Seq("a", "b", "c")).toDF("toks")
+      .select(graft.functions.MinHashSig.minhash_sig(col("toks"), 4, 1))
+      .head.getSeq[Long](0)
+    assert(sql === api)
+    val e = intercept[Exception](
+      spark.sql("SELECT minhash_sig(array('a'), 1 + 3)").collect())
+    assert(e.getMessage.contains("INT literal"), e.getMessage)
+  }
+
   test("CollapseRedundantRound rewrites round(round(e,3),6) to round(e,3)") {
     val df = spark.sql("SELECT round(round(c, 3), 6) AS r FROM VALUES (1.2345678D) AS t(c)")
     val before = df.queryExecution.analyzed

@@ -44,4 +44,42 @@ class PlanSpec extends SparkSuite {
     assert(plan("join_semi").contains("LeftSemi"), plan("join_semi").take(1500))
     assert(plan("join_anti").contains("LeftAnti"), plan("join_anti").take(1500))
   }
+
+  test("MinHashSig: codegen and interpreted paths agree bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "x"),          // shorter than the shingle width
+      (3L, ""),           // split("") → [""]
+      (4L, "a b a b a"))  // repeated tokens
+      .toDF("doc_id", "text")
+      .withColumn("toks", split(lower(col("text")), " "))
+    def run(mode: String): Seq[Seq[Long]] = {
+      val prev = spark.conf.get("spark.sql.codegen.factoryMode")
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try docs.select(graft.functions.MinHashSig.minhash_sig(col("toks"), 16, 3).as("sig"))
+        .orderBy(col("doc_id")).collect().map(_.getSeq[Long](0)).toSeq
+      finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
+    }
+    // CODEGEN_ONLY throws if doGenCode fails to compile — this asserts the
+    // generated code is live, not silently falling back to eval
+    val gen = run("CODEGEN_ONLY")
+    val interp = run("NO_CODEGEN")
+    assert(gen === interp)
+    assert(gen.head.length === 16)
+    assert(gen.head !== gen(3), "different docs must differ")
+  }
+
+  test("text_tfidf / text_langid reuse the pinned token frame (no double scan)") {
+    // the shared tf/tok subtree is persisted; both the broadcast build and
+    // the probe side must read the InMemoryRelation, not recompute the
+    // scan+explode+aggregate lineage (the round-3 2x scan tax)
+    for (name <- Seq("text_tfidf", "text_langid")) {
+      val p = plan(name)
+      assert(p.contains("InMemoryTableScan"), s"$name: ${p.take(2000)}")
+      assert(p.sliding("InMemoryTableScan".length).count(_ == "InMemoryTableScan") >= 2,
+        s"$name: both branches should read the cache")
+    }
+  }
 }
