@@ -3,7 +3,9 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev scratchpad (not part of the query contract). */
+/** Dev scratchpad (not part of the query contract). Current probe: where
+  * dedup_cluster's time goes — the Jaccard pair graph vs the HashMin
+  * fixpoint loop. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -11,25 +13,24 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val docs = graft.Tables.t(spark, dir, "documents")
-      .withColumn("toks", array_distinct(split(lower(col("text")), " ")))
-    val sig = graft.operators.MinHashDedup.signatures(docs, "doc_id", "toks")
-    val b = graft.operators.MinHashDedup.banded(sig, "doc_id")
-    println("== token-set band bucket sizes ==")
-    b.groupBy("band_idx", "bh").count()
-      .groupBy("count").agg(count(lit(1)).as("n_buckets"))
-      .orderBy(desc("count")).show(10)
-    // 3-shingle variant
-    val sh = graft.Tables.t(spark, dir, "documents")
-      .withColumn("toks", split(lower(col("text")), " "))
-      .withColumn("sh", expr(
-        "transform(sequence(1, greatest(size(toks) - 2, 1)), i -> concat_ws(' ', element_at(toks, i), element_at(toks, least(i + 1, size(toks))), element_at(toks, least(i + 2, size(toks)))))"))
-    val sig2 = graft.operators.MinHashDedup.signatures(sh, "doc_id", "sh")
-    val b2 = graft.operators.MinHashDedup.banded(sig2, "doc_id")
-    println("== 3-shingle band bucket sizes ==")
-    b2.groupBy("band_idx", "bh").count()
-      .groupBy("count").agg(count(lit(1)).as("n_buckets"))
-      .orderBy(desc("count")).show(10)
+    def time[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
+    }
+    // pair graph alone (same shape dedup_ngram_jaccard times in the bench)
+    time("jaccard pairs (count)") {
+      graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, dir).count()
+    }
+    // full clustering = pairs + fixpoint loop (fresh JVM → cold cache)
+    time("dedup_cluster (count)") {
+      graft.SparkEntry.queries("dedup_cluster")(spark, dir).count()
+    }
+    // memoized second call ≈ 0 (labelCache)
+    time("dedup_cluster (memoized)") {
+      graft.SparkEntry.queries("dedup_cluster")(spark, dir).count()
+    }
     spark.stop(); sys.exit(0)
   }
 }
