@@ -17,8 +17,15 @@ import graft.functions.CosineSim.cosine_sim
   *  - bucketed ANN (`vec_lsh_ann`, `vec_ivf_ann`) — the scale path:
   *    candidates are restricted to matching buckets (random-hyperplane
   *    signs) / nearest centroid cells (label-seeded IVF), so the pairwise
-  *    work drops from N·M to N·M/buckets. No oracle (algorithmic recall
-  *    is property-tested in the unit suite against brute force).
+  *    work drops from N·M to N·M/buckets;
+  *  - compressed ANN (`vec_pq_ann`) — product quantization: vectors
+  *    encode to M codebook ids (8 bytes vs 256 of floats — the index that
+  *    fits billion-vector corpora in RAM), probes score by codeword
+  *    lookup (ADC) and only a shortlist pays exact re-ranking.
+  *
+  * All three ANN tiers use deterministic constructions (integer-formula
+  * planes, medoid seeds, first-K codebooks) precisely so the WHOLE
+  * approximate path carries a DuckDB oracle, not just the exact tier.
   *
   * Every query computes cosine through the codegen'd CosineSim expression,
   * which casts each float to double BEFORE multiplying and folds left
@@ -124,6 +131,64 @@ object VectorOps {
         .orderBy(col("probe_id"), col("rn"))
     }),
 
+    // Product-quantization ANN (PQ + ADC re-rank): M=8 subspaces × 8 dims,
+    // K=16 codewords per subspace, codebook seeded deterministically by
+    // the first K vectors' subvectors (the k-means stand-in, same idea as
+    // vec_ivf_ann's medoid seeds — bit-stable at any parallelism, so the
+    // whole path is DuckDB-oracled). Every vector is ENCODED once to M
+    // small codes — at a billion vectors that 8-bytes-per-vector index
+    // (vs 256 for raw floats) is what fits an ANN index in cluster RAM;
+    // probes then score candidates by codeword table LOOKUP (asymmetric
+    // distance, no full-dim math per pair), shortlist the top-8, and only
+    // the shortlist pays an exact cosine re-rank. Per-subspace distances
+    // pass through an exact DECIMAL cast before the cross-subspace sum so
+    // parallel partial aggregation cannot perturb the ADC ordering.
+    "vec_pq_ann" -> ((s, dir) => {
+      val SUB = 8; val K = 16
+      val emb = t(s, dir, "embeddings")
+      import graft.functions.SubspaceL2.subspace_l2
+      val codebook = emb.filter(col("vec_id") < K)
+        .select(col("vec_id").cast("int").as("cw"), col("embedding").as("cv"))
+      // encode: one fused codegen pass computes ALL per-subspace distances
+      // for a (vector, codeword) pair (functions/SubspaceL2 — the HOF
+      // formulation was interpreted per element and ~5× slower), then
+      // posexplode to (m, d) grain and take the argmin codeword per
+      // (vector, subspace). N×K rows, linear in N, codebook broadcast.
+      val wCode = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d"), col("cw"))
+      val codes = emb.crossJoin(broadcast(codebook))
+        .select(col("vec_id"), col("cw"),
+          posexplode(subspace_l2(col("embedding"), col("cv"), SUB)).as(Seq("m", "d")))
+        .withColumn("crn", row_number().over(wCode))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("m"), col("cw"))
+      // probe-side ADC lookup table: probes × M × K part-distances (tiny)
+      val pd = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+        .crossJoin(broadcast(codebook))
+        .select(col("probe_id"), col("cw"),
+          posexplode(subspace_l2(col("embedding"), col("cv"), SUB)).as(Seq("m", "d")))
+        .select(col("probe_id"), col("m").as("pm"), col("cw").as("pcw"), dec(col("d")).as("dd"))
+      val wShort = Window.partitionBy(col("probe_id")).orderBy(col("adist"), col("vec_id"))
+      val short = codes.join(broadcast(pd), col("m") === col("pm") && col("cw") === col("pcw"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .groupBy(col("probe_id"), col("vec_id"))
+        .agg(sum(col("dd")).as("adist"))
+        .withColumn("srn", row_number().over(wShort))
+        .filter(col("srn") <= 8)
+        .select(col("probe_id"), col("vec_id"))
+      // exact re-rank of the shortlist only
+      val probeVecs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("p2"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+      short.join(emb, Seq("vec_id"))
+        .join(broadcast(probeVecs), col("probe_id") === col("p2"))
+        .withColumn("sim", round(cosine_sim(col("embedding"), col("qv")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("sim"), col("rn"))
+        .orderBy(col("probe_id"), col("rn"))
+    }),
+
     // IVF-style ANN — coarse cells seeded by the label column's MEDOID
     // (the lowest-id member per label; a deterministic k-means stand-in:
     // bit-stable across parallelism, unlike a parallel-summed mean, so the
@@ -205,6 +270,51 @@ object VectorOps {
            FROM b e JOIN (SELECT vec_id AS probe_id, embedding AS qv, bucket
                           FROM b WHERE vec_id < 8) q
              ON e.bucket = q.bucket AND e.vec_id <> q.probe_id)
+         WHERE rn <= 3 ORDER BY probe_id, rn""",
+    // same deterministic codebook (subvectors of vec_id < 16), same
+    // sequential-fold subspace L2, same DECIMAL-exact ADC sum — the PQ
+    // encode/lookup/shortlist/re-rank path reproduced end to end.
+    "vec_pq_ann" ->
+      s"""WITH cb AS (
+           SELECT CAST(vec_id AS INTEGER) AS cw, embedding AS cv
+           FROM embeddings WHERE vec_id < 16),
+         enc AS (
+           SELECT vec_id, m, cw FROM (
+             SELECT e.vec_id, p.m, c.cw,
+               row_number() OVER (PARTITION BY e.vec_id, p.m ORDER BY
+                 list_aggregate(list_transform(range(1, 9), i ->
+                   (e.embedding[p.m * 8 + i]::DOUBLE - c.cv[p.m * 8 + i]::DOUBLE)
+                   * (e.embedding[p.m * 8 + i]::DOUBLE - c.cv[p.m * 8 + i]::DOUBLE)),
+                   'sum'), c.cw) AS crn
+             FROM embeddings e CROSS JOIN range(0, 8) p(m) CROSS JOIN cb c)
+           WHERE crn = 1),
+         pd AS (
+           SELECT q.vec_id AS probe_id, p.m, c.cw,
+             CAST(list_aggregate(list_transform(range(1, 9), i ->
+               (q.embedding[p.m * 8 + i]::DOUBLE - c.cv[p.m * 8 + i]::DOUBLE)
+               * (q.embedding[p.m * 8 + i]::DOUBLE - c.cv[p.m * 8 + i]::DOUBLE)),
+               'sum') AS DECIMAL(18,6)) AS dd
+           FROM embeddings q CROSS JOIN range(0, 8) p(m) CROSS JOIN cb c
+           WHERE q.vec_id < 8),
+         ad AS (
+           SELECT pd.probe_id, enc.vec_id, sum(pd.dd) AS adist
+           FROM enc JOIN pd ON enc.m = pd.m AND enc.cw = pd.cw
+           WHERE enc.vec_id <> pd.probe_id
+           GROUP BY 1, 2),
+         short AS (
+           SELECT probe_id, vec_id FROM (
+             SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS srn
+             FROM ad)
+           WHERE srn <= 8)
+         SELECT probe_id, vec_id AS neighbor_id, sim, rn FROM (
+           SELECT s.probe_id, e.vec_id, round($sqlCosDuck, 6) AS sim,
+             row_number() OVER (PARTITION BY s.probe_id
+               ORDER BY round($sqlCosDuck, 6) DESC, e.vec_id) AS rn
+           FROM short s
+           JOIN embeddings e ON s.vec_id = e.vec_id
+           JOIN (SELECT vec_id AS p2, embedding AS qv FROM embeddings WHERE vec_id < 8) q
+             ON s.probe_id = q.p2)
          WHERE rn <= 3 ORDER BY probe_id, rn""",
     // medoid seeds via arg_min(embedding, vec_id) — identical to the
     // Spark-side lowest-id-per-label row; cells then searched exactly.

@@ -71,6 +71,30 @@ class PlanSpec extends SparkSuite {
     assert(gen.head !== gen(3), "different docs must differ")
   }
 
+  test("SubspaceL2: codegen and interpreted paths agree; shape mismatch nulls") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f, 4.0f), Array(0.5f, 2.0f, 0.0f, 6.0f)),
+      (2L, Array(1.0f, 1.0f, 1.0f, 1.0f), Array(1.0f, 1.0f, 1.0f, 1.0f)))
+      .toDF("id", "a", "b")
+    def run(mode: String): Seq[Seq[Double]] = {
+      val prev = spark.conf.get("spark.sql.codegen.factoryMode")
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try df.select(graft.functions.SubspaceL2.subspace_l2(col("a"), col("b"), 2).as("d"))
+        .orderBy(col("id")).collect().map(_.getSeq[Double](0)).toSeq
+      finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
+    }
+    val gen = run("CODEGEN_ONLY")
+    assert(gen === run("NO_CODEGEN"))
+    assert(gen.head === Seq(0.25, 13.0)) // (0.5²+0²), (3²+(−2)²)
+    assert(gen(1) === Seq(0.0, 0.0))
+    // 3-elem vs sub=2 and length mismatch → null, not a partial result
+    val bad = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+      .select(graft.functions.SubspaceL2.subspace_l2(col("a"), col("b"), 2)).head
+    assert(bad.isNullAt(0))
+  }
+
   test("text_tfidf / text_langid reuse the pinned token frame (no double scan)") {
     // the shared tf/tok subtree is persisted; both the broadcast build and
     // the probe side must read the InMemoryRelation, not recompute the
