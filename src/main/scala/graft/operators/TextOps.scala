@@ -185,6 +185,28 @@ object TextOps {
         .orderBy(col("doc_id"), col("rnk"))
     }),
 
+    // unigram-LM perplexity quality score (the CCNet-style filtering
+    // signal): p(token) from the corpus itself, doc score =
+    // exp(−mean ln p) — low ppl ≈ ordinary language, high ppl ≈ noise.
+    // Per-token log-probs pass through an exact DECIMAL cast before the
+    // per-doc sum so parallel partial aggregation cannot perturb the
+    // 6-dp rounding; the vocabulary-sized freq table broadcasts, so the
+    // token-grain side shuffles once (by doc_id) at any corpus scale.
+    "text_unigram_ppl" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      val total = tok.agg(count(lit(1)).cast("double").as("n_total"))
+      val freq = tok.groupBy(col("token").as("f_token")).agg(count(lit(1)).as("tf"))
+      tok.join(broadcast(freq), col("token") === col("f_token"))
+        .crossJoin(broadcast(total))
+        .withColumn("logp", dec(log(col("tf") / col("n_total"))))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          round(exp(-sum(col("logp")).cast("double") / count(lit(1))), 6).as("ppl"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII scrubbing (training-data hygiene): redact emails and phone-like
     // digit runs. Deterministic synthetic PII is appended per doc so the
     // scrubber provably fires at every row; a real pipeline applies the
@@ -448,6 +470,15 @@ object TextOps {
                ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) DESC, tf.token) AS rnk
            FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n)
          WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "text_unigram_ppl" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+         n AS (SELECT CAST(count(1) AS DOUBLE) AS n_total FROM tok),
+         freq AS (SELECT token AS f_token, count(1) AS tf FROM tok GROUP BY 1)
+         SELECT doc_id, count(1) AS n_tokens,
+           round(exp(-(CAST(sum(CAST(ln(tf / n_total) AS DECIMAL(18,6))) AS DOUBLE)) / count(1)), 6) AS ppl
+         FROM tok JOIN freq ON token = f_token CROSS JOIN n
+         GROUP BY doc_id ORDER BY doc_id""",
     "text_pii_scrub" ->
       """SELECT doc_id,
          len(regexp_extract_all(dirty, '[a-z0-9._]+@[a-z0-9.-]+')) AS n_emails,
