@@ -53,8 +53,16 @@ object EtlOps {
     path
   }
 
+  def stageOrc(s: SparkSession, dir: String): String = {
+    val path = tmpDir(s"orc_${pathTag(dir)}")
+    if (!Files.exists(Paths.get(path, "_SUCCESS")))
+      events(s, dir).select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.mode(SaveMode.Overwrite).orc(path)
+    path
+  }
+
   def stageFixtures(s: SparkSession, dir: String): Unit = {
-    stageJsonl(s, dir); stageCsv(s, dir); ()
+    stageJsonl(s, dir); stageCsv(s, dir); stageOrc(s, dir); ()
   }
 
   val queries: Map[String, QFn] = Map(
@@ -85,6 +93,20 @@ object EtlOps {
         .csv(path)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ORC round-trip — the other columnar format Spark ships natively
+    // (predicate pushdown + column pruning work the same as parquet's;
+    // the scan's aggregation is oracled against the source table, so the
+    // write+read round-trip is value-checked end to end).
+    "scan_orc" -> ((s, dir) => {
+      val path = stageOrc(s, dir)
+      s.read.orc(path)
+        .filter(col("value") >= 50.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"),
+          countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("event_type"))
     }),
 
@@ -277,6 +299,11 @@ object EtlOps {
       """SELECT event_type, count(1) AS n,
          round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "scan_orc" ->
+      """SELECT event_type, count(1) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v,
+         count(DISTINCT user_id) AS n_users
+         FROM events WHERE value >= 50.0 GROUP BY event_type ORDER BY event_type""",
     "scan_corrupt" ->
       """SELECT event_id % 10 = 0 AS is_corrupt,
          CASE WHEN event_id % 10 = 0 THEN -1

@@ -223,6 +223,38 @@ class PropertySpec extends SparkSuite {
       StructType(Seq(StructField("k", IntegerType), StructField("v", IntegerType))))
   }
 
+  test("MinHashSig property: expression equals a direct XXH64 recompute") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    val gen = org.scalacheck.Gen.listOf(
+      org.scalacheck.Gen.alphaNumStr.map(_.take(12)))
+    def expected(toks: List[String], k: Int, w: Int): Seq[Long] = {
+      val th = toks.map(t => XXH64.hashUTF8String(UTF8String.fromString(t), 42L))
+      val mins = Array.fill(k)(Long.MaxValue)
+      if (th.nonEmpty) {
+        val width = math.min(w, th.length)
+        val nsh = math.max(1, th.length - w + 1)
+        for (i <- 0 until nsh) {
+          val c = if (w == 1) th(i)
+            else (0 until width).foldLeft(42L)((acc, d) => XXH64.hashLong(th(i + d), acc))
+          val g = XXH64.hashLong(c, 42L)
+          for (j <- 0 until k) {
+            val v = XXH64.hashInt(j, g)
+            if (v < mins(j)) mins(j) = v
+          }
+        }
+      }
+      mins.toSeq
+    }
+    check(forAll(gen, org.scalacheck.Gen.chooseNum(1, 4)) { (toks, w) =>
+      import spark.implicits._
+      val got = Seq(toks).toDF("toks")
+        .select(graft.functions.MinHashSig.minhash_sig(col("toks"), 8, w))
+        .head.getSeq[Long](0)
+      got == expected(toks, 8, w)
+    })
+  }
+
   test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
     check(forAll { xs: List[(Int, Int)] =>
       val d = df(xs)
