@@ -43,6 +43,55 @@ object VectorOps {
 
   private val sqlCosDuck = cosSql("e.embedding", "q.qv")
 
+  // ---- product-quantization building blocks (vec_pq_ann, vec_ivfpq_ann)
+  private val PQ_SUB = 8
+  private val PQ_K = 16
+  import graft.functions.SubspaceL2.subspace_l2
+
+  /** Deterministic codebook: subvectors of the first K vectors (the
+    * k-means stand-in — bit-stable at any parallelism → oracle-able). */
+  private def pqCodebook(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < PQ_K)
+      .select(col("vec_id").cast("int").as("cw"), col("embedding").as("cv"))
+
+  /** PQ encode: (vec_id, label, m, cw) — the argmin codeword per
+    * (vector, subspace). One fused codegen pass (functions/SubspaceL2)
+    * computes all per-subspace distances for a (vector, codeword) pair;
+    * N×K rows total, linear in N with a broadcast codebook. */
+  private def pqCodes(emb: DataFrame, codebook: DataFrame): DataFrame = {
+    val wCode = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d"), col("cw"))
+    emb.crossJoin(broadcast(codebook))
+      .select(col("vec_id"), col("label"), col("cw"),
+        posexplode(subspace_l2(col("embedding"), col("cv"), PQ_SUB)).as(Seq("m", "d")))
+      .withColumn("crn", row_number().over(wCode))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("label"), col("m"), col("cw"))
+  }
+
+  /** Probe-side ADC lookup table: (probe_id, pm, pcw, dd) part-distances,
+    * DECIMAL-exact so the cross-subspace sum is order-independent. */
+  private def pqAdcTable(emb: DataFrame, codebook: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+      .crossJoin(broadcast(codebook))
+      .select(col("probe_id"), col("cw"),
+        posexplode(subspace_l2(col("embedding"), col("cv"), PQ_SUB)).as(Seq("m", "d")))
+      .select(col("probe_id"), col("m").as("pm"), col("cw").as("pcw"), dec(col("d")).as("dd"))
+
+  /** Exact cosine re-rank of a (probe_id, vec_id) shortlist → top-3. */
+  private def rerank(emb: DataFrame, short: DataFrame): DataFrame = {
+    val probeVecs = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("p2"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+    short.join(emb, Seq("vec_id"))
+      .join(broadcast(probeVecs), col("probe_id") === col("p2"))
+      .withColumn("sim", round(cosine_sim(col("embedding"), col("qv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("sim"), col("rn"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "vec_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -144,30 +193,12 @@ object VectorOps {
     // pass through an exact DECIMAL cast before the cross-subspace sum so
     // parallel partial aggregation cannot perturb the ADC ordering.
     "vec_pq_ann" -> ((s, dir) => {
-      val SUB = 8; val K = 16
       val emb = t(s, dir, "embeddings")
-      import graft.functions.SubspaceL2.subspace_l2
-      val codebook = emb.filter(col("vec_id") < K)
-        .select(col("vec_id").cast("int").as("cw"), col("embedding").as("cv"))
-      // encode: one fused codegen pass computes ALL per-subspace distances
-      // for a (vector, codeword) pair (functions/SubspaceL2 — the HOF
-      // formulation was interpreted per element and ~5× slower), then
-      // posexplode to (m, d) grain and take the argmin codeword per
-      // (vector, subspace). N×K rows, linear in N, codebook broadcast.
-      val wCode = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d"), col("cw"))
-      val codes = emb.crossJoin(broadcast(codebook))
-        .select(col("vec_id"), col("cw"),
-          posexplode(subspace_l2(col("embedding"), col("cv"), SUB)).as(Seq("m", "d")))
-        .withColumn("crn", row_number().over(wCode))
-        .filter(col("crn") === 1)
-        .select(col("vec_id"), col("m"), col("cw"))
-      // probe-side ADC lookup table: probes × M × K part-distances (tiny)
-      val pd = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("probe_id"), col("embedding"))
-        .crossJoin(broadcast(codebook))
-        .select(col("probe_id"), col("cw"),
-          posexplode(subspace_l2(col("embedding"), col("cv"), SUB)).as(Seq("m", "d")))
-        .select(col("probe_id"), col("m").as("pm"), col("cw").as("pcw"), dec(col("d")).as("dd"))
+      val cb = pqCodebook(emb)
+      val codes = pqCodes(emb, cb)
+      val pd = pqAdcTable(emb, cb)
+      // ADC scores ALL vectors (by table lookup, not full-dim math);
+      // shortlist the top-8 per probe, exact-re-rank only those
       val wShort = Window.partitionBy(col("probe_id")).orderBy(col("adist"), col("vec_id"))
       val short = codes.join(broadcast(pd), col("m") === col("pm") && col("cw") === col("pcw"))
         .filter(col("vec_id") =!= col("probe_id"))
@@ -176,17 +207,49 @@ object VectorOps {
         .withColumn("srn", row_number().over(wShort))
         .filter(col("srn") <= 8)
         .select(col("probe_id"), col("vec_id"))
-      // exact re-rank of the shortlist only
-      val probeVecs = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("p2"), col("embedding").as("qv"))
-      val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
-      short.join(emb, Seq("vec_id"))
-        .join(broadcast(probeVecs), col("probe_id") === col("p2"))
-        .withColumn("sim", round(cosine_sim(col("embedding"), col("qv")), 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("sim"), col("rn"))
-        .orderBy(col("probe_id"), col("rn"))
+      rerank(emb, short)
+    }),
+
+    // IVF + PQ — the production-shaped ANN index (a coarse quantizer
+    // prunes the candidate set to the probe's nearest cells, product
+    // codes make scoring those candidates a table lookup): probe →
+    // nearest 2 medoid-seeded label cells → ADC-score ONLY those cells'
+    // vectors via their PQ codes → shortlist top-8 → exact cosine
+    // re-rank. At 100 TB this composition is what runs: N/cells
+    // candidates × O(M) lookup each, with the raw vectors touched only
+    // for the shortlist. Deterministic construction end to end → fully
+    // DuckDB-oracled like every other ANN tier.
+    "vec_ivfpq_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = pqCodebook(emb)
+      val codes = pqCodes(emb, cb)
+      val pd = pqAdcTable(emb, cb)
+      val wSeed = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+      val centroids = emb
+        .withColumn("seed_rn", row_number().over(wSeed))
+        .filter(col("seed_rn") === 1)
+        .select(col("label").as("c_label"), col("embedding").as("cvv"))
+      val wc = Window.partitionBy(col("pc_probe")).orderBy(col("csim").desc, col("c_label"))
+      val probeCells = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("pc_probe"), col("embedding"))
+        .crossJoin(broadcast(centroids))
+        .withColumn("csim", round(cosine_sim(col("embedding"), col("cvv")), 6))
+        .withColumn("crn", row_number().over(wc))
+        .filter(col("crn") <= 2)
+        .select(col("pc_probe"), col("c_label"))
+      val wShort = Window.partitionBy(col("probe_id")).orderBy(col("adist"), col("vec_id"))
+      val short = codes
+        .join(broadcast(probeCells), col("label") === col("c_label"))
+        .join(broadcast(pd),
+          col("pc_probe") === col("probe_id") &&
+            col("m") === col("pm") && col("cw") === col("pcw"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .groupBy(col("probe_id"), col("vec_id"))
+        .agg(sum(col("dd")).as("adist"))
+        .withColumn("srn", row_number().over(wShort))
+        .filter(col("srn") <= 8)
+        .select(col("probe_id"), col("vec_id"))
+      rerank(emb, short)
     }),
 
     // IVF-style ANN — coarse cells seeded by the label column's MEDOID
@@ -299,6 +362,63 @@ object VectorOps {
          ad AS (
            SELECT pd.probe_id, enc.vec_id, sum(pd.dd) AS adist
            FROM enc JOIN pd ON enc.m = pd.m AND enc.cw = pd.cw
+           WHERE enc.vec_id <> pd.probe_id
+           GROUP BY 1, 2),
+         short AS (
+           SELECT probe_id, vec_id FROM (
+             SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS srn
+             FROM ad)
+           WHERE srn <= 8)
+         SELECT probe_id, vec_id AS neighbor_id, sim, rn FROM (
+           SELECT s.probe_id, e.vec_id, round($sqlCosDuck, 6) AS sim,
+             row_number() OVER (PARTITION BY s.probe_id
+               ORDER BY round($sqlCosDuck, 6) DESC, e.vec_id) AS rn
+           FROM short s
+           JOIN embeddings e ON s.vec_id = e.vec_id
+           JOIN (SELECT vec_id AS p2, embedding AS qv FROM embeddings WHERE vec_id < 8) q
+             ON s.probe_id = q.p2)
+         WHERE rn <= 3 ORDER BY probe_id, rn""",
+    // IVF coarse cells (arg_min medoids) composed with the PQ encode/ADC
+    // CTEs — candidates restricted to the probe's 2 nearest cells before
+    // any ADC scoring, then the same shortlist + exact re-rank.
+    "vec_ivfpq_ann" ->
+      s"""WITH cb AS (
+           SELECT CAST(vec_id AS INTEGER) AS cw, embedding AS cv
+           FROM embeddings WHERE vec_id < 16),
+         enc AS (
+           SELECT vec_id, label, m, cw FROM (
+             SELECT e.vec_id, e.label, p.m, c.cw,
+               row_number() OVER (PARTITION BY e.vec_id, p.m ORDER BY
+                 list_aggregate(list_transform(range(1, 9), i ->
+                   (e.embedding[p.m * 8 + i]::DOUBLE - c.cv[p.m * 8 + i]::DOUBLE)
+                   * (e.embedding[p.m * 8 + i]::DOUBLE - c.cv[p.m * 8 + i]::DOUBLE)),
+                   'sum'), c.cw) AS crn
+             FROM embeddings e CROSS JOIN range(0, 8) p(m) CROSS JOIN cb c)
+           WHERE crn = 1),
+         pd AS (
+           SELECT q.vec_id AS probe_id, p.m, c.cw,
+             CAST(list_aggregate(list_transform(range(1, 9), i ->
+               (q.embedding[p.m * 8 + i]::DOUBLE - c.cv[p.m * 8 + i]::DOUBLE)
+               * (q.embedding[p.m * 8 + i]::DOUBLE - c.cv[p.m * 8 + i]::DOUBLE)),
+               'sum') AS DECIMAL(18,6)) AS dd
+           FROM embeddings q CROSS JOIN range(0, 8) p(m) CROSS JOIN cb c
+           WHERE q.vec_id < 8),
+         centroids AS (
+           SELECT label AS c_label, arg_min(embedding, vec_id) AS cvv
+           FROM embeddings GROUP BY label),
+         pc AS (
+           SELECT pc_probe, c_label FROM (
+             SELECT p.vec_id AS pc_probe, c.c_label,
+               row_number() OVER (PARTITION BY p.vec_id
+                 ORDER BY round(${cosSql("p.embedding", "c.cvv")}, 6) DESC, c.c_label) AS crn
+             FROM embeddings p CROSS JOIN centroids c WHERE p.vec_id < 8)
+           WHERE crn <= 2),
+         ad AS (
+           SELECT pd.probe_id, enc.vec_id, sum(pd.dd) AS adist
+           FROM enc
+           JOIN pc ON enc.label = pc.c_label
+           JOIN pd ON pd.probe_id = pc.pc_probe AND enc.m = pd.m AND enc.cw = pd.cw
            WHERE enc.vec_id <> pd.probe_id
            GROUP BY 1, 2),
          short AS (
