@@ -21,7 +21,10 @@ import scala.jdk.CollectionConverters._
 object DotEnv {
 
   /** Parsed, memoized per (path, mtime) so executor-side readers re-parse
-    * only when the file actually changes. */
+    * only when the file actually changes. Superseded-mtime entries are
+    * never evicted — the map is bounded by distinct (file, version) pairs
+    * seen in one JVM, i.e. a handful; a long-lived service rotating env
+    * files continuously should evict by path on change. */
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(String, Long), Map[String, String]]
 
