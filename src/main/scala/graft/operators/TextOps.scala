@@ -241,6 +241,30 @@ object TextOps {
         .orderBy(col("lang"), col("split"))
     }),
 
+    // incremental snapshot dedup — the policy at every batch boundary of
+    // a continuously-ingesting corpus: drop new-batch docs whose
+    // normalized content hash ALREADY exists in the corpus (cross-batch
+    // exact dups), keep the rest. The "new batch" is built
+    // deterministically: docs 300-399, every third one carrying an exact
+    // copy of corpus doc (id−300)'s text. Shape at 100 TB: one hash per
+    // side + a LEFT ANTI hash join on the digest — no text ever shuffles,
+    // and the corpus side can be a pre-built bloom/hash index.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def hash(c: org.apache.spark.sql.Column) =
+        sha2(regexp_replace(lower(trim(c)), "\\s+", " "), 256)
+      val corpus = docs.filter(col("doc_id") < 300)
+      val dupSrc = corpus.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 300).as("dup_id"), col("text").as("dup_text"))
+      val batch = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+        .join(dupSrc, col("doc_id") === col("dup_id") && col("doc_id") % 3 === 0, "left")
+        .select(col("doc_id"), coalesce(col("dup_text"), col("text")).as("text"))
+      batch.withColumn("h", hash(col("text")))
+        .join(corpus.select(hash(col("text")).as("h")).distinct(), Seq("h"), "left_anti")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // unigram-set Jaccard near-dup scan over a bounded probe window
     // (doc_id < 256 both sides keeps the candidate pair set constant-size
     // regardless of corpus scale; the unbounded path is MinHash/LSH).
@@ -560,6 +584,22 @@ object TextOps {
                ORDER BY q.quality DESC, c.doc_id) AS rn
            FROM comp c JOIN quality q ON c.doc_id = q.doc_id)
          WHERE rn = 1 ORDER BY comp""",
+    "dedup_incremental" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id < 300),
+         dupsrc AS (
+           SELECT doc_id + 300 AS dup_id, text AS dup_text
+           FROM corpus WHERE doc_id < 100),
+         batch AS (
+           SELECT d.doc_id, coalesce(s.dup_text, d.text) AS text
+           FROM documents d
+           LEFT JOIN dupsrc s ON d.doc_id = s.dup_id AND d.doc_id % 3 = 0
+           WHERE d.doc_id >= 300 AND d.doc_id < 400),
+         ch AS (
+           SELECT DISTINCT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+           FROM corpus)
+         SELECT doc_id FROM batch
+         WHERE sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) NOT IN (SELECT h FROM ch)
+         ORDER BY doc_id""",
     "dedup_ngram_jaccard" ->
       """WITH toks AS (
            SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS token

@@ -320,9 +320,18 @@ private[sources] object RestHttp {
         } else if ((code == 429 || code >= 500) && attempt < maxRetries) {
           attempt += 1
           val backoffMs = 50L << attempt // exponential backoff per README.md:33
-          // a server-issued Retry-After (seconds) overrides a shorter backoff
+          // a server-issued Retry-After overrides a shorter backoff; RFC
+          // 7231 allows BOTH delta-seconds and an HTTP-date — parse either
           val retryAfterMs = Option(conn.getHeaderField("Retry-After"))
-            .flatMap(_.trim.toLongOption).map(_ * 1000L).getOrElse(0L)
+            .map(_.trim).flatMap { v =>
+              v.toLongOption.map(_ * 1000L).orElse(
+                try {
+                  val at = java.time.ZonedDateTime.parse(
+                    v, java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME).toInstant
+                  Some(math.max(0L, java.time.Duration.between(
+                    java.time.Instant.now(), at).toMillis))
+                } catch { case _: java.time.format.DateTimeParseException => None })
+            }.getOrElse(0L)
           val sleepMs = math.max(backoffMs, retryAfterMs)
           warn(s"rest_source: HTTP $code from $target, retry $attempt after ${sleepMs}ms" +
             (if (retryAfterMs > 0) " (Retry-After honored)" else ""))

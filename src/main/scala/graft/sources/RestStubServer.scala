@@ -119,9 +119,14 @@ object RestStubServer {
           send(400, """{"error": "missing required header"}""")
         } else if (!basicOk) {
           send(401, """{"error": "bad basic credentials"}""")
-        } else if ((fail == "429once" || fail == "429retryafter" || fail == "500once") &&
+        } else if ((fail == "429once" || fail == "429retryafter" ||
+            fail == "429retrydate" || fail == "500once") &&
             (failedOnce.putIfAbsent(s"$fail-$failKey", java.lang.Boolean.TRUE) eq null)) {
           if (fail == "429retryafter") x.getResponseHeaders.set("Retry-After", "1")
+          if (fail == "429retrydate") // RFC 7231 HTTP-date form, ~1s out
+            x.getResponseHeaders.set("Retry-After",
+              java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME.format(
+                java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC).plusSeconds(1)))
           send(if (fail == "500once") 500 else 429, """{"error": "try later"}""")
         } else if (fail == "malformed" && page == 1) {
           send(200, """[{"event_id": 1, "event_ty""")

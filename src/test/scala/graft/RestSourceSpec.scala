@@ -202,6 +202,20 @@ class RestSourceSpec extends SparkSuite {
     } finally stub.stop()
   }
 
+  test("Retry-After HTTP-date form is honored too (RFC 7231 alternative)") {
+    val stub = RestStubServer.start(totalRows = 20L)
+    try {
+      val t0 = System.nanoTime()
+      val df = spark.read.format("graft.sources.RestSource")
+        .option("url", stub.url).option("pages", "1").option("pageSize", "20")
+        .option("failMode", "429retrydate").load()
+      assert(df.count() === 20)
+      val elapsedMs = (System.nanoTime() - t0) / 1000000
+      // date resolution is whole seconds; the delay may round down to ~0.5s
+      assert(elapsedMs >= 400, s"should have slept until the told date, took ${elapsedMs}ms")
+    } finally stub.stop()
+  }
+
   test("requestsPerSecond paces requests (token bucket per reader)") {
     val stub = RestStubServer.start(totalRows = 100L)
     try {
