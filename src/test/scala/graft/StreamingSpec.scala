@@ -59,6 +59,55 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("custom state with EventTimeTimeout: idle keys expire at the watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // per-user running count via flatMapGroupsWithState; a user idle for
+    // 5 minutes of EVENT time past their last event expires: the state is
+    // removed and a tombstone (-count) row is emitted. Timeouts fire on
+    // the batch AFTER the watermark passes the deadline (watermark lags
+    // one batch by construction), which makes the test deterministic.
+    val updated = in.toDF()
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts")).as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            val n = state.get
+            state.remove()
+            Iterator((uid, -n)) // expiry tombstone
+          } else {
+            val evs = rows.toSeq
+            val n = state.getOption.getOrElse(0L) + evs.size
+            state.update(n)
+            state.setTimeoutTimestamp(evs.map(_._2.getTime).max + 5 * 60 * 1000L)
+            Iterator((uid, n))
+          }
+      }.toDF("user_id", "n")
+    val q = updated.writeStream.format("memory").queryName("timeout_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Ev(1, ts(0), 1, "view", 1.0), Ev(2, ts(2), 1, "view", 1.0),
+        Ev(3, ts(0), 2, "view", 1.0))
+      q.processAllAvailable() // counts: user1=2, user2=1; deadlines 7min / 5min
+      in.addData(Ev(4, ts(60), 1, "view", 1.0))
+      q.processAllAvailable() // watermark → 50min AFTER this batch; no expiry yet
+      in.addData(Ev(5, ts(120), 1, "view", 1.0))
+      q.processAllAvailable() // user2's 5min deadline < 50min watermark → expires
+      val rows = spark.table("timeout_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows.count(_ == (2L, -1L)) === 1, s"user 2 must expire once, got $rows")
+      assert(rows.filter(_._1 == 1L).map(_._2).sorted === Seq(2L, 3L, 4L),
+        s"user 1 keeps counting, got $rows")
+      assert(rows.filter(r => r._1 == 2L && r._2 > 0) === Seq((2L, 1L)),
+        "no post-expiry rows for the idle user")
+    } finally q.stop()
+  }
+
   test("stream_tumbling equals its oracled batch twin") {
     val streamed = q("stream_tumbling").collect().map(_.toSeq).toSeq
     val batch = SparkEntry.queries("win_tumbling_batch")(spark, sf).collect().map(_.toSeq).toSeq
