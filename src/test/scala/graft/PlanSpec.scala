@@ -45,6 +45,16 @@ class PlanSpec extends SparkSuite {
     assert(plan("join_anti").contains("LeftAnti"), plan("join_anti").take(1500))
   }
 
+  test("PQ tiers: every join side is broadcast — no CartesianProduct, no big-side shuffle join") {
+    for (name <- Seq("vec_pq_ann", "vec_ivfpq_ann")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name: ${p.take(2000)}")
+      // the codebook/ADC-table cross joins must plan as broadcast NLJs
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$name: ${p.take(2000)}")
+    }
+  }
+
   test("MinHashSig: codegen and interpreted paths agree bit-for-bit") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
