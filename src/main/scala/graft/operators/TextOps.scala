@@ -351,7 +351,11 @@ object TextOps {
       def pin(df: DataFrame): DataFrame =
         s.createDataFrame(df.rdd.cache(), df.schema)
       val docs = t(s, dir, "documents").filter(col("doc_id") < 256).select(col("doc_id"))
-      val pairs = jaccardPairs(s, dir).select(col("d1"), col("d2"))
+      // the pair graph is token-grain work — build it on the OUTER session
+      // (full shuffle parallelism); RDDs are context-level, so the result
+      // pins into the narrow loop session unchanged. Only the ≤256-row
+      // iteration runs at shuffle.partitions=1.
+      val pairs = jaccardPairs(outer, dir).select(col("d1"), col("d2"))
       val edges = pin(pairs
         .union(pairs.select(col("d2").as("d1"), col("d1").as("d2"))))
       var labels = pin(docs.withColumn("comp", col("doc_id")))
