@@ -392,7 +392,7 @@ object TextOps {
         val next = pin(labels.select(col("doc_id"), col("comp"))
           .union(viaEdges).union(viaJump)
           .groupBy("doc_id").agg(min(col("comp")).as("comp")))
-        val sumNow = next.agg(sum(col("comp"))).head.getLong(0)
+        val sumNow = next.agg(sum(col("comp"))).head().getLong(0)
         converged = sumNow == sumPrev
         sumPrev = sumNow
         labels = next
