@@ -148,6 +148,10 @@ object RestStubServer {
             .map(id => shape match {
               case "nested" => nestedRecordJson(id)
               case "messy" => messyRecordJson(id)
+              // drift: pages past the first grow an extra field the
+              // sampler never saw (server-side schema evolution fixture)
+              case "drift" if page > 0 =>
+                recordJson(id).dropRight(1) + s""", "surprise": $id}"""
               case _ => recordJson(id)
             })
           val arr = rows.mkString("[", ", ", "]")

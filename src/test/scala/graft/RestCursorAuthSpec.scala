@@ -254,6 +254,31 @@ class RestCursorAuthSpec extends graft.SparkSuite {
     assert(!sec.toString.contains("bogus"))
   }
 
+  test("server-side schema drift after sampling: new fields ignored, no error") {
+    val stub = RestStubServer.start(totalRows = 100L)
+    try {
+      // inferSchema samples page 0; pages 1+ grow a 'surprise' field the
+      // plan-time schema never saw — decoding must ignore it (schema is
+      // fixed at plan time, the DSv2 contract), not fail or reorder
+      val df = spark.read.format("graft.sources.RestSource")
+        .option("url", stub.url + "?shape=drift")
+        .option("pages", "5").option("pageSize", "20")
+        .option("inferSchema", "true")
+        .load()
+      assert(df.schema.fieldNames.toSeq === Seq("event_id", "event_type", "value"))
+      assert(df.count() === 100)
+      assert(df.agg(countDistinct(col("event_id"))).head.getLong(0) === 100)
+    } finally stub.stop()
+  }
+
+  test("DotEnv failure paths: unreadable file errors clearly; junk lines skipped") {
+    val e = intercept[IllegalArgumentException](DotEnv.parse("/nonexistent/.env"))
+    assert(e.getMessage.contains("not readable"))
+    val f = envFile("no_equals_sign_line", "=nokey", "GOOD=1")
+    val m = DotEnv.parse(f)
+    assert(m === Map("GOOD" -> "1"), s"junk lines must be skipped, got $m")
+  }
+
   test("nested column pruning reaches the scan's read schema") {
     val stub = RestStubServer.start(totalRows = 100L)
     try {
