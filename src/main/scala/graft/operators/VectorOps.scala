@@ -160,14 +160,11 @@ object VectorOps {
           (((j * 1315423911L + i * 2654435761L) % 2001 + 2001) % 2001 - 1000) / 1000.0
         }
       }
-      val planeCols = planes.map(p => array(p.map(lit): _*))
+      // all 8 sign-bit dot products fuse into one codegen loop
+      // (functions/LshBucket) — arithmetic order identical to the HOF
+      // chain this replaces, so the oracle's buckets are unchanged
       val withBucket = emb.withColumn("bucket",
-        (0 until 8).map { j =>
-          val d = aggregate(
-            zip_with(col("embedding"), planeCols(j), (x, y) => x.cast("double") * y),
-            lit(0.0), (acc, v) => acc + v)
-          when(d > 0, lit(1 << j)).otherwise(lit(0))
-        }.reduce(_ + _))
+        graft.functions.LshBucket.lsh_bucket(col("embedding"), planes))
       val probes = withBucket.filter(col("vec_id") < 8)
         .select(col("vec_id").as("probe_id"), col("embedding").as("qv"), col("bucket").as("pbucket"))
       val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))

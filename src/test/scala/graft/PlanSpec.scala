@@ -81,6 +81,32 @@ class PlanSpec extends SparkSuite {
     assert(gen.head !== gen(3), "different docs must differ")
   }
 
+  test("LshBucket: codegen and interpreted paths agree with the HOF formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val planes = Seq(Seq(1.0, -2.0, 0.5), Seq(-1.0, 0.25, 0.75))
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(-1.0f, -0.1f, 0.0f))).toDF("id", "e")
+    def run(mode: String): Seq[Int] = {
+      val prev = spark.conf.get("spark.sql.codegen.factoryMode")
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try df.select(graft.functions.LshBucket.lsh_bucket(col("e"), planes))
+        .orderBy(col("id")).collect().map(_.getInt(0)).toSeq
+      finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
+    }
+    val gen = run("CODEGEN_ONLY")
+    assert(gen === run("NO_CODEGEN"))
+    // HOF reference: the exact chain vec_lsh_ann used before the fusion
+    val hof = df.select(planes.zipWithIndex.map { case (p, j) =>
+        val d = aggregate(zip_with(col("e"), array(p.map(lit): _*),
+          (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
+        when(d > 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _).as("b")).orderBy(col("id"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(gen === hof, s"fused must equal the HOF formulation, got $gen vs $hof")
+  }
+
   test("SubspaceL2: codegen and interpreted paths agree; shape mismatch nulls") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
