@@ -15,7 +15,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to every core: the contract environment is local[32], and
+    // benching at local[4] (the old default when the env var was unset)
+    // under-reports shuffle-heavy queries ~3× — use SPARK_GRAFT_CPUS to
+    // pin a smaller width deliberately
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -45,7 +50,14 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           -1L
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // isolate queries from each other: persisted frames (text_langid/
+      // text_tfidf token caches and the like) otherwise accumulate across
+      // all 100+ queries and the growing heap pressure taxes every query
+      // that runs AFTER them — each query pays its own cache build inside
+      // its own timing, nothing leaks forward
+      spark.catalog.clearCache()
+      name -> sec
     }
     def d3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def ent(kv: (String, Double)): String = "\"" + kv._1 + "\":" + d3(kv._2)

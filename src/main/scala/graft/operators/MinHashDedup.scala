@@ -57,6 +57,14 @@ object MinHashDedup {
     // from one bucket) while shingle buckets stay ≤4 docs, so the bucket
     // self-join is tiny at any scale. Shingles are hash-combined inside the
     // fused MinHashSig pass (shingleWidth = 3) — never built as strings.
+    // BEHAVIOR CHANGE (round 4, the MinHashSig rewrite): shingles are now
+    // hash-combined over LOWERED tokens, and a doc shorter than the width
+    // contributes one partial-window shingle — previously shingles were
+    // string-concatenated and short docs fell back to the raw
+    // case-preserving text. Candidate pairs can differ from the round-3
+    // output; both are valid LSH parameterizations. Since xxhash64 has no
+    // DuckDB twin (no SQL oracle possible), the sf0.001 candidate-pair set
+    // is pinned verbatim by OperatorSpec's fixture regression test.
     "text_dedup_near" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .withColumn("toks", split(lower(col("text")), " "))

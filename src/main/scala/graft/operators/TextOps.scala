@@ -21,6 +21,23 @@ object TextOps {
 
   private val stop = Seq("the", "a", "of", "and", "to", "in")
 
+  // Shared-subtree persists (text_langid's token frame, text_tfidf's tf
+  // frame) must not accumulate for the JVM lifetime: a long-lived process
+  // invoking these queries over many data dirs would pin one cached frame
+  // per (site, dir) forever. Each call site keeps AT MOST ONE live entry —
+  // rebuilding the query (same dir or a new one) unpersists the previous
+  // frame first. unpersist is safe on a frame mid-use only because query
+  // builds are not concurrent per site (the harness is single-threaded);
+  // a concurrent caller should scope persists per-session instead.
+  private val sharedFrameReg =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def persistShared(site: String, df: DataFrame): DataFrame = {
+    sharedFrameReg.remove(site).foreach(_.unpersist(blocking = false))
+    val p = df.persist()
+    sharedFrameReg(site) = p
+    p
+  }
+
   val queries: Map[String, QFn] = Map(
     "text_normalize_hash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -89,13 +106,13 @@ object TextOps {
       // At cluster scale this is the standard cache-vs-recompute call for
       // a reused frame: MEMORY_AND_DISK spills rather than OOMs, and the
       // cached columnar batches are token-grain but aggregate-compressed.
-      // CacheManager dedupes by canonicalized plan, so re-invocation in
-      // one JVM re-uses (not re-registers) the entry.
-      val tok = docs.select(col("doc_id"), col("lang"),
-          explode(split(lower(col("text")), " ")).as("token"))
-        .groupBy(col("doc_id"), col("lang"), col("token"))
-        .agg(count(lit(1)).as("tf"))
-        .persist()
+      // Registered via persistShared: re-building the query evicts the
+      // previous cached frame, so entries never accumulate across dirs.
+      val tok = persistShared("text_langid",
+        docs.select(col("doc_id"), col("lang"),
+            explode(split(lower(col("text")), " ")).as("token"))
+          .groupBy(col("doc_id"), col("lang"), col("token"))
+          .agg(count(lit(1)).as("tf")))
       val profile = tok.groupBy(col("lang").as("p_lang"), col("token").as("p_token"))
         .agg(sum(col("tf")).as("lf"))
       // the profile is vocabulary × 5 langs — tiny at any corpus scale →
@@ -166,12 +183,12 @@ object TextOps {
       // no eager count() action / extra scan outside the query
       val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
       // tf feeds both the docfreq build and the probe side — persist so
-      // the scan+explode+agg runs once (see text_langid's note).
-      val tf = docs
+      // the scan+explode+agg runs once (see text_langid's note; registered
+      // via persistShared so the entry is evicted on the next build).
+      val tf = persistShared("text_tfidf", docs
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
         .groupBy(col("doc_id"), col("token"))
-        .agg(count(lit(1)).as("tf"))
-        .persist()
+        .agg(count(lit(1)).as("tf")))
       val dfreq = tf.groupBy(col("token").as("d_token"))
         .agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))

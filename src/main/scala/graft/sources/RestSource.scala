@@ -94,6 +94,14 @@ object RestSource {
 
   private[sources] val mapper = new ObjectMapper()
 
+  /** Non-secret static request headers: `header.<name>=<value>` options.
+    * Shared by schema sampling and the partition readers so both paths
+    * send the same request shape. */
+  private[sources] def staticHeaders(options: CaseInsensitiveStringMap): Map[String, String] =
+    options.entrySet().asScala
+      .filter(_.getKey.startsWith("header."))
+      .map(e => e.getKey.stripPrefix("header.") -> e.getValue).toMap
+
   /** First-page sampling inference: fetch page 0 once and merge the field
     * types observed across its records. Driver-side, one request — but the
     * same bounded-retry loop as the scan path (RestHttp.fetchArray): a
@@ -104,12 +112,16 @@ object RestSource {
     val limit = options.getInt("sampleSize", options.getInt("pageSize", 100))
     val sep = if (url.contains("?")) "&" else "?"
     val auth = RestAuth.fromOptions(options)
+    // the same static header.<name> options the partition readers send —
+    // an API that *requires* a header must see it during inference too
+    val headers = staticHeaders(options)
     val chainMode = Option(options.get("paginationMode")).exists(_ != "page")
     // a chain walk starts cursor-less, so its sample is just limit=N
     val params = (if (chainMode) Nil else Seq("page=0")) ++
       Seq(s"limit=$limit") ++ auth.queryParams
     val target = new java.net.URI(url + sep + params.mkString("&")).toURL
-    val node = RestHttp.fetchNode(target, auth, options.getInt("maxRetries", 4))
+    val node = RestHttp.fetchNode(target, auth, options.getInt("maxRetries", 4),
+      headers = headers)
     val elems =
       if (node.isArray) node.elements().asScala.toVector
       else {
@@ -445,12 +457,11 @@ final class RestScan(options: CaseInsensitiveStringMap, requiredSchema: StructTy
       Option(options.get("cursorField"))
         .getOrElse(if (paginationMode == "nextUrl") "next" else "nextCursor"),
       Option(options.get("cursorParam")).getOrElse("cursor"),
-      options.getInt("maxRequests", 100000),
+      // 10k pages ≈ 1M rows at the default pageSize — deep enough for any
+      // sane chain; a runaway/cyclic API fails in minutes, not hours
+      options.getInt("maxRequests", 10000),
       paginationMode,
-      // non-secret static request headers: header.<name>=<value> options
-      options.entrySet().asScala
-        .filter(_.getKey.startsWith("header."))
-        .map(e => e.getKey.stripPrefix("header.") -> e.getValue).toMap)
+      RestSource.staticHeaders(options))
   }
 
   private[sources] def pageRanges(first: Int, until: Int): Array[InputPartition] = {
@@ -624,6 +635,12 @@ final class RestCursorReader(val cfg: RestReaderFactory)
     extends PartitionReader[InternalRow] with RestRequests {
 
   private var cursor: Option[String] = None // token, or next URL
+  // every cursor the walk has seen, bounded so a genuinely deep chain of
+  // unique tokens can't grow driver memory without limit; a repeat within
+  // the window means the chain loops (A→B→A as much as A→A) and would
+  // otherwise walk silently until maxRequests
+  private val seenCursors = new java.util.LinkedHashSet[String]()
+  private val seenCursorCap = 4096
   private var done = false
   private var requests = 0
   private var rows: Iterator[JsonNode] = Iterator.empty
@@ -649,9 +666,14 @@ final class RestCursorReader(val cfg: RestReaderFactory)
     if (next == null || next.isNull) done = true
     else {
       val c = next.asText()
-      // a non-advancing chain would walk forever — fail loudly instead
-      if (cursor.contains(c)) throw new java.io.IOException(
-        s"rest_source: ${cfg.mode} chain did not advance (server returned '$c' twice)")
+      // a non-advancing or cyclic chain would walk until maxRequests —
+      // fail loudly on ANY repeat within the seen window instead
+      if (!seenCursors.add(c)) throw new java.io.IOException(
+        s"rest_source: ${cfg.mode} chain revisited cursor '$c' — " +
+          "non-advancing or cyclic pagination")
+      if (seenCursors.size > seenCursorCap) {
+        val it = seenCursors.iterator(); it.next(); it.remove()
+      }
       cursor = Some(c)
     }
   }

@@ -27,6 +27,8 @@ import java.util.concurrent.ConcurrentHashMap
   *   &fail=429retryafter → same, plus a `Retry-After: 1` header
   *   &fail=500once   → same with HTTP 500
   *   &fail=malformed → page 1 body is truncated JSON
+  *   &fail=cursorcycle → cursor chain loops back to its first cursor
+  *                     (A→B→A…) without ever repeating consecutively
   *   &fail=empty     → page 1 is []
   *   &requireAuth=T / &requireApiKeyHeader=T / &requireApiKeyQuery=T /
   *   &requireBasic=user:pass → 401 unless the matching scheme presents
@@ -165,7 +167,15 @@ object RestStubServer {
               s""", "next": "/records?$echoed&cursor=k$end"""" else ""
             send(200, s"""{"records": $arr$next}""")
           } else if (paging == "cursor") {
-            val next = if (end < totalRows) s""", "nextCursor": "k$end"""" else ""
+            // &fail=cursorcycle: from the third request on, the chain
+            // points BACK to the first minted cursor (A→B→A→B→…) — a
+            // broken server whose loop a client must detect, since no
+            // two CONSECUTIVE cursors ever repeat
+            val nextTok =
+              if (fail == "cursorcycle" && start >= 2 * limit) Some(s"k$limit")
+              else if (end < totalRows) Some(s"k$end")
+              else None
+            val next = nextTok.map(t => s""", "nextCursor": "$t"""").getOrElse("")
             send(200, s"""{"records": $arr$next}""")
           } else if (params.get("shape").contains("wrapped")) {
             // page-numbered but object-wrapped: {"records": [...], "total": N}

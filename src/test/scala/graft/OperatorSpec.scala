@@ -125,6 +125,25 @@ class OperatorSpec extends SparkSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)), s"far doc must not collide: $pairs")
   }
 
+  test("text_dedup_near: sf0.001 candidate pairs are pinned (no-oracle regression gate)") {
+    // xxhash64 has no DuckDB twin, so this query can never be oracle-
+    // checked — instead the full fixture output is pinned verbatim. A
+    // hash-formula, shingling, or banding change that moves ANY candidate
+    // pair fails here and must update the pin deliberately (with a note,
+    // as the round-4 hash-combined-shingle rewrite should have).
+    val got = graft.SparkEntry.queries("text_dedup_near")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = Seq(
+      (8L, 12L, 4L), (8L, 120L, 4L), (8L, 360L, 4L), (12L, 120L, 4L),
+      (12L, 360L, 4L), (16L, 369L, 4L), (26L, 176L, 4L), (56L, 157L, 4L),
+      (77L, 459L, 4L), (110L, 467L, 4L), (120L, 360L, 4L), (144L, 161L, 4L),
+      (211L, 404L, 4L), (260L, 391L, 4L), (328L, 428L, 4L), (349L, 411L, 4L),
+      (0L, 50L, 3L), (5L, 450L, 3L), (45L, 487L, 3L), (99L, 174L, 3L),
+      (270L, 329L, 3L), (474L, 498L, 3L), (0L, 82L, 2L), (119L, 425L, 2L),
+      (229L, 263L, 2L), (50L, 82L, 1L), (89L, 114L, 1L))
+    assert(got === want)
+  }
+
   test("dedup_simhash: near-identical docs land at hamming distance <= 2") {
     import spark.implicits._
     def simhashOf(text: String): Long = {

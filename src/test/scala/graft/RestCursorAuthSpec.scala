@@ -68,6 +68,22 @@ class RestCursorAuthSpec extends graft.SparkSuite {
     } finally stub.stop()
   }
 
+  test("cursor cycle (A→B→A) fails on the revisit, not at maxRequests") {
+    val stub = RestStubServer.start(totalRows = 200L)
+    try {
+      val e = intercept[Exception] {
+        // the cycle never repeats a cursor CONSECUTIVELY, so only the
+        // seen-set guard can catch it; without it this would issue
+        // maxRequests HTTP calls before dying
+        cursorRead(stub.url + "?paging=cursor&fail=cursorcycle").count()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(t =>
+        t.getMessage != null && t.getMessage.contains("revisited")), e.toString)
+    } finally stub.stop()
+  }
+
   test("cursor mode refuses streaming (offsets must be page-addressable)") {
     val stub = RestStubServer.start(totalRows = 40L)
     try {
@@ -137,6 +153,32 @@ class RestCursorAuthSpec extends graft.SparkSuite {
       val e = intercept[Exception](reader(withHeader = false).count())
       assert(e.toString.contains("400") ||
         Option(e.getCause).exists(_.toString.contains("400")))
+    } finally stub.stop()
+  }
+
+  test("schema sampling sends static headers too (inferSchema + requireHeader)") {
+    val stub = RestStubServer.start(totalRows = 60L)
+    try {
+      // inference issues its own driver-side request — a header the API
+      // REQUIRES must reach that request as well, or inferSchema=true
+      // fails on an endpoint the partition readers could read fine
+      val df = spark.read.format("graft.sources.RestSource")
+        .option("url", stub.url + "?requireHeader=x-trace:abc123")
+        .option("header.x-trace", "abc123")
+        .option("inferSchema", "true")
+        .option("pages", "3").option("pageSize", "20")
+        .load()
+      assert(df.schema.fieldNames.toSeq === Seq("event_id", "event_type", "value"))
+      assert(df.count() === 60)
+      val e = intercept[Exception] {
+        spark.read.format("graft.sources.RestSource")
+          .option("url", stub.url + "?requireHeader=x-trace:abc123")
+          .option("inferSchema", "true")
+          .option("pages", "3").option("pageSize", "20")
+          .load()
+      }
+      assert(e.toString.contains("400") ||
+        Option(e.getCause).exists(_.toString.contains("400")), e.toString)
     } finally stub.stop()
   }
 
