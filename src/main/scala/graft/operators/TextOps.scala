@@ -120,11 +120,18 @@ object TextOps {
       val scores = tok.join(broadcast(profile), tok("token") === profile("p_token"))
         .groupBy(col("doc_id"), col("lang"), col("p_lang"))
         .agg(sum(col("tf") * col("lf")).as("score"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("p_lang"))
-      scores.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("p_lang").as("pred_lang"), col("score"),
-          (col("p_lang") === col("lang")).as("correct"))
+      // argmax over the 5 candidate langs per doc as a HASH aggregation:
+      // min_by over the (-score, p_lang) key is exactly "score desc,
+      // p_lang asc, take first" but with map-side partial combine and no
+      // per-doc sort — at corpus scale a sort-window rank here would add
+      // a full sort exchange for a 5-row-per-key argmax. Scores are exact
+      // integers, so -score is safe and tie-breaks are engine-identical.
+      scores.groupBy(col("doc_id"), col("lang"))
+        .agg(min_by(struct(col("p_lang"), col("score")),
+          struct((-col("score")).as("ns"), col("p_lang"))).as("best"))
+        .select(col("doc_id"), col("best.p_lang").as("pred_lang"),
+          col("best.score").as("score"),
+          (col("best.p_lang") === col("lang")).as("correct"))
         .orderBy(col("doc_id"))
     }),
 
@@ -287,6 +294,51 @@ object TextOps {
     // regardless of corpus scale; the unbounded path is MinHash/LSH).
     "dedup_ngram_jaccard" -> ((s, dir) =>
       jaccardPairs(s, dir).orderBy(col("d1"), col("d2"))),
+
+    // training-data decontamination: flag corpus docs sharing any 5-gram
+    // with the benchmark/eval set (here doc_id < 32 stands in for the
+    // benchmark). The eval side is tiny by construction — benchmarks are
+    // small — so its distinct gram set broadcasts to every executor and
+    // the corpus side aggregates in ONE pass: a broadcast left join marks
+    // hits, a single hash agg counts (total grams, hit grams) per doc —
+    // no self-join, no second scan of the gram subtree, corpus-side
+    // shuffle only on doc_id partials. Width 5 here; production decon
+    // runs 8-13-gram windows with the identical plan shape.
+    "text_decontaminate" -> ((s, dir) => {
+      def grams(df: DataFrame) = df
+        .withColumn("toks", split(lower(col("text")), " "))
+        .select(col("doc_id"), explode(expr(
+          """case when size(toks) >= 5
+             then array_distinct(transform(sequence(1, size(toks) - 4),
+                  i -> concat_ws(' ', slice(toks, i, 5))))
+             else array() end""")).as("gram"))
+      val g = grams(t(s, dir, "documents"))
+      val evalG = g.filter(col("doc_id") < 32)
+        .select(col("gram")).distinct().withColumn("hit", lit(1))
+      g.filter(col("doc_id") >= 32)
+        .join(broadcast(evalG), Seq("gram"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("ng"), count(col("hit")).as("n_hits"))
+        .filter(col("n_hits") > 0)
+        .select(col("doc_id"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("ng"), 6).as("frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic stratified sampling: per-language keep rates
+    // (downsample the dominant 'en' to 40%, keep the rest at 90%) decided
+    // by a multiplicative hash of the key, not an RNG — reproducible
+    // across runs, engines, and partitionings, and a pure per-row
+    // predicate the scan evaluates with zero shuffle at any corpus size
+    // (what df.sampleBy can't promise: its Bernoulli draw depends on
+    // partitioning). The rebalance-by-stratum shape is the standard
+    // language/domain-mix control in training-data pipelines.
+    "sample_stratified" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(pmod(col("doc_id") * lit(2654435761L), lit(100)) <
+          when(col("lang") === "en", lit(40)).otherwise(lit(90)))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
 
     // near-dup CLUSTERING: connected components over the Jaccard pair
     // graph via HashMin label propagation (each node iteratively takes the
@@ -620,6 +672,24 @@ object TextOps {
            FROM corpus)
          SELECT doc_id FROM batch
          WHERE sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) NOT IN (SELECT h FROM ch)
+         ORDER BY doc_id""",
+    "text_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+         grams AS (
+           SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS gram
+           FROM toks, unnest(range(1, len(tk) - 3)) AS u(i)
+           WHERE len(tk) >= 5),
+         eval_g AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 32)
+         SELECT g.doc_id, count(e.gram) AS n_hits,
+           round(CAST(count(e.gram) AS DOUBLE) / count(1), 6) AS frac
+         FROM grams g LEFT JOIN eval_g e ON g.gram = e.gram
+         WHERE g.doc_id >= 32
+         GROUP BY g.doc_id
+         HAVING count(e.gram) > 0
+         ORDER BY g.doc_id""",
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE (doc_id * 2654435761) % 100 < (CASE WHEN lang = 'en' THEN 40 ELSE 90 END)
          ORDER BY doc_id""",
     "dedup_ngram_jaccard" ->
       """WITH toks AS (

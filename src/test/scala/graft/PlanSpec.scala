@@ -142,4 +142,26 @@ class PlanSpec extends SparkSuite {
         s"$name: both branches should read the cache")
     }
   }
+
+  test("text_langid: argmax is a hash aggregation, not a sort-window rank") {
+    // min_by over (-score, lang) replaces row_number() OVER (ORDER BY ...):
+    // at corpus scale the window form adds a full sort exchange for a
+    // 5-rows-per-key argmax
+    val p = plan("text_langid")
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("text_decontaminate: eval grams broadcast; corpus side joins without a shuffle") {
+    val p = plan("text_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("sample_stratified: pure scan-stage predicate — no exchange before the filter") {
+    // the hash predicate is per-row arithmetic; the only exchange allowed
+    // in the plan is the final orderBy's range partitioning
+    val p = plan("sample_stratified")
+    assert(p.contains("Filter"), p.take(3000))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+  }
 }
