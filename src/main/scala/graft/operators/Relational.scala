@@ -163,6 +163,35 @@ object Relational {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("p_partkey"), col("l_suppkey"))
     }),
 
+    // point-in-interval RANGE join on the bucket-decomposition plan: the
+    // naive `p.ts BETWEEN i.start AND i.end` predicate has no equi-key, so
+    // Spark plans it as a nested-loop join — O(points × intervals), dead at
+    // scale. Decomposed: both sides map to fixed-width time buckets (width
+    // = the interval length, so every interval covers ≤2 buckets and every
+    // point exactly 1), equi-join on the bucket, then post-filter the exact
+    // bounds. That turns an unbounded theta join into a hash join whose
+    // shuffle keys are calendar buckets — at 100 TB both sides partition by
+    // bucket and calendar hotspots are ordinary key skew (salt or AQE).
+    // Here: per urgent March-1995 order, lineitems shipped within 7 days.
+    "join_range_bucket" -> ((s, dir) => {
+      val epoch = lit("1992-01-01")
+      val iv = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("1995-03-01") && col("o_orderdate") < lit("1995-04-01"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          floor(datediff(col("o_orderdate"), epoch) / 7).as("b0"))
+        .withColumn("bucket", explode(array(col("b0"), col("b0") + 1)))
+      val pts = t(s, dir, "lineitem")
+        .select(col("l_shipdate"),
+          floor(datediff(col("l_shipdate"), epoch) / 7).as("bucket"))
+      pts.join(iv, "bucket")
+        .filter(col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 7 DAYS"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(count(lit(1)).as("n_shipped"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "join_cross" -> ((s, dir) => {
       val r = t(s, dir, "region").select(col("r_name"))
       val seg = t(s, dir, "customer").select(col("c_mktsegment")).distinct()
@@ -270,6 +299,16 @@ object Relational {
          FROM lineitem JOIN part
            ON l_partkey = p_partkey AND l_extendedprice > p_retailprice * 25.0
          ORDER BY l_orderkey, l_linenumber, p_partkey, l_suppkey""",
+    "join_range_bucket" ->
+      """SELECT o.o_orderkey, o.o_orderdate, count(1) AS n_shipped
+         FROM orders o JOIN lineitem l
+           ON l.l_shipdate >= o.o_orderdate
+          AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+         WHERE o.o_orderpriority = '1-URGENT'
+           AND o.o_orderdate >= TIMESTAMP '1995-03-01'
+           AND o.o_orderdate < TIMESTAMP '1995-04-01'
+         GROUP BY o.o_orderkey, o.o_orderdate
+         ORDER BY o.o_orderkey""",
     "join_cross" ->
       """SELECT r_name, c_mktsegment
          FROM (SELECT r_name FROM region) r

@@ -157,6 +157,16 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("join_range_bucket: bucket decomposition plans a HASH join, never nested-loop") {
+    // the whole point of the op: the raw range predicate would plan as
+    // BroadcastNestedLoopJoin (O(points x intervals)); the bucket equi-key
+    // must turn it into a hash join with the range bounds as post-filter
+    val p = plan("join_range_bucket")
+    assert(p.contains("HashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
   test("sample_stratified: pure scan-stage predicate — no exchange before the filter") {
     // the hash predicate is per-row arithmetic; the only exchange allowed
     // in the plan is the final orderBy's range partitioning
