@@ -217,6 +217,34 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     }),
 
+    // fixed-width histogram as a plain hash aggregation: the bin id is a
+    // per-row expression, so binning costs one shuffle of (bin → partials)
+    // — bounded by bin count, not row count — at any scale. The DECIMAL
+    // pass through dsum keeps the per-bin quantity sums order-proof.
+    "agg_histogram" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(floor(col("l_extendedprice") / 5000).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("bin"))
+    }),
+
+    // deterministic MODE per group: two-level aggregation (count per
+    // (group, value), then min_by over the (-count, value) key) — both
+    // levels hash aggs with map-side combine, and the explicit tie-break
+    // (lowest value wins) makes the answer engine-identical, which SQL
+    // mode() functions don't promise.
+    "agg_mode" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("o_orderstatus"))
+        .agg(min_by(struct(col("o_orderpriority").as("mode_priority"), col("n")),
+          struct((-col("n")).as("nn"), col("o_orderpriority"))).as("best"))
+        .select(col("o_orderstatus"), col("best.mode_priority").as("mode_priority"),
+          col("best.n").as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "agg_custom_udaf" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -232,6 +260,17 @@ object Aggregates {
     s"round(CAST(sum(CAST($e AS DECIMAL(18,6))) AS DOUBLE) / count(1), 6)"
 
   val oracles: Map[String, String] = Map(
+    "agg_histogram" ->
+      s"""SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+         count(1) AS n, ${decSum6("l_quantity")} AS sum_qty
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "agg_mode" ->
+      """SELECT o_orderstatus, mode_priority, n FROM (
+           SELECT o_orderstatus, o_orderpriority AS mode_priority, count(1) AS n,
+             row_number() OVER (PARTITION BY o_orderstatus
+               ORDER BY count(1) DESC, o_orderpriority) AS rn
+           FROM orders GROUP BY o_orderstatus, o_orderpriority)
+         WHERE rn = 1 ORDER BY o_orderstatus""",
     "agg_group" ->
       s"""SELECT l_returnflag, l_linestatus,
          ${decSum6("l_quantity")} AS sum_qty,
