@@ -174,4 +174,41 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Filter"), p.take(3000))
     assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
   }
+
+  test("plan lint: no query plans an unbounded cartesian / nested-loop join") {
+    // sweep EVERY registered query's physical plan: a CartesianProduct or
+    // BroadcastNestedLoopJoin is only acceptable when one side is bounded
+    // by construction (a broadcast probe set, a 1-row corpus aggregate, a
+    // 5-row dim cross) — those queries are whitelisted WITH the bound that
+    // justifies them. Anything else appearing here is a scale bug: at
+    // 100 TB an unbounded nested-loop side is a query that never finishes.
+    val boundedByConstruction = Map(
+      "join_cross" -> "5-region x 5-segment broadcast cross",
+      "vec_cosine_topk" -> "probe side is a broadcast <=64-vector set",
+      "vec_knn_join" -> "probe side is a broadcast <=64-vector set",
+      "dedup_embed_cosine" -> "probe window is a broadcast bounded set",
+      "text_tfidf" -> "crossJoin against a broadcast 1-row corpus count",
+      "text_unigram_ppl" -> "crossJoin against a broadcast 1-row total",
+      "vec_lsh_ann" -> "crossJoin against broadcast constant plane matrix",
+      "vec_ivf_ann" -> "crossJoin against broadcast bounded centroid set",
+      "vec_pq_ann" -> "crossJoin against broadcast bounded codebook",
+      "vec_ivfpq_ann" -> "crossJoin against broadcast cells+codebook",
+      "sub_scalar" -> "scalar correlated subquery joins a 1-row aggregate",
+      "expr_custom" -> "crossJoin against a broadcast 1-row query vector")
+    val sf = "/root/testdata/sf0.001"
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if boundedByConstruction.contains(name) => None
+      // streaming queries RUN on build and return a memory-table scan —
+      // their plan is lint-trivial but building them here would re-run
+      // every stream; the stream block is covered by its own specs
+      case (name, _) if name.startsWith("stream_") => None
+      case (name, fn) =>
+        val p = fn(spark, sf).queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"unbounded nested-loop/cartesian in: ${offenders.mkString(", ")}")
+  }
 }
