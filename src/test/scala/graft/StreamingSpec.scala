@@ -170,6 +170,52 @@ class StreamingSpec extends SparkSuite {
       s"exactly-once across restart, got ${out.toSeq}")
   }
 
+  test("checkpoint recovery: windowed-agg STATE survives restart (counts merge)") {
+    // the offsets test above proves no refetch; this proves the state
+    // store itself recovers: a window OPEN at shutdown (rows seen, not
+    // yet past the watermark) must keep its partial count across the
+    // restart and merge rows arriving in the second incarnation. Lost
+    // state would emit count 2 for the 00:20 window instead of 3.
+    import java.nio.file.Files
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_ckpt_state")
+    val srcDir = root.resolve("src"); Files.createDirectories(srcDir)
+    val ckpt = root.resolve("ckpt").toString
+    val outDir = root.resolve("out").toString
+    def stage(name: String, ts: Seq[String]): Unit = {
+      val tmp = root.resolve(s"stage_$name")
+      ts.toDF("s").selectExpr("to_timestamp(s) AS ts")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part = try listing.filter(_.toString.endsWith(".parquet")).findFirst().get
+        finally listing.close()
+      Files.move(part, srcDir.resolve(name))
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema("ts TIMESTAMP").parquet(srcDir.toString)
+        .withWatermark("ts", "5 minutes")
+        .groupBy(window(col("ts"), "10 minutes")).agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("w"), col("n"))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // f1: finalizes the 00:00 window (count 2) and leaves the 00:20
+    // window OPEN with one buffered row when the query stops
+    stage("f1.parquet", Seq(
+      "2024-01-01 00:01:00", "2024-01-01 00:02:00", "2024-01-01 00:21:00"))
+    runOnce()
+    // f2 after RESTART: two more 00:20-window rows + an advancer that
+    // pushes the watermark past 00:30 so the window finalizes
+    stage("f2.parquet", Seq(
+      "2024-01-01 00:22:00", "2024-01-01 00:23:00", "2024-01-01 00:41:00"))
+    runOnce()
+    val out = spark.read.parquet(outDir).as[(Long, Long)].collect().sortBy(_._1)
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+    assert(out.toSeq === Seq((base, 2L), (base + 1200, 3L)),
+      s"recovered state must merge to (00:00->2, 00:20->3), got ${out.toSeq}")
+  }
+
   test("upsertBatch rewrites only touched partitions; others byte-identical") {
     import java.nio.file.{Files, Path}
     import spark.implicits._
