@@ -253,6 +253,36 @@ object EtlOps {
         .orderBy(col("o_orderkey"))
     }),
 
+    // full CDC apply — the Delta/Iceberg MERGE kernel as pure relational
+    // ops: a change feed of I(nsert)/U(pdate)/D(elete) rows folds into the
+    // base snapshot as (base ANTI-JOIN changed-keys) UNION ALL (changes
+    // minus deletes). Both legs are key-hash joins; the change feed is
+    // normally tiny vs the base, so at scale the anti join broadcasts the
+    // key set and the base never shuffles — per-batch cost O(changes),
+    // not O(base), same arithmetic as the stream_upsert_sink's
+    // partition-pruned merge but expressed as one batch plan. Feed here is
+    // derived deterministically from orders: key%10==8 inserts (keys absent
+    // from base), %10<=1 updates (price bump), %10==2 deletes.
+    "cdc_apply" -> ((s, dir) => {
+      val all = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val base = all.filter(col("o_orderkey") % 10 < 8)
+      val feed = all
+        .withColumn("op",
+          when(col("o_orderkey") % 10 === 8, "I")
+            .when(col("o_orderkey") % 10 <= 1, "U")
+            .when(col("o_orderkey") % 10 === 2, "D"))
+        .filter(col("op").isNotNull)
+        .withColumn("o_totalprice",
+          when(col("op") === "U", round(col("o_totalprice") * 1.1, 6))
+            .otherwise(r6(col("o_totalprice"))))
+      base.join(feed.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_orderstatus"), r6(col("o_totalprice")).as("o_totalprice"))
+        .unionByName(feed.filter(col("op") =!= "D")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // SCD Type-2 dimension history — the spec's "audits or updates"
     // (README.md:29) done the warehouse way: a changed attribute closes the
     // old row's validity window and opens a new current row; unchanged keys
@@ -351,6 +381,25 @@ object EtlOps {
            SELECT o_orderkey, o_totalprice * 1.1, TIMESTAMP '2026-01-02 00:00:00' FROM orders
            WHERE o_orderkey % 3 = 0)
          QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY _ingested_at DESC) = 1
+         ORDER BY o_orderkey""",
+    "cdc_apply" ->
+      """WITH feed AS (
+           SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 10 <= 1
+                  THEN round(CAST(o_totalprice * 1.1 AS DOUBLE), 6)
+                  ELSE round(CAST(o_totalprice AS DOUBLE), 6) END AS o_totalprice,
+             CASE WHEN o_orderkey % 10 = 8 THEN 'I'
+                  WHEN o_orderkey % 10 <= 1 THEN 'U'
+                  WHEN o_orderkey % 10 = 2 THEN 'D' END AS op
+           FROM orders WHERE o_orderkey % 10 IN (0, 1, 2, 8)),
+         base AS (
+           SELECT o_orderkey, o_orderstatus,
+             round(CAST(o_totalprice AS DOUBLE), 6) AS o_totalprice
+           FROM orders WHERE o_orderkey % 10 < 8)
+         SELECT o_orderkey, o_orderstatus, o_totalprice FROM base
+         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM feed)
+         UNION ALL
+         SELECT o_orderkey, o_orderstatus, o_totalprice FROM feed WHERE op <> 'D'
          ORDER BY o_orderkey""",
     "scd2_history" ->
       """SELECT c_custkey, segment, valid_from,
