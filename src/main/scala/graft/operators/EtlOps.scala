@@ -61,8 +61,22 @@ object EtlOps {
     path
   }
 
+  /** Hive-style partitioned layout of orders (partition column =
+    * o_orderstatus) for the partition-pruning query. At 100 TB this layout
+    * choice — partition by the columns queries filter on — is the
+    * difference between scanning one directory and scanning the lake. */
+  def stagePartitioned(s: SparkSession, dir: String): String = {
+    val path = tmpDir(s"part_orders_${pathTag(dir)}")
+    if (!Files.exists(Paths.get(path, "_SUCCESS")))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.mode(SaveMode.Overwrite).partitionBy("o_orderstatus").parquet(path)
+    path
+  }
+
   def stageFixtures(s: SparkSession, dir: String): Unit = {
-    stageJsonl(s, dir); stageCsv(s, dir); stageOrc(s, dir); ()
+    stageJsonl(s, dir); stageCsv(s, dir); stageOrc(s, dir)
+    stagePartitioned(s, dir); ()
   }
 
   val queries: Map[String, QFn] = Map(
@@ -73,6 +87,21 @@ object EtlOps {
         .filter(col("p_size") > 25)
         .select(col("p_partkey"), col("p_name"), col("p_size"))
         .orderBy(col("p_partkey"))
+    }),
+
+    // partition pruning end to end: orders laid out Hive-style by
+    // o_orderstatus, read back with a partition-column predicate. The
+    // filter resolves at PLANNING time against the directory listing
+    // (PartitionFilters in the scan — pinned by PlanSpec), so the other
+    // statuses' files are never opened: the scan-side lever that makes a
+    // 100 TB lake queryable. Data files carry only the non-partition
+    // columns; the partition value comes from the path.
+    "scan_partitioned" -> ((s, dir) => {
+      val path = stagePartitioned(s, dir)
+      s.read.parquet(path)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), r6(col("o_totalprice")).as("price"))
+        .orderBy(col("o_orderkey"))
     }),
 
     "scan_jsonl" -> ((s, dir) => {
@@ -322,6 +351,9 @@ object EtlOps {
   val oracles: Map[String, String] = Map(
     "scan_parquet" ->
       """SELECT p_partkey, p_name, p_size FROM part WHERE p_size > 25 ORDER BY p_partkey""",
+    "scan_partitioned" ->
+      """SELECT o_orderkey, round(CAST(o_totalprice AS DOUBLE), 6) AS price
+         FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey""",
     "scan_jsonl" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(1) AS n
          FROM events GROUP BY k ORDER BY k""",

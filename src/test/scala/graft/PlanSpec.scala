@@ -175,6 +175,14 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
   }
 
+  test("scan_partitioned: status predicate resolves as a PartitionFilter, not a data filter") {
+    // the filter must prune DIRECTORIES at planning time — if it shows up
+    // only as PushedFilters/post-scan Filter, every status's files are
+    // still opened and the layout bought nothing
+    val p = q("scan_partitioned").queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderstatus"), p.take(3000))
+  }
+
   test("plan lint: no query plans an unbounded cartesian / nested-loop join") {
     // sweep EVERY registered query's physical plan: a CartesianProduct or
     // BroadcastNestedLoopJoin is only acceptable when one side is bounded
