@@ -92,6 +92,37 @@ object Windows {
         .orderBy(col("c_mktsegment"), col("rn"))
     }),
 
+    // SAME result as topk_per_group through a bounded-heap AGGREGATE
+    // (Spark's CollectTopK via the graftbridge-style shim) instead of a
+    // rank window: each group keeps a 3-element heap, partials merge
+    // map-side (ObjectHashAggregate), and nothing is ever sorted beyond
+    // 3 rows per group. At scale that replaces a full per-partition sort
+    // of every group's rows with O(n log k) heap pushes — the window form
+    // sorts ALL rows per segment to discard all but 3. The ordering key
+    // struct((-spend), custkey) makes "spend desc, custkey asc" the
+    // lexicographic MIN order, so ties break engine-identically; the
+    // returned array is ascending = rank order. Checked against the
+    // identical oracle as the window twin.
+    "topk_per_group_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.catalyst.expressions.aggregate.GraftTopK
+      import org.apache.spark.sql.graftbridge.Bridge
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val spend = o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("c_custkey"))
+        .agg(dsum(col("o_totalprice")).as("spend"))
+      val key = struct((-col("spend")).as("ns"), col("c_custkey").as("ck"))
+      val tk = Bridge.column(GraftTopK
+        .collectTopK(Bridge.expression(key), 3, reverse = true)
+        .toAggregateExpression())
+      spend.groupBy(col("c_mktsegment"))
+        .agg(tk.as("tk"))
+        .select(col("c_mktsegment"), posexplode(col("tk")).as(Seq("pos", "st")))
+        .select(col("c_mktsegment"), col("st.ck").as("c_custkey"),
+          (-col("st.ns")).as("spend"), (col("pos") + 1).as("rn"))
+        .orderBy(col("c_mktsegment"), col("rn"))
+    }),
+
     // ---- §2.H batch twins (oracle-checked semantics for the streams) ----
     "win_tumbling_batch" -> ((s, dir) => {
       events(s, dir)
@@ -167,6 +198,15 @@ object Windows {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY c_mktsegment, c_custkey""",
     "topk_per_group" ->
+      """SELECT * FROM (
+           SELECT c_mktsegment, c_custkey,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS spend,
+             row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) DESC, c_custkey) AS rn
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_mktsegment, c_custkey)
+         WHERE rn <= 3 ORDER BY c_mktsegment, rn""",
+    "topk_per_group_agg" ->
       """SELECT * FROM (
            SELECT c_mktsegment, c_custkey,
              round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS spend,

@@ -2,35 +2,30 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.GraftTopK
+import org.apache.spark.sql.graftbridge.Bridge
 
-/** Dev scratchpad (not part of the query contract). Current probe: where
-  * dedup_cluster's cold time goes — the Jaccard pair graph vs the HashMin
-  * fixpoint loop vs first-query session warmup. */
+/** Dev scratchpad (not part of the query contract). Current probe: pin
+  * CollectTopK's `reverse` semantics (which flag keeps the smallest
+  * structs, and the order of the returned array). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    def time[T](label: String)(body: => T): T = {
-      val t0 = System.nanoTime()
-      val r = body
-      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
-      r
+    import spark.implicits._
+    val df = Seq((1, 10.0), (1, 30.0), (1, 20.0), (1, 40.0), (2, 5.0))
+      .toDF("g", "v")
+    def topk(rev: Boolean) = {
+      val st = struct(col("v"), col("g"))
+      val agg = Bridge.column(
+        GraftTopK.collectTopK(Bridge.expression(st), 2, rev).toAggregateExpression())
+      df.groupBy(col("g")).agg(agg.as("tk")).orderBy(col("g"))
+        .collect().toSeq
     }
-    time("warmup agg_group") {
-      graft.SparkEntry.queries("agg_group")(spark, dir).count()
-    }
-    time("jaccard pairs (count)") {
-      graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, dir).count()
-    }
-    time("dedup_cluster (count)") {
-      graft.SparkEntry.queries("dedup_cluster")(spark, dir).count()
-    }
-    time("dedup_cluster (memoized)") {
-      graft.SparkEntry.queries("dedup_cluster")(spark, dir).count()
-    }
+    println("reverse=false: " + topk(false))
+    println("reverse=true:  " + topk(true))
     spark.stop(); sys.exit(0)
   }
 }

@@ -183,6 +183,15 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("PartitionFilters: [isnotnull(o_orderstatus"), p.take(3000))
   }
 
+  test("topk_per_group_agg: bounded-heap aggregate, no rank window in the plan") {
+    // the whole point vs topk_per_group: CollectTopK plans as an
+    // ObjectHashAggregate with map-side partial heaps — a Window node here
+    // would mean we're back to sorting every group's rows to keep 3
+    val p = plan("topk_per_group_agg")
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
   test("plan lint: no query plans an unbounded cartesian / nested-loop join") {
     // sweep EVERY registered query's physical plan: a CartesianProduct or
     // BroadcastNestedLoopJoin is only acceptable when one side is bounded
