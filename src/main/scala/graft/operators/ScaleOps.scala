@@ -60,6 +60,30 @@ object ScaleOps {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // runtime BLOOM-FILTER join pruning (Spark's InjectRuntimeFilter): the
+    // selective side's join keys fold into a bloom filter (a one-row
+    // subquery) that the big side's SCAN applies BEFORE its shuffle —
+    // non-matching lineitem rows are dropped at the source, so the join's
+    // dominant exchange carries only probable matches. At 100 TB this is
+    // the shuffle-join lever next to broadcast (too big to broadcast,
+    // selective enough to prune). Conf-gated on a CLONED session:
+    // broadcast disabled so the shuffle join exists at fixture scale, and
+    // the application-side size threshold lowered because the default
+    // (10 GB) assumes production scans. PlanSpec pins might_contain +
+    // bloom_filter_agg in the plan.
+    "join_bloom_filtered" -> ((s, dir) => {
+      val sc = org.apache.spark.sql.graftbridge.Bridge.cloneSession(s)
+      sc.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      sc.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      sc.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val l = t(sc, dir, "lineitem")
+      val o = t(sc, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "join_skew_salted" -> ((s, dir) => {
       val e = events(s, dir)
       // per-user dimension derived once (stands in for a hot-key-prone dim)
@@ -82,6 +106,12 @@ object ScaleOps {
          round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "join_bloom_filtered" ->
+      """SELECT o_orderpriority, count(1) AS n,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "join_skew_salted" ->
       """SELECT user_id, count(1) AS n_events, max(n_types) AS n_types
          FROM events JOIN (SELECT user_id AS d_user, count(DISTINCT event_type) AS n_types

@@ -192,6 +192,15 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), p.take(3000))
   }
 
+  test("join_bloom_filtered: runtime bloom filter prunes the big side before its shuffle") {
+    // the selective orders side must fold into a bloom_filter_agg subquery
+    // that the lineitem scan applies as might_contain BEFORE the join's
+    // exchange — dropping non-matching rows at the source
+    val p = plan("join_bloom_filtered")
+    assert(p.contains("might_contain"), p.take(3000))
+    assert(p.contains("bloom_filter_agg"), p.take(3000))
+  }
+
   test("plan lint: no query plans an unbounded cartesian / nested-loop join") {
     // sweep EVERY registered query's physical plan: a CartesianProduct or
     // BroadcastNestedLoopJoin is only acceptable when one side is bounded
