@@ -27,6 +27,7 @@ object SparkEntry {
       operators.EtlOps.queries ++
       operators.TypedOps.queries ++
       operators.ScaleOps.queries ++
+      operators.ShapeOps.queries ++
       operators.MinHashDedup.queries ++
       operators.Multimodal.queries ++
       operators.MultimodalFrames.queries ++
@@ -44,6 +45,7 @@ object SparkEntry {
       operators.EtlOps.oracles ++
       operators.TypedOps.oracles ++
       operators.ScaleOps.oracles ++
+      operators.ShapeOps.oracles ++
       operators.MinHashDedup.oracles ++
       operators.Multimodal.oracles ++
       operators.MultimodalFrames.oracles ++

@@ -96,6 +96,29 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     }),
 
+    // no-oracle: DataSketches HLL binary images are engine-specific. The
+    // point of this query is MERGEABILITY — the property that makes
+    // sketches the 100 TB distinct-count answer: per-nation sketches are
+    // built in one pass (partial-aggregatable, shuffle carries fixed-size
+    // sketch bytes, never member sets), then UNIONED up to regions WITHOUT
+    // touching the raw data again. That two-level rollup (build once,
+    // re-merge at any coarser grain) is exactly how pre-aggregated sketch
+    // tables amortize distinct-count queries over a petabyte fact table.
+    // The scalatest spec asserts each region estimate is within ±5% of the
+    // exact distinct count.
+    "agg_hll_merge" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val perNation = c.groupBy(col("c_nationkey"))
+        .agg(hll_sketch_agg(col("c_custkey"), lit(12)).as("sk"))
+      perNation
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_customers"))
+        .orderBy(col("n_regionkey"))
+    }),
+
     "agg_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Reshape + time-series spine operators (SURVEY.md §2 round-5 additions).
+  *
+  * `agg_unpivot` — wide→long melt via `Dataset.unpivot`: plans as a single
+  * `Expand` (each input row emits one row per value column) — a pure map-side
+  * reshape with NO shuffle and no join, so it scales linearly with input at
+  * any corpus size. The inverse of `agg_pivot`.
+  *
+  * `join_lateral` — correlated LATERAL subquery with ORDER BY + LIMIT (the
+  * SQL-standard per-row top-n). Catalyst decorrelates it into a
+  * `WindowGroupLimit` (per-partition PARTIAL top-k BEFORE the shuffle, so
+  * only k·partitions rows move) + a broadcast join back to the outer side —
+  * exactly the plan you'd hand-write at 100 TB, derived automatically from
+  * declarative SQL. The surface matters: lateral is how users naturally
+  * phrase "for each dim row, the top-n facts".
+  *
+  * `ts_resample` / `ts_locf` — the two halves of time-series regularization
+  * every metrics/feature pipeline needs: densify an irregular event stream
+  * onto a fixed daily spine (gap-fill with zeros), and impute gaps by
+  * carrying the last observation forward (`last(..., ignoreNulls)` over an
+  * unbounded-preceding row frame). The spine is dimension-sized by
+  * construction (|keys| × |days| — at 100 TB still millions, not the fact
+  * cardinality) and is built from two 1-row/distinct aggregates, so the
+  * spine cross-product broadcasts; the only fact-sized operations are one
+  * hash aggregation (by key × day) and, for LOCF, one window sorted within
+  * each key partition. No fact-sized cartesian exists anywhere in the plan.
+  */
+object ShapeOps {
+
+  val queries: Map[String, QFn] = Map(
+    "agg_unpivot" -> ((s, dir) => {
+      t(s, dir, "part")
+        .unpivot(
+          Array(col("p_partkey")),
+          Array(col("p_size").cast("double").as("p_size"), col("p_retailprice")),
+          "metric", "value")
+        .select(col("p_partkey"), col("metric"), round(col("value"), 6).as("value"))
+        .orderBy(col("p_partkey"), col("metric"))
+    }),
+
+    "join_lateral" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("lat_nation")
+      t(s, dir, "customer").createOrReplaceTempView("lat_customer")
+      s.sql(
+        """SELECT n_name, c_custkey, c_acctbal
+           FROM lat_nation, LATERAL (
+             SELECT c_custkey, c_acctbal FROM lat_customer
+             WHERE c_nationkey = n_nationkey
+             ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
+           ORDER BY n_name, c_acctbal DESC, c_custkey""")
+    }),
+
+    "ts_resample" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("event_type"), col("ts").cast("date").as("day"), col("value"))
+      // day spine from a 1-row min/max aggregate; key spine from distinct —
+      // both dimension-sized, so the cross product broadcasts
+      val days = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val types = e.select(col("event_type")).distinct()
+      val daily = e.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("tv"))
+      types.crossJoin(broadcast(days))
+        .join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          coalesce(col("tv"), lit(0.0)).as("total_value"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    "ts_locf" -> ((s, dir) => {
+      val ev = events(s, dir)
+      // bounded probe window (user_id < 40) keeps the demo output small;
+      // the plan shape is key-count-agnostic — spine |users|×|days|, one
+      // fact-sized agg, one per-key window
+      val e = ev.filter(col("user_id") < 40)
+        .select(col("user_id"), col("ts").cast("date").as("day"), col("value"))
+      val days = ev.agg(min(col("ts").cast("date")).as("d0"),
+          max(col("ts").cast("date")).as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val users = e.select(col("user_id")).distinct()
+      val daily = e.groupBy(col("user_id"), col("day"))
+        .agg(davg(col("value")).as("avg_value"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      users.crossJoin(broadcast(days))
+        .join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          when(col("avg_value").isNull, lit(0)).otherwise(lit(1)).as("obs"),
+          round(coalesce(last(col("avg_value"), ignoreNulls = true).over(w),
+            lit(0.0)), 6).as("filled_value"))
+        .orderBy(col("user_id"), col("day"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "agg_unpivot" ->
+      """SELECT p_partkey, metric, round(value, 6) AS value FROM (
+           SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+           UNION ALL
+           SELECT p_partkey, 'p_retailprice', p_retailprice FROM part)
+         ORDER BY p_partkey, metric""",
+    // oracle uses the windowed decorrelation (one semantics, zero LATERAL
+    // dialect risk) — same rows as the lateral form by construction
+    "join_lateral" ->
+      """SELECT n_name, c_custkey, c_acctbal FROM (
+           SELECT n_name, c_custkey, c_acctbal,
+                  row_number() OVER (PARTITION BY c_nationkey
+                    ORDER BY c_acctbal DESC NULLS LAST, c_custkey) AS rn
+           FROM customer JOIN nation ON c_nationkey = n_nationkey) x
+         WHERE rn <= 2 ORDER BY n_name, c_acctbal DESC NULLS LAST, c_custkey""",
+    "ts_resample" ->
+      """WITH days AS (
+           SELECT CAST(unnest(generate_series(CAST(min(ts) AS DATE), CAST(max(ts) AS DATE), INTERVAL 1 DAY)) AS DATE) AS day FROM events),
+         types AS (SELECT DISTINCT event_type FROM events),
+         daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS n,
+                  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS tv
+           FROM events GROUP BY 1, 2)
+         SELECT t.event_type, d.day, coalesce(n, 0) AS n_events, coalesce(tv, 0.0) AS total_value
+         FROM types t CROSS JOIN days d
+         LEFT JOIN daily ON daily.event_type = t.event_type AND daily.day = d.day
+         ORDER BY t.event_type, d.day""",
+    "ts_locf" ->
+      """WITH days AS (
+           SELECT CAST(unnest(generate_series(CAST(min(ts) AS DATE), CAST(max(ts) AS DATE), INTERVAL 1 DAY)) AS DATE) AS day FROM events),
+         users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 40),
+         daily AS (
+           SELECT user_id, CAST(ts AS DATE) AS day,
+                  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(1), 6) AS avg_value
+           FROM events WHERE user_id < 40 GROUP BY 1, 2)
+         SELECT user_id, day, obs, round(coalesce(filled, 0.0), 6) AS filled_value FROM (
+           SELECT u.user_id, d.day,
+                  CASE WHEN avg_value IS NULL THEN 0 ELSE 1 END AS obs,
+                  last_value(avg_value IGNORE NULLS) OVER (PARTITION BY u.user_id ORDER BY d.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+           FROM users u CROSS JOIN days d
+           LEFT JOIN daily ON daily.user_id = u.user_id AND daily.day = d.day) x
+         ORDER BY user_id, day"""
+  ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
+}

@@ -340,6 +340,32 @@ object TextOps {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // within-document repetition signal (the Gopher-rules "fraction of
+    // duplicate n-grams" quality gate): repeated trigram mass per doc.
+    // Computed entirely with per-row array expressions (transform +
+    // array_distinct) — a pure scan-side map with NO explode, NO shuffle,
+    // and no per-token rows ever materialized, so the cost is exactly one
+    // pass over the corpus at any scale. The `size >= 3` guard matters:
+    // Spark's sequence(1, 0) DESCENDS rather than returning empty.
+    "text_repetition" -> ((s, dir) => {
+      val tk = expr("filter(split(lower(text), ' '), x -> x <> '')")
+      t(s, dir, "documents")
+        .withColumn("tks", tk)
+        .withColumn("tris", expr(
+          """case when size(tks) >= 3
+             then transform(sequence(1, size(tks) - 2),
+                  i -> concat_ws(' ', slice(tks, i, 3)))
+             else cast(array() as array<string>) end"""))
+        .select(col("doc_id"),
+          size(col("tris")).cast("long").as("n_tri"),
+          size(array_distinct(col("tris"))).cast("long").as("n_uniq"),
+          when(size(col("tris")) === 0, lit(0.0))
+            .otherwise(round(lit(1.0) -
+              size(array_distinct(col("tris"))).cast("double") / size(col("tris")), 6))
+            .as("dup_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // near-dup CLUSTERING: connected components over the Jaccard pair
     // graph via HashMin label propagation (each node iteratively takes the
     // min component id among itself and its neighbors — the Pregel/GraphX
@@ -691,6 +717,18 @@ object TextOps {
       """SELECT doc_id, lang FROM documents
          WHERE (doc_id * 2654435761) % 100 < (CASE WHEN lang = 'en' THEN 40 ELSE 90 END)
          ORDER BY doc_id""",
+    "text_repetition" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tks
+           FROM documents),
+         tg AS (
+           SELECT doc_id, CASE WHEN len(tks) >= 3
+             THEN [array_to_string(tks[i:i+2], ' ') FOR i IN range(1, len(tks) - 1)]
+             ELSE [] END AS tris FROM tk)
+         SELECT doc_id, len(tris) AS n_tri, len(list_distinct(tris)) AS n_uniq,
+           CASE WHEN len(tris) = 0 THEN 0.0
+                ELSE round(1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris), 6) END AS dup_frac
+         FROM tg ORDER BY doc_id""",
     "dedup_ngram_jaccard" ->
       """WITH toks AS (
            SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS token

@@ -294,4 +294,76 @@ class PropertySpec extends SparkSuite {
       da.intersect(db).count() + da.except(db).count() == da.count()
     })
   }
+
+  test("agg_hll_merge: two-level sketch rollup within 5% of exact per region") {
+    val approx = q("agg_hll_merge").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val c = graft.Tables.t(spark, sf, "customer")
+    val n = graft.Tables.t(spark, sf, "nation")
+    val exact = c.join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey")).agg(countDistinct(col("c_custkey")))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex).toDouble / ex < 0.05, s"region $k: ${approx(k)} vs $ex")
+    }
+  }
+
+  test("ts_resample: complete spine, zero-filled gaps, mass conservation") {
+    val rows = q("ts_resample").collect()
+    val e = graft.Tables.events(spark, sf)
+    val nTypes = e.select("event_type").distinct().count()
+    val span = e.agg(min(col("ts").cast("date")), max(col("ts").cast("date"))).head
+    val nDays = span.getDate(1).toLocalDate.toEpochDay - span.getDate(0).toLocalDate.toEpochDay + 1
+    assert(rows.length === nTypes * nDays)
+    // every (type, day) cell exists exactly once and gap cells are zeroed
+    assert(rows.map(r => (r.getString(0), r.getDate(1))).distinct.length === rows.length)
+    rows.filter(_.getLong(2) == 0L).foreach(r => assert(r.getDouble(3) === 0.0))
+    assert(rows.map(_.getLong(2)).sum === e.count())
+  }
+
+  test("ts_locf: gap days carry the last observed value forward") {
+    val byUser = q("ts_locf").collect()
+      .groupBy(_.getLong(0)).values
+    byUser.foreach { rows =>
+      var lastObserved = 0.0 // leading gaps fill with 0.0 by contract
+      rows.sortBy(_.getDate(1).toLocalDate.toEpochDay).foreach { r =>
+        if (r.getInt(2) == 1) lastObserved = r.getDouble(3)
+        else assert(r.getDouble(3) === lastObserved,
+          s"user ${r.getLong(0)} day ${r.getDate(1)}: ${r.getDouble(3)} != $lastObserved")
+      }
+    }
+  }
+
+  test("text_repetition: per-doc invariants hold and the signal is non-trivial") {
+    val rows = q("text_repetition").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTri, nUniq, frac) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nUniq <= nTri)
+      assert(frac >= 0.0 && frac <= 1.0)
+      if (nTri > 0)
+        assert(math.abs(frac - (1.0 - nUniq.toDouble / nTri)) < 1e-6)
+      else assert(frac === 0.0)
+    }
+    assert(rows.exists(_.getDouble(3) > 0.0), "corpus should contain repeated trigrams")
+  }
+
+  test("join_lateral decorrelates to a partial-top-k WindowGroupLimit plan") {
+    val p = q("join_lateral").queryExecution.executedPlan.toString
+    // per-partition top-k BEFORE the exchange: only k rows per partition
+    // per group ever shuffle — the plan that survives a 100x scale-up
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("agg_unpivot emits one row per (id, value column) with no shuffle") {
+    val u = q("agg_unpivot")
+    val nParts = graft.Tables.t(spark, sf, "part").count()
+    assert(u.count() === 2 * nParts)
+    // Expand is map-side: the only exchange allowed is the final ORDER BY sort
+    val p = u.queryExecution.executedPlan.toString
+    assert(p.contains("Expand"), p.take(2000))
+    assert(p.indexOf("Exchange") === p.lastIndexOf("Exchange"), p.take(3000))
+  }
 }

@@ -220,7 +220,9 @@ class PlanSpec extends SparkSuite {
       "vec_pq_ann" -> "crossJoin against broadcast bounded codebook",
       "vec_ivfpq_ann" -> "crossJoin against broadcast cells+codebook",
       "sub_scalar" -> "scalar correlated subquery joins a 1-row aggregate",
-      "expr_custom" -> "crossJoin against a broadcast 1-row query vector")
+      "expr_custom" -> "crossJoin against a broadcast 1-row query vector",
+      "ts_resample" -> "spine build: dim-sized keys x broadcast day span from a 1-row min/max agg",
+      "ts_locf" -> "spine build: dim-sized keys x broadcast day span from a 1-row min/max agg")
     val sf = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if boundedByConstruction.contains(name) => None
