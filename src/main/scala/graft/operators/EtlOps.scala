@@ -192,6 +192,37 @@ object EtlOps {
         .orderBy(col("l_returnflag"))
     }),
 
+    // the small-files problem and its maintenance fix, end to end: a
+    // streaming/micro-batch ingest fragments each partition dir into many
+    // tiny files (staged here as repartition(16) before partitionBy);
+    // compaction redistributes by the partition column — each lang's rows
+    // land in exactly ONE task, so each dir compacts to ONE file — and
+    // sorts within partitions so the rewritten files range-scan on doc_id.
+    // At 100 TB this rewrite is what keeps scan task counts (and NameNode/
+    // listing pressure) proportional to data size, not to ingest cadence;
+    // per-partition file counts are audited DISTRIBUTEDLY via
+    // input_file_name() — no driver-side filesystem walk.
+    "sink_compact" -> ((s, dir) => {
+      val frag = tmpDir(s"frag_docs_${pathTag(dir)}")
+      if (!Files.exists(Paths.get(frag, "_SUCCESS")))
+        t(s, dir, "documents").repartition(16)
+          .write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(frag)
+      val compact = tmpDir(s"compact_docs_${pathTag(dir)}")
+      if (!Files.exists(Paths.get(compact, "_SUCCESS")))
+        s.read.parquet(frag)
+          .repartition(col("lang"))
+          .sortWithinPartitions(col("doc_id"))
+          .write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(compact)
+      s.read.parquet(compact)
+        // project the (non-deterministic) file name BEFORE aggregating —
+        // Spark rejects non-deterministic expressions as direct agg args
+        .select(col("lang"), input_file_name().as("f"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("f")).as("n_files"))
+        .orderBy(col("lang"))
+    }),
+
     // schema evolution on ingest (the ETL reality the spec's re-ingest
     // loop implies): batch 1 lands without a column, batch 2 adds it;
     // mergeSchema unifies, older rows read as NULL. Fixture staged once.
@@ -378,6 +409,11 @@ object EtlOps {
          FROM events GROUP BY event_type ORDER BY event_type""",
     "sink_parquet" ->
       """SELECT l_returnflag, count(1) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // n_files = 1 is the compaction CONTRACT (hash-by-partition-column puts
+    // each lang in exactly one writer task), so the oracle can state it
+    "sink_compact" ->
+      """SELECT lang, count(1) AS n_rows, CAST(1 AS BIGINT) AS n_files
+         FROM documents GROUP BY lang ORDER BY lang""",
     "scan_evolve" ->
       """SELECT coalesce(CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END, 'pre_schema') AS status,
          count(1) AS n,

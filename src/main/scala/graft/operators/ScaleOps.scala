@@ -84,6 +84,43 @@ object ScaleOps {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // interval × interval OVERLAP join with both sides fact-sized: the
+    // generalization of join_range_bucket (point-in-interval). Each
+    // interval explodes into the fixed-width (7-day) buckets it covers —
+    // blowup bounded by interval_len/width, here ≤2 — and the overlap
+    // predicate becomes a bucket EQUI-join + exact post-filter. An
+    // overlapping pair appears in every shared bucket, so instead of a
+    // dedup shuffle the CANONICAL-BUCKET filter keeps each pair exactly
+    // once: only in the bucket containing the later of the two starts.
+    // Net: one hash join whose shuffle is bounded by Σ(len/width), zero
+    // nested-loop, zero distinct — the plan that survives when both
+    // interval sets are billions of rows. (Broadcast handles a small side;
+    // this is the shape for when neither side fits.)
+    "join_interval_overlap" -> ((s, dir) => {
+      val W = 7 // bucket width in days
+      def side(parity: Int, p: String) = t(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(25)) === parity)
+        .select(
+          col("o_orderkey").as(s"${p}_key"),
+          col("o_orderdate").cast("date").as(s"${p}_s"),
+          date_add(col("o_orderdate").cast("date"),
+            (pmod(col("o_orderkey"), lit(5)) + 1).cast("int")).as(s"${p}_e"))
+      def buckets(df: org.apache.spark.sql.DataFrame, p: String) =
+        df.withColumn("bkt", explode(expr(
+          s"sequence(floor(datediff(${p}_s, date'1970-01-01') / $W)," +
+            s" floor(datediff(${p}_e, date'1970-01-01') / $W))")))
+      val a = buckets(side(0, "a"), "a")
+      val b = buckets(side(1, "b"), "b")
+      a.join(b, Seq("bkt"))
+        .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+        .filter(col("bkt") === floor(
+          datediff(greatest(col("a_s"), col("b_s")), lit("1970-01-01").cast("date")) / W))
+        .select(col("a_key"), col("b_key"),
+          (datediff(least(col("a_e"), col("b_e")),
+            greatest(col("a_s"), col("b_s"))) + 1).cast("long").as("overlap_days"))
+        .orderBy(col("a_key"), col("b_key"))
+    }),
+
     "join_skew_salted" -> ((s, dir) => {
       val e = events(s, dir)
       // per-user dimension derived once (stands in for a hot-key-prone dim)
@@ -112,6 +149,21 @@ object ScaleOps {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_orderpriority = '1-URGENT'
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // oracle states the SEMANTICS (plain overlap theta-join); the bucketed
+    // plan must produce identical pairs
+    "join_interval_overlap" ->
+      """WITH a AS (
+           SELECT o_orderkey AS a_key, CAST(o_orderdate AS DATE) AS a_s,
+                  CAST(o_orderdate AS DATE) + CAST((o_orderkey % 5) + 1 AS INTEGER) AS a_e
+           FROM orders WHERE o_orderkey % 25 = 0),
+         b AS (
+           SELECT o_orderkey AS b_key, CAST(o_orderdate AS DATE) AS b_s,
+                  CAST(o_orderdate AS DATE) + CAST((o_orderkey % 5) + 1 AS INTEGER) AS b_e
+           FROM orders WHERE o_orderkey % 25 = 1)
+         SELECT a_key, b_key,
+                date_diff('day', greatest(a_s, b_s), least(a_e, b_e)) + 1 AS overlap_days
+         FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
+         ORDER BY a_key, b_key""",
     "join_skew_salted" ->
       """SELECT user_id, count(1) AS n_events, max(n_types) AS n_types
          FROM events JOIN (SELECT user_id AS d_user, count(DISTINCT event_type) AS n_types

@@ -73,6 +73,31 @@ object ShapeOps {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // funnel analysis (view → click → purchase) as ONE hash aggregation:
+    // min(ts) FILTER per stage is partial-aggregatable, so each user's
+    // three first-occurrence timestamps reduce map-side and the shuffle
+    // carries one row per user — vs the naive three-way self-join of the
+    // event log with itself (three fact-sized shuffles and a join
+    // explosion on active users). The stage ladder is then a per-row CASE.
+    // This is the standard event-sequence/conversion query every product
+    // analytics pipeline runs at fact-table scale.
+    "seq_funnel" -> ((s, dir) => {
+      val e = events(s, dir)
+      def firstTs(tpe: String) =
+        min(when(col("event_type") === tpe, col("ts")))
+      e.groupBy(col("user_id"))
+        .agg(
+          firstTs("view").as("t_view"),
+          firstTs("click").as("t_click"),
+          firstTs("purchase").as("t_buy"))
+        .select(col("user_id"),
+          when(col("t_view").isNull, lit(0))
+            .when(col("t_click").isNull || col("t_click") <= col("t_view"), lit(1))
+            .when(col("t_buy").isNull || col("t_buy") <= col("t_click"), lit(2))
+            .otherwise(lit(3)).as("stage"))
+        .orderBy(col("user_id"))
+    }),
+
     "ts_locf" -> ((s, dir) => {
       val ev = events(s, dir)
       // bounded probe window (user_id < 40) keeps the demo output small;
@@ -113,6 +138,19 @@ object ShapeOps {
                     ORDER BY c_acctbal DESC NULLS LAST, c_custkey) AS rn
            FROM customer JOIN nation ON c_nationkey = n_nationkey) x
          WHERE rn <= 2 ORDER BY n_name, c_acctbal DESC NULLS LAST, c_custkey""",
+    "seq_funnel" ->
+      """WITH firsts AS (
+           SELECT user_id,
+             min(ts) FILTER (event_type = 'view') AS t_view,
+             min(ts) FILTER (event_type = 'click') AS t_click,
+             min(ts) FILTER (event_type = 'purchase') AS t_buy
+           FROM events GROUP BY user_id)
+         SELECT user_id,
+           CASE WHEN t_view IS NULL THEN 0
+                WHEN t_click IS NULL OR t_click <= t_view THEN 1
+                WHEN t_buy IS NULL OR t_buy <= t_click THEN 2
+                ELSE 3 END AS stage
+         FROM firsts ORDER BY user_id""",
     "ts_resample" ->
       """WITH days AS (
            SELECT CAST(unnest(generate_series(CAST(min(ts) AS DATE), CAST(max(ts) AS DATE), INTERVAL 1 DAY)) AS DATE) AS day FROM events),

@@ -71,11 +71,48 @@ class OperatorSpec extends SparkSuite {
 
   test("sink_parquet writes real partition directories") {
     q("sink_parquet").collect() // runs the write
+    // NB: must be the pid-suffixed dir THIS jvm wrote — the bare
+    // graft_etl/ path was a round-1 layout that lingers in /tmp and made
+    // this assertion pass against stale files
     val dir = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_etl/sink_${graft.Tables.pathTag(sf)}")
+      System.getProperty("java.io.tmpdir"),
+      s"graft_etl_${ProcessHandle.current().pid()}/sink_${graft.Tables.pathTag(sf)}")
     val parts = dir.listFiles().filter(_.getName.startsWith("l_returnflag="))
     assert(parts.map(_.getName).sorted.toSeq ===
       Seq("l_returnflag=A", "l_returnflag=N", "l_returnflag=R"))
+  }
+
+  test("sink_compact: staged layout is genuinely fragmented before compaction") {
+    q("sink_compact").collect() // stages fragmented + compacted layouts
+    val frag = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_etl_${ProcessHandle.current().pid()}/frag_docs_${graft.Tables.pathTag(sf)}")
+    val langDirs = frag.listFiles().filter(_.getName.startsWith("lang="))
+    assert(langDirs.nonEmpty)
+    // repartition(16) before partitionBy fans each lang over many tasks →
+    // many files per dir; compaction's n_files=1 only means something if
+    // the input really was fragmented
+    val fragCounts = langDirs.map(d => d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(fragCounts.forall(_ > 1), fragCounts.mkString(","))
+  }
+
+  test("seq_funnel: stage ladder is consistent with per-user event history") {
+    val stages = q("seq_funnel").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val e = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .collect().groupBy(_.getLong(0))
+    assert(stages.keySet === e.keySet)
+    e.foreach { case (u, rows) =>
+      def first(tpe: String) = rows.filter(_.getString(1) == tpe)
+        .map(_.getTimestamp(2).getTime).sorted.headOption
+      val expected = (first("view"), first("click"), first("purchase")) match {
+        case (None, _, _) => 0
+        case (Some(v), c, _) if c.forall(_ <= v) => 1
+        case (Some(_), Some(c), b) if b.forall(_ <= c) => 2
+        case _ => 3
+      }
+      assert(stages(u) === expected, s"user $u")
+    }
   }
 
   test("upsert_load is idempotent: re-upserting the same batch is a no-op") {

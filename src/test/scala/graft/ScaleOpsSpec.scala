@@ -16,6 +16,32 @@ class ScaleOpsSpec extends SparkSuite {
       || plan.contains("BroadcastHashJoin"), plan.take(1000))
   }
 
+  test("bucketed interval-overlap join equals the naive theta join, as a hash join") {
+    import org.apache.spark.sql.functions._
+    val df = q("join_interval_overlap")
+    // semantics: identical pairs to the O(n*m) range-predicate join
+    def side(parity: Int, p: String) = graft.Tables.t(spark, sf, "orders")
+      .filter(pmod(col("o_orderkey"), lit(25)) === parity)
+      .select(
+        col("o_orderkey").as(s"${p}_key"),
+        col("o_orderdate").cast("date").as(s"${p}_s"),
+        date_add(col("o_orderdate").cast("date"),
+          (pmod(col("o_orderkey"), lit(5)) + 1).cast("int")).as(s"${p}_e"))
+    val naive = side(0, "a").join(side(1, "b"),
+        col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .select(col("a_key"), col("b_key"),
+        (datediff(least(col("a_e"), col("b_e")),
+          greatest(col("a_s"), col("b_s"))) + 1).cast("long").as("overlap_days"))
+      .orderBy(col("a_key"), col("b_key"))
+    assert(df.collect().map(_.toSeq).toSeq === naive.collect().map(_.toSeq).toSeq)
+    // plan: the overlap predicate must ride a bucket EQUI-join, not a
+    // nested loop over both interval sets
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p.take(1000))
+  }
+
   test("salted skew join equals the plain join result") {
     import org.apache.spark.sql.functions._
     val salted = q("join_skew_salted").collect().map(_.toSeq).toSeq
