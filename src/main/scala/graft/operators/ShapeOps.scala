@@ -73,6 +73,35 @@ object ShapeOps {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // time-weighted average over an IRREGULAR event stream: each value
+    // holds until the user's next event, so the mean weights each value by
+    // its holding duration (µs) rather than treating samples as equally
+    // spaced — the correct aggregate for unevenly sampled series (sensor
+    // readings, account balances, feature snapshots). One window (lead
+    // over the user's time order, sorted within each user partition) + one
+    // hash agg; weights in exact DECIMAL(28,6) so the Σ(value·duration)
+    // fold is order-independent under parallel partial aggregation (µs
+    // durations reach ~1e12 — DECIMAL(18,6) would overflow the product).
+    "ts_time_weighted" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id")) // event_id breaks ts ties
+      val e = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("t"))
+        .withColumn("t_next", lead(col("t"), 1).over(w))
+      e.groupBy(col("user_id"))
+        .agg(
+          min(col("t")).as("t0"), max(col("t")).as("t1"),
+          round(avg(col("value")), 6).as("plain_avg"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 6)) *
+            (col("t_next") - col("t"))).as("num"))
+        .select(col("user_id"),
+          when(col("t1") === col("t0"), col("plain_avg"))
+            .otherwise(round(col("num").cast("double") / (col("t1") - col("t0")), 6))
+            .as("twa"))
+        .orderBy(col("user_id"))
+    }),
+
     // funnel analysis (view → click → purchase) as ONE hash aggregation:
     // min(ts) FILTER per stage is partial-aggregatable, so each user's
     // three first-occurrence timestamps reduce map-side and the shuffle
@@ -138,6 +167,16 @@ object ShapeOps {
                     ORDER BY c_acctbal DESC NULLS LAST, c_custkey) AS rn
            FROM customer JOIN nation ON c_nationkey = n_nationkey) x
          WHERE rn <= 2 ORDER BY n_name, c_acctbal DESC NULLS LAST, c_custkey""",
+    "ts_time_weighted" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS t, value,
+                  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+           FROM events)
+         SELECT user_id,
+           CASE WHEN max(t) = min(t) THEN round(avg(value), 6)
+                ELSE round(CAST(sum(CAST(value AS DECIMAL(28,6)) * (t_next - t)) AS DOUBLE)
+                           / (max(t) - min(t)), 6) END AS twa
+         FROM e GROUP BY user_id ORDER BY user_id""",
     "seq_funnel" ->
       """WITH firsts AS (
            SELECT user_id,

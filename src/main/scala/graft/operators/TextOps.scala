@@ -366,6 +366,34 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // CAPSTONE composition: the canonical training-data curation pipeline
+    // as ONE declarative query — quality gate (length + token floor) →
+    // exact dedup on the normalized content hash (keep min doc_id) →
+    // deterministic stratified sample (hash keep-rates per language) →
+    // corpus accounting by (lang, source). Each stage exists above as its
+    // own operator; composing them in one plan is the point: Catalyst
+    // pushes the quality predicates into the scan, the dedup is one
+    // hash-shuffle on the content hash, the sample is a per-row predicate
+    // (zero cost), and the accounting is one partial-aggregated hash agg —
+    // i.e. the whole curation pass costs TWO shuffles end to end at any
+    // corpus size, with no intermediate materialization between stages.
+    "corpus_pipeline" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("n_toks",
+          size(expr("filter(split(lower(text), ' '), x -> x <> '')")).cast("long"))
+        .filter(col("n_chars") >= 100 && col("n_toks") >= 20)
+        .withColumn("h", sha2(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 256))
+      val keep = d.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      d.join(keep, Seq("h", "doc_id"), "left_semi")
+        .filter(pmod(col("doc_id") * lit(2654435761L), lit(100)) <
+          when(col("lang") === "en", lit(40)).otherwise(lit(90)))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_tokens"),
+          davg(col("n_chars")).as("avg_chars"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // near-dup CLUSTERING: connected components over the Jaccard pair
     // graph via HashMin label propagation (each node iteratively takes the
     // min component id among itself and its neighbors — the Pregel/GraphX
@@ -717,6 +745,21 @@ object TextOps {
       """SELECT doc_id, lang FROM documents
          WHERE (doc_id * 2654435761) % 100 < (CASE WHEN lang = 'en' THEN 40 ELSE 90 END)
          ORDER BY doc_id""",
+    "corpus_pipeline" ->
+      """WITH d AS (
+           SELECT doc_id, lang, source, n_chars,
+                  len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_toks,
+                  sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+           FROM documents
+           WHERE n_chars >= 100
+             AND len(list_filter(string_split(lower(text), ' '), x -> x <> '')) >= 20),
+         keep AS (SELECT h, min(doc_id) AS doc_id FROM d GROUP BY h),
+         kept AS (SELECT d.* FROM d JOIN keep USING (h, doc_id)
+                  WHERE (d.doc_id * 2654435761) % 100 < CASE WHEN lang = 'en' THEN 40 ELSE 90 END)
+         SELECT lang, source, count(1) AS n_docs,
+                CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+                round(CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / count(1), 6) AS avg_chars
+         FROM kept GROUP BY lang, source ORDER BY lang, source""",
     "text_repetition" ->
       """WITH tk AS (
            SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tks

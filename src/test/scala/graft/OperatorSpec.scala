@@ -386,6 +386,18 @@ class PropertySpec extends SparkSuite {
     assert(rows.exists(_.getDouble(3) > 0.0), "corpus should contain repeated trigrams")
   }
 
+  test("ts_time_weighted: every user's TWA lies within the user's value range") {
+    val twa = q("ts_time_weighted").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bounds = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(min(col("value")), max(col("value")))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(twa.keySet === bounds.keySet)
+    twa.foreach { case (u, v) =>
+      val (lo, hi) = bounds(u)
+      assert(v >= lo - 1e-6 && v <= hi + 1e-6, s"user $u: $v outside [$lo, $hi]")
+    }
+  }
+
   test("join_lateral decorrelates to a partial-top-k WindowGroupLimit plan") {
     val p = q("join_lateral").queryExecution.executedPlan.toString
     // per-partition top-k BEFORE the exchange: only k rows per partition
