@@ -76,6 +76,42 @@ object Aggregates {
       """)
     }),
 
+    // correlated EXISTS subquery: RewritePredicateSubquery decorrelates it
+    // into a LEFT SEMI hash join — the user writes the natural predicate
+    // form, the engine plans the same join `join_semi` declares directly.
+    "sub_exists" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("se_customer")
+      t(s, dir, "orders").createOrReplaceTempView("se_orders")
+      s.sql("""
+        SELECT c_custkey, round(CAST(c_acctbal AS DOUBLE), 6) AS bal
+        FROM se_customer c
+        WHERE EXISTS (
+          SELECT 1 FROM se_orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        ORDER BY c_custkey
+      """)
+    }),
+
+    // NOT IN over a NULLABLE subquery column: SQL's three-valued NOT IN
+    // ("any NULL in the set empties the result") cannot be planned as a
+    // plain anti join — Spark plans the single-column NULL-AWARE anti join
+    // (broadcast hash join with isNullAware=true), which checks the
+    // null-exists case against the broadcast set without a nested loop.
+    // The CASE keeps the inner column nullable BY TYPE (o_totalprice < 0
+    // never fires in data) so the planner must take the null-aware path;
+    // the unit spec pins the plan.
+    "sub_not_in" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("sn_customer")
+      t(s, dir, "orders").createOrReplaceTempView("sn_orders")
+      s.sql("""
+        SELECT c_custkey FROM sn_customer
+        WHERE c_custkey NOT IN (
+          SELECT CASE WHEN o_totalprice < 0 THEN NULL ELSE o_custkey END
+          FROM sn_orders WHERE o_orderstatus = 'F')
+        ORDER BY c_custkey
+      """)
+    }),
+
     "agg_count_distinct" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -327,6 +363,19 @@ object Aggregates {
          WHERE c_acctbal > (
            SELECT CAST(sum(CAST(i.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(1)
            FROM customer i WHERE i.c_mktsegment = o.c_mktsegment)
+         ORDER BY c_custkey""",
+    "sub_exists" ->
+      """SELECT c_custkey, round(CAST(c_acctbal AS DOUBLE), 6) AS bal
+         FROM customer c
+         WHERE EXISTS (
+           SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+         ORDER BY c_custkey""",
+    "sub_not_in" ->
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey NOT IN (
+           SELECT CASE WHEN o_totalprice < 0 THEN NULL ELSE o_custkey END
+           FROM orders WHERE o_orderstatus = 'F')
          ORDER BY c_custkey""",
     "agg_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(1) AS n_events

@@ -93,9 +93,24 @@ object EtlOps {
     compact
   }
 
+  /** Tiny order-status dim staged as PARQUET (not an inline relation):
+    * dynamic partition pruning needs the dim-side filter to survive to the
+    * physical plan, and ConvertToLocalRelation folds filters over inline
+    * rows away before planning. */
+  def stageStatusDim(s: SparkSession, dir: String): String = {
+    val path = tmpDir(s"dim_status_${pathTag(dir)}")
+    if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
+      import s.implicits._
+      Seq(("F", "finished"), ("O", "open"), ("P", "pending"))
+        .toDF("status", "label")
+        .write.mode(SaveMode.Overwrite).parquet(path)
+    }
+    path
+  }
+
   def stageFixtures(s: SparkSession, dir: String): Unit = {
     stageJsonl(s, dir); stageCsv(s, dir); stageOrc(s, dir)
-    stagePartitioned(s, dir); stageCompact(s, dir); ()
+    stagePartitioned(s, dir); stageCompact(s, dir); stageStatusDim(s, dir); ()
   }
 
   val queries: Map[String, QFn] = Map(

@@ -84,6 +84,32 @@ object ScaleOps {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // DYNAMIC partition pruning: the selective filter lives on the DIM
+    // side, so static pruning cannot touch the fact scan — at runtime the
+    // dim's qualifying join keys become a pruning subquery on the fact's
+    // partition column (`dynamicpruningexpression(... IN dynamicpruning#N)`
+    // in PartitionFilters, pinned by PlanSpec), and the fact reads ONLY
+    // the surviving partition directories. At 100 TB this is the
+    // difference between scanning the whole fact table and scanning one
+    // date/status slice when the cut is only expressible through a dim —
+    // the standard star-schema access path. Two fixture-scale accommodations
+    // (neither changes semantics): the dim is a staged PARQUET table, not
+    // an inline relation (ConvertToLocalRelation would fold the filter
+    // away before the pruning rule sees it), and useStats=false on a
+    // cloned session (the stats-based benefit estimate vetoes DPP when the
+    // whole fact is a few KB; production-scale facts pass it on defaults).
+    "join_dpp" -> ((s, dir) => {
+      val sc = org.apache.spark.sql.graftbridge.Bridge.cloneSession(s)
+      sc.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      val fact = sc.read.parquet(EtlOps.stagePartitioned(sc, dir))
+      val dim = sc.read.parquet(EtlOps.stageStatusDim(sc, dir))
+        .filter(col("label") === "finished")
+      fact.join(dim, fact("o_orderstatus") === dim("status"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("label"))
+    }),
+
     // interval × interval OVERLAP join with both sides fact-sized: the
     // generalization of join_range_bucket (point-in-interval). Each
     // interval explodes into the fixed-width (7-day) buckets it covers —
@@ -149,6 +175,11 @@ object ScaleOps {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_orderpriority = '1-URGENT'
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "join_dpp" ->
+      """SELECT 'finished' AS label, count(1) AS n,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+         FROM orders WHERE o_orderstatus = 'F'
+         GROUP BY 1 ORDER BY label""",
     // oracle states the SEMANTICS (plain overlap theta-join); the bucketed
     // plan must produce identical pairs
     "join_interval_overlap" ->

@@ -201,6 +201,23 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("bloom_filter_agg"), p.take(3000))
   }
 
+  test("join_dpp: fact scan carries a runtime partition-pruning subquery") {
+    val p = plan("join_dpp")
+    assert(p.contains("dynamicpruning"), p.take(3000))
+  }
+
+  test("sub_exists decorrelates to a semi join; sub_not_in plans null-aware, not nested-loop") {
+    val pe = plan("sub_exists")
+    assert(pe.contains("LeftSemi") || pe.contains("Semi"), pe.take(3000))
+    val pn = plan("sub_not_in")
+    // three-valued NOT IN must take the single-column null-aware anti join
+    // — BroadcastHashJoinExec prints its isNullAware flag as the trailing
+    // boolean ("LeftAnti, BuildRight, true"). A BroadcastNestedLoopJoin
+    // here would be the quadratic fallback that dies at fact scale.
+    assert(!pn.contains("BroadcastNestedLoopJoin"), pn.take(3000))
+    assert(pn.contains("LeftAnti, BuildRight, true"), pn.take(3000))
+  }
+
   test("plan lint: no query plans an unbounded cartesian / nested-loop join") {
     // sweep EVERY registered query's physical plan: a CartesianProduct or
     // BroadcastNestedLoopJoin is only acceptable when one side is bounded
