@@ -155,6 +155,32 @@ object Aggregates {
         .orderBy(col("n_regionkey"))
     }),
 
+    // EXACT mergeable distinct counts — the deterministic counterpart to
+    // agg_hll_merge for when the pipeline can't tolerate sketch error:
+    // ids split into fixed 32k-wide buckets, each bucket's membership a
+    // fixed-size bitmap (bitmap_construct_agg), partial-aggregatable and
+    // re-mergeable to any coarser grain with bitmap_or_agg — the shuffle
+    // carries bitmap BYTES, never member sets, and per-(group, bucket)
+    // state is bounded at 4 KB regardless of fact cardinality. Unlike HLL
+    // the result is exact, so this one IS DuckDB-oracled against
+    // count(DISTINCT). The id-space-bounded bitmap vs error-bounded sketch
+    // trade-off is the standard production choice at 100 TB.
+    "agg_bitmap_distinct" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val perBucket = c
+        .groupBy(col("c_nationkey"), expr("bitmap_bucket_number(c_custkey)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(c_custkey))").as("bm"))
+      perBucket
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey"), col("bkt"))
+        .agg(expr("bitmap_count(bitmap_or_agg(bm))").as("cnt"))
+        .groupBy(col("n_regionkey"))
+        .agg(sum(col("cnt")).as("n_customers"))
+        .orderBy(col("n_regionkey"))
+    }),
+
     "agg_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -364,6 +390,12 @@ object Aggregates {
            SELECT CAST(sum(CAST(i.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(1)
            FROM customer i WHERE i.c_mktsegment = o.c_mktsegment)
          ORDER BY c_custkey""",
+    // CAST: DuckDB count(DISTINCT) is BIGINT but Spark's bitmap-sum path
+    // emits BIGINT too — cast defensively for engine-stable schema compare
+    "agg_bitmap_distinct" ->
+      """SELECT n_regionkey, CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_regionkey ORDER BY n_regionkey""",
     "sub_exists" ->
       """SELECT c_custkey, round(CAST(c_acctbal AS DOUBLE), 6) AS bal
          FROM customer c
