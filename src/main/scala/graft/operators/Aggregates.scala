@@ -181,6 +181,33 @@ object Aggregates {
         .orderBy(col("n_regionkey"))
     }),
 
+    // third member of the sketch family (HLL = approx distinct, bitmap =
+    // exact distinct, this = HEAVY HITTERS): the frequent-items sketch
+    // behind approx_top_k, demonstrated through its full production
+    // lifecycle — ACCUMULATE per-language partial sketches, COMBINE them
+    // into one corpus sketch (fixed-size state moves, never token rows),
+    // ESTIMATE the top-k. At real vocabulary sizes the counts are
+    // error-bounded with ~KB state; at this fixture the capacity (1024)
+    // exceeds the 31-token vocabulary, making the sketch EXACT — which is
+    // what lets this query carry a DuckDB oracle against the true top-k.
+    // k=9 because the rank-9/10 boundary is untied at every fixture scale
+    // (a tied boundary makes any top-k's SET engine-ambiguous).
+    "agg_approx_topk" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"),
+          explode(expr("filter(split(lower(text), ' '), x -> x <> '')")).as("token"))
+        .createOrReplaceTempView("atk_tokens")
+      s.sql("""
+        WITH per_lang AS (
+          SELECT lang, approx_top_k_accumulate(token, 1024) AS sk
+          FROM atk_tokens GROUP BY lang),
+        merged AS (SELECT approx_top_k_combine(sk, 1024) AS sk FROM per_lang),
+        est AS (SELECT explode(approx_top_k_estimate(sk, 9)) AS it FROM merged)
+        SELECT it.item AS token, it.count AS cnt FROM est
+        ORDER BY cnt DESC, token
+      """)
+    }),
+
     "agg_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -396,6 +423,11 @@ object Aggregates {
       """SELECT n_regionkey, CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "agg_approx_topk" ->
+      """SELECT tok AS token, count(1) AS cnt FROM (
+           SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+           FROM documents)
+         GROUP BY tok ORDER BY cnt DESC, token LIMIT 9""",
     "sub_exists" ->
       """SELECT c_custkey, round(CAST(c_acctbal AS DOUBLE), 6) AS bal
          FROM customer c
