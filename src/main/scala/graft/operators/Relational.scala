@@ -213,6 +213,31 @@ object Relational {
         .orderBy(col("event_id"))
     }),
 
+    // as-of with a STALENESS BOUND: the latest prior view only counts if
+    // it happened within 30 minutes of the purchase (the tolerance every
+    // real as-of API exposes — attribution windows, sensor validity,
+    // quote staleness). The bound also matters at scale: it caps the
+    // range-join pair expansion at |events in 30 min| per probe instead
+    // of the unbounded all-history blow-up, so the emulation stays
+    // shuffle-join-shaped even on years of log.
+    "join_asof_tolerance" -> ((s, dir) => {
+      val e = events(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("v_ts").desc_nulls_last, col("view_id").desc_nulls_last)
+      p.join(v,
+          p("user_id") === v("v_user") && v("v_ts") < p("ts") &&
+            v("v_ts") >= p("ts") - expr("INTERVAL 30 MINUTES"), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("view_id"), lit(-1L)).as("prior_view_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // same as-of semantics through the NATIVE operator (custom logical
     // node + strategy + sort-merge exec, graft.plans.AsofJoin) — linear
     // merge instead of the emulation's pair blow-up; checked against the
@@ -322,6 +347,16 @@ object Relational {
            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
            LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
              ON v.user_id = p.user_id AND v.ts < p.ts)
+         WHERE rn = 1 ORDER BY event_id""",
+    "join_asof_tolerance" ->
+      """SELECT event_id, user_id, coalesce(view_id, -1) AS prior_view_id FROM (
+           SELECT p.event_id, p.user_id, v.event_id AS view_id,
+                  row_number() OVER (PARTITION BY p.event_id
+                    ORDER BY v.ts DESC NULLS LAST, v.event_id DESC NULLS LAST) AS rn
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+             ON v.user_id = p.user_id AND v.ts < p.ts
+            AND v.ts >= p.ts - INTERVAL 30 MINUTE)
          WHERE rn = 1 ORDER BY event_id""",
     "join_asof_native" ->
       """SELECT event_id, user_id, coalesce(view_id, -1) AS prior_view_id FROM (

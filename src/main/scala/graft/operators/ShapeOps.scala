@@ -127,6 +127,52 @@ object ShapeOps {
         .orderBy(col("user_id"))
     }),
 
+    // exponentially weighted moving average per user (α = 0.2): the
+    // recurrence s_i = α·x_i + (1−α)·s_{i−1} is inherently sequential in
+    // event order, so it CANNOT be a frame-based window aggregate — the
+    // scalable shape is one shuffle (groupBy user) + an in-memory left
+    // fold over each user's time-ordered history. Per-key history is
+    // bounded (one user's events fit a task comfortably; for truly
+    // unbounded keys the fix is segmented folds carrying (decay, partial)
+    // pairs, which compose associatively — noted, not needed here). Both
+    // engines fold left over the identical (ts, event_id) total order with
+    // the first value as seed, so the doubles match bit for bit.
+    "ts_ewma" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"), col("value")).as("rec"))
+      e.groupBy(col("user_id"))
+        .agg(sort_array(collect_list(col("rec"))).as("h"))
+        .select(col("user_id"), size(col("h")).cast("bigint").as("n"),
+          round(aggregate(
+            expr("slice(h, 2, size(h) - 1)"),
+            col("h").getItem(0).getField("value"),
+            (acc, x) => lit(0.2) * x.getField("value") + lit(0.8) * acc), 6).as("ewma"))
+        .orderBy(col("user_id"))
+    }),
+
+    // weekly cohort retention — the canonical activation/engagement query
+    // over an event log. One pass builds each user's (first-week cohort,
+    // distinct active weeks) in a single hash aggregation (collect_set of
+    // week-truncated dates is bounded: |weeks in the log|, not |events|),
+    // then an explode + one dimension-sized hash agg counts users per
+    // (cohort, offset) cell. Two shuffles total, both key-count-sized
+    // after the map-side combine; NO self-join of the fact table against
+    // itself (the naive formulation shuffles the log twice and joins on a
+    // hot user key).
+    "agg_retention" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+      val perUser = e.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort"), collect_set(col("wk")).as("wks"))
+      perUser.select(col("cohort"), explode(col("wks")).as("wk"))
+        .groupBy(col("cohort"),
+          (datediff(col("wk"), col("cohort")) / 7).cast("int").as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort"), col("week_offset"))
+    }),
+
     "ts_locf" -> ((s, dir) => {
       val ev = events(s, dir)
       // bounded probe window (user_id < 40) keeps the demo output small;
@@ -202,6 +248,26 @@ object ShapeOps {
          FROM types t CROSS JOIN days d
          LEFT JOIN daily ON daily.event_type = t.event_type AND daily.day = d.day
          ORDER BY t.event_type, d.day""",
+    // list_reduce seeds from the first element and folds left — the same
+    // order and the same 0.2·x + 0.8·acc double arithmetic as the Spark
+    // aggregate() lambda, so no rounding slack is needed beyond the 6 dp.
+    "ts_ewma" ->
+      """WITH h AS (
+           SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+           FROM events GROUP BY user_id)
+         SELECT user_id, len(vs) AS n,
+                round(list_reduce(vs, (acc, x) -> 0.2 * x + 0.8 * acc), 6) AS ewma
+         FROM h ORDER BY user_id""",
+    "agg_retention" ->
+      """WITH wkly AS (
+           SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+         cohorts AS (
+           SELECT user_id, min(wk) AS cohort FROM wkly GROUP BY user_id)
+         SELECT cohort, CAST(date_diff('day', cohort, wk) // 7 AS INT) AS week_offset,
+                count(1) AS n_users
+         FROM wkly JOIN cohorts USING (user_id)
+         GROUP BY cohort, week_offset
+         ORDER BY cohort, week_offset""",
     "ts_locf" ->
       """WITH days AS (
            SELECT CAST(unnest(generate_series(CAST(min(ts) AS DATE), CAST(max(ts) AS DATE), INTERVAL 1 DAY)) AS DATE) AS day FROM events),

@@ -446,86 +446,16 @@ object TextOps {
   private def clusterLabels(outer: SparkSession, dir: String): DataFrame = {
     import outer.implicits._
     labelCache.getOrElseUpdate(dir, {
-      // conf scope: the whole fixpoint runs on a CLONED session (shared
-      // context, isolated SQLConf — the runToTable pattern) with
-      // shuffle.partitions=1 and AQE off. The iterated frames are bounded
-      // by the probe window (≤256 rows): one native shuffle partition
-      // replaces the old per-frame coalesce(1) workaround, and disabling
-      // AQE matters because `df.rdd` on an adaptive plan EXECUTES its
-      // shuffle stages eagerly — every pin was paying a per-round
-      // stage-materialization + re-planning tax (~0.3-0.9 s each, the
-      // bulk of dedup_cluster's bench time). The caller's session conf is
-      // never touched. On an unbounded graph the same loop runs
-      // hash-partitioned with AQE on — drop the narrow conf and the
-      // broadcast hints and it is the standard cluster-scale shape.
-      // lineage discipline: every iterated frame is pinned — cached at the
-      // RDD layer and re-wrapped as a fresh LogicalRDD-rooted DataFrame,
-      // which BOTH avoids recomputation AND truncates the logical plan.
-      // cache() alone truncates nothing logically: each round's plan would
-      // embed the previous round's (twice, via the jump self-join), so
-      // Catalyst analysis cost grows ~4× per iteration and dominates
-      // within a handful of rounds. (The direct localCheckpoint API trips
-      // an attribute-rewrite bug on this plan shape in Spark 4.1, so the
-      // truncation is spelled out as the rdd round-trip.) Superseded RDDs
-      // are reclaimed by the ContextCleaner once the loop drops them.
-      val s = org.apache.spark.sql.graftbridge.Bridge.cloneSession(outer)
-      s.conf.set("spark.sql.shuffle.partitions", "1")
-      s.conf.set("spark.sql.adaptive.enabled", "false")
-      def pin(df: DataFrame): DataFrame =
-        s.createDataFrame(df.rdd.cache(), df.schema)
-      val docs = t(s, dir, "documents").filter(col("doc_id") < 256).select(col("doc_id"))
-      // the pair graph is token-grain work — build it on the OUTER session
-      // (full shuffle parallelism); RDDs are context-level, so the result
-      // pins into the narrow loop session unchanged. Only the ≤256-row
-      // iteration runs at shuffle.partitions=1.
+      // the pair graph is token-grain work — built on the OUTER session
+      // (full shuffle parallelism); only the ≤256-row iteration runs at
+      // shuffle.partitions=1 inside the fixpoint's cloned session. The
+      // loop itself (pinning, fused HashMin + pointer jump, sum-based
+      // convergence) lives in operators/Components.scala, shared with the
+      // embedding-graph clustering op.
+      val docs = t(outer, dir, "documents").filter(col("doc_id") < 256)
+        .select(col("doc_id").as("id"))
       val pairs = jaccardPairs(outer, dir).select(col("d1"), col("d2"))
-      val edges = pin(pairs
-        .union(pairs.select(col("d2").as("d1"), col("d1").as("d2"))))
-      var labels = pin(docs.withColumn("comp", col("doc_id")))
-      // HashMin labels only ever DECREASE, so sum(comp) is strictly
-      // decreasing until the fixpoint — an equal sum IS convergence. That
-      // makes the check one cheap agg on the already-cached frame instead
-      // of a compare-join + second action per iteration. Seeded with an
-      // impossible sum (comps are non-negative doc_ids) so no separate
-      // initializing action is needed — round 0 materializes the labels
-      // pin as part of its own lineage.
-      var sumPrev = -1L
-      val maxIter = 40 // pointer jumping ⇒ O(log diameter) ≤ log2(256)=8; 5× slack
-      var converged = false
-      var iter = 0
-      while (!converged && iter < maxIter) {
-        // FUSED HashMin step + pointer jump, one aggregation per round:
-        //   comp' := min(comp, min over neighbors' comp, comp[comp])
-        // The jump reads the PREVIOUS round's labels (not this round's
-        // half-stepped frame), so the whole round is a single union+min —
-        // one pinned frame, one planning pass, one broadcast pair per
-        // round instead of two of each (the r3 shape paid 2 pins/round;
-        // at ≤256 rows the loop cost IS that fixed overhead). Jumping
-        // through the older frame still (at least) halves the remaining
-        // pointer depth per round, so rounds stay O(log diameter); every
-        // round contains the plain HashMin contribution, so the fixpoint
-        // (min reachable doc_id) is unchanged — and oracle-checked.
-        val viaEdges = labels.join(broadcast(edges), labels("doc_id") === edges("d1"))
-          .select(col("d2").as("doc_id"), col("comp"))
-        val viaJump = labels.as("x")
-          .join(broadcast(labels.select(col("doc_id").as("p"), col("comp").as("pc")).as("y")),
-            col("x.comp") === col("y.p"), "left")
-          .select(col("x.doc_id").as("doc_id"),
-            coalesce(col("pc"), col("x.comp")).as("comp"))
-        val next = pin(labels.select(col("doc_id"), col("comp"))
-          .union(viaEdges).union(viaJump)
-          .groupBy("doc_id").agg(min(col("comp")).as("comp")))
-        val sumNow = next.agg(sum(col("comp"))).head().getLong(0)
-        converged = sumNow == sumPrev
-        sumPrev = sumNow
-        labels = next
-        iter += 1
-      }
-      require(converged, s"component labeling did not converge in $maxIter iterations")
-      // window-bounded output (≤256 rows): materialize locally; the
-      // checkpointed per-round RDDs (≤40 × 256 rows) are reclaimed by the
-      // ContextCleaner once unreferenced
-      labels.select(col("doc_id"), col("comp")).as[(Long, Long)].collect().toSeq
+      Components.hashMinLabels(outer, pairs, Some(docs))
     }).toDF("doc_id", "comp")
   }
 

@@ -43,6 +43,49 @@ object VectorOps {
 
   private val sqlCosDuck = cosSql("e.embedding", "q.qv")
 
+  /** DuckDB twin of [[lshRangePairs]]: CTEs `b` (bucketed embeddings) and
+    * `rpairs` (d1 < d2, sim ≥ 0.3 within a shared bucket), spliced into
+    * both the range-search and semantic-cluster oracles. */
+  private val lshRangePairsSql: String =
+    s"""b AS (
+       SELECT vec_id, embedding,
+         CAST(sum(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS INTEGER) AS bucket
+       FROM (
+         SELECT e0.vec_id, e0.embedding, p.j,
+           list_aggregate(list_transform(range(1, 65), i ->
+             e0.embedding[i]::DOUBLE *
+             ((((p.j * 1315423911 + (i - 1) * 2654435761) % 2001 + 2001) % 2001 - 1000) / 1000.0)),
+             'sum') AS d
+         FROM embeddings e0 CROSS JOIN range(0, 8) p(j))
+       GROUP BY vec_id, embedding),
+     rpairs AS (
+       SELECT v1 AS d1, v2 AS d2, sim FROM (
+         SELECT l.vec_id AS v1, r.vec_id AS v2,
+                round(${cosSql("l.embedding", "r.embedding")}, 6) AS sim
+         FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+       WHERE sim >= 0.3)"""
+
+  /** All embedding pairs with cosine ≥ 0.3 whose LSH signatures share a
+    * bucket (columns v1 < v2, sim) — the candidate generator for both
+    * `vec_range_search` and `dedup_semantic_cluster`. Same deterministic
+    * plane formula as `vec_lsh_ann`, so the whole path is oracle-able. */
+  private def lshRangePairs(emb: DataFrame): DataFrame = {
+    val planes: Seq[Seq[Double]] = (0 until 8).map { j =>
+      (0 until 64).map { i =>
+        (((j * 1315423911L + i * 2654435761L) % 2001 + 2001) % 2001 - 1000) / 1000.0
+      }
+    }
+    val b = emb.withColumn("bucket",
+      graft.functions.LshBucket.lsh_bucket(col("embedding"), planes))
+    val lhs = b.select(col("bucket"), col("vec_id").as("v1"), col("embedding").as("e1"))
+    val rhs = b.select(col("bucket"), col("vec_id").as("v2"), col("embedding").as("e2"))
+    lhs.join(rhs, Seq("bucket"))
+      .filter(col("v1") < col("v2"))
+      .withColumn("sim", round(cosine_sim(col("e1"), col("e2")), 6))
+      .filter(col("sim") >= 0.3)
+      .select(col("v1"), col("v2"), col("sim"))
+  }
+
   // ---- product-quantization building blocks (vec_pq_ann, vec_ivfpq_ann)
   private val PQ_SUB = 8
   private val PQ_K = 16
@@ -175,6 +218,40 @@ object VectorOps {
         .filter(col("rn") <= 3)
         .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("sim"), col("rn"))
         .orderBy(col("probe_id"), col("rn"))
+    }),
+
+    // Range search (the "all pairs above a similarity floor" dual of
+    // top-k): every embedding pair with cosine ≥ 0.3 whose signatures
+    // share an LSH bucket. This is the embedding-side analog of
+    // text_dedup_near's banded MinHash — candidate pairs come from a
+    // bucket-keyed self-equi-join (N²/buckets pairs scored, never an
+    // all-pairs cross), which is the only shape that survives a
+    // billion-vector corpus. Recall < 1 by construction (pairs split
+    // across buckets are unseen) — the same deterministic plane formula
+    // runs in the oracle, so the approximation itself is hash-verified.
+    "vec_range_search" -> ((s, dir) =>
+      lshRangePairs(t(s, dir, "embeddings"))
+        .orderBy(col("v1"), col("v2"))),
+
+    // semantic near-dup CLUSTERING — the policy layer on top of range
+    // search: LSH-cosine pairs become an undirected graph, HashMin label
+    // propagation (operators/Components, shared with dedup_cluster's
+    // Jaccard graph) folds it to connected components, min vec_id is the
+    // kept representative. This is the embedding-side dedup big corpora
+    // actually run (SemDeDup-style): candidate edges from bucket joins —
+    // never all-pairs — and a component fixpoint whose iterated frames
+    // are bounded by the EDGE-TOUCHED node set (most of any real corpus
+    // is singleton and never enters the loop).
+    "dedup_semantic_cluster" -> ((s, dir) => {
+      val pairs = lshRangePairs(t(s, dir, "embeddings"))
+        .select(col("v1").as("d1"), col("v2").as("d2"))
+      import s.implicits._
+      // node domain = edge-touched endpoints, derived inside the fixpoint
+      // from the pinned pair frame (the LSH subtree runs exactly once)
+      Components.hashMinLabels(s, pairs)
+        .toDF("vec_id", "comp")
+        .withColumn("is_representative", col("vec_id") === col("comp"))
+        .orderBy(col("vec_id"))
     }),
 
     // Product-quantization ANN (PQ + ADC re-rank): M=8 subspaces × 8 dims,
@@ -331,6 +408,26 @@ object VectorOps {
                           FROM b WHERE vec_id < 8) q
              ON e.bucket = q.bucket AND e.vec_id <> q.probe_id)
          WHERE rn <= 3 ORDER BY probe_id, rn""",
+    // same plane formula → same buckets; the bucket-restricted pair set
+    // and the cosine floor are both reproduced, so the ANN recall trade
+    // itself is what the hash compare pins.
+    "vec_range_search" ->
+      s"""WITH $lshRangePairsSql
+         SELECT d1 AS v1, d2 AS v2, sim FROM rpairs ORDER BY v1, v2""",
+    // same candidate edges, folded to components by recursive
+    // reachability (UNION dedups → terminates); min = component.
+    "dedup_semantic_cluster" ->
+      s"""WITH RECURSIVE $lshRangePairsSql,
+         edges AS (SELECT d1 AS a, d2 AS b FROM rpairs
+                   UNION ALL SELECT d2, d1 FROM rpairs),
+         nodes AS (SELECT DISTINCT a AS id FROM edges),
+         walk(node, root) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.b, w.root FROM walk w JOIN edges e ON e.a = w.node)
+         SELECT node AS vec_id, min(root) AS comp,
+                node = min(root) AS is_representative
+         FROM walk GROUP BY node ORDER BY vec_id""",
     // same deterministic codebook (subvectors of vec_id < 16), same
     // sequential-fold subspace L2, same DECIMAL-exact ADC sum — the PQ
     // encode/lookup/shortlist/re-rank path reproduced end to end.

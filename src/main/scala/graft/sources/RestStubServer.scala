@@ -125,10 +125,13 @@ object RestStubServer {
             fail == "429retrydate" || fail == "500once") &&
             (failedOnce.putIfAbsent(s"$fail-$failKey", java.lang.Boolean.TRUE) eq null)) {
           if (fail == "429retryafter") x.getResponseHeaders.set("Retry-After", "1")
-          if (fail == "429retrydate") // RFC 7231 HTTP-date form, ~1s out
+          if (fail == "429retrydate") // RFC 7231 HTTP-date form. +2s, not
+            // +1s: the date truncates to whole seconds, so a +1s date
+            // minted at X.999 is ~1ms away — floor(now+2)−now ∈ (1s, 2s]
+            // guarantees the client a measurable sleep
             x.getResponseHeaders.set("Retry-After",
               java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME.format(
-                java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC).plusSeconds(1)))
+                java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC).plusSeconds(2)))
           send(if (fail == "500once") 500 else 429, """{"error": "try later"}""")
         } else if (fail == "malformed" && page == 1) {
           send(200, """[{"event_id": 1, "event_ty""")

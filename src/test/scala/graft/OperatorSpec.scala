@@ -415,4 +415,92 @@ class PropertySpec extends SparkSuite {
     assert(p.contains("Expand"), p.take(2000))
     assert(p.indexOf("Exchange") === p.lastIndexOf("Exchange"), p.take(3000))
   }
+
+  test("ts_ewma: replaying the fold per user reproduces every EWMA exactly") {
+    val got = q("ts_ewma").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val hist = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(got.keySet === hist.keySet)
+    hist.foreach { case (u, rows) =>
+      val vs = rows.sortBy(r => (r._2.getTime, r._2.getNanos, r._3)).map(_._4)
+      val ewma = vs.tail.foldLeft(vs.head)((acc, x) => 0.2 * x + 0.8 * acc)
+      assert(got(u)._1 === vs.length.toLong)
+      assert(math.abs(got(u)._2 - ewma) < 1e-6, s"user $u")
+    }
+  }
+
+  test("agg_retention: offset-0 cells account for every user exactly once") {
+    val rows = q("agg_retention").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(1) >= 0))
+    val users = graft.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    // every user is active in their own cohort week by construction
+    assert(rows.filter(_.getInt(1) == 0).map(_.getLong(2)).sum === users)
+    // no (cohort, offset) cell can exceed its cohort's size
+    val cohortSize = rows.filter(_.getInt(1) == 0)
+      .map(r => r.getDate(0) -> r.getLong(2)).toMap
+    rows.foreach(r => assert(r.getLong(2) <= cohortSize(r.getDate(0))))
+  }
+
+  test("vec_range_search: a subset of the exact pair set, floor respected") {
+    val got = q("vec_range_search").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty, "sf0.001 corpus should have bucket-sharing pairs above the floor")
+    got.foreach { case (v1, v2, sim) => assert(v1 < v2 && sim >= 0.3) }
+    // exact (bucket-free) pairs at the same floor: LSH output ⊆ exact set,
+    // with identical sims for every pair it does surface
+    val exact = q("dedup_embed_cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.filter { case (v1, v2, _) => v1 < 256 && v2 < 256 }.foreach {
+      case (v1, v2, sim) =>
+        assert(exact.get((v1, v2)).exists(e => math.abs(e - sim) < 1e-9),
+          s"pair ($v1,$v2) missing from or disagreeing with the exact set")
+    }
+  }
+
+  test("dedup_semantic_cluster: labels agree with a local union-find over the edges") {
+    val edges = q("vec_range_search").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // path-compress to the true minimum root before comparing
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+    val got = q("dedup_semantic_cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("join_asof_tolerance: equals join_asof where the match is fresh, else -1") {
+    val viewTs = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "view")
+      .select(col("event_id"), col("ts")).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    val purchaseTs = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts")).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    val unbounded = q("join_asof").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val bounded = q("join_asof_tolerance").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(bounded.keySet === unbounded.keySet)
+    bounded.foreach { case (pid, vid) =>
+      val fresh = unbounded(pid) != -1L &&
+        purchaseTs(pid).getTime - viewTs(unbounded(pid)).getTime <= 30L * 60 * 1000
+      // the latest view overall is also the latest within the window, so a
+      // fresh unbounded match IS the bounded match; a stale one means no
+      // view at all falls inside the window
+      assert(vid === (if (fresh) unbounded(pid) else -1L), s"purchase $pid")
+    }
+  }
 }

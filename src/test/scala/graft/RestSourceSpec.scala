@@ -211,8 +211,9 @@ class RestSourceSpec extends SparkSuite {
         .option("failMode", "429retrydate").load()
       assert(df.count() === 20)
       val elapsedMs = (System.nanoTime() - t0) / 1000000
-      // date resolution is whole seconds; the delay may round down to ~0.5s
-      assert(elapsedMs >= 400, s"should have slept until the told date, took ${elapsedMs}ms")
+      // the stub mints now+2s truncated to whole seconds, so the real
+      // delay is in (1s, 2s] regardless of where in a second "now" falls
+      assert(elapsedMs >= 900, s"should have slept until the told date, took ${elapsedMs}ms")
     } finally stub.stop()
   }
 
