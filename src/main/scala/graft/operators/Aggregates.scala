@@ -52,6 +52,33 @@ object Aggregates {
         .limit(10)
     }),
 
+    // TPC-H Q5 shape — the 6-way star join with the "local supplier"
+    // twist (c_nationkey = s_nationkey correlates two fact-side foreign
+    // keys, so it can't be pushed to either scan). Plan at scale: region
+    // and nation are broadcast literals, supplier auto-broadcasts, and
+    // the two fact-sized shuffles (customer⋈orders on custkey, then
+    // ⋈lineitem on orderkey) carry date-pruned orders only — the
+    // o_orderdate range filter reaches the scan before anything joins.
+    "q5_local_supplier" -> ((s, dir) => {
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // HAVING-gated aggregation (TPC-H Q18 shape): orders whose total
     // quantity exceeds a threshold.
     "agg_having" -> ((s, dir) => {
@@ -372,6 +399,18 @@ object Aggregates {
     s"round(CAST(sum(CAST($e AS DECIMAL(18,6))) AS DOUBLE) / count(1), 6)"
 
   val oracles: Map[String, String] = Map(
+    "q5_local_supplier" ->
+      s"""SELECT n_name, ${decSum6("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
     "agg_histogram" ->
       s"""SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
          count(1) AS n, ${decSum6("l_quantity")} AS sum_qty

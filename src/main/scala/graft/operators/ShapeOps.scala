@@ -127,6 +127,35 @@ object ShapeOps {
         .orderBy(col("user_id"))
     }),
 
+    // linear multi-touch attribution — the aggregate dual of the bounded
+    // as-of join: instead of crediting only the LATEST prior view, each
+    // purchase splits one unit of credit equally across ALL its views in
+    // the prior 30 minutes, and credits sum per view. One range join
+    // (pair expansion capped by the attribution window, like
+    // join_asof_tolerance) + two hash aggs. The per-touch credit 1/n
+    // passes through an exact DECIMAL(18,12) cast before the per-view sum
+    // so parallel partial aggregation cannot perturb the 6-dp rounding.
+    "attrib_linear" -> ((s, dir) => {
+      val e = events(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          col("ts").as("v_ts"))
+      val touches = p.join(v,
+          col("user_id") === col("v_user") && col("v_ts") < col("p_ts") &&
+            col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+        .select(col("p_id"), col("view_id"))
+      val perP = touches.groupBy(col("p_id")).agg(count(lit(1)).as("n"))
+      touches.join(perP, Seq("p_id"))
+        .groupBy(col("view_id"))
+        .agg(round(sum((lit(1.0) / col("n"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 12)))
+          .cast("double"), 6).as("credit"),
+          count(lit(1)).as("n_conversions"))
+        .orderBy(col("view_id"))
+    }),
+
     // exponentially weighted moving average per user (α = 0.2): the
     // recurrence s_i = α·x_i + (1−α)·s_{i−1} is inherently sequential in
     // event order, so it CANNOT be a frame-based window aggregate — the
@@ -248,6 +277,19 @@ object ShapeOps {
          FROM types t CROSS JOIN days d
          LEFT JOIN daily ON daily.event_type = t.event_type AND daily.day = d.day
          ORDER BY t.event_type, d.day""",
+    "attrib_linear" ->
+      """WITH touches AS (
+           SELECT p.event_id AS p_id, v.event_id AS view_id
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           JOIN (SELECT * FROM events WHERE event_type = 'view') v
+             ON v.user_id = p.user_id AND v.ts < p.ts
+            AND v.ts >= p.ts - INTERVAL 30 MINUTE),
+         per_p AS (SELECT p_id, count(1) AS n FROM touches GROUP BY p_id)
+         SELECT view_id,
+                round(CAST(sum(CAST(CAST(1.0 AS DOUBLE) / n AS DECIMAL(18,12))) AS DOUBLE), 6) AS credit,
+                count(1) AS n_conversions
+         FROM touches JOIN per_p USING (p_id)
+         GROUP BY view_id ORDER BY view_id""",
     // list_reduce seeds from the first element and folds left — the same
     // order and the same 0.2·x + 0.8·acc double arithmetic as the Spark
     // aggregate() lambda, so no rounding slack is needed beyond the 6 dp.

@@ -462,6 +462,27 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("q5_local_supplier: no cartesian, date filter pushed to the orders scan") {
+    val df = q("q5_local_supplier")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p.take(3000))
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 25) // ≤ |nations|
+    rows.foreach(r => assert(r.getDouble(1) > 0))
+  }
+
+  test("attrib_linear: total credit equals the count of attributed purchases") {
+    val rows = q("attrib_linear").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(1) > 0 && r.getLong(2) >= 1))
+    // each purchase with >= 1 fresh view hands out exactly one unit of
+    // credit — and join_asof_tolerance marks exactly those purchases
+    val attributed = q("join_asof_tolerance").collect().count(_.getLong(2) != -1L)
+    val total = rows.map(_.getDouble(1)).sum
+    assert(math.abs(total - attributed) < 1e-3, s"$total vs $attributed")
+  }
+
   test("dedup_semantic_cluster: labels agree with a local union-find over the edges") {
     val edges = q("vec_range_search").collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map.empty[Long, Long]
