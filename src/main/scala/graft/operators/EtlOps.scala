@@ -65,6 +65,27 @@ object EtlOps {
     * o_orderstatus) for the partition-pruning query. At 100 TB this layout
     * choice — partition by the columns queries filter on — is the
     * difference between scanning one directory and scanning the lake. */
+  /** One-time staging for `scan_binaryfile`: each probe document's text
+    * written as a standalone .bin file (UTF-8 bytes) — the on-disk shape
+    * multimodal corpora actually arrive in (an image/audio blob per
+    * object-store key). Driver-side loop is fine HERE because it stages a
+    * 64-file fixture; at scale the files already exist — ingestion starts
+    * at the binaryFile scan, which is fully distributed. */
+  def stageBinaryDocs(s: SparkSession, dir: String): String = {
+    val path = tmpDir(s"bindocs_${pathTag(dir)}")
+    if (!Files.exists(Paths.get(path, "_STAGED"))) {
+      Files.createDirectories(Paths.get(path))
+      t(s, dir, "documents").filter(col("doc_id") < 64)
+        .select(col("doc_id"), col("text")).collect()
+        .foreach { r =>
+          Files.write(Paths.get(path, f"doc_${r.getLong(0)}%05d.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      Files.write(Paths.get(path, "_STAGED"), Array.empty[Byte])
+    }
+    path
+  }
+
   def stagePartitioned(s: SparkSession, dir: String): String = {
     val path = tmpDir(s"part_orders_${pathTag(dir)}")
     if (!Files.exists(Paths.get(path, "_SUCCESS")))
@@ -110,7 +131,8 @@ object EtlOps {
 
   def stageFixtures(s: SparkSession, dir: String): Unit = {
     stageJsonl(s, dir); stageCsv(s, dir); stageOrc(s, dir)
-    stagePartitioned(s, dir); stageCompact(s, dir); stageStatusDim(s, dir); ()
+    stagePartitioned(s, dir); stageCompact(s, dir); stageStatusDim(s, dir)
+    stageBinaryDocs(s, dir); ()
   }
 
   val queries: Map[String, QFn] = Map(
@@ -171,6 +193,25 @@ object EtlOps {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("event_type"))
+    }),
+
+    // binaryFile ingestion — the multimodal on-ramp: one opaque blob per
+    // file (image/audio/video in production; staged doc bytes here)
+    // becomes a (path, length, content) row, id parsed from the file
+    // name, integrity pinned by a content digest. The scan is listed and
+    // read fully distributed (one task per file group), which is how a
+    // billion-object corpus enters the engine; downstream decode is
+    // multimodal_cols / mm_decode_stub. Oracled WITHOUT touching the
+    // staged dir: files hold exactly the documents' UTF-8 text bytes, so
+    // DuckDB recomputes length + sha256 from the source table.
+    "scan_binaryfile" -> ((s, dir) => {
+      val path = stageBinaryDocs(s, dir)
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(path)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("bigint").as("doc_id"),
+          col("length").as("n_bytes"),
+          sha2(col("content"), 256).as("digest"))
+        .orderBy(col("doc_id"))
     }),
 
     // PERMISSIVE corrupt-record routing (the spec's "invalid response"
@@ -417,6 +458,12 @@ object EtlOps {
       """SELECT event_type, count(1) AS n,
          round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // sha256(VARCHAR) hashes the string's UTF-8 bytes — exactly the bytes
+    // the fixture wrote, so digests match Spark's sha2(content, 256)
+    "scan_binaryfile" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                sha256(text) AS digest
+         FROM documents WHERE doc_id < 64 ORDER BY doc_id""",
     "scan_orc" ->
       """SELECT event_type, count(1) AS n,
          round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v,

@@ -69,6 +69,17 @@ class OperatorSpec extends SparkSuite {
     assert(plan.contains("ReadSchema") && !plan.contains("p_retailprice"), plan)
   }
 
+  test("scan_binaryfile: per-file digests equal sha2 over the source text") {
+    val got = q("scan_binaryfile").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length === 64)
+    val exp = graft.Tables.t(spark, sf, "documents").filter(col("doc_id") < 64)
+      .select(col("doc_id"), length(encode(col("text"), "UTF-8")).cast("bigint"),
+        sha2(encode(col("text"), "UTF-8"), 256))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got.toSet === exp)
+  }
+
   test("sink_parquet writes real partition directories") {
     q("sink_parquet").collect() // runs the write
     // NB: must be the pid-suffixed dir THIS jvm wrote — the bare
