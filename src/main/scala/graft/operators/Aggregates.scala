@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.GeoMean
@@ -50,6 +50,51 @@ object Aggregates {
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
+    }),
+
+    // KMV sketch SET ALGEBRA — the sketch family's missing piece after
+    // approx-distinct (HLL), exact-mergeable (bitmap), and heavy hitters
+    // (topk): K-minimum-values sketches support union AND intersection
+    // estimates, because the kept minima are a uniform sample of the hash
+    // space. Per event type: a bounded-state custom Aggregator
+    // (functions/KmvSketch — ≤K longs per group, associative merge, so
+    // only fixed-size arrays ever shuffle); then every type PAIR gets
+    // distinct/union/intersection estimates from pure array expressions
+    // over the ≤5-row sketch frame. The deterministic multiplicative hash
+    // lets DuckDB replay sketch construction bit for bit — the ENTIRE
+    // sketch lifecycle (build → merge → estimate) is value-oracled, which
+    // neither the HLL nor any opaque-hash sketch can offer.
+    "agg_kmv_setops" -> ((s, dir) => {
+      import graft.functions.KmvSketch
+      val kk = KmvSketch.K
+      // daily-active-user sets over the first week: genuinely DIFFERENT
+      // sets per day (each user is active ~80% of days), so union and
+      // intersection estimates are non-trivial — per-event-type sets
+      // would all coincide on this corpus
+      val sk = events(s, dir)
+        .filter(col("ts") < lit("2024-01-08").cast("timestamp"))
+        .select(col("ts").cast("date").as("day"),
+          pmod(col("user_id") * lit(2654435761L), lit(4294967296L)).as("h"))
+        .groupBy(col("day"))
+        .agg(KmvSketch.kmv(col("h")).as("sk"))
+      def est(arr: Column): Column =
+        when(size(arr) < kk, size(arr).cast("double"))
+          .otherwise(lit((kk - 1).toDouble * 4294967296.0) /
+            element_at(arr, kk).cast("double"))
+      val a = sk.select(col("day").as("d1"), col("sk").as("ska"))
+      val b = sk.select(col("day").as("d2"), col("sk").as("skb"))
+      a.join(b, col("d1") < col("d2")) // pairwise over a ≤7-row sketch frame
+        .withColumn("u", slice(array_sort(array_union(col("ska"), col("skb"))), 1, kk))
+        .withColumn("est_union", round(est(col("u")), 6))
+        .withColumn("n_common", size(filter(col("u"),
+          x => array_contains(col("ska"), x) && array_contains(col("skb"), x))))
+        .withColumn("est_inter", round(
+          col("n_common").cast("double") / size(col("u")) * col("est_union"), 6))
+        .select(col("d1"), col("d2"),
+          round(est(col("ska")), 6).as("est_a"),
+          round(est(col("skb")), 6).as("est_b"),
+          col("est_union"), col("est_inter"))
+        .orderBy(col("d1"), col("d2"))
     }),
 
     // TPC-H Q5 shape — the 6-way star join with the "local supplier"
@@ -399,6 +444,33 @@ object Aggregates {
     s"round(CAST(sum(CAST($e AS DECIMAL(18,6))) AS DOUBLE) / count(1), 6)"
 
   val oracles: Map[String, String] = Map(
+    // replays KMV construction exactly: same multiplicative hash, sorted
+    // distinct minima sliced to K, same estimator arithmetic (est_inter
+    // reads the ALREADY-6dp-rounded est_union, mirroring the Spark plan)
+    "agg_kmv_setops" ->
+      """WITH h AS (
+           SELECT CAST(ts AS DATE) AS day, (user_id * 2654435761) % 4294967296 AS h
+           FROM events WHERE ts < TIMESTAMP '2024-01-08'),
+         sk AS (
+           SELECT day, list_sort(list_distinct(list(h)))[1:64] AS sk
+           FROM h GROUP BY day),
+         pairs AS (
+           SELECT a.day AS d1, b.day AS d2, a.sk AS ska, b.sk AS skb,
+                  list_sort(list_distinct(list_concat(a.sk, b.sk)))[1:64] AS u
+           FROM sk a JOIN sk b ON a.day < b.day),
+         est AS (
+           SELECT d1, d2, ska, skb, u,
+             round(CASE WHEN len(ska) < 64 THEN CAST(len(ska) AS DOUBLE)
+                        ELSE 63.0 * 4294967296.0 / ska[64] END, 6) AS est_a,
+             round(CASE WHEN len(skb) < 64 THEN CAST(len(skb) AS DOUBLE)
+                        ELSE 63.0 * 4294967296.0 / skb[64] END, 6) AS est_b,
+             round(CASE WHEN len(u) < 64 THEN CAST(len(u) AS DOUBLE)
+                        ELSE 63.0 * 4294967296.0 / u[64] END, 6) AS est_union
+           FROM pairs)
+         SELECT d1, d2, est_a, est_b, est_union,
+           round(CAST(len(list_filter(u, x -> list_contains(ska, x) AND list_contains(skb, x))) AS DOUBLE)
+                 / len(u) * est_union, 6) AS est_inter
+         FROM est ORDER BY d1, d2""",
     "q5_local_supplier" ->
       s"""SELECT n_name, ${decSum6("l_extendedprice * (1.0 - l_discount)")} AS revenue
          FROM customer

@@ -473,6 +473,44 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("KmvSketch aggregator: bounded buffer, dedup, associative merge") {
+    val a = graft.functions.KmvSketch.agg
+    // inserts stay sorted+distinct and never exceed K
+    var buf = a.zero
+    (1000L to 1L by -1L).foreach(h => buf = a.reduce(buf, h))
+    assert(buf.length === graft.functions.KmvSketch.K)
+    assert(buf.toSeq === (1L to 64L))
+    buf = a.reduce(buf, 32L) // duplicate: no change
+    assert(buf.toSeq === (1L to 64L))
+    // merge keeps the K smallest of the union, deduplicated
+    val odd = (1L to 199L by 2L).toArray
+    val even = (2L to 200L by 2L).toArray
+    assert(a.merge(odd, even).toSeq === (1L to 64L))
+    assert(a.merge(odd, odd).toSeq === (1L to 127L by 2L).toSeq)
+    // merge order can't matter (associative + commutative)
+    assert(a.merge(odd, even).toSeq === a.merge(even, odd).toSeq)
+  }
+
+  test("agg_kmv_setops: estimates track exact daily-active counts") {
+    val rows = q("agg_kmv_setops").collect()
+    assert(rows.length === 21) // 7 days pairwise
+    val exact = graft.Tables.events(spark, sf)
+      .filter(col("ts") < lit("2024-01-08").cast("timestamp"))
+      .select(col("ts").cast("date").as("day"), col("user_id")).distinct()
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (estA, estB, estU, estI) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      // KMV relative error ~1/sqrt(K) = 12.5%; allow 3 sigma
+      val (exA, exB) = (exact(r.getDate(0).toString), exact(r.getDate(1).toString))
+      assert(math.abs(estA - exA) <= 0.375 * exA, s"$r vs exact $exA")
+      assert(math.abs(estB - exB) <= 0.375 * exB, s"$r vs exact $exB")
+      assert(estU >= math.max(estA, estB) - 1e-6)
+      assert(estI >= 0 && estI <= math.min(estA, estB) + 1e-6)
+    }
+  }
+
   test("q5_local_supplier: no cartesian, date filter pushed to the orders scan") {
     val df = q("q5_local_supplier")
     val p = df.queryExecution.executedPlan.toString
