@@ -195,6 +195,25 @@ object EtlOps {
         .orderBy(col("event_type"))
     }),
 
+    // load through the CUSTOM DSv2 writer (sources/DocSink): the spec's
+    // document-collection load with the full V2 commit protocol — task
+    // staging files, driver-side commit that publishes files then writes
+    // the manifest LAST, deferred truncation on overwrite, abort sweep.
+    // The round-trip is value-oracled: what entered the sink is what the
+    // JSON reader gets back.
+    "sink_dsv2" -> ((s, dir) => {
+      val out = tmpDir(s"docsink_${pathTag(dir)}")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.format("graft.sources.DocSink").mode(SaveMode.Overwrite)
+        .option("path", out).save()
+      s.read.schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
+        .json(s"$out/*.jsonl")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"))
+    }),
+
     // binaryFile ingestion — the multimodal on-ramp: one opaque blob per
     // file (image/audio/video in production; staged doc bytes here)
     // becomes a (path, length, content) row, id parsed from the file
@@ -458,6 +477,9 @@ object EtlOps {
       """SELECT event_type, count(1) AS n,
          round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "sink_dsv2" ->
+      """SELECT lang, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM documents GROUP BY lang ORDER BY lang""",
     // sha256(VARCHAR) hashes the string's UTF-8 bytes — exactly the bytes
     // the fixture wrote, so digests match Spark's sha2(content, 256)
     "scan_binaryfile" ->
