@@ -37,6 +37,40 @@ object ScalarBank {
         .orderBy(col("p_partkey"))
     }),
 
+    // errors-as-data (Spark 4 runs ANSI mode, where /0, bad casts and
+    // out-of-range element_at THROW): the try_* family turns per-row
+    // failures into NULLs — the posture an ETL pipeline needs so one junk
+    // record quarantines instead of killing a 100 TB job (the same
+    // fail-soft policy as scan_corrupt/ingest_quarantine, expressed at
+    // the scalar layer).
+    "fn_try" -> ((s, dir) => {
+      events(s, dir)
+        .select(
+          col("event_id"),
+          round(try_divide(col("value"), (col("user_id") % 7).cast("double")), 6)
+            .as("per_unit"), // user_id % 7 == 0 → NULL, not an ANSI error
+          try_element_at(split(col("props"), " "),
+            (col("event_id") % 3 + 1).cast("int")).as("tok"), // index 3 → NULL
+          expr("""try_cast(CASE WHEN event_id % 5 = 0 THEN 'n/a'
+                  ELSE CAST(event_id AS STRING) END AS BIGINT)""").as("parsed"))
+        .orderBy(col("event_id"))
+    }),
+
+    // regex bank beyond fn_string's extract/replace: count, extract-all,
+    // boolean match, first-match-or-null — all codegen'd per-row
+    // expressions (commons-compatible patterns only, so the Java and RE2
+    // engines agree).
+    "fn_regex" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit("ba\\w+")).cast("bigint").as("n_ba"),
+          array_join(regexp_extract_all(col("text"), lit("ba\\w+"), lit(0)), ",")
+            .as("ba_words"),
+          regexp_like(col("text"), lit("stream")).as("has_stream"),
+          regexp_substr(col("text"), lit("wi\\w+")).as("first_wi"))
+        .orderBy(col("doc_id"))
+    }),
+
     "fn_datetime" -> ((s, dir) => {
       t(s, dir, "orders")
         .select(
@@ -135,6 +169,23 @@ object ScalarBank {
     }))
 
   val oracles: Map[String, String] = Map(
+    "fn_try" ->
+      """SELECT event_id,
+         round(value / nullif(user_id % 7, 0), 6) AS per_unit,
+         list_extract(string_split(props, ' '), CAST(event_id % 3 + 1 AS INT)) AS tok,
+         TRY_CAST(CASE WHEN event_id % 5 = 0 THEN 'n/a'
+                  ELSE CAST(event_id AS VARCHAR) END AS BIGINT) AS parsed
+         FROM events ORDER BY event_id""",
+    // DuckDB regexp_extract returns '' on no-match where Spark's
+    // regexp_substr returns NULL — nullif aligns them ( \w+ patterns
+    // cannot match empty, so '' is unambiguous)
+    "fn_regex" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text, 'ba\w+')) AS BIGINT) AS n_ba,
+         coalesce(array_to_string(regexp_extract_all(text, 'ba\w+'), ','), '') AS ba_words,
+         regexp_matches(text, 'stream') AS has_stream,
+         nullif(regexp_extract(text, 'wi\w+'), '') AS first_wi
+         FROM documents ORDER BY doc_id""",
     "fn_string" ->
       """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo, trim(p_name) AS tr,
          substring(p_name, 1, 8) AS sub, concat_ws('-', p_brand, p_type) AS cw,

@@ -42,7 +42,32 @@ object RestQueries {
         .orderBy(col("event_type"))
     }),
 
-    "etl_end_to_end" -> ((s, dir) => etlEndToEnd(s, dir)))
+    "etl_end_to_end" -> ((s, dir) => etlEndToEnd(s, dir)),
+
+    // the spec's pipeline through BOTH custom DSv2 connectors: extract
+    // from the paginated API (RestSource, reader path) → stamp the audit
+    // timestamp (README.md:29) → load into the document collection
+    // (DocSink, writer path with the staging/manifest commit) → read the
+    // collection back and summarize. The oracle is the stub feed's closed
+    // form, so the hash check spans the whole extract→load→readback loop:
+    // any JSON-rendering or commit-protocol defect breaks the values.
+    "dsv2_pipeline" -> ((s, _) => {
+      val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_etl_${ProcessHandle.current().pid()}", "docsink_pipeline").toString
+      s.read.format("graft.sources.RestSource")
+        .option("url", stub.url).option("pages", "20").option("pageSize", "50")
+        .load()
+        .withColumn("_ingested_at", lit("2026-01-01 00:00:00").cast("timestamp"))
+        .write.format("graft.sources.DocSink")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("path", out).save()
+      s.read
+        .schema("event_id BIGINT, event_type STRING, value DOUBLE, _ingested_at TIMESTAMP")
+        .json(s"$out/*.jsonl")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+        .orderBy(col("event_type"))
+    }))
 
   /** The reference's full pipeline (README.md:21-34) as ONE query:
     * extract (paginated REST, DSv2) → transform (clean/cast) → validate
@@ -93,6 +118,12 @@ object RestQueries {
     // pipeline's load stage passes all 1000 rows through
     "etl_end_to_end" ->
       s"""SELECT event_type, count(1) AS n_loaded,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
+         FROM $stubRows GROUP BY event_type ORDER BY event_type""",
+    // the DocSink round-trip preserves every extracted record exactly, so
+    // the collection summarizes to the same closed form
+    "dsv2_pipeline" ->
+      s"""SELECT event_type, count(1) AS n,
          round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
          FROM $stubRows GROUP BY event_type ORDER BY event_type"""
   ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
