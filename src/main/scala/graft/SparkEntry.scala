@@ -28,6 +28,8 @@ object SparkEntry {
       operators.TypedOps.queries ++
       operators.ScaleOps.queries ++
       operators.ShapeOps.queries ++
+      operators.AnalyticsOps.queries ++
+      operators.LmOps.queries ++
       operators.MinHashDedup.queries ++
       operators.Multimodal.queries ++
       operators.MultimodalFrames.queries ++
@@ -46,6 +48,8 @@ object SparkEntry {
       operators.TypedOps.oracles ++
       operators.ScaleOps.oracles ++
       operators.ShapeOps.oracles ++
+      operators.AnalyticsOps.oracles ++
+      operators.LmOps.oracles ++
       operators.MinHashDedup.oracles ++
       operators.Multimodal.oracles ++
       operators.MultimodalFrames.oracles ++

@@ -1,0 +1,428 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables._
+
+/** Analytics / data-science operators (SURVEY.md §2 round-5 batch 3).
+  *
+  * The spec's connector feeds analytics consumers (reference README.md:96-99
+  * "transformed and ready for analysis"); these are the query shapes such a
+  * consumer runs on the landed data, each expressed as the plan you'd want
+  * at 100 TB and each hash-checked against a DuckDB oracle.
+  *
+  * `graph_pagerank` — 5 damped PageRank iterations over the supplier
+  * co-service graph (suppliers sharing an order). The iterative shape is the
+  * scale story: each round is ONE fact-free join (ranks × edges, both
+  * key-count-sized) + one hash aggregation keyed by dst — never a collect,
+  * never an adjacency matrix. Per-destination contribution sums go through
+  * an exact DECIMAL(38,18) cast so parallel partial aggregation cannot
+  * perturb the 12-dp per-iteration rounding (double summation order differs
+  * between engines; decimal addition is associative). The edge+degree frame
+  * is persisted across the 5 rounds — at 1000 executors that is the
+  * difference between reading the fact table once and six times.
+  *
+  * `basket_pairs` — market-basket co-occurrence: the within-order self-join
+  * explodes each order into its item pairs, so the blow-up is bounded by
+  * order size (≤7 lineitems in TPC-H), NOT by table size — the join key is
+  * the order key, so pair expansion happens locally after one shuffle, and
+  * the pair-count aggregation map-side-combines. All-pairs across the whole
+  * catalogue (|parts|²) never appears in the plan.
+  *
+  * `profile_columns` — per-column profiling (null count / exact NDV /
+  * numeric range) in ONE pass over the table, emitted long-format. Exact
+  * count(DISTINCT) per column plans as Catalyst's Expand (one replay per
+  * distinct column) — acceptable at audit time; the 100 TB daily-run
+  * variant swaps in approx_count_distinct (HLL) per column, same plan
+  * otherwise, which `agg_approx_distinct` already demonstrates.
+  *
+  * `agg_corr_matrix` — pairwise Pearson correlation of four measures from
+  * sufficient statistics: one aggregation computes every Σx / Σx² / Σxy in
+  * a single pass (all in exact DECIMAL so engine-order-independent), and
+  * the 6 correlations are pure scalar arithmetic on that 1-row frame. This
+  * is the canonical "moments, then algebra" shape — at any scale the data
+  * is touched exactly once, and adding a measure adds sums, not passes.
+  *
+  * `anom_zscore` — per-group z-score outlier flagging: group μ/σ from one
+  * decimal-exact aggregation (group-count-sized), broadcast back onto the
+  * fact rows (no second shuffle of the big side), flag |z| > 3. The
+  * standard data-quality screen over a landed fact table.
+  *
+  * `win_mom_growth` — month-over-month revenue growth per order priority:
+  * one hash aggregation to month grain (decimal-exact sums), then lag()
+  * over the month order inside each dimension partition — window runs on
+  * the aggregated (dimension-sized) frame, never on facts.
+  *
+  * `sort_zorder` — Z-order (Morton) clustering demo: interleave the bits of
+  * two columns into one sort key, bucket rows by z-range, and report each
+  * bucket's min/max on BOTH dimensions. The output IS the point of z-order:
+  * every bucket spans a tight rectangle in (x, y) space, so min/max file
+  * stats can prune scans on EITHER predicate column — the layout trick
+  * behind Delta/Iceberg OPTIMIZE ZORDER, here as a pure-arithmetic codegen
+  * expression (16 shift/mask terms, no UDF).
+  *
+  * `ts_interpolate` — linear gap interpolation between observations on a
+  * daily spine: the missing-value completion to `ts_locf`'s step-fill.
+  * Same scale shape: dimension-sized spine (|users|×|days|) broadcast
+  * against one fact-grain aggregation, then two per-key windows (previous /
+  * next observation) — no fact-sized cartesian anywhere.
+  *
+  * `vec_centroid_agg` — per-label embedding centroids in long format
+  * (label, dimension, mean): posexplode to (row, dim) grain, then one hash
+  * aggregation per (label, dim). Summation folds each group's values in
+  * explicit vec_id order (sorted collect + aggregate()), bit-matching the
+  * DuckDB list_reduce fold — the engine-portable way to pin float-sum
+  * determinism at audit scale; the pure-throughput variant at 100 TB keeps
+  * the same plan with a plain double sum per (label, dim).
+  */
+object AnalyticsOps {
+
+  private val d38 = DecimalType(38, 18)
+
+  /** Morton interleave of the low 8 bits of x and y: Σᵢ xᵢ·4ⁱ + 2·yᵢ·4ⁱ.
+    * Pure integer shift/mask arithmetic — whole-stage-codegen'd, no UDF. */
+  private def zvalue(x: Column, y: Column): Column =
+    (0 until 8).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** The same 16-term interleave as SQL text, for the DuckDB oracle. */
+  private val zvalueSql: String =
+    (0 until 8).map { i =>
+      s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
+  private def corrOf(n: Column, sxy: Column, sx: Column, sy: Column,
+                     sxx: Column, syy: Column): Column =
+    round((n * sxy - sx * sy) /
+      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+
+  val queries: Map[String, QFn] = Map(
+    "graph_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+      val edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.sk") =!= col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("cnt"))
+      // reused by all 5 rounds — pin it so the fact scan happens once
+      // (Verify/Bench clearCache() evicts it after the query's action)
+      val edgesDeg = edges.join(deg, "src").persist()
+      val n = edgesDeg.select(col("src")).distinct().count() // scalar action, node-count-sized
+      var ranks = edgesDeg.select(col("src").as("v")).distinct()
+        .withColumn("rank", lit(1.0 / n))
+      val base = 0.15 / n
+      for (_ <- 1 to 5) {
+        ranks = edgesDeg.join(ranks, col("src") === col("v"))
+          .select(col("dst"), (col("rank") / col("cnt")).cast(d38).as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+          .select(col("dst").as("v"),
+            round(lit(base) + lit(0.85) * col("sc").cast("double"), 12).as("rank"))
+      }
+      ranks.select(col("v").as("s_suppkey"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    "basket_pairs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .orderBy(desc("n_orders"), col("p1"), col("p2"))
+    }),
+
+    "profile_columns" -> ((s, dir) => {
+      def nn(c: String) = count(when(col(c).isNull, 1)).as(s"nn_$c")
+      def nd(c: String) = countDistinct(col(c)).as(s"nd_$c")
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderstatus", "o_orderpriority", "o_orderdate")
+      val m = t(s, dir, "orders").agg(
+        nn(cols.head), cols.tail.map(nn) ++ cols.map(nd) ++ Seq(
+          round(min(col("o_orderkey")).cast("double"), 6).as("mn_o_orderkey"),
+          round(max(col("o_orderkey")).cast("double"), 6).as("mx_o_orderkey"),
+          round(min(col("o_custkey")).cast("double"), 6).as("mn_o_custkey"),
+          round(max(col("o_custkey")).cast("double"), 6).as("mx_o_custkey"),
+          round(min(col("o_totalprice")), 6).as("mn_o_totalprice"),
+          round(max(col("o_totalprice")), 6).as("mx_o_totalprice")): _*)
+      val rows = cols.map { c =>
+        val hasNum = Set("o_orderkey", "o_custkey", "o_totalprice")(c)
+        struct(lit(c).as("col_name"), col(s"nn_$c").as("n_nulls"),
+          col(s"nd_$c").as("n_distinct"),
+          (if (hasNum) col(s"mn_$c") else lit(null).cast("double")).as("min_num"),
+          (if (hasNum) col(s"mx_$c") else lit(null).cast("double")).as("max_num"))
+      }
+      m.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+        .orderBy(col("col_name"))
+    }),
+
+    "agg_corr_matrix" -> ((s, dir) => {
+      val names = Seq("q" -> "l_quantity", "p" -> "l_extendedprice",
+        "d" -> "l_discount", "t" -> "l_tax")
+      val pairs = Seq(("q", "p"), ("q", "d"), ("q", "t"),
+        ("p", "d"), ("p", "t"), ("d", "t"))
+      val colOf = names.toMap
+      // measures fit DECIMAL(12,6) (price ≤ 6 integer digits), so the
+      // pairwise product stays ≤ 24 digits — inside both engines' 38-digit
+      // decimal multiply without overflow
+      val d12 = DecimalType(12, 6)
+      def m12(c: String) = col(c).cast(d12)
+      val sums = names.map { case (k, c) => sum(m12(c)).as(s"s_$k") } ++
+        names.map { case (k, c) => sum(m12(c) * m12(c)).as(s"ss_$k$k") } ++
+        pairs.map { case (a, b) =>
+          sum(m12(colOf(a)) * m12(colOf(b))).as(s"ss_$a$b")
+        }
+      val m = t(s, dir, "lineitem")
+        .agg(count(lit(1)).cast("double").as("n"), sums: _*)
+      def dbl(c: String) = col(c).cast("double")
+      val rows = pairs.map { case (a, b) =>
+        struct(lit(colOf(a)).as("col_x"), lit(colOf(b)).as("col_y"),
+          corrOf(col("n"), dbl(s"ss_$a$b"), dbl(s"s_$a"), dbl(s"s_$b"),
+            dbl(s"ss_$a$a"), dbl(s"ss_$b$b")).as("corr"))
+      }
+      m.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+        .orderBy(col("col_x"), col("col_y"))
+    }),
+
+    "anom_zscore" -> ((s, dir) => {
+      val e = events(s, dir)
+      val stats = e.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("value"))).as("sv"),
+          sum(dec(col("value")) * dec(col("value"))).as("svv"))
+        .select(col("event_type"),
+          (col("sv").cast("double") / col("n")).as("mu"),
+          sqrt((col("svv").cast("double") - col("sv").cast("double") *
+            col("sv").cast("double") / col("n")) / col("n")).as("sigma"))
+        .filter(col("sigma") > 0)
+      e.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), round(col("value"), 6).as("value"),
+          round((col("value") - col("mu")) / col("sigma"), 6).as("z"))
+        .filter(abs(col("z")) > 3)
+        .orderBy(col("event_id"))
+    }),
+
+    "win_mom_growth" -> ((s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(dsum(col("o_totalprice")).as("revenue"))
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("month"))
+      monthly.withColumn("prev", lag(col("revenue"), 1).over(w))
+        .select(col("o_orderpriority"), col("month"), col("revenue"),
+          when(col("prev").isNotNull && col("prev") =!= 0.0,
+            round((col("revenue") - col("prev")) / col("prev"), 6)).as("mom_growth"))
+        .orderBy(col("o_orderpriority"), col("month"))
+    }),
+
+    "sort_zorder" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(
+        col("p_size").cast("int").as("x"),
+        (col("p_partkey") % 256).cast("int").as("y"))
+      p.withColumn("z", zvalue(col("x"), col("y")))
+        .groupBy((col("z") / 256).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+        .orderBy(col("bucket"))
+    }),
+
+    "ts_interpolate" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val e = ev.filter(col("user_id") < 40)
+        .select(col("user_id"), col("ts").cast("date").as("day"), col("value"))
+      val days = ev.agg(min(col("ts").cast("date")).as("d0"),
+          max(col("ts").cast("date")).as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val users = e.select(col("user_id")).distinct()
+      val daily = e.groupBy(col("user_id"), col("day"))
+        .agg(davg(col("value")).as("v"))
+      val before = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val after = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      users.crossJoin(broadcast(days))
+        .join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"), col("v"),
+          last(col("v"), ignoreNulls = true).over(before).as("pv"),
+          last(when(col("v").isNotNull, col("day")), ignoreNulls = true)
+            .over(before).as("pd"),
+          first(col("v"), ignoreNulls = true).over(after).as("nv"),
+          first(when(col("v").isNotNull, col("day")), ignoreNulls = true)
+            .over(after).as("nd"))
+        .select(col("user_id"), col("day"),
+          when(col("v").isNotNull, lit(1)).otherwise(lit(0)).as("obs"),
+          // interpolate in EXACT decimal: pv/nv sit on the 6-dp grid and the
+          // day-ratio is pinned to a 9-dp grid (ratios of small ints never
+          // tie at 9 dp), so pv + Δ·frac is an exact rational both engines
+          // round identically — a raw double interpolation would leave the
+          // 6-dp rounding at the mercy of each engine's last-bit behavior
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              round(col("pv").cast(DecimalType(18, 6)) +
+                (col("nv").cast(DecimalType(18, 6)) - col("pv").cast(DecimalType(18, 6))) *
+                  round(datediff(col("day"), col("pd")) / datediff(col("nd"), col("pd")), 9)
+                    .cast(DecimalType(10, 9)), 6).cast("double"))
+            .otherwise(coalesce(col("pv"), col("nv"), lit(0.0)))
+            .as("filled_value"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    "vec_centroid_agg" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("label"), col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "fv")))
+        .select(col("label"), col("pos"),
+          struct(col("vec_id"), col("fv").cast("double").as("v")).as("rec"))
+      e.groupBy(col("label"), col("pos"))
+        .agg(sort_array(collect_list(col("rec"))).as("h"))
+        .select(col("label"), col("pos"),
+          size(col("h")).cast("bigint").as("n"),
+          round(aggregate(expr("slice(h, 2, size(h) - 1)"),
+            col("h").getItem(0).getField("v"),
+            (acc, x) => acc + x.getField("v")) / size(col("h")), 6).as("centroid"))
+        .orderBy(col("label"), col("pos"))
+    }))
+
+  private def pagerankIterSql(k: Int): String =
+    s"""r$k AS (SELECT e.dst AS v,
+          round(CAST(0.15 AS DOUBLE) / max(n) +
+                0.85 * CAST(sum(CAST(r.rank / d.cnt AS DECIMAL(38,18))) AS DOUBLE), 12) AS rank
+        FROM r${k - 1} r JOIN edges e ON e.src = r.v JOIN deg d ON d.src = r.v, nn
+        GROUP BY e.dst)"""
+
+  val oracles: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+          edges AS (SELECT DISTINCT a.sk AS src, b.sk AS dst
+                    FROM li a JOIN li b ON a.ok = b.ok AND a.sk <> b.sk),
+          deg AS (SELECT src, count(1) AS cnt FROM edges GROUP BY src),
+          nn AS (SELECT CAST(count(DISTINCT src) AS DOUBLE) AS n FROM edges),
+          r0 AS (SELECT DISTINCT src AS v, CAST(1.0 AS DOUBLE) / n AS rank FROM edges, nn),
+          ${(1 to 5).map(pagerankIterSql).mkString(",\n")}
+          SELECT v AS s_suppkey, round(rank, 6) AS rank FROM r5 ORDER BY s_suppkey""",
+    "basket_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+         SELECT a.pk AS p1, b.pk AS p2, count(1) AS n_orders
+         FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         GROUP BY p1, p2 HAVING count(1) >= 2
+         ORDER BY n_orders DESC, p1, p2""",
+    "profile_columns" -> {
+      val numeric = Set("o_orderkey", "o_custkey", "o_totalprice")
+      Seq("o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderstatus", "o_orderpriority", "o_orderdate").map { c =>
+        val mn = if (numeric(c)) s"round(CAST(min($c) AS DOUBLE), 6)" else "CAST(NULL AS DOUBLE)"
+        val mx = if (numeric(c)) s"round(CAST(max($c) AS DOUBLE), 6)" else "CAST(NULL AS DOUBLE)"
+        s"""SELECT '$c' AS col_name,
+             count(*) FILTER (WHERE $c IS NULL) AS n_nulls,
+             count(DISTINCT $c) AS n_distinct,
+             $mn AS min_num, $mx AS max_num FROM orders"""
+      }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
+    },
+    "agg_corr_matrix" -> {
+      val colOf = Map("q" -> "l_quantity", "p" -> "l_extendedprice",
+        "d" -> "l_discount", "t" -> "l_tax")
+      val keys = Seq("q", "p", "d", "t")
+      val pairs = Seq(("q", "p"), ("q", "d"), ("q", "t"),
+        ("p", "d"), ("p", "t"), ("d", "t"))
+      // width 19 forces DuckDB's decimal multiply into int128 — at (12,6)
+      // it would run in int64 and overflow on price×price
+      def d6(c: String) = s"CAST($c AS DECIMAL(19,6))"
+      val moments =
+        keys.map(k => s"CAST(sum(${d6(colOf(k))}) AS DOUBLE) AS s_$k") ++
+          keys.map(k => s"CAST(sum(${d6(colOf(k))} * ${d6(colOf(k))}) AS DOUBLE) AS ss_$k$k") ++
+          pairs.map { case (a, b) =>
+            s"CAST(sum(${d6(colOf(a))} * ${d6(colOf(b))}) AS DOUBLE) AS ss_$a$b"
+          }
+      val sel = pairs.map { case (a, b) =>
+        s"""SELECT '${colOf(a)}' AS col_x, '${colOf(b)}' AS col_y,
+            round((n * ss_$a$b - s_$a * s_$b) /
+                  sqrt((n * ss_$a$a - s_$a * s_$a) * (n * ss_$b$b - s_$b * s_$b)), 6) AS corr
+            FROM m"""
+      }.mkString(" UNION ALL ")
+      s"""WITH m AS (SELECT CAST(count(1) AS DOUBLE) AS n, ${moments.mkString(", ")}
+          FROM lineitem)
+          SELECT * FROM ($sel) ORDER BY col_x, col_y"""
+    },
+    "anom_zscore" ->
+      """WITH stats AS (
+           SELECT event_type,
+                  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(1) AS mu,
+                  sqrt((CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                        - CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                          * CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(1)) / count(1)) AS sigma
+           FROM events GROUP BY event_type)
+         SELECT event_id, event_type, round(value, 6) AS value,
+                round((value - mu) / sigma, 6) AS z
+         FROM events JOIN stats USING (event_type)
+         WHERE sigma > 0 AND abs((value - mu) / sigma) > 3
+         ORDER BY event_id""",
+    "win_mom_growth" ->
+      """WITH monthly AS (
+           SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+           FROM orders GROUP BY 1, 2)
+         SELECT o_orderpriority, month, revenue,
+                CASE WHEN prev IS NOT NULL AND prev <> 0.0
+                     THEN round((revenue - prev) / prev, 6) END AS mom_growth
+         FROM (SELECT *, lag(revenue) OVER (PARTITION BY o_orderpriority ORDER BY month) AS prev
+               FROM monthly)
+         ORDER BY o_orderpriority, month""",
+    "sort_zorder" ->
+      s"""WITH pts AS (SELECT CAST(p_size AS INT) AS x, CAST(p_partkey % 256 AS INT) AS y FROM part),
+          z AS (SELECT x, y, $zvalueSql AS z FROM pts)
+          SELECT CAST(z // 256 AS INT) AS bucket, count(1) AS n,
+                 min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+          FROM z GROUP BY bucket ORDER BY bucket""",
+    "ts_interpolate" ->
+      """WITH days AS (
+           SELECT CAST(unnest(generate_series(CAST(min(ts) AS DATE), CAST(max(ts) AS DATE), INTERVAL 1 DAY)) AS DATE) AS day FROM events),
+         users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 40),
+         daily AS (
+           SELECT user_id, CAST(ts AS DATE) AS day,
+                  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(1), 6) AS v
+           FROM events WHERE user_id < 40 GROUP BY 1, 2),
+         spine AS (
+           SELECT u.user_id, d.day, daily.v FROM users u CROSS JOIN days d
+           LEFT JOIN daily ON daily.user_id = u.user_id AND daily.day = d.day),
+         win AS (
+           SELECT user_id, day, v,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+             first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd
+           FROM spine)
+         SELECT user_id, day,
+                CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS obs,
+                CASE WHEN v IS NOT NULL THEN v
+                     WHEN pv IS NOT NULL AND nv IS NOT NULL
+                     THEN CAST(round(CAST(pv AS DECIMAL(18,6)) +
+                            (CAST(nv AS DECIMAL(18,6)) - CAST(pv AS DECIMAL(18,6))) *
+                            CAST(round(date_diff('day', pd, day) / date_diff('day', pd, nd), 9) AS DECIMAL(10,9)),
+                          6) AS DOUBLE)
+                     ELSE coalesce(pv, nv, 0.0) END AS filled_value
+         FROM win ORDER BY user_id, day""",
+    "vec_centroid_agg" ->
+      """WITH ex AS (
+           SELECT label, vec_id,
+                  unnest(range(0, len(embedding))) AS pos,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+         grp AS (
+           SELECT label, pos, list(v ORDER BY vec_id) AS vs FROM ex GROUP BY label, pos)
+         SELECT label, pos, CAST(len(vs) AS BIGINT) AS n,
+                round(list_reduce(vs, (acc, x) -> acc + x) / len(vs), 6) AS centroid
+         FROM grp ORDER BY label, pos"""
+  ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
+}

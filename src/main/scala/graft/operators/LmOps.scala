@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Language-model corpus statistics (SURVEY.md §2 round-5 batch 3) — the
+  * next layer of the LLM-training-data toolkit on top of text_tokens /
+  * text_unigram_ppl / text_docfreq.
+  *
+  * `text_bigram_lm` — bigram counts + conditional probabilities
+  * p(w₂|w₁) = c(w₁,w₂)/c(w₁,·), the sufficient statistic for a bigram LM
+  * and the standard collocation/phrase-mining signal. Adjacent pairs come
+  * from ONE pass over each token array (transform over a slice — no
+  * self-join of the token table on position, which would shuffle the
+  * token-grain frame twice); the denominator is a window sum over the
+  * already-aggregated bigram frame (vocabulary²-bounded, far smaller than
+  * the corpus). Integer counts → engine-order-proof; the division happens
+  * once at emit.
+  *
+  * `text_entropy` — per-source Shannon entropy (bits/token) of the unigram
+  * distribution: the corpus-diversity/quality signal (layout-duplicated or
+  * boilerplate sources score low). Each token type contributes
+  * p·log₂p rounded to 9 dp and cast to DECIMAL before the sum, so the
+  * vocabulary-sized reduction is associative — parallel partial
+  * aggregation cannot perturb the 6-dp result (a raw double Σ over
+  * thousands of terms would be summation-order-dependent and
+  * engine-divergent).
+  *
+  * `join_fuzzy` — edit-distance (Levenshtein ≤ 2) self-join over the part
+  * vocabulary with BLOCKING: candidate pairs must share a first character
+  * (the hash-join key) and differ ≤ 1 in length (pushed residual) before
+  * the O(len²) distance runs. That is the scale contract for fuzzy joins —
+  * the quadratic matcher runs only inside small blocks, never all-pairs;
+  * at 100 TB the block key generalizes to (prefix, length band) or
+  * q-gram buckets, same plan shape. levenshtein() is codegen'd in both
+  * engines and identically defined (unit ins/del/sub), so the oracle is
+  * exact.
+  */
+object LmOps {
+
+  val queries: Map[String, QFn] = Map(
+    "text_bigram_lm" -> ((s, dir) => {
+      val bi = t(s, dir, "documents")
+        .select(split(lower(col("text")), " ").as("tk"))
+        .select(explode(expr(
+          "transform(slice(tk, 1, size(tk) - 1), (w, i) -> struct(w AS w1, tk[i + 1] AS w2))"))
+          .as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+      val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      val byFirst = Window.partitionBy(col("w1"))
+      c2.withColumn("n_first", sum(col("n")).over(byFirst))
+        .filter(col("n") >= 5)
+        .select(col("w1"), col("w2"), col("n"),
+          round(col("n") / col("n_first"), 6).as("p"))
+        .orderBy(desc("n"), col("w1"), col("w2"))
+    }),
+
+    "text_entropy" -> ((s, dir) => {
+      val tokc = t(s, dir, "documents")
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      val tot = Window.partitionBy(col("source"))
+      tokc.withColumn("p", col("c") / sum(col("c")).over(tot))
+        .withColumn("term", dec(round(col("p") * log2(col("p")), 9), 9))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+          round(-sum(col("term")).cast("double"), 6).as("entropy"))
+        .orderBy(col("source"))
+    }),
+
+    "join_fuzzy" -> ((s, dir) => {
+      val toks = t(s, dir, "part")
+        .select(explode(split(lower(col("p_name")), " ")).as("tok"))
+        .filter(length(col("tok")) >= 3).distinct()
+      toks.as("a").join(toks.as("b"),
+          substring(col("a.tok"), 1, 1) === substring(col("b.tok"), 1, 1) &&
+            col("a.tok") < col("b.tok") &&
+            abs(length(col("a.tok")) - length(col("b.tok"))) <= 1 &&
+            levenshtein(col("a.tok"), col("b.tok")) <= 2)
+        .select(col("a.tok").as("t1"), col("b.tok").as("t2"),
+          levenshtein(col("a.tok"), col("b.tok")).as("dist"))
+        .orderBy(col("t1"), col("t2"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "text_bigram_lm" ->
+      """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+         tok AS (SELECT doc_id, unnest(tk) AS w, unnest(range(1, len(tk) + 1)) AS ord FROM tk),
+         bi AS (SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY ord) AS w2 FROM tok),
+         c2 AS (SELECT w1, w2, count(1) AS n FROM bi
+                WHERE w2 IS NOT NULL AND w1 <> '' AND w2 <> '' GROUP BY w1, w2)
+         SELECT w1, w2, n, round(n / sum(n) OVER (PARTITION BY w1), 6) AS p
+         FROM c2 QUALIFY n >= 5 ORDER BY n DESC, w1, w2""",
+    "text_entropy" ->
+      """WITH tokc AS (
+           SELECT source, w, count(1) AS c FROM (
+             SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+           WHERE w <> '' GROUP BY source, w),
+         terms AS (
+           SELECT source, c,
+                  CAST(round((c / sum(c) OVER (PARTITION BY source))
+                       * log2(c / sum(c) OVER (PARTITION BY source)), 9) AS DECIMAL(18,9)) AS term
+           FROM tokc)
+         SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(1) AS n_distinct,
+                round(-CAST(sum(term) AS DOUBLE), 6) AS entropy
+         FROM terms GROUP BY source ORDER BY source""",
+    "join_fuzzy" ->
+      """WITH toks AS (
+           SELECT DISTINCT unnest(string_split(lower(p_name), ' ')) AS tok FROM part),
+         f AS (SELECT tok FROM toks WHERE length(tok) >= 3)
+         SELECT a.tok AS t1, b.tok AS t2, levenshtein(a.tok, b.tok) AS dist
+         FROM f a JOIN f b
+           ON substr(a.tok, 1, 1) = substr(b.tok, 1, 1) AND a.tok < b.tok
+          AND abs(length(a.tok) - length(b.tok)) <= 1
+          AND levenshtein(a.tok, b.tok) <= 2
+         ORDER BY t1, t2"""
+  ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
+}

@@ -573,4 +573,76 @@ class PropertySpec extends SparkSuite {
       assert(vid === (if (fresh) unbounded(pid) else -1L), s"purchase $pid")
     }
   }
+
+  test("graph_pagerank: rank mass is conserved and every rank is positive") {
+    val ranks = q("graph_pagerank").collect().map(_.getDouble(1))
+    assert(ranks.nonEmpty && ranks.forall(_ > 0))
+    // the co-service graph is symmetric → no dangling mass: each damped
+    // iteration redistributes exactly what it received, so Σrank stays 1
+    // up to the 12-dp per-iteration rounding drift
+    assert(math.abs(ranks.sum - 1.0) < 1e-3, s"sum=${ranks.sum}")
+  }
+
+  test("sort_zorder: every z-bucket is an aligned 16x16 Morton tile") {
+    // 256 consecutive z-values = one aligned 16×16 tile in (x, y) — the
+    // property that makes min/max file stats prune BOTH dimensions
+    q("sort_zorder").collect().foreach { r =>
+      assert(r.getInt(2) / 16 === r.getInt(3) / 16, s"bucket ${r.getInt(0)} x-tile")
+      assert(r.getInt(4) / 16 === r.getInt(5) / 16, s"bucket ${r.getInt(0)} y-tile")
+    }
+  }
+
+  test("join_fuzzy: matches a direct levenshtein recompute over the vocab") {
+    val toks = graft.Tables.t(spark, sf, "part")
+      .select(explode(split(lower(col("p_name")), " ")).as("tok"))
+      .filter(length(col("tok")) >= 3).distinct().collect().map(_.getString(0))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      a <- toks; b <- toks
+      if a < b && a.head == b.head && math.abs(a.length - b.length) <= 1
+      d = lev(a, b) if d <= 2
+    } yield (a, b, d)).toSet
+    val got = q("join_fuzzy").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got === expected)
+  }
+
+  test("text_bigram_lm: conditional probabilities are a sub-distribution") {
+    val rows = q("text_bigram_lm").collect()
+      .map(r => (r.getString(0), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.forall { case (_, p) => p > 0 && p <= 1 })
+    // kept bigrams of one head word can't sum past its full distribution
+    rows.groupBy(_._1).foreach { case (w1, ps) =>
+      assert(ps.map(_._2).sum <= 1.0 + 1e-6, s"head '$w1'")
+    }
+  }
+
+  test("anom_zscore: flags exactly the |z| > 3 rows, both tails") {
+    val zs = q("anom_zscore").collect().map(_.getDouble(3))
+    assert(zs.nonEmpty && zs.forall(z => math.abs(z) > 3))
+  }
+
+  test("ts_interpolate: observed days keep their value, gaps stay bounded") {
+    val rows = q("ts_interpolate").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getInt(2), r.getDouble(3)))
+    val bySeries = rows.groupBy(_._1)
+    bySeries.foreach { case (_, sr) =>
+      val sorted = sr.sortBy(_._2)
+      val obsVals = sorted.filter(_._3 == 1).map(_._4)
+      if (obsVals.nonEmpty) {
+        val (lo, hi) = (obsVals.min, obsVals.max)
+        // linear interpolation can never overshoot its bracketing
+        // observations; edge fills clamp to the nearest observation or 0
+        sorted.filter(_._3 == 0).foreach { case (u, d, _, v) =>
+          assert(v >= math.min(lo, 0.0) - 1e-6 && v <= hi + 1e-6, s"user $u day $d: $v")
+        }
+      }
+    }
+  }
 }

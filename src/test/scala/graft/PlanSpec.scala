@@ -240,6 +240,7 @@ class PlanSpec extends SparkSuite {
       "expr_custom" -> "crossJoin against a broadcast 1-row query vector",
       "ts_resample" -> "spine build: dim-sized keys x broadcast day span from a 1-row min/max agg",
       "ts_locf" -> "spine build: dim-sized keys x broadcast day span from a 1-row min/max agg",
+      "ts_interpolate" -> "spine build: dim-sized keys x broadcast day span from a 1-row min/max agg",
       "agg_kmv_setops" -> "pairwise theta join over a <=7-row daily sketch frame")
     val sf = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
