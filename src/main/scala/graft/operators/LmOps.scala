@@ -71,6 +71,53 @@ object LmOps {
         .orderBy(col("source"))
     }),
 
+    // context-window packing: assign documents to fixed-capacity training
+    // sequences (2048 tokens) per source shard. Longest-first round-robin
+    // is the deterministic, fully-declarative stand-in for greedy first-fit
+    // (which is inherently sequential): one window rank per source + a
+    // modulo. Packing WITHIN source shards is what makes this scale — the
+    // rank window parallelizes across shards, and a 100 TB corpus packs
+    // each shard independently; a single global rank would serialize.
+    "pack_sequences" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(lower(col("text")), " ")).cast("bigint").as("n_tokens"))
+      val bySrc = Window.partitionBy(col("source"))
+      val rank = Window.partitionBy(col("source"))
+        .orderBy(desc("n_tokens"), col("doc_id"))
+      d.withColumn("n_bins",
+          ceil(sum(col("n_tokens")).over(bySrc) / lit(2048.0)).cast("int"))
+        .withColumn("bin",
+          ((row_number().over(rank) - 1) % col("n_bins")).cast("int"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+        .select(col("source"), col("bin"), col("n_docs"), col("tokens"),
+          round(col("tokens") / lit(2048.0), 6).as("fill_ratio"))
+        .orderBy(col("source"), col("bin"))
+    }),
+
+    // boilerplate span mining: 8-token shingles repeated across ≥2 distinct
+    // documents of the same source — the repeated-header/footer detector
+    // every corpus-curation pipeline runs before near-dup scoring. Shingles
+    // are generated map-side by a transform-over-sequence lambda (one pass
+    // per token array, no positional self-join), and the aggregation is
+    // keyed by (source, shingle) so the shuffle carries shingle counts, not
+    // documents. At 100 TB the string shingle becomes a 64-bit hash (same
+    // plan, smaller shuffle) — the string form here keeps the DuckDB oracle
+    // byte-exact.
+    "text_boilerplate" -> ((s, dir) => {
+      val grams = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), split(lower(col("text")), " ").as("tk"))
+        .filter(size(col("tk")) >= 8)
+        .select(col("source"), col("doc_id"), explode(expr(
+          "transform(sequence(1, size(tk) - 7), i -> array_join(slice(tk, i, 8), ' '))"))
+          .as("gram"))
+      grams.groupBy(col("source"), col("gram"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occur"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(desc("n_docs"), desc("n_occur"), col("source"), col("gram"))
+    }),
+
     "join_fuzzy" -> ((s, dir) => {
       val toks = t(s, dir, "part")
         .select(explode(split(lower(col("p_name")), " ")).as("tok"))
@@ -107,6 +154,29 @@ object LmOps {
          SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(1) AS n_distinct,
                 round(-CAST(sum(term) AS DOUBLE), 6) AS entropy
          FROM terms GROUP BY source ORDER BY source""",
+    "pack_sequences" ->
+      """WITH d AS (
+           SELECT source, doc_id,
+                  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         a AS (
+           SELECT source, doc_id, n_tokens,
+                  CAST(ceil(sum(n_tokens) OVER (PARTITION BY source) / 2048.0) AS INT) AS n_bins,
+                  CAST((row_number() OVER (PARTITION BY source ORDER BY n_tokens DESC, doc_id) - 1)
+                       % CAST(ceil(sum(n_tokens) OVER (PARTITION BY source) / 2048.0) AS INT) AS INT) AS bin
+           FROM d)
+         SELECT source, bin, count(1) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens,
+                round(CAST(sum(n_tokens) AS BIGINT) / 2048.0, 6) AS fill_ratio
+         FROM a GROUP BY source, bin ORDER BY source, bin""",
+    "text_boilerplate" ->
+      """WITH tk AS (SELECT source, doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+         g AS (
+           SELECT source, doc_id,
+                  unnest(list_transform(range(1, len(tk) - 6), i -> array_to_string(tk[i:i+7], ' '))) AS gram
+           FROM tk WHERE len(tk) >= 8)
+         SELECT source, gram, count(DISTINCT doc_id) AS n_docs, count(1) AS n_occur
+         FROM g GROUP BY source, gram HAVING count(DISTINCT doc_id) >= 2
+         ORDER BY n_docs DESC, n_occur DESC, source, gram""",
     "join_fuzzy" ->
       """WITH toks AS (
            SELECT DISTINCT unnest(string_split(lower(p_name), ' ')) AS tok FROM part),

@@ -628,6 +628,77 @@ class PropertySpec extends SparkSuite {
     assert(zs.nonEmpty && zs.forall(z => math.abs(z) > 3))
   }
 
+  test("graph_triangles: matches a brute-force count over the collected edge set") {
+    val li = graft.Tables.t(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .select("p1", "p2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = edges.foldLeft(Map.empty[Long, Set[Long]].withDefaultValue(Set.empty[Long])) {
+      case (m, (a, b)) => m.updated(a, m(a) + b).updated(b, m(b) + a)
+    }
+    val nodes = adj.keys.toSeq.sorted
+    val brute = (for {
+      u <- nodes; v <- adj(u) if v > u; w <- adj(u) if w > v && adj(v)(w)
+    } yield 1).size
+    val r = q("graph_triangles").head
+    assert(r.getLong(0) === adj.size.toLong)
+    assert(r.getLong(1) === edges.size.toLong)
+    assert(r.getLong(2) === brute.toLong)
+  }
+
+  test("pack_sequences: bins are contiguous, balanced, and conserve tokens") {
+    val rows = q("pack_sequences").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val totals = graft.Tables.t(spark, sf, "documents")
+      .groupBy(col("source"))
+      .agg(sum(size(split(lower(col("text")), " "))).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (src, bins) =>
+      val ids = bins.map(_._2).sorted
+      assert(ids === (0 until ids.length).toArray, s"$src bins not contiguous")
+      assert(bins.map(_._4).sum === totals(src), s"$src token conservation")
+      // round-robin keeps doc counts within 1 of each other
+      assert(bins.map(_._3).max - bins.map(_._3).min <= 1, s"$src doc balance")
+    }
+  }
+
+  test("gdpr_purge: per-table arithmetic closes and cascade is consistent") {
+    val rows = q("gdpr_purge").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    rows.foreach { case (t, (before, purged, after)) =>
+      assert(before - purged === after, s"$t arithmetic")
+    }
+    val tombs = graft.Tables.t(spark, sf, "customer")
+      .filter(col("c_acctbal") < -900).count()
+    assert(rows("customer")._2 === tombs)
+  }
+
+  test("text_boilerplate: grams are 8 tokens and occurrence bounds hold") {
+    val rows = q("text_boilerplate").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (g, nd, no) =>
+      assert(g.split(" ").length === 8, s"gram '$g'")
+      assert(nd >= 2 && no >= nd)
+    }
+  }
+
+  test("feature_bucketize: 10 balanced deciles per segment, monotone ranges") {
+    val rows = q("feature_bucketize").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    rows.groupBy(_._1).foreach { case (seg, ds) =>
+      assert(ds.map(_._2).sorted === (1 to 10).toArray, s"$seg deciles")
+      assert(ds.map(_._3).max - ds.map(_._3).min <= 1, s"$seg balance")
+      val ordered = ds.sortBy(_._2)
+      ordered.sliding(2).foreach { case Array(a, b) =>
+        assert(a._5 <= b._4 + 1e-9, s"$seg ranges overlap: decile ${a._2} hi > decile ${b._2} lo")
+      }
+    }
+  }
+
   test("ts_interpolate: observed days keep their value, gaps stay bounded") {
     val rows = q("ts_interpolate").collect()
       .map(r => (r.getLong(0), r.getDate(1).toString, r.getInt(2), r.getDouble(3)))

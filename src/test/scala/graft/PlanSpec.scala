@@ -241,7 +241,8 @@ class PlanSpec extends SparkSuite {
       "ts_resample" -> "spine build: dim-sized keys x broadcast day span from a 1-row min/max agg",
       "ts_locf" -> "spine build: dim-sized keys x broadcast day span from a 1-row min/max agg",
       "ts_interpolate" -> "spine build: dim-sized keys x broadcast day span from a 1-row min/max agg",
-      "agg_kmv_setops" -> "pairwise theta join over a <=7-row daily sketch frame")
+      "agg_kmv_setops" -> "pairwise theta join over a <=7-row daily sketch frame",
+      "graph_triangles" -> "crossJoin composes three 1-row aggregate frames")
     val sf = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if boundedByConstruction.contains(name) => None
