@@ -130,6 +130,11 @@ object AnalyticsOps {
         // same pinning discipline as the dedup_cluster fixpoint). For a
         // web-scale graph whose rank table outgrows the broadcast
         // threshold, drop the hint: same loop, shuffle join on src.
+        // Fault-tolerance caveat: localCheckpoint blocks live only on
+        // executors (lineage truncated), so on a real cluster a lost
+        // executor makes later iterations unrecoverable — a long-running
+        // cluster job should use reliable checkpointing (checkpoint dir)
+        // or persist with replication instead; local[n] verify is immune.
         ranks = edgesDeg.join(broadcast(ranks), col("src") === col("v"))
           .select(col("dst"), (col("rank") / col("cnt")).cast(d38).as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
@@ -163,13 +168,20 @@ object AnalyticsOps {
     "graph_triangles" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      // und (the pair-build: distinct → self-join → groupBy, the dominant
+      // cost) feeds the orientation join TWICE (via deg) plus the stats
+      // row; deg feeds twice. Without persist the whole pair-build subtree
+      // re-executes ~5× inside one plan — at 100 TB that's five fact-sized
+      // shuffles instead of one.
       val und = li.as("a").join(li.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
         .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n"))
         .filter(col("n") >= 2).select(col("p1"), col("p2"))
+        .persist()
       val deg = und.select(explode(array(col("p1"), col("p2"))).as("p"))
         .groupBy(col("p")).agg(count(lit(1)).as("dg"))
+        .persist()
       val oriented = und
         .join(deg.select(col("p").as("p1"), col("dg").as("d1")), "p1")
         .join(deg.select(col("p").as("p2"), col("dg").as("d2")), "p2")
@@ -214,7 +226,7 @@ object AnalyticsOps {
         col("c_custkey") === col("k"), "left"), col("m"))
       val o = audit("orders", orders.join(broadcast(tomb),
         col("o_custkey") === col("k"), "left"), col("m"))
-      val l = audit("lineitem", t(s, dir, "lineitem").join(badOrders,
+      val l = audit("lineitem", t(s, dir, "lineitem").join(broadcast(badOrders),
         col("l_orderkey") === col("bok"), "left"), col("bm"))
       c.unionAll(o).unionAll(l).orderBy(col("table_name"))
     }),
@@ -298,13 +310,20 @@ object AnalyticsOps {
           sum(dec(col("value")) * dec(col("value"))).as("svv"))
         .select(col("event_type"),
           (col("sv").cast("double") / col("n")).as("mu"),
-          sqrt((col("svv").cast("double") - col("sv").cast("double") *
-            col("sv").cast("double") / col("n")) / col("n")).as("sigma"))
+          // greatest(…, 0) guards the radicand: double cancellation on a
+          // constant-valued group can turn the variance expression
+          // epsilon-negative, and the guard keeps Spark (NaN) and DuckDB
+          // (error) on the same σ=0-drop path
+          sqrt(greatest((col("svv").cast("double") - col("sv").cast("double") *
+            col("sv").cast("double") / col("n")) / col("n"), lit(0.0))).as("sigma"))
         .filter(col("sigma") > 0)
+      // filter on the UNROUNDED z (matching the oracle); round only for
+      // output — filtering post-round would drop |z| in (3, 3.0000005]
       e.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z_raw", (col("value") - col("mu")) / col("sigma"))
+        .filter(abs(col("z_raw")) > 3)
         .select(col("event_id"), col("event_type"), round(col("value"), 6).as("value"),
-          round((col("value") - col("mu")) / col("sigma"), 6).as("z"))
-        .filter(abs(col("z")) > 3)
+          round(col("z_raw"), 6).as("z"))
         .orderBy(col("event_id"))
     }),
 
@@ -503,9 +522,9 @@ object AnalyticsOps {
       """WITH stats AS (
            SELECT event_type,
                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(1) AS mu,
-                  sqrt((CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                  sqrt(greatest((CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
                         - CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                          * CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(1)) / count(1)) AS sigma
+                          * CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(1)) / count(1), 0)) AS sigma
            FROM events GROUP BY event_type)
          SELECT event_id, event_type, round(value, 6) AS value,
                 round((value - mu) / sigma, 6) AS z

@@ -42,12 +42,13 @@ private[operators] object Components {
     * expensive) pair subtree is evaluated exactly once. Inputs may be
     * built on the caller's session at full shuffle parallelism — RDDs are
     * context-level, so they pin into the narrow loop session unchanged.
-    * Returns (id, comp) collected locally: callers pass window-bounded
-    * graphs (≤ a few hundred touched rows); an unbounded pipeline would
-    * return the labels frame instead of collecting.
+    * Returns the DISTRIBUTED labels frame (`doc_id`, `comp`), re-rooted on
+    * the caller's session: the label set of a near-dup graph at corpus
+    * scale is not driver-sized, so nothing on the query path collects —
+    * downstream joins/windows consume it like any other frame.
     */
   def hashMinLabels(outer: SparkSession, pairs: DataFrame,
-                    nodes: Option[DataFrame] = None): Seq[(Long, Long)] = {
+                    nodes: Option[DataFrame] = None): DataFrame = {
     val s = org.apache.spark.sql.graftbridge.Bridge.cloneSession(outer)
     s.conf.set("spark.sql.shuffle.partitions", "1")
     s.conf.set("spark.sql.adaptive.enabled", "false")
@@ -98,7 +99,10 @@ private[operators] object Components {
       iter += 1
     }
     require(converged, s"component labeling did not converge in $maxIter iterations")
-    import s.implicits._
-    labels.select(col("doc_id"), col("comp")).as[(Long, Long)].collect().toSeq
+    // re-root the final (already RDD-cached) label frame on the CALLER's
+    // session, so downstream operators plan under the caller's conf — the
+    // loop-local 1-partition/AQE-off conf never leaks, and no collect()
+    // ever materializes the labels on the driver.
+    outer.createDataFrame(labels.rdd, labels.schema)
   }
 }

@@ -432,20 +432,22 @@ object TextOps {
     * component id = min doc_id reachable. Iterations bounded by component
     * diameter (≤ the 256-node probe window); each is one bounded shuffle
     * (the Pregel/GraphX shape). Fails loudly rather than returning
-    * partially-propagated labels, and returns an uncached local result so
-    * repeated invocations leak no storage. */
+    * partially-propagated labels; the labels stay a distributed frame
+    * (one cached RDD per source dir) — never collected to the driver. */
   // the label fixpoint is deterministic per source dir — memoize so
-  // dedup_keep_best reuses dedup_cluster's work within a process.
+  // dedup_keep_best reuses dedup_cluster's work within a process. The
+  // cache holds the DISTRIBUTED label RDD (context-level, so it survives
+  // session churn across test suites), never a driver-side collect.
   // staleness: keyed by path only, so an in-process REWRITE of the same
   // dir's parquet would serve labels computed from the old bytes. The
   // harness never rewrites test data mid-JVM; a pipeline that does should
   // key by (path, source mtime/snapshot id) instead.
-  private val labelCache =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Long)]]
+  private val labelCache = scala.collection.concurrent.TrieMap
+    .empty[String, (org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
+                    org.apache.spark.sql.types.StructType)]
 
   private def clusterLabels(outer: SparkSession, dir: String): DataFrame = {
-    import outer.implicits._
-    labelCache.getOrElseUpdate(dir, {
+    val (rdd, schema) = labelCache.getOrElseUpdate(dir, {
       // the pair graph is token-grain work — built on the OUTER session
       // (full shuffle parallelism); only the ≤256-row iteration runs at
       // shuffle.partitions=1 inside the fixpoint's cloned session. The
@@ -455,8 +457,10 @@ object TextOps {
       val docs = t(outer, dir, "documents").filter(col("doc_id") < 256)
         .select(col("doc_id").as("id"))
       val pairs = jaccardPairs(outer, dir).select(col("d1"), col("d2"))
-      Components.hashMinLabels(outer, pairs, Some(docs))
-    }).toDF("doc_id", "comp")
+      val labels = Components.hashMinLabels(outer, pairs, Some(docs))
+      (labels.rdd.cache(), labels.schema)
+    })
+    outer.createDataFrame(rdd, schema)
   }
 
   /** Bounded-window unigram-Jaccard near-dup pairs (d1 < d2, 6-dp-rounded

@@ -101,15 +101,18 @@ object VectorOps {
     * (vector, subspace). One fused codegen pass (functions/SubspaceL2)
     * computes all per-subspace distances for a (vector, codeword) pair;
     * N×K rows total, linear in N with a broadcast codebook. */
-  private def pqCodes(emb: DataFrame, codebook: DataFrame): DataFrame = {
-    val wCode = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d"), col("cw"))
+  private def pqCodes(emb: DataFrame, codebook: DataFrame): DataFrame =
+    // argmin per (vector, subspace) as a min_by HASH AGG, not a sort
+    // window: N×M groups of K rows each would otherwise pay a full
+    // shuffle+sort of N×K×M rows into millions of 16-row partitions
+    // (the text_langid lesson — min_by was 1.7× faster there and the gap
+    // widens with N). Tie-break (d, cw) matches the old window orderBy.
     emb.crossJoin(broadcast(codebook))
       .select(col("vec_id"), col("label"), col("cw"),
         posexplode(subspace_l2(col("embedding"), col("cv"), PQ_SUB)).as(Seq("m", "d")))
-      .withColumn("crn", row_number().over(wCode))
-      .filter(col("crn") === 1)
+      .groupBy(col("vec_id"), col("label"), col("m"))
+      .agg(min_by(col("cw"), struct(col("d"), col("cw"))).as("cw"))
       .select(col("vec_id"), col("label"), col("m"), col("cw"))
-  }
 
   /** Probe-side ADC lookup table: (probe_id, pm, pcw, dd) part-distances,
     * DECIMAL-exact so the cross-subspace sum is order-independent. */
@@ -245,11 +248,11 @@ object VectorOps {
     "dedup_semantic_cluster" -> ((s, dir) => {
       val pairs = lshRangePairs(t(s, dir, "embeddings"))
         .select(col("v1").as("d1"), col("v2").as("d2"))
-      import s.implicits._
       // node domain = edge-touched endpoints, derived inside the fixpoint
-      // from the pinned pair frame (the LSH subtree runs exactly once)
+      // from the pinned pair frame (the LSH subtree runs exactly once);
+      // the labels stay a distributed frame end to end — no collect
       Components.hashMinLabels(s, pairs)
-        .toDF("vec_id", "comp")
+        .select(col("doc_id").as("vec_id"), col("comp"))
         .withColumn("is_representative", col("vec_id") === col("comp"))
         .orderBy(col("vec_id"))
     }),
@@ -298,19 +301,21 @@ object VectorOps {
       val cb = pqCodebook(emb)
       val codes = pqCodes(emb, cb)
       val pd = pqAdcTable(emb, cb)
-      val wSeed = Window.partitionBy(col("label")).orderBy(col("vec_id"))
-      val centroids = emb
-        .withColumn("seed_rn", row_number().over(wSeed))
-        .filter(col("seed_rn") === 1)
-        .select(col("label").as("c_label"), col("embedding").as("cvv"))
-      val wc = Window.partitionBy(col("pc_probe")).orderBy(col("csim").desc, col("c_label"))
+      // cell seeds + probe→top-2-cell assignment as hash aggs (min_by /
+      // sort-slice over a cells-count-sized list), not sort windows —
+      // the seed scan is full-table-sized, so the window's shuffle+sort
+      // would be the dominant cost of index construction at scale
+      val centroids = emb.groupBy(col("label"))
+        .agg(min_by(col("embedding"), col("vec_id")).as("cvv"))
+        .select(col("label").as("c_label"), col("cvv"))
       val probeCells = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("pc_probe"), col("embedding"))
         .crossJoin(broadcast(centroids))
         .withColumn("csim", round(cosine_sim(col("embedding"), col("cvv")), 6))
-        .withColumn("crn", row_number().over(wc))
-        .filter(col("crn") <= 2)
-        .select(col("pc_probe"), col("c_label"))
+        .groupBy(col("pc_probe"))
+        .agg(slice(sort_array(collect_list(
+          struct((-col("csim")).as("nsim"), col("c_label")))), 1, 2).as("top2"))
+        .select(col("pc_probe"), explode(col("top2").getField("c_label")).as("c_label"))
       val wShort = Window.partitionBy(col("probe_id")).orderBy(col("adist"), col("vec_id"))
       val short = codes
         .join(broadcast(probeCells), col("label") === col("c_label"))
@@ -333,19 +338,19 @@ object VectorOps {
     // cosine inside those cells only.
     "vec_ivf_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val wSeed = Window.partitionBy(col("label")).orderBy(col("vec_id"))
-      val centroids = emb
-        .withColumn("seed_rn", row_number().over(wSeed))
-        .filter(col("seed_rn") === 1)
-        .select(col("label").as("c_label"), col("embedding").as("qv"))
+      // same hash-agg shapes as vec_ivfpq_ann: min_by medoid seeds,
+      // sort-slice top-2 cell assignment — no full-table sort window
+      val centroids = emb.groupBy(col("label"))
+        .agg(min_by(col("embedding"), col("vec_id")).as("qv"))
+        .select(col("label").as("c_label"), col("qv"))
       val probes = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("probe_id"), col("embedding"))
-      val wc = Window.partitionBy(col("probe_id")).orderBy(col("csim").desc, col("c_label"))
       val probeCells = probes.crossJoin(broadcast(centroids))
         .withColumn("csim", round(cosine_sim(col("embedding"), col("qv")), 6))
-        .withColumn("crn", row_number().over(wc))
-        .filter(col("crn") <= 2)
-        .select(col("probe_id"), col("c_label"))
+        .groupBy(col("probe_id"))
+        .agg(slice(sort_array(collect_list(
+          struct((-col("csim")).as("nsim"), col("c_label")))), 1, 2).as("top2"))
+        .select(col("probe_id"), explode(col("top2").getField("c_label")).as("c_label"))
       val cands = emb.join(broadcast(probeCells), emb("label") === probeCells("c_label"))
         .filter(col("vec_id") =!= col("probe_id"))
       val probeVecs = probes.select(col("probe_id").as("p2"), col("embedding").as("qv"))

@@ -617,9 +617,10 @@ class PropertySpec extends SparkSuite {
     val rows = q("text_bigram_lm").collect()
       .map(r => (r.getString(0), r.getDouble(3)))
     assert(rows.nonEmpty && rows.forall { case (_, p) => p > 0 && p <= 1 })
-    // kept bigrams of one head word can't sum past its full distribution
+    // kept bigrams of one head word can't sum past its full distribution;
+    // each p is rounded to 6dp, so allow half an ulp (5e-7) per continuation
     rows.groupBy(_._1).foreach { case (w1, ps) =>
-      assert(ps.map(_._2).sum <= 1.0 + 1e-6, s"head '$w1'")
+      assert(ps.map(_._2).sum <= 1.0 + ps.size * 5e-7, s"head '$w1'")
     }
   }
 
@@ -640,9 +641,12 @@ class PropertySpec extends SparkSuite {
       case (m, (a, b)) => m.updated(a, m(a) + b).updated(b, m(b) + a)
     }
     val nodes = adj.keys.toSeq.sorted
-    val brute = (for {
-      u <- nodes; v <- adj(u) if v > u; w <- adj(u) if w > v && adj(v)(w)
-    } yield 1).size
+    // iterate Seqs, not Sets: a Set-typed comprehension collapses the yield
+    // to Set(1) per u and counts triangle-participating nodes, not triangles
+    val brute = nodes.iterator.map { u =>
+      val nu = adj(u).filter(_ > u).toSeq.sorted
+      (for { v <- nu; w <- nu if w > v && adj(v)(w) } yield 1).size.toLong
+    }.sum
     val r = q("graph_triangles").head
     assert(r.getLong(0) === adj.size.toLong)
     assert(r.getLong(1) === edges.size.toLong)
