@@ -250,6 +250,81 @@ object RestSource {
     }
 }
 
+/** OAuth2 client-credentials grant (RFC 6749 §4.4) with token caching and
+  * refresh — the expiring-token auth shape of most real APIs
+  * (/root/reference/README.md:12 "authentication (API keys, tokens)").
+  * Mints by POSTing `grant_type=client_credentials` (+optional scope) to
+  * `tokenUrl` with the client id/secret resolved by env NAME via
+  * [[Secrets]]; caches `access_token` until `expires_in` minus a refresh
+  * skew, re-mints PROACTIVELY on expiry and REACTIVELY when the API
+  * answers 401 (revoked / server-side-shortened tokens — see
+  * [[RestHttp.fetchNode]]). The cache is @transient per JVM instance:
+  * each executor mints its own token at request time, so neither the
+  * credentials nor a live token ever rides an option, a serialized plan,
+  * or a log line. */
+private[sources] case class OAuth2Client(tokenUrl: String, clientIdEnv: String,
+    clientSecretEnv: String, scope: Option[String], secrets: Secrets) {
+
+  // minted-token cache; null/0 = absent (also the post-deserialize state)
+  @transient private var cachedTok: String = _
+  @transient private var cachedExpMs: Long = 0L
+  private val refreshSkewMs = 5000L
+
+  /** Current bearer token, minting/refreshing if absent or near expiry. */
+  def token(): String = synchronized {
+    if (cachedTok == null || System.currentTimeMillis() >= cachedExpMs - refreshSkewMs) {
+      val (t, exp) = mint()
+      cachedTok = t; cachedExpMs = exp
+    }
+    cachedTok
+  }
+
+  /** Drop the cached token (after a 401) so the next attempt re-mints. */
+  def invalidate(): Unit = synchronized { cachedTok = null; cachedExpMs = 0L }
+
+  private def enc(v: String): String =
+    java.net.URLEncoder.encode(v, java.nio.charset.StandardCharsets.UTF_8)
+
+  private def mint(): (String, Long) = {
+    val id = secrets.resolve(clientIdEnv).getOrElse(throw new java.io.IOException(
+      s"rest_source: oauth2 client id env '$clientIdEnv' unset"))
+    val sec = secrets.resolve(clientSecretEnv).getOrElse(throw new java.io.IOException(
+      s"rest_source: oauth2 client secret env '$clientSecretEnv' unset"))
+    val form = s"grant_type=client_credentials&client_id=${enc(id)}&client_secret=${enc(sec)}" +
+      scope.map(sc => s"&scope=${enc(sc)}").getOrElse("")
+    var attempt = 0
+    while (true) {
+      val conn = java.net.URI.create(tokenUrl).toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(5000); conn.setReadTimeout(15000)
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/x-www-form-urlencoded")
+      try {
+        conn.getOutputStream.write(form.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val code = conn.getResponseCode
+        if (code == 200) {
+          val node = RestSource.mapper.readTree(new String(
+            conn.getInputStream.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+          val tok = Option(node.get("access_token")).map(_.asText).filter(_.nonEmpty)
+            .getOrElse(throw new java.io.IOException(
+              "rest_source: oauth2 token response missing access_token"))
+          val ttlSec = Option(node.get("expires_in")).map(_.asLong).getOrElse(3600L)
+          return (tok, System.currentTimeMillis() + ttlSec * 1000L)
+        } else if ((code == 429 || code >= 500) && attempt < 3) {
+          attempt += 1
+          Thread.sleep(50L << attempt) // same transient classes as fetchNode
+        } else {
+          throw new java.io.IOException(
+            s"rest_source: oauth2 token endpoint HTTP $code from $tokenUrl")
+        }
+      } finally conn.disconnect()
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  override def toString: String = s"OAuth2Client($tokenUrl)" // never credentials
+}
+
 /** Authentication for the REST connector — the spec's token/header surface
   * (/root/reference/README.md:12,:17-18) as a scheme matrix. Every scheme
   * resolves credentials by env-var NAME (optionally backed by an `.env`
@@ -260,11 +335,17 @@ object RestSource {
   *   authScheme=apiKeyHeader           <authHeaderName>: <token>   (default X-API-Key)
   *   authScheme=apiKeyQuery            &<authQueryParam>=<token>   (default api_key)
   *   authScheme=basic                  Authorization: Basic base64(<user>:<token>)
+  *   authScheme=oauth2                 Authorization: Bearer <minted access_token>
+  *                                     (client-credentials grant, cached +
+  *                                     auto-refreshed — see [[OAuth2Client]];
+  *                                     options oauthTokenUrl,
+  *                                     oauthClientIdEnv, oauthClientSecretEnv,
+  *                                     optional oauthScope)
   *
   * Token from `authTokenEnv`, Basic's user from `authUserEnv`. */
 private[sources] case class RestAuth(scheme: String, tokenEnv: Option[String],
     userEnv: Option[String], headerName: String, queryParam: String,
-    secrets: Secrets) {
+    secrets: Secrets, oauth: Option[OAuth2Client] = None) {
 
   private def token: Option[String] = tokenEnv.flatMap(secrets.resolve)
 
@@ -277,8 +358,17 @@ private[sources] case class RestAuth(scheme: String, tokenEnv: Option[String],
           s"$u:$p".getBytes(java.nio.charset.StandardCharsets.UTF_8))
         conn.setRequestProperty("Authorization", s"Basic $b64")
       }
+    case "oauth2" =>
+      oauth.foreach(o => conn.setRequestProperty("Authorization", s"Bearer ${o.token()}"))
     case "apiKeyQuery" => () // carried as a query param, not a header
   }
+
+  /** 401 recovery hook: for oauth2 the cached token may simply have
+    * expired server-side — invalidate it and tell the caller a one-shot
+    * retry (which re-mints) is worthwhile. Static-credential schemes
+    * can't recover from 401, so no retry there. */
+  def onUnauthorized(): Boolean =
+    scheme == "oauth2" && oauth.exists { o => o.invalidate(); true }
 
   /** Extra request query params (apiKeyQuery only), URL-encoded and
     * appended per request — never part of the `url` option. */
@@ -292,17 +382,24 @@ private[sources] case class RestAuth(scheme: String, tokenEnv: Option[String],
 }
 
 private[sources] object RestAuth {
-  private val schemes = Set("bearer", "apiKeyHeader", "apiKeyQuery", "basic")
+  private val schemes = Set("bearer", "apiKeyHeader", "apiKeyQuery", "basic", "oauth2")
   def fromOptions(options: CaseInsensitiveStringMap): RestAuth = {
     val scheme = Option(options.get("authScheme")).getOrElse("bearer")
     require(schemes(scheme),
       s"rest_source: unknown authScheme '$scheme' — supported: ${schemes.toSeq.sorted.mkString(", ")}")
+    val secrets = Secrets(Option(options.get("envFile")))
+    val oauth = if (scheme == "oauth2") {
+      def req(k: String): String = Option(options.get(k)).getOrElse(
+        throw new IllegalArgumentException(s"rest_source: authScheme=oauth2 requires option '$k'"))
+      Some(OAuth2Client(req("oauthTokenUrl"), req("oauthClientIdEnv"),
+        req("oauthClientSecretEnv"), Option(options.get("oauthScope")), secrets))
+    } else None
     RestAuth(scheme,
       Option(options.get("authTokenEnv")),
       Option(options.get("authUserEnv")),
       Option(options.get("authHeaderName")).getOrElse("X-API-Key"),
       Option(options.get("authQueryParam")).getOrElse("api_key"),
-      Secrets(Option(options.get("envFile"))))
+      secrets, oauth)
   }
 }
 
@@ -317,6 +414,7 @@ private[sources] object RestHttp {
       pace: () => Unit = () => (), warn: String => Unit = _ => (),
       headers: Map[String, String] = Map.empty): JsonNode = {
     var attempt = 0
+    var authRetried = false // one in-place re-auth per request, not per backoff
     while (true) {
       pace()
       val conn = target.openConnection().asInstanceOf[java.net.HttpURLConnection]
@@ -348,6 +446,11 @@ private[sources] object RestHttp {
           warn(s"rest_source: HTTP $code from $target, retry $attempt after ${sleepMs}ms" +
             (if (retryAfterMs > 0) " (Retry-After honored)" else ""))
           Thread.sleep(sleepMs)
+        } else if (code == 401 && !authRetried && auth.onUnauthorized()) {
+          // an expiring-token scheme (oauth2) may recover: the cached
+          // token is dropped, the immediate retry re-mints and re-sends
+          authRetried = true
+          warn(s"rest_source: HTTP 401 from $target — refreshing access token and retrying")
         } else {
           throw new java.io.IOException(s"rest_source: HTTP $code from $target after $attempt retries")
         }

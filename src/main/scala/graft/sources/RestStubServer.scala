@@ -65,15 +65,56 @@ object RestStubServer {
     s"""{"event_id": $id, "score": $score, "value": $value}"""
   }
 
-  final class Handle(val server: HttpServer, val port: Int) {
+  // OAuth2 stub credentials (client-credentials grant). The secret holds
+  // a '!' so the client's form URL-encoding is exercised round-trip.
+  val oauthClientId = "graft-client"
+  val oauthClientSecret = "s3cr3t!x"
+
+  final class Handle(val server: HttpServer, val port: Int,
+      val tokenMints: java.util.concurrent.atomic.AtomicInteger) {
     def url: String = s"http://127.0.0.1:$port/records"
+    def tokenUrl: String = s"http://127.0.0.1:$port/token"
     def stop(): Unit = server.stop(0)
   }
 
-  /** total pages served; beyond that → []. */
-  def start(totalRows: Long = 1000L): Handle = {
+  /** total pages served; beyond that → []. `oauthTokenUses` caps how many
+    * /records requests each minted token may authorize before the server
+    * answers 401 (forces mid-scan reactive refresh); `oauthExpiresInSec`
+    * is the advertised token lifetime (0 ⇒ every cached token is already
+    * stale, forcing proactive refresh before each request). */
+  def start(totalRows: Long = 1000L, oauthTokenUses: Int = Int.MaxValue,
+      oauthExpiresInSec: Long = 3600L): Handle = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     val failedOnce = new ConcurrentHashMap[String, java.lang.Boolean]()
+    val tokenMints = new java.util.concurrent.atomic.AtomicInteger(0)
+    // minted token → remaining authorized /records uses
+    val tokenUses = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+    server.createContext("/token", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        def send(code: Int, body: String): Unit = {
+          val bs = body.getBytes(StandardCharsets.UTF_8)
+          x.sendResponseHeaders(code, bs.length)
+          x.getResponseBody.write(bs); x.close()
+        }
+        val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val form = body.split("&").filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+        }.toMap
+        if (x.getRequestMethod != "POST") send(405, """{"error": "POST only"}""")
+        else if (!form.get("grant_type").contains("client_credentials"))
+          send(400, """{"error": "unsupported_grant_type"}""")
+        else if (!form.get("client_id").contains(oauthClientId) ||
+            !form.get("client_secret").contains(oauthClientSecret))
+          send(401, """{"error": "invalid_client"}""")
+        else {
+          val tok = s"tok-${tokenMints.incrementAndGet()}"
+          tokenUses.put(tok, new java.util.concurrent.atomic.AtomicInteger(oauthTokenUses))
+          send(200, s"""{"access_token": "$tok", "token_type": "Bearer", """ +
+            s""""expires_in": $oauthExpiresInSec}""")
+        }
+      }
+    })
     server.createContext("/records", new HttpHandler {
       override def handle(x: HttpExchange): Unit = {
         val q = Option(x.getRequestURI.getQuery).getOrElse("")
@@ -106,7 +147,19 @@ object RestStubServer {
         // strike MID-walk (every request of a chain, once each), not just
         // the first request
         val failKey = params.getOrElse("cursor", page.toString)
-        if (params.contains("requireAuth") && auth != s"Bearer ${params("requireAuth")}") {
+        // &requireOAuth=1: the bearer token must be one this server minted
+        // via /token AND still have authorized uses left — an exhausted or
+        // unknown token gets 401, forcing the client's refresh path
+        def oauthRejected: Boolean = params.contains("requireOAuth") && {
+          val tok = auth.stripPrefix("Bearer ")
+          !auth.startsWith("Bearer ") || {
+            val uses = tokenUses.get(tok)
+            uses == null || uses.decrementAndGet() < 0
+          }
+        }
+        if (oauthRejected) {
+          send(401, """{"error": "invalid_token"}""")
+        } else if (params.contains("requireAuth") && auth != s"Bearer ${params("requireAuth")}") {
           send(401, """{"error": "unauthorized"}""")
         } else if (params.contains("requireApiKeyHeader") &&
             apiKeyHeader != params("requireApiKeyHeader")) {
@@ -188,6 +241,6 @@ object RestStubServer {
       }
     })
     server.start()
-    new Handle(server, server.getAddress.getPort)
+    new Handle(server, server.getAddress.getPort, tokenMints)
   }
 }

@@ -343,4 +343,89 @@ class RestCursorAuthSpec extends graft.SparkSuite {
       assert(!scanSchema.fieldNames.contains("tags"))
     } finally stub.stop()
   }
+
+  // ---- OAuth2 client-credentials (README.md:12 "tokens", expiring shape)
+
+  private def oauthEnv: String = envFile(
+    s"GRAFT_OAUTH_ID=${RestStubServer.oauthClientId}",
+    s"GRAFT_OAUTH_SECRET=${RestStubServer.oauthClientSecret}")
+
+  private def oauthRead(stub: RestStubServer.Handle, extra: (String, String)*) = {
+    val base = spark.read.format("graft.sources.RestSource")
+      .option("url", stub.url + "?paging=cursor&requireOAuth=1")
+      .option("paginationMode", "cursor").option("pageSize", "20")
+      .option("authScheme", "oauth2")
+      .option("oauthTokenUrl", stub.tokenUrl)
+      .option("oauthClientIdEnv", "GRAFT_OAUTH_ID")
+      .option("oauthClientSecretEnv", "GRAFT_OAUTH_SECRET")
+      .option("envFile", oauthEnv)
+    extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  test("oauth2: mints a client-credentials token and reads the whole walk") {
+    val stub = RestStubServer.start(totalRows = 100L)
+    try {
+      val df = oauthRead(stub)
+      assert(df.count() === 100)
+      assert(df.agg(countDistinct(col("event_id"))).head.getLong(0) === 100)
+      assert(stub.tokenMints.get() >= 1)
+      // the scan description must never carry a minted token or secret
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("tok-") && !plan.contains(RestStubServer.oauthClientSecret), plan)
+    } finally stub.stop()
+  }
+
+  test("oauth2: server-side token exhaustion mid-scan → 401 → refresh → walk completes") {
+    // each minted token authorizes only 3 requests; the 200-row / 20-page
+    // cursor walk needs ~10, so the reader MUST refresh at least twice
+    // mid-scan (reactive path: 401 → invalidate → re-mint → retry in place)
+    val stub = RestStubServer.start(totalRows = 200L, oauthTokenUses = 3)
+    try {
+      val df = oauthRead(stub)
+      assert(df.count() === 200)
+      assert(df.agg(countDistinct(col("event_id"))).head.getLong(0) === 200,
+        "refresh must resume from the same cursor: no loss, no duplicates")
+      assert(stub.tokenMints.get() >= 3, s"expected ≥3 mints, got ${stub.tokenMints.get()}")
+    } finally stub.stop()
+  }
+
+  test("oauth2: expired cached token refreshes proactively, before the 401") {
+    // expires_in=0 ⇒ every cached token is already inside the refresh
+    // skew; tokens have unlimited uses, so ONLY the proactive path can
+    // explain multiple mints
+    val stub = RestStubServer.start(totalRows = 100L, oauthExpiresInSec = 0L)
+    try {
+      val df = oauthRead(stub)
+      assert(df.count() === 100)
+      assert(stub.tokenMints.get() >= 5, s"got ${stub.tokenMints.get()}")
+    } finally stub.stop()
+  }
+
+  test("oauth2: bad client credentials fail loudly at the token endpoint") {
+    val stub = RestStubServer.start(totalRows = 20L)
+    try {
+      val env = envFile(
+        s"GRAFT_OAUTH_ID=${RestStubServer.oauthClientId}",
+        "GRAFT_OAUTH_SECRET=wrong")
+      val e = intercept[Exception](oauthRead(stub, "envFile" -> env).count())
+      val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+        .map(_.toString).mkString("\n")
+      assert(msgs.contains("oauth2 token endpoint HTTP 401"), msgs)
+    } finally stub.stop()
+  }
+
+  test("oauth2: missing oauthTokenUrl fails at plan time naming the option") {
+    val stub = RestStubServer.start(totalRows = 20L)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        spark.read.format("graft.sources.RestSource")
+          .option("url", stub.url).option("pageSize", "20")
+          .option("authScheme", "oauth2")
+          .option("oauthClientIdEnv", "GRAFT_OAUTH_ID")
+          .option("oauthClientSecretEnv", "GRAFT_OAUTH_SECRET")
+          .load().count()
+      }
+      assert(e.getMessage.contains("oauthTokenUrl"))
+    } finally stub.stop()
+  }
 }
