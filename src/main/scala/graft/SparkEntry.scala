@@ -34,7 +34,8 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.MultimodalFrames.queries ++
       sources.RestQueries.queries ++
-      streaming.Streams.queries
+      streaming.Streams.queries ++
+      streaming.StreamDedup.queries
 
   def oracleSql: Map[String, String] =
     operators.Aggregates.oracles ++
@@ -54,5 +55,6 @@ object SparkEntry {
       operators.Multimodal.oracles ++
       operators.MultimodalFrames.oracles ++
       sources.RestQueries.oracles ++
-      streaming.Streams.oracles
+      streaming.Streams.oracles ++
+      streaming.StreamDedup.oracles
 }

@@ -8,12 +8,14 @@ import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Fused per-subspace squared-L2: `subspace_l2(a, b, sub)` over two
-  * ArrayType(FloatType) columns → array<double> of length n/sub, where
-  * element m = Σ_{i<sub} (a[m·sub+i] − b[m·sub+i])², each float widened
-  * to double BEFORE subtracting and accumulated sequentially — the exact
-  * arithmetic of the `zip_with`+`aggregate` HOF chain it replaces (and of
-  * the DuckDB oracle's per-subspace folds), in one codegen loop with no
-  * intermediate slice/array allocation.
+  * ArrayType(FloatType | DoubleType) columns → array<double> of length
+  * n/sub, where element m = Σ_{i<sub} (a[m·sub+i] − b[m·sub+i])², each
+  * element widened to double BEFORE subtracting and accumulated
+  * sequentially — the exact arithmetic of the `zip_with`+`aggregate` HOF
+  * chain it replaces (and of the DuckDB oracle's per-subspace folds), in
+  * one codegen loop with no intermediate slice/array allocation. Each
+  * side's element width is read from its CHILD TYPE (raw embeddings are
+  * float; a Lloyd-trained codebook is exact-mean double).
   *
   * This is the product-quantization hot path (vec_pq_ann): encoding is
   * N×K of these calls, and Spark's higher-order functions are interpreted
@@ -31,6 +33,11 @@ case class SubspaceL2(left: Expression, right: Expression, sub: Int)
   override def nullIntolerant: Boolean = true
   override def nullable: Boolean = true // non-null inputs can yield null (shape mismatch)
 
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -44,7 +51,9 @@ case class SubspaceL2(left: Expression, right: Expression, sub: Int)
       var i = j * sub
       val end = i + sub
       while (i < end) {
-        val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+        val av = if (isDouble(left)) a.getDouble(i) else a.getFloat(i).toDouble
+        val bv = if (isDouble(right)) b.getDouble(i) else b.getFloat(i).toDouble
+        val d = av - bv
         acc += d * d
         i += 1
       }
@@ -64,6 +73,8 @@ case class SubspaceL2(left: Expression, right: Expression, sub: Int)
       val end = ctx.freshName("end")
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
+      def getter(arr: String, idx: String, e: Expression): String =
+        if (isDouble(e)) s"$arr.getDouble($idx)" else s"(double) $arr.getFloat($idx)"
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements() || $n % $sub != 0) {
@@ -75,7 +86,7 @@ case class SubspaceL2(left: Expression, right: Expression, sub: Int)
          |    double $acc = 0.0;
          |    int $end = ($j + 1) * $sub;
          |    for (int $i = $j * $sub; $i < $end; $i++) {
-         |      double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |      double $d = ${getter(a, i, left)} - ${getter(b, i, right)};
          |      $acc += $d * $d;
          |    }
          |    $out[$j] = $acc;

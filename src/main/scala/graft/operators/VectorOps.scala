@@ -91,11 +91,46 @@ object VectorOps {
   private val PQ_K = 16
   import graft.functions.SubspaceL2.subspace_l2
 
-  /** Deterministic codebook: subvectors of the first K vectors (the
-    * k-means stand-in — bit-stable at any parallelism → oracle-able). */
-  private def pqCodebook(emb: DataFrame): DataFrame =
-    emb.filter(col("vec_id") < PQ_K)
-      .select(col("vec_id").cast("int").as("cw"), col("embedding").as("cv"))
+  /** Deterministic TRAINED codebook: seeded by the first K vectors'
+    * subvectors, refined by [[LLOYD_ITERS]] fixed Lloyd (k-means)
+    * iterations. Each round: per-(vector, subspace) nearest-codeword
+    * assignment as a min_by HASH AGG over the fused SubspaceL2 distances
+    * (broadcast codebook — the big side never shuffles), then the new
+    * per-(codeword, dimension) centroid as a DECIMAL-exact mean (parallel
+    * partial sums cannot perturb it), empty cells keeping their previous
+    * coordinates. Bit-stable at any parallelism, and the SAME two rounds
+    * unroll in the DuckDB oracle ([[lloydCbSql]]) — so the trained path
+    * stays fully hash-compared, like graph_pagerank's replayed rounds. */
+  private val LLOYD_ITERS = 2
+  private def pqCodebook(emb: DataFrame): DataFrame = {
+    val embD = emb.select(col("vec_id"), col("embedding"))
+    var cb = emb.filter(col("vec_id") < PQ_K)
+      .select(col("vec_id").cast("int").as("cw"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cv"))
+    for (_ <- 1 to LLOYD_ITERS) {
+      val assign = embD.crossJoin(broadcast(cb))
+        .select(col("vec_id"), col("embedding"), col("cw"),
+          posexplode(subspace_l2(col("embedding"), col("cv"), PQ_SUB)).as(Seq("m", "d")))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min_by(col("cw"), struct(col("d"), col("cw"))).as("cw"),
+          first(col("embedding")).as("embedding")) // functionally dependent on vec_id
+      val means = assign
+        .select(col("cw"), col("m"),
+          posexplode(slice(col("embedding"),
+            col("m") * PQ_SUB + 1, lit(PQ_SUB))).as(Seq("j", "x")))
+        .groupBy(col("cw"), (col("m") * PQ_SUB + col("j") + 1).as("idx"))
+        .agg((sum(dec(col("x").cast("double"))).cast("double") /
+          count(lit(1))).as("c"))
+      val oldc = cb.select(col("cw"), posexplode(col("cv")).as(Seq("p", "oldx")))
+        .select(col("cw"), (col("p") + 1).as("idx"), col("oldx"))
+      cb = oldc.join(means, Seq("cw", "idx"), "left")
+        .select(col("cw"), col("idx"), coalesce(col("c"), col("oldx")).as("x"))
+        .groupBy(col("cw"))
+        .agg(transform(array_sort(collect_list(struct(col("idx"), col("x")))),
+          p => p.getField("x")).as("cv"))
+    }
+    cb
+  }
 
   /** PQ encode: (vec_id, label, m, cw) — the argmin codeword per
     * (vector, subspace). One fused codegen pass (functions/SubspaceL2)
@@ -113,6 +148,43 @@ object VectorOps {
       .groupBy(col("vec_id"), col("label"), col("m"))
       .agg(min_by(col("cw"), struct(col("d"), col("cw"))).as("cw"))
       .select(col("vec_id"), col("label"), col("m"), col("cw"))
+
+  /** DuckDB replay of [[pqCodebook]]'s fixed Lloyd rounds — the same
+    * seed (first-K subvectors), per-subspace argmin assignment, and
+    * DECIMAL-exact per-dimension means, unrolled round by round; the
+    * final CTE is named `cb` so it drops into the enc/pd CTEs unchanged. */
+  private val lloydCbSql: String = {
+    def round(r: Int): String = {
+      val prev = s"cb${r - 1}"
+      s"""asg$r AS (
+           SELECT vec_id, embedding, m, cw FROM (
+             SELECT e.vec_id, e.embedding, p.m, c.cw,
+               row_number() OVER (PARTITION BY e.vec_id, p.m ORDER BY
+                 list_aggregate(list_transform(range(1, 9), i ->
+                   (e.embedding[p.m * 8 + i]::DOUBLE - c.cv[p.m * 8 + i]) *
+                   (e.embedding[p.m * 8 + i]::DOUBLE - c.cv[p.m * 8 + i])), 'sum'), c.cw) AS crn
+             FROM embeddings e CROSS JOIN range(0, 8) p(m) CROSS JOIN $prev c)
+           WHERE crn = 1),
+         mean$r AS (
+           SELECT a.cw, i.idx,
+             CAST(sum(CAST(a.embedding[i.idx]::DOUBLE AS DECIMAL(18,6))) AS DOUBLE) / count(1) AS c
+           FROM asg$r a CROSS JOIN range(1, 65) i(idx)
+           WHERE ((i.idx - 1) // 8) = a.m
+           GROUP BY a.cw, i.idx),
+         cb$r AS (
+           SELECT o.cw, list(coalesce(m.c, o.oldx) ORDER BY o.idx) AS cv
+           FROM (SELECT cw, i.idx, cv[i.idx] AS oldx
+                 FROM $prev CROSS JOIN range(1, 65) i(idx)) o
+           LEFT JOIN mean$r m ON m.cw = o.cw AND m.idx = o.idx
+           GROUP BY o.cw)"""
+    }
+    s"""cb0 AS (
+         SELECT CAST(vec_id AS INTEGER) AS cw,
+                list_transform(embedding, x -> x::DOUBLE) AS cv
+         FROM embeddings WHERE vec_id < $PQ_K),
+       ${(1 to LLOYD_ITERS).map(round).mkString(", ")},
+       cb AS (SELECT cw, cv FROM cb$LLOYD_ITERS)"""
+  }
 
   /** Probe-side ADC lookup table: (probe_id, pm, pcw, dd) part-distances,
     * DECIMAL-exact so the cross-subspace sum is order-independent. */
@@ -258,10 +330,10 @@ object VectorOps {
     }),
 
     // Product-quantization ANN (PQ + ADC re-rank): M=8 subspaces × 8 dims,
-    // K=16 codewords per subspace, codebook seeded deterministically by
-    // the first K vectors' subvectors (the k-means stand-in, same idea as
-    // vec_ivf_ann's medoid seeds — bit-stable at any parallelism, so the
-    // whole path is DuckDB-oracled). Every vector is ENCODED once to M
+    // K=16 codewords per subspace, codebook TRAINED by deterministic
+    // fixed-iteration Lloyd (first-K seed, DECIMAL-exact means — bit-
+    // stable at any parallelism, so the whole path incl. training is
+    // DuckDB-oracled). Every vector is ENCODED once to M
     // small codes — at a billion vectors that 8-bytes-per-vector index
     // (vs 256 for raw floats) is what fits an ANN index in cluster RAM;
     // probes then score candidates by codeword table LOOKUP (asymmetric
@@ -433,13 +505,12 @@ object VectorOps {
          SELECT node AS vec_id, min(root) AS comp,
                 node = min(root) AS is_representative
          FROM walk GROUP BY node ORDER BY vec_id""",
-    // same deterministic codebook (subvectors of vec_id < 16), same
-    // sequential-fold subspace L2, same DECIMAL-exact ADC sum — the PQ
-    // encode/lookup/shortlist/re-rank path reproduced end to end.
+    // same deterministic TRAINED codebook (first-K seed + unrolled Lloyd
+    // rounds), same sequential-fold subspace L2, same DECIMAL-exact ADC
+    // sum — the PQ train/encode/lookup/shortlist/re-rank path reproduced
+    // end to end.
     "vec_pq_ann" ->
-      s"""WITH cb AS (
-           SELECT CAST(vec_id AS INTEGER) AS cw, embedding AS cv
-           FROM embeddings WHERE vec_id < 16),
+      s"""WITH $lloydCbSql,
          enc AS (
            SELECT vec_id, m, cw FROM (
              SELECT e.vec_id, p.m, c.cw,
@@ -482,9 +553,7 @@ object VectorOps {
     // CTEs — candidates restricted to the probe's 2 nearest cells before
     // any ADC scoring, then the same shortlist + exact re-rank.
     "vec_ivfpq_ann" ->
-      s"""WITH cb AS (
-           SELECT CAST(vec_id AS INTEGER) AS cw, embedding AS cv
-           FROM embeddings WHERE vec_id < 16),
+      s"""WITH $lloydCbSql,
          enc AS (
            SELECT vec_id, label, m, cw FROM (
              SELECT e.vec_id, e.label, p.m, c.cw,

@@ -1,0 +1,151 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables.QFn
+import graft.operators.MinHashDedup
+
+/** Streaming NEAR-duplicate dedup — the incremental MinHash-LSH variant
+  * of `text_dedup_near` (closing the dedup family: `stream_dedup` is
+  * exact-key only). Each micro-batch of documents is signature'd with the
+  * same fused MinHash pass and 4×4 banding as the batch operator, then:
+  *
+  *   1. incoming docs whose band bucket collides with the ACCUMULATED
+  *      signature store are dropped (the `dedup_incremental` ANTI-JOIN
+  *      shape, run per batch; `dup_of` = smallest colliding kept doc);
+  *   2. among store survivors, a doc colliding with a SMALLER surviving
+  *      id in the same batch yields to it (keep-first — deterministic;
+  *      a transitive chain resolves to its head on the next batch via
+  *      the store, exactly like the batch `dedup_incremental` policy);
+  *   3. survivors' band signatures are APPENDED to the store, so later
+  *      batches dedup against everything kept so far.
+  *
+  * Scale shape: the store is hash-partitioned parquet keyed by
+  * (band_idx, bh) — the per-batch join is a bucket join against an
+  * index that holds K·BANDS longs per kept doc, NOT the corpus text; at
+  * 100 TB the store would live behind a compacted table with a retention
+  * window pruning signatures older than the dedup horizon (the batch
+  * analog of a watermark). Like the batch operator, xxhash64 has no
+  * DuckDB twin → no SQL oracle; the streaming unit spec plants exact and
+  * cross-batch duplicates and asserts drop/keep decisions and `dup_of`
+  * attribution.
+  */
+object StreamDedup {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  /** Dedup one micro-batch against the signature store at `storeDir`;
+    * append per-doc decisions (doc_id, batch_id, dup_of, kept) to
+    * `outDir` and survivors' band signatures to the store. */
+  def processBatch(batch: DataFrame, batchId: Long,
+      storeDir: java.nio.file.Path, outDir: java.nio.file.Path): Unit = {
+    if (batch.isEmpty) return
+    val ss = batch.sparkSession
+    val docs = batch.select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+    val sig = MinHashDedup.signatures(docs, "doc_id", "toks", shingleWidth = 3)
+    val bands = MinHashDedup.banded(sig, "doc_id").persist()
+    val ids = bands.select(col("doc_id")).distinct()
+    val hasStore = Files.exists(storeDir.resolve("_SUCCESS"))
+    // 1. ANTI-JOIN shape vs the store: colliding incoming docs drop
+    val storeDrop =
+      if (hasStore) {
+        val store = ss.read.parquet(storeDir.toString)
+          .select(col("doc_id").as("s_id"), col("band_idx"), col("bh"))
+        bands.join(store, Seq("band_idx", "bh"))
+          .groupBy(col("doc_id")).agg(min(col("s_id")).as("dup_of_store"))
+      } else ids.filter(lit(false)).withColumn("dup_of_store", lit(null).cast("long"))
+    // 2. keep-first among the store survivors inside this batch
+    val survBands = bands.join(storeDrop.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val inBatchDrop = survBands.select(col("doc_id").as("d"), col("band_idx"), col("bh"))
+      .join(survBands.select(col("doc_id").as("e"), col("band_idx"), col("bh")),
+        Seq("band_idx", "bh"))
+      .filter(col("e") < col("d"))
+      .groupBy(col("d")).agg(min(col("e")).as("dup_of_batch"))
+    // decisions are persisted BEFORE the store append so the append's
+    // lineage reads the cache, never the store directory it writes to
+    val decisions = ids
+      .join(storeDrop, Seq("doc_id"), "left")
+      .join(inBatchDrop, col("doc_id") === col("d"), "left")
+      .select(col("doc_id"), lit(batchId).as("batch_id"),
+        coalesce(col("dup_of_store"), col("dup_of_batch")).as("dup_of"))
+      .withColumn("kept", col("dup_of").isNull)
+      .persist()
+    decisions.write.mode(SaveMode.Append).parquet(outDir.toString)
+    // 3. survivors' signatures extend the store
+    bands.join(decisions.filter(col("kept")).select(col("doc_id")), Seq("doc_id"))
+      .select(col("doc_id"), col("band_idx"), col("bh"))
+      .write.mode(SaveMode.Append).parquet(storeDir.toString)
+    decisions.unpersist(false)
+    bands.unpersist(false)
+  }
+
+  /** Move the single part-file of a coalesce(1) staging write onto a
+    * fixed name (same contract as Streams.moveSinglePart). */
+  private def moveSinglePart(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    val listing = Files.list(from)
+    val parts =
+      try listing.filter(_.toString.endsWith(".parquet")).toArray(new Array[java.nio.file.Path](_)).toSeq
+      finally listing.close()
+    require(parts.size == 1,
+      s"expected exactly 1 part file in $from (coalesce(1) staging), got ${parts.size}")
+    Files.move(parts.head, to, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** One-time staging of the documents table as two mtime-ordered files
+    * (even doc_ids, then odd) so the file stream replays two micro-batches
+    * and planted near-dup pairs with adjacent ids land CROSS-batch.
+    * Idempotent per (PID, sf dir), like Streams.stageUpsertInput. */
+  private def stageDocBatches(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path = {
+    val tag = graft.Tables.pathTag(dir)
+    val inDir = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_stream_${ProcessHandle.current().pid()}", s"docs_$tag")
+    if (!Files.exists(inDir.resolve("0_batch.parquet")) ||
+        !Files.exists(inDir.resolve("1_batch.parquet"))) {
+      org.apache.commons.io.FileUtils.deleteQuietly(inDir.toFile)
+      Files.createDirectories(inDir)
+      val docs = graft.Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+      docs.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(inDir.resolve("b1").toString)
+      docs.filter(col("doc_id") % 2 === 1)
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(inDir.resolve("b2").toString)
+      moveSinglePart(inDir.resolve("b1"), inDir.resolve("0_batch.parquet"))
+      moveSinglePart(inDir.resolve("b2"), inDir.resolve("1_batch.parquet"))
+      // file-stream ordering is by mtime — pin it (see stageUpsertInput)
+      Files.setLastModifiedTime(inDir.resolve("0_batch.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(1000000L))
+      Files.setLastModifiedTime(inDir.resolve("1_batch.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(2000000L))
+    }
+    inDir
+  }
+
+  /** Run the incremental-LSH dedup stream over staged document batches
+    * into a FRESH per-invocation store/output (the store accumulates by
+    * design — reuse across runs would dedup against a previous run). */
+  def run(s: org.apache.spark.sql.SparkSession, inDir: java.nio.file.Path): DataFrame = {
+    val runDir = Files.createTempDirectory("graft_sdn_")
+    val storeDir = runDir.resolve("store")
+    val outDir = runDir.resolve("out")
+    val scoped = org.apache.spark.sql.graftbridge.Bridge.cloneSession(s)
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    val src = scoped.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val q = src.writeStream
+      .foreachBatch((b: DataFrame, id: Long) => processBatch(b, id, storeDir, outDir))
+      .option("checkpointLocation", runDir.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(outDir.toString)
+      .select(col("doc_id"), col("batch_id"), col("kept"), col("dup_of"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "stream_dedup_near" -> ((s, dir) => run(s, stageDocBatches(s, dir))))
+
+  val oracles: Map[String, String] = Map.empty // xxhash64 has no DuckDB twin
+}

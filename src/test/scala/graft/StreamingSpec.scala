@@ -302,4 +302,62 @@ class StreamingSpec extends SparkSuite {
     assert(untouched.filter(col("got") =!= col("orig")).count() === 0)
     out.unpersist()
   }
+
+  test("stream_dedup_near: cross-batch and in-batch near-dups drop; chain heads resolve via store") {
+    import java.nio.file.Files
+    val textA = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val textB = "structured streaming joins watermark state stores micro batches and checkpoints"
+    val textC = "an entirely different document about parquet column pruning and predicate pushdown"
+    val inDir = Files.createTempDirectory("graft_sdn_test_")
+    def stage(name: String, mtime: Long, rows: Seq[(Long, String)]): Unit = {
+      import spark.implicits._
+      val tmp = inDir.resolve(name + "_stage")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part = try listing.filter(_.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow() finally listing.close()
+      Files.move(part, inDir.resolve(name))
+      Files.setLastModifiedTime(inDir.resolve(name),
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    // batch 0: two distinct docs; batch 1: copies of both (cross-batch,
+    // must drop against the STORE), one fresh doc, and an in-batch copy
+    // of that fresh doc (keep-first within the batch)
+    stage("0_batch.parquet", 1000000L, Seq(1L -> textA, 2L -> textB))
+    stage("1_batch.parquet", 2000000L,
+      Seq(11L -> textA, 12L -> textB, 13L -> textC, 14L -> textC))
+    val out = graft.streaming.StreamDedup.run(spark, inDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(out.keySet === Set(1L, 2L, 11L, 12L, 13L, 14L))
+    assert(out(1L) === ((0L, true, -1L)) && out(2L) === ((0L, true, -1L)),
+      "batch-0 docs are all kept")
+    assert(out(11L) === ((1L, false, 1L)), "cross-batch dup of doc 1 via the store")
+    assert(out(12L) === ((1L, false, 2L)), "cross-batch dup of doc 2 via the store")
+    assert(out(13L) === ((1L, true, -1L)), "fresh doc in batch 1 survives")
+    assert(out(14L) === ((1L, false, 13L)), "in-batch dup yields to the smaller kept id")
+  }
+
+  test("stream_dedup_near registered query: decisions cover every doc exactly once") {
+    val out = q("stream_dedup_near").cache()
+    val nDocs = graft.Tables.t(spark, sf, "documents").count()
+    assert(out.count() === nDocs, "one decision per document")
+    assert(out.select(countDistinct(col("doc_id"))).head.getLong(0) === nDocs)
+    // representative discipline: every drop names another doc in the
+    // corpus; the representative is either KEPT, or a member of the same
+    // batch's keep-first chain (whose own head was kept or store-dropped)
+    val dec = out.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getBoolean(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    dec.foreach { case (id, (b, kept, dup)) =>
+      if (!kept) {
+        assert(dup >= 0 && dup != id, s"doc $id: drop without a representative")
+        assert(dec.contains(dup), s"doc $id: dup_of $dup not in the corpus")
+        val (db, dkept, _) = dec(dup)
+        assert(dkept || db == b,
+          s"doc $id → $dup: representative must be kept or a same-batch chain member")
+      }
+    }
+    out.unpersist()
+  }
 }
