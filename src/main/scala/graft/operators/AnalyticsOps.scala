@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -100,6 +100,19 @@ object AnalyticsOps {
     round((n * sxy - sx * sy) /
       sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
 
+  /** One PageRank round: the node-count-sized rank table is BROADCAST
+    * onto the cached edge frame (no edge shuffle per round — the only
+    * exchange is the contribution groupBy on dst), contributions summed
+    * DECIMAL-exact. Factored out so PlanSpec pins the round's physical
+    * shape directly. */
+  private[graft] def pagerankRound(edgesDeg: DataFrame, ranks: DataFrame,
+      base: Double): DataFrame =
+    edgesDeg.join(broadcast(ranks), col("src") === col("v"))
+      .select(col("dst"), (col("rank") / col("cnt")).cast(d38).as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      .select(col("dst").as("v"),
+        round(lit(base) + lit(0.85) * col("sc").cast("double"), 12).as("rank"))
+
   val queries: Map[String, QFn] = Map(
     "graph_pagerank" -> ((s, dir) => {
       // edge build: ONE hash agg to per-order supplier sets (bounded ≤7 in
@@ -135,12 +148,7 @@ object AnalyticsOps {
         // executor makes later iterations unrecoverable — a long-running
         // cluster job should use reliable checkpointing (checkpoint dir)
         // or persist with replication instead; local[n] verify is immune.
-        ranks = edgesDeg.join(broadcast(ranks), col("src") === col("v"))
-          .select(col("dst"), (col("rank") / col("cnt")).cast(d38).as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-          .select(col("dst").as("v"),
-            round(lit(base) + lit(0.85) * col("sc").cast("double"), 12).as("rank"))
-          .localCheckpoint(true)
+        ranks = pagerankRound(edgesDeg, ranks, base).localCheckpoint(true)
       }
       edgesDeg.unpersist(false) // rounds are materialized; the final plan no longer scans edges
       ranks.select(col("v").as("s_suppkey"), round(col("rank"), 6).as("rank"))

@@ -218,6 +218,39 @@ class PlanSpec extends SparkSuite {
     assert(pn.contains("LeftAnti, BuildRight, true"), pn.take(3000))
   }
 
+  test("graph_triangles: ONE pair-build exchange instance, joins consume the cache") {
+    // und/deg are persisted; every printed occurrence of the pair-build
+    // exchange must be the SAME physical node (one plan_id) — without the
+    // persist the dominant pair-build shuffle re-executes ~5x per run
+    val p = plan("graph_triangles")
+    val ids = """Exchange hashpartitioning\(p1#\d+L, p2#\d+L.*?plan_id=(\d+)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(ids.size === 1, s"pair-build exchange instances: $ids\n${p.take(2000)}")
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
+  }
+
+  test("basket_pairs: the distinct shuffle is computed once and reused on the broadcast side") {
+    val df = q("basket_pairs")
+    df.collect() // AQE dedupes identical shuffle stages at runtime
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"), p.take(3000))
+  }
+
+  test("graph_pagerank round: ranks broadcast onto cached edges — no edge shuffle per round") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val edgesDeg = Seq((1L, 2L, 1L), (2L, 3L, 2L), (2L, 1L, 2L))
+      .toDF("src", "dst", "cnt")
+    val ranks = Seq((1L, 0.4), (2L, 0.3), (3L, 0.3)).toDF("v", "rank")
+    val p = graft.operators.AnalyticsOps.pagerankRound(edgesDeg, ranks, 0.05)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("Exchange hashpartitioning(src"), p.take(2000))
+    // the round's only shuffle is the contribution groupBy on dst
+    val n = "Exchange hashpartitioning\\(".r.findAllIn(p).size
+    assert(n === 1, s"expected exactly the dst groupBy exchange, got $n\n${p.take(2000)}")
+  }
+
   test("plan lint: no query plans an unbounded cartesian / nested-loop join") {
     // sweep EVERY registered query's physical plan: a CartesianProduct or
     // BroadcastNestedLoopJoin is only acceptable when one side is bounded
