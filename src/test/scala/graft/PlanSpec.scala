@@ -221,7 +221,11 @@ class PlanSpec extends SparkSuite {
   test("graph_triangles: ONE pair-build exchange instance, joins consume the cache") {
     // und/deg are persisted; every printed occurrence of the pair-build
     // exchange must be the SAME physical node (one plan_id) — without the
-    // persist the dominant pair-build shuffle re-executes ~5x per run
+    // persist the dominant pair-build shuffle re-executes ~5x per run.
+    // Start from a clean cache: an earlier suite's run of this query
+    // leaves cache entries whose printed plans carry their own (older)
+    // exchange instances, which this single-instance count would misread.
+    spark.catalog.clearCache()
     val p = plan("graph_triangles")
     val ids = """Exchange hashpartitioning\(p1#\d+L, p2#\d+L.*?plan_id=(\d+)""".r
       .findAllMatchIn(p).map(_.group(1)).toSet
