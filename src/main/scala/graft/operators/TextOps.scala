@@ -265,6 +265,26 @@ object TextOps {
         .orderBy(col("lang"), col("split"))
     }),
 
+    // deterministic corpus shuffle + shard assignment — the training-data
+    // shard writer every LLM pipeline runs before a training job: shard =
+    // multiplicative hash of the key, WITHIN-shard order = a second,
+    // decorrelated hash (the "global shuffle" that decouples training
+    // order from ingestion order, with zero RNG state — reproducible at
+    // any parallelism and replayable for a given data snapshot). The
+    // window formulation here is the oracle-able twin of the production
+    // write path (`repartition($"shard").sortWithinPartitions($"ord")` →
+    // one shuffle, each task streams one sorted shard file); at 100 TB
+    // the per-shard sort is the same ORDER, produced without a window.
+    "corpus_shard" -> ((s, dir) => {
+      val w = Window.partitionBy(col("shard")).orderBy(col("ord"), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("shard", pmod(col("doc_id") * lit(2654435761L), lit(8)))
+        .withColumn("ord", pmod(col("doc_id") * lit(1315423911L), lit(1000000007L)))
+        .withColumn("pos", row_number().over(w))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // incremental snapshot dedup — the policy at every batch boundary of
     // a continuously-ingesting corpus: drop new-batch docs whose
     // normalized content hash ALREADY exists in the corpus (cross-batch
@@ -584,6 +604,14 @@ object TextOps {
                       ELSE 'test' END AS split
                FROM documents)
          GROUP BY lang, split ORDER BY lang, split""",
+    "corpus_shard" ->
+      """SELECT doc_id, shard, pos FROM (
+           SELECT doc_id, (doc_id * 2654435761) % 8 AS shard,
+             row_number() OVER (
+               PARTITION BY (doc_id * 2654435761) % 8
+               ORDER BY (doc_id * 1315423911) % 1000000007, doc_id) AS pos
+           FROM documents)
+         ORDER BY doc_id""",
     // connected components via recursive reachability: every root a node
     // can reach is enumerated (UNION dedups → terminates), min = component
     "dedup_cluster" ->
