@@ -40,6 +40,28 @@ import graft.Tables._
 object LmOps {
 
   val queries: Map[String, QFn] = Map(
+    // one BPE vocabulary-training iteration at corpus scale — the heavy
+    // stage of tokenizer induction (the merge LOOP itself is cheap and
+    // vocabulary-bounded once pair counts exist): word frequencies first
+    // (one corpus-grain scan → vocabulary-bounded shuffle), then adjacent
+    // symbol-pair counts WEIGHTED BY WORD FREQUENCY — pair generation is
+    // a per-row array expression over the word table, never the corpus,
+    // so the token-grain data is touched exactly once no matter how many
+    // merge rounds follow. Top-20 merge candidates under the total order
+    // (count desc, pair asc) — an engine-deterministic cut.
+    "bpe_merge_step" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      words
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+        .orderBy(desc("n"), col("pair"))
+        .limit(20)
+    }),
+
     "text_bigram_lm" -> ((s, dir) => {
       val bi = t(s, dir, "documents")
         .select(split(lower(col("text")), " ").as("tk"))
@@ -133,6 +155,15 @@ object LmOps {
     }))
 
   val oracles: Map[String, String] = Map(
+    "bpe_merge_step" ->
+      """WITH words AS (
+           SELECT w, count(1) AS wc FROM (
+             SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+           WHERE length(w) >= 2 GROUP BY w)
+         SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM (
+           SELECT unnest(list_transform(range(1, length(w)), i -> substring(w, i, 2))) AS pair, wc
+           FROM words)
+         GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
     "text_bigram_lm" ->
       """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
          tok AS (SELECT doc_id, unnest(tk) AS w, unnest(range(1, len(tk) + 1)) AS ord FROM tk),
