@@ -121,7 +121,14 @@ object VectorOps {
   }
 
   private def trainCodebook(emb: DataFrame): DataFrame = {
-    val embD = emb.select(col("vec_id"), col("embedding"))
+    // train on a DETERMINISTIC ~25% sample (multiplicative-hash filter,
+    // the sample_split trick): real PQ training always runs on a sample —
+    // at a billion vectors the codebook converges on a sliver of the
+    // corpus and only the ENCODE pass touches everything. The filter is
+    // pure BIGINT arithmetic, so the DuckDB oracle replays the same
+    // sample bit for bit.
+    val embD = emb.filter(pmod(col("vec_id") * lit(2654435761L), lit(4)) === 0)
+      .select(col("vec_id"), col("embedding"))
     var cb = emb.filter(col("vec_id") < PQ_K)
       .select(col("vec_id").cast("int").as("cw"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cv"))
@@ -173,9 +180,10 @@ object VectorOps {
       .select(col("vec_id"), col("label"), col("m"), col("cw"))
 
   /** DuckDB replay of [[pqCodebook]]'s fixed Lloyd rounds — the same
-    * seed (first-K subvectors), per-subspace argmin assignment, and
-    * DECIMAL-exact per-dimension means, unrolled round by round; the
-    * final CTE is named `cb` so it drops into the enc/pd CTEs unchanged. */
+    * seed (first-K subvectors), the same deterministic ~25% training
+    * sample, per-subspace argmin assignment, and DECIMAL-exact
+    * per-dimension means, unrolled round by round; the final CTE is
+    * named `cb` so it drops into the enc/pd CTEs unchanged. */
   private val lloydCbSql: String = {
     def round(r: Int): String = {
       val prev = s"cb${r - 1}"
@@ -186,7 +194,8 @@ object VectorOps {
                  list_aggregate(list_transform(range(1, 9), i ->
                    (e.embedding[p.m * 8 + i]::DOUBLE - c.cv[p.m * 8 + i]) *
                    (e.embedding[p.m * 8 + i]::DOUBLE - c.cv[p.m * 8 + i])), 'sum'), c.cw) AS crn
-             FROM embeddings e CROSS JOIN range(0, 8) p(m) CROSS JOIN $prev c)
+             FROM (SELECT * FROM embeddings WHERE (vec_id * 2654435761) % 4 = 0) e
+             CROSS JOIN range(0, 8) p(m) CROSS JOIN $prev c)
            WHERE crn = 1),
          mean$r AS (
            SELECT a.cw, i.idx,
