@@ -40,6 +40,7 @@ object Bench {
     warm("bucketed tables")(operators.ScaleOps.prepareBucketed(spark, sfDir))
     warm("jsonl/csv staging")(operators.EtlOps.stageFixtures(spark, sfDir))
     warm("upsert input")(streaming.Streams.stageUpsertInput(spark, sfDir))
+    warm("dedup-near doc batches")(streaming.StreamDedup.stageDocBatches(spark, sfDir))
     warm("agg_group")(SparkEntry.queries("agg_group")(spark, sfDir).count())
     warm("null_clean")(SparkEntry.queries("null_clean")(spark, sfDir).count())
     warm("vec_cosine_topk")(SparkEntry.queries("vec_cosine_topk")(spark, sfDir).count())

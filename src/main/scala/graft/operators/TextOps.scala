@@ -265,6 +265,25 @@ object TextOps {
         .orderBy(col("lang"), col("split"))
     }),
 
+    // RAG-style document chunking: fixed 64-token windows at stride 48
+    // (16-token overlap) — the chunker every retrieval/embedding pipeline
+    // runs before embedding long documents. Window starts come from a
+    // per-row sequence (the token grain is exploded once, at the CHUNK
+    // level, never per token), the trailing partial window is kept, and
+    // each chunk emits (doc_id, chunk_id, n_tokens, sha256(chunk text)) —
+    // compact, hash-comparable, and the chunk text never shuffles.
+    "text_chunk_overlap" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(tk), 48), st -> " +
+            "struct((st - 1) div 48 AS chunk_id, slice(tk, st, 64) AS chunk))")).as("c"))
+        .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+          size(col("c.chunk")).as("n_tokens"),
+          sha2(concat_ws(" ", col("c.chunk")), 256).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // deterministic corpus shuffle + shard assignment — the training-data
     // shard writer every LLM pipeline runs before a training job: shard =
     // multiplicative hash of the key, WITHIN-shard order = a second,
@@ -604,6 +623,13 @@ object TextOps {
                       ELSE 'test' END AS split
                FROM documents)
          GROUP BY lang, split ORDER BY lang, split""",
+    "text_chunk_overlap" ->
+      """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+         starts AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1, 48)) AS st FROM tk)
+         SELECT doc_id, CAST((st - 1) // 48 AS BIGINT) AS chunk_id,
+           len(tk[st:least(st + 63, len(tk))]) AS n_tokens,
+           sha256(array_to_string(tk[st:least(st + 63, len(tk))], ' ')) AS chunk_hash
+         FROM starts ORDER BY doc_id, chunk_id""",
     "corpus_shard" ->
       """SELECT doc_id, shard, pos FROM (
            SELECT doc_id, (doc_id * 2654435761) % 8 AS shard,

@@ -43,6 +43,13 @@ object VectorOps {
 
   private val sqlCosDuck = cosSql("e.embedding", "q.qv")
 
+  /** DuckDB cosine over the first `n` dims only (all three folds
+    * range-bounded) — the Matryoshka-prefix twin of [[cosSql]]. */
+  private def cosSqlPrefix(a: String, b: String, n: Int): String =
+    s"""list_aggregate(list_transform(range(1, ${n + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), 'sum')
+       / (sqrt(list_aggregate(list_transform(range(1, ${n + 1}), i -> $a[i]::DOUBLE * $a[i]::DOUBLE), 'sum'))
+          * sqrt(list_aggregate(list_transform(range(1, ${n + 1}), i -> $b[i]::DOUBLE * $b[i]::DOUBLE), 'sum')))"""
+
   /** DuckDB twin of [[lshRangePairs]]: CTEs `b` (bucketed embeddings) and
     * `rpairs` (d1 < d2, sim ≥ 0.3 within a shared bucket), spliced into
     * both the range-search and semantic-cluster oracles. */
@@ -252,6 +259,27 @@ object VectorOps {
         .select(col("vec_id"), col("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
+    }),
+
+    // Matryoshka-truncation similarity (MRL): rank candidates by cosine
+    // over the first 16 dims only — 4× less arithmetic and, at scale,
+    // 4× less index I/O, because the PREFIX is what ships to the serving
+    // index while the full vector stays in cold storage — and report the
+    // full-precision cosine alongside, so the cheap tier's rank
+    // distortion is directly visible in the output. Both cosines run
+    // through the codegen'd CosineSim over sliced/full arrays; the slice
+    // happens in the scan projection.
+    "vec_matryoshka_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("sim16",
+          round(cosine_sim(slice(col("embedding"), 1, 16), slice(col("qv"), 1, 16)), 6))
+        .withColumn("sim_full", round(cosine_sim(col("embedding"), col("qv")), 6))
+        .orderBy(col("sim16").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("sim16"), col("sim_full"))
     }),
 
     "vec_knn_join" -> ((s, dir) => {
@@ -473,6 +501,14 @@ object VectorOps {
          FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
          WHERE e.vec_id <> 0
          ORDER BY sim DESC, e.vec_id LIMIT 10""",
+    "vec_matryoshka_topk" ->
+      s"""SELECT vec_id, sim16, sim_full FROM (
+           SELECT e.vec_id,
+             round(${cosSqlPrefix("e.embedding", "q.qv", 16)}, 6) AS sim16,
+             round($sqlCosDuck, 6) AS sim_full
+           FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+           WHERE e.vec_id <> 0)
+         ORDER BY sim16 DESC, vec_id LIMIT 10""",
     "vec_knn_join" ->
       s"""SELECT probe_id, vec_id AS neighbor_id, sim, rn FROM (
            SELECT q.probe_id, e.vec_id, round($sqlCosDuck, 6) AS sim,

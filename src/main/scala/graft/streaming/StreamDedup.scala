@@ -99,7 +99,7 @@ object StreamDedup {
     * (even doc_ids, then odd) so the file stream replays two micro-batches
     * and planted near-dup pairs with adjacent ids land CROSS-batch.
     * Idempotent per (PID, sf dir), like Streams.stageUpsertInput. */
-  private def stageDocBatches(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path = {
+  private[graft] def stageDocBatches(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path = {
     val tag = graft.Tables.pathTag(dir)
     val inDir = Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_stream_${ProcessHandle.current().pid()}", s"docs_$tag")
