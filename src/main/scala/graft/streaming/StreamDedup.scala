@@ -39,8 +39,17 @@ object StreamDedup {
     StructField("text", StringType)))
 
   /** Dedup one micro-batch against the signature store at `storeDir`;
-    * append per-doc decisions (doc_id, batch_id, dup_of, kept) to
-    * `outDir` and survivors' band signatures to the store. */
+    * write per-doc decisions (doc_id, dup_of, kept) under
+    * `outDir/batch=<id>` and survivors' band signatures under
+    * `storeDir/batch=<id>`.
+    *
+    * EXACTLY-ONCE under micro-batch replay: both writes go to a
+    * batch-partitioned directory with OVERWRITE semantics (a replayed
+    * batch rewrites its own partition — never appends a duplicate), and
+    * the store read prunes to `batch < batchId`, so a replay cannot see
+    * the failed attempt's own signatures and wrongly drop its docs as
+    * store-dups. Same idempotent-publish discipline as the DocSink's
+    * per-epoch manifests. */
   def processBatch(batch: DataFrame, batchId: Long,
       storeDir: java.nio.file.Path, outDir: java.nio.file.Path): Unit = {
     if (batch.isEmpty) return
@@ -49,11 +58,16 @@ object StreamDedup {
     val sig = MinHashDedup.signatures(docs, "doc_id", "toks", shingleWidth = 3)
     val bands = MinHashDedup.banded(sig, "doc_id").persist()
     val ids = bands.select(col("doc_id")).distinct()
-    val hasStore = Files.exists(storeDir.resolve("_SUCCESS"))
-    // 1. ANTI-JOIN shape vs the store: colliding incoming docs drop
+    val hasStore = Files.exists(storeDir) && {
+      val l = Files.list(storeDir)
+      try l.anyMatch(p => p.getFileName.toString.startsWith("batch=")) finally l.close()
+    }
+    // 1. ANTI-JOIN shape vs the store (earlier batches only — partition-
+    //    pruned, so a replayed batch never reads its own failed attempt)
     val storeDrop =
       if (hasStore) {
         val store = ss.read.parquet(storeDir.toString)
+          .filter(col("batch") < batchId)
           .select(col("doc_id").as("s_id"), col("band_idx"), col("bh"))
         bands.join(store, Seq("band_idx", "bh"))
           .groupBy(col("doc_id")).agg(min(col("s_id")).as("dup_of_store"))
@@ -65,20 +79,22 @@ object StreamDedup {
         Seq("band_idx", "bh"))
       .filter(col("e") < col("d"))
       .groupBy(col("d")).agg(min(col("e")).as("dup_of_batch"))
-    // decisions are persisted BEFORE the store append so the append's
+    // decisions are persisted BEFORE the store write so the write's
     // lineage reads the cache, never the store directory it writes to
     val decisions = ids
       .join(storeDrop, Seq("doc_id"), "left")
       .join(inBatchDrop, col("doc_id") === col("d"), "left")
-      .select(col("doc_id"), lit(batchId).as("batch_id"),
+      .select(col("doc_id"),
         coalesce(col("dup_of_store"), col("dup_of_batch")).as("dup_of"))
       .withColumn("kept", col("dup_of").isNull)
       .persist()
-    decisions.write.mode(SaveMode.Append).parquet(outDir.toString)
-    // 3. survivors' signatures extend the store
+    decisions.write.mode(SaveMode.Overwrite)
+      .parquet(outDir.resolve(s"batch=$batchId").toString)
+    // 3. survivors' signatures extend the store (own partition, overwrite)
     bands.join(decisions.filter(col("kept")).select(col("doc_id")), Seq("doc_id"))
       .select(col("doc_id"), col("band_idx"), col("bh"))
-      .write.mode(SaveMode.Append).parquet(storeDir.toString)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(storeDir.resolve(s"batch=$batchId").toString)
     decisions.unpersist(false)
     bands.unpersist(false)
   }
@@ -139,8 +155,11 @@ object StreamDedup {
       .option("checkpointLocation", runDir.resolve("ckpt").toString)
       .start()
     try q.processAllAvailable() finally q.stop()
+    // decisions are batch-partitioned (batch=N dirs); the partition
+    // column carries the batch id
     s.read.parquet(outDir.toString)
-      .select(col("doc_id"), col("batch_id"), col("kept"), col("dup_of"))
+      .select(col("doc_id"), col("batch").cast("long").as("batch_id"),
+        col("kept"), col("dup_of"))
       .orderBy(col("doc_id"))
   }
 

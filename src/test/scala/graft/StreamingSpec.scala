@@ -339,6 +339,30 @@ class StreamingSpec extends SparkSuite {
     assert(out(14L) === ((1L, false, 13L)), "in-batch dup yields to the smaller kept id")
   }
 
+  test("stream_dedup_near: a replayed micro-batch is idempotent, no self-contamination") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val runDir = Files.createTempDirectory("graft_sdn_replay_")
+    val store = runDir.resolve("store"); val out = runDir.resolve("out")
+    val b0 = Seq((1L, "aaa bbb ccc ddd eee fff"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val b1 = Seq((11L, "aaa bbb ccc ddd eee fff"),
+      (13L, "totally new content here now ok")).toDF("doc_id", "text")
+    graft.streaming.StreamDedup.processBatch(b0, 0L, store, out)
+    graft.streaming.StreamDedup.processBatch(b1, 1L, store, out)
+    // simulate a checkpoint-restart replay of batch 1: the partition
+    // overwrite + batch<id store pruning must make it a clean no-op
+    graft.streaming.StreamDedup.processBatch(b1, 1L, store, out)
+    val res = spark.read.parquet(out.toString).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("kept"), Option(r.getAs[Any]("dup_of")).map(_.asInstanceOf[Long]).getOrElse(-1L))))
+    assert(res.length === 4, s"replay must not duplicate decisions: ${res.toSeq}")
+    val m = res.toMap
+    assert(m(1L)._1 && m(2L)._1, "batch-0 docs kept")
+    assert(m(11L) === ((false, 1L)), "replayed batch still drops against EARLIER batches")
+    assert(m(13L) === ((true, -1L)), "replay must not self-contaminate: fresh doc stays kept")
+  }
+
   test("stream_dedup_near registered query: decisions cover every doc exactly once") {
     val out = q("stream_dedup_near").cache()
     val nDocs = graft.Tables.t(spark, sf, "documents").count()
