@@ -653,6 +653,37 @@ class PropertySpec extends SparkSuite {
     assert(r.getLong(2) === brute.toLong)
   }
 
+  test("text_chunk_overlap: stride-48 chunk accounting covers every token exactly") {
+    val lens = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), size(split(lower(col("text")), " ")).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = q("text_chunk_overlap").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1)
+    assert(chunks.keySet === lens.keySet, "every doc chunks")
+    chunks.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      val len = lens(doc)
+      assert(sorted.map(_._2) === (0L until sorted.length).toSeq, s"doc $doc: contiguous ids")
+      assert(sorted.length === (len - 1) / 48 + 1, s"doc $doc: one chunk per stride start")
+      // each chunk holds exactly the tokens from its start to min(start+63, len)
+      // (with stride < window, the last TWO chunks can both be truncated)
+      sorted.foreach { case (_, cid, n) =>
+        val start = 48 * cid + 1
+        assert(n.toLong === math.min(64L, len - start + 1), s"doc $doc chunk $cid")
+      }
+    }
+  }
+
+  test("corpus_shard: positions are contiguous 1..n within each of the 8 shards") {
+    val rows = q("corpus_shard").collect()
+      .map(r => (r.getLong(1), r.getInt(2))).groupBy(_._1)
+    assert(rows.keySet.subsetOf((0L until 8L).toSet))
+    rows.foreach { case (shard, ps) =>
+      assert(ps.map(_._2).sorted === (1 to ps.length).toSeq, s"shard $shard")
+    }
+  }
+
   test("pack_sequences: bins are contiguous, balanced, and conserve tokens") {
     val rows = q("pack_sequences").collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
