@@ -255,6 +255,24 @@ class PlanSpec extends SparkSuite {
     assert(n === 1, s"expected exactly the dst groupBy exchange, got $n\n${p.take(2000)}")
   }
 
+  test("round-6 text/vector ops keep their minimal shuffle shapes") {
+    def hashExchanges(name: String): Int =
+      "Exchange hashpartitioning\\(".r.findAllIn(plan(name)).size
+    // bpe_merge_step: word-count + pair-count hash aggs (map-side partial
+    // combine), top-20 lowered to TakeOrdered — never a global sort
+    assert(hashExchanges("bpe_merge_step") === 2, plan("bpe_merge_step").take(2000))
+    assert(plan("bpe_merge_step").contains("TakeOrderedAndProject"))
+    // text_chunk_overlap: pure scan-grain (generate + project) — the
+    // chunker itself shuffles NOTHING; only the output order sorts
+    assert(hashExchanges("text_chunk_overlap") === 0, plan("text_chunk_overlap").take(2000))
+    // corpus_shard: exactly the one shard-window shuffle (the production
+    // write path's single repartition)
+    assert(hashExchanges("corpus_shard") === 1, plan("corpus_shard").take(2000))
+    // vec_matryoshka_topk: broadcast probe, local top-k — no shuffle at all
+    assert(hashExchanges("vec_matryoshka_topk") === 0)
+    assert(plan("vec_matryoshka_topk").contains("TakeOrderedAndProject"))
+  }
+
   test("plan lint: no query plans an unbounded cartesian / nested-loop join") {
     // sweep EVERY registered query's physical plan: a CartesianProduct or
     // BroadcastNestedLoopJoin is only acceptable when one side is bounded
