@@ -51,7 +51,8 @@ object StreamDedup {
     * store-dups. Same idempotent-publish discipline as the DocSink's
     * per-epoch manifests. */
   def processBatch(batch: DataFrame, batchId: Long,
-      storeDir: java.nio.file.Path, outDir: java.nio.file.Path): Unit = {
+      storeDir: java.nio.file.Path, outDir: java.nio.file.Path,
+      retainBatches: Long = Long.MaxValue): Unit = {
     if (batch.isEmpty) return
     val ss = batch.sparkSession
     val docs = batch.select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
@@ -63,11 +64,16 @@ object StreamDedup {
       try l.anyMatch(p => p.getFileName.toString.startsWith("batch=")) finally l.close()
     }
     // 1. ANTI-JOIN shape vs the store (earlier batches only — partition-
-    //    pruned, so a replayed batch never reads its own failed attempt)
+    //    pruned, so a replayed batch never reads its own failed attempt).
+    //    `retainBatches` is the dedup horizon — the batch analog of a
+    //    watermark: signatures older than it are partition-pruned out of
+    //    the join (and, in a production store, compacted away), so state
+    //    read per batch is BOUNDED regardless of stream lifetime.
     val storeDrop =
       if (hasStore) {
         val store = ss.read.parquet(storeDir.toString)
-          .filter(col("batch") < batchId)
+          .filter(col("batch") < batchId &&
+            col("batch") >= batchId - retainBatches)
           .select(col("doc_id").as("s_id"), col("band_idx"), col("bh"))
         bands.join(store, Seq("band_idx", "bh"))
           .groupBy(col("doc_id")).agg(min(col("s_id")).as("dup_of_store"))

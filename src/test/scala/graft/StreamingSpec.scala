@@ -363,6 +363,31 @@ class StreamingSpec extends SparkSuite {
     assert(m(13L) === ((true, -1L)), "replay must not self-contaminate: fresh doc stays kept")
   }
 
+  test("stream_dedup_near: the retention horizon bounds the dedup state like a watermark") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val runDir = Files.createTempDirectory("graft_sdn_retain_")
+    val store = runDir.resolve("store"); val out = runDir.resolve("out")
+    val textA = "aaa bbb ccc ddd eee fff ggg hhh"
+    def pb(id: Long, rows: Seq[(Long, String)]): Unit =
+      graft.streaming.StreamDedup.processBatch(
+        rows.toDF("doc_id", "text"), id, store, out, retainBatches = 1L)
+    pb(0L, Seq(1L -> textA))
+    pb(1L, Seq(2L -> "unrelated content in the middle batch here"))
+    // batch 2: textA again — its original (batch 0) is OUTSIDE the 1-batch
+    // horizon, so the dup is NOT caught (bounded state trades recall for
+    // a state size independent of stream lifetime, exactly like a
+    // watermark trades late-data recall for bounded windows)
+    pb(2L, Seq(3L -> textA))
+    // batch 3: textA once more — now doc 3 (batch 2) IS inside the horizon
+    pb(3L, Seq(4L -> textA))
+    val m = spark.read.parquet(out.toString).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("kept"), Option(r.getAs[Any]("dup_of")).map(_.asInstanceOf[Long]).getOrElse(-1L)))).toMap
+    assert(m(3L) === ((true, -1L)), "dup of an EXPIRED signature is kept (horizon passed)")
+    assert(m(4L) === ((false, 3L)), "dup within the horizon attributes to the in-horizon copy")
+  }
+
   test("stream_dedup_near registered query: decisions cover every doc exactly once") {
     val out = q("stream_dedup_near").cache()
     val nDocs = graft.Tables.t(spark, sf, "documents").count()
