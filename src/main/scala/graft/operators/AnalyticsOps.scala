@@ -125,15 +125,22 @@ object AnalyticsOps {
           "flatten(transform(sks, a -> transform(filter(sks, b -> b != a), " +
             "b -> struct(a AS src, b AS dst))))")).as("e"))
         .select(col("e.src"), col("e.dst")).distinct()
-      // out-degree as a WINDOW over the edge frame, not a join against a
-      // groupBy of itself — the self-derived join would run the whole
-      // scan+agg+explode+distinct lineage twice inside one plan (measured
-      // 2× the edge-build cost); the window is one extra shuffle by src
-      val edgesDeg = edges.withColumn("cnt",
-        count(lit(1)).over(Window.partitionBy(col("src")))).persist()
-      val n = edgesDeg.select(col("src")).distinct().count() // scalar action, node-count-sized
-      var ranks = edgesDeg.select(col("src").as("v")).distinct()
-        .withColumn("rank", lit(1.0 / n))
+        .persist()
+      // out-degree as a node-count-sized hash agg over the CACHED edge
+      // frame, broadcast back onto it. The dense co-service graph has
+      // ~900× more edges than nodes; the previous window formulation
+      // (count over partitionBy(src)) shuffled+sorted the FULL edge set
+      // just to attach a 1000-row degree table — modest at local bench
+      // scale (~6% of the query), but a full-fact sort that scales with
+      // the edge count at 100×, where this hash-agg+broadcast stays
+      // node-bounded. With edges persisted, the old caveat (a
+      // self-derived join re-running the un-cached edge lineage twice)
+      // no longer applies: deg reads the cache, the join is broadcast,
+      // and the edge set is never re-shuffled.
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("cnt"))
+      val edgesDeg = edges.join(broadcast(deg), "src").persist()
+      val n = deg.count() // scalar action over the cached edges, node-count-sized result
+      var ranks = deg.select(col("src").as("v")).withColumn("rank", lit(1.0 / n))
       val base = 0.15 / n
       for (_ <- 1 to 5) {
         // ranks is node-count-sized (dimension scale) → broadcast it so the
@@ -151,6 +158,7 @@ object AnalyticsOps {
         ranks = pagerankRound(edgesDeg, ranks, base).localCheckpoint(true)
       }
       edgesDeg.unpersist(false) // rounds are materialized; the final plan no longer scans edges
+      edges.unpersist(false)
       ranks.select(col("v").as("s_suppkey"), round(col("rank"), 6).as("rank"))
         .orderBy(col("s_suppkey"))
     }),
