@@ -53,6 +53,23 @@ object EtlOps {
     path
   }
 
+  /** Pipe-delimited log lines from events, with every 97th event written
+    * as a deterministic garbage line — the raw-log on-ramp (app/server
+    * logs are the other big unstructured source next to JSON APIs), with
+    * the spec's invalid-input class baked into the fixture. */
+  def stageText(s: SparkSession, dir: String): String = {
+    val path = tmpDir(s"textlog_${pathTag(dir)}")
+    if (!Files.exists(Paths.get(path, "_SUCCESS")))
+      events(s, dir).select(
+        when(col("event_id") % 97 === 0,
+          concat(lit("!! corrupt log line "), col("event_id")))
+          .otherwise(concat_ws("|",
+            col("event_id"), col("user_id"), col("event_type"), col("value")))
+          .as("value"))
+        .write.mode(SaveMode.Overwrite).text(path)
+    path
+  }
+
   def stageOrc(s: SparkSession, dir: String): String = {
     val path = tmpDir(s"orc_${pathTag(dir)}")
     if (!Files.exists(Paths.get(path, "_SUCCESS")))
@@ -130,7 +147,7 @@ object EtlOps {
   }
 
   def stageFixtures(s: SparkSession, dir: String): Unit = {
-    stageJsonl(s, dir); stageCsv(s, dir); stageOrc(s, dir)
+    stageJsonl(s, dir); stageCsv(s, dir); stageOrc(s, dir); stageText(s, dir)
     stagePartitioned(s, dir); stageCompact(s, dir); stageStatusDim(s, dir)
     stageBinaryDocs(s, dir); ()
   }
@@ -176,6 +193,29 @@ object EtlOps {
           StructField("event_type", StringType),
           StructField("value", DoubleType))))
         .csv(path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+        .orderBy(col("event_type"))
+    }),
+
+    // raw log-line ingestion — text source + regexp field extraction,
+    // the parse path for the unstructured half of real ingest. Lines the
+    // pattern rejects are QUARANTINED into a '_malformed' bucket (the
+    // fail-soft posture of scan_corrupt/ingest_quarantine: one junk line
+    // must never kill a 100 TB parse), everything else aggregates like
+    // the structured sources. Regex runs once per line in the scan
+    // stage — no shuffle before the final vocabulary-sized agg.
+    "scan_text" -> ((s, dir) => {
+      val path = stageText(s, dir)
+      val pat = "^(\\d+)\\|(\\d+)\\|([a-z_]+)\\|(.+)$"
+      s.read.text(path)
+        .select(regexp_extract(col("value"), pat, 1).as("eid"),
+          regexp_extract(col("value"), pat, 3).as("etype"),
+          regexp_extract(col("value"), pat, 4).as("vs"))
+        .select(
+          when(col("eid") === "", lit("_malformed")).otherwise(col("etype")).as("event_type"),
+          when(col("eid") === "", lit(null).cast("double"))
+            .otherwise(col("vs").cast("double")).as("value"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
         .orderBy(col("event_type"))
@@ -477,6 +517,15 @@ object EtlOps {
       """SELECT event_type, count(1) AS n,
          round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // the parse round-trips doubles through Spark's shortest-repr string
+    // form, so aggregating the ORIGINAL values reproduces it exactly
+    "scan_text" ->
+      """SELECT event_type, count(1) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
+         FROM (SELECT CASE WHEN event_id % 97 = 0 THEN '_malformed' ELSE event_type END AS event_type,
+                      CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS value
+               FROM events)
+         GROUP BY event_type ORDER BY event_type""",
     "sink_dsv2" ->
       """SELECT lang, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
          FROM documents GROUP BY lang ORDER BY lang""",
