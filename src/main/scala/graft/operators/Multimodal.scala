@@ -40,7 +40,45 @@ object Multimodal {
       64 + ((checksum >> 9) % 512).toInt, checksum, histo)
   }
 
+  case class Thumb(doc_id: Long, n_bytes: Int, thumb: Array[Int])
+
+  /** STUB resize: block-mean downsample of the payload bytes to a fixed
+    * 32-cell "thumbnail" — the deterministic stand-in for an image resize
+    * kernel (bytes in → smaller bytes out), over the same executor-batch
+    * plumbing as [[fakeDecode]]. Cell j averages bytes [j·n/32, (j+1)·n/32). */
+  def fakeResize(m: MediaIn): Thumb = {
+    val bs = m.payload; val n = bs.length; val w = 32
+    val out = new Array[Int](w)
+    var j = 0
+    while (j < w) {
+      val lo = (j.toLong * n / w).toInt
+      val hi = ((j + 1).toLong * n / w).toInt
+      var s = 0L; var i = lo
+      while (i < hi) { s += (bs(i) & 0xff); i += 1 }
+      out(j) = if (hi > lo) (s / (hi - lo)).toInt else 0
+      j += 1
+    }
+    Thumb(m.doc_id, n, out)
+  }
+
   val queries: Map[String, QFn] = Map(
+    // binary payload → per-partition batch "resize" (block-mean
+    // downsample) → fixed-width thumbnail: the remaining media transform
+    // of the north star's decode / feature-extract / RESIZE / frame-sample
+    // family, same real Spark plumbing as mm_decode_stub (binary column
+    // through the scan, executor-side batches, typed output, partitioning
+    // preserved), same clearly-marked deterministic kernel stand-in.
+    "mm_resize_stub" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[MediaIn]
+      media.mapPartitions(_.map(fakeResize))
+        .toDF()
+        .withColumn("thumb", expr("array_join(transform(thumb, x -> CAST(x AS STRING)), ',')"))
+        .orderBy(col("doc_id"))
+    }),
+
     // binary payload → per-partition batch "decode" → typed features.
     // The histogram is serialized at the query boundary (driver's pandas
     // compare cannot hash array cells); the typed form stays unit-tested.
@@ -59,6 +97,20 @@ object Multimodal {
   // it is oracle-expressible: the corpus is ASCII (verified at all SFs),
   // so DuckDB's per-char ord() equals the UTF-8 byte the Scala side folds.
   val oracles: Map[String, String] = Map(
+    // block bounds and the floor division mirror fakeResize exactly;
+    // empty blocks (n < 32) coalesce to 0 on both engines
+    "mm_resize_stub" ->
+      """WITH b AS (
+           SELECT doc_id, strlen(text) AS n_bytes,
+             list_transform(range(1, strlen(text) + 1), i -> CAST(ord(text[i]) AS BIGINT)) AS bytes
+           FROM documents)
+         SELECT doc_id, n_bytes,
+           array_to_string(list_transform(range(0, 32), j ->
+             coalesce(CAST(FLOOR(
+               list_aggregate(bytes[CAST(j * n_bytes // 32 AS INTEGER) + 1 :
+                                    CAST((j + 1) * n_bytes // 32 AS INTEGER)], 'sum')
+               / GREATEST((j + 1) * n_bytes // 32 - j * n_bytes // 32, 1)) AS INTEGER), 0)), ',') AS thumb
+         FROM b ORDER BY doc_id""",
     "mm_decode_stub" ->
       """WITH b AS (
            SELECT doc_id, strlen(text) AS n_bytes,
