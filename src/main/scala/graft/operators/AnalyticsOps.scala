@@ -100,18 +100,71 @@ object AnalyticsOps {
     round((n * sxy - sx * sy) /
       sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
 
-  /** One PageRank round: the node-count-sized rank table is BROADCAST
-    * onto the cached edge frame (no edge shuffle per round — the only
-    * exchange is the contribution groupBy on dst), contributions summed
-    * DECIMAL-exact. Factored out so PlanSpec pins the round's physical
-    * shape directly. */
+  /** Node-count ceiling under which the per-round rank frame is broadcast.
+    * A rank row is (Long, Double) ≈ 16 B payload; 4M rows ≈ tens of MB
+    * hashed — comfortably a broadcast. Above it (web-scale graphs,
+    * 10⁷–10⁸ nodes) a forced broadcast × 5 rounds is a driver/executor
+    * OOM, so the loop switches to a shuffle join against the edge frame
+    * that was co-partitioned on `src` ONCE before the loop — ranks (the
+    * small, node-count-sized side) shuffle per round; edges never do. */
+  private[graft] val PagerankBroadcastMaxNodes = 4L << 20
+
+  /** One PageRank round. With `broadcastRanks` (node count under the gate)
+    * the rank table is BROADCAST onto the cached edge frame — no edge
+    * shuffle per round; the only exchange is the contribution groupBy on
+    * dst. Above the gate the caller pre-partitions edgesDeg on `src`, so
+    * the join reuses that partitioning and only the node-count-sized rank
+    * frame shuffles. Contributions summed DECIMAL-exact either way.
+    * Factored out so PlanSpec pins both physical shapes directly. */
   private[graft] def pagerankRound(edgesDeg: DataFrame, ranks: DataFrame,
-      base: Double): DataFrame =
-    edgesDeg.join(broadcast(ranks), col("src") === col("v"))
+      base: Double, broadcastRanks: Boolean = true): DataFrame =
+    edgesDeg.join(if (broadcastRanks) broadcast(ranks) else ranks,
+        col("src") === col("v"))
       .select(col("dst"), (col("rank") / col("cnt")).cast(d38).as("c"))
       .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
       .select(col("dst").as("v"),
         round(lit(base) + lit(0.85) * col("sc").cast("double"), 12).as("rank"))
+
+  /** Lazy triangle-count build over the (ok, pk) edge source, returning the
+    * 1-row result frame plus the frames it persists. und (the pair-build:
+    * distinct → self-join → groupBy, the dominant cost) feeds the
+    * orientation join TWICE (via deg) plus the stats row; deg feeds twice;
+    * oriented is scanned three times by the wedge + closing joins. Without
+    * the persists the whole pair-build subtree re-executes ~5× inside one
+    * plan — at 100 TB that's five fact-sized shuffles instead of one.
+    * Factored out so PlanSpec pins the single pair-build exchange on the
+    * LAZY plan; the query materializes the row and unpersists. */
+  private[graft] def trianglesBuild(li: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    val und = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("p1"), col("p2"))
+      .persist()
+    val deg = und.select(explode(array(col("p1"), col("p2"))).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("dg"))
+      .persist()
+    val oriented = und
+      .join(deg.select(col("p").as("p1"), col("dg").as("d1")), "p1")
+      .join(deg.select(col("p").as("p2"), col("dg").as("d2")), "p2")
+      .select(
+        when(col("d1") < col("d2") || (col("d1") === col("d2") && col("p1") < col("p2")),
+          col("p1")).otherwise(col("p2")).as("src"),
+        when(col("d1") < col("d2") || (col("d1") === col("d2") && col("p1") < col("p2")),
+          col("p2")).otherwise(col("p1")).as("dst"))
+      .persist()
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+    val tri = wedges.join(oriented.as("e3"),
+        col("u") === col("e3.src") && col("w") === col("e3.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+    val res = stats.crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+    (res, Seq(und, deg, oriented))
+  }
 
   val queries: Map[String, QFn] = Map(
     "graph_pagerank" -> ((s, dir) => {
@@ -138,24 +191,31 @@ object AnalyticsOps {
       // no longer applies: deg reads the cache, the join is broadcast,
       // and the edge set is never re-shuffled.
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("cnt"))
-      val edgesDeg = edges.join(broadcast(deg), "src").persist()
       val n = deg.count() // scalar action over the cached edges, node-count-sized result
+      // SIZE-GATED rank plan: under the gate, ranks broadcast and edges
+      // keep their scan partitioning; above it, co-partition the cached
+      // edge frame on `src` ONCE here (InMemoryRelation preserves the
+      // hash partitioning), so each round's join reuses it and only the
+      // node-count-sized rank frame shuffles — unbounded-safe.
+      val broadcastRanks = n <= PagerankBroadcastMaxNodes
+      val edgesDeg0 = edges.join(broadcast(deg), "src")
+      val edgesDeg =
+        (if (broadcastRanks) edgesDeg0 else edgesDeg0.repartition(col("src")))
+          .persist()
       var ranks = deg.select(col("src").as("v")).withColumn("rank", lit(1.0 / n))
       val base = 0.15 / n
       for (_ <- 1 to 5) {
-        // ranks is node-count-sized (dimension scale) → broadcast it so the
-        // cached edge frame never re-shuffles; each round's eager
-        // localCheckpoint materializes it ONCE and truncates lineage, else
-        // round k's broadcast subtree would re-execute rounds 1..k-1 (the
-        // same pinning discipline as the dedup_cluster fixpoint). For a
-        // web-scale graph whose rank table outgrows the broadcast
-        // threshold, drop the hint: same loop, shuffle join on src.
+        // each round's eager localCheckpoint materializes it ONCE and
+        // truncates lineage, else round k's rank subtree would re-execute
+        // rounds 1..k-1 (the same pinning discipline as the dedup_cluster
+        // fixpoint).
         // Fault-tolerance caveat: localCheckpoint blocks live only on
         // executors (lineage truncated), so on a real cluster a lost
         // executor makes later iterations unrecoverable — a long-running
         // cluster job should use reliable checkpointing (checkpoint dir)
         // or persist with replication instead; local[n] verify is immune.
-        ranks = pagerankRound(edgesDeg, ranks, base).localCheckpoint(true)
+        ranks = pagerankRound(edgesDeg, ranks, base, broadcastRanks)
+          .localCheckpoint(true)
       }
       edgesDeg.unpersist(false) // rounds are materialized; the final plan no longer scans edges
       edges.unpersist(false)
@@ -184,39 +244,14 @@ object AnalyticsOps {
     "graph_triangles" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      // und (the pair-build: distinct → self-join → groupBy, the dominant
-      // cost) feeds the orientation join TWICE (via deg) plus the stats
-      // row; deg feeds twice. Without persist the whole pair-build subtree
-      // re-executes ~5× inside one plan — at 100 TB that's five fact-sized
-      // shuffles instead of one.
-      val und = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
-        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 2).select(col("p1"), col("p2"))
-        .persist()
-      val deg = und.select(explode(array(col("p1"), col("p2"))).as("p"))
-        .groupBy(col("p")).agg(count(lit(1)).as("dg"))
-        .persist()
-      val oriented = und
-        .join(deg.select(col("p").as("p1"), col("dg").as("d1")), "p1")
-        .join(deg.select(col("p").as("p2"), col("dg").as("d2")), "p2")
-        .select(
-          when(col("d1") < col("d2") || (col("d1") === col("d2") && col("p1") < col("p2")),
-            col("p1")).otherwise(col("p2")).as("src"),
-          when(col("d1") < col("d2") || (col("d1") === col("d2") && col("p1") < col("p2")),
-            col("p2")).otherwise(col("p1")).as("dst"))
-        .persist() // scanned three times by the wedge + closing joins
-      val wedges = oriented.as("e1").join(oriented.as("e2"),
-          col("e1.dst") === col("e2.src"))
-        .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
-      val tri = wedges.join(oriented.as("e3"),
-          col("u") === col("e3.src") && col("w") === col("e3.dst"))
-        .agg(count(lit(1)).as("n_triangles"))
-      val stats = und.agg(count(lit(1)).as("n_edges"))
-        .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
-      stats.crossJoin(tri)
-        .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+      val (res, cached) = trianglesBuild(li)
+      // the result is 1 row: materialize it eagerly so the persisted
+      // intermediates can be unpersisted HERE — without this, repeated
+      // bench/verify invocations grow the CacheManager unboundedly (each
+      // call would leave three live cache entries behind).
+      val out = res.localCheckpoint(true)
+      cached.foreach(_.unpersist(false))
+      out
     }),
 
     // tombstone purge audit (right-to-erasure): the cascade every governed

@@ -222,15 +222,30 @@ class PlanSpec extends SparkSuite {
     // und/deg are persisted; every printed occurrence of the pair-build
     // exchange must be the SAME physical node (one plan_id) — without the
     // persist the dominant pair-build shuffle re-executes ~5x per run.
-    // Start from a clean cache: an earlier suite's run of this query
-    // leaves cache entries whose printed plans carry their own (older)
-    // exchange instances, which this single-instance count would misread.
+    // Pin on the LAZY build (the registered query eagerly materializes the
+    // 1-row result and unpersists, so its returned plan is just an RDD
+    // scan). Start from a clean cache: an earlier suite's run leaves cache
+    // entries whose printed plans carry their own (older) exchange
+    // instances, which this single-instance count would misread.
+    import org.apache.spark.sql.functions._
     spark.catalog.clearCache()
-    val p = plan("graph_triangles")
-    val ids = """Exchange hashpartitioning\(p1#\d+L, p2#\d+L.*?plan_id=(\d+)""".r
-      .findAllMatchIn(p).map(_.group(1)).toSet
-    assert(ids.size === 1, s"pair-build exchange instances: $ids\n${p.take(2000)}")
-    assert(p.contains("InMemoryTableScan"), p.take(2000))
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val (res, cached) = graft.operators.AnalyticsOps.trianglesBuild(li)
+    try {
+      val p = res.queryExecution.executedPlan.toString
+      val ids = """Exchange hashpartitioning\(p1#\d+L, p2#\d+L.*?plan_id=(\d+)""".r
+        .findAllMatchIn(p).map(_.group(1)).toSet
+      assert(ids.size === 1, s"pair-build exchange instances: $ids\n${p.take(2000)}")
+      assert(p.contains("InMemoryTableScan"), p.take(2000))
+    } finally cached.foreach(_.unpersist(false))
+  }
+
+  test("graph_triangles: the registered query leaves no cache entries behind") {
+    spark.catalog.clearCache()
+    q("graph_triangles").collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "graph_triangles left persisted frames in the CacheManager")
   }
 
   test("basket_pairs: the distinct shuffle is computed once and reused on the broadcast side") {
@@ -253,6 +268,44 @@ class PlanSpec extends SparkSuite {
     // the round's only shuffle is the contribution groupBy on dst
     val n = "Exchange hashpartitioning\\(".r.findAllIn(p).size
     assert(n === 1, s"expected exactly the dst groupBy exchange, got $n\n${p.take(2000)}")
+  }
+
+  test("graph_pagerank round above the broadcast gate: edges keep their co-partitioning, only ranks shuffle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the above-gate path: edgesDeg co-partitioned on src (as the query
+    // does once before the loop) and broadcastRanks=false — the round must
+    // NOT plan a BroadcastExchange for the rank frame, must NOT add a
+    // second src exchange beyond the one-time co-partition (EnsureRequirements
+    // reuses the REPARTITION_BY_COL partitioning), and only the
+    // node-count-sized ranks shuffle to meet it, plus the dst groupBy.
+    val edgesDeg = Seq((1L, 2L, 1L), (2L, 3L, 2L), (2L, 1L, 2L))
+      .toDF("src", "dst", "cnt").repartition(col("src"))
+    val ranks = Seq((1L, 0.4), (2L, 0.3), (3L, 0.3)).toDF("v", "rank")
+    // simulate an over-gate rank frame: without this, Spark's size stats on
+    // the 3-row fixture would statically pick a broadcast join on their own
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val round = graft.operators.AnalyticsOps
+        .pagerankRound(edgesDeg, ranks, 0.05, broadcastRanks = false)
+      // the pre-execution adaptive plan prints the static exchanges; AQE may
+      // later convert the small fixture join back to broadcast at runtime —
+      // that runtime size gate is exactly the behavior we want to allow
+      val p = round.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastExchange"), p.take(2000))
+      val srcEx = "Exchange hashpartitioning\\(src".r.findAllIn(p).size
+      assert(srcEx === 1, s"expected ONLY the one-time co-partition on src, got $srcEx\n${p.take(2500)}")
+      val vEx = "Exchange hashpartitioning\\(v#".r.findAllIn(p).size
+      assert(vEx === 1, s"expected exactly the rank-side shuffle, got $vEx\n${p.take(2500)}")
+      // results identical to the broadcast path
+      val b = graft.operators.AnalyticsOps
+        .pagerankRound(edgesDeg, ranks, 0.05).collect().map(_.toString).sorted
+      val s = round.collect().map(_.toString).sorted
+      assert(s === b)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
   }
 
   test("round-6 text/vector ops keep their minimal shuffle shapes") {
