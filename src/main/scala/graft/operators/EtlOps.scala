@@ -260,7 +260,7 @@ object EtlOps {
     // name, integrity pinned by a content digest. The scan is listed and
     // read fully distributed (one task per file group), which is how a
     // billion-object corpus enters the engine; downstream decode is
-    // multimodal_cols / mm_decode_stub. Oracled WITHOUT touching the
+    // multimodal_cols / mm_decode. Oracled WITHOUT touching the
     // staged dir: files hold exactly the documents' UTF-8 text bytes, so
     // DuckDB recomputes length + sha256 from the source table.
     "scan_binaryfile" -> ((s, dir) => {

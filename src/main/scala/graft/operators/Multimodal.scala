@@ -1,131 +1,220 @@
 package graft.operators
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.file.{Files, Paths}
+import javax.imageio.ImageIO
+import java.awt.image.BufferedImage
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
-/** §2.I multimodal pipeline plumbing (BASELINE.json north star
-  * "multimodal columns").
+/** §2.I multimodal pipeline: REAL image decode over binary columns
+  * (BASELINE.json north star "multimodal columns").
   *
-  * Media decode / feature extraction in a real deployment runs as a
-  * vectorized batch UDF over opaque binary columns (image/audio/video
-  * bytes) with typed metadata alongside. The decode libraries are not in
-  * this container, so `fakeDecode` below is a clearly-marked deterministic
-  * STUB — but everything Spark-side is real and load-bearing: the binary
-  * column flows through the scan, the work runs as `mapPartitions` on the
-  * executors (one JVM-side batch per partition, the same batch shape
-  * `mapInPandas`/Arrow would see), the output schema is a typed struct, and
-  * partitioning is preserved so a downstream groupBy can co-locate.
+  * The media kernels here are genuine `javax.imageio` PNG codec calls (the
+  * JDK ships the codec — no external library): fixture documents are
+  * rendered as deterministic RGB rasters, ENCODED to real PNG bytes, and
+  * every downstream feature is computed from the RE-DECODED pixels. PNG is
+  * lossless, so decoded pixels equal the generating pattern exactly — which
+  * is what lets a DuckDB oracle check real-codec output bit-for-bit: the
+  * oracle recomputes the same features from the pattern formula, and any
+  * codec misuse (channel order, row stride, color model) breaks the hash.
+  *
+  * The Spark plumbing is the 100 TB shape for media: binary payloads flow
+  * through a `binaryFile` scan (one blob per object-store key, the layout
+  * multimodal corpora arrive in), decode runs as `mapPartitions` batches on
+  * the executors (codecs are not Catalyst expressions — per-partition JVM
+  * batches are the right altitude, the same batch shape `mapInPandas`/Arrow
+  * gives Python codecs), outputs are typed structs, and nothing ever
+  * collects to the driver.
   */
 object Multimodal {
 
-  case class MediaIn(doc_id: Long, payload: Array[Byte])
-  case class MediaFeat(doc_id: Long, n_bytes: Int, width: Int, height: Int,
-      checksum: Long, histo: Array[Long])
+  // ---- deterministic raster pattern (shared contract with the oracle) ----
+  // n = payload byte count; w in 8..16, h in 8..14; pixel idx = y*w + x:
+  //   r = payload[idx % n]  g = (idx*31 + 7) % 256  b = (r + g) % 256
+  private def dims(n: Int): (Int, Int) = (8 + n % 9, 8 + n % 7)
 
-  /** STUB decode: deterministic pseudo-features from the raw bytes.
-    * A real pipeline would replace the body with an image/audio decoder
-    * over the same signature (bytes in → typed features out). */
-  def fakeDecode(m: MediaIn): MediaFeat = {
-    val bs = m.payload
-    var checksum = 0L
-    val histo = new Array[Long](16)
+  /** Render the pattern and encode it through the REAL JDK PNG encoder. */
+  def encodePng(textBytes: Array[Byte]): Array[Byte] = {
+    val n = textBytes.length
+    val (w, h) = dims(n)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var i = 0
-    while (i < bs.length) {
-      checksum = (checksum * 131 + (bs(i) & 0xff)) % 1000000007L
-      histo((bs(i) & 0xff) % 16) += 1
+    while (i < w * h) {
+      val r = textBytes(i % n) & 0xff
+      val g = (i * 31 + 7) % 256
+      val b = (r + g) % 256
+      img.setRGB(i % w, i / w, (r << 16) | (g << 8) | b)
       i += 1
     }
-    MediaFeat(m.doc_id, bs.length, 64 + (checksum % 512).toInt,
-      64 + ((checksum >> 9) % 512).toInt, checksum, histo)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  case class Thumb(doc_id: Long, n_bytes: Int, thumb: Array[Int])
+  case class MediaFeat(doc_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long, histo: Array[Long])
 
-  /** STUB resize: block-mean downsample of the payload bytes to a fixed
-    * 32-cell "thumbnail" — the deterministic stand-in for an image resize
-    * kernel (bytes in → smaller bytes out), over the same executor-batch
-    * plumbing as [[fakeDecode]]. Cell j averages bytes [j·n/32, (j+1)·n/32). */
-  def fakeResize(m: MediaIn): Thumb = {
-    val bs = m.payload; val n = bs.length; val w = 32
-    val out = new Array[Int](w)
-    var j = 0
-    while (j < w) {
-      val lo = (j.toLong * n / w).toInt
-      val hi = ((j + 1).toLong * n / w).toInt
-      var s = 0L; var i = lo
-      while (i < hi) { s += (bs(i) & 0xff); i += 1 }
-      out(j) = if (hi > lo) (s / (hi - lo)).toInt else 0
-      j += 1
+  /** REAL decode: parse the PNG container, walk the decoded raster, and
+    * reduce it to typed features (per-channel sums + a 16-bin red-channel
+    * histogram). Lossless codec ⇒ oracle-exact. */
+  def decodePng(docId: Long, png: Array[Byte]): MediaFeat = {
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    val w = img.getWidth; val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val histo = new Array[Long](16)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        sr += r; sg += g; sb += b; histo(r / 16) += 1
+        x += 1
+      }
+      y += 1
     }
-    Thumb(m.doc_id, n, out)
+    MediaFeat(docId, w, h, sr, sg, sb, histo)
+  }
+
+  case class Thumb(doc_id: Long, width: Int, height: Int, thumb: Array[Long])
+
+  /** REAL resize input: decode the PNG, then block-mean the red channel
+    * onto a 4×4 thumbnail grid. Cell assignment is pixel-driven
+    * (cx = x*4/w, cy = y*4/h) and the mean is an integer floor division —
+    * both exactly mirrored by the oracle. Deliberately NOT
+    * `Image.getScaledInstance`: AWT's filtered scalers are
+    * platform-tunable, and a non-reproducible kernel cannot be oracled. */
+  def resizePng(docId: Long, png: Array[Byte]): Thumb = {
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Long](16); val cnts = new Array[Long](16)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val cell = (y * 4 / h) * 4 + (x * 4 / w)
+        sums(cell) += (img.getRGB(x, y) >> 16) & 0xff
+        cnts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Thumb(docId, w, h,
+      Array.tabulate(16)(c => if (cnts(c) > 0) sums(c) / cnts(c) else 0L))
+  }
+
+  /** One-time staging for `mm_decode`: each probe document rendered and
+    * PNG-encoded to a standalone .png file — the on-disk shape multimodal
+    * corpora arrive in (one image per object-store key). Driver-side loop
+    * is fine HERE because it stages a 64-file fixture; at scale the files
+    * already exist — ingestion starts at the binaryFile scan, which is
+    * fully distributed. Per-PID root like EtlOps: two JVMs staging the
+    * same sfDir concurrently must not race. */
+  def stagePngDocs(s: SparkSession, dir: String): String = {
+    val p = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_etl_${ProcessHandle.current().pid()}", s"png_${pathTag(dir)}")
+    Files.createDirectories(p)
+    if (!Files.exists(p.resolve("_STAGED"))) {
+      t(s, dir, "documents").filter(col("doc_id") < 64)
+        .select(col("doc_id"), col("text")).collect()
+        .foreach { r =>
+          Files.write(p.resolve(f"doc_${r.getLong(0)}%05d.png"),
+            encodePng(r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }
+      Files.write(p.resolve("_STAGED"), Array.empty[Byte])
+    }
+    p.toString
   }
 
   val queries: Map[String, QFn] = Map(
-    // binary payload → per-partition batch "resize" (block-mean
-    // downsample) → fixed-width thumbnail: the remaining media transform
-    // of the north star's decode / feature-extract / RESIZE / frame-sample
-    // family, same real Spark plumbing as mm_decode_stub (binary column
-    // through the scan, executor-side batches, typed output, partitioning
-    // preserved), same clearly-marked deterministic kernel stand-in.
-    "mm_resize_stub" -> ((s, dir) => {
+    // staged .png files → binaryFile scan → REAL ImageIO decode on the
+    // executors → typed features. The scan carries (path, content); doc
+    // identity is recovered from the key, as in any object-store corpus.
+    "mm_decode" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-        .as[MediaIn]
-      media.mapPartitions(_.map(fakeResize))
+      val path = stagePngDocs(s, dir)
+      val media = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png").load(path)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.png", 1)
+            .cast("long").as("doc_id"),
+          col("content"))
+        .as[(Long, Array[Byte])]
+      media.mapPartitions(_.map { case (id, png) => decodePng(id, png) })
         .toDF()
-        .withColumn("thumb", expr("array_join(transform(thumb, x -> CAST(x AS STRING)), ',')"))
+        // histogram serialized at the query boundary (the driver's pandas
+        // compare cannot hash array cells); the typed form stays unit-tested
+        .withColumn("histo", expr("array_join(transform(histo, x -> CAST(x AS STRING)), ',')"))
         .orderBy(col("doc_id"))
     }),
 
-    // binary payload → per-partition batch "decode" → typed features.
-    // The histogram is serialized at the query boundary (driver's pandas
-    // compare cannot hash array cells); the typed form stays unit-tested.
-    "mm_decode_stub" -> ((s, dir) => {
+    // full-corpus path: every document rendered → PNG-ENCODED → RE-DECODED
+    // → block-mean thumbnail, all inside one executor-side mapPartitions
+    // batch (no staging, no driver hop) — the encode→decode round trip is
+    // the real-codec proof that the features come from parsed pixels, not
+    // from the generating arithmetic.
+    "mm_resize" -> ((s, dir) => {
       import s.implicits._
       val media = t(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-        .as[MediaIn]
-      media.mapPartitions(_.map(fakeDecode))
+        .as[(Long, Array[Byte])]
+      media.mapPartitions(_.map { case (id, bytes) =>
+          resizePng(id, encodePng(bytes)) })
         .toDF()
-        .withColumn("histo", expr("array_join(transform(histo, x -> CAST(x AS STRING)), ',')"))
+        .withColumn("thumb", expr("array_join(transform(thumb, x -> CAST(x AS STRING)), ',')"))
         .orderBy(col("doc_id"))
     }))
 
-  // the stub decode is pure integer arithmetic over the payload bytes, so
-  // it is oracle-expressible: the corpus is ASCII (verified at all SFs),
-  // so DuckDB's per-char ord() equals the UTF-8 byte the Scala side folds.
+  // The codec is lossless, so the oracle recomputes the features straight
+  // from the raster pattern (the corpus is ASCII — verified at all SFs —
+  // so DuckDB's per-char ord() equals the UTF-8 byte the raster embeds).
+  // Any disagreement between these formulas and the Scala output means the
+  // PNG round trip perturbed a pixel — i.e. the oracle checks the codec.
   val oracles: Map[String, String] = Map(
-    // block bounds and the floor division mirror fakeResize exactly;
-    // empty blocks (n < 32) coalesce to 0 on both engines
-    "mm_resize_stub" ->
-      """WITH b AS (
-           SELECT doc_id, strlen(text) AS n_bytes,
-             list_transform(range(1, strlen(text) + 1), i -> CAST(ord(text[i]) AS BIGINT)) AS bytes
-           FROM documents)
-         SELECT doc_id, n_bytes,
-           array_to_string(list_transform(range(0, 32), j ->
-             coalesce(CAST(FLOOR(
-               list_aggregate(bytes[CAST(j * n_bytes // 32 AS INTEGER) + 1 :
-                                    CAST((j + 1) * n_bytes // 32 AS INTEGER)], 'sum')
-               / GREATEST((j + 1) * n_bytes // 32 - j * n_bytes // 32, 1)) AS INTEGER), 0)), ',') AS thumb
-         FROM b ORDER BY doc_id""",
-    "mm_decode_stub" ->
-      """WITH b AS (
-           SELECT doc_id, strlen(text) AS n_bytes,
-             list_transform(range(1, strlen(text) + 1), i -> CAST(ord(text[i]) AS BIGINT)) AS bytes
+    "mm_decode" ->
+      """WITH dims AS (
+           SELECT doc_id, strlen(text) AS n,
+                  8 + strlen(text) % 9 AS w, 8 + strlen(text) % 7 AS h, text
+           FROM documents WHERE doc_id < 64),
+         px0 AS (
+           SELECT doc_id, n, w, h, text, unnest(range(0, w * h)) AS i FROM dims),
+         px AS (
+           SELECT doc_id, w, h,
+                  CAST(ord(text[CAST(i % n AS INTEGER) + 1]) AS BIGINT) AS r,
+                  (i * 31 + 7) % 256 AS g
+           FROM px0),
+         feat AS (
+           SELECT doc_id, w, h,
+                  CAST(SUM(r) AS BIGINT) AS sum_r,
+                  CAST(SUM(g) AS BIGINT) AS sum_g,
+                  CAST(SUM((r + g) % 256) AS BIGINT) AS sum_b,
+                  list(r // 16) AS rbins
+           FROM px GROUP BY 1, 2, 3)
+         SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                sum_r, sum_g, sum_b,
+                array_to_string(list_transform(range(0, 16),
+                  k -> CAST(len(list_filter(rbins, x -> x = k)) AS VARCHAR)), ',') AS histo
+         FROM feat ORDER BY doc_id""",
+    "mm_resize" ->
+      """WITH dims AS (
+           SELECT doc_id, strlen(text) AS n,
+                  8 + strlen(text) % 9 AS w, 8 + strlen(text) % 7 AS h, text
            FROM documents),
-         c AS (
-           SELECT doc_id, n_bytes, bytes,
-             list_reduce(list_prepend(CAST(0 AS BIGINT), bytes),
-                         (acc, v) -> (acc * 131 + v) % 1000000007) AS checksum
-           FROM b)
-         SELECT doc_id, n_bytes,
-           CAST(64 + checksum % 512 AS INTEGER) AS width,
-           CAST(64 + (checksum >> 9) % 512 AS INTEGER) AS height,
-           checksum,
-           array_to_string(list_transform(range(0, 16), k -> len(list_filter(bytes, x -> x % 16 = k))), ',') AS histo
-         FROM c ORDER BY doc_id"""
+         px0 AS (
+           SELECT doc_id, n, w, h, text, unnest(range(0, w * h)) AS i FROM dims),
+         px AS (
+           SELECT doc_id, w, h, (i % w) AS x, (i // w) AS y,
+                  CAST(ord(text[CAST(i % n AS INTEGER) + 1]) AS BIGINT) AS r
+           FROM px0),
+         cells AS (
+           SELECT doc_id, w, h, (y * 4 // h) * 4 + (x * 4 // w) AS cell,
+                  SUM(r) // COUNT(*) AS v
+           FROM px GROUP BY 1, 2, 3, 4)
+         SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                array_to_string(list(CAST(v AS VARCHAR) ORDER BY cell), ',') AS thumb
+         FROM cells GROUP BY 1, 2, 3 ORDER BY doc_id"""
   ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
 }
