@@ -19,7 +19,31 @@ import graft.Tables._
   */
 object TextOps {
 
+  import graft.functions.NfcNormalize.nfc
+
   private val stop = Seq("the", "a", "of", "and", "to", "in")
+
+  /** The non-ASCII witness rows for `text_nfc` (negative ids keep them
+    * clear of real doc_ids). The same escapes appear in the oracle SQL --
+    * Scala resolves \u escapes at compile time, so both engines see
+    * identical UTF-8 bytes. Rows -5 and -4 are the SAME word in decomposed
+    * (e + combining acute U+0301) and precomposed (U+00E9) spelling: NFC
+    * must fuse them onto one digest. Row -1 mixes a composable mark
+    * (A + U+030A ring -> U+00C5) with one that has NO precomposed form
+    * (Z + U+0308 diaeresis stays decomposed under NFC). */
+  private[graft] val nonAsciiFixture: Seq[(Long, String)] = Seq(
+    (-5L, "cafe\u0301 au lait"), // decomposed: composes, codepoint count shrinks
+    (-4L, "caf\u00e9 au lait"),  // precomposed: NFC is identity
+    (-3L, "\u4f60\u597d\uff0c\u4e16\u754c"), // CJK: passes through
+    (-2L, "ok \ud83d\ude00 done"), // astral emoji: 1 codepoint both engines
+    (-1L, "A\u030arhus and Z\u0308")) // A+ring composes; Z+diaeresis cannot
+
+  /** The fixture rendered as a SQL VALUES list — the oracle embeds the
+    * SAME Scala strings, so both engines see identical UTF-8 bytes. */
+  private def nfcFixtureValues: String =
+    nonAsciiFixture.map { case (id, txt) =>
+      s"($id, '${txt.replace("'", "''")}')"
+    }.mkString(", ")
 
   // Shared-subtree persists (text_langid's token frame, text_tfidf's tf
   // frame) must not accumulate for the JVM lifetime: a long-lived process
@@ -39,20 +63,46 @@ object TextOps {
   }
 
   val queries: Map[String, QFn] = Map(
+    // canonical-composition (NFC) first, THEN case-fold/whitespace-collapse:
+    // without it, byte-distinct encodings of the same logical text (é vs
+    // e+U+0301) hash to different digests and dedup misses them. ASCII
+    // input passes through the nfc() fast path untouched.
     "text_normalize_hash" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(
           col("doc_id"),
-          sha2(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 256).as("content_hash"))
+          sha2(regexp_replace(lower(trim(nfc(col("text")))), "\\s+", " "), 256).as("content_hash"))
         .orderBy(col("doc_id"))
     }),
 
     "text_tokens" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .select(explode(split(lower(nfc(col("text"))), " ")).as("token"))
         .groupBy(col("token"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("token"))
+    }),
+
+    // the Unicode-hardening witness for the text bank: the corpus tables
+    // are ASCII at every SF (verified), so the non-ASCII surface —
+    // decomposed accents, precomposed accents, CJK, an astral-plane emoji,
+    // combining marks — rides in as a fixed literal fixture UNIONed onto
+    // the scan, mirrored verbatim in the oracle. The query reports, per
+    // row, what NFC does: codepoint counts before/after, whether the text
+    // changed, and the digest of the composed form — the decomposed and
+    // precomposed spellings of the same word MUST land on one digest.
+    "text_nfc" -> ((s, dir) => {
+      import s.implicits._
+      val extra = nonAsciiFixture.toDF("doc_id", "text")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionAll(extra)
+      docs.select(
+          col("doc_id"),
+          length(col("text")).as("n_cp_raw"),
+          length(nfc(col("text"))).as("n_cp_nfc"),
+          (nfc(col("text")) =!= col("text")).as("changed"),
+          sha2(nfc(col("text")), 256).as("nfc_hash"))
+        .orderBy(col("doc_id"))
     }),
 
     "text_docfreq" -> ((s, dir) => {
@@ -522,12 +572,22 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "text_normalize_hash" ->
-      """SELECT doc_id, sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
+      """SELECT doc_id, sha256(regexp_replace(lower(trim(nfc_normalize(text))), '\s+', ' ', 'g')) AS content_hash
          FROM documents ORDER BY doc_id""",
     "text_tokens" ->
       """SELECT token, count(1) AS cnt FROM
-         (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+         (SELECT unnest(string_split(lower(nfc_normalize(text)), ' ')) AS token FROM documents)
          GROUP BY token ORDER BY token""",
+    "text_nfc" ->
+      ("""WITH docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL VALUES """ + nfcFixtureValues + """)
+         SELECT doc_id,
+                CAST(length(text) AS INTEGER) AS n_cp_raw,
+                CAST(length(nfc_normalize(text)) AS INTEGER) AS n_cp_nfc,
+                nfc_normalize(text) <> text AS changed,
+                sha256(nfc_normalize(text)) AS nfc_hash
+         FROM docs ORDER BY doc_id"""),
     "text_docfreq" ->
       """SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS rnk FROM
          (SELECT token, count(DISTINCT doc_id) AS df FROM

@@ -55,6 +55,33 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("NfcNormalize: codegen and interpreted agree; composes what Unicode can, keeps what it can't") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.NfcNormalize.nfc
+    val rows = Seq(
+      (1L, "plain ascii stays"),
+      (2L, "cafe\u0301"),          // decomposed -> U+00E9
+      (3L, "caf\u00e9"),           // already NFC
+      (4L, "A\u030a and Z\u0308"), // A+ring composes; Z+diaeresis has no NFC target
+      (5L, "")).toDF("id", "text")
+    def run(mode: String): Seq[(String, Int)] = {
+      val prev = spark.conf.get("spark.sql.codegen.factoryMode")
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try rows.select(col("id"), nfc(col("text")).as("n"), length(nfc(col("text"))).as("l"))
+        .orderBy(col("id")).collect().map(r => (r.getString(1), r.getInt(2))).toSeq
+      finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
+    }
+    val gen = run("CODEGEN_ONLY")
+    val interp = run("NO_CODEGEN")
+    assert(gen === interp)
+    assert(gen(1)._1 === "caf\u00e9" && gen(1)._2 === 4) // composed, 5 cp -> 4
+    assert(gen(2)._1 === "caf\u00e9")                    // identity on NFC input
+    assert(gen(3)._1 === "\u00c5 and Z\u0308")          // one composes, one can't
+    assert(gen(3)._2 === 8)                               // 9 cp -> 8
+    assert(gen(0)._1 === "plain ascii stays" && gen(4)._1 === "")
+  }
+
   test("MinHashSig: codegen and interpreted paths agree bit-for-bit") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
