@@ -11,15 +11,18 @@ import org.apache.spark.sql.functions._
   * loudly rather than returning partially-propagated labels.
   *
   * Conf scope: the whole fixpoint runs on a CLONED session (shared
-  * context, isolated SQLConf) with shuffle.partitions=1 and AQE off. The
-  * iterated frames are bounded by the caller's probe window: one native
-  * shuffle partition replaces a per-frame coalesce(1) workaround, and
-  * disabling AQE matters because `df.rdd` on an adaptive plan EXECUTES its
-  * shuffle stages eagerly — every pin would pay a per-round
+  * context, isolated SQLConf) with AQE off and shuffle parallelism
+  * DERIVED FROM THE PINNED EDGE COUNT (one partition per ~64k edges,
+  * min 1): fixture-scale probe windows get the single native shuffle
+  * partition that replaces a per-frame coalesce(1) workaround, while an
+  * unbounded edge set scales the loop's parallelism with the data — the
+  * conf is a function of input size, not a hard-coded fixture constant.
+  * The loop's broadcast hints are size-gated by the same count: past the
+  * gate the per-round joins run hash-partitioned, the cluster-scale
+  * shape. Disabling AQE matters because `df.rdd` on an adaptive plan
+  * EXECUTES its shuffle stages eagerly — every pin would pay a per-round
   * stage-materialization + re-planning tax. The caller's session conf is
-  * never touched. On an unbounded graph the same loop runs
-  * hash-partitioned with AQE on — drop the narrow conf and the broadcast
-  * hints and it is the standard cluster-scale shape.
+  * never touched.
   *
   * Lineage discipline: every iterated frame is pinned — cached at the RDD
   * layer and re-wrapped as a fresh LogicalRDD-rooted DataFrame, which BOTH
@@ -32,7 +35,18 @@ import org.apache.spark.sql.functions._
   * round-trip.) Superseded RDDs are reclaimed by the ContextCleaner once
   * the loop drops them.
   */
-private[operators] object Components {
+private[graft] object Components {
+
+  /** Loop shuffle parallelism from the pinned edge count: one partition
+    * per ~64k edges, floor 1 (fixture scale), capped only by a sanity
+    * ceiling. Exposed for the unit test. */
+  private[graft] def loopPartitions(nEdges: Long): Int =
+    math.min(math.max(1L, nEdges / 65536L), 16384L).toInt
+
+  /** Edge-count gate for the loop's per-round broadcast hints: a pair
+    * frame past this is no longer a safe repeated broadcast (same
+    * reasoning as AnalyticsOps.PagerankBroadcastMaxNodes). */
+  private[graft] val BroadcastMaxEdges = 2L << 20
 
   /** `pairs`: columns `d1`,`d2` — one row per UNDIRECTED edge
     * (symmetrized internally). `nodes` (one column `id`), when given,
@@ -50,11 +64,18 @@ private[operators] object Components {
   def hashMinLabels(outer: SparkSession, pairs: DataFrame,
                     nodes: Option[DataFrame] = None): DataFrame = {
     val s = org.apache.spark.sql.graftbridge.Bridge.cloneSession(outer)
-    s.conf.set("spark.sql.shuffle.partitions", "1")
     s.conf.set("spark.sql.adaptive.enabled", "false")
     def pin(df: DataFrame): DataFrame =
       s.createDataFrame(df.rdd.cache(), df.schema)
     val p = pin(pairs.select(col("d1"), col("d2")))
+    // the count doubles as the cache-materializing action the loop needs
+    // anyway; parallelism + broadcast strategy derive from it (see object
+    // Scaladoc) so the same code path is correct at fixture AND cluster
+    // scale — no hard-coded fixture conf
+    val nEdges = p.count()
+    s.conf.set("spark.sql.shuffle.partitions", loopPartitions(nEdges).toString)
+    val bcast: DataFrame => DataFrame =
+      if (nEdges <= BroadcastMaxEdges) broadcast else identity
     val edges = pin(p.union(p.select(col("d2").as("d1"), col("d1").as("d2"))))
     val nodeIds = nodes.getOrElse(
       p.select(col("d1").as("id")).union(p.select(col("d2").as("id"))).distinct())
@@ -80,10 +101,10 @@ private[operators] object Components {
       // remaining pointer depth per round, so rounds stay O(log diameter);
       // every round contains the plain HashMin contribution, so the
       // fixpoint (min reachable id) is unchanged — and oracle-checked.
-      val viaEdges = labels.join(broadcast(edges), labels("doc_id") === edges("d1"))
+      val viaEdges = labels.join(bcast(edges), labels("doc_id") === edges("d1"))
         .select(col("d2").as("doc_id"), col("comp"))
       val viaJump = labels.as("x")
-        .join(broadcast(labels.select(col("doc_id").as("p"), col("comp").as("pc")).as("y")),
+        .join(bcast(labels.select(col("doc_id").as("p"), col("comp").as("pc")).as("y")),
           col("x.comp") === col("y.p"), "left")
         .select(col("x.doc_id").as("doc_id"),
           coalesce(col("pc"), col("x.comp")).as("comp"))

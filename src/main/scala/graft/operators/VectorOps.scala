@@ -120,14 +120,22 @@ object VectorOps {
 
   private def pqCodebook(emb: DataFrame, dir: String): DataFrame = {
     val (rows, schema) = cbCache.getOrElseUpdate(dir, {
-      val trained = trainCodebook(emb)
-      (trained.collect().toSeq, trained.schema)
+      val (trained, pinned) = trainCodebook(emb)
+      val out = (trained.collect().toSeq, trained.schema)
+      // the collected rows ARE the codebook from here on — the per-round
+      // persisted frames are dead weight and must not sit in the
+      // CacheManager for the JVM lifetime
+      pinned.foreach(_.unpersist(blocking = false))
+      out
     })
     import scala.jdk.CollectionConverters._
     emb.sparkSession.createDataFrame(rows.asJava, schema)
   }
 
-  private def trainCodebook(emb: DataFrame): DataFrame = {
+  /** Returns the trained codebook frame plus every per-round frame it
+    * persisted, so the caller can unpersist them once the codebook is
+    * materialized. */
+  private def trainCodebook(emb: DataFrame): (DataFrame, Seq[DataFrame]) = {
     // train on a DETERMINISTIC ~25% sample (multiplicative-hash filter,
     // the sample_split trick): real PQ training always runs on a sample —
     // at a billion vectors the codebook converges on a sliver of the
@@ -136,6 +144,7 @@ object VectorOps {
     // sample bit for bit.
     val embD = emb.filter(pmod(col("vec_id") * lit(2654435761L), lit(4)) === 0)
       .select(col("vec_id"), col("embedding"))
+    val pinned = scala.collection.mutable.Buffer.empty[DataFrame]
     var cb = emb.filter(col("vec_id") < PQ_K)
       .select(col("vec_id").cast("int").as("cw"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cv"))
@@ -165,8 +174,9 @@ object VectorOps {
         .agg(transform(array_sort(collect_list(struct(col("idx"), col("x")))),
           p => p.getField("x")).as("cv"))
         .persist()
+      pinned += cb
     }
-    cb
+    (cb, pinned.toSeq)
   }
 
   /** PQ encode: (vec_id, label, m, cw) — the argmin codeword per

@@ -162,11 +162,18 @@ object StreamDedup {
       .start()
     try q.processAllAvailable() finally q.stop()
     // decisions are batch-partitioned (batch=N dirs); the partition
-    // column carries the batch id
-    s.read.parquet(outDir.toString)
+    // column carries the batch id. Materialize the (doc-count-sized)
+    // decision frame eagerly so the per-invocation runDir — store,
+    // checkpoint, output — can be deleted HERE: without the cleanup every
+    // invocation (bench warmup + timed run + specs) leaves a full
+    // store+checkpoint tree in tmp for the JVM/tmp lifetime.
+    val res = s.read.parquet(outDir.toString)
       .select(col("doc_id"), col("batch").cast("long").as("batch_id"),
         col("kept"), col("dup_of"))
       .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    org.apache.commons.io.FileUtils.deleteQuietly(runDir.toFile)
+    res
   }
 
   val queries: Map[String, QFn] = Map(

@@ -781,4 +781,27 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("Components: loop parallelism derives from edge count; fixpoint correct past the 64k floor") {
+    import graft.operators.Components
+    // the conf function itself: fixture scale floors at 1, scales
+    // linearly past 64k edges, sanity-capped
+    assert(Components.loopPartitions(0L) === 1)
+    assert(Components.loopPartitions(65535L) === 1)
+    assert(Components.loopPartitions(131072L) === 2)
+    assert(Components.loopPartitions(Long.MaxValue / 4) === 16384)
+    // end-to-end on a >64k-edge graph so the loop actually runs with >1
+    // shuffle partition: a 2-spoke union — star at 0 over evens, star at 1
+    // over odds — converges in O(1) rounds (diameter 2) and every label
+    // must land on its star's hub
+    import spark.implicits._
+    val n = 140000L
+    val pairs = spark.range(2L, n)
+      .select((col("id") % 2).as("d1"), col("id").as("d2"))
+    val labels = Components.hashMinLabels(spark, pairs)
+    assert(labels.rdd.getNumPartitions >= 1) // distributed frame, no collect
+    val wrong = labels.filter(col("comp") =!= col("doc_id") % 2).count()
+    assert(wrong === 0L, s"$wrong nodes not labeled with their hub")
+    assert(labels.count() === n)
+  }
 }
