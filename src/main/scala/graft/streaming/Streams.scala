@@ -41,7 +41,7 @@ object Streams {
     * staged (symlinked) into a tmp dir per scale factor. All staging dirs
     * below are per-PID (like EtlOps/ScaleOps) so concurrent JVMs never race
     * on a non-atomic Overwrite of a shared fixture. */
-  private def eventsStream(s: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def eventsStream(s: SparkSession, sfDir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tag = graft.Tables.pathTag(sfDir)
     val dir = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_stream_${ProcessHandle.current().pid()}", s"events_$tag")

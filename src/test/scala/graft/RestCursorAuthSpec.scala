@@ -414,6 +414,35 @@ class RestCursorAuthSpec extends graft.SparkSuite {
     } finally stub.stop()
   }
 
+  test("oauth2 x streaming: tokens exhausting mid-stream refresh without offset loss") {
+    // the one auth x streaming corner the batch specs don't cover: the
+    // CONTINUOUS ingestion loop (stream_rest_ingest's shape) with tokens
+    // that die every 3 requests — refreshes land across micro-batch
+    // boundaries and must not lose or refetch an offset page
+    val stub = RestStubServer.start(totalRows = 200L, oauthTokenUses = 3)
+    try {
+      val stream = spark.readStream.format("graft.sources.RestSource")
+        .option("url", stub.url + "?requireOAuth=1")
+        .option("pages", "10").option("pageSize", "20")
+        .option("pagesPerTrigger", "2")
+        .option("authScheme", "oauth2")
+        .option("oauthTokenUrl", stub.tokenUrl)
+        .option("oauthClientIdEnv", "GRAFT_OAUTH_ID")
+        .option("oauthClientSecretEnv", "GRAFT_OAUTH_SECRET")
+        .option("envFile", oauthEnv)
+        .load()
+      val q = stream.writeStream.format("memory").queryName("mem_rest_oauth")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val out = spark.table("mem_rest_oauth")
+      assert(out.count() === 200, "every page must arrive exactly once")
+      assert(out.agg(countDistinct(col("event_id"))).head.getLong(0) === 200,
+        "refresh across micro-batches must not lose or duplicate offsets")
+      assert(stub.tokenMints.get() >= 3,
+        s"expected >=3 mints from mid-stream exhaustion, got ${stub.tokenMints.get()}")
+    } finally stub.stop()
+  }
+
   test("oauth2: missing oauthTokenUrl fails at plan time naming the option") {
     val stub = RestStubServer.start(totalRows = 20L)
     try {

@@ -409,4 +409,33 @@ class StreamingSpec extends SparkSuite {
     }
     out.unpersist()
   }
+
+  test("stream_dedup under the RocksDB state store matches the default provider") {
+    // the default HDFS-backed store keeps keyed state on the executor
+    // heap — fine at fixture scale, an OOM at 100 TB keyed-state scale.
+    // RocksDBStateStoreProvider (in-box since Spark 3.2) spills state to
+    // local SST files and is the production answer for large state; this
+    // pins that the dedup pipeline is provider-agnostic: byte-identical
+    // decisions under both stores.
+    def run(provider: Option[String], name: String): Seq[(Long, String)] = {
+      val scoped = org.apache.spark.sql.graftbridge.Bridge.cloneSession(spark)
+      scoped.conf.set("spark.sql.shuffle.partitions", "8")
+      provider.foreach(
+        scoped.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+      val q = graft.streaming.Streams.eventsStream(scoped, sf)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates("event_id")
+        .select(col("event_id"), col("event_type"))
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      scoped.table(name).orderBy(col("event_id"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    }
+    val rocks = run(Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"),
+      "mem_dedup_rocksdb")
+    val default = run(None, "mem_dedup_default")
+    assert(rocks.nonEmpty)
+    assert(rocks === default)
+  }
 }
