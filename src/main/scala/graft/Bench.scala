@@ -44,7 +44,12 @@ object Bench {
     warm("agg_group")(SparkEntry.queries("agg_group")(spark, sfDir).count())
     warm("null_clean")(SparkEntry.queries("null_clean")(spark, sfDir).count())
     warm("vec_cosine_topk")(SparkEntry.queries("vec_cosine_topk")(spark, sfDir).count())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the timed set — dev-loop
+    // re-measure convenience (variance pinning); the driver leaves it unset
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
