@@ -50,10 +50,10 @@ object VectorOps {
        / (sqrt(list_aggregate(list_transform(range(1, ${n + 1}), i -> $a[i]::DOUBLE * $a[i]::DOUBLE), 'sum'))
           * sqrt(list_aggregate(list_transform(range(1, ${n + 1}), i -> $b[i]::DOUBLE * $b[i]::DOUBLE), 'sum')))"""
 
-  /** DuckDB twin of [[lshRangePairs]]: CTEs `b` (bucketed embeddings) and
-    * `rpairs` (d1 < d2, sim ≥ 0.3 within a shared bucket), spliced into
-    * both the range-search and semantic-cluster oracles. */
-  private val lshRangePairsSql: String =
+  /** DuckDB regeneration of [[lshPlanes]] bucketing: the `b` CTE
+    * (vec_id, embedding, bucket) shared by the range/cluster pair oracles
+    * and the k-NN-graph oracle. */
+  private val lshBucketsSql: String =
     s"""b AS (
        SELECT vec_id, embedding,
          CAST(sum(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS INTEGER) AS bucket
@@ -64,7 +64,13 @@ object VectorOps {
              ((((p.j * 1315423911 + (i - 1) * 2654435761) % 2001 + 2001) % 2001 - 1000) / 1000.0)),
              'sum') AS d
          FROM embeddings e0 CROSS JOIN range(0, 8) p(j))
-       GROUP BY vec_id, embedding),
+       GROUP BY vec_id, embedding)"""
+
+  /** DuckDB twin of [[lshRangePairs]]: CTEs `b` (bucketed embeddings) and
+    * `rpairs` (d1 < d2, sim ≥ 0.3 within a shared bucket), spliced into
+    * both the range-search and semantic-cluster oracles. */
+  private val lshRangePairsSql: String =
+    s"""$lshBucketsSql,
      rpairs AS (
        SELECT v1 AS d1, v2 AS d2, sim FROM (
          SELECT l.vec_id AS v1, r.vec_id AS v2,
@@ -76,12 +82,17 @@ object VectorOps {
     * bucket (columns v1 < v2, sim) — the candidate generator for both
     * `vec_range_search` and `dedup_semantic_cluster`. Same deterministic
     * plane formula as `vec_lsh_ann`, so the whole path is oracle-able. */
-  private def lshRangePairs(emb: DataFrame): DataFrame = {
-    val planes: Seq[Seq[Double]] = (0 until 8).map { j =>
-      (0 until 64).map { i =>
-        (((j * 1315423911L + i * 2654435761L) % 2001 + 2001) % 2001 - 1000) / 1000.0
-      }
+  /** The deterministic random-hyperplane set shared by every LSH-seeded
+    * query (`vec_lsh_ann`, range/cluster pairs, `vec_knn_graph`) — integer
+    * formula, so the DuckDB oracles regenerate identical planes. */
+  private val lshPlanes: Seq[Seq[Double]] = (0 until 8).map { j =>
+    (0 until 64).map { i =>
+      (((j * 1315423911L + i * 2654435761L) % 2001 + 2001) % 2001 - 1000) / 1000.0
     }
+  }
+
+  private def lshRangePairs(emb: DataFrame): DataFrame = {
+    val planes = lshPlanes
     val b = emb.withColumn("bucket",
       graft.functions.LshBucket.lsh_bucket(col("embedding"), planes))
     val lhs = b.select(col("bucket"), col("vec_id").as("v1"), col("embedding").as("e1"))
@@ -365,6 +376,50 @@ object VectorOps {
         .orderBy(col("probe_id"), col("rn"))
     }),
 
+    // Approximate k-NN GRAPH construction via one NN-Descent round — the
+    // Spark-native answer to the HNSW gap (SURVEY §2.I records the
+    // decision): a serving-time HNSW is a pointer-chasing in-memory
+    // structure a relational engine shouldn't emulate, but the BATCH
+    // artifact behind every graph index — the k-NN graph itself — is
+    // exactly a join/agg fixpoint. Init: top-K same-LSH-bucket neighbors
+    // (bounded candidate set, never all-pairs). Refine (the NN-Descent
+    // move): a node's neighbors' neighbors — plus reverse edges — are
+    // better candidates than random; one round re-ranks each node over
+    // N ∪ N∘N ∪ Nᵀ, a candidate set bounded by K + K² + K per node at
+    // ANY corpus size. Joins are id-equi-joins (shuffle-hash on vec_id),
+    // rank windows run over ≤K²+2K-row partitions — every step scales.
+    // Deterministic throughout (fixed planes, 6-dp-rounded sims, id
+    // tie-breaks), so the full two-phase construction is DuckDB-oracled.
+    "vec_knn_graph" -> ((s, dir) => {
+      val K = 4
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val b = emb.withColumn("bucket",
+        graft.functions.LshBucket.lsh_bucket(col("embedding"), lshPlanes))
+      val w = Window.partitionBy(col("v")).orderBy(col("sim").desc, col("n"))
+      val initPairs = b.as("l").join(b.as("r"), col("l.bucket") === col("r.bucket"))
+        .filter(col("l.vec_id") =!= col("r.vec_id"))
+        .select(col("l.vec_id").as("v"), col("r.vec_id").as("n"),
+          round(cosine_sim(col("l.embedding"), col("r.embedding")), 6).as("sim"))
+      // init graph is consumed three times by the refinement round —
+      // materialize once, lineage truncated (pagerank's pinning pattern)
+      val init = initPairs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K).select(col("v"), col("n"))
+        .localCheckpoint(true)
+      val nofn = init.as("a").join(init.as("c"), col("a.n") === col("c.v"))
+        .select(col("a.v").as("v"), col("c.n").as("n"))
+      val rev = init.select(col("n").as("v"), col("v").as("n"))
+      val cand = init.unionAll(nofn).unionAll(rev)
+        .filter(col("v") =!= col("n")).distinct()
+      val scored = cand
+        .join(emb.select(col("vec_id").as("v"), col("embedding").as("ev")), "v")
+        .join(emb.select(col("vec_id").as("n"), col("embedding").as("en")), "n")
+        .select(col("v"), col("n"),
+          round(cosine_sim(col("ev"), col("en")), 6).as("sim"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= K)
+        .select(col("v").as("vec_id"), col("rk"), col("n").as("nbr_id"), col("sim"))
+        .orderBy(col("vec_id"), col("rk"))
+    }),
+
     // Range search (the "all pairs above a similarity floor" dual of
     // top-k): every embedding pair with cosine ≥ 0.3 whose signatures
     // share an LSH bucket. This is the embedding-side analog of
@@ -569,6 +624,32 @@ object VectorOps {
     "vec_range_search" ->
       s"""WITH $lshRangePairsSql
          SELECT d1 AS v1, d2 AS v2, sim FROM rpairs ORDER BY v1, v2""",
+    // the same deterministic construction the Spark side runs: LSH-seeded
+    // init top-4, then ONE NN-Descent re-rank over N ∪ N∘N ∪ Nᵀ
+    "vec_knn_graph" ->
+      s"""WITH $lshBucketsSql,
+         init0 AS (
+           SELECT l.vec_id AS v, r.vec_id AS n,
+                  round(${cosSql("l.embedding", "r.embedding")}, 6) AS sim
+           FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id),
+         init AS (
+           SELECT v, n FROM (
+             SELECT v, n, row_number() OVER (PARTITION BY v ORDER BY sim DESC, n) AS rk
+             FROM init0) WHERE rk <= 4),
+         cand AS (
+           SELECT DISTINCT v, n FROM (
+             SELECT v, n FROM init
+             UNION ALL SELECT a.v, c.n FROM init a JOIN init c ON a.n = c.v
+             UNION ALL SELECT n AS v, v AS n FROM init)
+           WHERE v <> n),
+         scored AS (
+           SELECT c.v, c.n,
+                  round(${cosSql("e1.embedding", "e2.embedding")}, 6) AS sim
+           FROM cand c JOIN embeddings e1 ON c.v = e1.vec_id
+                       JOIN embeddings e2 ON c.n = e2.vec_id)
+         SELECT v AS vec_id, CAST(rk AS INTEGER) AS rk, n AS nbr_id, sim FROM (
+           SELECT v, n, sim, row_number() OVER (PARTITION BY v ORDER BY sim DESC, n) AS rk
+           FROM scored) WHERE rk <= 4 ORDER BY vec_id, rk""",
     // same candidate edges, folded to components by recursive
     // reachability (UNION dedups → terminates); min = component.
     "dedup_semantic_cluster" ->

@@ -782,6 +782,48 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("vec_knn_graph: the NN-Descent round only improves per-rank neighbor quality") {
+    import org.apache.spark.sql.functions._
+    val out = q("vec_knn_graph").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // shape: ranks are 1..4, dense per node, no self-loops, no duplicate
+    // neighbors within a node
+    val byNode = out.groupBy(_._1)
+    byNode.foreach { case (v, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1 to rows.length), s"node $v ranks")
+      assert(rows.forall(_._3 != v), s"node $v self-loop")
+      assert(rows.map(_._3).distinct.length === rows.length, s"node $v dup neighbor")
+      val sims = rows.sortBy(_._2).map(_._4)
+      assert(sims.zip(sims.drop(1)).forall { case (a, b) => a >= b }, s"node $v not sorted")
+    }
+    // the NN-Descent invariant: refined candidates are a SUPERSET of the
+    // init graph, so each node's k-th best similarity can only rise.
+    // Recompute the init tier (same LSH bucket + top-4) and compare.
+    import spark.implicits._
+    val emb = graft.Tables.t(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    val planes: Seq[Seq[Double]] = (0 until 8).map { j =>
+      (0 until 64).map { i =>
+        (((j * 1315423911L + i * 2654435761L) % 2001 + 2001) % 2001 - 1000) / 1000.0
+      }
+    }
+    val b = emb.withColumn("bucket",
+      graft.functions.LshBucket.lsh_bucket(col("embedding"), planes))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("v")).orderBy(col("sim").desc, col("n"))
+    val init = b.as("l").join(b.as("r"), col("l.bucket") === col("r.bucket"))
+      .filter(col("l.vec_id") =!= col("r.vec_id"))
+      .select(col("l.vec_id").as("v"), col("r.vec_id").as("n"),
+        round(graft.functions.CosineSim.cosine_sim(col("l.embedding"), col("r.embedding")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getDouble(2)))
+    val refined = out.map(r => ((r._1, r._2), r._4)).toMap
+    init.foreach { case (v, rk, simInit) =>
+      val simRef = refined.getOrElse((v, rk),
+        fail(s"node $v rank $rk present in init but absent in refined"))
+      assert(simRef >= simInit - 1e-9, s"node $v rank $rk regressed: $simInit -> $simRef")
+    }
+  }
+
   test("Components: loop parallelism derives from edge count; fixpoint correct past the 64k floor") {
     import graft.operators.Components
     // the conf function itself: fixture scale floors at 1, scales
