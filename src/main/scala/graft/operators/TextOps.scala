@@ -354,6 +354,34 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // training-data mixture sampling — the domain-reweighting step every
+    // LLM pretraining run performs between curation and sharding: each
+    // source gets a target weight in EPOCHS over its docs; weight w keeps
+    // floor(w) full copies of every doc plus a fractional-remainder copy
+    // selected by the same multiplicative key hash as sample_split (no RNG
+    // state — the mixture is reproducible at any parallelism and across
+    // engines). Upsampled copies carry an epoch index so downstream
+    // shuffling/sharding decorrelates repeats. Shape at 100 TB: broadcast
+    // weight lookup + per-row explode — one scan, no shuffle before the
+    // final sort. Weights here are a 4-tier quality ladder over the 20
+    // sources (premium ×2.5, standard ×1.0, long-tail ×0.5, raw-crawl
+    // ×0.1) held as per-mille INTEGERS so the oracle is bit-exact.
+    "corpus_mix" -> ((s, dir) => {
+      import s.implicits._
+      val wdf = Seq((0, 2500L), (1, 1000L), (2, 500L), (3, 100L)).toDF("tier", "mills")
+      t(s, dir, "documents")
+        .withColumn("tier", expr("cast(substring(source, 4) as int) div 5"))
+        .join(broadcast(wdf), "tier")
+        .withColumn("n_copies",
+          expr("mills div 1000") +
+            when(pmod(col("doc_id") * lit(2654435761L), lit(1000)) <
+                 pmod(col("mills"), lit(1000)), 1L).otherwise(0L))
+        .filter(col("n_copies") > 0)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(0L), col("n_copies") - 1)).as("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
+
     // incremental snapshot dedup — the policy at every batch boundary of
     // a continuously-ingesting corpus: drop new-batch docs whose
     // normalized content hash ALREADY exists in the corpus (cross-batch
@@ -698,6 +726,18 @@ object TextOps {
                ORDER BY (doc_id * 1315423911) % 1000000007, doc_id) AS pos
            FROM documents)
          ORDER BY doc_id""",
+    "corpus_mix" ->
+      """WITH w(tier, mills) AS (VALUES (0, 2500), (1, 1000), (2, 500), (3, 100)),
+         d AS (
+           SELECT doc_id, source,
+             mills // 1000
+               + CASE WHEN (doc_id * 2654435761) % 1000 < mills % 1000
+                      THEN 1 ELSE 0 END AS n
+           FROM (SELECT doc_id, source,
+                   CAST(substr(source, 4) AS INT) // 5 AS tier FROM documents)
+           JOIN w USING (tier))
+         SELECT doc_id, source, CAST(unnest(range(n)) AS BIGINT) AS epoch
+         FROM d WHERE n > 0 ORDER BY doc_id, epoch""",
     // connected components via recursive reachability: every root a node
     // can reach is enumerated (UNION dedups → terminates), min = component
     "dedup_cluster" ->

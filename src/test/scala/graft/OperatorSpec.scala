@@ -824,6 +824,32 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("corpus_mix: mixture matches the per-mille ladder exactly; epochs dense per doc") {
+    val out = q("corpus_mix").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // upsampled copies are epoch-indexed 0..n-1 with no gaps
+    out.groupBy(_._1).foreach { case (d, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq, s"doc $d epochs")
+    }
+    // per-doc copy count equals the closed form: floor(w) + hash-selected
+    // fractional remainder, w from the 4-tier per-mille ladder
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mills = Array(2500L, 1000L, 500L, 100L)
+    val expected = docs.map { case (id, src) =>
+      val m = mills(src.drop(3).toInt / 5)
+      (id, m / 1000 + (if ((id * 2654435761L) % 1000 < m % 1000) 1L else 0L))
+    }.filter(_._2 > 0).toMap
+    val actual = out.groupBy(_._1).map { case (d, rows) => (d, rows.length.toLong) }
+    assert(actual === expected)
+    // the ladder is actually a MIXTURE: every tier contributes, premium
+    // tier outnumbers raw-crawl tier
+    val bySrcTier = out.groupBy(r => r._2.drop(3).toInt / 5).map { case (t, rs) => (t, rs.size) }
+    assert(bySrcTier.keySet === Set(0, 1, 2, 3))
+    assert(bySrcTier(0) > bySrcTier(1) && bySrcTier(1) > bySrcTier(2) && bySrcTier(2) > bySrcTier(3))
+  }
+
   test("Components: loop parallelism derives from edge count; fixpoint correct past the 64k floor") {
     import graft.operators.Components
     // the conf function itself: fixture scale floors at 1, scales
