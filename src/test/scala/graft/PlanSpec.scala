@@ -353,6 +353,26 @@ class PlanSpec extends SparkSuite {
     assert(plan("vec_matryoshka_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("round-7 ops keep their minimal shapes: corpus_mix shuffle-free, knn-graph group-limited") {
+    def hashExchanges(name: String): Int =
+      "Exchange hashpartitioning\\(".r.findAllIn(plan(name)).size
+    // corpus_mix: broadcast weight lookup + per-row explode — the mixture
+    // assignment itself shuffles NOTHING (only the output order sorts)
+    assert(hashExchanges("corpus_mix") === 0, plan("corpus_mix").take(2000))
+    assert(plan("corpus_mix").contains("BroadcastHashJoin"), plan("corpus_mix").take(2000))
+    // vec_knn_graph: the top-K rank windows must lower to partial+final
+    // WindowGroupLimit (per-node K-bounded heaps, map-side pruning BEFORE
+    // the shuffle) — a full sort-window here would be the 100 TB bug.
+    val p = plan("vec_knn_graph")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(2000))
+    // off the checkpointed init graph: 2 exchanges for the N∘N self-join,
+    // 1 for the candidate distinct, 1 for the final per-node window — and
+    // the init frame enters as an RDD scan (lineage truncated), not a
+    // re-computed pair build
+    assert(hashExchanges("vec_knn_graph") === 4, p.take(3000))
+    assert(p.contains("Scan ExistingRDD"), p.take(2000))
+  }
+
   test("plan lint: no query plans an unbounded cartesian / nested-loop join") {
     // sweep EVERY registered query's physical plan: a CartesianProduct or
     // BroadcastNestedLoopJoin is only acceptable when one side is bounded
