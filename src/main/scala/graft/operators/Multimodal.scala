@@ -106,6 +106,54 @@ object Multimodal {
       Array.tabulate(16)(c => if (cnts(c) > 0) sums(c) / cnts(c) else 0L))
   }
 
+  // ---- deterministic PCM pattern (shared contract with the oracle) ----
+  // n = payload byte count; N = 1024 + (n % 7) * 256 samples (always a
+  // whole number of 256-sample frames); sample formula (Int16-safe):
+  //   s_i = (payload[i % n] - 128) * 200 + (i * 31) % 256 - 128
+  /** Synthesize the waveform and serialize it as REAL 16-bit little-endian
+    * PCM bytes — the wire format raw audio arrives in. */
+  def encodePcm(textBytes: Array[Byte]): Array[Byte] = {
+    val n = textBytes.length
+    val total = 1024 + (n % 7) * 256
+    val bb = java.nio.ByteBuffer.allocate(total * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < total) {
+      bb.putShort((((textBytes(i % n) & 0xff) - 128) * 200 + (i * 31) % 256 - 128).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  case class AudioFeat(doc_id: Long, n_samples: Int, n_frames: Int,
+      peak: Int, max_energy: Long, max_frame: Int, mean_energy: Long)
+
+  /** REAL PCM parse: sign-extend Int16 samples back out of the LE byte
+    * stream, frame at 256 samples, and reduce to energy features — mean
+    * square per frame (integer floor division, mirrored by the oracle),
+    * arg-max frame with first-frame tie-break, global peak amplitude. */
+  def analyzePcm(docId: Long, pcm: Array[Byte]): AudioFeat = {
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val total = pcm.length / 2
+    val frames = total / 256
+    var peak = 0; var totalSq = 0L; var maxE = -1L; var maxF = -1
+    var f = 0
+    while (f < frames) {
+      var e = 0L; var i = f * 256
+      val end = i + 256
+      while (i < end) {
+        val s = bb.getShort(i * 2).toInt
+        if (math.abs(s) > peak) peak = math.abs(s)
+        e += s.toLong * s
+        i += 1
+      }
+      totalSq += e
+      if (e / 256 > maxE) { maxE = e / 256; maxF = f }
+      f += 1
+    }
+    AudioFeat(docId, total, frames, peak, maxE, maxF, totalSq / total)
+  }
+
   /** One-time staging for `mm_decode`: each probe document rendered and
     * PNG-encoded to a standalone .png file — the on-disk shape multimodal
     * corpora arrive in (one image per object-store key). Driver-side loop
@@ -166,6 +214,23 @@ object Multimodal {
         .toDF()
         .withColumn("thumb", expr("array_join(transform(thumb, x -> CAST(x AS STRING)), ',')"))
         .orderBy(col("doc_id"))
+    }),
+
+    // audio member of the family: per-doc waveforms serialized to REAL
+    // 16-bit LE PCM bytes, then parsed BACK from the byte stream inside the
+    // same executor batch — framing, per-frame mean-square energy, arg-max
+    // frame, peak amplitude. All-integer arithmetic, so the oracle replays
+    // the formula exactly; a sign-extension or endianness mistake in the
+    // parse breaks every energy value.
+    "mm_audio_energy" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      media.mapPartitions(_.map { case (id, bytes) =>
+          analyzePcm(id, encodePcm(bytes)) })
+        .toDF()
+        .orderBy(col("doc_id"))
     }))
 
   // The codec is lossless, so the oracle recomputes the features straight
@@ -215,6 +280,36 @@ object Multimodal {
            FROM px GROUP BY 1, 2, 3, 4)
          SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
                 array_to_string(list(CAST(v AS VARCHAR) ORDER BY cell), ',') AS thumb
-         FROM cells GROUP BY 1, 2, 3 ORDER BY doc_id"""
+         FROM cells GROUP BY 1, 2, 3 ORDER BY doc_id""",
+    "mm_audio_energy" ->
+      """WITH dims AS (
+           SELECT doc_id, strlen(text) AS n,
+                  1024 + (strlen(text) % 7) * 256 AS total, text
+           FROM documents),
+         sm0 AS (
+           SELECT doc_id, n, total, text, unnest(range(0, total)) AS i FROM dims),
+         smp AS (
+           SELECT doc_id, total, i // 256 AS f,
+                  CAST((ord(text[CAST(i % n AS INTEGER) + 1]) - 128) * 200
+                       + (i * 31) % 256 - 128 AS BIGINT) AS s
+           FROM sm0),
+         frames AS (
+           SELECT doc_id, total, f, SUM(s * s) AS e, MAX(abs(s)) AS pk
+           FROM smp GROUP BY 1, 2, 3),
+         feat AS (
+           SELECT doc_id, total, COUNT(*) AS n_frames, MAX(pk) AS peak,
+                  CAST(SUM(e) // total AS BIGINT) AS mean_energy
+           FROM frames GROUP BY 1, 2),
+         maxf AS (
+           SELECT doc_id, f, CAST(e // 256 AS BIGINT) AS max_energy,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY e // 256 DESC, f) AS rk
+           FROM frames)
+         SELECT d.doc_id, CAST(total AS INTEGER) AS n_samples,
+                CAST(n_frames AS INTEGER) AS n_frames,
+                CAST(peak AS INTEGER) AS peak, m.max_energy,
+                CAST(m.f AS INTEGER) AS max_frame, mean_energy
+         FROM feat d JOIN maxf m ON d.doc_id = m.doc_id AND m.rk = 1
+         ORDER BY d.doc_id"""
   ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
 }

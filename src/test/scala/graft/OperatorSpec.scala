@@ -824,6 +824,28 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("mm_audio_energy: PCM parse agrees with the formula and really reads the wire format") {
+    import graft.operators.Multimodal
+    val payload = "abc".getBytes("UTF-8")
+    val feat = Multimodal.analyzePcm(7L, Multimodal.encodePcm(payload))
+    assert(feat.n_samples === 1024 + (payload.length % 7) * 256)
+    assert(feat.n_frames === feat.n_samples / 256)
+    // recompute straight from the waveform formula — the byte round trip
+    // must reproduce every sample
+    val samples = (0 until feat.n_samples)
+      .map(i => ((payload(i % payload.length) & 0xff) - 128) * 200 + (i * 31) % 256 - 128)
+    assert(feat.peak === samples.map(math.abs).max)
+    val frameEnergies = samples.grouped(256).map(_.map(s => s.toLong * s).sum).toSeq
+    assert(feat.mean_energy === frameEnergies.sum / feat.n_samples)
+    assert(feat.max_energy === frameEnergies.map(_ / 256).max)
+    assert(feat.max_frame === frameEnergies.map(_ / 256).zipWithIndex.maxBy { case (e, f) => (e, -f) }._2)
+    // the same samples in BIG-endian parse differently — the kernel reads
+    // actual little-endian wire bytes, not the generating arithmetic
+    val be = java.nio.ByteBuffer.allocate(feat.n_samples * 2).order(java.nio.ByteOrder.BIG_ENDIAN)
+    samples.foreach(s => be.putShort(s.toShort))
+    assert(Multimodal.analyzePcm(7L, be.array()).mean_energy !== feat.mean_energy)
+  }
+
   test("corpus_mix: mixture matches the per-mille ladder exactly; epochs dense per doc") {
     val out = q("corpus_mix").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
