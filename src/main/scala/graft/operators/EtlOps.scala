@@ -326,6 +326,30 @@ object EtlOps {
         .orderBy(col("l_returnflag"))
     }),
 
+    // dynamic partition overwrite — the incremental-reprocess write at
+    // 100 TB: a nightly job recomputes ONE partition and swaps it in
+    // place; every other partition's files stay untouched (no full-table
+    // rewrite, no read-modify-write of unrelated data). A STATIC
+    // overwrite here would truncate the whole table root — the read-back
+    // would lose 4 of 5 langs and the oracle would catch it, so the
+    // oracle checks the overwrite MODE, not just the row values. The mode
+    // is a per-write option (no session-conf mutation leaking to peers).
+    "sink_partition_overwrite" -> ((s, dir) => {
+      val path = tmpDir(s"sinkpo_${pathTag(dir)}")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.withColumn("rev", lit(0L))
+        .write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(path)
+      docs.filter(col("lang") === "en").withColumn("rev", lit(1L))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang").parquet(path)
+      s.read.parquet(path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), max(col("rev")).as("rev"),
+          dsum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"))
+    }),
+
     // the small-files problem and its maintenance fix, end to end: a
     // streaming/micro-batch ingest fragments each partition dir into many
     // tiny files (staged here as repartition(16) before partitionBy);
@@ -552,6 +576,14 @@ object EtlOps {
          FROM events GROUP BY event_type ORDER BY event_type""",
     "sink_parquet" ->
       """SELECT l_returnflag, count(1) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // rev = 1 ONLY for the overwritten partition; the other langs keeping
+    // their rows at rev 0 is what distinguishes dynamic from static
+    // overwrite (static would leave only the en partition on disk)
+    "sink_partition_overwrite" ->
+      """SELECT lang, count(1) AS n_docs,
+         CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS rev,
+         round(CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE), 6) AS chars
+         FROM documents GROUP BY lang ORDER BY lang""",
     // n_files = 1 is the compaction CONTRACT (hash-by-partition-column puts
     // each lang in exactly one writer task), so the oracle can state it
     "sink_compact" ->

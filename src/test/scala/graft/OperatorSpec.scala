@@ -824,6 +824,24 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("sink_partition_overwrite: replaces exactly the en partition, in place") {
+    import java.nio.file.{Files, Paths}
+    q("sink_partition_overwrite").collect()   // base write + dynamic delta
+    val root = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_etl_${ProcessHandle.current().pid()}", s"sinkpo_${graft.Tables.pathTag(sf)}")
+    // every partition dir survives the delta (static overwrite would have
+    // truncated the table root down to lang=en)
+    for (lang <- Seq("de", "en", "es", "fr", "zh"))
+      assert(Files.isDirectory(root.resolve(s"lang=$lang")), s"lang=$lang dir missing")
+    // the overwritten partition holds ONLY rev-1 rows: dynamic overwrite
+    // REPLACED the dir — an append would leave rev-0 files coexisting
+    val en = spark.read.parquet(root.resolve("lang=en").toString)
+    assert(en.select("rev").distinct().collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // an untouched partition still holds only the base revision
+    val de = spark.read.parquet(root.resolve("lang=de").toString)
+    assert(de.select("rev").distinct().collect().map(_.getLong(0)).toSeq === Seq(0L))
+  }
+
   test("mm_audio_energy: PCM parse agrees with the formula and really reads the wire format") {
     import graft.operators.Multimodal
     val payload = "abc".getBytes("UTF-8")
