@@ -140,6 +140,42 @@ object LmOps {
         .orderBy(desc("n_docs"), desc("n_occur"), col("source"), col("gram"))
     }),
 
+    // the APPLY step to text_boilerplate's detect: rewrite every document
+    // with the mined spans removed (the RefinedWeb/CCNet line-dedup move —
+    // repeated headers/footers are cut from EVERY doc, including the first
+    // occurrence). Work stays keyed at gram grain: the (source, gram) join
+    // marks hit start positions, a per-doc collect_set carries them home,
+    // and the actual token drop is a map-side array lambda — the document
+    // text itself never shuffles, only (doc_id, start) pairs do. Output is
+    // a compact per-doc accounting (token counts before/after + a hash of
+    // the scrubbed text) so the full rewrite is oracle-checkable.
+    "text_boilerplate_scrub" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), split(lower(col("text")), " ").as("tk"))
+      val grams = docs.filter(size(col("tk")) >= 8)
+        .select(col("source"), col("doc_id"), explode(expr(
+          "transform(sequence(1, size(tk) - 7), i -> " +
+            "named_struct('i', i, 'gram', array_join(slice(tk, i, 8), ' ')))")).as("g"))
+        .select(col("source"), col("doc_id"), col("g.i").as("i"), col("g.gram").as("gram"))
+      val boiler = grams.groupBy(col("source"), col("gram"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("source"), col("gram"))
+      val hits = grams.join(boiler, Seq("source", "gram"))
+        .groupBy(col("doc_id")).agg(collect_set(col("i")).as("starts"))
+      docs.join(hits, Seq("doc_id"), "left")
+        .withColumn("kept", expr(
+          """CASE WHEN starts IS NULL THEN tk ELSE
+               transform(
+                 filter(transform(tk, (t, p) -> named_struct('t', t, 'p', p + 1)),
+                        x -> NOT exists(starts, s -> s <= x.p AND x.p <= s + 7)),
+                 x -> x.t)
+             END"""))
+        .select(col("doc_id"), size(col("tk")).as("n_toks"),
+          size(col("kept")).as("n_kept"),
+          sha2(array_join(col("kept"), " "), 256).as("clean_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     "join_fuzzy" -> ((s, dir) => {
       val toks = t(s, dir, "part")
         .select(explode(split(lower(col("p_name")), " ")).as("tok"))
@@ -208,6 +244,33 @@ object LmOps {
          SELECT source, gram, count(DISTINCT doc_id) AS n_docs, count(1) AS n_occur
          FROM g GROUP BY source, gram HAVING count(DISTINCT doc_id) >= 2
          ORDER BY n_docs DESC, n_occur DESC, source, gram""",
+    "text_boilerplate_scrub" ->
+      """WITH tk AS (SELECT doc_id, source, string_split(lower(text), ' ') AS tk FROM documents),
+         g AS (
+           SELECT source, doc_id, unnest(range(1, len(tk) - 6)) AS i, tk
+           FROM tk WHERE len(tk) >= 8),
+         grams AS (
+           SELECT source, doc_id, i, array_to_string(tk[i:i+7], ' ') AS gram FROM g),
+         boiler AS (
+           SELECT source, gram FROM grams
+           GROUP BY source, gram HAVING count(DISTINCT doc_id) >= 2),
+         hits AS (
+           SELECT doc_id, list(DISTINCT i) AS starts
+           FROM grams JOIN boiler USING (source, gram) GROUP BY doc_id),
+         clean AS (
+           SELECT t.doc_id, len(t.tk) AS n_toks,
+             CASE WHEN h.starts IS NULL THEN t.tk ELSE
+               list_filter(
+                 list_transform(range(1, len(t.tk) + 1), p ->
+                   CASE WHEN len(list_filter(h.starts, s -> s <= p AND p <= s + 7)) = 0
+                        THEN t.tk[CAST(p AS INTEGER)] END),
+                 x -> x IS NOT NULL)
+             END AS kept
+           FROM tk t LEFT JOIN hits h ON t.doc_id = h.doc_id)
+         SELECT doc_id, CAST(n_toks AS INTEGER) AS n_toks,
+                CAST(len(kept) AS INTEGER) AS n_kept,
+                sha256(coalesce(array_to_string(kept, ' '), '')) AS clean_hash
+         FROM clean ORDER BY doc_id""",
     "join_fuzzy" ->
       """WITH toks AS (
            SELECT DISTINCT unnest(string_split(lower(p_name), ' ')) AS tok FROM part),

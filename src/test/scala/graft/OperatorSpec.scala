@@ -824,6 +824,26 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("text_boilerplate_scrub: docs carrying mined spans shrink; others stay byte-identical") {
+    import org.apache.spark.sql.functions._
+    val scrub = q("text_boilerplate_scrub").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    val shrunk = scrub.filter(r => r._3 < r._2)
+    assert(shrunk.nonEmpty, "detection mines spans on this corpus — apply must fire")
+    // a doc the scrubber left whole must hash to its original token stream
+    val base = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(split(lower(col("text")), " ")).as("n"),
+        sha2(array_join(split(lower(col("text")), " "), " "), 256).as("h"))
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getString(2)))).toMap
+    scrub.foreach { case (id, nt, nk, h) =>
+      assert(nt === base(id)._1, s"doc $id token count drifted")
+      assert(nk <= nt, s"doc $id grew")
+      if (nk == nt) assert(h === base(id)._2, s"doc $id untouched but rewritten")
+      else assert(h !== base(id)._2, s"doc $id shrunk but hash unchanged")
+    }
+  }
+
   test("sink_partition_overwrite: replaces exactly the en partition, in place") {
     import java.nio.file.{Files, Paths}
     q("sink_partition_overwrite").collect()   // base write + dynamic delta
