@@ -238,6 +238,28 @@ object Relational {
         .orderBy(col("event_id"))
     }),
 
+    // FORWARD as-of: the EARLIEST matching event strictly AFTER the probe
+    // (post-purchase follow-up attribution; the mirror direction every
+    // real as-of API exposes alongside backward). Same emulation shape —
+    // keyed equi-join + per-probe rank-1 window — with the ordering
+    // reversed; ties break to the lowest event id, mirroring backward's
+    // highest-id break.
+    "join_asof_forward" -> ((s, dir) => {
+      val e = events(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("v_ts").asc_nulls_last, col("view_id").asc_nulls_last)
+      p.join(v, p("user_id") === v("v_user") && v("v_ts") > p("ts"), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("view_id"), lit(-1L)).as("next_view_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // same as-of semantics through the NATIVE operator (custom logical
     // node + strategy + sort-merge exec, graft.plans.AsofJoin) — linear
     // merge instead of the emulation's pair blow-up; checked against the
@@ -347,6 +369,15 @@ object Relational {
            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
            LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
              ON v.user_id = p.user_id AND v.ts < p.ts)
+         WHERE rn = 1 ORDER BY event_id""",
+    "join_asof_forward" ->
+      """SELECT event_id, user_id, coalesce(view_id, -1) AS next_view_id FROM (
+           SELECT p.event_id, p.user_id, v.event_id AS view_id,
+                  row_number() OVER (PARTITION BY p.event_id
+                    ORDER BY v.ts ASC NULLS LAST, v.event_id ASC NULLS LAST) AS rn
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+             ON v.user_id = p.user_id AND v.ts > p.ts)
          WHERE rn = 1 ORDER BY event_id""",
     "join_asof_tolerance" ->
       """SELECT event_id, user_id, coalesce(view_id, -1) AS prior_view_id FROM (
