@@ -558,9 +558,40 @@ object VectorOps {
         .filter(col("rn") <= 3)
         .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("sim"), col("rn"))
         .orderBy(col("probe_id"), col("rn"))
+    }),
+
+    // the index-quality harness: recall@3 of the IVF tier against the
+    // brute-force ground truth, per probe — the eval every ANN deployment
+    // runs before trusting a pruned index. Built by COMPOSING the two
+    // registered queries (the engine grades its own index with its own
+    // operators); the oracle composes the same two oracle CTEs. Both
+    // sides are deterministic, so recall itself is hash-oracled — a
+    // pruning regression in any ANN tier moves this number before anyone
+    // reads a benchmark.
+    "vec_ann_recall" -> ((s, dir) => {
+      val truth = queries("vec_knn_join")(s, dir)
+        .select(col("probe_id"), col("neighbor_id"))
+      val ann = queries("vec_ivf_ann")(s, dir)
+        .select(col("probe_id").as("a_probe"), col("neighbor_id").as("a_n"))
+      truth.join(ann,
+          truth("probe_id") === ann("a_probe") && truth("neighbor_id") === ann("a_n"),
+          "left")
+        .groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("k"), count(col("a_n")).as("n_hit"))
+        .withColumn("recall", round(col("n_hit") / col("k"), 6))
+        .orderBy(col("probe_id"))
     }))
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = oraclesBase + ("vec_ann_recall" ->
+    s"""WITH truth AS (${oraclesBase("vec_knn_join")}),
+        ann AS (${oraclesBase("vec_ivf_ann")})
+        SELECT t.probe_id, count(1) AS k, count(a.neighbor_id) AS n_hit,
+               round(count(a.neighbor_id) / count(1), 6) AS recall
+        FROM truth t LEFT JOIN ann a
+          ON t.probe_id = a.probe_id AND t.neighbor_id = a.neighbor_id
+        GROUP BY t.probe_id ORDER BY t.probe_id""".replaceAll("\\s+", " ").trim)
+
+  private lazy val oraclesBase: Map[String, String] = Map(
     "vec_cosine_topk" ->
       s"""SELECT e.vec_id, round($sqlCosDuck, 6) AS sim
          FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
