@@ -180,6 +180,27 @@ object ShapeOps {
         .orderBy(col("user_id"))
     }),
 
+    // half-life-decayed activity score — the feature-store aggregation
+    // behind "recent activity" signals: each event's value weighted by
+    // 0.5^(age_weeks) against the corpus's max timestamp (a deterministic
+    // reference — no wall clock), then summed per user. The decay exponent
+    // is an INTEGER (whole 7-day buckets via date arithmetic), so the
+    // weight is an exact power of two in both engines — no libm pow
+    // divergence can flip the 6-dp rounding — and each weighted term runs
+    // through the DECIMAL cast before the sum, so parallel partial
+    // aggregation cannot perturb it either. One broadcast 1-row reference
+    // + one hash agg: a scan-shaped op at any log size.
+    "ts_decay_agg" -> ((s, dir) => {
+      val ev = events(s, dir).filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val ref = ev.agg(max(col("ts").cast("date")).as("ref_day"))
+      ev.crossJoin(broadcast(ref))
+        .withColumn("w", pow(lit(0.5),
+          expr("datediff(ref_day, cast(ts as date)) div 7").cast("double")))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value") * col("w")).as("decayed"))
+        .orderBy(col("user_id"))
+    }),
+
     // weekly cohort retention — the canonical activation/engagement query
     // over an event log. One pass builds each user's (first-week cohort,
     // distinct active weeks) in a single hash aggregation (collect_set of
@@ -300,6 +321,15 @@ object ShapeOps {
          SELECT user_id, len(vs) AS n,
                 round(list_reduce(vs, (acc, x) -> 0.2 * x + 0.8 * acc), 6) AS ewma
          FROM h ORDER BY user_id""",
+    "ts_decay_agg" ->
+      """WITH ref AS (SELECT max(CAST(ts AS DATE)) AS ref_day FROM events),
+         e AS (
+           SELECT user_id, value,
+                  pow(0.5, date_diff('day', CAST(ts AS DATE), ref_day) // 7) AS w
+           FROM events, ref WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+         SELECT user_id, count(1) AS n_events,
+                round(CAST(sum(CAST(value * w AS DECIMAL(18,6))) AS DOUBLE), 6) AS decayed
+         FROM e GROUP BY user_id ORDER BY user_id""",
     "agg_retention" ->
       """WITH wkly AS (
            SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
