@@ -398,7 +398,9 @@ class PlanSpec extends SparkSuite {
       "ts_locf" -> "spine build: dim-sized keys x broadcast day span from a 1-row min/max agg",
       "ts_interpolate" -> "spine build: dim-sized keys x broadcast day span from a 1-row min/max agg",
       "agg_kmv_setops" -> "pairwise theta join over a <=7-row daily sketch frame",
-      "graph_triangles" -> "crossJoin composes three 1-row aggregate frames")
+      "graph_triangles" -> "crossJoin composes three 1-row aggregate frames",
+      "ts_decay_agg" -> "crossJoin against a broadcast 1-row max-ts reference",
+      "vec_ann_recall" -> "composes vec_knn_join, whose broadcast <=8-probe cross join is bounded")
     val sf = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if boundedByConstruction.contains(name) => None
