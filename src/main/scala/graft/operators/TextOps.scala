@@ -354,6 +354,38 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // windowed co-occurrence PMI — the classic corpus statistic behind
+    // collocation mining and embedding-era co-occurrence matrices. Pairs
+    // are generated MAP-SIDE by a nested array lambda (each token with its
+    // next ≤4 neighbors, unordered via least/greatest) — no token-grain
+    // self-join ever happens; the only shuffles carry pair and unigram
+    // COUNTS (vocabulary-bounded), and the unigram side broadcasts back
+    // onto the pair counts. The PMI argument is built as two exact BIGINT
+    // products before ONE double division, so both engines feed ln() the
+    // identical double and the 6-dp rounding cannot diverge.
+    "text_cooccur_pmi" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(split(lower(col("text")), " ").as("tk"))
+      val tok = docs.select(explode(col("tk")).as("w"))
+      val ntok = tok.agg(count(lit(1)).as("ntok"))
+      val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val pairs = docs.select(explode(expr(
+        "flatten(transform(tk, (w, p) -> transform(slice(tk, p + 2, 4), " +
+          "w2 -> struct(least(w, w2) AS a, greatest(w, w2) AS b))))")).as("pr"))
+        .select(col("pr.a").as("a"), col("pr.b").as("b"))
+      val npairs = pairs.agg(count(lit(1)).as("npairs"))
+      val c12 = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 10)
+      c12.join(broadcast(uni.select(col("w").as("a"), col("c").as("c1"))), "a")
+        .join(broadcast(uni.select(col("w").as("b"), col("c").as("c2"))), "b")
+        .crossJoin(broadcast(ntok)).crossJoin(broadcast(npairs))
+        .withColumn("pmi", round(log(
+          (col("c12") * col("ntok") * col("ntok")).cast("double") /
+            (col("c1") * col("c2") * col("npairs")).cast("double")), 6))
+        .select(col("a"), col("b"), col("c12"), col("pmi"))
+        .orderBy(col("pmi").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
     // training-data mixture sampling — the domain-reweighting step every
     // LLM pretraining run performs between curation and sharding: each
     // source gets a target weight in EPOCHS over its docs; weight w keeps
@@ -726,6 +758,23 @@ object TextOps {
                ORDER BY (doc_id * 1315423911) % 1000000007, doc_id) AS pos
            FROM documents)
          ORDER BY doc_id""",
+    "text_cooccur_pmi" ->
+      """WITH tk AS (SELECT string_split(lower(text), ' ') AS tk FROM documents),
+         tok AS (SELECT unnest(tk) AS w FROM tk),
+         tot AS (SELECT count(1) AS ntok FROM tok),
+         uni AS (SELECT w, count(1) AS c FROM tok GROUP BY w),
+         p0 AS (SELECT tk, unnest(range(1, len(tk) + 1)) AS p FROM tk),
+         pr AS (
+           SELECT least(tk[CAST(p AS INTEGER)], w2) AS a,
+                  greatest(tk[CAST(p AS INTEGER)], w2) AS b
+           FROM (SELECT tk, p, unnest(tk[p+1:least(p+4, len(tk))]) AS w2 FROM p0)),
+         np AS (SELECT count(1) AS npairs FROM pr),
+         cp AS (SELECT a, b, count(1) AS c12 FROM pr GROUP BY a, b HAVING count(1) >= 10)
+         SELECT a, b, c12,
+                round(ln(CAST(c12 * ntok * ntok AS DOUBLE)
+                         / CAST(u1.c * u2.c * npairs AS DOUBLE)), 6) AS pmi
+         FROM cp JOIN uni u1 ON cp.a = u1.w JOIN uni u2 ON cp.b = u2.w, tot, np
+         ORDER BY pmi DESC, a, b LIMIT 20""",
     "corpus_mix" ->
       """WITH w(tier, mills) AS (VALUES (0, 2500), (1, 1000), (2, 500), (3, 100)),
          d AS (

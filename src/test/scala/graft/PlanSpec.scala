@@ -400,6 +400,7 @@ class PlanSpec extends SparkSuite {
       "agg_kmv_setops" -> "pairwise theta join over a <=7-row daily sketch frame",
       "graph_triangles" -> "crossJoin composes three 1-row aggregate frames",
       "ts_decay_agg" -> "crossJoin against a broadcast 1-row max-ts reference",
+      "text_cooccur_pmi" -> "crossJoins against broadcast 1-row ntok/npairs totals",
       "vec_ann_recall" -> "composes vec_knn_join, whose broadcast <=8-probe cross join is bounded")
     val sf = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
