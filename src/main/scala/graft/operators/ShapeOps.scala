@@ -180,6 +180,25 @@ object ShapeOps {
         .orderBy(col("user_id"))
     }),
 
+    // gaps-and-islands — the canonical consecutive-streak analysis: how
+    // many activity streaks does each user have, and how long is the
+    // longest run of CONSECUTIVE active days? The island key is the
+    // classic day − row_number() difference (constant within a
+    // consecutive run, distinct across gaps) — pure integer/date
+    // arithmetic, exactly mirrored in SQL. One distinct, one per-user
+    // window, two count-sized aggs; per-user day counts are bounded by
+    // the calendar, so the window partitions stay small at any log size.
+    "seq_islands" -> ((s, dir) => {
+      val d = events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      d.withColumn("grp", expr("date_sub(day, row_number() OVER (PARTITION BY user_id ORDER BY day))"))
+        .groupBy(col("user_id"), col("grp")).agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"), max(col("len")).as("longest"))
+        .orderBy(col("user_id"))
+    }),
+
     // half-life-decayed activity score — the feature-store aggregation
     // behind "recent activity" signals: each event's value weighted by
     // 0.5^(age_weeks) against the corpus's max timestamp (a deterministic
@@ -321,6 +340,17 @@ object ShapeOps {
          SELECT user_id, len(vs) AS n,
                 round(list_reduce(vs, (acc, x) -> 0.2 * x + 0.8 * acc), 6) AS ewma
          FROM h ORDER BY user_id""",
+    "seq_islands" ->
+      """WITH d AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         g AS (
+           SELECT user_id, day,
+                  day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+           FROM d),
+         isl AS (SELECT user_id, grp, count(1) AS len FROM g GROUP BY user_id, grp)
+         SELECT user_id, count(1) AS n_islands, CAST(max(len) AS BIGINT) AS longest
+         FROM isl GROUP BY user_id ORDER BY user_id""",
     "ts_decay_agg" ->
       """WITH ref AS (SELECT max(CAST(ts AS DATE)) AS ref_day FROM events),
          e AS (
