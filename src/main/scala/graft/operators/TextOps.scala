@@ -354,6 +354,35 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 — the retrieval scoring function itself (Lucene's +1 idf form,
+    // k1 = 1.2, b = 0.75): top-3 terms per doc by BM25 against the corpus.
+    // Every input is an exact integer count (tf, df, dl, N, Σdl); the
+    // score expression is written with the SAME association tree in both
+    // engines, so each double op receives identical operands and the 6-dp
+    // rounding cannot diverge. Shuffle shape matches text_tfidf: term
+    // stats broadcast, the (doc, term) grain shuffles once by doc.
+    "text_bm25" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val tot = dl.agg(count(lit(1)).as("ndocs"), sum(col("dl")).as("ntok"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+      tf.join(broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(tot))
+        .withColumn("idf", log(
+          (col("ndocs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+        .withColumn("avgdl", col("ntok").cast("double") / col("ndocs").cast("double"))
+        .withColumn("score", round(
+          col("idf") * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"), col("score"), col("rnk"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
     // windowed co-occurrence PMI — the classic corpus statistic behind
     // collocation mining and embedding-era co-occurrence matrices. Pairs
     // are generated MAP-SIDE by a nested array lambda (each token with its
@@ -758,6 +787,25 @@ object TextOps {
                ORDER BY (doc_id * 1315423911) % 1000000007, doc_id) AS pos
            FROM documents)
          ORDER BY doc_id""",
+    "text_bm25" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+         dl AS (SELECT doc_id, count(1) AS dl FROM tok GROUP BY doc_id),
+         tf AS (SELECT doc_id, term, count(1) AS tf FROM tok GROUP BY doc_id, term),
+         df AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
+         tot AS (SELECT count(1) AS ndocs, CAST(sum(dl) AS BIGINT) AS ntok FROM dl),
+         s AS (
+           SELECT t.doc_id, t.term,
+             round(ln((CAST(ndocs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (0.25 + 0.75 * d.dl
+                        / (CAST(ntok AS DOUBLE) / CAST(ndocs AS DOUBLE)))), 6) AS score
+           FROM tf t JOIN df USING (term) JOIN dl d USING (doc_id), tot)
+         SELECT doc_id, term, score, CAST(rnk AS INTEGER) AS rnk FROM (
+           SELECT doc_id, term, score,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+           FROM s)
+         WHERE rnk <= 3 ORDER BY doc_id, rnk""",
     "text_cooccur_pmi" ->
       """WITH tk AS (SELECT string_split(lower(text), ' ') AS tk FROM documents),
          tok AS (SELECT unnest(tk) AS w FROM tk),

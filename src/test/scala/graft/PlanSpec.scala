@@ -401,6 +401,7 @@ class PlanSpec extends SparkSuite {
       "graph_triangles" -> "crossJoin composes three 1-row aggregate frames",
       "ts_decay_agg" -> "crossJoin against a broadcast 1-row max-ts reference",
       "text_cooccur_pmi" -> "crossJoins against broadcast 1-row ntok/npairs totals",
+      "text_bm25" -> "crossJoin against a broadcast 1-row ndocs/ntok total",
       "vec_ann_recall" -> "composes vec_knn_join, whose broadcast <=8-probe cross join is bounded")
     val sf = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
