@@ -260,6 +260,29 @@ object Relational {
         .orderBy(col("event_id"))
     }),
 
+    // NEAREST as-of: the minimal-|Δt| match in EITHER direction (sensor
+    // alignment, closest-quote joins). Distance is exact integer
+    // microseconds (no double time arithmetic); ties break backward
+    // (earlier event) then lowest id — the trio backward/forward/nearest
+    // now covers every direction a real as-of API exposes.
+    "join_asof_nearest" -> ((s, dir) => {
+      val e = events(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("dist").asc_nulls_last, col("v_ts").asc_nulls_last,
+          col("view_id").asc_nulls_last)
+      p.join(v, p("user_id") === v("v_user"), "left")
+        .withColumn("dist", abs(expr("unix_micros(v_ts) - unix_micros(ts)")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("view_id"), lit(-1L)).as("nearest_view_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // same as-of semantics through the NATIVE operator (custom logical
     // node + strategy + sort-merge exec, graft.plans.AsofJoin) — linear
     // merge instead of the emulation's pair blow-up; checked against the
@@ -378,6 +401,16 @@ object Relational {
            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
            LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
              ON v.user_id = p.user_id AND v.ts > p.ts)
+         WHERE rn = 1 ORDER BY event_id""",
+    "join_asof_nearest" ->
+      """SELECT event_id, user_id, coalesce(view_id, -1) AS nearest_view_id FROM (
+           SELECT p.event_id, p.user_id, v.event_id AS view_id,
+                  row_number() OVER (PARTITION BY p.event_id
+                    ORDER BY abs(epoch_us(v.ts) - epoch_us(p.ts)) ASC NULLS LAST,
+                             v.ts ASC NULLS LAST, v.event_id ASC NULLS LAST) AS rn
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+             ON v.user_id = p.user_id)
          WHERE rn = 1 ORDER BY event_id""",
     "join_asof_tolerance" ->
       """SELECT event_id, user_id, coalesce(view_id, -1) AS prior_view_id FROM (
