@@ -303,6 +303,37 @@ object VectorOps {
         .select(col("vec_id"), col("sim16"), col("sim_full"))
     }),
 
+    // int8 SCALAR quantization — the other industry-standard compression
+    // tier next to PQ/Matryoshka (4× smaller vectors, trivially SIMD at
+    // serving): per-vector max-abs scale, q_i = round(x_i·127/scale)
+    // clamp-free (max-abs guarantees |q| ≤ 127), rank by cosine over the
+    // DEQUANTIZED vectors with full precision reported alongside, so the
+    // quantization noise is directly visible in the output ordering. The
+    // dequantized cosine runs the same sequential-fold HOF shape the
+    // oracle computes, and round() is away-from-zero in both engines, so
+    // the whole quantize→dequantize→rank path is hash-oracled.
+    "vec_sq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val hofCos =
+        """aggregate(zip_with(dqe, dqq, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)
+           / (sqrt(aggregate(transform(dqe, x -> x * x), cast(0 as double), (acc, v) -> acc + v))
+              * sqrt(aggregate(transform(dqq, x -> x * x), cast(0 as double), (acc, v) -> acc + v)))"""
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("s_e", expr("array_max(transform(embedding, x -> abs(cast(x as double))))"))
+        .withColumn("s_q", expr("array_max(transform(qe, x -> abs(cast(x as double))))"))
+        .withColumn("dqe", expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 127.0 / s_e, 0) as int) * s_e / 127.0)"))
+        .withColumn("dqq", expr(
+          "transform(qe, x -> cast(round(cast(x as double) * 127.0 / s_q, 0) as int) * s_q / 127.0)"))
+        .withColumn("sim_sq", round(expr(hofCos), 6))
+        .withColumn("sim_full", round(cosine_sim(col("embedding"), col("qe")), 6))
+        .orderBy(col("sim_sq").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("sim_sq"), col("sim_full"))
+    }),
+
     "vec_knn_join" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val probes = emb.filter(col("vec_id") < 8)
@@ -605,6 +636,22 @@ object VectorOps {
            FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
            WHERE e.vec_id <> 0)
          ORDER BY sim16 DESC, vec_id LIMIT 10""",
+    "vec_sq_topk" ->
+      s"""WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         base AS (
+           SELECT e.vec_id, e.embedding, q.qe,
+             list_aggregate(list_transform(e.embedding, x -> abs(x::DOUBLE)), 'max') AS s_e,
+             list_aggregate(list_transform(q.qe, x -> abs(x::DOUBLE)), 'max') AS s_q
+           FROM embeddings e, qv q WHERE e.vec_id <> 0),
+         dq AS (
+           SELECT vec_id, embedding, qe,
+             list_transform(embedding, x -> CAST(round(x::DOUBLE * 127.0 / s_e, 0) AS INTEGER) * s_e / 127.0) AS dqe,
+             list_transform(qe, x -> CAST(round(x::DOUBLE * 127.0 / s_q, 0) AS INTEGER) * s_q / 127.0) AS dqq
+           FROM base)
+         SELECT vec_id,
+           round(${cosSql("dqe", "dqq")}, 6) AS sim_sq,
+           round(${cosSql("embedding", "qe")}, 6) AS sim_full
+         FROM dq ORDER BY sim_sq DESC, vec_id LIMIT 10""",
     "vec_knn_join" ->
       s"""SELECT probe_id, vec_id AS neighbor_id, sim, rn FROM (
            SELECT q.probe_id, e.vec_id, round($sqlCosDuck, 6) AS sim,
