@@ -354,6 +354,38 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // URL canonicalization — the web-corpus dedup preprocessor: lowercase
+    // scheme/host (path case PRESERVED), strip default port, www. prefix,
+    // fragment, and tracking params (utm_*/ref=), drop the trailing
+    // slash, then report per-domain URL and unique-canonical counts — the
+    // domain-level stats blocklists and crawl dedup key off. Synthetic
+    // dirty URLs are derived per doc (the text_pii_scrub pattern: the
+    // normalizer provably fires on every row); every step is a per-row
+    // regex/array expression mirrored verbatim in the oracle — one hash
+    // agg, nothing else shuffles.
+    "url_canonicalize" -> ((s, dir) => {
+      val raw = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("HTTPS://WWW.Example"), pmod(col("doc_id"), lit(20)).cast("string"),
+          lit(".COM:443/P"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit("/?utm_source=feed&id="), pmod(col("doc_id"), lit(50)).cast("string"),
+          lit("&ref=x&q=1#sec"), col("doc_id").cast("string")).as("url"))
+      raw
+        .withColumn("scheme", lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1)))
+        .withColumn("host", regexp_replace(regexp_replace(
+          lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1)),
+          ":443$", ""), "^www\\.", ""))
+        .withColumn("path", regexp_replace(
+          regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+(/[^?#]*)", 1), "/$", ""))
+        .withColumn("q", expr(
+          "array_join(filter(split(regexp_extract(url, '\\\\?([^#]*)', 1), '&'), " +
+            "p -> NOT (startswith(p, 'utm_') OR startswith(p, 'ref='))), '&')"))
+        .withColumn("canonical", concat(col("scheme"), lit("://"), col("host"), col("path"),
+          when(col("q") === "", lit("")).otherwise(concat(lit("?"), col("q")))))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_urls"), countDistinct(col("canonical")).as("n_unique"))
+        .orderBy(col("host"))
+    }),
+
     // BM25 — the retrieval scoring function itself (Lucene's +1 idf form,
     // k1 = 1.2, b = 0.75): top-3 terms per doc by BM25 against the corpus.
     // Every input is an exact integer count (tf, df, dl, N, Σdl); the
@@ -787,6 +819,29 @@ object TextOps {
                ORDER BY (doc_id * 1315423911) % 1000000007, doc_id) AS pos
            FROM documents)
          ORDER BY doc_id""",
+    "url_canonicalize" ->
+      """WITH raw AS (
+           SELECT doc_id,
+             'HTTPS://WWW.Example' || (doc_id % 20) || '.COM:443/P' || (doc_id % 7)
+               || '/?utm_source=feed&id=' || (doc_id % 50) || '&ref=x&q=1#sec' || doc_id AS url
+           FROM documents),
+         c AS (
+           SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             regexp_replace(regexp_replace(
+               lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+               ':443$', ''), '^www\.', '') AS host,
+             regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1), '/$', '') AS path,
+             array_to_string(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+               p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'ref='))), '&') AS q
+           FROM raw),
+         canon AS (
+           SELECT host,
+             scheme || '://' || host || path
+               || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical
+           FROM c)
+         SELECT host, count(1) AS n_urls, count(DISTINCT canonical) AS n_unique
+         FROM canon GROUP BY host ORDER BY host""",
     "text_bm25" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
