@@ -86,6 +86,23 @@ object ScalarBank {
         .orderBy(col("o_orderkey"))
     }),
 
+    // bitwise bank — the ops behind hash partitioners, bitmap indexes,
+    // flag columns and bucket routing: AND/OR/XOR/NOT, shifts, popcount.
+    // Pure 64-bit integer arithmetic, identical in both engines.
+    "fn_bitwise" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(lit(255L)).as("b_and"),
+          col("o_orderkey").bitwiseOR(lit(4096L)).as("b_or"),
+          col("o_orderkey").bitwiseXOR(col("o_custkey")).as("b_xor"),
+          shiftleft(col("o_orderkey"), 3).as("b_shl"),
+          shiftright(col("o_orderkey"), 2).as("b_shr"),
+          expr("bit_count(o_orderkey)").as("b_pop"),
+          expr("~o_custkey").as("b_not"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "fn_math" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .select(
@@ -202,6 +219,16 @@ object ScalarBank {
          date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
          last_day(CAST(o_orderdate AS DATE)) AS eom,
          epoch_us(o_orderdate) // 1000000 AS epoch_s
+         FROM orders ORDER BY o_orderkey""",
+    "fn_bitwise" ->
+      """SELECT o_orderkey,
+         o_orderkey & 255 AS b_and,
+         o_orderkey | 4096 AS b_or,
+         xor(o_orderkey, o_custkey) AS b_xor,
+         o_orderkey << 3 AS b_shl,
+         o_orderkey >> 2 AS b_shr,
+         CAST(bit_count(o_orderkey) AS INTEGER) AS b_pop,
+         ~o_custkey AS b_not
          FROM orders ORDER BY o_orderkey""",
     "fn_math" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
