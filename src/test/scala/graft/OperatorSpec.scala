@@ -884,6 +884,20 @@ class PropertySpec extends SparkSuite {
     assert(Multimodal.analyzePcm(7L, be.array()).mean_energy !== feat.mean_energy)
   }
 
+  test("vec_sq_topk: int8 quantization error stays inside the scalar-quantization bound") {
+    val out = q("vec_sq_topk").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.length === 10)
+    // per-component error ≤ scale/254 ⇒ cosine perturbation is small; for
+    // 64-dim unit-ish vectors the practical bound is well under 0.05
+    out.foreach { case (id, sq, full) =>
+      assert(math.abs(sq - full) < 0.05, s"vec $id: sq=$sq full=$full drifted past the int8 bound")
+    }
+    // ranking comes from the quantized tier and must be sorted by it
+    val sqs = out.map(_._2)
+    assert(sqs.zip(sqs.drop(1)).forall { case (a, b) => a >= b })
+  }
+
   test("corpus_mix: mixture matches the per-mille ladder exactly; epochs dense per doc") {
     val out = q("corpus_mix").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
