@@ -396,8 +396,14 @@ object TextOps {
     "text_bm25" -> ((s, dir) => {
       val tok = t(s, dir, "documents")
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
-      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      // tf feeds THREE consumers (df, dl, the scored join) — materialize
+      // it once with lineage truncated (the vec_knn_graph init pattern)
+      // so the token grain is scanned and shuffled exactly once
       val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      // doc length re-aggregates the (doc, term) frame, NOT the token
+      // grain — Σtf per doc equals the token count exactly
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val tot = dl.agg(count(lit(1)).as("ndocs"), sum(col("dl")).as("ntok"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
@@ -845,8 +851,8 @@ object TextOps {
     "text_bm25" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
-         dl AS (SELECT doc_id, count(1) AS dl FROM tok GROUP BY doc_id),
          tf AS (SELECT doc_id, term, count(1) AS tf FROM tok GROUP BY doc_id, term),
+         dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
          df AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
          tot AS (SELECT count(1) AS ndocs, CAST(sum(dl) AS BIGINT) AS ntok FROM dl),
          s AS (

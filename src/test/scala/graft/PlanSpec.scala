@@ -371,6 +371,24 @@ class PlanSpec extends SparkSuite {
     // re-computed pair build
     assert(hashExchanges("vec_knn_graph") === 4, p.take(3000))
     assert(p.contains("Scan ExistingRDD"), p.take(2000))
+    // text_bm25: the checkpointed tf frame feeds df/dl/scoring, so the
+    // token grain shuffles ONCE; 4 exchanges total (tf + df + dl + the
+    // doc-keyed join/window), term stats broadcast
+    assert(hashExchanges("text_bm25") === 4, plan("text_bm25").take(3000))
+    assert(plan("text_bm25").contains("Scan ExistingRDD"))
+    // ts_decay_agg: exactly the one final hash agg — scan-shaped
+    assert(hashExchanges("ts_decay_agg") === 1, plan("ts_decay_agg").take(2000))
+    // vec_sq_topk: quantize/dequantize/rank entirely scan-side, top-k
+    // lowered — zero hash exchanges
+    assert(hashExchanges("vec_sq_topk") === 0)
+    assert(plan("vec_sq_topk").contains("TakeOrderedAndProject"))
+    // seq_islands: the island window + the (user, grp) agg — two
+    assert(hashExchanges("seq_islands") === 2, plan("seq_islands").take(2000))
+    // text_cooccur_pmi: pair agg + unigram agg + rank, pairs generated
+    // map-side (no token self-join anywhere), top-20 lowered
+    assert(hashExchanges("text_cooccur_pmi") === 3, plan("text_cooccur_pmi").take(2000))
+    assert(plan("text_cooccur_pmi").contains("TakeOrderedAndProject"))
+    assert(!plan("text_cooccur_pmi").contains("SortMergeJoin"))
   }
 
   test("plan lint: no query plans an unbounded cartesian / nested-loop join") {
