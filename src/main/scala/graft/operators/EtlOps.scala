@@ -45,6 +45,28 @@ object EtlOps {
     path
   }
 
+  /** One-time staging of orders (< 300) as NESTED JSON documents — each
+    * order carries its lineitems as an embedded array, the
+    * document-store shape the spec's transform stage targets. Item order
+    * inside a document is collect_list-nondeterministic, which is exactly
+    * why the reading query must aggregate order-insensitively. */
+  def stageNestedJson(s: SparkSession, dir: String): String = {
+    val path = tmpDir(s"njson_${pathTag(dir)}")
+    if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
+      val o = t(s, dir, "orders").filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val l = t(s, dir, "lineitem").filter(col("l_orderkey") < 300)
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderstatus"))
+        .agg(collect_list(struct(col("l_linenumber").as("l"),
+          col("l_quantity").as("qty"), col("l_extendedprice").as("price"))).as("items"))
+        .select(to_json(struct(col("o_orderkey").as("o"),
+          col("o_orderstatus").as("status"), col("items").as("items"))).as("value"))
+        .write.mode(SaveMode.Overwrite).text(path)
+    }
+    path
+  }
+
   def stageCsv(s: SparkSession, dir: String): String = {
     val path = tmpDir(s"csv_${pathTag(dir)}")
     if (!Files.exists(Paths.get(path, "_SUCCESS")))
@@ -326,6 +348,29 @@ object EtlOps {
         .orderBy(col("l_returnflag"))
     }),
 
+    // nested-document flatten — the document-store ingest shape the
+    // reference spec's transform stage targets (README:23-24 "reformat
+    // for MongoDB compatibility"): orders arrive as JSON documents with
+    // an embedded items ARRAY, are read under an explicit nested schema
+    // (struct + array<struct> — no inference pass at scale), exploded to
+    // item grain, and re-aggregated. Staged once from the relational
+    // tables, so the DuckDB oracle recomputes the same totals straight
+    // from orders⋈lineitem — any flatten/parse bug breaks the hash.
+    "scan_json_nested" -> ((s, dir) => {
+      val path = stageNestedJson(s, dir)
+      val schema = StructType(Seq(
+        StructField("o", LongType), StructField("status", StringType),
+        StructField("items", ArrayType(StructType(Seq(
+          StructField("l", IntegerType), StructField("qty", DoubleType),
+          StructField("price", DoubleType)))))))
+      s.read.schema(schema).json(path)
+        .select(col("o"), col("status"), explode(col("items")).as("it"))
+        .groupBy(col("status"))
+        .agg(countDistinct(col("o")).as("n_orders"), count(lit(1)).as("n_items"),
+          dsum(col("it.qty")).as("qty"), dsum(col("it.price")).as("price"))
+        .orderBy(col("status"))
+    }),
+
     // dynamic partition overwrite — the incremental-reprocess write at
     // 100 TB: a nightly job recomputes ONE partition and swaps it in
     // place; every other partition's files stay untouched (no full-table
@@ -576,6 +621,13 @@ object EtlOps {
          FROM events GROUP BY event_type ORDER BY event_type""",
     "sink_parquet" ->
       """SELECT l_returnflag, count(1) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "scan_json_nested" ->
+      """SELECT o_orderstatus AS status,
+         count(DISTINCT o_orderkey) AS n_orders, count(1) AS n_items,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6) AS qty,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS price
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey < 300 GROUP BY status ORDER BY status""",
     // rev = 1 ONLY for the overwritten partition; the other langs keeping
     // their rows at rev 0 is what distinguishes dynamic from static
     // overwrite (static would leave only the en partition on disk)
