@@ -511,6 +511,22 @@ object TextOps {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       jaccardPairs(s, dir).orderBy(col("d1"), col("d2"))),
 
+    // ASYMMETRIC near-subset detection — the measure Jaccard misses: a
+    // short doc quoted whole inside a long one scores low on Jaccard
+    // (union-normalized) but 1.0 on the overlap coefficient
+    // |A∩B| / min(|A|,|B|). This is the quote/aggregator-page detector
+    // curation runs alongside symmetric near-dup; same bounded candidate
+    // window and shared pair-stats frame as the Jaccard op, with the
+    // contained (smaller) doc identified per pair, ties to d1.
+    "dedup_containment" -> ((s, dir) =>
+      pairStats(s, dir)
+        .withColumn("overlap", r6(col("inter").cast("double") / least(col("n1"), col("n2"))))
+        .filter(col("overlap") >= 0.8)
+        .withColumn("contained_id",
+          when(col("n1") <= col("n2"), col("d1")).otherwise(col("d2")))
+        .select(col("d1"), col("d2"), col("overlap"), col("contained_id"))
+        .orderBy(col("d1"), col("d2"))),
+
     // training-data decontamination: flag corpus docs sharing any 5-gram
     // with the benchmark/eval set (here doc_id < 32 stands in for the
     // benchmark). The eval side is tiny by construction — benchmarks are
@@ -681,7 +697,10 @@ object TextOps {
 
   /** Bounded-window unigram-Jaccard near-dup pairs (d1 < d2, 6-dp-rounded
     * jaccard ≥ 0.5) — shared by the pair query and the clustering op. */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  /** (d1 < d2, |A∩B|, |A|, |B|) over distinct token sets of the bounded
+    * candidate window — the shared numerator/denominator frame both the
+    * symmetric (Jaccard) and asymmetric (containment) measures read. */
+  private def pairStats(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents").filter(col("doc_id") < 256)
       .select(col("doc_id"), explode(array_distinct(split(lower(col("text")), " "))).as("token"))
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
@@ -692,10 +711,13 @@ object TextOps {
     inter
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("nt", "n1"), "d1")
       .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("nt", "n2"), "d2")
+  }
+
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    pairStats(s, dir)
       .withColumn("jaccard", r6(col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))))
       .filter(col("jaccard") >= 0.5)
       .select(col("d1"), col("d2"), col("jaccard"))
-  }
 
   val oracles: Map[String, String] = Map(
     "text_normalize_hash" ->
@@ -1033,6 +1055,25 @@ object TextOps {
                FROM inter JOIN sizes s1 ON inter.d1 = s1.doc_id
                JOIN sizes s2 ON inter.d2 = s2.doc_id)
          WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) >= 0.5
+         ORDER BY d1, d2""",
+    "dedup_containment" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS token
+           FROM documents WHERE doc_id < 256),
+         sizes AS (SELECT doc_id, count(1) AS nt FROM toks GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2, count(1) AS inter
+           FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         st AS (
+           SELECT inter.d1, inter.d2, inter.inter, s1.nt AS n1, s2.nt AS n2
+           FROM inter JOIN sizes s1 ON inter.d1 = s1.doc_id
+           JOIN sizes s2 ON inter.d2 = s2.doc_id)
+         SELECT d1, d2,
+           round(CAST(inter AS DOUBLE) / least(n1, n2), 6) AS overlap,
+           CASE WHEN n1 <= n2 THEN d1 ELSE d2 END AS contained_id
+         FROM st
+         WHERE round(CAST(inter AS DOUBLE) / least(n1, n2), 6) >= 0.8
          ORDER BY d1, d2"""
   ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
 }
