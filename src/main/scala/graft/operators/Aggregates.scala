@@ -280,6 +280,47 @@ object Aggregates {
       """)
     }),
 
+    // Fifth member of the sketch family (HLL ≈ distinct, bitmap = exact
+    // distinct, topk = heavy hitters, KMV = set algebra, this = POINT
+    // FREQUENCY): a count-min sketch expressed as PURE relational algebra,
+    // no UDAF needed — the d×w counter matrix IS a (row, bucket, count)
+    // frame. Build: each key explodes to d (row, bucket) cells via the
+    // engine's deterministic multiplicative hashes (public Knuth/xxHash
+    // prime constants, NOT an opaque hash — exactly so DuckDB can replay
+    // the sketch bit for bit); one hash agg per event_type = the PARTIAL
+    // sketches; merging partials is an element-wise ADD, i.e. a plain
+    // groupBy-sum — the mergeability that makes CMS a 100 TB structure
+    // falls out of the algebra instead of custom merge code. State is
+    // hard-bounded at d·w cells per group regardless of key cardinality.
+    // Probe: est(u) = min over rows of cell(j, h_j(u)) — CMS guarantees
+    // est ≥ true (one-sided error), which the spec asserts. The probe set
+    // (top-10 users by true count, tiebreak user_id) keeps the output
+    // deterministic at every SF.
+    "agg_countmin" -> ((s, dir) => {
+      val w = 256
+      val ms = Seq(2654435761L, 2246822519L, 3266489917L)
+      val e = events(s, dir).select(col("event_type"), col("user_id").as("u"))
+      val cells = e.select(col("event_type"), col("u"),
+          posexplode(array(ms.map(lit(_)): _*)))
+        .select(col("event_type"), col("u"), col("pos").as("j"),
+          (col("u") * col("col") % lit(4294967296L) % lit(w.toLong)).as("bkt"))
+      val partial = cells.groupBy(col("event_type"), col("j"), col("bkt"))
+        .agg(count(lit(1)).as("c"))
+      val sketch = partial.groupBy(col("j"), col("bkt"))
+        .agg(sum(col("c")).as("c"))
+      val truth = e.groupBy(col("u")).agg(count(lit(1)).as("true_n"))
+        .orderBy(col("true_n").desc, col("u")).limit(10)
+      truth.select(col("u"), col("true_n"),
+          posexplode(array(ms.map(lit(_)): _*)))
+        .select(col("u"), col("true_n"), col("pos").as("j"),
+          (col("u") * col("col") % lit(4294967296L) % lit(w.toLong)).as("bkt"))
+        .join(broadcast(sketch), Seq("j", "bkt"))
+        .groupBy(col("u"), col("true_n"))
+        .agg(min(col("c")).as("cms_est"))
+        .select(col("u").as("user_id"), col("true_n"), col("cms_est"))
+        .orderBy(col("true_n").desc, col("user_id"))
+    }),
+
     "agg_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -539,6 +580,21 @@ object Aggregates {
            SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
            FROM documents)
          GROUP BY tok ORDER BY cnt DESC, token LIMIT 9""",
+    "agg_countmin" ->
+      """WITH e AS (SELECT event_type, user_id AS u FROM events),
+         ms AS (SELECT * FROM (VALUES (0, 2654435761), (1, 2246822519), (2, 3266489917)) AS t(j, m)),
+         cells AS (SELECT event_type, u, j, ((u * m) % 4294967296) % 256 AS bkt
+                   FROM e CROSS JOIN ms),
+         partial AS (SELECT event_type, j, bkt, count(1) AS c FROM cells GROUP BY 1, 2, 3),
+         sketch AS (SELECT j, bkt, CAST(sum(c) AS BIGINT) AS c FROM partial GROUP BY 1, 2),
+         truth AS (SELECT u, count(1) AS true_n FROM e GROUP BY u
+                   ORDER BY true_n DESC, u LIMIT 10),
+         probes AS (SELECT u, true_n, j, ((u * m) % 4294967296) % 256 AS bkt
+                    FROM truth CROSS JOIN ms)
+         SELECT u AS user_id, true_n, min(c) AS cms_est
+         FROM probes JOIN sketch USING (j, bkt)
+         GROUP BY u, true_n
+         ORDER BY true_n DESC, user_id""",
     "sub_exists" ->
       """SELECT c_custkey, round(CAST(c_acctbal AS DOUBLE), 6) AS bal
          FROM customer c

@@ -301,6 +301,98 @@ object AnalyticsOps {
         .orderBy(col("c_mktsegment"), col("decile"))
     }),
 
+    // Feature scaling — the other half of feature prep next to
+    // feature_bucketize's discretization: min-max to [0,1] and z-score
+    // per segment, both from ONE decimal-exact stats pass (min/max/Σ/Σ²)
+    // broadcast back onto the fact — the fact never shuffles, so the
+    // shape survives a 100× fact scale-up unchanged. Degenerate guards
+    // (constant column → mx=mn, σ=0) emit NULL identically on both
+    // engines instead of NaN/error divergence.
+    "feature_scale" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_mktsegment").as("seg"), col("c_acctbal").cast("double").as("bal"))
+      val stats = c.groupBy(col("seg")).agg(
+          min(col("bal")).as("mn"), max(col("bal")).as("mx"),
+          count(lit(1)).as("n"),
+          sum(dec(col("bal"))).as("sv"),
+          sum(dec(col("bal")) * dec(col("bal"))).as("svv"))
+        .select(col("seg"), col("mn"), col("mx"),
+          (col("sv").cast("double") / col("n")).as("mu"),
+          sqrt(greatest((col("svv").cast("double") - col("sv").cast("double") *
+            col("sv").cast("double") / col("n")) / col("n"), lit(0.0))).as("sigma"))
+      c.join(broadcast(stats), Seq("seg"))
+        .select(col("c_custkey"), col("seg"), round(col("bal"), 6).as("bal"),
+          when(col("mx") > col("mn"),
+            round((col("bal") - col("mn")) / (col("mx") - col("mn")), 6)).as("minmax"),
+          when(col("sigma") > 0,
+            round((col("bal") - col("mu")) / col("sigma"), 6)).as("zscore"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Lagged cross-correlation between two event streams (does `view`
+    // activity predict `purchase` activity k days later?): daily counts
+    // per series, the x-series exploded over lags 0..7 and equi-joined to
+    // the y-series on the SHIFTED day, then one Pearson per lag from
+    // integer moment sums (counts are exact integers, so Σ/Σ²/Σxy carry
+    // no float error; the closed form casts to double once at the end —
+    // value-identical on both engines). The day-grain frame is tiny at
+    // any SF (time-bounded, not row-bounded), so the whole query after
+    // the first daily rollup is effectively free — the single fact scan
+    // is the only 100 TB-sized stage.
+    "ts_cross_corr" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val a = daily.filter(col("event_type") === "view")
+        .select(col("day"), col("c").as("x"))
+      val b = daily.filter(col("event_type") === "purchase")
+        .select(col("day").as("bday"), col("c").as("y"))
+      a.select(col("day"), col("x"), explode(expr("sequence(0, 7)")).as("lag"))
+        .withColumn("tday", date_add(col("day"), col("lag")))
+        .join(b, col("tday") === col("bday"))
+        .groupBy(col("lag")).agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("lag"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt(((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))).cast("double")), 6)
+            .as("xcorr"))
+        .orderBy(col("lag"))
+    }),
+
+    // CUSUM changepoint detection per event series: the day where the
+    // cumulative deviation from the series mean peaks — the standard
+    // "when did the level shift?" screen over operational metrics.
+    // Arithmetic stays EXACT until the last step: daily counts and their
+    // running sums are integers; the only float op is the final
+    // run − t·mean, an identical expression on both engines over exact
+    // inputs, so the per-type argmax (row_number over |cusum| desc with a
+    // day tiebreak) is engine-deterministic. Windows partition by type —
+    // day-grain input, bounded by the calendar, parallel across series.
+    "ts_changepoint" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val stats = daily.groupBy(col("event_type"))
+        .agg(sum(col("c")).as("tot"), count(lit(1)).as("nd"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val cus = daily.join(broadcast(stats), Seq("event_type"))
+        .withColumn("t", row_number().over(w))
+        .withColumn("run", sum(col("c")).over(w))
+        .withColumn("cusum", col("run").cast("double") -
+          col("t") * (col("tot").cast("double") / col("nd")))
+      val r = Window.partitionBy(col("event_type"))
+        .orderBy(abs(col("cusum")).desc, col("day"))
+      cus.withColumn("rk", row_number().over(r)).filter(col("rk") === 1)
+        .select(col("event_type"), col("day").as("cp_day"),
+          round(col("cusum"), 6).as("cusum"))
+        .orderBy(col("event_type"))
+    }),
+
     "profile_columns" -> ((s, dir) => {
       def nn(c: String) = count(when(col(c).isNull, 1)).as(s"nn_$c")
       def nd(c: String) = countDistinct(col(c)).as(s"nd_$c")
@@ -376,6 +468,82 @@ object AnalyticsOps {
         .select(col("event_id"), col("event_type"), round(col("value"), 6).as("value"),
           round(col("z_raw"), 6).as("z"))
         .orderBy(col("event_id"))
+    }),
+
+    // Robust counterpart to anom_zscore: median/MAD outlier flagging.
+    // μ/σ are sensitive to the very outliers they hunt (one extreme
+    // value inflates σ and hides its neighbors); the median and the
+    // median-absolute-deviation have a 50% breakdown point, so the
+    // robust z (value−med)/(1.4826·MAD) keeps flagging when the tail is
+    // heavy. Two exact interpolating percentiles (Spark `percentile` and
+    // DuckDB `quantile_cont` both implement the R-7 estimator, so the
+    // fold is value-identical), each a single sort-based agg per group;
+    // the per-group (med, mad) frames are event-type-sized and broadcast
+    // back onto the fact — at 100 TB the fact is scanned twice and never
+    // shuffled. Filter on the UNROUNDED robust z (anom_zscore's lesson);
+    // round only for output.
+    "anom_mad" -> ((s, dir) => {
+      // med/mad rounded to 6 AT the agg boundary in both engines: Spark
+      // interpolates lo·(1−d)+hi·d, DuckDB lo+(hi−lo)·d — same value in
+      // exact arithmetic, up to 1 ulp apart in doubles; rounding the
+      // statistic (≫ 1 ulp) before it fans out keeps every downstream
+      // comparison value-identical.
+      val e = events(s, dir)
+      val med = e.groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+      val dev = e.join(broadcast(med), Seq("event_type"))
+        .withColumn("ad", abs(col("value") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(round(expr("percentile(ad, 0.5)"), 6).as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .filter(col("mad") > 0)
+        .withColumn("rz", (col("value") - col("med")) / (lit(1.4826) * col("mad")))
+        .filter(abs(col("rz")) > lit(3.5))
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value"), round(col("rz"), 6).as("robust_z"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Link prediction by common-neighbor Jaccard over the co-purchase
+    // part graph (same edge build as graph_triangles): for every
+    // NON-edge pair sharing ≥1 neighbor, J = |N(a)∩N(b)| / |N(a)∪N(b)|,
+    // top 20. The shape is the classic two-path join: adjacency (both
+    // directions) self-joined on the shared MIDDLE vertex — wedge rows
+    // are generated map-side off the co-partitioned join and collapse
+    // immediately into the (a,b) count, so the only full-width exchange
+    // is the pair groupBy (same O as the triangle wedge join; bounded by
+    // the degree distribution, not the table size). Degrees attach by
+    // broadcast (node-count-sized); existing edges are removed with a
+    // LEFT ANTI against the edge frame; top-20 is a TakeOrdered with a
+    // (jaccard, a, b) total order so the boundary set is deterministic.
+    "graph_neighbor_jaccard" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val und = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2).select(col("p1"), col("p2"))
+        .persist()
+      val adj = und.select(col("p1").as("src"), col("p2").as("dst"))
+        .union(und.select(col("p2").as("src"), col("p1").as("dst")))
+      val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      val common = adj.as("x").join(adj.as("y"),
+          col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+        .groupBy(col("x.src").as("a"), col("y.src").as("b"))
+        .agg(count(lit(1)).as("common"))
+      val res = common.join(und,
+          col("a") === col("p1") && col("b") === col("p2"), "left_anti")
+        .join(broadcast(deg.select(col("src").as("a"), col("dg").as("da"))), Seq("a"))
+        .join(broadcast(deg.select(col("src").as("b"), col("dg").as("db"))), Seq("b"))
+        .select(col("a"), col("b"), col("common"),
+          round(col("common").cast("double") /
+            (col("da") + col("db") - col("common")), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("a"), col("b"))
+        .limit(20)
+        .localCheckpoint(true)
+      und.unpersist(false)
+      res
     }),
 
     "win_mom_growth" -> ((s, dir) => {
@@ -516,6 +684,71 @@ object AnalyticsOps {
                   (SELECT count(1) FROM lineitem)
                     - (SELECT count(1) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM bad_orders)))
          ORDER BY table_name""",
+    "feature_scale" ->
+      """WITH stats AS (
+           SELECT c_mktsegment AS seg,
+                  min(CAST(c_acctbal AS DOUBLE)) AS mn, max(CAST(c_acctbal AS DOUBLE)) AS mx,
+                  count(1) AS n,
+                  CAST(sum(CAST(c_acctbal AS DECIMAL(19,6))) AS DOUBLE) AS sv,
+                  CAST(sum(CAST(c_acctbal AS DECIMAL(19,6)) * CAST(c_acctbal AS DECIMAL(19,6))) AS DOUBLE) AS svv
+           FROM customer GROUP BY 1),
+         s2 AS (
+           SELECT seg, mn, mx, sv / n AS mu,
+                  sqrt(greatest((svv - sv * sv / n) / n, 0)) AS sigma
+           FROM stats)
+         SELECT c_custkey, c_mktsegment AS seg,
+                round(CAST(c_acctbal AS DOUBLE), 6) AS bal,
+                CASE WHEN mx > mn
+                     THEN round((CAST(c_acctbal AS DOUBLE) - mn) / (mx - mn), 6) END AS minmax,
+                CASE WHEN sigma > 0
+                     THEN round((CAST(c_acctbal AS DOUBLE) - mu) / sigma, 6) END AS zscore
+         FROM customer JOIN s2 ON c_mktsegment = seg
+         ORDER BY c_custkey""",
+    "ts_changepoint" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         stats AS (
+           SELECT event_type, CAST(sum(c) AS BIGINT) AS tot, count(1) AS nd
+           FROM daily GROUP BY 1),
+         cus AS (
+           SELECT d.event_type, d.day,
+                  row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS t,
+                  CAST(sum(d.c) OVER (PARTITION BY d.event_type ORDER BY d.day
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run,
+                  s.tot, s.nd
+           FROM daily d JOIN stats s USING (event_type)),
+         scored AS (
+           SELECT event_type, day,
+                  CAST(run AS DOUBLE) - t * (CAST(tot AS DOUBLE) / nd) AS cusum
+           FROM cus),
+         ranked AS (
+           SELECT event_type, day, cusum,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY abs(cusum) DESC, day) AS rk
+           FROM scored)
+         SELECT event_type, day AS cp_day, round(cusum, 6) AS cusum
+         FROM ranked WHERE rk = 1 ORDER BY event_type""",
+    "ts_cross_corr" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, event_type, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         a AS (SELECT day, c AS x FROM daily WHERE event_type = 'view'),
+         b AS (SELECT day AS bday, c AS y FROM daily WHERE event_type = 'purchase'),
+         pairs AS (
+           SELECT lag, x, y
+           FROM (SELECT day, x, unnest(range(0, 8)) AS lag FROM a) e
+           JOIN b ON e.day + CAST(e.lag AS INT) = b.bday),
+         m AS (
+           SELECT lag, count(1) AS n,
+                  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+                  CAST(sum(x * y) AS BIGINT) AS sxy
+           FROM pairs GROUP BY lag)
+         SELECT CAST(lag AS INT) AS lag, n,
+                round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                  sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)), 6) AS xcorr
+         FROM m ORDER BY lag""",
     "feature_bucketize" ->
       """WITH d AS (
            SELECT c_mktsegment, c_acctbal,
@@ -569,6 +802,44 @@ object AnalyticsOps {
           FROM lineitem)
           SELECT * FROM ($sel) ORDER BY col_x, col_y"""
     },
+    "anom_mad" ->
+      """WITH med AS (
+           SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+           FROM events GROUP BY event_type),
+         dev AS (
+           SELECT e.event_id, e.event_type, e.value, m.med,
+                  abs(e.value - m.med) AS ad
+           FROM events e JOIN med m USING (event_type)),
+         mad AS (
+           SELECT event_type, round(quantile_cont(ad, 0.5), 6) AS mad
+           FROM dev GROUP BY event_type)
+         SELECT d.event_id, d.event_type, round(d.value, 6) AS value,
+                round((d.value - d.med) / (1.4826 * m.mad), 6) AS robust_z
+         FROM dev d JOIN mad m USING (event_type)
+         WHERE m.mad > 0
+           AND abs((d.value - d.med) / (1.4826 * m.mad)) > 3.5
+         ORDER BY d.event_id""",
+    "graph_neighbor_jaccard" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         und AS (
+           SELECT a.pk AS p1, b.pk AS p2
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY p1, p2 HAVING count(1) >= 2),
+         adj AS (SELECT p1 AS src, p2 AS dst FROM und
+                 UNION ALL SELECT p2, p1 FROM und),
+         deg AS (SELECT src, count(1) AS dg FROM adj GROUP BY src),
+         common AS (
+           SELECT x.src AS a, y.src AS b, count(1) AS common
+           FROM adj x JOIN adj y ON x.dst = y.dst AND x.src < y.src
+           GROUP BY a, b),
+         cand AS (
+           SELECT c.a, c.b, c.common FROM common c
+           WHERE NOT EXISTS (
+             SELECT 1 FROM und WHERE und.p1 = c.a AND und.p2 = c.b))
+         SELECT c.a, c.b, CAST(c.common AS BIGINT) AS common,
+                round(CAST(c.common AS DOUBLE) / (da.dg + db.dg - c.common), 6) AS jaccard
+         FROM cand c JOIN deg da ON da.src = c.a JOIN deg db ON db.src = c.b
+         ORDER BY jaccard DESC, a, b LIMIT 20""",
     "anom_zscore" ->
       """WITH stats AS (
            SELECT event_type,

@@ -127,6 +127,28 @@ object ShapeOps {
         .orderBy(col("user_id"))
     }),
 
+    // First-order Markov transition matrix over per-user event sequences
+    // (the model behind next-action prediction and session simulation):
+    // one lead() window per user (ordered by the unique (ts, event_id)
+    // total order — duplicate timestamps can't make adjacency
+    // engine-ambiguous), adjacent pairs counted, probabilities normalized
+    // per source state by a state-grain window. The fact is shuffled
+    // exactly once (by user for the sequence window); the (prev,next)
+    // count frame is |states|² — constant-sized at any event volume.
+    "seq_markov_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      pairs
+        .withColumn("p", round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("prev_type"))), 6))
+        .orderBy(col("prev_type"), col("next_type"))
+    }),
+
     // linear multi-touch attribution — the aggregate dual of the bounded
     // as-of join: instead of crediting only the LATEST prior view, each
     // purchase splits one unit of credit equally across ALL its views in
@@ -267,6 +289,16 @@ object ShapeOps {
     }))
 
   val oracles: Map[String, String] = Map(
+    "seq_markov_transitions" ->
+      """WITH seq AS (
+           SELECT event_type AS prev_type,
+                  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+           FROM events),
+         c AS (SELECT prev_type, next_type, count(1) AS n
+               FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+         SELECT prev_type, next_type, n,
+                round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+         FROM c ORDER BY prev_type, next_type""",
     "agg_unpivot" ->
       """SELECT p_partkey, metric, round(value, 6) AS value FROM (
            SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part

@@ -119,6 +119,65 @@ object TextOps {
         .orderBy(col("rnk"))
     }),
 
+    // The hashing trick (feature hashing): tokens map straight to a FIXED
+    // 64-bucket feature space through a deterministic hash — no vocabulary
+    // pass, no dictionary broadcast, no fit/transform split. That is the
+    // 100 TB featurization story: text_tfidf needs a corpus-wide docfreq
+    // table; this needs NOTHING global — one scan, one doc-local hash agg,
+    // constant memory, and new unseen tokens never invalidate the feature
+    // space. Collisions are part of the semantics (the trick trades a
+    // bounded amount of them for the unbounded-vocab problem). The token
+    // hash reuses the engine's cross-engine idiom (text_fingerprint's
+    // length/ascii fold) spread by the Knuth multiplier, so DuckDB replays
+    // bucket assignment bit for bit.
+    "text_hashing_vectorizer" -> ((s, dir) => {
+      val D = 64L
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 40)
+        .select(col("doc_id"),
+          explode(expr("filter(split(lower(text), ' '), x -> x <> '')")).as("tok"))
+        .select(col("doc_id"),
+          ((length(col("tok")) * lit(31L) + ascii(col("tok"))) * lit(2654435761L)
+            % lit(4294967296L) % lit(D)).as("bucket"))
+        .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("doc_id"), col("bucket"))
+    }),
+
+    // Training-mixture assembly under a GLOBAL token budget: keep the
+    // highest-quality documents whose cumulative token count fits half
+    // the corpus's token mass — the curation step every LLM data pipeline
+    // runs after scoring. The naive form is a running sum over one global
+    // order = a single-partition window (the classic accidental
+    // scale-killer). Here the prefix sum is TWO-LEVEL: docs bucket by
+    // floor(quality·10) (monotone in the sort key, so bucket-desc
+    // concatenation IS the global order); per-bucket token offsets come
+    // from a bucket-grain window (bounded rows); the per-doc running sum
+    // partitions BY bucket and parallelizes. Same math as the DuckDB
+    // oracle's flat window, distributed shape at any corpus size.
+    "corpus_token_budget" -> ((s, dir) => {
+      val stopArr = array(stop.map(lit): _*)
+      val scored = t(s, dir, "documents")
+        .withColumn("toks", split(lower(col("text")), " "))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+          r6(log(lit(1.0) + size(col("toks"))) *
+            (lit(1.0) - size(filter(col("toks"), x => array_contains(stopArr, x)))
+              .cast("double") / size(col("toks")))).as("quality"))
+      val bucketed = scored.withColumn("bkt", floor(col("quality") * 10).cast("long"))
+      val offsets = bucketed.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("btoks"))
+        .withColumn("offset", coalesce(sum(col("btoks")).over(
+          Window.orderBy(col("bkt").desc).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("bkt"), col("offset"))
+      val budget = scored.agg(sum(col("n_tokens"))).head.getLong(0) / 2
+      val wq = Window.partitionBy(col("bkt"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      bucketed.join(broadcast(offsets), Seq("bkt"))
+        .withColumn("cum_tokens", col("offset") + sum(col("n_tokens")).over(wq))
+        .filter(col("cum_tokens") <= budget)
+        .select(col("doc_id"), col("n_tokens"), col("quality"), col("cum_tokens"))
+        .orderBy(col("cum_tokens"))
+    }),
+
     "text_lang_stats" -> ((s, dir) => {
       t(s, dir, "documents")
         .groupBy(col("lang"), col("source"))
@@ -743,6 +802,28 @@ object TextOps {
            (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
           GROUP BY token)
          ORDER BY rnk""",
+    "corpus_token_budget" ->
+      """WITH scored AS (
+           SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                  round(ln(1.0 + len(toks)) * (1.0 - CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(toks)), 6) AS quality
+           FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)),
+         tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 2 AS budget FROM scored),
+         c AS (
+           SELECT doc_id, n_tokens, quality,
+                  CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           FROM scored)
+         SELECT doc_id, n_tokens, quality, cum_tokens
+         FROM c, tot WHERE cum_tokens <= budget
+         ORDER BY cum_tokens""",
+    "text_hashing_vectorizer" ->
+      """SELECT doc_id,
+                ((length(tok) * 31 + ascii(tok)) * 2654435761) % 4294967296 % 64 AS bucket,
+                count(1) AS cnt
+         FROM (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+               FROM documents WHERE doc_id < 40)
+         GROUP BY doc_id, bucket
+         ORDER BY doc_id, bucket""",
     "text_lang_stats" ->
       """SELECT lang, source, count(1) AS n_docs,
          round(CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / count(1), 6) AS avg_chars,

