@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.GeoMean
@@ -321,6 +322,55 @@ object Aggregates {
         .orderBy(col("true_n").desc, col("user_id"))
     }),
 
+    // Weighted median (revenue-weighted quantity): the smallest value
+    // whose cumulative weight reaches half the group's total — the
+    // "median order size by dollar volume" statistic plain medians
+    // misstate under heterogeneous weights. EXACT by construction: the
+    // value domain collapses first (one hash agg to ≤50 rows per group),
+    // weights are DECIMAL sums, and the defining inequality
+    // 2·cum ≥ tot is evaluated in decimal integer arithmetic — no
+    // interpolation, no float compare, so the DuckDB twin matches bit
+    // for bit. Windows run on the collapsed (group, value) grain —
+    // bounded by the value domain, not the fact cardinality.
+    "agg_weighted_quantile" -> ((s, dir) => {
+      val g = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("rf"), col("l_quantity").as("qty"))
+        .agg(sum(dec(col("l_extendedprice"))).as("w"))
+      val wcum = Window.partitionBy(col("rf")).orderBy(col("qty"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wtot = Window.partitionBy(col("rf"))
+      g.withColumn("cum", sum(col("w")).over(wcum))
+        .withColumn("tot", sum(col("w")).over(wtot))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy(col("rf"))
+        .agg(min(col("qty")).as("wmedian_qty"),
+          round(max(col("tot")).cast("double"), 6).as("total_weight"))
+        .orderBy(col("rf"))
+    }),
+
+    // Distribution-shape profiling: Shannon entropy + Gini impurity of the
+    // priority mix within each order status — the two standard "how
+    // concentrated is this categorical column" measures behind drift
+    // monitors and split criteria. Shape: one fact-sized hash agg to the
+    // |status|×|priority| contingency table, then everything runs on that
+    // bounded grain. The per-term p·ln p and p² pass through the engine's
+    // dec() cast BEFORE summing (text_unigram_ppl's discipline), so the
+    // sums are order-independent decimal arithmetic and match DuckDB
+    // regardless of partial-agg ordering.
+    "agg_entropy_gini" -> ((s, dir) => {
+      val c = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus").as("st"), col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("c"))
+      val tot = c.groupBy(col("st")).agg(sum(col("c")).as("tot"))
+      c.join(broadcast(tot), Seq("st"))
+        .withColumn("p", col("c").cast("double") / col("tot"))
+        .groupBy(col("st"))
+        .agg(max(col("tot")).as("n"),
+          round(-sum(dec(col("p") * log(col("p")))).cast("double"), 6).as("entropy"),
+          round(lit(1.0) - sum(dec(col("p") * col("p"))).cast("double"), 6).as("gini"))
+        .orderBy(col("st"))
+    }),
+
     "agg_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -580,6 +630,32 @@ object Aggregates {
            SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
            FROM documents)
          GROUP BY tok ORDER BY cnt DESC, token LIMIT 9""",
+    "agg_weighted_quantile" ->
+      """WITH g AS (
+           SELECT l_returnflag AS rf, l_quantity AS qty,
+                  sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS w
+           FROM lineitem GROUP BY 1, 2),
+         c AS (
+           SELECT rf, qty, w,
+                  sum(w) OVER (PARTITION BY rf ORDER BY qty
+                    ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(w) OVER (PARTITION BY rf) AS tot
+           FROM g)
+         SELECT rf, min(qty) AS wmedian_qty,
+                round(CAST(max(tot) AS DOUBLE), 6) AS total_weight
+         FROM c WHERE cum * 2 >= tot
+         GROUP BY rf ORDER BY rf""",
+    "agg_entropy_gini" ->
+      """WITH c AS (
+           SELECT o_orderstatus AS st, o_orderpriority AS pri, count(1) AS c
+           FROM orders GROUP BY 1, 2),
+         tot AS (SELECT st, CAST(sum(c) AS BIGINT) AS tot FROM c GROUP BY st),
+         p AS (SELECT c.st, tot.tot, CAST(c.c AS DOUBLE) / tot.tot AS p
+               FROM c JOIN tot USING (st))
+         SELECT st, max(tot) AS n,
+                round(-CAST(sum(CAST(p * ln(p) AS DECIMAL(18,6))) AS DOUBLE), 6) AS entropy,
+                round(1.0 - CAST(sum(CAST(p * p AS DECIMAL(18,6))) AS DOUBLE), 6) AS gini
+         FROM p GROUP BY st ORDER BY st""",
     "agg_countmin" ->
       """WITH e AS (SELECT event_type, user_id AS u FROM events),
          ms AS (SELECT * FROM (VALUES (0, 2654435761), (1, 2246822519), (2, 3266489917)) AS t(j, m)),

@@ -364,6 +364,61 @@ object AnalyticsOps {
         .orderBy(col("lag"))
     }),
 
+    // Connected components over the co-purchase part graph — the graph
+    // family's fourth member (centrality, closure, link prediction, and
+    // now PARTITION STRUCTURE), reusing the HashMin fixpoint the dedup
+    // clustering ops run (operators/Components.scala: per-round bounded
+    // shuffles, conf derived from the pinned edge count, distributed
+    // labels — nothing driver-sized). Nodes include singletons (parts
+    // never co-ordered twice), so component sizes partition the whole
+    // catalog; output is the top-10 components by size under a
+    // (size, comp) total order. Oracled by DuckDB recursive-CTE
+    // reachability with min-root labels — same fixpoint, declarative.
+    "graph_components" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val und = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .select(col("p1").as("d1"), col("p2").as("d2"))
+      val nodes = li.select(col("pk").as("id")).distinct()
+      Components.hashMinLabels(s, und, Some(nodes))
+        .groupBy(col("comp")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("n_nodes").desc, col("comp")).limit(10)
+    }),
+
+    // Autocorrelation function per event series: Pearson of each daily
+    // series against itself at lags 1..7 — the weekly-seasonality /
+    // momentum screen, ts_cross_corr's self-join sibling run across ALL
+    // series at once (the lag explosion and shifted equi-join carry the
+    // event_type key, so every window partitions per series and the
+    // |types|×|lags| result is constant-sized). Same exactness contract:
+    // integer moments, one double cast at the end.
+    "ts_acf" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type").as("et"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val y = daily.select(col("et").as("et2"), col("day").as("bday"), col("c").as("y"))
+      daily.select(col("et"), col("day"), col("c").as("x"),
+          explode(expr("sequence(1, 7)")).as("lag"))
+        .withColumn("tday", date_add(col("day"), col("lag")))
+        .join(y, col("et") === col("et2") && col("tday") === col("bday"))
+        .groupBy(col("et"), col("lag")).agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("et"), col("lag"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt(((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))).cast("double")), 6)
+            .as("acf"))
+        .orderBy(col("et"), col("lag"))
+    }),
+
     // CUSUM changepoint detection per event series: the day where the
     // cumulative deviation from the series mean peaks — the standard
     // "when did the level shift?" screen over operational metrics.
@@ -704,6 +759,40 @@ object AnalyticsOps {
                      THEN round((CAST(c_acctbal AS DOUBLE) - mu) / sigma, 6) END AS zscore
          FROM customer JOIN s2 ON c_mktsegment = seg
          ORDER BY c_custkey""",
+    "graph_components" ->
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         und AS (
+           SELECT a.pk AS p1, b.pk AS p2
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY p1, p2 HAVING count(1) >= 2),
+         edges AS (SELECT p1 AS a, p2 AS b FROM und
+                   UNION ALL SELECT p2, p1 FROM und),
+         nodes AS (SELECT DISTINCT pk FROM li),
+         walk(node, root) AS (
+           SELECT pk, pk FROM nodes
+           UNION
+           SELECT e.b, w.root FROM walk w JOIN edges e ON e.a = w.node),
+         labels AS (SELECT node, min(root) AS comp FROM walk GROUP BY node)
+         SELECT comp, count(1) AS n_nodes FROM labels GROUP BY comp
+         ORDER BY n_nodes DESC, comp LIMIT 10""",
+    "ts_acf" ->
+      """WITH daily AS (
+           SELECT event_type AS et, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         pairs AS (
+           SELECT e.et, e.lag, e.x, b.c AS y
+           FROM (SELECT et, day, c AS x, unnest(range(1, 8)) AS lag FROM daily) e
+           JOIN daily b ON b.et = e.et AND e.day + CAST(e.lag AS INT) = b.day),
+         m AS (
+           SELECT et, lag, count(1) AS n,
+                  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+                  CAST(sum(x * y) AS BIGINT) AS sxy
+           FROM pairs GROUP BY 1, 2)
+         SELECT et, CAST(lag AS INT) AS lag, n,
+                round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                  sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)), 6) AS acf
+         FROM m ORDER BY et, lag""",
     "ts_changepoint" ->
       """WITH daily AS (
            SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS c

@@ -271,6 +271,32 @@ object VectorOps {
   }
 
   val queries: Map[String, QFn] = Map(
+    // Binary quantization — the final compression tier under SQ8/PQ/IVFPQ:
+    // each 64-dim float vector collapses to ONE 64-bit word (sign bits,
+    // MSB-first fold; 256 B → 8 B, a 32× cut), and candidate generation is
+    // bit_count(xor) — the cheapest distance in the codegen arsenal. Ranked
+    // Hamming prefilter (4×k candidates under a (ham, id) total order) then
+    // EXACT cosine rerank of the survivors — the standard two-stage serving
+    // pattern. The oracle never packs: it computes Hamming straight off the
+    // sign predicate per dimension, so the packed representation is proven
+    // equivalent to its definition rather than replayed.
+    "vec_binary_hamming_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      // shiftleft|or, not acc*2+bit: the 64th shift crosses the sign bit,
+      // which is defined wrapping for bitwise ops but an ANSI-mode
+      // arithmetic overflow for multiplication
+      val packed = emb.withColumn("w", expr(
+        "aggregate(sequence(0, 63), 0L, (acc, i) -> shiftleft(acc, 1) | IF(embedding[i] > 0, 1L, 0L))"))
+      val q = packed.filter(col("vec_id") === 0)
+        .select(col("w").as("qw"), col("embedding").as("qv"))
+      val cand = packed.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .withColumn("ham", expr("bit_count(w ^ qw)"))
+        .orderBy(col("ham"), col("vec_id")).limit(40)
+      cand.withColumn("sim", round(cosine_sim(col("embedding"), col("qv")), 6))
+        .select(col("vec_id"), col("ham"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+    }),
+
     "vec_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
@@ -623,6 +649,17 @@ object VectorOps {
         GROUP BY t.probe_id ORDER BY t.probe_id""".replaceAll("\\s+", " ").trim)
 
   private lazy val oraclesBase: Map[String, String] = Map(
+    "vec_binary_hamming_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          b AS (
+            SELECT e.vec_id, e.embedding,
+                   CAST(len(list_filter(range(1, 65),
+                     i -> (e.embedding[i] > 0) != (q.qv[i] > 0))) AS INT) AS ham
+            FROM embeddings e, q WHERE e.vec_id <> 0),
+          cand AS (SELECT vec_id, embedding, ham FROM b ORDER BY ham, vec_id LIMIT 40)
+          SELECT e.vec_id, e.ham, round($sqlCosDuck, 6) AS sim
+          FROM cand e, q
+          ORDER BY sim DESC, e.vec_id LIMIT 10""",
     "vec_cosine_topk" ->
       s"""SELECT e.vec_id, round($sqlCosDuck, 6) AS sim
          FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q

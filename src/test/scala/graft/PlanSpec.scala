@@ -443,6 +443,7 @@ class PlanSpec extends SparkSuite {
       "vec_cosine_topk" -> "probe side is a broadcast <=64-vector set",
       "vec_matryoshka_topk" -> "crossJoin against a broadcast 1-row query vector",
       "vec_sq_topk" -> "crossJoin against a broadcast 1-row query vector",
+      "vec_binary_hamming_topk" -> "crossJoin against a broadcast 1-row query vector+word",
       "vec_knn_join" -> "probe side is a broadcast <=64-vector set",
       "dedup_embed_cosine" -> "probe window is a broadcast bounded set",
       "text_tfidf" -> "crossJoin against a broadcast 1-row corpus count",
