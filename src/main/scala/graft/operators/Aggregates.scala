@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
 import graft.functions.GeoMean
 
@@ -371,6 +372,44 @@ object Aggregates {
         .orderBy(col("st"))
     }),
 
+    // Higher-moment shape statistics: per-group skewness and excess
+    // kurtosis, the standard "is this distribution normal-ish" screen a
+    // profiler runs next to mean/σ (agg_stats stops at the 2nd moment).
+    // Two passes, both scale-shaped: pass 1 is the decimal-exact μ/σ
+    // aggregation (group-count-sized, broadcast back like anom_zscore);
+    // pass 2 standardizes each row and sums z³/z⁴ — and the EXACTNESS
+    // trick is that z is rounded to the 6-dp grid and cast to
+    // DECIMAL(9,6) first, so its powers are exact decimals (scales 18
+    // and 24, inside both engines' 38-digit multiply; |z| < √n ≈ 245
+    // always fits 3 integer digits) and their sums are order-independent
+    // — parallel partial aggregation cannot perturb the statistic. The
+    // 100 TB form is identical: two fact scans, zero fact shuffles.
+    "agg_skew_kurtosis" -> ((s, dir) => {
+      val e = events(s, dir)
+      val stats = e.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("value"))).as("sv"),
+          sum(dec(col("value")) * dec(col("value"))).as("svv"))
+        .select(col("event_type"),
+          (col("sv").cast("double") / col("n")).as("mu"),
+          sqrt(greatest((col("svv").cast("double") - col("sv").cast("double") *
+            col("sv").cast("double") / col("n")) / col("n"), lit(0.0))).as("sigma"))
+        .filter(col("sigma") > 0)
+      val z = e.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z6",
+          round((col("value") - col("mu")) / col("sigma"), 6).cast(DecimalType(9, 6)))
+        .withColumn("z2", (col("z6") * col("z6")).cast(DecimalType(17, 12)))
+      z.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          round(max(col("mu")), 6).as("mean"),
+          round(max(col("sigma")), 6).as("stddev"),
+          round(sum(col("z2") * col("z6")).cast("double") / count(lit(1)), 6)
+            .as("skewness"),
+          round(sum(col("z2") * col("z2")).cast("double") / count(lit(1)) - 3, 6)
+            .as("kurtosis"))
+        .orderBy(col("event_type"))
+    }),
+
     "agg_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -656,6 +695,25 @@ object Aggregates {
                 round(-CAST(sum(CAST(p * ln(p) AS DECIMAL(18,6))) AS DOUBLE), 6) AS entropy,
                 round(1.0 - CAST(sum(CAST(p * p AS DECIMAL(18,6))) AS DOUBLE), 6) AS gini
          FROM p GROUP BY st ORDER BY st""",
+    "agg_skew_kurtosis" ->
+      """WITH stats AS (
+           SELECT event_type, count(1) AS n,
+                  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+                  CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS svv
+           FROM events GROUP BY 1),
+         s2 AS (SELECT event_type, n, sv / n AS mu,
+                       sqrt(greatest((svv - sv * sv / n) / n, 0)) AS sigma
+                FROM stats),
+         z AS (SELECT e.event_type, s.mu, s.sigma,
+                      CAST(round((e.value - s.mu) / s.sigma, 6) AS DECIMAL(9,6)) AS z6
+               FROM events e JOIN s2 s USING (event_type) WHERE s.sigma > 0),
+         z2t AS (SELECT event_type, mu, sigma, z6,
+                        CAST(z6 * z6 AS DECIMAL(17,12)) AS z2 FROM z)
+         SELECT event_type, count(1) AS n,
+                round(max(mu), 6) AS mean, round(max(sigma), 6) AS stddev,
+                round(CAST(sum(z2 * z6) AS DOUBLE) / count(1), 6) AS skewness,
+                round(CAST(sum(z2 * z2) AS DOUBLE) / count(1) - 3, 6) AS kurtosis
+         FROM z2t GROUP BY event_type ORDER BY event_type""",
     "agg_countmin" ->
       """WITH e AS (SELECT event_type, user_id AS u FROM events),
          ms AS (SELECT * FROM (VALUES (0, 2654435761), (1, 2246822519), (2, 3266489917)) AS t(j, m)),

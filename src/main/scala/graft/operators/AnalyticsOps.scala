@@ -667,6 +667,184 @@ object AnalyticsOps {
         .orderBy(col("user_id"), col("day"))
     }),
 
+    // Welch's two-sample t-test across every segment pair: the standard
+    // "are these two populations' means actually different" screen an
+    // analyst runs after a segmentation. One decimal-exact moment
+    // aggregation (n, Σx, Σx² per segment — acctbal squares forced
+    // through DECIMAL(19,6) in the oracle so DuckDB's multiply runs in
+    // int128, agg_corr_matrix's lesson), then the t statistic and the
+    // Welch–Satterthwaite df are pure double algebra on the 5-row moment
+    // frame — identical expressions both engines, deterministic. The
+    // pair fan-out is a theta self-join of that 5-row frame (≤25 pairs,
+    // broadcast NLJ by construction); the fact table is scanned ONCE at
+    // any scale. p-values are deliberately out of scope: they need the
+    // incomplete beta function, whose libm behavior is the one
+    // engine-divergence risk (SURVEY §7.4), and t + df are the portable
+    // sufficient outputs.
+    "stat_ttest" -> ((s, dir) => {
+      val m = t(s, dir, "customer")
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("c_acctbal"))).as("sv"),
+          sum(dec(col("c_acctbal")) * dec(col("c_acctbal"))).as("svv"))
+        .select(col("seg"), col("n"),
+          (col("sv").cast("double") / col("n")).as("mu"),
+          ((col("svv").cast("double") - col("sv").cast("double") *
+            col("sv").cast("double") / col("n")) / (col("n") - 1)).as("v"))
+      val a = m.select(col("seg").as("seg_a"), col("n").as("na"),
+        col("mu").as("ma"), col("v").as("va"))
+      val b = m.select(col("seg").as("seg_b"), col("n").as("nb"),
+        col("mu").as("mb"), col("v").as("vb"))
+      val sa = col("va") / col("na")
+      val sb = col("vb") / col("nb")
+      a.join(broadcast(b), col("seg_a") < col("seg_b"))
+        .select(col("seg_a"), col("seg_b"), col("na"), col("nb"),
+          round((col("ma") - col("mb")) / sqrt(sa + sb), 6).as("t_stat"),
+          round((sa + sb) * (sa + sb) /
+            (sa * sa / (col("na") - 1) + sb * sb / (col("nb") - 1)), 6).as("df"))
+        .orderBy(col("seg_a"), col("seg_b"))
+    }),
+
+    // Chi-squared test of independence on the priority × status
+    // contingency table: ONE fact-sized hash agg to the 15-cell observed
+    // table, then expected counts and the statistic live entirely on
+    // that bounded grain (row/column margins re-aggregate the cells, the
+    // grand total is a broadcast 1-row cross). Counts stay integers
+    // until the expected-count division; each cell's (O−E)²/E is rounded
+    // to the 6-dp grid and summed in DECIMAL so the 15-term sum is
+    // order-independent — the one place a naive double sum could diverge
+    // between engines. Output is the summary row (n, dof, χ²); the
+    // caller compares χ² to their chosen critical value.
+    "stat_chi2" -> ((s, dir) => {
+      val obs = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("p"), col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("o"))
+      val rowt = obs.groupBy(col("p")).agg(sum(col("o")).as("rt"))
+      val colt = obs.groupBy(col("st")).agg(sum(col("o")).as("ct"))
+      val tot = obs.agg(sum(col("o")).as("n"))
+      obs.join(broadcast(rowt), Seq("p"))
+        .join(broadcast(colt), Seq("st"))
+        .crossJoin(broadcast(tot))
+        .withColumn("e", col("rt").cast("double") * col("ct") / col("n"))
+        .withColumn("contrib",
+          round((col("o") - col("e")) * (col("o") - col("e")) / col("e"), 6)
+            .cast(DecimalType(18, 6)))
+        .agg(max(col("n")).as("n"),
+          ((countDistinct(col("p")) - 1) * (countDistinct(col("st")) - 1)).as("dof"),
+          round(sum(col("contrib")).cast("double"), 6).as("chi2"))
+    }),
+
+    // Item-based collaborative filtering: cosine similarity between
+    // items over the binary user–item interaction matrix (customers ×
+    // parts via their orders), the classic "customers who bought X also
+    // bought Y" recommender primitive. cos(a,b) = |U_a∩U_b|/√(|U_a||U_b|)
+    // — co-occurrence counts from a self-join of the DISTINCT
+    // interaction set on the user key, so pair expansion is bounded by
+    // per-user basket size (never |items|²), exactly basket_pairs'
+    // containment argument lifted from order grain to customer grain. At
+    // 100 TB the one guard a real pipeline adds is a per-user basket cap
+    // (sample hyper-active users before the self-join) — the fan-out is
+    // quadratic in the heaviest basket, not in the catalog. Support
+    // floor co ≥ 3 prunes noise pairs before the similarity math; top-20
+    // under a (cosine, ia, ib) total order keeps the boundary
+    // deterministic at 6 dp.
+    "recs_item_cf" -> ((s, dir) => {
+      val ui = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("i")).distinct()
+      val cnt = ui.groupBy(col("i")).agg(count(lit(1)).as("ni"))
+      val co = ui.as("a").join(ui.as("b"),
+          col("a.u") === col("b.u") && col("a.i") < col("b.i"))
+        .groupBy(col("a.i").as("ia"), col("b.i").as("ib"))
+        .agg(count(lit(1)).as("nco"))
+        .filter(col("nco") >= 3)
+      co.join(cnt.select(col("i").as("ia"), col("ni").as("na")), Seq("ia"))
+        .join(cnt.select(col("i").as("ib"), col("ni").as("nb")), Seq("ib"))
+        .select(col("ia"), col("ib"), col("nco"),
+          round(col("nco").cast("double") /
+            sqrt((col("na") * col("nb")).cast("double")), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("ia"), col("ib"))
+        .limit(20)
+    }),
+
+    // Smoothed target encoding: replace a categorical feature (customer
+    // nation) with the target mean (order totalprice), shrunk toward the
+    // global mean by a pseudo-count prior — encoded = (Σy + m·ȳ)/(n + m),
+    // m = 100. The shrinkage is the entire point: rare categories get
+    // pulled to the prior instead of memorizing their handful of rows
+    // (the leakage failure mode of raw mean encoding). Shape: fact ⋈
+    // broadcast dim, one decimal-exact category aggregation + one global
+    // aggregation, algebra on the category-count-sized frame — the fact
+    // never shuffles, at any scale.
+    "feature_target_encode" -> ((s, dir) => {
+      val j = t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+      val g = j.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("sv"))
+      val gstats = j.agg(count(lit(1)).as("gn"),
+        sum(dec(col("o_totalprice"))).as("gsv"))
+      g.crossJoin(broadcast(gstats))
+        .select(col("c_nationkey"), col("n"),
+          round(col("sv").cast("double") / col("n"), 6).as("raw_mean"),
+          round((col("sv").cast("double") + lit(100.0) *
+            (col("gsv").cast("double") / col("gn"))) / (col("n") + 100), 6)
+            .as("encoded"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // Classical seasonal decomposition of each daily event series:
+    // trend = centered 7-day moving average (full windows only),
+    // seasonal = day-of-week mean of the detrended values, residual =
+    // the rest. The additive-decomposition identity c = trend + seasonal
+    // + resid holds by construction on every interior row. Everything
+    // runs at day grain — the only fact-sized stage is the daily
+    // rollup, after which windows partition per series and the seasonal
+    // profile is a broadcast 7·|series|-row join. Day-of-week is
+    // computed as days-since-a-known-Monday mod 7 (engine-neutral;
+    // Spark's dayofweek and DuckDB's dayofweek disagree on numbering).
+    // Detrended values round to the 6-dp grid, and the per-dow mean is
+    // folded as integer micro-units with explicit half-away-from-zero
+    // division (see inline note) — the trend's /7 can never tie at 6 dp
+    // (7 ∤ 2·10⁶), but the seasonal's /n can and did.
+    "ts_seasonal_decompose" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-3, 3)
+      val tr = daily
+        .withColumn("wn", count(lit(1)).over(w))
+        .withColumn("trend",
+          when(col("wn") === 7, round(sum(col("c")).over(w).cast("double") / 7, 6)))
+        .withColumn("dow",
+          pmod(datediff(col("day"), to_date(lit("1970-01-05"))), lit(7)))
+        .withColumn("detr",
+          when(col("trend").isNotNull, round(col("c") - col("trend"), 6)))
+      // the per-dow mean s/n can land EXACTLY on the half grid at 6 dp
+      // (e.g. 16.285714/4 = 4.0714285): Spark's round (HALF_UP on the
+      // shortest decimal repr) and DuckDB's (on the true double, which
+      // sits a hair below the tie) then disagree in the last digit. So
+      // the mean is computed as integer micro-units with explicit
+      // half-away-from-zero division — tie-proof by construction.
+      val sea = tr.filter(col("detr").isNotNull)
+        .groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("detr") * 1000000, 0).cast("long")).as("s6"))
+        .select(col("event_type"), col("dow"),
+          expr("CAST(CAST(sign(s6) AS BIGINT) * ((abs(s6) * 2 + n) div (n * 2)) AS DOUBLE) / 1000000.0")
+            .as("seasonal"))
+      tr.join(broadcast(sea), Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"), col("c"), col("trend"),
+          col("seasonal"),
+          when(col("trend").isNotNull,
+            round(col("c") - col("trend") - col("seasonal"), 6)).as("resid"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     "vec_centroid_agg" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("label"), col("vec_id"),
@@ -993,6 +1171,88 @@ object AnalyticsOps {
                           6) AS DOUBLE)
                      ELSE coalesce(pv, nv, 0.0) END AS filled_value
          FROM win ORDER BY user_id, day""",
+    "stat_ttest" ->
+      """WITH m AS (
+           SELECT c_mktsegment AS seg, count(1) AS n,
+                  CAST(sum(CAST(c_acctbal AS DECIMAL(19,6))) AS DOUBLE) AS sv,
+                  CAST(sum(CAST(c_acctbal AS DECIMAL(19,6)) * CAST(c_acctbal AS DECIMAL(19,6))) AS DOUBLE) AS svv
+           FROM customer GROUP BY 1),
+         s AS (SELECT seg, n, sv / n AS mu, (svv - sv * sv / n) / (n - 1) AS v FROM m)
+         SELECT a.seg AS seg_a, b.seg AS seg_b, a.n AS na, b.n AS nb,
+                round((a.mu - b.mu) / sqrt(a.v / a.n + b.v / b.n), 6) AS t_stat,
+                round((a.v / a.n + b.v / b.n) * (a.v / a.n + b.v / b.n) /
+                      ((a.v / a.n) * (a.v / a.n) / (a.n - 1)
+                       + (b.v / b.n) * (b.v / b.n) / (b.n - 1)), 6) AS df
+         FROM s a JOIN s b ON a.seg < b.seg
+         ORDER BY seg_a, seg_b""",
+    "stat_chi2" ->
+      """WITH obs AS (
+           SELECT o_orderpriority AS p, o_orderstatus AS st, count(1) AS o
+           FROM orders GROUP BY 1, 2),
+         rowt AS (SELECT p, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
+         colt AS (SELECT st, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+         tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+         cells AS (SELECT obs.o, obs.p, obs.st, n, CAST(rt AS DOUBLE) * ct / n AS e
+                   FROM obs JOIN rowt USING (p) JOIN colt USING (st) CROSS JOIN tot),
+         c2 AS (SELECT p, st, n,
+                       CAST(round((o - e) * (o - e) / e, 6) AS DECIMAL(18,6)) AS contrib
+                FROM cells)
+         SELECT max(n) AS n,
+                (count(DISTINCT p) - 1) * (count(DISTINCT st) - 1) AS dof,
+                round(CAST(sum(contrib) AS DOUBLE), 6) AS chi2
+         FROM c2""",
+    "recs_item_cf" ->
+      """WITH ui AS (
+           SELECT DISTINCT o_custkey AS u, l_partkey AS i
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         cnt AS (SELECT i, count(1) AS ni FROM ui GROUP BY 1),
+         co AS (SELECT a.i AS ia, b.i AS ib, count(1) AS nco
+                FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+                GROUP BY 1, 2 HAVING count(1) >= 3)
+         SELECT ia, ib, nco,
+                round(CAST(nco AS DOUBLE) / sqrt(CAST(ca.ni * cb.ni AS DOUBLE)), 6) AS cosine
+         FROM co JOIN cnt ca ON ca.i = ia JOIN cnt cb ON cb.i = ib
+         ORDER BY cosine DESC, ia, ib LIMIT 20""",
+    "feature_target_encode" ->
+      """WITH j AS (
+           SELECT c_nationkey, o_totalprice
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         g AS (SELECT c_nationkey, count(1) AS n,
+                      CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sv
+               FROM j GROUP BY 1),
+         gstats AS (SELECT count(1) AS gn,
+                           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS gsv
+                    FROM j)
+         SELECT c_nationkey, n, round(sv / n, 6) AS raw_mean,
+                round((sv + 100.0 * (gsv / gn)) / (n + 100), 6) AS encoded
+         FROM g CROSS JOIN gstats ORDER BY c_nationkey""",
+    "ts_seasonal_decompose" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         tr AS (SELECT event_type, day, c,
+                       count(1) OVER w AS wn,
+                       CAST(sum(c) OVER w AS BIGINT) AS wsum,
+                       (date_diff('day', DATE '1970-01-05', day) % 7 + 7) % 7 AS dow
+                FROM daily
+                WINDOW w AS (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         t2 AS (SELECT event_type, day, c, dow,
+                       CASE WHEN wn = 7 THEN round(CAST(wsum AS DOUBLE) / 7, 6) END AS trend
+                FROM tr),
+         t3 AS (SELECT *, CASE WHEN trend IS NOT NULL THEN round(c - trend, 6) END AS detr
+                FROM t2),
+         g AS (SELECT event_type, dow, count(1) AS n,
+                      CAST(sum(CAST(round(detr * 1000000, 0) AS BIGINT)) AS BIGINT) AS s6
+               FROM t3 WHERE detr IS NOT NULL GROUP BY 1, 2),
+         sea AS (SELECT event_type, dow,
+                        CAST(sign(s6) * ((abs(s6) * 2 + n) // (n * 2)) AS DOUBLE) / 1000000.0 AS seasonal
+                 FROM g)
+         SELECT t3.event_type, t3.day, t3.c, t3.trend, sea.seasonal,
+                CASE WHEN t3.trend IS NOT NULL
+                     THEN round(t3.c - t3.trend - sea.seasonal, 6) END AS resid
+         FROM t3 JOIN sea ON t3.event_type = sea.event_type AND t3.dow = sea.dow
+         ORDER BY t3.event_type, t3.day""",
     "vec_centroid_agg" ->
       """WITH ex AS (
            SELECT label, vec_id,

@@ -511,6 +511,129 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("agg_skew_kurtosis: matches a brute-force standardized-moment recompute") {
+    val rows = q("agg_skew_kurtosis").collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    rows.foreach { r =>
+      val vs = ev.filter(_._1 == r.getString(0)).map(_._2)
+      val n = vs.length.toDouble
+      val sv = vs.map(BigDecimal(_).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+      val svv = vs.map(BigDecimal(_).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .map(d => d * d).sum
+      val mu = sv.toDouble / n
+      val sigma = math.sqrt(((svv.toDouble - sv.toDouble * sv.toDouble / n) / n).max(0))
+      assert(math.abs(r.getDouble(2) - mu) < 1e-6, s"mean ${r.getString(0)}")
+      assert(math.abs(r.getDouble(3) - sigma) < 1e-6, s"stddev ${r.getString(0)}")
+      val z = vs.map(v => BigDecimal((v - mu) / sigma)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      val skew = z.map(x => x * x * x).sum.toDouble / n
+      val kurt = z.map(x => x * x * x * x).sum.toDouble / n - 3
+      assert(math.abs(r.getDouble(4) - skew) < 1e-6, s"skew ${r.getString(0)}")
+      assert(math.abs(r.getDouble(5) - kurt) < 1e-6, s"kurt ${r.getString(0)}")
+    }
+  }
+
+  test("stat_ttest: Welch df bounds hold and t sign follows the means") {
+    val rows = q("stat_ttest").collect()
+    assert(rows.length === 10) // C(5 segments, 2)
+    val bal = graft.Tables.t(spark, sf, "customer")
+      .select(col("c_mktsegment"), col("c_acctbal")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    rows.foreach { r =>
+      val (na, nb) = (r.getLong(2), r.getLong(3))
+      val df = r.getDouble(5)
+      // Welch–Satterthwaite df is bracketed by min(n)-1 and na+nb-2
+      assert(df >= math.min(na, nb) - 1 - 1e-6 && df <= na + nb - 2 + 1e-6, r.toString)
+      val ma = bal.filter(_._1 == r.getString(0)).map(_._2)
+      val mb = bal.filter(_._1 == r.getString(1)).map(_._2)
+      val diff = ma.sum / ma.length - mb.sum / mb.length
+      if (math.abs(diff) > 1e-3)
+        assert(math.signum(r.getDouble(4)) === math.signum(diff), r.toString)
+    }
+  }
+
+  test("stat_chi2: statistic matches a brute-force contingency recompute") {
+    val rows = q("stat_chi2").collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    val cells = graft.Tables.t(spark, sf, "orders")
+      .groupBy(col("o_orderpriority"), col("o_orderstatus")).count().collect()
+      .map(x => ((x.getString(0), x.getString(1)), x.getLong(2))).toMap
+    val n = cells.values.sum.toDouble
+    assert(r.getLong(0) === n.toLong)
+    val rt = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val ct = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    assert(r.getLong(1) === (rt.size - 1).toLong * (ct.size - 1))
+    val chi2 = cells.map { case ((p, st), o) =>
+      val e = rt(p).toDouble * ct(st) / n
+      (o - e) * (o - e) / e
+    }.sum
+    assert(math.abs(r.getDouble(2) - chi2) < 1e-4, s"chi2 ${r.getDouble(2)} vs $chi2")
+  }
+
+  test("recs_item_cf: cosine scores verified against raw co-occurrence") {
+    val rows = q("recs_item_cf").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val sims = rows.map(_.getDouble(3))
+    assert(sims.toSeq === sims.sortBy(-_).toSeq)
+    val ui = graft.Tables.t(spark, sf, "lineitem")
+      .join(graft.Tables.t(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byItem = ui.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    rows.foreach { r =>
+      val (ia, ib) = (r.getLong(0), r.getLong(1))
+      assert(ia < ib, r.toString)
+      val co = byItem(ia).intersect(byItem(ib)).size
+      assert(co === r.getLong(2) && co >= 3, r.toString)
+      val cos = co / math.sqrt(byItem(ia).size.toDouble * byItem(ib).size)
+      assert(math.abs(r.getDouble(3) - cos) < 1e-6, r.toString)
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1 + 1e-9)
+    }
+  }
+
+  test("feature_target_encode: shrinkage lands between category and global mean") {
+    val rows = q("feature_target_encode").collect()
+    assert(rows.length === 25)
+    val tot = rows.map(r => r.getDouble(2) * r.getLong(1)).sum
+    val gn = rows.map(_.getLong(1)).sum
+    val gmean = tot / gn
+    rows.foreach { r =>
+      val (n, raw, enc) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      val lo = math.min(raw, gmean) - 1e-3
+      val hi = math.max(raw, gmean) + 1e-3
+      assert(enc >= lo && enc <= hi, s"encoded outside [raw, global]: $r")
+      // formula check from the published pieces
+      val expect = (raw * n + 100.0 * gmean) / (n + 100)
+      assert(math.abs(enc - expect) < 1e-2, s"formula: $r vs $expect")
+    }
+  }
+
+  test("ts_seasonal_decompose: additive identity holds, edges have no trend") {
+    val rows = q("ts_seasonal_decompose").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(3)) {
+        val c = r.getLong(2).toDouble
+        val recon = r.getDouble(3) + r.getDouble(4) + r.getDouble(5)
+        assert(math.abs(c - recon) < 1e-5, s"identity: $r")
+      } else assert(r.isNullAt(5), s"resid without trend: $r")
+    }
+    rows.groupBy(_.getString(0)).foreach { case (et, rs) =>
+      val sorted = rs.sortBy(_.getDate(1).toLocalDate.toEpochDay)
+      // centered 7-day MA: exactly the first 3 and last 3 days lack a trend
+      if (sorted.length >= 7) {
+        val nullIdx = sorted.zipWithIndex.filter(_._1.isNullAt(3)).map(_._2).toSet
+        val expected = Set(0, 1, 2, sorted.length - 3, sorted.length - 2, sorted.length - 1)
+        assert(nullIdx === expected, s"$et trend nulls at $nullIdx")
+      }
+    }
+  }
+
   test("graph_neighbor_jaccard: predictions are non-edges with valid scores") {
     val rows = q("graph_neighbor_jaccard").collect()
     assert(rows.length === 20)

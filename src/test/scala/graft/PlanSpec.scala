@@ -462,7 +462,10 @@ class PlanSpec extends SparkSuite {
       "ts_decay_agg" -> "crossJoin against a broadcast 1-row max-ts reference",
       "text_cooccur_pmi" -> "crossJoins against broadcast 1-row ntok/npairs totals",
       "text_bm25" -> "crossJoin against a broadcast 1-row ndocs/ntok total",
-      "vec_ann_recall" -> "composes vec_knn_join, whose broadcast <=8-probe cross join is bounded")
+      "vec_ann_recall" -> "composes vec_knn_join, whose broadcast <=8-probe cross join is bounded",
+      "stat_ttest" -> "theta self-join of a broadcast 5-row segment-moment frame (<=25 pairs)",
+      "stat_chi2" -> "crossJoin against a broadcast 1-row grand-total frame",
+      "feature_target_encode" -> "crossJoin against a broadcast 1-row global-mean frame")
     val sf = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if boundedByConstruction.contains(name) => None
