@@ -810,39 +810,91 @@ object AnalyticsOps {
     // folded as integer micro-units with explicit half-away-from-zero
     // division (see inline note) — the trend's /7 can never tie at 6 dp
     // (7 ∤ 2·10⁶), but the seasonal's /n can and did.
-    "ts_seasonal_decompose" -> ((s, dir) => {
-      val daily = events(s, dir)
-        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
-        .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
-        .rowsBetween(-3, 3)
-      val tr = daily
-        .withColumn("wn", count(lit(1)).over(w))
-        .withColumn("trend",
-          when(col("wn") === 7, round(sum(col("c")).over(w).cast("double") / 7, 6)))
-        .withColumn("dow",
-          pmod(datediff(col("day"), to_date(lit("1970-01-05"))), lit(7)))
-        .withColumn("detr",
-          when(col("trend").isNotNull, round(col("c") - col("trend"), 6)))
-      // the per-dow mean s/n can land EXACTLY on the half grid at 6 dp
-      // (e.g. 16.285714/4 = 4.0714285): Spark's round (HALF_UP on the
-      // shortest decimal repr) and DuckDB's (on the true double, which
-      // sits a hair below the tie) then disagree in the last digit. So
-      // the mean is computed as integer micro-units with explicit
-      // half-away-from-zero division — tie-proof by construction.
-      val sea = tr.filter(col("detr").isNotNull)
-        .groupBy(col("event_type"), col("dow"))
-        .agg(count(lit(1)).as("n"),
-          sum(round(col("detr") * 1000000, 0).cast("long")).as("s6"))
-        .select(col("event_type"), col("dow"),
-          expr("CAST(CAST(sign(s6) AS BIGINT) * ((abs(s6) * 2 + n) div (n * 2)) AS DOUBLE) / 1000000.0")
-            .as("seasonal"))
-      tr.join(broadcast(sea), Seq("event_type", "dow"))
+    "ts_seasonal_decompose" -> ((s, dir) =>
+      seasonalFrame(s, dir)
         .select(col("event_type"), col("day"), col("c"), col("trend"),
           col("seasonal"),
           when(col("trend").isNotNull,
             round(col("c") - col("trend") - col("seasonal"), 6)).as("resid"))
+        .orderBy(col("event_type"), col("day"))),
+
+    // Residual-based anomaly screen on the decomposition: a day is
+    // anomalous when its |residual| exceeds 3× the series' mean
+    // |residual| — the "this day broke the weekly pattern" alert that
+    // plain level thresholds (anom_zscore on raw counts) can't express
+    // because they alarm on every weekend. EVERYTHING after the
+    // decomposition is integer arithmetic on micro-units: residuals sit
+    // on the 6-dp grid, the threshold folds as a half-away-from-zero
+    // integer division, and the flag compare is BIGINT vs BIGINT — zero
+    // float divergence risk by construction.
+    "ts_seasonal_anomaly" -> ((s, dir) => {
+      val d = seasonalFrame(s, dir).filter(col("trend").isNotNull)
+        .withColumn("resid6",
+          round((col("c") - col("trend") - col("seasonal")) * 1000000, 0)
+            .cast("long"))
+      val thr = d.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(abs(col("resid6"))).as("sabs"))
+        .select(col("event_type"), expr("(sabs * 2 + n) div (n * 2)").as("thr6"))
+      d.join(broadcast(thr), Seq("event_type"))
+        .filter(abs(col("resid6")) > lit(3) * col("thr6"))
+        .select(col("event_type"), col("day"), col("c"),
+          (col("resid6").cast("double") / 1000000.0).as("resid"),
+          (col("thr6").cast("double") / 1000000.0).as("threshold"))
         .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Degree distribution of the co-purchase graph: how many nodes have
+    // each degree — the first profiling question asked of any graph
+    // (skew, connectivity, hub presence) and the input to the
+    // degree-orientation argument graph_triangles relies on. Same edge
+    // build as the other graph ops; isolated nodes enter through a LEFT
+    // join against the full node domain (degree 0). Output is
+    // degree-domain-sized — tiny at any scale.
+    "graph_degree_hist" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val und = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("nn"))
+        .filter(col("nn") >= 2)
+      val adj = und.select(col("p1").as("node"))
+        .union(und.select(col("p2").as("node")))
+      val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("dg"))
+      val nodes = li.select(col("pk").as("node")).distinct()
+      nodes.join(deg, Seq("node"), "left")
+        .select(coalesce(col("dg"), lit(0L)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("degree"))
+    }),
+
+    // Simple OLS per group — slope, intercept, R² of extendedprice on
+    // quantity for each returnflag, from one decimal-exact moment pass
+    // (n, Σx, Σy, Σx², Σy², Σxy collected in a single aggregation; the
+    // regression algebra is scalar double arithmetic on the 3-row
+    // frame). agg_corr_matrix's "moments, then algebra" shape extended
+    // to the fit itself; at any scale the fact is touched exactly once.
+    "stat_linreg" -> ((s, dir) => {
+      val m = t(s, dir, "lineitem").groupBy(col("l_returnflag").as("rf"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).as("dsx"),
+          sum(dec(col("l_extendedprice"))).as("dsy"),
+          sum(dec(col("l_quantity")) * dec(col("l_quantity"))).as("dsxx"),
+          sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice"))).as("dsyy"),
+          sum(dec(col("l_quantity")) * dec(col("l_extendedprice"))).as("dsxy"))
+        .select(col("rf"), col("n"),
+          col("dsx").cast("double").as("sx"), col("dsy").cast("double").as("sy"),
+          col("dsxx").cast("double").as("sxx"), col("dsyy").cast("double").as("syy"),
+          col("dsxy").cast("double").as("sxy"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val varx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vary = col("n") * col("syy") - col("sy") * col("sy")
+      m.select(col("rf"), col("n"),
+          round(cov / varx, 6).as("slope"),
+          round(col("sy") / col("n") - cov / varx * (col("sx") / col("n")), 6)
+            .as("intercept"),
+          round(cov * cov / (varx * vary), 6).as("r2"))
+        .orderBy(col("rf"))
     }),
 
     "vec_centroid_agg" -> ((s, dir) => {
@@ -860,6 +912,42 @@ object AnalyticsOps {
             (acc, x) => acc + x.getField("v")) / size(col("h")), 6).as("centroid"))
         .orderBy(col("label"), col("pos"))
     }))
+
+  /** Shared day-grain decomposition frame for ts_seasonal_decompose /
+    * ts_seasonal_anomaly: (event_type, day, c, dow, trend, seasonal).
+    * trend = centered 7-day MA over full windows only (the /7 can never
+    * tie at 6 dp since 7 ∤ 2·10⁶); the per-dow seasonal mean s/n CAN
+    * land exactly on the half grid (e.g. 16.285714/4 = 4.0714285), and
+    * Spark's round (HALF_UP on the shortest decimal repr) and DuckDB's
+    * (on the true double, a hair below the tie) then disagree in the
+    * last digit — so the mean folds as integer micro-units with
+    * explicit half-away-from-zero division, tie-proof by construction. */
+  private def seasonalFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val tr = daily
+      .withColumn("wn", count(lit(1)).over(w))
+      .withColumn("trend",
+        when(col("wn") === 7, round(sum(col("c")).over(w).cast("double") / 7, 6)))
+      .withColumn("dow",
+        pmod(datediff(col("day"), to_date(lit("1970-01-05"))), lit(7)))
+      .withColumn("detr",
+        when(col("trend").isNotNull, round(col("c") - col("trend"), 6)))
+    val sea = tr.filter(col("detr").isNotNull)
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("detr") * 1000000, 0).cast("long")).as("s6"))
+      .select(col("event_type"), col("dow"),
+        expr("CAST(CAST(sign(s6) AS BIGINT) * ((abs(s6) * 2 + n) div (n * 2)) AS DOUBLE) / 1000000.0")
+          .as("seasonal"))
+    tr.join(broadcast(sea), Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("c"), col("dow"),
+        col("trend"), col("seasonal"))
+  }
 
   private def pagerankIterSql(k: Int): String =
     s"""r$k AS (SELECT e.dst AS v,
