@@ -19,14 +19,22 @@ object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** Read the `events` table. Its parquet `ts` is nanosecond-precision,
-    * which Spark's vectorized reader rejects; read it as raw Long nanos
-    * (legacy conf) and truncate to µs — byte-identical to what DuckDB's
-    * reader produces for the oracle side (it truncates ns→µs too). */
+  /** Read the `events` table, normalizing `ts` to a session-tz TIMESTAMP
+    * whatever the generator wrote it as: nanosecond-precision INT64
+    * (earlier drops — read as raw Long nanos via the legacy conf and
+    * truncate to µs, byte-identical to DuckDB's ns→µs truncation) or a
+    * plain µs timestamp (current drops — Spark surfaces it as
+    * TIMESTAMP_NTZ; cast to TIMESTAMP, the identity under the UTC
+    * session timezone every entrypoint pins). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, sfDir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = t(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Exact-arithmetic image of a double column: DECIMAL(18, s).

@@ -76,7 +76,12 @@ object Aggregates {
       val sk = events(s, dir)
         .filter(col("ts") < lit("2024-01-08").cast("timestamp"))
         .select(col("ts").cast("date").as("day"),
-          pmod(col("user_id") * lit(2654435761L), lit(4294967296L)).as("h"))
+          // key masked to 2^31 BEFORE the Knuth multiply: (2^31−1)·2654435761
+          // provably fits a signed 64-bit product, so Spark (silent wrap)
+          // and DuckDB (overflow error) can never diverge at large key
+          // domains; ids < 2^31 hash identically to the unmasked form
+          pmod((col("user_id") % lit(2147483648L)) * lit(2654435761L),
+            lit(4294967296L)).as("h"))
         .groupBy(col("day"))
         .agg(KmvSketch.kmv(col("h")).as("sk"))
       def est(arr: Column): Column =
@@ -305,7 +310,10 @@ object Aggregates {
       val cells = e.select(col("event_type"), col("u"),
           posexplode(array(ms.map(lit(_)): _*)))
         .select(col("event_type"), col("u"), col("pos").as("j"),
-          (col("u") * col("col") % lit(4294967296L) % lit(w.toLong)).as("bkt"))
+          // mask-then-multiply: (2^31−1)·3266489917 < 2^63, so the product
+          // cannot overflow Long in Spark nor raise in DuckDB's BIGINT
+          ((col("u") % lit(2147483648L)) * col("col")
+            % lit(4294967296L) % lit(w.toLong)).as("bkt"))
       val partial = cells.groupBy(col("event_type"), col("j"), col("bkt"))
         .agg(count(lit(1)).as("c"))
       val sketch = partial.groupBy(col("j"), col("bkt"))
@@ -315,7 +323,8 @@ object Aggregates {
       truth.select(col("u"), col("true_n"),
           posexplode(array(ms.map(lit(_)): _*)))
         .select(col("u"), col("true_n"), col("pos").as("j"),
-          (col("u") * col("col") % lit(4294967296L) % lit(w.toLong)).as("bkt"))
+          ((col("u") % lit(2147483648L)) * col("col")
+            % lit(4294967296L) % lit(w.toLong)).as("bkt"))
         .join(broadcast(sketch), Seq("j", "bkt"))
         .groupBy(col("u"), col("true_n"))
         .agg(min(col("c")).as("cms_est"))
@@ -579,7 +588,7 @@ object Aggregates {
     // reads the ALREADY-6dp-rounded est_union, mirroring the Spark plan)
     "agg_kmv_setops" ->
       """WITH h AS (
-           SELECT CAST(ts AS DATE) AS day, (user_id * 2654435761) % 4294967296 AS h
+           SELECT CAST(ts AS DATE) AS day, ((user_id % 2147483648) * 2654435761) % 4294967296 AS h
            FROM events WHERE ts < TIMESTAMP '2024-01-08'),
          sk AS (
            SELECT day, list_sort(list_distinct(list(h)))[1:64] AS sk
@@ -717,13 +726,13 @@ object Aggregates {
     "agg_countmin" ->
       """WITH e AS (SELECT event_type, user_id AS u FROM events),
          ms AS (SELECT * FROM (VALUES (0, 2654435761), (1, 2246822519), (2, 3266489917)) AS t(j, m)),
-         cells AS (SELECT event_type, u, j, ((u * m) % 4294967296) % 256 AS bkt
+         cells AS (SELECT event_type, u, j, (((u % 2147483648) * m) % 4294967296) % 256 AS bkt
                    FROM e CROSS JOIN ms),
          partial AS (SELECT event_type, j, bkt, count(1) AS c FROM cells GROUP BY 1, 2, 3),
          sketch AS (SELECT j, bkt, CAST(sum(c) AS BIGINT) AS c FROM partial GROUP BY 1, 2),
          truth AS (SELECT u, count(1) AS true_n FROM e GROUP BY u
                    ORDER BY true_n DESC, u LIMIT 10),
-         probes AS (SELECT u, true_n, j, ((u * m) % 4294967296) % 256 AS bkt
+         probes AS (SELECT u, true_n, j, (((u % 2147483648) * m) % 4294967296) % 256 AS bkt
                     FROM truth CROSS JOIN ms)
          SELECT u AS user_id, true_n, min(c) AS cms_est
          FROM probes JOIN sketch USING (j, bkt)

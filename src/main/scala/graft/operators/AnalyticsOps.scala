@@ -109,6 +109,17 @@ object AnalyticsOps {
     * small, node-count-sized side) shuffle per round; edges never do. */
   private[graft] val PagerankBroadcastMaxNodes = 4L << 20
 
+  /** Per-user distinct-item cap for recs_item_cf. The co-occurrence
+    * self-join fans out quadratically in the heaviest basket, so a single
+    * hyper-active user (a bot, a shared account) can dominate the whole
+    * shuffle at 100 TB; capping each basket to its first K sorted items
+    * bounds every user's contribution at K(K−1)/2 pairs. K = 100 keeps
+    * >99% of organic users intact (TPC-H baskets are ≤~30; real
+    * e-commerce median baskets are far below 100) while making the worst
+    * case harmless. Deterministic (sorted prefix, no sampling) so the
+    * DuckDB oracle replays the identical cap. */
+  private[graft] val ItemCfBasketCap = 100
+
   /** One PageRank round. With `broadcastRanks` (node count under the gate)
     * the rank table is BROADCAST onto the cached edge frame — no edge
     * shuffle per round; the only exchange is the contribution groupBy on
@@ -164,6 +175,63 @@ object AnalyticsOps {
     val res = stats.crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
     (res, Seq(und, deg, oriented))
+  }
+
+  /** Lazy degree-histogram build over the (ok, pk) edge source, returning
+    * the result frame plus the frames it persists. li feeds the pair
+    * self-join AND the node domain; und feeds the degree explode — without
+    * the persists the whole distinct→self-join→groupBy pair-build subtree
+    * re-executes (two fact-sized shuffle trees instead of one, the exact
+    * lesson trianglesBuild encodes). Factored out so PlanSpec pins the
+    * single pair-build exchange on the LAZY plan; the registered query
+    * materializes the tiny histogram and unpersists. */
+  private[graft] def degreeHistBuild(li: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    val liC = li.persist()
+    val und = liC.as("a").join(liC.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("nn"))
+      .filter(col("nn") >= 2)
+      .persist()
+    val deg = und.select(explode(array(col("p1"), col("p2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    val nodes = liC.select(col("pk").as("node")).distinct()
+    val res = nodes.join(deg, Seq("node"), "left")
+      .select(coalesce(col("dg"), lit(0L)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("degree"))
+    (res, Seq(liC, und))
+  }
+
+  /** Lazy item-CF build over a distinct (u, i) interaction frame: cap each
+    * user's basket at ItemCfBasketCap sorted items, self-join on the user
+    * key, cosine = co / √(n_a·n_b), support floor co ≥ 3, top-20 under a
+    * total order. The capped frame is persisted (it feeds the per-item
+    * counts plus both self-join sides); factored out so the cap semantics
+    * are testable on a synthetic >K-item basket and PlanSpec can pin the
+    * lazy plan. */
+  private[graft] def itemCfBuild(ui0: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    val ui = ui0
+      .groupBy(col("u"))
+      .agg(slice(sort_array(collect_list(col("i"))), 1, ItemCfBasketCap)
+        .as("items"))
+      .select(col("u"), explode(col("items")).as("i"))
+      .persist()
+    val cnt = ui.groupBy(col("i")).agg(count(lit(1)).as("ni"))
+    val co = ui.as("a").join(ui.as("b"),
+        col("a.u") === col("b.u") && col("a.i") < col("b.i"))
+      .groupBy(col("a.i").as("ia"), col("b.i").as("ib"))
+      .agg(count(lit(1)).as("nco"))
+      .filter(col("nco") >= 3)
+    val res = co
+      .join(cnt.select(col("i").as("ia"), col("ni").as("na")), Seq("ia"))
+      .join(cnt.select(col("i").as("ib"), col("ni").as("nb")), Seq("ib"))
+      .select(col("ia"), col("ib"), col("nco"),
+        round(col("nco").cast("double") /
+          sqrt((col("na") * col("nb")).cast("double")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("ia"), col("ib"))
+      .limit(20)
+    (res, Seq(ui))
   }
 
   val queries: Map[String, QFn] = Map(
@@ -709,12 +777,18 @@ object AnalyticsOps {
     // contingency table: ONE fact-sized hash agg to the 15-cell observed
     // table, then expected counts and the statistic live entirely on
     // that bounded grain (row/column margins re-aggregate the cells, the
-    // grand total is a broadcast 1-row cross). Counts stay integers
-    // until the expected-count division; each cell's (O−E)²/E is rounded
-    // to the 6-dp grid and summed in DECIMAL so the 15-term sum is
-    // order-independent — the one place a naive double sum could diverge
-    // between engines. Output is the summary row (n, dof, χ²); the
-    // caller compares χ² to their chosen critical value.
+    // grand total is a broadcast 1-row cross). The cell domain is the
+    // FULL cross product of the observed margins (rowt × colt, LEFT join
+    // back to obs, O coalesced to 0) — a (priority, status) combination
+    // with zero rows still contributes its E = rt·ct/n to the statistic
+    // and its cell to the dof, as the textbook test requires; summing
+    // only observed cells silently drops those terms at small SF. Counts
+    // stay integers until the expected-count division; each cell's
+    // (O−E)²/E is rounded to the 6-dp grid and summed in DECIMAL so the
+    // 15-term sum is order-independent — the one place a naive double
+    // sum could diverge between engines. Output is the summary row
+    // (n, dof, χ²); the caller compares χ² to their chosen critical
+    // value.
     "stat_chi2" -> ((s, dir) => {
       val obs = t(s, dir, "orders")
         .groupBy(col("o_orderpriority").as("p"), col("o_orderstatus").as("st"))
@@ -722,8 +796,9 @@ object AnalyticsOps {
       val rowt = obs.groupBy(col("p")).agg(sum(col("o")).as("rt"))
       val colt = obs.groupBy(col("st")).agg(sum(col("o")).as("ct"))
       val tot = obs.agg(sum(col("o")).as("n"))
-      obs.join(broadcast(rowt), Seq("p"))
-        .join(broadcast(colt), Seq("st"))
+      rowt.crossJoin(broadcast(colt))
+        .join(obs, Seq("p", "st"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
         .crossJoin(broadcast(tot))
         .withColumn("e", col("rt").cast("double") * col("ct") / col("n"))
         .withColumn("contrib",
@@ -741,32 +816,27 @@ object AnalyticsOps {
     // — co-occurrence counts from a self-join of the DISTINCT
     // interaction set on the user key, so pair expansion is bounded by
     // per-user basket size (never |items|²), exactly basket_pairs'
-    // containment argument lifted from order grain to customer grain. At
-    // 100 TB the one guard a real pipeline adds is a per-user basket cap
-    // (sample hyper-active users before the self-join) — the fan-out is
-    // quadratic in the heaviest basket, not in the catalog. Support
-    // floor co ≥ 3 prunes noise pairs before the similarity math; top-20
-    // under a (cosine, ia, ib) total order keeps the boundary
-    // deterministic at 6 dp.
+    // containment argument lifted from order grain to customer grain. The
+    // fan-out is quadratic in the heaviest basket, not in the catalog, so
+    // the 100 TB guard is IN THE PLAN: each user's distinct-item basket is
+    // capped at ItemCfBasketCap items (deterministically — sorted array,
+    // first K) BEFORE the self-join, bounding the per-user pair explosion
+    // at K²/2 regardless of how hyper-active the user is. The oracle
+    // replays the identical cap. Support floor co ≥ 3 prunes noise pairs
+    // before the similarity math; top-20 under a (cosine, ia, ib) total
+    // order keeps the boundary deterministic at 6 dp.
     "recs_item_cf" -> ((s, dir) => {
-      val ui = t(s, dir, "lineitem")
+      val ui0 = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
         .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("u"), col("l_partkey").as("i")).distinct()
-      val cnt = ui.groupBy(col("i")).agg(count(lit(1)).as("ni"))
-      val co = ui.as("a").join(ui.as("b"),
-          col("a.u") === col("b.u") && col("a.i") < col("b.i"))
-        .groupBy(col("a.i").as("ia"), col("b.i").as("ib"))
-        .agg(count(lit(1)).as("nco"))
-        .filter(col("nco") >= 3)
-      co.join(cnt.select(col("i").as("ia"), col("ni").as("na")), Seq("ia"))
-        .join(cnt.select(col("i").as("ib"), col("ni").as("nb")), Seq("ib"))
-        .select(col("ia"), col("ib"), col("nco"),
-          round(col("nco").cast("double") /
-            sqrt((col("na") * col("nb")).cast("double")), 6).as("cosine"))
-        .orderBy(col("cosine").desc, col("ia"), col("ib"))
-        .limit(20)
+      val (res, cached) = itemCfBuild(ui0)
+      // top-20 result: materialize eagerly so the persisted capped frame
+      // can be unpersisted here (CacheManager hygiene, as graph_triangles)
+      val out = res.localCheckpoint(true)
+      cached.foreach(_.unpersist(false))
+      out
     }),
 
     // Smoothed target encoding: replace a categorical feature (customer
@@ -849,23 +919,21 @@ object AnalyticsOps {
     // degree-orientation argument graph_triangles relies on. Same edge
     // build as the other graph ops; isolated nodes enter through a LEFT
     // join against the full node domain (degree 0). Output is
-    // degree-domain-sized — tiny at any scale.
+    // degree-domain-sized — tiny at any scale. li and und are PERSISTED:
+    // li feeds the self-join and the node domain, und feeds the degree
+    // explode — without the persists the whole distinct→self-join→groupBy
+    // pair-build subtree re-executes (two fact-sized shuffle trees instead
+    // of one, the exact lesson trianglesBuild encodes); the tiny result is
+    // eagerly materialized so both caches can be dropped here.
     "graph_degree_hist" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val und = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
-        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("nn"))
-        .filter(col("nn") >= 2)
-      val adj = und.select(col("p1").as("node"))
-        .union(und.select(col("p2").as("node")))
-      val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("dg"))
-      val nodes = li.select(col("pk").as("node")).distinct()
-      nodes.join(deg, Seq("node"), "left")
-        .select(coalesce(col("dg"), lit(0L)).as("degree"))
-        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
-        .orderBy(col("degree"))
+      val (res, cached) = degreeHistBuild(li)
+      // degree-domain-sized result: materialize eagerly, then drop the
+      // persisted pair-build (CacheManager hygiene, as graph_triangles)
+      val out = res.localCheckpoint(true)
+      cached.foreach(_.unpersist(false))
+      out
     }),
 
     // Simple OLS per group — slope, intercept, R² of extendedprice on
@@ -1112,7 +1180,7 @@ object AnalyticsOps {
            FROM customer)
          SELECT c_mktsegment, decile, count(1) AS n,
                 round(min(c_acctbal), 6) AS lo, round(max(c_acctbal), 6) AS hi,
-                round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(1), 6) AS mean_bal
+                round(CAST(sum(CAST(c_acctbal AS DECIMAL(19,6))) AS DOUBLE) / count(1), 6) AS mean_bal
          FROM d GROUP BY c_mktsegment, decile ORDER BY c_mktsegment, decile""",
     "basket_pairs" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
@@ -1198,10 +1266,10 @@ object AnalyticsOps {
     "anom_zscore" ->
       """WITH stats AS (
            SELECT event_type,
-                  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(1) AS mu,
-                  sqrt(greatest((CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                        - CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                          * CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(1)) / count(1), 0)) AS sigma
+                  CAST(sum(CAST(value AS DECIMAL(19,6))) AS DOUBLE) / count(1) AS mu,
+                  sqrt(greatest((CAST(sum(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6))) AS DOUBLE)
+                        - CAST(sum(CAST(value AS DECIMAL(19,6))) AS DOUBLE)
+                          * CAST(sum(CAST(value AS DECIMAL(19,6))) AS DOUBLE) / count(1)) / count(1), 0)) AS sigma
            FROM events GROUP BY event_type)
          SELECT event_id, event_type, round(value, 6) AS value,
                 round((value - mu) / sigma, 6) AS z
@@ -1211,7 +1279,7 @@ object AnalyticsOps {
     "win_mom_growth" ->
       """WITH monthly AS (
            SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-                  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+                  round(CAST(sum(CAST(o_totalprice AS DECIMAL(19,6))) AS DOUBLE), 6) AS revenue
            FROM orders GROUP BY 1, 2)
          SELECT o_orderpriority, month, revenue,
                 CASE WHEN prev IS NOT NULL AND prev <> 0.0
@@ -1231,7 +1299,7 @@ object AnalyticsOps {
          users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 40),
          daily AS (
            SELECT user_id, CAST(ts AS DATE) AS day,
-                  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(1), 6) AS v
+                  round(CAST(sum(CAST(value AS DECIMAL(19,6))) AS DOUBLE) / count(1), 6) AS v
            FROM events WHERE user_id < 40 GROUP BY 1, 2),
          spine AS (
            SELECT u.user_id, d.day, daily.v FROM users u CROSS JOIN days d
@@ -1253,8 +1321,8 @@ object AnalyticsOps {
                 CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS obs,
                 CASE WHEN v IS NOT NULL THEN v
                      WHEN pv IS NOT NULL AND nv IS NOT NULL
-                     THEN CAST(round(CAST(pv AS DECIMAL(18,6)) +
-                            (CAST(nv AS DECIMAL(18,6)) - CAST(pv AS DECIMAL(18,6))) *
+                     THEN CAST(round(CAST(pv AS DECIMAL(19,6)) +
+                            (CAST(nv AS DECIMAL(19,6)) - CAST(pv AS DECIMAL(19,6))) *
                             CAST(round(date_diff('day', pd, day) / date_diff('day', pd, nd), 9) AS DECIMAL(10,9)),
                           6) AS DOUBLE)
                      ELSE coalesce(pv, nv, 0.0) END AS filled_value
@@ -1280,19 +1348,25 @@ object AnalyticsOps {
          rowt AS (SELECT p, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
          colt AS (SELECT st, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
          tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
-         cells AS (SELECT obs.o, obs.p, obs.st, n, CAST(rt AS DOUBLE) * ct / n AS e
-                   FROM obs JOIN rowt USING (p) JOIN colt USING (st) CROSS JOIN tot),
+         cells AS (SELECT coalesce(obs.o, 0) AS o, rowt.p, colt.st, n,
+                          CAST(rt AS DOUBLE) * ct / n AS e
+                   FROM rowt CROSS JOIN colt
+                   LEFT JOIN obs ON obs.p = rowt.p AND obs.st = colt.st
+                   CROSS JOIN tot),
          c2 AS (SELECT p, st, n,
-                       CAST(round((o - e) * (o - e) / e, 6) AS DECIMAL(18,6)) AS contrib
+                       CAST(round((o - e) * (o - e) / e, 6) AS DECIMAL(19,6)) AS contrib
                 FROM cells)
          SELECT max(n) AS n,
                 (count(DISTINCT p) - 1) * (count(DISTINCT st) - 1) AS dof,
                 round(CAST(sum(contrib) AS DOUBLE), 6) AS chi2
          FROM c2""",
     "recs_item_cf" ->
-      """WITH ui AS (
+      """WITH ui0 AS (
            SELECT DISTINCT o_custkey AS u, l_partkey AS i
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         ui AS (
+           SELECT u, unnest(list_sort(list(i))[1:100]) AS i
+           FROM ui0 GROUP BY u),
          cnt AS (SELECT i, count(1) AS ni FROM ui GROUP BY 1),
          co AS (SELECT a.i AS ia, b.i AS ib, count(1) AS nco
                 FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
@@ -1306,10 +1380,10 @@ object AnalyticsOps {
            SELECT c_nationkey, o_totalprice
            FROM orders JOIN customer ON o_custkey = c_custkey),
          g AS (SELECT c_nationkey, count(1) AS n,
-                      CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sv
+                      CAST(sum(CAST(o_totalprice AS DECIMAL(19,6))) AS DOUBLE) AS sv
                FROM j GROUP BY 1),
          gstats AS (SELECT count(1) AS gn,
-                           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS gsv
+                           CAST(sum(CAST(o_totalprice AS DECIMAL(19,6))) AS DOUBLE) AS gsv
                     FROM j)
          SELECT c_nationkey, n, round(sv / n, 6) AS raw_mean,
                 round((sv + 100.0 * (gsv / gn)) / (n + 100), 6) AS encoded
@@ -1351,6 +1425,69 @@ object AnalyticsOps {
            SELECT label, pos, list(v ORDER BY vec_id) AS vs FROM ex GROUP BY label, pos)
          SELECT label, pos, CAST(len(vs) AS BIGINT) AS n,
                 round(list_reduce(vs, (acc, x) -> acc + x) / len(vs), 6) AS centroid
-         FROM grp ORDER BY label, pos"""
+         FROM grp ORDER BY label, pos""",
+    "graph_degree_hist" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         und AS (
+           SELECT a.pk AS p1, b.pk AS p2
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY p1, p2 HAVING count(1) >= 2),
+         deg AS (
+           SELECT node, count(1) AS dg FROM (
+             SELECT p1 AS node FROM und UNION ALL SELECT p2 FROM und) GROUP BY node),
+         nodes AS (SELECT DISTINCT pk AS node FROM li)
+         SELECT coalesce(dg, CAST(0 AS BIGINT)) AS degree, count(1) AS n_nodes
+         FROM nodes LEFT JOIN deg USING (node)
+         GROUP BY 1 ORDER BY 1""",
+    "stat_linreg" ->
+      """WITH m AS (
+           SELECT l_returnflag AS rf, count(1) AS n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sy,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy
+           FROM lineitem GROUP BY 1)
+         SELECT rf, n,
+                round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+                round(sy / n - (n * sxy - sx * sy) / (n * sxx - sx * sx) * (sx / n), 6) AS intercept,
+                round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+                      ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+         FROM m ORDER BY rf""",
+    "ts_seasonal_anomaly" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         tr AS (SELECT event_type, day, c,
+                       count(1) OVER w AS wn,
+                       CAST(sum(c) OVER w AS BIGINT) AS wsum,
+                       (date_diff('day', DATE '1970-01-05', day) % 7 + 7) % 7 AS dow
+                FROM daily
+                WINDOW w AS (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         t2 AS (SELECT event_type, day, c, dow,
+                       CASE WHEN wn = 7 THEN round(CAST(wsum AS DOUBLE) / 7, 6) END AS trend
+                FROM tr),
+         t3 AS (SELECT *, CASE WHEN trend IS NOT NULL THEN round(c - trend, 6) END AS detr
+                FROM t2),
+         g AS (SELECT event_type, dow, count(1) AS n,
+                      CAST(sum(CAST(round(detr * 1000000, 0) AS BIGINT)) AS BIGINT) AS s6
+               FROM t3 WHERE detr IS NOT NULL GROUP BY 1, 2),
+         sea AS (SELECT event_type, dow,
+                        CAST(sign(s6) * ((abs(s6) * 2 + n) // (n * 2)) AS DOUBLE) / 1000000.0 AS seasonal
+                 FROM g),
+         d AS (SELECT t3.event_type, t3.day, t3.c,
+                      CAST(round((t3.c - t3.trend - sea.seasonal) * 1000000, 0) AS BIGINT) AS resid6
+               FROM t3 JOIN sea ON t3.event_type = sea.event_type AND t3.dow = sea.dow
+               WHERE t3.trend IS NOT NULL),
+         thr AS (SELECT event_type,
+                        (CAST(sum(abs(resid6)) AS BIGINT) * 2 + count(1)) // (count(1) * 2) AS thr6
+                 FROM d GROUP BY 1)
+         SELECT d.event_type, d.day, d.c,
+                CAST(resid6 AS DOUBLE) / 1000000.0 AS resid,
+                CAST(thr6 AS DOUBLE) / 1000000.0 AS threshold
+         FROM d JOIN thr USING (event_type)
+         WHERE abs(resid6) > 3 * thr6
+         ORDER BY d.event_type, d.day"""
   ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
 }

@@ -365,7 +365,7 @@ object TextOps {
     // is a per-row expression, so at 100 TB it costs one scan + one agg).
     "sample_split" -> ((s, dir) => {
       t(s, dir, "documents")
-        .withColumn("bucket", pmod(col("doc_id") * lit(2654435761L), lit(100)))
+        .withColumn("bucket", pmod((col("doc_id") % lit(2147483648L)) * lit(2654435761L), lit(100)))
         .withColumn("split",
           when(col("bucket") < 80, "train")
             .when(col("bucket") < 90, "val").otherwise("test"))
@@ -406,7 +406,7 @@ object TextOps {
     "corpus_shard" -> ((s, dir) => {
       val w = Window.partitionBy(col("shard")).orderBy(col("ord"), col("doc_id"))
       t(s, dir, "documents")
-        .withColumn("shard", pmod(col("doc_id") * lit(2654435761L), lit(8)))
+        .withColumn("shard", pmod((col("doc_id") % lit(2147483648L)) * lit(2654435761L), lit(8)))
         .withColumn("ord", pmod(col("doc_id") * lit(1315423911L), lit(1000000007L)))
         .withColumn("pos", row_number().over(w))
         .select(col("doc_id"), col("shard"), col("pos"))
@@ -532,7 +532,7 @@ object TextOps {
         .join(broadcast(wdf), "tier")
         .withColumn("n_copies",
           expr("mills div 1000") +
-            when(pmod(col("doc_id") * lit(2654435761L), lit(1000)) <
+            when(pmod((col("doc_id") % lit(2147483648L)) * lit(2654435761L), lit(1000)) <
                  pmod(col("mills"), lit(1000)), 1L).otherwise(0L))
         .filter(col("n_copies") > 0)
         .select(col("doc_id"), col("source"),
@@ -626,7 +626,7 @@ object TextOps {
     // language/domain-mix control in training-data pipelines.
     "sample_stratified" -> ((s, dir) =>
       t(s, dir, "documents")
-        .filter(pmod(col("doc_id") * lit(2654435761L), lit(100)) <
+        .filter(pmod((col("doc_id") % lit(2147483648L)) * lit(2654435761L), lit(100)) <
           when(col("lang") === "en", lit(40)).otherwise(lit(90)))
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
@@ -676,7 +676,7 @@ object TextOps {
         .withColumn("h", sha2(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 256))
       val keep = d.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
       d.join(keep, Seq("h", "doc_id"), "left_semi")
-        .filter(pmod(col("doc_id") * lit(2654435761L), lit(100)) <
+        .filter(pmod((col("doc_id") % lit(2147483648L)) * lit(2654435761L), lit(100)) <
           when(col("lang") === "en", lit(40)).otherwise(lit(90)))
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"),
@@ -908,8 +908,8 @@ object TextOps {
       """SELECT lang, split, count(1) AS n_docs,
          round(CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE), 6) AS chars
          FROM (SELECT lang, n_chars,
-                 CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-                      WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                 CASE WHEN ((doc_id % 2147483648) * 2654435761) % 100 < 80 THEN 'train'
+                      WHEN ((doc_id % 2147483648) * 2654435761) % 100 < 90 THEN 'val'
                       ELSE 'test' END AS split
                FROM documents)
          GROUP BY lang, split ORDER BY lang, split""",
@@ -922,9 +922,9 @@ object TextOps {
          FROM starts ORDER BY doc_id, chunk_id""",
     "corpus_shard" ->
       """SELECT doc_id, shard, pos FROM (
-           SELECT doc_id, (doc_id * 2654435761) % 8 AS shard,
+           SELECT doc_id, ((doc_id % 2147483648) * 2654435761) % 8 AS shard,
              row_number() OVER (
-               PARTITION BY (doc_id * 2654435761) % 8
+               PARTITION BY ((doc_id % 2147483648) * 2654435761) % 8
                ORDER BY (doc_id * 1315423911) % 1000000007, doc_id) AS pos
            FROM documents)
          ORDER BY doc_id""",
@@ -992,7 +992,7 @@ object TextOps {
          d AS (
            SELECT doc_id, source,
              mills // 1000
-               + CASE WHEN (doc_id * 2654435761) % 1000 < mills % 1000
+               + CASE WHEN ((doc_id % 2147483648) * 2654435761) % 1000 < mills % 1000
                       THEN 1 ELSE 0 END AS n
            FROM (SELECT doc_id, source,
                    CAST(substr(source, 4) AS INT) // 5 AS tier FROM documents)
@@ -1092,7 +1092,7 @@ object TextOps {
          ORDER BY g.doc_id""",
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents
-         WHERE (doc_id * 2654435761) % 100 < (CASE WHEN lang = 'en' THEN 40 ELSE 90 END)
+         WHERE ((doc_id % 2147483648) * 2654435761) % 100 < (CASE WHEN lang = 'en' THEN 40 ELSE 90 END)
          ORDER BY doc_id""",
     "corpus_pipeline" ->
       """WITH d AS (
@@ -1104,7 +1104,7 @@ object TextOps {
              AND len(list_filter(string_split(lower(text), ' '), x -> x <> '')) >= 20),
          keep AS (SELECT h, min(doc_id) AS doc_id FROM d GROUP BY h),
          kept AS (SELECT d.* FROM d JOIN keep USING (h, doc_id)
-                  WHERE (d.doc_id * 2654435761) % 100 < CASE WHEN lang = 'en' THEN 40 ELSE 90 END)
+                  WHERE ((d.doc_id % 2147483648) * 2654435761) % 100 < CASE WHEN lang = 'en' THEN 40 ELSE 90 END)
          SELECT lang, source, count(1) AS n_docs,
                 CAST(sum(n_toks) AS BIGINT) AS total_tokens,
                 round(CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / count(1), 6) AS avg_chars

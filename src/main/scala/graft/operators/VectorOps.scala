@@ -153,7 +153,7 @@ object VectorOps {
     // corpus and only the ENCODE pass touches everything. The filter is
     // pure BIGINT arithmetic, so the DuckDB oracle replays the same
     // sample bit for bit.
-    val embD = emb.filter(pmod(col("vec_id") * lit(2654435761L), lit(4)) === 0)
+    val embD = emb.filter(pmod((col("vec_id") % lit(2147483648L)) * lit(2654435761L), lit(4)) === 0)
       .select(col("vec_id"), col("embedding"))
     val pinned = scala.collection.mutable.Buffer.empty[DataFrame]
     var cb = emb.filter(col("vec_id") < PQ_K)
@@ -222,7 +222,7 @@ object VectorOps {
                  list_aggregate(list_transform(range(1, 9), i ->
                    (e.embedding[p.m * 8 + i]::DOUBLE - c.cv[p.m * 8 + i]) *
                    (e.embedding[p.m * 8 + i]::DOUBLE - c.cv[p.m * 8 + i])), 'sum'), c.cw) AS crn
-             FROM (SELECT * FROM embeddings WHERE (vec_id * 2654435761) % 4 = 0) e
+             FROM (SELECT * FROM embeddings WHERE ((vec_id % 2147483648) * 2654435761) % 4 = 0) e
              CROSS JOIN range(0, 8) p(m) CROSS JOIN $prev c)
            WHERE crn = 1),
          mean$r AS (

@@ -30,7 +30,7 @@ object Streams {
 
   private val eventSchema = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // ns in the parquet footer; nanosAsLong read
+    StructField("ts", LongType), // overridden per-fixture; see eventsStream
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -49,8 +49,17 @@ object Streams {
     val link = dir.resolve("events.parquet")
     if (!Files.exists(link))
       Files.createSymbolicLink(link, Paths.get(sfDir, "events.parquet"))
-    s.readStream.schema(eventSchema).parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // the stream schema must match what the generator actually wrote for
+    // `ts` (ns-INT64 in earlier drops, µs TIMESTAMP in current ones) — a
+    // one-footer batch read resolves it, then ts normalizes to a session-tz
+    // TIMESTAMP exactly like Tables.events does for the batch path
+    val tsType = s.read.parquet(dir.toString).schema("ts").dataType
+    val schema = StructType(eventSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    val raw = s.readStream.schema(schema).parquet(dir.toString)
+    if (tsType == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Move the single part-file of a coalesce(1) staging write onto a fixed

@@ -1293,4 +1293,92 @@ class PropertySpec extends SparkSuite {
     assert(wrong === 0L, s"$wrong nodes not labeled with their hub")
     assert(labels.count() === n)
   }
+
+  test("recs_item_cf: hyper-active basket is capped at ItemCfBasketCap before the pair explosion") {
+    import spark.implicits._
+    import graft.operators.AnalyticsOps
+    val K = AnalyticsOps.ItemCfBasketCap
+    // one bot user with 3K distinct items + 4 organic users sharing the
+    // first 5 items (so some pairs clear the co>=3 support floor)
+    val bot = (1 to 3 * K).map(i => (999L, i.toLong))
+    val organic = for (u <- 1L to 4L; i <- 1L to 5L) yield (u, i)
+    val ui0 = (bot ++ organic).toDF("u", "i")
+    val (res, cached) = AnalyticsOps.itemCfBuild(ui0)
+    try {
+      val rows = res.collect()
+      // pairs only among the K-item sorted prefix: no item beyond K appears
+      rows.foreach { r =>
+        assert(r.getLong(0) <= K && r.getLong(1) <= K,
+          s"item beyond the sorted-prefix cap leaked into pairs: $r")
+      }
+      // the bot contributes at most K(K-1)/2 pairs, not (3K)(3K-1)/2 —
+      // count its pair universe directly through the capped frame
+      val capped = cached.head.filter(col("u") === 999L).count()
+      assert(capped === K.toLong, s"capped basket size: $capped")
+    } finally cached.foreach(_.unpersist(false))
+  }
+
+  test("graph_degree_hist: histogram partitions the catalog, handshake sum = 2|E|") {
+    val rows = q("graph_degree_hist").collect()
+    assert(rows.nonEmpty)
+    val degs = rows.map(_.getLong(0))
+    assert(degs.toSeq === degs.sorted.toSeq && degs.distinct.length === degs.length)
+    assert(degs.forall(_ >= 0))
+    // bins partition the node domain: counts sum to the part catalog size
+    val nParts = graft.Tables.t(spark, sf, "lineitem")
+      .select(col("l_partkey")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum === nParts)
+    // handshake lemma: Σ degree·count = 2·|edges|, edges = basket_pairs'
+    // co-purchase pairs (same build, same ≥2-order floor)
+    val nEdges = q("basket_pairs").count()
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum === 2 * nEdges)
+  }
+
+  test("stat_linreg: slope/intercept/r2 match a brute-force least-squares recompute") {
+    val rows = q("stat_linreg").collect()
+    assert(rows.length === 3) // A, N, R
+    val li = graft.Tables.t(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    rows.foreach { r =>
+      val g = li.filter(_._1 == r.getString(0))
+      val n = g.length.toDouble
+      assert(r.getLong(1) === g.length.toLong)
+      val sx = g.map(_._2).sum; val sy = g.map(_._3).sum
+      val sxx = g.map(v => v._2 * v._2).sum; val syy = g.map(v => v._3 * v._3).sum
+      val sxy = g.map(v => v._2 * v._3).sum
+      val cov = n * sxy - sx * sy; val varx = n * sxx - sx * sx
+      val slope = cov / varx
+      val intercept = sy / n - slope * (sx / n)
+      val r2 = cov * cov / (varx * (n * syy - sy * sy))
+      assert(math.abs(r.getDouble(2) - slope) < 1e-4, s"slope ${r.getString(0)}")
+      assert(math.abs(r.getDouble(3) - intercept) < 1e-3, s"intercept ${r.getString(0)}")
+      assert(math.abs(r.getDouble(4) - r2) < 1e-4, s"r2 ${r.getString(0)}")
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1 + 1e-9)
+    }
+  }
+
+  test("ts_seasonal_anomaly: flags exactly the rows whose |resid| breaks 3x the series MAD threshold") {
+    val dec = q("ts_seasonal_decompose").collect()
+      .filter(r => !r.isNullAt(3)) // interior rows only (trend defined)
+    // recompute the integer-micro-unit threshold per series from the
+    // decomposition's own residuals (half-away-from-zero division)
+    val resid6 = dec.map(r => (r.getString(0), r.getDate(1),
+      r.getLong(2), math.round(r.getDouble(5) * 1e6)))
+    val thr6 = resid6.groupBy(_._1).map { case (et, rs) =>
+      val n = rs.length.toLong; val sabs = rs.map(x => math.abs(x._4)).sum
+      (et, (sabs * 2 + n) / (n * 2))
+    }
+    val expected = resid6
+      .filter { case (et, _, _, r6v) => math.abs(r6v) > 3 * thr6(et) }
+      .map(x => (x._1, x._2.toString)).toSet
+    val rows = q("ts_seasonal_anomaly").collect()
+    assert(rows.map(r => (r.getString(0), r.getDate(1).toString)).toSet === expected)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3)) > 3 * r.getDouble(4), s"flag inequality: $r")
+      assert(r.getDouble(4) > 0, s"threshold must be positive: $r")
+    }
+    // anomalies are rare by construction — never the majority of interior days
+    assert(rows.length * 2 < dec.length)
+  }
 }

@@ -275,6 +275,48 @@ class PlanSpec extends SparkSuite {
       "graph_triangles left persisted frames in the CacheManager")
   }
 
+  test("graph_degree_hist: ONE pair-build exchange instance, node domain reads the cache") {
+    // same discipline as graph_triangles: und feeds the degree explode and
+    // li feeds both the self-join and the node domain — every printed
+    // occurrence of the pair-build exchange must be one physical instance.
+    import org.apache.spark.sql.functions._
+    spark.catalog.clearCache()
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val (res, cached) = graft.operators.AnalyticsOps.degreeHistBuild(li)
+    try {
+      val p = res.queryExecution.executedPlan.toString
+      val ids = """Exchange hashpartitioning\(p1#\d+L, p2#\d+L.*?plan_id=(\d+)""".r
+        .findAllMatchIn(p).map(_.group(1)).toSet
+      assert(ids.size <= 1, s"pair-build exchange instances: $ids\n${p.take(2000)}")
+      assert(p.contains("InMemoryTableScan"), p.take(2000))
+    } finally cached.foreach(_.unpersist(false))
+  }
+
+  test("graph_degree_hist + recs_item_cf: registered queries leave no cache entries behind") {
+    spark.catalog.clearCache()
+    q("graph_degree_hist").collect()
+    q("recs_item_cf").collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "degree_hist/item_cf left persisted frames in the CacheManager")
+  }
+
+  test("recs_item_cf: basket cap is in the plan before the self-join") {
+    // the lazy build's optimized plan must carry the slice(sort_array(...))
+    // cap expression — the 100 TB skew guard is code, not a comment.
+    import spark.implicits._
+    val ui0 = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("u", "i")
+    val (res, cached) = graft.operators.AnalyticsOps.itemCfBuild(ui0)
+    try {
+      // analyzed plan (pre-cache-substitution: the optimized/physical
+      // print folds the cap into the cached aggregate's unprinted result
+      // projection); the semantic guarantee is covered by OperatorSpec's
+      // synthetic >K-basket test
+      val p = res.queryExecution.analyzed.toString
+      assert(p.contains("slice(sort_array("), p.take(3000))
+    } finally cached.foreach(_.unpersist(false))
+  }
+
   test("basket_pairs: the distinct shuffle is computed once and reused on the broadcast side") {
     val df = q("basket_pairs")
     df.collect() // AQE dedupes identical shuffle stages at runtime
