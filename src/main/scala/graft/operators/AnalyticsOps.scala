@@ -120,6 +120,15 @@ object AnalyticsOps {
     * DuckDB oracle replays the identical cap. */
   private[graft] val ItemCfBasketCap = 100
 
+  /** Peel rounds for graph_kcore. The operator's semantics are
+    * "KcorePeelRounds peels of the degree-<3 fringe" (bounded-round, like
+    * graph_pagerank's 5 damped rounds) so the DuckDB twin can unroll the
+    * same rounds; the unit spec asserts the fixture graph reaches its
+    * 3-core fixpoint well inside the bound. Real peeling converges in
+    * O(log n) effective rounds on power-law graphs — at 100 TB the same
+    * loop runs with a convergence check (count of removed nodes = 0). */
+  private[graft] val KcorePeelRounds = 6
+
   /** One PageRank round. With `broadcastRanks` (node count under the gate)
     * the rank table is BROADCAST onto the cached edge frame — no edge
     * shuffle per round; the only exchange is the contribution groupBy on
@@ -979,6 +988,147 @@ object AnalyticsOps {
             col("h").getItem(0).getField("v"),
             (acc, x) => acc + x.getField("v")) / size(col("h")), 6).as("centroid"))
         .orderBy(col("label"), col("pos"))
+    }),
+
+    // Mann-Whitney U (Wilcoxon rank-sum) between two customer segments'
+    // balances — the nonparametric "are these distributions shifted"
+    // answer when t-test normality can't be assumed. The 100 TB shape:
+    // the fact collapses to the VALUE GRAIN first (one hash agg; the
+    // domain is price-resolution-bounded, not corpus-sized), average
+    // ranks come from one ordered prefix-sum window over that bounded
+    // frame (same single-partition-by-design argument as text_docfreq's
+    // vocabulary window), and the U statistic folds from INTEGER moments:
+    // rank2 = 2·(#values below) + t + 1 is exactly twice the average rank,
+    // so Ra2/U2 stay in BIGINT and u_a = U2/2 is exact in binary. The
+    // only float ops are the final z normalization (tie-corrected
+    // variance) — deterministic IEEE algebra on one row.
+    "stat_mannwhitney" -> ((s, dir) => {
+      val v = t(s, dir, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(col("c_mktsegment").as("seg"), col("c_acctbal").as("v"))
+      val g = v.groupBy(col("v")).agg(
+        sum(when(col("seg") === "BUILDING", 1L).otherwise(0L)).as("na"),
+        sum(when(col("seg") === "MACHINERY", 1L).otherwise(0L)).as("nb"))
+      val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+      val r = g
+        .withColumn("cumb", coalesce(sum(col("na") + col("nb")).over(w), lit(0L)))
+        .withColumn("rank2", lit(2L) * col("cumb") + col("na") + col("nb") + 1)
+        .withColumn("t", col("na") + col("nb"))
+      val m = r.agg(
+        sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
+        sum(col("na") * col("rank2")).as("ra2"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+      val nA = col("n_a").cast("double"); val nB = col("n_b").cast("double")
+      val nT = col("n_a") + col("n_b")
+      val ua = (col("ra2") - col("n_a") * (col("n_a") + 1)).cast("double") / 2.0
+      val sigma = sqrt(nA * nB / 12.0 *
+        ((nT + 1).cast("double") -
+          col("ties").cast("double") / (nT * (nT - 1)).cast("double")))
+      m.select(col("n_a"), col("n_b"), ua.as("u_a"),
+        (nA * nB - ua).as("u_b"),
+        round((ua - nA * nB / 2.0) / sigma, 6).as("z_stat"))
+    }),
+
+    // Weight-of-evidence encoding + information value of the customer
+    // segment against order outcome (status 'F' = the event) — the credit
+    // scoring / feature-screening standard for "how separable is this
+    // categorical". One fact-sized conditional aggregation to the
+    // segment-grain good/bad table (fact joins a broadcast dim, never
+    // shuffles), then WoE = ln(pg/pb) with half-count smoothing and the
+    // per-segment IV term as double algebra on the category frame. The
+    // ln is the same cross-engine libm surface text_cooccur_pmi already
+    // oracles; inputs are x.5-exact doubles so both engines see identical
+    // arguments.
+    "feature_woe" -> ((s, dir) => {
+      val j = t(s, dir, "orders").select(col("o_custkey"), col("o_orderstatus"))
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+      val g = j.groupBy(col("c_mktsegment").as("seg")).agg(
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("good"),
+        sum(when(col("o_orderstatus") =!= "F", 1L).otherwise(0L)).as("bad"))
+      val tot = g.agg(sum(col("good")).as("gt"), sum(col("bad")).as("bt"),
+        count(lit(1)).as("k"))
+      val pg = (col("good").cast("double") + 0.5) /
+        (col("gt").cast("double") + col("k") * 0.5)
+      val pb = (col("bad").cast("double") + 0.5) /
+        (col("bt").cast("double") + col("k") * 0.5)
+      g.crossJoin(broadcast(tot))
+        .withColumn("woe", round(log(pg / pb), 6))
+        .select(col("seg"), col("good"), col("bad"), col("woe"),
+          round((pg - pb) * col("woe"), 6).as("iv_term"))
+        .orderBy(col("seg"))
+    }),
+
+    // k-core decomposition (k=3, KcorePeelRounds bounded peels) of the
+    // co-purchase graph: iteratively strip nodes of degree < k until the
+    // survivors form the dense backbone — THE preprocessing cut before
+    // any expensive whole-graph pass (triangles, embeddings) at 100 TB,
+    // because it discards the long degree-1/2 tail that dominates real
+    // graphs. Bounded-round semantics exactly like graph_pagerank's 5
+    // damped rounds: the operator IS "KcorePeelRounds peels" (the unit
+    // spec asserts the fixture reaches its fixpoint well inside the
+    // bound), so the DuckDB twin unrolls the same rounds as CTEs. Each
+    // round: node-sized degree agg off the checkpointed edge frame,
+    // survivors broadcast back as two semi-joins, result checkpointed —
+    // per-round cost is edge-linear, state never accumulates lineage.
+    "graph_kcore" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      var edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("nn"))
+        .filter(col("nn") >= 2).select(col("p1"), col("p2"))
+        .localCheckpoint(true)
+      for (_ <- 1 to KcorePeelRounds) {
+        val deg = edges.select(explode(array(col("p1"), col("p2"))).as("node"))
+          .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+        val keep = deg.filter(col("dg") >= 3).select(col("node"))
+        edges = edges
+          .join(broadcast(keep.withColumnRenamed("node", "p1")), Seq("p1"), "left_semi")
+          .join(broadcast(keep.withColumnRenamed("node", "p2")), Seq("p2"), "left_semi")
+          .localCheckpoint(true)
+      }
+      edges.select(explode(array(col("p1"), col("p2"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+        .groupBy(col("dg").as("degree")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("degree"))
+    }),
+
+    // Local-trough (V-shape) pattern detection on the daily event series:
+    // days where the count fell strictly for two consecutive days and
+    // then rose strictly for two — the "dip and recovery" alert shape
+    // MATCH_RECOGNIZE expresses in SQL engines that have it, here as
+    // pure lag/lead algebra. Day continuity is part of the predicate
+    // (calendar gaps can't fake a streak). All-integer compares on the
+    // day grain — engine-exact by construction, windows partition per
+    // series.
+    "ts_pattern_vshape" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val f = daily
+        .withColumn("cm2", lag(col("c"), 2).over(w))
+        .withColumn("cm1", lag(col("c"), 1).over(w))
+        .withColumn("cp1", lead(col("c"), 1).over(w))
+        .withColumn("cp2", lead(col("c"), 2).over(w))
+        .withColumn("dm2", lag(col("day"), 2).over(w))
+        .withColumn("dm1", lag(col("day"), 1).over(w))
+        .withColumn("dp1", lead(col("day"), 1).over(w))
+        .withColumn("dp2", lead(col("day"), 2).over(w))
+      f.filter(
+          col("cm2") > col("cm1") && col("cm1") > col("c") &&
+          col("c") < col("cp1") && col("cp1") < col("cp2") &&
+          datediff(col("day"), col("dm2")) === 2 &&
+          datediff(col("day"), col("dm1")) === 1 &&
+          datediff(col("dp1"), col("day")) === 1 &&
+          datediff(col("dp2"), col("day")) === 2)
+        .select(col("event_type"), col("day").as("trough_day"), col("c"),
+          (col("cm2") - col("c")).as("drop_depth"),
+          (col("cp2") - col("c")).as("recovery"))
+        .orderBy(col("event_type"), col("trough_day"))
     }))
 
   /** Shared day-grain decomposition frame for ts_seasonal_decompose /
@@ -1016,6 +1166,22 @@ object AnalyticsOps {
       .select(col("event_type"), col("day"), col("c"), col("dow"),
         col("trend"), col("seasonal"))
   }
+
+  /** One k-core peel as SQL CTEs: degree off e(r-1), survivors (deg ≥ 3),
+    * edge set restricted to survivor×survivor. Mirrors the Spark loop
+    * round for round. MATERIALIZED is load-bearing: each peel references
+    * the previous edge set several times, so DuckDB's default CTE
+    * inlining would expand the reference tree exponentially across 6
+    * rounds (~5⁶ scans of the base parquet — it exhausts file handles
+    * before it exhausts patience); materializing pins each round to one
+    * execution, the exact analogue of the Spark loop's localCheckpoint. */
+  private def kcorePeelSql(r: Int): String =
+    s"""d$r AS MATERIALIZED (SELECT node, count(1) AS dg FROM (
+            SELECT p1 AS node FROM e${r - 1} UNION ALL SELECT p2 FROM e${r - 1})
+          GROUP BY node),
+        k$r AS MATERIALIZED (SELECT node FROM d$r WHERE dg >= 3),
+        e$r AS MATERIALIZED (SELECT p1, p2 FROM e${r - 1}
+          WHERE p1 IN (SELECT node FROM k$r) AND p2 IN (SELECT node FROM k$r))"""
 
   private def pagerankIterSql(k: Int): String =
     s"""r$k AS (SELECT e.dst AS v,
@@ -1488,6 +1654,86 @@ object AnalyticsOps {
                 CAST(thr6 AS DOUBLE) / 1000000.0 AS threshold
          FROM d JOIN thr USING (event_type)
          WHERE abs(resid6) > 3 * thr6
-         ORDER BY d.event_type, d.day"""
+         ORDER BY d.event_type, d.day""",
+    "stat_mannwhitney" ->
+      """WITH v AS (
+           SELECT c_mktsegment AS seg, c_acctbal AS v FROM customer
+           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+         g AS (
+           SELECT v,
+                  CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                  CAST(sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+           FROM v GROUP BY v),
+         r AS (
+           SELECT na, nb, na + nb AS t,
+                  2 * coalesce(CAST(sum(na + nb) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+                    + na + nb + 1 AS rank2
+           FROM g),
+         m AS (
+           SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b,
+                  CAST(sum(na * rank2) AS BIGINT) AS ra2,
+                  CAST(sum(t * t * t - t) AS BIGINT) AS ties
+           FROM r)
+         SELECT n_a, n_b,
+                CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+                CAST(n_a AS DOUBLE) * n_b - CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_b,
+                round((CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2.0
+                       - CAST(n_a AS DOUBLE) * n_b / 2.0) /
+                      sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0 *
+                           (CAST(n_a + n_b + 1 AS DOUBLE)
+                            - CAST(ties AS DOUBLE) / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE))), 6) AS z_stat
+         FROM m""",
+    "feature_woe" ->
+      """WITH j AS (
+           SELECT c_mktsegment AS seg, o_orderstatus
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         g AS (
+           SELECT seg,
+                  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS good,
+                  CAST(sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS bad
+           FROM j GROUP BY seg),
+         tot AS (SELECT CAST(sum(good) AS BIGINT) AS gt, CAST(sum(bad) AS BIGINT) AS bt,
+                        count(1) AS k FROM g),
+         e AS (
+           SELECT seg, good, bad,
+                  (CAST(good AS DOUBLE) + 0.5) / (CAST(gt AS DOUBLE) + 0.5 * k) AS pg,
+                  (CAST(bad AS DOUBLE) + 0.5) / (CAST(bt AS DOUBLE) + 0.5 * k) AS pb
+           FROM g CROSS JOIN tot)
+         SELECT seg, good, bad, round(ln(pg / pb), 6) AS woe,
+                round((pg - pb) * round(ln(pg / pb), 6), 6) AS iv_term
+         FROM e ORDER BY seg""",
+    "graph_kcore" ->
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          e0 AS MATERIALIZED (
+            SELECT a.pk AS p1, b.pk AS p2
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY p1, p2 HAVING count(1) >= 2),
+          ${(1 to KcorePeelRounds).map(kcorePeelSql).mkString(",\n")}
+          SELECT dg AS degree, count(1) AS n_nodes FROM (
+            SELECT node, count(1) AS dg FROM (
+              SELECT p1 AS node FROM e$KcorePeelRounds
+              UNION ALL SELECT p2 FROM e$KcorePeelRounds)
+            GROUP BY node)
+          GROUP BY 1 ORDER BY 1""",
+    "ts_pattern_vshape" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         f AS (
+           SELECT event_type, day, c,
+                  lag(c, 2)  OVER w AS cm2, lag(c, 1)  OVER w AS cm1,
+                  lead(c, 1) OVER w AS cp1, lead(c, 2) OVER w AS cp2,
+                  lag(day, 2)  OVER w AS dm2, lag(day, 1)  OVER w AS dm1,
+                  lead(day, 1) OVER w AS dp1, lead(day, 2) OVER w AS dp2
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day))
+         SELECT event_type, day AS trough_day, c,
+                cm2 - c AS drop_depth, cp2 - c AS recovery
+         FROM f
+         WHERE cm2 > cm1 AND cm1 > c AND c < cp1 AND cp1 < cp2
+           AND date_diff('day', dm2, day) = 2 AND date_diff('day', dm1, day) = 1
+           AND date_diff('day', day, dp1) = 1 AND date_diff('day', day, dp2) = 2
+         ORDER BY event_type, trough_day"""
   ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
 }

@@ -717,6 +717,48 @@ object TextOps {
         .filter(col("rn") === 1)
         .select(col("comp"), col("doc_id").as("best_doc"), col("quality").as("best_quality"))
         .orderBy(col("comp"))
+    }),
+
+    // Zipf-law fit per source: regress ln(freq) on ln(rank) over each
+    // source's top-50 tokens — the corpus-health fingerprint (natural
+    // text sits near slope −1; template/boilerplate-heavy or synthetic
+    // sources bend away, making this a cheap generator-drift monitor).
+    // Shape at 100 TB: one fact-sized token count (map-side combinable),
+    // rank window per source over the vocabulary grain, then the OLS is
+    // stat_linreg's decimal-moment pattern on ≤50 rows per source. The
+    // ln(·) inputs are rounded to the 6-dp grid BEFORE the moment sums
+    // (same libm-surface discipline as text_cooccur_pmi), so both
+    // engines aggregate identical decimals.
+    "text_zipf_fit" -> ((s, dir) => {
+      val freq = t(s, dir, "documents")
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("token"))
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("f"))
+      val wr = Window.partitionBy(col("source"))
+        .orderBy(col("f").desc, col("token"))
+      val pts = freq
+        .withColumn("rnk", row_number().over(wr))
+        .filter(col("rnk") <= 50)
+        .select(col("source"),
+          round(log(col("rnk").cast("double")), 6).as("x"),
+          round(log(col("f").cast("double")), 6).as("y"))
+      val m = pts.groupBy(col("source")).agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("x"))).as("dsx"), sum(dec(col("y"))).as("dsy"),
+          sum(dec(col("x")) * dec(col("x"))).as("dsxx"),
+          sum(dec(col("y")) * dec(col("y"))).as("dsyy"),
+          sum(dec(col("x")) * dec(col("y"))).as("dsxy"))
+        .select(col("source"), col("n"),
+          col("dsx").cast("double").as("sx"), col("dsy").cast("double").as("sy"),
+          col("dsxx").cast("double").as("sxx"),
+          col("dsyy").cast("double").as("syy"),
+          col("dsxy").cast("double").as("sxy"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val varx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vary = col("n") * col("syy") - col("sy") * col("sy")
+      m.select(col("source"), col("n"),
+          round(cov / varx, 6).as("zipf_exp"),
+          round(cov * cov / (varx * vary), 6).as("r2"))
+        .orderBy(col("source"))
     }))
 
   /** HashMin label propagation to a FIXPOINT over the Jaccard pair graph:
@@ -1155,6 +1197,31 @@ object TextOps {
            CASE WHEN n1 <= n2 THEN d1 ELSE d2 END AS contained_id
          FROM st
          WHERE round(CAST(inter AS DOUBLE) / least(n1, n2), 6) >= 0.8
-         ORDER BY d1, d2"""
+         ORDER BY d1, d2""",
+    "text_zipf_fit" ->
+      """WITH freq AS (
+           SELECT source, token, count(1) AS f FROM (
+             SELECT source, unnest(string_split(lower(text), ' ')) AS token
+             FROM documents)
+           GROUP BY source, token),
+         pts AS (
+           SELECT source,
+                  CAST(round(ln(CAST(rnk AS DOUBLE)), 6) AS DECIMAL(19,6)) AS x,
+                  CAST(round(ln(CAST(f AS DOUBLE)), 6) AS DECIMAL(19,6)) AS y
+           FROM (SELECT source, f, row_number() OVER (
+                   PARTITION BY source ORDER BY f DESC, token) AS rnk
+                 FROM freq)
+           WHERE rnk <= 50),
+         m AS (
+           SELECT source, count(1) AS n,
+                  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                  CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(y * y) AS DOUBLE) AS syy,
+                  CAST(sum(x * y) AS DOUBLE) AS sxy
+           FROM pts GROUP BY source)
+         SELECT source, n,
+                round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_exp,
+                round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+                      ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+         FROM m ORDER BY source"""
   ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
 }

@@ -1358,6 +1358,115 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("stat_mannwhitney: U and z match a brute-force average-rank recompute") {
+    val r = q("stat_mannwhitney").head
+    val vals = graft.Tables.t(spark, sf, "customer")
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_mktsegment"), col("c_acctbal")).collect()
+      .map(x => (x.getString(0), x.getDouble(1)))
+    val sorted = vals.sortBy(_._2)
+    // average ranks with ties
+    val ranks = scala.collection.mutable.Map.empty[Double, Double]
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._2 == sorted(i)._2) j += 1
+      ranks(sorted(i)._2) = (i + 1 + j).toDouble / 2 // avg of ranks i+1..j
+      i = j
+    }
+    val na = vals.count(_._1 == "BUILDING").toLong
+    val nb = vals.count(_._1 == "MACHINERY").toLong
+    val ra = vals.filter(_._1 == "BUILDING").map(v => ranks(v._2)).sum
+    val ua = ra - na.toDouble * (na + 1) / 2
+    assert(r.getLong(0) === na && r.getLong(1) === nb)
+    assert(math.abs(r.getDouble(2) - ua) < 1e-9, s"u_a ${r.getDouble(2)} vs $ua")
+    assert(math.abs(r.getDouble(2) + r.getDouble(3) - na.toDouble * nb) < 1e-9)
+    val ties = vals.groupBy(_._2).values.map(_.length.toLong)
+      .map(t => t * t * t - t).sum
+    val n = na + nb
+    val sigma = math.sqrt(na.toDouble * nb / 12 *
+      ((n + 1).toDouble - ties.toDouble / (n.toDouble * (n - 1))))
+    val z = (ua - na.toDouble * nb / 2) / sigma
+    assert(math.abs(r.getDouble(4) - z) < 1e-5, s"z ${r.getDouble(4)} vs $z")
+  }
+
+  test("feature_woe: WoE/IV match the smoothed log-odds formula; distributions balance") {
+    val rows = q("feature_woe").collect()
+    assert(rows.length === 5)
+    val gt = rows.map(_.getLong(1)).sum.toDouble
+    val bt = rows.map(_.getLong(2)).sum.toDouble
+    val k = rows.length
+    var sumDiff = 0.0
+    rows.foreach { r =>
+      val pg = (r.getLong(1) + 0.5) / (gt + 0.5 * k)
+      val pb = (r.getLong(2) + 0.5) / (bt + 0.5 * k)
+      sumDiff += pg - pb
+      assert(math.abs(r.getDouble(3) - math.log(pg / pb)) < 1e-5, s"woe: $r")
+      assert(math.abs(r.getDouble(4) - (pg - pb) * r.getDouble(3)) < 1e-5, s"iv: $r")
+      // IV terms are non-negative by construction (same sign factors)
+      assert(r.getDouble(4) >= -1e-12, s"negative iv term: $r")
+    }
+    assert(math.abs(sumDiff) < 1e-9, "smoothed distributions must both sum to 1")
+  }
+
+  test("graph_kcore: survivors reached the 3-core fixpoint inside the round bound") {
+    val rows = q("graph_kcore").collect()
+    // every surviving node has degree >= 3 — i.e. one more peel removes
+    // nothing, so the bounded-round result IS the fixpoint
+    rows.foreach(r => assert(r.getLong(0) >= 3, s"sub-3 degree survived: $r"))
+    // the 3-core is a subgraph of the full co-purchase graph: its node
+    // count is bounded by the degree histogram's >=3 bins
+    val hist = q("graph_degree_hist").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val coreNodes = rows.map(_.getLong(1)).sum
+    val eligible = hist.filter(_._1 >= 3).values.sum
+    assert(coreNodes <= eligible, s"core $coreNodes > degree>=3 nodes $eligible")
+  }
+
+  test("ts_pattern_vshape: every flagged trough satisfies the strict V on consecutive days") {
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toLocalDate), r.getLong(2))).toMap
+    val rows = q("ts_pattern_vshape").collect()
+    rows.foreach { r =>
+      val et = r.getString(0); val d = r.getDate(1).toLocalDate
+      val c = Seq(-2, -1, 0, 1, 2).map(o => daily.get((et, d.plusDays(o))))
+      assert(c.forall(_.isDefined), s"calendar gap flagged: $r")
+      val Seq(cm2, cm1, c0, cp1, cp2) = c.map(_.get)
+      assert(cm2 > cm1 && cm1 > c0 && c0 < cp1 && cp1 < cp2, s"not a strict V: $r")
+      assert(r.getLong(2) === c0 && r.getLong(3) === cm2 - c0 && r.getLong(4) === cp2 - c0)
+    }
+  }
+
+  test("text_zipf_fit: negative exponent, sane fit, recompute matches for one source") {
+    val rows = q("text_zipf_fit").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= 50)
+      assert(r.getDouble(2) < 0, s"zipf exponent must be negative: $r")
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1 + 1e-9, s"r2: $r")
+    }
+    // brute-force the fit for the first source from raw token counts
+    val src = rows.head.getString(0)
+    val toks = graft.Tables.t(spark, sf, "documents")
+      .filter(col("source") === src)
+      .select(explode(split(lower(col("text")), " ")).as("t")).collect()
+      .map(_.getString(0))
+    val top = toks.groupBy(identity).view.mapValues(_.length).toSeq
+      .sortBy { case (t, f) => (-f, t) }.take(50)
+    val pts = top.zipWithIndex.map { case ((_, f), i) =>
+      (BigDecimal(math.log(i + 1.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+       BigDecimal(math.log(f.toDouble)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val n = pts.length.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum; val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(rows.head.getDouble(2) - slope) < 1e-4,
+      s"slope ${rows.head.getDouble(2)} vs $slope")
+  }
+
   test("ts_seasonal_anomaly: flags exactly the rows whose |resid| breaks 3x the series MAD threshold") {
     val dec = q("ts_seasonal_decompose").collect()
       .filter(r => !r.isNullAt(3)) // interior rows only (trend defined)

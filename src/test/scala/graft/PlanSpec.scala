@@ -507,7 +507,8 @@ class PlanSpec extends SparkSuite {
       "vec_ann_recall" -> "composes vec_knn_join, whose broadcast <=8-probe cross join is bounded",
       "stat_ttest" -> "theta self-join of a broadcast 5-row segment-moment frame (<=25 pairs)",
       "stat_chi2" -> "crossJoin against a broadcast 1-row grand-total frame",
-      "feature_target_encode" -> "crossJoin against a broadcast 1-row global-mean frame")
+      "feature_target_encode" -> "crossJoin against a broadcast 1-row global-mean frame",
+      "feature_woe" -> "crossJoin against a broadcast 1-row good/bad-total frame")
     val sf = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if boundedByConstruction.contains(name) => None
