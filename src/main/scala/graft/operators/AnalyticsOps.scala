@@ -129,6 +129,14 @@ object AnalyticsOps {
     * loop runs with a convergence check (count of removed nodes = 0). */
   private[graft] val KcorePeelRounds = 6
 
+  /** Frontier-expansion rounds for graph_bfs_hops — bounded-round
+    * semantics like KcorePeelRounds: the operator IS the k-hop
+    * reachability profile ("how much of the catalog is within
+    * BfsRounds hops of the hub"), NOT a full component sweep — at
+    * sf0.01 the frontier is still alive at round 4, exactly the
+    * ego-network use case. The DuckDB twin unrolls the same rounds. */
+  private[graft] val BfsRounds = 4
+
   /** One PageRank round. With `broadcastRanks` (node count under the gate)
     * the rank table is BROADCAST onto the cached edge frame — no edge
     * shuffle per round; the only exchange is the contribution groupBy on
@@ -1129,6 +1137,144 @@ object AnalyticsOps {
           (col("cm2") - col("c")).as("drop_depth"),
           (col("cp2") - col("c")).as("recovery"))
         .orderBy(col("event_type"), col("trough_day"))
+    }),
+
+    // Cohen's d / Hedges' g effect sizes for every segment pair — the
+    // companion number to stat_ttest's significance: "the means differ"
+    // is useless at 100 TB scale where EVERYTHING is significant; d says
+    // by how many pooled standard deviations. Same one decimal-exact
+    // moment pass as stat_ttest (the fact is touched once), pooled
+    // variance + the small-sample Hedges correction as double algebra on
+    // the 5-row frame, ≤25-pair broadcast theta join.
+    "stat_cohens_d" -> ((s, dir) => {
+      val m = t(s, dir, "customer")
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("c_acctbal"))).as("sv"),
+          sum(dec(col("c_acctbal")) * dec(col("c_acctbal"))).as("svv"))
+        .select(col("seg"), col("n"),
+          (col("sv").cast("double") / col("n")).as("mu"),
+          ((col("svv").cast("double") -
+            col("sv").cast("double") * col("sv").cast("double") / col("n")) /
+            (col("n") - 1)).as("v"))
+      val a = m.select(col("seg").as("seg_a"), col("n").as("na"),
+        col("mu").as("ma"), col("v").as("va"))
+      val b = m.select(col("seg").as("seg_b"), col("n").as("nb"),
+        col("mu").as("mb"), col("v").as("vb"))
+      val pooled = sqrt(((col("na") - 1) * col("va") + (col("nb") - 1) * col("vb")) /
+        (col("na") + col("nb") - 2))
+      val d = (col("ma") - col("mb")) / pooled
+      val corr = lit(1.0) - lit(3.0) / (lit(4.0) * (col("na") + col("nb")) - 9)
+      a.join(broadcast(b), col("seg_a") < col("seg_b"))
+        .select(col("seg_a"), col("seg_b"), col("na"), col("nb"),
+          round(d, 6).as("cohens_d"),
+          round(d * corr, 6).as("hedges_g"))
+        .orderBy(col("seg_a"), col("seg_b"))
+    }),
+
+    // Tukey-fence (IQR) outlier screen per event series — the third
+    // member of the outlier family next to anom_zscore (parametric) and
+    // anom_mad (robust-z): fences at Q1 − 1.5·IQR / Q3 + 1.5·IQR, the
+    // boxplot rule every monitoring dashboard draws. Same percentile
+    // discipline as anom_mad: quartiles rounded to the 6-dp grid AT the
+    // agg boundary (Spark and DuckDB interpolate with algebraically
+    // equal but ulp-different formulas), fences and compares on the
+    // rounded values only. Type-sized quartile frame broadcasts; the
+    // fact is scanned once for stats, once for the screen.
+    "anom_iqr" -> ((s, dir) => {
+      val e = events(s, dir)
+      val q = e.groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.25)"), 6).as("q1"),
+          round(expr("percentile(value, 0.75)"), 6).as("q3"))
+        .withColumn("iqr", round(col("q3") - col("q1"), 6))
+        .withColumn("lo", round(col("q1") - lit(1.5) * col("iqr"), 6))
+        .withColumn("hi", round(col("q3") + lit(1.5) * col("iqr"), 6))
+      e.join(broadcast(q), Seq("event_type"))
+        .filter(col("value") < col("lo") || col("value") > col("hi"))
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value"), col("lo"), col("hi"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Adamic-Adar link prediction on the co-purchase graph — neighbor
+    // Jaccard's information-weighted sibling: common neighbor z votes
+    // with weight 1/ln(deg z), so rare shared neighbors count more than
+    // promiscuous hubs (the classic fix for hub-dominated candidate
+    // lists). Same two-path wedge shape as graph_neighbor_jaccard; the
+    // middle vertex's degree joins BROADCAST onto the wedge stream, each
+    // wedge's weight rounds to the 6-dp grid, and the per-pair sum folds
+    // in DECIMAL (order-independent). deg(z) ≥ 2 by construction (z is
+    // adjacent to both endpoints), so ln never hits zero.
+    "graph_adamic_adar" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val und = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2).select(col("p1"), col("p2"))
+        .persist()
+      val adj = und.select(col("p1").as("src"), col("p2").as("dst"))
+        .union(und.select(col("p2").as("src"), col("p1").as("dst")))
+      val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      val scores = adj.as("x").join(adj.as("y"),
+          col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+        .join(broadcast(deg.select(col("src").as("z"), col("dg").as("dgz"))),
+          col("x.dst") === col("z"))
+        .select(col("x.src").as("a"), col("y.src").as("b"),
+          dec(round(lit(1.0) / log(col("dgz").cast("double")), 6)).as("w"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("common"),
+          round(sum(col("w")).cast("double"), 6).as("aa_score"))
+      val res = scores.join(und,
+          col("a") === col("p1") && col("b") === col("p2"), "left_anti")
+        .orderBy(col("aa_score").desc, col("a"), col("b"))
+        .limit(20)
+        .localCheckpoint(true)
+      und.unpersist(false)
+      res
+    }),
+
+    // BFS hop distances from the graph's hub (max-degree node, id
+    // tiebreak): BfsRounds bounded frontier expansions, output the hop
+    // histogram — the k-hop ego-network reachability profile ("how much
+    // of the catalog is within k hops of the hub") behind ego features
+    // and cache-locality partitioning. Bounded-round semantics (like
+    // graph_kcore/pagerank) so the DuckDB twin unrolls the rounds as
+    // MATERIALIZED CTEs; nodes beyond BfsRounds hops are by definition
+    // outside the profile (the frontier may legitimately still be alive
+    // at the bound). Each round: frontier ⋈ adjacency (frontier
+    // broadcast — node-sized), new nodes via LEFT ANTI vs the visited
+    // set, result checkpointed; per-round cost is edge-linear.
+    "graph_bfs_hops" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val und = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2).select(col("p1"), col("p2"))
+        .persist()
+      val adj = und.select(col("p1").as("src"), col("p2").as("dst"))
+        .union(und.select(col("p2").as("src"), col("p1").as("dst")))
+      val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      val hub = deg.orderBy(col("dg").desc, col("src")).limit(1)
+        .select(col("src").as("node"), lit(0).as("dist"))
+      var visited = hub.localCheckpoint(true)
+      var frontier = visited
+      for (r <- 1 to BfsRounds) {
+        val next = adj.join(broadcast(frontier),
+            col("src") === col("node"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .withColumn("dist", lit(r))
+          .localCheckpoint(true)
+        visited = visited.union(next).localCheckpoint(true)
+        frontier = next
+      }
+      und.unpersist(false)
+      visited.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("dist"))
     }))
 
   /** Shared day-grain decomposition frame for ts_seasonal_decompose /
@@ -1182,6 +1328,18 @@ object AnalyticsOps {
         k$r AS MATERIALIZED (SELECT node FROM d$r WHERE dg >= 3),
         e$r AS MATERIALIZED (SELECT p1, p2 FROM e${r - 1}
           WHERE p1 IN (SELECT node FROM k$r) AND p2 IN (SELECT node FROM k$r))"""
+
+  /** One BFS frontier round as SQL CTEs (MATERIALIZED for the same
+    * inlining-explosion reason as kcorePeelSql): f_r = unvisited
+    * neighbors of f_(r-1); v_r = v_(r-1) ∪ f_r at distance r. */
+  private def bfsRoundSql(r: Int): String =
+    s"""f$r AS MATERIALIZED (
+          SELECT DISTINCT a.dst AS node FROM adj a
+          JOIN f${r - 1} f ON a.src = f.node
+          WHERE a.dst NOT IN (SELECT node FROM v${r - 1})),
+        v$r AS MATERIALIZED (
+          SELECT node, dist FROM v${r - 1}
+          UNION ALL SELECT node, $r AS dist FROM f$r)"""
 
   private def pagerankIterSql(k: Int): String =
     s"""r$k AS (SELECT e.dst AS v,
@@ -1734,6 +1892,77 @@ object AnalyticsOps {
          WHERE cm2 > cm1 AND cm1 > c AND c < cp1 AND cp1 < cp2
            AND date_diff('day', dm2, day) = 2 AND date_diff('day', dm1, day) = 1
            AND date_diff('day', day, dp1) = 1 AND date_diff('day', day, dp2) = 2
-         ORDER BY event_type, trough_day"""
+         ORDER BY event_type, trough_day""",
+    "stat_cohens_d" ->
+      """WITH m AS (
+           SELECT c_mktsegment AS seg, count(1) AS n,
+                  CAST(sum(CAST(c_acctbal AS DECIMAL(19,6))) AS DOUBLE) AS sv,
+                  CAST(sum(CAST(c_acctbal AS DECIMAL(19,6)) * CAST(c_acctbal AS DECIMAL(19,6))) AS DOUBLE) AS svv
+           FROM customer GROUP BY 1),
+         s AS (SELECT seg, n, sv / n AS mu, (svv - sv * sv / n) / (n - 1) AS v FROM m),
+         p AS (
+           SELECT a.seg AS seg_a, b.seg AS seg_b, a.n AS na, b.n AS nb,
+                  (a.mu - b.mu) /
+                    sqrt(((a.n - 1) * a.v + (b.n - 1) * b.v) / (a.n + b.n - 2)) AS d,
+                  1.0 - 3.0 / (4.0 * (a.n + b.n) - 9) AS corr
+           FROM s a JOIN s b ON a.seg < b.seg)
+         SELECT seg_a, seg_b, na, nb,
+                round(d, 6) AS cohens_d, round(d * corr, 6) AS hedges_g
+         FROM p ORDER BY seg_a, seg_b""",
+    "anom_iqr" ->
+      """WITH q AS (
+           SELECT event_type,
+                  round(quantile_cont(value, 0.25), 6) AS q1,
+                  round(quantile_cont(value, 0.75), 6) AS q3
+           FROM events GROUP BY event_type),
+         f AS (
+           SELECT event_type, q1, q3,
+                  round(q1 - 1.5 * round(q3 - q1, 6), 6) AS lo,
+                  round(q3 + 1.5 * round(q3 - q1, 6), 6) AS hi
+           FROM q)
+         SELECT e.event_id, e.event_type, round(e.value, 6) AS value, f.lo, f.hi
+         FROM events e JOIN f USING (event_type)
+         WHERE e.value < f.lo OR e.value > f.hi
+         ORDER BY e.event_id""",
+    "graph_adamic_adar" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         und AS (
+           SELECT a.pk AS p1, b.pk AS p2
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY p1, p2 HAVING count(1) >= 2),
+         adj AS (SELECT p1 AS src, p2 AS dst FROM und
+                 UNION ALL SELECT p2, p1 FROM und),
+         deg AS (SELECT src, count(1) AS dg FROM adj GROUP BY src),
+         w AS (
+           SELECT x.src AS a, y.src AS b,
+                  CAST(round(1.0 / ln(CAST(d.dg AS DOUBLE)), 6) AS DECIMAL(19,6)) AS w
+           FROM adj x JOIN adj y ON x.dst = y.dst AND x.src < y.src
+           JOIN deg d ON d.src = x.dst),
+         sc AS (
+           SELECT a, b, count(1) AS common,
+                  round(CAST(sum(w) AS DOUBLE), 6) AS aa_score
+           FROM w GROUP BY a, b),
+         cand AS (
+           SELECT sc.a, sc.b, sc.common, sc.aa_score FROM sc
+           WHERE NOT EXISTS (
+             SELECT 1 FROM und WHERE und.p1 = sc.a AND und.p2 = sc.b))
+         SELECT a, b, CAST(common AS BIGINT) AS common, aa_score
+         FROM cand ORDER BY aa_score DESC, a, b LIMIT 20""",
+    "graph_bfs_hops" ->
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          und AS MATERIALIZED (
+            SELECT a.pk AS p1, b.pk AS p2
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY p1, p2 HAVING count(1) >= 2),
+          adj AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM und
+                 UNION ALL SELECT p2, p1 FROM und),
+          deg AS MATERIALIZED (SELECT src, count(1) AS dg FROM adj GROUP BY src),
+          v0 AS MATERIALIZED (
+            SELECT src AS node, 0 AS dist FROM deg
+            ORDER BY dg DESC, src LIMIT 1),
+          f0 AS MATERIALIZED (SELECT node FROM v0),
+          ${(1 to BfsRounds).map(bfsRoundSql).mkString(",\n")}
+          SELECT dist, count(1) AS n_nodes FROM v$BfsRounds
+          GROUP BY 1 ORDER BY 1"""
   ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
 }

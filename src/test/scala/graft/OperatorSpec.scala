@@ -1467,6 +1467,102 @@ class PropertySpec extends SparkSuite {
       s"slope ${rows.head.getDouble(2)} vs $slope")
   }
 
+  test("stat_cohens_d: effect sizes match brute force; Hedges correction shrinks toward zero") {
+    val rows = q("stat_cohens_d").collect()
+    assert(rows.length === 10) // C(5,2)
+    val bal = graft.Tables.t(spark, sf, "customer")
+      .select(col("c_mktsegment"), col("c_acctbal")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    rows.foreach { r =>
+      val ga = bal.filter(_._1 == r.getString(0)).map(_._2)
+      val gb = bal.filter(_._1 == r.getString(1)).map(_._2)
+      val (na, nb) = (ga.length.toDouble, gb.length.toDouble)
+      assert(r.getLong(2) === ga.length.toLong && r.getLong(3) === gb.length.toLong)
+      val (ma, mb) = (ga.sum / na, gb.sum / nb)
+      val va = ga.map(x => (x - ma) * (x - ma)).sum / (na - 1)
+      val vb = gb.map(x => (x - mb) * (x - mb)).sum / (nb - 1)
+      val d = (ma - mb) / math.sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2))
+      assert(math.abs(r.getDouble(4) - d) < 1e-4, s"d: $r vs $d")
+      val g = d * (1.0 - 3.0 / (4.0 * (na + nb) - 9))
+      assert(math.abs(r.getDouble(5) - g) < 1e-4, s"g: $r vs $g")
+      assert(math.abs(r.getDouble(5)) <= math.abs(r.getDouble(4)) + 1e-12,
+        s"Hedges must shrink: $r")
+    }
+  }
+
+  test("anom_iqr: flags exactly the rows outside the Tukey fences") {
+    val rows = q("anom_iqr").collect()
+    val byType = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    def q6(xs: Array[Double], p: Double): Double = {
+      val h = (xs.length - 1) * p
+      val lo = xs(h.toInt); val hi = xs(math.ceil(h).toInt)
+      BigDecimal(lo * (1 - (h - h.toInt)) + hi * (h - h.toInt))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = byType.map { case (et, xs) =>
+      val q1 = q6(xs, 0.25); val q3 = q6(xs, 0.75)
+      val iqr = BigDecimal(q3 - q1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      et -> ((q1 - 1.5 * iqr, q3 + 1.5 * iqr))
+    }
+    val expCount = byType.map { case (et, xs) =>
+      val (lo, hi) = expected(et); xs.count(v => v < lo || v > hi)
+    }.sum
+    assert(rows.length === expCount, s"${rows.length} flagged vs $expCount expected")
+    rows.foreach { r =>
+      val (lo, hi) = expected(r.getString(1))
+      val v = r.getDouble(2)
+      assert(v < lo + 1e-9 || v > hi - 1e-9, s"inside fences: $r")
+    }
+  }
+
+  test("graph_adamic_adar: predictions are non-edges, score matches the wedge-sum recompute") {
+    val rows = q("graph_adamic_adar").collect()
+    assert(rows.length === 20)
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.toSeq === scores.sortBy(-_).toSeq)
+    // rebuild adjacency from basket_pairs (same edge build)
+    val edges = q("basket_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nbrs = (edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(a < b && !edges.contains((a, b)), s"edge predicted: $r")
+      val common = nbrs(a).intersect(nbrs(b))
+      assert(common.size === r.getLong(2), s"common count: $r")
+      val score = common.toSeq.map(z =>
+        BigDecimal(1.0 / math.log(nbrs(z).size.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      assert(math.abs(r.getDouble(3) - score) < 1e-6, s"score: $r vs $score")
+    }
+  }
+
+  test("graph_bfs_hops: histogram matches a brute-force BFS replay from the hub") {
+    val rows = q("graph_bfs_hops").collect()
+    val byDist = rows.map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(byDist(0) === 1L, "exactly one hub at distance 0")
+    assert(byDist.keys.max <= graft.operators.AnalyticsOps.BfsRounds)
+    // brute-force BFS over the same edge build (basket_pairs' co-purchase
+    // graph), hub = max degree with smallest-id tiebreak
+    val edges = q("basket_pairs").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hub = nbrs.toSeq.map { case (n, ns) => (n, ns.size) }
+      .sortBy { case (n, d) => (-d, n) }.head._1
+    var visited = Map(hub -> 0)
+    var frontier = Set(hub)
+    for (r <- 1 to graft.operators.AnalyticsOps.BfsRounds) {
+      val next = frontier.flatMap(nbrs(_)) -- visited.keySet
+      visited = visited ++ next.map(_ -> r)
+      frontier = next
+    }
+    val expect = visited.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(byDist === expect, s"$byDist vs $expect")
+  }
+
   test("ts_seasonal_anomaly: flags exactly the rows whose |resid| breaks 3x the series MAD threshold") {
     val dec = q("ts_seasonal_decompose").collect()
       .filter(r => !r.isNullAt(3)) // interior rows only (trend defined)

@@ -506,6 +506,7 @@ class PlanSpec extends SparkSuite {
       "text_bm25" -> "crossJoin against a broadcast 1-row ndocs/ntok total",
       "vec_ann_recall" -> "composes vec_knn_join, whose broadcast <=8-probe cross join is bounded",
       "stat_ttest" -> "theta self-join of a broadcast 5-row segment-moment frame (<=25 pairs)",
+      "stat_cohens_d" -> "theta self-join of a broadcast 5-row segment-moment frame (<=25 pairs)",
       "stat_chi2" -> "crossJoin against a broadcast 1-row grand-total frame",
       "feature_target_encode" -> "crossJoin against a broadcast 1-row global-mean frame",
       "feature_woe" -> "crossJoin against a broadcast 1-row good/bad-total frame")
