@@ -1275,6 +1275,109 @@ object AnalyticsOps {
       und.unpersist(false)
       visited.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("dist"))
+    }),
+
+    // One-way ANOVA of balances across ALL segments — the omnibus "do
+    // any of the k groups differ" that the pairwise stat_ttest can't
+    // answer without multiple-comparison inflation. SSB/SSW decompose
+    // from the same one decimal-exact moment pass (n, Σx, Σx² per
+    // group); F and effect size η² are scalar double algebra on the
+    // k-row frame. The fact is touched exactly once at any scale.
+    "stat_anova" -> ((s, dir) => {
+      val m = t(s, dir, "customer")
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("c_acctbal"))).as("sv"),
+          sum(dec(col("c_acctbal")) * dec(col("c_acctbal"))).as("svv"))
+        // Sg²/ng computed in DOUBLE from the exact decimal sum, then
+        // 6-dp-gridded and decimal-summed: engines' decimal-DIVISION
+        // scale rules differ, double division on identical inputs does
+        // not — and the k-term sum stays order-independent
+        .withColumn("sq",
+          dec(round(col("sv").cast("double") * col("sv").cast("double") / col("n"), 6)))
+      val g = m.agg(
+        count(lit(1)).as("k"),
+        sum(col("n")).as("nt"),
+        sum(col("sv")).as("svt"),
+        sum(col("svv")).as("svvt"),
+        sum(col("sq")).cast("double").as("sgg"))
+      val ssb = col("sgg") - col("svt").cast("double") * col("svt").cast("double") / col("nt")
+      val ssw = col("svvt").cast("double") - col("sgg")
+      val sst = col("svvt").cast("double") -
+        col("svt").cast("double") * col("svt").cast("double") / col("nt")
+      g.select(col("k"), col("nt").as("n"),
+        (col("k") - 1).as("df_between"), (col("nt") - col("k")).as("df_within"),
+        round((ssb / (col("k") - 1)) / (ssw / (col("nt") - col("k"))), 6).as("f_stat"),
+        round(ssb / sst, 6).as("eta_sq"))
+    }),
+
+    // Per-node clustering coefficient on the co-purchase graph: how
+    // close each node's neighborhood is to a clique (cc = closed
+    // wedges / possible wedges) — the local-density profile behind
+    // community detection and spam-node screens, and the per-node
+    // refinement of graph_triangles' single global count. Shape: the
+    // persisted pair-build, wedges generated off the co-partitioned
+    // adjacency self-join and CLOSED by a semi-join against the
+    // canonical edge set keyed (min,max) — the wedge stream collapses
+    // per middle vertex immediately, so the only full-width exchange is
+    // the wedge groupBy (degree-bounded, graph_triangles' argument).
+    "graph_clustering_coeff" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val und = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2).select(col("p1"), col("p2"))
+        .persist()
+      val adj = und.select(col("p1").as("src"), col("p2").as("dst"))
+        .union(und.select(col("p2").as("src"), col("p1").as("dst")))
+      val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      val closed = adj.as("x").join(adj.as("y"),
+          col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+        .join(und.select(col("p1").as("w1"), col("p2").as("w2")),
+          col("x.dst") === col("w1") && col("y.dst") === col("w2"), "left_semi")
+        .groupBy(col("x.src").as("node")).agg(count(lit(1)).as("tri"))
+      val res = deg.filter(col("dg") >= 2)
+        .join(closed, col("src") === col("node"), "left")
+        .select(col("src").as("node"), col("dg"),
+          coalesce(col("tri"), lit(0L)).as("tri"),
+          round(coalesce(col("tri"), lit(0L)).cast("double") * 2 /
+            (col("dg") * (col("dg") - 1)).cast("double"), 6).as("cc"))
+        .orderBy(col("cc").desc, col("node"))
+        .limit(20)
+        .localCheckpoint(true)
+      und.unpersist(false)
+      res
+    }),
+
+    // Seasonal-strength measure on the decomposition: Fs = max(0,
+    // 1 − Var(resid)/Var(seasonal+resid)) per series (Hyndman's STL
+    // strength statistic) — the one number that says whether
+    // ts_seasonal_decompose's weekly profile is signal or noise, and
+    // the gate a pipeline checks before trusting seasonal adjustment.
+    // Both variance inputs live on the already-verified 6-dp grid of
+    // the shared decomposition frame; population variances fold from
+    // decimal-exact moment sums, the ratio is scalar double algebra on
+    // the series-count-sized frame.
+    "ts_seasonal_strength" -> ((s, dir) => {
+      val d = seasonalFrame(s, dir).filter(col("trend").isNotNull)
+        .select(col("event_type"),
+          round(col("c") - col("trend") - col("seasonal"), 6).as("r"),
+          round(col("c") - col("trend"), 6).as("sr"))
+      val m = d.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("r"))).as("sr1"), sum(dec(col("r")) * dec(col("r"))).as("sr2"),
+        sum(dec(col("sr"))).as("ss1"), sum(dec(col("sr")) * dec(col("sr"))).as("ss2"))
+      val varR = (col("sr2").cast("double") -
+        col("sr1").cast("double") * col("sr1").cast("double") / col("n")) / col("n")
+      val varSR = (col("ss2").cast("double") -
+        col("ss1").cast("double") * col("ss1").cast("double") / col("n")) / col("n")
+      m.select(col("event_type"), col("n"),
+          round(varR, 6).as("var_resid"),
+          round(varSR, 6).as("var_detrended"),
+          round(greatest(lit(0.0), lit(1.0) - varR / varSR), 6).as("strength"))
+        .orderBy(col("event_type"))
     }))
 
   /** Shared day-grain decomposition frame for ts_seasonal_decompose /
@@ -1963,6 +2066,85 @@ object AnalyticsOps {
           f0 AS MATERIALIZED (SELECT node FROM v0),
           ${(1 to BfsRounds).map(bfsRoundSql).mkString(",\n")}
           SELECT dist, count(1) AS n_nodes FROM v$BfsRounds
-          GROUP BY 1 ORDER BY 1"""
+          GROUP BY 1 ORDER BY 1""",
+    "stat_anova" ->
+      """WITH m AS (
+           SELECT c_mktsegment AS seg, count(1) AS n,
+                  sum(CAST(c_acctbal AS DECIMAL(19,6))) AS sv,
+                  sum(CAST(c_acctbal AS DECIMAL(19,6)) * CAST(c_acctbal AS DECIMAL(19,6))) AS svv
+           FROM customer GROUP BY 1),
+         m2 AS (
+           SELECT n, sv, svv,
+                  CAST(round(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n, 6) AS DECIMAL(19,6)) AS sq
+           FROM m),
+         g AS (
+           SELECT count(1) AS k, CAST(sum(n) AS BIGINT) AS nt,
+                  CAST(sum(sv) AS DOUBLE) AS svt, CAST(sum(svv) AS DOUBLE) AS svvt,
+                  CAST(sum(sq) AS DOUBLE) AS sgg
+           FROM m2)
+         SELECT k, nt AS n, k - 1 AS df_between, nt - k AS df_within,
+                round(((sgg - svt * svt / nt) / (k - 1)) /
+                      ((svvt - sgg) / (nt - k)), 6) AS f_stat,
+                round((sgg - svt * svt / nt) / (svvt - svt * svt / nt), 6) AS eta_sq
+         FROM g""",
+    "graph_clustering_coeff" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         und AS (
+           SELECT a.pk AS p1, b.pk AS p2
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY p1, p2 HAVING count(1) >= 2),
+         adj AS (SELECT p1 AS src, p2 AS dst FROM und
+                 UNION ALL SELECT p2, p1 FROM und),
+         deg AS (SELECT src, count(1) AS dg FROM adj GROUP BY src),
+         closed AS (
+           SELECT x.src AS node, count(1) AS tri
+           FROM adj x JOIN adj y ON x.src = y.src AND x.dst < y.dst
+           WHERE EXISTS (SELECT 1 FROM und
+                         WHERE und.p1 = x.dst AND und.p2 = y.dst)
+           GROUP BY x.src)
+         SELECT d.src AS node, d.dg, coalesce(c.tri, 0) AS tri,
+                round(CAST(coalesce(c.tri, 0) AS DOUBLE) * 2 /
+                      (d.dg * (d.dg - 1)), 6) AS cc
+         FROM deg d LEFT JOIN closed c ON c.node = d.src
+         WHERE d.dg >= 2
+         ORDER BY cc DESC, node LIMIT 20""",
+    "ts_seasonal_strength" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         tr AS (SELECT event_type, day, c,
+                       count(1) OVER w AS wn,
+                       CAST(sum(c) OVER w AS BIGINT) AS wsum,
+                       (date_diff('day', DATE '1970-01-05', day) % 7 + 7) % 7 AS dow
+                FROM daily
+                WINDOW w AS (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         t2 AS (SELECT event_type, day, c, dow,
+                       CASE WHEN wn = 7 THEN round(CAST(wsum AS DOUBLE) / 7, 6) END AS trend
+                FROM tr),
+         t3 AS (SELECT *, CASE WHEN trend IS NOT NULL THEN round(c - trend, 6) END AS detr
+                FROM t2),
+         gs AS (SELECT event_type, dow, count(1) AS n,
+                      CAST(sum(CAST(round(detr * 1000000, 0) AS BIGINT)) AS BIGINT) AS s6
+               FROM t3 WHERE detr IS NOT NULL GROUP BY 1, 2),
+         sea AS (SELECT event_type, dow,
+                        CAST(sign(s6) * ((abs(s6) * 2 + n) // (n * 2)) AS DOUBLE) / 1000000.0 AS seasonal
+                 FROM gs),
+         d AS (SELECT t3.event_type,
+                      CAST(round(t3.c - t3.trend - sea.seasonal, 6) AS DECIMAL(19,6)) AS r,
+                      CAST(round(t3.c - t3.trend, 6) AS DECIMAL(19,6)) AS sr
+               FROM t3 JOIN sea ON t3.event_type = sea.event_type AND t3.dow = sea.dow
+               WHERE t3.trend IS NOT NULL),
+         mm AS (
+           SELECT event_type, count(1) AS n,
+                  CAST(sum(r) AS DOUBLE) AS sr1, CAST(sum(r * r) AS DOUBLE) AS sr2,
+                  CAST(sum(sr) AS DOUBLE) AS ss1, CAST(sum(sr * sr) AS DOUBLE) AS ss2
+           FROM d GROUP BY 1)
+         SELECT event_type, n,
+                round((sr2 - sr1 * sr1 / n) / n, 6) AS var_resid,
+                round((ss2 - ss1 * ss1 / n) / n, 6) AS var_detrended,
+                round(greatest(0.0, 1.0 - ((sr2 - sr1 * sr1 / n) / n) /
+                                          ((ss2 - ss1 * ss1 / n) / n)), 6) AS strength
+         FROM mm ORDER BY event_type"""
   ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
 }

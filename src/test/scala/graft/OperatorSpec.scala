@@ -1563,6 +1563,66 @@ class PropertySpec extends SparkSuite {
     assert(byDist === expect, s"$byDist vs $expect")
   }
 
+  test("stat_anova: F and eta-squared match a brute-force sums-of-squares recompute") {
+    val r = q("stat_anova").head
+    val bal = graft.Tables.t(spark, sf, "customer")
+      .select(col("c_mktsegment"), col("c_acctbal")).collect()
+      .map(x => (x.getString(0), x.getDouble(1)))
+    val groups = bal.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val k = groups.size; val nt = bal.length
+    assert(r.getLong(0) === k.toLong && r.getLong(1) === nt.toLong)
+    assert(r.getLong(2) === (k - 1).toLong && r.getLong(3) === (nt - k).toLong)
+    val grand = bal.map(_._2).sum / nt
+    val ssb = groups.values.map(g => g.length * math.pow(g.sum / g.length - grand, 2)).sum
+    val ssw = groups.values.map(g => { val m = g.sum / g.length; g.map(x => (x - m) * (x - m)).sum }).sum
+    val f = (ssb / (k - 1)) / (ssw / (nt - k))
+    assert(math.abs(r.getDouble(4) - f) < 1e-3, s"F ${r.getDouble(4)} vs $f")
+    assert(math.abs(r.getDouble(5) - ssb / (ssb + ssw)) < 1e-5, s"eta2: $r")
+    assert(r.getDouble(5) >= 0 && r.getDouble(5) <= 1)
+  }
+
+  test("graph_clustering_coeff: cc matches neighborhood edge density from raw edges") {
+    val rows = q("graph_clustering_coeff").collect()
+    assert(rows.length === 20)
+    val edges = q("basket_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nbrs = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ccs = rows.map(_.getDouble(3))
+    assert(ccs.toSeq === ccs.sortBy(-_).toSeq)
+    rows.foreach { r =>
+      val z = r.getLong(0); val ns = nbrs(z)
+      assert(r.getLong(1) === ns.size.toLong, s"degree: $r")
+      val tri = ns.toSeq.combinations(2).count { case Seq(a, b) =>
+        edges.contains((math.min(a, b), math.max(a, b)))
+      }
+      assert(r.getLong(2) === tri.toLong, s"tri: $r")
+      val cc = 2.0 * tri / (ns.size.toDouble * (ns.size - 1))
+      assert(math.abs(r.getDouble(3) - cc) < 1e-6, s"cc: $r vs $cc")
+      assert(cc >= 0 && cc <= 1 + 1e-9)
+    }
+  }
+
+  test("ts_seasonal_strength: strength in [0,1] and consistent with the decomposition variances") {
+    val rows = q("ts_seasonal_strength").collect()
+    assert(rows.nonEmpty)
+    val dec = q("ts_seasonal_decompose").collect().filter(r => !r.isNullAt(3))
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val series = dec.filter(_.getString(0) == et)
+      assert(r.getLong(1) === series.length.toLong)
+      val rs = series.map(_.getDouble(5))
+      val srs = series.map(x => x.getLong(2).toDouble - x.getDouble(3))
+      def popVar(xs: Array[Double]) = {
+        val m = xs.sum / xs.length; xs.map(x => (x - m) * (x - m)).sum / xs.length
+      }
+      val expect = math.max(0.0, 1.0 - popVar(rs) / popVar(srs))
+      assert(math.abs(r.getDouble(4) - expect) < 1e-4,
+        s"strength ${r.getDouble(4)} vs $expect")
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1)
+    }
+  }
+
   test("ts_seasonal_anomaly: flags exactly the rows whose |resid| breaks 3x the series MAD threshold") {
     val dec = q("ts_seasonal_decompose").collect()
       .filter(r => !r.isNullAt(3)) // interior rows only (trend defined)
