@@ -246,19 +246,24 @@ class PlanSpec extends SparkSuite {
   }
 
   test("graph_triangles: ONE pair-build exchange instance, joins consume the cache") {
-    // und/deg are persisted; every printed occurrence of the pair-build
-    // exchange must be the SAME physical node (one plan_id) — without the
-    // persist the dominant pair-build shuffle re-executes ~5x per run.
-    // Pin on the LAZY build (the registered query eagerly materializes the
-    // 1-row result and unpersists, so its returned plan is just an RDD
-    // scan). Start from a clean cache: an earlier suite's run leaves cache
-    // entries whose printed plans carry their own (older) exchange
+    // the input und frame is persisted inside trianglesBuild; every
+    // printed occurrence of the pair-build exchange must be the SAME
+    // physical node (one plan_id) — without the persist the input subtree
+    // re-executes ~5x per run. Pin on the LAZY build fed a raw (uncached)
+    // pair-build, exactly what a consumer without the shared artifact
+    // would pass. Start from a clean cache: an earlier suite's run leaves
+    // cache entries whose printed plans carry their own (older) exchange
     // instances, which this single-instance count would misread.
     import org.apache.spark.sql.functions._
     spark.catalog.clearCache()
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val (res, cached) = graft.operators.AnalyticsOps.trianglesBuild(li)
+    val und = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("p1"), col("p2"))
+    val (res, cached) = graft.operators.AnalyticsOps.trianglesBuild(und)
     try {
       val p = res.queryExecution.executedPlan.toString
       val ids = """Exchange hashpartitioning\(p1#\d+L, p2#\d+L.*?plan_id=(\d+)""".r
@@ -275,22 +280,23 @@ class PlanSpec extends SparkSuite {
       "graph_triangles left persisted frames in the CacheManager")
   }
 
-  test("graph_degree_hist: ONE pair-build exchange instance, node domain reads the cache") {
-    // same discipline as graph_triangles: und feeds the degree explode and
-    // li feeds both the self-join and the node domain — every printed
-    // occurrence of the pair-build exchange must be one physical instance.
-    import org.apache.spark.sql.functions._
-    spark.catalog.clearCache()
-    val li = spark.read.parquet(s"$sf/lineitem.parquet")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val (res, cached) = graft.operators.AnalyticsOps.degreeHistBuild(li)
-    try {
-      val p = res.queryExecution.executedPlan.toString
-      val ids = """Exchange hashpartitioning\(p1#\d+L, p2#\d+L.*?plan_id=(\d+)""".r
-        .findAllMatchIn(p).map(_.group(1)).toSet
-      assert(ids.size <= 1, s"pair-build exchange instances: $ids\n${p.take(2000)}")
-      assert(p.contains("InMemoryTableScan"), p.take(2000))
-    } finally cached.foreach(_.unpersist(false))
+  test("graph queries consume the memoized artifact: no pair-build exchange in their plans") {
+    // the shared coPurchaseGraph artifact means a registered graph
+    // query's OWN plan must contain a cached-RDD scan and ZERO
+    // occurrences of the distinct→self-join→groupBy pair-build exchange
+    // — at 100 TB this is "the graph table is materialized once per
+    // corpus snapshot", the same architecture as clusterLabels and the
+    // PQ codebooks. basket_pairs (the artifact materializer) is checked
+    // too: after the first call its plan is also a pure artifact scan.
+    q("basket_pairs").collect() // ensure the artifact is built
+    Seq("basket_pairs", "graph_degree_hist", "graph_kcore",
+        "graph_adamic_adar", "graph_clustering_coeff").foreach { name =>
+      val p = q(name).queryExecution.executedPlan.toString
+      assert(p.contains("Scan ExistingRDD"), s"$name: no artifact scan\n${p.take(1500)}")
+      // the fact table must never appear: the pair-build (the only
+      // lineitem consumer in these queries) ran once, at artifact build
+      assert(!p.contains("lineitem"), s"$name re-scans the fact table\n${p.take(1500)}")
+    }
   }
 
   test("graph_degree_hist + recs_item_cf: registered queries leave no cache entries behind") {
@@ -317,12 +323,7 @@ class PlanSpec extends SparkSuite {
     } finally cached.foreach(_.unpersist(false))
   }
 
-  test("basket_pairs: the distinct shuffle is computed once and reused on the broadcast side") {
-    val df = q("basket_pairs")
-    df.collect() // AQE dedupes identical shuffle stages at runtime
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("ReusedExchange"), p.take(3000))
-  }
+
 
   test("graph_pagerank round: ranks broadcast onto cached edges — no edge shuffle per round") {
     import spark.implicits._
