@@ -1316,6 +1316,45 @@ object AnalyticsOps {
       res
     }),
 
+    // Spearman rank correlation of quantity vs price per returnflag —
+    // the monotone-association measure that survives outliers and
+    // nonlinearity where Pearson (agg_corr_matrix) assumes linearity.
+    // Exact average ranks with ties, kept INTEGER end to end: rank2 =
+    // 2·minrank + t − 1 is twice the average rank (rank() + count-over-
+    // value-partition windows, one sort per variable — the honest cost
+    // of exact ranking; Pearson is scale-invariant so rho(rank2) =
+    // rho(rank)). Moment sums go through DECIMAL(19,0) (products hit
+    // 8n³ ≈ 10¹⁹ at SF1 — past int64, inside both engines' 38-digit
+    // decimals); the rho algebra is double on the 3-row frame.
+    "stat_spearman" -> ((s, dir) => {
+      val d0 = (c: Column) => c.cast(DecimalType(19, 0))
+      val li = t(s, dir, "lineitem").select(col("l_returnflag").as("rf"),
+        col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      val r = li
+        .withColumn("rx2",
+          lit(2L) * rank().over(Window.partitionBy(col("rf")).orderBy(col("x"))) +
+            count(lit(1)).over(Window.partitionBy(col("rf"), col("x"))) - 1)
+        .withColumn("ry2",
+          lit(2L) * rank().over(Window.partitionBy(col("rf")).orderBy(col("y"))) +
+            count(lit(1)).over(Window.partitionBy(col("rf"), col("y"))) - 1)
+      val m = r.groupBy(col("rf")).agg(
+          count(lit(1)).as("n"),
+          sum(d0(col("rx2"))).as("dsx"), sum(d0(col("ry2"))).as("dsy"),
+          sum(d0(col("rx2")) * d0(col("rx2"))).as("dsxx"),
+          sum(d0(col("ry2")) * d0(col("ry2"))).as("dsyy"),
+          sum(d0(col("rx2")) * d0(col("ry2"))).as("dsxy"))
+        .select(col("rf"), col("n"),
+          col("dsx").cast("double").as("sx"), col("dsy").cast("double").as("sy"),
+          col("dsxx").cast("double").as("sxx"),
+          col("dsyy").cast("double").as("syy"),
+          col("dsxy").cast("double").as("sxy"))
+      m.select(col("rf"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                 (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("rho"))
+        .orderBy(col("rf"))
+    }),
+
     // Seasonal-strength measure on the decomposition: Fs = max(0,
     // 1 − Var(resid)/Var(seasonal+resid)) per series (Hyndman's STL
     // strength statistic) — the one number that says whether
@@ -2032,6 +2071,26 @@ object AnalyticsOps {
           ${(1 to BfsRounds).map(bfsRoundSql).mkString(",\n")}
           SELECT dist, count(1) AS n_nodes FROM v$BfsRounds
           GROUP BY 1 ORDER BY 1""",
+    "stat_spearman" ->
+      """WITH r AS (
+           SELECT l_returnflag AS rf,
+                  2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+                    + count(1) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS rx2,
+                  2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+                    + count(1) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS ry2
+           FROM lineitem),
+         m AS (
+           SELECT rf, count(1) AS n,
+                  CAST(sum(CAST(rx2 AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST(ry2 AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+                  CAST(sum(CAST(rx2 AS DECIMAL(19,0)) * CAST(rx2 AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+                  CAST(sum(CAST(ry2 AS DECIMAL(19,0)) * CAST(ry2 AS DECIMAL(19,0))) AS DOUBLE) AS syy,
+                  CAST(sum(CAST(rx2 AS DECIMAL(19,0)) * CAST(ry2 AS DECIMAL(19,0))) AS DOUBLE) AS sxy
+           FROM r GROUP BY rf)
+         SELECT rf, n,
+                round((n * sxy - sx * sy) /
+                      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS rho
+         FROM m ORDER BY rf""",
     "stat_anova" ->
       """WITH m AS (
            SELECT c_mktsegment AS seg, count(1) AS n,

@@ -178,6 +178,41 @@ object ShapeOps {
         .orderBy(col("view_id"))
     }),
 
+    // Position-based (U-shaped, 40/20/40) attribution over the same
+    // 30-minute touch window as attrib_linear: first and last touch get
+    // 40% each, the middle touches split 20% — the model marketing runs
+    // when discovery and closing both deserve outsized credit. Touch
+    // positions come from one row_number window per conversion; n = 1
+    // and n = 2 take the standard full/50-50 degenerations. The middle
+    // share 0.2/(n−2) goes through DECIMAL(18,12) exactly like
+    // attrib_linear's 1/n, so the per-view credit sum is
+    // parallel-order-proof.
+    "attrib_position" -> ((s, dir) => {
+      val e = events(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          col("ts").as("v_ts"))
+      val touches = p.join(v,
+          col("user_id") === col("v_user") && col("v_ts") < col("p_ts") &&
+            col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+        .select(col("p_id"), col("view_id"), col("v_ts"))
+      val w = Window.partitionBy(col("p_id")).orderBy(col("v_ts"), col("view_id"))
+      val perP = touches.groupBy(col("p_id")).agg(count(lit(1)).as("n"))
+      val credit = when(col("n") === 1, lit(1.0))
+        .when(col("n") === 2, lit(0.5))
+        .when(col("rn") === 1 || col("rn") === col("n"), lit(0.4))
+        .otherwise(lit(0.2) / (col("n") - 2))
+      touches.withColumn("rn", row_number().over(w))
+        .join(perP, Seq("p_id"))
+        .groupBy(col("view_id"))
+        .agg(round(sum(credit.cast(org.apache.spark.sql.types.DecimalType(18, 12)))
+            .cast("double"), 6).as("credit"),
+          count(lit(1)).as("n_conversions"))
+        .orderBy(col("view_id"))
+    }),
+
     // exponentially weighted moving average per user (α = 0.2): the
     // recurrence s_i = α·x_i + (1−α)·s_{i−1} is inherently sequential in
     // event order, so it CANNOT be a frame-based window aggregate — the
@@ -362,6 +397,27 @@ object ShapeOps {
                 count(1) AS n_conversions
          FROM touches JOIN per_p USING (p_id)
          GROUP BY view_id ORDER BY view_id""",
+    "attrib_position" ->
+      """WITH touches AS (
+           SELECT p.event_id AS p_id, v.event_id AS view_id, v.ts AS v_ts
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           JOIN (SELECT * FROM events WHERE event_type = 'view') v
+             ON v.user_id = p.user_id AND v.ts < p.ts
+            AND v.ts >= p.ts - INTERVAL 30 MINUTE),
+         pos AS (
+           SELECT p_id, view_id,
+                  row_number() OVER (PARTITION BY p_id ORDER BY v_ts, view_id) AS rn,
+                  count(1) OVER (PARTITION BY p_id) AS n
+           FROM touches)
+         SELECT view_id,
+                round(CAST(sum(CAST(
+                  CASE WHEN n = 1 THEN 1.0
+                       WHEN n = 2 THEN 0.5
+                       WHEN rn = 1 OR rn = n THEN 0.4
+                       ELSE CAST(0.2 AS DOUBLE) / (n - 2) END
+                  AS DECIMAL(18,12))) AS DOUBLE), 6) AS credit,
+                count(1) AS n_conversions
+         FROM pos GROUP BY view_id ORDER BY view_id""",
     // list_reduce seeds from the first element and folds left — the same
     // order and the same 0.2·x + 0.8·acc double arithmetic as the Spark
     // aggregate() lambda, so no rounding slack is needed beyond the 6 dp.

@@ -1623,6 +1623,59 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("stat_spearman: rho matches a brute-force average-rank Pearson recompute") {
+    val rows = q("stat_spearman").collect()
+    assert(rows.length === 3)
+    val li = graft.Tables.t(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    def avgRanks(xs: Array[Double]): Array[Double] = {
+      val sorted = xs.zipWithIndex.sortBy(_._1)
+      val out = new Array[Double](xs.length)
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+        val avg = (i + 1 + j).toDouble / 2
+        (i until j).foreach(k => out(sorted(k)._2) = avg)
+        i = j
+      }
+      out
+    }
+    rows.foreach { r =>
+      val g = li.filter(_._1 == r.getString(0))
+      assert(r.getLong(1) === g.length.toLong)
+      val rx = avgRanks(g.map(_._2)); val ry = avgRanks(g.map(_._3))
+      val n = g.length.toDouble
+      val sx = rx.sum; val sy = ry.sum
+      val sxx = rx.map(v => v * v).sum; val syy = ry.map(v => v * v).sum
+      val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+      val rho = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      assert(math.abs(r.getDouble(2) - rho) < 1e-5, s"rho: $r vs $rho")
+      assert(math.abs(r.getDouble(2)) <= 1 + 1e-9)
+    }
+  }
+
+  test("attrib_position: every converting touchset distributes exactly 1.0 of credit") {
+    val rows = q("attrib_position").collect()
+    assert(rows.nonEmpty)
+    // conservation: total credit == number of purchases with >=1 touch
+    // in the window (each conversion hands out 40/20/40 summing to 1)
+    val e = graft.Tables.events(spark, sf)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val converting = p.join(v,
+        col("user_id") === col("v_user") && col("v_ts") < col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("p_id")).distinct().count()
+    val total = rows.map(_.getDouble(1)).sum
+    assert(math.abs(total - converting) < 1e-3, s"credit $total vs $converting conversions")
+    rows.foreach(r => assert(r.getDouble(1) > 0 && r.getLong(2) > 0))
+  }
+
   test("ts_seasonal_anomaly: flags exactly the rows whose |resid| breaks 3x the series MAD threshold") {
     val dec = q("ts_seasonal_decompose").collect()
       .filter(r => !r.isNullAt(3)) // interior rows only (trend defined)
