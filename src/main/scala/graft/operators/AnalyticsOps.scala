@@ -1355,6 +1355,32 @@ object AnalyticsOps {
         .orderBy(col("rf"))
     }),
 
+    // Seasonal-naive forecast backtest — the baseline every forecasting
+    // pipeline must beat before any model earns its keep: predict day d
+    // as the observed value at d−7, score MAE/MAPE per series over every
+    // day whose lag-7 ancestor exists. One day-grain self-join on pure
+    // date arithmetic; absolute errors stay INTEGER (counts), the two
+    // means go through the repo's davg discipline (6-dp-gridded terms,
+    // decimal sums, single double division) so both engines agree to the
+    // bit. At 100 TB the day-grain frame is calendar-sized — this whole
+    // operator is free after the rollup.
+    "ts_forecast_snaive" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val f = daily.select(col("event_type"),
+        date_add(col("day"), 7).as("day"), col("c").as("fc"))
+      daily.join(f, Seq("event_type", "day"))
+        .select(col("event_type"),
+          abs(col("c") - col("fc")).as("ae"),
+          round(abs(col("c") - col("fc")).cast("double") / col("c"), 6).as("ape"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          round(sum(col("ae")).cast("double") / count(lit(1)), 6).as("mae"),
+          round(sum(dec(col("ape"))).cast("double") / count(lit(1)), 6).as("mape"))
+        .orderBy(col("event_type"))
+    }),
+
     // Seasonal-strength measure on the decomposition: Fs = max(0,
     // 1 − Var(resid)/Var(seasonal+resid)) per series (Hyndman's STL
     // strength statistic) — the one number that says whether
@@ -2091,6 +2117,19 @@ object AnalyticsOps {
                 round((n * sxy - sx * sy) /
                       sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS rho
          FROM m ORDER BY rf""",
+    "ts_forecast_snaive" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         j AS (
+           SELECT d.event_type, abs(d.c - f.c) AS ae,
+                  round(CAST(abs(d.c - f.c) AS DOUBLE) / d.c, 6) AS ape
+           FROM daily d JOIN daily f
+             ON f.event_type = d.event_type AND f.day + 7 = d.day)
+         SELECT event_type, count(1) AS n_days,
+                round(CAST(sum(ae) AS DOUBLE) / count(1), 6) AS mae,
+                round(CAST(sum(CAST(ape AS DECIMAL(18,6))) AS DOUBLE) / count(1), 6) AS mape
+         FROM j GROUP BY event_type ORDER BY event_type""",
     "stat_anova" ->
       """WITH m AS (
            SELECT c_mktsegment AS seg, count(1) AS n,

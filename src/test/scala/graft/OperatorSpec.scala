@@ -1676,6 +1676,31 @@ class PropertySpec extends SparkSuite {
     rows.foreach(r => assert(r.getDouble(1) > 0 && r.getLong(2) > 0))
   }
 
+  test("ts_forecast_snaive: MAE/MAPE match a brute-force lag-7 backtest") {
+    val rows = q("ts_forecast_snaive").collect()
+    assert(rows.nonEmpty)
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toLocalDate), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val pairs = daily.toSeq.collect {
+        case ((e, d), c) if e == et && daily.contains((e, d.minusDays(7))) =>
+          (c, daily((e, d.minusDays(7))))
+      }
+      assert(r.getLong(1) === pairs.length.toLong)
+      val mae = pairs.map { case (c, f) => math.abs(c - f) }.sum.toDouble / pairs.length
+      assert(math.abs(r.getDouble(2) - mae) < 1e-6, s"mae: $r vs $mae")
+      val mape = pairs.map { case (c, f) =>
+        BigDecimal(math.abs(c - f).toDouble / c)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble / pairs.length
+      assert(math.abs(r.getDouble(3) - mape) < 1e-5, s"mape: $r vs $mape")
+      assert(r.getDouble(2) >= 0 && r.getDouble(3) >= 0)
+    }
+  }
+
   test("ts_seasonal_anomaly: flags exactly the rows whose |resid| breaks 3x the series MAD threshold") {
     val dec = q("ts_seasonal_decompose").collect()
       .filter(r => !r.isNullAt(3)) // interior rows only (trend defined)
