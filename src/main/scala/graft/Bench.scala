@@ -81,6 +81,7 @@ object Bench {
       if (room - (e.length + 1) >= 0) { kept += e; room -= e.length + 1 }
     }
     println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir","n_queries":${results.size}}""")
+    ArtifactCache.evictAllCaches() // unpersist memoized per-dir artifacts
     spark.stop()
     sys.exit(0) // see Verify: stub/stream non-daemon threads must not wedge the JVM
   }

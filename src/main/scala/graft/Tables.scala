@@ -56,6 +56,34 @@ object Tables {
   /** Round a double expression to 6 dp (non-aggregated path). */
   def r6(c: Column): Column = round(c.cast("double"), 6)
 
+  /** Query-local shared-subtree persist: a frame that feeds ≥2 sinks of
+    * one query plan re-executes its whole scan subtree per reference
+    * unless pinned (the graph_degree_hist r7 / corpus_token_budget r8
+    * defect class — PlanSpec's re-executed-subtree lint now sweeps for
+    * it). At most ONE live entry per site: rebuilding a site (same dir or
+    * a new one) releases the previous frame, and
+    * [[ArtifactCache.evictAllCaches]] releases everything on Bench/Verify
+    * teardown — a long-lived driver never accumulates pinned frames. */
+  private val sharedFrames =
+    new ArtifactCache[DataFrame](_.unpersist(blocking = false))
+  def persistShared(site: String, df: DataFrame): DataFrame =
+    sharedFrames.put(site, df.persist())
+
+  /** Per-(site, dir) shared persisted frame, REUSED across query rebuilds
+    * on the same dir (getOrElseUpdate, unlike persistShared's
+    * replace-on-rebuild) — for stable source-derived frames a whole query
+    * family shares, e.g. the embeddings vector store that every ANN tier
+    * probes (a real vector engine keeps exactly this artifact resident).
+    * Entry count is bounded by dirs-per-JVM; evictAllCaches releases. */
+  def persistSharedPerDir(site: String, dir: String, df: => DataFrame): DataFrame = {
+    val f = sharedFrames.getOrElseUpdate(s"$site@$dir", df.persist())
+    // an external spark.catalog.clearCache() (test hygiene, ops tooling)
+    // strips the persist while the registry entry lives on — re-pin, or
+    // every consumer silently falls back to re-scanning per reference
+    if (f.storageLevel == org.apache.spark.storage.StorageLevel.NONE) f.persist()
+    f
+  }
+
   /** Cache tag for fixtures derived from a source directory: a sha-256
     * prefix of the FULL path, so two distinct datasets can never serve
     * each other's staged fixtures (a 32-bit hashCode would make that

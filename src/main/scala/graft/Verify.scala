@@ -48,6 +48,7 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    ArtifactCache.evictAllCaches() // unpersist memoized per-dir artifacts
     spark.stop()
     // hard-exit: the rest_source stub's HTTP dispatcher (and any streaming
     // leftovers) are non-daemon threads that would keep the forked JVM —

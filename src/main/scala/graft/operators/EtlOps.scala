@@ -521,7 +521,10 @@ object EtlOps {
       val all = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       val base = all.filter(col("o_orderkey") % 10 < 8)
-      val feed = all
+      // the change feed probes the anti-join AND unions into the result —
+      // pinned so its scan subtree runs once (a real CDC feed is the
+      // small side by construction; persisting it is the standard shape)
+      val feed = persistShared("cdc_apply_feed", all
         .withColumn("op",
           when(col("o_orderkey") % 10 === 8, "I")
             .when(col("o_orderkey") % 10 <= 1, "U")
@@ -529,7 +532,7 @@ object EtlOps {
         .filter(col("op").isNotNull)
         .withColumn("o_totalprice",
           when(col("op") === "U", round(col("o_totalprice") * 1.1, 6))
-            .otherwise(r6(col("o_totalprice"))))
+            .otherwise(r6(col("o_totalprice")))))
       base.join(feed.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
         .select(col("o_orderkey"), col("o_orderstatus"), r6(col("o_totalprice")).as("o_totalprice"))
         .unionByName(feed.filter(col("op") =!= "D")

@@ -152,11 +152,15 @@ object LmOps {
     "text_boilerplate_scrub" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("source"), split(lower(col("text")), " ").as("tk"))
-      val grams = docs.filter(size(col("tk")) >= 8)
+      // the 8-gram stream feeds BOTH the boilerplate-frequency agg and the
+      // per-doc hit collection — pinned so the heaviest subtree (scan +
+      // tokenize + gram explode) runs once, not twice (r9 lint class)
+      val grams = persistShared("boilerplate_scrub_grams", docs
+        .filter(size(col("tk")) >= 8)
         .select(col("source"), col("doc_id"), explode(expr(
           "transform(sequence(1, size(tk) - 7), i -> " +
             "named_struct('i', i, 'gram', array_join(slice(tk, i, 8), ' ')))")).as("g"))
-        .select(col("source"), col("doc_id"), col("g.i").as("i"), col("g.gram").as("gram"))
+        .select(col("source"), col("doc_id"), col("g.i").as("i"), col("g.gram").as("gram")))
       val boiler = grams.groupBy(col("source"), col("gram"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2).select(col("source"), col("gram"))

@@ -58,13 +58,16 @@ object ShapeOps {
     "ts_resample" -> ((s, dir) => {
       val e = events(s, dir)
         .select(col("event_type"), col("ts").cast("date").as("day"), col("value"))
-      // day spine from a 1-row min/max aggregate; key spine from distinct —
-      // both dimension-sized, so the cross product broadcasts
-      val days = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      // ONE fact scan: the (type, day)-grain daily agg is persisted and
+      // BOTH spines derive from it (its day/type domains are identical to
+      // the fact's — every (type, day) present survives the groupBy). The
+      // old form scanned events three times (days agg, types distinct,
+      // daily agg) — the re-executed-subtree class PlanSpec lints.
+      val daily = persistShared("ts_resample", e.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("tv")))
+      val days = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
         .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
-      val types = e.select(col("event_type")).distinct()
-      val daily = e.groupBy(col("event_type"), col("day"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("tv"))
+      val types = daily.select(col("event_type")).distinct()
       types.crossJoin(broadcast(days))
         .join(daily, Seq("event_type", "day"), "left")
         .select(col("event_type"), col("day"),
@@ -164,12 +167,16 @@ object ShapeOps {
       val v = e.filter(col("event_type") === "view")
         .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
           col("ts").as("v_ts"))
+      // per-conversion touch count as a WINDOW over the p_id partition —
+      // the agg+self-join formulation re-executed the whole range-join
+      // subtree twice (the corpus_token_budget defect class; PlanSpec
+      // lints it) and cost an extra shuffle besides
       val touches = p.join(v,
           col("user_id") === col("v_user") && col("v_ts") < col("p_ts") &&
             col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
         .select(col("p_id"), col("view_id"))
-      val perP = touches.groupBy(col("p_id")).agg(count(lit(1)).as("n"))
-      touches.join(perP, Seq("p_id"))
+      touches.withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("p_id"))))
         .groupBy(col("view_id"))
         .agg(round(sum((lit(1.0) / col("n"))
             .cast(org.apache.spark.sql.types.DecimalType(18, 12)))
@@ -198,14 +205,17 @@ object ShapeOps {
           col("user_id") === col("v_user") && col("v_ts") < col("p_ts") &&
             col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
         .select(col("p_id"), col("view_id"), col("v_ts"))
+      // rn and n share ONE p_id window partition (n as count over the
+      // same partition — no frame clause, so the whole-partition count):
+      // the old agg+self-join on touches re-executed the range-join
+      // subtree twice and shuffled a second time
       val w = Window.partitionBy(col("p_id")).orderBy(col("v_ts"), col("view_id"))
-      val perP = touches.groupBy(col("p_id")).agg(count(lit(1)).as("n"))
       val credit = when(col("n") === 1, lit(1.0))
         .when(col("n") === 2, lit(0.5))
         .when(col("rn") === 1 || col("rn") === col("n"), lit(0.4))
         .otherwise(lit(0.2) / (col("n") - 2))
       touches.withColumn("rn", row_number().over(w))
-        .join(perP, Seq("p_id"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("p_id"))))
         .groupBy(col("view_id"))
         .agg(round(sum(credit.cast(org.apache.spark.sql.types.DecimalType(18, 12)))
             .cast("double"), 6).as("credit"),
@@ -306,12 +316,16 @@ object ShapeOps {
       // fact-sized agg, one per-key window
       val e = ev.filter(col("user_id") < 40)
         .select(col("user_id"), col("ts").cast("date").as("day"), col("value"))
+      // the day spine spans ALL events (not just the probe users), so it
+      // keeps its own scan; the probe-side daily agg is persisted and the
+      // user spine derives from it (identical domain) — 2 scans total,
+      // down from 3 (re-executed-subtree lint class)
       val days = ev.agg(min(col("ts").cast("date")).as("d0"),
           max(col("ts").cast("date")).as("d1"))
         .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
-      val users = e.select(col("user_id")).distinct()
-      val daily = e.groupBy(col("user_id"), col("day"))
-        .agg(davg(col("value")).as("avg_value"))
+      val daily = persistShared("ts_locf", e.groupBy(col("user_id"), col("day"))
+        .agg(davg(col("value")).as("avg_value")))
+      val users = daily.select(col("user_id")).distinct()
       val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       users.crossJoin(broadcast(days))

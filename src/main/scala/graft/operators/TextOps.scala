@@ -53,14 +53,8 @@ object TextOps {
   // frame first. unpersist is safe on a frame mid-use only because query
   // builds are not concurrent per site (the harness is single-threaded);
   // a concurrent caller should scope persists per-session instead.
-  private val sharedFrameReg =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private def persistShared(site: String, df: DataFrame): DataFrame = {
-    sharedFrameReg.remove(site).foreach(_.unpersist(blocking = false))
-    val p = df.persist()
-    sharedFrameReg(site) = p
-    p
-  }
+  // persistShared moved to graft.Tables (imported) — same semantics, now
+  // shared by every operator bank the re-executed-subtree lint covers.
 
   val queries: Map[String, QFn] = Map(
     // canonical-composition (NFC) first, THEN case-fold/whitespace-collapse:
@@ -156,24 +150,36 @@ object TextOps {
     // oracle's flat window, distributed shape at any corpus size.
     "corpus_token_budget" -> ((s, dir) => {
       val stopArr = array(stop.map(lit): _*)
-      val scored = t(s, dir, "documents")
+      // scored feeds BOTH the bucket-offsets agg and the final join probe;
+      // persist so the documents scan + tokenize lineage runs once (the r8
+      // un-persisted form executed this subtree three times: offsets agg,
+      // an eager budget action, and the join).
+      val scored = persistShared("corpus_token_budget", t(s, dir, "documents")
         .withColumn("toks", split(lower(col("text")), " "))
         .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
           r6(log(lit(1.0) + size(col("toks"))) *
             (lit(1.0) - size(filter(col("toks"), x => array_contains(stopArr, x)))
-              .cast("double") / size(col("toks")))).as("quality"))
+              .cast("double") / size(col("toks")))).as("quality")))
       val bucketed = scored.withColumn("bkt", floor(col("quality") * 10).cast("long"))
+      // the global budget IS sum(btoks) div 2 on the bucket-grain offsets
+      // frame (~11 rows at any corpus size): an unpartitioned window here
+      // is dimension-sized, costs nothing, and keeps query construction
+      // lazy — no driver-side scalar action, no extra corpus pass. The
+      // integer `div` mirrors the oracle's `// 2`.
+      val wOff = Window.orderBy(col("bkt").desc)
       val offsets = bucketed.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("btoks"))
         .withColumn("offset", coalesce(sum(col("btoks")).over(
-          Window.orderBy(col("bkt").desc).rowsBetween(Window.unboundedPreceding, -1)),
+          wOff.rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-        .select(col("bkt"), col("offset"))
-      val budget = scored.agg(sum(col("n_tokens"))).head.getLong(0) / 2
+        .withColumn("total", sum(col("btoks")).over(
+          wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("budget", expr("total div 2"))
+        .select(col("bkt"), col("offset"), col("budget"))
       val wq = Window.partitionBy(col("bkt"))
         .orderBy(col("quality").desc, col("doc_id"))
       bucketed.join(broadcast(offsets), Seq("bkt"))
         .withColumn("cum_tokens", col("offset") + sum(col("n_tokens")).over(wq))
-        .filter(col("cum_tokens") <= budget)
+        .filter(col("cum_tokens") <= col("budget"))
         .select(col("doc_id"), col("n_tokens"), col("quality"), col("cum_tokens"))
         .orderBy(col("cum_tokens"))
     }),
@@ -326,10 +332,13 @@ object TextOps {
     // 6-dp rounding; the vocabulary-sized freq table broadcasts, so the
     // token-grain side shuffles once (by doc_id) at any corpus scale.
     "text_unigram_ppl" -> ((s, dir) => {
-      val tok = t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
-      val total = tok.agg(count(lit(1)).cast("double").as("n_total"))
+      // tok feeds the frequency build and the probe side (and the total) —
+      // pinned like text_tfidf's tf frame so the scan+explode runs once;
+      // the corpus total derives from the vocab-grain freq agg (Σtf)
+      val tok = persistShared("text_unigram_ppl", t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token")))
       val freq = tok.groupBy(col("token").as("f_token")).agg(count(lit(1)).as("tf"))
+      val total = freq.agg(sum(col("tf")).cast("double").as("n_total"))
       tok.join(broadcast(freq), col("token") === col("f_token"))
         .crossJoin(broadcast(total))
         .withColumn("logp", dec(log(col("tf") / col("n_total"))))
@@ -407,7 +416,7 @@ object TextOps {
       val w = Window.partitionBy(col("shard")).orderBy(col("ord"), col("doc_id"))
       t(s, dir, "documents")
         .withColumn("shard", pmod((col("doc_id") % lit(2147483648L)) * lit(2654435761L), lit(8)))
-        .withColumn("ord", pmod(col("doc_id") * lit(1315423911L), lit(1000000007L)))
+        .withColumn("ord", pmod((col("doc_id") % lit(2147483648L)) * lit(1315423911L), lit(1000000007L)))
         .withColumn("pos", row_number().over(w))
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy(col("doc_id"))
@@ -491,16 +500,24 @@ object TextOps {
     // identical double and the 6-dp rounding cannot diverge.
     "text_cooccur_pmi" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(split(lower(col("text")), " ").as("tk"))
-      val tok = docs.select(explode(col("tk")).as("w"))
-      val ntok = tok.agg(count(lit(1)).as("ntok"))
-      val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
-      val pairs = docs.select(explode(expr(
-        "flatten(transform(tk, (w, p) -> transform(slice(tk, p + 2, 4), " +
-          "w2 -> struct(least(w, w2) AS a, greatest(w, w2) AS b))))")).as("pr"))
+      // both totals derive from the vocab-grain aggs (Σc ≡ token count,
+      // Σ over the unfiltered pair agg ≡ pair count), so the fact-sized
+      // token/pair streams are each scanned ONCE — the naive form ran the
+      // scan+explode subtrees twice each (documents ×5 in the r9 lint).
+      // The aggs are vocab-bounded; pinned so c12/npairs (and the two uni
+      // join sides) don't re-run them.
+      val uni = persistShared("cooccur_uni", docs
+        .select(explode(col("tk")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c")))
+      val ntok = uni.agg(sum(col("c")).as("ntok"))
+      val pairAgg = persistShared("cooccur_pairs", docs
+        .select(explode(expr(
+          "flatten(transform(tk, (w, p) -> transform(slice(tk, p + 2, 4), " +
+            "w2 -> struct(least(w, w2) AS a, greatest(w, w2) AS b))))")).as("pr"))
         .select(col("pr.a").as("a"), col("pr.b").as("b"))
-      val npairs = pairs.agg(count(lit(1)).as("npairs"))
-      val c12 = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c12"))
-        .filter(col("c12") >= 10)
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c12")))
+      val npairs = pairAgg.agg(sum(col("c12")).as("npairs"))
+      val c12 = pairAgg.filter(col("c12") >= 10)
       c12.join(broadcast(uni.select(col("w").as("a"), col("c").as("c1"))), "a")
         .join(broadcast(uni.select(col("w").as("b"), col("c").as("c2"))), "b")
         .crossJoin(broadcast(ntok)).crossJoin(broadcast(npairs))
@@ -552,7 +569,11 @@ object TextOps {
       val docs = t(s, dir, "documents")
       def hash(c: org.apache.spark.sql.Column) =
         sha2(regexp_replace(lower(trim(c)), "\\s+", " "), 256)
-      val corpus = docs.filter(col("doc_id") < 300)
+      // corpus feeds the dup-source build AND the anti-join digest side —
+      // pinned so the scan runs once (at scale this frame is the standing
+      // digest set an incremental dedup keeps anyway)
+      val corpus = persistShared("dedup_incremental_corpus",
+        docs.filter(col("doc_id") < 300))
       val dupSrc = corpus.filter(col("doc_id") < 100)
         .select((col("doc_id") + 300).as("dup_id"), col("text").as("dup_text"))
       val batch = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
@@ -775,9 +796,12 @@ object TextOps {
   // dir's parquet would serve labels computed from the old bytes. The
   // harness never rewrites test data mid-JVM; a pipeline that does should
   // key by (path, source mtime/snapshot id) instead.
-  private val labelCache = scala.collection.concurrent.TrieMap
-    .empty[String, (org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
-                    org.apache.spark.sql.types.StructType)]
+  // ArtifactCache: single-flight build + eviction that unpersists (see
+  // graft.ArtifactCache; evictAllCaches runs from Bench/Verify teardown).
+  private val labelCache =
+    new graft.ArtifactCache[(org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
+                       org.apache.spark.sql.types.StructType)](
+      _._1.unpersist(blocking = false))
 
   private def clusterLabels(outer: SparkSession, dir: String): DataFrame = {
     val (rdd, schema) = labelCache.getOrElseUpdate(dir, {
@@ -802,8 +826,12 @@ object TextOps {
     * candidate window — the shared numerator/denominator frame both the
     * symmetric (Jaccard) and asymmetric (containment) measures read. */
   private def pairStats(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents").filter(col("doc_id") < 256)
-      .select(col("doc_id"), explode(array_distinct(split(lower(col("text")), " "))).as("token"))
+    // toks feeds the self-join twice plus the size agg (and sizes itself
+    // joins twice) — un-pinned this re-ran the scan+tokenize subtree 4×
+    // (r9 lint); the frame is probe-window-bounded, trivially cacheable
+    val toks = persistShared("pairStats_toks", t(s, dir, "documents")
+      .filter(col("doc_id") < 256)
+      .select(col("doc_id"), explode(array_distinct(split(lower(col("text")), " "))).as("token")))
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
     val a = toks.as("a"); val b = toks.as("b")
     val inter = a.join(b, col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
@@ -967,7 +995,7 @@ object TextOps {
            SELECT doc_id, ((doc_id % 2147483648) * 2654435761) % 8 AS shard,
              row_number() OVER (
                PARTITION BY ((doc_id % 2147483648) * 2654435761) % 8
-               ORDER BY (doc_id * 1315423911) % 1000000007, doc_id) AS pos
+               ORDER BY ((doc_id % 2147483648) * 1315423911) % 1000000007, doc_id) AS pos
            FROM documents)
          ORDER BY doc_id""",
     "url_canonicalize" ->

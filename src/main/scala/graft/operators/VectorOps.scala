@@ -34,6 +34,17 @@ import graft.functions.CosineSim.cosine_sim
   */
 object VectorOps {
 
+  /** The resident vector store: the embeddings table persisted ONCE per
+    * (JVM, dir) and shared by every ANN tier. Each query here probes the
+    * corpus several ways (index build, candidate scan, probe set, exact
+    * rerank) — un-pinned, each reference re-read the parquet (4-6 scans
+    * per query in the r9 lint). A real vector engine holds exactly this
+    * artifact in memory; at 100 TB the compressed tiers (PQ codes) play
+    * that role and this full-precision pin backs the rerank pass.
+    * Released by ArtifactCache.evictAllCaches() on teardown. */
+  private def embStore(s: SparkSession, dir: String): DataFrame =
+    persistSharedPerDir("vec_embeddings", dir, t(s, dir, "embeddings"))
+
   /** DuckDB cosine over two aliased list columns: sequential left-fold
     * double arithmetic, bit-matching the Spark HOF / CosineSim path. */
   private def cosSql(a: String, b: String): String =
@@ -126,8 +137,11 @@ object VectorOps {
   // corpus scale; collecting it is the standard broadcast-codebook shape,
   // unlike collecting data-sized frames). Memoized so vec_pq_ann and
   // vec_ivfpq_ann train once per (JVM, dir), not once per query.
-  private val cbCache = scala.collection.concurrent.TrieMap
-    .empty[String, (Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]
+  // ArtifactCache: single-flight build (a concurrent duplicate train here
+  // would leak its per-round persisted frames) + eviction; the collected
+  // rows hold no executor state, so release is a no-op beyond removal.
+  private val cbCache = new graft.ArtifactCache[
+    (Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)](_ => ())
 
   private def pqCodebook(emb: DataFrame, dir: String): DataFrame = {
     val (rows, schema) = cbCache.getOrElseUpdate(dir, {
@@ -281,7 +295,7 @@ object VectorOps {
     // sign predicate per dimension, so the packed representation is proven
     // equivalent to its definition rather than replayed.
     "vec_binary_hamming_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = embStore(s, dir)
       // shiftleft|or, not acc*2+bit: the 64th shift crosses the sign bit,
       // which is defined wrapping for bitwise ops but an ANSI-mode
       // arithmetic overflow for multiplication
@@ -298,7 +312,7 @@ object VectorOps {
     }),
 
     "vec_cosine_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = embStore(s, dir)
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       emb.crossJoin(broadcast(q))
         .withColumn("sim", round(cosine_sim(col("embedding"), col("qv")), 6))
@@ -317,7 +331,7 @@ object VectorOps {
     // through the codegen'd CosineSim over sliced/full arrays; the slice
     // happens in the scan projection.
     "vec_matryoshka_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = embStore(s, dir)
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       emb.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
@@ -339,7 +353,7 @@ object VectorOps {
     // oracle computes, and round() is away-from-zero in both engines, so
     // the whole quantize→dequantize→rank path is hash-oracled.
     "vec_sq_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = embStore(s, dir)
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
       val hofCos =
         """aggregate(zip_with(dqe, dqq, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)
@@ -361,7 +375,7 @@ object VectorOps {
     }),
 
     "vec_knn_join" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = embStore(s, dir)
       val probes = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("probe_id"), col("embedding").as("qv"))
       val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
@@ -380,7 +394,7 @@ object VectorOps {
     // non-empty pair set at sf0.01 (max pairwise sim there is ~0.44), so
     // the oracle compares real rows rather than an empty result.
     "dedup_embed_cosine" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 256)
+      val emb = embStore(s, dir).filter(col("vec_id") < 256)
       val b = emb.select(col("vec_id").as("vid2"), col("embedding").as("qv"))
       emb.crossJoin(broadcast(b))
         .filter(col("vec_id") < col("vid2"))
@@ -393,7 +407,7 @@ object VectorOps {
     // same brute-force top-k through the native codegen'd Catalyst
     // expression; k=20 to keep the result distinct from vec_cosine_topk.
     "expr_custom" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = embStore(s, dir)
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       emb.crossJoin(broadcast(q))
         .withColumn("sim", round(cosine_sim(col("embedding"), col("qv")), 6))
@@ -408,7 +422,7 @@ object VectorOps {
     // coefficients are a pure integer formula, so the DuckDB oracle
     // recomputes the identical buckets and checks the whole ANN path.
     "vec_lsh_ann" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = embStore(s, dir)
       // deterministic pseudo-random hyperplanes (fixed mixed-congruential
       // scheme — stable across runs/engines, no RNG state)
       val planes: Seq[Seq[Double]] = (0 until 8).map { j =>
@@ -449,7 +463,7 @@ object VectorOps {
     // tie-breaks), so the full two-phase construction is DuckDB-oracled.
     "vec_knn_graph" -> ((s, dir) => {
       val K = 4
-      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val emb = embStore(s, dir).select(col("vec_id"), col("embedding"))
       val b = emb.withColumn("bucket",
         graft.functions.LshBucket.lsh_bucket(col("embedding"), lshPlanes))
       val w = Window.partitionBy(col("v")).orderBy(col("sim").desc, col("n"))
@@ -487,7 +501,7 @@ object VectorOps {
     // across buckets are unseen) — the same deterministic plane formula
     // runs in the oracle, so the approximation itself is hash-verified.
     "vec_range_search" -> ((s, dir) =>
-      lshRangePairs(t(s, dir, "embeddings"))
+      lshRangePairs(embStore(s, dir))
         .orderBy(col("v1"), col("v2"))),
 
     // semantic near-dup CLUSTERING — the policy layer on top of range
@@ -500,7 +514,7 @@ object VectorOps {
     // are bounded by the EDGE-TOUCHED node set (most of any real corpus
     // is singleton and never enters the loop).
     "dedup_semantic_cluster" -> ((s, dir) => {
-      val pairs = lshRangePairs(t(s, dir, "embeddings"))
+      val pairs = lshRangePairs(embStore(s, dir))
         .select(col("v1").as("d1"), col("v2").as("d2"))
       // node domain = edge-touched endpoints, derived inside the fixpoint
       // from the pinned pair frame (the LSH subtree runs exactly once);
@@ -524,7 +538,7 @@ object VectorOps {
     // pass through an exact DECIMAL cast before the cross-subspace sum so
     // parallel partial aggregation cannot perturb the ADC ordering.
     "vec_pq_ann" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = embStore(s, dir)
       val cb = pqCodebook(emb, dir)
       val codes = pqCodes(emb, cb)
       val pd = pqAdcTable(emb, cb)
@@ -551,7 +565,7 @@ object VectorOps {
     // for the shortlist. Deterministic construction end to end → fully
     // DuckDB-oracled like every other ANN tier.
     "vec_ivfpq_ann" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = embStore(s, dir)
       val cb = pqCodebook(emb, dir)
       val codes = pqCodes(emb, cb)
       val pd = pqAdcTable(emb, cb)
@@ -591,7 +605,7 @@ object VectorOps {
     // whole path is DuckDB-oracled); probe → nearest 2 cells → exact
     // cosine inside those cells only.
     "vec_ivf_ann" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = embStore(s, dir)
       // same hash-agg shapes as vec_ivfpq_ann: min_by medoid seeds,
       // sort-slice top-2 cell assignment — no full-table sort window
       val centroids = emb.groupBy(col("label"))
