@@ -260,6 +260,49 @@ object Aggregates {
         .orderBy(col("n_regionkey"))
     }),
 
+    // Mergeable QUANTILE-sketch rollup — the percentile sibling of
+    // agg_hll_merge / agg_bitmap_distinct: per-nation PARTIAL sketches
+    // (fixed-grid histograms, 250-dollar buckets over integer cents) are
+    // built once at fine grain, then re-merged at region grain by pure
+    // addition — the raw fact is never touched again. This is the
+    // KLL/t-digest pre-aggregated-sketch-table pattern that amortizes
+    // quantile queries over a petabyte fact; the deterministic fixed-grid
+    // variant trades KLL's rank-error bound for a VALUE-error bound (one
+    // bucket width) and, unlike KLL's randomized compactors, is
+    // bit-stable — so the whole rollup carries a DuckDB oracle, not just
+    // a unit test. Quantile rule: smallest bucket whose cumulative count
+    // reaches ceil(q·n), tested in cross-multiplied INTEGER form
+    // (cum·k ≥ n·j — no float touches the rank rule); the reported
+    // estimate is that bucket's lower edge. Bucketing runs on exact
+    // cents with a +100000 offset so the integer division never sees a
+    // negative operand (Spark `div` truncates, DuckDB `//` floors — they
+    // agree only on non-negatives).
+    "agg_quantile_merge" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_regionkey"))
+      val perNation = c
+        .select(col("c_nationkey"),
+          expr("(CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000) div 25000").as("bkt"))
+        .groupBy(col("c_nationkey"), col("bkt")).agg(count(lit(1)).as("cnt"))
+      val merged = perNation
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey"), col("bkt")).agg(sum(col("cnt")).as("cnt"))
+      val wCum = Window.partitionBy(col("n_regionkey")).orderBy(col("bkt"))
+      val wAll = Window.partitionBy(col("n_regionkey"))
+      merged
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .groupBy(col("n_regionkey"))
+        .agg(max(col("n")).as("n_customers"),
+          (min(when(col("cum") * 2 >= col("n"), col("bkt"))) * 250 - 1000)
+            .cast("double").as("p50_est"),
+          (min(when(col("cum") * 10 >= col("n") * 9, col("bkt"))) * 250 - 1000)
+            .cast("double").as("p90_est"),
+          (min(when(col("cum") * 100 >= col("n") * 99, col("bkt"))) * 250 - 1000)
+            .cast("double").as("p99_est"))
+        .orderBy(col("n_regionkey"))
+    }),
+
     // third member of the sketch family (HLL = approx distinct, bitmap =
     // exact distinct, this = HEAVY HITTERS): the frequent-items sketch
     // behind approx_top_k, demonstrated through its full production
@@ -673,6 +716,26 @@ object Aggregates {
       """SELECT n_regionkey, CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "agg_quantile_merge" ->
+      """WITH p AS (
+           SELECT c_nationkey,
+                  (CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000) // 25000 AS bkt,
+                  count(1) AS cnt
+           FROM customer GROUP BY 1, 2),
+         m AS (
+           SELECT n_regionkey, bkt, CAST(sum(cnt) AS BIGINT) AS cnt
+           FROM p JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2),
+         c AS (
+           SELECT n_regionkey, bkt, cnt,
+                  CAST(sum(cnt) OVER (PARTITION BY n_regionkey ORDER BY bkt
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                  CAST(sum(cnt) OVER (PARTITION BY n_regionkey) AS BIGINT) AS n
+           FROM m)
+         SELECT n_regionkey, max(n) AS n_customers,
+                CAST(min(CASE WHEN cum * 2 >= n THEN bkt END) * 250 - 1000 AS DOUBLE) AS p50_est,
+                CAST(min(CASE WHEN cum * 10 >= n * 9 THEN bkt END) * 250 - 1000 AS DOUBLE) AS p90_est,
+                CAST(min(CASE WHEN cum * 100 >= n * 99 THEN bkt END) * 250 - 1000 AS DOUBLE) AS p99_est
+         FROM c GROUP BY 1 ORDER BY 1""",
     "agg_approx_topk" ->
       """SELECT tok AS token, count(1) AS cnt FROM (
            SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok

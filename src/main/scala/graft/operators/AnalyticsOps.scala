@@ -129,6 +129,14 @@ object AnalyticsOps {
     * loop runs with a convergence check (count of removed nodes = 0). */
   private[graft] val KcorePeelRounds = 6
 
+  /** Synchronous rounds for graph_label_prop — bounded-round semantics
+    * like KcorePeelRounds/BfsRounds so the DuckDB twin unrolls the same
+    * rounds. Four synchronous votes reach a stable partition on the
+    * fixture graph; real LPA runs to label-change convergence in O(log n)
+    * effective rounds on power-law graphs — same loop, convergence check
+    * instead of a fixed bound. */
+  private[graft] val LabelPropRounds = 4
+
   /** Frontier-expansion rounds for graph_bfs_hops — bounded-round
     * semantics like KcorePeelRounds: the operator IS the k-hop
     * reachability profile ("how much of the catalog is within
@@ -1130,6 +1138,42 @@ object AnalyticsOps {
         .orderBy(col("degree"))
     }),
 
+    // Label-propagation community detection (LabelPropRounds synchronous
+    // votes) over the co-purchase graph — the step beyond connected
+    // components: components find REACHABILITY classes, LPA finds DENSITY
+    // classes inside them (product families that co-sell heavily). Each
+    // round every node adopts its neighbors' majority label (ties →
+    // smallest label, so the vote is a deterministic hash-agg argmax, the
+    // text_langid min_by shape — no per-node sort); isolated/tied-out
+    // nodes keep their label via the left join. Per-round cost is one
+    // edge-linear join + a node-grain agg; labels stay distributed and
+    // each round is pinned by localCheckpoint exactly like pagerank's
+    // rounds. The neighbor-label join is SIZE-GATED like kcore/bfs: the
+    // label frame is node-domain-sized, so above the ceiling it shuffles
+    // instead of broadcasting. Output: the 20 largest communities under a
+    // (size desc, label) total order.
+    "graph_label_prop" -> ((s, dir) => {
+      val (und, nodes) = coPurchaseGraph(s, dir)
+      val adj = und.select(col("p1").as("src"), col("p2").as("dst"))
+        .union(und.select(col("p2").as("src"), col("p1").as("dst")))
+      val bcastLabels = nodes.count() <= PagerankBroadcastMaxNodes
+      var labels = nodes.select(col("node"), col("node").as("lbl"))
+        .localCheckpoint(true)
+      for (_ <- 1 to LabelPropRounds) {
+        val winners = adj
+          .join(if (bcastLabels) broadcast(labels) else labels,
+            col("dst") === col("node"))
+          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy(col("src"))
+          .agg(min_by(col("lbl"), struct((-col("c")).as("nc"), col("lbl"))).as("wl"))
+        labels = labels.join(winners, col("node") === col("src"), "left")
+          .select(col("node"), coalesce(col("wl"), col("lbl")).as("lbl"))
+          .localCheckpoint(true)
+      }
+      labels.groupBy(col("lbl").as("community")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("n_nodes").desc, col("community")).limit(20)
+    }),
+
     // Local-trough (V-shape) pattern detection on the daily event series:
     // days where the count fell strictly for two consecutive days and
     // then rose strictly for two — the "dip and recovery" alert shape
@@ -1508,6 +1552,26 @@ object AnalyticsOps {
         k$r AS MATERIALIZED (SELECT node FROM d$r WHERE dg >= 3),
         e$r AS MATERIALIZED (SELECT p1, p2 FROM e${r - 1}
           WHERE p1 IN (SELECT node FROM k$r) AND p2 IN (SELECT node FROM k$r))"""
+
+  /** One label-propagation round as SQL CTEs (MATERIALIZED for the same
+    * inlining-explosion reason as kcorePeelSql): v_r = per-(node,
+    * neighbor-label) vote counts off l_(r-1); w_r = each node's winning
+    * label under the (count desc, label) total order; l_r = winners,
+    * non-voters keeping their previous label. Mirrors the Spark loop's
+    * min_by argmax round for round. */
+  private def lpaRoundSql(r: Int): String =
+    s"""v$r AS MATERIALIZED (
+          SELECT a.src AS node, l.lbl, count(1) AS c
+          FROM adj a JOIN l${r - 1} l ON a.dst = l.node
+          GROUP BY 1, 2),
+        w$r AS MATERIALIZED (
+          SELECT node, lbl FROM (
+            SELECT node, lbl,
+                   row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+            FROM v$r) WHERE rn = 1),
+        l$r AS MATERIALIZED (
+          SELECT p.node, coalesce(w.lbl, p.lbl) AS lbl
+          FROM l${r - 1} p LEFT JOIN w$r w ON w.node = p.node)"""
 
   /** One BFS frontier round as SQL CTEs (MATERIALIZED for the same
     * inlining-explosion reason as kcorePeelSql): f_r = unvisited
@@ -2041,6 +2105,21 @@ object AnalyticsOps {
          SELECT seg, good, bad, round(ln(pg / pb), 6) AS woe,
                 round((pg - pb) * round(ln(pg / pb), 6), 6) AS iv_term
          FROM e ORDER BY seg""",
+    "graph_label_prop" ->
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          e0 AS MATERIALIZED (
+            SELECT a.pk AS p1, b.pk AS p2
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY p1, p2 HAVING count(1) >= 2),
+          adj AS MATERIALIZED (
+            SELECT p1 AS src, p2 AS dst FROM e0
+            UNION ALL SELECT p2, p1 FROM e0),
+          l0 AS MATERIALIZED (
+            SELECT pk AS node, pk AS lbl FROM (SELECT DISTINCT pk FROM li)),
+          ${(1 to LabelPropRounds).map(lpaRoundSql).mkString(",\n")}
+          SELECT lbl AS community, count(1) AS n_nodes
+          FROM l$LabelPropRounds
+          GROUP BY 1 ORDER BY n_nodes DESC, community LIMIT 20""",
     "graph_kcore" ->
       s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
           e0 AS MATERIALIZED (

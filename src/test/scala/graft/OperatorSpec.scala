@@ -1724,4 +1724,51 @@ class PropertySpec extends SparkSuite {
     // anomalies are rare by construction — never the majority of interior days
     assert(rows.length * 2 < dec.length)
   }
+
+  test("agg_quantile_merge: merged-sketch quantiles bracket the exact rank statistics within one bucket") {
+    val rows = q("agg_quantile_merge").collect()
+    assert(rows.length === 5) // one row per region
+    // recompute the exact per-region rank statistics from the raw tables
+    val cust = spark.read.parquet(s"$sf/customer.parquet").collect()
+      .map(r => (r.getInt(2), r.getDouble(3))) // (nationkey, acctbal)
+    val n2r = spark.read.parquet(s"$sf/nation.parquet").collect()
+      .map(r => (r.getInt(0), r.getInt(2))).toMap // nationkey -> regionkey
+    val byRegion = cust.groupBy { case (nk, _) => n2r(nk) }
+    for (r <- rows) {
+      val region = r.getInt(0)
+      val vals = byRegion(region).map(_._2).sorted
+      assert(r.getLong(1) === vals.length.toLong)
+      // rank rule: k-th smallest with k = ceil(q*n); the reported lower
+      // bucket edge must satisfy edge <= v_k < edge + 250
+      def check(q: Double, est: Double): Unit = {
+        val k = math.ceil(q * vals.length).toInt
+        val vk = vals(k - 1)
+        assert(est <= vk && vk < est + 250.0,
+          s"region $region q=$q: v_k=$vk outside [$est, ${est + 250})")
+      }
+      check(0.5, r.getDouble(2))
+      check(0.9, r.getDouble(3))
+      check(0.99, r.getDouble(4))
+      // monotone across quantiles
+      assert(r.getDouble(2) <= r.getDouble(3) && r.getDouble(3) <= r.getDouble(4))
+    }
+  }
+
+  test("graph_label_prop: communities are stable-size-ranked and conserve the node domain") {
+    val rows = q("graph_label_prop").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // size-desc total order with label tiebreak
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.sameElements(sizes.sortBy(-_)), "not size-ranked")
+    // density classes refine reachability classes: the largest LPA
+    // community can never exceed the largest connected component of the
+    // same graph (components = graph_components' n_parts top sizes)
+    val comp = q("graph_components").collect().map(_.getLong(1))
+    assert(sizes.head <= comp.max,
+      s"community ${sizes.head} larger than biggest component ${comp.max}")
+    // labels are real node ids (part keys present in the lineitem domain)
+    val parts = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_partkey").distinct().collect().map(_.getLong(0)).toSet
+    rows.foreach(r => assert(parts.contains(r.getLong(0)), s"alien label: $r"))
+  }
 }
