@@ -296,6 +296,38 @@ object Relational {
       graft.plans.AsofJoinApi.asofJoin(p, v, "user_id", "v_user", "ts", "v_ts", "view_id")
         .select(col("event_id"), col("user_id"), coalesce(col("view_id"), lit(-1L)).as("prior_view_id"))
         .orderBy(col("event_id"))
+    }),
+
+    // FORWARD mode through the native sorted-merge operator — the same
+    // linear one-pass merge as join_asof_native (candidate taken from the
+    // cursor's far side instead of the buffer), checked against
+    // join_asof_forward's oracle.
+    "join_asof_native_forward" -> ((s, dir) => {
+      val e = events(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+      graft.plans.AsofJoinApi.asofJoin(p, v, "user_id", "v_user", "ts", "v_ts", "view_id",
+          graft.plans.AsofMode.Forward)
+        .select(col("event_id"), col("user_id"), coalesce(col("view_id"), lit(-1L)).as("next_view_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // NEAREST mode through the native operator: min |Δts| either side of
+    // the cursor, distance ties backward then smallest id — the emulation
+    // ranks |Δ| over ALL candidate pairs per probe; the merge holds O(1)
+    // state (latest behind-run + the lookahead) per key instead.
+    "join_asof_native_nearest" -> ((s, dir) => {
+      val e = events(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+      graft.plans.AsofJoinApi.asofJoin(p, v, "user_id", "v_user", "ts", "v_ts", "view_id",
+          graft.plans.AsofMode.Nearest)
+        .select(col("event_id"), col("user_id"), coalesce(col("view_id"), lit(-1L)).as("nearest_view_id"))
+        .orderBy(col("event_id"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -430,6 +462,25 @@ object Relational {
            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
            LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
              ON v.user_id = p.user_id AND v.ts < p.ts)
+         WHERE rn = 1 ORDER BY event_id""",
+    "join_asof_native_forward" ->
+      """SELECT event_id, user_id, coalesce(view_id, -1) AS next_view_id FROM (
+           SELECT p.event_id, p.user_id, v.event_id AS view_id,
+                  row_number() OVER (PARTITION BY p.event_id
+                    ORDER BY v.ts ASC NULLS LAST, v.event_id ASC NULLS LAST) AS rn
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+             ON v.user_id = p.user_id AND v.ts > p.ts)
+         WHERE rn = 1 ORDER BY event_id""",
+    "join_asof_native_nearest" ->
+      """SELECT event_id, user_id, coalesce(view_id, -1) AS nearest_view_id FROM (
+           SELECT p.event_id, p.user_id, v.event_id AS view_id,
+                  row_number() OVER (PARTITION BY p.event_id
+                    ORDER BY abs(epoch_us(v.ts) - epoch_us(p.ts)) ASC NULLS LAST,
+                             v.ts ASC NULLS LAST, v.event_id ASC NULLS LAST) AS rn
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+             ON v.user_id = p.user_id)
          WHERE rn = 1 ORDER BY event_id"""
   ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
 }

@@ -11,28 +11,47 @@ import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.graftbridge.Bridge
 
+/** Match direction for the native as-of join — the three modes every real
+  * as-of API exposes, each mirroring its windowed-emulation twin:
+  *  - [[AsofMode.Backward]]: greatest right.ts strictly BEFORE left.ts,
+  *    equal-ts ties to the GREATEST tiebreak (join_asof's semantics);
+  *  - [[AsofMode.Forward]]: smallest right.ts strictly AFTER left.ts,
+  *    ties to the SMALLEST tiebreak (join_asof_forward's);
+  *  - [[AsofMode.Nearest]]: minimal |Δts| in either direction (equal ts
+  *    counts, distance 0), distance ties to the EARLIER right.ts then the
+  *    smallest tiebreak (join_asof_nearest's). Requires a ts type whose
+  *    eval values are numeric (timestamps eval to Long micros). */
+sealed trait AsofMode
+object AsofMode {
+  case object Backward extends AsofMode
+  case object Forward extends AsofMode
+  case object Nearest extends AsofMode
+}
+
 /** Native AS-OF join (SURVEY.md §2.C `join_asof`; stretch component —
   * custom LogicalPlan + Strategy + SparkPlan per the preference ladder).
   *
   * Semantics: for every left row, attach the single right row with the same
-  * key and the greatest right.ts strictly less than left.ts (ties on ts
-  * broken by greatest tiebreak value); unmatched left rows null-extend —
-  * identical to the windowed emulation in operators.Relational
-  * (`join_asof`), which the oracle checks.
+  * key selected by [[AsofMode]] (backward/forward/nearest); unmatched left
+  * rows null-extend — identical to the windowed emulations in
+  * operators.Relational (`join_asof`, `join_asof_forward`,
+  * `join_asof_nearest`), which the oracles check.
   *
-  * Scale: the windowed emulation materializes every (left, earlier-right)
-  * pair before ranking — O(pairs-per-key) after the shuffle. This operator
+  * Scale: the windowed emulations materialize every candidate pair before
+  * ranking — O(pairs-per-key) after the shuffle. This operator
   * hash-partitions both sides on the key, sorts within partitions
   * ((key, ts) / (key, ts, tie) — Spark's existing Exchange + Sort machinery
   * via requiredChildDistribution/Ordering), then streams a single forward
-  * merge per partition: O(n log n) total, O(1) state per key. At 100 TB the
+  * merge per partition: O(n log n) total, O(1) state per key — every mode
+  * rides the SAME sorted merge, the backward/forward/nearest difference is
+  * only which side of the cursor supplies the candidate. At 100 TB the
   * pair blow-up is the difference between a job that finishes and one that
   * doesn't.
   */
 case class AsofJoin(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
-    rightTie: Expression) extends BinaryNode {
+    rightTie: Expression, mode: AsofMode = AsofMode.Backward) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): AsofJoin =
@@ -41,8 +60,8 @@ case class AsofJoin(left: LogicalPlan, right: LogicalPlan,
 
 object AsofStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lts, rts, tie) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tie) :: Nil
+    case AsofJoin(l, r, lk, rk, lts, rts, tie, mode) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tie, mode) :: Nil
     case _ => Nil
   }
 }
@@ -50,7 +69,7 @@ object AsofStrategy extends SparkStrategy {
 case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
-    rightTie: Expression) extends BinaryExecNode {
+    rightTie: Expression, mode: AsofMode = AsofMode.Backward) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -76,15 +95,22 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
     val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
     val rightArity = right.output.size
 
+    val joinMode = mode
+
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       val nullRight = new GenericInternalRow(rightArity)
       val joined = new JoinedRow
-      var buffered: InternalRow = null   // latest right row for current key
+      // BACKWARD: last discardable row seen (equal-ts runs sort tie-asc, so
+      // overwrite-on-each keeps the GREATEST tie). NEAREST: FIRST row of
+      // the latest discardable equal-ts run (smallest tie).
+      var buffered: InternalRow = null
       var bufferedKey: Any = null
+      var bufferedTs: Any = null
       var lookahead: InternalRow = null
       def advanceLookahead(): Unit =
         lookahead = if (ri.hasNext) ri.next().copy() else null
       advanceLookahead()
+      def micros(ts: Any): Long = ts.asInstanceOf[Number].longValue()
 
       li.map { lRow =>
         val lk = lKey.eval(lRow)
@@ -95,7 +121,12 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
           // reach the comparators.)
           joined(lRow, nullRight)
         } else {
-          // consume right rows that are no longer ahead of this left row
+          // consume right rows that are no longer ahead of this left row:
+          // backward consumes rt < lt (buffering the latest), forward
+          // discards rt <= lt, nearest consumes rt <= lt into the
+          // first-of-run buffer. Discards are permanent — both sides
+          // ascend in (key, ts), so a row behind this left row is behind
+          // every later one too.
           var continue = true
           while (continue && lookahead != null) {
             val rk = rKey.eval(lookahead)
@@ -104,22 +135,57 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
               advanceLookahead() // null-keyed right rows match nothing
             } else {
               val ck = keyOrd.compare(rk, lk)
-              if (ck < 0) {
-                advanceLookahead() // right row for an earlier key — discard
-              } else if (ck == 0 && tsOrd.compare(rt, lt) < 0) {
-                buffered = lookahead; bufferedKey = rk
-                advanceLookahead()
-              } else {
+              val ct = if (ck == 0) tsOrd.compare(rt, lt) else 0
+              val consumable = ck < 0 || (ck == 0 && (joinMode match {
+                case AsofMode.Backward => ct < 0
+                case _ => ct <= 0
+              }))
+              if (!consumable) {
                 continue = false
+              } else {
+                if (ck == 0) joinMode match {
+                  case AsofMode.Forward => // forward never looks behind
+                  case AsofMode.Backward =>
+                    buffered = lookahead; bufferedKey = rk; bufferedTs = rt
+                  case AsofMode.Nearest =>
+                    // keep only the FIRST row of each equal-ts run
+                    if (buffered == null || keyOrd.compare(bufferedKey, rk) != 0 ||
+                        tsOrd.compare(bufferedTs, rt) != 0) {
+                      buffered = lookahead; bufferedKey = rk; bufferedTs = rt
+                    }
+                }
+                advanceLookahead()
               }
             }
           }
-          if (buffered != null && keyOrd.compare(bufferedKey, lk) == 0 &&
-              tsOrd.compare(rTs.eval(buffered), lt) < 0) {
-            joined(lRow, buffered)
-          } else {
-            joined(lRow, nullRight)
+          val back =
+            if (buffered != null && keyOrd.compare(bufferedKey, lk) == 0 &&
+                (joinMode match {
+                  case AsofMode.Backward => tsOrd.compare(bufferedTs, lt) < 0
+                  case _ => tsOrd.compare(bufferedTs, lt) <= 0
+                })) buffered
+            else null
+          val fwd =
+            if (lookahead != null && {
+                val rk = rKey.eval(lookahead)
+                rk != null && keyOrd.compare(rk, lk) == 0
+              }) lookahead
+            else null
+          val m = joinMode match {
+            case AsofMode.Backward => back
+            case AsofMode.Forward => fwd // first row with rt > lt: smallest (ts, tie)
+            case AsofMode.Nearest =>
+              if (back == null) fwd
+              else if (fwd == null) back
+              else {
+                // equal distance ties BACKWARD (the earlier right.ts) —
+                // mirrors the emulation's (dist, v_ts, id) ascending rank
+                val db = micros(lt) - micros(bufferedTs)
+                val df = micros(rTs.eval(fwd)) - micros(lt)
+                if (db <= df) back else fwd
+              }
           }
+          if (m != null) joined(lRow, m) else joined(lRow, nullRight)
         }
       }
     }
@@ -139,11 +205,12 @@ object AsofJoinApi {
       exp.extraStrategies = exp.extraStrategies :+ AsofStrategy
   }
 
-  /** leftTs/rightTs strictly-before semantics, latest-wins; rightTie breaks
-    * equal-ts ties (greatest wins). Column names resolved on each side. */
+  /** Column names resolved on each side; `mode` picks the match direction
+    * (default backward: strictly-before, latest-wins, greatest-tie). */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTs: String, rightTs: String, rightTie: String): DataFrame = {
+      leftTs: String, rightTs: String, rightTie: String,
+      mode: AsofMode = AsofMode.Backward): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
     val lp = Bridge.analyzed(left)
@@ -161,7 +228,7 @@ object AsofJoinApi {
             s"${b.name} is ${b.dataType.sql} — cast one side first")
     sameType("key", lk, rk)
     sameType("timestamp", lt, rt)
-    Bridge.ofRows(spark, AsofJoin(lp, rp, lk, rk, lt, rt, attr(rp, rightTie)))
+    Bridge.ofRows(spark, AsofJoin(lp, rp, lk, rk, lt, rt, attr(rp, rightTie), mode))
   }
 }
 

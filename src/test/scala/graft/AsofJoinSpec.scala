@@ -22,4 +22,25 @@ class AsofJoinSpec extends SparkSuite {
     val n = q("join_asof_native").filter(col("prior_view_id") === -1).count()
     assert(n > 0, "expected some purchases with no prior view at sf0.001")
   }
+
+  test("native FORWARD mode == join_asof_forward emulation, row for row") {
+    val native = q("join_asof_native_forward").collect().map(_.toSeq).toSeq
+    val emulated = q("join_asof_forward").collect().map(_.toSeq).toSeq
+    assert(native === emulated)
+  }
+
+  test("native NEAREST mode == join_asof_nearest emulation, row for row") {
+    val native = q("join_asof_native_nearest").collect().map(_.toSeq).toSeq
+    val emulated = q("join_asof_nearest").collect().map(_.toSeq).toSeq
+    assert(native === emulated)
+  }
+
+  test("forward/nearest modes still plan the sorted-merge exec, not a pair join") {
+    for (name <- Seq("join_asof_native_forward", "join_asof_native_nearest")) {
+      val plan = q(name).queryExecution.executedPlan.toString
+      assert(plan.contains("AsofJoin"), s"$name: ${plan.take(2000)}")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: ${plan.take(2000)}")
+    }
+  }
 }
