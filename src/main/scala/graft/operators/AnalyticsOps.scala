@@ -1402,6 +1402,53 @@ object AnalyticsOps {
       res
     }),
 
+    // Two-sample Kolmogorov–Smirnov test (BUILDING vs MACHINERY account
+    // balances) — the distribution-DRIFT screen every data pipeline runs
+    // between snapshots/segments: D = max |ECDF₁ − ECDF₂| over the pooled
+    // value grid. Kept INTEGER end to end: |F₁−F₂| compares as the
+    // cross-multiplied |cum1·n2 − cum2·n1| (no float ever enters the
+    // max), one double division + sqrt at the end (IEEE-exact, same in
+    // both engines). The cumulative counts use corpus_token_budget's
+    // TWO-LEVEL prefix sum — values bucket by the fixed cents grid
+    // (~44 buckets), bucket offsets come from a bucket-grain window, the
+    // per-value running sum partitions BY bucket — because the pooled
+    // value grid is fact-cardinality and a flat ORDER BY v window would
+    // be the classic single-partition scale-killer. The DuckDB twin runs
+    // the same math as flat windows. (At n ~ 10¹² the int64 cross
+    // products need DECIMAL(38) — the fixture stays < 2⁶³ by 10 orders.)
+    // Reports the statistic, not a p-value — the README:136-140 rule.
+    "stat_ks_test" -> ((s, dir) => {
+      val g = persistShared("stat_ks_g", t(s, dir, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(col("c_mktsegment").as("seg"), col("c_acctbal").as("v"),
+          expr("(CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000) div 25000").as("bkt"))
+        .groupBy(col("bkt"), col("v"))
+        .agg(count(when(col("seg") === "BUILDING", 1)).as("c1"),
+          count(when(col("seg") === "MACHINERY", 1)).as("c2")))
+      val wB = Window.orderBy(col("bkt"))
+      val off = g.groupBy(col("bkt")).agg(sum(col("c1")).as("b1"), sum(col("c2")).as("b2"))
+        .withColumn("o1", coalesce(sum(col("b1")).over(
+          wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("o2", coalesce(sum(col("b2")).over(
+          wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n1", sum(col("b1")).over(
+          wB.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("n2", sum(col("b2")).over(
+          wB.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("bkt"), col("o1"), col("o2"), col("n1"), col("n2"))
+      val wV = Window.partitionBy(col("bkt")).orderBy(col("v"))
+      val d = col("dnum").cast("double") / (col("n1").cast("double") * col("n2"))
+      g.join(broadcast(off), Seq("bkt"))
+        .withColumn("cum1", col("o1") + sum(col("c1")).over(wV))
+        .withColumn("cum2", col("o2") + sum(col("c2")).over(wV))
+        .withColumn("dn", abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"), max(col("dn")).as("dnum"))
+        .select(col("n1"), col("n2"),
+          round(d, 6).as("d_stat"),
+          round(sqrt(col("n1").cast("double") * col("n2") / (col("n1") + col("n2"))) * d, 6)
+            .as("ks_stat"))
+    }),
+
     // Spearman rank correlation of quantity vs price per returnflag —
     // the monotone-association measure that survives outliers and
     // nonlinearity where Pearson (agg_corr_matrix) assumes linearity.
@@ -2223,6 +2270,28 @@ object AnalyticsOps {
           ${(1 to BfsRounds).map(bfsRoundSql).mkString(",\n")}
           SELECT dist, count(1) AS n_nodes FROM v$BfsRounds
           GROUP BY 1 ORDER BY 1""",
+    "stat_ks_test" ->
+      """WITH base AS (
+           SELECT c_mktsegment AS seg, c_acctbal AS v FROM customer
+           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+         g AS (
+           SELECT v,
+                  count(CASE WHEN seg = 'BUILDING' THEN 1 END) AS c1,
+                  count(CASE WHEN seg = 'MACHINERY' THEN 1 END) AS c2
+           FROM base GROUP BY v),
+         c AS (
+           SELECT CAST(sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+                  CAST(sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2,
+                  CAST(sum(c1) OVER () AS BIGINT) AS n1,
+                  CAST(sum(c2) OVER () AS BIGINT) AS n2
+           FROM g),
+         m AS (SELECT max(n1) AS n1, max(n2) AS n2,
+                      max(abs(cum1 * n2 - cum2 * n1)) AS dnum FROM c)
+         SELECT n1, n2,
+                round(CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) AS d_stat,
+                round(sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)) *
+                      (CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)), 6) AS ks_stat
+         FROM m""",
     "stat_spearman" ->
       """WITH r AS (
            SELECT l_returnflag AS rf,

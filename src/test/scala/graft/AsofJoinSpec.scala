@@ -43,4 +43,32 @@ class AsofJoinSpec extends SparkSuite {
         s"$name: ${plan.take(2000)}")
     }
   }
+
+  test("mode tie-breaks on synthetic edges: equal ts runs, distance ties, equal-ts match") {
+    import spark.implicits._
+    import graft.plans.{AsofJoinApi, AsofMode}
+    // left probes at t=10 (key 1) and t=50 (key 2, no right rows)
+    val left = Seq((1L, 10L, 100L), (2L, 50L, 200L)).toDF("k", "t", "lid")
+    // key 1 right rows: behind run at t=8 (ties 3,7), ahead run at t=12
+    // (ties 2,5) — equal |Δ|=2 both sides; plus an equal-ts row at t=10
+    // for the nearest dist-0 case (tie 9)
+    val right = Seq(
+      (1L, 8L, 3L), (1L, 8L, 7L), (1L, 12L, 2L), (1L, 12L, 5L), (1L, 10L, 9L)
+    ).toDF("rk", "rt", "tie")
+    def run(mode: AsofMode, excludeEq: Boolean = false) = {
+      val r = if (excludeEq) right.filter(col("rt") =!= 10L) else right
+      AsofJoinApi.asofJoin(left, r, "k", "rk", "t", "rt", "tie", mode)
+        .select(col("lid"), col("tie")).collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    }
+    // backward: greatest ts strictly before (8), greatest tie in the run (7)
+    assert(run(AsofMode.Backward) === Map(100L -> 7L, 200L -> -1L))
+    // forward: smallest ts strictly after (12), smallest tie (2)
+    assert(run(AsofMode.Forward) === Map(100L -> 2L, 200L -> -1L))
+    // nearest with an equal-ts row: distance 0 wins (tie 9)
+    assert(run(AsofMode.Nearest) === Map(100L -> 9L, 200L -> -1L))
+    // nearest without it: |Δ|=2 both directions — backward wins, and
+    // within the run the SMALLEST tie (3), unlike backward mode's 7
+    assert(run(AsofMode.Nearest, excludeEq = true) === Map(100L -> 3L, 200L -> -1L))
+  }
 }

@@ -1754,6 +1754,23 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("stat_ks_test: matches a brute-force ECDF-gap recomputation") {
+    val r = q("stat_ks_test").collect().head
+    val cust = spark.read.parquet(s"$sf/customer.parquet").collect()
+      .map(x => (x.getString(4), x.getDouble(3))) // (mktsegment, acctbal)
+    val a = cust.filter(_._1 == "BUILDING").map(_._2).sorted
+    val b = cust.filter(_._1 == "MACHINERY").map(_._2).sorted
+    assert(r.getLong(0) === a.length.toLong && r.getLong(1) === b.length.toLong)
+    val grid = (a ++ b).distinct.sorted
+    val dnum = grid.map { x =>
+      math.abs(a.count(_ <= x).toLong * b.length - b.count(_ <= x).toLong * a.length)
+    }.max
+    val d = dnum.toDouble / (a.length.toDouble * b.length)
+    assert(math.abs(r.getDouble(2) - d) < 1e-6, s"D ${r.getDouble(2)} vs brute $d")
+    val ks = math.sqrt(a.length.toDouble * b.length / (a.length + b.length)) * d
+    assert(math.abs(r.getDouble(3) - ks) < 1e-6)
+  }
+
   test("graph_label_prop: communities are stable-size-ranked and conserve the node domain") {
     val rows = q("graph_label_prop").collect()
     assert(rows.nonEmpty && rows.length <= 20)
