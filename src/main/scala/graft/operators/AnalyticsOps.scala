@@ -1449,6 +1449,273 @@ object AnalyticsOps {
             .as("ks_stat"))
     }),
 
+    // Degree assortativity of the co-purchase graph — "do hubs link to
+    // hubs?" (Newman 2002): Pearson correlation of the endpoint degrees
+    // over the DIRECTED edge list (both orientations), the standard
+    // undirected formulation. Rides the shared graph artifact: the
+    // pair-build runs once per process, this query adds one node-bounded
+    // degree agg + two dimension-joins + one moment agg. By symmetry
+    // Sy = Sx and Syy = Sxx exactly, so only three moments are summed;
+    // they stay INTEGER through DECIMAL(19,0)·DECIMAL(19,0) products
+    // (degree ≤ ~10⁵, squares ≤ 10¹⁰, times 10⁹ edges ≈ 10¹⁹ — past
+    // int64, inside decimal 38) and the r algebra is double on the
+    // 1-row frame. At 100 TB: edges-sized joins against a node-sized
+    // degree dim — no new fact pass.
+    "graph_assortativity" -> ((s, dir) => {
+      val d0 = (c: Column) => c.cast(DecimalType(19, 0))
+      val und = coPurchaseGraph(s, dir)._1.select(col("p1"), col("p2"))
+      val adj = und.select(col("p1").as("src"), col("p2").as("dst"))
+        .unionAll(und.select(col("p2").as("src"), col("p1").as("dst")))
+      val deg = adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("dg"))
+      val m = adj
+        .join(deg.select(col("node").as("src"), col("dg").as("dx")), "src")
+        .join(deg.select(col("node").as("dst"), col("dg").as("dy")), "dst")
+        .agg(count(lit(1)).as("m"),
+          sum(d0(col("dx"))).as("dsx"),
+          sum(d0(col("dx")) * d0(col("dx"))).as("dsxx"),
+          sum(d0(col("dx")) * d0(col("dy"))).as("dsxy"))
+        .select(col("m"),
+          col("dsx").cast("double").as("sx"),
+          col("dsxx").cast("double").as("sxx"),
+          col("dsxy").cast("double").as("sxy"))
+      m.select((col("m") / 2).cast("long").as("n_edges"),
+        round((col("m") * col("sxy") - col("sx") * col("sx")) /
+          (col("m") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("assortativity"))
+    }),
+
+    // ROC AUC per priority class — the binary-classifier eval every
+    // model-quality gate runs: does totalprice rank-separate finished
+    // (status F) orders from the rest? AUC computed exactly via its
+    // rank-sum identity (AUC = (R₁ − n₁(n₁+1)/2)/(n₁n₂), equivalent to
+    // the Mann–Whitney U statistic), with stat_spearman's tie-exact
+    // integer ranks: rank2 = 2·minrank + t − 1 is twice the average
+    // rank, so AUC = (Σ⁺rank2 − n₁(n₁+1))/(2n₁n₂). One sort per group —
+    // the honest cost of exact ranking (a 100 TB variant would bin
+    // scores first; this is the exact reference the binned one is
+    // checked against). Rank2 sums ride DECIMAL(19,0) (n² overflows
+    // int64 past n ≈ 3·10⁹); the AUC algebra is double on the 5-row
+    // frame.
+    "stat_auc_roc" -> ((s, dir) => {
+      val d0 = (c: Column) => c.cast(DecimalType(19, 0))
+      val o = t(s, dir, "orders").select(col("o_orderpriority").as("grp"),
+        when(col("o_orderstatus") === "F", 1).otherwise(0).as("pos"),
+        col("o_totalprice").as("score"))
+      val r = o.withColumn("rank2",
+        lit(2L) * rank().over(Window.partitionBy(col("grp")).orderBy(col("score"))) +
+          count(lit(1)).over(Window.partitionBy(col("grp"), col("score"))) - 1)
+      val m = r.groupBy(col("grp")).agg(
+          count(when(col("pos") === 1, 1)).as("n_pos"),
+          count(when(col("pos") === 0, 1)).as("n_neg"),
+          sum(when(col("pos") === 1, d0(col("rank2")))
+            .otherwise(d0(lit(0)))).as("r12d"))
+        .select(col("grp"), col("n_pos"), col("n_neg"),
+          col("r12d").cast("double").as("r12"))
+      m.select(col("grp"), col("n_pos"), col("n_neg"),
+          round((col("r12") - col("n_pos").cast("double") * (col("n_pos") + 1)) /
+            (lit(2.0) * col("n_pos").cast("double") * col("n_neg")), 6).as("auc"))
+        .orderBy(col("grp"))
+    }),
+
+    // Population Stability Index of each market segment's balance
+    // distribution against the BUILDING reference — THE drift monitor
+    // between scoring snapshots (PSI < 0.1 stable / > 0.25 shifted).
+    // Fixed 10-bin cents grid (ks_test's bucketing, so bins mean the
+    // same thing at every corpus scale), FULL segment × bin domain via
+    // cross join + LEFT join with counts coalesced to 0 (stat_chi2's
+    // empty-cell discipline), add-one smoothing so empty bins contribute
+    // finite mass instead of ±∞. Counts stay INTEGER to the per-bin
+    // term; the single float expression (p−q)·ln(p/q) has identical
+    // shape on both engines over exact integer inputs, is 6-dp-gridded,
+    // and the per-segment total is a DECIMAL sum of gridded terms
+    // (order-independent). ln() is libm — same accepted caveat as
+    // anom_mad (README:136-140). Scale: one fact-sized agg to the
+    // (seg, bin) grain; everything after is a ≤50-row frame.
+    "stat_psi" -> ((s, dir) => {
+      val cnt = persistShared("stat_psi_cnt", t(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"),
+          expr("(CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000) div 110000")
+            .as("bkt"))
+        .groupBy(col("seg"), col("bkt")).agg(count(lit(1)).as("cnt")))
+      val bins = s.range(0, 10).select(col("id").as("bkt"))
+      val ref = bins
+        .join(cnt.filter(col("seg") === "BUILDING").select(col("bkt"), col("cnt")),
+          Seq("bkt"), "left")
+        .select(col("bkt"), coalesce(col("cnt"), lit(0L)).as("rc"))
+      val rt = cnt.filter(col("seg") === "BUILDING")
+        .agg(sum(col("cnt")).as("rt"))
+      val grid = cnt.filter(col("seg") =!= "BUILDING")
+        .select(col("seg")).distinct().crossJoin(bins)
+      val cur = grid.join(cnt.filter(col("seg") =!= "BUILDING"),
+          Seq("seg", "bkt"), "left")
+        .select(col("seg"), col("bkt"), coalesce(col("cnt"), lit(0L)).as("cc"))
+      val tot = cnt.filter(col("seg") =!= "BUILDING")
+        .groupBy(col("seg")).agg(sum(col("cnt")).as("tc"))
+      val p = (col("cc") + 1).cast("double") / (col("tc") + 10)
+      val q = (col("rc") + 1).cast("double") / (col("rt") + 10)
+      cur.join(broadcast(tot), Seq("seg"))
+        .join(broadcast(ref), Seq("bkt"))
+        .crossJoin(broadcast(rt))
+        .withColumn("term", round((p - q) * log(p / q), 6))
+        .groupBy(col("seg"))
+        .agg(max(col("tc")).as("n_cur"), max(col("rt")).as("n_ref"),
+          round(sum(dec(col("term"))).cast("double"), 6).as("psi"))
+        .orderBy(col("seg"))
+    }),
+
+    // Bollinger bands over daily event volume — the rolling-volatility
+    // envelope ops dashboards draw around every metric: 7-day mean ±
+    // 2σ, full windows only. The window moments (n, Σx, Σx²) are
+    // integer sums ridden through DECIMAL(19,0) (squares of 10⁹-count
+    // days overflow int64); mean/band render as doubles (sqrt is
+    // IEEE-correctly-rounded, same bits both engines) and the BREACH
+    // flags never touch a float at all: x > mean + 2σ is decided as
+    // (n·x − Σx) > 0 ∧ (n·x − Σx)²·(n−1) > 4·n·(n·Σx² − Σx²ᵗᵒᵗ) — the
+    // squared inequality in exact decimal, so flag membership cannot
+    // flip on a ulp. Day-grain input, partitioned by series: bounded by
+    // the calendar at any corpus size.
+    "ts_bollinger" -> ((s, dir) => {
+      val d0 = (c: Column) => c.cast(DecimalType(19, 0))
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val w7 = w.rowsBetween(-6, 0)
+      val b = daily
+        .withColumn("rn", row_number().over(w))
+        .withColumn("sx", sum(d0(col("c"))).over(w7))
+        .withColumn("sxx", sum(d0(col("c")) * d0(col("c"))).over(w7))
+        .filter(col("rn") >= 7)
+      val dev = lit(7) * d0(col("c")) - col("sx")
+      val varNum = lit(7) * col("sxx") - col("sx") * col("sx")
+      val mean = col("sx").cast("double") / 7
+      val sd = sqrt(varNum.cast("double") / (7 * 6))
+      b.select(col("event_type"), col("day"), col("c"),
+          round(mean, 6).as("mean7"),
+          round(mean - sd * 2, 6).as("lower"),
+          round(mean + sd * 2, 6).as("upper"),
+          when(dev > 0 && dev * dev * lit(6) > lit(28) * varNum, 1)
+            .otherwise(0).as("breach_hi"),
+          when(dev < 0 && dev * dev * lit(6) > lit(28) * varNum, 1)
+            .otherwise(0).as("breach_lo"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Mann–Kendall trend test per event series — the nonparametric "is
+    // this metric actually drifting or just noisy" screen (the Kendall
+    // sibling of ts_changepoint's "where did it shift"). S = Σ_{i<j}
+    // sign(c_j − c_i) over DAY pairs — the theta self-join is bounded by
+    // the CALENDAR squared (10 years ≈ 6.7M pairs per series), never by
+    // corpus size, so the quadratic pair count that makes generic
+    // Kendall intractable at scale is harmless here. S, the tie
+    // correction Σt(t−1)(2t+5) and 18·Var(S) = n(n−1)(2n+5) − ties all
+    // stay INTEGER; the z-score (±1 continuity correction) is one
+    // double sqrt at the end, and the trend CALL compares the
+    // 6-dp-gridded z against ±1.959964 so the label can never flip on a
+    // ulp.
+    "ts_trend_mannkendall" -> ((s, dir) => {
+      val daily = persistShared("ts_mk_daily", events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c")))
+      val pairs = daily.as("a").join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
+        .groupBy(col("a.event_type").as("event_type"))
+        .agg(sum(signum(col("b.c") - col("a.c")).cast("long")).as("s_stat"))
+      val nd = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+      val ties = daily.groupBy(col("event_type"), col("c"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tie_term"))
+      val var18 = (col("n_days") * (col("n_days") - 1) * (col("n_days") * 2 + 5)
+        - col("tie_term")).cast("double")
+      val z = when(col("s_stat") > 0,
+          (col("s_stat") - 1).cast("double") / sqrt(var18 / 18))
+        .when(col("s_stat") < 0,
+          (col("s_stat") + 1).cast("double") / sqrt(var18 / 18))
+        .otherwise(lit(0.0))
+      pairs.join(nd, Seq("event_type")).join(ties, Seq("event_type"))
+        .withColumn("z", round(z, 6))
+        .select(col("event_type"), col("n_days"), col("s_stat"), col("z"),
+          when(col("z") > 1.959964, "increasing")
+            .when(col("z") < -1.959964, "decreasing")
+            .otherwise("no trend").as("trend"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Poisson-bootstrap confidence interval for the mean balance — THE
+    // cluster-scale bootstrap (resampling-with-replacement needs global
+    // coordination; giving every row an independent Poisson(1)
+    // multiplicity per replicate does not, and is the standard
+    // large-scale substitute). Replicate weights are RNG-FREE: the
+    // (custkey, replicate) Knuth hash lands on the 2³¹ grid and the
+    // weight is read off pre-computed integer CDF thresholds
+    // ⌊F_Poisson(k)·2³¹⌋ = 790015084 / 1580030168 / 1975037710
+    // (tail truncated at 3) — pure integer compares, bit-identical on
+    // both engines and replayable forever. Per-replicate means are
+    // decimal-exact weighted sums; the 95% CI is EXACT ORDER STATISTICS
+    // over the 64 replicate means (ranks 2 and 63 — no interpolated
+    // percentile, no engine divergence). Scale: the 64× row expansion
+    // collapses in map-side partial aggregation to 64 rows per
+    // partition before the shuffle; the ranking window sees 64 rows.
+    "stat_bootstrap_ci" -> ((s, dir) => {
+      val base = persistShared("bootstrap_base",
+        t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal")))
+      val u = pmod((col("c_custkey") % lit(2147483648L)) * lit(2654435761L) +
+        col("b") * lit(1315423911L), lit(2147483648L))
+      val w = when(u < 790015084L, 0L).when(u < 1580030168L, 1L)
+        .when(u < 1975037710L, 2L).otherwise(3L)
+      val reps = persistShared("bootstrap_reps", base
+        .select(col("c_custkey"), col("c_acctbal"),
+          explode(sequence(lit(0L), lit(63L))).as("b"))
+        .withColumn("w", w)
+        .groupBy(col("b"))
+        .agg(sum(col("w")).as("nw"),
+          sum(dec(col("c_acctbal")) * col("w")).as("sv"))
+        .select(col("b"),
+          round(col("sv").cast("double") / col("nw"), 6).as("mb")))
+      val ranked = reps.withColumn("rk",
+        row_number().over(Window.orderBy(col("mb"), col("b"))))
+      val full = base.agg(davg(col("c_acctbal")).as("mean_full"))
+      full
+        .crossJoin(ranked.filter(col("rk") === 2).select(col("mb").as("ci_lo")))
+        .crossJoin(ranked.filter(col("rk") === 63).select(col("mb").as("ci_hi")))
+        .select(lit(64).as("n_replicates"), col("mean_full"),
+          col("ci_lo"), col("ci_hi"))
+    }),
+
+    // Grubbs' test per nation — "is the most extreme supplier balance a
+    // statistical outlier, and which row is it": G = max|x−x̄|/s. The
+    // ARGMAX is decided without ever computing a float: |n·x − Σx| on
+    // the integer cents grid (DECIMAL products) is a monotone image of
+    // |x−x̄|, so the flagged row (devn desc, suppkey tiebreak) is
+    // engine-deterministic by construction; G itself is one double
+    // division + IEEE sqrt on the moment frame. anom_zscore flags
+    // everything past a fixed fence — Grubbs names the single worst
+    // offender with its test statistic. Dim-sized input; the same plan
+    // on a fact table is one agg + one broadcast-moment join + one
+    // per-group window.
+    "stat_grubbs" -> ((s, dir) => {
+      val d0 = (c: Column) => c.cast(DecimalType(19, 0))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nk"),
+        col("s_suppkey").as("sk"), col("s_acctbal").as("bal"),
+        expr("CAST(round(s_acctbal * 100, 0) AS BIGINT)").as("cents"))
+      val m = sup.groupBy(col("nk")).agg(count(lit(1)).as("n"),
+          sum(d0(col("cents"))).as("sx"),
+          sum(d0(col("cents")) * d0(col("cents"))).as("sxx"))
+        .filter(col("n") >= 3)
+      val j = sup.join(broadcast(m), Seq("nk"))
+        .withColumn("devn", abs(d0(col("cents")) * col("n") - col("sx")))
+      val w = Window.partitionBy(col("nk")).orderBy(col("devn").desc, col("sk"))
+      j.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("nk"), col("n"), col("sk").as("outlier_suppkey"),
+          round(col("bal"), 6).as("outlier_bal"),
+          round(col("devn").cast("double") /
+            (col("n") * sqrt((col("n") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) /
+              (col("n") * (col("n") - 1)))), 6).as("g_stat"))
+        .orderBy(col("nk"))
+    }),
+
     // Spearman rank correlation of quantity vs price per returnflag —
     // the monotone-association measure that survives outliers and
     // nonlinearity where Pearson (agg_corr_matrix) assumes linearity.
@@ -2292,6 +2559,184 @@ object AnalyticsOps {
                 round(sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)) *
                       (CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)), 6) AS ks_stat
          FROM m""",
+    "graph_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         und AS (
+           SELECT a.pk AS p1, b.pk AS p2
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY p1, p2 HAVING count(1) >= 2),
+         adj AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM und
+                UNION ALL SELECT p2, p1 FROM und),
+         deg AS (SELECT src AS node, count(1) AS dg FROM adj GROUP BY 1),
+         j AS (
+           SELECT CAST(d1.dg AS DECIMAL(19,0)) AS dx,
+                  CAST(d2.dg AS DECIMAL(19,0)) AS dy
+           FROM adj JOIN deg d1 ON adj.src = d1.node
+                    JOIN deg d2 ON adj.dst = d2.node),
+         m AS (SELECT count(1) AS m,
+                      CAST(sum(dx) AS DOUBLE) AS sx,
+                      CAST(sum(dx * dx) AS DOUBLE) AS sxx,
+                      CAST(sum(dx * dy) AS DOUBLE) AS sxy
+               FROM j)
+         SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+                round((m * sxy - sx * sx) / (m * sxx - sx * sx), 6) AS assortativity
+         FROM m""",
+    "stat_auc_roc" ->
+      """WITH r AS (
+           SELECT o_orderpriority AS grp,
+                  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
+                  2 * rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+                    + count(1) OVER (PARTITION BY o_orderpriority, o_totalprice) - 1 AS rank2
+           FROM orders),
+         m AS (
+           SELECT grp,
+                  CAST(count(CASE WHEN pos = 1 THEN 1 END) AS BIGINT) AS n_pos,
+                  CAST(count(CASE WHEN pos = 0 THEN 1 END) AS BIGINT) AS n_neg,
+                  CAST(sum(CASE WHEN pos = 1 THEN CAST(rank2 AS DECIMAL(19,0))
+                                ELSE CAST(0 AS DECIMAL(19,0)) END) AS DOUBLE) AS r12
+           FROM r GROUP BY 1)
+         SELECT grp, n_pos, n_neg,
+                round((r12 - CAST(n_pos AS DOUBLE) * (n_pos + 1)) /
+                      (2.0 * CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
+         FROM m ORDER BY grp""",
+    "stat_psi" ->
+      """WITH cnt AS MATERIALIZED (
+           SELECT c_mktsegment AS seg,
+                  (CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000) // 110000 AS bkt,
+                  count(1) AS cnt
+           FROM customer GROUP BY 1, 2),
+         bins AS (SELECT CAST(range AS BIGINT) AS bkt FROM range(10)),
+         ref AS (
+           SELECT b.bkt, coalesce(c.cnt, 0) AS rc
+           FROM bins b LEFT JOIN (SELECT bkt, cnt FROM cnt WHERE seg = 'BUILDING') c
+             USING (bkt)),
+         rt AS (SELECT CAST(sum(cnt) AS BIGINT) AS rt FROM cnt WHERE seg = 'BUILDING'),
+         grid AS (
+           SELECT s.seg, b.bkt
+           FROM (SELECT DISTINCT seg FROM cnt WHERE seg <> 'BUILDING') s
+           CROSS JOIN bins b),
+         cur AS (
+           SELECT g.seg, g.bkt, coalesce(c.cnt, 0) AS cc
+           FROM grid g LEFT JOIN (SELECT * FROM cnt WHERE seg <> 'BUILDING') c
+             ON g.seg = c.seg AND g.bkt = c.bkt),
+         tot AS (SELECT seg, CAST(sum(cnt) AS BIGINT) AS tc
+                 FROM cnt WHERE seg <> 'BUILDING' GROUP BY 1),
+         terms AS (
+           SELECT cur.seg, tc, rt,
+                  round((CAST(cc + 1 AS DOUBLE) / (tc + 10)
+                         - CAST(rc + 1 AS DOUBLE) / (rt + 10)) *
+                        ln((CAST(cc + 1 AS DOUBLE) / (tc + 10)) /
+                           (CAST(rc + 1 AS DOUBLE) / (rt + 10))), 6) AS term
+           FROM cur JOIN tot USING (seg) JOIN ref USING (bkt) CROSS JOIN rt)
+         SELECT seg, max(tc) AS n_cur, max(rt) AS n_ref,
+                round(CAST(sum(CAST(term AS DECIMAL(18,6))) AS DOUBLE), 6) AS psi
+         FROM terms GROUP BY 1 ORDER BY 1""",
+    "ts_bollinger" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, day, c,
+                  row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+                  sum(CAST(c AS DECIMAL(19,0))) OVER
+                    (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS sx,
+                  sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) OVER
+                    (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS sxx
+           FROM daily),
+         b AS (
+           SELECT *, 7 * CAST(c AS DECIMAL(19,0)) - sx AS dev,
+                  7 * sxx - sx * sx AS vn
+           FROM w WHERE rn >= 7)
+         SELECT event_type, day, c,
+                round(CAST(sx AS DOUBLE) / 7, 6) AS mean7,
+                round(CAST(sx AS DOUBLE) / 7 - 2 * sqrt(CAST(vn AS DOUBLE) / (7 * 6)), 6) AS lower,
+                round(CAST(sx AS DOUBLE) / 7 + 2 * sqrt(CAST(vn AS DOUBLE) / (7 * 6)), 6) AS upper,
+                CASE WHEN dev > 0 AND dev * dev * 6 > 28 * vn THEN 1 ELSE 0 END AS breach_hi,
+                CASE WHEN dev < 0 AND dev * dev * 6 > 28 * vn THEN 1 ELSE 0 END AS breach_lo
+         FROM b ORDER BY event_type, day""",
+    "ts_trend_mannkendall" ->
+      """WITH daily AS MATERIALIZED (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         pairs AS (
+           SELECT a.event_type,
+                  CAST(sum(CASE WHEN b.c > a.c THEN 1
+                                WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+           FROM daily a JOIN daily b
+             ON a.event_type = b.event_type AND a.day < b.day
+           GROUP BY 1),
+         nd AS (SELECT event_type, count(1) AS n_days FROM daily GROUP BY 1),
+         ties AS (
+           SELECT event_type,
+                  CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+           FROM (SELECT event_type, c, count(1) AS t FROM daily GROUP BY 1, 2) g
+           GROUP BY 1),
+         m AS (
+           SELECT p.event_type, n_days, s_stat,
+                  CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS DOUBLE) AS var18
+           FROM pairs p JOIN nd USING (event_type) JOIN ties USING (event_type)),
+         zz AS (
+           SELECT event_type, n_days, s_stat,
+                  round(CASE WHEN s_stat > 0
+                               THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var18 / 18)
+                             WHEN s_stat < 0
+                               THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var18 / 18)
+                             ELSE 0.0 END, 6) AS z
+           FROM m)
+         SELECT event_type, n_days, s_stat, z,
+                CASE WHEN z > 1.959964 THEN 'increasing'
+                     WHEN z < -1.959964 THEN 'decreasing'
+                     ELSE 'no trend' END AS trend
+         FROM zz ORDER BY event_type""",
+    "stat_bootstrap_ci" ->
+      """WITH c AS MATERIALIZED (SELECT c_custkey, c_acctbal FROM customer),
+         rep AS (
+           SELECT c_custkey, c_acctbal, CAST(b.range AS BIGINT) AS b
+           FROM c CROSS JOIN range(64) b),
+         wgt AS (
+           SELECT b, c_acctbal,
+                  CASE WHEN u < 790015084 THEN 0
+                       WHEN u < 1580030168 THEN 1
+                       WHEN u < 1975037710 THEN 2 ELSE 3 END AS w
+           FROM (SELECT b, c_acctbal,
+                        ((c_custkey % 2147483648) * 2654435761
+                         + b * 1315423911) % 2147483648 AS u
+                 FROM rep) t),
+         reps AS (
+           SELECT b, round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)) * w) AS DOUBLE)
+                           / CAST(sum(w) AS DOUBLE), 6) AS mb
+           FROM wgt GROUP BY 1),
+         ranked AS (SELECT mb, row_number() OVER (ORDER BY mb, b) AS rk FROM reps),
+         f AS (SELECT round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                            / count(1), 6) AS mean_full FROM c)
+         SELECT 64 AS n_replicates, mean_full,
+                (SELECT mb FROM ranked WHERE rk = 2) AS ci_lo,
+                (SELECT mb FROM ranked WHERE rk = 63) AS ci_hi
+         FROM f""",
+    "stat_grubbs" ->
+      """WITH sup AS (
+           SELECT s_nationkey AS nk, s_suppkey AS sk, s_acctbal AS bal,
+                  CAST(round(s_acctbal * 100, 0) AS BIGINT) AS cents
+           FROM supplier),
+         m AS (
+           SELECT nk, count(1) AS n,
+                  sum(CAST(cents AS DECIMAL(19,0))) AS sx,
+                  sum(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))) AS sxx
+           FROM sup GROUP BY 1 HAVING count(1) >= 3),
+         j AS (
+           SELECT nk, n, sk, bal,
+                  abs(CAST(cents AS DECIMAL(19,0)) * n - sx) AS devn, sx, sxx,
+                  row_number() OVER (PARTITION BY nk
+                    ORDER BY abs(CAST(cents AS DECIMAL(19,0)) * n - sx) DESC, sk) AS rk
+           FROM sup JOIN m USING (nk))
+         SELECT nk, n, sk AS outlier_suppkey, round(bal, 6) AS outlier_bal,
+                round(CAST(devn AS DOUBLE) /
+                      (n * sqrt((n * CAST(sxx AS DOUBLE) -
+                                 CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+                                (n * (n - 1)))), 6) AS g_stat
+         FROM j WHERE rk = 1 ORDER BY nk""",
     "stat_spearman" ->
       """WITH r AS (
            SELECT l_returnflag AS rf,

@@ -152,6 +152,30 @@ object ShapeOps {
         .orderBy(col("prev_type"), col("next_type"))
     }),
 
+    // top onboarding paths — "what do users actually do first": the
+    // ordered first-3-event-type sequence per user, counted and ranked.
+    // seq_markov_transitions gives the memoryless edge view; this is the
+    // path-grain complement product teams actually read. One window sort
+    // per user partition (rn ≤ 3 prunes the rest map-side), first/2nd/3rd
+    // states extracted by conditional aggs — no collect_list ordering
+    // hazards — then a path-grain hash agg over at most |types|³ keys
+    // (constant at any event volume) and a total-order top-10.
+    "seq_path_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          max(when(col("rn") === 1, col("event_type"))).as("e1"),
+          max(when(col("rn") === 2, col("event_type"))).as("e2"),
+          max(when(col("rn") === 3, col("event_type"))).as("e3"))
+        .filter(col("n") === 3)
+        .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path")).limit(10)
+    }),
+
     // linear multi-touch attribution — the aggregate dual of the bounded
     // as-of join: instead of crediting only the LATEST prior view, each
     // purchase splits one unit of credit equally across ALL its views in
@@ -348,6 +372,21 @@ object ShapeOps {
          SELECT prev_type, next_type, n,
                 round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS p
          FROM c ORDER BY prev_type, next_type""",
+    "seq_path_topk" ->
+      """WITH r AS (
+           SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         u AS (
+           SELECT user_id, count(1) AS n,
+                  max(CASE WHEN rn = 1 THEN event_type END) AS e1,
+                  max(CASE WHEN rn = 2 THEN event_type END) AS e2,
+                  max(CASE WHEN rn = 3 THEN event_type END) AS e3
+           FROM r WHERE rn <= 3 GROUP BY 1),
+         p AS (
+           SELECT e1 || '>' || e2 || '>' || e3 AS path FROM u WHERE n = 3)
+         SELECT path, count(1) AS n_users
+         FROM p GROUP BY 1 ORDER BY n_users DESC, path LIMIT 10""",
     "agg_unpivot" ->
       """SELECT p_partkey, metric, round(value, 6) AS value FROM (
            SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part

@@ -652,6 +652,29 @@ object TextOps {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // quality-weighted importance resampling (the DSIR/quality-tilt
+    // shape): each doc is kept with probability q² where q is its
+    // quality proxy (length-normalized here; any 0..1 score drops in) —
+    // upweights high-quality docs in the output mix instead of a flat
+    // rate. The acceptance draw is sample_stratified's RNG-free
+    // multiplicative hash compared against q²·2³¹ — a pure per-row scan
+    // predicate, zero shuffle, reproducible across engines and
+    // partitionings. Emitted at the (source, lang) audit grain: input
+    // docs, kept docs, realized keep rate.
+    "corpus_importance_sample" -> ((s, dir) => {
+      val q = least(col("n_chars"), lit(2000L)).cast("double") / 2000.0
+      val h = pmod((col("doc_id") % lit(2147483648L)) * lit(2654435761L),
+        lit(2147483648L))
+      t(s, dir, "documents")
+        .withColumn("k", (h.cast("double") < q * q * 2147483648.0).cast("int"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_in"),
+          count(when(col("k") === 1, 1)).as("n_kept"))
+        .select(col("source"), col("lang"), col("n_in"), col("n_kept"),
+          round(col("n_kept").cast("double") / col("n_in"), 6).as("keep_rate"))
+        .orderBy(col("source"), col("lang"))
+    }),
+
     // within-document repetition signal (the Gopher-rules "fraction of
     // duplicate n-grams" quality gate): repeated trigram mass per doc.
     // Computed entirely with per-row array expressions (transform +
@@ -1164,6 +1187,21 @@ object TextOps {
       """SELECT doc_id, lang FROM documents
          WHERE ((doc_id % 2147483648) * 2654435761) % 100 < (CASE WHEN lang = 'en' THEN 40 ELSE 90 END)
          ORDER BY doc_id""",
+    "corpus_importance_sample" ->
+      """WITH d AS (
+           SELECT source, lang,
+                  CASE WHEN CAST(((doc_id % 2147483648) * 2654435761) % 2147483648 AS DOUBLE)
+                            < (CAST(least(n_chars, 2000) AS DOUBLE) / 2000.0)
+                              * (CAST(least(n_chars, 2000) AS DOUBLE) / 2000.0)
+                              * 2147483648.0
+                       THEN 1 ELSE 0 END AS k
+           FROM documents)
+         SELECT source, lang,
+                CAST(count(1) AS BIGINT) AS n_in,
+                CAST(count(CASE WHEN k = 1 THEN 1 END) AS BIGINT) AS n_kept,
+                round(CAST(count(CASE WHEN k = 1 THEN 1 END) AS DOUBLE) / count(1), 6)
+                  AS keep_rate
+         FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
     "corpus_pipeline" ->
       """WITH d AS (
            SELECT doc_id, lang, source, n_chars,

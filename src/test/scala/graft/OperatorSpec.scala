@@ -1771,6 +1771,234 @@ class PropertySpec extends SparkSuite {
     assert(math.abs(r.getDouble(3) - ks) < 1e-6)
   }
 
+  test("graph_assortativity: matches a brute-force degree-correlation recompute") {
+    val r = q("graph_assortativity").collect().head
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val pairCount = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    li.groupBy(_._1).foreach { case (_, grp) =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) {
+        val k = (ps(i), ps(j))
+        pairCount(k) = pairCount.getOrElse(k, 0) + 1
+      }
+    }
+    // NB: collect on the Map directly would re-build a Map keyed by p1
+    // (the yielded element is itself a pair) and silently dedup — toSeq first
+    val und = pairCount.toSeq.collect { case (e, n) if n >= 2 => e }
+    assert(r.getLong(0) === und.length.toLong)
+    val adj = und ++ und.map { case (a, b) => (b, a) }
+    val deg = adj.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    val xs = adj.map { case (u, v) => (deg(u).toDouble, deg(v).toDouble) }
+    val m = xs.length.toDouble
+    val sx = xs.map(_._1).sum
+    val sxx = xs.map(p => p._1 * p._1).sum
+    val sxy = xs.map(p => p._1 * p._2).sum
+    val expected = (m * sxy - sx * sx) / (m * sxx - sx * sx)
+    assert(math.abs(r.getDouble(1) - expected) < 1e-6,
+      s"r ${r.getDouble(1)} vs brute $expected")
+  }
+
+  test("stat_auc_roc: matches the brute-force pairwise win probability") {
+    val rows = q("stat_auc_roc").collect()
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderpriority", "o_orderstatus", "o_totalprice").collect()
+      .map(x => (x.getString(0), x.getString(1) == "F", x.getDouble(2)))
+    rows.foreach { r =>
+      val grp = r.getString(0)
+      val pos = o.filter(x => x._1 == grp && x._2).map(_._3)
+      val neg = o.filter(x => x._1 == grp && !x._2).map(_._3)
+      assert(r.getLong(1) === pos.length.toLong && r.getLong(2) === neg.length.toLong)
+      // AUC = P(score+ > score-) + P(score+ = score-)/2, the pairwise definition
+      var wins = 0.0
+      for (p <- pos; n <- neg)
+        wins += (if (p > n) 1.0 else if (p == n) 0.5 else 0.0)
+      val expected = wins / (pos.length.toDouble * neg.length)
+      assert(math.abs(r.getDouble(3) - expected) < 1e-6,
+        s"$grp: auc ${r.getDouble(3)} vs brute $expected")
+    }
+  }
+
+  test("stat_psi: matches a brute-force smoothed-PSI recompute") {
+    val rows = q("stat_psi").collect()
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_mktsegment", "c_acctbal").collect()
+      .map(x => (x.getString(0),
+        ((math.round(x.getDouble(1) * 100) + 100000L) / 110000L).toInt))
+    def hist(seg: String): Array[Long] = {
+      val h = Array.fill(10)(0L)
+      cust.filter(_._1 == seg).foreach(c => h(c._2) += 1)
+      h
+    }
+    val ref = hist("BUILDING")
+    val rt = ref.sum
+    rows.foreach { r =>
+      val seg = r.getString(0)
+      assert(seg != "BUILDING")
+      val cur = hist(seg)
+      val tc = cur.sum
+      assert(r.getLong(1) === tc && r.getLong(2) === rt)
+      val psi = (0 until 10).map { b =>
+        val p = (cur(b) + 1.0) / (tc + 10)
+        val q = (ref(b) + 1.0) / (rt + 10)
+        BigDecimal((p - q) * math.log(p / q))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      assert(math.abs(r.getDouble(3) - psi) < 1e-6,
+        s"$seg: psi ${r.getDouble(3)} vs brute $psi")
+    }
+    // identical distributions ⇒ PSI exactly 0 is not emitted (BUILDING
+    // is the reference, never a current); all emitted PSIs are ≥ 0
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0))
+  }
+
+  test("ts_bollinger: bands and integer-exact breach flags match a brute recompute") {
+    val rows = q("ts_bollinger").collect()
+    assert(rows.nonEmpty)
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(x => (x.getString(0), x.getDate(1).toString, x.getLong(2)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.sortBy(_._2).map(_._3) }
+    rows.groupBy(_.getString(0)).foreach { case (typ, rs) =>
+      val series = daily(typ)
+      // full windows only: first emitted row is day index 6
+      assert(rs.length === series.length - 6)
+      rs.zipWithIndex.foreach { case (r, i) =>
+        val win = series.slice(i, i + 7)
+        val x = win.last.toDouble
+        val mean = win.sum.toDouble / 7
+        val sd = math.sqrt(win.map(v => (v - mean) * (v - mean)).sum / 6)
+        assert(math.abs(r.getDouble(3) - mean) < 1e-6)
+        assert(math.abs(r.getDouble(4) - (mean - 2 * sd)) < 1e-5)
+        assert(math.abs(r.getDouble(5) - (mean + 2 * sd)) < 1e-5)
+        // flags re-derived in exact integer arithmetic (the operator's contract)
+        val sx = BigInt(win.sum); val sxx = win.map(v => BigInt(v) * v).sum
+        val dev = BigInt(7) * win.last - sx
+        val vn = BigInt(7) * sxx - sx * sx
+        assert(r.getInt(6) === (if (dev > 0 && dev * dev * 6 > vn * 28) 1 else 0),
+          s"hi flag $typ row $i")
+        assert(r.getInt(7) === (if (dev < 0 && dev * dev * 6 > vn * 28) 1 else 0),
+          s"lo flag $typ row $i")
+      }
+    }
+  }
+
+  test("ts_trend_mannkendall: S, variance and z match a brute pairwise recompute") {
+    val rows = q("ts_trend_mannkendall").collect()
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(x => (x.getString(0), x.getDate(1).toString, x.getLong(2)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.sortBy(_._2).map(_._3) }
+    rows.foreach { r =>
+      val series = daily(r.getString(0))
+      val n = series.length
+      assert(r.getLong(1) === n.toLong)
+      var sStat = 0L
+      for (i <- series.indices; j <- i + 1 until n)
+        sStat += java.lang.Long.signum(series(j) - series(i))
+      assert(r.getLong(2) === sStat, s"${r.getString(0)}: S")
+      val tie = series.groupBy(identity).values
+        .map(g => { val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }).sum
+      val v = (n.toLong * (n - 1) * (2L * n + 5) - tie) / 18.0
+      val z =
+        if (sStat > 0) (sStat - 1) / math.sqrt(v)
+        else if (sStat < 0) (sStat + 1) / math.sqrt(v)
+        else 0.0
+      assert(math.abs(r.getDouble(3) - z) < 1e-6, s"${r.getString(0)}: z")
+      val expLabel =
+        if (r.getDouble(3) > 1.959964) "increasing"
+        else if (r.getDouble(3) < -1.959964) "decreasing" else "no trend"
+      assert(r.getString(4) === expLabel)
+    }
+  }
+
+  test("stat_bootstrap_ci: CI bounds are the exact order statistics of hash-weighted replicate means") {
+    val r = q("stat_bootstrap_ci").collect().head
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_acctbal").collect()
+      .map(x => (x.getLong(0), x.getDouble(1)))
+    val means = (0L until 64L).map { b =>
+      var sw = 0L
+      var sv = BigDecimal(0)
+      cust.foreach { case (k, v) =>
+        val u = ((k % 2147483648L) * 2654435761L + b * 1315423911L) % 2147483648L
+        val w =
+          if (u < 790015084L) 0L
+          else if (u < 1580030168L) 1L
+          else if (u < 1975037710L) 2L else 3L
+        sw += w
+        sv += BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP) * w
+      }
+      b -> BigDecimal(sv.toDouble / sw)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val sorted = means.sortBy { case (b, m) => (m, b) }.map(_._2)
+    assert(r.getInt(0) === 64)
+    assert(math.abs(r.getDouble(2) - sorted(1)) < 1e-9, "ci_lo is rank 2")
+    assert(math.abs(r.getDouble(3) - sorted(62)) < 1e-9, "ci_hi is rank 63")
+    assert(r.getDouble(2) < r.getDouble(3))
+    // the CI straddles the full-sample mean on any non-degenerate sample
+    assert(r.getDouble(2) <= r.getDouble(1) && r.getDouble(1) <= r.getDouble(3))
+  }
+
+  test("stat_grubbs: flags the max-deviation supplier with the right G statistic") {
+    val rows = q("stat_grubbs").collect()
+    val sup = spark.read.parquet(s"$sf/supplier.parquet")
+      .select("s_nationkey", "s_suppkey", "s_acctbal").collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getDouble(2)))
+    val byNk = sup.groupBy(_._1)
+    rows.foreach { r =>
+      val grp = byNk(r.getInt(0))
+      assert(grp.length >= 3 && r.getLong(1) === grp.length.toLong)
+      val mean = grp.map(_._3).sum / grp.length
+      val sd = math.sqrt(grp.map(x => (x._3 - mean) * (x._3 - mean)).sum / (grp.length - 1))
+      val worst = grp.maxBy(x => (math.abs(x._3 - mean), -x._2))
+      assert(r.getLong(2) === worst._2, s"nation ${r.getInt(0)} argmax")
+      assert(math.abs(r.getDouble(4) - math.abs(worst._3 - mean) / sd) < 1e-5,
+        s"nation ${r.getInt(0)} G")
+    }
+    // every nation with >= 3 suppliers is present
+    assert(rows.length === byNk.count(_._2.length >= 3))
+  }
+
+  test("corpus_importance_sample: keep decisions replay the hash-vs-q2 rule") {
+    val rows = q("corpus_importance_sample").collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "lang", "n_chars").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getLong(3)))
+    val expected = docs.groupBy(d => (d._2, d._3)).map { case (k, ds) =>
+      val kept = ds.count { d =>
+        val q = math.min(d._4, 2000L).toDouble / 2000.0
+        val h = ((d._1 % 2147483648L) * 2654435761L) % 2147483648L
+        h.toDouble < q * q * 2147483648.0
+      }
+      k -> (ds.length.toLong, kept.toLong)
+    }
+    rows.foreach { r =>
+      val (nIn, nKept) = expected((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) === nIn && r.getLong(3) === nKept,
+        s"${r.getString(0)}/${r.getString(1)}")
+    }
+    assert(rows.length === expected.size)
+  }
+
+  test("seq_path_topk: path counts match a brute first-3-sequence recompute") {
+    val rows = q("seq_path_topk").collect()
+    val paths = graft.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(x => (x.getLong(0), x.getTimestamp(1).getTime, x.getLong(2), x.getString(3)))
+      .groupBy(_._1).values.toSeq
+      .collect { case evs if evs.length >= 3 =>
+        evs.sortBy(e => (e._2, e._3)).take(3).map(_._4).mkString(">")
+      }
+    val counts = paths.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val top = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq === top)
+  }
+
   test("graph_label_prop: communities are stable-size-ranked and conserve the node domain") {
     val rows = q("graph_label_prop").collect()
     assert(rows.nonEmpty && rows.length <= 20)
