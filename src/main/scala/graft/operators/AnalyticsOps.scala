@@ -1683,6 +1683,33 @@ object AnalyticsOps {
           col("ci_lo"), col("ci_hi"))
     }),
 
+    // Two-proportion z-test over all segment pairs — the A/B-test
+    // operator next to stat_ttest's difference-of-MEANS: is the
+    // positive-balance RATE of segment A actually different from B?
+    // One fact-sized agg to (segment, n, k); the ≤25-pair theta
+    // self-join rides stat_ttest's broadcast-NLJ shape; z =
+    // (p̂₁−p̂₂)/√(p̄(1−p̄)(1/n₁+1/n₂)) is double algebra over exact
+    // integer counts on the 5-row frame — one sqrt, identical
+    // expression shape both engines, 6-dp-gridded. Statistic not
+    // p-value (README:136-140).
+    "stat_proportions_ztest" -> ((s, dir) => {
+      val m = t(s, dir, "customer").groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("c_acctbal") > 0, 1)).as("k"))
+      val j = m.select(col("seg").as("seg_a"), col("n").as("na"), col("k").as("ka"))
+        .join(broadcast(m.select(col("seg").as("seg_b"), col("n").as("nb"),
+          col("k").as("kb"))), col("seg_a") < col("seg_b"))
+      val p1 = col("ka").cast("double") / col("na")
+      val p2 = col("kb").cast("double") / col("nb")
+      val pp = (col("ka") + col("kb")).cast("double") / (col("na") + col("nb"))
+      j.select(col("seg_a"), col("seg_b"), col("na"), col("ka"),
+          col("nb"), col("kb"),
+          round((p1 - p2) /
+            sqrt(pp * (lit(1.0) - pp) *
+              (lit(1.0) / col("na") + lit(1.0) / col("nb"))), 6).as("z"))
+        .orderBy(col("seg_a"), col("seg_b"))
+    }),
+
     // Grubbs' test per nation — "is the most extreme supplier balance a
     // statistical outlier, and which row is it": G = max|x−x̄|/s. The
     // ARGMAX is decided without ever computing a float: |n·x − Σx| on
@@ -2715,6 +2742,22 @@ object AnalyticsOps {
                 (SELECT mb FROM ranked WHERE rk = 2) AS ci_lo,
                 (SELECT mb FROM ranked WHERE rk = 63) AS ci_hi
          FROM f""",
+    "stat_proportions_ztest" ->
+      """WITH m AS (
+           SELECT c_mktsegment AS seg, count(1) AS n,
+                  count(CASE WHEN c_acctbal > 0 THEN 1 END) AS k
+           FROM customer GROUP BY 1),
+         j AS (
+           SELECT a.seg AS seg_a, b.seg AS seg_b,
+                  CAST(a.n AS BIGINT) AS na, CAST(a.k AS BIGINT) AS ka,
+                  CAST(b.n AS BIGINT) AS nb, CAST(b.k AS BIGINT) AS kb
+           FROM m a JOIN m b ON a.seg < b.seg)
+         SELECT seg_a, seg_b, na, ka, nb, kb,
+                round((CAST(ka AS DOUBLE) / na - CAST(kb AS DOUBLE) / nb) /
+                      sqrt(((ka + kb) / CAST(na + nb AS DOUBLE))
+                           * (1.0 - (ka + kb) / CAST(na + nb AS DOUBLE))
+                           * (1.0 / na + 1.0 / nb)), 6) AS z
+         FROM j ORDER BY seg_a, seg_b""",
     "stat_grubbs" ->
       """WITH sup AS (
            SELECT s_nationkey AS nk, s_suppkey AS sk, s_acctbal AS bal,

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
 import graft.functions.CosineSim.cosine_sim
 
@@ -651,7 +652,91 @@ object VectorOps {
         .agg(count(lit(1)).as("k"), count(col("a_n")).as("n_hit"))
         .withColumn("recall", round(col("n_hit") / col("k"), 6))
         .orderBy(col("probe_id"))
+    }),
+
+    // Top principal component by distributed POWER ITERATION — the
+    // dimensionality-reduction primer every embedding pipeline runs
+    // (which direction carries the variance; the whitening axis before
+    // ANN). Never materializes the d×d covariance: each of 3 rounds
+    // computes M·v = n·Σx(xᵀv) − Sx(Sxᵀv) (M = n²·Cov, same
+    // eigenvectors) as ONE fact pass — per-row dot with the broadcast
+    // 64-row v, then a dim-grain weighted agg — the matrix-free shape
+    // that scales to any corpus. Cross-engine determinism: inputs 6-dp
+    // gridded to DECIMAL(18,6); every sum is a decimal sum; every float
+    // op is PER-ELEMENT (two products + a subtract, a /10⁶ rescale that
+    // cancels in normalization, one sqrt on a decimal-exact Σw², one
+    // division) — no cross-row double summation exists, so there is no
+    // order to diverge on. Sign fixed by the max-|loading| component
+    // (pos tiebreak). The DuckDB twin unrolls the same 3 rounds as CTEs.
+    "vec_pca_power" -> ((s, dir) => {
+      val d6 = DecimalType(18, 6)
+      val r6d = (c: Column) => round(c.cast("double"), 6).cast(d6)
+      val base = persistSharedPerDir("vec_pca_base", dir,
+        embStore(s, dir).select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("pos", "fv")))
+          .select(col("vec_id"), col("pos"), r6d(col("fv")).as("xv")))
+      val nRow = embStore(s, dir).agg(count(lit(1)).as("n"))
+      val sx = base.groupBy(col("pos")).agg(sum(col("xv")).cast(d6).as("sxv"))
+        .localCheckpoint()
+      var v = sx.select(col("pos"), lit(1).cast(d6).as("vv"))
+      for (_ <- 1 to 3) {
+        val s6 = base.join(broadcast(v), "pos")
+          .groupBy(col("vec_id"))
+          .agg(r6d(sum(col("xv") * col("vv"))).as("s6"))
+        val a6 = base.join(s6, "vec_id")
+          .groupBy(col("pos"))
+          .agg(r6d(sum(col("xv") * col("s6"))).as("a6"))
+        val stv6 = sx.join(broadcast(v), "pos")
+          .agg(r6d(sum(col("sxv") * col("vv"))).as("stv6"))
+        val w = a6.join(sx, "pos").crossJoin(broadcast(stv6))
+          .crossJoin(broadcast(nRow))
+          .withColumn("wd", col("n").cast("double") * col("a6").cast("double") -
+            col("sxv").cast("double") * col("stv6").cast("double"))
+          .withColumn("w6", round(col("wd") / 1000000.0, 6).cast(d6))
+          .localCheckpoint() // 64 rows; cuts the fact-agg lineage so the
+                             // norm + renormalize reads don't re-run it
+        val nrm = w.agg(sum(col("w6") * col("w6")).as("nn"))
+          .select(sqrt(col("nn").cast("double")).as("nrm"))
+        v = w.crossJoin(broadcast(nrm))
+          .select(col("pos"),
+            round(col("w6").cast("double") / col("nrm"), 6).cast(d6).as("vv"))
+      }
+      val wA = Window.orderBy(abs(col("vv")).desc, col("pos"))
+      val vChk = v.localCheckpoint()
+      val sign = vChk.withColumn("rk", row_number().over(wA))
+        .filter(col("rk") === 1)
+        .select(when(col("vv") < 0, -1).otherwise(1).as("sg"))
+      vChk.crossJoin(broadcast(sign))
+        .select(col("pos"),
+          round((col("vv") * col("sg")).cast("double"), 6).as("loading"))
+        .orderBy(col("pos"))
     }))
+
+  /** One unrolled power-iteration round k (inputs x/sx/nrows/v{k-1}):
+    * the SAME decimal-gridded algebra as the Spark plan, CTE for CTE. */
+  private def pcaRoundSql(k: Int): String =
+    s"""s$k AS (
+          SELECT vec_id,
+                 CAST(round(CAST(sum(xv * vv) AS DOUBLE), 6) AS DECIMAL(18,6)) AS s6
+          FROM x JOIN v${k - 1} USING (pos) GROUP BY vec_id),
+        a$k AS (
+          SELECT pos,
+                 CAST(round(CAST(sum(xv * s6) AS DOUBLE), 6) AS DECIMAL(18,6)) AS a6
+          FROM x JOIN s$k USING (vec_id) GROUP BY pos),
+        t$k AS (
+          SELECT CAST(round(CAST(sum(sxv * vv) AS DOUBLE), 6) AS DECIMAL(18,6)) AS stv6
+          FROM sx JOIN v${k - 1} USING (pos)),
+        w$k AS (
+          SELECT pos,
+                 CAST(round((CAST(nn AS DOUBLE) * CAST(a6 AS DOUBLE)
+                   - CAST(sxv AS DOUBLE) * CAST(stv6 AS DOUBLE)) / 1000000.0, 6)
+                   AS DECIMAL(18,6)) AS w6
+          FROM a$k JOIN sx USING (pos) CROSS JOIN t$k CROSS JOIN nrows),
+        n$k AS (SELECT sqrt(CAST(sum(w6 * w6) AS DOUBLE)) AS nrm FROM w$k),
+        v$k AS (
+          SELECT pos,
+                 CAST(round(CAST(w6 AS DOUBLE) / nrm, 6) AS DECIMAL(18,6)) AS vv
+          FROM w$k CROSS JOIN n$k)"""
 
   val oracles: Map[String, String] = oraclesBase + ("vec_ann_recall" ->
     s"""WITH truth AS (${oraclesBase("vec_knn_join")}),
@@ -660,7 +745,24 @@ object VectorOps {
                round(count(a.neighbor_id) / count(1), 6) AS recall
         FROM truth t LEFT JOIN ann a
           ON t.probe_id = a.probe_id AND t.neighbor_id = a.neighbor_id
-        GROUP BY t.probe_id ORDER BY t.probe_id""".replaceAll("\\s+", " ").trim)
+        GROUP BY t.probe_id ORDER BY t.probe_id""".replaceAll("\\s+", " ").trim) +
+    ("vec_pca_power" ->
+      s"""WITH x AS MATERIALIZED (
+            SELECT vec_id, CAST(u.p AS INTEGER) AS pos,
+                   CAST(round(CAST(u.v AS DOUBLE), 6) AS DECIMAL(18,6)) AS xv
+            FROM (SELECT vec_id, unnest(range(0, len(embedding))) AS p,
+                         unnest(embedding) AS v
+                  FROM embeddings) u),
+          nrows AS (SELECT count(1) AS nn FROM embeddings),
+          sx AS MATERIALIZED (
+            SELECT pos, CAST(sum(xv) AS DECIMAL(18,6)) AS sxv FROM x GROUP BY 1),
+          v0 AS (SELECT pos, CAST(1 AS DECIMAL(18,6)) AS vv FROM sx),
+          ${(1 to 3).map(pcaRoundSql).mkString(",\n")},
+          sgn AS (
+            SELECT CASE WHEN vv < 0 THEN -1 ELSE 1 END AS sg
+            FROM v3 ORDER BY abs(vv) DESC, pos LIMIT 1)
+          SELECT pos, round(CAST(vv * sg AS DOUBLE), 6) AS loading
+          FROM v3 CROSS JOIN sgn ORDER BY pos""")
 
   private lazy val oraclesBase: Map[String, String] = Map(
     "vec_binary_hamming_topk" ->

@@ -1999,6 +1999,61 @@ class PropertySpec extends SparkSuite {
     assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq === top)
   }
 
+  test("stat_proportions_ztest: z matches the brute pooled-proportion formula on all pairs") {
+    val rows = q("stat_proportions_ztest").collect()
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_mktsegment", "c_acctbal").collect()
+      .map(x => (x.getString(0), x.getDouble(1) > 0))
+    val m = cust.groupBy(_._1).map { case (seg, xs) =>
+      seg -> (xs.length.toLong, xs.count(_._2).toLong)
+    }
+    val segs = m.keys.toSeq.sorted
+    val pairs = for (a <- segs; b <- segs if a < b) yield (a, b)
+    assert(rows.length === pairs.length)
+    rows.foreach { r =>
+      val (na, ka) = m(r.getString(0))
+      val (nb, kb) = m(r.getString(1))
+      assert(r.getLong(2) === na && r.getLong(3) === ka)
+      assert(r.getLong(4) === nb && r.getLong(5) === kb)
+      val p1 = ka.toDouble / na; val p2 = kb.toDouble / nb
+      val pp = (ka + kb).toDouble / (na + nb)
+      val z = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb))
+      assert(math.abs(r.getDouble(6) - z) < 1e-6, s"${r.getString(0)}/${r.getString(1)}")
+    }
+  }
+
+  test("vec_pca_power: aligns with an ungridded double-precision power iteration") {
+    val rows = q("vec_pca_power").collect()
+    assert(rows.length === 64)
+    val v = rows.sortBy(_.getInt(0)).map(_.getDouble(1))
+    // unit norm (up to the 6-dp grid)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-3)
+    // brute: same 3 rounds, plain doubles, no grid
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = emb.length
+    val sx = Array.tabulate(64)(i => emb.map(_(i)).sum)
+    var bv = Array.fill(64)(1.0)
+    for (_ <- 1 to 3) {
+      val a = Array.fill(64)(0.0)
+      emb.foreach { x =>
+        val s = (0 until 64).map(i => x(i) * bv(i)).sum
+        for (i <- 0 until 64) a(i) += x(i) * s
+      }
+      val stv = (0 until 64).map(i => sx(i) * bv(i)).sum
+      val w = Array.tabulate(64)(i => n * a(i) - sx(i) * stv)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      bv = w.map(_ / nrm)
+    }
+    // deterministic sign fix, mirroring the operator
+    val mx = (0 until 64).minBy(i => (-math.abs(bv(i)), i))
+    if (bv(mx) < 0) bv = bv.map(-_)
+    val cos = (0 until 64).map(i => v(i) * bv(i)).sum /
+      (math.sqrt(v.map(x => x * x).sum) * math.sqrt(bv.map(x => x * x).sum))
+    assert(cos > 0.999, s"cosine vs ungridded brute: $cos")
+  }
+
   test("graph_label_prop: communities are stable-size-ranked and conserve the node domain") {
     val rows = q("graph_label_prop").collect()
     assert(rows.nonEmpty && rows.length <= 20)

@@ -516,7 +516,11 @@ class PlanSpec extends SparkSuite {
       "stat_cohens_d" -> "theta self-join of a broadcast 5-row segment-moment frame (<=25 pairs)",
       "stat_chi2" -> "crossJoin against a broadcast 1-row grand-total frame",
       "feature_target_encode" -> "crossJoin against a broadcast 1-row global-mean frame",
-      "feature_woe" -> "crossJoin against a broadcast 1-row good/bad-total frame")
+      "feature_woe" -> "crossJoin against a broadcast 1-row good/bad-total frame",
+      "stat_psi" -> "crossJoin against a broadcast 1-row reference-total frame",
+      "stat_proportions_ztest" -> "theta self-join of a broadcast 5-row segment-count frame (<=25 pairs)",
+      "stat_bootstrap_ci" -> "crossJoins compose three 1-row frames (full mean + rank-2/rank-63 order stats)",
+      "vec_pca_power" -> "crossJoins against broadcast 1-row scalars (n, s'v, norm, sign) per power round")
     val sf = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if boundedByConstruction.contains(name) => None
