@@ -137,6 +137,33 @@ object AnalyticsOps {
     * instead of a fixed bound. */
   private[graft] val LabelPropRounds = 4
 
+  /** Final LPA label assignment (node, lbl) after [[LabelPropRounds]]
+    * synchronous majority votes — the loop graph_label_prop always ran,
+    * factored out so graph_modularity can score the SAME partition.
+    * Per-round localCheckpoint keeps the returned frame O(1)-deep:
+    * callers reference it repeatedly without re-running any round. */
+  private[graft] def lpaLabels(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val (und, nodes) = coPurchaseGraph(s, dir)
+    val adj = und.select(col("p1").as("src"), col("p2").as("dst"))
+      .union(und.select(col("p2").as("src"), col("p1").as("dst")))
+    val bcastLabels = nodes.count() <= PagerankBroadcastMaxNodes
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to LabelPropRounds) {
+      val winners = adj
+        .join(if (bcastLabels) broadcast(labels) else labels,
+          col("dst") === col("node"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(min_by(col("lbl"), struct((-col("c")).as("nc"), col("lbl"))).as("wl"))
+      labels = labels.join(winners, col("node") === col("src"), "left")
+        .select(col("node"), coalesce(col("wl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   /** Frontier-expansion rounds for graph_bfs_hops — bounded-round
     * semantics like KcorePeelRounds: the operator IS the k-hop
     * reachability profile ("how much of the catalog is within
@@ -1152,26 +1179,43 @@ object AnalyticsOps {
     // label frame is node-domain-sized, so above the ceiling it shuffles
     // instead of broadcasting. Output: the 20 largest communities under a
     // (size desc, label) total order.
-    "graph_label_prop" -> ((s, dir) => {
-      val (und, nodes) = coPurchaseGraph(s, dir)
-      val adj = und.select(col("p1").as("src"), col("p2").as("dst"))
-        .union(und.select(col("p2").as("src"), col("p1").as("dst")))
-      val bcastLabels = nodes.count() <= PagerankBroadcastMaxNodes
-      var labels = nodes.select(col("node"), col("node").as("lbl"))
-        .localCheckpoint(true)
-      for (_ <- 1 to LabelPropRounds) {
-        val winners = adj
-          .join(if (bcastLabels) broadcast(labels) else labels,
-            col("dst") === col("node"))
-          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
-          .groupBy(col("src"))
-          .agg(min_by(col("lbl"), struct((-col("c")).as("nc"), col("lbl"))).as("wl"))
-        labels = labels.join(winners, col("node") === col("src"), "left")
-          .select(col("node"), coalesce(col("wl"), col("lbl")).as("lbl"))
-          .localCheckpoint(true)
-      }
-      labels.groupBy(col("lbl").as("community")).agg(count(lit(1)).as("n_nodes"))
-        .orderBy(col("n_nodes").desc, col("community")).limit(20)
+    "graph_label_prop" -> ((s, dir) =>
+      lpaLabels(s, dir)
+        .groupBy(col("lbl").as("community")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("n_nodes").desc, col("community")).limit(20)),
+
+    // Modularity of the LPA partition — the one-number "are these
+    // communities real" score (Newman-Girvan Q; > ~0.3 = meaningful
+    // structure): Q = Σ_c[e_c/m − (d_c/2m)²] computed EXACTLY as
+    // (4m·Σe_c − Σd_c²)/(4m²) — internal-edge count via two label
+    // joins on the edge list, per-community degree sums squared
+    // through DECIMAL(19,0), one double division at the end. Labels
+    // come from the SAME bounded-round LPA the label_prop query runs
+    // (localCheckpointed — referenced three times here without
+    // re-running a single round); the DuckDB twin unrolls the same
+    // rounds and replays the same integer algebra.
+    "graph_modularity" -> ((s, dir) => {
+      val d0 = (c: Column) => c.cast(DecimalType(19, 0))
+      val und = coPurchaseGraph(s, dir)._1.select(col("p1"), col("p2"))
+      val labels = lpaLabels(s, dir)
+      val ec = und
+        .join(labels.select(col("node").as("p1"), col("lbl").as("l1")), "p1")
+        .join(labels.select(col("node").as("p2"), col("lbl").as("l2")), "p2")
+        .filter(col("l1") === col("l2"))
+        .agg(count(lit(1)).as("sec"))
+      val deg = und.select(explode(array(col("p1"), col("p2"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+      val sdc2 = deg.join(labels, "node").groupBy(col("lbl"))
+        .agg(sum(col("dg")).as("dsum"))
+        .agg(sum(d0(col("dsum")) * d0(col("dsum"))).as("sd2"))
+      val mrow = und.agg(count(lit(1)).as("m"))
+      val ncc = labels.agg(countDistinct(col("lbl")).as("n_communities"))
+      mrow.crossJoin(ec).crossJoin(sdc2).crossJoin(ncc)
+        .select(col("m"), col("n_communities"),
+          // 4m pre-folded into one DECIMAL(19,0) factor so no product
+          // needs width > 38 on either engine
+          round((d0(col("m") * 4) * d0(col("sec")) - col("sd2")).cast("double") /
+            (d0(col("m") * 4) * d0(col("m"))).cast("double"), 6).as("modularity"))
     }),
 
     // Local-trough (V-shape) pattern detection on the daily event series:
@@ -2461,6 +2505,36 @@ object AnalyticsOps {
           SELECT lbl AS community, count(1) AS n_nodes
           FROM l$LabelPropRounds
           GROUP BY 1 ORDER BY n_nodes DESC, community LIMIT 20""",
+    "graph_modularity" ->
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          e0 AS MATERIALIZED (
+            SELECT a.pk AS p1, b.pk AS p2
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY p1, p2 HAVING count(1) >= 2),
+          adj AS MATERIALIZED (
+            SELECT p1 AS src, p2 AS dst FROM e0
+            UNION ALL SELECT p2, p1 FROM e0),
+          l0 AS MATERIALIZED (
+            SELECT pk AS node, pk AS lbl FROM (SELECT DISTINCT pk FROM li)),
+          ${(1 to LabelPropRounds).map(lpaRoundSql).mkString(",\n")},
+          lf AS MATERIALIZED (SELECT node, lbl FROM l$LabelPropRounds),
+          ec AS (
+            SELECT CAST(count(1) AS BIGINT) AS sec
+            FROM e0 JOIN lf a ON e0.p1 = a.node JOIN lf b ON e0.p2 = b.node
+            WHERE a.lbl = b.lbl),
+          deg AS (SELECT src AS node, count(1) AS dg FROM adj GROUP BY 1),
+          sdc2 AS (
+            SELECT sum(CAST(dsum AS DECIMAL(19,0)) * CAST(dsum AS DECIMAL(19,0))) AS sd2
+            FROM (SELECT lf.lbl, CAST(sum(dg) AS BIGINT) AS dsum
+                  FROM deg JOIN lf ON deg.node = lf.node GROUP BY 1) t),
+          mr AS (SELECT CAST(count(1) AS BIGINT) AS m FROM e0),
+          ncc AS (SELECT CAST(count(DISTINCT lbl) AS BIGINT) AS n_communities FROM lf)
+          SELECT m, n_communities,
+                 round(CAST(CAST(m * 4 AS DECIMAL(19,0)) * CAST(sec AS DECIMAL(19,0))
+                            - sd2 AS DOUBLE) /
+                       CAST(CAST(m * 4 AS DECIMAL(19,0)) * CAST(m AS DECIMAL(19,0)) AS DOUBLE),
+                       6) AS modularity
+          FROM mr CROSS JOIN ec CROSS JOIN sdc2 CROSS JOIN ncc""",
     "graph_kcore" ->
       s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
           e0 AS MATERIALIZED (

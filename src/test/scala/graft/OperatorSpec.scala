@@ -2054,6 +2054,33 @@ class PropertySpec extends SparkSuite {
     assert(cos > 0.999, s"cosine vs ungridded brute: $cos")
   }
 
+  test("graph_modularity: Q matches the brute Newman-Girvan formula on the LPA partition") {
+    val r = q("graph_modularity").collect().head
+    val labels = graft.operators.AnalyticsOps.lpaLabels(spark, sf).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val und = graft.operators.AnalyticsOps.coPurchaseGraph(spark, sf)._1
+      .select("p1", "p2").collect().map(x => (x.getLong(0), x.getLong(1)))
+    val m = und.length
+    assert(r.getLong(0) === m.toLong)
+    val ec = und.count { case (a, b) => labels(a) == labels(b) }
+    val deg = scala.collection.mutable.Map.empty[Long, Long]
+    und.foreach { case (a, b) =>
+      deg(a) = deg.getOrElse(a, 0L) + 1; deg(b) = deg.getOrElse(b, 0L) + 1
+    }
+    val dc = scala.collection.mutable.Map.empty[Long, Long]
+    deg.foreach { case (n, d) => val c = labels(n); dc(c) = dc.getOrElse(c, 0L) + d }
+    val q2 = (4.0 * m * ec - dc.values.map(d => BigInt(d) * d).sum.toDouble) /
+      (4.0 * m * m)
+    assert(math.abs(r.getDouble(2) - q2) < 1e-6, s"Q ${r.getDouble(2)} vs brute $q2")
+    // at sf0.001 LPA collapses the dense co-purchase graph to ONE giant
+    // community, where Q = 0 EXACTLY (4m·e_c = Σd_c² by the handshake
+    // lemma) — a sharp algebraic identity; any real multi-community
+    // partition lands in (-0.5, 1)
+    val nCommunities = labels.values.toSet.size
+    if (nCommunities == 1) assert(r.getDouble(2) === 0.0)
+    else assert(r.getDouble(2) > -0.5 && r.getDouble(2) < 1.0)
+  }
+
   test("graph_label_prop: communities are stable-size-ranked and conserve the node domain") {
     val rows = q("graph_label_prop").collect()
     assert(rows.nonEmpty && rows.length <= 20)
