@@ -1645,6 +1645,37 @@ object AnalyticsOps {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // Discrete periodogram per event series — "WHICH period drives this
+    // metric": spectral power A²+B² (A = Σc·cos(2πt/p), B = Σc·sin) at
+    // candidate periods 2..14 days, top-3 per series. The frequency-
+    // domain complement to ts_seasonal_strength's fixed weekly
+    // assumption — this one FINDS the period. Day-grain input (calendar-
+    // bounded), a 13× explode of that tiny frame, per-element cos/sin
+    // 6-dp-gridded then DECIMAL-summed (order-independent; trig-is-libm
+    // caveat as anom_mad); the ranking compares rounded powers so top-3
+    // membership is ulp-stable.
+    "ts_periodogram" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val td = daily.withColumn("t",
+        row_number().over(Window.partitionBy(col("event_type")).orderBy(col("day"))))
+      val ang = col("t").cast("double") * (lit(2.0) * lit(math.Pi)) / col("p")
+      val m = td.withColumn("p", explode(sequence(lit(2), lit(14))))
+        .withColumn("ca", round(col("c") * cos(ang), 6))
+        .withColumn("sa", round(col("c") * sin(ang), 6))
+        .groupBy(col("event_type"), col("p"))
+        .agg(sum(dec(col("ca"))).cast("double").as("aa"),
+          sum(dec(col("sa"))).cast("double").as("bb"))
+        .select(col("event_type"), col("p"),
+          round(col("aa") * col("aa") + col("bb") * col("bb"), 6).as("power"))
+      val wR = Window.partitionBy(col("event_type"))
+        .orderBy(col("power").desc, col("p"))
+      m.withColumn("rk", row_number().over(wR)).filter(col("rk") <= 3)
+        .select(col("event_type"), col("p").cast("long").as("period"), col("power"))
+        .orderBy(col("event_type"), col("period"))
+    }),
+
     // Mann–Kendall trend test per event series — the nonparametric "is
     // this metric actually drifting or just noisy" screen (the Kendall
     // sibling of ts_changepoint's "where did it shift"). S = Σ_{i<j}
@@ -2757,6 +2788,34 @@ object AnalyticsOps {
                 CASE WHEN dev > 0 AND dev * dev * 6 > 28 * vn THEN 1 ELSE 0 END AS breach_hi,
                 CASE WHEN dev < 0 AND dev * dev * 6 > 28 * vn THEN 1 ELSE 0 END AS breach_lo
          FROM b ORDER BY event_type, day""",
+    "ts_periodogram" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         td AS (
+           SELECT event_type, c,
+                  row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+           FROM daily),
+         e AS (
+           SELECT event_type, c, t, CAST(p.range AS INTEGER) AS p
+           FROM td CROSS JOIN range(2, 15) p),
+         terms AS (
+           SELECT event_type, p,
+                  round(c * cos(CAST(t AS DOUBLE) * (2.0 * pi()) / p), 6) AS ca,
+                  round(c * sin(CAST(t AS DOUBLE) * (2.0 * pi()) / p), 6) AS sa
+           FROM e),
+         m AS (
+           SELECT event_type, p,
+                  CAST(sum(CAST(ca AS DECIMAL(18,6))) AS DOUBLE) AS aa,
+                  CAST(sum(CAST(sa AS DECIMAL(18,6))) AS DOUBLE) AS bb
+           FROM terms GROUP BY 1, 2),
+         r AS (
+           SELECT event_type, p, round(aa * aa + bb * bb, 6) AS power,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY round(aa * aa + bb * bb, 6) DESC, p) AS rk
+           FROM m)
+         SELECT event_type, CAST(p AS BIGINT) AS period, power
+         FROM r WHERE rk <= 3 ORDER BY event_type, period""",
     "ts_trend_mannkendall" ->
       """WITH daily AS MATERIALIZED (
            SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS c

@@ -2081,6 +2081,37 @@ class PropertySpec extends SparkSuite {
     else assert(r.getDouble(2) > -0.5 && r.getDouble(2) < 1.0)
   }
 
+  test("ts_periodogram: powers match a brute DFT and top-3 ranks hold") {
+    val rows = q("ts_periodogram").collect()
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(x => (x.getString(0), x.getDate(1).toString, x.getLong(2)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.sortBy(_._2).map(_._3) }
+    val brute = daily.flatMap { case (typ, series) =>
+      (2 to 14).map { p =>
+        var a = 0.0; var b = 0.0
+        series.zipWithIndex.foreach { case (c, i) =>
+          val ang = (i + 1).toDouble * (2.0 * math.Pi) / p
+          a += c * math.cos(ang); b += c * math.sin(ang)
+        }
+        (typ, p) -> (a * a + b * b)
+      }
+    }
+    rows.groupBy(_.getString(0)).foreach { case (typ, rs) =>
+      assert(rs.length === 3, s"$typ row count")
+      rs.foreach { r =>
+        val exp = brute((typ, r.getLong(1).toInt))
+        assert(math.abs(r.getDouble(2) - exp) < math.max(1e-2, exp * 1e-4),
+          s"$typ period ${r.getLong(1)}: ${r.getDouble(2)} vs $exp")
+      }
+      // the emitted periods are the brute top-3 (power desc, period asc)
+      val bruteTop = brute.collect { case ((t, p), pw) if t == typ => (p, pw) }
+        .toSeq.sortBy { case (p, pw) => (-pw, p) }.take(3).map(_._1).toSet
+      assert(rs.map(_.getLong(1).toInt).toSet === bruteTop, s"$typ top-3 set")
+    }
+  }
+
   test("graph_label_prop: communities are stable-size-ranked and conserve the node domain") {
     val rows = q("graph_label_prop").collect()
     assert(rows.nonEmpty && rows.length <= 20)
