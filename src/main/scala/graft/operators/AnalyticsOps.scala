@@ -1910,6 +1910,142 @@ object AnalyticsOps {
           round(varSR, 6).as("var_detrended"),
           round(greatest(lit(0.0), lit(1.0) - varR / varSR), 6).as("strength"))
         .orderBy(col("event_type"))
+    }),
+
+    // CUSUM changepoint screen per event series — WHERE did the level
+    // shift: S_t = Σ_{i≤t}(x_i − x̄) peaks at the change day (Page 1954,
+    // the mean-shift complement to ts_changepoint's variance split and
+    // stat_ks_test's whole-distribution drift). Kept INTEGER to the last
+    // step: S_t·n = n·cum_t − t·total (cross-multiplied, no float mean
+    // ever enters the argmax), ties at the max break to the earliest day.
+    // The windows ride the day-grain rollup — calendar-bounded per
+    // series, so the per-type ordered window can never become the
+    // single-partition scale-killer the fact grain would be. One double
+    // division renders the statistic. (n·cum ≤ days·rows — int64 safe
+    // until ~10¹⁵ events per series; DECIMAL(38) beyond.)
+    "ts_cusum" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val wO = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wA = Window.partitionBy(col("event_type"))
+      daily
+        .withColumn("cum", sum(col("c")).over(
+          wO.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("t", row_number().over(wO).cast("long"))
+        .withColumn("tot", sum(col("c")).over(wA))
+        .withColumn("n", count(lit(1)).over(wA))
+        .withColumn("dn", abs(col("n") * col("cum") - col("t") * col("tot")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("dn").desc, col("day"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("day").as("cp_day"),
+          col("n").as("n_days"),
+          round(col("dn").cast("double") / col("n"), 6).as("cusum_max"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Wald–Wolfowitz runs test on the day-over-day direction of each
+    // event series — "is this metric wiggling randomly or trending":
+    // too FEW runs of consecutive ups/downs = momentum, too many =
+    // oscillation. The run count, n₁, n₂ are pure integers off two lag
+    // windows on the calendar-bounded day grain (zero-change days drop,
+    // the standard treatment); μ and σ of the null are closed-form, so
+    // the z-statistic is one double expression on the series-count-sized
+    // frame. Statistic-not-p-value per the README rule.
+    "stat_runs_test" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val wO = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val sgn = daily
+        .withColumn("df", col("c") - lag(col("c"), 1).over(wO))
+        .filter(col("df").isNotNull && col("df") =!= 0)
+        .withColumn("sg", when(col("df") > 0, 1).otherwise(-1))
+      val agg = sgn
+        .withColumn("pg", lag(col("sg"), 1).over(wO))
+        .groupBy(col("event_type"))
+        .agg(count(when(col("sg") === 1, 1)).as("n1"),
+          count(when(col("sg") === -1, 1)).as("n2"),
+          (lit(1) + count(when(col("pg").isNotNull && col("sg") =!= col("pg"), 1)))
+            .as("runs"))
+      val nn = col("n1") + col("n2")
+      val two = lit(2.0) * col("n1") * col("n2")
+      agg.select(col("event_type"), col("n1"), col("n2"), col("runs"),
+          round((col("runs") - (two / nn + lit(1))) /
+            sqrt(two * (two - col("n1") - col("n2")) /
+              (nn.cast("double") * nn * (nn - 1))), 6).as("z"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Brown–Forsythe test (Levene with median centers) — ARE the group
+    // variances equal, the precondition gate for stat_ttest/stat_anova's
+    // pooled-variance assumption and the robust member of the family
+    // (median centering keeps the test honest under the heavy tails that
+    // break mean-centered Levene). Group medians come integer-exact off
+    // the cents grid (value at rank ⌈n/2⌉ via one per-group rank window —
+    // deterministic on the sorted multiset, no interpolation to diverge
+    // on); |x−med| deviations stay integer; then the one-way-ANOVA F on
+    // the deviations reuses stat_anova's decimal-exact moment discipline.
+    // Two fact passes (rank + moments), both hash-partitioned by group.
+    "stat_levene" -> ((s, dir) => {
+      val base = t(s, dir, "customer").select(col("c_mktsegment").as("seg"),
+        expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").as("cents"))
+      val wS = Window.partitionBy(col("seg"))
+      val med = base
+        .withColumn("rn", row_number().over(wS.orderBy(col("cents"))))
+        .withColumn("n", count(lit(1)).over(wS))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .groupBy(col("seg")).agg(max(col("cents")).as("medc"))
+      val d30 = DecimalType(30, 0)
+      val m = base.join(broadcast(med), Seq("seg"))
+        .select(col("seg"), abs(col("cents") - col("medc")).as("zz"))
+        .groupBy(col("seg")).agg(count(lit(1)).as("n"),
+          sum(col("zz").cast(d30)).as("sv"),
+          sum((col("zz") * col("zz")).cast(d30)).as("svv"))
+        .withColumn("sq",
+          round(col("sv").cast("double") * col("sv").cast("double") / col("n"), 6)
+            .cast(DecimalType(30, 6)))
+      val g = m.agg(count(lit(1)).as("k"), sum(col("n")).as("nt"),
+        sum(col("sv")).cast("double").as("svt"),
+        sum(col("svv")).cast("double").as("svvt"),
+        sum(col("sq")).cast("double").as("sgg"))
+      g.select(col("k"), col("nt").as("n"),
+        (col("k") - 1).as("df_between"), (col("nt") - col("k")).as("df_within"),
+        round(((col("sgg") - col("svt") * col("svt") / col("nt")) / (col("k") - 1)) /
+          ((col("svvt") - col("sgg")) / (col("nt") - col("k"))), 6).as("f_stat"))
+    }),
+
+    // Reliability diagram + expected calibration error — the eval every
+    // scored pipeline runs before trusting its model's probabilities:
+    // bin by predicted confidence, compare mean confidence to observed
+    // rate per bin, weight the gaps into one ECE number. The "model" is
+    // the repo's deterministic Knuth-hash scorer (masked pre-multiply,
+    // the r8 discipline) against the positive-balance label, so both
+    // engines replay the identical score stream; per-bin means are
+    // integer-count ratios, and the ECE fold 6-dp-grids each gap to
+    // micro-units before the window sum — an integer sum, order-free.
+    // One fact pass + a 10-row window; the bin grain is fixed-size at
+    // any corpus scale.
+    "eval_calibration" -> ((s, dir) => {
+      val b = t(s, dir, "customer").select(
+        (((col("c_custkey") % lit(2147483648L)) * lit(2654435761L))
+          % lit(2147483648L) % 1000).as("s"),
+        when(col("c_acctbal") > 0, 1).otherwise(0).as("y"))
+      val g = b.groupBy(expr("s div 100").as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("s")).as("ssum"), sum(col("y")).as("ysum"))
+        .withColumn("conf", round(col("ssum").cast("double") / (col("n") * lit(1000.0)), 6))
+        .withColumn("acc", round(col("ysum").cast("double") / col("n"), 6))
+        .withColumn("gap", round(abs(
+          col("ssum").cast("double") / (col("n") * lit(1000.0)) -
+            col("ysum").cast("double") / col("n")), 6))
+      val wT = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      g.select(col("bin"), col("n"), col("conf"), col("acc"), col("gap"),
+          round(sum(expr("CAST(round(gap * 1000000, 0) AS BIGINT)") * col("n")).over(wT)
+            .cast("double") /
+            (sum(col("n")).over(wT).cast("double") * lit(1000000.0)), 6).as("ece"))
+        .orderBy(col("bin"))
     }))
 
   /** Shared day-grain decomposition frame for ts_seasonal_decompose /
@@ -3024,6 +3160,98 @@ object AnalyticsOps {
                 round((ss2 - ss1 * ss1 / n) / n, 6) AS var_detrended,
                 round(greatest(0.0, 1.0 - ((sr2 - sr1 * sr1 / n) / n) /
                                           ((ss2 - ss1 * ss1 / n) / n)), 6) AS strength
-         FROM mm ORDER BY event_type"""
+         FROM mm ORDER BY event_type""",
+    "ts_cusum" ->
+      """WITH daily AS (
+           SELECT event_type, ts::DATE AS day, count(1) AS c FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, day,
+                  CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                  CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS t,
+                  CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+                  CAST(count(1) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           FROM daily),
+         s AS (
+           SELECT event_type, day, n, abs(n * cum - t * tot) AS dn,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY abs(n * cum - t * tot) DESC, day) AS rk
+           FROM w)
+         SELECT event_type, day AS cp_day, n AS n_days,
+                round(CAST(dn AS DOUBLE) / n, 6) AS cusum_max
+         FROM s WHERE rk = 1 ORDER BY event_type""",
+    "stat_runs_test" ->
+      """WITH daily AS (
+           SELECT event_type, ts::DATE AS day, count(1) AS c FROM events GROUP BY 1, 2),
+         d AS (
+           SELECT event_type, day,
+                  c - lag(c) OVER (PARTITION BY event_type ORDER BY day) AS df
+           FROM daily),
+         sgn AS (
+           SELECT event_type, day, CASE WHEN df > 0 THEN 1 ELSE -1 END AS sg
+           FROM d WHERE df IS NOT NULL AND df <> 0),
+         r AS (
+           SELECT event_type, sg,
+                  lag(sg) OVER (PARTITION BY event_type ORDER BY day) AS pg
+           FROM sgn),
+         agg AS (
+           SELECT event_type,
+                  CAST(count(CASE WHEN sg = 1 THEN 1 END) AS BIGINT) AS n1,
+                  CAST(count(CASE WHEN sg = -1 THEN 1 END) AS BIGINT) AS n2,
+                  CAST(1 + count(CASE WHEN pg IS NOT NULL AND sg <> pg THEN 1 END)
+                       AS BIGINT) AS runs
+           FROM r GROUP BY 1)
+         SELECT event_type, n1, n2, runs,
+                round((runs - (2.0 * n1 * n2 / (n1 + n2) + 1)) /
+                      sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) /
+                           (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1))), 6) AS z
+         FROM agg ORDER BY event_type""",
+    "stat_levene" ->
+      """WITH base AS (
+           SELECT c_mktsegment AS seg,
+                  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents FROM customer),
+         rk AS (
+           SELECT seg, cents,
+                  row_number() OVER (PARTITION BY seg ORDER BY cents) AS rn,
+                  count(1) OVER (PARTITION BY seg) AS n
+           FROM base),
+         med AS (SELECT seg, max(cents) AS medc FROM rk WHERE rn = (n + 1) // 2 GROUP BY seg),
+         z AS (SELECT b.seg, abs(b.cents - m.medc) AS zz
+               FROM base b JOIN med m ON b.seg = m.seg),
+         m AS (SELECT seg, count(1) AS n,
+                      sum(CAST(zz AS DECIMAL(30,0))) AS sv,
+                      sum(CAST(zz * zz AS DECIMAL(30,0))) AS svv
+               FROM z GROUP BY 1),
+         m2 AS (SELECT n, sv, svv,
+                       CAST(round(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n, 6)
+                            AS DECIMAL(30,6)) AS sq
+                FROM m),
+         g AS (SELECT count(1) AS k, CAST(sum(n) AS BIGINT) AS nt,
+                      CAST(sum(sv) AS DOUBLE) AS svt,
+                      CAST(sum(svv) AS DOUBLE) AS svvt,
+                      CAST(sum(sq) AS DOUBLE) AS sgg
+               FROM m2)
+         SELECT k, nt AS n, k - 1 AS df_between, nt - k AS df_within,
+                round(((sgg - svt * svt / nt) / (k - 1)) /
+                      ((svvt - sgg) / (nt - k)), 6) AS f_stat
+         FROM g""",
+    "eval_calibration" ->
+      """WITH b AS (
+           SELECT (((c_custkey % 2147483648) * 2654435761) % 2147483648) % 1000 AS s,
+                  CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS y
+           FROM customer),
+         g AS (SELECT s // 100 AS bin, count(1) AS n,
+                      CAST(sum(s) AS BIGINT) AS ssum, CAST(sum(y) AS BIGINT) AS ysum
+               FROM b GROUP BY 1),
+         e AS (SELECT bin, n,
+                      round(CAST(ssum AS DOUBLE) / (n * 1000.0), 6) AS conf,
+                      round(CAST(ysum AS DOUBLE) / n, 6) AS acc,
+                      round(abs(CAST(ssum AS DOUBLE) / (n * 1000.0) -
+                                CAST(ysum AS DOUBLE) / n), 6) AS gap
+               FROM g)
+         SELECT bin, n, conf, acc, gap,
+                round(CAST(sum(CAST(round(gap * 1000000, 0) AS BIGINT) * n) OVER () AS DOUBLE) /
+                      (CAST(sum(n) OVER () AS DOUBLE) * 1000000.0), 6) AS ece
+         FROM e ORDER BY bin"""
   ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
 }

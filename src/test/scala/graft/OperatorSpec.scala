@@ -2129,4 +2129,92 @@ class PropertySpec extends SparkSuite {
       .select("l_partkey").distinct().collect().map(_.getLong(0)).toSet
     rows.foreach(r => assert(parts.contains(r.getLong(0)), s"alien label: $r"))
   }
+
+  /** Day-grain per-type counts off the raw events parquet — shared input
+    * for the ts_cusum / stat_runs_test brute-force recomputes. */
+  private def dailyCounts: Map[String, Seq[(java.sql.Date, Long)]] =
+    graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day")).count()
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(x => (x._2, x._3)).sortBy(_._1.getTime).toSeq).toMap
+
+  test("ts_cusum: argmax day and peak match an integer brute-force CUSUM") {
+    val rows = q("ts_cusum").collect().map(r =>
+      r.getString(0) -> ((r.getDate(1), r.getLong(2), r.getDouble(3)))).toMap
+    dailyCounts.foreach { case (et, days) =>
+      val n = days.length.toLong
+      val tot = days.map(_._2).sum
+      var cum = 0L
+      val ss = days.zipWithIndex.map { case ((day, c), i) =>
+        cum += c
+        (day, math.abs(n * cum - (i + 1) * tot))
+      }
+      val peak = ss.maxBy(x => (x._2, -x._1.getTime))
+      val (gotDay, gotN, gotMax) = rows(et)
+      assert(gotN === n && gotDay === peak._1, s"$et changepoint")
+      assert(math.abs(gotMax - peak._2.toDouble / n) < 1e-6, s"$et peak value")
+    }
+  }
+
+  test("stat_runs_test: run count and z match a sequential recompute") {
+    val rows = q("stat_runs_test").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    dailyCounts.foreach { case (et, days) =>
+      val sg = days.map(_._2).sliding(2).collect {
+        case Seq(a, b) if b != a => if (b > a) 1 else -1
+      }.toSeq
+      val n1 = sg.count(_ == 1).toLong
+      val n2 = sg.count(_ == -1).toLong
+      val runs = 1L + sg.sliding(2).count { case Seq(a, b) => a != b; case _ => false }
+      val (g1, g2, gr, gz) = rows(et)
+      assert((g1, g2, gr) === ((n1, n2, runs)), s"$et counts")
+      val nn = (n1 + n2).toDouble
+      val mu = 2.0 * n1 * n2 / nn + 1
+      val sig = math.sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / (nn * nn * (nn - 1)))
+      assert(math.abs(gz - (runs - mu) / sig) < 1e-6, s"$et z")
+    }
+  }
+
+  test("stat_levene: Brown–Forsythe F matches a brute-force recompute") {
+    val r = q("stat_levene").collect().head
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_mktsegment", "c_acctbal").collect()
+      .map(x => (x.getString(0), math.round(x.getDouble(1) * 100)))
+    val groups = cust.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val z = groups.map { case (seg, xs) =>
+      val med = xs((xs.length + 1) / 2 - 1) // lower median, rank (n+1)/2
+      seg -> xs.map(x => math.abs(x - med).toDouble)
+    }
+    val k = z.size
+    val nt = z.valuesIterator.map(_.length).sum
+    val gm = z.valuesIterator.flatten.sum / nt
+    val ssb = z.valuesIterator.map { xs =>
+      val m = xs.sum / xs.length; xs.length * (m - gm) * (m - gm)
+    }.sum
+    val ssw = z.valuesIterator.map { xs =>
+      val m = xs.sum / xs.length; xs.map(x => (x - m) * (x - m)).sum
+    }.sum
+    assert(r.getLong(0) === k.toLong && r.getLong(1) === nt.toLong)
+    val f = (ssb / (k - 1)) / (ssw / (nt - k))
+    assert(math.abs(r.getDouble(4) - f) < 1e-4, s"F ${r.getDouble(4)} vs brute $f")
+  }
+
+  test("eval_calibration: bins partition the population and ECE is the weighted gap") {
+    val rows = q("eval_calibration").collect()
+    val nCust = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(rows.map(_.getLong(1)).sum === nCust, "bins must partition all customers")
+    rows.foreach { r =>
+      val (conf, acc, gap) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(conf >= 0 && conf <= 1 && acc >= 0 && acc <= 1)
+      assert(math.abs(gap - math.abs(conf - acc)) < 2e-6, s"bin ${r.getLong(0)} gap")
+      // predicted confidence must sit inside its own decile
+      assert(conf >= r.getLong(0) * 0.1 - 1e-9 && conf < (r.getLong(0) + 1) * 0.1 + 1e-9)
+    }
+    val ece = rows.map(r => r.getDouble(4) * r.getLong(1)).sum / nCust
+    val gotEce = rows.head.getDouble(5)
+    assert(rows.forall(r => r.getDouble(5) === gotEce), "ECE constant across bins")
+    assert(math.abs(gotEce - ece) < 1e-5, s"ECE $gotEce vs brute $ece")
+  }
 }
