@@ -192,6 +192,44 @@ object LmOps {
         .select(col("a.tok").as("t1"), col("b.tok").as("t2"),
           levenshtein(col("a.tok"), col("b.tok")).as("dist"))
         .orderBy(col("t1"), col("t2"))
+    }),
+
+    // Interpolated Kneser–Ney bigram probabilities (d = 3/4) — the
+    // smoothing that made n-gram LMs competitive and still the baseline
+    // perplexity reference: discount every observed bigram and give the
+    // mass back through the CONTINUATION distribution (how many contexts
+    // a word follows, not how often). All four count streams (bigram c,
+    // context totals c(w1·), left fan-out N1+(w1·), right fan-in
+    // N1+(·w2)) fold from ONE bigram-grain aggregation; d = 3/4 keeps
+    // the algebra rational, so the score folds to the single integer
+    // expression ((4c−3)·B + 3·N1L·N1R) / (4·c(w1·)·B) — one double
+    // division at the end, no float accumulates. Joins are
+    // vocabulary-grain (broadcast-sized even at 100 TB; the corpus is
+    // touched once for the bigram counts). Fixture magnitudes sit ~10
+    // orders inside int64; web-scale counts move the products to
+    // DECIMAL(38) unchanged.
+    "lm_kneser_ney" -> ((s, dir) => {
+      val c2 = t(s, dir, "documents")
+        .select(split(lower(col("text")), " ").as("tk"))
+        .select(explode(expr(
+          "transform(slice(tk, 1, size(tk) - 1), (w, i) -> struct(w AS w1, tk[i + 1] AS w2))"))
+          .as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      val cw = c2.groupBy(col("w1"))
+        .agg(sum(col("n")).as("cw1"), count(lit(1)).as("n1l"))
+      val cr = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1r"))
+      val b = c2.agg(count(lit(1)).as("bt"))
+      c2.join(broadcast(cw), Seq("w1")).join(broadcast(cr), Seq("w2"))
+        .join(broadcast(b))
+        .filter(col("n") >= 5)
+        .select(col("w1"), col("w2"), col("n"),
+          round(((lit(4) * col("n") - 3) * col("bt") +
+            lit(3) * col("n1l") * col("n1r")).cast("double") /
+            (lit(4) * col("cw1") * col("bt")), 6).as("pkn"))
+        .orderBy(col("pkn").desc, col("w1"), col("w2"))
+        .limit(20)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -284,6 +322,22 @@ object LmOps {
            ON substr(a.tok, 1, 1) = substr(b.tok, 1, 1) AND a.tok < b.tok
           AND abs(length(a.tok) - length(b.tok)) <= 1
           AND levenshtein(a.tok, b.tok) <= 2
-         ORDER BY t1, t2"""
+         ORDER BY t1, t2""",
+    "lm_kneser_ney" ->
+      """WITH tk AS (SELECT string_split(lower(text), ' ') AS tk FROM documents),
+         bi AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+                FROM tk, UNNEST(generate_series(1, len(tk) - 1)) AS t(i)
+                WHERE tk[i] <> '' AND tk[i+1] <> ''),
+         c2 AS (SELECT w1, w2, CAST(count(1) AS BIGINT) AS n FROM bi GROUP BY 1, 2),
+         cw AS (SELECT w1, CAST(sum(n) AS BIGINT) AS cw1,
+                       CAST(count(1) AS BIGINT) AS n1l FROM c2 GROUP BY 1),
+         cr AS (SELECT w2, CAST(count(1) AS BIGINT) AS n1r FROM c2 GROUP BY 1),
+         b AS (SELECT CAST(count(1) AS BIGINT) AS bt FROM c2)
+         SELECT w1, w2, n,
+                round(CAST((4 * n - 3) * bt + 3 * n1l * n1r AS DOUBLE) /
+                      (4 * cw1 * bt), 6) AS pkn
+         FROM c2 JOIN cw USING (w1) JOIN cr USING (w2) CROSS JOIN b
+         WHERE n >= 5
+         ORDER BY pkn DESC, w1, w2 LIMIT 20"""
   ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
 }

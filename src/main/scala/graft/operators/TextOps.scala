@@ -803,6 +803,62 @@ object TextOps {
           round(cov / varx, 6).as("zipf_exp"),
           round(cov * cov / (varx * vary), 6).as("r2"))
         .orderBy(col("source"))
+    }),
+
+    // Class-balanced downsampling — equalize the language mix by keeping
+    // exactly n_min docs per class (n_min = the smallest class), chosen
+    // as the lowest Knuth-hash ranks (masked pre-multiply, the repo's
+    // RNG-free sampling primitive: deterministic, replayable, and
+    // engine-portable — both engines select the identical doc set).
+    // Shape: one class-count agg folds to a broadcast 1-row min, one
+    // rank window per class. The window partitions by class — at 100 TB
+    // with few classes that's the topk_per_group skew story, and the
+    // same fix applies: pre-prune with a per-partition local top-n_min
+    // (or a hash threshold from n_min/class_count) before the global
+    // rank, which this plan's window would slot behind unchanged.
+    "sample_balanced" -> ((s, dir) => {
+      val h = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source"),
+        (((col("doc_id") % lit(2147483648L)) * lit(2654435761L))
+          % lit(2147483648L)).as("hv"))
+      val nmin = h.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+        .agg(min(col("cnt")).as("m"))
+      h.withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("hv"), col("doc_id"))))
+        .join(broadcast(nmin))
+        .filter(col("rn") <= col("m"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
+    // Exact-substring duplication detection (the "50-token overlap" cut
+    // of the GPT-3/C4 lineage, at k=8 for the fixture's short docs):
+    // which document pairs share verbatim k-token spans, and how many.
+    // Every pair is generated through the shingle grain — distinct
+    // (doc, shingle), document-frequency cap df ≤ 16 bounds the
+    // per-shingle fan-out at 16²/2 (hot shingles are boilerplate;
+    // text_boilerplate owns those), so the self-join can never go
+    // quadratic in the corpus. This is the same blocking discipline as
+    // MinHash banding, but exact: a pair appears iff a literal 8-token
+    // span matches. Top-20 pairs under (shared desc, ids) — total order,
+    // engine-deterministic.
+    "text_substring_dedup" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+        .filter(size(col("tk")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(tk) - 7), i -> array_join(slice(tk, i, 8), ' '))"))
+          .as("sgl"))
+        .distinct()
+      val cand = persistShared("substr_dedup_cand", sh.join(
+        sh.groupBy(col("sgl")).agg(count(lit(1)).as("d"))
+          .filter(col("d").between(2, 16)).select(col("sgl")),
+        Seq("sgl"), "left_semi"))
+      cand.as("a").join(cand.as("b"),
+          col("a.sgl") === col("b.sgl") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .orderBy(col("shared").desc, col("doc_a"), col("doc_b"))
+        .limit(20)
     }))
 
   /** HashMin label propagation to a FIXPOINT over the Jaccard pair graph:
@@ -1289,5 +1345,28 @@ object TextOps {
                 round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
                       ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
          FROM m ORDER BY source"""
+,
+    "sample_balanced" ->
+      """WITH h AS (
+           SELECT doc_id, lang, source,
+                  ((doc_id % 2147483648) * 2654435761) % 2147483648 AS hv
+           FROM documents),
+         c AS (SELECT lang, count(1) AS cnt FROM h GROUP BY 1),
+         nmin AS (SELECT min(cnt) AS m FROM c),
+         rk AS (SELECT doc_id, lang, source,
+                       row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+                FROM h)
+         SELECT r.doc_id, r.lang, r.source FROM rk r, nmin
+         WHERE r.rn <= nmin.m ORDER BY r.lang, r.doc_id""",
+    "text_substring_dedup" ->
+      """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+7], ' ') AS sgl
+                FROM tk, UNNEST(generate_series(1, len(tk) - 7)) AS t(i)
+                WHERE len(tk) >= 8),
+         keep AS (SELECT sgl FROM sh GROUP BY sgl HAVING count(1) BETWEEN 2 AND 16),
+         cand AS (SELECT sh.doc_id, sh.sgl FROM sh JOIN keep USING (sgl))
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(1) AS BIGINT) AS shared
+         FROM cand a JOIN cand b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 ORDER BY shared DESC, doc_a, doc_b LIMIT 20"""
   ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
 }

@@ -2217,4 +2217,61 @@ class PropertySpec extends SparkSuite {
     assert(rows.forall(r => r.getDouble(5) === gotEce), "ECE constant across bins")
     assert(math.abs(gotEce - ece) < 1e-5, s"ECE $gotEce vs brute $ece")
   }
+
+  test("sample_balanced: every class keeps exactly n_min docs, the lowest hash ranks") {
+    val rows = q("sample_balanced").collect().map(r => (r.getLong(0), r.getString(1)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    val byLang = docs.groupBy(_._2)
+    val nMin = byLang.valuesIterator.map(_.length).min
+    val got = rows.groupBy(_._2)
+    assert(got.keySet === byLang.keySet, "every class survives")
+    byLang.foreach { case (lang, ds) =>
+      val expect = ds.map(_._1)
+        .sortBy(id => (((id % 2147483648L) * 2654435761L) % 2147483648L, id))
+        .take(nMin).toSet
+      assert(got(lang).map(_._1).toSet === expect, s"$lang keep set")
+      assert(got(lang).length === nMin, s"$lang balanced size")
+    }
+  }
+
+  test("lm_kneser_ney: scores replay from raw bigram counts and sit in (0, 1]") {
+    val rows = q("lm_kneser_ney").collect()
+    assert(rows.length === 20)
+    val bi = spark.read.parquet(s"$sf/documents.parquet").collect()
+      .flatMap(_.getAs[String]("text").toLowerCase.split(" ").sliding(2).collect {
+        case Array(a, b) if a.nonEmpty && b.nonEmpty => (a, b)
+      })
+    val c2 = bi.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cw1 = c2.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1l = c2.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val n1r = c2.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val bt = c2.size.toLong
+    rows.foreach { r =>
+      val (w1, w2, n, pkn) = (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      assert(c2((w1, w2)) === n, s"count $w1 $w2")
+      val brute = ((4 * n - 3) * bt + 3 * n1l(w1) * n1r(w2)).toDouble / (4 * cw1(w1) * bt)
+      assert(math.abs(pkn - brute) < 1e-6, s"pkn $w1 $w2: $pkn vs $brute")
+      assert(pkn > 0 && pkn <= 1)
+    }
+  }
+
+  test("text_substring_dedup: top pairs equal a brute-force capped shingle intersection") {
+    val rows = q("text_substring_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text").toLowerCase.split(" ")))
+    val sh = docs.flatMap { case (id, tk) =>
+      tk.sliding(8).filter(_.length == 8).map(s => (id, s.mkString(" "))).distinct
+    }.distinct
+    val byShingle = sh.groupBy(_._2).filter { case (_, ds) => ds.length >= 2 && ds.length <= 16 }
+    val pairCounts = byShingle.valuesIterator.flatMap { ds =>
+      val ids = ds.map(_._1).sorted
+      for (i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator)
+        yield (ids(i), ids(j))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((a, b), n) => (a, b, n) }
+      .sortBy { case (a, b, n) => (-n, a, b) }.take(20)
+    assert(rows.toSeq === pairCounts, "top-20 pair list")
+  }
 }

@@ -521,7 +521,9 @@ class PlanSpec extends SparkSuite {
       "stat_proportions_ztest" -> "theta self-join of a broadcast 5-row segment-count frame (<=25 pairs)",
       "stat_bootstrap_ci" -> "crossJoins compose three 1-row frames (full mean + rank-2/rank-63 order stats)",
       "vec_pca_power" -> "crossJoins against broadcast 1-row scalars (n, s'v, norm, sign) per power round",
-      "graph_modularity" -> "crossJoins compose four 1-row aggregate frames (m, e_c, sum d_c^2, n_communities)")
+      "graph_modularity" -> "crossJoins compose four 1-row aggregate frames (m, e_c, sum d_c^2, n_communities)",
+      "sample_balanced" -> "crossJoin against a broadcast 1-row min-class-count frame",
+      "lm_kneser_ney" -> "crossJoin against a broadcast 1-row bigram-type-count frame")
     val sf = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if boundedByConstruction.contains(name) => None
