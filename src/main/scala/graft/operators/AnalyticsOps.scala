@@ -2046,6 +2046,104 @@ object AnalyticsOps {
             .cast("double") /
             (sum(col("n")).over(wT).cast("double") * lit(1000000.0)), 6).as("ece"))
         .orderBy(col("bin"))
+    }),
+
+    // Theil–Sen slope per event series — the ROBUST trend magnitude
+    // (median of all pairwise day-slopes; up to 29% outliers cannot move
+    // it) completing ts_trend_mannkendall's direction verdict with a
+    // size. The pair join is calendar-bounded per series (days², never
+    // the fact grain); each slope is one IEEE division of exact integers
+    // (deterministic bit-for-bit on both engines), and the median is the
+    // value at rank ⌈m/2⌉ of the slope-ordered window — stat_levene's
+    // lower-median discipline, no interpolation.
+    "ts_theil_sen" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val sl = daily.as("a").join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
+        .select(col("a.event_type").as("event_type"),
+          ((col("b.c") - col("a.c")).cast("double") /
+            datediff(col("b.day"), col("a.day"))).as("slope"))
+      val wS = Window.partitionBy(col("event_type"))
+      sl.withColumn("rn", row_number().over(wS.orderBy(col("slope"))))
+        .withColumn("m", count(lit(1)).over(wS))
+        .groupBy(col("event_type"))
+        .agg(max(col("m")).as("n_pairs"),
+          round(max(when(col("rn") === expr("(m + 1) div 2"), col("slope"))), 6)
+            .as("slope"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Confusion matrix + P/R/F1/accuracy at the 0.5 threshold — the
+    // companion to stat_auc_roc (threshold-free ranking) and
+    // eval_calibration (probability quality): what the classifier
+    // actually DOES at its operating point. Same deterministic
+    // Knuth-hash scorer vs positive-balance label; the four cells are
+    // one filtered-count agg over a single fact pass, the metrics pure
+    // double algebra on the 1-row frame (F1 folded to 2tp/(2tp+fp+fn) —
+    // one division, no nested ratios to diverge).
+    "eval_confusion" -> ((s, dir) => {
+      val b = t(s, dir, "customer").select(
+        (((col("c_custkey") % lit(2147483648L)) * lit(2654435761L))
+          % lit(2147483648L) % 1000).as("s"),
+        when(col("c_acctbal") > 0, 1).otherwise(0).as("y"))
+      b.agg(
+          count(when(col("s") >= 500 && col("y") === 1, 1)).as("tp"),
+          count(when(col("s") >= 500 && col("y") === 0, 1)).as("fp"),
+          count(when(col("s") < 500 && col("y") === 0, 1)).as("tn"),
+          count(when(col("s") < 500 && col("y") === 1, 1)).as("fn"))
+        .select(col("tp"), col("fp"), col("tn"), col("fn"),
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 6).as("prec"),
+          round(col("tp").cast("double") / (col("tp") + col("fn")), 6).as("rec"),
+          round(lit(2.0) * col("tp") /
+            (lit(2.0) * col("tp") + col("fp") + col("fn")), 6).as("f1"),
+          round((col("tp") + col("tn")).cast("double") /
+            (col("tp") + col("fp") + col("tn") + col("fn")), 6).as("accuracy"))
+    }),
+
+    // HITS hubs & authorities on the bipartite customer→part purchase
+    // graph (Kleinberg 1999): which parts does the whole market endorse
+    // (authority), weighted by how broad each endorsing customer's
+    // basket is (hub). Two mutual-reinforcement rounds — the bounded-
+    // round discipline (pagerank's 5 damped rounds) so the DuckDB twin
+    // unrolls identically. MAX-normalization instead of L2 keeps every
+    // round rational: per-round scores 6-dp-grid to DECIMAL before the
+    // next round's sum (order-free), the max is an exact decimal, and
+    // the only float op per round is one double division of exact
+    // decimals. Each half-round is one edges-grain join + hash agg
+    // against a node-sized score frame — the PageRank scale shape; the
+    // edge build is one orders⋈lineitem pass, persisted across rounds.
+    "graph_hits" -> ((s, dir) => {
+      val d6 = (c: Column) => dec(c)
+      val edges = persistShared("hits_edges",
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+          .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct())
+      def normalize(raw: DataFrame, key: String, v: String): DataFrame = {
+        val mx = raw.agg(max(col(v)).as("mx"))
+        raw.join(broadcast(mx))
+          .select(col(key),
+            d6(round(col(v).cast("double") / col("mx").cast("double"), 6)).as(v))
+      }
+      // round 1: a₀ ≡ 1 → hub mass = customer degree
+      val h1 = normalize(
+        edges.groupBy(col("c")).agg(count(lit(1)).cast(DecimalType(18, 6)).as("h")),
+        "c", "h")
+      val a1 = normalize(
+        edges.join(h1, Seq("c")).groupBy(col("p")).agg(sum(col("h")).as("a")),
+        "p", "a")
+      // round 2
+      val h2 = normalize(
+        edges.join(a1, Seq("p")).groupBy(col("c")).agg(sum(col("a")).as("h")),
+        "c", "h")
+      val a2raw = edges.join(h2, Seq("c")).groupBy(col("p")).agg(sum(col("h")).as("ar"))
+      a2raw.join(broadcast(a2raw.agg(max(col("ar")).as("am"))))
+        .select(col("p").as("part"),
+          round(col("ar").cast("double") / col("am").cast("double"), 6).as("authority"))
+        .orderBy(col("authority").desc, col("part"))
+        .limit(10)
     }))
 
   /** Shared day-grain decomposition frame for ts_seasonal_decompose /
@@ -3252,6 +3350,58 @@ object AnalyticsOps {
          SELECT bin, n, conf, acc, gap,
                 round(CAST(sum(CAST(round(gap * 1000000, 0) AS BIGINT) * n) OVER () AS DOUBLE) /
                       (CAST(sum(n) OVER () AS DOUBLE) * 1000000.0), 6) AS ece
-         FROM e ORDER BY bin"""
+         FROM e ORDER BY bin""",
+    "ts_theil_sen" ->
+      """WITH daily AS (
+           SELECT event_type, ts::DATE AS day, count(1) AS c FROM events GROUP BY 1, 2),
+         sl AS (
+           SELECT a.event_type,
+                  CAST(b.c - a.c AS DOUBLE) / date_diff('day', a.day, b.day) AS slope
+           FROM daily a JOIN daily b
+             ON a.event_type = b.event_type AND a.day < b.day),
+         rk AS (
+           SELECT event_type, slope,
+                  row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+                  count(1) OVER (PARTITION BY event_type) AS m
+           FROM sl)
+         SELECT event_type, max(m) AS n_pairs,
+                round(max(CASE WHEN rn = (m + 1) // 2 THEN slope END), 6) AS slope
+         FROM rk GROUP BY event_type ORDER BY event_type""",
+    "eval_confusion" ->
+      """WITH b AS (
+           SELECT (((c_custkey % 2147483648) * 2654435761) % 2147483648) % 1000 AS s,
+                  CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS y
+           FROM customer),
+         m AS (SELECT
+                 CAST(count(CASE WHEN s >= 500 AND y = 1 THEN 1 END) AS BIGINT) AS tp,
+                 CAST(count(CASE WHEN s >= 500 AND y = 0 THEN 1 END) AS BIGINT) AS fp,
+                 CAST(count(CASE WHEN s < 500 AND y = 0 THEN 1 END) AS BIGINT) AS tn,
+                 CAST(count(CASE WHEN s < 500 AND y = 1 THEN 1 END) AS BIGINT) AS fn
+               FROM b)
+         SELECT tp, fp, tn, fn,
+                round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS prec,
+                round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS rec,
+                round(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1,
+                round(CAST(tp + tn AS DOUBLE) / (tp + fp + tn + fn), 6) AS accuracy
+         FROM m""",
+    "graph_hits" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         h1r AS (SELECT c, CAST(count(1) AS DECIMAL(18,6)) AS hr FROM e GROUP BY c),
+         hm1 AS (SELECT max(hr) AS hm FROM h1r),
+         h1 AS (SELECT c, CAST(round(CAST(hr AS DOUBLE) / CAST(hm AS DOUBLE), 6)
+                               AS DECIMAL(18,6)) AS h FROM h1r, hm1),
+         a1r AS (SELECT p, sum(h) AS ar FROM e JOIN h1 USING (c) GROUP BY p),
+         am1 AS (SELECT max(ar) AS am FROM a1r),
+         a1 AS (SELECT p, CAST(round(CAST(ar AS DOUBLE) / CAST(am AS DOUBLE), 6)
+                               AS DECIMAL(18,6)) AS a FROM a1r, am1),
+         h2r AS (SELECT c, sum(a) AS hr FROM e JOIN a1 USING (p) GROUP BY c),
+         hm2 AS (SELECT max(hr) AS hm FROM h2r),
+         h2 AS (SELECT c, CAST(round(CAST(hr AS DOUBLE) / CAST(hm AS DOUBLE), 6)
+                               AS DECIMAL(18,6)) AS h FROM h2r, hm2),
+         a2r AS (SELECT p, sum(h) AS ar FROM e JOIN h2 USING (c) GROUP BY p),
+         am2 AS (SELECT max(ar) AS am FROM a2r)
+         SELECT p AS part, round(CAST(ar AS DOUBLE) / CAST(am AS DOUBLE), 6) AS authority
+         FROM a2r, am2 ORDER BY authority DESC, part LIMIT 10"""
   ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
 }

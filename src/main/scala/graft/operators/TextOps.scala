@@ -842,13 +842,7 @@ object TextOps {
     // span matches. Top-20 pairs under (shared desc, ids) — total order,
     // engine-deterministic.
     "text_substring_dedup" -> ((s, dir) => {
-      val sh = t(s, dir, "documents")
-        .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
-        .filter(size(col("tk")) >= 8)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(tk) - 7), i -> array_join(slice(tk, i, 8), ' '))"))
-          .as("sgl"))
-        .distinct()
+      val sh = shingleFrame(s, dir)
       val cand = persistShared("substr_dedup_cand", sh.join(
         sh.groupBy(col("sgl")).agg(count(lit(1)).as("d"))
           .filter(col("d").between(2, 16)).select(col("sgl")),
@@ -859,7 +853,41 @@ object TextOps {
         .agg(count(lit(1)).as("shared"))
         .orderBy(col("shared").desc, col("doc_a"), col("doc_b"))
         .limit(20)
+    }),
+
+    // Per-document n-gram novelty — the inverse view of
+    // text_substring_dedup: what FRACTION of a doc's verbatim 8-token
+    // spans appear nowhere else in the corpus. The curation signal for
+    // "is this doc contributing new text or re-serving the corpus"
+    // (template pages and mirrors score near 0, original prose near 1).
+    // Rides the same process-shared shingle frame as the dedup pair
+    // query — the pair-build-once pattern — and adds one document-
+    // frequency agg + one shingle-grain join; the ratio is an exact
+    // integer-count division.
+    "text_ngram_novelty" -> ((s, dir) => {
+      val sh = shingleFrame(s, dir)
+      sh.join(sh.groupBy(col("sgl")).agg(count(lit(1)).as("d")), Seq("sgl"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          count(when(col("d") === 1, 1)).as("n_novel"),
+          round(count(when(col("d") === 1, 1)).cast("double") / count(lit(1)), 6)
+            .as("novelty"))
+        .orderBy(col("doc_id"))
     }))
+
+  /** Distinct (doc, 8-token-shingle) grain, shared per process+dir by
+    * text_substring_dedup / text_ngram_novelty (the coPurchaseGraph
+    * pattern: the expensive explode runs once, every consumer reads the
+    * pinned frame). */
+  private def shingleFrame(s: SparkSession, dir: String): DataFrame =
+    persistSharedPerDir("shingleFrame", dir,
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+        .filter(size(col("tk")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(tk) - 7), i -> array_join(slice(tk, i, 8), ' '))"))
+          .as("sgl"))
+        .distinct())
 
   /** HashMin label propagation to a FIXPOINT over the Jaccard pair graph:
     * component id = min doc_id reachable. Iterations bounded by component
@@ -1367,6 +1395,17 @@ object TextOps {
          cand AS (SELECT sh.doc_id, sh.sgl FROM sh JOIN keep USING (sgl))
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(1) AS BIGINT) AS shared
          FROM cand a JOIN cand b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
-         GROUP BY 1, 2 ORDER BY shared DESC, doc_a, doc_b LIMIT 20"""
+         GROUP BY 1, 2 ORDER BY shared DESC, doc_a, doc_b LIMIT 20""",
+    "text_ngram_novelty" ->
+      """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+7], ' ') AS sgl
+                FROM tk, UNNEST(generate_series(1, len(tk) - 7)) AS t(i)
+                WHERE len(tk) >= 8),
+         df AS (SELECT sgl, count(1) AS d FROM sh GROUP BY sgl)
+         SELECT sh.doc_id, CAST(count(1) AS BIGINT) AS n_shingles,
+                CAST(count(CASE WHEN df.d = 1 THEN 1 END) AS BIGINT) AS n_novel,
+                round(CAST(count(CASE WHEN df.d = 1 THEN 1 END) AS DOUBLE) / count(1), 6)
+                  AS novelty
+         FROM sh JOIN df USING (sgl) GROUP BY sh.doc_id ORDER BY sh.doc_id"""
   ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
 }

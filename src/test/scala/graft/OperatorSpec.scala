@@ -2274,4 +2274,83 @@ class PropertySpec extends SparkSuite {
       .sortBy { case (a, b, n) => (-n, a, b) }.take(20)
     assert(rows.toSeq === pairCounts, "top-20 pair list")
   }
+
+  test("ts_theil_sen: slope is the lower median of all pairwise day slopes") {
+    val rows = q("ts_theil_sen").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    dailyCounts.foreach { case (et, days) =>
+      val slopes = (for {
+        i <- days.indices; j <- i + 1 until days.length
+      } yield (days(j)._2 - days(i)._2).toDouble /
+          ((days(j)._1.getTime - days(i)._1.getTime) / 86400000L)).sorted
+      val med = slopes((slopes.length + 1) / 2 - 1)
+      val (m, slope) = rows(et)
+      assert(m === slopes.length.toLong, s"$et pair count")
+      assert(math.abs(slope - med) < 1e-6, s"$et slope $slope vs $med")
+    }
+  }
+
+  test("eval_confusion: cells and metrics replay from the raw score stream") {
+    val r = q("eval_confusion").collect().head
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_acctbal").collect()
+      .map(x => (x.getLong(0), x.getDouble(1)))
+    val cells = cust.map { case (k, bal) =>
+      val s = ((k % 2147483648L) * 2654435761L) % 2147483648L % 1000
+      (s >= 500, bal > 0)
+    }
+    val tp = cells.count(c => c._1 && c._2).toLong
+    val fp = cells.count(c => c._1 && !c._2).toLong
+    val tn = cells.count(c => !c._1 && !c._2).toLong
+    val fn = cells.count(c => !c._1 && c._2).toLong
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) === ((tp, fp, tn, fn)))
+    assert(math.abs(r.getDouble(4) - tp.toDouble / (tp + fp)) < 1e-6)
+    assert(math.abs(r.getDouble(5) - tp.toDouble / (tp + fn)) < 1e-6)
+    assert(math.abs(r.getDouble(6) - 2.0 * tp / (2.0 * tp + fp + fn)) < 1e-6)
+    assert(math.abs(r.getDouble(7) - (tp + tn).toDouble / cells.length) < 1e-6)
+  }
+
+  test("graph_hits: two max-normalized rounds replay exactly under HALF_UP grid") {
+    val rows = q("graph_hits").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .flatMap(r => ord.get(r.getLong(0)).map(c => (c, r.getLong(1)))).distinct
+    def g6(x: BigDecimal): BigDecimal = x.setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def norm(raw: Map[Long, BigDecimal]): Map[Long, BigDecimal] = {
+      val mx = raw.values.max
+      raw.view.mapValues(v => g6(BigDecimal(v.toDouble / mx.toDouble))).toMap
+    }
+    val byC = edges.groupBy(_._1)
+    val byP = edges.groupBy(_._2)
+    val h1 = norm(byC.view.mapValues(es => BigDecimal(es.length)).toMap)
+    val a1 = norm(byP.view.mapValues(_.map(e => h1(e._1)).sum).toMap)
+    val h2 = norm(byC.view.mapValues(_.map(e => a1(e._2)).sum).toMap)
+    val a2raw = byP.view.mapValues(_.map(e => h2(e._1)).sum).toMap
+    val am = a2raw.values.max
+    val expect = a2raw.toSeq
+      .map { case (p, v) => (p, g6(BigDecimal(v.toDouble / am.toDouble)).toDouble) }
+      .sortBy { case (p, a) => (-a, p) }.take(10)
+    assert(rows.toSeq === expect, "top-10 authorities")
+  }
+
+  test("text_ngram_novelty: ratios replay from a brute shingle document-frequency") {
+    val rows = q("text_ngram_novelty").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text").toLowerCase.split(" ")))
+    val sh = docs.flatMap { case (id, tk) =>
+      tk.sliding(8).filter(_.length == 8).map(s => (id, s.mkString(" "))).distinct
+    }.distinct
+    val df = sh.groupBy(_._2).view.mapValues(_.length).toMap
+    sh.groupBy(_._1).foreach { case (id, ss) =>
+      val novel = ss.count(s => df(s._2) == 1).toLong
+      val (gn, gv, gr) = rows(id)
+      assert(gn === ss.length.toLong && gv === novel, s"doc $id counts")
+      assert(math.abs(gr - novel.toDouble / ss.length) < 1e-6, s"doc $id ratio")
+    }
+    assert(rows.keySet === sh.map(_._1).toSet, "every shingle-bearing doc scored")
+  }
 }
