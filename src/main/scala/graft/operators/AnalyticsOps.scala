@@ -889,6 +889,44 @@ object AnalyticsOps {
           round(sum(col("contrib")).cast("double"), 6).as("chi2"))
     }),
 
+    // Cramér's V — the EFFECT SIZE for categorical association, next to
+    // stat_chi2's significance statistic (the χ²-vs-V pairing mirrors
+    // stat_ttest-vs-stat_cohens_d for means): V = √(χ²/(n·min(r−1,c−1)))
+    // on the segment × region contingency of the customer base, so a
+    // 100 TB fact can't hide a trivial association behind a huge n.
+    // Same shape discipline as stat_chi2: one fact-sized hash agg to the
+    // ≤ 25-cell observed grid (pinned — four downstream sinks), full
+    // margin cross product with O coalesced to 0, 6-dp-gridded decimal
+    // contribution sum, then V is one sqrt on the 1-row frame.
+    "stat_cramers_v" -> ((s, dir) => {
+      val obs = persistShared("stat_cramers_v", t(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"), col("c_nationkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("seg"), col("n_regionkey").as("reg"))
+        .agg(count(lit(1)).as("o")))
+      val rowt = obs.groupBy(col("seg")).agg(sum(col("o")).as("rt"))
+      val colt = obs.groupBy(col("reg")).agg(sum(col("o")).as("ct"))
+      val tot = obs.agg(sum(col("o")).as("n"))
+      rowt.crossJoin(broadcast(colt))
+        .join(obs, Seq("seg", "reg"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("e", col("rt").cast("double") * col("ct") / col("n"))
+        .withColumn("contrib",
+          round((col("o") - col("e")) * (col("o") - col("e")) / col("e"), 6)
+            .cast(DecimalType(18, 6)))
+        .agg(max(col("n")).as("n"),
+          countDistinct(col("seg")).as("r"), countDistinct(col("reg")).as("c"),
+          sum(col("contrib")).cast("double").as("x2"))
+        .select(col("n"), col("r"), col("c"),
+          ((col("r") - 1) * (col("c") - 1)).as("dof"),
+          round(col("x2"), 6).as("chi2"),
+          round(sqrt(col("x2") /
+            (col("n") * least(col("r") - 1, col("c") - 1))), 6).as("cramers_v"))
+    }),
+
     // Item-based collaborative filtering: cosine similarity between
     // items over the binary user–item interaction matrix (customers ×
     // parts via their orders), the classic "customers who bought X also
@@ -1912,17 +1950,19 @@ object AnalyticsOps {
         .orderBy(col("event_type"))
     }),
 
-    // CUSUM changepoint screen per event series — WHERE did the level
-    // shift: S_t = Σ_{i≤t}(x_i − x̄) peaks at the change day (Page 1954,
-    // the mean-shift complement to ts_changepoint's variance split and
-    // stat_ks_test's whole-distribution drift). Kept INTEGER to the last
-    // step: S_t·n = n·cum_t − t·total (cross-multiplied, no float mean
-    // ever enters the argmax), ties at the max break to the earliest day.
-    // The windows ride the day-grain rollup — calendar-bounded per
-    // series, so the per-type ordered window can never become the
-    // single-partition scale-killer the fact grain would be. One double
-    // division renders the statistic. (n·cum ≤ days·rows — int64 safe
-    // until ~10¹⁵ events per series; DECIMAL(38) beyond.)
+    // One-sided Page CUSUM detector per event series (Page 1954's
+    // SEQUENTIAL form, distinct from ts_changepoint's global two-sided
+    // argmax): S_t = max(0, S_{t−1} + (x_t − x̄)) — the detector resets
+    // at every new low, so a late up-shift isn't diluted by early
+    // history the way the global statistic dilutes it. The recursion
+    // un-recurses into windows: S_t = Q_t − min_{j≤t} Q_j with
+    // Q_t = cum_t − t·x̄, so one prefix-min window replaces the
+    // sequential loop — the declarative form of the detector. Kept
+    // INTEGER to the last step via Q̃_t = n·cum_t − t·total (no float
+    // mean enters the max/argmax), peak ties break to the earliest day.
+    // Windows ride the calendar-bounded day grain; one double division
+    // renders the statistic. (n·cum ≤ days·rows — int64 safe to ~10¹⁵
+    // events per series; DECIMAL(38) beyond.)
     "ts_cusum" -> ((s, dir) => {
       val daily = events(s, dir)
         .groupBy(col("event_type"), col("ts").cast("date").as("day"))
@@ -1935,13 +1975,19 @@ object AnalyticsOps {
         .withColumn("t", row_number().over(wO).cast("long"))
         .withColumn("tot", sum(col("c")).over(wA))
         .withColumn("n", count(lit(1)).over(wA))
-        .withColumn("dn", abs(col("n") * col("cum") - col("t") * col("tot")))
+        .withColumn("q", col("n") * col("cum") - col("t") * col("tot"))
+        // the prefix min must include the EMPTY prefix (Q₀ = 0, the
+        // detector's start state) or an all-positive series never resets
+        // and the window form diverges from the literal recursion — the
+        // unit spec replays the recursion and caught exactly this
+        .withColumn("s", col("q") - least(lit(0L), min(col("q")).over(
+          wO.rowsBetween(Window.unboundedPreceding, 0))))
         .withColumn("rk", row_number().over(
-          Window.partitionBy(col("event_type")).orderBy(col("dn").desc, col("day"))))
+          Window.partitionBy(col("event_type")).orderBy(col("s").desc, col("day"))))
         .filter(col("rk") === 1)
-        .select(col("event_type"), col("day").as("cp_day"),
+        .select(col("event_type"), col("day").as("alarm_day"),
           col("n").as("n_days"),
-          round(col("dn").cast("double") / col("n"), 6).as("cusum_max"))
+          round(col("s").cast("double") / col("n"), 6).as("cusum_max"))
         .orderBy(col("event_type"))
     }),
 
@@ -2578,6 +2624,30 @@ object AnalyticsOps {
                 (count(DISTINCT p) - 1) * (count(DISTINCT st) - 1) AS dof,
                 round(CAST(sum(contrib) AS DOUBLE), 6) AS chi2
          FROM c2""",
+    "stat_cramers_v" ->
+      """WITH obs AS (
+           SELECT c_mktsegment AS seg, n_regionkey AS reg, count(1) AS o
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2),
+         rowt AS (SELECT seg, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
+         colt AS (SELECT reg, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+         tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+         cells AS (SELECT coalesce(obs.o, 0) AS o, rowt.seg, colt.reg, n,
+                          CAST(rt AS DOUBLE) * ct / n AS e
+                   FROM rowt CROSS JOIN colt
+                   LEFT JOIN obs ON obs.seg = rowt.seg AND obs.reg = colt.reg
+                   CROSS JOIN tot),
+         c2 AS (SELECT seg, reg, n,
+                       CAST(round((o - e) * (o - e) / e, 6) AS DECIMAL(19,6)) AS contrib
+                FROM cells),
+         g AS (SELECT max(n) AS n,
+                      count(DISTINCT seg) AS r, count(DISTINCT reg) AS c,
+                      CAST(sum(contrib) AS DOUBLE) AS x2
+               FROM c2)
+         SELECT n, r, c, (r - 1) * (c - 1) AS dof,
+                round(x2, 6) AS chi2,
+                round(sqrt(x2 / (n * least(r - 1, c - 1))), 6) AS cramers_v
+         FROM g""",
     "recs_item_cf" ->
       """WITH ui0 AS (
            SELECT DISTINCT o_custkey AS u, l_partkey AS i
@@ -3270,14 +3340,21 @@ object AnalyticsOps {
                   CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
                   CAST(count(1) OVER (PARTITION BY event_type) AS BIGINT) AS n
            FROM daily),
-         s AS (
-           SELECT event_type, day, n, abs(n * cum - t * tot) AS dn,
+         qq AS (
+           SELECT event_type, day, n, n * cum - t * tot AS q FROM w),
+         ss AS (
+           SELECT event_type, day, n,
+                  q - least(0, min(q) OVER (PARTITION BY event_type ORDER BY day
+                                            ROWS UNBOUNDED PRECEDING)) AS s
+           FROM qq),
+         rk AS (
+           SELECT event_type, day, n, s,
                   row_number() OVER (PARTITION BY event_type
-                                     ORDER BY abs(n * cum - t * tot) DESC, day) AS rk
-           FROM w)
-         SELECT event_type, day AS cp_day, n AS n_days,
-                round(CAST(dn AS DOUBLE) / n, 6) AS cusum_max
-         FROM s WHERE rk = 1 ORDER BY event_type""",
+                                     ORDER BY s DESC, day) AS rk
+           FROM ss)
+         SELECT event_type, day AS alarm_day, n AS n_days,
+                round(CAST(s AS DOUBLE) / n, 6) AS cusum_max
+         FROM rk WHERE rk = 1 ORDER BY event_type""",
     "stat_runs_test" ->
       """WITH daily AS (
            SELECT event_type, ts::DATE AS day, count(1) AS c FROM events GROUP BY 1, 2),

@@ -209,14 +209,17 @@ object LmOps {
     // orders inside int64; web-scale counts move the products to
     // DECIMAL(38) unchanged.
     "lm_kneser_ney" -> ((s, dir) => {
-      val c2 = t(s, dir, "documents")
+      // the bigram-type frame feeds FOUR sinks (cw, cr, b, the final
+      // join) — pinned so the corpus tokenize+agg runs once, not four
+      // times (the re-executed-subtree lint class; vocabulary-grain tiny)
+      val c2 = persistShared("lm_kn_c2", t(s, dir, "documents")
         .select(split(lower(col("text")), " ").as("tk"))
         .select(explode(expr(
           "transform(slice(tk, 1, size(tk) - 1), (w, i) -> struct(w AS w1, tk[i + 1] AS w2))"))
           .as("b"))
         .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
         .filter(col("w1") =!= "" && col("w2") =!= "")
-        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n")))
       val cw = c2.groupBy(col("w1"))
         .agg(sum(col("n")).as("cw1"), count(lit(1)).as("n1l"))
       val cr = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1r"))

@@ -231,6 +231,44 @@ object Multimodal {
           analyzePcm(id, encodePcm(bytes)) })
         .toDF()
         .orderBy(col("doc_id"))
+    }),
+
+    // Perceptual-hash image dedup — the multimodal member of the near-dup
+    // family: aHash over the REAL encode→decode thumbnail (bit i set iff
+    // cell i beats the thumbnail mean, compared cross-multiplied as
+    // 16·cellᵢ > Σcells — pure integers, no float mean), then candidate
+    // pairs through 4-bit LSH bands (hamming ≤ 2 ⇒ ≥ 2 of 4 bands equal,
+    // the pigeonhole guarantee — the same banding math as MinHash-LSH, so
+    // the self-join is bucket-bounded, never all-pairs) and an exact
+    // popcount rerank. The codec round trip runs ONCE into a pinned
+    // hash frame; the band explode and join read the cache. At 100 TB
+    // this is the image-corpus dedup shape: per-image hash (embarrassing
+    // parallel) + banded bucket join.
+    "mm_phash" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      val hs = persistShared("phash_frame", media
+        .mapPartitions(_.map { case (id, bytes) => resizePng(id, encodePng(bytes)) })
+        .toDF()
+        .withColumn("stot", expr("aggregate(thumb, 0L, (a, x) -> a + x)"))
+        .select(col("doc_id"), expr(
+          """aggregate(sequence(0, 15), 0L, (a, i) ->
+             a + CASE WHEN thumb[i] * 16 > stot
+                      THEN CAST(shiftleft(1, i) AS BIGINT) ELSE 0L END)""").as("phash")))
+      val bands = hs.select(col("doc_id"), col("phash"),
+          explode(sequence(lit(0), lit(3))).as("b"))
+        .withColumn("bv", expr("shiftright(phash, CAST(b * 4 AS INT)) & 15"))
+      bands.as("a").join(bands.as("b"),
+          col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.phash").as("pa"), col("b.phash").as("pb")).distinct()
+        .select(col("doc_a"), col("doc_b"),
+          expr("CAST(bit_count(pa ^ pb) AS BIGINT)").as("hamming"))
+        .filter(col("hamming") <= 2)
+        .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
     }))
 
   // The codec is lossless, so the oracle recomputes the features straight
@@ -310,6 +348,40 @@ object Multimodal {
                 CAST(peak AS INTEGER) AS peak, m.max_energy,
                 CAST(m.f AS INTEGER) AS max_frame, mean_energy
          FROM feat d JOIN maxf m ON d.doc_id = m.doc_id AND m.rk = 1
-         ORDER BY d.doc_id"""
+         ORDER BY d.doc_id""",
+    "mm_phash" ->
+      """WITH dims AS (
+           SELECT doc_id, strlen(text) AS n,
+                  8 + strlen(text) % 9 AS w, 8 + strlen(text) % 7 AS h, text
+           FROM documents),
+         px0 AS (
+           SELECT doc_id, n, w, h, text, unnest(range(0, w * h)) AS i FROM dims),
+         px AS (
+           SELECT doc_id, w, h, (i % w) AS x, (i // w) AS y,
+                  CAST(ord(text[CAST(i % n AS INTEGER) + 1]) AS BIGINT) AS r
+           FROM px0),
+         cells AS (
+           SELECT doc_id, (y * 4 // h) * 4 + (x * 4 // w) AS cell,
+                  SUM(r) // COUNT(*) AS v
+           FROM px GROUP BY 1, 2),
+         hs AS (
+           SELECT doc_id,
+                  CAST(sum(CASE WHEN v * 16 > s
+                           THEN CAST(1 AS BIGINT) << CAST(cell AS INTEGER)
+                           ELSE 0 END) AS BIGINT) AS phash
+           FROM (SELECT doc_id, cell, v,
+                        sum(v) OVER (PARTITION BY doc_id) AS s FROM cells)
+           GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, b, (phash >> CAST(b * 4 AS INTEGER)) & 15 AS bv, phash
+           FROM hs, UNNEST(generate_series(0, 3)) AS t(b)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.phash AS pa, b.phash AS pb
+           FROM bands a JOIN bands b
+             ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(pa, pb)) <= 2
+         ORDER BY hamming, doc_a, doc_b"""
   ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
 }

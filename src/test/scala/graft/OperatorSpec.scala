@@ -2140,20 +2140,22 @@ class PropertySpec extends SparkSuite {
       .groupBy(_._1).view
       .mapValues(_.map(x => (x._2, x._3)).sortBy(_._1.getTime).toSeq).toMap
 
-  test("ts_cusum: argmax day and peak match an integer brute-force CUSUM") {
+  test("ts_cusum: peak matches the sequential one-sided Page recursion") {
     val rows = q("ts_cusum").collect().map(r =>
       r.getString(0) -> ((r.getDate(1), r.getLong(2), r.getDouble(3)))).toMap
     dailyCounts.foreach { case (et, days) =>
       val n = days.length.toLong
       val tot = days.map(_._2).sum
-      var cum = 0L
-      val ss = days.zipWithIndex.map { case ((day, c), i) =>
-        cum += c
-        (day, math.abs(n * cum - (i + 1) * tot))
+      // literal Page recursion S_t = max(0, S_{t-1} + n*(x_t - mean)) in
+      // n-scaled integers — the window prefix-min form must equal it
+      var s = 0L
+      val ss = days.map { case (day, c) =>
+        s = math.max(0L, s + n * c - tot)
+        (day, s)
       }
       val peak = ss.maxBy(x => (x._2, -x._1.getTime))
       val (gotDay, gotN, gotMax) = rows(et)
-      assert(gotN === n && gotDay === peak._1, s"$et changepoint")
+      assert(gotN === n && gotDay === peak._1, s"$et alarm day")
       assert(math.abs(gotMax - peak._2.toDouble / n) < 1e-6, s"$et peak value")
     }
   }
@@ -2352,5 +2354,55 @@ class PropertySpec extends SparkSuite {
       assert(math.abs(gr - novel.toDouble / ss.length) < 1e-6, s"doc $id ratio")
     }
     assert(rows.keySet === sh.map(_._1).toSet, "every shingle-bearing doc scored")
+  }
+
+  test("mm_phash: pairs replay a real-codec aHash + LSH-band brute force") {
+    val rows = q("mm_phash").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val hashes = docs.map { case (id, text) =>
+      val th = graft.operators.Multimodal.resizePng(id,
+        graft.operators.Multimodal.encodePng(
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8))).thumb
+      val stot = th.sum
+      id -> (0 until 16).map(i => if (th(i) * 16 > stot) 1L << i else 0L).sum
+    }.toMap
+    val expect = (for {
+      (a, ha) <- hashes.toSeq; (b, hb) <- hashes.toSeq if a < b
+      // banding recall check: hamming<=2 implies >=2 equal 4-bit bands,
+      // so the LSH candidate set can never miss a reported pair
+      h = java.lang.Long.bitCount(ha ^ hb).toLong if h <= 2
+    } yield (a, b, h)).sortBy { case (a, b, h) => (h, a, b) }
+    assert(rows.toSeq === expect, "pair list")
+    expect.foreach { case (a, b, _) =>
+      val shared = (0 until 4).count(k =>
+        ((hashes(a) >> (4 * k)) & 15) == ((hashes(b) >> (4 * k)) & 15))
+      assert(shared >= 2, s"pigeonhole violated for ($a,$b)")
+    }
+  }
+
+  test("stat_cramers_v: V replays from a brute contingency table and sits in [0,1]") {
+    val r = q("stat_cramers_v").collect().head
+    val nat = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_regionkey").collect()
+      .map(x => x.getInt(0) -> x.getInt(1)).toMap
+    val cells = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_mktsegment", "c_nationkey").collect()
+      .map(x => (x.getString(0), nat(x.getInt(1))))
+    val n = cells.length.toDouble
+    val segs = cells.map(_._1).distinct.sorted
+    val regs = cells.map(_._2).distinct.sorted
+    val chi2 = (for { sgm <- segs; rg <- regs } yield {
+      val o = cells.count(c => c._1 == sgm && c._2 == rg).toDouble
+      val e = cells.count(_._1 == sgm) * cells.count(_._2 == rg).toDouble / n
+      // replicate the 6-dp contribution grid before summing
+      math.rint((o - e) * (o - e) / e * 1e6) / 1e6
+    }).sum
+    assert(r.getLong(0) === cells.length.toLong)
+    assert(r.getLong(1) === segs.length.toLong && r.getLong(2) === regs.length.toLong)
+    assert(math.abs(r.getDouble(4) - chi2) < 1e-4, s"chi2 ${r.getDouble(4)} vs $chi2")
+    val v = math.sqrt(chi2 / (n * math.min(segs.length - 1, regs.length - 1)))
+    assert(math.abs(r.getDouble(5) - v) < 1e-4 && v >= 0 && v <= 1)
   }
 }

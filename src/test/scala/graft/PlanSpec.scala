@@ -524,7 +524,8 @@ class PlanSpec extends SparkSuite {
       "graph_modularity" -> "crossJoins compose four 1-row aggregate frames (m, e_c, sum d_c^2, n_communities)",
       "sample_balanced" -> "crossJoin against a broadcast 1-row min-class-count frame",
       "lm_kneser_ney" -> "crossJoin against a broadcast 1-row bigram-type-count frame",
-      "graph_hits" -> "crossJoins against broadcast 1-row max-score frames (one per normalize round)")
+      "graph_hits" -> "crossJoins against broadcast 1-row max-score frames (one per normalize round)",
+      "stat_cramers_v" -> "margin cross product of 5x5 cell-grain frames + broadcast 1-row grand total (stat_chi2's shape)")
     val sf = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if boundedByConstruction.contains(name) => None
