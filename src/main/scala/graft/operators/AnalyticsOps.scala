@@ -2148,6 +2148,96 @@ object AnalyticsOps {
             (col("tp") + col("fp") + col("tn") + col("fn")), 6).as("accuracy"))
     }),
 
+    // NDCG@10 per segment — the RANKING eval completing the model-eval
+    // kit (stat_auc_roc ranks pairs, eval_calibration checks
+    // probabilities, eval_confusion the operating point; NDCG scores the
+    // whole ranked list with graded relevance). Relevance = per-
+    // (customer, part) purchase count; the "model" ranking is the repo's
+    // deterministic masked Knuth-hash scorer, so both engines replay the
+    // identical permutation. The log₂ discounts are EMBEDDED AS EXACT
+    // MICRO-UNIT LITERALS (1e6/log₂(i+1), i ≤ 10) — no libm call exists
+    // in either engine's plan, so per-user DCG/IDCG are pure integer
+    // sums; each user's NDCG is one double division 6-dp-gridded to
+    // micro-units before the per-segment mean (order-free integer sum).
+    // Shape: one fact agg to the interaction grain (pinned — two rank
+    // windows read it), per-user windows, dimension-sized joins.
+    "eval_ndcg" -> ((s, dir) => {
+      val wExpr = "CASE rn WHEN 1 THEN 1000000L WHEN 2 THEN 630930L " +
+        "WHEN 3 THEN 500000L WHEN 4 THEN 430677L WHEN 5 THEN 386853L " +
+        "WHEN 6 THEN 356207L WHEN 7 THEN 333333L WHEN 8 THEN 315465L " +
+        "WHEN 9 THEN 301030L WHEN 10 THEN 289065L END"
+      val ui = persistShared("ndcg_ui",
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+          .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey").as("u"), col("l_partkey").as("p"))
+          .agg(count(lit(1)).as("g"))
+          .withColumn("hv", expr(
+            "((u % 2147483648) * 1000003 + p) % 2147483648 * 2654435761 % 2147483648")))
+      val wM = Window.partitionBy(col("u"))
+      val dcg = ui.withColumn("rn", row_number().over(wM.orderBy(col("hv"), col("p"))))
+        .filter(col("rn") <= 10)
+        .groupBy(col("u")).agg(sum(col("g") * expr(wExpr)).as("d"))
+      val idcg = ui.withColumn("rn", row_number().over(wM.orderBy(col("g").desc, col("p"))))
+        .filter(col("rn") <= 10)
+        .groupBy(col("u")).agg(sum(col("g") * expr(wExpr)).as("di"))
+      dcg.join(idcg, Seq("u"))
+        .select(col("u"),
+          expr("CAST(round(CAST(d AS DOUBLE) / di * 1000000, 0) AS BIGINT)").as("nd6"))
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey").as("u"), col("c_mktsegment").as("segment")), Seq("u"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_users"),
+          round(sum(col("nd6")).cast("double") /
+            (count(lit(1)) * lit(1000000.0)), 6).as("mean_ndcg"))
+        .orderBy(col("segment"))
+    }),
+
+    // Partial autocorrelation (lags 1–3) per event series — WHICH AR
+    // order the series actually needs: ACF says "correlated at lag k",
+    // PACF says "correlated at lag k GIVEN lags < k" (the AR-order
+    // selector every forecasting pipeline consults before fitting).
+    // Inputs are ts_acf's decimal-exact lag moments rounded to the 6-dp
+    // grid; the Durbin–Levinson recursion at order 3 is closed-form
+    // double algebra on those three gridded values, written as the
+    // identical expression tree on both engines. The lag join is
+    // calendar-bounded per series; the fact is touched once for the
+    // day-grain rollup.
+    "ts_pacf" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type").as("et"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val y = daily.select(col("et").as("et2"), col("day").as("bday"), col("c").as("y"))
+      val a = daily.select(col("et"), col("day"), col("c").as("x"),
+          explode(expr("sequence(1, 3)")).as("lag"))
+        .withColumn("tday", date_add(col("day"), col("lag")))
+        .join(y, col("et") === col("et2") && col("tday") === col("bday"))
+        .groupBy(col("et"), col("lag")).agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("et"), col("lag"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt(((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))).cast("double")), 6)
+            .as("r"))
+      a.groupBy(col("et")).agg(
+          max(when(col("lag") === 1, col("r"))).as("r1"),
+          max(when(col("lag") === 2, col("r"))).as("r2"),
+          max(when(col("lag") === 3, col("r"))).as("r3"))
+        .withColumn("phi22",
+          (col("r2") - col("r1") * col("r1")) / (lit(1) - col("r1") * col("r1")))
+        .withColumn("phi21", col("r1") * (lit(1) - col("phi22")))
+        .select(col("et").as("event_type"),
+          round(col("r1"), 6).as("pacf1"),
+          round(col("phi22"), 6).as("pacf2"),
+          round((col("r3") - col("phi21") * col("r2") - col("phi22") * col("r1")) /
+            (lit(1) - col("phi21") * col("r1") - col("phi22") * col("r2")), 6)
+            .as("pacf3"))
+        .orderBy(col("event_type"))
+    }),
+
     // HITS hubs & authorities on the bipartite customer→part purchase
     // graph (Kleinberg 1999): which parts does the whole market endorse
     // (authority), weighted by how broad each endorsing customer's
@@ -3461,6 +3551,61 @@ object AnalyticsOps {
                 round(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1,
                 round(CAST(tp + tn AS DOUBLE) / (tp + fp + tn + fn), 6) AS accuracy
          FROM m""",
+    "eval_ndcg" ->
+      """WITH ui AS (
+           SELECT o_custkey AS u, l_partkey AS p, CAST(count(1) AS BIGINT) AS g
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+         h AS (SELECT u, p, g,
+                      (((u % 2147483648) * 1000003 + p) % 2147483648
+                       * 2654435761) % 2147483648 AS hv
+               FROM ui),
+         rm AS (SELECT u, g, row_number() OVER (PARTITION BY u ORDER BY hv, p) AS rn FROM h),
+         ri AS (SELECT u, g, row_number() OVER (PARTITION BY u ORDER BY g DESC, p) AS rn FROM h),
+         dcg AS (SELECT u, CAST(sum(g * (CASE rn WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+                   WHEN 3 THEN 500000 WHEN 4 THEN 430677 WHEN 5 THEN 386853
+                   WHEN 6 THEN 356207 WHEN 7 THEN 333333 WHEN 8 THEN 315465
+                   WHEN 9 THEN 301030 WHEN 10 THEN 289065 END)) AS BIGINT) AS d
+                 FROM rm WHERE rn <= 10 GROUP BY u),
+         idcg AS (SELECT u, CAST(sum(g * (CASE rn WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+                   WHEN 3 THEN 500000 WHEN 4 THEN 430677 WHEN 5 THEN 386853
+                   WHEN 6 THEN 356207 WHEN 7 THEN 333333 WHEN 8 THEN 315465
+                   WHEN 9 THEN 301030 WHEN 10 THEN 289065 END)) AS BIGINT) AS di
+                  FROM ri WHERE rn <= 10 GROUP BY u),
+         nd AS (SELECT dcg.u,
+                       CAST(round(CAST(d AS DOUBLE) / di * 1000000, 0) AS BIGINT) AS nd6
+                FROM dcg JOIN idcg ON dcg.u = idcg.u)
+         SELECT c_mktsegment AS segment, count(1) AS n_users,
+                round(CAST(sum(nd6) AS DOUBLE) / (count(1) * 1000000.0), 6) AS mean_ndcg
+         FROM nd JOIN customer ON c_custkey = u
+         GROUP BY 1 ORDER BY 1""",
+    "ts_pacf" ->
+      """WITH daily AS (
+           SELECT event_type AS et, ts::DATE AS day, count(1) AS c FROM events GROUP BY 1, 2),
+         l AS (SELECT d.et, d.c AS x, y.c AS y, lag
+               FROM daily d, UNNEST(generate_series(1, 3)) AS t(lag)
+               JOIN daily y ON y.et = d.et AND y.day = d.day + CAST(lag AS INTEGER)),
+         m AS (SELECT et, lag, count(1) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+                      CAST(sum(x * y) AS BIGINT) AS sxy
+               FROM l GROUP BY 1, 2),
+         a AS (SELECT et, lag,
+                      round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                            sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)),
+                            6) AS r
+               FROM m),
+         w AS (SELECT et,
+                      max(CASE WHEN lag = 1 THEN r END) AS r1,
+                      max(CASE WHEN lag = 2 THEN r END) AS r2,
+                      max(CASE WHEN lag = 3 THEN r END) AS r3
+               FROM a GROUP BY et),
+         p2 AS (SELECT et, r1, r2, r3,
+                       (r2 - r1 * r1) / (1 - r1 * r1) AS phi22 FROM w),
+         p3 AS (SELECT et, r1, r2, r3, phi22, r1 * (1 - phi22) AS phi21 FROM p2)
+         SELECT et AS event_type, round(r1, 6) AS pacf1, round(phi22, 6) AS pacf2,
+                round((r3 - phi21 * r2 - phi22 * r1) /
+                      (1 - phi21 * r1 - phi22 * r2), 6) AS pacf3
+         FROM p3 ORDER BY et""",
     "graph_hits" ->
       """WITH e AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey),

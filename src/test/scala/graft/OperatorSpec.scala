@@ -2405,4 +2405,64 @@ class PropertySpec extends SparkSuite {
     val v = math.sqrt(chi2 / (n * math.min(segs.length - 1, regs.length - 1)))
     assert(math.abs(r.getDouble(5) - v) < 1e-4 && v >= 0 && v <= 1)
   }
+
+  test("eval_ndcg: per-segment means replay a brute NDCG@10 with exact discounts") {
+    val rows = q("eval_ndcg").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ui = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .flatMap(r => ord.get(r.getLong(0)).map(c => (c, r.getLong(1))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val seg = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val w = Array(1000000L, 630930L, 500000L, 430677L, 386853L,
+      356207L, 333333L, 315465L, 301030L, 289065L)
+    val byUser = ui.toSeq.map { case ((u, p), g) => (u, p, g) }.groupBy(_._1)
+    val nd6 = byUser.map { case (u, items) =>
+      val model = items.sortBy(i =>
+        (((i._1 % 2147483648L) * 1000003L + i._2) % 2147483648L
+          * 2654435761L % 2147483648L, i._2)).take(10)
+      val ideal = items.sortBy(i => (-i._3, i._2)).take(10)
+      val d = model.zipWithIndex.map { case (i, k) => i._3 * w(k) }.sum
+      val di = ideal.zipWithIndex.map { case (i, k) => i._3 * w(k) }.sum
+      u -> math.round(d.toDouble / di * 1000000)
+    }
+    nd6.groupBy(x => seg(x._1)).foreach { case (sg, us) =>
+      val (gn, gm) = rows(sg)
+      assert(gn === us.size.toLong, s"$sg user count")
+      val mean = us.values.sum.toDouble / (us.size * 1000000.0)
+      assert(math.abs(gm - mean) < 1e-6, s"$sg mean NDCG $gm vs $mean")
+    }
+  }
+
+  test("ts_pacf: order-3 Durbin-Levinson replays from brute lag correlations") {
+    val rows = q("ts_pacf").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    dailyCounts.foreach { case (et, days) =>
+      val byDay = days.map { case (d, c) => d.getTime / 86400000L -> c }.toMap
+      def acf(lag: Int): Double = {
+        val pairs = byDay.toSeq.flatMap { case (d, x) =>
+          byDay.get(d + lag).map(y => (x, y)) }
+        val n = pairs.length.toDouble
+        val (sx, sy) = (pairs.map(_._1).sum.toDouble, pairs.map(_._2).sum.toDouble)
+        val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+        val syy = pairs.map(p => p._2 * p._2).sum.toDouble
+        val sxy = pairs.map(p => p._1 * p._2).sum.toDouble
+        math.rint((n * sxy - sx * sy) /
+          math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e6) / 1e6
+      }
+      val (r1, r2, r3) = (acf(1), acf(2), acf(3))
+      val phi22 = (r2 - r1 * r1) / (1 - r1 * r1)
+      val phi21 = r1 * (1 - phi22)
+      val phi33 = (r3 - phi21 * r2 - phi22 * r1) / (1 - phi21 * r1 - phi22 * r2)
+      val (g1, g2, g3) = rows(et)
+      assert(math.abs(g1 - r1) < 1e-6, s"$et pacf1")
+      assert(math.abs(g2 - phi22) < 1e-5, s"$et pacf2")
+      assert(math.abs(g3 - phi33) < 1e-5, s"$et pacf3")
+    }
+  }
 }
