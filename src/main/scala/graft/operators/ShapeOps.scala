@@ -247,6 +247,42 @@ object ShapeOps {
         .orderBy(col("view_id"))
     }),
 
+    // Time-decay attribution over the same 30-minute touch window —
+    // completes the attribution family (linear = equal, position =
+    // U-shaped, this = recency): each touch's weight HALVES per step
+    // away from the conversion. The half-life is in STEPS, so weights
+    // are exact binary powers — 2^(40−k) as integers (k capped at 40:
+    // deeper touches share the floor weight, bounding the shift for
+    // bot-length touch chains), the per-conversion denominator is an
+    // integer window sum, and each credit is one double division
+    // DECIMAL(18,12)-gridded before the per-view sum (attrib_linear's
+    // order-free discipline). No libm: 0.5^k never appears as a float
+    // power.
+    "attrib_time_decay" -> ((s, dir) => {
+      val e = events(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          col("ts").as("v_ts"))
+      val touches = p.join(v,
+          col("user_id") === col("v_user") && col("v_ts") < col("p_ts") &&
+            col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+        .select(col("p_id"), col("view_id"), col("v_ts"))
+      val w = Window.partitionBy(col("p_id"))
+        .orderBy(col("v_ts").desc, col("view_id").desc)
+      touches
+        .withColumn("k", least(row_number().over(w) - 1, lit(40)))
+        .withColumn("wt", expr("shiftleft(CAST(1 AS BIGINT), 40 - k)"))
+        .withColumn("denom", sum(col("wt")).over(Window.partitionBy(col("p_id"))))
+        .groupBy(col("view_id"))
+        .agg(round(sum((col("wt").cast("double") / col("denom"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 12)))
+          .cast("double"), 6).as("credit"),
+          count(lit(1)).as("n_conversions"))
+        .orderBy(col("view_id"))
+    }),
+
     // exponentially weighted moving average per user (α = 0.2): the
     // recurrence s_i = α·x_i + (1−α)·s_{i−1} is inherently sequential in
     // event order, so it CANNOT be a frame-based window aggregate — the
@@ -471,6 +507,28 @@ object ShapeOps {
                   AS DECIMAL(18,12))) AS DOUBLE), 6) AS credit,
                 count(1) AS n_conversions
          FROM pos GROUP BY view_id ORDER BY view_id""",
+    "attrib_time_decay" ->
+      """WITH touches AS (
+           SELECT p.event_id AS p_id, v.event_id AS view_id, v.ts AS v_ts
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           JOIN (SELECT * FROM events WHERE event_type = 'view') v
+             ON v.user_id = p.user_id AND v.ts < p.ts
+            AND v.ts >= p.ts - INTERVAL 30 MINUTE),
+         rk AS (
+           SELECT p_id, view_id,
+                  least(row_number() OVER (PARTITION BY p_id
+                          ORDER BY v_ts DESC, view_id DESC) - 1, 40) AS k
+           FROM touches),
+         wt AS (
+           SELECT p_id, view_id, (CAST(1 AS BIGINT) << (40 - k)) AS w,
+                  CAST(sum(CAST(1 AS BIGINT) << (40 - k))
+                       OVER (PARTITION BY p_id) AS BIGINT) AS denom
+           FROM rk)
+         SELECT view_id,
+                round(CAST(sum(CAST(CAST(w AS DOUBLE) / denom
+                  AS DECIMAL(18,12))) AS DOUBLE), 6) AS credit,
+                count(1) AS n_conversions
+         FROM wt GROUP BY view_id ORDER BY view_id""",
     // list_reduce seeds from the first element and folds left — the same
     // order and the same 0.2·x + 0.8·acc double arithmetic as the Spark
     // aggregate() lambda, so no rounding slack is needed beyond the 6 dp.

@@ -855,6 +855,46 @@ object TextOps {
         .limit(20)
     }),
 
+    // Jensen–Shannon divergence between every pair of source unigram
+    // distributions — the corpus-drift matrix a training-mix curator
+    // reads before reweighting (symmetric, bounded [0,1] in bits, no
+    // KL infinities on disjoint vocab). Formulated as
+    // (KL(p‖m)+KL(q‖m))/2 so each term needs only ITS side's p > 0 —
+    // a null-padded vocab grid handles one-sided words exactly. The
+    // grid is (source-pair × vocabulary)-bounded (never the corpus
+    // grain); per-cell terms are 9-dp-gridded to DECIMAL before the
+    // pair sum (text_entropy's libm-surface discipline — log2 appears
+    // only inside the gridded term).
+    "text_js_divergence" -> ((s, dir) => {
+      val tokc = persistShared("js_tokc", t(s, dir, "documents")
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c")))
+      val tot = tokc.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val pfrac = tokc.join(broadcast(tot), Seq("source"))
+        .select(col("source"), col("w"), (col("c").cast("double") / col("n")).as("p"))
+      val pairs = tot.as("a").join(tot.as("b"), col("a.source") < col("b.source"))
+        .select(col("a.source").as("sa"), col("b.source").as("sb"))
+      val grid = pairs.crossJoin(tokc.select(col("w")).distinct())
+        .join(pfrac.select(col("source").as("sa"), col("w"), col("p").as("pa")),
+          Seq("sa", "w"), "left")
+        .join(pfrac.select(col("source").as("sb"), col("w"), col("p").as("pb")),
+          Seq("sb", "w"), "left")
+      val termA = when(col("pa").isNotNull,
+        col("pa") / 2 * log2(col("pa") * 2 / (col("pa") + coalesce(col("pb"), lit(0)))))
+        .otherwise(lit(0))
+      val termB = when(col("pb").isNotNull,
+        col("pb") / 2 * log2(col("pb") * 2 / (col("pb") + coalesce(col("pa"), lit(0)))))
+        .otherwise(lit(0))
+      grid.select(col("sa"), col("sb"),
+          round(termA + termB, 9)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("term"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(round(sum(col("term")).cast("double"), 6).as("js"))
+        .select(col("sa").as("src_a"), col("sb").as("src_b"), col("js"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // Per-document n-gram novelty — the inverse view of
     // text_substring_dedup: what FRACTION of a doc's verbatim 8-token
     // spans appear nowhere else in the corpus. The curation signal for
@@ -1406,6 +1446,34 @@ object TextOps {
                 CAST(count(CASE WHEN df.d = 1 THEN 1 END) AS BIGINT) AS n_novel,
                 round(CAST(count(CASE WHEN df.d = 1 THEN 1 END) AS DOUBLE) / count(1), 6)
                   AS novelty
-         FROM sh JOIN df USING (sgl) GROUP BY sh.doc_id ORDER BY sh.doc_id"""
+         FROM sh JOIN df USING (sgl) GROUP BY sh.doc_id ORDER BY sh.doc_id""",
+    "text_js_divergence" ->
+      """WITH tokc AS (
+           SELECT source, w, count(1) AS c FROM (
+             SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+           WHERE w <> '' GROUP BY 1, 2),
+         tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM tokc GROUP BY 1),
+         p AS (SELECT source, w, CAST(c AS DOUBLE) / n AS p
+               FROM tokc JOIN tot USING (source)),
+         pairs AS (SELECT a.source AS sa, b.source AS sb
+                   FROM tot a JOIN tot b ON a.source < b.source),
+         vocab AS (SELECT DISTINCT w FROM tokc),
+         grid AS (SELECT sa, sb, w FROM pairs CROSS JOIN vocab),
+         j AS (SELECT g.sa, g.sb, g.w, pa.p AS pa, pb.p AS pb
+               FROM grid g
+               LEFT JOIN p pa ON pa.source = g.sa AND pa.w = g.w
+               LEFT JOIN p pb ON pb.source = g.sb AND pb.w = g.w),
+         terms AS (
+           SELECT sa, sb,
+                  CAST(round(
+                    (CASE WHEN pa IS NOT NULL
+                          THEN pa / 2 * log2(pa * 2 / (pa + coalesce(pb, 0)))
+                          ELSE 0 END) +
+                    (CASE WHEN pb IS NOT NULL
+                          THEN pb / 2 * log2(pb * 2 / (pb + coalesce(pa, 0)))
+                          ELSE 0 END), 9) AS DECIMAL(18,9)) AS term
+           FROM j)
+         SELECT sa AS src_a, sb AS src_b, round(CAST(sum(term) AS DOUBLE), 6) AS js
+         FROM terms GROUP BY 1, 2 ORDER BY 1, 2"""
   ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
 }

@@ -2465,4 +2465,51 @@ class PropertySpec extends SparkSuite {
       assert(math.abs(g3 - phi33) < 1e-5, s"$et pacf3")
     }
   }
+
+  test("attrib_time_decay: credits halve per step and conserve one unit per conversion") {
+    val rows = q("attrib_time_decay").collect()
+    val touches = q("attrib_linear").collect()
+    // both models see the same touch set: identical view_id domain and
+    // per-view conversion counts
+    assert(rows.map(r => (r.getLong(0), r.getLong(2))).toSet ===
+      touches.map(r => (r.getLong(0), r.getLong(2))).toSet)
+    // total credit conserves: sum over views = number of conversions
+    val nConv = {
+      val e = graft.Tables.events(spark, sf)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      p.join(v, col("user_id") === col("v_user") &&
+          col("v_ts") < col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+        .select("p_id").distinct().count()
+    }
+    val total = rows.map(_.getDouble(1)).sum
+    assert(math.abs(total - nConv) < 1e-3, s"credit total $total vs $nConv conversions")
+  }
+
+  test("text_js_divergence: symmetric-bounded and replays a brute JS on one pair") {
+    val rows = q("text_js_divergence").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(rows.values.forall(v => v >= 0 && v <= 1.0 + 1e-9), "JS in [0,1] bits")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect().map(r => (r.getString(0), r.getString(1)))
+    val srcs = docs.map(_._1).distinct.sorted
+    val (sa, sb) = (srcs(0), srcs(1))
+    def dist(src: String): Map[String, Double] = {
+      val ws = docs.filter(_._1 == src)
+        .flatMap(_._2.toLowerCase.split(" ")).filter(_.nonEmpty)
+      val n = ws.length.toDouble
+      ws.groupBy(identity).map { case (w, g) => w -> g.length / n }
+    }
+    val (p, qd) = (dist(sa), dist(sb))
+    val js = (p.keySet ++ qd.keySet).toSeq.map { w =>
+      val (pa, pb) = (p.getOrElse(w, 0.0), qd.getOrElse(w, 0.0))
+      val ta = if (pa > 0) pa / 2 * (math.log(pa * 2 / (pa + pb)) / math.log(2)) else 0.0
+      val tb = if (pb > 0) pb / 2 * (math.log(pb * 2 / (pb + pa)) / math.log(2)) else 0.0
+      ta + tb
+    }.sum
+    assert(math.abs(rows((sa, sb)) - js) < 1e-4, s"JS(${sa},${sb}) ${rows((sa, sb))} vs $js")
+  }
 }

@@ -525,7 +525,8 @@ class PlanSpec extends SparkSuite {
       "sample_balanced" -> "crossJoin against a broadcast 1-row min-class-count frame",
       "lm_kneser_ney" -> "crossJoin against a broadcast 1-row bigram-type-count frame",
       "graph_hits" -> "crossJoins against broadcast 1-row max-score frames (one per normalize round)",
-      "stat_cramers_v" -> "margin cross product of 5x5 cell-grain frames + broadcast 1-row grand total (stat_chi2's shape)")
+      "stat_cramers_v" -> "margin cross product of 5x5 cell-grain frames + broadcast 1-row grand total (stat_chi2's shape)",
+      "text_js_divergence" -> "crossJoin builds the (source-pair x vocabulary) grid — both sides vocabulary/catalog-bounded, never corpus-grain")
     val sf = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if boundedByConstruction.contains(name) => None
