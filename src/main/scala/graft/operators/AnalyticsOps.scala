@@ -591,6 +591,91 @@ object AnalyticsOps {
         .orderBy(col("event_type"))
     }),
 
+    // Ljung-Box portmanteau statistic per event series (lags 1..7): the
+    // "is there ANY autocorrelation left" whiteness screen run after a
+    // model fit (or before bothering to fit one) — the scalar rollup of
+    // ts_acf's seven lag correlations. Estimator is the textbook one
+    // (full-series mean and variance, numerator over the calendar-lag
+    // overlap): r_k derives entirely from per-series INTEGER sums
+    // (tot, nd, sxx global; m, spp, sh, st per lag) through one
+    // identical double expression on both engines, the seven
+    // r_k²/(nd−k) terms are 12-dp-gridded to DECIMAL before the sum
+    // (order-free), and Q = nd(nd+2)·Σ is one final multiply. Statistic
+    // + dof only — p-values stay out (README's libm-divergence
+    // rationale). Day-grain input: |types|×7 intermediate, bounded by
+    // the calendar at any corpus size.
+    "ts_ljungbox" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type").as("et"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val stats = daily.groupBy(col("et")).agg(
+        count(lit(1)).as("nd"), sum(col("c")).as("tot"),
+        sum(col("c") * col("c")).as("sxx"))
+      val y = daily.select(col("et").as("et2"), col("day").as("bday"), col("c").as("y"))
+      val lagm = daily.select(col("et"), col("day"), col("c").as("x"),
+          explode(expr("sequence(1, 7)")).as("lag"))
+        .withColumn("tday", date_add(col("day"), col("lag")))
+        .join(y, col("et") === col("et2") && col("tday") === col("bday"))
+        .groupBy(col("et"), col("lag")).agg(
+          count(lit(1)).as("m"),
+          sum(col("x") * col("y")).as("spp"),
+          sum(col("x")).as("sh"), sum(col("y")).as("st"))
+      val mu = col("tot").cast("double") / col("nd")
+      val rk = (col("spp").cast("double") - mu * (col("sh") + col("st")) +
+        col("m") * mu * mu) /
+        (col("sxx").cast("double") - col("nd") * mu * mu)
+      lagm.join(broadcast(stats), Seq("et"))
+        .select(col("et"), col("nd"),
+          round(rk * rk / (col("nd") - col("lag")), 12)
+            .cast(DecimalType(18, 12)).as("term"))
+        .groupBy(col("et").as("event_type"))
+        .agg(max(col("nd")).as("n_days"),
+          round((max(col("nd")) * (max(col("nd")) + 2)).cast("double") *
+            sum(col("term")).cast("double"), 6).as("q_stat"))
+        .withColumn("dof", lit(7))
+        .orderBy(col("event_type"))
+    }),
+
+    // Permutation entropy per event series (ordinal patterns of three
+    // successive daily observations): the model-free complexity screen —
+    // low = trending/predictable series, high ≈ log2(6) = white noise.
+    // Each consecutive-row triple (window lead ×2 per series) maps to an
+    // ordinal code built from three pairwise sign comparisons kept as
+    // INTEGERS (ties get their own codes — no random tie-breaking, fully
+    // deterministic), the code histogram is a bounded ≤27-row grain per
+    // series, and the Shannon sum follows text_entropy's discipline:
+    // per-pattern −p·log2 p terms 9-dp-gridded to DECIMAL before the
+    // order-free sum. Day-grain windows partition per series — calendar-
+    // bounded at any corpus size.
+    "ts_perm_entropy" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type").as("et"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("et")).orderBy(col("day"))
+      def sgn(a: Column, b: Column): Column =
+        when(b > a, 1).when(b < a, -1).otherwise(0)
+      val codes = daily
+        .withColumn("b", lead(col("c"), 1).over(w))
+        .withColumn("cc", lead(col("c"), 2).over(w))
+        .filter(col("cc").isNotNull)
+        .select(col("et"),
+          ((sgn(col("c"), col("b")) + 1) * 9 + (sgn(col("b"), col("cc")) + 1) * 3 +
+            (sgn(col("c"), col("cc")) + 1)).as("code"))
+        .groupBy(col("et"), col("code")).agg(count(lit(1)).as("cnt"))
+      val tot = codes.groupBy(col("et")).agg(
+        sum(col("cnt")).as("n"), count(lit(1)).as("n_patterns"))
+      codes.join(broadcast(tot), Seq("et"))
+        .select(col("et"), col("n"), col("n_patterns"),
+          round(-(col("cnt").cast("double") / col("n")) *
+            log2(col("cnt").cast("double") / col("n")), 9)
+            .cast(DecimalType(18, 9)).as("term"))
+        .groupBy(col("et").as("event_type"))
+        .agg(max(col("n")).as("n_windows"),
+          max(col("n_patterns")).as("n_patterns"),
+          round(sum(col("term")).cast("double"), 6).as("perm_entropy"))
+        .orderBy(col("event_type"))
+    }),
+
     "profile_columns" -> ((s, dir) => {
       def nn(c: String) = count(when(col(c).isNull, 1)).as(s"nn_$c")
       def nd(c: String) = countDistinct(col(c)).as(s"nd_$c")
@@ -2506,6 +2591,75 @@ object AnalyticsOps {
            FROM scored)
          SELECT event_type, day AS cp_day, round(cusum, 6) AS cusum
          FROM ranked WHERE rk = 1 ORDER BY event_type""",
+    "ts_ljungbox" ->
+      """WITH daily AS (
+           SELECT event_type AS et, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         stats AS (
+           SELECT et, count(1) AS nd, CAST(sum(c) AS BIGINT) AS tot,
+                  CAST(sum(c * c) AS BIGINT) AS sxx
+           FROM daily GROUP BY 1),
+         lagm AS (
+           SELECT e.et, e.lag, count(1) AS m,
+                  CAST(sum(e.x * b.c) AS BIGINT) AS spp,
+                  CAST(sum(e.x) AS BIGINT) AS sh, CAST(sum(b.c) AS BIGINT) AS st
+           FROM (SELECT et, day, c AS x, unnest(range(1, 8)) AS lag FROM daily) e
+           JOIN daily b ON b.et = e.et AND e.day + CAST(e.lag AS INT) = b.day
+           GROUP BY 1, 2),
+         terms AS (
+           SELECT l.et, s.nd,
+                  CAST(round(
+                    ((CAST(l.spp AS DOUBLE)
+                        - (CAST(s.tot AS DOUBLE) / s.nd) * (l.sh + l.st)
+                        + l.m * (CAST(s.tot AS DOUBLE) / s.nd)
+                              * (CAST(s.tot AS DOUBLE) / s.nd))
+                     / (CAST(s.sxx AS DOUBLE)
+                        - s.nd * (CAST(s.tot AS DOUBLE) / s.nd)
+                               * (CAST(s.tot AS DOUBLE) / s.nd)))
+                    * ((CAST(l.spp AS DOUBLE)
+                        - (CAST(s.tot AS DOUBLE) / s.nd) * (l.sh + l.st)
+                        + l.m * (CAST(s.tot AS DOUBLE) / s.nd)
+                              * (CAST(s.tot AS DOUBLE) / s.nd))
+                     / (CAST(s.sxx AS DOUBLE)
+                        - s.nd * (CAST(s.tot AS DOUBLE) / s.nd)
+                               * (CAST(s.tot AS DOUBLE) / s.nd)))
+                    / (s.nd - l.lag), 12) AS DECIMAL(18,12)) AS term
+           FROM lagm l JOIN stats s USING (et))
+         SELECT et AS event_type, max(nd) AS n_days,
+                round(CAST(max(nd) * (max(nd) + 2) AS DOUBLE)
+                      * CAST(sum(term) AS DOUBLE), 6) AS q_stat,
+                CAST(7 AS INT) AS dof
+         FROM terms GROUP BY 1 ORDER BY event_type""",
+    "ts_perm_entropy" ->
+      """WITH daily AS (
+           SELECT event_type AS et, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         led AS (
+           SELECT et, c,
+                  lead(c, 1) OVER (PARTITION BY et ORDER BY day) AS b,
+                  lead(c, 2) OVER (PARTITION BY et ORDER BY day) AS cc
+           FROM daily),
+         codes AS (
+           SELECT et,
+                  ((CASE WHEN b > c THEN 1 WHEN b < c THEN -1 ELSE 0 END) + 1) * 9
+                + ((CASE WHEN cc > b THEN 1 WHEN cc < b THEN -1 ELSE 0 END) + 1) * 3
+                + ((CASE WHEN cc > c THEN 1 WHEN cc < c THEN -1 ELSE 0 END) + 1)
+                    AS code,
+                  count(1) AS cnt
+           FROM led WHERE cc IS NOT NULL GROUP BY 1, 2),
+         tot AS (
+           SELECT et, CAST(sum(cnt) AS BIGINT) AS n, count(1) AS n_patterns
+           FROM codes GROUP BY 1),
+         terms AS (
+           SELECT c.et, t.n, t.n_patterns,
+                  CAST(round(-(CAST(c.cnt AS DOUBLE) / t.n)
+                    * log2(CAST(c.cnt AS DOUBLE) / t.n), 9)
+                    AS DECIMAL(18,9)) AS term
+           FROM codes c JOIN tot t USING (et))
+         SELECT et AS event_type, max(n) AS n_windows,
+                max(n_patterns) AS n_patterns,
+                round(CAST(sum(term) AS DOUBLE), 6) AS perm_entropy
+         FROM terms GROUP BY 1 ORDER BY event_type""",
     "ts_cross_corr" ->
       """WITH daily AS (
            SELECT CAST(ts AS DATE) AS day, event_type, count(1) AS c

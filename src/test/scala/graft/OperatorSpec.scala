@@ -2160,6 +2160,50 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("ts_ljungbox: Q replays from brute full-series lag autocorrelations") {
+    val rows = q("ts_ljungbox").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getInt(3)))).toMap
+    dailyCounts.foreach { case (et, days) =>
+      val nd = days.length.toLong
+      val byDay = days.map { case (d, c) => d.toLocalDate -> c }.toMap
+      val tot = days.map(_._2).sum
+      val sxx = days.map(c => c._2 * c._2).sum
+      val mu = tot.toDouble / nd
+      val qsum = (1 to 7).map { k =>
+        val pairs = days.flatMap { case (d, x) =>
+          byDay.get(d.toLocalDate.plusDays(k)).map(y => (x, y)) }
+        val m = pairs.length.toLong
+        val spp = pairs.map { case (x, y) => x * y }.sum
+        val sh = pairs.map(_._1).sum
+        val st = pairs.map(_._2).sum
+        val rk = (spp.toDouble - mu * (sh + st) + m * mu * mu) /
+          (sxx.toDouble - nd * mu * mu)
+        rk * rk / (nd - k)
+      }.sum
+      val (gn, gq, gdof) = rows(et)
+      assert(gn === nd && gdof === 7, s"$et shape")
+      assert(math.abs(gq - nd * (nd + 2) * qsum) < 1e-5, s"$et Q")
+    }
+  }
+
+  test("ts_perm_entropy: entropy replays from brute ordinal-pattern counts") {
+    val rows = q("ts_perm_entropy").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def sgn(a: Long, b: Long): Int = if (b > a) 1 else if (b < a) -1 else 0
+    dailyCounts.foreach { case (et, days) =>
+      val xs = days.map(_._2)
+      val codes = xs.sliding(3).collect { case Seq(a, b, c) =>
+        (sgn(a, b) + 1) * 9 + (sgn(b, c) + 1) * 3 + (sgn(a, c) + 1) }.toSeq
+      val hist = codes.groupBy(identity).view.mapValues(_.size).toMap
+      val n = codes.length.toDouble
+      val h = -hist.values.map(c => c / n * (math.log(c / n) / math.log(2))).sum
+      val (gw, gp, gh) = rows(et)
+      assert(gw === codes.length.toLong && gp === hist.size.toLong, s"$et counts")
+      assert(math.abs(gh - h) < 1e-6, s"$et entropy")
+      assert(gh >= -1e-9 && gh <= math.log(27) / math.log(2), s"$et bounds")
+    }
+  }
+
   test("stat_runs_test: run count and z match a sequential recompute") {
     val rows = q("stat_runs_test").collect().map(r =>
       r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
