@@ -2179,6 +2179,108 @@ object AnalyticsOps {
         .orderBy(col("bin"))
     }),
 
+    // Decile gains/lift table — the campaign-targeting eval beside
+    // eval_calibration: rank the population by model score, cut into ten
+    // population deciles, and report each decile's capture rate and lift
+    // over random targeting. Same deterministic masked-Knuth scorer and
+    // positive-balance label as calibration. The global rank is built
+    // WITHOUT a global sort: within-score ranks partition by the
+    // 1000-value score grain (bounded groups), the per-score offset is a
+    // 1000-row cumulative window on the score-grain counts, and
+    // rn = offset + within-rank — the distributed construction of the
+    // same total order (s desc, custkey) the oracle's flat row_number
+    // emits. Everything after the decile cut is a 10-row frame of
+    // integer sums; lift/capture are identical double divisions, 6-dp.
+    "eval_lift" -> ((s, dir) => {
+      // b feeds both the score-grain offset agg and the row-grain rank
+      // probe — pinned so the customer scan runs once (the lint class)
+      val b = persistShared("eval_lift_b", t(s, dir, "customer")
+        .select(col("c_custkey").as("ck"),
+          (((col("c_custkey") % lit(2147483648L)) * lit(2654435761L))
+            % lit(2147483648L) % 1000).as("sc"),
+          when(col("c_acctbal") > 0, 1L).otherwise(0L).as("y")))
+      val perScore = b.groupBy(col("sc")).agg(count(lit(1)).as("nsc"))
+      val wOff = Window.orderBy(col("sc").desc)
+      val offs = perScore.withColumn("off",
+        coalesce(sum(col("nsc")).over(wOff.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      val wIn = Window.partitionBy(col("sc")).orderBy(col("ck"))
+      val ranked = b.withColumn("rnin", row_number().over(wIn))
+        .join(broadcast(offs.select(col("sc"), col("off"))), Seq("sc"))
+        .select(col("y"), (col("off") + col("rnin")).as("rn"))
+      val tot = ranked.agg(count(lit(1)).as("n"), sum(col("y")).as("tp"))
+      val dec = ranked.crossJoin(broadcast(tot))
+        .select(expr("((rn - 1) * 10) div n").as("decile0"),
+          col("y"), col("n"), col("tp"))
+        .groupBy(col("decile0")).agg(count(lit(1)).as("nd"),
+          sum(col("y")).as("pos"), max(col("n")).as("n"), max(col("tp")).as("tp"))
+      val wCum = Window.orderBy(col("decile0"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dec.withColumn("cum_n", sum(col("nd")).over(wCum))
+        .withColumn("cum_pos", sum(col("pos")).over(wCum))
+        .select((col("decile0") + 1).as("decile"), col("nd").as("n_rows"),
+          col("pos").as("n_pos"),
+          round(col("cum_pos").cast("double") / col("tp"), 6).as("capture"),
+          round((col("cum_pos").cast("double") / col("cum_n")) /
+            (col("tp").cast("double") / col("n")), 6).as("lift"))
+        .orderBy(col("decile"))
+    }),
+
+    // Brier score with the Murphy three-way decomposition (reliability −
+    // resolution + uncertainty) — the proper-scoring-rule eval completing
+    // the probability-quality kit (calibration = the diagram, this = the
+    // one-number loss and WHY). Same scorer/label as eval_calibration,
+    // but the decomposition runs at the FORECAST-VALUE grain (each of the
+    // 1000 distinct scores is its own cell): p is constant within a cell,
+    // which is exactly the condition under which Murphy's identity
+    // BS = REL − RES + UNC holds with no within-bin residual — the spec
+    // asserts it to output-rounding precision. The score itself is an
+    // exact INTEGER sum (Σ(s−1000y)² in micro-units, one final
+    // division); the REL term algebra collapses to (ssum−1000·ysum)²/n_k
+    // per cell — integer numerator, one division — and REL/RES terms are
+    // 6/12-dp-gridded to DECIMAL before their ≤1000-term sums. One fact
+    // pass to the fixed-size cell grain at any corpus scale.
+    "eval_brier" -> ((s, dir) => {
+      val b = t(s, dir, "customer").select(
+        (((col("c_custkey") % lit(2147483648L)) * lit(2654435761L))
+          % lit(2147483648L) % 1000).as("sc"),
+        when(col("c_acctbal") > 0, 1L).otherwise(0L).as("y"))
+      val bins = b.groupBy(col("sc").as("bin"))
+        .agg(count(lit(1)).as("nk"), sum(col("sc")).as("ssum"),
+          sum(col("y")).as("ysum"),
+          sum((col("sc") - col("y") * 1000) * (col("sc") - col("y") * 1000))
+            .as("se"))
+      val relTerm = round((col("ssum") - col("ysum") * 1000).cast("double") *
+        (col("ssum") - col("ysum") * 1000).cast("double") / col("nk"), 6)
+        .cast(DecimalType(24, 6))
+      val g = bins.agg(sum(col("nk")).as("n"), sum(col("ysum")).as("yt"),
+        sum(col("se")).as("set"), sum(relTerm).as("relsum"),
+        collect_list(struct(col("bin"), col("nk"), col("ysum"))).as("cells"))
+      // RES needs ȳ (global), so its 10 terms fold in a second pass over
+      // the bin grain — re-aggregated from the same persisted-free tiny
+      // frame via explode, never the fact.
+      g.select(col("n"), col("yt"), col("set"), col("relsum"),
+          explode(col("cells")).as("c"))
+        .select(col("n"), col("yt"), col("set"), col("relsum"),
+          round(col("c.nk") *
+            (col("c.ysum").cast("double") / col("c.nk") -
+              col("yt").cast("double") / col("n")) *
+            (col("c.ysum").cast("double") / col("c.nk") -
+              col("yt").cast("double") / col("n")), 12)
+            .cast(DecimalType(18, 12)).as("resTerm"))
+        .groupBy(col("n"), col("yt"), col("set"), col("relsum"))
+        .agg(sum(col("resTerm")).as("ressum"))
+        .select(col("n"),
+          round(col("set").cast("double") / (col("n") * lit(1000000.0)), 6)
+            .as("brier"),
+          round(col("relsum").cast("double") / (col("n") * lit(1000000.0)), 6)
+            .as("reliability"),
+          round(col("ressum").cast("double") / col("n"), 6).as("resolution"),
+          round((col("yt").cast("double") / col("n")) *
+            (lit(1.0) - col("yt").cast("double") / col("n")), 6)
+            .as("uncertainty"))
+    }),
+
     // Theil–Sen slope per event series — the ROBUST trend magnitude
     // (median of all pairwise day-slopes; up to 29% outliers cannot move
     // it) completing ts_trend_mannkendall's direction verdict with a
@@ -3672,6 +3774,62 @@ object AnalyticsOps {
                 round(CAST(sum(CAST(round(gap * 1000000, 0) AS BIGINT) * n) OVER () AS DOUBLE) /
                       (CAST(sum(n) OVER () AS DOUBLE) * 1000000.0), 6) AS ece
          FROM e ORDER BY bin""",
+    "eval_lift" ->
+      """WITH b AS (
+           SELECT c_custkey AS ck,
+                  (((c_custkey % 2147483648) * 2654435761) % 2147483648) % 1000 AS sc,
+                  CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS y
+           FROM customer),
+         r AS (
+           SELECT y, row_number() OVER (ORDER BY sc DESC, ck) AS rn,
+                  count(1) OVER () AS n, CAST(sum(y) OVER () AS BIGINT) AS tp
+           FROM b),
+         d AS (
+           SELECT ((rn - 1) * 10) // n AS decile0, count(1) AS nd,
+                  CAST(sum(y) AS BIGINT) AS pos, max(n) AS n, max(tp) AS tp
+           FROM r GROUP BY 1),
+         c AS (
+           SELECT decile0, nd, pos, n, tp,
+                  CAST(sum(nd) OVER (ORDER BY decile0
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+                  CAST(sum(pos) OVER (ORDER BY decile0
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+           FROM d)
+         SELECT decile0 + 1 AS decile, nd AS n_rows, pos AS n_pos,
+                round(CAST(cum_pos AS DOUBLE) / tp, 6) AS capture,
+                round((CAST(cum_pos AS DOUBLE) / cum_n) /
+                      (CAST(tp AS DOUBLE) / n), 6) AS lift
+         FROM c ORDER BY decile""",
+    "eval_brier" ->
+      """WITH b AS (
+           SELECT (((c_custkey % 2147483648) * 2654435761) % 2147483648) % 1000 AS sc,
+                  CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS y
+           FROM customer),
+         bins AS (
+           SELECT sc AS bin, count(1) AS nk,
+                  CAST(sum(sc) AS BIGINT) AS ssum, CAST(sum(y) AS BIGINT) AS ysum,
+                  CAST(sum((sc - 1000 * y) * (sc - 1000 * y)) AS BIGINT) AS se
+           FROM b GROUP BY 1),
+         g AS (
+           SELECT CAST(sum(nk) AS BIGINT) AS n, CAST(sum(ysum) AS BIGINT) AS yt,
+                  CAST(sum(se) AS BIGINT) AS st,
+                  sum(CAST(round(CAST(ssum - 1000 * ysum AS DOUBLE) *
+                        CAST(ssum - 1000 * ysum AS DOUBLE) / nk, 6)
+                      AS DECIMAL(24,6))) AS relsum
+           FROM bins),
+         res AS (
+           SELECT sum(CAST(round(nk *
+                    (CAST(ysum AS DOUBLE) / nk - CAST(g.yt AS DOUBLE) / g.n) *
+                    (CAST(ysum AS DOUBLE) / nk - CAST(g.yt AS DOUBLE) / g.n), 12)
+                  AS DECIMAL(18,12))) AS ressum
+           FROM bins, g)
+         SELECT g.n AS n,
+                round(CAST(g.st AS DOUBLE) / (g.n * 1000000.0), 6) AS brier,
+                round(CAST(g.relsum AS DOUBLE) / (g.n * 1000000.0), 6) AS reliability,
+                round(CAST(res.ressum AS DOUBLE) / g.n, 6) AS resolution,
+                round((CAST(g.yt AS DOUBLE) / g.n) *
+                      (1.0 - CAST(g.yt AS DOUBLE) / g.n), 6) AS uncertainty
+         FROM g, res""",
     "ts_theil_sen" ->
       """WITH daily AS (
            SELECT event_type, ts::DATE AS day, count(1) AS c FROM events GROUP BY 1, 2),

@@ -2204,6 +2204,55 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("eval_lift: deciles replay from a brute scored-population sort") {
+    val rows = q("eval_lift").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val scored = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_acctbal").collect()
+      .map { r =>
+        val ck = r.getLong(0)
+        val sc = ((ck % 2147483648L) * 2654435761L) % 2147483648L % 1000
+        (ck, sc, if (r.getDouble(1) > 0) 1L else 0L)
+      }.sortBy { case (ck, sc, _) => (-sc, ck) }
+    val n = scored.length.toLong
+    val tp = scored.map(_._3).sum
+    val byDec = scored.zipWithIndex.groupBy { case (_, i) => i.toLong * 10 / n }
+    var cumPos = 0L; var cumN = 0L
+    (0L to 9L).foreach { d =>
+      val g = byDec(d)
+      cumPos += g.map(_._1._3).sum; cumN += g.length
+      val (dec, nr, np, capture, lift) = rows(d.toInt)
+      assert(dec === d + 1 && nr === g.length.toLong && np === g.map(_._1._3).sum,
+        s"decile $d counts")
+      assert(math.abs(capture - cumPos.toDouble / tp) < 1e-6, s"decile $d capture")
+      assert(math.abs(lift - (cumPos.toDouble / cumN) / (tp.toDouble / n)) < 1e-6,
+        s"decile $d lift")
+    }
+    // deciles partition the population; capture reaches 1 at the bottom
+    assert(rows.map(_._2).sum === n && math.abs(rows.last._4 - 1.0) < 1e-9)
+  }
+
+  test("eval_brier: score replays brute and satisfies Murphy's identity") {
+    val r = q("eval_brier").collect().head
+    val (n, bs, rel, res, unc) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    val scored = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_acctbal").collect()
+      .map { row =>
+        val ck = row.getLong(0)
+        val p = (((ck % 2147483648L) * 2654435761L) % 2147483648L % 1000) / 1000.0
+        (p, if (row.getDouble(1) > 0) 1.0 else 0.0)
+      }
+    assert(n === scored.length.toLong)
+    val brute = scored.map { case (p, y) => (p - y) * (p - y) }.sum / scored.length
+    assert(math.abs(bs - brute) < 1e-6, "brier vs brute")
+    val ybar = scored.map(_._2).sum / scored.length
+    assert(math.abs(unc - ybar * (1 - ybar)) < 1e-6, "uncertainty")
+    // Murphy: BS = REL - RES + UNC — exact at the forecast-value grain
+    // (p constant per cell), so only output rounding (4 × 0.5e-6) remains
+    assert(math.abs(bs - (rel - res + unc)) < 3e-6, s"identity: $bs vs ${rel - res + unc}")
+  }
+
   test("stat_runs_test: run count and z match a sequential recompute") {
     val rows = q("stat_runs_test").collect().map(r =>
       r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
