@@ -710,7 +710,86 @@ object VectorOps {
         .select(col("pos"),
           round((col("vv") * col("sg")).cast("double"), 6).as("loading"))
         .orderBy(col("pos"))
+    }),
+
+    // K-means (K = 8, KmeansRounds bounded Lloyd iterations) over the
+    // full 64-dim embeddings — the clustering workhorse the PQ codebook
+    // trainer already runs per subspace, exposed as a first-class
+    // whole-vector operator (vector-store sharding keys, corpus topic
+    // buckets, IVF cell training all start here). EVERY round is
+    // decimal-EXACT: vectors and centroids live on the 6-dp grid, the L2
+    // assignment distance Σ(x−c)² is a DECIMAL(12,6)² product sum (no
+    // float op anywhere in the argmin, so cluster membership is
+    // bit-deterministic on both engines — ties break to the lowest
+    // cluster id), and the new centroid is the one double division
+    // sum/count re-gridded to 6 dp. Per round: one 512-row broadcast
+    // join, one |vecs|×8 agg, one 8-row-per-vector argmin window, one
+    // (k × 64)-grain mean — linear passes, no global sort, the
+    // matrix-free shape that scales to any corpus. Seeds = the first K
+    // vectors (deterministic, the PQ first-K discipline); a cluster
+    // emptying drops out (documented, deterministic on both engines).
+    "vec_kmeans" -> ((s, dir) => {
+      val d6 = DecimalType(18, 6)
+      val r6d = (c: Column) => round(c.cast("double"), 6).cast(d6)
+      val base = persistSharedPerDir("vec_pca_base", dir,
+        embStore(s, dir).select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("pos", "fv")))
+          .select(col("vec_id"), col("pos"), r6d(col("fv")).as("xv")))
+      val d12 = DecimalType(12, 6)
+      var cent = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("k"), col("pos"), col("xv").as("cv"))
+      var assign: DataFrame = null
+      for (_ <- 1 to KmeansRounds) {
+        val diff = (col("xv") - col("cv")).cast(d12)
+        val d2 = base.join(broadcast(cent), "pos")
+          .groupBy(col("vec_id"), col("k"))
+          .agg(sum(diff * diff).as("d2"))
+        val wA = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("k"))
+        assign = d2.withColumn("rn", row_number().over(wA))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("k"), col("d2"))
+          .localCheckpoint() // feeds the centroid agg AND the final stats
+        cent = base.join(assign.select(col("vec_id"), col("k")), "vec_id")
+          .groupBy(col("k"), col("pos"))
+          .agg(round(sum(col("xv")).cast("double") / count(lit(1)), 6)
+            .cast(d6).as("cv"))
+          .localCheckpoint() // k×64 rows; cuts the per-round lineage
+      }
+      val sizes = assign.groupBy(col("k"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(col("d2")).cast("double"), 6).as("inertia"))
+      val norms = cent.groupBy(col("k"))
+        .agg(round(sqrt(sum(col("cv") * col("cv")).cast("double")), 6)
+          .as("centroid_norm"))
+      sizes.join(norms, Seq("k"))
+        .select(col("k").as("cluster"), col("n_vecs"), col("inertia"),
+          col("centroid_norm"))
+        .orderBy(col("cluster"))
     }))
+
+  /** Lloyd rounds for vec_kmeans — bounded-round semantics like
+    * pagerank's 5 and kcore's 6 peels; the DuckDB twin unrolls the same
+    * rounds CTE for CTE. */
+  private[graft] val KmeansRounds = 3
+
+  /** One unrolled Lloyd round k (inputs x and c{k-1}): decimal-exact
+    * assignment distances, argmin window, re-gridded centroid means —
+    * the same algebra as the Spark loop body. */
+  private def kmeansRoundSql(k: Int): String =
+    s"""d$k AS (
+          SELECT x.vec_id, c.k,
+                 sum(CAST(xv - cv AS DECIMAL(12,6)) * CAST(xv - cv AS DECIMAL(12,6))) AS d2
+          FROM x JOIN c${k - 1} c USING (pos) GROUP BY 1, 2),
+        a$k AS (
+          SELECT vec_id, k, d2 FROM (
+            SELECT vec_id, k, d2,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
+            FROM d$k) WHERE rn = 1),
+        c$k AS (
+          SELECT a.k, x.pos,
+                 CAST(round(CAST(sum(xv) AS DOUBLE) / count(1), 6)
+                   AS DECIMAL(18,6)) AS cv
+          FROM x JOIN a$k a USING (vec_id) GROUP BY 1, 2)"""
 
   /** One unrolled power-iteration round k (inputs x/sx/nrows/v{k-1}):
     * the SAME decimal-gridded algebra as the Spark plan, CTE for CTE. */
@@ -762,7 +841,26 @@ object VectorOps {
             SELECT CASE WHEN vv < 0 THEN -1 ELSE 1 END AS sg
             FROM v3 ORDER BY abs(vv) DESC, pos LIMIT 1)
           SELECT pos, round(CAST(vv * sg AS DOUBLE), 6) AS loading
-          FROM v3 CROSS JOIN sgn ORDER BY pos""")
+          FROM v3 CROSS JOIN sgn ORDER BY pos""") +
+    ("vec_kmeans" ->
+      s"""WITH x AS MATERIALIZED (
+            SELECT vec_id, CAST(u.p AS INTEGER) AS pos,
+                   CAST(round(CAST(u.v AS DOUBLE), 6) AS DECIMAL(18,6)) AS xv
+            FROM (SELECT vec_id, unnest(range(0, len(embedding))) AS p,
+                         unnest(embedding) AS v
+                  FROM embeddings) u),
+          c0 AS (
+            SELECT CAST(vec_id AS INT) AS k, pos, xv AS cv FROM x WHERE vec_id < 8),
+          ${(1 to KmeansRounds).map(kmeansRoundSql).mkString(",\n")},
+          sizes AS (
+            SELECT k, count(1) AS n_vecs,
+                   round(CAST(sum(d2) AS DOUBLE), 6) AS inertia
+            FROM a$KmeansRounds GROUP BY 1),
+          norms AS (
+            SELECT k, round(sqrt(CAST(sum(cv * cv) AS DOUBLE)), 6) AS centroid_norm
+            FROM c$KmeansRounds GROUP BY 1)
+          SELECT s.k AS cluster, s.n_vecs, s.inertia, n.centroid_norm
+          FROM sizes s JOIN norms n USING (k) ORDER BY cluster""")
 
   private lazy val oraclesBase: Map[String, String] = Map(
     "vec_binary_hamming_topk" ->

@@ -2054,6 +2054,51 @@ class PropertySpec extends SparkSuite {
     assert(cos > 0.999, s"cosine vs ungridded brute: $cos")
   }
 
+  test("vec_kmeans: replays a micro-unit-exact sequential Lloyd loop") {
+    val rows = q("vec_kmeans").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // brute: the same grid in Long micro-units — assignment distances are
+    // exact integers, centroid means replay the one double division
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(f =>
+        BigDecimal(f.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .*(BigDecimal(1000000)).toLongExact).toArray))
+    var cent: Map[Int, Array[Long]] =
+      emb.filter(_._1 < 8).map { case (id, v) => id.toInt -> v }.toMap
+    var assign: Map[Long, (Int, Long)] = Map.empty // vec -> (k, d2 in 1e-12 units)
+    for (_ <- 1 to graft.operators.VectorOps.KmeansRounds) {
+      assign = emb.map { case (id, v) =>
+        val best = cent.toSeq.map { case (k, c) =>
+          val d2 = (0 until 64).map(i => (v(i) - c(i)) * (v(i) - c(i))).sum
+          (d2, k)
+        }.min
+        id -> ((best._2, best._1))
+      }.toMap
+      cent = assign.values.map(_._1).toSet.toSeq.map { (k: Int) =>
+        val members = emb.filter(e => assign(e._1)._1 == k)
+        k -> Array.tabulate(64) { i =>
+          val sm = members.map(_._2(i)).sum
+          BigDecimal(sm.toDouble / 1e6 / members.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .*(BigDecimal(1000000)).toLongExact
+        }
+      }.toMap
+    }
+    val sizes = assign.values.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(rows.keySet === sizes.keySet, "cluster id set")
+    sizes.foreach { case (k, n) =>
+      val (gn, gi, gnorm) = rows(k)
+      assert(gn === n.toLong, s"cluster $k size")
+      val inertia = assign.values.filter(_._1 == k).map(_._2).sum / 1e12
+      assert(math.abs(gi - inertia) < 1e-5, s"cluster $k inertia")
+      val norm = math.sqrt(cent(k).map(c => (c / 1e6) * (c / 1e6)).sum)
+      assert(math.abs(gnorm - norm) < 1e-5, s"cluster $k centroid norm")
+    }
+    assert(sizes.values.sum === emb.length, "partition covers the corpus")
+  }
+
   test("graph_modularity: Q matches the brute Newman-Girvan formula on the LPA partition") {
     val r = q("graph_modularity").collect().head
     val labels = graft.operators.AnalyticsOps.lpaLabels(spark, sf).collect()
