@@ -855,6 +855,54 @@ object TextOps {
         .limit(20)
     }),
 
+    // Per-document lexical diversity — type/token ratio and the in-doc
+    // hapax share, the vocabulary-richness cut that separates generated/
+    // templated text (low TTR, low hapax) from natural prose at a
+    // per-document grain (text_quality scores surface features; this
+    // scores vocabulary REUSE). One explode pass to the (doc, word)
+    // grain with map-side combine, then a doc-grain rollup — integer
+    // counts, two divisions, no corpus-wide state at any scale.
+    "text_lexical_diversity" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(
+          sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          count(when(col("c") === 1, 1)).as("n_hapax"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+          round(col("n_hapax").cast("double") / col("n_types"), 6)
+            .as("hapax_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Importance sampling under a length-proportional inclusion
+    // probability — the curation primitive between uniform sample_split
+    // and the hard corpus_token_budget cut: keep each document with
+    // p = n_chars/max(n_chars), so long documents (more training signal)
+    // are kept preferentially but every document retains nonzero mass,
+    // and emit the Horvitz-Thompson inverse-propensity weight 1/p that
+    // makes any downstream statistic unbiased. The keep decision is an
+    // INTEGER comparison — hash·max < n_chars·2³¹ (the masked-Knuth
+    // uniform vs the weight, cross-multiplied) — zero float ops, so
+    // membership is engine-exact; only the reported ip weight divides.
+    // One 1-row max agg broadcast onto one scan pass.
+    "sample_importance" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val mx = d.agg(max(col("n_chars")).as("mx"))
+      d.select(col("doc_id"), col("n_chars"),
+          (((col("doc_id") % lit(2147483648L)) * lit(2654435761L))
+            % lit(2147483648L)).as("hv"))
+        .crossJoin(broadcast(mx))
+        .filter(col("hv") * col("mx") < col("n_chars") * lit(2147483648L))
+        .select(col("doc_id"), col("n_chars"),
+          round(col("n_chars").cast("double") / col("mx"), 6).as("p_keep"),
+          round(col("mx").cast("double") / col("n_chars"), 6).as("ip_weight"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Jensen–Shannon divergence between every pair of source unigram
     // distributions — the corpus-drift matrix a training-mix curator
     // reads before reweighting (symmetric, bounded [0,1] in bits, no
@@ -1474,6 +1522,33 @@ object TextOps {
                           ELSE 0 END), 9) AS DECIMAL(18,9)) AS term
            FROM j)
          SELECT sa AS src_a, sb AS src_b, round(CAST(sum(term) AS DOUBLE), 6) AS js
-         FROM terms GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM terms GROUP BY 1, 2 ORDER BY 1, 2""",
+    "text_lexical_diversity" ->
+      """WITH wc AS (
+           SELECT doc_id, w, count(1) AS c FROM (
+             SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+             FROM documents)
+           WHERE w <> '' GROUP BY 1, 2),
+         d AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                  count(1) AS n_types,
+                  CAST(count(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS n_hapax
+           FROM wc GROUP BY 1)
+         SELECT doc_id, n_tokens, n_types, n_hapax,
+                round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+                round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_ratio
+         FROM d ORDER BY doc_id""",
+    "sample_importance" ->
+      """WITH mx AS (SELECT CAST(max(n_chars) AS BIGINT) AS mx FROM documents),
+         h AS (
+           SELECT doc_id, n_chars,
+                  ((doc_id % 2147483648) * 2654435761) % 2147483648 AS hv
+           FROM documents)
+         SELECT doc_id, n_chars,
+                round(CAST(n_chars AS DOUBLE) / mx, 6) AS p_keep,
+                round(CAST(mx AS DOUBLE) / n_chars, 6) AS ip_weight
+         FROM h CROSS JOIN mx
+         WHERE hv * mx < n_chars * 2147483648
+         ORDER BY doc_id"""
   ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
 }

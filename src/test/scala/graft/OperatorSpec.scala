@@ -2054,6 +2054,43 @@ class PropertySpec extends SparkSuite {
     assert(cos > 0.999, s"cosine vs ungridded brute: $cos")
   }
 
+  test("text_lexical_diversity: per-doc TTR/hapax replay brute counts") {
+    val rows = q("text_lexical_diversity").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.size === docs.length)
+    docs.foreach { case (id, text) =>
+      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      val hist = toks.groupBy(identity).view.mapValues(_.length).toMap
+      val (nt, ny, nh, ttr) = rows(id)
+      assert(nt === toks.length.toLong && ny === hist.size.toLong, s"doc $id counts")
+      assert(nh === hist.values.count(_ == 1).toLong, s"doc $id hapax")
+      assert(math.abs(ttr - hist.size.toDouble / toks.length) < 1e-6, s"doc $id ttr")
+    }
+  }
+
+  test("sample_importance: keep rule is the exact integer cross-multiply") {
+    val rows = q("sample_importance").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val mx = docs.map(_._2).max
+    val expect = docs.filter { case (id, nc) =>
+      (((id % 2147483648L) * 2654435761L) % 2147483648L) * mx < nc * 2147483648L
+    }.map(_._1).toSet
+    assert(rows.map(_._1).toSet === expect, "kept set")
+    assert(rows.nonEmpty && rows.length < docs.length, "a real subsample")
+    rows.foreach { case (id, nc, p, ipw) =>
+      assert(p > 0 && p <= 1.0 + 1e-9, s"doc $id p_keep")
+      assert(ipw >= 1.0 - 1e-9, s"doc $id ip weight")
+      assert(math.abs(p * ipw - 1.0) < 1e-3, s"doc $id p*w ~= 1")
+    }
+  }
+
   test("vec_kmeans: replays a micro-unit-exact sequential Lloyd loop") {
     val rows = q("vec_kmeans").collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
