@@ -712,6 +712,49 @@ object VectorOps {
         .orderBy(col("pos"))
     }),
 
+    // Maximal-marginal-relevance retrieval (λ = 0.7, 5 picks from the
+    // 20-candidate cosine shortlist of probe 0) — the diversity-aware
+    // re-ranker between raw top-k and dedup_embed_cosine's hard cut:
+    // each pick maximizes λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s), so the
+    // result covers the neighborhood instead of returning five
+    // near-duplicates. The selection loop is BOUNDED-ROUND (MmrPicks
+    // unrolled steps, the kcore/pagerank discipline) over a constant-size
+    // frame: the shortlist and its 20×20 pairwise-sim grid are built once
+    // (broadcast joins, 6-dp-gridded sims), each step is one ≤20-row
+    // argmax with a (score desc, id) total order — candidate generation
+    // is the only corpus-scale pass, everything after is O(k²).
+    "vec_mmr" -> ((s, dir) => {
+      val emb = embStore(s, dir)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val cands = persistShared("mmr_cands", emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("sim", round(cosine_sim(col("embedding"), col("qv")), 6))
+        .orderBy(col("sim").desc, col("vec_id")).limit(20)
+        .select(col("vec_id"), col("embedding"), col("sim")))
+      val pairs = persistShared("mmr_pairs", cands.as("a")
+        .join(broadcast(cands.as("b")),
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+          round(cosine_sim(col("a.embedding"), col("b.embedding")), 6)
+            .as("psim")))
+      var sel = cands.orderBy(col("sim").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), lit(1).as("rank"), col("sim").as("score"))
+        .localCheckpoint()
+      for (step <- 2 to MmrPicks) {
+        val mx = pairs.join(broadcast(sel.select(col("vec_id").as("vb"))), Seq("vb"))
+          .groupBy(col("va")).agg(max(col("psim")).as("mx"))
+        val pick = cands
+          .join(broadcast(sel.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+          .join(mx, col("vec_id") === col("va"))
+          .select(col("vec_id"),
+            round(lit(0.7) * col("sim") - lit(0.3) * col("mx"), 6).as("score"))
+          .orderBy(col("score").desc, col("vec_id")).limit(1)
+          .select(col("vec_id"), lit(step).as("rank"), col("score"))
+        sel = sel.unionAll(pick).localCheckpoint()
+      }
+      sel.select(col("rank"), col("vec_id"), col("score")).orderBy(col("rank"))
+    }),
+
     // K-means (K = 8, KmeansRounds bounded Lloyd iterations) over the
     // full 64-dim embeddings — the clustering workhorse the PQ codebook
     // trainer already runs per subspace, exposed as a first-class
@@ -771,6 +814,25 @@ object VectorOps {
     * pagerank's 5 and kcore's 6 peels; the DuckDB twin unrolls the same
     * rounds CTE for CTE. */
   private[graft] val KmeansRounds = 3
+
+  /** Picks for vec_mmr's unrolled greedy selection (first pick = plain
+    * argmax sim; each later pick one MMR argmax step). */
+  private[graft] val MmrPicks = 5
+
+  /** One unrolled MMR selection step k ≥ 2 (inputs cands/pair/sel{k-1}):
+    * the same λ-blend and (score desc, id) argmax as the Spark loop. */
+  private def mmrStepSql(k: Int): String =
+    s"""s$k AS (
+          SELECT c.vec_id, $k AS rank,
+                 round(0.7 * c.sim - 0.3 * m.mx, 6) AS score
+          FROM cands c
+          JOIN (SELECT va, max(psim) AS mx FROM pair
+                WHERE vb IN (SELECT vec_id FROM sel${k - 1}) GROUP BY va) m
+            ON c.vec_id = m.va
+          WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${k - 1})
+          ORDER BY score DESC, c.vec_id LIMIT 1),
+        sel$k AS (SELECT vec_id, rank, score FROM sel${k - 1}
+                  UNION ALL SELECT vec_id, rank, score FROM s$k)"""
 
   /** One unrolled Lloyd round k (inputs x and c{k-1}): decimal-exact
     * assignment distances, argmin window, re-gridded centroid means —
@@ -860,7 +922,22 @@ object VectorOps {
             SELECT k, round(sqrt(CAST(sum(cv * cv) AS DOUBLE)), 6) AS centroid_norm
             FROM c$KmeansRounds GROUP BY 1)
           SELECT s.k AS cluster, s.n_vecs, s.inertia, n.centroid_norm
-          FROM sizes s JOIN norms n USING (k) ORDER BY cluster""")
+          FROM sizes s JOIN norms n USING (k) ORDER BY cluster""") +
+    ("vec_mmr" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          cands AS MATERIALIZED (
+            SELECT e.vec_id, e.embedding, round($sqlCosDuck, 6) AS sim
+            FROM embeddings e, q WHERE e.vec_id <> 0
+            ORDER BY sim DESC, e.vec_id LIMIT 20),
+          pair AS MATERIALIZED (
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   round(${cosSql("a.embedding", "b.embedding")}, 6) AS psim
+            FROM cands a JOIN cands b ON a.vec_id <> b.vec_id),
+          sel1 AS (
+            SELECT vec_id, 1 AS rank, sim AS score FROM cands
+            ORDER BY sim DESC, vec_id LIMIT 1),
+          ${(2 to MmrPicks).map(mmrStepSql).mkString(",\n")}
+          SELECT rank, vec_id, score FROM sel$MmrPicks ORDER BY rank""")
 
   private lazy val oraclesBase: Map[String, String] = Map(
     "vec_binary_hamming_topk" ->

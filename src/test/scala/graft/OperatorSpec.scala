@@ -2091,6 +2091,37 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("vec_mmr: replays the greedy lambda-blend selection brute-force") {
+    val rows = q("vec_mmr").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = (0 until 64).map(i => a(i) * b(i)).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val qv = emb(0L)
+    val cands = emb.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, r6(cos(qv, v))) }
+      .sortBy { case (id, s) => (-s, id) }.take(20)
+    var sel = List(cands.head._1)
+    var scores = List((1, cands.head._1, cands.head._2))
+    for (step <- 2 to 5) {
+      val pick = cands.filterNot(c => sel.contains(c._1)).map { case (id, s) =>
+        val mx = sel.map(sid => r6(cos(emb(id), emb(sid)))).max
+        (id, r6(0.7 * s - 0.3 * mx))
+      }.minBy { case (id, sc) => (-sc, id) }
+      sel = sel :+ pick._1
+      scores = scores :+ ((step, pick._1, pick._2))
+    }
+    assert(rows.toList === scores, s"got ${rows.toList} vs $scores")
+    // diversity: the five picks are distinct and include at least one
+    // candidate that plain top-5 would not have chosen iff scores differ
+    assert(rows.map(_._2).distinct.length === 5)
+  }
+
   test("vec_kmeans: replays a micro-unit-exact sequential Lloyd loop") {
     val rows = q("vec_kmeans").collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
