@@ -636,6 +636,91 @@ object AnalyticsOps {
         .orderBy(col("event_type"))
     }),
 
+    // Kendall tau-b between the view and purchase daily series — the
+    // outlier-robust rank-association complement to ts_cross_corr's
+    // Pearson (a single wild day can't move it): classify every day PAIR
+    // as concordant/discordant/tied from INTEGER comparisons only, then
+    // tau-b's tie-corrected normalization is one sqrt over integer
+    // counts. The pair join is calendar-bounded (days², never the fact
+    // grain — the same bound as ts_theil_sen); ties get exact treatment
+    // via the per-value tie counts, no mid-rank floats anywhere.
+    "stat_kendall" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val xy = persistShared("kendall_xy", daily
+        .groupBy(col("day")).pivot("event_type", Seq("view", "purchase"))
+        .agg(first(col("c")))
+        .select(col("day"), coalesce(col("view"), lit(0L)).as("x"),
+          coalesce(col("purchase"), lit(0L)).as("y")))
+      val p = xy.as("a").join(xy.as("b"), col("a.day") < col("b.day"))
+        .select(
+          (signum((col("b.x") - col("a.x")).cast("double")) *
+            signum((col("b.y") - col("a.y")).cast("double"))).cast("int").as("cd"),
+          when(col("a.x") === col("b.x"), 1L).otherwise(0L).as("tx"),
+          when(col("a.y") === col("b.y"), 1L).otherwise(0L).as("ty"))
+      val m = p.agg(count(lit(1)).as("n0"),
+        sum(when(col("cd") === 1, 1L).otherwise(0L)).as("conc"),
+        sum(when(col("cd") === -1, 1L).otherwise(0L)).as("disc"),
+        sum(col("tx")).as("n1"), sum(col("ty")).as("n2"))
+      m.crossJoin(broadcast(xy.agg(count(lit(1)).as("n_days"))))
+        .select(col("n_days"), col("conc"), col("disc"),
+          round((col("conc") - col("disc")).cast("double") /
+            sqrt(((col("n0") - col("n1")) * (col("n0") - col("n2")))
+              .cast("double")), 6).as("tau_b"))
+    }),
+
+    // Hurst exponent per event series via rescaled-range (R/S) analysis
+    // at chunk sizes 4/8/16 (the 30-day calendar allows 7/3/1 complete chunks) — the long-memory screen (H≈0.5 random walk,
+    // H>0.5 trending/persistent, H<0.5 mean-reverting) that tells a
+    // capacity planner whether bursts cluster. All chunk statistics stay
+    // INTEGER until one sqrt: the cumulative deviation is k-scaled
+    // (k·cum − t·sum), so the range R̃ is an exact integer, and
+    // R/S = R̃/√(k·Σx²−sum²) divides two integer-derived quantities in
+    // one identical double expression; per-size means of R/S are
+    // 9-dp-gridded DECIMAL sums, and with log2-equispaced sizes the
+    // 3-point slope collapses to (log2(rs16)−log2(rs4))/2 — no linreg
+    // machinery. Chunks partition per (series, size): day-grain windows,
+    // calendar-bounded at any corpus size.
+    "ts_hurst" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type").as("et"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val wD = Window.partitionBy(col("et")).orderBy(col("day"))
+      val seq0 = daily.withColumn("t0", row_number().over(wD) - 1)
+        .select(col("et"), col("t0"), col("c"),
+          explode(expr("array(4, 8, 16)")).as("k"))
+        .withColumn("chunk", expr("t0 div k"))
+        .withColumn("tin", expr("t0 % k") + 1)
+      val wC = Window.partitionBy(col("et"), col("k"), col("chunk"))
+      val cum = seq0
+        .withColumn("nin", count(lit(1)).over(wC))
+        .filter(col("nin") === col("k")) // complete chunks only
+        .withColumn("cs", sum(col("c")).over(
+          wC.orderBy(col("tin")).rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("csum", sum(col("c")).over(wC))
+        .withColumn("dev", col("k") * col("cs") - col("tin") * col("csum"))
+      val chunks = cum.groupBy(col("et"), col("k"), col("chunk")).agg(
+          (greatest(max(col("dev")), lit(0L)) - least(min(col("dev")), lit(0L)))
+            .as("rtil"),
+          max(col("csum")).as("csum"),
+          sum(col("c") * col("c")).as("sxx"))
+        .filter(col("k") * col("sxx") - col("csum") * col("csum") > 0)
+        .select(col("et"), col("k"),
+          round(col("rtil").cast("double") /
+            sqrt((col("k") * col("sxx") - col("csum") * col("csum"))
+              .cast("double")), 9).cast(DecimalType(18, 9)).as("rs"))
+      val bySize = chunks.groupBy(col("et"), col("k"))
+        .agg(round(sum(col("rs")).cast("double") / count(lit(1)), 9).as("mrs"))
+      bySize.groupBy(col("et").as("event_type")).agg(
+          round(max(when(col("k") === 4, col("mrs"))), 6).as("rs4"),
+          round(max(when(col("k") === 8, col("mrs"))), 6).as("rs8"),
+          round(max(when(col("k") === 16, col("mrs"))), 6).as("rs16"),
+          round((log2(max(when(col("k") === 16, col("mrs")))) -
+            log2(max(when(col("k") === 4, col("mrs"))))) / 2, 6).as("hurst"))
+        .orderBy(col("event_type"))
+    }),
+
     // Permutation entropy per event series (ordinal patterns of three
     // successive daily observations): the model-free complexity screen —
     // low = trending/predictable series, high ≈ log2(6) = white noise.
@@ -2693,6 +2778,73 @@ object AnalyticsOps {
            FROM scored)
          SELECT event_type, day AS cp_day, round(cusum, 6) AS cusum
          FROM ranked WHERE rk = 1 ORDER BY event_type""",
+    "stat_kendall" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, event_type, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         xy AS (
+           SELECT day,
+                  coalesce(max(CASE WHEN event_type = 'view' THEN c END), 0) AS x,
+                  coalesce(max(CASE WHEN event_type = 'purchase' THEN c END), 0) AS y
+           FROM daily GROUP BY 1),
+         p AS (
+           SELECT CAST(sign(CAST(b.x - a.x AS DOUBLE)) *
+                       sign(CAST(b.y - a.y AS DOUBLE)) AS INT) AS cd,
+                  CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+                  CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+           FROM xy a JOIN xy b ON a.day < b.day),
+         m AS (
+           SELECT count(1) AS n0,
+                  CAST(sum(CASE WHEN cd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+                  CAST(sum(CASE WHEN cd = -1 THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+                  CAST(sum(tx) AS BIGINT) AS n1, CAST(sum(ty) AS BIGINT) AS n2
+           FROM p),
+         nd AS (SELECT count(1) AS n_days FROM xy)
+         SELECT n_days, conc, disc,
+                round(CAST(conc - disc AS DOUBLE) /
+                      sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE)), 6) AS tau_b
+         FROM m, nd""",
+    "ts_hurst" ->
+      """WITH daily AS (
+           SELECT event_type AS et, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         seq0 AS (
+           SELECT et, row_number() OVER (PARTITION BY et ORDER BY day) - 1 AS t0, c
+           FROM daily),
+         ch AS (
+           SELECT et, CAST(k AS BIGINT) AS k, t0 // k AS chunk,
+                  t0 % k + 1 AS tin, c
+           FROM (SELECT et, t0, c, unnest([4, 8, 16]) AS k FROM seq0)),
+         fc AS (
+           SELECT *, count(1) OVER (PARTITION BY et, k, chunk) AS nin FROM ch),
+         cum AS (
+           SELECT et, k, chunk, tin, c,
+                  CAST(sum(c) OVER (PARTITION BY et, k, chunk ORDER BY tin
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs,
+                  CAST(sum(c) OVER (PARTITION BY et, k, chunk) AS BIGINT) AS csum
+           FROM fc WHERE nin = k),
+         chunks AS (
+           SELECT et, k, chunk,
+                  greatest(max(k * cs - tin * csum), 0)
+                    - least(min(k * cs - tin * csum), 0) AS rtil,
+                  max(csum) AS csum, CAST(sum(c * c) AS BIGINT) AS sxx
+           FROM cum GROUP BY 1, 2, 3),
+         rs AS (
+           SELECT et, k,
+                  CAST(round(CAST(rtil AS DOUBLE) /
+                    sqrt(CAST(k * sxx - csum * csum AS DOUBLE)), 9)
+                    AS DECIMAL(18,9)) AS rs
+           FROM chunks WHERE k * sxx - csum * csum > 0),
+         bys AS (
+           SELECT et, k, round(CAST(sum(rs) AS DOUBLE) / count(1), 9) AS mrs
+           FROM rs GROUP BY 1, 2)
+         SELECT et AS event_type,
+                round(max(CASE WHEN k = 4 THEN mrs END), 6) AS rs4,
+                round(max(CASE WHEN k = 8 THEN mrs END), 6) AS rs8,
+                round(max(CASE WHEN k = 16 THEN mrs END), 6) AS rs16,
+                round((log2(max(CASE WHEN k = 16 THEN mrs END)) -
+                       log2(max(CASE WHEN k = 4 THEN mrs END))) / 2, 6) AS hurst
+         FROM bys GROUP BY 1 ORDER BY et""",
     "ts_ljungbox" ->
       """WITH daily AS (
            SELECT event_type AS et, CAST(ts AS DATE) AS day, count(1) AS c

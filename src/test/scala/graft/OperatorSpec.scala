@@ -2366,6 +2366,62 @@ class PropertySpec extends SparkSuite {
     assert(math.abs(bs - (rel - res + unc)) < 3e-6, s"identity: $bs vs ${rel - res + unc}")
   }
 
+  test("stat_kendall: tau-b replays brute pair classification") {
+    val r = q("stat_kendall").collect().head
+    val dc = dailyCounts
+    val view = dc("view").map { case (d, c) => d.toLocalDate -> c }.toMap
+    val pur = dc("purchase").map { case (d, c) => d.toLocalDate -> c }.toMap
+    val days = (view.keySet ++ pur.keySet).toSeq.sortBy(_.toEpochDay)
+    val xy = days.map(d => (view.getOrElse(d, 0L), pur.getOrElse(d, 0L)))
+    var conc = 0L; var disc = 0L; var tx = 0L; var ty = 0L; var n0 = 0L
+    for (i <- xy.indices; j <- (i + 1) until xy.length) {
+      n0 += 1
+      val s = math.signum((xy(j)._1 - xy(i)._1).toDouble) *
+        math.signum((xy(j)._2 - xy(i)._2).toDouble)
+      if (s > 0) conc += 1 else if (s < 0) disc += 1
+      if (xy(i)._1 == xy(j)._1) tx += 1
+      if (xy(i)._2 == xy(j)._2) ty += 1
+    }
+    assert(r.getLong(0) === days.length.toLong && r.getLong(1) === conc &&
+      r.getLong(2) === disc, "pair counts")
+    val tau = (conc - disc).toDouble / math.sqrt(((n0 - tx) * (n0 - ty)).toDouble)
+    assert(math.abs(r.getDouble(3) - tau) < 1e-6, "tau_b")
+    assert(r.getDouble(3) >= -1.0 - 1e-9 && r.getDouble(3) <= 1.0 + 1e-9)
+  }
+
+  test("ts_hurst: R/S ladder replays a brute chunked recompute") {
+    val rows = q("ts_hurst").collect().map(r =>
+      r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    dailyCounts.foreach { case (et, days) =>
+      val xs = days.map(_._2).toArray
+      def meanRs(k: Int): Double = {
+        val rss = xs.grouped(k).filter(_.length == k).flatMap { ch =>
+          val sum = ch.sum
+          val sxx = ch.map(c => c * c).sum
+          if (k * sxx - sum * sum <= 0) None
+          else {
+            var cs = 0L
+            val devs = ch.zipWithIndex.map { case (c, i) =>
+              cs += c; k * cs - (i + 1) * sum }
+            val rtil = math.max(devs.max, 0L) - math.min(devs.min, 0L)
+            Some(BigDecimal(rtil.toDouble / math.sqrt((k * sxx - sum * sum).toDouble))
+              .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+        }.toSeq
+        rss.sum / rss.length
+      }
+      val (g4, g8, g16, gh) = rows(et)
+      assert(math.abs(g4 - meanRs(4)) < 1e-5, s"$et rs4")
+      assert(math.abs(g8 - meanRs(8)) < 1e-5, s"$et rs8")
+      assert(math.abs(g16 - meanRs(16)) < 1e-5, s"$et rs16")
+      val h = (math.log(meanRs(16)) / math.log(2) -
+        math.log(meanRs(4)) / math.log(2)) / 2
+      assert(math.abs(gh - h) < 1e-4, s"$et hurst")
+      assert(gh > -0.2 && gh < 1.2, s"$et hurst plausible range")
+    }
+  }
+
   test("stat_runs_test: run count and z match a sequential recompute") {
     val rows = q("stat_runs_test").collect().map(r =>
       r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
