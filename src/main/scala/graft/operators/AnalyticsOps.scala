@@ -605,9 +605,12 @@ object AnalyticsOps {
     // rationale). Day-grain input: |types|×7 intermediate, bounded by
     // the calendar at any corpus size.
     "ts_ljungbox" -> ((s, dir) => {
-      val daily = events(s, dir)
+      // daily feeds the global-moment agg, the lag-join probe AND its
+      // shifted build side — pinned so the events scan runs once (the
+      // re-executed-subtree lint class)
+      val daily = persistShared("ljungbox_daily", events(s, dir)
         .groupBy(col("event_type").as("et"), col("ts").cast("date").as("day"))
-        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("c")))
       val stats = daily.groupBy(col("et")).agg(
         count(lit(1)).as("nd"), sum(col("c")).as("tot"),
         sum(col("c") * col("c")).as("sxx"))
