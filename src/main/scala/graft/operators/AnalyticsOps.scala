@@ -1021,6 +1021,80 @@ object AnalyticsOps {
         .orderBy(col("seg_a"), col("seg_b"))
     }),
 
+    // Two-one-sided-tests (TOST) equivalence screen across segment pairs
+    // — the inferential INVERSE of stat_ttest: ttest asks "are these
+    // means different", this asks "are they provably WITHIN ±δ of each
+    // other" (δ = 100.0 balance units), the question a no-regression
+    // gate actually needs (failing to reject difference ≠ proving
+    // equivalence). Same decimal-exact moment frame as ttest (one fact
+    // pass), then t_lower = (Δ+δ)/se and t_upper = (Δ−δ)/se are double
+    // algebra on the 5-row frame with the Welch df; `equivalent` applies
+    // the fixed 1.645 critical value (z approximation, documented —
+    // exact t quantiles need the incomplete beta, the libm line this
+    // repo doesn't cross). ≤25-pair theta join, broadcast by size.
+    "stat_tost" -> ((s, dir) => {
+      val m = t(s, dir, "customer")
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("c_acctbal"))).as("sv"),
+          sum(dec(col("c_acctbal")) * dec(col("c_acctbal"))).as("svv"))
+        .select(col("seg"), col("n"),
+          (col("sv").cast("double") / col("n")).as("mu"),
+          ((col("svv").cast("double") - col("sv").cast("double") *
+            col("sv").cast("double") / col("n")) / (col("n") - 1)).as("v"))
+      val a = m.select(col("seg").as("seg_a"), col("n").as("na"),
+        col("mu").as("ma"), col("v").as("va"))
+      val b = m.select(col("seg").as("seg_b"), col("n").as("nb"),
+        col("mu").as("mb"), col("v").as("vb"))
+      val se = sqrt(col("va") / col("na") + col("vb") / col("nb"))
+      val tl = (col("ma") - col("mb") + lit(100.0)) / se
+      val tu = (col("ma") - col("mb") - lit(100.0)) / se
+      val sa = col("va") / col("na")
+      val sb = col("vb") / col("nb")
+      a.join(broadcast(b), col("seg_a") < col("seg_b"))
+        .select(col("seg_a"), col("seg_b"), col("na"), col("nb"),
+          round(tl, 6).as("t_lower"), round(tu, 6).as("t_upper"),
+          round((sa + sb) * (sa + sb) /
+            (sa * sa / (col("na") - 1) + sb * sb / (col("nb") - 1)), 6).as("df"),
+          when(tl > 1.645 && tu < -1.645, 1).otherwise(0).as("equivalent"))
+        .orderBy(col("seg_a"), col("seg_b"))
+    }),
+
+    // SAX symbolization per event series (PAA into 5-day segments, 4
+    // Gaussian-breakpoint symbols) — the time-series INDEXING primitive:
+    // the word is the shard/LSH key under which similar series co-locate,
+    // the same role MinHash bands play for documents. All inputs stay
+    // INTEGER until one expression: z = (n·segsum/cnt − Σx)/√(n·Σx²−Σx²)
+    // per segment (identical double tree both engines), symbols cut at
+    // the fixed ±0.6745 quartile breakpoints, and the word assembles
+    // through an ORDERED fold (sort_array struct collect — no
+    // collect_list order nondeterminism). Day-grain per series,
+    // calendar-bounded segments at any corpus size.
+    "ts_sax" -> ((s, dir) => {
+      val daily = persistShared("ts_sax_daily", events(s, dir)
+        .groupBy(col("event_type").as("et"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c")))
+      val stats = daily.groupBy(col("et")).agg(
+        count(lit(1)).as("nd"), sum(col("c")).as("sx"),
+        sum(col("c") * col("c")).as("sxx"))
+      val wD = Window.partitionBy(col("et")).orderBy(col("day"))
+      val segs = daily.withColumn("t0", row_number().over(wD) - 1)
+        .groupBy(col("et"), expr("t0 div 5").as("seg"))
+        .agg(sum(col("c")).as("segsum"), count(lit(1)).as("cnt"))
+      val z = (col("nd") * col("segsum").cast("double") / col("cnt") - col("sx")) /
+        sqrt((col("nd") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      val sym = when(z < -0.6745, "a").when(z < 0, "b")
+        .when(z < 0.6745, "c").otherwise("d")
+      segs.join(broadcast(stats), Seq("et"))
+        .select(col("et"), col("nd"), col("seg"), sym.as("sym"))
+        .groupBy(col("et").as("event_type"))
+        .agg(max(col("nd")).as("n_days"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("seg"), col("sym")))),
+            x => x.getField("sym")), "").as("sax_word"))
+        .orderBy(col("event_type"))
+    }),
+
     // Chi-squared test of independence on the priority × status
     // contingency table: ONE fact-sized hash agg to the 15-cell observed
     // table, then expected counts and the statistic live entirely on
@@ -2781,6 +2855,61 @@ object AnalyticsOps {
            FROM scored)
          SELECT event_type, day AS cp_day, round(cusum, 6) AS cusum
          FROM ranked WHERE rk = 1 ORDER BY event_type""",
+    "stat_tost" ->
+      """WITH m AS (
+           SELECT c_mktsegment AS seg, count(1) AS n,
+                  sum(CAST(c_acctbal AS DECIMAL(18,6))) AS sv,
+                  sum(CAST(c_acctbal AS DECIMAL(19,6)) *
+                      CAST(c_acctbal AS DECIMAL(19,6))) AS svv
+           FROM customer GROUP BY 1),
+         s AS (
+           SELECT seg, n, CAST(sv AS DOUBLE) / n AS mu,
+                  (CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n)
+                    / (n - 1) AS v
+           FROM m)
+         SELECT a.seg AS seg_a, b.seg AS seg_b, a.n AS na, b.n AS nb,
+                round((a.mu - b.mu + 100.0) /
+                  sqrt(a.v / a.n + b.v / b.n), 6) AS t_lower,
+                round((a.mu - b.mu - 100.0) /
+                  sqrt(a.v / a.n + b.v / b.n), 6) AS t_upper,
+                round((a.v / a.n + b.v / b.n) * (a.v / a.n + b.v / b.n) /
+                  ((a.v / a.n) * (a.v / a.n) / (a.n - 1) +
+                   (b.v / b.n) * (b.v / b.n) / (b.n - 1)), 6) AS df,
+                CASE WHEN (a.mu - b.mu + 100.0) / sqrt(a.v / a.n + b.v / b.n) > 1.645
+                      AND (a.mu - b.mu - 100.0) / sqrt(a.v / a.n + b.v / b.n) < -1.645
+                     THEN 1 ELSE 0 END AS equivalent
+         FROM s a JOIN s b ON a.seg < b.seg
+         ORDER BY seg_a, seg_b""",
+    "ts_sax" ->
+      """WITH daily AS (
+           SELECT event_type AS et, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         stats AS (
+           SELECT et, count(1) AS nd, CAST(sum(c) AS BIGINT) AS sx,
+                  CAST(sum(c * c) AS BIGINT) AS sxx
+           FROM daily GROUP BY 1),
+         segs AS (
+           SELECT et, t0 // 5 AS seg, CAST(sum(c) AS BIGINT) AS segsum,
+                  count(1) AS cnt
+           FROM (SELECT et, c,
+                        row_number() OVER (PARTITION BY et ORDER BY day) - 1 AS t0
+                 FROM daily)
+           GROUP BY 1, 2),
+         sym AS (
+           SELECT g.et, s.nd, g.seg,
+                  CASE WHEN (s.nd * CAST(g.segsum AS DOUBLE) / g.cnt - s.sx)
+                         / sqrt(CAST(s.nd * s.sxx - s.sx * s.sx AS DOUBLE)) < -0.6745
+                       THEN 'a'
+                       WHEN (s.nd * CAST(g.segsum AS DOUBLE) / g.cnt - s.sx)
+                         / sqrt(CAST(s.nd * s.sxx - s.sx * s.sx AS DOUBLE)) < 0
+                       THEN 'b'
+                       WHEN (s.nd * CAST(g.segsum AS DOUBLE) / g.cnt - s.sx)
+                         / sqrt(CAST(s.nd * s.sxx - s.sx * s.sx AS DOUBLE)) < 0.6745
+                       THEN 'c' ELSE 'd' END AS sym
+           FROM segs g JOIN stats s USING (et))
+         SELECT et AS event_type, max(nd) AS n_days,
+                string_agg(sym, '' ORDER BY seg) AS sax_word
+         FROM sym GROUP BY 1 ORDER BY event_type""",
     "stat_kendall" ->
       """WITH daily AS (
            SELECT CAST(ts AS DATE) AS day, event_type, count(1) AS c

