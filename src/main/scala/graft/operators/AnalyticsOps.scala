@@ -1095,6 +1095,71 @@ object AnalyticsOps {
         .orderBy(col("event_type"))
     }),
 
+    // Power analysis / sample-size design across segment pairs — the
+    // question asked BEFORE an experiment (ttest/tost answer after):
+    // how many customers per arm to detect the currently-observed mean
+    // gap at α=0.05 two-sided, power 0.80? n = (z_α+z_β)²(σ²_a+σ²_b)/Δ²
+    // with the z constants as exact literals (1.96, 0.8416 — fixed-
+    // quantile discipline, no inverse-CDF libm), variances from the same
+    // decimal-exact moment frame as stat_ttest, one ceil at the end.
+    // Also emits the detectable-effect inverse (mde at n=1000/arm). The
+    // fact is scanned once; everything after is the 5-row frame.
+    "stat_power" -> ((s, dir) => {
+      val m = t(s, dir, "customer")
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("c_acctbal"))).as("sv"),
+          sum(dec(col("c_acctbal")) * dec(col("c_acctbal"))).as("svv"))
+        .select(col("seg"), col("n"),
+          (col("sv").cast("double") / col("n")).as("mu"),
+          ((col("svv").cast("double") - col("sv").cast("double") *
+            col("sv").cast("double") / col("n")) / (col("n") - 1)).as("v"))
+      val zsum2 = lit((1.96 + 0.8416) * (1.96 + 0.8416))
+      val delta = col("ma") - col("mb")
+      m.select(col("seg").as("seg_a"), col("mu").as("ma"), col("v").as("va"))
+        .join(broadcast(
+          m.select(col("seg").as("seg_b"), col("mu").as("mb"), col("v").as("vb"))),
+          col("seg_a") < col("seg_b"))
+        .select(col("seg_a"), col("seg_b"),
+          round(delta, 6).as("observed_delta"),
+          ceil(zsum2 * (col("va") + col("vb")) / (delta * delta))
+            .cast("long").as("n_per_arm"),
+          round(sqrt(zsum2 * (col("va") + col("vb")) / 1000.0), 6)
+            .as("mde_at_1000"))
+        .orderBy(col("seg_a"), col("seg_b"))
+    }),
+
+    // Regression-eval metrics (MAE / RMSE / R²) of the segment-mean
+    // predictor — the regression side of the model-eval kit (confusion/
+    // auc/calibration/brier cover classification): score the
+    // feature_target_encode model on its own population. R² here IS the
+    // between-segment eta² (how much balance variance segmentation
+    // explains). Per-row errors are one double subtraction against the
+    // broadcast 5-row mean frame, 6-dp-gridded to DECIMAL before the
+    // sums (davg discipline — parallel order can't perturb), SST from
+    // the same global moments; two fact passes (means, then errors) —
+    // the honest minimum without caching the corpus.
+    "eval_regression" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val means = c.groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("nk"), sum(dec(col("c_acctbal"))).as("sv"))
+        .select(col("seg"), (col("sv").cast("double") / col("nk")).as("pred"))
+      val err = col("c_acctbal") - col("pred")
+      c.select(col("c_mktsegment").as("seg"), col("c_acctbal"))
+        .join(broadcast(means), Seq("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(abs(err), 6).cast(DecimalType(18, 6))).as("sae"),
+          sum(round(err * err, 6).cast(DecimalType(18, 6))).as("sse"),
+          sum(dec(col("c_acctbal"))).as("sv"),
+          sum(dec(col("c_acctbal")) * dec(col("c_acctbal"))).as("svv"))
+        .select(col("n"),
+          round(col("sae").cast("double") / col("n"), 6).as("mae"),
+          round(sqrt(col("sse").cast("double") / col("n")), 6).as("rmse"),
+          round(lit(1.0) - col("sse").cast("double") /
+            (col("svv").cast("double") - col("sv").cast("double") *
+              col("sv").cast("double") / col("n")), 6).as("r2"))
+    }),
+
     // Chi-squared test of independence on the priority × status
     // contingency table: ONE fact-sized hash agg to the 15-cell observed
     // table, then expected counts and the statistic live entirely on
@@ -2855,6 +2920,47 @@ object AnalyticsOps {
            FROM scored)
          SELECT event_type, day AS cp_day, round(cusum, 6) AS cusum
          FROM ranked WHERE rk = 1 ORDER BY event_type""",
+    "stat_power" ->
+      """WITH m AS (
+           SELECT c_mktsegment AS seg, count(1) AS n,
+                  sum(CAST(c_acctbal AS DECIMAL(18,6))) AS sv,
+                  sum(CAST(c_acctbal AS DECIMAL(19,6)) *
+                      CAST(c_acctbal AS DECIMAL(19,6))) AS svv
+           FROM customer GROUP BY 1),
+         s AS (
+           SELECT seg, n, CAST(sv AS DOUBLE) / n AS mu,
+                  (CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n)
+                    / (n - 1) AS v
+           FROM m)
+         SELECT a.seg AS seg_a, b.seg AS seg_b,
+                round(a.mu - b.mu, 6) AS observed_delta,
+                CAST(ceil((1.96 + 0.8416) * (1.96 + 0.8416) * (a.v + b.v) /
+                  ((a.mu - b.mu) * (a.mu - b.mu))) AS BIGINT) AS n_per_arm,
+                round(sqrt((1.96 + 0.8416) * (1.96 + 0.8416) * (a.v + b.v)
+                  / 1000.0), 6) AS mde_at_1000
+         FROM s a JOIN s b ON a.seg < b.seg
+         ORDER BY seg_a, seg_b""",
+    "eval_regression" ->
+      """WITH means AS (
+           SELECT c_mktsegment AS seg, count(1) AS nk,
+                  sum(CAST(c_acctbal AS DECIMAL(18,6))) AS sv
+           FROM customer GROUP BY 1),
+         p AS (SELECT seg, CAST(sv AS DOUBLE) / nk AS pred FROM means),
+         e AS (
+           SELECT count(1) AS n,
+                  sum(CAST(round(abs(c.c_acctbal - p.pred), 6) AS DECIMAL(18,6))) AS sae,
+                  sum(CAST(round((c.c_acctbal - p.pred) * (c.c_acctbal - p.pred), 6)
+                      AS DECIMAL(18,6))) AS sse,
+                  sum(CAST(c.c_acctbal AS DECIMAL(18,6))) AS sv,
+                  sum(CAST(c.c_acctbal AS DECIMAL(19,6)) *
+                      CAST(c.c_acctbal AS DECIMAL(19,6))) AS svv
+           FROM customer c JOIN p ON c.c_mktsegment = p.seg)
+         SELECT n, round(CAST(sae AS DOUBLE) / n, 6) AS mae,
+                round(sqrt(CAST(sse AS DOUBLE) / n), 6) AS rmse,
+                round(1.0 - CAST(sse AS DOUBLE) /
+                      (CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n),
+                      6) AS r2
+         FROM e""",
     "stat_tost" ->
       """WITH m AS (
            SELECT c_mktsegment AS seg, count(1) AS n,

@@ -2366,6 +2366,50 @@ class PropertySpec extends SparkSuite {
     assert(math.abs(bs - (rel - res + unc)) < 3e-6, s"identity: $bs vs ${rel - res + unc}")
   }
 
+  test("stat_power: sample sizes replay brute moments and invert sanely") {
+    val rows = q("stat_power").collect().map(r =>
+      (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val st = cust.groupBy(_._1).view.mapValues { xs =>
+      val v = xs.map(_._2); val n = v.length
+      val mu = v.sum / n
+      (mu, v.map(x => (x - mu) * (x - mu)).sum / (n - 1))
+    }.toMap
+    val z2 = (1.96 + 0.8416) * (1.96 + 0.8416)
+    rows.foreach { case ((a, b), (delta, npa, mde)) =>
+      val (ma, va) = st(a); val (mb, vb) = st(b)
+      assert(math.abs(delta - (ma - mb)) < 1e-4, s"$a/$b delta")
+      assert(npa === math.ceil(z2 * (va + vb) / ((ma - mb) * (ma - mb))).toLong,
+        s"$a/$b n_per_arm")
+      assert(math.abs(mde - math.sqrt(z2 * (va + vb) / 1000.0)) < 1e-4, s"$a/$b mde")
+      // inversion: at n_per_arm the detectable effect is <= the observed gap
+      assert(math.sqrt(z2 * (va + vb) / npa) <= math.abs(ma - mb) + 1e-6)
+    }
+  }
+
+  test("eval_regression: metrics replay brute and r2 equals eta-squared") {
+    val r = q("eval_regression").collect().head
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_mktsegment", "c_acctbal").collect()
+      .map(x => (x.getString(0), x.getDouble(1)))
+    val mean = cust.groupBy(_._1).view.mapValues(v =>
+      v.map(_._2).sum / v.length).toMap
+    val errs = cust.map { case (s, y) => y - mean(s) }
+    val n = cust.length
+    assert(r.getLong(0) === n.toLong)
+    assert(math.abs(r.getDouble(1) - errs.map(math.abs).sum / n) < 1e-4, "mae")
+    assert(math.abs(r.getDouble(2) -
+      math.sqrt(errs.map(e => e * e).sum / n)) < 1e-4, "rmse")
+    val gm = cust.map(_._2).sum / n
+    val sst = cust.map(x => (x._2 - gm) * (x._2 - gm)).sum
+    val r2 = 1.0 - errs.map(e => e * e).sum / sst
+    assert(math.abs(r.getDouble(3) - r2) < 1e-4, "r2 = eta^2")
+    assert(r.getDouble(3) >= 0 && r.getDouble(3) < 1)
+  }
+
   test("stat_tost: TOST statistics tie to stat_ttest's moments and bounds") {
     val tost = q("stat_tost").collect().map(r =>
       (r.getString(0), r.getString(1)) ->

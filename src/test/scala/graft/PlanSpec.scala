@@ -530,7 +530,8 @@ class PlanSpec extends SparkSuite {
       "eval_lift" -> "crossJoin against a broadcast 1-row n/total-positives frame",
       "sample_importance" -> "crossJoin against a broadcast 1-row max-length frame",
       "stat_kendall" -> "crossJoin composes the 1-row pair-classification and 1-row day-count aggregates",
-      "stat_tost" -> "theta self-join of a broadcast 5-row segment-moment frame (<=25 pairs, stat_ttest's shape)")
+      "stat_tost" -> "theta self-join of a broadcast 5-row segment-moment frame (<=25 pairs, stat_ttest's shape)",
+      "stat_power" -> "theta self-join of a broadcast 5-row segment-moment frame (<=25 pairs, stat_ttest's shape)")
     val sf = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if boundedByConstruction.contains(name) => None
