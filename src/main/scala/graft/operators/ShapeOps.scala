@@ -130,6 +130,39 @@ object ShapeOps {
         .orderBy(col("user_id"))
     }),
 
+    // Time-to-convert distribution (first view → first subsequent
+    // purchase) — the latency companion to seq_funnel's stage counts:
+    // how LONG the funnel takes, as exact rank order statistics
+    // (min/median/p90/max) over integer microsecond deltas — no
+    // interpolated percentiles, stat_levene's lower-median discipline.
+    // Two fact-grain aggs (first view per user, first conversion per
+    // user) shuffle by user; the order-stat window runs on the
+    // USER-grain conversion frame (dimension-sized, never the fact).
+    "seq_funnel_time" -> ((s, dir) => {
+      val e = events(s, dir)
+      val fv = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+      val conv = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("tp"))
+        .join(fv, Seq("user_id"))
+        .filter(col("tp") > col("tv"))
+        .groupBy(col("user_id"))
+        .agg((min(unix_micros(col("tp"))) - max(unix_micros(col("tv"))))
+          .as("du"))
+      val wG = Window.orderBy(col("du"), col("user_id"))
+      val wAll = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      conv.withColumn("rn", row_number().over(wG))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .agg(max(col("n")).as("n_converted"),
+          round(min(col("du")) / 1000000.0, 6).as("min_s"),
+          round(max(when(col("rn") === expr("(n + 1) div 2"), col("du")))
+            / 1000000.0, 6).as("p50_s"),
+          round(max(when(col("rn") === expr("(9 * n + 9) div 10"), col("du")))
+            / 1000000.0, 6).as("p90_s"),
+          round(max(col("du")) / 1000000.0, 6).as("max_s"))
+    }),
+
     // First-order Markov transition matrix over per-user event sequences
     // (the model behind next-action prediction and session simulation):
     // one lead() window per user (ordered by the unique (ts, event_id)
@@ -461,6 +494,28 @@ object ShapeOps {
                 WHEN t_buy IS NULL OR t_buy <= t_click THEN 2
                 ELSE 3 END AS stage
          FROM firsts ORDER BY user_id""",
+    "seq_funnel_time" ->
+      """WITH fv AS (
+           SELECT user_id, min(ts) AS tv FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         conv AS (
+           SELECT e.user_id,
+                  min(epoch_us(e.ts)) - max(epoch_us(fv.tv)) AS du
+           FROM events e JOIN fv USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > fv.tv
+           GROUP BY e.user_id),
+         rk AS (
+           SELECT du, row_number() OVER (ORDER BY du, user_id) AS rn,
+                  count(1) OVER () AS n
+           FROM conv)
+         SELECT max(n) AS n_converted,
+                round(min(du) / 1000000.0, 6) AS min_s,
+                round(max(CASE WHEN rn = (n + 1) // 2 THEN du END)
+                  / 1000000.0, 6) AS p50_s,
+                round(max(CASE WHEN rn = (9 * n + 9) // 10 THEN du END)
+                  / 1000000.0, 6) AS p90_s,
+                round(max(du) / 1000000.0, 6) AS max_s
+         FROM rk""",
     "ts_resample" ->
       """WITH days AS (
            SELECT CAST(unnest(generate_series(CAST(min(ts) AS DATE), CAST(max(ts) AS DATE), INTERVAL 1 DAY)) AS DATE) AS day FROM events),

@@ -855,6 +855,31 @@ object TextOps {
         .limit(20)
     }),
 
+    // One-row corpus datasheet — the summary block every corpus release
+    // ships (docs/sources/languages/token mass/vocabulary/corpus TTR):
+    // the numbers a training-mix designer reads before anything else.
+    // One token-explode pass carries the doc and token grains together
+    // (two exact count-distincts plan as Catalyst Expand — the
+    // profile_columns audit-time tradeoff; the daily-run variant swaps
+    // HLL), one documents-grain agg for source/lang cardinalities.
+    "corpus_stats_report" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val tok = d.select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("w")).as("vocab"),
+          countDistinct(col("doc_id")).as("n_docs"))
+      val dims = d.agg(countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"))
+      tok.crossJoin(broadcast(dims))
+        .select(col("n_docs"), col("n_sources"), col("n_langs"),
+          col("n_tokens"), col("vocab"),
+          round(col("vocab").cast("double") / col("n_tokens"), 6).as("corpus_ttr"),
+          round(col("n_tokens").cast("double") / col("n_docs"), 6)
+            .as("avg_doc_tokens"))
+    }),
+
     // Per-document lexical diversity — type/token ratio and the in-doc
     // hapax share, the vocabulary-richness cut that separates generated/
     // templated text (low TTR, low hapax) from natural prose at a
@@ -1523,6 +1548,21 @@ object TextOps {
            FROM j)
          SELECT sa AS src_a, sb AS src_b, round(CAST(sum(term) AS DOUBLE), 6) AS js
          FROM terms GROUP BY 1, 2 ORDER BY 1, 2""",
+    "corpus_stats_report" ->
+      """WITH tok AS (
+           SELECT count(1) AS n_tokens, count(DISTINCT w) AS vocab,
+                  count(DISTINCT doc_id) AS n_docs
+           FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                 FROM documents)
+           WHERE w <> ''),
+         dims AS (
+           SELECT count(DISTINCT source) AS n_sources,
+                  count(DISTINCT lang) AS n_langs
+           FROM documents)
+         SELECT n_docs, n_sources, n_langs, n_tokens, vocab,
+                round(CAST(vocab AS DOUBLE) / n_tokens, 6) AS corpus_ttr,
+                round(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS avg_doc_tokens
+         FROM tok CROSS JOIN dims""",
     "text_lexical_diversity" ->
       """WITH wc AS (
            SELECT doc_id, w, count(1) AS c FROM (

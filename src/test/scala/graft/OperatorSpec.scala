@@ -2366,6 +2366,45 @@ class PropertySpec extends SparkSuite {
     assert(math.abs(bs - (rel - res + unc)) < 3e-6, s"identity: $bs vs ${rel - res + unc}")
   }
 
+  test("seq_funnel_time: order stats replay a brute first-view-to-purchase scan") {
+    val r = q("seq_funnel_time").collect().head
+    val ev = graft.Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts").collect()
+      .map(x => (x.getLong(0), x.getString(1),
+        x.getTimestamp(2).getTime / 1000 * 1000000L +
+          x.getTimestamp(2).getNanos / 1000))
+    val fv = ev.filter(_._2 == "view").groupBy(_._1).view.mapValues(_.map(_._3).min)
+    val deltas = ev.filter(_._2 == "purchase").groupBy(_._1).toSeq.flatMap {
+      case (u, ps) => fv.get(u).flatMap { tv =>
+        val after = ps.map(_._3).filter(_ > tv)
+        if (after.isEmpty) None else Some((u, after.min - tv))
+      }
+    }.sortBy { case (u, d) => (d, u) }.map(_._2)
+    val n = deltas.length
+    assert(r.getLong(0) === n.toLong)
+    assert(math.abs(r.getDouble(1) - deltas.head / 1e6) < 1e-6, "min")
+    assert(math.abs(r.getDouble(2) - deltas((n + 1) / 2 - 1) / 1e6) < 1e-6, "p50")
+    assert(math.abs(r.getDouble(3) - deltas((9 * n + 9) / 10 - 1) / 1e6) < 1e-6, "p90")
+    assert(math.abs(r.getDouble(4) - deltas.last / 1e6) < 1e-6, "max")
+    assert(r.getDouble(1) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3) &&
+      r.getDouble(3) <= r.getDouble(4), "monotone ladder")
+  }
+
+  test("corpus_stats_report: the datasheet row replays brute corpus counts") {
+    val r = q("corpus_stats_report").collect().head
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source", "lang").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getString(3)))
+    val toks = docs.flatMap(d => d._2.toLowerCase.split(" ").filter(_.nonEmpty))
+    assert(r.getLong(0) === docs.length.toLong, "n_docs")
+    assert(r.getLong(1) === docs.map(_._3).distinct.length.toLong, "n_sources")
+    assert(r.getLong(2) === docs.map(_._4).distinct.length.toLong, "n_langs")
+    assert(r.getLong(3) === toks.length.toLong, "n_tokens")
+    assert(r.getLong(4) === toks.distinct.length.toLong, "vocab")
+    assert(math.abs(r.getDouble(5) - toks.distinct.length.toDouble / toks.length) < 1e-6)
+    assert(math.abs(r.getDouble(6) - toks.length.toDouble / docs.length) < 1e-6)
+  }
+
   test("stat_power: sample sizes replay brute moments and invert sanely") {
     val rows = q("stat_power").collect().map(r =>
       (r.getString(0), r.getString(1)) ->

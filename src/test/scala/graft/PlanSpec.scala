@@ -531,7 +531,8 @@ class PlanSpec extends SparkSuite {
       "sample_importance" -> "crossJoin against a broadcast 1-row max-length frame",
       "stat_kendall" -> "crossJoin composes the 1-row pair-classification and 1-row day-count aggregates",
       "stat_tost" -> "theta self-join of a broadcast 5-row segment-moment frame (<=25 pairs, stat_ttest's shape)",
-      "stat_power" -> "theta self-join of a broadcast 5-row segment-moment frame (<=25 pairs, stat_ttest's shape)")
+      "stat_power" -> "theta self-join of a broadcast 5-row segment-moment frame (<=25 pairs, stat_ttest's shape)",
+      "corpus_stats_report" -> "crossJoin composes the 1-row token-grain and 1-row dimension-cardinality aggregates")
     val sf = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if boundedByConstruction.contains(name) => None
