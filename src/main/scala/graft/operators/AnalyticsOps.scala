@@ -129,6 +129,10 @@ object AnalyticsOps {
     * loop runs with a convergence check (count of removed nodes = 0). */
   private[graft] val KcorePeelRounds = 6
 
+  /** Steps per walk for graph_walk_corpus — bounded-round like
+    * KcorePeelRounds; the DuckDB twin unrolls the same steps. */
+  private[graft] val WalkSteps = 4
+
   /** Synchronous rounds for graph_label_prop — bounded-round semantics
     * like KcorePeelRounds/BfsRounds so the DuckDB twin unrolls the same
     * rounds. Four synchronous votes reach a stable partition on the
@@ -1689,6 +1693,49 @@ object AnalyticsOps {
         .limit(20)
     }),
 
+    // Hash-driven random-walk corpus over the co-purchase graph — the
+    // node2vec/DeepWalk data-generation primitive: emit walks whose
+    // node sequences become training sentences for graph embeddings.
+    // Eight walks seed at the top-degree nodes (id tiebreak) and take
+    // WalkSteps steps; the "random" next-neighbor choice is a masked
+    // integer hash h(walk, step, current, neighbor) argmin — fully
+    // deterministic, replayable, engine-portable (the repo's RNG-free
+    // sampling discipline), every product pre-masked to 2³¹ so nothing
+    // wraps. Each step is one (8-row broadcast frontier) ⋈ adjacency +
+    // a per-walk argmin window — edge-linear per step, walk count
+    // scales embarrassingly. Reads the shared graph artifact.
+    "graph_walk_corpus" -> ((s, dir) => {
+      val und = coPurchaseGraph(s, dir)._1.select(col("p1"), col("p2"))
+      val adj = persistShared("walk_adj",
+        und.select(col("p1").as("src"), col("p2").as("dst"))
+          .union(und.select(col("p2").as("src"), col("p1").as("dst"))))
+      val wSeed = Window.orderBy(col("dg").desc, col("src"))
+      var frontier = adj.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        .withColumn("rk", row_number().over(wSeed)).filter(col("rk") <= 8)
+        .select(col("src").as("walk_id"), col("src").as("node"),
+          lit(0).as("step"))
+        .localCheckpoint()
+      var out = frontier
+      for (t <- 1 to WalkSteps) {
+        val h = pmod(
+          pmod((col("walk_id") % lit(2147483648L)) * 31 + t, lit(2147483648L)) +
+            pmod((col("node") % lit(2147483648L)) * lit(2654435761L),
+              lit(2147483648L)) +
+            pmod((col("dst") % lit(2147483648L)) * lit(1315423911L),
+              lit(2147483648L)),
+          lit(2147483648L))
+        val wPick = Window.partitionBy(col("walk_id")).orderBy(col("h"), col("dst"))
+        frontier = adj.join(broadcast(frontier), col("src") === col("node"))
+          .withColumn("h", h)
+          .withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1)
+          .select(col("walk_id"), col("dst").as("node"), lit(t).as("step"))
+          .localCheckpoint()
+        out = out.unionAll(frontier)
+      }
+      out.orderBy(col("walk_id"), col("step"))
+    }),
+
     // BFS hop distances from the graph's hub (max-degree node, id
     // tiebreak): BfsRounds bounded frontier expansions, output the hop
     // histogram — the k-hop ego-network reachability profile ("how much
@@ -2785,6 +2832,20 @@ object AnalyticsOps {
           SELECT node, dist FROM v${r - 1}
           UNION ALL SELECT node, $r AS dist FROM f$r)"""
 
+  /** One walk step as a SQL CTE: pick each walk's next node by the same
+    * pre-masked integer hash argmin as the Spark loop. */
+  private def walkStepSql(t: Int): String =
+    s"""f$t AS MATERIALIZED (
+          SELECT walk_id, dst AS node, $t AS step FROM (
+            SELECT f.walk_id, a.dst,
+                   row_number() OVER (PARTITION BY f.walk_id ORDER BY
+                     ((((f.walk_id % 2147483648) * 31 + $t) % 2147483648)
+                      + (((f.node % 2147483648) * 2654435761) % 2147483648)
+                      + (((a.dst % 2147483648) * 1315423911) % 2147483648))
+                     % 2147483648, a.dst) AS rn
+            FROM f${t - 1} f JOIN adj a ON a.src = f.node)
+          WHERE rn = 1)"""
+
   private def pagerankIterSql(k: Int): String =
     s"""r$k AS (SELECT e.dst AS v,
           round(CAST(0.15 AS DOUBLE) / max(n) +
@@ -3693,6 +3754,26 @@ object AnalyticsOps {
              SELECT 1 FROM und WHERE und.p1 = sc.a AND und.p2 = sc.b))
          SELECT a, b, CAST(common AS BIGINT) AS common, aa_score
          FROM cand ORDER BY aa_score DESC, a, b LIMIT 20""",
+    "graph_walk_corpus" ->
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          und AS MATERIALIZED (
+            SELECT a.pk AS p1, b.pk AS p2
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY p1, p2 HAVING count(1) >= 2),
+          adj AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM und
+                  UNION ALL SELECT p2, p1 FROM und),
+          f0 AS MATERIALIZED (
+            SELECT src AS walk_id, src AS node, 0 AS step FROM (
+              SELECT src, row_number() OVER
+                (ORDER BY count(1) DESC, src) AS rk
+              FROM adj GROUP BY src)
+            WHERE rk <= 8),
+          ${(1 to WalkSteps).map(walkStepSql).mkString(",\n")},
+          walks AS (
+            ${(0 to WalkSteps).map(t => s"SELECT walk_id, node, step FROM f$t")
+              .mkString(" UNION ALL ")})
+          SELECT walk_id, node, CAST(step AS INT) AS step
+          FROM walks ORDER BY walk_id, step""",
     "graph_bfs_hops" ->
       s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
           und AS MATERIALIZED (

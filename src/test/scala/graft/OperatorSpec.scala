@@ -2167,6 +2167,32 @@ class PropertySpec extends SparkSuite {
     assert(sizes.values.sum === emb.length, "partition covers the corpus")
   }
 
+  test("graph_walk_corpus: walks replay the deterministic hash argmin step rule") {
+    val rows = q("graph_walk_corpus").collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val und = graft.operators.AnalyticsOps.coPurchaseGraph(spark, sf)._1
+      .select("p1", "p2").collect().map(x => (x.getLong(0), x.getLong(1)))
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq).toMap
+    val seeds = adj.toSeq.map { case (n, ns) => (n, ns.length) }
+      .sortBy { case (n, d) => (-d, n) }.take(8).map(_._1)
+    val m = 2147483648L
+    seeds.foreach { w =>
+      assert(rows((w, 0)) === w, s"walk $w seed")
+      var cur = w
+      for (t <- 1 to 4) {
+        val next = adj(cur).map { d =>
+          val h = (((w % m) * 31 + t) % m + ((cur % m) * 2654435761L) % m +
+            ((d % m) * 1315423911L) % m) % m
+          (h, d)
+        }.min._2
+        assert(rows((w, t)) === next, s"walk $w step $t")
+        cur = next
+      }
+    }
+    assert(rows.size === 40, "8 walks x 5 rows")
+  }
+
   test("graph_modularity: Q matches the brute Newman-Girvan formula on the LPA partition") {
     val r = q("graph_modularity").collect().head
     val labels = graft.operators.AnalyticsOps.lpaLabels(spark, sf).collect()
