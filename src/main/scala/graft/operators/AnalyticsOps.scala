@@ -643,6 +643,72 @@ object AnalyticsOps {
         .orderBy(col("event_type"))
     }),
 
+    // Benford first-digit screen on order totals — the books-level fraud
+    // /data-fabrication detector (fabricated amounts flunk the log-
+    // uniform first-digit law): first digits come from the INTEGER cents
+    // rendering (no log10 to extract a digit), the nine expected
+    // frequencies log10(1+1/d) are EMBEDDED as exact 6-dp literals
+    // (eval_ndcg's discipline — zero libm in either plan), the digit
+    // domain is the full 1–9 grid with absent digits coalesced to 0
+    // (stat_chi2's empty-cell rule), and the summary MAD folds through
+    // the window-sum-of-micro-units pattern (eval_calibration). One
+    // fact pass to a 9-row grain.
+    "stat_benford" -> ((s, dir) => {
+      val expFreq = Map(1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939,
+        4 -> 0.096910, 5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992,
+        8 -> 0.051153, 9 -> 0.045757)
+      val obs = t(s, dir, "orders")
+        .select(substring(expr(
+          "CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS STRING)"),
+          1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      val grid = s.range(1, 10).select(col("id").cast("int").as("digit"))
+        .join(obs, Seq("digit"), "left")
+        .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+      val exp9 = expFreq.foldLeft(lit(0.0)) { case (acc, (d, f)) =>
+        when(col("digit") === d, f).otherwise(acc) }
+      val wAll = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      grid.withColumn("n", sum(col("n_obs")).over(wAll))
+        .withColumn("obs_freq", round(col("n_obs").cast("double") / col("n"), 6))
+        .withColumn("exp_freq", exp9)
+        .withColumn("gap", expr(
+          "CAST(round(abs(CAST(n_obs AS DOUBLE) / n - exp_freq) * 1000000, 0) AS BIGINT)"))
+        .select(col("digit"), col("n_obs"), col("obs_freq"), col("exp_freq"),
+          round(sum(col("gap")).over(wAll).cast("double") /
+            (lit(9.0) * 1000000.0), 6).as("benford_mad"))
+        .orderBy(col("digit"))
+    }),
+
+    // Hampel filter per event series — the ROLLING-window outlier
+    // detector completing the anomaly kit (anom_zscore/mad judge against
+    // GLOBAL statistics; a level-shifted series fools them — this one
+    // judges each day against its own 7-day neighborhood): centered
+    // 7-row window, median and MAD via SORTED-ARRAY element picks (odd
+    // window ⇒ exact order statistics, no interpolation anywhere), flag
+    // when |x−med| > 3·MAD. EVERY value is an integer — the whole
+    // operator is engine-exact with zero float ops. Edge days (partial
+    // windows) are excluded rather than judged against an even-length
+    // window whose median would interpolate. Windows partition per
+    // series at the day grain.
+    "ts_hampel" -> ((s, dir) => {
+      val wC = Window.partitionBy(col("et")).orderBy(col("day"))
+        .rowsBetween(-3, 3)
+      val daily = events(s, dir)
+        .groupBy(col("event_type").as("et"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      daily.withColumn("arr", collect_list(col("c")).over(wC))
+        .filter(size(col("arr")) === 7)
+        .withColumn("med", element_at(sort_array(col("arr")), 4))
+        .withColumn("mad", element_at(sort_array(
+          transform(col("arr"), x => abs(x - col("med")))), 4))
+        .select(col("et").as("event_type"), col("day"), col("c"),
+          col("med"), col("mad"),
+          when(abs(col("c") - col("med")) > col("mad") * 3, 1).otherwise(0)
+            .as("is_outlier"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Kendall tau-b between the view and purchase daily series — the
     // outlier-robust rank-association complement to ts_cross_corr's
     // Pearson (a single wild day can't move it): classify every day PAIR
@@ -3077,6 +3143,54 @@ object AnalyticsOps {
          SELECT et AS event_type, max(nd) AS n_days,
                 string_agg(sym, '' ORDER BY seg) AS sax_word
          FROM sym GROUP BY 1 ORDER BY event_type""",
+    "stat_benford" ->
+      """WITH obs AS (
+           SELECT CAST(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                    AS VARCHAR)[1] AS INT) AS digit,
+                  count(1) AS n_obs
+           FROM orders GROUP BY 1),
+         grid AS (
+           SELECT CAST(d.range AS INT) AS digit,
+                  coalesce(o.n_obs, 0) AS n_obs
+           FROM range(1, 10) d LEFT JOIN obs o ON o.digit = d.range),
+         e AS (
+           SELECT digit, n_obs,
+                  CAST(sum(n_obs) OVER () AS BIGINT) AS n,
+                  CAST(CASE digit WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091
+                    WHEN 3 THEN 0.124939 WHEN 4 THEN 0.096910
+                    WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+                    WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+                    ELSE 0.045757 END AS DOUBLE) AS exp_freq
+           FROM grid),
+         g AS (
+           SELECT digit, n_obs, n, exp_freq,
+                  round(CAST(n_obs AS DOUBLE) / n, 6) AS obs_freq,
+                  CAST(round(abs(CAST(n_obs AS DOUBLE) / n - exp_freq)
+                    * 1000000, 0) AS BIGINT) AS gap
+           FROM e)
+         SELECT digit, n_obs, obs_freq, exp_freq,
+                round(CAST(sum(gap) OVER () AS DOUBLE) / (9.0 * 1000000.0), 6)
+                  AS benford_mad
+         FROM g ORDER BY digit""",
+    "ts_hampel" ->
+      """WITH daily AS (
+           SELECT event_type AS et, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         win AS (
+           SELECT et, day, c,
+                  list(c) OVER (PARTITION BY et ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS arr
+           FROM daily),
+         med AS (
+           SELECT et, day, c, arr, list_sort(arr)[4] AS med
+           FROM win WHERE len(arr) = 7),
+         mad AS (
+           SELECT et, day, c, med,
+                  list_sort(list_transform(arr, x -> abs(x - med)))[4] AS mad
+           FROM med)
+         SELECT et AS event_type, day, c, med, mad,
+                CASE WHEN abs(c - med) > mad * 3 THEN 1 ELSE 0 END AS is_outlier
+         FROM mad ORDER BY event_type, day""",
     "stat_kendall" ->
       """WITH daily AS (
            SELECT CAST(ts AS DATE) AS day, event_type, count(1) AS c

@@ -2514,6 +2514,51 @@ class PropertySpec extends SparkSuite {
     assert(rows.values.map(_._2).toSet.size > 1)
   }
 
+  test("stat_benford: digit distribution replays brute cents-string extraction") {
+    val rows = q("stat_benford").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    val digits = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_totalprice").collect()
+      .map(r => math.round(r.getDouble(0) * 100).toString.charAt(0).asDigit)
+    val hist = digits.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = digits.length
+    val expFreq = Map(1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939,
+      4 -> 0.096910, 5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992,
+      8 -> 0.051153, 9 -> 0.045757)
+    assert(rows.keySet === (1 to 9).toSet, "full digit grid")
+    (1 to 9).foreach { d =>
+      val (nObs, obsF, expF, _) = rows(d)
+      assert(nObs === hist.getOrElse(d, 0L), s"digit $d count")
+      assert(math.abs(obsF - hist.getOrElse(d, 0L).toDouble / n) < 1e-6)
+      assert(math.abs(expF - expFreq(d)) < 1e-9)
+    }
+    val mad = (1 to 9).map(d =>
+      math.abs(hist.getOrElse(d, 0L).toDouble / n - expFreq(d))).sum / 9
+    assert(math.abs(rows(1)._4 - mad) < 1e-5, "benford mad")
+    assert(rows.values.map(_._3).sum > 0.9999, "expected freqs sum to ~1")
+  }
+
+  test("ts_hampel: rolling median/MAD flags replay brute window picks") {
+    val rows = q("ts_hampel").collect().map(r =>
+      (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))).toMap
+    dailyCounts.foreach { case (et, days) =>
+      val xs = days.map(_._2).toArray
+      for (i <- 3 until xs.length - 3) {
+        val win = xs.slice(i - 3, i + 4)
+        val med = win.sorted.apply(3)
+        val mad = win.map(x => math.abs(x - med)).sorted.apply(3)
+        val (gc, gm, gd, go) = rows((et, days(i)._1.toString))
+        assert(gc === xs(i) && gm === med && gd === mad, s"$et day $i stats")
+        assert(go === (if (math.abs(xs(i) - med) > 3 * mad) 1 else 0), s"$et day $i flag")
+      }
+      // edge days with partial windows are excluded, not misjudged
+      assert(!rows.contains((et, days.head._1.toString)))
+      assert(!rows.contains((et, days.last._1.toString)))
+    }
+  }
+
   test("stat_kendall: tau-b replays brute pair classification") {
     val r = q("stat_kendall").collect().head
     val dc = dailyCounts
