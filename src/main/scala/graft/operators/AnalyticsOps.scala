@@ -643,6 +643,29 @@ object AnalyticsOps {
         .orderBy(col("event_type"))
     }),
 
+    // k-anonymity risk report over the (nation, segment) quasi-identifier
+    // pair — the privacy audit beside gdpr_purge (deletion) and
+    // text_pii_scrub (redaction): BEFORE releasing a dataset, how many
+    // individuals sit in quasi-identifier groups small enough to
+    // re-identify? One fact-sized agg to the QI-group grain, then the
+    // summary (achieved k = min group size, groups/rows below the k=5
+    // threshold) folds on that bounded frame. All integers — engine-
+    // exact. At 100 TB the QI grain is catalog-bounded; the fact is
+    // touched once.
+    "gdpr_k_anonymity" -> ((s, dir) => {
+      val g = t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))
+      g.agg(count(lit(1)).as("n_groups"),
+          sum(col("cnt")).as("n_rows"),
+          min(col("cnt")).as("achieved_k"),
+          count(when(col("cnt") < 5, 1)).as("n_small_groups"),
+          coalesce(sum(when(col("cnt") < 5, col("cnt"))), lit(0L))
+            .as("n_rows_at_risk"))
+        .withColumn("satisfies_k5",
+          when(col("achieved_k") >= 5, 1).otherwise(0))
+    }),
+
     // Benford first-digit screen on order totals — the books-level fraud
     // /data-fabrication detector (fabricated amounts flunk the log-
     // uniform first-digit law): first digits come from the INTEGER cents
@@ -2784,11 +2807,20 @@ object AnalyticsOps {
           .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
             col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct())
+      // each round frame is node-count-sized and referenced TWICE by the
+      // next level (its own max agg + the join) — without the checkpoint
+      // the lineage doubles per half-round (2⁴ re-executions of the
+      // edge aggs by round 2: the un-pinned-chain defect class, invisible
+      // to the file-scan lint because edges IS cached; r9 bench caught it
+      // at 44.9 s vs the graph family's ~2 s band). Pin each level: the
+      // pagerank/kcore per-round localCheckpoint discipline.
       def normalize(raw: DataFrame, key: String, v: String): DataFrame = {
-        val mx = raw.agg(max(col(v)).as("mx"))
-        raw.join(broadcast(mx))
+        val rawP = raw.localCheckpoint(true)
+        val mx = rawP.agg(max(col(v)).as("mx"))
+        rawP.join(broadcast(mx))
           .select(col(key),
             d6(round(col(v).cast("double") / col("mx").cast("double"), 6)).as(v))
+          .localCheckpoint(true)
       }
       // round 1: a₀ ≡ 1 → hub mass = customer degree
       val h1 = normalize(
@@ -2802,6 +2834,7 @@ object AnalyticsOps {
         edges.join(a1, Seq("p")).groupBy(col("c")).agg(sum(col("a")).as("h")),
         "c", "h")
       val a2raw = edges.join(h2, Seq("c")).groupBy(col("p")).agg(sum(col("h")).as("ar"))
+        .localCheckpoint(true)
       a2raw.join(broadcast(a2raw.agg(max(col("ar")).as("am"))))
         .select(col("p").as("part"),
           round(col("ar").cast("double") / col("am").cast("double"), 6).as("authority"))
@@ -3143,6 +3176,17 @@ object AnalyticsOps {
          SELECT et AS event_type, max(nd) AS n_days,
                 string_agg(sym, '' ORDER BY seg) AS sax_word
          FROM sym GROUP BY 1 ORDER BY event_type""",
+    "gdpr_k_anonymity" ->
+      """WITH g AS (
+           SELECT c_nationkey, c_mktsegment, count(1) AS cnt
+           FROM customer GROUP BY 1, 2)
+         SELECT count(1) AS n_groups, CAST(sum(cnt) AS BIGINT) AS n_rows,
+                CAST(min(cnt) AS BIGINT) AS achieved_k,
+                count(CASE WHEN cnt < 5 THEN 1 END) AS n_small_groups,
+                CAST(coalesce(sum(CASE WHEN cnt < 5 THEN cnt END), 0) AS BIGINT)
+                  AS n_rows_at_risk,
+                CASE WHEN min(cnt) >= 5 THEN 1 ELSE 0 END AS satisfies_k5
+         FROM g""",
     "stat_benford" ->
       """WITH obs AS (
            SELECT CAST(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)

@@ -1,7 +1,7 @@
 package graft.operators
 
 import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
@@ -461,6 +461,45 @@ object EtlOps {
         .orderBy(col("event_id"))
     }),
 
+    // Declarative data-quality rule report — the validation stage as a
+    // RULE TABLE rather than a row filter (ingest_quarantine routes rows;
+    // this scores the dataset): five rules spanning the DQ taxonomy —
+    // referential integrity (FK orphans via LEFT ANTI), domain range,
+    // completeness (nulls), uniqueness (duplicate keys), and temporal
+    // sanity — each emitting (rule, n_checked, n_violations, status).
+    // Shape: the orders projection is pinned once; three of five rules
+    // share ONE scalar agg over it, uniqueness is a key-grain agg,
+    // integrity one anti-join against the broadcast dim. At 100 TB this
+    // is the nightly DQ job: rules-per-pass, never pass-per-rule.
+    "etl_dq_report" -> ((s, dir) => {
+      val o = persistShared("dq_orders", t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate")))
+      val scalars = o.agg(count(lit(1)).as("n"),
+        count(when(col("o_totalprice") <= 0, 1)).as("v_range"),
+        count(when(col("o_orderdate").isNull, 1)).as("v_null"),
+        count(when(col("o_orderdate") > lit("1998-12-31").cast("date"), 1))
+          .as("v_future"))
+      val dups = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("cnt"))
+        .agg(coalesce(sum(when(col("cnt") > 1, col("cnt") - 1)), lit(0L))
+          .as("v_dup"), sum(col("cnt")).as("n"))
+      val orph = o.join(
+          broadcast(t(s, dir, "customer").select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("v_orph"))
+        .crossJoin(broadcast(o.agg(count(lit(1)).as("n"))))
+      def row(rule: String, df: DataFrame, v: Column, n: Column): DataFrame =
+        df.select(lit(rule).as("rule"), n.as("n_checked"),
+          v.cast("long").as("n_violations"),
+          when(v === 0, "pass").otherwise("fail").as("status"))
+      row("completeness_orderdate", scalars, col("v_null"), col("n"))
+        .unionAll(row("domain_totalprice_positive", scalars, col("v_range"), col("n")))
+        .unionAll(row("integrity_custkey_fk", orph, col("v_orph"), col("n")))
+        .unionAll(row("temporal_orderdate_bound", scalars, col("v_future"), col("n")))
+        .unionAll(row("uniqueness_orderkey", dups, col("v_dup"), col("n")))
+        .orderBy(col("rule"))
+    }),
+
     "ingest_audit" -> ((s, dir) => {
       events(s, dir)
         .select(col("event_id"), col("event_type"))
@@ -649,6 +688,43 @@ object EtlOps {
          count(1) AS n,
          round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS total
          FROM orders GROUP BY status ORDER BY status""",
+    "etl_dq_report" ->
+      """WITH n AS (SELECT count(1) AS n FROM orders),
+         scalars AS (
+           SELECT max(n.n) AS n,
+                  count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS v_range,
+                  count(CASE WHEN o_orderdate IS NULL THEN 1 END) AS v_null,
+                  count(CASE WHEN o_orderdate > DATE '1998-12-31' THEN 1 END) AS v_future
+           FROM orders, n),
+         dups AS (
+           SELECT coalesce(sum(CASE WHEN cnt > 1 THEN cnt - 1 END), 0) AS v_dup,
+                  CAST(sum(cnt) AS BIGINT) AS n
+           FROM (SELECT o_orderkey, count(1) AS cnt FROM orders GROUP BY 1)),
+         orph AS (
+           SELECT count(1) AS v_orph, max(n.n) AS n
+           FROM orders o, n
+           WHERE NOT EXISTS (SELECT 1 FROM customer c
+                             WHERE c.c_custkey = o.o_custkey)),
+         rows_ AS (
+           SELECT 'completeness_orderdate' AS rule, n AS n_checked,
+                  CAST(v_null AS BIGINT) AS n_violations,
+                  CASE WHEN v_null = 0 THEN 'pass' ELSE 'fail' END AS status
+           FROM scalars
+           UNION ALL
+           SELECT 'domain_totalprice_positive', n, CAST(v_range AS BIGINT),
+                  CASE WHEN v_range = 0 THEN 'pass' ELSE 'fail' END FROM scalars
+           UNION ALL
+           SELECT 'integrity_custkey_fk', coalesce(n, (SELECT n FROM n)),
+                  CAST(v_orph AS BIGINT),
+                  CASE WHEN v_orph = 0 THEN 'pass' ELSE 'fail' END FROM orph
+           UNION ALL
+           SELECT 'temporal_orderdate_bound', n, CAST(v_future AS BIGINT),
+                  CASE WHEN v_future = 0 THEN 'pass' ELSE 'fail' END FROM scalars
+           UNION ALL
+           SELECT 'uniqueness_orderkey', n, CAST(v_dup AS BIGINT),
+                  CASE WHEN v_dup = 0 THEN 'pass' ELSE 'fail' END FROM dups)
+         SELECT rule, n_checked, n_violations, status
+         FROM rows_ ORDER BY rule""",
     "ingest_quarantine" ->
       """SELECT event_id, event_type, reason FROM (
            SELECT event_id, event_type,

@@ -2514,6 +2514,45 @@ class PropertySpec extends SparkSuite {
     assert(rows.values.map(_._2).toSet.size > 1)
   }
 
+  test("etl_dq_report: rules replay brute violation counts over orders") {
+    val rows = q("etl_dq_report").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate").collect()
+    val custs = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val n = o.length.toLong
+    assert(rows.keySet === Set("completeness_orderdate", "domain_totalprice_positive",
+      "integrity_custkey_fk", "temporal_orderdate_bound", "uniqueness_orderkey"))
+    val orph = o.count(r => !custs.contains(r.getLong(1))).toLong
+    val dup = o.groupBy(_.getLong(0)).values.map(_.length - 1L).sum
+    assert(rows("integrity_custkey_fk") ===
+      ((n, orph, if (orph == 0) "pass" else "fail")))
+    assert(rows("uniqueness_orderkey")._2 === dup)
+    assert(rows("completeness_orderdate")._2 === o.count(_.isNullAt(3)).toLong)
+    assert(rows("domain_totalprice_positive")._2 ===
+      o.count(_.getDouble(2) <= 0).toLong)
+    rows.values.foreach { case (nc, v, st) =>
+      assert(nc === n && st === (if (v == 0) "pass" else "fail"))
+    }
+  }
+
+  test("gdpr_k_anonymity: the QI risk summary replays brute group counts") {
+    val r = q("gdpr_k_anonymity").collect().head
+    def gl(i: Int) = r.get(i).asInstanceOf[Number].longValue
+    val groups = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_nationkey", "c_mktsegment").collect()
+      .map(x => (x.get(0).asInstanceOf[Number].longValue, x.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).values.toSeq
+    assert(gl(0) === groups.length.toLong, "n_groups")
+    assert(gl(1) === groups.sum, "n_rows")
+    assert(gl(2) === groups.min, "achieved_k")
+    assert(gl(3) === groups.count(_ < 5).toLong, "n_small_groups")
+    assert(gl(4) === groups.filter(_ < 5).sum, "n_rows_at_risk")
+    assert(gl(5) === (if (groups.min >= 5) 1L else 0L), "k5 verdict")
+  }
+
   test("stat_benford: digit distribution replays brute cents-string extraction") {
     val rows = q("stat_benford").collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
