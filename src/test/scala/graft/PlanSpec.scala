@@ -607,4 +607,34 @@ class PlanSpec extends SparkSuite {
     assert(offenders.isEmpty,
       s"re-executed scan subtrees (persist the shared frame or justify in the whitelist): ${offenders.mkString(", ")}")
   }
+
+  test("plan lint: no query replays a cached relation more than 8 times") {
+    // The graph_hits r9 defect was invisible to the file-scan lint: its
+    // edge frame WAS cached, but each un-pinned derivation level was
+    // referenced twice (own max agg + join), so the lineage ABOVE the
+    // cache doubled per half-round — 2^4 InMemoryTableScans, each
+    // re-running the edge aggregations (44.9 s vs the family's ~2 s).
+    // This sweep counts InMemoryTableScan occurrences per query plan:
+    // a handful is normal sharing, a two-digit count means an un-pinned
+    // exponential chain. Fix = localCheckpoint each derivation level
+    // (the pagerank round discipline), not a whitelist entry.
+    val sf = "/root/testdata/sf0.001"
+    def countIms(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          return countIms(a.executedPlan)
+        case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => 1
+        case _ => 0
+      }
+      self + p.children.map(countIms).sum
+    }
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if name.startsWith("stream_") => None
+      case (name, fn) =>
+        val n = countIms(fn(spark, sf).queryExecution.executedPlan)
+        if (n > 8) Some(s"$name (InMemoryTableScan x$n)") else None
+    }
+    assert(offenders.isEmpty,
+      s"un-pinned derivation chains over cached frames (localCheckpoint each level): ${offenders.mkString(", ")}")
+  }
 }
