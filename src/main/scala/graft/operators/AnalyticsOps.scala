@@ -643,6 +643,38 @@ object AnalyticsOps {
         .orderBy(col("event_type"))
     }),
 
+    // Pareto concentration report on customer revenue — the 80/20 screen
+    // (how concentrated is the business; the Gini sibling of eval_lift's
+    // decile view): revenue is EXACT integer cents per customer, the
+    // rank runs on the customer-grain frame (dimension-sized — the
+    // stat_auc_roc exact-ranking precedent), the "customers covering 80%"
+    // cut is a pure integer cross-multiply (5·cum ≥ 4·total — no float
+    // boundary), and the top-1%/10% shares are single integer-ratio
+    // divisions. Output is one summary row.
+    "agg_pareto" -> ((s, dir) => {
+      val rev = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+          .as("cents"))
+      val wR = Window.orderBy(col("cents").desc, col("o_custkey"))
+      val wAll = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      rev.withColumn("rn", row_number().over(wR))
+        .withColumn("cum", sum(col("cents")).over(
+          Window.orderBy(col("cents").desc, col("o_custkey"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("tot", sum(col("cents")).over(wAll))
+        .agg(max(col("n")).as("n_customers"),
+          round(max(col("tot")).cast("double") / 100, 6).as("total_revenue"),
+          round(max(when(col("rn") === expr("(n + 99) div 100"), col("cum")))
+            .cast("double") / max(col("tot")), 6).as("top1pct_share"),
+          round(max(when(col("rn") === expr("(n + 9) div 10"), col("cum")))
+            .cast("double") / max(col("tot")), 6).as("top10pct_share"),
+          min(when(col("cum") * 5 >= col("tot") * 4, col("rn")))
+            .cast("long").as("n_for_80pct"))
+    }),
+
     // k-anonymity risk report over the (nation, segment) quasi-identifier
     // pair — the privacy audit beside gdpr_purge (deletion) and
     // text_pii_scrub (redaction): BEFORE releasing a dataset, how many
@@ -3176,6 +3208,29 @@ object AnalyticsOps {
          SELECT et AS event_type, max(nd) AS n_days,
                 string_agg(sym, '' ORDER BY seg) AS sax_word
          FROM sym GROUP BY 1 ORDER BY event_type""",
+    "agg_pareto" ->
+      """WITH rev AS (
+           SELECT o_custkey,
+                  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                    AS cents
+           FROM orders GROUP BY 1),
+         rk AS (
+           SELECT cents,
+                  row_number() OVER (ORDER BY cents DESC, o_custkey) AS rn,
+                  CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                  count(1) OVER () AS n,
+                  CAST(sum(cents) OVER () AS BIGINT) AS tot
+           FROM rev)
+         SELECT max(n) AS n_customers,
+                round(CAST(max(tot) AS DOUBLE) / 100, 6) AS total_revenue,
+                round(CAST(max(CASE WHEN rn = (n + 99) // 100 THEN cum END)
+                  AS DOUBLE) / max(tot), 6) AS top1pct_share,
+                round(CAST(max(CASE WHEN rn = (n + 9) // 10 THEN cum END)
+                  AS DOUBLE) / max(tot), 6) AS top10pct_share,
+                CAST(min(CASE WHEN cum * 5 >= tot * 4 THEN rn END) AS BIGINT)
+                  AS n_for_80pct
+         FROM rk""",
     "gdpr_k_anonymity" ->
       """WITH g AS (
            SELECT c_nationkey, c_mktsegment, count(1) AS cnt

@@ -2514,6 +2514,26 @@ class PropertySpec extends SparkSuite {
     assert(rows.values.map(_._2).toSet.size > 1)
   }
 
+  test("agg_pareto: concentration stats replay a brute cents ranking") {
+    val r = q("agg_pareto").collect().head
+    val rev = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_custkey", "o_totalprice").collect()
+      .map(x => (x.getLong(0), math.round(x.getDouble(1) * 100)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (ck, c) => (-c, ck) }.map(_._2)
+    val n = rev.length
+    val tot = rev.sum
+    val cum = rev.scanLeft(0L)(_ + _).tail
+    assert(r.getLong(0) === n.toLong)
+    assert(math.abs(r.getDouble(1) - tot / 100.0) < 1e-4, "total")
+    assert(math.abs(r.getDouble(2) - cum((n + 99) / 100 - 1).toDouble / tot) < 1e-6)
+    assert(math.abs(r.getDouble(3) - cum((n + 9) / 10 - 1).toDouble / tot) < 1e-6)
+    val k80 = cum.indexWhere(c => c * 5 >= tot * 4) + 1
+    assert(r.getLong(4) === k80.toLong, "n_for_80pct")
+    // sanity: concentration orders correctly and 80% cut is below n
+    assert(r.getDouble(2) <= r.getDouble(3) + 1e-9 && k80 <= n)
+  }
+
   test("etl_dq_report: rules replay brute violation counts over orders") {
     val rows = q("etl_dq_report").collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
