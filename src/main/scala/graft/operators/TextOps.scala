@@ -855,6 +855,26 @@ object TextOps {
         .limit(20)
     }),
 
+    // Fixed-SIZE deterministic sample via bottom-k-by-hash — the third
+    // sampling primitive (sample_split = fixed RATE, sample_balanced =
+    // per-class, this = exactly k rows whatever the corpus size): keep
+    // the k=100 lowest masked-Knuth hashes (id tiebreak). Bottom-k is
+    // the streaming/mergeable shape — per-partition local top-k then a
+    // k-sized merge (Spark plans orderBy+limit as TakeOrdered: no global
+    // sort, no single-partition shuffle) — and the same hash order makes
+    // the sample CONSISTENT across runs and engines, the property
+    // reservoir sampling gives up.
+    "sample_bottomk" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+          (((col("doc_id") % lit(2147483648L)) * lit(2654435761L))
+            % lit(2147483648L)).as("hv"))
+        .orderBy(col("hv"), col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // One-row corpus datasheet — the summary block every corpus release
     // ships (docs/sources/languages/token mass/vocabulary/corpus TTR):
     // the numbers a training-mix designer reads before anything else.
@@ -1548,6 +1568,12 @@ object TextOps {
            FROM j)
          SELECT sa AS src_a, sb AS src_b, round(CAST(sum(term) AS DOUBLE), 6) AS js
          FROM terms GROUP BY 1, 2 ORDER BY 1, 2""",
+    "sample_bottomk" ->
+      """SELECT doc_id, source, lang FROM (
+           SELECT doc_id, source, lang,
+                  ((doc_id % 2147483648) * 2654435761) % 2147483648 AS hv
+           FROM documents ORDER BY hv, doc_id LIMIT 100)
+         ORDER BY doc_id""",
     "corpus_stats_report" ->
       """WITH tok AS (
            SELECT count(1) AS n_tokens, count(DISTINCT w) AS vocab,

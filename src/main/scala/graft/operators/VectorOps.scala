@@ -712,6 +712,37 @@ object VectorOps {
         .orderBy(col("pos"))
     }),
 
+    // Reciprocal-rank fusion of two ANN tiers (IVF cells + binary
+    // Hamming prefilter) — the hybrid-search combiner every retrieval
+    // stack runs when two indexes disagree: score(d) = Σ 1/(60+rank_i)
+    // over the lists that contain d (the standard k=60 constant as an
+    // exact literal), missing-from-one-list handled by the outer join —
+    // no rank imputation. COMPOSES two registered queries (the
+    // vec_ann_recall precedent: the engine fuses its own indexes); both
+    // tiers are deterministic, so the fused ranking is fully oracled by
+    // composing the same two oracle CTEs. The per-tier 1/(60+r) terms
+    // are 9-dp-gridded before the decimal sum.
+    "vec_rrf_fusion" -> ((s, dir) => {
+      val ivf = queries("vec_ivf_ann")(s, dir)
+        .filter(col("probe_id") === 0)
+        .select(col("neighbor_id"), col("rn").as("r_ivf"))
+      val ham = queries("vec_binary_hamming_topk")(s, dir)
+        .withColumn("r_ham", row_number().over(
+          Window.orderBy(col("sim").desc, col("vec_id"))))
+        .select(col("vec_id").as("neighbor_id"), col("r_ham"))
+      val term = (c: Column) => when(c.isNotNull,
+        round(lit(1.0) / (lit(60) + c), 9)).otherwise(lit(0.0))
+      ivf.join(ham, Seq("neighbor_id"), "full_outer")
+        .select(col("neighbor_id"),
+          (term(col("r_ivf")).cast(DecimalType(18, 9)) +
+            term(col("r_ham")).cast(DecimalType(18, 9))).as("rrfd"),
+          coalesce(col("r_ivf"), lit(0)).as("rank_ivf"),
+          coalesce(col("r_ham"), lit(0)).as("rank_hamming"))
+        .select(col("neighbor_id"), round(col("rrfd").cast("double"), 6).as("rrf"),
+          col("rank_ivf"), col("rank_hamming"))
+        .orderBy(col("rrf").desc, col("neighbor_id"))
+    }),
+
     // Maximal-marginal-relevance retrieval (λ = 0.7, 5 picks from the
     // 20-candidate cosine shortlist of probe 0) — the diversity-aware
     // re-ranker between raw top-k and dedup_embed_cosine's hard cut:
@@ -937,7 +968,29 @@ object VectorOps {
             SELECT vec_id, 1 AS rank, sim AS score FROM cands
             ORDER BY sim DESC, vec_id LIMIT 1),
           ${(2 to MmrPicks).map(mmrStepSql).mkString(",\n")}
-          SELECT rank, vec_id, score FROM sel$MmrPicks ORDER BY rank""")
+          SELECT rank, vec_id, score FROM sel$MmrPicks ORDER BY rank""") +
+    ("vec_rrf_fusion" ->
+      s"""WITH ivf_all AS (${oraclesBase("vec_ivf_ann")}),
+          ivf AS (SELECT neighbor_id, rn AS r_ivf FROM ivf_all WHERE probe_id = 0),
+          ham_all AS (${oraclesBase("vec_binary_hamming_topk")}),
+          ham AS (SELECT vec_id AS neighbor_id,
+                         row_number() OVER (ORDER BY sim DESC, vec_id) AS r_ham
+                  FROM ham_all),
+          j AS (
+            SELECT coalesce(i.neighbor_id, h.neighbor_id) AS neighbor_id,
+                   i.r_ivf, h.r_ham
+            FROM ivf i FULL OUTER JOIN ham h ON i.neighbor_id = h.neighbor_id)
+          SELECT neighbor_id,
+                 round(CAST(
+                   CAST(CASE WHEN r_ivf IS NOT NULL
+                        THEN round(CAST(1.0 AS DOUBLE) / (60 + r_ivf), 9) ELSE 0.0 END
+                     AS DECIMAL(18,9)) +
+                   CAST(CASE WHEN r_ham IS NOT NULL
+                        THEN round(CAST(1.0 AS DOUBLE) / (60 + r_ham), 9) ELSE 0.0 END
+                     AS DECIMAL(18,9)) AS DOUBLE), 6) AS rrf,
+                 coalesce(r_ivf, 0) AS rank_ivf,
+                 coalesce(r_ham, 0) AS rank_hamming
+          FROM j ORDER BY rrf DESC, neighbor_id""")
 
   private lazy val oraclesBase: Map[String, String] = Map(
     "vec_binary_hamming_topk" ->

@@ -2122,6 +2122,38 @@ class PropertySpec extends SparkSuite {
     assert(rows.map(_._2).distinct.length === 5)
   }
 
+  test("vec_rrf_fusion: fused scores replay the two tiers' rank lists") {
+    val rows = q("vec_rrf_fusion").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getInt(3)))
+    val ivf = q("vec_ivf_ann").collect().filter(_.getLong(0) == 0L)
+      .map(r => r.getLong(1) -> r.getInt(3)).toMap
+    val ham = q("vec_binary_hamming_topk").collect()
+      .sortBy(r => (-r.getDouble(2), r.getLong(0)))
+      .zipWithIndex.map { case (r, i) => r.getLong(0) -> (i + 1) }.toMap
+    assert(rows.map(_._1).toSet === (ivf.keySet ++ ham.keySet), "union of lists")
+    rows.foreach { case (id, rrf, ri, rh) =>
+      assert(ri === ivf.getOrElse(id, 0) && rh === ham.getOrElse(id, 0), s"$id ranks")
+      val expect = ivf.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        ham.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(math.abs(rrf - expect) < 1e-6, s"$id rrf")
+    }
+    // fused order is descending
+    assert(rows.map(_._2).sameElements(rows.map(_._2).sortBy(-(_: Double))))
+  }
+
+  test("sample_bottomk: exactly k rows, the k lowest hashes, run-stable") {
+    val rows = q("sample_bottomk").collect().map(_.getLong(0))
+    assert(rows.length === 100)
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val expect = all.map(id => (((id % 2147483648L) * 2654435761L) % 2147483648L, id))
+      .sorted.take(100).map(_._2).sorted
+    assert(rows.sorted.sameElements(expect), "the k lowest hashes exactly")
+    // deterministic: a second run returns the identical set
+    assert(q("sample_bottomk").collect().map(_.getLong(0)).sorted
+      .sameElements(rows.sorted))
+  }
+
   test("vec_kmeans: replays a micro-unit-exact sequential Lloyd loop") {
     val rows = q("vec_kmeans").collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
