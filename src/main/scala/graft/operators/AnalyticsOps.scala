@@ -643,6 +643,38 @@ object AnalyticsOps {
         .orderBy(col("event_type"))
     }),
 
+    // McNemar's paired test between two classifiers on the SAME rows —
+    // the correct "is model B actually better" comparison (two
+    // independent accuracy CIs overlap ≠ no difference; only the
+    // DISAGREEMENT cells carry information): b = A-right/B-wrong,
+    // c = A-wrong/B-right, χ² = (b−c)²/(b+c). Models are the repo's two
+    // deterministic masked-hash scorers at the 0.5 threshold against the
+    // positive-balance label, so both engines replay identical
+    // prediction streams; everything is an integer count until the one
+    // final division. One fact pass; statistic + dof (libm-free
+    // discipline).
+    "stat_mcnemar" -> ((s, dir) => {
+      val sc = (mult: Long) => (((col("c_custkey") % lit(2147483648L)) * lit(mult))
+        % lit(2147483648L) % 1000)
+      val b = t(s, dir, "customer").select(
+        when(col("c_acctbal") > 0, 1).otherwise(0).as("y"),
+        when(sc(2654435761L) >= 500, 1).otherwise(0).as("pa"),
+        when(sc(1315423911L) >= 500, 1).otherwise(0).as("pb"))
+      b.agg(count(lit(1)).as("n"),
+          count(when(col("pa") === col("y") && col("pb") =!= col("y"), 1))
+            .as("b_cell"),
+          count(when(col("pa") =!= col("y") && col("pb") === col("y"), 1))
+            .as("c_cell"),
+          count(when(col("pa") === col("y"), 1)).as("a_correct"),
+          count(when(col("pb") === col("y"), 1)).as("b_correct"))
+        .select(col("n"), col("a_correct"), col("b_correct"),
+          col("b_cell"), col("c_cell"),
+          round(((col("b_cell") - col("c_cell")) * (col("b_cell") - col("c_cell")))
+            .cast("double") / (col("b_cell") + col("c_cell")), 6)
+            .as("mcnemar_chi2"))
+        .withColumn("dof", lit(1))
+    }),
+
     // Pareto concentration report on customer revenue — the 80/20 screen
     // (how concentrated is the business; the Gini sibling of eval_lift's
     // decile view): revenue is EXACT integer cents per customer, the
@@ -3208,6 +3240,29 @@ object AnalyticsOps {
          SELECT et AS event_type, max(nd) AS n_days,
                 string_agg(sym, '' ORDER BY seg) AS sax_word
          FROM sym GROUP BY 1 ORDER BY event_type""",
+    "stat_mcnemar" ->
+      """WITH b AS (
+           SELECT CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS y,
+                  CASE WHEN ((c_custkey % 2147483648) * 2654435761)
+                         % 2147483648 % 1000 >= 500 THEN 1 ELSE 0 END AS pa,
+                  CASE WHEN ((c_custkey % 2147483648) * 1315423911)
+                         % 2147483648 % 1000 >= 500 THEN 1 ELSE 0 END AS pb
+           FROM customer)
+         SELECT count(1) AS n,
+                count(CASE WHEN pa = y THEN 1 END) AS a_correct,
+                count(CASE WHEN pb = y THEN 1 END) AS b_correct,
+                count(CASE WHEN pa = y AND pb <> y THEN 1 END) AS b_cell,
+                count(CASE WHEN pa <> y AND pb = y THEN 1 END) AS c_cell,
+                round(CAST((count(CASE WHEN pa = y AND pb <> y THEN 1 END)
+                            - count(CASE WHEN pa <> y AND pb = y THEN 1 END))
+                         * (count(CASE WHEN pa = y AND pb <> y THEN 1 END)
+                            - count(CASE WHEN pa <> y AND pb = y THEN 1 END))
+                      AS DOUBLE)
+                      / (count(CASE WHEN pa = y AND pb <> y THEN 1 END)
+                         + count(CASE WHEN pa <> y AND pb = y THEN 1 END)), 6)
+                  AS mcnemar_chi2,
+                CAST(1 AS INT) AS dof
+         FROM b""",
     "agg_pareto" ->
       """WITH rev AS (
            SELECT o_custkey,

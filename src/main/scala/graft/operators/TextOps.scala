@@ -855,6 +855,33 @@ object TextOps {
         .limit(20)
     }),
 
+    // Word burstiness (variance-to-mean ratio of per-document counts):
+    // separates TOPICAL words (bursty — absent from most docs, heavy in
+    // a few; VMR ≫ 1) from function words (evenly spread, VMR ≈ 1) —
+    // the signal behind stopword discovery and topic-term weighting,
+    // complementary to text_docfreq's presence counts. Zero-count
+    // documents enter the moments via N (corpus doc count) without ever
+    // materializing the zero cells: mean = Σc/N, E[x²] = Σc²/N over the
+    // observed (doc, word) grain only. Integer sums to one double
+    // expression; vocabulary-bounded output, top-20 by (VMR desc, word).
+    "text_burstiness" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val ndocs = d.agg(countDistinct(col("doc_id")).as("nd"))
+      val wc = d.select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n_docs"),
+          sum(col("c")).as("tot"), sum(col("c") * col("c")).as("sxx"))
+      val mu = col("tot").cast("double") / col("nd")
+      wc.crossJoin(broadcast(ndocs))
+        .select(col("w").as("word"), col("n_docs"), col("tot").as("n_occurrences"),
+          round((col("sxx").cast("double") / col("nd") - mu * mu) / mu, 6)
+            .as("vmr"))
+        .orderBy(col("vmr").desc, col("word"))
+        .limit(20)
+    }),
+
     // Fixed-SIZE deterministic sample via bottom-k-by-hash — the third
     // sampling primitive (sample_split = fixed RATE, sample_balanced =
     // per-class, this = exactly k rows whatever the corpus size): keep
@@ -1568,6 +1595,23 @@ object TextOps {
            FROM j)
          SELECT sa AS src_a, sb AS src_b, round(CAST(sum(term) AS DOUBLE), 6) AS js
          FROM terms GROUP BY 1, 2 ORDER BY 1, 2""",
+    "text_burstiness" ->
+      """WITH nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+         wc AS (
+           SELECT w, count(1) AS n_docs, CAST(sum(c) AS BIGINT) AS tot,
+                  CAST(sum(c * c) AS BIGINT) AS sxx
+           FROM (
+             SELECT doc_id, w, count(1) AS c FROM (
+               SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+               FROM documents)
+             WHERE w <> '' GROUP BY 1, 2)
+           GROUP BY 1)
+         SELECT w AS word, n_docs, tot AS n_occurrences,
+                round((CAST(sxx AS DOUBLE) / nd
+                       - (CAST(tot AS DOUBLE) / nd) * (CAST(tot AS DOUBLE) / nd))
+                      / (CAST(tot AS DOUBLE) / nd), 6) AS vmr
+         FROM wc CROSS JOIN nd
+         ORDER BY vmr DESC, word LIMIT 20""",
     "sample_bottomk" ->
       """SELECT doc_id, source, lang FROM (
            SELECT doc_id, source, lang,

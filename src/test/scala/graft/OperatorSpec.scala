@@ -2546,6 +2546,52 @@ class PropertySpec extends SparkSuite {
     assert(rows.values.map(_._2).toSet.size > 1)
   }
 
+  test("text_burstiness: VMR replays brute per-doc count moments") {
+    val rows = q("text_burstiness").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nd = docs.length
+    val counts = docs.flatMap { case (id, t) =>
+      t.toLowerCase.split(" ").filter(_.nonEmpty).groupBy(identity)
+        .map { case (w, xs) => (w, xs.length.toLong) } }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val brute = counts.map { case (w, cs) =>
+      val tot = cs.sum; val sxx = cs.map(c => c * c).sum
+      val mu = tot.toDouble / nd
+      (w, (sxx.toDouble / nd - mu * mu) / mu)
+    }
+    rows.foreach { case (w, ndw, tot, vmr) =>
+      assert(ndw === counts(w).length.toLong && tot === counts(w).sum, s"$w counts")
+      assert(math.abs(vmr - brute(w)) < 1e-5, s"$w vmr")
+    }
+    // ranking is the true top-20 by VMR
+    val top = brute.toSeq.sortBy { case (w, v) => (-v, w) }.take(20).map(_._1)
+    assert(rows.map(_._1).sameElements(top), "top-20 order")
+  }
+
+  test("stat_mcnemar: disagreement cells replay the two hash models") {
+    val r = q("stat_mcnemar").collect().head
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_acctbal").collect()
+      .map(x => (x.getLong(0), x.getDouble(1)))
+    def pred(mult: Long)(ck: Long) =
+      if (((ck % 2147483648L) * mult) % 2147483648L % 1000 >= 500) 1 else 0
+    val cells = cust.map { case (ck, bal) =>
+      val y = if (bal > 0) 1 else 0
+      (pred(2654435761L)(ck) == y, pred(1315423911L)(ck) == y)
+    }
+    val b = cells.count { case (a, bb) => a && !bb }.toLong
+    val c = cells.count { case (a, bb) => !a && bb }.toLong
+    assert(r.getLong(0) === cust.length.toLong)
+    assert(r.getLong(1) === cells.count(_._1).toLong, "a_correct")
+    assert(r.getLong(2) === cells.count(_._2).toLong, "b_correct")
+    assert((r.getLong(3), r.getLong(4)) === ((b, c)), "disagreement cells")
+    assert(math.abs(r.getDouble(5) - (b - c).toDouble * (b - c) / (b + c)) < 1e-6)
+    assert(r.getInt(6) === 1)
+  }
+
   test("agg_pareto: concentration stats replay a brute cents ranking") {
     val r = q("agg_pareto").collect().head
     val rev = spark.read.parquet(s"$sf/orders.parquet")
