@@ -643,6 +643,71 @@ object AnalyticsOps {
         .orderBy(col("event_type"))
     }),
 
+    // Granger-causality screen between the view and purchase daily
+    // series (lag 1, BOTH directions — causality is directional): does
+    // yesterday's X help predict today's Y beyond Y's own yesterday?
+    // F = ((SSE_r − SSE_u)/1)/(SSE_u/(m−3)) from closed-form OLS — the
+    // restricted model is the AR(1), the unrestricted adds the other
+    // series' lag, and both solve via 2×2 normal-equation determinant
+    // algebra (ts_pacf's closed-form discipline, no iterative fitting).
+    // ALL inputs are integer raw moments from ONE pass over the lagged
+    // day frame; the centered algebra is a single identical double tree
+    // per direction. Statistic + dof only (libm line). Day-grain:
+    // calendar-bounded at any corpus size.
+    "ts_granger" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val xy = daily.groupBy(col("day")).pivot("event_type", Seq("view", "purchase"))
+        .agg(first(col("c")))
+        .select(col("day"), coalesce(col("view"), lit(0L)).as("x"),
+          coalesce(col("purchase"), lit(0L)).as("y"))
+      val w = Window.orderBy(col("day"))
+      val lagged = xy
+        .withColumn("xl", lag(col("x"), 1).over(w))
+        .withColumn("yl", lag(col("y"), 1).over(w))
+        .filter(col("xl").isNotNull)
+      val m = lagged.agg(count(lit(1)).as("mm"),
+        sum(col("y")).as("sy"), sum(col("x")).as("sx"),
+        sum(col("yl")).as("syl"), sum(col("xl")).as("sxl"),
+        sum(col("y") * col("y")).as("syy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("yl") * col("yl")).as("syl2"),
+        sum(col("xl") * col("xl")).as("sxl2"),
+        sum(col("y") * col("yl")).as("syyl"),
+        sum(col("y") * col("xl")).as("syxl"),
+        sum(col("x") * col("xl")).as("sxxl"),
+        sum(col("x") * col("yl")).as("sxyl"),
+        sum(col("yl") * col("xl")).as("sylxl")).localCheckpoint(true)
+      val mmd = col("mm").cast("double")
+      def d(c: Column) = c.cast("double")
+      def row(label: String, st: Column, stt: Column, stl: Column,
+          stl2: Column, sol: Column, sol2: Column, sttl: Column,
+          stol: Column, stlol: Column): DataFrame = {
+        val ctt = d(stt) - d(st) * d(st) / mmd
+        val cll = d(stl2) - d(stl) * d(stl) / mmd
+        val coo = d(sol2) - d(sol) * d(sol) / mmd
+        val ctl = d(sttl) - d(st) * d(stl) / mmd
+        val cto = d(stol) - d(st) * d(sol) / mmd
+        val clo = d(stlol) - d(stl) * d(sol) / mmd
+        val det = cll * coo - clo * clo
+        val b1 = (ctl * coo - cto * clo) / det
+        val b2 = (cto * cll - ctl * clo) / det
+        val sseU = ctt - b1 * ctl - b2 * cto
+        val sseR = ctt - ctl * ctl / cll
+        m.select(lit(label).as("direction"), col("mm").as("n_obs"),
+          round(sseR, 6).as("sse_restricted"),
+          round(sseU, 6).as("sse_unrestricted"),
+          round((sseR - sseU) / (sseU / (mmd - 3)), 6).as("f_stat"),
+          (col("mm") - 3).as("dof2"))
+      }
+      row("view_to_purchase", col("sy"), col("syy"), col("syl"), col("syl2"),
+          col("sxl"), col("sxl2"), col("syyl"), col("syxl"), col("sylxl"))
+        .unionAll(
+          row("purchase_to_view", col("sx"), col("sxx"), col("sxl"), col("sxl2"),
+            col("syl"), col("syl2"), col("sxxl"), col("sxyl"), col("sylxl")))
+        .orderBy(col("direction"))
+    }),
+
     // McNemar's paired test between two classifiers on the SAME rows —
     // the correct "is model B actually better" comparison (two
     // independent accuracy CIs overlap ≠ no difference; only the
@@ -2995,6 +3060,33 @@ object AnalyticsOps {
           SELECT node, dist FROM v${r - 1}
           UNION ALL SELECT node, $r AS dist FROM f$r)"""
 
+  /** One Granger direction as a SQL SELECT over the shared moment CTE —
+    * the same centered determinant algebra as the Spark `row` helper,
+    * expression tree for expression tree. */
+  private def grangerDirSql(label: String, st: String, stt: String,
+      stl: String, stl2: String, sol: String, sol2: String, sttl: String,
+      stol: String, stlol: String): String = {
+    val mmd = "CAST(mm AS DOUBLE)"
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val ctt = s"(${d(stt)} - ${d(st)} * ${d(st)} / $mmd)"
+    val cll = s"(${d(stl2)} - ${d(stl)} * ${d(stl)} / $mmd)"
+    val coo = s"(${d(sol2)} - ${d(sol)} * ${d(sol)} / $mmd)"
+    val ctl = s"(${d(sttl)} - ${d(st)} * ${d(stl)} / $mmd)"
+    val cto = s"(${d(stol)} - ${d(st)} * ${d(sol)} / $mmd)"
+    val clo = s"(${d(stlol)} - ${d(stl)} * ${d(sol)} / $mmd)"
+    val det = s"($cll * $coo - $clo * $clo)"
+    val b1 = s"(($ctl * $coo - $cto * $clo) / $det)"
+    val b2 = s"(($cto * $cll - $ctl * $clo) / $det)"
+    val sseU = s"($ctt - $b1 * $ctl - $b2 * $cto)"
+    val sseR = s"($ctt - $ctl * $ctl / $cll)"
+    s"""SELECT '$label' AS direction, mm AS n_obs,
+        round($sseR, 6) AS sse_restricted,
+        round($sseU, 6) AS sse_unrestricted,
+        round(($sseR - $sseU) / ($sseU / ($mmd - 3)), 6) AS f_stat,
+        mm - 3 AS dof2
+        FROM m"""
+  }
+
   /** One walk step as a SQL CTE: pick each walk's next node by the same
     * pre-masked integer hash argmin as the Spark loop. */
   private def walkStepSql(t: Int): String =
@@ -3240,6 +3332,39 @@ object AnalyticsOps {
          SELECT et AS event_type, max(nd) AS n_days,
                 string_agg(sym, '' ORDER BY seg) AS sax_word
          FROM sym GROUP BY 1 ORDER BY event_type""",
+    "ts_granger" ->
+      s"""WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, event_type, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         xy AS (
+           SELECT day,
+                  coalesce(max(CASE WHEN event_type = 'view' THEN c END), 0) AS x,
+                  coalesce(max(CASE WHEN event_type = 'purchase' THEN c END), 0) AS y
+           FROM daily GROUP BY 1),
+         lagged AS (
+           SELECT x, y, lag(x, 1) OVER (ORDER BY day) AS xl,
+                  lag(y, 1) OVER (ORDER BY day) AS yl
+           FROM xy),
+         m AS (
+           SELECT count(1) AS mm,
+                  CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x) AS BIGINT) AS sx,
+                  CAST(sum(yl) AS BIGINT) AS syl, CAST(sum(xl) AS BIGINT) AS sxl,
+                  CAST(sum(y * y) AS BIGINT) AS syy,
+                  CAST(sum(x * x) AS BIGINT) AS sxx,
+                  CAST(sum(yl * yl) AS BIGINT) AS syl2,
+                  CAST(sum(xl * xl) AS BIGINT) AS sxl2,
+                  CAST(sum(y * yl) AS BIGINT) AS syyl,
+                  CAST(sum(y * xl) AS BIGINT) AS syxl,
+                  CAST(sum(x * xl) AS BIGINT) AS sxxl,
+                  CAST(sum(x * yl) AS BIGINT) AS sxyl,
+                  CAST(sum(yl * xl) AS BIGINT) AS sylxl
+           FROM lagged WHERE xl IS NOT NULL)
+         ${grangerDirSql("view_to_purchase",
+            "sy", "syy", "syl", "syl2", "sxl", "sxl2", "syyl", "syxl", "sylxl")}
+         UNION ALL
+         ${grangerDirSql("purchase_to_view",
+            "sx", "sxx", "sxl", "sxl2", "syl", "syl2", "sxxl", "sxyl", "sylxl")}
+         ORDER BY direction""",
     "stat_mcnemar" ->
       """WITH b AS (
            SELECT CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS y,

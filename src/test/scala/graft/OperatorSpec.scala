@@ -2696,6 +2696,42 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("ts_granger: F statistics replay a brute closed-form OLS") {
+    val rows = q("ts_granger").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5)))).toMap
+    val dc = dailyCounts
+    val view = dc("view").map { case (d, c) => d.toLocalDate -> c }.toMap
+    val pur = dc("purchase").map { case (d, c) => d.toLocalDate -> c }.toMap
+    val days = (view.keySet ++ pur.keySet).toSeq.sortBy(_.toEpochDay)
+    val xs = days.map(d => view.getOrElse(d, 0L).toDouble)
+    val ys = days.map(d => pur.getOrElse(d, 0L).toDouble)
+    def fit(t: Seq[Double], l: Seq[Double], o: Seq[Double]): (Double, Double, Double) = {
+      val m = t.length
+      def c2(a: Seq[Double], b: Seq[Double]) =
+        a.zip(b).map { case (p, q) => p * q }.sum - a.sum * b.sum / m
+      val (ctt, cll, coo) = (c2(t, t), c2(l, l), c2(o, o))
+      val (ctl, cto, clo) = (c2(t, l), c2(t, o), c2(l, o))
+      val det = cll * coo - clo * clo
+      val b1 = (ctl * coo - cto * clo) / det
+      val b2 = (cto * cll - ctl * clo) / det
+      val sseU = ctt - b1 * ctl - b2 * cto
+      val sseR = ctt - ctl * ctl / cll
+      (sseR, sseU, (sseR - sseU) / (sseU / (m - 3)))
+    }
+    val cases = Seq(
+      "view_to_purchase" -> fit(ys.tail, ys.init, xs.init),
+      "purchase_to_view" -> fit(xs.tail, xs.init, ys.init))
+    cases.foreach { case (dir0, (sr, su, f)) =>
+      val (n, gsr, gsu, gf, dof2) = rows(dir0)
+      assert(n === (days.length - 1).toLong && dof2 === n - 3, s"$dir0 shape")
+      assert(math.abs(gsr - sr) < 1e-4 && math.abs(gsu - su) < 1e-4, s"$dir0 sse")
+      assert(math.abs(gf - f) < 1e-4, s"$dir0 F")
+      // adding a predictor can only reduce SSE
+      assert(gsu <= gsr + 1e-9, s"$dir0 nesting")
+    }
+  }
+
   test("stat_kendall: tau-b replays brute pair classification") {
     val r = q("stat_kendall").collect().head
     val dc = dailyCounts
