@@ -534,7 +534,8 @@ class PlanSpec extends SparkSuite {
       "stat_power" -> "theta self-join of a broadcast 5-row segment-moment frame (<=25 pairs, stat_ttest's shape)",
       "corpus_stats_report" -> "crossJoin composes the 1-row token-grain and 1-row dimension-cardinality aggregates",
       "etl_dq_report" -> "crossJoin against broadcast 1-row total-count frames (per rule row)",
-      "vec_rrf_fusion" -> "inherits vec_ivf_ann's whitelisted bounded crossJoins (query composition, vec_ann_recall's precedent)")
+      "vec_rrf_fusion" -> "inherits vec_ivf_ann's whitelisted bounded crossJoins (query composition, vec_ann_recall's precedent)",
+      "text_burstiness" -> "crossJoin against a broadcast 1-row corpus-doc-count frame")
     val sf = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if boundedByConstruction.contains(name) => None
