@@ -37,6 +37,24 @@ object ScalarBank {
         .orderBy(col("p_partkey"))
     }),
 
+    // Cryptographic-hash bank — the content-addressing layer every
+    // dedup/caching/lineage system sits on (doc content keys, chunk
+    // ids, cache keys): md5 / sha2-256 over the document text,
+    // all standardized algorithms so both engines agree byte-for-byte
+    // (unlike engine-seeded xxhash/murmur, which stay un-oracled by
+    // design), plus a truncated 16-hex shard prefix — the practical
+    // "content id" column. Pure codegen'd per-row expressions.
+    "fn_hash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("md5"),
+          sha2(col("text").cast("binary"), 256).as("sha256"),
+          substring(sha2(col("text").cast("binary"), 256), 1, 16)
+            .as("content_id"),
+          length(col("text")).as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // errors-as-data (Spark 4 runs ANSI mode, where /0, bad casts and
     // out-of-range element_at THROW): the try_* family turns per-row
     // failures into NULLs — the posture an ETL pipeline needs so one junk
@@ -186,6 +204,11 @@ object ScalarBank {
     }))
 
   val oracles: Map[String, String] = Map(
+    "fn_hash" ->
+      """SELECT doc_id, md5(text) AS md5,
+         sha256(text) AS sha256, substring(sha256(text), 1, 16) AS content_id,
+         CAST(length(text) AS BIGINT) AS n_chars
+         FROM documents ORDER BY doc_id""",
     "fn_try" ->
       """SELECT event_id,
          round(value / nullif(user_id % 7, 0), 6) AS per_unit,

@@ -986,6 +986,35 @@ object AnalyticsOps {
         .orderBy(col("event_type"))
     }),
 
+    // Functional-dependency discovery screen — the profiling step that
+    // finds the RULES in the data (which columns determine which): for
+    // each candidate A→B, violations = Σ_A (NDV(B|A) − 1), zero iff the
+    // FD holds. The candidate set includes one true dependency (the key
+    // determines everything) so the detector's positive path is
+    // exercised, and three plausible-but-false ones whose violation
+    // counts quantify HOW far they fail — the schema-inference /
+    // normalization input. One pinned projection, one (A-grain) agg per
+    // candidate over the cache — candidates-per-pass, never
+    // pass-per-candidate on the raw fact.
+    "profile_fd_screen" -> ((s, dir) => {
+      val proj = persistShared("fd_proj", t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderdate"), col("o_orderpriority")))
+      def fd(lhs: String, rhs: String): DataFrame =
+        proj.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("ndv"))
+          .agg(count(lit(1)).as("n_lhs_values"),
+            count(when(col("ndv") > 1, 1)).as("n_violating_lhs"),
+            sum(col("ndv") - 1).as("violations"))
+          .select(lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+            col("n_lhs_values"), col("n_violating_lhs"), col("violations"),
+            when(col("violations") === 0, 1).otherwise(0).as("fd_holds"))
+      fd("o_orderkey", "o_orderstatus")
+        .unionAll(fd("o_custkey", "o_orderpriority"))
+        .unionAll(fd("o_orderdate", "o_orderstatus"))
+        .unionAll(fd("o_orderstatus", "o_orderpriority"))
+        .orderBy(col("lhs"), col("rhs"))
+    }),
+
     "profile_columns" -> ((s, dir) => {
       def nn(c: String) = count(when(col(c).isNull, 1)).as(s"nn_$c")
       def nd(c: String) = countDistinct(col(c)).as(s"nd_$c")
@@ -3060,6 +3089,15 @@ object AnalyticsOps {
           SELECT node, dist FROM v${r - 1}
           UNION ALL SELECT node, $r AS dist FROM f$r)"""
 
+  /** One FD candidate as a SQL SELECT — the same NDV-per-LHS violation
+    * algebra as the Spark `fd` helper. */
+  private def fdSql(lhs: String, rhs: String): String =
+    s"""SELECT '$lhs' AS lhs, '$rhs' AS rhs, count(1) AS n_lhs_values,
+        count(CASE WHEN ndv > 1 THEN 1 END) AS n_violating_lhs,
+        CAST(sum(ndv - 1) AS BIGINT) AS violations,
+        CASE WHEN sum(ndv - 1) = 0 THEN 1 ELSE 0 END AS fd_holds
+        FROM (SELECT $lhs, count(DISTINCT $rhs) AS ndv FROM orders GROUP BY 1)"""
+
   /** One Granger direction as a SQL SELECT over the shared moment CTE —
     * the same centered determinant algebra as the Spark `row` helper,
     * expression tree for expression tree. */
@@ -3332,6 +3370,12 @@ object AnalyticsOps {
          SELECT et AS event_type, max(nd) AS n_days,
                 string_agg(sym, '' ORDER BY seg) AS sax_word
          FROM sym GROUP BY 1 ORDER BY event_type""",
+    "profile_fd_screen" ->
+      s"""${fdSql("o_orderkey", "o_orderstatus")}
+         UNION ALL ${fdSql("o_custkey", "o_orderpriority")}
+         UNION ALL ${fdSql("o_orderdate", "o_orderstatus")}
+         UNION ALL ${fdSql("o_orderstatus", "o_orderpriority")}
+         ORDER BY lhs, rhs""",
     "ts_granger" ->
       s"""WITH daily AS (
            SELECT CAST(ts AS DATE) AS day, event_type, count(1) AS c

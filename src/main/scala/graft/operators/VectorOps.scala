@@ -712,6 +712,47 @@ object VectorOps {
         .orderBy(col("pos"))
     }),
 
+    // Embedding-space health report — the representation-collapse screen
+    // run before trusting any similarity search (anisotropic/collapsed
+    // spaces break cosine ranking): norm distribution (mean/min/max of
+    // per-vector L2, 6-dp-gridded before the order-free mean) and
+    // EFFECTIVE DIMENSIONALITY via the participation ratio
+    // (Σvar)²/Σvar² over per-coordinate variances — 64 means effective
+    // use of every axis, ≈1 means collapse onto a line. Variances come
+    // from the shared decimal-gridded (vec, pos) base (one pass, exact
+    // DECIMAL sums); the 64 per-dim terms are 9/12-dp-gridded before
+    // their sums so no cross-row double order exists anywhere.
+    "vec_space_health" -> ((s, dir) => {
+      val d6 = DecimalType(18, 6)
+      val r6d = (c: Column) => round(c.cast("double"), 6).cast(d6)
+      val base = persistSharedPerDir("vec_pca_base", dir,
+        embStore(s, dir).select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("pos", "fv")))
+          .select(col("vec_id"), col("pos"), r6d(col("fv")).as("xv")))
+      val norms = base.groupBy(col("vec_id"))
+        .agg(sum(col("xv") * col("xv")).as("ss"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(round(sqrt(col("ss").cast("double")), 6).cast(d6))
+            .cast("double") / count(lit(1)), 6).as("mean_norm"),
+          round(min(sqrt(col("ss").cast("double"))), 6).as("min_norm"),
+          round(max(sqrt(col("ss").cast("double"))), 6).as("max_norm"))
+      val dims = base.groupBy(col("pos"))
+        .agg(sum(col("xv")).as("sx"), sum(col("xv") * col("xv")).as("sxx"),
+          count(lit(1)).as("n"))
+      val vj = (col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double") / col("n")) / col("n")
+      val pr = dims
+        .select(round(vj, 9).cast(DecimalType(18, 9)).as("v"),
+          round(vj * vj, 12).cast(DecimalType(18, 12)).as("v2"))
+        .agg(count(lit(1)).as("dim"),
+          round(sum(col("v")).cast("double") * sum(col("v")).cast("double") /
+            sum(col("v2")).cast("double"), 6).as("effective_dim"))
+      norms.crossJoin(broadcast(pr))
+        .select(col("n_vecs"), col("dim"), col("mean_norm"), col("min_norm"),
+          col("max_norm"), col("effective_dim"),
+          round(col("effective_dim") / col("dim"), 6).as("dim_utilization"))
+    }),
+
     // Reciprocal-rank fusion of two ANN tiers (IVF cells + binary
     // Hamming prefilter) — the hybrid-search combiner every retrieval
     // stack runs when two indexes disagree: score(d) = Σ 1/(60+rank_i)
@@ -969,6 +1010,41 @@ object VectorOps {
             ORDER BY sim DESC, vec_id LIMIT 1),
           ${(2 to MmrPicks).map(mmrStepSql).mkString(",\n")}
           SELECT rank, vec_id, score FROM sel$MmrPicks ORDER BY rank""") +
+    ("vec_space_health" ->
+      s"""WITH x AS MATERIALIZED (
+            SELECT vec_id, CAST(u.p AS INTEGER) AS pos,
+                   CAST(round(CAST(u.v AS DOUBLE), 6) AS DECIMAL(18,6)) AS xv
+            FROM (SELECT vec_id, unnest(range(0, len(embedding))) AS p,
+                         unnest(embedding) AS v
+                  FROM embeddings) u),
+          norms0 AS (SELECT vec_id, sum(xv * xv) AS ss FROM x GROUP BY 1),
+          norms AS (
+            SELECT count(1) AS n_vecs,
+                   round(CAST(sum(CAST(round(sqrt(CAST(ss AS DOUBLE)), 6)
+                     AS DECIMAL(18,6))) AS DOUBLE) / count(1), 6) AS mean_norm,
+                   round(min(sqrt(CAST(ss AS DOUBLE))), 6) AS min_norm,
+                   round(max(sqrt(CAST(ss AS DOUBLE))), 6) AS max_norm
+            FROM norms0),
+          dims AS (
+            SELECT pos, sum(xv) AS sx, sum(xv * xv) AS sxx, count(1) AS n
+            FROM x GROUP BY 1),
+          pr AS (
+            SELECT count(1) AS dim,
+                   round(CAST(sum(v) AS DOUBLE) * CAST(sum(v) AS DOUBLE)
+                         / CAST(sum(v2) AS DOUBLE), 6) AS effective_dim
+            FROM (
+              SELECT CAST(round((CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n, 9)
+                     AS DECIMAL(18,9)) AS v,
+                     CAST(round(((CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n)
+                       * ((CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n), 12)
+                     AS DECIMAL(18,12)) AS v2
+              FROM dims))
+          SELECT n_vecs, dim, mean_norm, min_norm, max_norm, effective_dim,
+                 round(effective_dim / dim, 6) AS dim_utilization
+          FROM norms CROSS JOIN pr""") +
     ("vec_rrf_fusion" ->
       s"""WITH ivf_all AS (${oraclesBase("vec_ivf_ann")}),
           ivf AS (SELECT neighbor_id, rn AS r_ivf FROM ivf_all WHERE probe_id = 0),

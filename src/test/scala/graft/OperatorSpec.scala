@@ -2154,6 +2154,75 @@ class PropertySpec extends SparkSuite {
       .sameElements(rows.sorted))
   }
 
+  test("fn_hash: digests match the JDK reference implementation") {
+    val rows = q("fn_hash").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3))))
+      .toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    def hex(algo: String, s: String) =
+      java.security.MessageDigest.getInstance(algo)
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    docs.take(50).foreach { case (id, text) =>
+      val (m, s2, cid) = rows(id)
+      assert(m === hex("MD5", text), s"doc $id md5")
+      assert(s2 === hex("SHA-256", text), s"doc $id sha256")
+      assert(cid === s2.take(16), s"doc $id content id prefix")
+    }
+    // content addressing: distinct texts -> distinct ids on this corpus
+    assert(rows.values.map(_._3).toSet.size ===
+      docs.map(_._2).distinct.length, "content-id injectivity here")
+  }
+
+  test("profile_fd_screen: violations replay brute NDV-per-LHS counts") {
+    val rows = q("profile_fd_screen").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))).toMap
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+        "o_orderpriority").collect()
+    def brute(lhs: Int, rhs: Int) = {
+      val g = o.groupBy(_.get(lhs)).view.mapValues(_.map(_.get(rhs)).distinct.size)
+      (g.size.toLong, g.values.count(_ > 1).toLong,
+        g.values.map(_ - 1L).sum)
+    }
+    val cases = Map(("o_orderkey", "o_orderstatus") -> brute(0, 2),
+      ("o_custkey", "o_orderpriority") -> brute(1, 4),
+      ("o_orderdate", "o_orderstatus") -> brute(3, 2),
+      ("o_orderstatus", "o_orderpriority") -> brute(2, 4))
+    assert(rows.keySet === cases.keySet)
+    cases.foreach { case (k, (nl, nv, viol)) =>
+      val (gl, gv, gviol, holds) = rows(k)
+      assert((gl, gv, gviol) === ((nl, nv, viol)), s"$k counts")
+      assert(holds === (if (viol == 0) 1 else 0), s"$k verdict")
+    }
+    // the key column is a certified FD; at least one candidate fails
+    assert(rows(("o_orderkey", "o_orderstatus"))._4 === 1)
+    assert(rows.values.exists(_._4 == 0))
+  }
+
+  test("vec_space_health: norms and participation ratio replay brute") {
+    val r = q("vec_space_health").collect().head
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(f => BigDecimal(f.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray)
+    val n = emb.length
+    assert(r.getLong(0) === n.toLong && r.getLong(1) === 64L)
+    val norms = emb.map(v => math.sqrt(v.map(x => x * x).sum))
+    assert(math.abs(r.getDouble(2) - norms.sum / n) < 1e-4, "mean norm")
+    assert(math.abs(r.getDouble(3) - norms.min) < 1e-5, "min norm")
+    assert(math.abs(r.getDouble(4) - norms.max) < 1e-5, "max norm")
+    val vars = (0 until 64).map { j =>
+      val xs = emb.map(_(j)); val mu = xs.sum / n
+      xs.map(x => (x - mu) * (x - mu)).sum / n
+    }
+    val pr = vars.sum * vars.sum / vars.map(v => v * v).sum
+    assert(math.abs(r.getDouble(5) - pr) < 1e-2, s"participation ratio $pr")
+    assert(r.getDouble(5) > 1 && r.getDouble(5) <= 64 + 1e-9, "PR in range")
+    assert(math.abs(r.getDouble(6) - r.getDouble(5) / 64) < 1e-5)
+  }
+
   test("vec_kmeans: replays a micro-unit-exact sequential Lloyd loop") {
     val rows = q("vec_kmeans").collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap

@@ -535,7 +535,8 @@ class PlanSpec extends SparkSuite {
       "corpus_stats_report" -> "crossJoin composes the 1-row token-grain and 1-row dimension-cardinality aggregates",
       "etl_dq_report" -> "crossJoin against broadcast 1-row total-count frames (per rule row)",
       "vec_rrf_fusion" -> "inherits vec_ivf_ann's whitelisted bounded crossJoins (query composition, vec_ann_recall's precedent)",
-      "text_burstiness" -> "crossJoin against a broadcast 1-row corpus-doc-count frame")
+      "text_burstiness" -> "crossJoin against a broadcast 1-row corpus-doc-count frame",
+      "vec_space_health" -> "crossJoin composes the 1-row norm-stats and 1-row participation-ratio frames")
     val sf = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if boundedByConstruction.contains(name) => None
