@@ -396,6 +396,32 @@ class PlanSpec extends SparkSuite {
     assert(plan("vec_matryoshka_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("round-9 late ops keep their claimed shapes: bottom-k lowered, walks broadcast, lift sortless") {
+    // sample_bottomk's scale claim IS the TakeOrdered lowering — a global
+    // Sort here would be the single-partition bug the comment rules out
+    val pb = plan("sample_bottomk")
+    assert(pb.contains("TakeOrderedAndProject"), pb.take(2000))
+    // graph_walk_corpus: each step's broadcast frontier join ran ONCE at
+    // build (inside the per-step localCheckpoint) — the live plan is the
+    // union of five checkpointed RDD scans with zero file scans, proving
+    // the lineage truncation (no step re-executes on the final action)
+    val pw = plan("graph_walk_corpus")
+    assert(pw.contains("Scan ExistingRDD") && !pw.contains("FileScan"),
+      pw.take(2000))
+    // eval_lift: the global rank is RECONSTRUCTED from score-grain
+    // offsets + within-score windows; no global row-grain Sort may
+    // survive outside the final 10-row presentation (windows sort within
+    // hash-partitioned score groups instead)
+    val pl = plan("eval_lift")
+    assert(!pl.contains("Exchange rangepartitioning"), pl.take(3000))
+    // vec_kmeans reads the shared decimal base through the cache — the
+    // embeddings parquet is scanned zero times in the live plan
+    assert(uncachedScans(q("vec_kmeans").queryExecution.executedPlan).isEmpty)
+    // ts_hampel windows partition per series — no single-partition window
+    assert(!plan("ts_hampel").contains("Exchange SinglePartition"),
+      plan("ts_hampel").take(2000))
+  }
+
   test("round-7 ops keep their minimal shapes: corpus_mix shuffle-free, knn-graph group-limited") {
     def hashExchanges(name: String): Int =
       "Exchange hashpartitioning\\(".r.findAllIn(plan(name)).size
