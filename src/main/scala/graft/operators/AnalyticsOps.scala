@@ -133,6 +133,14 @@ object AnalyticsOps {
     * KcorePeelRounds; the DuckDB twin unrolls the same steps. */
   private[graft] val WalkSteps = 4
 
+  /** Support-peel rounds for graph_ktruss (k = 10: every surviving edge
+    * sits in ≥ 8 triangles among survivors) — bounded-round semantics
+    * like KcorePeelRounds/BfsRounds: the operator IS "TrussRounds peels"
+    * and the DuckDB twin unrolls the same rounds, so the gate is exact
+    * whether or not a given scale has converged (sf0.01 converges at 7,
+    * sf0.1 at 3, the tiny fixture immediately). */
+  private[graft] val TrussRounds = 6
+
   /** Synchronous rounds for graph_label_prop — bounded-round semantics
     * like KcorePeelRounds/BfsRounds so the DuckDB twin unrolls the same
     * rounds. Four synchronous votes reach a stable partition on the
@@ -1940,6 +1948,63 @@ object AnalyticsOps {
         .limit(20)
     }),
 
+    // k-truss decomposition (k = 10, TrussRounds bounded support peels)
+    // — the COHESION cut above graph_kcore: kcore keeps nodes with
+    // enough neighbors, the truss keeps edges with enough TRIANGLES
+    // (≥ k−2 = 8 among survivors), stripping tree-like and star-like
+    // structure degree alone cannot see — the community-core extractor.
+    // Runs on the UNWEIGHTED co-purchase pair graph (the ≥2-weight
+    // artifact is triangle-sparse at gate scales; triangle cohesion is
+    // the filter here, so edge weighting would double-filter). Each
+    // round counts each edge's common-neighbor witnesses ONCE via the
+    // two-sided adjacency probe (a per-center triangle enumeration
+    // triple-votes every edge — the inflation the spec's brute replay
+    // caught), filters, checkpoints; edge-bounded per round,
+    // monotonically shrinking. Output: top-10 nodes by truss degree.
+    "graph_ktruss" -> ((s, dir) => {
+      var e = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        .localCheckpoint(true)
+      e = e.as("a").join(e.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("p1"), col("b.pk").as("p2")).distinct()
+        .localCheckpoint(true)
+      for (_ <- 1 to TrussRounds) {
+        val adj = e.select(col("p1").as("src"), col("p2").as("dst"))
+          .unionAll(e.select(col("p2").as("src"), col("p1").as("dst")))
+        // support = |N(a) ∩ N(b)| among survivors, each witness counted
+        // ONCE (a per-center triangle enumeration triple-votes every
+        // edge — the inflation the spec's brute replay caught). The
+        // co-purchase graph is DENSE (mean degree ~120), so the naive
+        // wedge join explodes to Σdeg² ≈ 300M rows per round; instead
+        // the neighbor lists are DEGREE-BOUNDED arrays (max 222 here —
+        // basket-bounded at any corpus size) and support is one codegen'd
+        // array_intersect per edge: node-grain shuffle + edge-linear
+        // probe, never the wedge blow-up. The oracle keeps the join
+        // formulation — same semantics, DuckDB's planner's shape.
+        val nbr = adj.groupBy(col("src"))
+          .agg(sort_array(collect_list(col("dst"))).as("nb"))
+        // the neighbor-list dim is node-grain (catalog-bounded) — under
+        // the gate it BROADCASTS so the edge frame never shuffles its
+        // per-row arrays (2 GB of list payload at this density); above
+        // it (web-scale graphs) the rounds fall back to shuffle joins
+        val bcastNbr = e.count() <= PagerankBroadcastMaxNodes
+        def nside(k: String, out: String) = {
+          val n = nbr.select(col("src").as(k), col("nb").as(out))
+          if (bcastNbr) broadcast(n) else n
+        }
+        e = e.join(nside("p1", "nb1"), Seq("p1"))
+          .join(nside("p2", "nb2"), Seq("p2"))
+          .filter(size(array_intersect(col("nb1"), col("nb2"))) >= 8)
+          .select(col("p1"), col("p2"))
+          .localCheckpoint(true)
+      }
+      e.select(explode(array(col("p1"), col("p2"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("truss_degree"))
+        .orderBy(col("truss_degree").desc, col("node"))
+        .limit(10)
+    }),
+
     // Hash-driven random-walk corpus over the co-purchase graph — the
     // node2vec/DeepWalk data-generation primitive: emit walks whose
     // node sequences become training sentences for graph embeddings.
@@ -3125,6 +3190,17 @@ object AnalyticsOps {
         FROM m"""
   }
 
+  /** One truss support-peel round as SQL CTEs — the same wedge/vote/
+    * filter algebra as the Spark loop body. */
+  private def trussRoundSql(r: Int): String =
+    s"""adj$r AS (SELECT p1 AS src, p2 AS dst FROM e${r - 1}
+          UNION ALL SELECT p2, p1 FROM e${r - 1}),
+        e$r AS MATERIALIZED (
+          SELECT e.p1, e.p2 FROM e${r - 1} e
+          JOIN adj$r x ON x.src = e.p1
+          JOIN adj$r y ON y.src = e.p2 AND y.dst = x.dst
+          GROUP BY e.p1, e.p2 HAVING count(1) >= 8)"""
+
   /** One walk step as a SQL CTE: pick each walk's next node by the same
     * pre-masked integer hash argmin as the Spark loop. */
   private def walkStepSql(t: Int): String =
@@ -4191,6 +4267,16 @@ object AnalyticsOps {
              SELECT 1 FROM und WHERE und.p1 = sc.a AND und.p2 = sc.b))
          SELECT a, b, CAST(common AS BIGINT) AS common, aa_score
          FROM cand ORDER BY aa_score DESC, a, b LIMIT 20""",
+    "graph_ktruss" ->
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          e0 AS MATERIALIZED (
+            SELECT DISTINCT a.pk AS p1, b.pk AS p2
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+          ${(1 to TrussRounds).map(trussRoundSql).mkString(",\n")}
+          SELECT node, count(1) AS truss_degree FROM (
+            SELECT p1 AS node FROM e$TrussRounds
+            UNION ALL SELECT p2 FROM e$TrussRounds)
+          GROUP BY 1 ORDER BY truss_degree DESC, node LIMIT 10""",
     "graph_walk_corpus" ->
       s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
           und AS MATERIALIZED (

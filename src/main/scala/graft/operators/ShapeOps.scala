@@ -130,6 +130,34 @@ object ShapeOps {
         .orderBy(col("user_id"))
     }),
 
+    // Simple-exponential-smoothing forecast backtest per series — the
+    // smoothing member beside ts_forecast_snaive's seasonal baseline:
+    // train the SES level (α = 0.3) on the first 23 days via the
+    // SEQUENTIAL fold the recurrence demands (ts_ewma's aggregate-HOF
+    // shape — a frame window cannot express it), hold it flat over the
+    // last 7 days, and report the backtest MAE. Both the level fold and
+    // the error fold run in DETERMINISTIC array order inside one row per
+    // series (day-grain arrays, calendar-bounded), so the doubles are
+    // engine-identical without gridding — the ts_ewma precedent.
+    "ts_ses_forecast" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type").as("et"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val h = daily.groupBy(col("et"))
+        .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("h"))
+        .select(col("et"),
+          expr("transform(h, r -> CAST(r.c AS DOUBLE))").as("vs"))
+      val lvl = aggregate(expr("slice(vs, 2, 22)"),
+        element_at(col("vs"), 1),
+        (acc, x) => lit(0.3) * x + lit(0.7) * acc)
+      h.select(col("et").as("event_type"),
+          size(col("vs")).cast("long").as("n_days"),
+          round(lvl, 6).as("level"),
+          round(aggregate(expr("slice(vs, 24, 7)"), lit(0.0),
+            (acc, x) => acc + abs(x - lvl)) / 7, 6).as("mae_7d"))
+        .orderBy(col("event_type"))
+    }),
+
     // Time-to-convert distribution (first view → first subsequent
     // purchase) — the latency companion to seq_funnel's stage counts:
     // how LONG the funnel takes, as exact rank order statistics
@@ -494,6 +522,24 @@ object ShapeOps {
                 WHEN t_buy IS NULL OR t_buy <= t_click THEN 2
                 ELSE 3 END AS stage
          FROM firsts ORDER BY user_id""",
+    "ts_ses_forecast" ->
+      """WITH daily AS (
+           SELECT event_type AS et, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         h AS (
+           SELECT et, list_transform(list(c ORDER BY day),
+                        x -> CAST(x AS DOUBLE)) AS vs
+           FROM daily GROUP BY 1),
+         f AS (
+           SELECT et, len(vs) AS n_days,
+                  list_reduce(vs[1:23], (acc, x) -> 0.3 * x + 0.7 * acc) AS lvl,
+                  vs
+           FROM h)
+         SELECT et AS event_type, CAST(n_days AS BIGINT) AS n_days,
+                round(lvl, 6) AS level,
+                round(list_aggregate(list_transform(vs[24:30],
+                        x -> abs(x - lvl)), 'sum') / 7, 6) AS mae_7d
+         FROM f ORDER BY event_type""",
     "seq_funnel_time" ->
       """WITH fv AS (
            SELECT user_id, min(ts) AS tv FROM events

@@ -2268,6 +2268,45 @@ class PropertySpec extends SparkSuite {
     assert(sizes.values.sum === emb.length, "partition covers the corpus")
   }
 
+  test("graph_ktruss: bounded support peeling replays brute, round for round") {
+    val rows = q("graph_ktruss").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    var edges = li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    // the operator's semantics ARE TrussRounds peels (bounded-round, like
+    // kcore/bfs) — replay exactly those rounds
+    for (_ <- 1 to graft.operators.AnalyticsOps.TrussRounds) {
+      val nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
+      edges = edges.filter { case (a, b) => (nbrs(a) & nbrs(b)).size >= 8 }
+    }
+    val deg = (edges.toSeq ++ edges.toSeq.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.size.toLong).toMap
+    val top = deg.toSeq.sortBy { case (n, d) => (-d, n) }.take(10)
+    assert(rows.toSeq === top, s"got ${rows.toList} expected $top")
+    // support >= 8 among survivors forces truss degree >= 9 for members
+    rows.foreach { case (_, d) => assert(d >= 9, "cohesion floor") }
+  }
+
+  test("ts_ses_forecast: level and MAE replay the sequential fold") {
+    val rows = q("ts_ses_forecast").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    dailyCounts.foreach { case (et, days) =>
+      val vs = days.map(_._2.toDouble)
+      val lvl = vs.slice(1, 23).foldLeft(vs.head)((acc, x) => 0.3 * x + 0.7 * acc)
+      val mae = vs.slice(23, 30).map(x => math.abs(x - lvl)).sum / 7
+      val (n, gl, gm) = rows(et)
+      assert(n === vs.length.toLong, s"$et n_days")
+      assert(math.abs(gl - lvl) < 1e-6, s"$et level")
+      assert(math.abs(gm - mae) < 1e-6, s"$et mae")
+    }
+  }
+
   test("graph_walk_corpus: walks replay the deterministic hash argmin step rule") {
     val rows = q("graph_walk_corpus").collect()
       .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
