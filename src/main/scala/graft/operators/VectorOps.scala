@@ -712,6 +712,51 @@ object VectorOps {
         .orderBy(col("pos"))
     }),
 
+    // Embedding-distribution drift between two corpus halves (vec_id
+    // parity — the deterministic A/B split) — the "did my embedding
+    // space move" monitor run between model or corpus versions before
+    // ANN indexes are trusted across them. The statistic is
+    // ‖μ_A − μ_B‖ NORMALIZED by the mean vector norm (centroid cosine
+    // is noise on zero-centered spaces — the spec proved it at −0.07 on
+    // the fixture; the distance ratio is the scale-free signal: parity
+    // halves of one corpus read ≈√(2/n), a real shift reads O(1)).
+    // Centroid means decimal-gridded per dimension (vec_pca discipline),
+    // the difference/norm sums run over 64 exact DECIMAL products, the
+    // norm reference reuses the gridded per-vector L2 mean — no
+    // cross-row double summation anywhere; one base pass + one
+    // vec-grain agg.
+    "vec_drift" -> ((s, dir) => {
+      val d6 = DecimalType(18, 6)
+      val r6d = (c: Column) => round(c.cast("double"), 6).cast(d6)
+      val base = persistSharedPerDir("vec_pca_base", dir,
+        embStore(s, dir).select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("pos", "fv")))
+          .select(col("vec_id"), col("pos"), r6d(col("fv")).as("xv")))
+      val cent = base.withColumn("half", (col("vec_id") % 2).cast("int"))
+        .groupBy(col("half"), col("pos"))
+        .agg(sum(col("xv")).as("sx"), count(lit(1)).as("n"))
+        .select(col("half"), col("pos"),
+          round(col("sx").cast("double") / col("n"), 6).cast(d6).as("cv"),
+          col("n"))
+      val wide = cent.groupBy(col("pos")).agg(
+        max(when(col("half") === 0, col("cv"))).as("ca"),
+        max(when(col("half") === 1, col("cv"))).as("cb"),
+        max(when(col("half") === 0, col("n"))).as("na"),
+        max(when(col("half") === 1, col("n"))).as("nb"))
+      val dist = wide.agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum((col("ca") - col("cb")) * (col("ca") - col("cb"))).as("dd"))
+      val ref = base.groupBy(col("vec_id"))
+        .agg(sum(col("xv") * col("xv")).as("ss"))
+        .agg(round(sum(round(sqrt(col("ss").cast("double")), 6).cast(d6))
+          .cast("double") / count(lit(1)), 6).as("mean_norm"))
+      dist.crossJoin(broadcast(ref))
+        .select(col("n_a"), col("n_b"),
+          round(sqrt(col("dd").cast("double")), 6).as("centroid_dist"),
+          col("mean_norm"),
+          round(sqrt(col("dd").cast("double")) / col("mean_norm"), 6)
+            .as("drift_ratio"))
+    }),
+
     // Embedding-space health report — the representation-collapse screen
     // run before trusting any similarity search (anisotropic/collapsed
     // spaces break cosine ranking): norm distribution (mean/min/max of
@@ -1010,6 +1055,39 @@ object VectorOps {
             ORDER BY sim DESC, vec_id LIMIT 1),
           ${(2 to MmrPicks).map(mmrStepSql).mkString(",\n")}
           SELECT rank, vec_id, score FROM sel$MmrPicks ORDER BY rank""") +
+    ("vec_drift" ->
+      s"""WITH x AS MATERIALIZED (
+            SELECT vec_id, CAST(u.p AS INTEGER) AS pos,
+                   CAST(round(CAST(u.v AS DOUBLE), 6) AS DECIMAL(18,6)) AS xv
+            FROM (SELECT vec_id, unnest(range(0, len(embedding))) AS p,
+                         unnest(embedding) AS v
+                  FROM embeddings) u),
+          cent AS (
+            SELECT CAST(vec_id % 2 AS INT) AS half, pos,
+                   CAST(round(CAST(sum(xv) AS DOUBLE) / count(1), 6)
+                     AS DECIMAL(18,6)) AS cv,
+                   count(1) AS n
+            FROM x GROUP BY 1, 2),
+          wide AS (
+            SELECT pos,
+                   max(CASE WHEN half = 0 THEN cv END) AS ca,
+                   max(CASE WHEN half = 1 THEN cv END) AS cb,
+                   max(CASE WHEN half = 0 THEN n END) AS na,
+                   max(CASE WHEN half = 1 THEN n END) AS nb
+            FROM cent GROUP BY 1),
+          m AS (
+            SELECT max(na) AS n_a, max(nb) AS n_b,
+                   sum((ca - cb) * (ca - cb)) AS dd
+            FROM wide),
+          ref AS (
+            SELECT round(CAST(sum(CAST(round(sqrt(CAST(ss AS DOUBLE)), 6)
+                     AS DECIMAL(18,6))) AS DOUBLE) / count(1), 6) AS mean_norm
+            FROM (SELECT vec_id, sum(xv * xv) AS ss FROM x GROUP BY 1))
+          SELECT n_a, n_b,
+                 round(sqrt(CAST(dd AS DOUBLE)), 6) AS centroid_dist,
+                 mean_norm,
+                 round(sqrt(CAST(dd AS DOUBLE)) / mean_norm, 6) AS drift_ratio
+          FROM m CROSS JOIN ref""") +
     ("vec_space_health" ->
       s"""WITH x AS MATERIALIZED (
             SELECT vec_id, CAST(u.p AS INTEGER) AS pos,

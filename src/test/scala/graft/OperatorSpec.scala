@@ -2201,6 +2201,28 @@ class PropertySpec extends SparkSuite {
     assert(rows.values.exists(_._4 == 0))
   }
 
+  test("vec_drift: centroid cosine replays brute half-split means") {
+    val r = q("vec_drift").collect().head
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(x => (x.getLong(0), x.getSeq[Float](1).map(f => BigDecimal(f.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray))
+    val (a, b) = emb.partition(_._1 % 2 == 0)
+    assert(r.getLong(0) === a.length.toLong && r.getLong(1) === b.length.toLong)
+    def centroid(h: Array[(Long, Array[Double])]) = Array.tabulate(64) { j =>
+      BigDecimal(h.map(_._2(j)).sum / h.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
+    val (ca, cb) = (centroid(a), centroid(b))
+    val dist = math.sqrt((0 until 64).map(j => (ca(j) - cb(j)) * (ca(j) - cb(j))).sum)
+    val meanNorm = emb.map { case (_, v) => math.sqrt(v.map(x => x * x).sum) }
+      .sum / emb.length
+    assert(math.abs(r.getDouble(2) - dist) < 1e-4, "centroid distance")
+    assert(math.abs(r.getDouble(3) - meanNorm) < 1e-4, "mean norm reference")
+    assert(math.abs(r.getDouble(4) - dist / meanNorm) < 1e-4, "ratio")
+    // parity halves of one corpus must NOT drift: ratio stays small
+    assert(r.getDouble(4) < 0.3, s"unexpected drift ratio ${r.getDouble(4)}")
+  }
+
   test("vec_space_health: norms and participation ratio replay brute") {
     val r = q("vec_space_health").collect().head
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
