@@ -562,7 +562,8 @@ class PlanSpec extends SparkSuite {
       "etl_dq_report" -> "crossJoin against broadcast 1-row total-count frames (per rule row)",
       "vec_rrf_fusion" -> "inherits vec_ivf_ann's whitelisted bounded crossJoins (query composition, vec_ann_recall's precedent)",
       "text_burstiness" -> "crossJoin against a broadcast 1-row corpus-doc-count frame",
-      "vec_space_health" -> "crossJoin composes the 1-row norm-stats and 1-row participation-ratio frames")
+      "vec_space_health" -> "crossJoin composes the 1-row norm-stats and 1-row participation-ratio frames",
+      "vec_drift" -> "crossJoin composes the 1-row distance and 1-row norm-reference frames")
     val sf = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if boundedByConstruction.contains(name) => None
