@@ -855,6 +855,51 @@ object TextOps {
         .limit(20)
     }),
 
+    // RAKE keyphrase extraction — the unsupervised keyword miner
+    // (Rapid Automatic Keyword Extraction): candidate phrases are the
+    // maximal stopword-free token runs (seq_islands' pos − rank key at
+    // the TOKEN grain), capped at 4 tokens; each word scores
+    // degree/frequency over the phrase corpus (degree = Σ lengths of
+    // phrases containing it — co-occurrence pull), a phrase scores the
+    // sum of its words' scores (6-dp-gridded to DECIMAL before the
+    // order-free sum), and identical texts collapse (corpus-global word
+    // scores make equal phrases score equally, so max = the score).
+    // Scale shape: token grain with map-side combine, phrase grain
+    // bounded by the corpus, word-score dim broadcast back — no
+    // self-joins anywhere. Top-15 under a (score desc, phrase) total
+    // order.
+    "text_rake" -> ((s, dir) => {
+      val stopArr = array(stop.map(lit): _*)
+      val ph = persistShared("rake_phrases", t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+        .filter(col("w") =!= "" && !array_contains(stopArr, col("w")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .withColumn("grp", col("pos") - col("rn"))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, w))), r -> r.w)")
+          .as("words"), count(lit(1)).as("plen"))
+        .filter(col("plen") <= 4))
+      val ws = ph.select(explode(col("words")).as("w"), col("plen"))
+        .groupBy(col("w"))
+        .agg(sum(col("plen")).as("deg"), count(lit(1)).as("freq"))
+        .select(col("w"),
+          dec(round(col("deg").cast("double") / col("freq"), 6))
+            .as("wscore"))
+      ph.select(col("doc_id"), col("grp"),
+          array_join(col("words"), " ").as("phrase"),
+          explode(col("words")).as("w"))
+        .join(broadcast(ws), Seq("w"))
+        .groupBy(col("doc_id"), col("grp"), col("phrase"))
+        .agg(sum(col("wscore")).as("s"))
+        .groupBy(col("phrase"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          round(max(col("s")).cast("double"), 6).as("score"))
+        .orderBy(col("score").desc, col("phrase"))
+        .limit(15)
+    }),
+
     // Word burstiness (variance-to-mean ratio of per-document counts):
     // separates TOPICAL words (bursty — absent from most docs, heavy in
     // a few; VMR ≫ 1) from function words (evenly spread, VMR ≈ 1) —
@@ -1595,6 +1640,36 @@ object TextOps {
            FROM j)
          SELECT sa AS src_a, sb AS src_b, round(CAST(sum(term) AS DOUBLE), 6) AS js
          FROM terms GROUP BY 1, 2 ORDER BY 1, 2""",
+    "text_rake" ->
+      """WITH lst AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+         tok AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                  l[CAST(i AS INTEGER) + 1] AS w
+           FROM (SELECT doc_id, l, unnest(range(0, len(l))) AS i FROM lst)
+           WHERE l[CAST(i AS INTEGER) + 1] <> ''),
+         ns AS (
+           SELECT doc_id, pos, w,
+                  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM tok WHERE w NOT IN ('the', 'a', 'of', 'and', 'to', 'in')),
+         ph AS (
+           SELECT doc_id, grp, list(w ORDER BY pos) AS words, count(1) AS plen
+           FROM ns GROUP BY 1, 2),
+         ph4 AS (SELECT * FROM ph WHERE plen <= 4),
+         ws AS (
+           SELECT w, CAST(round(CAST(sum(plen) AS DOUBLE) / count(1), 6)
+                    AS DECIMAL(18,6)) AS wscore
+           FROM (SELECT unnest(words) AS w, plen FROM ph4) GROUP BY 1),
+         sc AS (
+           SELECT u.doc_id, u.grp, u.phrase, sum(ws.wscore) AS s
+           FROM (SELECT doc_id, grp, array_to_string(words, ' ') AS phrase,
+                        unnest(words) AS w
+                 FROM ph4) u
+           JOIN ws ON ws.w = u.w
+           GROUP BY 1, 2, 3)
+         SELECT phrase, count(1) AS n_occurrences,
+                round(CAST(max(s) AS DOUBLE), 6) AS score
+         FROM sc GROUP BY 1 ORDER BY score DESC, phrase LIMIT 15""",
     "text_burstiness" ->
       """WITH nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
          wc AS (

@@ -2676,6 +2676,38 @@ class PropertySpec extends SparkSuite {
     assert(rows.values.map(_._2).toSet.size > 1)
   }
 
+  test("text_rake: keyphrases replay a brute islands + degree/freq scorer") {
+    val rows = q("text_rake").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val stop = Set("the", "a", "of", "and", "to", "in")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().map(r => r.getString(1))
+    val phrases = docs.flatMap { text =>
+      val toks = text.toLowerCase.split(" ")
+      val runs = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+      var cur = List.empty[String]
+      toks.foreach { w =>
+        if (w.isEmpty || stop(w)) { if (cur.nonEmpty) runs += cur.reverse; cur = Nil }
+        else cur = w :: cur
+      }
+      if (cur.nonEmpty) runs += cur.reverse
+      runs.filter(_.length <= 4)
+    }
+    val deg = phrases.flatMap(p => p.map(_ -> p.length.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val freq = phrases.flatMap(identity).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scored = phrases.groupBy(_.mkString(" ")).map { case (txt, ps) =>
+      (txt, ps.length.toLong, ps.head.map(w => r6(deg(w).toDouble / freq(w))).sum)
+    }
+    val top = scored.toSeq.sortBy { case (t, _, s) => (-s, t) }.take(15)
+      .map { case (t, n, s) => (t, n, r6(s)) }
+    assert(rows.toList === top.toList, s"got ${rows.toList.take(3)}... expected ${top.take(3)}...")
+    // degree/freq >= 1 for every word forces phrase score >= phrase length
+    rows.foreach { case (p, _, s) => assert(s >= p.split(" ").length - 1e-6) }
+  }
+
   test("text_burstiness: VMR replays brute per-doc count moments") {
     val rows = q("text_burstiness").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
