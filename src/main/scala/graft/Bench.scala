@@ -81,6 +81,34 @@ object Bench {
       if (room - (e.length + 1) >= 0) { kept += e; room -= e.length + 1 }
     }
     println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir","n_queries":${results.size}}""")
+    // Automated spike adjudication (6 rounds of manual re-measures showed
+    // the sweep's slowest entries are often WINDOW CONTENTION, not code):
+    // re-run the top outliers after the sweep, 2× each with cache hygiene,
+    // and write min-of-reruns vs sweep time to ISOLATED.json. A genuine
+    // cost re-measures flat (ratio ≈ 1); an environmental spike collapses.
+    // SPARK_GRAFT_ISOLATED=0 disables; SPARK_GRAFT_ISOLATED_OUT overrides
+    // the artifact path. Runs AFTER the contract line so a failure here
+    // can never cost the round its bench.
+    if (!sys.env.get("SPARK_GRAFT_ISOLATED").contains("0")) try {
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_ISOLATED_OUT", "ISOLATED.json")
+      val top = results.sortBy(-_._2).take(8)
+      val iso = top.map { case (name, sweepSec) =>
+        val runs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try SparkEntry.queries(name)(spark, sfDir).count()
+          catch { case _: Throwable => () }
+          val sec = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          sec
+        }
+        s""""$name":{"sweep":${d3(sweepSec)},"reruns":[${runs.map(d3).mkString(",")}],"min":${d3(runs.min)}}"""
+      }
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+        iso.mkString("{", ",", "}\n"))
+      System.err.println(s"[bench] isolated re-measure written to $outPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] isolated re-measure failed: ${e.getMessage}")
+    }
     ArtifactCache.evictAllCaches() // unpersist memoized per-dir artifacts
     spark.stop()
     sys.exit(0) // see Verify: stub/stream non-daemon threads must not wedge the JVM

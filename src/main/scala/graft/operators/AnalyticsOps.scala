@@ -149,6 +149,42 @@ object AnalyticsOps {
     * instead of a fixed bound. */
   private[graft] val LabelPropRounds = 4
 
+  /** One kcore peel: node-sized degree agg off the (checkpointed) edge
+    * frame, degree-≥3 survivors applied back as two semi-joins. Under the
+    * gate (`bcastKeep`) the survivor frame broadcasts so edges never
+    * shuffle per round; above it both semi-joins run hash-partitioned —
+    * the web-scale shape. Factored out so PlanSpec exercises and pins
+    * BOTH physical shapes (the above-gate branch must not be dead code). */
+  private[graft] def kcorePeelRound(edges: DataFrame,
+      bcastKeep: Boolean): DataFrame = {
+    val deg = edges.select(explode(array(col("p1"), col("p2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    val keep = deg.filter(col("dg") >= 3).select(col("node"))
+    def semi(e: DataFrame, k: String): DataFrame = {
+      val kk = keep.withColumnRenamed("node", k)
+      e.join(if (bcastKeep) broadcast(kk) else kk, Seq(k), "left_semi")
+    }
+    semi(semi(edges, "p1"), "p2")
+  }
+
+  /** One synchronous label-propagation vote: every node adopts its
+    * neighbors' majority label (ties → smallest), isolated/tied-out nodes
+    * keep theirs via the left join. The label frame is node-domain-sized:
+    * under the gate it broadcasts onto the adjacency; above it the join
+    * runs hash-partitioned with only the node-sized label frame
+    * shuffling. Factored out so PlanSpec pins both shapes. */
+  private[graft] def lpaRound(adj: DataFrame, labels: DataFrame,
+      bcastLabels: Boolean): DataFrame = {
+    val winners = adj
+      .join(if (bcastLabels) broadcast(labels) else labels,
+        col("dst") === col("node"))
+      .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+      .groupBy(col("src"))
+      .agg(min_by(col("lbl"), struct((-col("c")).as("nc"), col("lbl"))).as("wl"))
+    labels.join(winners, col("node") === col("src"), "left")
+      .select(col("node"), coalesce(col("wl"), col("lbl")).as("lbl"))
+  }
+
   /** Final LPA label assignment (node, lbl) after [[LabelPropRounds]]
     * synchronous majority votes — the loop graph_label_prop always ran,
     * factored out so graph_modularity can score the SAME partition.
@@ -163,18 +199,53 @@ object AnalyticsOps {
     var labels = nodes.select(col("node"), col("node").as("lbl"))
       .localCheckpoint(true)
     for (_ <- 1 to LabelPropRounds) {
-      val winners = adj
-        .join(if (bcastLabels) broadcast(labels) else labels,
-          col("dst") === col("node"))
-        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
-        .groupBy(col("src"))
-        .agg(min_by(col("lbl"), struct((-col("c")).as("nc"), col("lbl"))).as("wl"))
-      labels = labels.join(winners, col("node") === col("src"), "left")
-        .select(col("node"), coalesce(col("wl"), col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+      labels = lpaRound(adj, labels, bcastLabels).localCheckpoint(true)
     }
     labels
   }
+
+  /** One ktruss support peel among the surviving edges. support =
+    * |N(a) ∩ N(b)|, each witness counted ONCE (a per-center triangle
+    * enumeration triple-votes every edge — the inflation the spec's
+    * brute replay caught). The co-purchase graph is DENSE (mean degree
+    * ~120), so the naive wedge join explodes to Σdeg² ≈ 300M rows per
+    * round; instead the neighbor lists are DEGREE-BOUNDED arrays (max
+    * 222 here — basket-bounded at any corpus size) and support is one
+    * codegen'd array_intersect per edge: node-grain shuffle +
+    * edge-linear probe, never the wedge blow-up. The neighbor-list dim
+    * is node-grain (catalog-bounded) — under the gate it BROADCASTS so
+    * the edge frame never shuffles its per-row arrays (2 GB of list
+    * payload at this density); above it (web-scale graphs) both joins
+    * run hash-partitioned. Factored out so PlanSpec pins both shapes.
+    * The oracle keeps the join formulation — same semantics, DuckDB's
+    * planner's shape. */
+  private[graft] def trussRound(e: DataFrame, bcastNbr: Boolean): DataFrame = {
+    val adj = e.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionAll(e.select(col("p2").as("src"), col("p1").as("dst")))
+    val nbr = adj.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nb"))
+    def nside(k: String, out: String) = {
+      val n = nbr.select(col("src").as(k), col("nb").as(out))
+      if (bcastNbr) broadcast(n) else n
+    }
+    e.join(nside("p1", "nb1"), Seq("p1"))
+      .join(nside("p2", "nb2"), Seq("p2"))
+      .filter(size(array_intersect(col("nb1"), col("nb2"))) >= 8)
+      .select(col("p1"), col("p2"))
+  }
+
+  /** One BFS frontier expansion: frontier ⋈ adjacency, new nodes via
+    * LEFT ANTI against the visited set, tagged with the hop distance.
+    * Under the gate the (node-domain-bounded) frontier broadcasts; above
+    * it the join runs hash-partitioned — the standard large-graph BFS
+    * shape. Factored out so PlanSpec pins both shapes. */
+  private[graft] def bfsExpand(adj: DataFrame, frontier: DataFrame,
+      visited: DataFrame, dist: Int, bcastFrontier: Boolean): DataFrame =
+    adj.join(if (bcastFrontier) broadcast(frontier) else frontier,
+        col("src") === col("node"))
+      .select(col("dst").as("node")).distinct()
+      .join(visited, Seq("node"), "left_anti")
+      .withColumn("dist", lit(dist))
 
   /** Frontier-expansion rounds for graph_bfs_hops — bounded-round
     * semantics like KcorePeelRounds: the operator IS the k-hop
@@ -742,8 +813,12 @@ object AnalyticsOps {
           count(when(col("pb") === col("y"), 1)).as("b_correct"))
         .select(col("n"), col("a_correct"), col("b_correct"),
           col("b_cell"), col("c_cell"),
+          // nullif guards the degenerate no-disagreement case (b+c = 0):
+          // both engines then deterministically yield NULL instead of
+          // Spark-NaN vs DuckDB-engine-dependent NaN/inf — a latent gate
+          // break on tiny/skewed fixtures
           round(((col("b_cell") - col("c_cell")) * (col("b_cell") - col("c_cell")))
-            .cast("double") / (col("b_cell") + col("c_cell")), 6)
+            .cast("double") / nullif(col("b_cell") + col("c_cell"), lit(0)), 6)
             .as("mcnemar_chi2"))
         .withColumn("dof", lit(1))
     }),
@@ -1373,7 +1448,10 @@ object AnalyticsOps {
           (col("sv").cast("double") / col("n")).as("mu"),
           ((col("svv").cast("double") - col("sv").cast("double") *
             col("sv").cast("double") / col("n")) / (col("n") - 1)).as("v"))
-      val zsum2 = lit((1.96 + 0.8416) * (1.96 + 0.8416))
+      // Exact literal (= (1.96+0.8416)^2 evaluated in exact decimal), not a
+      // Scala double product: DuckDB squares the DECIMAL sum exactly, so a
+      // double-arith square here could sit 1 ulp off and flip the ceil().
+      val zsum2 = lit(7.84896256)
       val delta = col("ma") - col("mb")
       m.select(col("seg").as("seg_a"), col("mu").as("ma"), col("v").as("va"))
         .join(broadcast(
@@ -1756,17 +1834,9 @@ object AnalyticsOps {
       // from forcing a catalog-sized broadcast. The count is a node-sized
       // job over the context-cached artifact, not a corpus re-scan.
       val bcastKeep = nodes.count() <= PagerankBroadcastMaxNodes
-      def keepSemi(e: DataFrame, keep: DataFrame, k: String): DataFrame = {
-        val kk = keep.withColumnRenamed("node", k)
-        e.join(if (bcastKeep) broadcast(kk) else kk, Seq(k), "left_semi")
-      }
       var edges = und.select(col("p1"), col("p2"))
       for (_ <- 1 to KcorePeelRounds) {
-        val deg = edges.select(explode(array(col("p1"), col("p2"))).as("node"))
-          .groupBy(col("node")).agg(count(lit(1)).as("dg"))
-        val keep = deg.filter(col("dg") >= 3).select(col("node"))
-        edges = keepSemi(keepSemi(edges, keep, "p1"), keep, "p2")
-          .localCheckpoint(true)
+        edges = kcorePeelRound(edges, bcastKeep).localCheckpoint(true)
       }
       edges.select(explode(array(col("p1"), col("p2"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("dg"))
@@ -1898,24 +1968,32 @@ object AnalyticsOps {
     // Tukey-fence (IQR) outlier screen per event series — the third
     // member of the outlier family next to anom_zscore (parametric) and
     // anom_mad (robust-z): fences at Q1 − 1.5·IQR / Q3 + 1.5·IQR, the
-    // boxplot rule every monitoring dashboard draws. Same percentile
-    // discipline as anom_mad: quartiles rounded to the 6-dp grid AT the
-    // agg boundary (Spark and DuckDB interpolate with algebraically
-    // equal but ulp-different formulas), fences and compares on the
-    // rounded values only. Type-sized quartile frame broadcasts; the
+    // boxplot rule every monitoring dashboard draws. Precision: the
+    // quartiles interpolate over INTEGER MICRO-UNITS (6-dp grid), which
+    // makes the whole computation EXACT in both engines — the rank
+    // position 0.25(n−1) and interpolation weights are exact binary
+    // fractions, so lo·0.75 + hi·0.25 on integers < 2⁵¹ has no rounding
+    // error under either engine's algebraically-equal-but-reordered
+    // formula, and a quartile landing on a grid boundary cannot flip
+    // flagged-set membership (the previous round-at-the-agg-boundary
+    // discipline left that 1-ulp window open). Fences stay in micro
+    // space (multiples of 0.25 micro — still exact), the screen compares
+    // integers against them. Type-sized quartile frame broadcasts; the
     // fact is scanned once for stats, once for the screen.
     "anom_iqr" -> ((s, dir) => {
       val e = events(s, dir)
+        .withColumn("v6", expr("CAST(round(value * 1000000, 0) AS BIGINT)"))
       val q = e.groupBy(col("event_type"))
-        .agg(round(expr("percentile(value, 0.25)"), 6).as("q1"),
-          round(expr("percentile(value, 0.75)"), 6).as("q3"))
-        .withColumn("iqr", round(col("q3") - col("q1"), 6))
-        .withColumn("lo", round(col("q1") - lit(1.5) * col("iqr"), 6))
-        .withColumn("hi", round(col("q3") + lit(1.5) * col("iqr"), 6))
+        .agg(expr("percentile(v6, 0.25)").as("q1m"),
+          expr("percentile(v6, 0.75)").as("q3m"))
+        .withColumn("lom", col("q1m") - lit(1.5) * (col("q3m") - col("q1m")))
+        .withColumn("him", col("q3m") + lit(1.5) * (col("q3m") - col("q1m")))
       e.join(broadcast(q), Seq("event_type"))
-        .filter(col("value") < col("lo") || col("value") > col("hi"))
+        .filter(col("v6") < col("lom") || col("v6") > col("him"))
         .select(col("event_id"), col("event_type"),
-          round(col("value"), 6).as("value"), col("lo"), col("hi"))
+          round(col("value"), 6).as("value"),
+          round(col("lom") / 1e6, 6).as("lo"),
+          round(col("him") / 1e6, 6).as("hi"))
         .orderBy(col("event_id"))
     }),
 
@@ -1969,35 +2047,15 @@ object AnalyticsOps {
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("p1"), col("b.pk").as("p2")).distinct()
         .localCheckpoint(true)
+      // the per-round broadcast frame is the NEIGHBOR-LIST dim, which is
+      // node-grain — so the gate compares the NODE domain (touched parts)
+      // against the node ceiling, computed ONCE off the checkpointed edge
+      // frame (a node-grain job), not re-counted per round
+      val nNodes = e.select(explode(array(col("p1"), col("p2"))).as("n"))
+        .distinct().count()
+      val bcastNbr = nNodes <= PagerankBroadcastMaxNodes
       for (_ <- 1 to TrussRounds) {
-        val adj = e.select(col("p1").as("src"), col("p2").as("dst"))
-          .unionAll(e.select(col("p2").as("src"), col("p1").as("dst")))
-        // support = |N(a) ∩ N(b)| among survivors, each witness counted
-        // ONCE (a per-center triangle enumeration triple-votes every
-        // edge — the inflation the spec's brute replay caught). The
-        // co-purchase graph is DENSE (mean degree ~120), so the naive
-        // wedge join explodes to Σdeg² ≈ 300M rows per round; instead
-        // the neighbor lists are DEGREE-BOUNDED arrays (max 222 here —
-        // basket-bounded at any corpus size) and support is one codegen'd
-        // array_intersect per edge: node-grain shuffle + edge-linear
-        // probe, never the wedge blow-up. The oracle keeps the join
-        // formulation — same semantics, DuckDB's planner's shape.
-        val nbr = adj.groupBy(col("src"))
-          .agg(sort_array(collect_list(col("dst"))).as("nb"))
-        // the neighbor-list dim is node-grain (catalog-bounded) — under
-        // the gate it BROADCASTS so the edge frame never shuffles its
-        // per-row arrays (2 GB of list payload at this density); above
-        // it (web-scale graphs) the rounds fall back to shuffle joins
-        val bcastNbr = e.count() <= PagerankBroadcastMaxNodes
-        def nside(k: String, out: String) = {
-          val n = nbr.select(col("src").as(k), col("nb").as(out))
-          if (bcastNbr) broadcast(n) else n
-        }
-        e = e.join(nside("p1", "nb1"), Seq("p1"))
-          .join(nside("p2", "nb2"), Seq("p2"))
-          .filter(size(array_intersect(col("nb1"), col("nb2"))) >= 8)
-          .select(col("p1"), col("p2"))
-          .localCheckpoint(true)
+        e = trussRound(e, bcastNbr).localCheckpoint(true)
       }
       e.select(explode(array(col("p1"), col("p2"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("truss_degree"))
@@ -2076,12 +2134,7 @@ object AnalyticsOps {
       var visited = hub.localCheckpoint(true)
       var frontier = visited
       for (r <- 1 to BfsRounds) {
-        val next = adj.join(
-            if (bcastFrontier) broadcast(frontier) else frontier,
-            col("src") === col("node"))
-          .select(col("dst").as("node")).distinct()
-          .join(visited, Seq("node"), "left_anti")
-          .withColumn("dist", lit(r))
+        val next = bfsExpand(adj, frontier, visited, r, bcastFrontier)
           .localCheckpoint(true)
         visited = visited.union(next).localCheckpoint(true)
         frontier = next
@@ -2932,29 +2985,39 @@ object AnalyticsOps {
     // in either engine's plan, so per-user DCG/IDCG are pure integer
     // sums; each user's NDCG is one double division 6-dp-gridded to
     // micro-units before the per-segment mean (order-free integer sum).
-    // Shape: one fact agg to the interaction grain (pinned — two rank
-    // windows read it), per-user windows, dimension-sized joins.
+    // Shape: BOTH top-10s come from ONE bounded-heap pass (CollectTopK,
+    // the topk_per_group_agg shim): a rank-window formulation would sort
+    // every user's FULL item list twice just to keep 10 — O(n log n) per
+    // user, the plan you wouldn't want under power-law users at 100×.
+    // The heap agg is O(n log 10) with map-side partial merge, computes
+    // DCG and IDCG lists in the SAME groupBy (no dcg⋈idcg join, no
+    // shared-scan persist), and PlanSpec pins "no rank window" on it.
     "eval_ndcg" -> ((s, dir) => {
-      val wExpr = "CASE rn WHEN 1 THEN 1000000L WHEN 2 THEN 630930L " +
-        "WHEN 3 THEN 500000L WHEN 4 THEN 430677L WHEN 5 THEN 386853L " +
-        "WHEN 6 THEN 356207L WHEN 7 THEN 333333L WHEN 8 THEN 315465L " +
-        "WHEN 9 THEN 301030L WHEN 10 THEN 289065L END"
-      val ui = persistShared("ndcg_ui",
-        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-          .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
-            col("o_orderkey") === col("l_orderkey"))
-          .groupBy(col("o_custkey").as("u"), col("l_partkey").as("p"))
-          .agg(count(lit(1)).as("g"))
-          .withColumn("hv", expr(
-            "((u % 2147483648) * 1000003 + p) % 2147483648 * 2654435761 % 2147483648")))
-      val wM = Window.partitionBy(col("u"))
-      val dcg = ui.withColumn("rn", row_number().over(wM.orderBy(col("hv"), col("p"))))
-        .filter(col("rn") <= 10)
-        .groupBy(col("u")).agg(sum(col("g") * expr(wExpr)).as("d"))
-      val idcg = ui.withColumn("rn", row_number().over(wM.orderBy(col("g").desc, col("p"))))
-        .filter(col("rn") <= 10)
-        .groupBy(col("u")).agg(sum(col("g") * expr(wExpr)).as("di"))
-      dcg.join(idcg, Seq("u"))
+      import org.apache.spark.sql.catalyst.expressions.aggregate.GraftTopK
+      import org.apache.spark.sql.graftbridge.Bridge
+      val ui = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("u"), col("l_partkey").as("p"))
+        .agg(count(lit(1)).as("g"))
+        .withColumn("hv", expr(
+          "((u % 2147483648) * 1000003 + p) % 2147483648 * 2654435761 % 2147483648"))
+      def top10(key: Column) = Bridge.column(GraftTopK
+        .collectTopK(Bridge.expression(key), 10, reverse = true)
+        .toAggregateExpression())
+      // lexicographic-MIN heap keys: model order = (hv asc, p asc),
+      // ideal order = (g desc, p asc); the ascending heap array IS rank
+      // order, so position i pairs with discount weight w[i]
+      val wArr = "array(1000000L, 630930L, 500000L, 430677L, 386853L, " +
+        "356207L, 333333L, 315465L, 301030L, 289065L)"
+      def wsum(c: String) = expr(
+        s"aggregate(zip_with(transform($c, x -> x.g), slice($wArr, 1, size($c)), " +
+          "(g, w) -> g * w), 0L, (acc, x) -> acc + x)")
+      ui.groupBy(col("u"))
+        .agg(
+          top10(struct(col("hv").as("h"), col("p").as("p"), col("g").as("g"))).as("td"),
+          top10(struct((-col("g")).as("ng"), col("p").as("p"), col("g").as("g"))).as("ti"))
+        .select(col("u"), wsum("td").as("d"), wsum("ti").as("di"))
         .select(col("u"),
           expr("CAST(round(CAST(d AS DOUBLE) / di * 1000000, 0) AS BIGINT)").as("nd6"))
         .join(t(s, dir, "customer")
@@ -3364,9 +3427,9 @@ object AnalyticsOps {
            FROM m)
          SELECT a.seg AS seg_a, b.seg AS seg_b,
                 round(a.mu - b.mu, 6) AS observed_delta,
-                CAST(ceil((1.96 + 0.8416) * (1.96 + 0.8416) * (a.v + b.v) /
+                CAST(ceil(CAST(7.84896256 AS DOUBLE) * (a.v + b.v) /
                   ((a.mu - b.mu) * (a.mu - b.mu))) AS BIGINT) AS n_per_arm,
-                round(sqrt((1.96 + 0.8416) * (1.96 + 0.8416) * (a.v + b.v)
+                round(sqrt(CAST(7.84896256 AS DOUBLE) * (a.v + b.v)
                   / 1000.0), 6) AS mde_at_1000
          FROM s a JOIN s b ON a.seg < b.seg
          ORDER BY seg_a, seg_b""",
@@ -3503,8 +3566,8 @@ object AnalyticsOps {
                          * (count(CASE WHEN pa = y AND pb <> y THEN 1 END)
                             - count(CASE WHEN pa <> y AND pb = y THEN 1 END))
                       AS DOUBLE)
-                      / (count(CASE WHEN pa = y AND pb <> y THEN 1 END)
-                         + count(CASE WHEN pa <> y AND pb = y THEN 1 END)), 6)
+                      / nullif(count(CASE WHEN pa = y AND pb <> y THEN 1 END)
+                         + count(CASE WHEN pa <> y AND pb = y THEN 1 END), 0), 6)
                   AS mcnemar_chi2,
                 CAST(1 AS INT) AS dof
          FROM b""",
@@ -4229,19 +4292,25 @@ object AnalyticsOps {
                 round(d, 6) AS cohens_d, round(d * corr, 6) AS hedges_g
          FROM p ORDER BY seg_a, seg_b""",
     "anom_iqr" ->
-      """WITH q AS (
+      """WITH e AS (
+           SELECT event_id, event_type, value,
+                  CAST(round(value * 1000000, 0) AS BIGINT) AS v6
+           FROM events),
+         q AS (
            SELECT event_type,
-                  round(quantile_cont(value, 0.25), 6) AS q1,
-                  round(quantile_cont(value, 0.75), 6) AS q3
-           FROM events GROUP BY event_type),
+                  quantile_cont(v6, 0.25) AS q1m,
+                  quantile_cont(v6, 0.75) AS q3m
+           FROM e GROUP BY event_type),
          f AS (
-           SELECT event_type, q1, q3,
-                  round(q1 - 1.5 * round(q3 - q1, 6), 6) AS lo,
-                  round(q3 + 1.5 * round(q3 - q1, 6), 6) AS hi
+           SELECT event_type,
+                  q1m - 1.5 * (q3m - q1m) AS lom,
+                  q3m + 1.5 * (q3m - q1m) AS him
            FROM q)
-         SELECT e.event_id, e.event_type, round(e.value, 6) AS value, f.lo, f.hi
-         FROM events e JOIN f USING (event_type)
-         WHERE e.value < f.lo OR e.value > f.hi
+         SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
+                round(f.lom / 1000000.0, 6) AS lo,
+                round(f.him / 1000000.0, 6) AS hi
+         FROM e JOIN f USING (event_type)
+         WHERE e.v6 < f.lom OR e.v6 > f.him
          ORDER BY e.event_id""",
     "graph_adamic_adar" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

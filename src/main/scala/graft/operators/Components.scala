@@ -61,8 +61,38 @@ private[graft] object Components {
     * scale is not driver-sized, so nothing on the query path collects —
     * downstream joins/windows consume it like any other frame.
     */
+  /** One fused HashMin step + pointer jump —
+    *   comp' := min(comp, min over neighbors' comp, comp[comp])
+    * as a single union+min aggregation. The jump reads the PREVIOUS
+    * round's labels (not this round's half-stepped frame), so the whole
+    * round is one pinned frame / one planning pass / one broadcast pair.
+    * Jumping through the older frame still (at least) halves the
+    * remaining pointer depth per round, so rounds stay O(log diameter);
+    * every round contains the plain HashMin contribution, so the
+    * fixpoint (min reachable id) is unchanged — and oracle-checked.
+    * `bcast` is the size-gated hint (broadcast under the edge gate,
+    * identity above it — then both joins run hash-partitioned, the
+    * cluster-scale shape). Factored out so PlanSpec exercises and pins
+    * both physical shapes. */
+  private[graft] def hashMinRound(labels: DataFrame, edges: DataFrame,
+      bcast: DataFrame => DataFrame): DataFrame = {
+    val viaEdges = labels.join(bcast(edges), labels("doc_id") === edges("d1"))
+      .select(col("d2").as("doc_id"), col("comp"))
+    val viaJump = labels.as("x")
+      .join(bcast(labels.select(col("doc_id").as("p"), col("comp").as("pc")).as("y")),
+        col("x.comp") === col("y.p"), "left")
+      .select(col("x.doc_id").as("doc_id"),
+        coalesce(col("pc"), col("x.comp")).as("comp"))
+    labels.select(col("doc_id"), col("comp"))
+      .union(viaEdges).union(viaJump)
+      .groupBy("doc_id").agg(min(col("comp")).as("comp"))
+  }
+
+  /** `broadcastMaxEdges` overrides [[BroadcastMaxEdges]] so tests can
+    * force the above-gate shuffle path end-to-end on fixture graphs. */
   def hashMinLabels(outer: SparkSession, pairs: DataFrame,
-                    nodes: Option[DataFrame] = None): DataFrame = {
+                    nodes: Option[DataFrame] = None,
+                    broadcastMaxEdges: Long = BroadcastMaxEdges): DataFrame = {
     val s = org.apache.spark.sql.graftbridge.Bridge.cloneSession(outer)
     s.conf.set("spark.sql.adaptive.enabled", "false")
     def pin(df: DataFrame): DataFrame =
@@ -75,7 +105,7 @@ private[graft] object Components {
     val nEdges = p.count()
     s.conf.set("spark.sql.shuffle.partitions", loopPartitions(nEdges).toString)
     val bcast: DataFrame => DataFrame =
-      if (nEdges <= BroadcastMaxEdges) broadcast else identity
+      if (nEdges <= broadcastMaxEdges) broadcast else identity
     val edges = pin(p.union(p.select(col("d2").as("d1"), col("d1").as("d2"))))
     val nodeIds = nodes.getOrElse(
       p.select(col("d1").as("id")).union(p.select(col("d2").as("id"))).distinct())
@@ -92,25 +122,7 @@ private[graft] object Components {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // FUSED HashMin step + pointer jump, one aggregation per round:
-      //   comp' := min(comp, min over neighbors' comp, comp[comp])
-      // The jump reads the PREVIOUS round's labels (not this round's
-      // half-stepped frame), so the whole round is a single union+min —
-      // one pinned frame, one planning pass, one broadcast pair per round.
-      // Jumping through the older frame still (at least) halves the
-      // remaining pointer depth per round, so rounds stay O(log diameter);
-      // every round contains the plain HashMin contribution, so the
-      // fixpoint (min reachable id) is unchanged — and oracle-checked.
-      val viaEdges = labels.join(bcast(edges), labels("doc_id") === edges("d1"))
-        .select(col("d2").as("doc_id"), col("comp"))
-      val viaJump = labels.as("x")
-        .join(bcast(labels.select(col("doc_id").as("p"), col("comp").as("pc")).as("y")),
-          col("x.comp") === col("y.p"), "left")
-        .select(col("x.doc_id").as("doc_id"),
-          coalesce(col("pc"), col("x.comp")).as("comp"))
-      val next = pin(labels.select(col("doc_id"), col("comp"))
-        .union(viaEdges).union(viaJump)
-        .groupBy("doc_id").agg(min(col("comp")).as("comp")))
+      val next = pin(hashMinRound(labels, edges, bcast))
       // empty node set sums to NULL → 0: converges on the second round
       val sumNow = Option(next.agg(sum(col("comp"))).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)

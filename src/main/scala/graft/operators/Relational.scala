@@ -328,6 +328,24 @@ object Relational {
           graft.plans.AsofMode.Nearest)
         .select(col("event_id"), col("user_id"), coalesce(col("view_id"), lit(-1L)).as("nearest_view_id"))
         .orderBy(col("event_id"))
+    }),
+
+    // TOLERANCE mode through the native operator — the staleness bound
+    // (30 min) applied as an O(1) per-probe check on the merge's selected
+    // candidate, completing the native family (backward/forward/nearest/
+    // tolerance now all ride the one-pass sorted merge). Checked against
+    // join_asof_tolerance's windowed-emulation oracle.
+    "join_asof_tolerance_native" -> ((s, dir) => {
+      val e = events(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+      graft.plans.AsofJoinApi.asofJoin(p, v, "user_id", "v_user", "ts", "v_ts", "view_id",
+          graft.plans.AsofMode.Backward, toleranceMicros = Some(30L * 60 * 1000000))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("view_id"), lit(-1L)).as("prior_view_id"))
+        .orderBy(col("event_id"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -481,6 +499,16 @@ object Relational {
            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
            LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
              ON v.user_id = p.user_id)
+         WHERE rn = 1 ORDER BY event_id""",
+    "join_asof_tolerance_native" ->
+      """SELECT event_id, user_id, coalesce(view_id, -1) AS prior_view_id FROM (
+           SELECT p.event_id, p.user_id, v.event_id AS view_id,
+                  row_number() OVER (PARTITION BY p.event_id
+                    ORDER BY v.ts DESC NULLS LAST, v.event_id DESC NULLS LAST) AS rn
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+             ON v.user_id = p.user_id AND v.ts < p.ts
+            AND v.ts >= p.ts - INTERVAL 30 MINUTE)
          WHERE rn = 1 ORDER BY event_id"""
   ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
 }

@@ -150,11 +150,17 @@ object ShapeOps {
       val lvl = aggregate(expr("slice(vs, 2, 22)"),
         element_at(col("vs"), 1),
         (acc, x) => lit(0.3) * x + lit(0.7) * acc)
+      // 23-train / 7-test split is bound to the 30-day fixture calendar
+      // (the other bounded-round vals share this convention). Series
+      // shorter than 24 days have no hold-out: emit NULL mae_7d on BOTH
+      // engines (Spark's empty-slice aggregate would give 0.0 while
+      // DuckDB's list_aggregate gives NULL — a latent gate break).
       h.select(col("et").as("event_type"),
           size(col("vs")).cast("long").as("n_days"),
           round(lvl, 6).as("level"),
-          round(aggregate(expr("slice(vs, 24, 7)"), lit(0.0),
-            (acc, x) => acc + abs(x - lvl)) / 7, 6).as("mae_7d"))
+          when(size(col("vs")) < 24, lit(null).cast("double"))
+            .otherwise(round(aggregate(expr("slice(vs, 24, 7)"), lit(0.0),
+              (acc, x) => acc + abs(x - lvl)) / 7, 6)).as("mae_7d"))
         .orderBy(col("event_type"))
     }),
 
@@ -537,8 +543,9 @@ object ShapeOps {
            FROM h)
          SELECT et AS event_type, CAST(n_days AS BIGINT) AS n_days,
                 round(lvl, 6) AS level,
-                round(list_aggregate(list_transform(vs[24:30],
-                        x -> abs(x - lvl)), 'sum') / 7, 6) AS mae_7d
+                CASE WHEN len(vs) < 24 THEN NULL
+                     ELSE round(list_aggregate(list_transform(vs[24:30],
+                            x -> abs(x - lvl)), 'sum') / 7, 6) END AS mae_7d
          FROM f ORDER BY event_type""",
     "seq_funnel_time" ->
       """WITH fv AS (

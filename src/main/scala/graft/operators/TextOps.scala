@@ -23,6 +23,13 @@ object TextOps {
 
   private val stop = Seq("the", "a", "of", "and", "to", "in")
 
+  /** SQL twins of `stop`, interpolated into every oracle that filters
+    * stopwords so both engines share ONE definition (the fdSql /
+    * trussRoundSql precedent) — editing `stop` can no longer silently
+    * desynchronize the Spark plan from its DuckDB twin. */
+  private val stopSqlArray = stop.map(w => s"'$w'").mkString("[", ",", "]")
+  private val stopSqlIn = stop.map(w => s"'$w'").mkString(", ")
+
   /** The non-ASCII witness rows for `text_nfc` (negative ids keep them
     * clear of real doc_ids). The same escapes appear in the oracle SQL --
     * Scala resolves \u escapes at compile time, so both engines see
@@ -1185,9 +1192,9 @@ object TextOps {
           GROUP BY token)
          ORDER BY rnk""",
     "corpus_token_budget" ->
-      """WITH scored AS (
+      s"""WITH scored AS (
            SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-                  round(ln(1.0 + len(toks)) * (1.0 - CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(toks)), 6) AS quality
+                  round(ln(1.0 + len(toks)) * (1.0 - CAST(len(list_filter(toks, x -> list_contains(${stopSqlArray}, x))) AS DOUBLE) / len(toks)), 6) AS quality
            FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)),
          tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 2 AS budget FROM scored),
          c AS (
@@ -1212,11 +1219,11 @@ object TextOps {
          min(n_chars) AS min_chars, max(n_chars) AS max_chars
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
     "text_quality" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
          len(toks) AS n_tokens,
          round(CAST(n_chars AS DOUBLE) / len(toks), 6) AS chars_per_tok,
-         round(CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(toks), 6) AS stop_ratio,
-         round(ln(1.0 + len(toks)) * (1.0 - CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(toks)), 6) AS quality
+         round(CAST(len(list_filter(toks, x -> list_contains(${stopSqlArray}, x))) AS DOUBLE) / len(toks), 6) AS stop_ratio,
+         round(ln(1.0 + len(toks)) * (1.0 - CAST(len(list_filter(toks, x -> list_contains(${stopSqlArray}, x))) AS DOUBLE) / len(toks)), 6) AS quality
          FROM (SELECT doc_id, n_chars, string_split(lower(text), ' ') AS toks FROM documents)
          ORDER BY doc_id""",
     "text_langid" ->
@@ -1409,7 +1416,7 @@ object TextOps {
                 node = min(root) AS is_representative
          FROM walk GROUP BY node ORDER BY doc_id""",
     "dedup_keep_best" ->
-      """WITH RECURSIVE toks AS (
+      s"""WITH RECURSIVE toks AS (
            SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS token
            FROM documents WHERE doc_id < 256),
          sizes AS (SELECT doc_id, count(1) AS nt FROM toks GROUP BY doc_id),
@@ -1433,7 +1440,7 @@ object TextOps {
          comp AS (SELECT node AS doc_id, min(root) AS comp FROM walk GROUP BY node),
          quality AS (
            SELECT doc_id,
-             round(ln(1.0 + len(toks2)) * (1.0 - CAST(len(list_filter(toks2, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(toks2)), 6) AS quality
+             round(ln(1.0 + len(toks2)) * (1.0 - CAST(len(list_filter(toks2, x -> list_contains(${stopSqlArray}, x))) AS DOUBLE) / len(toks2)), 6) AS quality
            FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks2
                  FROM documents WHERE doc_id < 256))
          SELECT comp, doc_id AS best_doc, quality AS best_quality FROM (
@@ -1641,7 +1648,7 @@ object TextOps {
          SELECT sa AS src_a, sb AS src_b, round(CAST(sum(term) AS DOUBLE), 6) AS js
          FROM terms GROUP BY 1, 2 ORDER BY 1, 2""",
     "text_rake" ->
-      """WITH lst AS (
+      s"""WITH lst AS (
            SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
          tok AS (
            SELECT doc_id, CAST(i AS BIGINT) AS pos,
@@ -1651,7 +1658,7 @@ object TextOps {
          ns AS (
            SELECT doc_id, pos, w,
                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-           FROM tok WHERE w NOT IN ('the', 'a', 'of', 'and', 'to', 'in')),
+           FROM tok WHERE w NOT IN (${stopSqlIn})),
          ph AS (
            SELECT doc_id, grp, list(w ORDER BY pos) AS words, count(1) AS plen
            FROM ns GROUP BY 1, 2),

@@ -51,7 +51,8 @@ object AsofMode {
 case class AsofJoin(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
-    rightTie: Expression, mode: AsofMode = AsofMode.Backward) extends BinaryNode {
+    rightTie: Expression, mode: AsofMode = AsofMode.Backward,
+    toleranceMicros: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): AsofJoin =
@@ -60,16 +61,26 @@ case class AsofJoin(left: LogicalPlan, right: LogicalPlan,
 
 object AsofStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lts, rts, tie, mode) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tie, mode) :: Nil
+    case AsofJoin(l, r, lk, rk, lts, rts, tie, mode, tol) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tie, mode, tol) :: Nil
     case _ => Nil
   }
 }
 
+/** `toleranceMicros`: optional STALENESS BOUND (the tolerance every real
+  * as-of API exposes beside the direction) — a candidate only matches
+  * within `|Δts| <= tolerance` of the probe (backward: lt − rt, forward:
+  * rt − lt, nearest: either side). The merge itself is unchanged — the
+  * bound is a per-probe O(1) check on the already-selected candidate, so
+  * the operator keeps its linear one-pass shape (vs the emulation, whose
+  * bound caps the PAIR EXPANSION — here there are no pairs to cap).
+  * Requires a ts type that evals numerically (timestamps → Long micros),
+  * same precondition the Nearest mode already carries. */
 case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
-    rightTie: Expression, mode: AsofMode = AsofMode.Backward) extends BinaryExecNode {
+    rightTie: Expression, mode: AsofMode = AsofMode.Backward,
+    toleranceMicros: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -96,6 +107,7 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
     val rightArity = right.output.size
 
     val joinMode = mode
+    val tol = toleranceMicros.getOrElse(-1L) // negative = unbounded
 
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       val nullRight = new GenericInternalRow(rightArity)
@@ -158,19 +170,28 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
               }
             }
           }
-          val back =
+          val back0 =
             if (buffered != null && keyOrd.compare(bufferedKey, lk) == 0 &&
                 (joinMode match {
                   case AsofMode.Backward => tsOrd.compare(bufferedTs, lt) < 0
                   case _ => tsOrd.compare(bufferedTs, lt) <= 0
                 })) buffered
             else null
-          val fwd =
+          val fwd0 =
             if (lookahead != null && {
                 val rk = rKey.eval(lookahead)
                 rk != null && keyOrd.compare(rk, lk) == 0
               }) lookahead
             else null
+          // staleness bound: O(1) per-probe check on the selected
+          // candidates — a bounded candidate too far from the probe is a
+          // non-match (the emulation's v_ts >= ts - INTERVAL semantics)
+          val back =
+            if (back0 != null && tol >= 0 && micros(lt) - micros(bufferedTs) > tol) null
+            else back0
+          val fwd =
+            if (fwd0 != null && tol >= 0 && micros(rTs.eval(fwd0)) - micros(lt) > tol) null
+            else fwd0
           val m = joinMode match {
             case AsofMode.Backward => back
             case AsofMode.Forward => fwd // first row with rt > lt: smallest (ts, tie)
@@ -206,11 +227,13 @@ object AsofJoinApi {
   }
 
   /** Column names resolved on each side; `mode` picks the match direction
-    * (default backward: strictly-before, latest-wins, greatest-tie). */
+    * (default backward: strictly-before, latest-wins, greatest-tie);
+    * `toleranceMicros` bounds the match distance (see [[AsofJoinExec]]). */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String, rightTie: String,
-      mode: AsofMode = AsofMode.Backward): DataFrame = {
+      mode: AsofMode = AsofMode.Backward,
+      toleranceMicros: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
     val lp = Bridge.analyzed(left)
@@ -228,7 +251,8 @@ object AsofJoinApi {
             s"${b.name} is ${b.dataType.sql} — cast one side first")
     sameType("key", lk, rk)
     sameType("timestamp", lt, rt)
-    Bridge.ofRows(spark, AsofJoin(lp, rp, lk, rk, lt, rt, attr(rp, rightTie), mode))
+    Bridge.ofRows(spark,
+      AsofJoin(lp, rp, lk, rk, lt, rt, attr(rp, rightTie), mode, toleranceMicros))
   }
 }
 

@@ -44,6 +44,35 @@ class AsofJoinSpec extends SparkSuite {
     }
   }
 
+  test("native TOLERANCE mode == join_asof_tolerance emulation, row for row") {
+    val native = q("join_asof_tolerance_native").collect().map(_.toSeq).toSeq
+    val emulated = q("join_asof_tolerance").collect().map(_.toSeq).toSeq
+    assert(native === emulated)
+  }
+
+  test("tolerance bound on synthetic edges: out-of-bound candidates are non-matches, boundary is inclusive") {
+    import spark.implicits._
+    import graft.plans.{AsofJoinApi, AsofMode}
+    val left = Seq((1L, 10L, 100L), (2L, 50L, 200L)).toDF("k", "t", "lid")
+    val right = Seq(
+      (1L, 8L, 3L), (1L, 8L, 7L), (1L, 12L, 2L), (1L, 12L, 5L), (1L, 10L, 9L)
+    ).toDF("rk", "rt", "tie")
+    def run(mode: AsofMode, tol: Long) =
+      AsofJoinApi.asofJoin(left, right, "k", "rk", "t", "rt", "tie", mode,
+          toleranceMicros = Some(tol))
+        .select(col("lid"), col("tie")).collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    // backward candidate sits at distance 2: bound 1 excludes, bound 2
+    // (inclusive) admits the run's greatest tie
+    assert(run(AsofMode.Backward, 1L) === Map(100L -> -1L, 200L -> -1L))
+    assert(run(AsofMode.Backward, 2L) === Map(100L -> 7L, 200L -> -1L))
+    // forward mirror
+    assert(run(AsofMode.Forward, 1L) === Map(100L -> -1L, 200L -> -1L))
+    assert(run(AsofMode.Forward, 2L) === Map(100L -> 2L, 200L -> -1L))
+    // nearest: the equal-ts distance-0 row survives any bound
+    assert(run(AsofMode.Nearest, 1L) === Map(100L -> 9L, 200L -> -1L))
+  }
+
   test("mode tie-breaks on synthetic edges: equal ts runs, distance ties, equal-ts match") {
     import spark.implicits._
     import graft.plans.{AsofJoinApi, AsofMode}

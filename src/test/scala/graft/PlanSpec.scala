@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{broadcast, col}
+
 /** Physical-plan shape assertions (SURVEY.md §4): the plans that matter at
   * 100 TB must actually be the plans Spark produces — broadcast joins stay
   * broadcast, top-k lowers to TakeOrdered, codegen spans cover the scalar
@@ -376,6 +378,105 @@ class PlanSpec extends SparkSuite {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
     }
+  }
+
+  // The above-gate (PagerankBroadcastMaxNodes exceeded) shuffle fallbacks
+  // are the entire 100 TB story for the graph family — every gated round
+  // is exercised here with the gate forced OFF: the plan must contain no
+  // static BroadcastExchange (AQE may still convert at runtime on fixture
+  // sizes — exactly the behavior we allow) and the results must match the
+  // broadcast path bit-for-bit. Template: the pagerank test above.
+  private def withNoAutoBroadcast[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  private def parity(mk: Boolean => org.apache.spark.sql.DataFrame): Unit = {
+    val off = mk(false)
+    val p = off.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastExchange"), p.take(2500))
+    val a = off.collect().map(_.toString).sorted
+    val b = mk(true).collect().map(_.toString).sorted
+    assert(a === b, "above-gate shuffle path diverged from the broadcast path")
+  }
+
+  test("graph_kcore peel above the gate: survivor semi-joins run shuffled, same result") {
+    import spark.implicits._
+    // a triangle (1,2,3) with pendant 4: degree-<3 peel removes all edges
+    // of 4 and keeps asking — one round is enough to pin both shapes
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (3L, 4L))
+      .toDF("p1", "p2")
+    withNoAutoBroadcast {
+      parity(b => graft.operators.AnalyticsOps.kcorePeelRound(edges, b))
+    }
+  }
+
+  test("graph_label_prop vote above the gate: label join runs shuffled, same result") {
+    import spark.implicits._
+    val adj = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 5L))
+      .toDF("node", "lbl")
+    withNoAutoBroadcast {
+      parity(b => graft.operators.AnalyticsOps.lpaRound(adj, labels, b))
+    }
+  }
+
+  test("graph_ktruss peel above the gate: neighbor-list joins run shuffled, same result") {
+    import spark.implicits._
+    // K5 minus one edge: supports range 2-3, all below the >=8 bar — the
+    // round's OUTPUT is empty either way but both joins still plan+run
+    val e = (for (a <- 1L to 5L; b <- (a + 1) to 5L if !(a == 1 && b == 2))
+      yield (a, b)).toDF("p1", "p2")
+    withNoAutoBroadcast {
+      parity(b => graft.operators.AnalyticsOps.trussRound(e, b))
+    }
+  }
+
+  test("graph_bfs_hops expansion above the gate: frontier join runs shuffled, same result") {
+    import spark.implicits._
+    val adj = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    val visited = Seq((1L, 0)).toDF("node", "dist")
+    withNoAutoBroadcast {
+      parity(b => graft.operators.AnalyticsOps
+        .bfsExpand(adj, visited.select(col("node")), visited, 1, b))
+    }
+  }
+
+  test("components HashMin round above the edge gate: both joins run shuffled, same labels") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (5L, 6L), (6L, 5L))
+      .toDF("d1", "d2")
+    val labels = Seq((1L, 1L), (2L, 2L), (3L, 3L), (5L, 5L), (6L, 6L))
+      .toDF("doc_id", "comp")
+    withNoAutoBroadcast {
+      parity { b =>
+        val hint: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+          if (b) broadcast else identity
+        graft.operators.Components.hashMinRound(labels, edges, hint)
+      }
+    }
+  }
+
+  test("components full fixpoint above the edge gate (broadcastMaxEdges=0) matches the broadcast path") {
+    import spark.implicits._
+    val pairs = Seq((2L, 1L), (3L, 2L), (6L, 5L), (9L, 9L)).toDF("d1", "d2")
+    def run(maxEdges: Long) = graft.operators.Components
+      .hashMinLabels(spark, pairs, broadcastMaxEdges = maxEdges)
+      .collect().map(_.toString).sorted
+    assert(run(0L) === run(2L << 20),
+      "forced-shuffle HashMin fixpoint diverged from the broadcast path")
+  }
+
+  test("eval_ndcg: both top-10s are bounded-heap aggregates — no rank window in the plan") {
+    val p = plan("eval_ndcg")
+    // the O(n log n)-per-user formulation this replaces would show Window/
+    // row_number; the heap agg plans as ObjectHashAggregate(collect_top_k)
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
   }
 
   test("round-6 text/vector ops keep their minimal shuffle shapes") {
