@@ -222,6 +222,46 @@ class OperatorSpec extends SparkSuite {
     assert(got === want)
   }
 
+  // ---- Pinned sf0.001 outputs for the no-oracle sketch ops ----
+  // These four can never be DuckDB-checked (xxhash64 / HLL / KLL have no
+  // dialect twin), so tolerance tests alone would let silent drift through
+  // — a changed hash seed or sketch parameter that still lands "within 5%"
+  // passes the tolerance gate while changing every downstream consumer.
+  // The full fixture output (or an exact digest where 500 rows would bloat
+  // the source) is pinned verbatim, the text_dedup_near discipline: any
+  // formula change must update the pin deliberately, with a note.
+
+  test("agg_approx_distinct: sf0.001 output is pinned (no-oracle regression gate)") {
+    val got = graft.SparkEntry.queries("agg_approx_distinct")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(("A", 1074L, 1962L), ("N", 1115L, 2070L), ("R", 1083L, 1968L)))
+  }
+
+  test("agg_approx_quantile: sf0.001 output is pinned (no-oracle regression gate)") {
+    val got = graft.SparkEntry.queries("agg_approx_quantile")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(got === Seq(("A", 51424.94, 93704.42, 1962L),
+      ("N", 54089.68, 93277.08, 2070L), ("R", 52709.74, 95568.7, 1968L)))
+  }
+
+  test("agg_hll_merge: sf0.001 output is pinned (no-oracle regression gate)") {
+    val got = graft.SparkEntry.queries("agg_hll_merge")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got === Seq((0, 33L), (1, 33L), (2, 26L), (3, 24L), (4, 34L)))
+  }
+
+  test("dedup_simhash: sf0.001 output digest is pinned (no-oracle regression gate)") {
+    // 500 rows — pin exact aggregates instead of the verbatim dump: the
+    // count, both column sums, and a position-weighted checksum. Any
+    // single changed simhash/bucket value moves at least one of them.
+    val rows = graft.SparkEntry.queries("dedup_simhash")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 500)
+    assert(rows.map(_._2).sum === 21383287L)
+    assert(rows.map(_._3).sum === 83278L)
+    assert(rows.map(r => r._1 * r._2).sum === 5329601463L)
+  }
+
   test("dedup_simhash: near-identical docs land at hamming distance <= 2") {
     import spark.implicits._
     def simhashOf(text: String): Long = {
