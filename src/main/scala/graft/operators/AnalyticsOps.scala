@@ -294,8 +294,15 @@ object AnalyticsOps {
     e._1.unpersist(blocking = false); n._1.unpersist(blocking = false)
   })
 
-  /** (weighted edges (p1, p2, n_orders), node domain (node)). */
-  private[graft] def coPurchaseGraph(s: org.apache.spark.sql.SparkSession,
+  /** The cached pair frame is the UNFILTERED (p1 < p2, n_orders ≥ 1)
+    * count set — graph_ktruss consumes the all-pairs graph while the
+    * co-purchase family consumes its n ≥ 2 subgraph, and both are row
+    * subsets/projections of this one frame, so one artifact serves both
+    * (at sf0.1: 1.196M unfiltered pairs vs 3,573 filtered — tens of MB
+    * cached; the 100 TB pipeline materializes exactly this table once
+    * per corpus snapshot). The ≥2 filter is a cheap map over the cached
+    * RDD applied on read in [[coPurchaseGraph]]. */
+  private[graft] def allPairsGraph(s: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     val (uc, nd) = graphCache.getOrElseUpdate(dir, {
       val li = t(s, dir, "lineitem")
@@ -305,7 +312,6 @@ object AnalyticsOps {
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
         .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n_orders"))
-        .filter(col("n_orders") >= 2)
       val nodes = li.select(col("pk").as("node")).distinct()
       val e = (undCounts.rdd.cache(), undCounts.schema)
       val n = (nodes.rdd.cache(), nodes.schema)
@@ -316,6 +322,40 @@ object AnalyticsOps {
       (e, n)
     })
     (s.createDataFrame(uc._1, uc._2), s.createDataFrame(nd._1, nd._2))
+  }
+
+  /** (weighted edges (p1, p2, n_orders ≥ 2), node domain (node)). */
+  private[graft] def coPurchaseGraph(s: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val (all, nodes) = allPairsGraph(s, dir)
+    (all.filter(col("n_orders") >= 2), nodes)
+  }
+
+  /** Memoized customer–part purchase interaction artifact per dir:
+    * (u, p, n) with n = orders⋈lineitem co-occurrence count. THREE
+    * registered queries consume this same fact-sized join — graph_hits
+    * (the distinct bipartite edge set), recs_item_cf (the distinct
+    * interaction set), eval_ndcg (the graded-relevance grain) — each
+    * previously re-running the orders⋈lineitem shuffle from scratch.
+    * Same process-memoized cached-RDD shape as [[allPairsGraph]]. */
+  private val uiCache = new graft.ArtifactCache[
+    (org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
+     org.apache.spark.sql.types.StructType)](e =>
+    e._1.unpersist(blocking = false))
+
+  private[graft] def userPartPurchases(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val (r, sch) = uiCache.getOrElseUpdate(dir, {
+      val df = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("u"), col("l_partkey").as("p"))
+        .agg(count(lit(1)).as("n"))
+      val e = (df.rdd.cache(), df.schema)
+      e._1.count()
+      e
+    })
+    s.createDataFrame(r, sch)
   }
 
   /** Lazy triangle-count build over the undirected (p1 < p2) edge frame,
@@ -1593,11 +1633,10 @@ object AnalyticsOps {
     // before the similarity math; top-20 under a (cosine, ia, ib) total
     // order keeps the boundary deterministic at 6 dp.
     "recs_item_cf" -> ((s, dir) => {
-      val ui0 = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("u"), col("l_partkey").as("i")).distinct()
+      // the distinct interaction set is a projection of the shared
+      // interaction artifact (already (u, p)-grain — no distinct needed)
+      val ui0 = userPartPurchases(s, dir)
+        .select(col("u"), col("p").as("i"))
       val (res, cached) = itemCfBuild(ui0)
       // top-20 result: materialize eagerly so the persisted capped frame
       // can be unpersisted here (CacheManager hygiene, as graph_triangles)
@@ -2040,20 +2079,16 @@ object AnalyticsOps {
     // caught), filters, checkpoints; edge-bounded per round,
     // monotonically shrinking. Output: top-10 nodes by truss degree.
     "graph_ktruss" -> ((s, dir) => {
-      var e = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-        .localCheckpoint(true)
-      e = e.as("a").join(e.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("p1"), col("b.pk").as("p2")).distinct()
-        .localCheckpoint(true)
+      // the all-pairs co-purchase graph IS the shared artifact's cached
+      // frame (ktruss peels the unfiltered pair set; the n ≥ 2 family
+      // reads its subgraph) — no per-query distinct/self-join rebuild
+      val (allPairs, nodes) = allPairsGraph(s, dir)
+      var e = allPairs.select(col("p1"), col("p2"))
       // the per-round broadcast frame is the NEIGHBOR-LIST dim, which is
-      // node-grain — so the gate compares the NODE domain (touched parts)
-      // against the node ceiling, computed ONCE off the checkpointed edge
-      // frame (a node-grain job), not re-counted per round
-      val nNodes = e.select(explode(array(col("p1"), col("p2"))).as("n"))
-        .distinct().count()
-      val bcastNbr = nNodes <= PagerankBroadcastMaxNodes
+      // node-grain — so the gate compares the NODE domain against the
+      // node ceiling, computed ONCE off the artifact's cached node frame
+      // (a node-grain job), not re-counted per round
+      val bcastNbr = nodes.count() <= PagerankBroadcastMaxNodes
       for (_ <- 1 to TrussRounds) {
         e = trussRound(e, bcastNbr).localCheckpoint(true)
       }
@@ -2995,11 +3030,9 @@ object AnalyticsOps {
     "eval_ndcg" -> ((s, dir) => {
       import org.apache.spark.sql.catalyst.expressions.aggregate.GraftTopK
       import org.apache.spark.sql.graftbridge.Bridge
-      val ui = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_custkey").as("u"), col("l_partkey").as("p"))
-        .agg(count(lit(1)).as("g"))
+      // the (u, p, count) grain IS the shared interaction artifact
+      val ui = userPartPurchases(s, dir)
+        .select(col("u"), col("p"), col("n").as("g"))
         .withColumn("hv", expr(
           "((u % 2147483648) * 1000003 + p) % 2147483648 * 2654435761 % 2147483648"))
       def top10(key: Column) = Bridge.column(GraftTopK
@@ -3088,11 +3121,10 @@ object AnalyticsOps {
     // edge build is one orders⋈lineitem pass, persisted across rounds.
     "graph_hits" -> ((s, dir) => {
       val d6 = (c: Column) => dec(c)
-      val edges = persistShared("hits_edges",
-        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-          .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
-            col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct())
+      // the bipartite edge set is a projection of the shared interaction
+      // artifact (cached RDD, survives catalog.clearCache between queries)
+      val edges = userPartPurchases(s, dir)
+        .select(col("u").as("c"), col("p"))
       // each round frame is node-count-sized and referenced TWICE by the
       // next level (its own max agg + the join) — without the checkpoint
       // the lineage doubles per half-round (2⁴ re-executions of the
