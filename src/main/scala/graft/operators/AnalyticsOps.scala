@@ -2358,6 +2358,71 @@ object AnalyticsOps {
         .orderBy(col("grp"))
     }),
 
+    // Average precision (PR-AUC) per order-priority group — the
+    // precision-recall side of the ranking-eval pair: stat_auc_roc's ROC
+    // view is insensitive to class imbalance, AP weights by the positive
+    // class only (THE metric for rare-positive retrieval/filter models).
+    // Same label/score frame as stat_auc_roc (pos = status F, score =
+    // totalprice). AP = mean over positives of precision@rank; ranks are
+    // a deterministic (score desc, key) total order, each positive's
+    // precision cum_pos/rank is 6-dp-gridded to integer micro-units
+    // before the order-free integer sum (the davg discipline), one
+    // double division at the end. Shape: one per-group rank window over
+    // the fact (stat_auc_roc's cost class), then group-grain algebra.
+    "eval_pr_auc" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderpriority").as("grp"),
+        when(col("o_orderstatus") === "F", 1).otherwise(0).as("pos"),
+        col("o_totalprice").as("score"), col("o_orderkey").as("k"))
+      val w = Window.partitionBy(col("grp")).orderBy(col("score").desc, col("k"))
+      o.withColumn("rn", row_number().over(w))
+        .withColumn("cp", sum(col("pos")).over(w))
+        .filter(col("pos") === 1)
+        .withColumn("t6", expr(
+          "CAST(round(CAST(cp AS DOUBLE) / rn * 1000000, 0) AS BIGINT)"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_pos"), sum(col("t6")).as("s6"))
+        .select(col("grp"), col("n_pos"),
+          round(col("s6").cast("double") / (col("n_pos") * lit(1000000.0)), 6)
+            .as("avg_precision"))
+        .orderBy(col("grp"))
+    }),
+
+    // Jarque-Bera normality screen per event series — the omnibus "is it
+    // Gaussian" test the parametric members of the stat kit (ttest,
+    // anova, zscore fences) silently assume: JB = n/6·(S² + K²/4) from
+    // the SAME 6-dp-gridded z-score moments as agg_skew_kurtosis (S, K
+    // computed identically, JB as scalar algebra on the ROUNDED values so
+    // both engines square the same 6-dp numbers). χ²(2) under H₀; the
+    // fact is touched twice (moments, z-fold) — the skew/kurt shape.
+    "stat_jarque_bera" -> ((s, dir) => {
+      val e = events(s, dir)
+      val stats = e.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("value"))).as("sv"),
+          sum(dec(col("value")) * dec(col("value"))).as("svv"))
+        .select(col("event_type"),
+          (col("sv").cast("double") / col("n")).as("mu"),
+          sqrt(greatest((col("svv").cast("double") - col("sv").cast("double") *
+            col("sv").cast("double") / col("n")) / col("n"), lit(0.0))).as("sigma"))
+        .filter(col("sigma") > 0)
+      val z = e.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z6",
+          round((col("value") - col("mu")) / col("sigma"), 6).cast(DecimalType(9, 6)))
+        .withColumn("z2", (col("z6") * col("z6")).cast(DecimalType(17, 12)))
+      z.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          round(sum(col("z2") * col("z6")).cast("double") / count(lit(1)), 6)
+            .as("skewness"),
+          round(sum(col("z2") * col("z2")).cast("double") / count(lit(1)) - 3, 6)
+            .as("kurtosis"))
+        .select(col("event_type"), col("n"), col("skewness"), col("kurtosis"),
+          round(col("n").cast("double") / 6 *
+            (col("skewness") * col("skewness") +
+              col("kurtosis") * col("kurtosis") / 4), 6).as("jb_stat"))
+        .withColumn("dof", lit(2))
+        .orderBy(col("event_type"))
+    }),
+
     // Population Stability Index of each market segment's balance
     // distribution against the BUILDING reference — THE drift monitor
     // between scoring snapshots (PSI < 0.1 stable / > 0.25 shifted).
@@ -4476,6 +4541,48 @@ object AnalyticsOps {
                 round((r12 - CAST(n_pos AS DOUBLE) * (n_pos + 1)) /
                       (2.0 * CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
          FROM m ORDER BY grp""",
+    "eval_pr_auc" ->
+      """WITH o AS (
+           SELECT o_orderpriority AS grp,
+                  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
+                  o_totalprice AS score, o_orderkey AS k
+           FROM orders),
+         r AS (
+           SELECT grp, pos,
+                  row_number() OVER w AS rn,
+                  sum(pos) OVER w AS cp
+           FROM o WINDOW w AS (PARTITION BY grp ORDER BY score DESC, k)),
+         p AS (
+           SELECT grp,
+                  CAST(round(CAST(cp AS DOUBLE) / rn * 1000000, 0) AS BIGINT) AS t6
+           FROM r WHERE pos = 1)
+         SELECT grp, count(1) AS n_pos,
+                round(CAST(sum(t6) AS DOUBLE) / (count(1) * 1000000.0), 6)
+                  AS avg_precision
+         FROM p GROUP BY grp ORDER BY grp""",
+    "stat_jarque_bera" ->
+      """WITH stats AS (
+           SELECT event_type, count(1) AS n,
+                  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+                  CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS svv
+           FROM events GROUP BY 1),
+         s2 AS (SELECT event_type, sv / n AS mu,
+                       sqrt(greatest((svv - sv * sv / n) / n, 0)) AS sigma
+                FROM stats),
+         z AS (SELECT e.event_type,
+                      CAST(round((e.value - s.mu) / s.sigma, 6) AS DECIMAL(9,6)) AS z6
+               FROM events e JOIN s2 s USING (event_type) WHERE s.sigma > 0),
+         z2t AS (SELECT event_type, z6, CAST(z6 * z6 AS DECIMAL(17,12)) AS z2 FROM z),
+         m AS (
+           SELECT event_type, count(1) AS n,
+                  round(CAST(sum(z2 * z6) AS DOUBLE) / count(1), 6) AS skewness,
+                  round(CAST(sum(z2 * z2) AS DOUBLE) / count(1) - 3, 6) AS kurtosis
+           FROM z2t GROUP BY event_type)
+         SELECT event_type, n, skewness, kurtosis,
+                round(CAST(n AS DOUBLE) / 6 *
+                  (skewness * skewness + kurtosis * kurtosis / 4), 6) AS jb_stat,
+                CAST(2 AS INT) AS dof
+         FROM m ORDER BY event_type""",
     "stat_psi" ->
       """WITH cnt AS MATERIALIZED (
            SELECT c_mktsegment AS seg,

@@ -164,6 +164,52 @@ object ShapeOps {
         .orderBy(col("event_type"))
     }),
 
+    // Holt's LINEAR-TREND forecast backtest per series — the third member
+    // of the forecasting trio (ts_forecast_snaive: seasonal baseline,
+    // ts_ses_forecast: level-only smoothing, this: level + trend, the
+    // method that beats SES the moment a series drifts). (level, trend)
+    // fold sequentially over the first 23 days (α = 0.3, β = 0.2, init
+    // level = v₂, trend = v₂ − v₁) as a 2-element array accumulator —
+    // ts_ewma's aggregate-HOF shape, state just widened to a pair; the
+    // DuckDB twin threads the same pair through list_reduce by prepending
+    // the init pair to a [value, 0] element list (its reduce takes the
+    // first element as the seed). Forecast h-steps-ahead = level + h·trend
+    // over the last 7 days; MAE over the hold-out. Same deterministic
+    // in-row array order as ses (engine-identical doubles, no gridding);
+    // same <24-day NULL hold-out guard; 23/7 split is fixture-calendar
+    // bound like ses's.
+    "ts_holt_forecast" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type").as("et"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val h = daily.groupBy(col("et"))
+        .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("h"))
+        .select(col("et"),
+          expr("transform(h, r -> CAST(r.c AS DOUBLE))").as("vs"))
+      val lt = aggregate(expr("slice(vs, 3, 21)"),
+        array(element_at(col("vs"), 2),
+          element_at(col("vs"), 2) - element_at(col("vs"), 1)),
+        (acc, x) => {
+          val l = element_at(acc, 1)
+          val tr = element_at(acc, 2)
+          val lNew = lit(0.3) * x + lit(0.7) * (l + tr)
+          array(lNew, lit(0.2) * (lNew - l) + lit(0.8) * tr)
+        })
+      val hv = h.withColumn("lt", lt)
+      val lvl = element_at(col("lt"), 1)
+      val trd = element_at(col("lt"), 2)
+      val errs = expr("transform(sequence(1, 7), " +
+        "hh -> abs(element_at(vs, 23 + hh) - (lt[0] + hh * lt[1])))")
+      hv.select(col("et").as("event_type"),
+          size(col("vs")).cast("long").as("n_days"),
+          round(lvl, 6).as("level"),
+          round(trd, 6).as("trend"),
+          when(size(col("vs")) < 24, lit(null).cast("double"))
+            .otherwise(round(aggregate(errs, lit(0.0), (a, x) => a + x) / 7, 6))
+            .as("mae_7d"))
+        .orderBy(col("event_type"))
+    }),
+
     // Time-to-convert distribution (first view → first subsequent
     // purchase) — the latency companion to seq_funnel's stage counts:
     // how LONG the funnel takes, as exact rank order statistics
@@ -546,6 +592,33 @@ object ShapeOps {
                 CASE WHEN len(vs) < 24 THEN NULL
                      ELSE round(list_aggregate(list_transform(vs[24:30],
                             x -> abs(x - lvl)), 'sum') / 7, 6) END AS mae_7d
+         FROM f ORDER BY event_type""",
+    "ts_holt_forecast" ->
+      """WITH daily AS (
+           SELECT event_type AS et, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         h AS (
+           SELECT et, list_transform(list(c ORDER BY day),
+                        x -> CAST(x AS DOUBLE)) AS vs
+           FROM daily GROUP BY 1),
+         f AS (
+           SELECT et, len(vs) AS n_days,
+                  list_reduce(
+                    list_prepend([vs[2], vs[2] - vs[1]],
+                      list_transform(vs[3:23], x -> [x, CAST(0 AS DOUBLE)])),
+                    (acc, e) -> [0.3 * e[1] + 0.7 * (acc[1] + acc[2]),
+                                 0.2 * ((0.3 * e[1] + 0.7 * (acc[1] + acc[2]))
+                                        - acc[1]) + 0.8 * acc[2]]) AS lt,
+                  vs
+           FROM h)
+         SELECT et AS event_type, CAST(n_days AS BIGINT) AS n_days,
+                round(lt[1], 6) AS level,
+                round(lt[2], 6) AS trend,
+                CASE WHEN len(vs) < 24 THEN NULL
+                     ELSE round(list_aggregate(list_transform(range(1, 8),
+                            hh -> abs(vs[CAST(23 + hh AS INTEGER)]
+                                      - (lt[1] + hh * lt[2]))), 'sum') / 7, 6)
+                END AS mae_7d
          FROM f ORDER BY event_type""",
     "seq_funnel_time" ->
       """WITH fv AS (

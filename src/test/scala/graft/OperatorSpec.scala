@@ -3342,4 +3342,60 @@ class PropertySpec extends SparkSuite {
     }.sum
     assert(math.abs(rows((sa, sb)) - js) < 1e-4, s"JS(${sa},${sb}) ${rows((sa, sb))} vs $js")
   }
+
+  test("ts_holt_forecast: level/trend/MAE replay the sequential pair fold") {
+    val rows = q("ts_holt_forecast").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    dailyCounts.foreach { case (et, days) =>
+      val vs = days.map(_._2.toDouble)
+      var (l, t) = (vs(1), vs(1) - vs(0))
+      vs.slice(2, 23).foreach { x =>
+        val lNew = 0.3 * x + 0.7 * (l + t)
+        val tNew = 0.2 * (lNew - l) + 0.8 * t
+        l = lNew; t = tNew
+      }
+      val mae = (1 to 7).map(h => math.abs(vs(22 + h) - (l + h * t))).sum / 7
+      val (n, gl, gt, gm) = rows(et)
+      assert(n === vs.length.toLong, s"$et n_days")
+      assert(math.abs(gl - l) < 1e-6, s"$et level")
+      assert(math.abs(gt - t) < 1e-6, s"$et trend")
+      assert(math.abs(gm - mae) < 1e-6, s"$et mae")
+    }
+  }
+
+  test("eval_pr_auc: average precision replays a brute ranked scan") {
+    val rows = q("eval_pr_auc").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val raw = graft.Tables.t(spark, sf, "orders")
+      .select(col("o_orderpriority"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderkey"))
+      .collect()
+      .map(r => (r.getString(0), if (r.getString(1) == "F") 1 else 0,
+        r.getDouble(2), r.getLong(3)))
+    raw.groupBy(_._1).foreach { case (grp, rs) =>
+      val ranked = rs.sortBy(r => (-r._3, r._4))
+      var cum = 0
+      val precs = ranked.zipWithIndex.flatMap { case (r, i) =>
+        if (r._2 == 1) { cum += 1; Some(cum.toDouble / (i + 1)) } else None
+      }
+      val ap = precs.map(p => math.round(p * 1e6)).sum.toDouble / (precs.length * 1e6)
+      val (nPos, gAp) = rows(grp)
+      assert(nPos === precs.length.toLong, s"$grp n_pos")
+      assert(math.abs(gAp - ap) < 1e-6, s"$grp AP ${gAp} vs $ap")
+    }
+  }
+
+  test("stat_jarque_bera: S and K match agg_skew_kurtosis; JB is their algebra") {
+    val sk = q("agg_skew_kurtosis").collect().map(r =>
+      r.getString(0) -> ((r.getDouble(4), r.getDouble(5)))).toMap
+    q("stat_jarque_bera").collect().foreach { r =>
+      val (et, n, s, k, jb) =
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val (se, ke) = sk(et)
+      assert(s === se, s"$et skewness mismatch vs agg_skew_kurtosis")
+      assert(k === ke, s"$et kurtosis mismatch vs agg_skew_kurtosis")
+      assert(math.abs(jb - n / 6.0 * (s * s + k * k / 4)) < 1e-5, s"$et JB")
+      assert(r.getInt(5) === 2, "dof")
+    }
+  }
 }
