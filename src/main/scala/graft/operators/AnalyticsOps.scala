@@ -573,6 +573,27 @@ object AnalyticsOps {
         .orderBy(col("c_mktsegment"), col("decile"))
     }),
 
+    // Hashed feature CROSS — the hashing-trick primitive every
+    // large-scale feature pipeline uses to bound a categorical cross's
+    // cardinality: (segment × nation) crossed into 64 hash buckets via
+    // the text_hashing_vectorizer integer formula (length/ascii-seeded
+    // Knuth multiply — deterministic, engine-portable, no RNG). Output
+    // is the bucket-grain profile (rows, distinct crosses = collision
+    // check, mean balance) a trainer consumes. One fact-sized hash agg;
+    // the 2⁶ bucket table is driver-trivial at any corpus size.
+    "feature_hash_cross" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .withColumn("ck", concat(col("c_mktsegment"), lit("_"),
+          col("c_nationkey").cast("string")))
+        .withColumn("bucket",
+          expr("((length(ck) * 31 + ascii(ck)) * 2654435761) % 4294967296 % 64"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("ck")).as("n_crosses"),
+          davg(col("c_acctbal")).as("mean_bal"))
+        .orderBy(col("bucket"))
+    }),
+
     // Feature scaling — the other half of feature prep next to
     // feature_bucketize's discretization: min-max to [0,1] and z-score
     // per segment, both from ONE decimal-exact stats pass (min/max/Σ/Σ²)
@@ -893,6 +914,38 @@ object AnalyticsOps {
             .cast("double") / max(col("tot")), 6).as("top10pct_share"),
           min(when(col("cum") * 5 >= col("tot") * 4, col("rn")))
             .cast("long").as("n_for_80pct"))
+    }),
+
+    // Gini coefficient of customer revenue per market segment — the
+    // single-number inequality summary beside agg_pareto's top-share
+    // report (pareto answers "who covers 80%", Gini grades the WHOLE
+    // curve): G = (2·Σ i·xᵢ)/(n·Σxᵢ) − (n+1)/n over ascending exact
+    // integer cents, ranks from a deterministic (cents, custkey) total
+    // order on the customer-grain frame (agg_pareto's dimension-rank
+    // precedent — the fact aggregates before any window). Tied cents are
+    // rank-order-invariant: consecutive ranks sum the same whichever tie
+    // order, so Σ i·xᵢ is deterministic without a tie rule. Σ i·x runs
+    // in DECIMAL(38,0) (n·max_cents·n overflows BIGINT at ~10⁸
+    // customers); one double expression at the end.
+    "stat_gini" -> ((s, dir) => {
+      val d0 = (c: Column) => c.cast(DecimalType(38, 0))
+      val rev = t(s, dir, "orders")
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"), col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).as("cents"))
+      val w = Window.partitionBy(col("seg")).orderBy(col("cents"), col("o_custkey"))
+      rev.withColumn("i", row_number().over(w))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("tot"),
+          sum(d0(col("i")) * d0(col("cents"))).as("ix"))
+        .select(col("seg"), col("n"),
+          round(col("tot").cast("double") / 100, 6).as("total_revenue"),
+          round(lit(2.0) * col("ix").cast("double") /
+              (col("n").cast("double") * col("tot").cast("double")) -
+            (col("n") + 1).cast("double") / col("n"), 6).as("gini"))
+        .orderBy(col("seg"))
     }),
 
     // k-anonymity risk report over the (nation, segment) quasi-identifier
@@ -3431,6 +3484,43 @@ object AnalyticsOps {
                   (SELECT count(1) FROM lineitem)
                     - (SELECT count(1) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM bad_orders)))
          ORDER BY table_name""",
+    "feature_hash_cross" ->
+      """WITH c AS (
+           SELECT c_mktsegment || '_' || CAST(c_nationkey AS VARCHAR) AS ck,
+                  c_acctbal
+           FROM customer),
+         b AS (
+           SELECT ((length(ck) * 31 + ascii(ck)) * 2654435761) % 4294967296 % 64
+                    AS bucket,
+                  ck, c_acctbal
+           FROM c)
+         SELECT bucket, count(1) AS n_rows, count(DISTINCT ck) AS n_crosses,
+                round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                  / count(1), 6) AS mean_bal
+         FROM b GROUP BY bucket ORDER BY bucket""",
+    "stat_gini" ->
+      """WITH rev AS (
+           SELECT c.c_mktsegment AS seg, o.o_custkey,
+                  CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                    AS cents
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           GROUP BY 1, 2),
+         rk AS (
+           SELECT seg, cents,
+                  row_number() OVER (PARTITION BY seg
+                    ORDER BY cents, o_custkey) AS i
+           FROM rev),
+         m AS (
+           SELECT seg, count(1) AS n,
+                  CAST(sum(cents) AS BIGINT) AS tot,
+                  sum(CAST(i AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS ix
+           FROM rk GROUP BY 1)
+         SELECT seg, n,
+                round(CAST(tot AS DOUBLE) / 100, 6) AS total_revenue,
+                round(2.0 * CAST(ix AS DOUBLE) /
+                    (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)) -
+                  CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+         FROM m ORDER BY seg""",
     "feature_scale" ->
       """WITH stats AS (
            SELECT c_mktsegment AS seg,

@@ -216,6 +216,35 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style rule-based quality gate — the published pretraining
+    // filter recipe (word-count bounds, mean-word-length band, stopword
+    // presence) as per-doc boolean flags plus the conjunctive keep bit,
+    // the shape a corpus pipeline feeds into corpus_mix/token_budget.
+    // Differs from text_quality's continuous score: rules are the
+    // auditable yes/no gates real corpus curation publishes. All integer
+    // counts except mean word length (one division, 6-dp-gridded, same
+    // tree both engines). Scan-grain — no shuffle at all.
+    "text_gopher_quality" -> ((s, dir) => {
+      val stopArr = array(stop.map(lit): _*)
+      t(s, dir, "documents")
+        .withColumn("toks",
+          filter(split(lower(col("text")), " "), x => x =!= ""))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("mwl", r6(
+          aggregate(col("toks"), lit(0L), (a, x) => a + length(x))
+            .cast("double") / col("n_tokens")))
+        .withColumn("n_stop_distinct",
+          size(array_intersect(array_distinct(col("toks")), stopArr)).cast("long"))
+        .withColumn("r_len",
+          (col("n_tokens") >= 10 && col("n_tokens") <= 100000).cast("int"))
+        .withColumn("r_mwl", (col("mwl") >= 2.0 && col("mwl") <= 10.0).cast("int"))
+        .withColumn("r_stop", (col("n_stop_distinct") >= 1).cast("int"))
+        .select(col("doc_id"), col("n_tokens"), col("mwl").as("mean_word_len"),
+          col("n_stop_distinct"), col("r_len"), col("r_mwl"), col("r_stop"),
+          (col("r_len") * col("r_mwl") * col("r_stop")).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // n-gram-profile language ID (Cavnar–Trenkle-shaped, unigram profiles
     // learned from the corpus itself): score(doc, lang) = Σ_t
     // count_doc(t) · count_lang(t); prediction = argmax with lexicographic
@@ -1226,6 +1255,27 @@ object TextOps {
          round(ln(1.0 + len(toks)) * (1.0 - CAST(len(list_filter(toks, x -> list_contains(${stopSqlArray}, x))) AS DOUBLE) / len(toks)), 6) AS quality
          FROM (SELECT doc_id, n_chars, string_split(lower(text), ' ') AS toks FROM documents)
          ORDER BY doc_id""",
+    "text_gopher_quality" ->
+      s"""WITH d AS (
+           SELECT doc_id,
+                  list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+                  CAST(len(toks) AS BIGINT) AS n_tokens,
+                  round(CAST(list_aggregate(list_transform(toks, x -> length(x)),
+                          'sum') AS DOUBLE) / len(toks), 6) AS mean_word_len,
+                  CAST(len(list_intersect(list_distinct(toks), ${stopSqlArray}))
+                    AS BIGINT) AS n_stop_distinct
+           FROM d)
+         SELECT doc_id, n_tokens, mean_word_len, n_stop_distinct,
+                CAST(n_tokens >= 10 AND n_tokens <= 100000 AS INT) AS r_len,
+                CAST(mean_word_len >= 2.0 AND mean_word_len <= 10.0 AS INT) AS r_mwl,
+                CAST(n_stop_distinct >= 1 AS INT) AS r_stop,
+                CAST(n_tokens >= 10 AND n_tokens <= 100000 AS INT)
+                  * CAST(mean_word_len >= 2.0 AND mean_word_len <= 10.0 AS INT)
+                  * CAST(n_stop_distinct >= 1 AS INT) AS keep
+         FROM m ORDER BY doc_id""",
     "text_langid" ->
       """WITH tok AS (
            SELECT doc_id, lang, token, count(1) AS tf FROM

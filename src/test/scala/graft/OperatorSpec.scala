@@ -3343,6 +3343,67 @@ class PropertySpec extends SparkSuite {
     assert(math.abs(rows((sa, sb)) - js) < 1e-4, s"JS(${sa},${sb}) ${rows((sa, sb))} vs $js")
   }
 
+  test("feature_hash_cross: buckets replay the Knuth hash over the cross key") {
+    val rows = q("feature_hash_cross").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val raw = graft.Tables.t(spark, sf, "customer")
+      .select(col("c_mktsegment"), col("c_nationkey")).collect()
+      .map(r => s"${r.getString(0)}_${r.get(1)}")
+    val brute = raw.groupBy { ck =>
+      ((ck.length * 31 + ck.head.toInt) * 2654435761L) % 4294967296L % 64
+    }
+    brute.foreach { case (b, cks) =>
+      val (n, nc) = rows(b)
+      assert(n === cks.length.toLong, s"bucket $b rows")
+      assert(nc === cks.distinct.length.toLong, s"bucket $b crosses")
+    }
+    assert(rows.keySet === brute.keySet.map(_.toLong))
+  }
+
+  test("stat_gini: coefficient replays the brute rank formula on integer cents") {
+    val got = q("stat_gini").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    val seg = graft.Tables.t(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cents = graft.Tables.t(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    cents.toSeq.groupBy { case (ck, _) => seg(ck) }.foreach { case (sg, xs) =>
+      val sorted = xs.sortBy { case (ck, c) => (c, ck) }.map(_._2)
+      val n = sorted.length
+      val tot = sorted.map(BigInt(_)).sum
+      val ix = sorted.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+      val gini = 2.0 * ix.toDouble / (n.toDouble * tot.toDouble) - (n + 1).toDouble / n
+      val (gn, gg) = got(sg)
+      assert(gn === n.toLong, s"$sg n")
+      assert(math.abs(gg - gini) < 1e-6, s"$sg gini $gg vs $gini")
+    }
+  }
+
+  test("text_gopher_quality: rule flags replay per-doc and keep is their conjunction") {
+    val rows = q("text_gopher_quality").collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      assert(r.getInt(7) === r.getInt(4) * r.getInt(5) * r.getInt(6), "keep = conjunction")
+    }
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    val stops = Set("the", "a", "of", "and", "to", "in")
+    docs.take(25).foreach { case (id, text) =>
+      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      val mwl = toks.map(_.length.toLong).sum.toDouble / toks.length
+      val r = byId(id)
+      assert(r.getLong(1) === toks.length.toLong, s"doc $id n_tokens")
+      assert(math.abs(r.getDouble(2) - mwl) < 1e-6, s"doc $id mwl")
+      assert(r.getLong(3) === toks.toSet.count(stops).toLong, s"doc $id stops")
+      assert(r.getInt(4) === (if (toks.length >= 10 && toks.length <= 100000) 1 else 0))
+    }
+  }
+
   test("ts_holt_forecast: level/trend/MAE replay the sequential pair fold") {
     val rows = q("ts_holt_forecast").collect().map(r =>
       r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
