@@ -1873,6 +1873,44 @@ object AnalyticsOps {
         round((ua - nA * nB / 2.0) / sigma, 6).as("z_stat"))
     }),
 
+    // Wilcoxon SIGNED-RANK test on the paired (view, purchase) daily
+    // counts — the PAIRED member of the nonparametric family beside
+    // stat_mannwhitney's unpaired U: same-day pairs difference out the
+    // shared calendar effect U ignores. Zero differences drop (standard
+    // practice); |d| mid-ranks ride mannwhitney's doubled-rank trick
+    // (rank2 = 2·cum_before + t + 1 = twice the average rank — ties stay
+    // INTEGER), W⁺ = Σ n_pos·rank2 / 2, z with the tie-corrected σ, all
+    // integer until the final two divisions. Day-grain: the ranked frame
+    // is calendar-bounded at any corpus size.
+    "stat_wilcoxon_signed" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val xy = daily.groupBy(col("day")).pivot("event_type", Seq("view", "purchase"))
+        .agg(first(col("c")))
+        .select(coalesce(col("view"), lit(0L)).as("x"),
+          coalesce(col("purchase"), lit(0L)).as("y"))
+        .withColumn("d", col("x") - col("y"))
+        .filter(col("d") =!= 0)
+        .withColumn("ad", abs(col("d")))
+      val g = xy.groupBy(col("ad")).agg(
+        sum(when(col("d") > 0, 1L).otherwise(0L)).as("np"),
+        count(lit(1)).as("t"))
+      val w = Window.orderBy(col("ad")).rowsBetween(Window.unboundedPreceding, -1)
+      val r = g.withColumn("cumb", coalesce(sum(col("t")).over(w), lit(0L)))
+        .withColumn("rank2", lit(2L) * col("cumb") + col("t") + 1)
+      val m = r.agg(sum(col("t")).as("n"),
+        sum(col("np") * col("rank2")).as("w2"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+      val nD = col("n").cast("double")
+      val sigma = sqrt((nD * (nD + 1) * (nD * 2 + 1) -
+        col("ties").cast("double") / 2) / 24)
+      m.select(col("n").as("n_pairs"),
+        round(col("w2").cast("double") / 2, 6).as("w_plus"),
+        round((col("w2").cast("double") / 2 - nD * (nD + 1) / 4) / sigma, 6)
+          .as("z_stat"))
+    }),
+
     // Weight-of-evidence encoding + information value of the customer
     // segment against order outcome (status 'F' = the event) — the credit
     // scoring / feature-screening standard for "how separable is this
@@ -4631,6 +4669,32 @@ object AnalyticsOps {
                 round((r12 - CAST(n_pos AS DOUBLE) * (n_pos + 1)) /
                       (2.0 * CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
          FROM m ORDER BY grp""",
+    "stat_wilcoxon_signed" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, event_type, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         xy AS (
+           SELECT coalesce(max(CASE WHEN event_type = 'view' THEN c END), 0) AS x,
+                  coalesce(max(CASE WHEN event_type = 'purchase' THEN c END), 0) AS y
+           FROM daily GROUP BY day),
+         dd AS (SELECT x - y AS d, abs(x - y) AS ad FROM xy WHERE x - y <> 0),
+         g AS (SELECT ad, sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS np,
+                      count(1) AS t
+               FROM dd GROUP BY ad),
+         r AS (SELECT ad, np, t,
+                      coalesce(sum(t) OVER (ORDER BY ad
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+               FROM g),
+         m AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+                      CAST(sum(np * (2 * cumb + t + 1)) AS BIGINT) AS w2,
+                      CAST(sum(t * t * t - t) AS BIGINT) AS ties
+               FROM r)
+         SELECT n AS n_pairs,
+                round(CAST(w2 AS DOUBLE) / 2, 6) AS w_plus,
+                round((CAST(w2 AS DOUBLE) / 2 - CAST(n AS DOUBLE) * (n + 1) / 4) /
+                      sqrt((CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1)
+                            - CAST(ties AS DOUBLE) / 2) / 24), 6) AS z_stat
+         FROM m""",
     "eval_pr_auc" ->
       """WITH o AS (
            SELECT o_orderpriority AS grp,

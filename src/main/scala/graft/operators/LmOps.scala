@@ -49,6 +49,35 @@ object LmOps {
     // so the token-grain data is touched exactly once no matter how many
     // merge rounds follow. Top-20 merge candidates under the total order
     // (count desc, pair asc) — an engine-deterministic cut.
+    // Vocabulary-coverage curve — the tokenizer-design question BPE
+    // training answers indirectly: what fraction of corpus tokens does a
+    // top-K vocabulary cover (1 − OOV rate) at K = 100 / 1000 / 10000?
+    // Token counts are one corpus-grain agg; the rank window runs on the
+    // VOCABULARY-sized frame (never the corpus — the bpe_merge_step
+    // argument), coverage is conditional integer sums + three divisions.
+    // Deterministic (count desc, token asc) rank total order.
+    "lm_ngram_coverage" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val ranked = tok.withColumn("rk",
+        row_number().over(Window.orderBy(col("c").desc, col("w"))))
+      ranked.agg(
+          count(lit(1)).as("vocab_size"),
+          sum(col("c")).as("total_tokens"),
+          sum(when(col("rk") <= 100, col("c")).otherwise(0L)).as("cov100"),
+          sum(when(col("rk") <= 1000, col("c")).otherwise(0L)).as("cov1000"),
+          sum(when(col("rk") <= 10000, col("c")).otherwise(0L)).as("cov10000"))
+        .select(col("vocab_size"), col("total_tokens"),
+          round(col("cov100").cast("double") / col("total_tokens"), 6)
+            .as("coverage_100"),
+          round(col("cov1000").cast("double") / col("total_tokens"), 6)
+            .as("coverage_1000"),
+          round(col("cov10000").cast("double") / col("total_tokens"), 6)
+            .as("coverage_10000"))
+    }),
+
     "bpe_merge_step" -> ((s, dir) => {
       val words = t(s, dir, "documents")
         .select(explode(split(lower(col("text")), " ")).as("w"))
@@ -236,6 +265,21 @@ object LmOps {
     }))
 
   val oracles: Map[String, String] = Map(
+    "lm_ngram_coverage" ->
+      """WITH tok AS (
+           SELECT w, count(1) AS c FROM (
+             SELECT unnest(list_filter(string_split(lower(text), ' '),
+                      x -> x <> '')) AS w
+             FROM documents) GROUP BY w),
+         r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk FROM tok)
+         SELECT count(1) AS vocab_size, CAST(sum(c) AS BIGINT) AS total_tokens,
+                round(CAST(sum(CASE WHEN rk <= 100 THEN c ELSE 0 END) AS DOUBLE)
+                  / sum(c), 6) AS coverage_100,
+                round(CAST(sum(CASE WHEN rk <= 1000 THEN c ELSE 0 END) AS DOUBLE)
+                  / sum(c), 6) AS coverage_1000,
+                round(CAST(sum(CASE WHEN rk <= 10000 THEN c ELSE 0 END) AS DOUBLE)
+                  / sum(c), 6) AS coverage_10000
+         FROM r""",
     "bpe_merge_step" ->
       """WITH words AS (
            SELECT w, count(1) AS wc FROM (

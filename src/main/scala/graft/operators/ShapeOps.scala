@@ -210,6 +210,44 @@ object ShapeOps {
         .orderBy(col("event_type"))
     }),
 
+    // 1-D Kalman filter (local-level model, Q = 1, R = 4) per event
+    // series — the probabilistic smoother beside ts_ewma/ses/holt: same
+    // exponential-forgetting family but the gain ADAPTS (starts high
+    // while the state is uncertain, settles to the steady-state Q/R
+    // ratio) and the posterior variance comes out with the estimate.
+    // (estimate, variance, Σ|innovation|) folds sequentially as a
+    // 3-element array accumulator (ts_holt_forecast's pair-state shape
+    // widened); the DuckDB twin threads the same triple through
+    // list_reduce via the prepended-init trick. Deterministic in-row
+    // array order — engine-identical doubles, no gridding.
+    "ts_kalman_1d" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type").as("et"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val h = daily.groupBy(col("et"))
+        .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("h"))
+        .select(col("et"),
+          expr("transform(h, r -> CAST(r.c AS DOUBLE))").as("vs"))
+      val st = aggregate(expr("slice(vs, 2, size(vs) - 1)"),
+        array(element_at(col("vs"), 1), lit(1.0), lit(0.0)),
+        (acc, z) => {
+          val x = element_at(acc, 1)
+          val p = element_at(acc, 2)
+          val sae = element_at(acc, 3)
+          val pp = p + lit(1.0)
+          val k = pp / (pp + lit(4.0))
+          array(x + k * (z - x), (lit(1.0) - k) * pp, sae + abs(z - x))
+        })
+      h.withColumn("st", st)
+        .select(col("et").as("event_type"),
+          size(col("vs")).cast("long").as("n_days"),
+          round(element_at(col("st"), 1), 6).as("estimate"),
+          round(element_at(col("st"), 2), 6).as("p_var"),
+          round(element_at(col("st"), 3) / (size(col("vs")) - 1), 6)
+            .as("innovation_mae"))
+        .orderBy(col("event_type"))
+    }),
+
     // Time-to-convert distribution (first view → first subsequent
     // purchase) — the latency companion to seq_funnel's stage counts:
     // how LONG the funnel takes, as exact rank order statistics
@@ -619,6 +657,32 @@ object ShapeOps {
                             hh -> abs(vs[CAST(23 + hh AS INTEGER)]
                                       - (lt[1] + hh * lt[2]))), 'sum') / 7, 6)
                 END AS mae_7d
+         FROM f ORDER BY event_type""",
+    "ts_kalman_1d" ->
+      """WITH daily AS (
+           SELECT event_type AS et, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         h AS (
+           SELECT et, list_transform(list(c ORDER BY day),
+                        x -> CAST(x AS DOUBLE)) AS vs
+           FROM daily GROUP BY 1),
+         f AS (
+           SELECT et, len(vs) AS n_days,
+                  list_reduce(
+                    list_prepend([vs[1], CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)],
+                      list_transform(vs[2:], z ->
+                        [z, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+                    (acc, e) -> [acc[1] + ((acc[2] + 1.0) / ((acc[2] + 1.0) + 4.0))
+                                   * (e[1] - acc[1]),
+                                 (1.0 - ((acc[2] + 1.0) / ((acc[2] + 1.0) + 4.0)))
+                                   * (acc[2] + 1.0),
+                                 acc[3] + abs(e[1] - acc[1])]) AS st,
+                  vs
+           FROM h)
+         SELECT et AS event_type, CAST(n_days AS BIGINT) AS n_days,
+                round(st[1], 6) AS estimate,
+                round(st[2], 6) AS p_var,
+                round(st[3] / (len(vs) - 1), 6) AS innovation_mae
          FROM f ORDER BY event_type""",
     "seq_funnel_time" ->
       """WITH fv AS (

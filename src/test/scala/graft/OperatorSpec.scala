@@ -3343,6 +3343,69 @@ class PropertySpec extends SparkSuite {
     assert(math.abs(rows((sa, sb)) - js) < 1e-4, s"JS(${sa},${sb}) ${rows((sa, sb))} vs $js")
   }
 
+  test("ts_kalman_1d: estimate/variance/MAE replay the sequential triple fold") {
+    val rows = q("ts_kalman_1d").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    dailyCounts.foreach { case (et, days) =>
+      val vs = days.map(_._2.toDouble)
+      var (x, p, sae) = (vs.head, 1.0, 0.0)
+      vs.tail.foreach { z =>
+        val pp = p + 1.0
+        val k = pp / (pp + 4.0)
+        sae += math.abs(z - x)
+        x = x + k * (z - x)
+        p = (1.0 - k) * pp
+      }
+      val (n, gx, gp, gm) = rows(et)
+      assert(n === vs.length.toLong, s"$et n_days")
+      assert(math.abs(gx - x) < 1e-6, s"$et estimate")
+      assert(math.abs(gp - p) < 1e-6, s"$et p_var")
+      assert(math.abs(gm - sae / (vs.length - 1)) < 1e-6, s"$et mae")
+    }
+  }
+
+  test("stat_wilcoxon_signed: W+ and z replay the brute mid-rank computation") {
+    val r = q("stat_wilcoxon_signed").collect().head
+    val byDay = dailyCounts.values.head.map(_._1).toSet // all days present
+    val view = dailyCounts("view").toMap
+    val purchase = dailyCounts("purchase").toMap
+    val ds = byDay.toSeq.map(d =>
+      view.getOrElse(d, 0L) - purchase.getOrElse(d, 0L)).filter(_ != 0)
+    val ranked = ds.map(d => (math.abs(d), d > 0)).sortBy(_._1)
+    var cum = 0
+    var w2 = 0L
+    var ties = 0L
+    ranked.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, grp) =>
+      val t = grp.length
+      val rank2 = 2L * cum + t + 1
+      w2 += grp.count(_._2) * rank2
+      ties += t.toLong * t * t - t
+      cum += t
+    }
+    val n = ranked.length
+    val sigma = math.sqrt((n.toDouble * (n + 1) * (2.0 * n + 1) - ties / 2.0) / 24)
+    val z = (w2 / 2.0 - n.toDouble * (n + 1) / 4) / sigma
+    assert(r.getLong(0) === n.toLong, "n_pairs")
+    assert(math.abs(r.getDouble(1) - w2 / 2.0) < 1e-6, "w_plus")
+    assert(math.abs(r.getDouble(2) - z) < 1e-6, s"z ${r.getDouble(2)} vs $z")
+  }
+
+  test("lm_ngram_coverage: coverage replays the brute top-K token count") {
+    val r = q("lm_ngram_coverage").collect().head
+    val counts = graft.Tables.t(spark, sf, "documents")
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).toLowerCase.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    val total = counts.map(_._2).sum
+    val ranked = counts.sortBy { case (w, c) => (-c, w) }.map(_._2)
+    def cov(k: Int) = ranked.take(k).sum.toDouble / total
+    assert(r.getLong(0) === counts.length.toLong, "vocab_size")
+    assert(r.getLong(1) === total, "total_tokens")
+    assert(math.abs(r.getDouble(2) - cov(100)) < 1e-6, "coverage_100")
+    assert(math.abs(r.getDouble(3) - cov(1000)) < 1e-6, "coverage_1000")
+    assert(math.abs(r.getDouble(4) - cov(10000)) < 1e-6, "coverage_10000")
+  }
+
   test("feature_hash_cross: buckets replay the Knuth hash over the cross key") {
     val rows = q("feature_hash_cross").collect().map(r =>
       r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
