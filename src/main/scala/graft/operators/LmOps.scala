@@ -91,6 +91,42 @@ object LmOps {
         .limit(20)
     }),
 
+    // Jelinek–Mercer interpolated bigram LM scoring (λ = 0.5) — the
+    // smoothing rung between text_bigram_lm's raw MLE (zero-probability
+    // cliffs) and lm_kneser_ney's discount machinery: p = ½·p(w₂|w₁) +
+    // ½·p(w₂), per-doc perplexity under the mixture — the quality/
+    // fluency scorer a corpus pipeline runs with a tiny in-domain LM.
+    // Counts all come from ONE pinned bigram frame (context and unigram
+    // marginals are its two cheap regroupings — consistent support by
+    // construction, no edge-token mismatch); each bigram's log term
+    // grids to DECIMAL before the per-doc sum (text_unigram_ppl's
+    // order-proof discipline); the count joins are vocab-bounded.
+    "text_ngram_lm_interp" -> ((s, dir) => {
+      val bi = persistShared("lm_interp_bi", t(s, dir, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+        .select(col("doc_id"), explode(expr(
+          "transform(slice(tk, 1, size(tk) - 1), (w, i) -> struct(w AS w1, tk[i + 1] AS w2))"))
+          .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .filter(col("w1") =!= "" && col("w2") =!= ""))
+      val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+      val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+      val u2 = bi.groupBy(col("w2")).agg(count(lit(1)).as("n2"))
+      val tot = bi.agg(count(lit(1)).cast("double").as("nt"))
+      bi.join(c2, Seq("w1", "w2"))
+        .join(c1, Seq("w1"))
+        .join(u2, Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .withColumn("logp", dec(log(
+          lit(0.5) * (col("n12").cast("double") / col("n1")) +
+            lit(0.5) * (col("n2").cast("double") / col("nt")))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(exp(-sum(col("logp")).cast("double") / count(lit(1))), 6)
+            .as("ppl_interp"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_bigram_lm" -> ((s, dir) => {
       val bi = t(s, dir, "documents")
         .select(split(lower(col("text")), " ").as("tk"))
@@ -289,6 +325,25 @@ object LmOps {
            SELECT unnest(list_transform(range(1, length(w)), i -> substring(w, i, 2))) AS pair, wc
            FROM words)
          GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
+    "text_ngram_lm_interp" ->
+      """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+         tok AS (SELECT doc_id, unnest(tk) AS w, unnest(range(1, len(tk) + 1)) AS ord FROM tk),
+         bi0 AS (SELECT doc_id, w AS w1,
+                        lead(w) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+                 FROM tok),
+         bf AS (SELECT doc_id, w1, w2 FROM bi0
+                WHERE w2 IS NOT NULL AND w1 <> '' AND w2 <> ''),
+         c2 AS (SELECT w1, w2, count(1) AS n12 FROM bf GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(1) AS n1 FROM bf GROUP BY 1),
+         u2 AS (SELECT w2, count(1) AS n2 FROM bf GROUP BY 1),
+         nt AS (SELECT CAST(count(1) AS DOUBLE) AS nt FROM bf)
+         SELECT doc_id, count(1) AS n_bigrams,
+                round(exp(-(CAST(sum(CAST(ln(
+                    0.5 * (CAST(n12 AS DOUBLE) / n1) + 0.5 * (CAST(n2 AS DOUBLE) / nt))
+                  AS DECIMAL(18,6))) AS DOUBLE)) / count(1)), 6) AS ppl_interp
+         FROM bf JOIN c2 USING (w1, w2) JOIN c1 USING (w1) JOIN u2 USING (w2)
+         CROSS JOIN nt
+         GROUP BY doc_id ORDER BY doc_id""",
     "text_bigram_lm" ->
       """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
          tok AS (SELECT doc_id, unnest(tk) AS w, unnest(range(1, len(tk) + 1)) AS ord FROM tk),

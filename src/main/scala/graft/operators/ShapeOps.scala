@@ -210,6 +210,25 @@ object ShapeOps {
         .orderBy(col("event_type"))
     }),
 
+    // Daily new-user counts + CUMULATIVE DISTINCT users — the growth
+    // curve every analytics stack draws, and the classic scale trap: a
+    // naive running count-distinct window holds per-day state
+    // proportional to the user universe. The first-touch reduction
+    // dissolves it — distinct-by-day ≡ "users whose FIRST event is ≤
+    // day", so one fact-grain min-agg per user + a calendar-bounded
+    // running sum replaces any stateful distinct. Exact integers.
+    "ts_cumulative_distinct" -> ((s, dir) => {
+      val firstSeen = events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(min(col("ts").cast("date")).as("day"))
+      val daily = firstSeen.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n_new_users"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      daily.withColumn("cum_distinct_users", sum(col("n_new_users")).over(w))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // 1-D Kalman filter (local-level model, Q = 1, R = 4) per event
     // series — the probabilistic smoother beside ts_ewma/ses/holt: same
     // exponential-forgetting family but the gain ADAPTS (starts high
@@ -612,6 +631,16 @@ object ShapeOps {
                 WHEN t_buy IS NULL OR t_buy <= t_click THEN 2
                 ELSE 3 END AS stage
          FROM firsts ORDER BY user_id""",
+    "ts_cumulative_distinct" ->
+      """WITH fs AS (
+           SELECT event_type, user_id, min(CAST(ts AS DATE)) AS day
+           FROM events GROUP BY 1, 2),
+         d AS (SELECT event_type, day, count(1) AS n_new_users
+               FROM fs GROUP BY 1, 2)
+         SELECT event_type, day, n_new_users,
+                CAST(sum(n_new_users) OVER (PARTITION BY event_type ORDER BY day
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct_users
+         FROM d ORDER BY event_type, day""",
     "ts_ses_forecast" ->
       """WITH daily AS (
            SELECT event_type AS et, CAST(ts AS DATE) AS day, count(1) AS c

@@ -577,6 +577,31 @@ object TextOps {
     // final sort. Weights here are a 4-tier quality ladder over the 20
     // sources (premium ×2.5, standard ×1.0, long-tail ×0.5, raw-crawl
     // ×0.1) held as per-mille INTEGERS so the oracle is bit-exact.
+    // Temperature-scaled sampling weights over the (lang, source) cells —
+    // the multilingual data-mixing standard (T = 0.7 upweights
+    // low-resource cells so the head can't drown the tail; corpus_mix
+    // APPLIES fixed weights, this op DERIVES them from the corpus): p_i
+    // from cell sizes, p_i^T through the 6-dp grid (the single libm pow —
+    // identical tree both engines, the ln/sqrt caveat), normalized by the
+    // exact DECIMAL sum of gridded terms (order-free), plus the rounded
+    // 10k-document budget per cell. One fact-sized agg; everything after
+    // is the cell-grain frame.
+    "sample_temperature" -> ((s, dir) => {
+      val g = persistShared("sample_temp_cells", t(s, dir, "documents")
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n")))
+      val tot = g.agg(sum(col("n")).cast("double").as("nt"))
+      val pt = g.crossJoin(broadcast(tot))
+        .withColumn("pt6", dec(round(pow(col("n") / col("nt"), 0.7), 6)))
+      val z = pt.agg(sum(col("pt6")).as("z"))
+      pt.crossJoin(broadcast(z))
+        .withColumn("wr", col("pt6").cast("double") / col("z").cast("double"))
+        .select(col("lang"), col("source"), col("n").as("n_docs"),
+          round(col("n") / col("nt"), 6).as("p_raw"),
+          round(col("wr"), 6).as("p_temp"),
+          expr("CAST(round(wr * 10000, 0) AS BIGINT)").as("budget_10k"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     "corpus_mix" -> ((s, dir) => {
       import s.implicits._
       val wdf = Seq((0, 2500L), (1, 1000L), (2, 500L), (3, 100L)).toDF("tier", "mills")
@@ -1426,6 +1451,21 @@ object TextOps {
                          / CAST(u1.c * u2.c * npairs AS DOUBLE)), 6) AS pmi
          FROM cp JOIN uni u1 ON cp.a = u1.w JOIN uni u2 ON cp.b = u2.w, tot, np
          ORDER BY pmi DESC, a, b LIMIT 20""",
+    "sample_temperature" ->
+      """WITH g AS (
+           SELECT lang, source, count(1) AS n FROM documents GROUP BY 1, 2),
+         tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nt FROM g),
+         pt AS (
+           SELECT lang, source, n, nt,
+                  CAST(round(pow(n / nt, 0.7), 6) AS DECIMAL(18,6)) AS pt6
+           FROM g CROSS JOIN tot),
+         z AS (SELECT sum(pt6) AS z FROM pt)
+         SELECT lang, source, n AS n_docs,
+                round(n / nt, 6) AS p_raw,
+                round(CAST(pt6 AS DOUBLE) / CAST(z AS DOUBLE), 6) AS p_temp,
+                CAST(round(CAST(pt6 AS DOUBLE) / CAST(z AS DOUBLE) * 10000, 0)
+                  AS BIGINT) AS budget_10k
+         FROM pt CROSS JOIN z ORDER BY lang, source""",
     "corpus_mix" ->
       """WITH w(tier, mills) AS (VALUES (0, 2500), (1, 1000), (2, 500), (3, 100)),
          d AS (

@@ -3343,6 +3343,72 @@ class PropertySpec extends SparkSuite {
     assert(math.abs(rows((sa, sb)) - js) < 1e-4, s"JS(${sa},${sb}) ${rows((sa, sb))} vs $js")
   }
 
+  test("sample_temperature: weights replay p^0.7 through the 6-dp grid, budget sums near 10k") {
+    val rows = q("sample_temperature").collect()
+    val raw = graft.Tables.t(spark, sf, "documents")
+      .groupBy(col("lang"), col("source")).count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nt = raw.values.sum.toDouble
+    val pt6 = raw.view.mapValues(n => math.round(math.pow(n / nt, 0.7) * 1e6) / 1e6).toMap
+    val z = pt6.values.map(v => math.round(v * 1e6)).sum / 1e6
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) === raw(k), s"$k n_docs")
+      assert(math.abs(r.getDouble(4) - pt6(k) / z) < 1e-6, s"$k p_temp")
+    }
+    // low-resource cells get upweighted relative to raw share
+    val up = rows.count(r => r.getDouble(4) > r.getDouble(3))
+    assert(up > 0, "temperature must upweight some tail cells")
+    val budget = rows.map(_.getLong(5)).sum
+    assert(math.abs(budget - 10000L) <= rows.length, s"budgets sum to ~10k, got $budget")
+  }
+
+  test("ts_cumulative_distinct: cumulative curve equals brute distinct-to-date per type") {
+    val rows = q("ts_cumulative_distinct").collect().map(r =>
+      (r.getString(0), r.getDate(1).toString) -> r.getLong(3)).toMap
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("ts").cast("date").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDate(2).toString))
+    ev.groupBy(_._1).foreach { case (et, xs) =>
+      val days = xs.map(_._3).distinct.sorted
+      days.foreach { d =>
+        val expect = xs.filter(_._3 <= d).map(_._2).distinct.length.toLong
+        // rows exist only on days with NEW users; take the last row <= d
+        val got = rows.filter { case ((e, dd), _) => e == et && dd <= d }
+          .toSeq.sortBy(_._1._2).lastOption.map(_._2).getOrElse(0L)
+        assert(got === expect, s"$et @ $d")
+      }
+    }
+  }
+
+  test("text_ngram_lm_interp: per-doc mixture perplexity replays brute counts") {
+    val rows = q("text_ngram_lm_interp").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" "))
+    val bigrams = docs.flatMap { case (id, tk) =>
+      tk.sliding(2).collect { case Array(a, b) if a.nonEmpty && b.nonEmpty => (id, a, b) }
+    }
+    val c2 = bigrams.groupBy(x => (x._2, x._3)).view.mapValues(_.length).toMap
+    val c1 = bigrams.groupBy(_._2).view.mapValues(_.length).toMap
+    val u2 = bigrams.groupBy(_._3).view.mapValues(_.length).toMap
+    val nt = bigrams.length.toDouble
+    docs.take(20).foreach { case (id, _) =>
+      val mine = bigrams.filter(_._1 == id)
+      if (mine.nonEmpty) {
+        val s6 = mine.map { case (_, a, b) =>
+          val p = 0.5 * (c2((a, b)).toDouble / c1(a)) + 0.5 * (u2(b) / nt)
+          math.round(math.log(p) * 1e6) / 1e6
+        }.sum
+        val ppl = math.exp(-s6 / mine.length)
+        val (n, gp) = rows(id)
+        assert(n === mine.length.toLong, s"doc $id n_bigrams")
+        assert(math.abs(gp - ppl) < 1e-4, s"doc $id ppl $gp vs $ppl")
+      }
+    }
+  }
+
   test("ts_kalman_1d: estimate/variance/MAE replay the sequential triple fold") {
     val rows = q("ts_kalman_1d").collect().map(r =>
       r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
