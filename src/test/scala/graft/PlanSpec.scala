@@ -664,7 +664,9 @@ class PlanSpec extends SparkSuite {
       "vec_rrf_fusion" -> "inherits vec_ivf_ann's whitelisted bounded crossJoins (query composition, vec_ann_recall's precedent)",
       "text_burstiness" -> "crossJoin against a broadcast 1-row corpus-doc-count frame",
       "vec_space_health" -> "crossJoin composes the 1-row norm-stats and 1-row participation-ratio frames",
-      "vec_drift" -> "crossJoin composes the 1-row distance and 1-row norm-reference frames")
+      "vec_drift" -> "crossJoin composes the 1-row distance and 1-row norm-reference frames",
+      "sample_temperature" -> "crossJoins against broadcast 1-row total and 1-row normalizer frames over the cell-grain (<=100-row) frame",
+      "text_ngram_lm_interp" -> "crossJoin against a broadcast 1-row bigram-total frame (text_unigram_ppl's shape)")
     val sf = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if boundedByConstruction.contains(name) => None
