@@ -2711,6 +2711,88 @@ object AnalyticsOps {
           col("ci_lo"), col("ci_hi"))
     }),
 
+    // Randomization (permutation) test of the BUILDING-vs-MACHINERY mean
+    // balance gap — the assumption-free sibling of stat_ttest and the
+    // inferential twin of stat_bootstrap_ci's CI machinery: 64
+    // DETERMINISTIC hash reassignments of group labels (masked Knuth
+    // hash of (custkey, rep) — RNG-free, replayable, the bootstrap's
+    // integer-CDF discipline) build the null distribution of |mean
+    // difference|; p = fraction of null draws at least as extreme.
+    // The 64× row expansion collapses in map-side partial aggregation
+    // (never materialized); sums are exact integer cents, each |diff| one
+    // identical double tree, the compare exact because both sides are
+    // identical doubles. Statistic + p from counts — no distribution
+    // approximation at all.
+    "stat_permutation_test" -> ((s, dir) => {
+      val base = persistShared("perm_base",
+        t(s, dir, "customer")
+          .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+          .select(col("c_custkey"),
+            expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").as("cents"),
+            (col("c_mktsegment") === "BUILDING").cast("long").as("ga")))
+      def meanDiff(sa: Column, na: Column, sb: Column, nb: Column): Column =
+        abs(sa.cast("double") / na - sb.cast("double") / nb) / 100
+      val obs = base.agg(
+          sum(when(col("ga") === 1, col("cents"))).as("sa"),
+          sum(col("ga")).as("na"),
+          sum(when(col("ga") === 0, col("cents"))).as("sb"),
+          sum(lit(1L) - col("ga")).as("nb"))
+        .select(meanDiff(col("sa"), col("na"), col("sb"), col("nb"))
+          .as("od"))
+      val u = pmod((col("c_custkey") % lit(2147483648L)) * lit(2654435761L) +
+        col("r") * lit(1315423911L), lit(2147483648L))
+      val nulls = base
+        .select(col("c_custkey"), col("cents"),
+          explode(sequence(lit(0L), lit(63L))).as("r"))
+        .withColumn("pa", (u < lit(1073741824L)).cast("long"))
+        .groupBy(col("r"))
+        .agg(sum(when(col("pa") === 1, col("cents"))).as("sa"),
+          sum(col("pa")).as("na"),
+          sum(when(col("pa") === 0, col("cents"))).as("sb"),
+          sum(lit(1L) - col("pa")).as("nb"))
+        .select(col("r"),
+          meanDiff(col("sa"), col("na"), col("sb"), col("nb")).as("nd"))
+      nulls.crossJoin(broadcast(obs))
+        .agg(count(lit(1)).as("n_reps"),
+          round(max(col("od")), 6).as("obs_diff"),
+          count(when(col("nd") >= col("od"), 1)).as("n_extreme"))
+        .withColumn("p_value",
+          round(col("n_extreme").cast("double") / col("n_reps"), 6))
+    }),
+
+    // Rolling 7-day Pearson correlation between the view and purchase
+    // daily series — ts_cross_corr's global coefficient localized in
+    // time (the co-movement monitor a dashboard actually plots; a
+    // decoupling week shows here, never in the whole-period number). All
+    // six
+    // window sums are exact integers over the calendar-bounded day
+    // frame; r is one double tree per full window (first 6 days drop),
+    // degenerate windows (constant series → zero denominator) emit NULL
+    // identically on both engines via nullif.
+    "ts_rolling_corr" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val xy = daily.groupBy(col("day")).pivot("event_type", Seq("view", "purchase"))
+        .agg(first(col("c")))
+        .select(col("day"), coalesce(col("view"), lit(0L)).as("x"),
+          coalesce(col("purchase"), lit(0L)).as("y"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      xy.withColumn("wn", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("x")).over(w))
+        .withColumn("sy", sum(col("y")).over(w))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w))
+        .withColumn("syy", sum(col("y") * col("y")).over(w))
+        .withColumn("sxy", sum(col("x") * col("y")).over(w))
+        .filter(col("wn") === 7)
+        .select(col("day"),
+          round((lit(7) * col("sxy") - col("sx") * col("sy")).cast("double") /
+            nullif(sqrt(((lit(7) * col("sxx") - col("sx") * col("sx")) *
+              (lit(7) * col("syy") - col("sy") * col("sy"))).cast("double")),
+              lit(0.0)), 6).as("r_7d"))
+        .orderBy(col("day"))
+    }),
+
     // Two-proportion z-test over all segment pairs — the A/B-test
     // operator next to stat_ttest's difference-of-MEANS: is the
     // positive-balance RATE of segment A actually different from B?
@@ -4669,6 +4751,59 @@ object AnalyticsOps {
                 round((r12 - CAST(n_pos AS DOUBLE) * (n_pos + 1)) /
                       (2.0 * CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
          FROM m ORDER BY grp""",
+    "stat_permutation_test" ->
+      """WITH base AS (
+           SELECT c_custkey,
+                  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents,
+                  CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS ga
+           FROM customer
+           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+         obs AS (
+           SELECT abs(CAST(sum(CASE WHEN ga = 1 THEN cents END) AS DOUBLE)
+                        / sum(ga)
+                      - CAST(sum(CASE WHEN ga = 0 THEN cents END) AS DOUBLE)
+                        / sum(1 - ga)) / 100 AS od
+           FROM base),
+         reps AS (
+           SELECT b.c_custkey, b.cents, r.range AS r,
+                  CASE WHEN ((b.c_custkey % 2147483648) * 2654435761
+                             + r.range * 1315423911) % 2147483648
+                       < 1073741824 THEN 1 ELSE 0 END AS pa
+           FROM base b CROSS JOIN range(0, 64) r),
+         nulls AS (
+           SELECT r,
+                  abs(CAST(sum(CASE WHEN pa = 1 THEN cents END) AS DOUBLE)
+                        / sum(pa)
+                      - CAST(sum(CASE WHEN pa = 0 THEN cents END) AS DOUBLE)
+                        / sum(1 - pa)) / 100 AS nd
+           FROM reps GROUP BY r)
+         SELECT count(1) AS n_reps,
+                round(max(od), 6) AS obs_diff,
+                count(CASE WHEN nd >= od THEN 1 END) AS n_extreme,
+                round(CAST(count(CASE WHEN nd >= od THEN 1 END) AS DOUBLE)
+                  / count(1), 6) AS p_value
+         FROM nulls CROSS JOIN obs""",
+    "ts_rolling_corr" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, event_type, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         xy AS (
+           SELECT day,
+                  coalesce(max(CASE WHEN event_type = 'view' THEN c END), 0) AS x,
+                  coalesce(max(CASE WHEN event_type = 'purchase' THEN c END), 0) AS y
+           FROM daily GROUP BY day),
+         ws AS (
+           SELECT day,
+                  count(1) OVER w AS wn,
+                  sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+                  sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+                  sum(x * y) OVER w AS sxy
+           FROM xy WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         SELECT day,
+                round(CAST(7 * sxy - sx * sy AS DOUBLE) /
+                      nullif(sqrt(CAST((7 * sxx - sx * sx) * (7 * syy - sy * sy)
+                        AS DOUBLE)), 0.0), 6) AS r_7d
+         FROM ws WHERE wn = 7 ORDER BY day""",
     "stat_wilcoxon_signed" ->
       """WITH daily AS (
            SELECT CAST(ts AS DATE) AS day, event_type, count(1) AS c

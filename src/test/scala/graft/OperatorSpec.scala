@@ -3343,6 +3343,52 @@ class PropertySpec extends SparkSuite {
     assert(math.abs(rows((sa, sb)) - js) < 1e-4, s"JS(${sa},${sb}) ${rows((sa, sb))} vs $js")
   }
 
+  test("stat_permutation_test: null distribution replays the deterministic hash reassignments") {
+    val r = q("stat_permutation_test").collect().head
+    val base = graft.Tables.t(spark, sf, "customer")
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment")).collect()
+      .map(x => (x.getLong(0), math.round(x.getDouble(1) * 100), x.getString(2)))
+    val m = 2147483648L
+    def diff(parts: Seq[(Long, Boolean)]) = {
+      val (a, b) = parts.partition(_._2)
+      math.abs(a.map(_._1).sum.toDouble / a.length - b.map(_._1).sum.toDouble / b.length) / 100
+    }
+    val od = diff(base.map(x => (x._2, x._3 == "BUILDING")))
+    val extreme = (0L to 63L).count { rep =>
+      val nd = diff(base.map { case (ck, c, _) =>
+        (c, ((ck % m) * 2654435761L + rep * 1315423911L) % m < 1073741824L)
+      })
+      nd >= od
+    }
+    assert(r.getLong(0) === 64L, "n_reps")
+    assert(math.abs(r.getDouble(1) - od) < 1e-6, "obs_diff")
+    assert(r.getLong(2) === extreme.toLong, s"n_extreme ${r.getLong(2)} vs $extreme")
+  }
+
+  test("ts_rolling_corr: each full window replays the brute Pearson on integer sums") {
+    val rows = q("ts_rolling_corr").collect().map(r =>
+      r.getDate(0).toString -> (if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
+    val view = dailyCounts("view").map { case (d, c) => d.toString -> c }.toMap
+    val purchase = dailyCounts("purchase").map { case (d, c) => d.toString -> c }.toMap
+    // the query's day domain is "days with ANY event type" (the pivot's
+    // group keys), not just view/purchase days
+    val days = dailyCounts.values.flatten.map(_._1.toString).toSeq.distinct.sorted
+    days.zipWithIndex.drop(6).foreach { case (d, i) =>
+      val win = days.slice(i - 6, i + 1)
+      val xs = win.map(dd => view.getOrElse(dd, 0L))
+      val ys = win.map(dd => purchase.getOrElse(dd, 0L))
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxx = xs.map(v => v * v).sum; val syy = ys.map(v => v * v).sum
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val den = math.sqrt(((7 * sxx - sx * sx) * (7 * syy - sy * sy)).toDouble)
+      if (den > 0) {
+        val want = (7 * sxy - sx * sy).toDouble / den
+        assert(math.abs(rows(d) - want) < 1e-6, s"$d r")
+      }
+    }
+  }
+
   test("sample_temperature: weights replay p^0.7 through the 6-dp grid, budget sums near 10k") {
     val rows = q("sample_temperature").collect()
     val raw = graft.Tables.t(spark, sf, "documents")
