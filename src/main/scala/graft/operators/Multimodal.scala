@@ -125,6 +125,34 @@ object Multimodal {
     bb.array()
   }
 
+  case class ChannelStats(doc_id: Long, n_px: Int,
+      sum_r: Long, ssq_r: Long, sum_g: Long, ssq_g: Long,
+      sum_b: Long, ssq_b: Long)
+
+  /** REAL decode → per-channel integer moments (Σ and Σ² per RGB channel)
+    * — the normalization statistics an image-training pipeline computes
+    * over its corpus before standardizing inputs. Integer sums from the
+    * decoded raster; mean/std derive downstream in one double tree. */
+  def channelStats(docId: Long, png: Array[Byte]): ChannelStats = {
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    val w = img.getWidth; val h = img.getHeight
+    var sr = 0L; var qr = 0L; var sg = 0L; var qg = 0L; var sb = 0L; var qb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        sr += r; qr += r.toLong * r
+        sg += g; qg += g.toLong * g
+        sb += b; qb += b.toLong * b
+        x += 1
+      }
+      y += 1
+    }
+    ChannelStats(docId, w * h, sr, qr, sg, qg, sb, qb)
+  }
+
   case class AudioFeat(doc_id: Long, n_samples: Int, n_frames: Int,
       peak: Int, max_energy: Long, max_frame: Int, mean_energy: Long)
 
@@ -216,6 +244,32 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-channel normalization statistics (mean/std per RGB channel) —
+    // what an image-training pipeline computes over its corpus before
+    // standardizing inputs, through the SAME real encode→decode round
+    // trip as mm_resize (features come from parsed pixels, not the
+    // generating arithmetic). Integer Σ/Σ² per channel inside the
+    // executor batch; mean/std one identical double tree per doc.
+    "mm_channel_stats" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      def ms(sum: String, ssq: String, m: String, sd: String) = Seq(
+        round(col(sum).cast("double") / col("n_px"), 6).as(m),
+        round(sqrt((col(ssq).cast("double") -
+          col(sum).cast("double") * col(sum) / col("n_px")) / col("n_px")), 6)
+          .as(sd))
+      media.mapPartitions(_.map { case (id, bytes) =>
+          channelStats(id, encodePng(bytes)) })
+        .toDF()
+        .select(Seq(col("doc_id"), col("n_px")) ++
+          ms("sum_r", "ssq_r", "mean_r", "std_r") ++
+          ms("sum_g", "ssq_g", "mean_g", "std_g") ++
+          ms("sum_b", "ssq_b", "mean_b", "std_b"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
     // audio member of the family: per-doc waveforms serialized to REAL
     // 16-bit LE PCM bytes, then parsed BACK from the byte stream inside the
     // same executor batch — framing, per-frame mean-square energy, arg-max
@@ -301,6 +355,38 @@ object Multimodal {
                 array_to_string(list_transform(range(0, 16),
                   k -> CAST(len(list_filter(rbins, x -> x = k)) AS VARCHAR)), ',') AS histo
          FROM feat ORDER BY doc_id""",
+    "mm_channel_stats" ->
+      """WITH dims AS (
+           SELECT doc_id, strlen(text) AS n,
+                  8 + strlen(text) % 9 AS w, 8 + strlen(text) % 7 AS h, text
+           FROM documents),
+         px0 AS (
+           SELECT doc_id, n, w, h, text, unnest(range(0, w * h)) AS i FROM dims),
+         px AS (
+           SELECT doc_id, w * h AS npx,
+                  CAST(ord(text[CAST(i % n AS INTEGER) + 1]) AS BIGINT) AS r,
+                  (i * 31 + 7) % 256 AS g
+           FROM px0),
+         m AS (
+           SELECT doc_id, max(npx) AS n_px,
+                  CAST(sum(r) AS BIGINT) AS sum_r,
+                  CAST(sum(r * r) AS BIGINT) AS ssq_r,
+                  CAST(sum(g) AS BIGINT) AS sum_g,
+                  CAST(sum(g * g) AS BIGINT) AS ssq_g,
+                  CAST(sum((r + g) % 256) AS BIGINT) AS sum_b,
+                  CAST(sum(((r + g) % 256) * ((r + g) % 256)) AS BIGINT) AS ssq_b
+           FROM px GROUP BY doc_id)
+         SELECT doc_id, CAST(n_px AS INTEGER) AS n_px,
+                round(CAST(sum_r AS DOUBLE) / n_px, 6) AS mean_r,
+                round(sqrt((CAST(ssq_r AS DOUBLE)
+                  - CAST(sum_r AS DOUBLE) * sum_r / n_px) / n_px), 6) AS std_r,
+                round(CAST(sum_g AS DOUBLE) / n_px, 6) AS mean_g,
+                round(sqrt((CAST(ssq_g AS DOUBLE)
+                  - CAST(sum_g AS DOUBLE) * sum_g / n_px) / n_px), 6) AS std_g,
+                round(CAST(sum_b AS DOUBLE) / n_px, 6) AS mean_b,
+                round(sqrt((CAST(ssq_b AS DOUBLE)
+                  - CAST(sum_b AS DOUBLE) * sum_b / n_px) / n_px), 6) AS std_b
+         FROM m ORDER BY doc_id""",
     "mm_resize" ->
       """WITH dims AS (
            SELECT doc_id, strlen(text) AS n,

@@ -185,6 +185,24 @@ class OperatorSpec extends SparkSuite {
     assert(t.thumb.forall(v => v >= 0 && v <= 255))
   }
 
+  test("mm_channel_stats: decoded channel moments equal the generating pattern") {
+    val payload = "spark".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val cs = graft.operators.Multimodal.channelStats(7L,
+      graft.operators.Multimodal.encodePng(payload))
+    val n = payload.length
+    val (w, h) = (8 + n % 9, 8 + n % 7)
+    var sr = 0L; var qr = 0L; var sg = 0L; var qg = 0L; var sb = 0L; var qb = 0L
+    (0 until w * h).foreach { i =>
+      val r = payload(i % n) & 0xff
+      val g = (i * 31 + 7) % 256
+      val b = (r + g) % 256
+      sr += r; qr += r.toLong * r; sg += g; qg += g.toLong * g; sb += b; qb += b.toLong * b
+    }
+    assert(cs.n_px === w * h)
+    assert((cs.sum_r, cs.ssq_r, cs.sum_g, cs.ssq_g, cs.sum_b, cs.ssq_b) ===
+      ((sr, qr, sg, qg, sb, qb)))
+  }
+
   test("text_dedup_near: planted near-duplicates collide in MinHash bands") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
