@@ -2269,6 +2269,46 @@ object AnalyticsOps {
         .orderBy(col("dist"))
     }),
 
+    // Sampled closeness centrality — the "how central are the hubs"
+    // number beside graph_bfs_hops' single-hub reachability profile:
+    // closeness(s) = reached / Σ dist within BfsRounds hops, from the
+    // top-3 degree seeds simultaneously (the standard sampled
+    // approximation — exact closeness is all-pairs-BFS, infeasible at
+    // scale; landmark sampling is what production graph stacks run).
+    // One multi-seed frontier keyed (seed, node) rides the SAME bounded
+    // expansion loop as bfs_hops — per-round cost is edge-linear × the
+    // seed count, frontier broadcast under the node gate, every level
+    // checkpointed. DuckDB twin unrolls the same rounds seed-keyed.
+    "graph_closeness_sample" -> ((s, dir) => {
+      val (undRaw, nodes) = coPurchaseGraph(s, dir)
+      val und = undRaw.select(col("p1"), col("p2"))
+      val adj = und.select(col("p1").as("src"), col("p2").as("dst"))
+        .union(und.select(col("p2").as("src"), col("p1").as("dst")))
+      val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      val seeds = deg.orderBy(col("dg").desc, col("src")).limit(3)
+        .select(col("src").as("seed"), col("src").as("node"), lit(0).as("dist"))
+      val bcastFrontier = nodes.count() <= PagerankBroadcastMaxNodes
+      var visited = seeds.localCheckpoint(true)
+      var frontier = visited.select(col("seed"), col("node"))
+      for (r <- 1 to BfsRounds) {
+        val next = adj.join(
+            if (bcastFrontier) broadcast(frontier) else frontier,
+            col("src") === col("node"))
+          .select(col("seed"), col("dst").as("node")).distinct()
+          .join(visited, Seq("seed", "node"), "left_anti")
+          .withColumn("dist", lit(r))
+          .localCheckpoint(true)
+        visited = visited.union(next).localCheckpoint(true)
+        frontier = next.select(col("seed"), col("node"))
+      }
+      visited.groupBy(col("seed"))
+        .agg((count(lit(1)) - 1).as("n_reached"), sum(col("dist")).as("sum_dist"))
+        .select(col("seed"), col("n_reached"), col("sum_dist"),
+          round(col("n_reached").cast("double") /
+            nullif(col("sum_dist"), lit(0L)), 6).as("closeness"))
+        .orderBy(col("seed"))
+    }),
+
     // One-way ANOVA of balances across ALL segments — the omnibus "do
     // any of the k groups differ" that the pairwise stat_ttest can't
     // answer without multiple-comparison inflation. SSB/SSW decompose
@@ -3487,6 +3527,19 @@ object AnalyticsOps {
           SELECT node, dist FROM v${r - 1}
           UNION ALL SELECT node, $r AS dist FROM f$r)"""
 
+  /** bfsRoundSql's multi-seed twin for graph_closeness_sample: the
+    * frontier/visited CTEs carry the seed key so all 3 landmark BFS runs
+    * unroll in ONE set of rounds. */
+  private def closeRoundSql(r: Int): String =
+    s"""cf$r AS MATERIALIZED (
+          SELECT DISTINCT f.seed, a.dst AS node FROM adj a
+          JOIN cf${r - 1} f ON a.src = f.node
+          WHERE NOT EXISTS (SELECT 1 FROM cv${r - 1} v
+                            WHERE v.seed = f.seed AND v.node = a.dst)),
+        cv$r AS MATERIALIZED (
+          SELECT seed, node, dist FROM cv${r - 1}
+          UNION ALL SELECT seed, node, $r AS dist FROM cf$r)"""
+
   /** One FD candidate as a SQL SELECT — the same NDV-per-LHS violation
     * algebra as the Spark `fd` helper. */
   private def fdSql(lhs: String, rhs: String): String =
@@ -4689,6 +4742,25 @@ object AnalyticsOps {
           ${(1 to BfsRounds).map(bfsRoundSql).mkString(",\n")}
           SELECT dist, count(1) AS n_nodes FROM v$BfsRounds
           GROUP BY 1 ORDER BY 1""",
+    "graph_closeness_sample" ->
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          und AS MATERIALIZED (
+            SELECT a.pk AS p1, b.pk AS p2
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY p1, p2 HAVING count(1) >= 2),
+          adj AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM und
+                 UNION ALL SELECT p2, p1 FROM und),
+          deg AS MATERIALIZED (SELECT src, count(1) AS dg FROM adj GROUP BY src),
+          cv0 AS MATERIALIZED (
+            SELECT src AS seed, src AS node, 0 AS dist FROM deg
+            ORDER BY dg DESC, src LIMIT 3),
+          cf0 AS MATERIALIZED (SELECT seed, node FROM cv0),
+          ${(1 to BfsRounds).map(closeRoundSql).mkString(",\n")}
+          SELECT seed, count(1) - 1 AS n_reached,
+                 CAST(sum(dist) AS BIGINT) AS sum_dist,
+                 round(CAST(count(1) - 1 AS DOUBLE) /
+                       nullif(CAST(sum(dist) AS BIGINT), 0), 6) AS closeness
+          FROM cv$BfsRounds GROUP BY seed ORDER BY seed""",
     "stat_ks_test" ->
       """WITH base AS (
            SELECT c_mktsegment AS seg, c_acctbal AS v FROM customer

@@ -3361,6 +3361,30 @@ class PropertySpec extends SparkSuite {
     assert(math.abs(rows((sa, sb)) - js) < 1e-4, s"JS(${sa},${sb}) ${rows((sa, sb))} vs $js")
   }
 
+  test("graph_closeness_sample: per-seed closeness replays a brute 4-hop BFS") {
+    val rows = q("graph_closeness_sample").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val und = graft.operators.AnalyticsOps.coPurchaseGraph(spark, sf)._1
+      .select("p1", "p2").collect().map(x => (x.getLong(0), x.getLong(1)))
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val seeds = adj.toSeq.map { case (n, ns) => (n, ns.size) }
+      .sortBy { case (n, d) => (-d, n) }.take(3).map(_._1)
+    seeds.foreach { s0 =>
+      var visited = Map(s0 -> 0)
+      var frontier = Set(s0)
+      for (r <- 1 to 4) {
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- visited.keySet
+        visited = visited ++ next.map(_ -> r)
+        frontier = next
+      }
+      val (nr, sd) = rows(s0)
+      assert(nr === (visited.size - 1).toLong, s"seed $s0 reached")
+      assert(sd === visited.values.map(_.toLong).sum, s"seed $s0 sum_dist")
+    }
+    assert(rows.keySet === seeds.toSet)
+  }
+
   test("stat_permutation_test: null distribution replays the deterministic hash reassignments") {
     val r = q("stat_permutation_test").collect().head
     val base = graft.Tables.t(spark, sf, "customer")
