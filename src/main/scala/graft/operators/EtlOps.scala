@@ -546,6 +546,28 @@ object EtlOps {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Incremental watermark extract — the batch-ETL counterpart of
+    // stream_watermark and the missing third of the load kit beside
+    // upsert_load (how rows land) and cdc_apply (how changes fold): a
+    // real incremental job reads back the persisted high-watermark and
+    // extracts ONLY rows past it. The "previous load" watermark derives
+    // deterministically (max ts over the first fixture fortnight — the
+    // state a checkpoint table would hold), the delta scan is one
+    // predicate past it (at scale: a partition-pruned range scan, never
+    // a full-table diff), and the new watermark comes out with the batch
+    // stats a scheduler records.
+    "etl_watermark_load" -> ((s, dir) => {
+      val e = events(s, dir)
+      val wm = e.filter(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
+        .agg(max(col("ts")).as("wm"))
+      e.crossJoin(broadcast(wm))
+        .filter(col("ts") > col("wm"))
+        .agg(count(lit(1)).as("n_new_rows"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("ts")).as("first_new_ts"),
+          max(col("ts")).as("new_watermark"))
+    }),
+
     // full CDC apply — the Delta/Iceberg MERGE kernel as pure relational
     // ops: a change feed of I(nsert)/U(pdate)/D(elete) rows folds into the
     // base snapshot as (base ANTI-JOIN changed-keys) UNION ALL (changes
@@ -756,6 +778,17 @@ object EtlOps {
            WHERE o_orderkey % 3 = 0)
          QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY _ingested_at DESC) = 1
          ORDER BY o_orderkey""",
+    "etl_watermark_load" ->
+      """WITH wm AS (
+           SELECT max(ts) AS wm FROM events
+           WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+         n AS (SELECT e.user_id, e.ts FROM events e CROSS JOIN wm
+               WHERE e.ts > wm.wm)
+         SELECT count(1) AS n_new_rows,
+                count(DISTINCT user_id) AS n_users,
+                min(ts) AS first_new_ts,
+                max(ts) AS new_watermark
+         FROM n""",
     "cdc_apply" ->
       """WITH feed AS (
            SELECT o_orderkey, o_orderstatus,

@@ -65,6 +65,26 @@ object Windows {
         .orderBy(col("o_orderkey"))
     }),
 
+    // TIME-interval range frame — win_range_frame's day-grain cousin at
+    // full microsecond precision: each event sees its user's trailing-hour
+    // activity (count + value sum), the velocity/rate-limit feature every
+    // fraud and engagement model computes. The range key is integer
+    // epoch-MICROSECONDS on both engines (sub-second parts are real in
+    // the fixture — second-truncation would silently shift frame edges);
+    // the value sum rides integer micro-units, so the frame is exact end
+    // to end. One shuffle on user_id, per-partition sort — no global sort.
+    "win_time_range" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+        .rangeBetween(-3599999999L, 0L)
+      events(s, dir)
+        .withColumn("tus", expr("unix_micros(ts)"))
+        .withColumn("v6", expr("CAST(round(value * 1000000, 0) AS BIGINT)"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          round(sum(col("v6")).over(w).cast("double") / 1e6, 6).as("sum_value_1h"))
+        .orderBy(col("event_id"))
+    }),
+
     "win_analytic" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("c_acctbal"), col("c_custkey"))
@@ -186,6 +206,15 @@ object Windows {
          round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate) // 1000000
            RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 6) AS sum_7d
          FROM orders ORDER BY o_orderkey""",
+    "win_time_range" ->
+      """SELECT event_id, user_id,
+         count(1) OVER w AS n_1h,
+         round(CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) OVER w AS DOUBLE)
+           / 1000000.0, 6) AS sum_value_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
     "win_analytic" ->
       """SELECT c_custkey, c_mktsegment,
          first_value(c_custkey) OVER wf AS poorest,

@@ -3361,6 +3361,35 @@ class PropertySpec extends SparkSuite {
     assert(math.abs(rows((sa, sb)) - js) < 1e-4, s"JS(${sa},${sb}) ${rows((sa, sb))} vs $js")
   }
 
+  test("win_time_range: trailing-hour frame replays brute microsecond windows") {
+    val rows = q("win_time_range").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), expr("unix_micros(ts)"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e6)))
+    val byUser = ev.groupBy(_._2)
+    ev.take(200).foreach { case (eid, uid, t0, _) =>
+      val win = byUser(uid).filter(e => e._3 >= t0 - 3599999999L && e._3 <= t0)
+      val (n, sv) = rows(eid)
+      assert(n === win.length.toLong, s"event $eid count")
+      assert(math.abs(sv - win.map(_._4).sum / 1e6) < 1e-6, s"event $eid sum")
+    }
+  }
+
+  test("etl_watermark_load: delta batch replays the brute watermark filter") {
+    val r = q("etl_watermark_load").collect().head
+    val ts = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts")).collect()
+      .map(x => (x.getLong(0), x.getTimestamp(1)))
+    val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val wm = ts.map(_._2).filter(_.before(cut)).maxBy(_.getTime)
+    val delta = ts.filter(_._2.after(wm))
+    assert(r.getLong(0) === delta.length.toLong, "n_new_rows")
+    assert(r.getLong(1) === delta.map(_._1).distinct.length.toLong, "n_users")
+    assert(r.getTimestamp(3) === delta.map(_._2).maxBy(_.getTime), "new_watermark")
+  }
+
   test("graph_closeness_sample: per-seed closeness replays a brute 4-hop BFS") {
     val rows = q("graph_closeness_sample").collect().map(r =>
       r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
