@@ -2751,6 +2751,76 @@ object AnalyticsOps {
           col("ci_lo"), col("ci_hi"))
     }),
 
+    // Kruskal–Wallis H across ALL segments — the k-sample member that
+    // completes the nonparametric grid (mannwhitney: unpaired 2,
+    // wilcoxon: paired 2, this: unpaired k; friedman: paired k): does
+    // ANY segment's balance distribution rank-shift? Same doubled-rank
+    // integer machinery as mannwhitney (rank2 = 2·cum+t+1 = twice the
+    // mid-rank, ties exact), H from Σ R_j²/n_j with the standard tie
+    // correction — integer sums to the last two divisions. The rank
+    // window runs on the VALUE-grain frame (distinct balances), never
+    // row-grain.
+    "stat_kruskal_wallis" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"), col("c_acctbal").as("v"))
+      val g = c.groupBy(col("v")).agg(count(lit(1)).as("t"))
+      val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+      val r = g.withColumn("cumb", coalesce(sum(col("t")).over(w), lit(0L)))
+        .withColumn("rank2", lit(2L) * col("cumb") + col("t") + 1)
+      val perSeg = c.groupBy(col("seg"), col("v")).agg(count(lit(1)).as("cnt"))
+        .join(r.select(col("v"), col("rank2")), Seq("v"))
+        .groupBy(col("seg"))
+        .agg(sum(col("cnt")).as("nj"),
+          sum(col("cnt") * col("rank2")).as("r2j"))
+      // each segment's R_j²/n_j term is an inexact division — 6-dp-grid
+      // it to DECIMAL before the k-row sum so partial-agg order can't
+      // perturb the last ulp (the davg discipline)
+      val m = perSeg.agg(count(lit(1)).as("k"), sum(col("nj")).as("n"),
+          sum(dec(round(col("r2j").cast("double") * col("r2j") /
+            (lit(4.0) * col("nj")), 6))).as("srn"))
+        .crossJoin(broadcast(g.agg(
+          sum(col("t") * col("t") * col("t") - col("t")).as("ties"))))
+      val nD = col("n").cast("double")
+      val h0 = lit(12.0) / (nD * (nD + 1)) * col("srn").cast("double") -
+        lit(3.0) * (nD + 1)
+      val corr = lit(1.0) - col("ties").cast("double") / (nD * nD * nD - nD)
+      m.select(col("k"), col("n"), round(h0 / corr, 6).as("h_stat"),
+        (col("k") - 1).as("dof"))
+    }),
+
+    // Friedman test over (day blocks × event types) — the PAIRED k-sample
+    // rank test closing the nonparametric grid: within each day the k
+    // series rank against each other (doubled mid-ranks, ties exact),
+    // and the tie-robust form χ² = (k−1)(ΣR_j² − n²k(k+1)²/4) /
+    // (Σr² − nk(k+1)²/4) runs on integer sums throughout (R_j and the
+    // per-cell ranks live in half-units, so their squares carry /4
+    // consistently on both engines). Day-grain everywhere — calendar-
+    // bounded at any corpus scale.
+    "stat_friedman" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"), col("event_type").as("et"))
+        .agg(count(lit(1)).as("c"))
+      val g = daily.groupBy(col("day"), col("c")).agg(count(lit(1)).as("t"))
+      val w = Window.partitionBy(col("day")).orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val r = g.withColumn("cumb", coalesce(sum(col("t")).over(w), lit(0L)))
+        .withColumn("rank2", lit(2L) * col("cumb") + col("t") + 1)
+      val cells = daily.join(r.select(col("day"), col("c"), col("rank2")),
+        Seq("day", "c"))
+      val perType = cells.groupBy(col("et"))
+        .agg(sum(col("rank2")).as("r2j"), count(lit(1)).as("nblk"))
+      val m = perType.agg(count(lit(1)).as("k"), max(col("nblk")).as("n"),
+          sum(col("r2j").cast("double") * col("r2j") / 4).as("srj2"))
+        .crossJoin(broadcast(cells.agg(
+          sum(col("rank2").cast("double") * col("rank2") / 4).as("sr2"))))
+      val kD = col("k").cast("double"); val nD = col("n").cast("double")
+      val kp1 = kD + 1
+      m.select(col("n").as("n_blocks"), col("k"),
+        round((kD - 1) * (col("srj2") - nD * nD * kD * kp1 * kp1 / 4) /
+          (col("sr2") - nD * kD * kp1 * kp1 / 4), 6).as("chi2_stat"),
+        (col("k") - 1).as("dof"))
+    }),
+
     // Randomization (permutation) test of the BUILDING-vs-MACHINERY mean
     // balance gap — the assumption-free sibling of stat_ttest and the
     // inferential twin of stat_bootstrap_ci's CI machinery: 64
@@ -4823,6 +4893,61 @@ object AnalyticsOps {
                 round((r12 - CAST(n_pos AS DOUBLE) * (n_pos + 1)) /
                       (2.0 * CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
          FROM m ORDER BY grp""",
+    "stat_kruskal_wallis" ->
+      """WITH c AS (
+           SELECT c_mktsegment AS seg, c_acctbal AS v FROM customer),
+         g AS (SELECT v, count(1) AS t FROM c GROUP BY v),
+         r AS (SELECT v, t,
+                      2 * coalesce(sum(t) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        + t + 1 AS rank2
+               FROM g),
+         ps AS (
+           SELECT seg, CAST(sum(cnt) AS BIGINT) AS nj,
+                  CAST(sum(cnt * rank2) AS BIGINT) AS r2j
+           FROM (SELECT seg, v, count(1) AS cnt FROM c GROUP BY seg, v) sv
+           JOIN r USING (v) GROUP BY seg),
+         m AS (
+           SELECT count(1) AS k, CAST(sum(nj) AS BIGINT) AS n,
+                  CAST(sum(CAST(round(CAST(r2j AS DOUBLE) * r2j / (4.0 * nj), 6)
+                    AS DECIMAL(18,6))) AS DOUBLE) AS srn
+           FROM ps),
+         tc AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS ties FROM g)
+         SELECT k, n,
+                round((12.0 / (CAST(n AS DOUBLE) * (n + 1)) * srn
+                       - 3 * (CAST(n AS DOUBLE) + 1)) /
+                      (1.0 - CAST(ties AS DOUBLE) /
+                       (CAST(n AS DOUBLE) * n * n - n)), 6) AS h_stat,
+                k - 1 AS dof
+         FROM m CROSS JOIN tc""",
+    "stat_friedman" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, event_type AS et, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         g AS (SELECT day, c, count(1) AS t FROM daily GROUP BY day, c),
+         r AS (SELECT day, c,
+                      2 * coalesce(sum(t) OVER (PARTITION BY day ORDER BY c
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        + t + 1 AS rank2
+               FROM g),
+         cells AS (
+           SELECT d.et, r.rank2 FROM daily d JOIN r USING (day, c)),
+         pt AS (
+           SELECT et, CAST(sum(rank2) AS BIGINT) AS r2j, count(1) AS nblk
+           FROM cells GROUP BY et),
+         m AS (
+           SELECT count(1) AS k, CAST(max(nblk) AS BIGINT) AS n,
+                  sum(CAST(r2j AS DOUBLE) * r2j / 4) AS srj2
+           FROM pt),
+         s2 AS (SELECT sum(CAST(rank2 AS DOUBLE) * rank2 / 4) AS sr2 FROM cells)
+         SELECT n AS n_blocks, k,
+                round((CAST(k AS DOUBLE) - 1) *
+                      (srj2 - CAST(n AS DOUBLE) * n * k * (CAST(k AS DOUBLE) + 1)
+                        * (CAST(k AS DOUBLE) + 1) / 4) /
+                      (sr2 - CAST(n AS DOUBLE) * k * (CAST(k AS DOUBLE) + 1)
+                        * (CAST(k AS DOUBLE) + 1) / 4), 6) AS chi2_stat,
+                k - 1 AS dof
+         FROM m CROSS JOIN s2""",
     "stat_permutation_test" ->
       """WITH base AS (
            SELECT c_custkey,

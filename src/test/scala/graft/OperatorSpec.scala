@@ -3361,6 +3361,54 @@ class PropertySpec extends SparkSuite {
     assert(math.abs(rows((sa, sb)) - js) < 1e-4, s"JS(${sa},${sb}) ${rows((sa, sb))} vs $js")
   }
 
+  test("stat_kruskal_wallis: H replays the brute tie-corrected rank formula") {
+    val r = q("stat_kruskal_wallis").collect().head
+    val vals = graft.Tables.t(spark, sf, "customer")
+      .select(col("c_mktsegment"), col("c_acctbal")).collect()
+      .map(x => (x.getString(0), x.getDouble(1)))
+    val sorted = vals.map(_._2).sorted
+    // mid-rank per value via first/last positions
+    val first = sorted.zipWithIndex.groupBy(_._1).view.mapValues(_.map(_._2 + 1)).toMap
+    val midRank = first.map { case (v, ps) => v -> ps.sum.toDouble / ps.length }
+    val n = vals.length
+    val bySeg = vals.groupBy(_._1)
+    val srn = bySeg.values.map { xs =>
+      val rj = xs.map(x => midRank(x._2)).sum
+      math.round(rj * rj / xs.length * 1e6) / 1e6
+    }.sum
+    val ties = first.values.map(_.length.toLong).map(t => t * t * t - t).sum
+    val h0 = 12.0 / (n.toDouble * (n + 1)) * srn - 3.0 * (n + 1)
+    val h = h0 / (1.0 - ties.toDouble / (n.toDouble * n * n - n))
+    assert(r.getLong(0) === bySeg.size.toLong, "k")
+    assert(r.getLong(1) === n.toLong, "n")
+    assert(math.abs(r.getDouble(2) - h) < 1e-4, s"H ${r.getDouble(2)} vs $h")
+  }
+
+  test("stat_friedman: chi2 replays the brute within-block mid-ranks") {
+    val r = q("stat_friedman").collect().head
+    val cells = dailyCounts.toSeq.flatMap { case (et, days) =>
+      days.map { case (d, c) => (d.toString, et, c) }
+    }
+    val byDay = cells.groupBy(_._1)
+    // complete blocks required by the formulation
+    assert(byDay.values.forall(_.size == dailyCounts.size), "complete blocks")
+    val ranks = byDay.values.flatMap { day =>
+      val sorted = day.map(_._3).sorted
+      val pos = sorted.zipWithIndex.groupBy(_._1).view
+        .mapValues(ps => ps.map(_._2 + 1).sum.toDouble / ps.length).toMap
+      day.map { case (_, et, c) => (et, pos(c)) }
+    }.toSeq
+    val k = dailyCounts.size
+    val nb = byDay.size
+    val srj2 = ranks.groupBy(_._1).values.map(_.map(_._2).sum).map(x => x * x).sum
+    val sr2 = ranks.map(x => x._2 * x._2).sum
+    val chi2 = (k - 1).toDouble * (srj2 - nb.toDouble * nb * k * (k + 1) * (k + 1) / 4) /
+      (sr2 - nb.toDouble * k * (k + 1) * (k + 1) / 4)
+    assert(r.getLong(0) === nb.toLong, "n_blocks")
+    assert(r.getLong(1) === k.toLong, "k")
+    assert(math.abs(r.getDouble(2) - chi2) < 1e-5, s"chi2 ${r.getDouble(2)} vs $chi2")
+  }
+
   test("win_time_range: trailing-hour frame replays brute microsecond windows") {
     val rows = q("win_time_range").collect().map(r =>
       r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap

@@ -668,7 +668,9 @@ class PlanSpec extends SparkSuite {
       "sample_temperature" -> "crossJoins against broadcast 1-row total and 1-row normalizer frames over the cell-grain (<=100-row) frame",
       "text_ngram_lm_interp" -> "crossJoin against a broadcast 1-row bigram-total frame (text_unigram_ppl's shape)",
       "stat_permutation_test" -> "crossJoin of the 64-row null-distribution frame against the broadcast 1-row observed-diff frame",
-      "etl_watermark_load" -> "crossJoin against the broadcast 1-row persisted-watermark frame")
+      "etl_watermark_load" -> "crossJoin against the broadcast 1-row persisted-watermark frame",
+      "stat_kruskal_wallis" -> "crossJoin against the broadcast 1-row tie-count frame over the 5-row segment frame",
+      "stat_friedman" -> "crossJoin against the broadcast 1-row sum-of-squared-ranks frame over the 1-row moment frame")
     val sf = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if boundedByConstruction.contains(name) => None
