@@ -2763,7 +2763,10 @@ object AnalyticsOps {
     "stat_kruskal_wallis" -> ((s, dir) => {
       val c = t(s, dir, "customer")
         .select(col("c_mktsegment").as("seg"), col("c_acctbal").as("v"))
-      val g = c.groupBy(col("v")).agg(count(lit(1)).as("t"))
+      // the value-grain tie frame feeds the rank window AND the tie-count
+      // agg — pin it so the customer scan runs once (r10 scan lint)
+      val g = persistShared("kruskal_vals",
+        c.groupBy(col("v")).agg(count(lit(1)).as("t")))
       val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
       val r = g.withColumn("cumb", coalesce(sum(col("t")).over(w), lit(0L)))
         .withColumn("rank2", lit(2L) * col("cumb") + col("t") + 1)
@@ -2797,16 +2800,20 @@ object AnalyticsOps {
     // consistently on both engines). Day-grain everywhere — calendar-
     // bounded at any corpus scale.
     "stat_friedman" -> ((s, dir) => {
-      val daily = events(s, dir)
+      // day-grain rollup feeds BOTH the tie frame and the cell join, and
+      // the ranked cell frame feeds BOTH the per-type sums and the global
+      // Σr² — pin both so the events scan runs once (r10 scan lint)
+      val daily = persistShared("friedman_daily", events(s, dir)
         .groupBy(col("ts").cast("date").as("day"), col("event_type").as("et"))
-        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("c")))
       val g = daily.groupBy(col("day"), col("c")).agg(count(lit(1)).as("t"))
       val w = Window.partitionBy(col("day")).orderBy(col("c"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val r = g.withColumn("cumb", coalesce(sum(col("t")).over(w), lit(0L)))
         .withColumn("rank2", lit(2L) * col("cumb") + col("t") + 1)
-      val cells = daily.join(r.select(col("day"), col("c"), col("rank2")),
-        Seq("day", "c"))
+      val cells = persistShared("friedman_cells",
+        daily.join(r.select(col("day"), col("c"), col("rank2")),
+          Seq("day", "c")))
       val perType = cells.groupBy(col("et"))
         .agg(sum(col("rank2")).as("r2j"), count(lit(1)).as("nblk"))
       val m = perType.agg(count(lit(1)).as("k"), max(col("nblk")).as("n"),
