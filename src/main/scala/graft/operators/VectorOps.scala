@@ -888,6 +888,59 @@ object VectorOps {
     // matrix-free shape that scales to any corpus. Seeds = the first K
     // vectors (deterministic, the PQ first-K discipline); a cluster
     // emptying drops out (documented, deterministic on both engines).
+    // SPHERICAL k-means — vec_kmeans' cosine-geometry twin and the
+    // variant text/embedding clustering actually runs (directions
+    // matter, magnitudes don't): vectors L2-normalize onto the 6-dp
+    // grid once, assignment is argMAX dot product against UNIT
+    // centroids (exact decimal sums — no sqrt in the inner loop), and
+    // each Lloyd update re-projects the mean back onto the sphere.
+    // Same bounded-round/checkpoint discipline as vec_kmeans; the twin
+    // unrolls the rounds CTE for CTE. Output: cluster sizes + cohesion
+    // (mean within-cluster cosine — the spherical inertia).
+    "vec_spherical_kmeans" -> ((s, dir) => {
+      val d6 = DecimalType(18, 6)
+      val r6d = (c: Column) => round(c.cast("double"), 6).cast(d6)
+      val raw = persistSharedPerDir("vec_pca_base", dir,
+        embStore(s, dir).select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("pos", "fv")))
+          .select(col("vec_id"), col("pos"), r6d(col("fv")).as("xv")))
+      val norms = raw.groupBy(col("vec_id"))
+        .agg(sqrt(sum(col("xv") * col("xv")).cast("double")).as("nrm"))
+      val base = persistShared("sph_base", raw.join(norms, "vec_id")
+        .select(col("vec_id"), col("pos"),
+          r6d(col("xv").cast("double") / col("nrm")).as("xv")))
+      var cent = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("k"), col("pos"), col("xv").as("cv"))
+      var assign: DataFrame = null
+      for (_ <- 1 to KmeansRounds) {
+        val dots = base.join(broadcast(cent), "pos")
+          .groupBy(col("vec_id"), col("k"))
+          .agg(sum(col("xv") * col("cv")).as("dot"))
+        val wA = Window.partitionBy(col("vec_id"))
+          .orderBy(col("dot").desc, col("k"))
+        assign = dots.withColumn("rn", row_number().over(wA))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("k"), col("dot"))
+          .localCheckpoint()
+        val mean = base.join(assign.select(col("vec_id"), col("k")), "vec_id")
+          .groupBy(col("k"), col("pos"))
+          .agg(round(sum(col("xv")).cast("double") / count(lit(1)), 6)
+            .cast(d6).as("mv"))
+        val cn = mean.groupBy(col("k"))
+          .agg(sqrt(sum(col("mv") * col("mv")).cast("double")).as("cn"))
+        cent = mean.join(cn, "k")
+          .select(col("k"), col("pos"),
+            r6d(col("mv").cast("double") / col("cn")).as("cv"))
+          .localCheckpoint()
+      }
+      assign.groupBy(col("k"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(col("dot")).cast("double") / count(lit(1)), 6)
+            .as("cohesion"))
+        .select(col("k").as("cluster"), col("n_vecs"), col("cohesion"))
+        .orderBy(col("cluster"))
+    }),
+
     "vec_kmeans" -> ((s, dir) => {
       val d6 = DecimalType(18, 6)
       val r6d = (c: Column) => round(c.cast("double"), 6).cast(d6)
@@ -970,6 +1023,32 @@ object VectorOps {
                    AS DECIMAL(18,6)) AS cv
           FROM x JOIN a$k a USING (vec_id) GROUP BY 1, 2)"""
 
+  /** One unrolled SPHERICAL Lloyd round k (inputs xs and sc{k-1}):
+    * exact-decimal dot products, argMAX window (ties → min k), mean
+    * re-projected onto the unit sphere — the same algebra as the Spark
+    * loop body. */
+  private def sphRoundSql(k: Int): String =
+    s"""sd$k AS (
+          SELECT xs.vec_id, c.k, sum(xv * cv) AS dot
+          FROM xs JOIN sc${k - 1} c USING (pos) GROUP BY 1, 2),
+        sa$k AS (
+          SELECT vec_id, k, dot FROM (
+            SELECT vec_id, k, dot,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, k) AS rn
+            FROM sd$k) WHERE rn = 1),
+        sm$k AS (
+          SELECT a.k, xs.pos,
+                 CAST(round(CAST(sum(xv) AS DOUBLE) / count(1), 6)
+                   AS DECIMAL(18,6)) AS mv
+          FROM xs JOIN sa$k a USING (vec_id) GROUP BY 1, 2),
+        sn$k AS (
+          SELECT k, sqrt(CAST(sum(mv * mv) AS DOUBLE)) AS cn
+          FROM sm$k GROUP BY 1),
+        sc$k AS (
+          SELECT m.k, m.pos,
+                 CAST(round(CAST(mv AS DOUBLE) / cn, 6) AS DECIMAL(18,6)) AS cv
+          FROM sm$k m JOIN sn$k USING (k))"""
+
   /** One unrolled power-iteration round k (inputs x/sx/nrows/v{k-1}):
     * the SAME decimal-gridded algebra as the Spark plan, CTE for CTE. */
   private def pcaRoundSql(k: Int): String =
@@ -1040,6 +1119,26 @@ object VectorOps {
             FROM c$KmeansRounds GROUP BY 1)
           SELECT s.k AS cluster, s.n_vecs, s.inertia, n.centroid_norm
           FROM sizes s JOIN norms n USING (k) ORDER BY cluster""") +
+    ("vec_spherical_kmeans" ->
+      s"""WITH x AS MATERIALIZED (
+            SELECT vec_id, CAST(u.p AS INTEGER) AS pos,
+                   CAST(round(CAST(u.v AS DOUBLE), 6) AS DECIMAL(18,6)) AS xv
+            FROM (SELECT vec_id, unnest(range(0, len(embedding))) AS p,
+                         unnest(embedding) AS v
+                  FROM embeddings) u),
+          nrm AS (
+            SELECT vec_id, sqrt(CAST(sum(xv * xv) AS DOUBLE)) AS nrm
+            FROM x GROUP BY 1),
+          xs AS MATERIALIZED (
+            SELECT x.vec_id, x.pos,
+                   CAST(round(CAST(xv AS DOUBLE) / nrm, 6) AS DECIMAL(18,6)) AS xv
+            FROM x JOIN nrm USING (vec_id)),
+          sc0 AS (
+            SELECT CAST(vec_id AS INT) AS k, pos, xv AS cv FROM xs WHERE vec_id < 8),
+          ${(1 to KmeansRounds).map(sphRoundSql).mkString(",\n")}
+          SELECT k AS cluster, count(1) AS n_vecs,
+                 round(CAST(sum(dot) AS DOUBLE) / count(1), 6) AS cohesion
+          FROM sa$KmeansRounds GROUP BY 1 ORDER BY cluster""") +
     ("vec_mmr" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
           cands AS MATERIALIZED (

@@ -3361,6 +3361,43 @@ class PropertySpec extends SparkSuite {
     assert(math.abs(rows((sa, sb)) - js) < 1e-4, s"JS(${sa},${sb}) ${rows((sa, sb))} vs $js")
   }
 
+  test("vec_spherical_kmeans: clusters replay the brute unit-sphere Lloyd rounds") {
+    def g6(x: Double) = math.round(x * 1e6) / 1e6
+    val vecs = graft.Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Double](1).map(g6).toArray).sortBy(_._1)
+    val xs = vecs.map { case (id, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      id -> v.map(x => g6(x / n))
+    }
+    var cent = xs.filter(_._1 < 8).map { case (id, v) => id.toInt -> v }.toMap
+    var assign: Map[Long, (Int, Double)] = Map.empty
+    for (_ <- 1 to 3) {
+      assign = xs.map { case (id, v) =>
+        val best = cent.toSeq.map { case (k, c) =>
+          (k, v.zip(c).map { case (a, b) => a * b }.sum)
+        }.minBy { case (k, d) => (-d, k) }
+        id -> best
+      }.toMap
+      cent = assign.groupBy(_._2._1).map { case (k, members) =>
+        val ids = members.keySet
+        val mine = xs.filter(x => ids(x._1)).map(_._2)
+        val mean = mine.transpose.map(col => g6(col.sum / mine.length)).toArray
+        val n = math.sqrt(mean.map(x => x * x).sum)
+        k -> mean.map(x => g6(x / n))
+      }
+    }
+    val rows = q("vec_spherical_kmeans").collect().map(r =>
+      r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assign.groupBy(_._2._1).foreach { case (k, members) =>
+      val (n, coh) = rows(k)
+      assert(n === members.size.toLong, s"cluster $k size")
+      val want = members.values.map(_._2).sum / members.size
+      assert(math.abs(coh - want) < 1e-4, s"cluster $k cohesion $coh vs $want")
+    }
+  }
+
   test("stat_kruskal_wallis: H replays the brute tie-corrected rank formula") {
     val r = q("stat_kruskal_wallis").collect().head
     val vals = graft.Tables.t(spark, sf, "customer")
