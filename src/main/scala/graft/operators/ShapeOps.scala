@@ -164,6 +164,54 @@ object ShapeOps {
         .orderBy(col("event_type"))
     }),
 
+    // SHAPLEY-VALUE attribution over the three touch channels — the
+    // game-theoretic member completing the attribution family (linear =
+    // equal split, position = U-shape, time_decay = recency; Shapley is
+    // the data-driven standard the others approximate): channels are
+    // players, v(S) = conversion rate of users whose pre-purchase touch
+    // set is EXACTLY S, and each channel's credit is the exact 3-player
+    // Shapley sum of weighted marginal contributions. The whole game
+    // lives on the 2³-set grain after one fact pass (touch flags before
+    // the first purchase per user); missing coalitions contribute v = 0
+    // via the nullif guard on both engines. The closed-form 1/3-1/6
+    // weights are identical double trees.
+    "attrib_shapley" -> ((s, dir) => {
+      val e = events(s, dir)
+      val fp = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
+      val flags = e.join(fp, Seq("user_id"), "left")
+        .filter(col("event_type").isin("view", "click", "signup") &&
+          (col("tp").isNull || col("ts") < col("tp")))
+        .groupBy(col("user_id"))
+        .agg(max((col("event_type") === "view").cast("int")).as("hv"),
+          max((col("event_type") === "click").cast("int")).as("hc"),
+          max((col("event_type") === "signup").cast("int")).as("hs"))
+        .join(fp.select(col("user_id"), lit(1).as("cv")), Seq("user_id"), "left")
+        .withColumn("conv", coalesce(col("cv"), lit(0)))
+      val sets = flags.groupBy(col("hv"), col("hc"), col("hs"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
+      def v(a: Int, b: Int, c: Int) = coalesce(
+        max(when(col("hv") === a && col("hc") === b && col("hs") === c,
+          col("k").cast("double") / col("n"))), lit(0.0))
+      sets.agg(
+          v(0, 0, 0).as("v000"), v(1, 0, 0).as("v100"), v(0, 1, 0).as("v010"),
+          v(0, 0, 1).as("v001"), v(1, 1, 0).as("v110"), v(1, 0, 1).as("v101"),
+          v(0, 1, 1).as("v011"), v(1, 1, 1).as("v111"))
+        .select(
+          round((col("v010") - col("v000")) / 3 + (col("v110") - col("v100")) / 6 +
+            (col("v011") - col("v001")) / 6 + (col("v111") - col("v101")) / 3, 6)
+            .as("pc"),
+          round((col("v001") - col("v000")) / 3 + (col("v101") - col("v100")) / 6 +
+            (col("v011") - col("v010")) / 6 + (col("v111") - col("v110")) / 3, 6)
+            .as("ps"),
+          round((col("v100") - col("v000")) / 3 + (col("v110") - col("v010")) / 6 +
+            (col("v101") - col("v001")) / 6 + (col("v111") - col("v011")) / 3, 6)
+            .as("pv"))
+        .selectExpr(
+          "stack(3, 'click', pc, 'signup', ps, 'view', pv) AS (channel, shapley)")
+        .orderBy(col("channel"))
+    }),
+
     // Holt's LINEAR-TREND forecast backtest per series — the third member
     // of the forecasting trio (ts_forecast_snaive: seasonal baseline,
     // ts_ses_forecast: level-only smoothing, this: level + trend, the
@@ -631,6 +679,50 @@ object ShapeOps {
                 WHEN t_buy IS NULL OR t_buy <= t_click THEN 2
                 ELSE 3 END AS stage
          FROM firsts ORDER BY user_id""",
+    "attrib_shapley" ->
+      """WITH fp AS (
+           SELECT user_id, min(ts) AS tp FROM events
+           WHERE event_type = 'purchase' GROUP BY 1),
+         flags AS (
+           SELECT e.user_id,
+                  max(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+                  max(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END) AS hc,
+                  max(CASE WHEN e.event_type = 'signup' THEN 1 ELSE 0 END) AS hs
+           FROM events e LEFT JOIN fp USING (user_id)
+           WHERE e.event_type IN ('view', 'click', 'signup')
+             AND (fp.tp IS NULL OR e.ts < fp.tp)
+           GROUP BY 1),
+         fl AS (
+           SELECT f.hv, f.hc, f.hs,
+                  CASE WHEN fp.user_id IS NULL THEN 0 ELSE 1 END AS conv
+           FROM flags f LEFT JOIN fp USING (user_id)),
+         sets AS (
+           SELECT hv, hc, hs, count(1) AS n, sum(conv) AS k
+           FROM fl GROUP BY 1, 2, 3),
+         wide AS (
+           SELECT
+             coalesce(max(CASE WHEN hv=0 AND hc=0 AND hs=0 THEN CAST(k AS DOUBLE)/n END), 0.0) AS v000,
+             coalesce(max(CASE WHEN hv=1 AND hc=0 AND hs=0 THEN CAST(k AS DOUBLE)/n END), 0.0) AS v100,
+             coalesce(max(CASE WHEN hv=0 AND hc=1 AND hs=0 THEN CAST(k AS DOUBLE)/n END), 0.0) AS v010,
+             coalesce(max(CASE WHEN hv=0 AND hc=0 AND hs=1 THEN CAST(k AS DOUBLE)/n END), 0.0) AS v001,
+             coalesce(max(CASE WHEN hv=1 AND hc=1 AND hs=0 THEN CAST(k AS DOUBLE)/n END), 0.0) AS v110,
+             coalesce(max(CASE WHEN hv=1 AND hc=0 AND hs=1 THEN CAST(k AS DOUBLE)/n END), 0.0) AS v101,
+             coalesce(max(CASE WHEN hv=0 AND hc=1 AND hs=1 THEN CAST(k AS DOUBLE)/n END), 0.0) AS v011,
+             coalesce(max(CASE WHEN hv=1 AND hc=1 AND hs=1 THEN CAST(k AS DOUBLE)/n END), 0.0) AS v111
+           FROM sets)
+         SELECT channel, shapley FROM (
+           SELECT 'click' AS channel,
+                  round((v010 - v000)/3 + (v110 - v100)/6 + (v011 - v001)/6
+                        + (v111 - v101)/3, 6) AS shapley FROM wide
+           UNION ALL
+           SELECT 'signup',
+                  round((v001 - v000)/3 + (v101 - v100)/6 + (v011 - v010)/6
+                        + (v111 - v110)/3, 6) FROM wide
+           UNION ALL
+           SELECT 'view',
+                  round((v100 - v000)/3 + (v110 - v010)/6 + (v101 - v001)/6
+                        + (v111 - v011)/3, 6) FROM wide)
+         ORDER BY channel""",
     "ts_cumulative_distinct" ->
       """WITH fs AS (
            SELECT event_type, user_id, min(CAST(ts AS DATE)) AS day

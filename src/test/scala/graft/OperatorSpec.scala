@@ -3361,6 +3361,37 @@ class PropertySpec extends SparkSuite {
     assert(math.abs(rows((sa, sb)) - js) < 1e-4, s"JS(${sa},${sb}) ${rows((sa, sb))} vs $js")
   }
 
+  test("attrib_shapley: values replay the brute 3-player Shapley sum and are efficiency-consistent") {
+    val rows = q("attrib_shapley").collect().map(r =>
+      r.getString(0) -> r.getDouble(1)).toMap
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    val firstP = ev.filter(_._2 == "purchase").groupBy(_._1).view
+      .mapValues(_.map(_._3).minBy(_.getTime)).toMap
+    val flags = ev.filter(x => Set("view", "click", "signup")(x._2))
+      .filter(x => firstP.get(x._1).forall(tp => x._3.before(tp)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sets = flags.toSeq.groupBy(_._2).map { case (s, us) =>
+      s -> (us.size, us.count(u => firstP.contains(u._1)))
+    }
+    def v(s: Set[String]) =
+      sets.get(s).map { case (n, k) => k.toDouble / n }.getOrElse(0.0)
+    val players = Seq("click", "signup", "view")
+    players.foreach { p =>
+      val others = players.filterNot(_ == p)
+      val phi =
+        (v(Set(p)) - v(Set.empty)) / 3 +
+        (v(Set(p, others(0))) - v(Set(others(0)))) / 6 +
+        (v(Set(p, others(1))) - v(Set(others(1)))) / 6 +
+        (v(players.toSet) - v(others.toSet)) / 3
+      assert(math.abs(rows(p) - phi) < 1e-6, s"$p shapley ${rows(p)} vs $phi")
+    }
+    // efficiency: Shapley values sum to v(grand coalition) - v(empty)
+    val tot = rows.values.sum
+    assert(math.abs(tot - (v(players.toSet) - v(Set.empty))) < 1e-5, "efficiency")
+  }
+
   test("vec_spherical_kmeans: clusters replay the brute unit-sphere Lloyd rounds") {
     def g6(x: Double) = math.round(x * 1e6) / 1e6
     val vecs = graft.Tables.t(spark, sf, "embeddings")
