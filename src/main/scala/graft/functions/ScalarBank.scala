@@ -78,6 +78,29 @@ object ScalarBank {
     // boolean match, first-match-or-null — all codegen'd per-row
     // expressions (commons-compatible patterns only, so the Java and RE2
     // engines agree).
+    // URL parsing bank — the web-log/referrer primitive every ingest
+    // pipeline needs (and the sibling of url_canonicalize's dedup view):
+    // scheme/host/path/query-param extraction as plain regexes with the
+    // IDENTICAL pattern on both engines (Spark's parse_url has no DuckDB
+    // twin — regex extraction is the portable formulation and what runs
+    // inside codegen anyway). URLs synthesize deterministically per
+    // order (the text_pii_scrub appended-fixture precedent).
+    "fn_url" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("url", concat(lit("https://shop.example.com/"),
+          lower(col("o_orderpriority")), lit("/item?id="), col("o_orderkey"),
+          lit("&cust="), col("o_custkey")))
+        .select(col("o_orderkey"),
+          regexp_extract(col("url"), "^([a-z]+)://", 1).as("scheme"),
+          regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1).as("host"),
+          regexp_extract(col("url"), "^[a-z]+://[^/]+(/[^?]*)", 1).as("path"),
+          regexp_extract(col("url"), "[?&]id=([0-9]+)", 1).cast("bigint")
+            .as("q_id"),
+          regexp_extract(col("url"), "[?&]cust=([0-9]+)", 1).cast("bigint")
+            .as("q_cust"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "fn_regex" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -219,6 +242,19 @@ object ScalarBank {
     // DuckDB regexp_extract returns '' on no-match where Spark's
     // regexp_substr returns NULL — nullif aligns them ( \w+ patterns
     // cannot match empty, so '' is unambiguous)
+    "fn_url" ->
+      """WITH u AS (
+           SELECT o_orderkey,
+                  'https://shop.example.com/' || lower(o_orderpriority)
+                    || '/item?id=' || o_orderkey || '&cust=' || o_custkey AS url
+           FROM orders)
+         SELECT o_orderkey,
+                regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+                regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+                CAST(regexp_extract(url, '[?&]id=([0-9]+)', 1) AS BIGINT) AS q_id,
+                CAST(regexp_extract(url, '[?&]cust=([0-9]+)', 1) AS BIGINT) AS q_cust
+         FROM u ORDER BY o_orderkey""",
     "fn_regex" ->
       """SELECT doc_id,
          CAST(len(regexp_extract_all(text, 'ba\w+')) AS BIGINT) AS n_ba,

@@ -546,6 +546,36 @@ object EtlOps {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Ingestion-gap detection — the observability twin of
+    // etl_watermark_load: against the full hourly spine (global min..max
+    // hour × event type), which expected partitions arrived EMPTY? The
+    // backfill planner every scheduled pipeline runs before declaring a
+    // day complete. Spine = tiny type dim × a generated calendar
+    // sequence (ts_resample's spine precedent — never a fact-sized
+    // cross); the presence probe is one hour-grain LEFT join. Output is
+    // the per-type gap summary with first/last missing hour.
+    "etl_gap_detect" -> ((s, dir) => {
+      val e = events(s, dir)
+      val hourly = e.groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = e.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      val types = e.select(col("event_type")).distinct()
+      val spine = types.crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          expr("CAST((CAST(hi AS LONG) - CAST(lo AS LONG)) / 3600 AS BIGINT) + 1")
+            .as("n_expected"),
+          explode(expr("sequence(lo, hi, interval 1 hour)")).as("hr"))
+      spine.join(hourly, Seq("event_type", "hr"), "left")
+        .groupBy(col("event_type"))
+        .agg(max(col("n_expected")).as("n_expected_hours"),
+          count(when(col("n").isNull, 1)).as("n_missing_hours"),
+          min(when(col("n").isNull, col("hr"))).as("first_gap"),
+          max(when(col("n").isNull, col("hr"))).as("last_gap"))
+        .orderBy(col("event_type"))
+    }),
+
     // Incremental watermark extract — the batch-ETL counterpart of
     // stream_watermark and the missing third of the load kit beside
     // upsert_load (how rows land) and cdc_apply (how changes fold): a
@@ -778,6 +808,27 @@ object EtlOps {
            WHERE o_orderkey % 3 = 0)
          QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY _ingested_at DESC) = 1
          ORDER BY o_orderkey""",
+    "etl_gap_detect" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS hr, count(1) AS n
+           FROM events GROUP BY 1, 2),
+         b AS (
+           SELECT date_trunc('hour', min(ts)) AS lo,
+                  date_trunc('hour', max(ts)) AS hi
+           FROM events),
+         ty AS (SELECT DISTINCT event_type FROM events),
+         spine AS (
+           SELECT ty.event_type,
+                  CAST((epoch(hi) - epoch(lo)) / 3600 AS BIGINT) + 1 AS n_expected,
+                  unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+           FROM ty CROSS JOIN b)
+         SELECT s.event_type,
+                CAST(max(n_expected) AS BIGINT) AS n_expected_hours,
+                count(CASE WHEN h.n IS NULL THEN 1 END) AS n_missing_hours,
+                min(CASE WHEN h.n IS NULL THEN s.hr END) AS first_gap,
+                max(CASE WHEN h.n IS NULL THEN s.hr END) AS last_gap
+         FROM spine s LEFT JOIN hourly h USING (event_type, hr)
+         GROUP BY 1 ORDER BY 1""",
     "etl_watermark_load" ->
       """WITH wm AS (
            SELECT max(ts) AS wm FROM events

@@ -3361,6 +3361,33 @@ class PropertySpec extends SparkSuite {
     assert(math.abs(rows((sa, sb)) - js) < 1e-4, s"JS(${sa},${sb}) ${rows((sa, sb))} vs $js")
   }
 
+  test("fn_url: extracted parts replay the synthesis rule") {
+    val rows = q("fn_url").collect().take(50)
+    rows.foreach { r =>
+      assert(r.getString(1) === "https", "scheme")
+      assert(r.getString(2) === "shop.example.com", "host")
+      assert(r.getString(3).startsWith("/") && r.getString(3).contains("/item"), "path")
+      assert(r.getLong(4) === r.getLong(0), "q_id echoes the order key")
+    }
+  }
+
+  test("etl_gap_detect: per-type gap counts replay the brute hourly spine") {
+    val rows = q("etl_gap_detect").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), expr("CAST(date_trunc('hour', ts) AS LONG)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val lo = ev.map(_._2).min; val hi = ev.map(_._2).max
+    val expected = (hi - lo) / 3600 + 1
+    val present = ev.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    present.foreach { case (et, hrs) =>
+      val missing = (lo to hi by 3600L).count(h => !hrs(h))
+      val (ne, nm) = rows(et)
+      assert(ne === expected, s"$et expected hours")
+      assert(nm === missing.toLong, s"$et missing hours")
+    }
+  }
+
   test("attrib_shapley: values replay the brute 3-player Shapley sum and are efficiency-consistent") {
     val rows = q("attrib_shapley").collect().map(r =>
       r.getString(0) -> r.getDouble(1)).toMap
