@@ -555,13 +555,15 @@ object EtlOps {
     // cross); the presence probe is one hour-grain LEFT join. Output is
     // the per-type gap summary with first/last missing hour.
     "etl_gap_detect" -> ((s, dir) => {
-      val e = events(s, dir)
-      val hourly = e.groupBy(col("event_type"),
-          date_trunc("hour", col("ts")).as("hr"))
-        .agg(count(lit(1)).as("n"))
-      val bounds = e.agg(date_trunc("hour", min(col("ts"))).as("lo"),
-        date_trunc("hour", max(col("ts"))).as("hi"))
-      val types = e.select(col("event_type")).distinct()
+      // ONE fact pass: the pinned hour-grain rollup also supplies the
+      // calendar bounds (date_trunc is monotone, so min/max of truncated
+      // hours = truncated min/max ts) and the type dim — events never
+      // re-scans for either
+      val hourly = persistShared("gap_hourly", events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n")))
+      val bounds = hourly.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+      val types = hourly.select(col("event_type")).distinct()
       val spine = types.crossJoin(broadcast(bounds))
         .select(col("event_type"),
           expr("CAST((CAST(hi AS LONG) - CAST(lo AS LONG)) / 3600 AS BIGINT) + 1")

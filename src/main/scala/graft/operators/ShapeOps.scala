@@ -177,8 +177,11 @@ object ShapeOps {
     // weights are identical double trees.
     "attrib_shapley" -> ((s, dir) => {
       val e = events(s, dir)
-      val fp = e.filter(col("event_type") === "purchase")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
+      // the first-purchase frame feeds the touch filter AND the
+      // conversion label — pin it so the events scan under it runs once
+      val fp = persistShared("shapley_fp",
+        e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("tp")))
       val flags = e.join(fp, Seq("user_id"), "left")
         .filter(col("event_type").isin("view", "click", "signup") &&
           (col("tp").isNull || col("ts") < col("tp")))
