@@ -2751,6 +2751,51 @@ object AnalyticsOps {
           col("ci_lo"), col("ci_hi"))
     }),
 
+    // 2×2 odds ratio with its Woolf log CI — the effect-size companion
+    // the chi2/mcnemar tests lack (they say "associated", OR says "how
+    // strongly", the epidemiology/adtech standard): exposure = BUILDING
+    // vs MACHINERY, outcome = positive balance; OR = ad/bc from exact
+    // integer cells, CI = exp(ln OR ± 1.96·√(1/a+1/b+1/c+1/d)). The
+    // ln/exp pair is the accepted libm surface (feature_woe precedent);
+    // one fact pass to four integers.
+    "stat_odds_ratio" -> ((s, dir) => {
+      val m = t(s, dir, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .agg(
+          count(when(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 0, 1)).as("a"),
+          count(when(col("c_mktsegment") === "BUILDING" && !(col("c_acctbal") > 0), 1)).as("b"),
+          count(when(col("c_mktsegment") === "MACHINERY" && col("c_acctbal") > 0, 1)).as("c"),
+          count(when(col("c_mktsegment") === "MACHINERY" && !(col("c_acctbal") > 0), 1)).as("d"))
+      val or = (col("a").cast("double") * col("d")) / (col("b").cast("double") * col("c"))
+      val se = sqrt(lit(1.0) / col("a") + lit(1.0) / col("b") +
+        lit(1.0) / col("c") + lit(1.0) / col("d"))
+      m.select(col("a"), col("b"), col("c"), col("d"),
+        round(or, 6).as("odds_ratio"),
+        round(exp(log(or) - lit(1.96) * se), 6).as("ci_lo"),
+        round(exp(log(or) + lit(1.96) * se), 6).as("ci_hi"))
+    }),
+
+    // l-diversity audit over the nation quasi-identifier with segment as
+    // the sensitive attribute — gdpr_k_anonymity's companion (k bounds
+    // group SIZE; l bounds how much a group leaks: a 1-diverse group
+    // reveals every member's sensitive value even at k = 1000). One
+    // fact-sized agg to the (QI, sensitive) grain, then QI-grain distinct
+    // counts and the summary fold — all integers, engine-exact.
+    "gdpr_l_diversity" -> ((s, dir) => {
+      val g = t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("c_mktsegment")).as("l"))
+      g.agg(count(lit(1)).as("n_groups"),
+          sum(col("n")).as("n_rows"),
+          min(col("l")).as("achieved_l"),
+          count(when(col("l") < 3, 1)).as("n_groups_below_3"),
+          coalesce(sum(when(col("l") < 3, col("n"))), lit(0L))
+            .as("n_rows_at_risk"))
+        .withColumn("satisfies_l3",
+          when(col("achieved_l") >= 3, 1).otherwise(0))
+    }),
+
     // Kruskal–Wallis H across ALL segments — the k-sample member that
     // completes the nonparametric grid (mannwhitney: unpaired 2,
     // wilcoxon: paired 2, this: unpaired k; friedman: paired k): does
@@ -4900,6 +4945,35 @@ object AnalyticsOps {
                 round((r12 - CAST(n_pos AS DOUBLE) * (n_pos + 1)) /
                       (2.0 * CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
          FROM m ORDER BY grp""",
+    "stat_odds_ratio" ->
+      """WITH m AS (
+           SELECT
+             count(CASE WHEN c_mktsegment = 'BUILDING' AND c_acctbal > 0 THEN 1 END) AS a,
+             count(CASE WHEN c_mktsegment = 'BUILDING' AND NOT (c_acctbal > 0) THEN 1 END) AS b,
+             count(CASE WHEN c_mktsegment = 'MACHINERY' AND c_acctbal > 0 THEN 1 END) AS c,
+             count(CASE WHEN c_mktsegment = 'MACHINERY' AND NOT (c_acctbal > 0) THEN 1 END) AS d
+           FROM customer
+           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY'))
+         SELECT a, b, c, d,
+                round(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 6) AS odds_ratio,
+                round(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                      - 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)), 6) AS ci_lo,
+                round(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                      + 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)), 6) AS ci_hi
+         FROM m""",
+    "gdpr_l_diversity" ->
+      """WITH g AS (
+           SELECT c_nationkey, count(1) AS n,
+                  count(DISTINCT c_mktsegment) AS l
+           FROM customer GROUP BY 1)
+         SELECT count(1) AS n_groups,
+                CAST(sum(n) AS BIGINT) AS n_rows,
+                CAST(min(l) AS BIGINT) AS achieved_l,
+                count(CASE WHEN l < 3 THEN 1 END) AS n_groups_below_3,
+                CAST(coalesce(sum(CASE WHEN l < 3 THEN n END), 0) AS BIGINT)
+                  AS n_rows_at_risk,
+                CAST(CASE WHEN min(l) >= 3 THEN 1 ELSE 0 END AS INT) AS satisfies_l3
+         FROM g""",
     "stat_kruskal_wallis" ->
       """WITH c AS (
            SELECT c_mktsegment AS seg, c_acctbal AS v FROM customer),

@@ -351,6 +351,38 @@ object ShapeOps {
           round(max(col("du")) / 1000000.0, 6).as("max_s"))
     }),
 
+    // Inter-purchase cadence — seq_funnel_time's repeat-purchase sibling
+    // (that measures first view → first purchase; this measures purchase
+    // → NEXT purchase, the replenishment-cycle signal behind churn and
+    // send-time models): per-user consecutive purchase gaps via one lag
+    // window over the purchase-only slice (ordered by the unique
+    // (ts, event_id) total order), exact integer-µs deltas, summary as
+    // exact rank order statistics (no interpolated percentiles — the
+    // stat_levene lower-median discipline). The ranked frame is gap-
+    // grain (≪ fact at any scale).
+    "seq_interpurchase_stats" -> ((s, dir) => {
+      val p = events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tu"))
+      val wU = Window.partitionBy(col("user_id"))
+        .orderBy(col("tu"), col("event_id"))
+      val gaps = p.withColumn("prev", lag(col("tu"), 1).over(wU))
+        .filter(col("prev").isNotNull)
+        .select(col("user_id"), (col("tu") - col("prev")).as("du"))
+      val wG = Window.orderBy(col("du"), col("user_id"))
+      val wAll = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      gaps.withColumn("rn", row_number().over(wG))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .agg(max(col("n")).as("n_gaps"),
+          countDistinct(col("user_id")).as("n_repeat_users"),
+          round(min(col("du")) / 1000000.0, 6).as("min_s"),
+          round(max(when(col("rn") === expr("(n + 1) div 2"), col("du")))
+            / 1000000.0, 6).as("p50_s"),
+          round(max(when(col("rn") === expr("(9 * n + 9) div 10"), col("du")))
+            / 1000000.0, 6).as("p90_s"),
+          round(max(col("du")) / 1000000.0, 6).as("max_s"))
+    }),
+
     // First-order Markov transition matrix over per-user event sequences
     // (the model behind next-action prediction and session simulation):
     // one lead() window per user (ordered by the unique (ts, event_id)
@@ -808,6 +840,30 @@ object ShapeOps {
                 round(st[2], 6) AS p_var,
                 round(st[3] / (len(vs) - 1), 6) AS innovation_mae
          FROM f ORDER BY event_type""",
+    "seq_interpurchase_stats" ->
+      """WITH p AS (
+           SELECT user_id, event_id, epoch_us(ts) AS tu FROM events
+           WHERE event_type = 'purchase'),
+         g AS (
+           SELECT user_id,
+                  tu - lag(tu) OVER (PARTITION BY user_id
+                    ORDER BY tu, event_id) AS du
+           FROM p),
+         gg AS (SELECT user_id, du FROM g WHERE du IS NOT NULL),
+         rk AS (
+           SELECT user_id, du,
+                  row_number() OVER (ORDER BY du, user_id) AS rn,
+                  count(1) OVER () AS n
+           FROM gg)
+         SELECT max(n) AS n_gaps,
+                count(DISTINCT user_id) AS n_repeat_users,
+                round(min(du) / 1000000.0, 6) AS min_s,
+                round(max(CASE WHEN rn = (n + 1) // 2 THEN du END)
+                  / 1000000.0, 6) AS p50_s,
+                round(max(CASE WHEN rn = (9 * n + 9) // 10 THEN du END)
+                  / 1000000.0, 6) AS p90_s,
+                round(max(du) / 1000000.0, 6) AS max_s
+         FROM rk""",
     "seq_funnel_time" ->
       """WITH fv AS (
            SELECT user_id, min(ts) AS tv FROM events

@@ -3361,6 +3361,58 @@ class PropertySpec extends SparkSuite {
     assert(math.abs(rows((sa, sb)) - js) < 1e-4, s"JS(${sa},${sb}) ${rows((sa, sb))} vs $js")
   }
 
+  test("stat_odds_ratio: OR and CI replay the brute 2x2 cells") {
+    val r = q("stat_odds_ratio").collect().head
+    val rows = graft.Tables.t(spark, sf, "customer")
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_mktsegment"), col("c_acctbal")).collect()
+      .map(x => (x.getString(0) == "BUILDING", x.getDouble(1) > 0))
+    val a = rows.count(x => x._1 && x._2).toDouble
+    val b = rows.count(x => x._1 && !x._2).toDouble
+    val c = rows.count(x => !x._1 && x._2).toDouble
+    val d = rows.count(x => !x._1 && !x._2).toDouble
+    val or = a * d / (b * c)
+    val se = math.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((a.toLong, b.toLong, c.toLong, d.toLong)))
+    assert(math.abs(r.getDouble(4) - or) < 1e-6, "OR")
+    assert(math.abs(r.getDouble(5) - math.exp(math.log(or) - 1.96 * se)) < 1e-5, "ci_lo")
+    assert(math.abs(r.getDouble(6) - math.exp(math.log(or) + 1.96 * se)) < 1e-5, "ci_hi")
+    assert(r.getDouble(5) < r.getDouble(4) && r.getDouble(4) < r.getDouble(6))
+  }
+
+  test("gdpr_l_diversity: summary replays brute per-nation distinct-segment counts") {
+    val r = q("gdpr_l_diversity").collect().head
+    val rows = graft.Tables.t(spark, sf, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment")).collect()
+      .map(x => (x.getInt(0), x.getString(1)))
+    val byN = rows.groupBy(_._1)
+    val ls = byN.view.mapValues(xs => (xs.size, xs.map(_._2).distinct.size)).toMap
+    assert(r.getLong(0) === byN.size.toLong, "n_groups")
+    assert(r.getLong(1) === rows.length.toLong, "n_rows")
+    assert(r.getLong(2) === ls.values.map(_._2).min.toLong, "achieved_l")
+    assert(r.getLong(3) === ls.values.count(_._2 < 3).toLong, "groups below 3")
+    assert(r.getLong(4) === ls.values.filter(_._2 < 3).map(_._1.toLong).sum, "rows at risk")
+  }
+
+  test("seq_interpurchase_stats: order statistics replay brute per-user purchase gaps") {
+    val r = q("seq_interpurchase_stats").collect().head
+    val p = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val gaps: Seq[(Long, Long)] = p.groupBy(_._1).toSeq.flatMap { case (u, xs) =>
+      val ts = xs.sortBy(x => (x._3, x._2)).map(_._3)
+      ts.zip(ts.drop(1)).map { case (a, b) => (u, b - a) }
+    }
+    val sorted = gaps.sortBy(x => (x._2, x._1)).map(_._2)
+    val n = sorted.length
+    assert(r.getLong(0) === n.toLong, "n_gaps")
+    assert(r.getLong(1) === gaps.map(_._1).distinct.length.toLong, "repeat users")
+    assert(math.abs(r.getDouble(3) - sorted((n + 1) / 2 - 1) / 1e6) < 1e-6, "p50")
+    assert(math.abs(r.getDouble(4) - sorted((9 * n + 9) / 10 - 1) / 1e6) < 1e-6, "p90")
+  }
+
   test("fn_url: extracted parts replay the synthesis rule") {
     val rows = q("fn_url").collect().take(50)
     rows.foreach { r =>
