@@ -479,6 +479,27 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("ObjectHashAggregate"), p.take(3000))
   }
 
+  test("round-10 ops keep their claimed shapes: artifact reuse, no stray windows, spine broadcasts") {
+    // graph_closeness_sample and graph_ktruss consume the memoized
+    // all-pairs artifact — zero file scans may appear in their live plans
+    // (the pair-build ran once inside the artifact build)
+    for (name <- Seq("graph_closeness_sample", "graph_ktruss")) {
+      val p = q(name).queryExecution.executedPlan.toString
+      assert(!p.contains("FileScan"), s"$name re-scans the fact:\n${p.take(2000)}")
+    }
+    // eval_pr_auc's only sort is the per-group rank window + presentation
+    // order — no global row-grain range shuffle beyond them
+    val pr = q("eval_pr_auc").queryExecution.executedPlan.toString
+    assert("Exchange rangepartitioning".r.findAllIn(pr).size <= 1, pr.take(2500))
+    // win_time_range: exactly the one user-hash exchange feeds the frame
+    val wt = q("win_time_range").queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(wt).nonEmpty, wt.take(2000))
+    // attrib_shapley's whole game collapses to single-row aggregates after
+    // the set grain — no rank window anywhere
+    val sh = q("attrib_shapley").queryExecution.executedPlan.toString
+    assert(!sh.contains("Window"), sh.take(2500))
+  }
+
   test("round-6 text/vector ops keep their minimal shuffle shapes") {
     def hashExchanges(name: String): Int =
       "Exchange hashpartitioning\\(".r.findAllIn(plan(name)).size
