@@ -2669,6 +2669,93 @@ object AnalyticsOps {
         .orderBy(col("event_type"), col("period"))
     }),
 
+    // Spectral entropy per event series — HOW CONCENTRATED is the
+    // spectrum ts_periodogram ranks: H = −Σ q·ln q over the normalized
+    // candidate-period powers (q = P/ΣP), scaled by ln 13 to [0,1]
+    // (0 = one pure tone, 1 = white noise — the "is there ANY dominant
+    // cycle" screen before trusting the periodogram's top-3). Powers are
+    // the same 6-dp-gridded decimal-summed A²+B² as ts_periodogram; each
+    // −q·ln q term is gridded before the order-free decimal fold (ln is
+    // the accepted libm surface, feature_woe precedent) and ln 13 is
+    // EMBEDDED as an exact double literal — no libm call on the
+    // normalizer. The 13-row-per-series frame is calendar-bounded; the
+    // fact is touched once for the day rollup.
+    "ts_spectral_entropy" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val td = daily.withColumn("t",
+        row_number().over(Window.partitionBy(col("event_type")).orderBy(col("day"))))
+      val ang = col("t").cast("double") * (lit(2.0) * lit(math.Pi)) / col("p")
+      // 13 rows per series — persisted because the total-power agg and
+      // the per-period q join both consume it (r10 scan lint)
+      val pw = persistShared("spec_pw", td
+        .withColumn("p", explode(sequence(lit(2), lit(14))))
+        .withColumn("ca", round(col("c") * cos(ang), 6))
+        .withColumn("sa", round(col("c") * sin(ang), 6))
+        .groupBy(col("event_type"), col("p"))
+        .agg(sum(dec(col("ca"))).cast("double").as("aa"),
+          sum(dec(col("sa"))).cast("double").as("bb"))
+        .select(col("event_type"), col("p"),
+          round(col("aa") * col("aa") + col("bb") * col("bb"), 6).as("power")))
+      val tot = pw.groupBy(col("event_type"))
+        .agg(sum(dec(col("power"))).cast("double").as("ptot"))
+      val q = col("power") / col("ptot")
+      pw.join(tot, Seq("event_type"))
+        .select(col("event_type"),
+          when(q > 0, round(-q * log(q), 6)).otherwise(lit(0.0)).as("term"),
+          round(q, 6).as("q6"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_periods"),
+          round(sum(dec(col("term"))).cast("double") /
+            lit(2.5649493574615367), 6).as("spectral_entropy"),
+          max(col("q6")).as("max_share"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Durbin–Watson on the detrended daily series — IS THE TREND MODEL
+    // ENOUGH: after stat_linreg's OLS line, do residuals still drag
+    // serial correlation (DW → 0: positive autocorr, the "your i.i.d.
+    // assumption is wrong" alarm every forecasting/AB pipeline checks
+    // before trusting standard errors)? Moments are exact integers
+    // (t = day index, c = count), slope/intercept are 6-dp-gridded ONCE
+    // and reused, so residuals are identical double trees on both
+    // engines; e² and Δe² are gridded per-element and decimal-summed
+    // (order-free), DW = one division. The day frame is calendar-bounded;
+    // the fact is touched once for the rollup.
+    "stat_durbin_watson" -> ((s, dir) => {
+      val daily = persistShared("dw_daily", events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c")))
+      val td = daily.withColumn("t",
+        row_number().over(Window.partitionBy(col("event_type")).orderBy(col("day"))))
+      val m = td.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("t")).as("sx"), sum(col("c")).as("sy"),
+          sum(col("t") * col("t")).as("sxx"),
+          sum(col("t") * col("c")).as("sxy"))
+        .select(col("event_type"), col("n"), col("sx"), col("sy"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"))
+        .select(col("event_type"), col("n"), col("slope"),
+          round((col("sy").cast("double") - col("slope") * col("sx")) / col("n"), 6)
+            .as("icept"))
+      val e = td.join(m, Seq("event_type"))
+        .select(col("event_type"), col("day"), col("n"), col("slope"),
+          (col("c") - col("icept") - col("slope") * col("t")).as("e"))
+      val wL = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      e.withColumn("ep", lag(col("e"), 1).over(wL))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_days"), max(col("slope")).as("slope"),
+          sum(dec(round(col("e") * col("e"), 6))).cast("double").as("see"),
+          sum(dec(round((col("e") - col("ep")) * (col("e") - col("ep")), 6)))
+            .cast("double").as("sdd"))
+        .select(col("event_type"), col("n_days"), col("slope"),
+          round(col("sdd") / col("see"), 6).as("dw"),
+          round(lit(1.0) - col("sdd") / col("see") / 2, 6).as("rho_approx"))
+        .orderBy(col("event_type"))
+    }),
+
     // Mann–Kendall trend test per event series — the nonparametric "is
     // this metric actually drifting or just noisy" screen (the Kendall
     // sibling of ts_changepoint's "where did it shift"). S = Σ_{i<j}
@@ -3460,6 +3547,123 @@ object AnalyticsOps {
           round(sum(col("nd6")).cast("double") /
             (count(lit(1)) * lit(1000000.0)), 6).as("mean_ndcg"))
         .orderBy(col("segment"))
+    }),
+
+    // MRR@10 per segment — the "how soon does the FIRST hit appear"
+    // ranking eval (navigational quality; NDCG weighs the whole list,
+    // MRR only the first relevant position — the standard pair for
+    // retrieval dashboards). Relevance = repeat purchase (n ≥ 2), model
+    // order = the repo's masked Knuth-hash permutation, so both engines
+    // replay the identical ranking. Reciprocal ranks are EXACT MICRO-UNIT
+    // LITERALS (⌊1e6/k⌉, k ≤ 10): per-user RR is an integer lookup, the
+    // segment mean one integer sum + division. Shape: ONE bounded-heap
+    // pass (CollectTopK) — no rank window, no per-user full sort; the
+    // first-hit position is an array_position over the 10-element heap
+    // array. O(n log 10) with map-side partial merge at any scale.
+    "eval_mrr" -> ((s, dir) => {
+      import org.apache.spark.sql.catalyst.expressions.aggregate.GraftTopK
+      import org.apache.spark.sql.graftbridge.Bridge
+      val ui = userPartPurchases(s, dir)
+        .select(col("u"), col("p"),
+          when(col("n") >= 2, 1).otherwise(0).as("r"))
+        .withColumn("hv", expr(
+          "((u % 2147483648) * 1000003 + p) % 2147483648 * 2654435761 % 2147483648"))
+      val top10 = Bridge.column(GraftTopK
+        .collectTopK(Bridge.expression(
+          struct(col("hv").as("h"), col("p").as("p"), col("r").as("r"))), 10,
+          reverse = true)
+        .toAggregateExpression())
+      ui.groupBy(col("u"))
+        .agg(top10.as("td"))
+        .select(col("u"),
+          expr("array_position(transform(td, x -> x.r), 1)").as("idx"))
+        .select(col("u"), expr(
+          "CASE WHEN idx = 0 THEN CAST(0 AS BIGINT) ELSE element_at(" +
+            "array(1000000L, 500000L, 333333L, 250000L, 200000L, " +
+            "166667L, 142857L, 125000L, 111111L, 100000L), " +
+            "CAST(idx AS INT)) END").as("rr6"))
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey").as("u"), col("c_mktsegment").as("segment")), Seq("u"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_users"),
+          round(sum(col("rr6")).cast("double") /
+            (count(lit(1)) * lit(1000000.0)), 6).as("mean_rr"))
+        .orderBy(col("segment"))
+    }),
+
+    // MAP@10 per segment — the precision-oriented third leg of the
+    // ranking-eval tripod (NDCG: graded gain, MRR: first hit, MAP: ALL
+    // hits weighted by how early they appear). Same artifact, same hash
+    // permutation, same bounded-heap top-10 (the per-user relevant total
+    // R rides in the SAME groupBy — no second pass). Each precision@k
+    // term is 6-dp-gridded to integer micro-units (round(cum·1e6/k)),
+    // AP = Σterms/min(R,10) gridded once more, so the segment mean is an
+    // order-free integer sum. The k ≤ 10 slice-sums are O(k²) = 100
+    // array ops per user — constant, codegen'd, shuffle-free.
+    "eval_map" -> ((s, dir) => {
+      import org.apache.spark.sql.catalyst.expressions.aggregate.GraftTopK
+      import org.apache.spark.sql.graftbridge.Bridge
+      val ui = userPartPurchases(s, dir)
+        .select(col("u"), col("p"),
+          when(col("n") >= 2, 1).otherwise(0).as("r"))
+        .withColumn("hv", expr(
+          "((u % 2147483648) * 1000003 + p) % 2147483648 * 2654435761 % 2147483648"))
+      val top10 = Bridge.column(GraftTopK
+        .collectTopK(Bridge.expression(
+          struct(col("hv").as("h"), col("p").as("p"), col("r").as("r"))), 10,
+          reverse = true)
+        .toAggregateExpression())
+      ui.groupBy(col("u"))
+        .agg(top10.as("td"), sum(col("r")).as("rtot"))
+        .select(col("u"), col("rtot"),
+          expr("aggregate(transform(transform(td, x -> x.r), (x, i) -> " +
+            "x * CAST(round(aggregate(slice(transform(td, y -> y.r), 1, i + 1), " +
+            "0, (a, b) -> a + b) * 1000000.0 / (i + 1), 0) AS BIGINT)), " +
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("tsum"))
+        .select(col("u"),
+          coalesce(expr(
+            "CAST(round(CAST(tsum AS DOUBLE) / nullif(least(rtot, 10), 0), 0) AS BIGINT)"),
+            lit(0L)).as("ap6"))
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey").as("u"), col("c_mktsegment").as("segment")), Seq("u"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_users"),
+          round(sum(col("ap6")).cast("double") /
+            (count(lit(1)) * lit(1000000.0)), 6).as("mean_ap"))
+        .orderBy(col("segment"))
+    }),
+
+    // Cohen's kappa between the repo's two deterministic hash scorers —
+    // chance-corrected inter-rater agreement (stat_mcnemar asks "do they
+    // DISAGREE asymmetrically vs truth"; kappa asks "do they AGREE more
+    // than chance", the label-quality metric every annotation pipeline
+    // reports). All four cells are exact integer counts from one fact
+    // pass; kappa is computed from the EXACT integer cross-multiply
+    // (n·(a+d) − Σmarginals) / (n² − Σmarginals) — one double division,
+    // not a ratio of two pre-rounded ratios.
+    "eval_cohens_kappa" -> ((s, dir) => {
+      val sc = (mult: Long) => (((col("c_custkey") % lit(2147483648L)) * lit(mult))
+        % lit(2147483648L) % 1000)
+      val b = t(s, dir, "customer").select(
+        when(sc(2654435761L) >= 500, 1).otherwise(0).as("pa"),
+        when(sc(1315423911L) >= 500, 1).otherwise(0).as("pb"))
+      b.agg(count(lit(1)).as("n"),
+          count(when(col("pa") === 1 && col("pb") === 1, 1)).as("a"),
+          count(when(col("pa") === 1 && col("pb") === 0, 1)).as("b"),
+          count(when(col("pa") === 0 && col("pb") === 1, 1)).as("c"),
+          count(when(col("pa") === 0 && col("pb") === 0, 1)).as("d"))
+        .select(col("n"), col("a"), col("b"), col("c"), col("d"),
+          round((col("a") + col("d")).cast("double") / col("n"), 6).as("po"),
+          round(((col("a") + col("b")) * (col("a") + col("c")) +
+            (col("c") + col("d")) * (col("b") + col("d"))).cast("double") /
+            (col("n") * col("n")), 6).as("pe"),
+          round((col("n") * (col("a") + col("d")) -
+            ((col("a") + col("b")) * (col("a") + col("c")) +
+             (col("c") + col("d")) * (col("b") + col("d")))).cast("double") /
+            nullif(col("n") * col("n") -
+              ((col("a") + col("b")) * (col("a") + col("c")) +
+               (col("c") + col("d")) * (col("b") + col("d"))), lit(0L)), 6)
+            .as("kappa"))
     }),
 
     // Partial autocorrelation (lags 1–3) per event series — WHICH AR
@@ -5235,6 +5439,87 @@ object AnalyticsOps {
            FROM m)
          SELECT event_type, CAST(p AS BIGINT) AS period, power
          FROM r WHERE rk <= 3 ORDER BY event_type, period""",
+    "ts_spectral_entropy" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         td AS (
+           SELECT event_type, c,
+                  row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+           FROM daily),
+         e AS (
+           SELECT event_type, c, t, CAST(p.range AS INTEGER) AS p
+           FROM td CROSS JOIN range(2, 15) p),
+         terms AS (
+           SELECT event_type, p,
+                  round(c * cos(CAST(t AS DOUBLE) * (2.0 * pi()) / p), 6) AS ca,
+                  round(c * sin(CAST(t AS DOUBLE) * (2.0 * pi()) / p), 6) AS sa
+           FROM e),
+         m AS (
+           SELECT event_type, p,
+                  CAST(sum(CAST(ca AS DECIMAL(18,6))) AS DOUBLE) AS aa,
+                  CAST(sum(CAST(sa AS DECIMAL(18,6))) AS DOUBLE) AS bb
+           FROM terms GROUP BY 1, 2),
+         pw AS (
+           SELECT event_type, p, round(aa * aa + bb * bb, 6) AS power FROM m),
+         tot AS (
+           SELECT event_type,
+                  CAST(sum(CAST(power AS DECIMAL(18,6))) AS DOUBLE) AS ptot
+           FROM pw GROUP BY 1),
+         qq AS (
+           SELECT pw.event_type,
+                  CASE WHEN power / ptot > 0
+                       THEN round(-(power / ptot) * ln(power / ptot), 6)
+                       ELSE 0.0 END AS term,
+                  round(power / ptot, 6) AS q6
+           FROM pw JOIN tot ON pw.event_type = tot.event_type)
+         SELECT event_type, count(1) AS n_periods,
+                round(CAST(sum(CAST(term AS DECIMAL(18,6))) AS DOUBLE)
+                      / 2.5649493574615367, 6) AS spectral_entropy,
+                max(q6) AS max_share
+         FROM qq GROUP BY 1 ORDER BY 1""",
+    "stat_durbin_watson" ->
+      """WITH daily AS MATERIALIZED (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         td AS (
+           SELECT event_type, day, c,
+                  row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+           FROM daily),
+         m AS (
+           SELECT event_type, count(1) AS n,
+                  CAST(sum(t) AS BIGINT) AS sx, CAST(sum(c) AS BIGINT) AS sy,
+                  CAST(sum(t * t) AS BIGINT) AS sxx,
+                  CAST(sum(t * c) AS BIGINT) AS sxy
+           FROM td GROUP BY 1),
+         f AS (
+           SELECT event_type, n, sx, sy,
+                  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                        (n * sxx - sx * sx), 6) AS slope
+           FROM m),
+         f2 AS (
+           SELECT event_type, n, slope,
+                  round((CAST(sy AS DOUBLE) - slope * sx) / n, 6) AS icept
+           FROM f),
+         e AS (
+           SELECT td.event_type, day, n, slope,
+                  c - icept - slope * t AS e
+           FROM td JOIN f2 ON td.event_type = f2.event_type),
+         l AS (
+           SELECT event_type, n, slope, e,
+                  lag(e) OVER (PARTITION BY event_type ORDER BY day) AS ep
+           FROM e),
+         g AS (
+           SELECT event_type, max(n) AS n_days, max(slope) AS slope,
+                  CAST(sum(CAST(round(e * e, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                    AS see,
+                  CAST(sum(CAST(round((e - ep) * (e - ep), 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) AS sdd
+           FROM l GROUP BY 1)
+         SELECT event_type, n_days, slope,
+                round(sdd / see, 6) AS dw,
+                round(1.0 - sdd / see / 2, 6) AS rho_approx
+         FROM g ORDER BY event_type""",
     "ts_trend_mannkendall" ->
       """WITH daily AS MATERIALIZED (
            SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS c
@@ -5659,6 +5944,78 @@ object AnalyticsOps {
                 round(CAST(sum(nd6) AS DOUBLE) / (count(1) * 1000000.0), 6) AS mean_ndcg
          FROM nd JOIN customer ON c_custkey = u
          GROUP BY 1 ORDER BY 1""",
+    "eval_mrr" ->
+      """WITH ui AS (
+           SELECT o_custkey AS u, l_partkey AS p,
+                  CASE WHEN count(1) >= 2 THEN 1 ELSE 0 END AS r
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+         h AS (SELECT u, p, r,
+                      (((u % 2147483648) * 1000003 + p) % 2147483648
+                       * 2654435761) % 2147483648 AS hv
+               FROM ui),
+         rm AS (SELECT u, r, row_number() OVER (PARTITION BY u ORDER BY hv, p) AS rn
+                FROM h),
+         f AS (SELECT u, min(CASE WHEN r = 1 AND rn <= 10 THEN rn END) AS fr
+               FROM rm GROUP BY u),
+         rr AS (SELECT u, CASE fr WHEN 1 THEN 1000000 WHEN 2 THEN 500000
+                  WHEN 3 THEN 333333 WHEN 4 THEN 250000 WHEN 5 THEN 200000
+                  WHEN 6 THEN 166667 WHEN 7 THEN 142857 WHEN 8 THEN 125000
+                  WHEN 9 THEN 111111 WHEN 10 THEN 100000 ELSE 0 END AS rr6
+                FROM f)
+         SELECT c_mktsegment AS segment, count(1) AS n_users,
+                round(CAST(sum(rr6) AS DOUBLE) / (count(1) * 1000000.0), 6) AS mean_rr
+         FROM rr JOIN customer ON c_custkey = u
+         GROUP BY 1 ORDER BY 1""",
+    "eval_map" ->
+      """WITH ui AS (
+           SELECT o_custkey AS u, l_partkey AS p,
+                  CASE WHEN count(1) >= 2 THEN 1 ELSE 0 END AS r
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+         h AS (SELECT u, p, r,
+                      (((u % 2147483648) * 1000003 + p) % 2147483648
+                       * 2654435761) % 2147483648 AS hv
+               FROM ui),
+         rm AS (SELECT u, r, row_number() OVER (PARTITION BY u ORDER BY hv, p) AS rn
+                FROM h),
+         cum AS (SELECT u, r, rn,
+                        sum(r) OVER (PARTITION BY u ORDER BY rn) AS ch
+                 FROM rm WHERE rn <= 10),
+         tm AS (SELECT u,
+                       CAST(coalesce(sum(CASE WHEN r = 1 THEN
+                         CAST(round(ch * 1000000.0 / rn, 0) AS BIGINT) END), 0)
+                         AS BIGINT) AS tsum
+                FROM cum GROUP BY u),
+         rt AS (SELECT u, CAST(sum(r) AS BIGINT) AS rtot FROM rm GROUP BY u),
+         ap AS (SELECT tm.u,
+                       coalesce(CAST(round(CAST(tsum AS DOUBLE) /
+                         nullif(least(rtot, 10), 0), 0) AS BIGINT), 0) AS ap6
+                FROM tm JOIN rt ON tm.u = rt.u)
+         SELECT c_mktsegment AS segment, count(1) AS n_users,
+                round(CAST(sum(ap6) AS DOUBLE) / (count(1) * 1000000.0), 6) AS mean_ap
+         FROM ap JOIN customer ON c_custkey = u
+         GROUP BY 1 ORDER BY 1""",
+    "eval_cohens_kappa" ->
+      """WITH b AS (
+           SELECT CASE WHEN ((c_custkey % 2147483648) * 2654435761)
+                         % 2147483648 % 1000 >= 500 THEN 1 ELSE 0 END AS pa,
+                  CASE WHEN ((c_custkey % 2147483648) * 1315423911)
+                         % 2147483648 % 1000 >= 500 THEN 1 ELSE 0 END AS pb
+           FROM customer),
+         m AS (SELECT count(1) AS n,
+                      count(CASE WHEN pa = 1 AND pb = 1 THEN 1 END) AS a,
+                      count(CASE WHEN pa = 1 AND pb = 0 THEN 1 END) AS b,
+                      count(CASE WHEN pa = 0 AND pb = 1 THEN 1 END) AS c,
+                      count(CASE WHEN pa = 0 AND pb = 0 THEN 1 END) AS d
+               FROM b)
+         SELECT n, a, b, c, d,
+                round(CAST(a + d AS DOUBLE) / n, 6) AS po,
+                round(CAST((a + b) * (a + c) + (c + d) * (b + d) AS DOUBLE)
+                      / (n * n), 6) AS pe,
+                round(CAST(n * (a + d) - ((a + b) * (a + c) + (c + d) * (b + d))
+                      AS DOUBLE)
+                      / nullif(n * n - ((a + b) * (a + c) + (c + d) * (b + d)), 0),
+                      6) AS kappa
+         FROM m""",
     "ts_pacf" ->
       """WITH daily AS (
            SELECT event_type AS et, ts::DATE AS day, count(1) AS c FROM events GROUP BY 1, 2),

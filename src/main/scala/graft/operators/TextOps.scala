@@ -202,6 +202,30 @@ object TextOps {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // FORCAST readability per doc — the readability formula built for
+    // NON-PROSE text (forms, listings, technical fragments): grade =
+    // 20 − 15·(monosyllabic words / words). Chosen deliberately over
+    // Flesch/ARI, which need sentence boundaries this corpus does not
+    // have (zero [.!?] in the generator's output — measured, not
+    // assumed). Syllables are the standard vowel-group heuristic
+    // ([aeiouy]+ runs), exact and engine-identical as a regexp count.
+    // Pure scan-grain map work — no shuffle, no UDF, all codegen'd
+    // string built-ins; at 100 TB this is embarrassingly parallel.
+    "text_readability" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("toks", filter(split(lower(col("text")), " "), x => x =!= ""))
+        .withColumn("n_words", size(col("toks")).cast("long"))
+        .withColumn("n_syllables",
+          expr("CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS BIGINT)"))
+        .withColumn("n_mono",
+          expr("CAST(size(filter(toks, t -> " +
+            "size(regexp_extract_all(t, '[aeiouy]+', 0)) = 1)) AS BIGINT)"))
+        .select(col("doc_id"), col("n_words"), col("n_syllables"), col("n_mono"),
+          r6(col("n_syllables").cast("double") / col("n_words")).as("syll_per_word"),
+          r6(lit(20.0) - lit(15.0) * col("n_mono") / col("n_words")).as("forcast_grade"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_quality" -> ((s, dir) => {
       val stopArr = array(stop.map(lit): _*)
       t(s, dir, "documents")
@@ -1272,6 +1296,25 @@ object TextOps {
          round(CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / count(1), 6) AS avg_chars,
          min(n_chars) AS min_chars, max(n_chars) AS max_chars
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "text_readability" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+                  lower(text) AS lt
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+                  CAST(len(toks) AS BIGINT) AS n_words,
+                  CAST(len(regexp_extract_all(lt, '[aeiouy]+')) AS BIGINT)
+                    AS n_syllables,
+                  CAST(len(list_filter(toks, t ->
+                    len(regexp_extract_all(t, '[aeiouy]+')) = 1)) AS BIGINT)
+                    AS n_mono
+           FROM d)
+         SELECT doc_id, n_words, n_syllables, n_mono,
+                round(CAST(n_syllables AS DOUBLE) / n_words, 6) AS syll_per_word,
+                round(20.0 - 15.0 * n_mono / n_words, 6) AS forcast_grade
+         FROM m ORDER BY doc_id""",
     "text_quality" ->
       s"""SELECT doc_id,
          len(toks) AS n_tokens,

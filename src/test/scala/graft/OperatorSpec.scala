@@ -3900,4 +3900,164 @@ class PropertySpec extends SparkSuite {
       assert(r.getInt(5) === 2, "dof")
     }
   }
+
+  // shared brute (u, p, rel, hv) replay of the ranking-eval fixture:
+  // purchase counts from a local orders⋈lineitem, rel = repeat purchase,
+  // hv = the masked Knuth permutation hash — used by eval_mrr and eval_map
+  private lazy val rankedEvalFixture: Map[Long, Seq[(Long, Long, Int)]] = {
+    val ords = graft.Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = graft.Tables.t(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (ords(r.getLong(0)), r.getLong(1)))
+    pairs.groupBy(identity).toSeq
+      .map { case ((u, p), xs) => (u, p, if (xs.length >= 2) 1 else 0) }
+      .groupBy(_._1)
+      .map { case (u, items) =>
+        u -> items.map { case (_, p, r) =>
+          val hv = ((u % 2147483648L) * 1000003L + p) % 2147483648L *
+            2654435761L % 2147483648L
+          (hv, p, r)
+        }.sortBy(t => (t._1, t._2))
+      }
+  }
+
+  private lazy val segOf: Map[Long, String] =
+    graft.Tables.t(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("eval_mrr: segment means replay a brute first-hit scan") {
+    val rrArr = Array(1000000L, 500000L, 333333L, 250000L, 200000L,
+      166667L, 142857L, 125000L, 111111L, 100000L)
+    val perUser = rankedEvalFixture.map { case (u, sorted) =>
+      val idx = sorted.take(10).indexWhere(_._3 == 1)
+      u -> (if (idx < 0) 0L else rrArr(idx))
+    }
+    val bySeg = perUser.toSeq.groupBy { case (u, _) => segOf(u) }
+    val got = q("eval_mrr").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet === bySeg.keySet)
+    bySeg.foreach { case (sg, xs) =>
+      val (n, m) = got(sg)
+      assert(n === xs.length.toLong, s"$sg n_users")
+      val exp = xs.map(_._2).sum.toDouble / (xs.length * 1e6)
+      assert(math.abs(m - exp) < 1e-6, s"$sg mrr $m vs $exp")
+    }
+  }
+
+  test("eval_map: segment means replay a brute AP@10 scan") {
+    val perUser = rankedEvalFixture.map { case (u, sorted) =>
+      val rtot = sorted.count(_._3 == 1)
+      val top = sorted.take(10)
+      var cum = 0
+      var tsum = 0L
+      top.zipWithIndex.foreach { case ((_, _, r), i) =>
+        if (r == 1) { cum += 1; tsum += math.round(cum * 1000000.0 / (i + 1)) }
+      }
+      val ap6 = if (rtot == 0) 0L else math.round(tsum.toDouble / math.min(rtot, 10))
+      u -> ap6
+    }
+    val bySeg = perUser.toSeq.groupBy { case (u, _) => segOf(u) }
+    val got = q("eval_map").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet === bySeg.keySet)
+    bySeg.foreach { case (sg, xs) =>
+      val (n, m) = got(sg)
+      assert(n === xs.length.toLong, s"$sg n_users")
+      val exp = xs.map(_._2).sum.toDouble / (xs.length * 1e6)
+      assert(math.abs(m - exp) < 1e-6, s"$sg map $m vs $exp")
+    }
+  }
+
+  test("stat_durbin_watson: DW replays the brute OLS-residual fold") {
+    val got = q("stat_durbin_watson").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    dailyCounts.foreach { case (et, days) =>
+      val vs = days.map(_._2.toDouble)
+      val n = vs.length
+      val ts = (1 to n).map(_.toDouble)
+      val (sx, sy) = (ts.sum, vs.sum)
+      val sxx = ts.map(t => t * t).sum
+      val sxy = ts.zip(vs).map { case (t, c) => t * c }.sum
+      val slope = math.round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6) / 1e6
+      val icept = math.round((sy - slope * sx) / n * 1e6) / 1e6
+      val e = ts.zip(vs).map { case (t, c) => c - icept - slope * t }
+      val see = e.map(x => x * x).sum
+      val sdd = e.sliding(2).map(p => (p(1) - p(0)) * (p(1) - p(0))).sum
+      val (gn, gs, gdw, grho) = got(et)
+      assert(gn === n.toLong, s"$et n_days")
+      assert(math.abs(gs - slope) < 1e-6, s"$et slope")
+      assert(math.abs(gdw - sdd / see) < 1e-4, s"$et dw $gdw vs ${sdd / see}")
+      assert(math.abs(grho - (1.0 - sdd / see / 2)) < 1e-4, s"$et rho")
+    }
+  }
+
+  test("ts_spectral_entropy: H replays the brute normalized periodogram") {
+    val got = q("ts_spectral_entropy").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    dailyCounts.foreach { case (et, days) =>
+      val vs = days.map(_._2.toDouble)
+      val powers = (2 to 14).map { p =>
+        val (aa, bb) = vs.zipWithIndex.map { case (c, i) =>
+          val ang = (i + 1).toDouble * 2.0 * math.Pi / p
+          (c * math.cos(ang), c * math.sin(ang))
+        }.reduce((x, y) => (x._1 + y._1, x._2 + y._2))
+        aa * aa + bb * bb
+      }
+      val ptot = powers.sum
+      val h = powers.map { pw =>
+        val qv = pw / ptot
+        if (qv > 0) -qv * math.log(qv) else 0.0
+      }.sum / math.log(13.0)
+      val (np, gh, gq) = got(et)
+      assert(np === 13L, s"$et n_periods")
+      assert(math.abs(gh - h) < 1e-4, s"$et H $gh vs $h")
+      assert(math.abs(gq - powers.max / ptot) < 1e-4, s"$et max_share")
+      assert(gh > 0 && gh <= 1.0, s"$et H in (0,1]")
+    }
+  }
+
+  test("text_readability: counts and FORCAST grade replay per doc") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vg = "[aeiouy]+".r
+    val rows = q("text_readability").collect()
+    assert(rows.length === docs.size)
+    rows.take(50).foreach { r =>
+      val text = docs(r.getLong(0)).toLowerCase
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val nSyll = vg.findAllIn(text).length.toLong
+      val nMono = toks.count(t => vg.findAllIn(t).length == 1).toLong
+      assert(r.getLong(1) === toks.length.toLong, s"doc ${r.getLong(0)} n_words")
+      assert(r.getLong(2) === nSyll, s"doc ${r.getLong(0)} n_syllables")
+      assert(r.getLong(3) === nMono, s"doc ${r.getLong(0)} n_mono")
+      assert(math.abs(r.getDouble(5) - (20.0 - 15.0 * nMono / toks.length)) < 1e-6,
+        s"doc ${r.getLong(0)} grade")
+    }
+  }
+
+  test("eval_cohens_kappa: cells and kappa replay the two hash scorers") {
+    val preds = graft.Tables.t(spark, sf, "customer")
+      .select(col("c_custkey")).collect().map(_.getLong(0)).map { ck =>
+        val pa = if ((ck % 2147483648L) * 2654435761L % 2147483648L % 1000 >= 500) 1 else 0
+        val pb = if ((ck % 2147483648L) * 1315423911L % 2147483648L % 1000 >= 500) 1 else 0
+        (pa, pb)
+      }
+    val a = preds.count(t => t._1 == 1 && t._2 == 1).toLong
+    val b = preds.count(t => t._1 == 1 && t._2 == 0).toLong
+    val c = preds.count(t => t._1 == 0 && t._2 == 1).toLong
+    val d = preds.count(t => t._1 == 0 && t._2 == 0).toLong
+    val n = preds.length.toLong
+    val r = q("eval_cohens_kappa").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((n, a, b, c, d)))
+    val sumMarg = (a + b) * (a + c) + (c + d) * (b + d)
+    val kappa = (n * (a + d) - sumMarg).toDouble / (n * n - sumMarg)
+    assert(math.abs(r.getDouble(5) - (a + d).toDouble / n) < 1e-6, "po")
+    assert(math.abs(r.getDouble(6) - sumMarg.toDouble / (n * n)) < 1e-6, "pe")
+    assert(math.abs(r.getDouble(7) - kappa) < 1e-6, "kappa")
+  }
 }
