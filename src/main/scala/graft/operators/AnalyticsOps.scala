@@ -2960,6 +2960,67 @@ object AnalyticsOps {
         (col("k") - 1).as("dof"))
     }),
 
+    // Cochran's Q over THREE paired binary scorers — the k-classifier
+    // generalization of stat_mcnemar (mcnemar: 2 scorers, this: k; the
+    // "is ANY of these models different" omnibus before pairwise tests):
+    // x_ij = scorer j correct on row i, Q = (k−1)(kΣT_j² − N²)/(kN − Σs_i²)
+    // with T_j column sums, s_i row sums, N = Σs_i. The third scorer uses
+    // the xxhash odd prime (2246822519) beside the repo's Knuth pair, so
+    // all three prediction streams replay bit-identically. Everything is
+    // an integer count until the single final division (nullif-guarded
+    // degenerate denominator); one fact pass.
+    "stat_cochran_q" -> ((s, dir) => {
+      val sc = (mult: Long) => (((col("c_custkey") % lit(2147483648L)) * lit(mult))
+        % lit(2147483648L) % 1000)
+      val b = t(s, dir, "customer").select(
+        when(col("c_acctbal") > 0, 1).otherwise(0).as("y"),
+        when(sc(2654435761L) >= 500, 1).otherwise(0).as("pa"),
+        when(sc(1315423911L) >= 500, 1).otherwise(0).as("pb"),
+        when(sc(2246822519L) >= 500, 1).otherwise(0).as("pc"))
+        .select(col("y"),
+          when(col("pa") === col("y"), 1L).otherwise(0L).as("c1"),
+          when(col("pb") === col("y"), 1L).otherwise(0L).as("c2"),
+          when(col("pc") === col("y"), 1L).otherwise(0L).as("c3"))
+        .withColumn("s", col("c1") + col("c2") + col("c3"))
+      b.agg(count(lit(1)).as("n_rows"),
+          sum(col("c1")).as("t1"), sum(col("c2")).as("t2"),
+          sum(col("c3")).as("t3"), sum(col("s")).as("nn"),
+          sum(col("s") * col("s")).as("ss2"))
+        .select(col("n_rows"), col("t1"), col("t2"), col("t3"),
+          round(lit(2L) * (lit(3L) * (col("t1") * col("t1") + col("t2") * col("t2") +
+              col("t3") * col("t3")) - col("nn") * col("nn")).cast("double") /
+            nullif(lit(3L) * col("nn") - col("ss2"), lit(0L)), 6).as("q_stat"))
+        .withColumn("dof", lit(2))
+    }),
+
+    // Maximum drawdown of the cumulative daily revenue series — the
+    // worst peak-to-trough slide (THE risk statistic for any cumulative
+    // KPI: revenue pacing, portfolio value, token budget burn-down).
+    // Revenue is EXACT integer cents per day (agg_pareto discipline), so
+    // running sum, running max and every drawdown are pure integers; the
+    // fractional drawdown is per-day one division 6-dp-gridded before the
+    // max (order-free). The day frame is calendar-bounded — the single-
+    // partition prefix windows run on ~365·years rows regardless of
+    // corpus size, after one fact-sized rollup.
+    "ts_max_drawdown" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).as("cents"))
+      val wC = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = daily
+        .withColumn("cum", sum(col("cents")).over(wC))
+        .withColumn("peak", max(col("cum")).over(wC))
+      c.select(col("day"), col("cum"), col("peak"),
+          (col("peak") - col("cum")).as("dd"),
+          round((col("peak") - col("cum")).cast("double") / col("peak"), 6)
+            .as("ddf"))
+        .agg(count(lit(1)).as("n_days"),
+          max(col("peak")).as("peak_cents"),
+          max(col("dd")).as("max_drawdown_cents"),
+          max(col("ddf")).as("max_drawdown_frac"))
+    }),
+
     // Randomization (permutation) test of the BUILDING-vs-MACHINERY mean
     // balance gap — the assumption-free sibling of stat_ttest and the
     // inferential twin of stat_bootstrap_ci's CI machinery: 64
@@ -5233,6 +5294,57 @@ object AnalyticsOps {
                         * (CAST(k AS DOUBLE) + 1) / 4), 6) AS chi2_stat,
                 k - 1 AS dof
          FROM m CROSS JOIN s2""",
+    "stat_cochran_q" ->
+      """WITH b AS (
+           SELECT CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS y,
+                  CASE WHEN ((c_custkey % 2147483648) * 2654435761)
+                         % 2147483648 % 1000 >= 500 THEN 1 ELSE 0 END AS pa,
+                  CASE WHEN ((c_custkey % 2147483648) * 1315423911)
+                         % 2147483648 % 1000 >= 500 THEN 1 ELSE 0 END AS pb,
+                  CASE WHEN ((c_custkey % 2147483648) * 2246822519)
+                         % 2147483648 % 1000 >= 500 THEN 1 ELSE 0 END AS pc
+           FROM customer),
+         cc AS (
+           SELECT CASE WHEN pa = y THEN 1 ELSE 0 END AS c1,
+                  CASE WHEN pb = y THEN 1 ELSE 0 END AS c2,
+                  CASE WHEN pc = y THEN 1 ELSE 0 END AS c3,
+                  (CASE WHEN pa = y THEN 1 ELSE 0 END +
+                   CASE WHEN pb = y THEN 1 ELSE 0 END +
+                   CASE WHEN pc = y THEN 1 ELSE 0 END) AS s
+           FROM b),
+         m AS (
+           SELECT count(1) AS n_rows,
+                  CAST(sum(c1) AS BIGINT) AS t1, CAST(sum(c2) AS BIGINT) AS t2,
+                  CAST(sum(c3) AS BIGINT) AS t3, CAST(sum(s) AS BIGINT) AS nn,
+                  CAST(sum(s * s) AS BIGINT) AS ss2
+           FROM cc)
+         SELECT n_rows, t1, t2, t3,
+                round(CAST(2 * (3 * (t1 * t1 + t2 * t2 + t3 * t3) - nn * nn)
+                      AS DOUBLE) / nullif(3 * nn - ss2, 0), 6) AS q_stat,
+                CAST(2 AS INT) AS dof
+         FROM m""",
+    "ts_max_drawdown" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                    AS cents
+           FROM orders GROUP BY 1),
+         c AS (
+           SELECT day,
+                  sum(cents) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM daily),
+         pk AS (
+           SELECT day, cum,
+                  max(cum) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+           FROM c)
+         SELECT count(1) AS n_days,
+                CAST(max(peak) AS BIGINT) AS peak_cents,
+                CAST(max(peak - cum) AS BIGINT) AS max_drawdown_cents,
+                max(round(CAST(peak - cum AS DOUBLE) / peak, 6))
+                  AS max_drawdown_frac
+         FROM pk""",
     "stat_permutation_test" ->
       """WITH base AS (
            SELECT c_custkey,

@@ -383,6 +383,27 @@ object ShapeOps {
           round(max(col("du")) / 1000000.0, 6).as("max_s"))
     }),
 
+    // Inactivity-based churn labeling — the label generator every churn
+    // model trains on: per-user last-activity day vs the corpus horizon
+    // (max day), churned = inactive > 7 days at the horizon. One
+    // fact-sized groupBy to the user grain; the horizon is a 1-row
+    // broadcast crossJoin (bounded by construction). Integer day math
+    // end to end — no float anywhere, nothing to grid. Emits the
+    // per-user label frame (user grain ≪ fact) for downstream joins.
+    "seq_churn_label" -> ((s, dir) => {
+      val ev = persistShared("churn_ev", events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("day")))
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), max(col("day")).as("last_day"))
+      val horizon = ev.agg(max(col("day")).as("h_day"))
+      perUser.crossJoin(broadcast(horizon))
+        .select(col("user_id"), col("n_events"), col("last_day"),
+          datediff(col("h_day"), col("last_day")).as("days_inactive"),
+          when(datediff(col("h_day"), col("last_day")) > 7, 1).otherwise(0)
+            .as("churned"))
+        .orderBy(col("user_id"))
+    }),
+
     // First-order Markov transition matrix over per-user event sequences
     // (the model behind next-action prediction and session simulation):
     // one lead() window per user (ordered by the unique (ts, event_id)
@@ -840,6 +861,18 @@ object ShapeOps {
                 round(st[2], 6) AS p_var,
                 round(st[3] / (len(vs) - 1), 6) AS innovation_mae
          FROM f ORDER BY event_type""",
+    "seq_churn_label" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         pu AS (
+           SELECT user_id, count(1) AS n_events, max(day) AS last_day
+           FROM ev GROUP BY 1),
+         h AS (SELECT max(day) AS h_day FROM ev)
+         SELECT user_id, n_events, last_day,
+                CAST(date_diff('day', last_day, h_day) AS INT) AS days_inactive,
+                CAST(CASE WHEN date_diff('day', last_day, h_day) > 7
+                     THEN 1 ELSE 0 END AS INT) AS churned
+         FROM pu, h ORDER BY user_id""",
     "seq_interpurchase_stats" ->
       """WITH p AS (
            SELECT user_id, event_id, epoch_us(ts) AS tu FROM events

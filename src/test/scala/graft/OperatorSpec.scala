@@ -4039,6 +4039,67 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("stat_cochran_q: Q replays the three-scorer integer fold") {
+    val rows = graft.Tables.t(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_acctbal")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    def sc(ck: Long, mult: Long) = (ck % 2147483648L) * mult % 2147483648L % 1000
+    val cs = rows.map { case (ck, bal) =>
+      val y = if (bal > 0) 1 else 0
+      val c1 = if ((if (sc(ck, 2654435761L) >= 500) 1 else 0) == y) 1L else 0L
+      val c2 = if ((if (sc(ck, 1315423911L) >= 500) 1 else 0) == y) 1L else 0L
+      val c3 = if ((if (sc(ck, 2246822519L) >= 500) 1 else 0) == y) 1L else 0L
+      (c1, c2, c3, c1 + c2 + c3)
+    }
+    val (t1, t2, t3) = (cs.map(_._1).sum, cs.map(_._2).sum, cs.map(_._3).sum)
+    val nn = cs.map(_._4).sum
+    val ss2 = cs.map(c => c._4 * c._4).sum
+    val q0 = 2.0 * (3 * (t1 * t1 + t2 * t2 + t3 * t3) - nn * nn) / (3 * nn - ss2)
+    val r = q("stat_cochran_q").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((rows.length.toLong, t1, t2, t3)))
+    assert(math.abs(r.getDouble(4) - q0) < 1e-6, s"Q ${r.getDouble(4)} vs $q0")
+    assert(r.getInt(5) === 2)
+  }
+
+  test("ts_max_drawdown: drawdown replays the brute cumulative scan") {
+    val daily = graft.Tables.t(spark, sf, "orders")
+      .select(col("o_orderdate").cast("date"), col("o_totalprice")).collect()
+      .map(r => (r.getDate(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).map { case (d, xs) => (d, xs.map(_._2).sum) }
+      .toSeq.sortBy(_._1.getTime)
+    var cum = 0L; var peak = 0L; var mdd = 0L; var mddf = 0.0
+    daily.foreach { case (_, cents) =>
+      cum += cents; peak = math.max(peak, cum)
+      mdd = math.max(mdd, peak - cum)
+      mddf = math.max(mddf, math.round((peak - cum).toDouble / peak * 1e6) / 1e6)
+    }
+    val r = q("ts_max_drawdown").collect()(0)
+    assert(r.getLong(0) === daily.length.toLong, "n_days")
+    assert(r.getLong(1) === peak, "peak")
+    assert(r.getLong(2) === mdd, "max drawdown cents")
+    assert(math.abs(r.getDouble(3) - mddf) < 1e-6, "max drawdown frac")
+  }
+
+  test("seq_churn_label: labels replay per-user last-activity gaps") {
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("date")).collect()
+      .map(r => (r.getLong(0), r.getDate(1)))
+    val horizon = ev.map(_._2.getTime).max
+    val byU = ev.groupBy(_._1)
+    val got = q("seq_churn_label").collect()
+    assert(got.length === byU.size)
+    got.foreach { r =>
+      val u = r.getLong(0)
+      val xs = byU(u)
+      val last = xs.map(_._2.getTime).max
+      val gap = ((horizon - last) / 86400000L).toInt
+      assert(r.getLong(1) === xs.length.toLong, s"user $u n_events")
+      assert(r.getInt(3) === gap, s"user $u days_inactive")
+      assert(r.getInt(4) === (if (gap > 7) 1 else 0), s"user $u churned")
+    }
+  }
+
   test("eval_cohens_kappa: cells and kappa replay the two hash scorers") {
     val preds = graft.Tables.t(spark, sf, "customer")
       .select(col("c_custkey")).collect().map(_.getLong(0)).map { ck =>

@@ -692,7 +692,8 @@ class PlanSpec extends SparkSuite {
       "etl_watermark_load" -> "crossJoin against the broadcast 1-row persisted-watermark frame",
       "stat_kruskal_wallis" -> "crossJoin against the broadcast 1-row tie-count frame over the 5-row segment frame",
       "stat_friedman" -> "crossJoin against the broadcast 1-row sum-of-squared-ranks frame over the 1-row moment frame",
-      "etl_gap_detect" -> "spine build: 5-row type dim x broadcast 1-row hour-bound frame (ts_resample's spine shape)")
+      "etl_gap_detect" -> "spine build: 5-row type dim x broadcast 1-row hour-bound frame (ts_resample's spine shape)",
+      "seq_churn_label" -> "crossJoin against the broadcast 1-row corpus-horizon (max day) frame")
     val sf = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if boundedByConstruction.contains(name) => None
