@@ -107,6 +107,16 @@ object AnalyticsOps {
     * OOM, so the loop switches to a shuffle join against the edge frame
     * that was co-partitioned on `src` ONCE before the loop — ranks (the
     * small, node-count-sized side) shuffle per round; edges never do. */
+  /** Catalog-fixed segment domain shared by feature_onehot's Spark plan
+    * AND its oracle SQL (single definition — the text_rake stop-list
+    * lesson: two copies silently desynchronize). */
+  private[graft] val Segments =
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+  private val segmentsSqlCols = Segments
+    .map(s => s"CAST(c_mktsegment = '$s' AS INT) AS seg_${s.toLowerCase}")
+    .mkString(",\n                ")
+  private val segmentsSqlIn = Segments.map(s => s"'$s'").mkString(", ")
+
   private[graft] val PagerankBroadcastMaxNodes = 4L << 20
 
   /** Per-user distinct-item cap for recs_item_cf. The co-occurrence
@@ -571,6 +581,52 @@ object AnalyticsOps {
           round(max(col("c_acctbal")), 6).as("hi"),
           davg(col("c_acctbal")).as("mean_bal"))
         .orderBy(col("c_mktsegment"), col("decile"))
+    }),
+
+    // One-hot encoding of the segment categorical — the trainer-facing
+    // dual of feature_hash_cross (that BOUNDS cardinality by hashing;
+    // this expands a KNOWN small domain into indicator columns, the
+    // standard prep for linear models and trees). The domain is the
+    // catalog-fixed 5-segment list shared between engines from ONE Scala
+    // definition (the text_rake stop-list lesson); an other_flag guards
+    // domain drift. Pure scan-grain projection — zero shuffle, zero UDF,
+    // all codegen'd; embarrassingly parallel at any scale.
+    "feature_onehot" -> ((s, dir) => {
+      val base = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val withFlags = Segments.foldLeft(base) { (df, seg) =>
+        df.withColumn(s"seg_${seg.toLowerCase}",
+          (col("c_mktsegment") === seg).cast("int"))
+      }
+      withFlags
+        .withColumn("other_flag",
+          (!col("c_mktsegment").isin(Segments: _*)).cast("int"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Poisson rate comparison (conditional C-test) between every pair of
+    // event streams — "did stream A genuinely fire more often per day
+    // than stream B": given K = k_a + k_b total events, k_a ~
+    // Bin(K, n_a/(n_a+n_b)) under equal rates, z = (k_a − K·p0)/
+    // √(K·p0(1−p0)) — the exposure-aware sibling of
+    // stat_proportions_ztest (exposure = active days, not row counts).
+    // All inputs integer (counts + distinct days); z is one identical
+    // double tree. The pair frame is a theta self-join of the broadcast
+    // 5-row per-type moment frame (≤ 25 pairs, stat_ttest's shape).
+    "stat_poisson_ztest" -> ((s, dir) => {
+      val m = events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("k"),
+          countDistinct(col("ts").cast("date")).as("nd"))
+      val j = m.as("a").join(broadcast(m.as("b")),
+        col("a.event_type") < col("b.event_type"))
+      val p0 = col("a.nd").cast("double") / (col("a.nd") + col("b.nd"))
+      val kTot = (col("a.k") + col("b.k")).cast("double")
+      j.select(col("a.event_type").as("et_a"), col("b.event_type").as("et_b"),
+          col("a.k").as("k_a"), col("b.k").as("k_b"),
+          col("a.nd").as("days_a"), col("b.nd").as("days_b"),
+          round((col("a.k") - kTot * p0) /
+            sqrt(kTot * p0 * (lit(1.0) - p0)), 6).as("z"))
+        .orderBy(col("et_a"), col("et_b"))
     }),
 
     // Hashed feature CROSS — the hashing-trick primitive every
@@ -4044,6 +4100,29 @@ object AnalyticsOps {
                   (SELECT count(1) FROM lineitem)
                     - (SELECT count(1) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM bad_orders)))
          ORDER BY table_name""",
+    "feature_onehot" ->
+      s"""SELECT c_custkey, c_mktsegment,
+                ${segmentsSqlCols},
+                CAST(c_mktsegment NOT IN (${segmentsSqlIn}) AS INT) AS other_flag
+         FROM customer ORDER BY c_custkey""",
+    "stat_poisson_ztest" ->
+      """WITH m AS (
+           SELECT event_type, count(1) AS k,
+                  count(DISTINCT CAST(ts AS DATE)) AS nd
+           FROM events GROUP BY 1),
+         j AS (
+           SELECT a.event_type AS et_a, b.event_type AS et_b,
+                  CAST(a.k AS BIGINT) AS k_a, CAST(b.k AS BIGINT) AS k_b,
+                  CAST(a.nd AS BIGINT) AS days_a, CAST(b.nd AS BIGINT) AS days_b
+           FROM m a JOIN m b ON a.event_type < b.event_type)
+         SELECT et_a, et_b, k_a, k_b, days_a, days_b,
+                round((k_a - CAST(k_a + k_b AS DOUBLE)
+                         * (CAST(days_a AS DOUBLE) / (days_a + days_b))) /
+                      sqrt(CAST(k_a + k_b AS DOUBLE)
+                           * (CAST(days_a AS DOUBLE) / (days_a + days_b))
+                           * (1.0 - CAST(days_a AS DOUBLE) / (days_a + days_b))),
+                      6) AS z
+         FROM j ORDER BY et_a, et_b""",
     "feature_hash_cross" ->
       """WITH c AS (
            SELECT c_mktsegment || '_' || CAST(c_nationkey AS VARCHAR) AS ck,

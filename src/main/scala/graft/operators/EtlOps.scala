@@ -500,6 +500,42 @@ object EtlOps {
         .orderBy(col("rule"))
     }),
 
+    // Referential-integrity audit across the star schema's four FK edges
+    // — etl_dq_report's cross-TABLE companion (that one checks one
+    // table's internal rules; this one checks the EDGES a warehouse
+    // load can silently break: orphan facts, childless parents, dangling
+    // dims). Each edge is ONE anti-join count: the two fact⋈fact edges
+    // shuffle once on the join key, the two fact⋈dim edges broadcast
+    // the dim — at 100 TB exactly the plan you'd want. Key frames are
+    // persisted (each feeds its total AND ≥1 anti-join); the four
+    // result rows compose via whitelisted broadcast 1-row crossJoins.
+    "etl_referential_check" -> ((s, dir) => {
+      val ok = persistShared("ref_ok",
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
+      val lk = persistShared("ref_lk",
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")))
+      def row(rel: String, orphans: DataFrame, total: DataFrame): DataFrame =
+        orphans.agg(count(lit(1)).as("n_orphans"))
+          .crossJoin(broadcast(total.agg(count(lit(1)).as("n_rows"))))
+          .select(lit(rel).as("relationship"), col("n_rows"), col("n_orphans"),
+            when(col("n_orphans") === 0, "pass").otherwise("fail").as("status"))
+      val liOrph = lk.join(ok.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      val childless = ok.join(lk.select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_anti")
+      val custOrph = ok.join(
+        broadcast(t(s, dir, "customer").select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      val partOrph = lk.join(
+        broadcast(t(s, dir, "part").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_anti")
+      row("lineitem_to_orders", liOrph, lk)
+        .unionAll(row("orders_to_lineitem_childless", childless, ok))
+        .unionAll(row("orders_to_customer", custOrph, ok))
+        .unionAll(row("lineitem_to_part", partOrph, lk))
+        .orderBy(col("relationship"))
+    }),
+
     "ingest_audit" -> ((s, dir) => {
       events(s, dir)
         .select(col("event_id"), col("event_type"))
@@ -742,6 +778,33 @@ object EtlOps {
          count(1) AS n,
          round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS total
          FROM orders GROUP BY status ORDER BY status""",
+    "etl_referential_check" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+         ok AS (SELECT o_orderkey, o_custkey FROM orders),
+         rows4 AS (
+           SELECT 'lineitem_to_orders' AS relationship,
+                  (SELECT count(1) FROM li) AS n_rows,
+                  (SELECT count(1) FROM li WHERE NOT EXISTS
+                    (SELECT 1 FROM ok WHERE o_orderkey = l_orderkey))
+                    AS n_orphans
+           UNION ALL
+           SELECT 'orders_to_lineitem_childless',
+                  (SELECT count(1) FROM ok),
+                  (SELECT count(1) FROM ok WHERE NOT EXISTS
+                    (SELECT 1 FROM li WHERE l_orderkey = o_orderkey))
+           UNION ALL
+           SELECT 'orders_to_customer',
+                  (SELECT count(1) FROM ok),
+                  (SELECT count(1) FROM ok WHERE NOT EXISTS
+                    (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+           UNION ALL
+           SELECT 'lineitem_to_part',
+                  (SELECT count(1) FROM li),
+                  (SELECT count(1) FROM li WHERE NOT EXISTS
+                    (SELECT 1 FROM part WHERE p_partkey = l_partkey)))
+         SELECT relationship, n_rows, n_orphans,
+                CASE WHEN n_orphans = 0 THEN 'pass' ELSE 'fail' END AS status
+         FROM rows4 ORDER BY relationship""",
     "etl_dq_report" ->
       """WITH n AS (SELECT count(1) AS n FROM orders),
          scalars AS (

@@ -4100,6 +4100,68 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("etl_referential_check: orphan counts replay brute key-set math") {
+    val ok = graft.Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val lk = graft.Tables.t(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val custKeys = graft.Tables.t(spark, sf, "customer")
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    val partKeys = graft.Tables.t(spark, sf, "part")
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    val okKeys = ok.map(_._1).toSet
+    val lkKeys = lk.map(_._1).toSet
+    val exp = Map(
+      "lineitem_to_orders" -> ((lk.length, lk.count(l => !okKeys(l._1)))),
+      "orders_to_lineitem_childless" -> ((ok.length, ok.count(o => !lkKeys(o._1)))),
+      "orders_to_customer" -> ((ok.length, ok.count(o => !custKeys(o._2)))),
+      "lineitem_to_part" -> ((lk.length, lk.count(l => !partKeys(l._2)))))
+    val got = q("etl_referential_check").collect()
+    assert(got.length === 4)
+    got.foreach { r =>
+      val (n, orph) = exp(r.getString(0))
+      assert(r.getLong(1) === n.toLong, s"${r.getString(0)} n_rows")
+      assert(r.getLong(2) === orph.toLong, s"${r.getString(0)} n_orphans")
+      assert(r.getString(3) === (if (orph == 0) "pass" else "fail"))
+    }
+  }
+
+  test("feature_onehot: indicators are an exact partition of the domain") {
+    val rows = q("feature_onehot").collect()
+    val segIdx = 2 to 6
+    rows.foreach { r =>
+      val flags = segIdx.map(r.getInt) :+ r.getInt(7)
+      assert(flags.sum === 1, s"cust ${r.getLong(0)}: exactly one flag set")
+      assert(flags.forall(f => f == 0 || f == 1))
+    }
+    val seg = rows.map(r => r.getString(1)).toSet
+    assert(seg.subsetOf(Set("AUTOMOBILE", "BUILDING", "FURNITURE",
+      "HOUSEHOLD", "MACHINERY")))
+    assert(rows.forall(_.getInt(7) === 0), "no out-of-domain segment in fixture")
+  }
+
+  test("stat_poisson_ztest: z replays the brute conditional binomial form") {
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("ts").cast("date")).collect()
+      .map(r => (r.getString(0), r.getDate(1)))
+    val m = ev.groupBy(_._1).map { case (et, xs) =>
+      et -> ((xs.length.toLong, xs.map(_._2).distinct.length.toLong))
+    }
+    val got = q("stat_poisson_ztest").collect()
+    assert(got.length === m.size * (m.size - 1) / 2)
+    got.foreach { r =>
+      val (ka, nda) = m(r.getString(0)); val (kb, ndb) = m(r.getString(1))
+      assert(r.getLong(2) === ka && r.getLong(3) === kb)
+      assert(r.getLong(4) === nda && r.getLong(5) === ndb)
+      val p0 = nda.toDouble / (nda + ndb)
+      val kt = (ka + kb).toDouble
+      val z = (ka - kt * p0) / math.sqrt(kt * p0 * (1.0 - p0))
+      assert(math.abs(r.getDouble(6) - z) < 1e-6, s"${r.getString(0)} z")
+    }
+  }
+
   test("eval_cohens_kappa: cells and kappa replay the two hash scorers") {
     val preds = graft.Tables.t(spark, sf, "customer")
       .select(col("c_custkey")).collect().map(_.getLong(0)).map { ck =>

@@ -693,7 +693,9 @@ class PlanSpec extends SparkSuite {
       "stat_kruskal_wallis" -> "crossJoin against the broadcast 1-row tie-count frame over the 5-row segment frame",
       "stat_friedman" -> "crossJoin against the broadcast 1-row sum-of-squared-ranks frame over the 1-row moment frame",
       "etl_gap_detect" -> "spine build: 5-row type dim x broadcast 1-row hour-bound frame (ts_resample's spine shape)",
-      "seq_churn_label" -> "crossJoin against the broadcast 1-row corpus-horizon (max day) frame")
+      "seq_churn_label" -> "crossJoin against the broadcast 1-row corpus-horizon (max day) frame",
+      "etl_referential_check" -> "crossJoins against broadcast 1-row total-count frames (per relationship row, etl_dq_report's shape)",
+      "stat_poisson_ztest" -> "theta self-join of a broadcast 5-row per-type moment frame (<=25 pairs, stat_ttest's shape)")
     val sf = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if boundedByConstruction.contains(name) => None
