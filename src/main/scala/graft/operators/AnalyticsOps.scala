@@ -117,6 +117,44 @@ object AnalyticsOps {
     .mkString(",\n                ")
   private val segmentsSqlIn = Segments.map(s => s"'$s'").mkString(", ")
 
+  /** stat_bartlett's oracle, GENERATED from the same Segments constant as
+    * the Spark plan so the two Σ trees stay left-associated twins. */
+  private val bartlettSql: String = {
+    val lc = Segments.map(_.toLowerCase)
+    val cells = Segments.map { sg =>
+      val l = sg.toLowerCase
+      s"""max(CASE WHEN seg = '$sg' THEN n END) AS n_$l,
+                  max(CASE WHEN seg = '$sg' THEN sx END) AS sx_$l,
+                  max(CASE WHEN seg = '$sg' THEN sxx END) AS sxx_$l"""
+    }.mkString(",\n                  ")
+    val vdefs = lc.map(l =>
+      s"(sxx_$l - sx_$l * sx_$l / n_$l) / (n_$l - 1) AS v_$l")
+      .mkString(",\n                  ")
+    val bigN = lc.map(l => s"n_$l").mkString(" + ")
+    val aSum = lc.map(l => s"(n_$l - 1) * v_$l").mkString(" + ")
+    val bSum = lc.map(l => s"(n_$l - 1) * ln(v_$l)").mkString(" + ")
+    val invSum = lc.map(l => s"1.0 / (n_$l - 1)").mkString(" + ")
+    s"""WITH m AS (
+           SELECT c_mktsegment AS seg, count(1) AS n,
+                  CAST(sum(CAST(c_acctbal AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST(c_acctbal AS DECIMAL(19,6))
+                           * CAST(c_acctbal AS DECIMAL(19,6))) AS DOUBLE) AS sxx
+           FROM customer GROUP BY 1),
+         piv AS (SELECT $cells FROM m),
+         v AS (SELECT *, $vdefs FROM piv),
+         f AS (SELECT *,
+                  CAST($bigN AS BIGINT) AS n_total,
+                  CAST(($bigN) - 5 AS DOUBLE) AS nmk,
+                  ($aSum) AS asum, ($bSum) AS bsum, ($invSum) AS invsum
+               FROM v)
+         SELECT CAST(5 AS INT) AS k, n_total,
+                round(asum / nmk, 6) AS pooled_var,
+                round((nmk * ln(asum / nmk) - bsum)
+                      / (1.0 + (invsum - 1.0 / nmk) / 12.0), 6) AS chi2_stat,
+                CAST(4 AS INT) AS dof
+         FROM f"""
+  }
+
   private[graft] val PagerankBroadcastMaxNodes = 4L << 20
 
   /** Per-user distinct-item cap for recs_item_cf. The co-occurrence
@@ -1752,6 +1790,72 @@ object AnalyticsOps {
       val out = res.localCheckpoint(true)
       cached.foreach(_.unpersist(false))
       out
+    }),
+
+    // User-based collaborative filtering — recs_item_cf's transpose
+    // ("customers LIKE you bought": the audience-expansion / lookalike
+    // primitive, where item-CF answers "items like this one"). Identical
+    // machinery with the roles swapped: pairs of users co-occurring in
+    // the same part's buyer list, capped per part at ItemCfBasketCap
+    // buyers BEFORE the self-join (pair explosion bounded by the
+    // heaviest ITEM's popularity, never |users|²), support floor co ≥ 3,
+    // cosine over post-cap interaction counts, top-20 under the
+    // (cosine, ua, ub) total order. One shared itemCfBuild code path —
+    // the symmetry IS the implementation.
+    "recs_user_cf" -> ((s, dir) => {
+      val pu = userPartPurchases(s, dir)
+        .select(col("p").as("u"), col("u").as("i"))
+      val (res, cached) = itemCfBuild(pu)
+      val out = res
+        .select(col("ia").as("ua"), col("ib").as("ub"), col("nco"), col("cosine"))
+        .localCheckpoint(true)
+      cached.foreach(_.unpersist(false))
+      out
+    }),
+
+    // Bartlett's test of variance homogeneity across the 5 segments —
+    // stat_levene's parametric sibling (levene is robust to
+    // non-normality; bartlett is the more powerful test when normality
+    // holds — pipelines report both): χ² = [(N−k)·ln S_p² −
+    // Σ(n_i−1)·ln s_i²]/C. Per-segment moments are DECIMAL-exact sums
+    // cast to double once (stat_ttest's discipline); the whole statistic
+    // then folds on a ONE-ROW conditional pivot over the catalog-fixed
+    // segment list (the Segments constant shared with feature_onehot and
+    // the oracle — one definition, identical left-associated Σ trees on
+    // both engines, no cross-row float ordering to grid). ln is the
+    // accepted libm surface. One fact pass at any scale.
+    "stat_bartlett" -> ((s, dir) => {
+      val m = t(s, dir, "customer")
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("c_acctbal"))).as("sxd"),
+          sum(dec(col("c_acctbal")) * dec(col("c_acctbal"))).as("sxxd"))
+        .select(col("seg"), col("n"),
+          col("sxd").cast("double").as("sx"), col("sxxd").cast("double").as("sxx"))
+      val aggExprs = Segments.flatMap { sg =>
+        val l = sg.toLowerCase
+        Seq(max(when(col("seg") === sg, col("n"))).as(s"n_$l"),
+          max(when(col("seg") === sg, col("sx"))).as(s"sx_$l"),
+          max(when(col("seg") === sg, col("sxx"))).as(s"sxx_$l"))
+      }
+      val piv = m.agg(aggExprs.head, aggExprs.tail: _*)
+      def nS(sg: String) = col(s"n_${sg.toLowerCase}")
+      val withV = Segments.foldLeft(piv) { (df, sg) =>
+        val l = sg.toLowerCase
+        df.withColumn(s"v_$l",
+          (col(s"sxx_$l") - col(s"sx_$l") * col(s"sx_$l") / nS(sg)) / (nS(sg) - 1))
+      }
+      def vS(sg: String) = col(s"v_${sg.toLowerCase}")
+      val bigN = Segments.map(nS).reduce(_ + _)
+      val aSum = Segments.map(sg => (nS(sg) - 1) * vS(sg)).reduce(_ + _)
+      val bSum = Segments.map(sg => (nS(sg) - 1) * log(vS(sg))).reduce(_ + _)
+      val invSum = Segments.map(sg => lit(1.0) / (nS(sg) - 1)).reduce(_ + _)
+      val nmk = (bigN - 5).cast("double")
+      withV.select(lit(5).as("k"), bigN.as("n_total"),
+        round(aSum / nmk, 6).as("pooled_var"),
+        round((nmk * log(aSum / nmk) - bSum) /
+          (lit(1.0) + (invSum - lit(1.0) / nmk) / lit(12.0)), 6).as("chi2_stat"),
+        lit(4).as("dof"))
     }),
 
     // Smoothed target encoding: replace a categorical feature (customer
@@ -4862,6 +4966,22 @@ object AnalyticsOps {
                 round(CAST(nco AS DOUBLE) / sqrt(CAST(ca.ni * cb.ni AS DOUBLE)), 6) AS cosine
          FROM co JOIN cnt ca ON ca.i = ia JOIN cnt cb ON cb.i = ib
          ORDER BY cosine DESC, ia, ib LIMIT 20""",
+    "recs_user_cf" ->
+      """WITH ui0 AS (
+           SELECT DISTINCT l_partkey AS u, o_custkey AS i
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         ui AS (
+           SELECT u, unnest(list_sort(list(i))[1:100]) AS i
+           FROM ui0 GROUP BY u),
+         cnt AS (SELECT i, count(1) AS ni FROM ui GROUP BY 1),
+         co AS (SELECT a.i AS ia, b.i AS ib, count(1) AS nco
+                FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+                GROUP BY 1, 2 HAVING count(1) >= 3)
+         SELECT ia AS ua, ib AS ub, nco,
+                round(CAST(nco AS DOUBLE) / sqrt(CAST(ca.ni * cb.ni AS DOUBLE)), 6) AS cosine
+         FROM co JOIN cnt ca ON ca.i = ia JOIN cnt cb ON cb.i = ib
+         ORDER BY cosine DESC, ua, ub LIMIT 20""",
+    "stat_bartlett" -> bartlettSql,
     "feature_target_encode" ->
       """WITH j AS (
            SELECT c_nationkey, o_totalprice

@@ -375,6 +375,39 @@ object VectorOps {
         .select(col("vec_id"), col("sim_sq"), col("sim_full"))
     }),
 
+    // Per-dimension int8 min-max quantization audit — the index-build
+    // diagnostic beside vec_sq_topk (that SEARCHES with per-vector SQ;
+    // this reports how much precision per-DIMENSION uint8 quantization
+    // costs, the go/no-go check before shipping a compressed index):
+    // dim-grain min/max codebook, reconstruct, per-element |error|
+    // gridded to integer micro-units (order-free sums). The exploded
+    // frame is persisted (feeds the codebook agg AND the error join);
+    // the dim-grain codebook broadcasts. Flat-constant dims guard via
+    // nullif → zero error, both engines.
+    "vec_quantize_error" -> ((s, dir) => {
+      val ex = persistShared("vq_ex", embStore(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "fv")))
+        .select(col("vec_id"), col("pos"), col("fv").cast("double").as("v")))
+      val stats = ex.groupBy(col("pos"))
+        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      ex.join(broadcast(stats), Seq("pos"))
+        .withColumn("q",
+          expr("CAST(round((v - mn) * 255.0 / nullif(mx - mn, 0.0), 0) AS INT)"))
+        .withColumn("recon",
+          col("mn") + col("q") * (col("mx") - col("mn")) / 255.0)
+        .withColumn("err6", coalesce(
+          expr("CAST(round(abs(v - recon) * 1000000, 0) AS BIGINT)"), lit(0L)))
+        .groupBy(col("pos"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("mn")), 6).as("lo"),
+          round(max(col("mx")), 6).as("hi"),
+          round(sum(col("err6")).cast("double") /
+            (count(lit(1)) * lit(1000000.0)), 6).as("mean_abs_err"),
+          round(max(col("err6")).cast("double") / lit(1000000.0), 6)
+            .as("max_abs_err"))
+        .orderBy(col("pos"))
+    }),
+
     "vec_knn_join" -> ((s, dir) => {
       val emb = embStore(s, dir)
       val probes = emb.filter(col("vec_id") < 8)
@@ -1270,6 +1303,29 @@ object VectorOps {
            FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
            WHERE e.vec_id <> 0)
          ORDER BY sim16 DESC, vec_id LIMIT 10""",
+    "vec_quantize_error" ->
+      """WITH ex AS (
+           SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+         st AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM ex GROUP BY 1),
+         e AS (
+           SELECT ex.pos, v, mn, mx,
+                  CAST(round((v - mn) * 255.0 / nullif(mx - mn, 0.0), 0) AS INT)
+                    AS q
+           FROM ex JOIN st ON ex.pos = st.pos),
+         r AS (SELECT pos, v, mn, mx, mn + q * (mx - mn) / 255.0 AS recon FROM e),
+         g AS (
+           SELECT pos, mn, mx,
+                  coalesce(CAST(round(abs(v - recon) * 1000000, 0) AS BIGINT), 0)
+                    AS err6
+           FROM r)
+         SELECT pos, count(1) AS n,
+                round(min(mn), 6) AS lo, round(max(mx), 6) AS hi,
+                round(CAST(sum(err6) AS DOUBLE) / (count(1) * 1000000.0), 6)
+                  AS mean_abs_err,
+                round(CAST(max(err6) AS DOUBLE) / 1000000.0, 6) AS max_abs_err
+         FROM g GROUP BY 1 ORDER BY pos""",
     "vec_sq_topk" ->
       s"""WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          base AS (

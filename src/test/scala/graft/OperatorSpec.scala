@@ -4162,6 +4162,79 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("recs_user_cf: cosine scores verified against capped co-occurrence") {
+    val rows = q("recs_user_cf").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val sims = rows.map(_.getDouble(3))
+    assert(sims.toSeq === sims.sortBy(-_).toSeq)
+    val ui = graft.Tables.t(spark, sf, "lineitem")
+      .join(graft.Tables.t(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // per-part buyer lists, deterministically capped exactly as the plan
+    val capped = ui.groupBy(_._2).view
+      .mapValues(_.map(_._1).toSeq.sorted.take(100)).toMap
+    val nOf = capped.values.flatten.toSeq.groupBy(identity).view
+      .mapValues(_.size).toMap
+    rows.foreach { r =>
+      val (ua, ub) = (r.getLong(0), r.getLong(1))
+      assert(ua < ub, r.toString)
+      val co = capped.values.count(l => l.contains(ua) && l.contains(ub))
+      assert(co.toLong === r.getLong(2) && co >= 3, r.toString)
+      val cos = co / math.sqrt(nOf(ua).toDouble * nOf(ub))
+      assert(math.abs(r.getDouble(3) - cos) < 1e-6, r.toString)
+    }
+  }
+
+  test("stat_bartlett: chi2 replays the brute pooled-variance fold") {
+    val bal = graft.Tables.t(spark, sf, "customer")
+      .select(col("c_mktsegment"), col("c_acctbal")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val byS = bal.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val stats = segs.map { sg =>
+      val vs = byS(sg); val n = vs.length
+      val mu = vs.sum / n
+      val v = vs.map(x => (x - mu) * (x - mu)).sum / (n - 1)
+      (n.toLong, v)
+    }
+    val bigN = stats.map(_._1).sum
+    val nmk = (bigN - 5).toDouble
+    val asum = stats.map { case (n, v) => (n - 1) * v }.sum
+    val bsum = stats.map { case (n, v) => (n - 1) * math.log(v) }.sum
+    val invs = stats.map { case (n, _) => 1.0 / (n - 1) }.sum
+    val chi2 = (nmk * math.log(asum / nmk) - bsum) /
+      (1.0 + (invs - 1.0 / nmk) / 12.0)
+    val r = q("stat_bartlett").collect()(0)
+    assert(r.getInt(0) === 5 && r.getLong(1) === bigN && r.getInt(4) === 4)
+    assert(math.abs(r.getDouble(2) - asum / nmk) < 1e-4, "pooled var")
+    assert(math.abs(r.getDouble(3) - chi2) < 1e-4, s"chi2 ${r.getDouble(3)} vs $chi2")
+  }
+
+  test("vec_quantize_error: per-dim int8 reconstruction error replays") {
+    val vecs = graft.Tables.t(spark, sf, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble))
+    val got = q("vec_quantize_error").collect()
+    assert(got.length === vecs.head.length)
+    got.take(8).foreach { r =>
+      val pos = r.getInt(0)
+      val col0 = vecs.map(_(pos))
+      val (mn, mx) = (col0.min, col0.max)
+      val errs = col0.map { v =>
+        val qv = math.round((v - mn) * 255.0 / (mx - mn)).toInt
+        val recon = mn + qv * (mx - mn) / 255.0
+        math.round(math.abs(v - recon) * 1e6)
+      }
+      assert(r.getLong(1) === col0.length.toLong, s"pos $pos n")
+      assert(math.abs(r.getDouble(4) - errs.sum.toDouble / (errs.length * 1e6)) < 1e-6,
+        s"pos $pos mean err")
+      assert(math.abs(r.getDouble(5) - errs.max / 1e6) < 1e-6, s"pos $pos max err")
+      assert(r.getDouble(4) <= (mx - mn) / 255.0 / 2 + 1e-6, s"pos $pos bound")
+    }
+  }
+
   test("eval_cohens_kappa: cells and kappa replay the two hash scorers") {
     val preds = graft.Tables.t(spark, sf, "customer")
       .select(col("c_custkey")).collect().map(_.getLong(0)).map { ck =>
