@@ -611,6 +611,27 @@ object Aggregates {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // argmax/argmin surface — max_by/min_by as first-class aggregates
+    // (WHO holds the extreme, not just what it is — the per-group
+    // "representative row" primitive). Determinism under value ties is
+    // IN THE KEY: the composite integer cents·10⁷ + custkey is strictly
+    // increasing in (balance, custkey) because custkey < 10⁷ at every
+    // test scale (documented bound), so the arg is unique — no
+    // engine-dependent tie-break, no row_number fallback needed. One
+    // hash agg, map-side partials, no shuffle beyond the 5 groups.
+    "agg_argminmax" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .withColumn("k",
+          expr("CAST(round(c_acctbal * 100, 0) AS BIGINT) * 10000000 + c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          max_by(col("c_custkey"), col("k")).as("richest_custkey"),
+          round(max(col("c_acctbal")), 6).as("max_bal"),
+          min_by(col("c_custkey"), col("k")).as("poorest_custkey"),
+          round(min(col("c_acctbal")), 6).as("min_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     "agg_custom_udaf" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -669,6 +690,18 @@ object Aggregates {
       s"""SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
          count(1) AS n, ${decSum6("l_quantity")} AS sum_qty
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "agg_argminmax" ->
+      """WITH b AS (
+           SELECT c_mktsegment, c_custkey, c_acctbal,
+                  CAST(round(c_acctbal * 100, 0) AS BIGINT) * 10000000 + c_custkey
+                    AS k
+           FROM customer)
+         SELECT c_mktsegment, count(1) AS n,
+                arg_max(c_custkey, k) AS richest_custkey,
+                round(max(c_acctbal), 6) AS max_bal,
+                arg_min(c_custkey, k) AS poorest_custkey,
+                round(min(c_acctbal), 6) AS min_bal
+         FROM b GROUP BY 1 ORDER BY 1""",
     "agg_mode" ->
       """SELECT o_orderstatus, mode_priority, n FROM (
            SELECT o_orderstatus, o_orderpriority AS mode_priority, count(1) AS n,

@@ -318,6 +318,39 @@ object ShapeOps {
         .orderBy(col("event_type"))
     }),
 
+    // EWM volatility (α = 0.3) per event series — the RiskMetrics-style
+    // exponentially-weighted variance beside ts_ewma's mean and
+    // ts_kalman_1d's adaptive filter: m' = m + α·d, v' = (1−α)(v + α·d²)
+    // — the standard "how noisy is this metric RIGHT NOW" feature for
+    // alerting thresholds that must forget old regimes. Same sequential
+    // array-fold shape as kalman (pair state, deterministic in-row
+    // order, engine-identical doubles); day-grain input after one
+    // fact-sized rollup.
+    "ts_ewm_volatility" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type").as("et"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val h = daily.groupBy(col("et"))
+        .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("h"))
+        .select(col("et"),
+          expr("transform(h, r -> CAST(r.c AS DOUBLE))").as("vs"))
+      val st = aggregate(expr("slice(vs, 2, size(vs) - 1)"),
+        array(element_at(col("vs"), 1), lit(0.0)),
+        (acc, z) => {
+          val m = element_at(acc, 1)
+          val v = element_at(acc, 2)
+          array(m + lit(0.3) * (z - m),
+            lit(0.7) * (v + lit(0.3) * (z - m) * (z - m)))
+        })
+      h.withColumn("st", st)
+        .select(col("et").as("event_type"),
+          size(col("vs")).cast("long").as("n_days"),
+          round(element_at(col("st"), 1), 6).as("ewm_mean"),
+          round(element_at(col("st"), 2), 6).as("ewm_var"),
+          round(sqrt(element_at(col("st"), 2)), 6).as("ewm_vol"))
+        .orderBy(col("event_type"))
+    }),
+
     // Time-to-convert distribution (first view → first subsequent
     // purchase) — the latency companion to seq_funnel's stage counts:
     // how LONG the funnel takes, as exact rank order statistics
@@ -834,6 +867,28 @@ object ShapeOps {
                             hh -> abs(vs[CAST(23 + hh AS INTEGER)]
                                       - (lt[1] + hh * lt[2]))), 'sum') / 7, 6)
                 END AS mae_7d
+         FROM f ORDER BY event_type""",
+    "ts_ewm_volatility" ->
+      """WITH daily AS (
+           SELECT event_type AS et, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         h AS (
+           SELECT et, list_transform(list(c ORDER BY day),
+                        x -> CAST(x AS DOUBLE)) AS vs
+           FROM daily GROUP BY 1),
+         f AS (
+           SELECT et, len(vs) AS n_days,
+                  list_reduce(
+                    list_prepend([vs[1], CAST(0.0 AS DOUBLE)],
+                      list_transform(vs[2:], z -> [z, CAST(0 AS DOUBLE)])),
+                    (acc, e) -> [acc[1] + 0.3 * (e[1] - acc[1]),
+                                 0.7 * (acc[2] + 0.3 * (e[1] - acc[1])
+                                                     * (e[1] - acc[1]))]) AS st
+           FROM h)
+         SELECT et AS event_type, CAST(n_days AS BIGINT) AS n_days,
+                round(st[1], 6) AS ewm_mean,
+                round(st[2], 6) AS ewm_var,
+                round(sqrt(st[2]), 6) AS ewm_vol
          FROM f ORDER BY event_type""",
     "ts_kalman_1d" ->
       """WITH daily AS (

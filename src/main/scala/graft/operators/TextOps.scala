@@ -202,6 +202,33 @@ object TextOps {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // Corpus-wide token-length histogram — the BPE/packing diagnostic
+    // (vocabulary sizing, sequence-budget estimation, and the quickest
+    // tokenizer-drift tripwire all read this curve): one explode with
+    // map-side combine collapses the fact to the LENGTH grain (≤ max
+    // word length rows — constant at any corpus size), shares + a
+    // cumulative prefix over that tiny frame. pct/cum_pct are single
+    // divisions of exact integers; the 1-row total crossJoin is
+    // whitelisted bounded.
+    "text_token_length_hist" -> ((s, dir) => {
+      val toks = persistShared("tok_len_hist",
+        t(s, dir, "documents")
+          .select(explode(filter(split(lower(col("text")), " "),
+            x => x =!= "")).as("tok"))
+          .groupBy(length(col("tok")).as("tok_len"))
+          .agg(count(lit(1)).as("n_tokens")))
+      val tot = toks.agg(sum(col("n_tokens")).as("tot"))
+      val w = Window.orderBy(col("tok_len"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      toks.crossJoin(broadcast(tot))
+        .withColumn("pct",
+          round(col("n_tokens").cast("double") / col("tot"), 6))
+        .withColumn("cum_pct",
+          round(sum(col("n_tokens")).over(w).cast("double") / col("tot"), 6))
+        .select(col("tok_len"), col("n_tokens"), col("pct"), col("cum_pct"))
+        .orderBy(col("tok_len"))
+    }),
+
     // FORCAST readability per doc — the readability formula built for
     // NON-PROSE text (forms, listings, technical fragments): grade =
     // 20 − 15·(monosyllabic words / words). Chosen deliberately over
@@ -1296,6 +1323,20 @@ object TextOps {
          round(CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / count(1), 6) AS avg_chars,
          min(n_chars) AS min_chars, max(n_chars) AS max_chars
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "text_token_length_hist" ->
+      """WITH toks AS (
+           SELECT CAST(length(t) AS INT) AS tok_len, count(1) AS n_tokens
+           FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                   x -> x <> '')) AS t
+                 FROM documents)
+           GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM toks)
+         SELECT tok_len, CAST(n_tokens AS BIGINT) AS n_tokens,
+                round(CAST(n_tokens AS DOUBLE) / tot, 6) AS pct,
+                round(CAST(sum(n_tokens) OVER (ORDER BY tok_len
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE) / tot, 6) AS cum_pct
+         FROM toks, tot ORDER BY tok_len""",
     "text_readability" ->
       """WITH d AS (
            SELECT doc_id,

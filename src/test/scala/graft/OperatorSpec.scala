@@ -4235,6 +4235,63 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("ts_ewm_volatility: the pair recurrence replays the sequential fold") {
+    val got = q("ts_ewm_volatility").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    dailyCounts.foreach { case (et, days) =>
+      val vs = days.map(_._2.toDouble)
+      var m = vs.head; var v = 0.0
+      vs.tail.foreach { z =>
+        val d = z - m
+        m = m + 0.3 * d
+        v = 0.7 * (v + 0.3 * d * d)
+      }
+      val (n, gm, gv, gvol) = got(et)
+      assert(n === vs.length.toLong, s"$et n_days")
+      assert(math.abs(gm - m) < 1e-6, s"$et mean")
+      assert(math.abs(gv - v) < 1e-6, s"$et var")
+      assert(math.abs(gvol - math.sqrt(v)) < 1e-6, s"$et vol")
+    }
+  }
+
+  test("agg_argminmax: arg keys replay the unique composite-key extremes") {
+    val bal = graft.Tables.t(spark, sf, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val byS = bal.groupBy(_._1)
+    val got = q("agg_argminmax").collect()
+    assert(got.length === byS.size)
+    got.foreach { r =>
+      val xs = byS(r.getString(0))
+      def key(t: (String, Long, Double)) = math.round(t._3 * 100) * 10000000L + t._2
+      val rich = xs.maxBy(key); val poor = xs.minBy(key)
+      assert(r.getLong(1) === xs.length.toLong)
+      assert(r.getLong(2) === rich._2, s"${r.getString(0)} richest")
+      assert(math.abs(r.getDouble(3) - xs.map(_._3).max) < 1e-6)
+      assert(r.getLong(4) === poor._2, s"${r.getString(0)} poorest")
+      assert(math.abs(r.getDouble(5) - xs.map(_._3).min) < 1e-6)
+    }
+  }
+
+  test("text_token_length_hist: shares replay the brute length census") {
+    val lens = graft.Tables.t(spark, sf, "documents")
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).toLowerCase.split(" ").filter(_.nonEmpty).map(_.length))
+    val byLen = lens.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val tot = lens.length.toLong
+    val got = q("text_token_length_hist").collect()
+    assert(got.length === byLen.size)
+    var cum = 0L
+    got.sortBy(_.getInt(0)).foreach { r =>
+      val n = byLen(r.getInt(0))
+      cum += n
+      assert(r.getLong(1) === n, s"len ${r.getInt(0)}")
+      assert(math.abs(r.getDouble(2) - n.toDouble / tot) < 1e-6)
+      assert(math.abs(r.getDouble(3) - cum.toDouble / tot) < 1e-6)
+    }
+    assert(math.abs(got.map(_.getDouble(2)).sum - 1.0) < 1e-4, "shares sum to 1")
+  }
+
   test("eval_cohens_kappa: cells and kappa replay the two hash scorers") {
     val preds = graft.Tables.t(spark, sf, "customer")
       .select(col("c_custkey")).collect().map(_.getLong(0)).map { ck =>
