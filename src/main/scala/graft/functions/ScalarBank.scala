@@ -215,6 +215,27 @@ object ScalarBank {
         .orderBy(col("event_id"))
     }),
 
+    // struct-manipulation surface: struct(), withField, dropFields and
+    // field access — the nested-record plumbing every evolving-schema
+    // pipeline leans on (add a derived field, retire a raw one, read
+    // through). The boundary projects FLATTENED scalars (the fn_array
+    // serialization lesson: engines render nested literals differently;
+    // field VALUES compare exactly). All codegen'd built-ins.
+    "fn_struct" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .withColumn("cust", struct(col("c_custkey").as("id"),
+          col("c_mktsegment").as("seg"), col("c_acctbal").as("bal")))
+        .withColumn("cust2", col("cust").withField("bal_cents",
+          expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)")))
+        .withColumn("cust3", col("cust2").dropFields("bal"))
+        .select(col("c_custkey"),
+          col("cust.seg").as("seg"),
+          col("cust2.bal_cents").as("bal_cents"),
+          expr("cust3.id").as("id_after_drop"),
+          lit(3).as("n_fields_after_drop"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // §2.J udf_scalar: Scala UDF in a query (prod note: prefer built-in
     // expression composition — UDFs are codegen-opaque; this exists to
     // cover the UDF surface itself).
@@ -227,6 +248,12 @@ object ScalarBank {
     }))
 
   val oracles: Map[String, String] = Map(
+    "fn_struct" ->
+      """SELECT c_custkey, c_mktsegment AS seg,
+                CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents,
+                c_custkey AS id_after_drop,
+                CAST(3 AS INT) AS n_fields_after_drop
+         FROM customer ORDER BY c_custkey""",
     "fn_hash" ->
       """SELECT doc_id, md5(text) AS md5,
          sha256(text) AS sha256, substring(sha256(text), 1, 16) AS content_id,

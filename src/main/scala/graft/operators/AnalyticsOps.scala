@@ -155,6 +155,44 @@ object AnalyticsOps {
          FROM f"""
   }
 
+  /** stat_welch_anova's oracle — generated from Segments like
+    * bartlettSql so both engines carry identical Σ trees. */
+  private val welchSql: String = {
+    val lc = Segments.map(_.toLowerCase)
+    val cells = Segments.map { sg =>
+      val l = sg.toLowerCase
+      s"""max(CASE WHEN seg = '$sg' THEN n END) AS n_$l,
+                  max(CASE WHEN seg = '$sg' THEN sx END) AS sx_$l,
+                  max(CASE WHEN seg = '$sg' THEN sxx END) AS sxx_$l"""
+    }.mkString(",\n                  ")
+    val mv = lc.map(l =>
+      s"""sx_$l / n_$l AS m_$l,
+                  (sxx_$l - sx_$l * sx_$l / n_$l) / (n_$l - 1) AS v_$l""")
+      .mkString(",\n                  ")
+    val wd = lc.map(l => s"n_$l / v_$l AS w_$l").mkString(",\n                  ")
+    val bigW = lc.map(l => s"w_$l").mkString(" + ")
+    val xwN = lc.map(l => s"w_$l * m_$l").mkString(" + ")
+    val anum = lc.map(l => s"w_$l * (m_$l - xw) * (m_$l - xw)").mkString(" + ")
+    val lam = lc.map(l =>
+      s"(1.0 - w_$l / bw) * (1.0 - w_$l / bw) / (n_$l - 1)").mkString(" + ")
+    s"""WITH m AS (
+           SELECT c_mktsegment AS seg, count(1) AS n,
+                  CAST(sum(CAST(c_acctbal AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST(c_acctbal AS DECIMAL(19,6))
+                           * CAST(c_acctbal AS DECIMAL(19,6))) AS DOUBLE) AS sxx
+           FROM customer GROUP BY 1),
+         piv AS (SELECT $cells FROM m),
+         mv AS (SELECT *, $mv FROM piv),
+         wv AS (SELECT *, $wd FROM mv),
+         g AS (SELECT *, ($bigW) AS bw, ($xwN) / ($bigW) AS xw FROM wv),
+         h AS (SELECT *, ($anum) / 4.0 AS anum, ($lam) AS lam FROM g)
+         SELECT CAST(5 AS INT) AS k,
+                round(anum / (1.0 + 2.0 * 3.0 / 24.0 * lam), 6) AS f_stat,
+                CAST(4 AS INT) AS dof1,
+                round(24.0 / (3.0 * lam), 6) AS dof2
+         FROM h"""
+  }
+
   private[graft] val PagerankBroadcastMaxNodes = 4L << 20
 
   /** Per-user distinct-item cap for recs_item_cf. The co-occurrence
@@ -1858,6 +1896,53 @@ object AnalyticsOps {
         lit(4).as("dof"))
     }),
 
+    // Welch's ANOVA across the 5 segments — stat_anova's
+    // unequal-variance-robust sibling (classic ANOVA assumes
+    // homoscedasticity; when stat_bartlett/levene REJECT it, this is the
+    // test you run instead — the three ship as a kit): F* = Σw(m−x̄w)²/
+    // (k−1) / (1 + 2(k−2)/(k²−1)·Λ), Λ = Σ(1−w/W)²/(n−1), w = n/s².
+    // Same one-row conditional pivot over the shared Segments constant
+    // as stat_bartlett — DECIMAL-exact moments, identical
+    // left-associated Σ trees both engines, scalar algebra on one row.
+    "stat_welch_anova" -> ((s, dir) => {
+      val m = t(s, dir, "customer")
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("c_acctbal"))).as("sxd"),
+          sum(dec(col("c_acctbal")) * dec(col("c_acctbal"))).as("sxxd"))
+        .select(col("seg"), col("n"),
+          col("sxd").cast("double").as("sx"), col("sxxd").cast("double").as("sxx"))
+      val aggExprs = Segments.flatMap { sg =>
+        val l = sg.toLowerCase
+        Seq(max(when(col("seg") === sg, col("n"))).as(s"n_$l"),
+          max(when(col("seg") === sg, col("sx"))).as(s"sx_$l"),
+          max(when(col("seg") === sg, col("sxx"))).as(s"sxx_$l"))
+      }
+      val piv = m.agg(aggExprs.head, aggExprs.tail: _*)
+      def nS(sg: String) = col(s"n_${sg.toLowerCase}")
+      val withW = Segments.foldLeft(piv) { (df, sg) =>
+        val l = sg.toLowerCase
+        df.withColumn(s"m_$l", col(s"sx_$l") / nS(sg))
+          .withColumn(s"v_$l",
+            (col(s"sxx_$l") - col(s"sx_$l") * col(s"sx_$l") / nS(sg)) / (nS(sg) - 1))
+          .withColumn(s"w_$l", nS(sg) / col(s"v_$l"))
+      }
+      def wS(sg: String) = col(s"w_${sg.toLowerCase}")
+      def mS(sg: String) = col(s"m_${sg.toLowerCase}")
+      val bigW = Segments.map(wS).reduce(_ + _)
+      val xw = Segments.map(sg => wS(sg) * mS(sg)).reduce(_ + _) / bigW
+      val aNum = Segments.map(sg =>
+        wS(sg) * (mS(sg) - xw) * (mS(sg) - xw)).reduce(_ + _) / lit(4.0)
+      val lam = Segments.map(sg =>
+        (lit(1.0) - wS(sg) / bigW) * (lit(1.0) - wS(sg) / bigW) / (nS(sg) - 1))
+        .reduce(_ + _)
+      withW.select(lit(5).as("k"),
+        round(aNum / (lit(1.0) + lit(2.0) * lit(3.0) / lit(24.0) * lam), 6)
+          .as("f_stat"),
+        lit(4).as("dof1"),
+        round(lit(24.0) / (lit(3.0) * lam), 6).as("dof2"))
+    }),
+
     // Smoothed target encoding: replace a categorical feature (customer
     // nation) with the target mean (order totalprice), shrunk toward the
     // global mean by a pseudo-count prior — encoded = (Σy + m·ȳ)/(n + m),
@@ -2827,6 +2912,33 @@ object AnalyticsOps {
       m.withColumn("rk", row_number().over(wR)).filter(col("rk") <= 3)
         .select(col("event_type"), col("p").cast("long").as("period"), col("power"))
         .orderBy(col("event_type"), col("period"))
+    }),
+
+    // Lag/rolling feature matrix per event series — the ML feature
+    // generator every forecasting/anomaly trainer consumes (lag-1,
+    // lag-7, trailing 7-day mean on FULL windows only, first difference,
+    // pct change): three windows over the calendar-bounded day frame
+    // after one fact rollup; integers until the two guarded divisions
+    // (full-window ma7, nullif pct_change) — deterministic NULL edges on
+    // both engines.
+    "ts_feature_matrix" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val w7 = w.rowsBetween(-6, 0)
+      daily
+        .withColumn("lag1", lag(col("c"), 1).over(w))
+        .withColumn("lag7", lag(col("c"), 7).over(w))
+        .withColumn("n7", count(lit(1)).over(w7))
+        .withColumn("ma7", when(col("n7") === 7,
+          round(sum(col("c")).over(w7).cast("double") / 7, 6)))
+        .withColumn("diff1", col("c") - col("lag1"))
+        .withColumn("pct_change",
+          round(col("diff1").cast("double") / nullif(col("lag1"), lit(0L)), 6))
+        .select(col("event_type"), col("day"), col("c"), col("lag1"),
+          col("lag7"), col("ma7"), col("diff1"), col("pct_change"))
+        .orderBy(col("event_type"), col("day"))
     }),
 
     // Spectral entropy per event series — HOW CONCENTRATED is the
@@ -4966,6 +5078,24 @@ object AnalyticsOps {
                 round(CAST(nco AS DOUBLE) / sqrt(CAST(ca.ni * cb.ni AS DOUBLE)), 6) AS cosine
          FROM co JOIN cnt ca ON ca.i = ia JOIN cnt cb ON cb.i = ib
          ORDER BY cosine DESC, ia, ib LIMIT 20""",
+    "stat_welch_anova" -> welchSql,
+    "ts_feature_matrix" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, day, c,
+                lag(c, 1) OVER w AS lag1,
+                lag(c, 7) OVER w AS lag7,
+                CASE WHEN count(1) OVER w7 = 7
+                     THEN round(CAST(sum(c) OVER w7 AS DOUBLE) / 7, 6) END AS ma7,
+                c - lag(c, 1) OVER w AS diff1,
+                round(CAST(c - lag(c, 1) OVER w AS DOUBLE)
+                      / nullif(lag(c, 1) OVER w, 0), 6) AS pct_change
+         FROM daily
+         WINDOW w AS (PARTITION BY event_type ORDER BY day),
+                w7 AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY event_type, day""",
     "recs_user_cf" ->
       """WITH ui0 AS (
            SELECT DISTINCT l_partkey AS u, o_custkey AS i

@@ -4292,6 +4292,70 @@ class PropertySpec extends SparkSuite {
     assert(math.abs(got.map(_.getDouble(2)).sum - 1.0) < 1e-4, "shares sum to 1")
   }
 
+  test("stat_welch_anova: F* replays the brute weighted fold") {
+    val bal = graft.Tables.t(spark, sf, "customer")
+      .select(col("c_mktsegment"), col("c_acctbal")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val byS = bal.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val stats = segs.map { sg =>
+      val vs = byS(sg); val n = vs.length
+      val mu = vs.sum / n
+      val v = vs.map(x => (x - mu) * (x - mu)).sum / (n - 1)
+      (n, mu, v)
+    }
+    val ws = stats.map { case (n, _, v) => n / v }
+    val bw = ws.sum
+    val xw = stats.zip(ws).map { case ((_, mu, _), w) => w * mu }.sum / bw
+    val anum = stats.zip(ws).map { case ((_, mu, _), w) => w * (mu - xw) * (mu - xw) }.sum / 4.0
+    val lam = stats.zip(ws).map { case ((n, _, _), w) =>
+      (1.0 - w / bw) * (1.0 - w / bw) / (n - 1) }.sum
+    val f = anum / (1.0 + 2.0 * 3.0 / 24.0 * lam)
+    val r = q("stat_welch_anova").collect()(0)
+    assert(r.getInt(0) === 5 && r.getInt(2) === 4)
+    assert(math.abs(r.getDouble(1) - f) < 1e-4, s"F ${r.getDouble(1)} vs $f")
+    assert(math.abs(r.getDouble(3) - 24.0 / (3.0 * lam)) < 1e-3, "dof2")
+  }
+
+  test("ts_feature_matrix: lag/rolling features replay per series") {
+    val got = q("ts_feature_matrix").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.sortBy(_.getDate(1).getTime)).toMap
+    dailyCounts.foreach { case (et, days) =>
+      val vs = days.map(_._2)
+      val rows = got(et)
+      assert(rows.length === vs.length)
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(2) === vs(i), s"$et c @$i")
+        if (i >= 1) assert(r.getLong(3) === vs(i - 1), s"$et lag1 @$i")
+        else assert(r.isNullAt(3))
+        if (i >= 7) assert(r.getLong(4) === vs(i - 7), s"$et lag7 @$i")
+        else assert(r.isNullAt(4))
+        if (i >= 6) {
+          val ma = vs.slice(i - 6, i + 1).sum.toDouble / 7
+          assert(math.abs(r.getDouble(5) - ma) < 1e-6, s"$et ma7 @$i")
+        } else assert(r.isNullAt(5))
+        if (i >= 1 && vs(i - 1) != 0)
+          assert(math.abs(r.getDouble(7) -
+            (vs(i) - vs(i - 1)).toDouble / vs(i - 1)) < 1e-6, s"$et pct @$i")
+      }
+    }
+  }
+
+  test("fn_struct: withField/dropFields read through to exact field values") {
+    val rows = q("fn_struct").collect()
+    val base = graft.Tables.t(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(rows.length === base.size)
+    rows.take(40).foreach { r =>
+      val (seg, bal) = base(r.getLong(0))
+      assert(r.getString(1) === seg)
+      assert(r.getLong(2) === math.round(bal * 100))
+      assert(r.getLong(3) === r.getLong(0), "id survives dropFields")
+      assert(r.getInt(4) === 3)
+    }
+  }
+
   test("eval_cohens_kappa: cells and kappa replay the two hash scorers") {
     val preds = graft.Tables.t(spark, sf, "customer")
       .select(col("c_custkey")).collect().map(_.getLong(0)).map { ck =>
