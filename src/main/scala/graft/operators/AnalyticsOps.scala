@@ -2914,6 +2914,43 @@ object AnalyticsOps {
         .orderBy(col("event_type"), col("period"))
     }),
 
+    // Dickey–Fuller unit-root test per event series — "is this metric
+    // mean-reverting or a random walk" (the stationarity gate before any
+    // AR model; complements ts_hurst's long-memory exponent and
+    // mann-kendall's monotone drift): OLS of Δy on y_{t−1} with
+    // intercept, t = ρ̂/se(ρ̂), stationary call at the 5% critical value
+    // −2.86 on the GRIDDED t (no ulp flip). Every moment is an exact
+    // integer (counts and their lags); the algebra is one identical
+    // double tree per series. One lag window over the calendar-bounded
+    // day frame; the fact is touched once.
+    "stat_dickey_fuller" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val p = daily.withColumn("x", lag(col("c"), 1).over(w))
+        .filter(col("x").isNotNull)
+        .withColumn("d", col("c") - col("x"))
+      val m = p.groupBy(col("event_type")).agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("d")).as("sd"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("d")).as("sxd"),
+        sum(col("d") * col("d")).as("sdd"))
+      m.withColumn("rho",
+          (col("n") * col("sxd") - col("sx") * col("sd")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")))
+        .withColumn("alpha", (col("sd") - col("rho") * col("sx")) / col("n"))
+        .withColumn("sse",
+          col("sdd") - col("alpha") * col("sd") - col("rho") * col("sxd"))
+        .withColumn("se", sqrt((col("sse") / (col("n") - 2)) /
+          (col("sxx") - col("sx").cast("double") * col("sx") / col("n"))))
+        .select(col("event_type"), col("n"),
+          round(col("rho"), 6).as("rho"),
+          round(col("rho") / col("se"), 6).as("t_stat"),
+          when(round(col("rho") / col("se"), 6) < -2.86, 1).otherwise(0)
+            .as("stationary"))
+        .orderBy(col("event_type"))
+    }),
+
     // Lag/rolling feature matrix per event series — the ML feature
     // generator every forecasting/anomaly trainer consumes (lag-1,
     // lag-7, trailing 7-day mean on FULL windows only, first difference,
@@ -5079,6 +5116,39 @@ object AnalyticsOps {
          FROM co JOIN cnt ca ON ca.i = ia JOIN cnt cb ON cb.i = ib
          ORDER BY cosine DESC, ia, ib LIMIT 20""",
     "stat_welch_anova" -> welchSql,
+    "stat_dickey_fuller" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         p AS (
+           SELECT event_type, c,
+                  lag(c) OVER (PARTITION BY event_type ORDER BY day) AS x
+           FROM daily),
+         pp AS (SELECT event_type, x, c - x AS d FROM p WHERE x IS NOT NULL),
+         m AS (
+           SELECT event_type, count(1) AS n,
+                  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(d) AS BIGINT) AS sd,
+                  CAST(sum(x * x) AS BIGINT) AS sxx,
+                  CAST(sum(x * d) AS BIGINT) AS sxd,
+                  CAST(sum(d * d) AS BIGINT) AS sdd
+           FROM pp GROUP BY 1),
+         f AS (
+           SELECT event_type, n, sx, sd, sxx, sxd, sdd,
+                  CAST(n * sxd - sx * sd AS DOUBLE) / (n * sxx - sx * sx) AS rho
+           FROM m),
+         g AS (
+           SELECT *, (sd - rho * sx) / n AS alpha FROM f),
+         h AS (
+           SELECT *, sdd - alpha * sd - rho * sxd AS sse FROM g),
+         i AS (
+           SELECT *, sqrt((sse / (n - 2))
+                          / (sxx - CAST(sx AS DOUBLE) * sx / n)) AS se
+           FROM h)
+         SELECT event_type, n, round(rho, 6) AS rho,
+                round(rho / se, 6) AS t_stat,
+                CAST(CASE WHEN round(rho / se, 6) < -2.86 THEN 1 ELSE 0 END
+                  AS INT) AS stationary
+         FROM i ORDER BY event_type""",
     "ts_feature_matrix" ->
       """WITH daily AS (
            SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS c

@@ -514,9 +514,15 @@ object EtlOps {
         t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
       val lk = persistShared("ref_lk",
         t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")))
+      // each 1-row count materializes EAGERLY (localCheckpoint) so the
+      // composed 4-row union replays none of the cached key frames —
+      // without this the final plan scanned the caches 10× (the
+      // InMemoryTableScan>8 lint caught it; graph_hits' r9 lesson)
+      def cnt(df: DataFrame, as: String): DataFrame =
+        df.agg(count(lit(1)).as(as)).localCheckpoint(true)
+      val nOk = cnt(ok, "n_rows"); val nLk = cnt(lk, "n_rows")
       def row(rel: String, orphans: DataFrame, total: DataFrame): DataFrame =
-        orphans.agg(count(lit(1)).as("n_orphans"))
-          .crossJoin(broadcast(total.agg(count(lit(1)).as("n_rows"))))
+        cnt(orphans, "n_orphans").crossJoin(total)
           .select(lit(rel).as("relationship"), col("n_rows"), col("n_orphans"),
             when(col("n_orphans") === 0, "pass").otherwise("fail").as("status"))
       val liOrph = lk.join(ok.select(col("o_orderkey")),
@@ -529,10 +535,10 @@ object EtlOps {
       val partOrph = lk.join(
         broadcast(t(s, dir, "part").select(col("p_partkey"))),
         col("l_partkey") === col("p_partkey"), "left_anti")
-      row("lineitem_to_orders", liOrph, lk)
-        .unionAll(row("orders_to_lineitem_childless", childless, ok))
-        .unionAll(row("orders_to_customer", custOrph, ok))
-        .unionAll(row("lineitem_to_part", partOrph, lk))
+      row("lineitem_to_orders", liOrph, nLk)
+        .unionAll(row("orders_to_lineitem_childless", childless, nOk))
+        .unionAll(row("orders_to_customer", custOrph, nOk))
+        .unionAll(row("lineitem_to_part", partOrph, nLk))
         .orderBy(col("relationship"))
     }),
 

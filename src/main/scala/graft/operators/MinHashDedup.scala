@@ -78,6 +78,60 @@ object MinHashDedup {
         .limit(100)
     }),
 
+    // Recall audit of the MinHash-LSH candidate generator — the dedup
+    // family's analogue of vec_ann_recall (an index you never grade is
+    // an index you can't trust): exact 3-gram-shingle Jaccard ≥ 0.5
+    // pairs on the bounded probe window (doc_id < 256, the pairStats
+    // window discipline) form the ground truth; the LSH banded buckets
+    // (same signatures as text_dedup_near) propose candidates; recall =
+    // |cand ∩ truth| / |truth|. At scale only the ground-truth side is
+    // window-bounded — the LSH side is the production path being graded.
+    // No DuckDB oracle (xxhash64 signatures); the sf0.001 output row is
+    // pinned by the unit suite like the other no-oracle sketches.
+    "dedup_minhash_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 256)
+        .withColumn("toks", split(lower(col("text")), " "))
+      // exact shingle-set Jaccard ground truth on the bounded window
+      val sh = persistShared("mh_recall_sh", docs
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(1, greatest(1, size(toks) - 2)), " +
+            "i -> concat_ws(' ', slice(toks, i, 3)))"))).as("g")))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+      // truth and cand are tiny pair lists each consumed twice (own count
+      // + the hit join) — materialized eagerly so the composed 1-row plan
+      // replays no cached relation (the etl_referential_check lesson,
+      // caught by the InMemoryTableScan>8 lint at x12)
+      val truth = sh.as("a")
+        .join(sh.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("d1"), col("nt").as("n1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("nt").as("n2")), "d2")
+        .filter(col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")) >= 0.5)
+        .select(col("d1"), col("d2"))
+        .localCheckpoint(true)
+      // LSH candidates from the SAME banded signatures as text_dedup_near;
+      // banded feeds BOTH sides of the bucket join — persisted so the
+      // documents scan runs once for it (r10 scan lint caught the 4×)
+      val sig = signatures(docs, "doc_id", "toks", shingleWidth = 3)
+      val b = persistShared("mh_recall_bands", banded(sig, "doc_id"))
+      val cand = b.select(col("doc_id").as("d1"), col("band_idx"), col("bh"))
+        .join(b.select(col("doc_id").as("d2"), col("band_idx"), col("bh")),
+          Seq("band_idx", "bh"))
+        .filter(col("d1") < col("d2"))
+        .select(col("d1"), col("d2")).distinct()
+        .localCheckpoint(true)
+      val hit = truth.join(cand, Seq("d1", "d2"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+        .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+        .select(col("n_truth"), col("n_candidates"), col("n_hit"),
+          round(col("n_hit").cast("double") /
+            nullif(col("n_truth"), lit(0L)), 6).as("recall"))
+    }),
+
     // 16-bit SimHash signature + high-byte bucket per document.
     "dedup_simhash" -> ((s, dir) => {
       val tok = t(s, dir, "documents")

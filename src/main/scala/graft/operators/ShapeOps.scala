@@ -437,6 +437,40 @@ object ShapeOps {
         .orderBy(col("user_id"))
     }),
 
+    // RFM segmentation — THE classic customer-value scoring (recency ×
+    // frequency × monetary quintiles, the workhorse behind lifecycle
+    // campaigns and LTV priors): one fact-sized rollup to the customer
+    // grain (exact integer cents, day-precision recency vs the 1-row
+    // broadcast horizon), then three ntile(5) windows over UNIQUE total
+    // orders ((metric, custkey) — quintile boundaries deterministic on
+    // both engines). The ntile windows run single-partition BY DESIGN on
+    // the customer-grain frame (dimension-sized; stat_auc_roc's exact-
+    // ranking precedent), never the fact.
+    "seq_rfm_scores" -> ((s, dir) => {
+      val o = persistShared("rfm_orders", t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate").cast("date").as("day"),
+          expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents")))
+      val per = o.groupBy(col("o_custkey"))
+        .agg(max(col("day")).as("last_day"),
+          count(lit(1)).as("frequency"),
+          sum(col("cents")).as("monetary_cents"))
+      val horizon = o.agg(max(col("day")).as("h_day"))
+      val base = per.crossJoin(broadcast(horizon))
+        .withColumn("recency_days", datediff(col("h_day"), col("last_day")))
+      val rW = Window.orderBy(col("recency_days").desc, col("o_custkey"))
+      val fW = Window.orderBy(col("frequency"), col("o_custkey"))
+      val mW = Window.orderBy(col("monetary_cents"), col("o_custkey"))
+      base
+        .withColumn("r_score", ntile(5).over(rW))
+        .withColumn("f_score", ntile(5).over(fW))
+        .withColumn("m_score", ntile(5).over(mW))
+        .select(col("o_custkey"), col("recency_days"), col("frequency"),
+          col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"),
+          (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+            .as("rfm"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // First-order Markov transition matrix over per-user event sequences
     // (the model behind next-action prediction and session simulation):
     // one lead() window per user (ordered by the unique (ts, event_id)
@@ -916,6 +950,32 @@ object ShapeOps {
                 round(st[2], 6) AS p_var,
                 round(st[3] / (len(vs) - 1), 6) AS innovation_mae
          FROM f ORDER BY event_type""",
+    "seq_rfm_scores" ->
+      """WITH o AS (
+           SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+                  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+           FROM orders),
+         per AS (
+           SELECT o_custkey, max(day) AS last_day, count(1) AS frequency,
+                  CAST(sum(cents) AS BIGINT) AS monetary_cents
+           FROM o GROUP BY 1),
+         h AS (SELECT max(day) AS h_day FROM o),
+         base AS (
+           SELECT o_custkey, frequency, monetary_cents,
+                  CAST(date_diff('day', last_day, h_day) AS INT) AS recency_days
+           FROM per, h)
+         SELECT o_custkey, recency_days, frequency, monetary_cents,
+                CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey)
+                  AS INT) AS r_score,
+                CAST(ntile(5) OVER (ORDER BY frequency, o_custkey)
+                  AS INT) AS f_score,
+                CAST(ntile(5) OVER (ORDER BY monetary_cents, o_custkey)
+                  AS INT) AS m_score,
+                CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) * 100
+                  + ntile(5) OVER (ORDER BY frequency, o_custkey) * 10
+                  + ntile(5) OVER (ORDER BY monetary_cents, o_custkey)
+                  AS INT) AS rfm
+         FROM base ORDER BY o_custkey""",
     "seq_churn_label" ->
       """WITH ev AS (
            SELECT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -249,6 +249,18 @@ class OperatorSpec extends SparkSuite {
   // the source) is pinned verbatim, the text_dedup_near discipline: any
   // formula change must update the pin deliberately, with a note.
 
+  test("dedup_minhash_recall: sf0.001 output is pinned (no-oracle regression gate)") {
+    // the LSH signatures share text_dedup_near's xxhash64 machinery (no
+    // DuckDB twin), so the audit row is pinned: on this fixture the
+    // banded buckets find all 11 shingle-Jaccard≥0.5 pairs with zero
+    // false candidates — perfect recall AND precision; any signature/
+    // banding change that moves either count fails here deliberately
+    val got = graft.SparkEntry.queries("dedup_minhash_recall")(
+      spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === Seq((11L, 11L, 11L, 1.0)))
+  }
+
   test("agg_approx_distinct: sf0.001 output is pinned (no-oracle regression gate)") {
     val got = graft.SparkEntry.queries("agg_approx_distinct")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
@@ -4353,6 +4365,61 @@ class PropertySpec extends SparkSuite {
       assert(r.getLong(2) === math.round(bal * 100))
       assert(r.getLong(3) === r.getLong(0), "id survives dropFields")
       assert(r.getInt(4) === 3)
+    }
+  }
+
+  test("stat_dickey_fuller: t replays the brute lag-regression fold") {
+    val got = q("stat_dickey_fuller").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))).toMap
+    dailyCounts.foreach { case (et, days) =>
+      val vs = days.map(_._2.toDouble)
+      val xs = vs.dropRight(1); val ds = vs.tail.zip(xs).map { case (y, x) => y - x }
+      val n = xs.length
+      val (sx, sd) = (xs.sum, ds.sum)
+      val sxx = xs.map(x => x * x).sum
+      val sxd = xs.zip(ds).map { case (x, d) => x * d }.sum
+      val sdd = ds.map(d => d * d).sum
+      val rho = (n * sxd - sx * sd) / (n * sxx - sx * sx)
+      val alpha = (sd - rho * sx) / n
+      val sse = sdd - alpha * sd - rho * sxd
+      val se = math.sqrt((sse / (n - 2)) / (sxx - sx * sx / n))
+      val (gn, gr, gt, gflag) = got(et)
+      assert(gn === n.toLong, s"$et n")
+      assert(math.abs(gr - rho) < 1e-5, s"$et rho")
+      assert(math.abs(gt - rho / se) < 1e-4, s"$et t")
+      assert(gflag === (if (rho / se < -2.86) 1 else 0), s"$et flag")
+    }
+  }
+
+  test("seq_rfm_scores: quintiles replay the brute ntile over unique orders") {
+    val orders = graft.Tables.t(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("date"),
+        col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).getTime, math.round(r.getDouble(2) * 100)))
+    val horizon = orders.map(_._2).max
+    val per = orders.groupBy(_._1).map { case (u, xs) =>
+      (u, ((horizon - xs.map(_._2).max) / 86400000L).toInt,
+        xs.length.toLong, xs.map(_._3).sum)
+    }.toSeq
+    def ntile5(sorted: Seq[Long]): Map[Long, Int] = {
+      val n = sorted.length; val base = n / 5; val rem = n % 5
+      val sizes = (0 until 5).map(i => base + (if (i < rem) 1 else 0))
+      val bounds = sizes.scanLeft(0)(_ + _)
+      sorted.zipWithIndex.map { case (u, i) =>
+        u -> (bounds.indexWhere(_ > i))
+      }.toMap
+    }
+    val rT = ntile5(per.sortBy(t => (-t._2, t._1)).map(_._1))
+    val fT = ntile5(per.sortBy(t => (t._3, t._1)).map(_._1))
+    val mT = ntile5(per.sortBy(t => (t._4, t._1)).map(_._1))
+    val got = q("seq_rfm_scores").collect()
+    assert(got.length === per.length)
+    got.foreach { r =>
+      val u = r.getLong(0)
+      assert(r.getInt(4) === rT(u), s"cust $u r_score")
+      assert(r.getInt(5) === fT(u), s"cust $u f_score")
+      assert(r.getInt(6) === mT(u), s"cust $u m_score")
+      assert(r.getInt(7) === rT(u) * 100 + fT(u) * 10 + mT(u), s"cust $u rfm")
     }
   }
 

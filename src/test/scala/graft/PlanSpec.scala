@@ -696,7 +696,9 @@ class PlanSpec extends SparkSuite {
       "seq_churn_label" -> "crossJoin against the broadcast 1-row corpus-horizon (max day) frame",
       "etl_referential_check" -> "crossJoins against broadcast 1-row total-count frames (per relationship row, etl_dq_report's shape)",
       "stat_poisson_ztest" -> "theta self-join of a broadcast 5-row per-type moment frame (<=25 pairs, stat_ttest's shape)",
-      "text_token_length_hist" -> "crossJoin against a broadcast 1-row token-total frame (text_unigram_ppl's shape)")
+      "text_token_length_hist" -> "crossJoin against a broadcast 1-row token-total frame (text_unigram_ppl's shape)",
+      "seq_rfm_scores" -> "crossJoin against the broadcast 1-row corpus-horizon (max order day) frame",
+      "dedup_minhash_recall" -> "crossJoins compose three 1-row count frames (truth/candidates/hits)")
     val sf = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if boundedByConstruction.contains(name) => None
