@@ -218,6 +218,27 @@ object Streams {
         .orderBy(col("event_id"))
     }),
 
+    // Exact windowed distinct users — THE streaming-distinct pattern:
+    // count(DISTINCT) isn't supported in a streaming agg, so the
+    // canonical plan is watermark → dropDuplicates on (window-bucket,
+    // type, user) — keyed dedup state, watermark-bounded — then an
+    // ordinary windowed count of the deduped stream. State is
+    // hash-partitioned by the dedup key and expires with the watermark;
+    // at scale this is exactly how per-window DAU/uniques run.
+    "stream_distinct_users" -> ((s, dir) => {
+      runToTable(s, s2 => eventsStream(s2, dir)
+        .withWatermark("ts", "10 minutes")
+        .select(window(col("ts"), "5 minutes").as("w"),
+          col("event_type"), col("user_id"))
+        .dropDuplicates("w", "event_type", "user_id")
+        .groupBy(col("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_users")),
+        "mem_distinct_users", "complete")
+        .select(unix_timestamp(col("w.start")).as("w_start_s"),
+          col("event_type"), col("n_users"))
+        .orderBy(col("w_start_s"), col("event_type"))
+    }),
+
     // stream-static join: the micro-batch stream enriched against a static
     // dimension (the connector pattern: incoming feed ⋈ reference data).
     // The static side is broadcast into every micro-batch.
@@ -344,6 +365,10 @@ object Streams {
       """SELECT (epoch_us(ts) // 300000000) * 300 AS w_start_s, event_type,
          count(1) AS n,
          round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
+         FROM events GROUP BY 1, 2 ORDER BY w_start_s, event_type""",
+    "stream_distinct_users" ->
+      """SELECT (epoch_us(ts) // 300000000) * 300 AS w_start_s, event_type,
+         count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1, 2 ORDER BY w_start_s, event_type""",
     "stream_sliding" ->
       """SELECT ((epoch_us(ts) // 300000000) - i) * 300 AS w_start_s, event_type,

@@ -134,6 +134,42 @@ class StreamingSpec extends SparkSuite {
     assert(streamed === batch)
   }
 
+  test("stream_distinct_users: in-window duplicate users count once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val agg = in.toDF()
+      .withWatermark("ts", "10 minutes")
+      .select(window(col("ts"), "5 minutes").as("w"), col("event_type"), col("user_id"))
+      .dropDuplicates("w", "event_type", "user_id")
+      .groupBy(col("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+    val q0 = agg.writeStream.format("memory").queryName("sdu_test")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // user 1 fires 3x in the same window, user 2 once; a second window
+      // sees user 1 again (distinct per window, not global)
+      in.addData(Ev(1, ts(0), 1, "view", 1.0), Ev(2, ts(1), 1, "view", 1.0),
+        Ev(3, ts(2), 1, "view", 1.0), Ev(4, ts(2), 2, "view", 1.0),
+        Ev(5, ts(6), 1, "view", 1.0))
+      q0.processAllAvailable()
+      val rows = spark.table("sdu_test")
+        .select(col("w.start").cast("long").as("ws"), col("n_users")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows.values.toSeq.sorted === Seq(1L, 2L),
+        s"expected windows with 2 and 1 distinct users, got $rows")
+    } finally q0.stop()
+  }
+
+  test("stream_distinct_users equals its exact batch twin") {
+    val out = q("stream_distinct_users")
+    val want = graft.Tables.events(spark, sf)
+      .groupBy((expr("unix_micros(ts)") / 300000000L).cast("long") * 300,
+        col("event_type"))
+      .agg(countDistinct(col("user_id"))).count()
+    assert(out.count() === want)
+  }
+
   test("stream_dedup passes every distinct event exactly once") {
     val out = q("stream_dedup")
     assert(out.count() ===
