@@ -215,6 +215,25 @@ object ScalarBank {
         .orderBy(col("event_id"))
     }),
 
+    // calendar/interval arithmetic surface: add_months (month-end
+    // clamped identically on both engines), last_day, quarter trunc,
+    // and integer month/day horizons — the date plumbing of every
+    // retention/cohort/fiscal rollup. months_to_eoy is the INTEGER
+    // calendar-month difference (Spark's fractional months_between has
+    // engine-specific /31 semantics with no DuckDB twin — deliberately
+    // not exposed). All codegen'd built-ins, scan-grain.
+    "fn_interval" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_orderkey"),
+        add_months(col("o_orderdate"), 3).as("plus_3m"),
+        last_day(col("o_orderdate")).as("month_end"),
+        date_trunc("quarter", col("o_orderdate")).cast("date").as("quarter_start"),
+        ((lit(1998) - year(col("o_orderdate"))) * 12 +
+          (lit(12) - month(col("o_orderdate")))).as("months_to_eoy"),
+        datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date"))
+          .as("days_to_eoy"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // struct-manipulation surface: struct(), withField, dropFields and
     // field access — the nested-record plumbing every evolving-schema
     // pipeline leans on (add a derived field, retire a raw one, read
@@ -248,6 +267,16 @@ object ScalarBank {
     }))
 
   val oracles: Map[String, String] = Map(
+    "fn_interval" ->
+      """SELECT o_orderkey,
+                CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+                last_day(CAST(o_orderdate AS DATE)) AS month_end,
+                CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+                CAST((1998 - year(o_orderdate)) * 12
+                     + (12 - month(o_orderdate)) AS INT) AS months_to_eoy,
+                CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                               DATE '1998-12-31') AS INT) AS days_to_eoy
+         FROM orders ORDER BY o_orderkey""",
     "fn_struct" ->
       """SELECT c_custkey, c_mktsegment AS seg,
                 CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents,

@@ -2914,6 +2914,43 @@ object AnalyticsOps {
         .orderBy(col("event_type"), col("period"))
     }),
 
+    // Partial correlation r_xy·z between daily view and purchase counts
+    // CONTROLLING for click volume — "are views and purchases related
+    // beyond what overall traffic explains", the confounder screen
+    // agg_corr_matrix's raw pairwise r can't answer: r_xy·z =
+    // (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) on three 6-dp-gridded
+    // correlations (ts_pacf's Durbin–Levinson discipline). Moments are
+    // exact integers; each variance factor casts to double BEFORE the
+    // product so the tree can never overflow BIGINT at any scale. One
+    // fact rollup, day-grain pivot, 1-row algebra.
+    "stat_partial_corr" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .filter(col("event_type").isin("view", "purchase", "click"))
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val piv = daily.groupBy(col("day")).agg(
+        coalesce(max(when(col("event_type") === "view", col("c"))), lit(0L)).as("x"),
+        coalesce(max(when(col("event_type") === "purchase", col("c"))), lit(0L)).as("y"),
+        coalesce(max(when(col("event_type") === "click", col("c"))), lit(0L)).as("z"))
+      val m = piv.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("z") * col("z")).as("szz"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("z")).as("sxz"),
+        sum(col("y") * col("z")).as("syz"))
+      def r(sab: Column, sa: Column, sb: Column, saa: Column, sbb: Column) =
+        round((col("n") * sab - sa * sb).cast("double") /
+          sqrt((col("n") * saa - sa * sa).cast("double") *
+            (col("n") * sbb - sb * sb).cast("double")), 6)
+      m.withColumn("r_xy", r(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy")))
+        .withColumn("r_xz", r(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz")))
+        .withColumn("r_yz", r(col("syz"), col("sy"), col("sz"), col("syy"), col("szz")))
+        .select(col("n").as("n_days"), col("r_xy"), col("r_xz"), col("r_yz"),
+          round((col("r_xy") - col("r_xz") * col("r_yz")) /
+            sqrt((lit(1.0) - col("r_xz") * col("r_xz")) *
+              (lit(1.0) - col("r_yz") * col("r_yz"))), 6).as("partial_r_xy_z"))
+    }),
+
     // Dickey–Fuller unit-root test per event series — "is this metric
     // mean-reverting or a random walk" (the stationarity gate before any
     // AR model; complements ts_hurst's long-memory exponent and
@@ -5116,6 +5153,45 @@ object AnalyticsOps {
          FROM co JOIN cnt ca ON ca.i = ia JOIN cnt cb ON cb.i = ib
          ORDER BY cosine DESC, ia, ib LIMIT 20""",
     "stat_welch_anova" -> welchSql,
+    "stat_partial_corr" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, event_type, count(1) AS c
+           FROM events WHERE event_type IN ('view', 'purchase', 'click')
+           GROUP BY 1, 2),
+         piv AS (
+           SELECT day,
+                  coalesce(max(CASE WHEN event_type = 'view' THEN c END), 0) AS x,
+                  coalesce(max(CASE WHEN event_type = 'purchase' THEN c END), 0) AS y,
+                  coalesce(max(CASE WHEN event_type = 'click' THEN c END), 0) AS z
+           FROM daily GROUP BY 1),
+         m AS (
+           SELECT count(1) AS n,
+                  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(z) AS BIGINT) AS sz,
+                  CAST(sum(x * x) AS BIGINT) AS sxx,
+                  CAST(sum(y * y) AS BIGINT) AS syy,
+                  CAST(sum(z * z) AS BIGINT) AS szz,
+                  CAST(sum(x * y) AS BIGINT) AS sxy,
+                  CAST(sum(x * z) AS BIGINT) AS sxz,
+                  CAST(sum(y * z) AS BIGINT) AS syz
+           FROM piv),
+         rr AS (
+           SELECT n,
+                  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                        sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                             * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r_xy,
+                  round(CAST(n * sxz - sx * sz AS DOUBLE) /
+                        sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                             * CAST(n * szz - sz * sz AS DOUBLE)), 6) AS r_xz,
+                  round(CAST(n * syz - sy * sz AS DOUBLE) /
+                        sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+                             * CAST(n * szz - sz * sz AS DOUBLE)), 6) AS r_yz
+           FROM m)
+         SELECT n AS n_days, r_xy, r_xz, r_yz,
+                round((r_xy - r_xz * r_yz) /
+                      sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)), 6)
+                  AS partial_r_xy_z
+         FROM rr""",
     "stat_dickey_fuller" ->
       """WITH daily AS (
            SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS c

@@ -164,6 +164,54 @@ object ShapeOps {
         .orderBy(col("event_type"))
     }),
 
+    // Theta-method forecast (θ = 2, the M3-competition baseline that
+    // beat most complex methods): per Hyndman & Billah (2003) the θ=2
+    // theta method IS SES plus a drift of HALF the linear-trend slope —
+    // so the train fold carries (t, Σt·y, Σy, ses-level) in one 4-state
+    // array pass (Σt, Σt² are closed-form constants for the fixed 23-day
+    // train), and the 7-day hold-out MAE folds against level + b·h.
+    // Same 23/7 fixture split and the <24-day NULL guard as
+    // ts_ses/holt_forecast; both engines run the identical prepended-
+    // init list fold.
+    "ts_theta_forecast" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type").as("et"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val h = daily.groupBy(col("et"))
+        .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("h"))
+        .select(col("et"),
+          expr("transform(h, r -> CAST(r.c AS DOUBLE))").as("vs"))
+      val st = aggregate(expr("slice(vs, 2, 22)"),
+        array(lit(1.0), element_at(col("vs"), 1),
+          element_at(col("vs"), 1), element_at(col("vs"), 1)),
+        (acc, z) => array(
+          element_at(acc, 1) + 1,
+          element_at(acc, 2) + (element_at(acc, 1) + 1) * z,
+          element_at(acc, 3) + z,
+          lit(0.3) * z + lit(0.7) * element_at(acc, 4)))
+      val withSt = h.withColumn("st", st)
+        // Σt = 276, Σt² = 4324 for t = 1..23; slope denominator
+        // 23·4324 − 276² = 23276 (exact integer constants)
+        .withColumn("slope",
+          (lit(23.0) * element_at(col("st"), 2) -
+            lit(276.0) * element_at(col("st"), 3)) / lit(23276.0))
+        .withColumn("lvl", element_at(col("st"), 4))
+        .withColumn("b", col("slope") / 2)
+      val mae = aggregate(expr("slice(vs, 24, 7)"),
+        array(lit(0.0), lit(0.0)),
+        (acc, z) => array(
+          element_at(acc, 1) + 1,
+          element_at(acc, 2) + abs(z -
+            (col("lvl") + col("b") * (element_at(acc, 1) + 1)))))
+      withSt.select(col("et").as("event_type"),
+          size(col("vs")).cast("long").as("n_days"),
+          round(col("lvl"), 6).as("level"),
+          round(col("b"), 6).as("drift"),
+          when(size(col("vs")) < 24, lit(null).cast("double"))
+            .otherwise(round(element_at(mae, 2) / 7, 6)).as("mae_7d"))
+        .orderBy(col("event_type"))
+    }),
+
     // SHAPLEY-VALUE attribution over the three touch channels — the
     // game-theoretic member completing the attribution family (linear =
     // equal split, position = U-shape, time_decay = recency; Shapley is
@@ -950,6 +998,44 @@ object ShapeOps {
                 round(st[2], 6) AS p_var,
                 round(st[3] / (len(vs) - 1), 6) AS innovation_mae
          FROM f ORDER BY event_type""",
+    "ts_theta_forecast" ->
+      """WITH daily AS (
+           SELECT event_type AS et, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         h AS (
+           SELECT et, list_transform(list(c ORDER BY day),
+                        x -> CAST(x AS DOUBLE)) AS vs
+           FROM daily GROUP BY 1),
+         f AS (
+           SELECT et, vs, len(vs) AS n_days,
+                  list_reduce(
+                    list_prepend([1.0, vs[1], vs[1], vs[1]],
+                      list_transform(vs[2:23], z ->
+                        [z, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                         CAST(0 AS DOUBLE)])),
+                    (acc, e) -> [acc[1] + 1,
+                                 acc[2] + (acc[1] + 1) * e[1],
+                                 acc[3] + e[1],
+                                 0.3 * e[1] + 0.7 * acc[4]]) AS st
+           FROM h),
+         g AS (
+           SELECT et, vs, n_days, st[4] AS lvl,
+                  (23.0 * st[2] - 276.0 * st[3]) / 23276.0 / 2 AS b
+           FROM f),
+         m AS (
+           SELECT et, vs, n_days, lvl, b,
+                  list_reduce(
+                    list_prepend([0.0, 0.0],
+                      list_transform(vs[24:30], z -> [z, CAST(0 AS DOUBLE)])),
+                    (acc, e) -> [acc[1] + 1,
+                                 acc[2] + abs(e[1] - (lvl + b * (acc[1] + 1)))])
+                    AS mm
+           FROM g)
+         SELECT et AS event_type, CAST(n_days AS BIGINT) AS n_days,
+                round(lvl, 6) AS level, round(b, 6) AS drift,
+                CASE WHEN len(vs) < 24 THEN NULL
+                     ELSE round(mm[2] / 7, 6) END AS mae_7d
+         FROM m ORDER BY event_type""",
     "seq_rfm_scores" ->
       """WITH o AS (
            SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,

@@ -4423,6 +4423,75 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("ts_theta_forecast: level/drift/MAE replay the theta fold") {
+    val got = q("ts_theta_forecast").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    dailyCounts.foreach { case (et, days) =>
+      val vs = days.map(_._2.toDouble)
+      var l = vs.head
+      vs.slice(1, 23).foreach(z => l = 0.3 * z + 0.7 * l)
+      val train = vs.take(23)
+      val sty = train.zipWithIndex.map { case (y, i) => (i + 1) * y }.sum
+      val sy = train.sum
+      val b = (23.0 * sty - 276.0 * sy) / 23276.0 / 2
+      val mae = (1 to 7).map(hh => math.abs(vs(22 + hh) - (l + b * hh))).sum / 7
+      val (n, gl, gb, gm) = got(et)
+      assert(n === vs.length.toLong, s"$et n")
+      assert(math.abs(gl - l) < 1e-6, s"$et level")
+      assert(math.abs(gb - b) < 1e-6, s"$et drift")
+      assert(math.abs(gm - mae) < 1e-6, s"$et mae")
+    }
+  }
+
+  test("fn_interval: calendar arithmetic replays java.time") {
+    import java.time.LocalDate
+    val rows = q("fn_interval").collect()
+    val base = graft.Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderdate").cast("date")).collect()
+      .map(r => r.getLong(0) -> r.getDate(1).toLocalDate).toMap
+    rows.take(60).foreach { r =>
+      val d = base(r.getLong(0))
+      assert(r.getDate(1).toLocalDate === d.plusMonths(3), "plus_3m clamps")
+      assert(r.getDate(2).toLocalDate === d.withDayOfMonth(d.lengthOfMonth), "month_end")
+      val q0 = ((d.getMonthValue - 1) / 3) * 3 + 1
+      assert(r.getDate(3).toLocalDate === LocalDate.of(d.getYear, q0, 1), "quarter")
+      assert(r.getInt(4) === (1998 - d.getYear) * 12 + (12 - d.getMonthValue))
+      assert(r.getInt(5) ===
+        java.time.temporal.ChronoUnit.DAYS.between(d, LocalDate.of(1998, 12, 31)).toInt)
+    }
+  }
+
+  test("stat_partial_corr: the controlled correlation replays brute r algebra") {
+    val daily = graft.Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "purchase", "click"))
+      .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getDate(0), r.getString(1), r.getLong(2)))
+    val byDay = daily.groupBy(_._1).view.mapValues { xs =>
+      val m = xs.map(t => t._2 -> t._3).toMap
+      (m.getOrElse("view", 0L).toDouble, m.getOrElse("purchase", 0L).toDouble,
+        m.getOrElse("click", 0L).toDouble)
+    }.toMap
+    val vs = byDay.values.toSeq
+    def corr(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.length
+      val (sa, sb) = (a.sum, b.sum)
+      val num = n * a.zip(b).map { case (x, y) => x * y }.sum - sa * sb
+      val den = math.sqrt((n * a.map(x => x * x).sum - sa * sa) *
+        (n * b.map(x => x * x).sum - sb * sb))
+      math.round(num / den * 1e6) / 1e6
+    }
+    val (xs, ys, zs) = (vs.map(_._1), vs.map(_._2), vs.map(_._3))
+    val (rxy, rxz, ryz) = (corr(xs, ys), corr(xs, zs), corr(ys, zs))
+    val part = (rxy - rxz * ryz) / math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    val r = q("stat_partial_corr").collect()(0)
+    assert(r.getLong(0) === vs.length.toLong)
+    assert(math.abs(r.getDouble(1) - rxy) < 1e-6, "r_xy")
+    assert(math.abs(r.getDouble(2) - rxz) < 1e-6, "r_xz")
+    assert(math.abs(r.getDouble(3) - ryz) < 1e-6, "r_yz")
+    assert(math.abs(r.getDouble(4) - part) < 1e-5, "partial")
+  }
+
   test("eval_cohens_kappa: cells and kappa replay the two hash scorers") {
     val preds = graft.Tables.t(spark, sf, "customer")
       .select(col("c_custkey")).collect().map(_.getLong(0)).map { ck =>
