@@ -582,6 +582,58 @@ object AnalyticsOps {
         .orderBy(col("s_suppkey"))
     }),
 
+    // Personalized PageRank from a seed node — the "what's relevant TO
+    // THIS node" ranking behind related-item feeds and graph-based
+    // retrieval (global pagerank answers importance; PPR answers
+    // proximity-weighted importance): identical round machinery with the
+    // restart mass concentrated on the seed (min suppkey — deterministic)
+    // instead of spread 1/n. The seed is a 1-row broadcast frame (no
+    // driver collect), size-gated rank broadcast + per-round
+    // localCheckpoint exactly as graph_pagerank. Top-20 under the
+    // (12-dp rank, key) total order.
+    "graph_ppr" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(collect_set(col("l_suppkey")).as("sks"))
+        .select(explode(expr(
+          "flatten(transform(sks, a -> transform(filter(sks, b -> b != a), " +
+            "b -> struct(a AS src, b AS dst))))")).as("e"))
+        .select(col("e.src"), col("e.dst")).distinct()
+        .persist()
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("cnt"))
+      val n = deg.count()
+      val broadcastRanks = n <= PagerankBroadcastMaxNodes
+      val edgesDeg0 = edges.join(broadcast(deg), "src")
+      val edgesDeg =
+        (if (broadcastRanks) edgesDeg0 else edgesDeg0.repartition(col("src")))
+          .persist()
+      val seedF = deg.agg(min(col("src")).as("seed_v")).localCheckpoint(true)
+      var ranks = deg.select(col("src").as("v"))
+        .crossJoin(broadcast(seedF))
+        .select(col("v"),
+          when(col("v") === col("seed_v"), lit(1.0)).otherwise(lit(0.0))
+            .as("rank"))
+      for (_ <- 1 to 5) {
+        ranks = edgesDeg
+          .join(if (broadcastRanks) broadcast(ranks) else ranks,
+            col("src") === col("v"))
+          .select(col("dst"), (col("rank") / col("cnt")).cast(d38).as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+          .crossJoin(broadcast(seedF))
+          .select(col("dst").as("v"),
+            round(when(col("dst") === col("seed_v"), lit(0.15))
+              .otherwise(lit(0.0)) +
+              lit(0.85) * col("sc").cast("double"), 12).as("rank"))
+          .localCheckpoint(true)
+      }
+      edgesDeg.unpersist(false)
+      edges.unpersist(false)
+      ranks.select(col("v").as("s_suppkey"), round(col("rank"), 6).as("rank"),
+          col("rank").as("r12"))
+        .orderBy(desc("r12"), col("s_suppkey"))
+        .limit(20)
+        .drop("r12")
+    }),
+
     "basket_pairs" -> ((s, dir) =>
       // the weighted edge frame IS the artifact — this query materializes
       // it (first graph query in a process pays the one pair-build)
@@ -4334,6 +4386,14 @@ object AnalyticsOps {
             FROM f${t - 1} f JOIN adj a ON a.src = f.node)
           WHERE rn = 1)"""
 
+  private def pprIterSql(k: Int): String =
+    s"""r$k AS (SELECT e.dst AS v,
+          round(CASE WHEN e.dst = sd.seed_v THEN CAST(0.15 AS DOUBLE)
+                     ELSE CAST(0.0 AS DOUBLE) END +
+                0.85 * CAST(sum(CAST(r.rank / d.cnt AS DECIMAL(38,18))) AS DOUBLE), 12) AS rank
+        FROM r${k - 1} r JOIN edges e ON e.src = r.v JOIN deg d ON d.src = r.v, sd
+        GROUP BY e.dst, sd.seed_v)"""
+
   private def pagerankIterSql(k: Int): String =
     s"""r$k AS (SELECT e.dst AS v,
           round(CAST(0.15 AS DOUBLE) / max(n) +
@@ -4351,6 +4411,20 @@ object AnalyticsOps {
           r0 AS (SELECT DISTINCT src AS v, CAST(1.0 AS DOUBLE) / n AS rank FROM edges, nn),
           ${(1 to 5).map(pagerankIterSql).mkString(",\n")}
           SELECT v AS s_suppkey, round(rank, 6) AS rank FROM r5 ORDER BY s_suppkey""",
+    "graph_ppr" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+          edges AS (SELECT DISTINCT a.sk AS src, b.sk AS dst
+                    FROM li a JOIN li b ON a.ok = b.ok AND a.sk <> b.sk),
+          deg AS (SELECT src, count(1) AS cnt FROM edges GROUP BY src),
+          sd AS (SELECT min(src) AS seed_v FROM edges),
+          r0 AS (SELECT DISTINCT src AS v,
+                        CASE WHEN src = seed_v THEN CAST(1.0 AS DOUBLE)
+                             ELSE CAST(0.0 AS DOUBLE) END AS rank
+                 FROM edges, sd),
+          ${(1 to 5).map(pprIterSql).mkString(",\n")}
+          SELECT s_suppkey, rank FROM (
+            SELECT v AS s_suppkey, round(rank, 6) AS rank, rank AS r12 FROM r5)
+          ORDER BY r12 DESC, s_suppkey LIMIT 20""",
     "graph_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
          und AS (

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
 
 /** §2.I text-analysis / dedup operators over the `documents` table
@@ -200,6 +201,50 @@ object TextOps {
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
         .orderBy(col("lang"), col("source"))
+    }),
+
+    // TextRank keyword extraction — PageRank over the word co-occurrence
+    // graph (adjacent-token edges, undirected, the original Mihalcea &
+    // Tarau formulation) — the graph-based sibling of text_rake's
+    // degree-scoring heuristic: a word matters if it co-occurs with
+    // words that matter, recursively. The graph is VOCABULARY-bounded
+    // (never corpus-grain), so ranks broadcast unconditionally and the
+    // five 12-dp-gridded rounds reuse graph_pagerank's exact decimal
+    // discipline (per-round localCheckpoint, identical unrolled SQL
+    // twin). Top-20 under the (12-dp rank, word) total order.
+    "text_textrank" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(filter(split(lower(col("text")), " "), x => x =!= "").as("tk"))
+      val pairs = toks.select(explode(expr(
+        "transform(slice(tk, 1, size(tk) - 1), (x, i) -> " +
+          "struct(x AS a, element_at(tk, i + 2) AS b))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(col("a") =!= col("b"))
+      val edges = persistShared("textrank_edges",
+        pairs.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+          .distinct())
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("cnt"))
+      val edgesDeg = edges.join(broadcast(deg), "src")
+      val nF = deg.agg(count(lit(1)).as("nn")).localCheckpoint(true)
+      var ranks = deg.select(col("src").as("v")).crossJoin(broadcast(nF))
+        .select(col("v"), (lit(1.0) / col("nn")).as("rank"))
+      for (_ <- 1 to 5) {
+        ranks = edgesDeg.join(broadcast(ranks), col("src") === col("v"))
+          .select(col("dst"),
+            (col("rank") / col("cnt")).cast(DecimalType(38, 18)).as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+          .crossJoin(broadcast(nF))
+          .select(col("dst").as("v"),
+            round(lit(0.15) / col("nn") +
+              lit(0.85) * col("sc").cast("double"), 12).as("rank"))
+          .localCheckpoint(true)
+      }
+      ranks.select(col("v").as("word"), round(col("rank"), 6).as("rank"),
+          col("rank").as("r12"))
+        .orderBy(desc("r12"), col("word"))
+        .limit(20)
+        .drop("r12")
     }),
 
     // Corpus-wide token-length histogram — the BPE/packing diagnostic
@@ -1272,7 +1317,36 @@ object TextOps {
       .filter(col("jaccard") >= 0.5)
       .select(col("d1"), col("d2"), col("jaccard"))
 
+  /** text_textrank's unrolled PageRank round (graph_pagerank's
+    * pagerankIterSql shape over the word-adjacency CTEs). */
+  private def textrankIterSql(k: Int): String =
+    s"""r$k AS (SELECT e.dst AS v,
+          round(CAST(0.15 AS DOUBLE) / max(n) +
+                0.85 * CAST(sum(CAST(r.rank / d.cnt AS DECIMAL(38,18))) AS DOUBLE), 12) AS rank
+        FROM r${k - 1} r JOIN edges e ON e.src = r.v JOIN deg d ON d.src = r.v, nn
+        GROUP BY e.dst)"""
+
   val oracles: Map[String, String] = Map(
+    "text_textrank" ->
+      s"""WITH toks AS (
+            SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+            FROM documents),
+          adj AS (SELECT unnest(list_zip(tk, tk[2:])) AS pr FROM toks),
+          pairs AS (
+            SELECT pr[1] AS a, pr[2] AS b FROM adj
+            WHERE pr[2] IS NOT NULL AND pr[1] <> pr[2]),
+          edges AS (
+            SELECT DISTINCT src, dst FROM (
+              SELECT a AS src, b AS dst FROM pairs
+              UNION ALL SELECT b AS src, a AS dst FROM pairs)),
+          deg AS (SELECT src, count(1) AS cnt FROM edges GROUP BY src),
+          nn AS (SELECT CAST(count(DISTINCT src) AS DOUBLE) AS n FROM edges),
+          r0 AS (SELECT DISTINCT src AS v, CAST(1.0 AS DOUBLE) / n AS rank
+                 FROM edges, nn),
+          ${(1 to 5).map(textrankIterSql).mkString(",\n")}
+          SELECT word, rank FROM (
+            SELECT v AS word, round(rank, 6) AS rank, rank AS r12 FROM r5)
+          ORDER BY r12 DESC, word LIMIT 20""",
     "text_normalize_hash" ->
       """SELECT doc_id, sha256(regexp_replace(lower(trim(nfc_normalize(text))), '\s+', ' ', 'g')) AS content_hash
          FROM documents ORDER BY doc_id""",

@@ -4492,6 +4492,63 @@ class PropertySpec extends SparkSuite {
     assert(math.abs(r.getDouble(4) - part) < 1e-5, "partial")
   }
 
+  test("graph_ppr: restart-at-seed ranks replay five brute rounds") {
+    val li = graft.Tables.t(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { xs =>
+      val sks = xs.map(_._2).distinct.toSeq
+      for (a <- sks; b <- sks if a != b) yield (a, b)
+    }.toSet
+    val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    val nodes = edges.map(_._1)
+    val seed = nodes.min
+    var rank = nodes.map(v => v -> (if (v == seed) 1.0 else 0.0)).toMap
+    for (_ <- 1 to 5) {
+      val in = edges.toSeq.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+      rank = nodes.map { v =>
+        val sc = in.getOrElse(v, Seq()).map(s => rank(s) / deg(s)).sum
+        v -> ((if (v == seed) 0.15 else 0.0) + 0.85 * sc)
+      }.toMap
+    }
+    val got = q("graph_ppr").collect()
+    assert(got.length === math.min(20, nodes.size))
+    val sims = got.map(_.getDouble(1))
+    assert(sims.toSeq === sims.sortBy(-_).toSeq, "descending")
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(1) - rank(r.getLong(0))) < 1e-5,
+        s"node ${r.getLong(0)}")
+    }
+    assert(got.head.getLong(0) === seed, "seed dominates its own PPR")
+  }
+
+  test("text_textrank: word ranks replay five brute rounds on the adjacency graph") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("text")).collect().map(_.getString(0).toLowerCase
+        .split(" ").filter(_.nonEmpty).toSeq)
+    val pairs = docs.flatMap(tk => tk.zip(tk.tail)).filter(p => p._1 != p._2)
+    val edges = (pairs ++ pairs.map(_.swap)).toSet
+    val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    val nodes = edges.map(_._1)
+    val n = nodes.size
+    var rank = nodes.map(v => v -> 1.0 / n).toMap
+    val in = edges.toSeq.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    for (_ <- 1 to 5) {
+      rank = nodes.map { v =>
+        val sc = in.getOrElse(v, Seq()).map(s => rank(s) / deg(s)).sum
+        v -> (0.15 / n + 0.85 * sc)
+      }.toMap
+    }
+    val got = q("text_textrank").collect()
+    assert(got.length === 20)
+    val sims = got.map(_.getDouble(1))
+    assert(sims.toSeq === sims.sortBy(-_).toSeq, "descending")
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(1) - rank(r.getString(0))) < 1e-5,
+        s"word ${r.getString(0)}")
+    }
+  }
+
   test("eval_cohens_kappa: cells and kappa replay the two hash scorers") {
     val preds = graft.Tables.t(spark, sf, "customer")
       .select(col("c_custkey")).collect().map(_.getLong(0)).map { ck =>
