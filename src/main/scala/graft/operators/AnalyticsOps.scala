@@ -193,6 +193,43 @@ object AnalyticsOps {
          FROM h"""
   }
 
+  /** stat_eta_squared's oracle — generated from Segments like
+    * bartlettSql/welchSql (identical Σ trees both engines). */
+  private val etaSql: String = {
+    val lc = Segments.map(_.toLowerCase)
+    val cells = Segments.map { sg =>
+      val l = sg.toLowerCase
+      s"""max(CASE WHEN seg = '$sg' THEN n END) AS n_$l,
+                  max(CASE WHEN seg = '$sg' THEN sx END) AS sx_$l,
+                  max(CASE WHEN seg = '$sg' THEN sxx END) AS sxx_$l"""
+    }.mkString(",\n                  ")
+    val bigN = lc.map(l => s"n_$l").mkString(" + ")
+    val sxT = lc.map(l => s"sx_$l").mkString(" + ")
+    val sxxT = lc.map(l => s"sxx_$l").mkString(" + ")
+    // each SSW term parenthesized: unparenthesized a - b + c - d would
+    // re-associate the float sum differently from Spark's (t1+t2)+t3 fold
+    val ssw = lc.map(l => s"(sxx_$l - sx_$l * sx_$l / n_$l)").mkString(" + ")
+    s"""WITH m AS (
+           SELECT c_mktsegment AS seg, count(1) AS n,
+                  CAST(sum(CAST(c_acctbal AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST(c_acctbal AS DECIMAL(19,6))
+                           * CAST(c_acctbal AS DECIMAL(19,6))) AS DOUBLE) AS sxx
+           FROM customer GROUP BY 1),
+         piv AS (SELECT $cells FROM m),
+         f AS (SELECT *,
+                  CAST($bigN AS BIGINT) AS n_total,
+                  ($ssw) AS ssw,
+                  (($sxxT) - ($sxT) * ($sxT) / ($bigN)) AS sst,
+                  ($ssw) / CAST(($bigN) - 5 AS DOUBLE) AS msw
+               FROM piv)
+         SELECT CAST(5 AS INT) AS k, n_total,
+                round(sst - ssw, 6) AS ssb,
+                round(ssw, 6) AS ssw,
+                round((sst - ssw) / sst, 6) AS eta2,
+                round((sst - ssw - 4.0 * msw) / (sst + msw), 6) AS omega2
+         FROM f"""
+  }
+
   private[graft] val PagerankBroadcastMaxNodes = 4L << 20
 
   /** Per-user distinct-item cap for recs_item_cf. The co-occurrence
@@ -1946,6 +1983,45 @@ object AnalyticsOps {
         round((nmk * log(aSum / nmk) - bSum) /
           (lit(1.0) + (invSum - lit(1.0) / nmk) / lit(12.0)), 6).as("chi2_stat"),
         lit(4).as("dof"))
+    }),
+
+    // Effect size for the segment ANOVA — η² (variance explained) and
+    // the less-biased ω²: the "is it LARGE, not just significant"
+    // companion every F-test report needs (stat_anova says p < .05; at
+    // n = 10⁶ everything is significant — these say whether it matters).
+    // SST/SSW from the same one-row Segments pivot discipline as
+    // bartlett/welch: DECIMAL-exact moments, SSB = SST − SSW, identical
+    // left-associated Σ trees, two divisions at the end.
+    "stat_eta_squared" -> ((s, dir) => {
+      val m = t(s, dir, "customer")
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("c_acctbal"))).as("sxd"),
+          sum(dec(col("c_acctbal")) * dec(col("c_acctbal"))).as("sxxd"))
+        .select(col("seg"), col("n"),
+          col("sxd").cast("double").as("sx"), col("sxxd").cast("double").as("sxx"))
+      val aggExprs = Segments.flatMap { sg =>
+        val l = sg.toLowerCase
+        Seq(max(when(col("seg") === sg, col("n"))).as(s"n_$l"),
+          max(when(col("seg") === sg, col("sx"))).as(s"sx_$l"),
+          max(when(col("seg") === sg, col("sxx"))).as(s"sxx_$l"))
+      }
+      val piv = m.agg(aggExprs.head, aggExprs.tail: _*)
+      def nS(sg: String) = col(s"n_${sg.toLowerCase}")
+      def sxS(sg: String) = col(s"sx_${sg.toLowerCase}")
+      def sxxS(sg: String) = col(s"sxx_${sg.toLowerCase}")
+      val bigN = Segments.map(nS).reduce(_ + _)
+      val sxT = Segments.map(sxS).reduce(_ + _)
+      val sxxT = Segments.map(sxxS).reduce(_ + _)
+      val ssw = Segments.map(sg => sxxS(sg) - sxS(sg) * sxS(sg) / nS(sg))
+        .reduce(_ + _)
+      val sst = sxxT - sxT * sxT / bigN
+      val msw = ssw / (bigN - 5).cast("double")
+      piv.select(lit(5).as("k"), bigN.as("n_total"),
+        round(sst - ssw, 6).as("ssb"),
+        round(ssw, 6).as("ssw"),
+        round((sst - ssw) / sst, 6).as("eta2"),
+        round((sst - ssw - lit(4.0) * msw) / (sst + msw), 6).as("omega2"))
     }),
 
     // Welch's ANOVA across the 5 segments — stat_anova's
@@ -5227,6 +5303,7 @@ object AnalyticsOps {
          FROM co JOIN cnt ca ON ca.i = ia JOIN cnt cb ON cb.i = ib
          ORDER BY cosine DESC, ia, ib LIMIT 20""",
     "stat_welch_anova" -> welchSql,
+    "stat_eta_squared" -> etaSql,
     "stat_partial_corr" ->
       """WITH daily AS (
            SELECT CAST(ts AS DATE) AS day, event_type, count(1) AS c

@@ -339,6 +339,33 @@ object EtlOps {
         .orderBy(col("event_type"))
     }),
 
+    // CSV sink + schema-declared read-back — the interchange format the
+    // reference's document-store loads still meet in the wild: write with
+    // header + explicit null token, read back with a DECLARED schema (no
+    // inferSchema pass — at 100 TB schema inference is a full extra
+    // scan), verify by the same grouped rollup as sink_jsonl. Round-trip
+    // exactness: value rides as integer micro-units in the file so CSV's
+    // double→text→double boundary can never perturb the 6-dp compare.
+    "sink_csv" -> ((s, dir) => {
+      val path = tmpDir(s"sinkc_${pathTag(dir)}")
+      events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          expr("CAST(round(value * 1000000, 0) AS BIGINT)").as("v6"))
+        .write.mode(SaveMode.Overwrite)
+        .option("header", "true").option("nullValue", "\\N")
+        .csv(path)
+      s.read.schema(StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("event_type", StringType),
+          StructField("v6", LongType))))
+        .option("header", "true").option("nullValue", "\\N")
+        .csv(path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("v6")).cast("double") / 1e6, 6).as("v"))
+        .orderBy(col("event_type"))
+    }),
+
     "sink_parquet" -> ((s, dir) => {
       val path = tmpDir(s"sink_${pathTag(dir)}")
       t(s, dir, "lineitem")
@@ -756,6 +783,11 @@ object EtlOps {
     "sink_jsonl" ->
       """SELECT event_type, count(1) AS n,
          round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "sink_csv" ->
+      """SELECT event_type, count(1) AS n,
+         round(CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0, 6) AS v
          FROM events GROUP BY event_type ORDER BY event_type""",
     "sink_parquet" ->
       """SELECT l_returnflag, count(1) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",

@@ -485,6 +485,39 @@ object ShapeOps {
         .orderBy(col("user_id"))
     }),
 
+    // Cohort LTV curve — cumulative revenue per customer by cohort age
+    // (cohort = first-order month), THE lifetime-value readout every
+    // growth team tracks: one fact rollup to (customer, month, cents),
+    // a customer-grain cohort frame co-partition-joined back on the key,
+    // then the (cohort, age) grid (calendar² — tiny at any scale) with a
+    // prefix window per cohort. Exact integer cents throughout; the only
+    // division is the final per-user LTV, 6-dp-gridded. Age is integer
+    // calendar months (fn_interval's engine-neutral convention).
+    "seq_cohort_ltv" -> ((s, dir) => {
+      val o = persistShared("ltv_orders", t(s, dir, "orders")
+        .select(col("o_custkey"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("mon"),
+          expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents")))
+      val cohort = persistShared("ltv_cohort",
+        o.groupBy(col("o_custkey")).agg(min(col("mon")).as("cohort")))
+      val grid = o.join(cohort, Seq("o_custkey"))
+        .withColumn("age", (year(col("mon")) - year(col("cohort"))) * 12 +
+          (month(col("mon")) - month(col("cohort"))))
+        .groupBy(col("cohort"), col("age"))
+        .agg(countDistinct(col("o_custkey")).as("n_active"),
+          sum(col("cents")).as("cents"))
+      val sizes = cohort.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_size"))
+      val w = Window.partitionBy(col("cohort")).orderBy(col("age"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid.join(sizes, Seq("cohort"))
+        .withColumn("cum_cents", sum(col("cents")).over(w))
+        .select(col("cohort"), col("age"), col("n_active"), col("cents"),
+          col("cum_cents"), col("cohort_size"),
+          round(col("cum_cents").cast("double") / (col("cohort_size") * 100.0), 6)
+            .as("ltv_per_user"))
+        .orderBy(col("cohort"), col("age"))
+    }),
+
     // RFM segmentation — THE classic customer-value scoring (recency ×
     // frequency × monetary quintiles, the workhorse behind lifecycle
     // campaigns and LTV priors): one fact-sized rollup to the customer
@@ -1036,6 +1069,33 @@ object ShapeOps {
                 CASE WHEN len(vs) < 24 THEN NULL
                      ELSE round(mm[2] / 7, 6) END AS mae_7d
          FROM m ORDER BY event_type""",
+    "seq_cohort_ltv" ->
+      """WITH o AS (
+           SELECT o_custkey,
+                  CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+                  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+           FROM orders),
+         cohort AS (
+           SELECT o_custkey, min(mon) AS cohort FROM o GROUP BY 1),
+         grid AS (
+           SELECT cohort,
+                  (year(mon) - year(cohort)) * 12
+                    + (month(mon) - month(cohort)) AS age,
+                  count(DISTINCT o.o_custkey) AS n_active,
+                  CAST(sum(cents) AS BIGINT) AS cents
+           FROM o JOIN cohort ON o.o_custkey = cohort.o_custkey
+           GROUP BY 1, 2),
+         sizes AS (SELECT cohort, count(1) AS cohort_size FROM cohort GROUP BY 1)
+         SELECT g.cohort, CAST(age AS INT) AS age, n_active, cents,
+                CAST(sum(cents) OVER (PARTITION BY g.cohort ORDER BY age
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS cum_cents,
+                cohort_size,
+                round(CAST(sum(cents) OVER (PARTITION BY g.cohort ORDER BY age
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  / (cohort_size * 100.0), 6) AS ltv_per_user
+         FROM grid g JOIN sizes ON g.cohort = sizes.cohort
+         ORDER BY g.cohort, age""",
     "seq_rfm_scores" ->
       """WITH o AS (
            SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,

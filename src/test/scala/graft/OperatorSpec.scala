@@ -4549,6 +4549,74 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("sink_csv: the micro-unit round-trip equals the direct rollup") {
+    val got = q("sink_csv").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val want = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 1e6)))
+      .groupBy(_._1)
+    assert(got.keySet === want.keySet)
+    want.foreach { case (et, xs) =>
+      val (n, v) = got(et)
+      assert(n === xs.length.toLong, s"$et n")
+      assert(math.abs(v - xs.map(_._2).sum.toDouble / 1e6) < 1e-6, s"$et v")
+    }
+  }
+
+  test("seq_cohort_ltv: the cumulative curve replays brute cohort math") {
+    val orders = graft.Tables.t(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("date"),
+        col("o_totalprice")).collect()
+      .map { r =>
+        val d = r.getDate(1).toLocalDate
+        (r.getLong(0), d.getYear * 12 + d.getMonthValue - 1,
+          math.round(r.getDouble(2) * 100))
+      }
+    val cohortOf = orders.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val grid = orders.groupBy(o => (cohortOf(o._1), o._2 - cohortOf(o._1)))
+      .map { case ((c, a), xs) =>
+        (c, a) -> ((xs.map(_._1).distinct.length.toLong, xs.map(_._3).sum))
+      }
+    val sizes = cohortOf.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = q("seq_cohort_ltv").collect()
+    assert(got.length === grid.size)
+    got.foreach { r =>
+      val cd = r.getDate(0).toLocalDate
+      val cKey = cd.getYear * 12 + cd.getMonthValue - 1
+      val (nAct, cents) = grid((cKey, r.getInt(1)))
+      assert(r.getLong(2) === nAct, s"cohort $cd age ${r.getInt(1)} n_active")
+      assert(r.getLong(3) === cents, s"cohort $cd cents")
+      assert(r.getLong(5) === sizes(cKey), s"cohort $cd size")
+    }
+    // cumulative: per cohort, cum_cents is the running sum in age order
+    got.groupBy(_.getDate(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      var cum = 0L
+      sorted.foreach { r => cum += r.getLong(3); assert(r.getLong(4) === cum) }
+    }
+  }
+
+  test("stat_eta_squared: the decomposition replays brute SS math") {
+    val bal = graft.Tables.t(spark, sf, "customer")
+      .select(col("c_mktsegment"), col("c_acctbal")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val gm = bal.map(_._2).sum / bal.length
+    val sst = bal.map(t => (t._2 - gm) * (t._2 - gm)).sum
+    val ssw = bal.groupBy(_._1).values.map { xs =>
+      val m = xs.map(_._2).sum / xs.length
+      xs.map(t => (t._2 - m) * (t._2 - m)).sum
+    }.sum
+    val r = q("stat_eta_squared").collect()(0)
+    assert(r.getInt(0) === 5 && r.getLong(1) === bal.length.toLong)
+    assert(math.abs(r.getDouble(2) - (sst - ssw)) < 1.0, "ssb")
+    assert(math.abs(r.getDouble(3) - ssw) < 1.0, "ssw")
+    assert(math.abs(r.getDouble(4) - (sst - ssw) / sst) < 1e-6, "eta2")
+    val msw = ssw / (bal.length - 5)
+    assert(math.abs(r.getDouble(5) - (sst - ssw - 4 * msw) / (sst + msw)) < 1e-6,
+      "omega2")
+  }
+
   test("eval_cohens_kappa: cells and kappa replay the two hash scorers") {
     val preds = graft.Tables.t(spark, sf, "customer")
       .select(col("c_custkey")).collect().map(_.getLong(0)).map { ck =>
