@@ -611,6 +611,22 @@ object Aggregates {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // listagg/string_agg surface — ordered string concatenation per
+    // group (report rows, debug digests, composite keys). Determinism is
+    // IN THE SORT: collect_list's arrival order is partition-dependent,
+    // so the array is sort_array'd BEFORE the join — the only way a
+    // distributed string_agg can be reproducible. Bounded: priorities
+    // per status ≤ 5 values (catalog-bounded group payloads; an
+    // unbounded-payload listagg would be the wrong tool at 100 TB).
+    "agg_string_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          array_join(sort_array(collect_set(col("o_orderpriority"))), "|")
+            .as("priorities"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // argmax/argmin surface — max_by/min_by as first-class aggregates
     // (WHO holds the extreme, not just what it is — the per-group
     // "representative row" primitive). Determinism under value ties is
@@ -690,6 +706,11 @@ object Aggregates {
       s"""SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
          count(1) AS n, ${decSum6("l_quantity")} AS sum_qty
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "agg_string_agg" ->
+      """SELECT o_orderstatus, count(1) AS n,
+                list_aggregate(list_sort(list(DISTINCT o_orderpriority)), 'string_agg', '|')
+                  AS priorities
+         FROM orders GROUP BY 1 ORDER BY 1""",
     "agg_argminmax" ->
       """WITH b AS (
            SELECT c_mktsegment, c_custkey, c_acctbal,

@@ -527,6 +527,33 @@ object EtlOps {
         .orderBy(col("rule"))
     }),
 
+    // Cross-table freshness audit — "which feed went stale" (the pager
+    // alarm beside etl_dq_report's per-row rules and the referential
+    // check's FK edges): per-table row count + max event day, staleness
+    // measured against the CORPUS horizon (max across tables — a
+    // deterministic reference, no wall clock in the plan). Each table's
+    // 1-row summary materializes eagerly (the referential-check lesson)
+    // so the composed report replays nothing; horizon is a whitelisted
+    // broadcast 1-row crossJoin.
+    "etl_freshness_report" -> ((s, dir) => {
+      def row(name: String, df: DataFrame, dayCol: Column): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), max(dayCol).as("max_day"))
+          .select(lit(name).as("table_name"), col("n_rows"), col("max_day"))
+          .localCheckpoint(true)
+      val m = row("events", events(s, dir), col("ts").cast("date"))
+        .unionAll(row("orders", t(s, dir, "orders"),
+          col("o_orderdate").cast("date")))
+        .unionAll(row("lineitem", t(s, dir, "lineitem"),
+          col("l_shipdate").cast("date")))
+      val h = m.agg(max(col("max_day")).as("h_day"))
+      m.crossJoin(broadcast(h))
+        .select(col("table_name"), col("n_rows"), col("max_day"),
+          datediff(col("h_day"), col("max_day")).as("staleness_days"),
+          when(datediff(col("h_day"), col("max_day")) <= 30, 1).otherwise(0)
+            .as("fresh"))
+        .orderBy(col("table_name"))
+    }),
+
     // Referential-integrity audit across the star schema's four FK edges
     // — etl_dq_report's cross-TABLE companion (that one checks one
     // table's internal rules; this one checks the EDGES a warehouse
@@ -816,6 +843,21 @@ object EtlOps {
          count(1) AS n,
          round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS total
          FROM orders GROUP BY status ORDER BY status""",
+    "etl_freshness_report" ->
+      """WITH m AS (
+           SELECT 'events' AS table_name, count(1) AS n_rows,
+                  max(CAST(ts AS DATE)) AS max_day FROM events
+           UNION ALL
+           SELECT 'orders', count(1), max(CAST(o_orderdate AS DATE)) FROM orders
+           UNION ALL
+           SELECT 'lineitem', count(1), max(CAST(l_shipdate AS DATE))
+           FROM lineitem),
+         h AS (SELECT max(max_day) AS h_day FROM m)
+         SELECT table_name, n_rows, max_day,
+                CAST(date_diff('day', max_day, h_day) AS INT) AS staleness_days,
+                CAST(CASE WHEN date_diff('day', max_day, h_day) <= 30
+                     THEN 1 ELSE 0 END AS INT) AS fresh
+         FROM m, h ORDER BY table_name""",
     "etl_referential_check" ->
       """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
          ok AS (SELECT o_orderkey, o_custkey FROM orders),

@@ -485,6 +485,28 @@ object ShapeOps {
         .orderBy(col("user_id"))
     }),
 
+    // DAU/MAU stickiness per day — THE engagement-health ratio (what
+    // share of the month's audience shows up daily): day-grain DAU and
+    // month-grain MAU are two exact distinct rollups of the same
+    // (user, day) frame; the ratio is one gridded division. The
+    // user-day frame is persisted (feeds both grains — scan lint);
+    // everything after the first rollup is calendar-bounded.
+    "seq_stickiness" -> ((s, dir) => {
+      val ud = persistShared("stick_ud", events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .distinct())
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val mau = ud
+        .select(date_trunc("month", col("day")).cast("date").as("mon"), col("user_id"))
+        .distinct()
+        .groupBy(col("mon")).agg(count(lit(1)).as("mau"))
+      dau.withColumn("mon", date_trunc("month", col("day")).cast("date"))
+        .join(mau, Seq("mon"))
+        .select(col("day"), col("dau"), col("mau"),
+          round(col("dau").cast("double") / col("mau"), 6).as("stickiness"))
+        .orderBy(col("day"))
+    }),
+
     // Cohort LTV curve — cumulative revenue per customer by cohort age
     // (cohort = first-order month), THE lifetime-value readout every
     // growth team tracks: one fact rollup to (customer, month, cents),
@@ -1069,6 +1091,20 @@ object ShapeOps {
                 CASE WHEN len(vs) < 24 THEN NULL
                      ELSE round(mm[2] / 7, 6) END AS mae_7d
          FROM m ORDER BY event_type""",
+    "seq_stickiness" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         dau AS (SELECT day, count(1) AS dau FROM ud GROUP BY 1),
+         mau AS (
+           SELECT mon, count(1) AS mau FROM (
+             SELECT DISTINCT CAST(date_trunc('month', day) AS DATE) AS mon,
+                    user_id FROM ud)
+           GROUP BY 1)
+         SELECT day, dau, mau,
+                round(CAST(dau AS DOUBLE) / mau, 6) AS stickiness
+         FROM dau JOIN mau
+           ON CAST(date_trunc('month', dau.day) AS DATE) = mau.mon
+         ORDER BY day""",
     "seq_cohort_ltv" ->
       """WITH o AS (
            SELECT o_custkey,

@@ -4617,6 +4617,53 @@ class PropertySpec extends SparkSuite {
       "omega2")
   }
 
+  test("agg_string_agg: the joined digest replays the sorted distinct set") {
+    val want = graft.Tables.t(spark, sf, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view
+      .mapValues(xs => (xs.length.toLong, xs.map(_._2).distinct.sorted.mkString("|")))
+      .toMap
+    val got = q("agg_string_agg").collect()
+    assert(got.length === want.size)
+    got.foreach { r =>
+      val (n, pr) = want(r.getString(0))
+      assert(r.getLong(1) === n)
+      assert(r.getString(2) === pr, s"${r.getString(0)} digest")
+    }
+  }
+
+  test("seq_stickiness: DAU/MAU replays brute distinct rollups") {
+    val ud = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("date")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate)).distinct
+    val dau = ud.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val mau = ud.map(t => (t._2.withDayOfMonth(1), t._1)).distinct
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val got = q("seq_stickiness").collect()
+    assert(got.length === dau.size)
+    got.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      assert(r.getLong(1) === dau(d), s"$d dau")
+      assert(r.getLong(2) === mau(d.withDayOfMonth(1)), s"$d mau")
+      assert(math.abs(r.getDouble(3) - dau(d).toDouble / mau(d.withDayOfMonth(1))) < 1e-6)
+    }
+  }
+
+  test("etl_freshness_report: staleness is measured against the corpus horizon") {
+    val got = q("etl_freshness_report").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDate(2).toLocalDate, r.getInt(3), r.getInt(4)))).toMap
+    assert(got.keySet === Set("events", "orders", "lineitem"))
+    val horizon = got.values.map(_._2).maxBy(_.toEpochDay)
+    got.foreach { case (tbl, (n, d, stale, fresh)) =>
+      assert(n > 0, s"$tbl rows")
+      assert(stale === (horizon.toEpochDay - d.toEpochDay).toInt, s"$tbl staleness")
+      assert(fresh === (if (stale <= 30) 1 else 0), s"$tbl fresh flag")
+    }
+    assert(got.values.exists(_._3 === 0), "some table defines the horizon")
+  }
+
   test("eval_cohens_kappa: cells and kappa replay the two hash scorers") {
     val preds = graft.Tables.t(spark, sf, "customer")
       .select(col("c_custkey")).collect().map(_.getLong(0)).map { ck =>

@@ -700,7 +700,8 @@ class PlanSpec extends SparkSuite {
       "seq_rfm_scores" -> "crossJoin against the broadcast 1-row corpus-horizon (max order day) frame",
       "dedup_minhash_recall" -> "crossJoins compose three 1-row count frames (truth/candidates/hits)",
       "graph_ppr" -> "crossJoins against the broadcast 1-row seed frame (one per restart round)",
-      "text_textrank" -> "crossJoins against the broadcast 1-row vocabulary-count frame (one per rank round)")
+      "text_textrank" -> "crossJoins against the broadcast 1-row vocabulary-count frame (one per rank round)",
+      "etl_freshness_report" -> "crossJoin against the broadcast 1-row corpus-horizon frame over three checkpointed 1-row summaries")
     val sf = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if boundedByConstruction.contains(name) => None
