@@ -1436,6 +1436,41 @@ object AnalyticsOps {
         .orderBy(col("col_name"))
     }),
 
+    // Join-key skew pre-flight — THE diagnostic you run before choosing
+    // a shuffle strategy at 100 TB (salt? AQE skew split? broadcast?):
+    // for each candidate join key, the key-grain frequency profile
+    // (hottest key, distinct keys) plus a 32-bucket shuffle simulation
+    // on the repo's shared masked Knuth hash (NOT Murmur3 — the bucket
+    // assignment must replay on both engines) with the max-bucket/mean
+    // ratio a partitioner would see. Each key: ONE fact scan to the
+    // key grain (persisted — feeds the summary AND the bucket rollup);
+    // everything after is key-count-sized, rows compose via whitelisted
+    // 1-row broadcast crossJoins.
+    "profile_skew_report" -> ((s, dir) => {
+      def prof(tbl: String, key: String, df: DataFrame): DataFrame = {
+        val g = persistShared(s"skew_${tbl}_$key",
+          df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c")))
+        val su = g.agg(sum(col("c")).as("n_rows"),
+          count(lit(1)).as("n_keys"), max(col("c")).as("hot_key_rows"))
+        val bu = g.groupBy((((col("k") % lit(2147483648L)) * lit(2654435761L))
+              % lit(2147483648L) % 32).as("b"))
+          .agg(sum(col("c")).as("bc"))
+          .agg(max(col("bc")).as("bucket_max"))
+        su.crossJoin(broadcast(bu))
+          .select(lit(tbl).as("table_name"), lit(key).as("key_name"),
+            col("n_rows"), col("n_keys"), col("hot_key_rows"),
+            col("bucket_max"),
+            round(col("bucket_max").cast("double") * 32 / col("n_rows"), 6)
+              .as("skew_ratio"),
+            round(col("hot_key_rows").cast("double") / col("n_rows"), 6)
+              .as("hot_key_share"))
+      }
+      prof("lineitem", "l_partkey", t(s, dir, "lineitem"))
+        .unionAll(prof("lineitem", "l_suppkey", t(s, dir, "lineitem")))
+        .unionAll(prof("orders", "o_custkey", t(s, dir, "orders")))
+        .orderBy(col("table_name"), col("key_name"))
+    }),
+
     "agg_corr_matrix" -> ((s, dir) => {
       val names = Seq("q" -> "l_quantity", "p" -> "l_extendedprice",
         "d" -> "l_discount", "t" -> "l_tax")
@@ -3357,6 +3392,40 @@ object AnalyticsOps {
           when(col("achieved_l") >= 3, 1).otherwise(0))
     }),
 
+    // t-closeness audit — completes the privacy triad (k bounds group
+    // SIZE, l bounds VARIETY, t bounds how much a group's sensitive
+    // DISTRIBUTION leaks vs the population: a group can be 5-diverse yet
+    // 90% one segment). Categorical EMD = total variation distance
+    // ½·Σ|p−q| per nation over the segment domain. ONE persisted
+    // (QI, sensitive) rollup feeds group sizes, marginals, and the
+    // zero-cell grid (25×5 broadcast crossJoin — whitelisted,
+    // dim²-bounded); each ½|p−q| term is IEEE-exact integer division
+    // HALVED then 6-dp-gridded to DECIMAL (halving before the grid —
+    // halving a gridded sum would land exactly on the 5e-7 half-grid
+    // where the two engines' round() tie-breaks differ), so each
+    // group's t is an exact decimal and max/avg/threshold never touch
+    // an inexact intermediate.
+    "gdpr_t_closeness" -> ((s, dir) => {
+      val base = persistShared("tclose_base", t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("c")))
+      val grp = base.groupBy(col("c_nationkey")).agg(sum(col("c")).as("ng"))
+      val seg = base.groupBy(col("c_mktsegment")).agg(sum(col("c")).as("ns"))
+      val tot = base.agg(sum(col("c")).as("n"))
+      val grid = grp.crossJoin(broadcast(seg)).crossJoin(broadcast(tot))
+        .join(base, Seq("c_nationkey", "c_mktsegment"), "left")
+        .select(col("c_nationkey"),
+          dec(round(abs(coalesce(col("c"), lit(0L)).cast("double") / col("ng")
+            - col("ns").cast("double") / col("n")) * lit(0.5), 6)).as("d"))
+      val tg = grid.groupBy(col("c_nationkey")).agg(sum(col("d")).as("t"))
+      tg.agg(count(lit(1)).as("n_groups"),
+          round(max(col("t")).cast("double"), 6).as("max_t"),
+          round(sum(col("t")).cast("double") / count(lit(1)), 6).as("avg_t"),
+          count(when(col("t") > lit(0.2), 1)).as("n_groups_above_02"))
+        .withColumn("satisfies_t02",
+          when(col("n_groups_above_02") === 0, 1).otherwise(0))
+    }),
+
     // Kruskal–Wallis H across ALL segments — the k-sample member that
     // completes the nonparametric grid (mannwhitney: unpaired 2,
     // wilcoxon: paired 2, this: unpaired k; friedman: paired k): does
@@ -4001,6 +4070,35 @@ object AnalyticsOps {
         .agg(max(col("m")).as("n_pairs"),
           round(max(when(col("rn") === expr("(m + 1) div 2"), col("slope"))), 6)
             .as("slope"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Hodges–Lehmann location per event series — the robust "typical
+    // daily volume" pairing ts_theil_sen's robust slope (same 29%
+    // breakdown, the estimator behind the Wilcoxon CI): median of all
+    // Walsh averages (cᵢ+cⱼ)/2, i ≤ j. The pair join is calendar-bounded
+    // per series (days², never the fact grain); pair sums are exact
+    // integers, the median picks the VALUE at rank ⌈m/2⌉ of the
+    // sum-ordered window (theil_sen's lower-median discipline — under
+    // ties the value at a rank is deterministic even when the pair
+    // holding it isn't), and the only division is the final exact /2
+    // (integer halves are binary-exact, no rounding hazard).
+    "stat_hodges_lehmann" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val pr = daily.as("a").join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.day") <= col("b.day"))
+        .select(col("a.event_type").as("event_type"),
+          (col("a.c") + col("b.c")).as("w2"))
+      val wS = Window.partitionBy(col("event_type"))
+      pr.withColumn("rn", row_number().over(wS.orderBy(col("w2"))))
+        .withColumn("m", count(lit(1)).over(wS))
+        .groupBy(col("event_type"))
+        .agg(max(col("m")).as("n_pairs"),
+          (max(when(col("rn") === expr("(m + 1) div 2"), col("w2")))
+            .cast("double") / lit(2.0)).as("hl_location"))
         .orderBy(col("event_type"))
     }),
 
@@ -5103,6 +5201,31 @@ object AnalyticsOps {
              $mn AS min_num, $mx AS max_num FROM orders"""
       }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
     },
+    "profile_skew_report" -> {
+      // one block per (table, key) sharing the Spark side's masked Knuth
+      // bucket expression — generated from one Scala seq so the two
+      // engines cannot desynchronize on the key list (text_rake lesson)
+      val keys = Seq(("lineitem", "l_partkey"), ("lineitem", "l_suppkey"),
+        ("orders", "o_custkey"))
+      keys.map { case (tbl, key) =>
+        s"""SELECT '$tbl' AS table_name, '$key' AS key_name,
+              su.n_rows, su.n_keys, su.hot_key_rows, bu.bucket_max,
+              round(CAST(bu.bucket_max AS DOUBLE) * 32 / su.n_rows, 6)
+                AS skew_ratio,
+              round(CAST(su.hot_key_rows AS DOUBLE) / su.n_rows, 6)
+                AS hot_key_share
+            FROM (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                         count(1) AS n_keys,
+                         CAST(max(c) AS BIGINT) AS hot_key_rows
+                  FROM (SELECT $key AS k, count(1) AS c FROM $tbl GROUP BY 1) g) su
+            CROSS JOIN
+                 (SELECT CAST(max(bc) AS BIGINT) AS bucket_max
+                  FROM (SELECT (((k % 2147483648) * 2654435761)
+                            % 2147483648) % 32 AS b, sum(c) AS bc
+                        FROM (SELECT $key AS k, count(1) AS c FROM $tbl GROUP BY 1) g
+                        GROUP BY 1) q) bu"""
+      }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY table_name, key_name")
+    },
     "agg_corr_matrix" -> {
       val colOf = Map("q" -> "l_quantity", "p" -> "l_extendedprice",
         "d" -> "l_discount", "t" -> "l_tax")
@@ -5865,6 +5988,31 @@ object AnalyticsOps {
                   AS n_rows_at_risk,
                 CAST(CASE WHEN min(l) >= 3 THEN 1 ELSE 0 END AS INT) AS satisfies_l3
          FROM g""",
+    "gdpr_t_closeness" ->
+      """WITH base AS (
+           SELECT c_nationkey, c_mktsegment, count(1) AS c
+           FROM customer GROUP BY 1, 2),
+         grp AS (SELECT c_nationkey, CAST(sum(c) AS BIGINT) AS ng
+                 FROM base GROUP BY 1),
+         seg AS (SELECT c_mktsegment, CAST(sum(c) AS BIGINT) AS ns
+                 FROM base GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM base),
+         grid AS (
+           SELECT g.c_nationkey,
+                  CAST(round(abs(CAST(coalesce(b.c, 0) AS DOUBLE) / g.ng
+                    - CAST(s.ns AS DOUBLE) / t.n) * 0.5, 6)
+                    AS DECIMAL(18,6)) AS d
+           FROM grp g CROSS JOIN seg s CROSS JOIN tot t
+           LEFT JOIN base b ON b.c_nationkey = g.c_nationkey
+                           AND b.c_mktsegment = s.c_mktsegment),
+         tg AS (SELECT c_nationkey, sum(d) AS t FROM grid GROUP BY 1)
+         SELECT count(1) AS n_groups,
+                round(CAST(max(t) AS DOUBLE), 6) AS max_t,
+                round(CAST(sum(t) AS DOUBLE) / count(1), 6) AS avg_t,
+                count(CASE WHEN t > 0.2 THEN 1 END) AS n_groups_above_02,
+                CAST(CASE WHEN count(CASE WHEN t > 0.2 THEN 1 END) = 0
+                     THEN 1 ELSE 0 END AS INT) AS satisfies_t02
+         FROM tg""",
     "stat_kruskal_wallis" ->
       """WITH c AS (
            SELECT c_mktsegment AS seg, c_acctbal AS v FROM customer),
@@ -6637,6 +6785,23 @@ object AnalyticsOps {
            FROM sl)
          SELECT event_type, max(m) AS n_pairs,
                 round(max(CASE WHEN rn = (m + 1) // 2 THEN slope END), 6) AS slope
+         FROM rk GROUP BY event_type ORDER BY event_type""",
+    "stat_hodges_lehmann" ->
+      """WITH daily AS (
+           SELECT event_type, ts::DATE AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         pr AS (
+           SELECT a.event_type, a.c + b.c AS w2
+           FROM daily a JOIN daily b
+             ON a.event_type = b.event_type AND a.day <= b.day),
+         rk AS (
+           SELECT event_type, w2,
+                  row_number() OVER (PARTITION BY event_type ORDER BY w2) AS rn,
+                  count(1) OVER (PARTITION BY event_type) AS m
+           FROM pr)
+         SELECT event_type, max(m) AS n_pairs,
+                CAST(max(CASE WHEN rn = (m + 1) // 2 THEN w2 END) AS DOUBLE) / 2
+                  AS hl_location
          FROM rk GROUP BY event_type ORDER BY event_type""",
     "eval_confusion" ->
       """WITH b AS (

@@ -4685,4 +4685,73 @@ class PropertySpec extends SparkSuite {
     assert(math.abs(r.getDouble(6) - sumMarg.toDouble / (n * n)) < 1e-6, "pe")
     assert(math.abs(r.getDouble(7) - kappa) < 1e-6, "kappa")
   }
+
+  test("gdpr_t_closeness: group TVDs replay the brute distributions") {
+    val rows = graft.Tables.t(spark, sf, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment")).collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getString(1)))
+    val n = rows.length.toDouble
+    val segTot = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    val ts = rows.groupBy(_._1).map { case (_, g) =>
+      val ng = g.length.toDouble
+      segTot.map { case (seg, nsTot) =>
+        val c = g.count(_._2 == seg)
+        BigDecimal(math.abs(c / ng - nsTot / n) * 0.5)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+    }.toSeq
+    val r = q("gdpr_t_closeness").collect()(0)
+    assert(r.getLong(0) === ts.length.toLong, "n_groups")
+    assert(math.abs(r.getDouble(1) - ts.max.toDouble) < 1e-6, "max_t")
+    assert(math.abs(r.getDouble(2) - ts.sum.toDouble / ts.length) < 1e-6, "avg_t")
+    assert(r.getLong(3) === ts.count(_ > BigDecimal("0.2")).toLong, "above")
+    assert(r.getInt(4) === (if (ts.count(_ > BigDecimal("0.2")) == 0) 1 else 0))
+  }
+
+  test("profile_skew_report: bucket and hot-key stats replay the Knuth hash") {
+    def brute(pairs: Array[Long]): (Long, Long, Long, Long) = {
+      val byKey = pairs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val byBucket = byKey.groupBy { case (k, _) =>
+        (k % 2147483648L) * 2654435761L % 2147483648L % 32
+      }.view.mapValues(_.values.sum).toMap
+      (pairs.length.toLong, byKey.size.toLong, byKey.values.max, byBucket.values.max)
+    }
+    val li = graft.Tables.t(spark, sf, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).collect()
+    val want = Map(
+      ("lineitem", "l_partkey") -> brute(li.map(_.getLong(0))),
+      ("lineitem", "l_suppkey") -> brute(li.map(_.getLong(1))),
+      ("orders", "o_custkey") -> brute(graft.Tables.t(spark, sf, "orders")
+        .select(col("o_custkey")).collect().map(_.getLong(0))))
+    val got = q("profile_skew_report").collect()
+    assert(got.length === 3)
+    got.foreach { r =>
+      val (nr, nk, hot, bmax) = want((r.getString(0), r.getString(1)))
+      assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ===
+        ((nr, nk, hot, bmax)), s"${r.getString(1)} counts")
+      assert(math.abs(r.getDouble(6) - bmax.toDouble * 32 / nr) < 1e-6)
+      assert(math.abs(r.getDouble(7) - hot.toDouble / nr) < 1e-6)
+    }
+  }
+
+  test("stat_hodges_lehmann: the lower-median Walsh average replays brute") {
+    val daily = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("ts").cast("date"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .groupBy(_._1._1).view
+      .mapValues(_.map { case ((_, d), c) => (d, c) }.toSeq.sortBy(_._1.toEpochDay))
+      .toMap
+    val got = q("stat_hodges_lehmann").collect()
+    assert(got.length === daily.size)
+    got.foreach { r =>
+      val cs = daily(r.getString(0)).map(_._2)
+      val sums = (for {
+        i <- cs.indices; j <- i until cs.length
+      } yield cs(i) + cs(j)).sorted
+      assert(r.getLong(1) === sums.length.toLong, "n_pairs")
+      val mid = sums((sums.length + 1) / 2 - 1)
+      assert(r.getDouble(2) === mid.toDouble / 2, s"${r.getString(0)} hl")
+    }
+  }
 }

@@ -701,7 +701,9 @@ class PlanSpec extends SparkSuite {
       "dedup_minhash_recall" -> "crossJoins compose three 1-row count frames (truth/candidates/hits)",
       "graph_ppr" -> "crossJoins against the broadcast 1-row seed frame (one per restart round)",
       "text_textrank" -> "crossJoins against the broadcast 1-row vocabulary-count frame (one per rank round)",
-      "etl_freshness_report" -> "crossJoin against the broadcast 1-row corpus-horizon frame over three checkpointed 1-row summaries")
+      "etl_freshness_report" -> "crossJoin against the broadcast 1-row corpus-horizon frame over three checkpointed 1-row summaries",
+      "gdpr_t_closeness" -> "zero-cell grid crossJoins are dim-bounded: 25 nations x 5 segments x 1-row total",
+      "profile_skew_report" -> "per-key summary and bucket-max compose via broadcast 1-row crossJoins (three keys)")
     val sf = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if boundedByConstruction.contains(name) => None
