@@ -182,6 +182,45 @@ object Multimodal {
     AudioFeat(docId, total, frames, peak, maxE, maxF, totalSq / total)
   }
 
+  case class SilenceFeat(doc_id: Long, n_frames: Int, n_silent: Int,
+    n_runs: Int, longest_run: Int)
+
+  /** Silence segmentation over the decoded PCM: a frame is "silent" iff
+    * its energy is below the doc's mean frame energy, compared
+    * cross-multiplied in exact integers (e·total < totalSq·256 — max
+    * ~8·10¹⁴, inside Long) so no float threshold exists to diverge.
+    * Runs are counted in one sequential pass over the ≤11 frames. */
+  def analyzeSilence(docId: Long, pcm: Array[Byte]): SilenceFeat = {
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val total = pcm.length / 2
+    val frames = total / 256
+    val es = new Array[Long](frames)
+    var totalSq = 0L
+    var f = 0
+    while (f < frames) {
+      var e = 0L; var i = f * 256
+      val end = i + 256
+      while (i < end) {
+        val s = bb.getShort(i * 2).toInt
+        e += s.toLong * s
+        i += 1
+      }
+      es(f) = e; totalSq += e
+      f += 1
+    }
+    var nSilent = 0; var nRuns = 0; var longest = 0; var run = 0
+    f = 0
+    while (f < frames) {
+      if (es(f) * frames < totalSq) {
+        nSilent += 1; run += 1
+        if (run > longest) longest = run
+        if (run == 1) nRuns += 1
+      } else run = 0
+      f += 1
+    }
+    SilenceFeat(docId, frames, nSilent, nRuns, longest)
+  }
+
   /** One-time staging for `mm_decode`: each probe document rendered and
     * PNG-encoded to a standalone .png file — the on-disk shape multimodal
     * corpora arrive in (one image per object-store key). Driver-side loop
@@ -283,6 +322,25 @@ object Multimodal {
         .as[(Long, Array[Byte])]
       media.mapPartitions(_.map { case (id, bytes) =>
           analyzePcm(id, encodePcm(bytes)) })
+        .toDF()
+        .orderBy(col("doc_id"))
+    }),
+
+    // Silence segmentation — the audio-curation gate next to
+    // mm_audio_energy's level features (dead-air share and the longest
+    // silent stretch decide whether a clip survives a speech corpus):
+    // same decode→frame pipeline, threshold = doc mean frame energy
+    // compared in exact integers (no float threshold to diverge), runs
+    // counted in the per-doc sequential pass the codec already owns.
+    // Scan-grain, embarrassingly parallel — the 100 TB shape is
+    // per-object feature extraction, zero shuffle before the tiny sort.
+    "mm_silence_detect" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      media.mapPartitions(_.map { case (id, bytes) =>
+          analyzeSilence(id, encodePcm(bytes)) })
         .toDF()
         .orderBy(col("doc_id"))
     }),
@@ -434,6 +492,41 @@ object Multimodal {
                 CAST(peak AS INTEGER) AS peak, m.max_energy,
                 CAST(m.f AS INTEGER) AS max_frame, mean_energy
          FROM feat d JOIN maxf m ON d.doc_id = m.doc_id AND m.rk = 1
+         ORDER BY d.doc_id""",
+    "mm_silence_detect" ->
+      """WITH dims AS (
+           SELECT doc_id, strlen(text) AS n,
+                  1024 + (strlen(text) % 7) * 256 AS total, text
+           FROM documents),
+         sm0 AS (
+           SELECT doc_id, n, total, text, unnest(range(0, total)) AS i FROM dims),
+         smp AS (
+           SELECT doc_id, i // 256 AS f,
+                  CAST((ord(text[CAST(i % n AS INTEGER) + 1]) - 128) * 200
+                       + (i * 31) % 256 - 128 AS BIGINT) AS s
+           FROM sm0),
+         frames AS (
+           SELECT doc_id, f, SUM(s * s) AS e FROM smp GROUP BY 1, 2),
+         fl AS (
+           SELECT doc_id, f, e,
+                  count(1) OVER (PARTITION BY doc_id) AS n_frames,
+                  SUM(e) OVER (PARTITION BY doc_id) AS tot_e
+           FROM frames),
+         sil AS (
+           SELECT doc_id, f,
+                  f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS isl
+           FROM fl WHERE e * n_frames < tot_e),
+         runs AS (SELECT doc_id, isl, count(1) AS rl FROM sil GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id, CAST(sum(rl) AS INTEGER) AS n_silent,
+                  CAST(count(1) AS INTEGER) AS n_runs,
+                  CAST(max(rl) AS INTEGER) AS longest_run
+           FROM runs GROUP BY 1)
+         SELECT d.doc_id, CAST(total // 256 AS INTEGER) AS n_frames,
+                coalesce(a.n_silent, 0) AS n_silent,
+                coalesce(a.n_runs, 0) AS n_runs,
+                coalesce(a.longest_run, 0) AS longest_run
+         FROM dims d LEFT JOIN agg a ON d.doc_id = a.doc_id
          ORDER BY d.doc_id""",
     "mm_phash" ->
       """WITH dims AS (

@@ -596,6 +596,35 @@ object ShapeOps {
         .orderBy(col("prev_type"), col("next_type"))
     }),
 
+    // Directed-graph reciprocity over the session-transition graph —
+    // "is the flow a cycle or a funnel": share of a→b edges whose b→a
+    // twin exists, plus the weighted form Σmin(w_ab,w_ba)/Σw. The
+    // fact-scale work is ONE per-user lead window (markov's shape); the
+    // edge frame is |types|²-bounded (≤25 rows) and persisted so the
+    // reversed-pair self-join replays nothing — at 100 TB reciprocity
+    // is a dim-sized join over an already-aggregated edge list.
+    "graph_reciprocity" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val e = persistShared("recip_edges", events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull &&
+          col("next_type") =!= col("event_type"))
+        .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+        .agg(count(lit(1)).as("n_f")))
+      e.as("a").join(e.as("b"),
+          col("a.src") === col("b.dst") && col("a.dst") === col("b.src"), "left")
+        .agg(count(lit(1)).as("n_edges"),
+          count(col("b.n_f")).as("n_recip"),
+          sum(col("a.n_f")).as("w_total"),
+          coalesce(sum(least(col("a.n_f"), col("b.n_f"))), lit(0L)).as("w_recip"))
+        .select(col("n_edges"), col("n_recip"), col("w_total"), col("w_recip"),
+          round(col("n_recip").cast("double") / col("n_edges"), 6)
+            .as("reciprocity"),
+          round(col("w_recip").cast("double") / col("w_total"), 6)
+            .as("w_reciprocity"))
+    }),
+
     // top onboarding paths — "what do users actually do first": the
     // ordered first-3-event-type sequence per user, counted and ranked.
     // seq_markov_transitions gives the memoryless edge view; this is the
@@ -852,6 +881,23 @@ object ShapeOps {
          SELECT prev_type, next_type, n,
                 round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS p
          FROM c ORDER BY prev_type, next_type""",
+    "graph_reciprocity" ->
+      """WITH seq AS (
+           SELECT event_type AS prev_type,
+                  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+           FROM events),
+         e AS (SELECT prev_type AS src, next_type AS dst, count(1) AS n_f
+               FROM seq
+               WHERE next_type IS NOT NULL AND next_type <> prev_type
+               GROUP BY 1, 2)
+         SELECT count(1) AS n_edges,
+                count(b.n_f) AS n_recip,
+                CAST(sum(a.n_f) AS BIGINT) AS w_total,
+                CAST(coalesce(sum(least(a.n_f, b.n_f)), 0) AS BIGINT) AS w_recip,
+                round(CAST(count(b.n_f) AS DOUBLE) / count(1), 6) AS reciprocity,
+                round(CAST(coalesce(sum(least(a.n_f, b.n_f)), 0) AS DOUBLE)
+                  / sum(a.n_f), 6) AS w_reciprocity
+         FROM e a LEFT JOIN e b ON a.src = b.dst AND a.dst = b.src""",
     "seq_path_topk" ->
       """WITH r AS (
            SELECT user_id, event_type,

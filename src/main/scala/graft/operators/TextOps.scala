@@ -341,6 +341,43 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Quality-gate FUNNEL — text_gopher_quality reports per-doc flags;
+    // this is the report curation teams actually read: how many docs
+    // survive each gate applied IN ORDER (word count → mean word length
+    // → stopword presence), with per-stage drop counts and survival
+    // rates. ONE scan-grain pass computes all cumulative flags, one
+    // 1-row agg holds the four counts, and the 3 stage rows explode
+    // from structs (profile_columns' shape) — no per-stage rescan, the
+    // only plan a 100 TB funnel can afford.
+    "corpus_filter_funnel" -> ((s, dir) => {
+      val stopArr = array(stop.map(lit): _*)
+      val m = t(s, dir, "documents")
+        .withColumn("toks",
+          filter(split(lower(col("text")), " "), x => x =!= ""))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("mwl", r6(
+          aggregate(col("toks"), lit(0L), (a, x) => a + length(x))
+            .cast("double") / col("n_tokens")))
+        .withColumn("g1", col("n_tokens") >= 10 && col("n_tokens") <= 100000)
+        .withColumn("g2", col("g1") && col("mwl") >= 2.0 && col("mwl") <= 10.0)
+        .withColumn("g3", col("g2") &&
+          size(array_intersect(array_distinct(col("toks")), stopArr)) >= 1)
+        .agg(count(lit(1)).as("s0"),
+          count(when(col("g1"), 1)).as("s1"),
+          count(when(col("g2"), 1)).as("s2"),
+          count(when(col("g3"), 1)).as("s3"))
+      val rows = Seq(
+        ("1_word_count", col("s0"), col("s1")),
+        ("2_mean_word_len", col("s1"), col("s2")),
+        ("3_stopword", col("s2"), col("s3"))).map { case (nm, in, out) =>
+        struct(lit(nm).as("stage"), in.as("n_in"), out.as("n_out"),
+          (in - out).as("n_dropped"),
+          round(out.cast("double") / in, 6).as("survival"))
+      }
+      m.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+        .orderBy(col("stage"))
+    }),
+
     // n-gram-profile language ID (Cavnar–Trenkle-shaped, unigram profiles
     // learned from the corpus itself): score(doc, lang) = Σ_t
     // count_doc(t) · count_lang(t); prediction = argmax with lexicographic
@@ -1459,6 +1496,39 @@ object TextOps {
                   * CAST(mean_word_len >= 2.0 AND mean_word_len <= 10.0 AS INT)
                   * CAST(n_stop_distinct >= 1 AS INT) AS keep
          FROM m ORDER BY doc_id""",
+    "corpus_filter_funnel" ->
+      s"""WITH d AS (
+           SELECT doc_id,
+                  list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           FROM documents),
+         f AS (
+           SELECT CAST(len(toks) AS BIGINT) AS n_tokens,
+                  round(CAST(list_aggregate(list_transform(toks, x -> length(x)),
+                          'sum') AS DOUBLE) / len(toks), 6) AS mwl,
+                  CAST(len(list_intersect(list_distinct(toks), ${stopSqlArray}))
+                    AS BIGINT) AS nsd
+           FROM d),
+         m AS (
+           SELECT count(1) AS s0,
+                  count(CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+                        THEN 1 END) AS s1,
+                  count(CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+                        AND mwl >= 2.0 AND mwl <= 10.0 THEN 1 END) AS s2,
+                  count(CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+                        AND mwl >= 2.0 AND mwl <= 10.0 AND nsd >= 1
+                        THEN 1 END) AS s3
+           FROM f)
+         SELECT * FROM (
+           SELECT '1_word_count' AS stage, s0 AS n_in, s1 AS n_out,
+                  s0 - s1 AS n_dropped,
+                  round(CAST(s1 AS DOUBLE) / s0, 6) AS survival FROM m
+           UNION ALL
+           SELECT '2_mean_word_len', s1, s2, s1 - s2,
+                  round(CAST(s2 AS DOUBLE) / s1, 6) FROM m
+           UNION ALL
+           SELECT '3_stopword', s2, s3, s2 - s3,
+                  round(CAST(s3 AS DOUBLE) / s2, 6) FROM m)
+         ORDER BY stage""",
     "text_langid" ->
       """WITH tok AS (
            SELECT doc_id, lang, token, count(1) AS tf FROM

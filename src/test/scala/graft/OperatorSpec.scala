@@ -4754,4 +4754,82 @@ class PropertySpec extends SparkSuite {
       assert(r.getDouble(2) === mid.toDouble / 2, s"${r.getString(0)} hl")
     }
   }
+
+  test("mm_silence_detect: runs replay the PCM synth and integer threshold") {
+    val want = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val text = r.getString(1).getBytes("UTF-8")
+        val n = text.length
+        val total = 1024 + (n % 7) * 256
+        val frames = total / 256
+        val es = (0 until frames).map { f =>
+          (f * 256 until (f + 1) * 256).map { i =>
+            val s = ((text(i % n) & 0xff) - 128) * 200 + (i * 31) % 256 - 128
+            s.toLong * s
+          }.sum
+        }
+        val tot = es.sum
+        val silent = es.map(_ * frames < tot)
+        val runs = silent.foldLeft(List.empty[Int]) {
+          case (acc, true) if acc.nonEmpty && acc.head > 0 => (acc.head + 1) :: acc.tail
+          case (acc, true) => 1 :: acc
+          case (acc, false) => 0 :: acc
+        }.filter(_ > 0)
+        r.getLong(0) -> ((frames, silent.count(identity), runs.length,
+          if (runs.isEmpty) 0 else runs.max))
+      }.toMap
+    val got = q("mm_silence_detect").collect()
+    assert(got.length === want.size)
+    got.foreach { r =>
+      assert((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)) ===
+        want(r.getLong(0)), s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("graph_reciprocity: edge counts replay the brute transition graph") {
+    val edges = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0),
+        (r.getTimestamp(1).getTime, r.getAs[Number](2).longValue()), r.getString(3)))
+      .groupBy(_._1).values.flatMap { g =>
+        val seq = g.toSeq.sortBy(_._2).map(_._3)
+        seq.zip(seq.tail).filter(p => p._1 != p._2)
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nEdges = edges.size.toLong
+    val nRecip = edges.keys.count(p => edges.contains((p._2, p._1))).toLong
+    val wTotal = edges.values.sum
+    val wRecip = edges.map { case (p, w) =>
+      edges.get((p._2, p._1)).map(math.min(w, _)).getOrElse(0L)
+    }.sum
+    val r = q("graph_reciprocity").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((nEdges, nRecip, wTotal, wRecip)))
+    assert(math.abs(r.getDouble(4) - nRecip.toDouble / nEdges) < 1e-6)
+    assert(math.abs(r.getDouble(5) - wRecip.toDouble / wTotal) < 1e-6)
+  }
+
+  test("corpus_filter_funnel: stage survivals replay the gate cascade") {
+    val flags = graft.Tables.t(spark, sf, "documents")
+      .select(col("text")).collect().map { r =>
+        val toks = r.getString(0).toLowerCase.split(" ").filter(_.nonEmpty)
+        val n = toks.length.toLong
+        val mwl = BigDecimal(toks.map(_.length.toLong).sum.toDouble / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val g1 = n >= 10 && n <= 100000
+        val g2 = g1 && mwl >= 2.0 && mwl <= 10.0
+        val stopWords = Set("the", "a", "of", "and", "to", "in")
+        val g3 = g2 && toks.distinct.count(stopWords.contains) >= 1
+        (g1, g2, g3)
+      }
+    val s0 = flags.length.toLong
+    val (s1, s2, s3) = (flags.count(_._1).toLong, flags.count(_._2).toLong,
+      flags.count(_._3).toLong)
+    val got = q("corpus_filter_funnel").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("1_word_count") === ((s0, s1, s0 - s1)))
+    assert(got("2_mean_word_len") === ((s1, s2, s1 - s2)))
+    assert(got("3_stopword") === ((s2, s3, s2 - s3)))
+  }
 }
