@@ -3646,6 +3646,34 @@ object AnalyticsOps {
         .orderBy(col("day"))
     }),
 
+    // Trailing 14-observation OLS slope per event series — the LOCAL
+    // trend monitor between stat_linreg (one global fit) and
+    // ts_theil_sen (one robust slope per series): "is volume
+    // accelerating THIS week". x = integer epoch day, so gaps in the
+    // calendar are handled by the regression itself (not by pretending
+    // rows are equidistant); all five window sums are EXACT integers
+    // (order-free partial aggregation), slope = (kΣxy−ΣxΣy)/(kΣx²−Σx²)
+    // is one double division of exact integers, 6-dp-gridded. One
+    // shuffle to the day grain, windows on the tiny series frame.
+    "ts_rolling_slope" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("x", datediff(col("day"), lit("1970-01-01").cast("date")))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-13, 0)
+      daily.withColumn("wn", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("x")).over(w))
+        .withColumn("sy", sum(col("c")).over(w))
+        .withColumn("sxy", sum(col("x") * col("c")).over(w))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w))
+        .filter(col("wn") === 14)
+        .select(col("event_type"), col("day"),
+          round((lit(14) * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (lit(14) * col("sxx") - col("sx") * col("sx")), 6).as("slope_14d"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Two-proportion z-test over all segment pairs — the A/B-test
     // operator next to stat_ttest's difference-of-MEANS: is the
     // positive-balance RATE of segment A actually different from B?
@@ -4100,6 +4128,44 @@ object AnalyticsOps {
           (max(when(col("rn") === expr("(m + 1) div 2"), col("w2")))
             .cast("double") / lit(2.0)).as("hl_location"))
         .orderBy(col("event_type"))
+    }),
+
+    // Trimmed + winsorized means per segment — the robust-location pair
+    // every reporting deck needs next to the plain mean (one whale
+    // account moves mean; trim drops the ⌊n/10⌋ tail rows, winsorize
+    // clamps them to the cut values). ONE rank window on the total
+    // (balance, custkey) order, then a single hash agg: tail sums stay
+    // EXACT DECIMAL, the cut values come from conditional max at the
+    // two rank boundaries, and the winsorized sum is pure decimal
+    // algebra (s_mid + t·(v_lo + v_hi)) — three divisions at the end,
+    // each 6-dp-rounded. No second pass, no percentile interpolation.
+    "stat_trimmed_mean" -> ((s, dir) => {
+      val w = Window.partitionBy(col("seg"))
+        .orderBy(col("v"), col("c_custkey"))
+      val r = t(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"), col("c_acctbal").as("v"),
+          col("c_custkey"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("seg"))))
+      // balances are DOUBLE in the store — every cross-row sum rides the
+      // exact DECIMAL grid (the dsum discipline); the cut values are
+      // single picks (no summation), gridded before the winsorized fold
+      r.groupBy(col("seg"))
+        .agg(max(col("n")).as("n"), max(expr("n div 10")).as("tt"),
+          sum(dec(col("v"))).as("s_all"),
+          sum(when(col("rn") > expr("n div 10") &&
+            col("rn") <= col("n") - expr("n div 10"), dec(col("v")))).as("s_mid"),
+          count(when(col("rn") > expr("n div 10") &&
+            col("rn") <= col("n") - expr("n div 10"), 1)).as("c_mid"),
+          max(when(col("rn") === expr("n div 10") + 1, dec(col("v")))).as("v_lo"),
+          max(when(col("rn") === col("n") - expr("n div 10"), dec(col("v"))))
+            .as("v_hi"))
+        .select(col("seg"), col("n"),
+          round(col("s_all").cast("double") / col("n"), 6).as("mean"),
+          round(col("s_mid").cast("double") / col("c_mid"), 6).as("trimmed_mean"),
+          round((col("s_mid") + col("tt") * (col("v_lo") + col("v_hi")))
+            .cast("double") / col("n"), 6).as("winsorized_mean"))
+        .orderBy(col("seg"))
     }),
 
     // Confusion matrix + P/R/F1/accuracy at the 0.5 threshold — the
@@ -6172,6 +6238,22 @@ object AnalyticsOps {
                       nullif(sqrt(CAST((7 * sxx - sx * sx) * (7 * syy - sy * sy)
                         AS DOUBLE)), 0.0), 6) AS r_7d
          FROM ws WHERE wn = 7 ORDER BY day""",
+    "ts_rolling_slope" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS c,
+                  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x
+           FROM events GROUP BY 1, 2, 4),
+         ws AS (
+           SELECT event_type, day,
+                  count(1) OVER w AS wn,
+                  sum(x) OVER w AS sx, sum(c) OVER w AS sy,
+                  sum(x * c) OVER w AS sxy, sum(x * x) OVER w AS sxx
+           FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         SELECT event_type, day,
+                round(CAST(14 * sxy - sx * sy AS DOUBLE) /
+                      (14 * sxx - sx * sx), 6) AS slope_14d
+         FROM ws WHERE wn = 14 ORDER BY event_type, day""",
     "stat_wilcoxon_signed" ->
       """WITH daily AS (
            SELECT CAST(ts AS DATE) AS day, event_type, count(1) AS c
@@ -6803,6 +6885,32 @@ object AnalyticsOps {
                 CAST(max(CASE WHEN rn = (m + 1) // 2 THEN w2 END) AS DOUBLE) / 2
                   AS hl_location
          FROM rk GROUP BY event_type ORDER BY event_type""",
+    "stat_trimmed_mean" ->
+      """WITH r AS (
+           SELECT c_mktsegment AS seg, c_acctbal AS v,
+                  row_number() OVER (PARTITION BY c_mktsegment
+                    ORDER BY c_acctbal, c_custkey) AS rn,
+                  count(1) OVER (PARTITION BY c_mktsegment) AS n
+           FROM customer),
+         m AS (
+           SELECT seg, CAST(max(n) AS BIGINT) AS n,
+                  CAST(max(n) // 10 AS BIGINT) AS tt,
+                  sum(CAST(v AS DECIMAL(18,6))) AS s_all,
+                  sum(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                      THEN CAST(v AS DECIMAL(18,6)) END) AS s_mid,
+                  count(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                        THEN 1 END) AS c_mid,
+                  max(CASE WHEN rn = n // 10 + 1
+                      THEN CAST(v AS DECIMAL(18,6)) END) AS v_lo,
+                  max(CASE WHEN rn = n - n // 10
+                      THEN CAST(v AS DECIMAL(18,6)) END) AS v_hi
+           FROM r GROUP BY seg)
+         SELECT seg, n,
+                round(CAST(s_all AS DOUBLE) / n, 6) AS mean,
+                round(CAST(s_mid AS DOUBLE) / c_mid, 6) AS trimmed_mean,
+                round(CAST(s_mid + tt * (v_lo + v_hi) AS DOUBLE) / n, 6)
+                  AS winsorized_mean
+         FROM m ORDER BY seg""",
     "eval_confusion" ->
       """WITH b AS (
            SELECT (((c_custkey % 2147483648) * 2654435761) % 2147483648) % 1000 AS s,

@@ -525,6 +525,48 @@ object VectorOps {
         .orderBy(col("vec_id"), col("rk"))
     }),
 
+    // Local Outlier Factor (k=4) over the embedding space — the DENSITY
+    // anomaly detector the z-score/IQR family can't express (a point can
+    // be globally ordinary yet sit alone between two clusters): LOF =
+    // mean neighbor lrd / own lrd. Exact tier over a 256-vector base
+    // (whitelisted bounded self-join — 65k pairs; the billion-vector
+    // path swaps the pair source for vec_knn_graph's LSH-bucketed kNN,
+    // every downstream step already key-grain). Distances 6-dp-gridded
+    // to DECIMAL at birth, so k-dist/reach-dist (max/greatest) and the
+    // k-term reachability and lrd sums are EXACT decimal folds — the
+    // two divisions (lrd, lof) are the only inexact steps, each gridded
+    // immediately (a raw 4-term double sum would be partial-agg
+    // order-dependent). kNN frame checkpointed once, read three times.
+    "anom_lof" -> ((s, dir) => {
+      val K = 4
+      val base = embStore(s, dir).filter(col("vec_id") < 256)
+        .select(col("vec_id"), col("embedding"))
+      val pairs = base.as("a").join(base.as("b"),
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("v"), col("b.vec_id").as("n"),
+          dec(round(lit(1.0) - cosine_sim(col("a.embedding"), col("b.embedding")),
+            6)).as("dist"))
+      val w = Window.partitionBy(col("v")).orderBy(col("dist"), col("n"))
+      val knn = pairs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K).select(col("v"), col("n"), col("dist"))
+        .localCheckpoint(true)
+      val kd = knn.groupBy(col("v")).agg(max(col("dist")).as("kdist"))
+      val lrd = knn.join(kd.select(col("v").as("n"), col("kdist").as("nkd")), "n")
+        .select(col("v"), greatest(col("nkd"), col("dist")).as("rd"))
+        .groupBy(col("v"))
+        .agg(when(sum(col("rd")) > 0,
+          dec(round(lit(4.0) / sum(col("rd")).cast("double"), 6))).as("lrd"))
+      val slo = knn.join(lrd.select(col("v").as("n"), col("lrd").as("nlrd")), "n")
+        .groupBy(col("v")).agg(sum(col("nlrd")).as("slo"))
+      kd.join(lrd, "v").join(slo, "v")
+        .select(col("v").as("vec_id"),
+          col("kdist").cast("double").as("k_dist"),
+          col("lrd").cast("double").as("lrd"),
+          round(col("slo").cast("double") /
+            (lit(4.0) * col("lrd").cast("double")), 6).as("lof"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Range search (the "all pairs above a similarity floor" dual of
     // top-k): every embedding pair with cosine ≥ 0.3 whose signatures
     // share an LSH bucket. This is the embedding-side analog of
@@ -1418,6 +1460,36 @@ object VectorOps {
          SELECT v AS vec_id, CAST(rk AS INTEGER) AS rk, n AS nbr_id, sim FROM (
            SELECT v, n, sim, row_number() OVER (PARTITION BY v ORDER BY sim DESC, n) AS rk
            FROM scored) WHERE rk <= 4 ORDER BY vec_id, rk""",
+    "anom_lof" ->
+      s"""WITH base AS (
+           SELECT vec_id, embedding FROM embeddings WHERE vec_id < 256),
+         p AS (
+           SELECT a.vec_id AS v, b.vec_id AS n,
+                  CAST(round(1.0 - ${cosSql("a.embedding", "b.embedding")}, 6)
+                    AS DECIMAL(18,6)) AS dist
+           FROM base a JOIN base b ON a.vec_id <> b.vec_id),
+         knn AS (
+           SELECT v, n, dist FROM (
+             SELECT v, n, dist,
+                    row_number() OVER (PARTITION BY v ORDER BY dist, n) AS rk
+             FROM p) WHERE rk <= 4),
+         kd AS (SELECT v, max(dist) AS kdist FROM knn GROUP BY 1),
+         lrd AS (
+           SELECT k.v,
+                  CASE WHEN sum(greatest(o.kdist, k.dist)) > 0
+                       THEN CAST(round(4.0 /
+                         CAST(sum(greatest(o.kdist, k.dist)) AS DOUBLE), 6)
+                         AS DECIMAL(18,6)) END AS lrd
+           FROM knn k JOIN kd o ON k.n = o.v GROUP BY k.v),
+         slo AS (
+           SELECT k.v, sum(o.lrd) AS slo
+           FROM knn k JOIN lrd o ON k.n = o.v GROUP BY k.v)
+         SELECT kd.v AS vec_id, CAST(kd.kdist AS DOUBLE) AS k_dist,
+                CAST(l.lrd AS DOUBLE) AS lrd,
+                round(CAST(f.slo AS DOUBLE) / (4.0 * CAST(l.lrd AS DOUBLE)), 6)
+                  AS lof
+         FROM kd JOIN lrd l ON kd.v = l.v JOIN slo f ON kd.v = f.v
+         ORDER BY vec_id""",
     // same candidate edges, folded to components by recursive
     // reachability (UNION dedups → terminates); min = component.
     "dedup_semantic_cluster" ->

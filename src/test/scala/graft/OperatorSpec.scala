@@ -4832,4 +4832,96 @@ class PropertySpec extends SparkSuite {
     assert(got("2_mean_word_len") === ((s1, s2, s1 - s2)))
     assert(got("3_stopword") === ((s2, s3, s2 - s3)))
   }
+
+  test("anom_lof: densities replay the brute kNN/reachability chain") {
+    def g6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val embs = graft.Tables.t(spark, sf, "embeddings")
+      .filter(col("vec_id") < 256).select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = embs.map(_._1)
+    val dist = embs.map { case (v, ev) =>
+      v -> embs.filter(_._1 != v).map { case (n, en) =>
+        n -> g6(1.0 - cos(ev, en))
+      }.toMap
+    }.toMap
+    val knn = ids.map(v =>
+      v -> dist(v).toSeq.sortBy { case (n, d) => (d, n) }.take(4)).toMap
+    val kd = knn.map { case (v, ns) => v -> ns.map(_._2).max }
+    val lrd = ids.map { v =>
+      val sr = knn(v).map { case (n, d) => kd(n).max(d) }.sum
+      v -> (if (sr > 0) Some(g6(4.0 / sr.toDouble)) else None)
+    }.toMap
+    val got = q("anom_lof").collect()
+    assert(got.length === ids.length)
+    got.foreach { r =>
+      val v = r.getLong(0)
+      assert(r.getDouble(1) === kd(v).toDouble, s"$v kdist")
+      assert(r.getDouble(2) === lrd(v).get.toDouble, s"$v lrd")
+      val slo = knn(v).flatMap { case (n, _) => lrd(n) }.sum
+      val lof = g6(slo.toDouble / (4.0 * lrd(v).get.toDouble)).toDouble
+      assert(math.abs(r.getDouble(3) - lof) < 1e-9, s"$v lof")
+    }
+  }
+
+  test("stat_trimmed_mean: trim and winsorize replay the sorted tails") {
+    val bySeg = graft.Tables.t(spark, sf, "customer")
+      .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+      .collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1)).setScale(6), r.getLong(2)))
+      .groupBy(_._1)
+    val got = q("stat_trimmed_mean").collect()
+    assert(got.length === bySeg.size)
+    got.foreach { r =>
+      val vs = bySeg(r.getString(0)).sortBy(x => (x._2, x._3)).map(_._2)
+      val n = vs.length
+      val tt = n / 10
+      val mid = vs.slice(tt, n - tt)
+      val wins = vs.take(tt).map(_ => vs(tt)) ++ mid ++
+        vs.takeRight(tt).map(_ => vs(n - tt - 1))
+      assert(r.getLong(1) === n.toLong)
+      assert(math.abs(r.getDouble(2) - (vs.sum / n).toDouble) < 1e-6, "mean")
+      assert(math.abs(r.getDouble(3) - (mid.sum / mid.length).toDouble) < 1e-6,
+        "trimmed")
+      assert(math.abs(r.getDouble(4) - (wins.sum / n).toDouble) < 1e-6,
+        "winsorized")
+    }
+  }
+
+  test("ts_rolling_slope: the trailing-14 OLS replays brute sums") {
+    val daily = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("ts").cast("date")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .groupBy(_._1._1).view
+      .mapValues(_.toSeq.map { case ((_, d), c) => (d.toEpochDay, c) }.sortBy(_._1))
+      .toMap
+    val want = daily.flatMap { case (et, series) =>
+      series.indices.drop(13).map { i =>
+        val wnd = series.slice(i - 13, i + 1)
+        val sx = wnd.map(_._1).sum; val sy = wnd.map(_._2).sum
+        val sxy = wnd.map(p => p._1 * p._2).sum
+        val sxx = wnd.map(p => p._1 * p._1).sum
+        (et, series(i)._1) ->
+          ((14 * sxy - sx * sy).toDouble / (14 * sxx - sx * sx))
+      }
+    }
+    val got = q("ts_rolling_slope").collect()
+    assert(got.length === want.size)
+    got.foreach { r =>
+      val k = (r.getString(0), r.getDate(1).toLocalDate.toEpochDay)
+      assert(math.abs(r.getDouble(2) - want(k)) < 1e-6, s"$k slope")
+    }
+  }
 }

@@ -703,6 +703,7 @@ class PlanSpec extends SparkSuite {
       "text_textrank" -> "crossJoins against the broadcast 1-row vocabulary-count frame (one per rank round)",
       "etl_freshness_report" -> "crossJoin against the broadcast 1-row corpus-horizon frame over three checkpointed 1-row summaries",
       "gdpr_t_closeness" -> "zero-cell grid crossJoins are dim-bounded: 25 nations x 5 segments x 1-row total",
+      "anom_lof" -> "exact-tier LOF pair join is bounded to the 256-vector base (65k pairs); scale path is the LSH-bucketed kNN",
       "profile_skew_report" -> "per-key summary and bucket-max compose via broadcast 1-row crossJoins (three keys)")
     val sf = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
