@@ -540,6 +540,33 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Discrete percentiles — the exact VALUE at rank ⌈p·n⌉, the
+    // definition auditors want when the answer must be an observed row
+    // (no interpolation to explain) next to agg_quantiles' type-7
+    // surface. Rank arithmetic is PURE INTEGER ((p·n + 99) div 100 —
+    // computing ⌈0.9·n⌉ in binary doubles rounds UP at exact multiples,
+    // the classic ceil trap); one rank window per group, conditional
+    // max picks (value at a rank is deterministic under ties — the
+    // theil_sen discipline).
+    "agg_percentile_disc" -> ((s, dir) => {
+      val wP = Window.partitionBy(col("fl"))
+      val r = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("fl"), col("l_extendedprice").as("v"))
+        .withColumn("rn", row_number().over(wP.orderBy(col("v"))))
+        .withColumn("n", count(lit(1)).over(wP))
+      r.groupBy(col("fl"))
+        .agg(max(col("n")).as("n"),
+          max(when(col("rn") === expr("(25 * n + 99) div 100"), col("v")))
+            .as("p25_disc"),
+          max(when(col("rn") === expr("(50 * n + 99) div 100"), col("v")))
+            .as("p50_disc"),
+          max(when(col("rn") === expr("(75 * n + 99) div 100"), col("v")))
+            .as("p75_disc"),
+          max(when(col("rn") === expr("(90 * n + 99) div 100"), col("v")))
+            .as("p90_disc"))
+        .orderBy(col("fl"))
+    }),
+
     // no-oracle: t-digest-style sketch quantiles — the 100 TB path (exact
     // percentile needs a per-group sort; the sketch merges map-side).
     // Unit spec bounds it against the exact values.
@@ -904,6 +931,19 @@ object Aggregates {
          round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
          count(1) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_percentile_disc" ->
+      """WITH r AS (
+           SELECT l_returnflag AS fl, l_extendedprice AS v,
+                  row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice) AS rn,
+                  count(1) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem)
+         SELECT fl, CAST(max(n) AS BIGINT) AS n,
+                max(CASE WHEN rn = (25 * n + 99) // 100 THEN v END) AS p25_disc,
+                max(CASE WHEN rn = (50 * n + 99) // 100 THEN v END) AS p50_disc,
+                max(CASE WHEN rn = (75 * n + 99) // 100 THEN v END) AS p75_disc,
+                max(CASE WHEN rn = (90 * n + 99) // 100 THEN v END) AS p90_disc
+         FROM r GROUP BY fl ORDER BY fl""",
     "agg_custom_udaf" ->
       """SELECT l_returnflag, round(exp(avg(ln(l_extendedprice))), 6) AS geo_price, count(1) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",

@@ -4195,6 +4195,34 @@ object AnalyticsOps {
             (col("tp") + col("fp") + col("tn") + col("fn")), 6).as("accuracy"))
     }),
 
+    // Matthews correlation + balanced accuracy + informedness — the
+    // imbalance-proof trio eval_confusion's accuracy/F1 miss (on a 99/1
+    // class split accuracy 0.99 is the no-skill baseline; MCC is 0
+    // there by construction). Same deterministic hash scorer and four
+    // cells; the MCC denominator multiplies the four marginals as
+    // DOUBLES in a pinned (a·b)·(c·d) tree — at 10¹² rows the long
+    // product overflows and a different association diverges in ulps.
+    "eval_mcc" -> ((s, dir) => {
+      val b = t(s, dir, "customer").select(
+        (((col("c_custkey") % lit(2147483648L)) * lit(2654435761L))
+          % lit(2147483648L) % 1000).as("s"),
+        when(col("c_acctbal") > 0, 1).otherwise(0).as("y"))
+      val tpr = col("tp").cast("double") / (col("tp") + col("fn"))
+      val tnr = col("tn").cast("double") / (col("tn") + col("fp"))
+      b.agg(
+          count(when(col("s") >= 500 && col("y") === 1, 1)).as("tp"),
+          count(when(col("s") >= 500 && col("y") === 0, 1)).as("fp"),
+          count(when(col("s") < 500 && col("y") === 0, 1)).as("tn"),
+          count(when(col("s") < 500 && col("y") === 1, 1)).as("fn"))
+        .select(col("tp"), col("fp"), col("tn"), col("fn"),
+          round((col("tp") * col("tn") - col("fp") * col("fn")).cast("double") /
+            sqrt(((col("tp") + col("fp")).cast("double") * (col("tp") + col("fn"))) *
+                 ((col("tn") + col("fp")).cast("double") * (col("tn") + col("fn")))),
+            6).as("mcc"),
+          round((tpr + tnr) * lit(0.5), 6).as("balanced_acc"),
+          round(tpr + tnr - lit(1.0), 6).as("informedness"))
+    }),
+
     // NDCG@10 per segment — the RANKING eval completing the model-eval
     // kit (stat_auc_roc ranks pairs, eval_calibration checks
     // probabilities, eval_confusion the operating point; NDCG scores the
@@ -6927,6 +6955,26 @@ object AnalyticsOps {
                 round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS rec,
                 round(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1,
                 round(CAST(tp + tn AS DOUBLE) / (tp + fp + tn + fn), 6) AS accuracy
+         FROM m""",
+    "eval_mcc" ->
+      """WITH b AS (
+           SELECT (((c_custkey % 2147483648) * 2654435761) % 2147483648) % 1000 AS s,
+                  CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS y
+           FROM customer),
+         m AS (SELECT
+                 CAST(count(CASE WHEN s >= 500 AND y = 1 THEN 1 END) AS BIGINT) AS tp,
+                 CAST(count(CASE WHEN s >= 500 AND y = 0 THEN 1 END) AS BIGINT) AS fp,
+                 CAST(count(CASE WHEN s < 500 AND y = 0 THEN 1 END) AS BIGINT) AS tn,
+                 CAST(count(CASE WHEN s < 500 AND y = 1 THEN 1 END) AS BIGINT) AS fn
+               FROM b)
+         SELECT tp, fp, tn, fn,
+                round(CAST(tp * tn - fp * fn AS DOUBLE) /
+                      sqrt((CAST(tp + fp AS DOUBLE) * (tp + fn)) *
+                           (CAST(tn + fp AS DOUBLE) * (tn + fn))), 6) AS mcc,
+                round((CAST(tp AS DOUBLE) / (tp + fn)
+                       + CAST(tn AS DOUBLE) / (tn + fp)) * 0.5, 6) AS balanced_acc,
+                round(CAST(tp AS DOUBLE) / (tp + fn)
+                      + CAST(tn AS DOUBLE) / (tn + fp) - 1.0, 6) AS informedness
          FROM m""",
     "eval_ndcg" ->
       """WITH ui AS (

@@ -1214,6 +1214,27 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Efraimidis–Spirakis weighted reservoir — the EXACT-k weighted
+    // sample (sample_importance keeps a Bernoulli-variable count; this
+    // keeps exactly k, the shape a fixed eval-set draw needs): key =
+    // ln(u)/w, the order-equivalent log form of u^(1/w) (no pow), u
+    // the deterministic masked-Knuth uniform in (0,1], w = n_chars.
+    // The key is 9-dp-gridded with a doc_id tie-break so cross-engine
+    // libm ulps cannot flip the cut, and the top-k lowers to
+    // TakeOrdered — no global sort materializes (sample_bottomk's
+    // scale shape: at 100 TB this is a per-partition heap + one
+    // k-row merge on the driver-free reduce path).
+    "sample_weighted" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          round(log(
+            ((((col("doc_id") % lit(2147483648L)) * lit(2654435761L))
+              % lit(2147483648L)) + 1).cast("double") / lit(2147483648.0))
+            / col("n_chars"), 9).as("es_key"))
+      d.orderBy(col("es_key").desc, col("doc_id")).limit(20)
+        .orderBy(col("doc_id"))
+    }),
+
     // Jensen–Shannon divergence between every pair of source unigram
     // distributions — the corpus-drift matrix a training-mix curator
     // reads before reweighting (symmetric, bounded [0,1] in bits, no
@@ -2059,6 +2080,15 @@ object TextOps {
                 round(CAST(mx AS DOUBLE) / n_chars, 6) AS ip_weight
          FROM h CROSS JOIN mx
          WHERE hv * mx < n_chars * 2147483648
+         ORDER BY doc_id""",
+    "sample_weighted" ->
+      """SELECT doc_id, n_chars, es_key FROM (
+           SELECT doc_id, n_chars,
+                  round(ln(CAST((((doc_id % 2147483648) * 2654435761)
+                      % 2147483648) + 1 AS DOUBLE) / 2147483648.0)
+                    / n_chars, 9) AS es_key
+           FROM documents
+           ORDER BY es_key DESC, doc_id LIMIT 20)
          ORDER BY doc_id"""
   ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
 }

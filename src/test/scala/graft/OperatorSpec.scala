@@ -4924,4 +4924,60 @@ class PropertySpec extends SparkSuite {
       assert(math.abs(r.getDouble(2) - want(k)) < 1e-6, s"$k slope")
     }
   }
+
+  test("agg_percentile_disc: each pick is the value at rank ceil(p*n)") {
+    val byFlag = graft.Tables.t(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    val got = q("agg_percentile_disc").collect()
+    assert(got.length === byFlag.size)
+    got.foreach { r =>
+      val vs = byFlag(r.getString(0)).map(_._2).sorted
+      val n = vs.length
+      assert(r.getLong(1) === n.toLong)
+      Seq(25, 50, 75, 90).zipWithIndex.foreach { case (p, i) =>
+        assert(r.getDouble(2 + i) === vs((p * n + 99) / 100 - 1),
+          s"${r.getString(0)} p$p")
+      }
+    }
+  }
+
+  test("eval_mcc: the trio replays the brute confusion cells") {
+    val cells = graft.Tables.t(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_acctbal")).collect().map { r =>
+        val pos = (r.getLong(0) % 2147483648L) * 2654435761L % 2147483648L % 1000 >= 500
+        val y = !r.isNullAt(1) && r.getDouble(1) > 0
+        (pos, y)
+      }
+    val tp = cells.count(c => c._1 && c._2).toDouble
+    val fp = cells.count(c => c._1 && !c._2).toDouble
+    val tn = cells.count(c => !c._1 && !c._2).toDouble
+    val fn = cells.count(c => !c._1 && c._2).toDouble
+    val r = q("eval_mcc").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((tp.toLong, fp.toLong, tn.toLong, fn.toLong)))
+    val mcc = (tp * tn - fp * fn) /
+      math.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    assert(math.abs(r.getDouble(4) - mcc) < 1e-6, "mcc")
+    val (tpr, tnr) = (tp / (tp + fn), tn / (tn + fp))
+    assert(math.abs(r.getDouble(5) - (tpr + tnr) / 2) < 1e-6, "balanced")
+    assert(math.abs(r.getDouble(6) - (tpr + tnr - 1)) < 1e-6, "informedness")
+  }
+
+  test("sample_weighted: the cut replays the brute ES keys") {
+    val keys = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars")).collect().map { r =>
+        val id = r.getLong(0)
+        val u = ((id % 2147483648L) * 2654435761L % 2147483648L + 1).toDouble /
+          2147483648.0
+        val k = BigDecimal(math.log(u) / r.getAs[Number](1).longValue())
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, k)
+      }
+    val want = keys.sortBy { case (id, k) => (-k, id) }.take(20).map(_._1).toSet
+    val got = q("sample_weighted").collect().map(_.getLong(0))
+    assert(got.length === 20)
+    assert(got.toSet === want)
+    assert(got.sorted.sameElements(got), "output ordered by doc_id")
+  }
 }
