@@ -37,6 +37,25 @@ object ScalarBank {
         .orderBy(col("p_partkey"))
     }),
 
+    // Formatting bank — the presentation layer export/report sinks need
+    // (zero-padded ids, calendar buckets as strings, printf
+    // composition): date patterns kept NUMERIC (weekday/month NAMES
+    // are locale-dependent and diverge by engine), C-style
+    // format_string/printf with the %d operand cast to the same width
+    // on both engines. Pure codegen'd per-row expressions, zero shuffle.
+    "fn_format" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month_str"),
+          date_format(col("o_orderdate"), "yyyy/MM/dd").as("date_str"),
+          format_string("%05d-%s", col("o_orderkey") % 100000,
+            col("o_orderstatus")).as("tag"),
+          lpad(col("o_orderkey").cast("string"), 12, "0").as("key12"),
+          concat_ws("|", col("o_orderstatus"), col("o_orderpriority"))
+            .as("joined"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Cryptographic-hash bank — the content-addressing layer every
     // dedup/caching/lineage system sits on (doc content keys, chunk
     // ids, cache keys): md5 / sha2-256 over the document text,
@@ -326,6 +345,14 @@ object ScalarBank {
          split_part(p_type, ' ', 1) AS first_word,
          regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num
          FROM part ORDER BY p_partkey""",
+    "fn_format" ->
+      """SELECT o_orderkey,
+         strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month_str,
+         strftime(CAST(o_orderdate AS DATE), '%Y/%m/%d') AS date_str,
+         printf('%05d-%s', CAST(o_orderkey % 100000 AS INT), o_orderstatus) AS tag,
+         lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key12,
+         concat_ws('|', o_orderstatus, o_orderpriority) AS joined
+         FROM orders ORDER BY o_orderkey""",
     "fn_datetime" ->
       """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
          day(o_orderdate) AS d,

@@ -897,6 +897,22 @@ object AnalyticsOps {
         .orderBy(col("n_nodes").desc, col("comp")).limit(10)
     }),
 
+    // Component-SIZE distribution — the fragmentation readout next to
+    // graph_components' top-10 (a dedup/linkage pipeline reads "how
+    // many singletons vs one giant component", not which ids):
+    // same HashMin fixpoint over the shared co-purchase artifact,
+    // then two node-grain rollups (labels → sizes → histogram).
+    // Result is ≤|distinct sizes| rows — constant-sized at any scale.
+    "graph_component_sizes" -> ((s, dir) => {
+      val (uc, nodes) = coPurchaseGraph(s, dir)
+      Components.hashMinLabels(s,
+          uc.select(col("p1").as("d1"), col("p2").as("d2")),
+          Some(nodes.select(col("node").as("id"))))
+        .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_components"))
+        .orderBy(col("sz"))
+    }),
+
     // Autocorrelation function per event series: Pearson of each daily
     // series against itself at lags 1..7 — the weekly-seasonality /
     // momentum screen, ts_cross_corr's self-join sibling run across ALL
@@ -4828,6 +4844,23 @@ object AnalyticsOps {
          labels AS (SELECT node, min(root) AS comp FROM walk GROUP BY node)
          SELECT comp, count(1) AS n_nodes FROM labels GROUP BY comp
          ORDER BY n_nodes DESC, comp LIMIT 10""",
+    "graph_component_sizes" ->
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         und AS (
+           SELECT a.pk AS p1, b.pk AS p2
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY p1, p2 HAVING count(1) >= 2),
+         edges AS (SELECT p1 AS a, p2 AS b FROM und
+                   UNION ALL SELECT p2, p1 FROM und),
+         nodes AS (SELECT DISTINCT pk FROM li),
+         walk(node, root) AS (
+           SELECT pk, pk FROM nodes
+           UNION
+           SELECT e.b, w.root FROM walk w JOIN edges e ON e.a = w.node),
+         labels AS (SELECT node, min(root) AS comp FROM walk GROUP BY node),
+         sizes AS (SELECT comp, count(1) AS sz FROM labels GROUP BY comp)
+         SELECT sz, count(1) AS n_components FROM sizes GROUP BY sz
+         ORDER BY sz""",
     "ts_acf" ->
       """WITH daily AS (
            SELECT event_type AS et, CAST(ts AS DATE) AS day, count(1) AS c

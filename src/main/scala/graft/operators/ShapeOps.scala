@@ -507,6 +507,27 @@ object ShapeOps {
         .orderBy(col("day"))
     }),
 
+    // New-vs-returning daily split — the acquisition/retention decomposition
+    // of DAU (seq_stickiness says HOW MANY show up; this says WHO they
+    // are): first-touch day per user from the same persisted (user, day)
+    // frame, then one day rollup classifying each active user-day
+    // against it. The user-grain first-touch joins back on the key —
+    // co-partitioned, no second fact pass; all counts integer-exact.
+    "seq_new_vs_returning" -> ((s, dir) => {
+      val ud = persistShared("nvr_ud", events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .distinct())
+      val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+      ud.join(first, Seq("user_id"))
+        .groupBy(col("day"))
+        .agg(count(when(col("day") === col("first_day"), 1)).as("new_users"),
+          count(when(col("day") > col("first_day"), 1)).as("returning_users"))
+        .select(col("day"), col("new_users"), col("returning_users"),
+          round(col("returning_users").cast("double") /
+            (col("new_users") + col("returning_users")), 6).as("returning_share"))
+        .orderBy(col("day"))
+    }),
+
     // Cohort LTV curve — cumulative revenue per customer by cohort age
     // (cohort = first-order month), THE lifetime-value readout every
     // growth team tracks: one fact rollup to (customer, month, cents),
@@ -1151,6 +1172,19 @@ object ShapeOps {
          FROM dau JOIN mau
            ON CAST(date_trunc('month', dau.day) AS DATE) = mau.mon
          ORDER BY day""",
+    "seq_new_vs_returning" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         f AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1)
+         SELECT ud.day,
+                count(CASE WHEN ud.day = f.first_day THEN 1 END) AS new_users,
+                count(CASE WHEN ud.day > f.first_day THEN 1 END) AS returning_users,
+                round(CAST(count(CASE WHEN ud.day > f.first_day THEN 1 END) AS DOUBLE)
+                  / (count(CASE WHEN ud.day = f.first_day THEN 1 END)
+                     + count(CASE WHEN ud.day > f.first_day THEN 1 END)), 6)
+                  AS returning_share
+         FROM ud JOIN f ON ud.user_id = f.user_id
+         GROUP BY ud.day ORDER BY ud.day""",
     "seq_cohort_ltv" ->
       """WITH o AS (
            SELECT o_custkey,

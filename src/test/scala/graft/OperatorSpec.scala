@@ -4980,4 +4980,52 @@ class PropertySpec extends SparkSuite {
     assert(got.toSet === want)
     assert(got.sorted.sameElements(got), "output ordered by doc_id")
   }
+
+  test("graph_component_sizes: the histogram partitions the node set") {
+    val sizes = q("graph_component_sizes").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val comps = q("graph_components").collect().map(_.getLong(1))
+    // the top-10 list's sizes must all appear in the histogram bins
+    comps.foreach(c => assert(sizes.exists(_._1 === c), s"size $c binned"))
+    assert(sizes.map(_._1).sorted.sameElements(sizes.map(_._1)), "ordered")
+    // node conservation: Σ size·count equals the distinct part count
+    val nNodes = graft.Tables.t(spark, sf, "lineitem")
+      .select(col("l_partkey")).distinct().count()
+    assert(sizes.map(p => p._1 * p._2).sum === nNodes)
+  }
+
+  test("seq_new_vs_returning: the split replays brute first-touch") {
+    val ud = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("date")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate)).distinct
+    val first = ud.groupBy(_._1).view.mapValues(_.map(_._2).minBy(_.toEpochDay)).toMap
+    val byDay = ud.groupBy(_._2)
+    val got = q("seq_new_vs_returning").collect()
+    assert(got.length === byDay.size)
+    got.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      val nNew = byDay(d).count(u => first(u._1) == d).toLong
+      val nRet = byDay(d).count(u => first(u._1) != d).toLong
+      assert((r.getLong(1), r.getLong(2)) === ((nNew, nRet)), s"$d split")
+      assert(math.abs(r.getDouble(3) - nRet.toDouble / (nNew + nRet)) < 1e-6)
+    }
+  }
+
+  test("fn_format: patterns replay on a sample row") {
+    val got = q("fn_format").collect()
+    val want = graft.Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderdate").cast("date"),
+        col("o_orderstatus"), col("o_orderpriority")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.length === want.size)
+    got.take(50).foreach { r =>
+      val w = want(r.getLong(0))
+      val d = w.getDate(1).toLocalDate
+      assert(r.getString(1) === f"${d.getYear}%04d-${d.getMonthValue}%02d")
+      assert(r.getString(2) === f"${d.getYear}%04d/${d.getMonthValue}%02d/${d.getDayOfMonth}%02d")
+      assert(r.getString(3) === f"${w.getLong(0) % 100000}%05d-${w.getString(2)}")
+      assert(r.getString(4) === w.getLong(0).toString.reverse.padTo(12, '0').reverse.mkString)
+      assert(r.getString(5) === s"${w.getString(2)}|${w.getString(3)}")
+    }
+  }
 }
