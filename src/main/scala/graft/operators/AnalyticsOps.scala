@@ -3387,6 +3387,65 @@ object AnalyticsOps {
         round(exp(log(or) + lit(1.96) * se), 6).as("ci_hi"))
     }),
 
+    // Fisher's EXACT test on the same 2×2 — the small-cell companion
+    // stat_chi2/odds_ratio can't cover (the χ² approximation breaks
+    // under ~5-count cells; exact inference never does). ZERO libm:
+    // the hypergeometric PMF is built by two sequential ratio folds of
+    // exact integers (t0 = Π(n−r−i)/(n−i), then the t·((r−k+1)(s−k+1))
+    // /(k(n−r−s+k)) recurrence with tail/point sums carried in the
+    // fold state — each step one correctly-rounded IEEE divide+multiply,
+    // identical on both engines; a log-gamma formulation would drift
+    // ulps across libms and flip the 9-dp grid). The table is first
+    // FLIPPED so both transformed margins are ≤ n/2 — that pins the
+    // support to k ∈ [0, min(r,s)] (no data-dependent lower bound) —
+    // and the reported tail is P[K ≥ k_obs] in the flipped frame.
+    // Scale shape: one fact agg to 4 integers, then O(n) 1-row folds.
+    "stat_fisher_exact" -> ((s, dir) => {
+      val m = t(s, dir, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .agg(
+          count(when(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 0, 1)).as("a"),
+          count(when(col("c_mktsegment") === "BUILDING" && !(col("c_acctbal") > 0), 1)).as("b"),
+          count(when(col("c_mktsegment") === "MACHINERY" && col("c_acctbal") > 0, 1)).as("c"),
+          count(when(col("c_mktsegment") === "MACHINERY" && !(col("c_acctbal") > 0), 1)).as("d"))
+      m.withColumn("ra", expr("IF(a + b <= c + d, a, c)"))
+        .withColumn("rb", expr("IF(a + b <= c + d, b, d)"))
+        .withColumn("rc", expr("IF(a + b <= c + d, c, a)"))
+        .withColumn("rd", expr("IF(a + b <= c + d, d, b)"))
+        .withColumn("fa", expr("IF(ra + rc <= rb + rd, ra, rb)"))
+        .withColumn("fb", expr("IF(ra + rc <= rb + rd, rb, ra)"))
+        .withColumn("fc", expr("IF(ra + rc <= rb + rd, rc, rd)"))
+        .withColumn("fd", expr("IF(ra + rc <= rb + rd, rd, rc)"))
+        .withColumn("rr", col("fa") + col("fb"))
+        .withColumn("ss", col("fa") + col("fc"))
+        .withColumn("nn", col("fa") + col("fb") + col("fc") + col("fd"))
+        .withColumn("kobs", col("fa"))
+        .withColumn("kmax", least(col("rr"), col("ss")))
+        .withColumn("t0", expr(
+          """IF(ss = 0, CAST(1.0 AS DOUBLE),
+               aggregate(sequence(1, CAST(ss AS INT)), CAST(1.0 AS DOUBLE),
+                 (acc, i) -> acc * (CAST(nn - rr - i + 1 AS DOUBLE)
+                                    / (nn - i + 1))))"""))
+        .withColumn("st", expr(
+          """IF(kmax = 0,
+               array(t0, IF(kobs <= 0, t0, 0D), IF(kobs = 0, t0, 0D)),
+               aggregate(sequence(1, CAST(kmax AS INT)),
+                 array(t0, IF(kobs <= 0, t0, 0D), IF(kobs = 0, t0, 0D)),
+                 (st, k) -> array(
+                   st[0] * (CAST((rr - k + 1) * (ss - k + 1) AS DOUBLE)
+                            / (CAST(k AS DOUBLE) * (nn - rr - ss + k))),
+                   st[1] + IF(k >= kobs,
+                     st[0] * (CAST((rr - k + 1) * (ss - k + 1) AS DOUBLE)
+                              / (CAST(k AS DOUBLE) * (nn - rr - ss + k))), 0D),
+                   st[2] + IF(k = kobs,
+                     st[0] * (CAST((rr - k + 1) * (ss - k + 1) AS DOUBLE)
+                              / (CAST(k AS DOUBLE) * (nn - rr - ss + k))), 0D))))"""))
+        .select(col("a"), col("b"), col("c"), col("d"),
+          col("kobs").as("k_obs"),
+          round(element_at(col("st"), 3), 9).as("p_obs"),
+          round(element_at(col("st"), 2), 9).as("p_tail"))
+    }),
+
     // l-diversity audit over the nation quasi-identifier with segment as
     // the sensitive attribute — gdpr_k_anonymity's companion (k bounds
     // group SIZE; l bounds how much a group leaks: a 1-diverse group
@@ -6102,6 +6161,66 @@ object AnalyticsOps {
                 round(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
                       + 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)), 6) AS ci_hi
          FROM m""",
+    "stat_fisher_exact" ->
+      """WITH m AS (
+           SELECT
+             count(CASE WHEN c_mktsegment = 'BUILDING' AND c_acctbal > 0 THEN 1 END) AS a,
+             count(CASE WHEN c_mktsegment = 'BUILDING' AND NOT (c_acctbal > 0) THEN 1 END) AS b,
+             count(CASE WHEN c_mktsegment = 'MACHINERY' AND c_acctbal > 0 THEN 1 END) AS c,
+             count(CASE WHEN c_mktsegment = 'MACHINERY' AND NOT (c_acctbal > 0) THEN 1 END) AS d
+           FROM customer
+           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+         fr AS (
+           SELECT a, b, c, d,
+                  CASE WHEN a + b <= c + d THEN a ELSE c END AS ra,
+                  CASE WHEN a + b <= c + d THEN b ELSE d END AS rb,
+                  CASE WHEN a + b <= c + d THEN c ELSE a END AS rc,
+                  CASE WHEN a + b <= c + d THEN d ELSE b END AS rd
+           FROM m),
+         fc AS (
+           SELECT a, b, c, d,
+                  CASE WHEN ra + rc <= rb + rd THEN ra ELSE rb END AS fa,
+                  CASE WHEN ra + rc <= rb + rd THEN rb ELSE ra END AS fb,
+                  CASE WHEN ra + rc <= rb + rd THEN rc ELSE rd END AS fcc,
+                  CASE WHEN ra + rc <= rb + rd THEN rd ELSE rc END AS fd
+           FROM fr),
+         dims AS (
+           SELECT a, b, c, d, fa + fb AS rr, fa + fcc AS ss,
+                  fa + fb + fcc + fd AS nn, fa AS kobs,
+                  least(fa + fb, fa + fcc) AS kmax
+           FROM fc),
+         tz AS (
+           SELECT *,
+                  CASE WHEN ss = 0 THEN CAST(1.0 AS DOUBLE)
+                       ELSE list_reduce(
+                         list_prepend(CAST(1.0 AS DOUBLE),
+                           list_transform(range(1, CAST(ss AS INT) + 1), i ->
+                             CAST(nn - rr - i + 1 AS DOUBLE) / (nn - i + 1))),
+                         (acc, e) -> acc * e) END AS t0
+           FROM dims),
+         fold AS (
+           SELECT *,
+                  CASE WHEN kmax = 0 THEN
+                    [t0, CASE WHEN kobs <= 0 THEN t0 ELSE CAST(0 AS DOUBLE) END,
+                     CASE WHEN kobs = 0 THEN t0 ELSE CAST(0 AS DOUBLE) END]
+                  ELSE list_reduce(
+                    list_prepend(
+                      [t0, CASE WHEN kobs <= 0 THEN t0 ELSE CAST(0 AS DOUBLE) END,
+                       CASE WHEN kobs = 0 THEN t0 ELSE CAST(0 AS DOUBLE) END],
+                      list_transform(range(1, CAST(kmax AS INT) + 1), k ->
+                        [CAST((rr - k + 1) * (ss - k + 1) AS DOUBLE)
+                           / (CAST(k AS DOUBLE) * (nn - rr - ss + k)),
+                         CASE WHEN k >= kobs THEN CAST(1.0 AS DOUBLE)
+                              ELSE CAST(0 AS DOUBLE) END,
+                         CASE WHEN k = kobs THEN CAST(1.0 AS DOUBLE)
+                              ELSE CAST(0 AS DOUBLE) END])),
+                    (acc, e) -> [acc[1] * e[1],
+                                 acc[2] + e[2] * (acc[1] * e[1]),
+                                 acc[3] + e[3] * (acc[1] * e[1])]) END AS st
+           FROM tz)
+         SELECT a, b, c, d, CAST(kobs AS BIGINT) AS k_obs,
+                round(st[3], 9) AS p_obs, round(st[2], 9) AS p_tail
+         FROM fold""",
     "gdpr_l_diversity" ->
       """WITH g AS (
            SELECT c_nationkey, count(1) AS n,

@@ -399,6 +399,41 @@ object ShapeOps {
         .orderBy(col("event_type"))
     }),
 
+    // Dynamic Time Warping distance between every pair of event-series
+    // — THE shape-similarity measure when two series drift out of phase
+    // (Euclidean punishes a one-day lag; DTW aligns it): full 30×30
+    // integer DP as a nested sequential fold (row state carried as a
+    // bigint array, |x−y| costs and min-of-three all EXACT integers —
+    // no float ever enters the table, so the oracle is bit-for-bit).
+    // The pair frame is |types|²-bounded (whitelisted); the only
+    // fact-scale work is ONE day-grain rollup. The boundary sentinel
+    // (10¹²) exceeds any reachable path cost yet cannot overflow.
+    "ts_dtw_distance" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type").as("et"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val h = daily.groupBy(col("et"))
+        .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("h"))
+        .select(col("et"), expr("transform(h, r -> r.c)").as("vs"))
+      h.as("a").join(h.as("b"), col("a.et") < col("b.et"))
+        .select(col("a.et").as("et_a"), col("b.et").as("et_b"),
+          expr("size(a.vs)").cast("long").as("n_a"),
+          expr("size(b.vs)").cast("long").as("n_b"),
+          expr("""aggregate(a.vs,
+              concat(array(CAST(0 AS BIGINT)),
+                     transform(b.vs, y -> CAST(1000000000000 AS BIGINT))),
+              (prev, x) -> aggregate(b.vs,
+                array(CAST(1000000000000 AS BIGINT)),
+                (acc, y) -> array_append(acc,
+                  abs(x - y) + least(element_at(prev, size(acc)),
+                                     element_at(prev, size(acc) + 1),
+                                     element_at(acc, size(acc))))),
+              pr -> element_at(pr, size(b.vs) + 1))""").as("dtw"))
+        .withColumn("dtw_norm",
+          round(col("dtw").cast("double") / (col("n_a") + col("n_b")), 6))
+        .orderBy(col("et_a"), col("et_b"))
+    }),
+
     // Time-to-convert distribution (first view → first subsequent
     // purchase) — the latency companion to seq_funnel's stage counts:
     // how LONG the funnel takes, as exact rank order statistics
@@ -1094,6 +1129,34 @@ object ShapeOps {
                 round(st[2], 6) AS ewm_var,
                 round(sqrt(st[2]), 6) AS ewm_vol
          FROM f ORDER BY event_type""",
+    "ts_dtw_distance" ->
+      """WITH daily AS (
+           SELECT event_type AS et, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         h AS (
+           SELECT et, list(c ORDER BY day) AS vs FROM daily GROUP BY 1),
+         p AS (
+           SELECT a.et AS et_a, b.et AS et_b,
+                  CAST(len(a.vs) AS BIGINT) AS n_a,
+                  CAST(len(b.vs) AS BIGINT) AS n_b,
+                  list_reduce(
+                    list_prepend(
+                      list_prepend(CAST(0 AS BIGINT),
+                        list_transform(b.vs, y -> CAST(1000000000000 AS BIGINT))),
+                      list_transform(a.vs, x -> [CAST(x AS BIGINT)])),
+                    (prev, e) -> list_reduce(
+                      list_prepend([CAST(1000000000000 AS BIGINT)],
+                        list_transform(b.vs, y -> [CAST(y AS BIGINT)])),
+                      (acc, e2) -> list_append(acc,
+                        abs(e[1] - e2[1])
+                          + least(prev[len(acc)], prev[len(acc) + 1],
+                                  acc[len(acc)])))) AS row
+           FROM h a JOIN h b ON a.et < b.et)
+         SELECT et_a, et_b, n_a, n_b,
+                CAST(row[CAST(n_b AS INT) + 1] AS BIGINT) AS dtw,
+                round(CAST(row[CAST(n_b AS INT) + 1] AS DOUBLE) / (n_a + n_b), 6)
+                  AS dtw_norm
+         FROM p ORDER BY et_a, et_b""",
     "ts_kalman_1d" ->
       """WITH daily AS (
            SELECT event_type AS et, CAST(ts AS DATE) AS day, count(1) AS c

@@ -5028,4 +5028,62 @@ class PropertySpec extends SparkSuite {
       assert(r.getString(5) === s"${w.getString(2)}|${w.getString(3)}")
     }
   }
+
+  test("stat_fisher_exact: p-values replay the exact rational hypergeometric") {
+    val cells = graft.Tables.t(spark, sf, "customer")
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_mktsegment"), col("c_acctbal")).collect()
+      .map(r => (r.getString(0) == "BUILDING", !r.isNullAt(1) && r.getDouble(1) > 0))
+    val a = cells.count(x => x._1 && x._2).toLong
+    val b = cells.count(x => x._1 && !x._2).toLong
+    val c = cells.count(x => !x._1 && x._2).toLong
+    val d = cells.count(x => !x._1 && !x._2).toLong
+    val (ra, rb, rc, rd) = if (a + b <= c + d) (a, b, c, d) else (c, d, a, b)
+    val (fa, fb, fc, fd) =
+      if (ra + rc <= rb + rd) (ra, rb, rc, rd) else (rb, ra, rd, rc)
+    val (rr, ss, nn, kobs) = (fa + fb, fa + fc, fa + fb + fc + fd, fa)
+    val fact = new Array[BigInt](nn.toInt + 1)
+    fact(0) = BigInt(1)
+    (1 to nn.toInt).foreach(i => fact(i) = fact(i - 1) * i)
+    def binom(x: Long, y: Long): BigInt =
+      fact(x.toInt) / (fact(y.toInt) * fact((x - y).toInt))
+    val den = BigDecimal(binom(nn, ss))
+    def pmf(k: Long): Double =
+      (BigDecimal(binom(rr, k) * binom(nn - rr, ss - k)) / den).toDouble
+    val r = q("stat_fisher_exact").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((a, b, c, d)))
+    assert(r.getLong(4) === kobs)
+    assert(math.abs(r.getDouble(5) - pmf(kobs)) < 1e-8, "p_obs")
+    val tail = (kobs to math.min(rr, ss)).map(pmf).sum
+    assert(math.abs(r.getDouble(6) - tail) < 1e-8, "p_tail")
+  }
+
+  test("ts_dtw_distance: the DP replays a brute quadratic table") {
+    val series = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("ts").cast("date")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .groupBy(_._1._1).view
+      .mapValues(_.toSeq.map { case ((_, d), c) => (d, c) }.sortBy(_._1.toEpochDay)
+        .map(_._2)).toMap
+    def dtw(x: Seq[Long], y: Seq[Long]): Long = {
+      val big = Long.MaxValue / 4
+      val dp = Array.fill(x.length + 1, y.length + 1)(big)
+      dp(0)(0) = 0L
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        dp(i)(j) = math.abs(x(i - 1) - y(j - 1)) +
+          math.min(dp(i - 1)(j - 1), math.min(dp(i - 1)(j), dp(i)(j - 1)))
+      dp(x.length)(y.length)
+    }
+    val got = q("ts_dtw_distance").collect()
+    val ets = series.keys.toSeq.sorted
+    assert(got.length === ets.combinations(2).size)
+    got.foreach { r =>
+      val w = dtw(series(r.getString(0)), series(r.getString(1)))
+      assert(r.getLong(4) === w, s"${r.getString(0)}/${r.getString(1)} dtw")
+      assert(math.abs(r.getDouble(5) -
+        w.toDouble / (r.getLong(2) + r.getLong(3))) < 1e-6)
+    }
+  }
 }
