@@ -3501,6 +3501,36 @@ object AnalyticsOps {
           when(col("n_groups_above_02") === 0, 1).otherwise(0))
     }),
 
+    // Group-statistic imputation — the missing-value strategy feature
+    // pipelines actually ship (null_clean drops or fills constants;
+    // real pipelines fill with the GROUP's center): 10% of balances
+    // nulled by the deterministic Knuth hash (no RNG state), then mean
+    // and lower-median imputation per segment. ONE rank window over the
+    // non-null frame feeds BOTH statistics (decimal-exact mean, exact
+    // rank-pick median — no percentile interpolation); the 5-row stats
+    // frame broadcasts back onto the scan, so the fact never shuffles.
+    "feature_impute" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          when((col("c_custkey") % lit(2147483648L)) * lit(2654435761L)
+            % lit(2147483648L) % 10 === 0, lit(null).cast("double"))
+            .otherwise(col("c_acctbal")).as("v"))
+      val ranked = base.filter(col("v").isNotNull)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("seg")).orderBy(col("v"), col("c_custkey"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("seg"))))
+      val stats = ranked.groupBy(col("seg"))
+        .agg(round(sum(dec(col("v"))).cast("double") / count(lit(1)), 6)
+            .as("mean_v"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("v"))).as("median_v"))
+      base.join(broadcast(stats), Seq("seg"))
+        .select(col("c_custkey"), col("seg"),
+          when(col("v").isNull, 1).otherwise(0).as("was_null"),
+          coalesce(col("v"), col("mean_v")).as("v_mean_imputed"),
+          coalesce(col("v"), col("median_v")).as("v_median_imputed"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Kruskal–Wallis H across ALL segments — the k-sample member that
     // completes the nonparametric grid (mannwhitney: unpaired 2,
     // wilcoxon: paired 2, this: unpaired k; friedman: paired k): does
@@ -6221,6 +6251,30 @@ object AnalyticsOps {
          SELECT a, b, c, d, CAST(kobs AS BIGINT) AS k_obs,
                 round(st[3], 9) AS p_obs, round(st[2], 9) AS p_tail
          FROM fold""",
+    "feature_impute" ->
+      """WITH base AS (
+           SELECT c_custkey, c_mktsegment AS seg,
+                  CASE WHEN ((c_custkey % 2147483648) * 2654435761)
+                            % 2147483648 % 10 = 0 THEN NULL
+                       ELSE c_acctbal END AS v
+           FROM customer),
+         r AS (
+           SELECT seg, v,
+                  row_number() OVER (PARTITION BY seg ORDER BY v, c_custkey) AS rn,
+                  count(1) OVER (PARTITION BY seg) AS n
+           FROM base WHERE v IS NOT NULL),
+         st AS (
+           SELECT seg,
+                  round(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+                    / count(1), 6) AS mean_v,
+                  max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS median_v
+           FROM r GROUP BY seg)
+         SELECT c_custkey, base.seg,
+                CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INT) AS was_null,
+                coalesce(v, mean_v) AS v_mean_imputed,
+                coalesce(v, median_v) AS v_median_imputed
+         FROM base JOIN st ON base.seg = st.seg
+         ORDER BY c_custkey""",
     "gdpr_l_diversity" ->
       """WITH g AS (
            SELECT c_nationkey, count(1) AS n,

@@ -31,6 +31,13 @@ object TextOps {
   private val stopSqlArray = stop.map(w => s"'$w'").mkString("[", ",", "]")
   private val stopSqlIn = stop.map(w => s"'$w'").mkString(", ")
 
+  // corpus_epoch_plan's tier weights — one definition interpolated into
+  // BOTH engines (mirrors corpus_mix's inline weights by value)
+  private val epochTiers = Seq((0, 2500L), (1, 1000L), (2, 500L), (3, 100L))
+  private val epochMillsSum = epochTiers.map(_._2).sum
+  private val epochTiersSql =
+    epochTiers.map { case (t, m) => s"($t, $m)" }.mkString(", ")
+
   /** The non-ASCII witness rows for `text_nfc` (negative ids keep them
     * clear of real doc_ids). The same escapes appear in the oracle SQL --
     * Scala resolves \u escapes at compile time, so both engines see
@@ -749,6 +756,38 @@ object TextOps {
         .select(col("doc_id"), col("source"),
           explode(sequence(lit(0L), col("n_copies") - 1)).as("epoch"))
         .orderBy(col("doc_id"), col("epoch"))
+    }),
+
+    // Per-source epoch PLAN — the capacity report a training-mix owner
+    // reads before corpus_mix executes it (mix expands doc rows; this
+    // says whether each source CAN meet its target share under the
+    // 4-epoch repetition cap, and at what utilization): tier rollup to
+    // (docs, available tokens), integer-exact target = budget·w/Σw,
+    // ceil-by-integer epochs, min(epochs·avail, target) planned. The
+    // tier/weight table is ONE Scala seq interpolated into both
+    // engines (text_rake's shared-constant lesson); all arithmetic
+    // integer until the two final gridded ratios.
+    "corpus_epoch_plan" -> ((s, dir) => {
+      import s.implicits._
+      val wdf = epochTiers.toDF("tier", "mills")
+      t(s, dir, "documents")
+        .withColumn("tier", expr("cast(substring(source, 4) as int) div 5"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_docs"), sum(expr("n_chars div 4")).as("avail"))
+        .join(broadcast(wdf), "tier")
+        .withColumn("target", expr(s"1000000 * mills div $epochMillsSum"))
+        .withColumn("epochs",
+          least(expr("(target + avail - 1) div avail"), lit(4L)))
+        .select(col("tier").cast("int").as("tier"), col("n_docs"),
+          col("avail").as("avail_tokens"),
+          col("target").as("target_tokens"), col("epochs"),
+          least(col("epochs") * col("avail"), col("target"))
+            .as("planned_tokens"),
+          round(least(col("epochs") * col("avail"), col("target"))
+            .cast("double") / col("target"), 6).as("utilization"),
+          round(col("mills").cast("double") / lit(epochMillsSum), 6)
+            .as("weight_share"))
+        .orderBy(col("tier"))
     }),
 
     // incremental snapshot dedup — the policy at every batch boundary of
@@ -1727,6 +1766,27 @@ object TextOps {
            JOIN w USING (tier))
          SELECT doc_id, source, CAST(unnest(range(n)) AS BIGINT) AS epoch
          FROM d WHERE n > 0 ORDER BY doc_id, epoch""",
+    "corpus_epoch_plan" ->
+      s"""WITH w(tier, mills) AS (VALUES $epochTiersSql),
+         d AS (
+           SELECT CAST(substr(source, 4) AS INT) // 5 AS tier,
+                  count(1) AS n_docs,
+                  CAST(sum(n_chars // 4) AS BIGINT) AS avail
+           FROM documents GROUP BY 1),
+         p AS (
+           SELECT d.tier, n_docs, avail, mills,
+                  CAST(CAST(1000000 AS BIGINT) * mills // $epochMillsSum
+                    AS BIGINT) AS target
+           FROM d JOIN w ON d.tier = w.tier),
+         e AS (
+           SELECT *, least((target + avail - 1) // avail, 4) AS epochs FROM p)
+         SELECT CAST(tier AS INT) AS tier, n_docs, avail AS avail_tokens,
+                target AS target_tokens, CAST(epochs AS BIGINT) AS epochs,
+                CAST(least(epochs * avail, target) AS BIGINT) AS planned_tokens,
+                round(CAST(least(epochs * avail, target) AS DOUBLE) / target, 6)
+                  AS utilization,
+                round(CAST(mills AS DOUBLE) / $epochMillsSum, 6) AS weight_share
+         FROM e ORDER BY tier""",
     // connected components via recursive reachability: every root a node
     // can reach is enumerated (UNION dedups → terminates), min = component
     "dedup_cluster" ->

@@ -5086,4 +5086,55 @@ class PropertySpec extends SparkSuite {
         w.toDouble / (r.getLong(2) + r.getLong(3))) < 1e-6)
     }
   }
+
+  test("feature_impute: fills replay the per-segment brute statistics") {
+    val base = graft.Tables.t(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")).collect()
+      .map { r =>
+        val ck = r.getLong(0)
+        val miss = (ck % 2147483648L) * 2654435761L % 2147483648L % 10 == 0
+        (ck, r.getString(1), if (miss) None else Some(r.getDouble(2)))
+      }
+    val stats = base.filter(_._3.isDefined).groupBy(_._2).map { case (seg, g) =>
+      val vs = g.map(x => (x._3.get, x._1)).sortBy(identity).map(_._1)
+      val mean = BigDecimal(g.map(x => BigDecimal(x._3.get).setScale(6)).sum
+          .toDouble / g.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      seg -> ((mean, vs((vs.length + 1) / 2 - 1)))
+    }
+    val got = q("feature_impute").collect()
+    assert(got.length === base.length)
+    got.foreach { r =>
+      val (mean, med) = stats(r.getString(1))
+      val orig = base.find(_._1 == r.getLong(0)).get._3
+      assert(r.getInt(2) === (if (orig.isEmpty) 1 else 0))
+      assert(r.getDouble(3) === orig.getOrElse(mean), s"${r.getLong(0)} mean imp")
+      assert(r.getDouble(4) === orig.getOrElse(med), s"${r.getLong(0)} median imp")
+    }
+  }
+
+  test("corpus_epoch_plan: targets and caps replay integer arithmetic") {
+    val tiers = graft.Tables.t(spark, sf, "documents")
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0).drop(3).toInt / 5, r.getAs[Number](1).longValue() / 4))
+      .groupBy(_._1)
+    val mills = Map(0 -> 2500L, 1 -> 1000L, 2 -> 500L, 3 -> 100L)
+    val got = q("corpus_epoch_plan").collect()
+    assert(got.length === tiers.size)
+    got.foreach { r =>
+      val tier = r.getInt(0)
+      val g = tiers(tier)
+      val avail = g.map(_._2).sum
+      val target = 1000000L * mills(tier) / 4100L
+      val epochs = math.min((target + avail - 1) / avail, 4L)
+      val planned = math.min(epochs * avail, target)
+      assert(r.getLong(1) === g.length.toLong, "n_docs")
+      assert(r.getLong(2) === avail, "avail")
+      assert(r.getLong(3) === target, "target")
+      assert(r.getLong(4) === epochs, "epochs")
+      assert(r.getLong(5) === planned, "planned")
+      assert(math.abs(r.getDouble(6) - planned.toDouble / target) < 1e-6)
+      assert(math.abs(r.getDouble(7) - mills(tier).toDouble / 4100) < 1e-6)
+    }
+  }
 }
