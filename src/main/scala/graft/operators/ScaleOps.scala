@@ -51,6 +51,42 @@ object ScaleOps {
   }
 
   val queries: Map[String, QFn] = Map(
+    // Range-partitioner boundary pre-flight — exactly what Spark's
+    // RangePartitioner does before a global sort (sample, cut, assign),
+    // surfaced as an auditable report: a 1% deterministic hash sample,
+    // 31 exact rank-pick cut points from the sample, then every FULL
+    // row binned by a broadcast 31-element boundary array (a per-row
+    // codegen'd array count — no join, no shuffle until the 32-row
+    // rollup). load_factor tells you whether the sample was good
+    // enough BEFORE you commit a 100 TB sort to those boundaries. The
+    // global rank window runs on the SAMPLE only (that is the entire
+    // point of sampling).
+    "sort_range_boundaries" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").as("v"))
+      val smp = li.filter(expr(
+        "((l_orderkey * 8 + l_linenumber) % 2147483648) * 2654435761 % 2147483648 % 100 < 1"))
+      val ranked = smp
+        .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+          .Window.orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))))
+        .withColumn("ns", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      val bnds = ranked.filter(expr(
+          "array_contains(transform(sequence(1, 31), i -> (i * ns + 31) div 32), rn)"))
+        .agg(sort_array(collect_list(col("v"))).as("bnds"))
+      val counts = li.crossJoin(broadcast(bnds))
+        .select(expr("size(filter(bnds, x -> x < v))").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
+      counts
+        .withColumn("total", sum(col("n_rows")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .select(col("bucket"), col("n_rows"),
+          round(col("n_rows").cast("double") * 32 / col("total"), 6)
+            .as("load_factor"))
+        .orderBy(col("bucket"))
+    }),
+
     "join_bucketed" -> ((s, dir) => {
       val (oTbl, cTbl) = prepareBucketed(s, dir)
       val o = s.table(oTbl); val c = s.table(cTbl)
@@ -164,6 +200,30 @@ object ScaleOps {
     }))
 
   val oracles: Map[String, String] = Map(
+    "sort_range_boundaries" ->
+      """WITH li AS (
+           SELECT l_orderkey, l_linenumber, l_extendedprice AS v FROM lineitem),
+         smp AS (
+           SELECT * FROM li
+           WHERE ((l_orderkey * 8 + l_linenumber) % 2147483648) * 2654435761
+                 % 2147483648 % 100 < 1),
+         r AS (
+           SELECT v,
+                  row_number() OVER (ORDER BY v, l_orderkey, l_linenumber) AS rn,
+                  count(1) OVER () AS ns
+           FROM smp),
+         b AS (
+           SELECT list(v ORDER BY v) AS bnds FROM r
+           WHERE list_contains(list_transform(range(1, 32),
+                   i -> (i * ns + 31) // 32), rn)),
+         assigned AS (
+           SELECT len(list_filter(bnds, x -> x < v)) AS bucket
+           FROM li CROSS JOIN b),
+         c AS (SELECT bucket, count(1) AS n_rows FROM assigned GROUP BY 1)
+         SELECT CAST(bucket AS INT) AS bucket, n_rows,
+                round(CAST(n_rows AS DOUBLE) * 32 / sum(n_rows) OVER (), 6)
+                  AS load_factor
+         FROM c ORDER BY bucket""",
     "join_bucketed" ->
       """SELECT c_mktsegment, count(1) AS n_orders,
          round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue

@@ -434,6 +434,40 @@ object ShapeOps {
         .orderBy(col("et_a"), col("et_b"))
     }),
 
+    // Matrix profile (m=7, un-normalized integer distance) per event
+    // series — the all-subsequence nearest-neighbor that finds MOTIFS
+    // (low profile: a repeated weekly shape) and DISCORDS (high
+    // profile: the anomalous week) in one artifact. Subsequence pairs
+    // are bounded per series (≤24² with the |i−j| ≥ 4 trivial-match
+    // exclusion zone); each distance is an exact integer zip-fold, the
+    // nearest neighbor a (dist, j) rank pick — bit-exact oracle, no
+    // z-normalization floats. The windows frame is persisted: the
+    // self-join must not replay the fact rollup.
+    "ts_matrix_profile" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type").as("et"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val wins = persistShared("mp_windows", daily.groupBy(col("et"))
+        .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("h"))
+        .select(col("et"), expr("transform(h, r -> r.c)").as("vs"))
+        .select(col("et"),
+          explode(expr("sequence(1, size(vs) - 6)")).as("i"),
+          col("vs"))
+        .select(col("et"), col("i"), expr("slice(vs, i, 7)").as("sub")))
+      val d = wins.as("a").join(wins.as("b"),
+          col("a.et") === col("b.et") &&
+            abs(col("a.i") - col("b.i")) >= 4)
+        .select(col("a.et").as("et"), col("a.i").as("i"), col("b.i").as("j"),
+          expr("""aggregate(zip_with(a.sub, b.sub, (x, y) -> (x - y) * (x - y)),
+                 CAST(0 AS BIGINT), (acc, v) -> acc + v)""").as("d2"))
+      d.withColumn("rk", row_number().over(Window.partitionBy(col("et"), col("i"))
+          .orderBy(col("d2"), col("j"))))
+        .filter(col("rk") === 1)
+        .select(col("et").as("event_type"), col("i"), col("d2").as("nn_dist2"),
+          col("j").as("nn_idx"))
+        .orderBy(col("event_type"), col("i"))
+    }),
+
     // Time-to-convert distribution (first view → first subsequent
     // purchase) — the latency companion to seq_funnel's stage counts:
     // how LONG the funnel takes, as exact rank order statistics
@@ -1157,6 +1191,29 @@ object ShapeOps {
                 round(CAST(row[CAST(n_b AS INT) + 1] AS DOUBLE) / (n_a + n_b), 6)
                   AS dtw_norm
          FROM p ORDER BY et_a, et_b""",
+    "ts_matrix_profile" ->
+      """WITH daily AS (
+           SELECT event_type AS et, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         h AS (SELECT et, list(c ORDER BY day) AS vs FROM daily GROUP BY 1),
+         wins AS (
+           SELECT et, CAST(i AS INT) AS i, vs[CAST(i AS INT):CAST(i AS INT) + 6] AS sub
+           FROM h, unnest(range(1, len(vs) - 5)) AS t(i)),
+         d AS (
+           SELECT a.et, a.i, b.i AS j,
+                  CAST(list_aggregate(
+                    list_transform(range(1, 8),
+                      k -> (a.sub[CAST(k AS INT)] - b.sub[CAST(k AS INT)])
+                           * (a.sub[CAST(k AS INT)] - b.sub[CAST(k AS INT)])),
+                    'sum') AS BIGINT) AS d2
+           FROM wins a JOIN wins b
+             ON a.et = b.et AND abs(a.i - b.i) >= 4),
+         r AS (
+           SELECT et, i, j, d2,
+                  row_number() OVER (PARTITION BY et, i ORDER BY d2, j) AS rk
+           FROM d)
+         SELECT et AS event_type, i, d2 AS nn_dist2, CAST(j AS INT) AS nn_idx
+         FROM r WHERE rk = 1 ORDER BY event_type, i""",
     "ts_kalman_1d" ->
       """WITH daily AS (
            SELECT event_type AS et, CAST(ts AS DATE) AS day, count(1) AS c

@@ -5137,4 +5137,44 @@ class PropertySpec extends SparkSuite {
       assert(math.abs(r.getDouble(7) - mills(tier).toDouble / 4100) < 1e-6)
     }
   }
+
+  test("sort_range_boundaries: buckets partition the table and stay balanced") {
+    val got = q("sort_range_boundaries").collect()
+    val total = got.map(_.getLong(1)).sum
+    val nLi = graft.Tables.t(spark, sf, "lineitem").count()
+    assert(total === nLi, "every row lands in exactly one bucket")
+    assert(got.map(r => r.getAs[Number](0).intValue()).distinct.length === got.length)
+    // sanity bound only: at sf0.001 the 1% sample is ~60 points, so
+    // boundary noise is real — the report EXISTS to surface that. A
+    // bucket beyond 8x ideal would mean the binning itself is broken.
+    got.foreach(r => assert(r.getDouble(2) < 8.0,
+      s"bucket ${r.getAs[Number](0)} load ${r.getDouble(2)}"))
+  }
+
+  test("ts_matrix_profile: nearest neighbors replay the brute scan") {
+    val series = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("ts").cast("date")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .groupBy(_._1._1).view
+      .mapValues(_.toSeq.map { case ((_, d), c) => (d, c) }
+        .sortBy(_._1.toEpochDay).map(_._2)).toMap
+    val got = q("ts_matrix_profile").collect()
+    val wantRows = series.values.map(v => math.max(v.length - 6, 0)).sum
+    assert(got.length === wantRows)
+    got.foreach { r =>
+      val vs = series(r.getString(0))
+      val i = r.getInt(1)
+      val cands = (1 to vs.length - 6).filter(j => math.abs(i - j) >= 4)
+        .map { j =>
+          val d2 = (0 until 7).map { k =>
+            val d = vs(i - 1 + k) - vs(j - 1 + k); d * d
+          }.sum
+          (d2, j)
+        }
+      val best = cands.min
+      assert((r.getLong(2), r.getInt(3)) === ((best._1, best._2)),
+        s"${r.getString(0)} i=$i")
+    }
+  }
 }

@@ -705,6 +705,7 @@ class PlanSpec extends SparkSuite {
       "gdpr_t_closeness" -> "zero-cell grid crossJoins are dim-bounded: 25 nations x 5 segments x 1-row total",
       "anom_lof" -> "exact-tier LOF pair join is bounded to the 256-vector base (65k pairs); scale path is the LSH-bucketed kNN",
       "ts_dtw_distance" -> "series-pair range join over the |types|-row (=5) per-type array frame — 10 pairs",
+      "sort_range_boundaries" -> "crossJoin against the broadcast 1-row 31-element boundary array",
       "profile_skew_report" -> "per-key summary and bucket-max compose via broadcast 1-row crossJoins (three keys)")
     val sf = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
