@@ -454,6 +454,30 @@ object AnalyticsOps {
     (all.filter(col("n_orders") >= 2), nodes)
   }
 
+  /** Memoized HashMin component labels per (JVM, dir) — TWO registered
+    * queries (graph_components, graph_component_sizes) fold the same
+    * fixpoint output; the iterative rounds must run once, not per query
+    * (the r10 per-query-artifact-rebuild lesson: the size histogram
+    * re-ran the whole fixpoint, 7.7 s → reading this cache). */
+  private val labelsCache = new graft.ArtifactCache[
+    (org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
+     org.apache.spark.sql.types.StructType)](e =>
+    e._1.unpersist(blocking = false))
+
+  private[graft] def componentLabels(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val (r, sch) = labelsCache.getOrElseUpdate(dir, {
+      val (uc, nodes) = coPurchaseGraph(s, dir)
+      val df = Components.hashMinLabels(s,
+        uc.select(col("p1").as("d1"), col("p2").as("d2")),
+        Some(nodes.select(col("node").as("id"))))
+      val e = (df.rdd.cache(), df.schema)
+      e._1.count()
+      e
+    })
+    s.createDataFrame(r, sch)
+  }
+
   /** Memoized customer–part purchase interaction artifact per dir:
     * (u, p, n) with n = orders⋈lineitem co-occurrence count. THREE
     * registered queries consume this same fact-sized join — graph_hits
@@ -889,10 +913,7 @@ object AnalyticsOps {
     // (size, comp) total order. Oracled by DuckDB recursive-CTE
     // reachability with min-root labels — same fixpoint, declarative.
     "graph_components" -> ((s, dir) => {
-      val (uc, nodes) = coPurchaseGraph(s, dir)
-      Components.hashMinLabels(s,
-          uc.select(col("p1").as("d1"), col("p2").as("d2")),
-          Some(nodes.select(col("node").as("id"))))
+      componentLabels(s, dir)
         .groupBy(col("comp")).agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("n_nodes").desc, col("comp")).limit(10)
     }),
@@ -904,10 +925,7 @@ object AnalyticsOps {
     // then two node-grain rollups (labels → sizes → histogram).
     // Result is ≤|distinct sizes| rows — constant-sized at any scale.
     "graph_component_sizes" -> ((s, dir) => {
-      val (uc, nodes) = coPurchaseGraph(s, dir)
-      Components.hashMinLabels(s,
-          uc.select(col("p1").as("d1"), col("p2").as("d2")),
-          Some(nodes.select(col("node").as("id"))))
+      componentLabels(s, dir)
         .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz")).agg(count(lit(1)).as("n_components"))
         .orderBy(col("sz"))
