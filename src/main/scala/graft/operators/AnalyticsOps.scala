@@ -3824,6 +3824,29 @@ object AnalyticsOps {
         .orderBy(col("seg_a"), col("seg_b"))
     }),
 
+    // Wilson score interval per segment — the rate CI that stays inside
+    // [0,1] and behaves at small n (the Wald interval proportions_ztest
+    // implies collapses to ±0 at p̂ ∈ {0,1}): center and half-width as
+    // one pinned double tree over exact integer (n, k), z² embedded as
+    // the EXACT literal 3.8416 on both engines (the stat_power 1-ulp
+    // lesson — never fold 1.96² at runtime). One fact agg, 5-row algebra.
+    "stat_wilson_ci" -> ((s, dir) => {
+      val m = t(s, dir, "customer").groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("c_acctbal") > 0, 1)).as("k"))
+      val nD = col("n").cast("double")
+      val ph = col("k").cast("double") / col("n")
+      val denom = lit(1.0) + lit(3.8416) / nD
+      val center = (ph + lit(3.8416) / (lit(2.0) * nD)) / denom
+      val half = lit(1.96) * sqrt(ph * (lit(1.0) - ph) / nD +
+        lit(3.8416) / (lit(4.0) * nD * nD)) / denom
+      m.select(col("seg"), col("n"), col("k"),
+          round(ph, 6).as("p_hat"),
+          round(center - half, 6).as("wilson_lo"),
+          round(center + half, 6).as("wilson_hi"))
+        .orderBy(col("seg"))
+    }),
+
     // Grubbs' test per nation — "is the most extreme supplier balance a
     // statistical outlier, and which row is it": G = max|x−x̄|/s. The
     // ARGMAX is decided without ever computing a float: |n·x − Σx| on
@@ -6815,6 +6838,26 @@ object AnalyticsOps {
                            * (1.0 - (ka + kb) / CAST(na + nb AS DOUBLE))
                            * (1.0 / na + 1.0 / nb)), 6) AS z
          FROM j ORDER BY seg_a, seg_b""",
+    "stat_wilson_ci" ->
+      """WITH m AS (
+           SELECT c_mktsegment AS seg, count(1) AS n,
+                  count(CASE WHEN c_acctbal > 0 THEN 1 END) AS k
+           FROM customer GROUP BY 1)
+         SELECT seg, n, k,
+                round(CAST(k AS DOUBLE) / n, 6) AS p_hat,
+                round((CAST(k AS DOUBLE) / n + 3.8416 / (2.0 * CAST(n AS DOUBLE)))
+                        / (1.0 + 3.8416 / CAST(n AS DOUBLE))
+                      - 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                            * (1.0 - CAST(k AS DOUBLE) / n) / CAST(n AS DOUBLE)
+                          + 3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                        / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 6) AS wilson_lo,
+                round((CAST(k AS DOUBLE) / n + 3.8416 / (2.0 * CAST(n AS DOUBLE)))
+                        / (1.0 + 3.8416 / CAST(n AS DOUBLE))
+                      + 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                            * (1.0 - CAST(k AS DOUBLE) / n) / CAST(n AS DOUBLE)
+                          + 3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                        / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 6) AS wilson_hi
+         FROM m ORDER BY seg""",
     "stat_grubbs" ->
       """WITH sup AS (
            SELECT s_nationkey AS nk, s_suppkey AS sk, s_acctbal AS bal,

@@ -554,6 +554,35 @@ object EtlOps {
         .orderBy(col("table_name"))
     }),
 
+    // Source↔target reconciliation — the post-load audit every
+    // warehouse runs (did the load drop rows? did amounts drift?):
+    // the "target" is the source under two deterministic hash faults
+    // (1/997 rows dropped, 1/991 amounts bumped one cent — the defect
+    // classes a real loader produces), and the report localizes both
+    // per status with integer-cent exactness. Counts and cent sums
+    // aggregate map-side per scan — at 100 TB this is two scans and a
+    // 5-row compare, never a row-level join.
+    "etl_reconcile" -> ((s, dir) => {
+      def cents = expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")
+      def h(m: Int) =
+        (col("o_orderkey") % lit(2147483648L)) * lit(2654435761L) %
+          lit(2147483648L) % m
+      val src = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("src_rows"), sum(cents).as("src_cents"))
+      val tgt = t(s, dir, "orders")
+        .filter(h(997) =!= 0)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("tgt_rows"),
+          sum(cents + when(h(991) === 0, 1L).otherwise(0L)).as("tgt_cents"))
+      src.join(tgt, Seq("status"))
+        .select(col("status"), col("src_rows"), col("tgt_rows"),
+          (col("src_rows") - col("tgt_rows")).as("missing_rows"),
+          col("src_cents"), col("tgt_cents"),
+          (col("tgt_cents") - col("src_cents")).as("cents_drift"))
+        .orderBy(col("status"))
+    }),
+
     // Referential-integrity audit across the star schema's four FK edges
     // — etl_dq_report's cross-TABLE companion (that one checks one
     // table's internal rules; this one checks the EDGES a warehouse
@@ -858,6 +887,28 @@ object EtlOps {
                 CAST(CASE WHEN date_diff('day', max_day, h_day) <= 30
                      THEN 1 ELSE 0 END AS INT) AS fresh
          FROM m, h ORDER BY table_name""",
+    "etl_reconcile" ->
+      """WITH src AS (
+           SELECT o_orderstatus AS status, count(1) AS src_rows,
+                  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS src_cents
+           FROM orders GROUP BY 1),
+         tgt AS (
+           SELECT o_orderstatus AS status, count(1) AS tgt_rows,
+                  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                    + CASE WHEN ((o_orderkey % 2147483648) * 2654435761)
+                                % 2147483648 % 991 = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tgt_cents
+           FROM orders
+           WHERE ((o_orderkey % 2147483648) * 2654435761)
+                 % 2147483648 % 997 <> 0
+           GROUP BY 1)
+         SELECT src.status, src_rows, tgt_rows,
+                src_rows - tgt_rows AS missing_rows,
+                src_cents, tgt_cents,
+                tgt_cents - src_cents AS cents_drift
+         FROM src JOIN tgt ON src.status = tgt.status
+         ORDER BY src.status""",
     "etl_referential_check" ->
       """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
          ok AS (SELECT o_orderkey, o_custkey FROM orders),

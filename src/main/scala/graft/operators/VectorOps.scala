@@ -323,6 +323,35 @@ object VectorOps {
         .limit(10)
     }),
 
+    // Filtered vector search — THE serving-path question every vector
+    // store answers badly somewhere (metadata predicate × similarity):
+    // pre-filter (exact top-10 over the label-1 subset — correct by
+    // definition) vs post-filter (top-30 over everything, then keep
+    // label-1 — the cheap plan that silently under-fills when the
+    // predicate is selective). Emits the pre-filter truth with a flag
+    // per row: did the 3× over-fetch post-filter surface it? The
+    // scored frame is computed ONCE (persisted) and both strategies
+    // lower to TakeOrdered; at scale the pre-filter tier rides the
+    // same predicate pushdown the scan already does.
+    "vec_filtered_search" -> ((s, dir) => {
+      val emb = embStore(s, dir)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val scored = persistShared("vfs_scored",
+        emb.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("label"),
+            round(cosine_sim(col("embedding"), col("qv")), 6).as("sim")))
+      val pre = scored.filter(col("label") === 1)
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+      val post = scored.orderBy(col("sim").desc, col("vec_id")).limit(30)
+        .filter(col("label") === 1)
+        .select(col("vec_id").as("pid"))
+      pre.join(post, col("vec_id") === col("pid"), "left")
+        .select(col("vec_id"), col("sim"),
+          when(col("pid").isNotNull, 1).otherwise(0).as("in_postfilter"))
+        .orderBy(col("sim").desc, col("vec_id"))
+    }),
+
     // Matryoshka-truncation similarity (MRL): rank candidates by cosine
     // over the first 16 dims only — 4× less arithmetic and, at scale,
     // 4× less index I/O, because the PREFIX is what ships to the serving
@@ -1337,6 +1366,25 @@ object VectorOps {
          FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
          WHERE e.vec_id <> 0
          ORDER BY sim DESC, e.vec_id LIMIT 10""",
+    "vec_filtered_search" ->
+      s"""WITH scored AS (
+           SELECT e.vec_id, e.label, round($sqlCosDuck, 6) AS sim
+           FROM embeddings e,
+                (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+           WHERE e.vec_id <> 0),
+         pre AS (
+           SELECT vec_id, sim FROM scored WHERE label = 1
+           ORDER BY sim DESC, vec_id LIMIT 10),
+         post AS (
+           SELECT vec_id AS pid FROM (
+             SELECT vec_id, label FROM scored
+             ORDER BY sim DESC, vec_id LIMIT 30)
+           WHERE label = 1)
+         SELECT pre.vec_id, pre.sim,
+                CAST(CASE WHEN pid IS NOT NULL THEN 1 ELSE 0 END AS INT)
+                  AS in_postfilter
+         FROM pre LEFT JOIN post ON pre.vec_id = post.pid
+         ORDER BY sim DESC, vec_id""",
     "vec_matryoshka_topk" ->
       s"""SELECT vec_id, sim16, sim_full FROM (
            SELECT e.vec_id,

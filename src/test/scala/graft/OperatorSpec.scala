@@ -5177,4 +5177,76 @@ class PropertySpec extends SparkSuite {
         s"${r.getString(0)} i=$i")
     }
   }
+
+  test("vec_filtered_search: pre-filter truth and over-fetch flags replay") {
+    val embs = graft.Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val qv = embs.find(_._1 == 0L).get._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val scored = embs.filter(_._1 != 0L).map(e =>
+      (e._1, BigDecimal(cos(qv, e._2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, e._3))
+    val pre = scored.filter(_._3 == 1).sortBy(x => (-x._2, x._1)).take(10)
+    val post = scored.sortBy(x => (-x._2, x._1)).take(30)
+      .filter(_._3 == 1).map(_._1).toSet
+    val got = q("vec_filtered_search").collect()
+    assert(got.length === pre.length)
+    got.zip(pre).foreach { case (r, (id, sim, _)) =>
+      assert(r.getLong(0) === id)
+      assert(r.getDouble(1) === sim)
+      assert(r.getInt(2) === (if (post(id)) 1 else 0), s"flag for $id")
+    }
+  }
+
+  test("etl_reconcile: the report localizes exactly the injected faults") {
+    val src = graft.Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        math.round(r.getDouble(2) * 100)))
+    def h(k: Long, m: Int) = (k % 2147483648L) * 2654435761L % 2147483648L % m
+    val got = q("etl_reconcile").collect()
+    assert(got.length === src.map(_._2).distinct.length)
+    got.foreach { r =>
+      val g = src.filter(_._2 == r.getString(0))
+      val kept = g.filter(x => h(x._1, 997) != 0)
+      assert(r.getLong(1) === g.length.toLong)
+      assert(r.getLong(2) === kept.length.toLong)
+      assert(r.getLong(3) === (g.length - kept.length).toLong, "missing")
+      assert(r.getLong(4) === g.map(_._3).sum)
+      val drift = kept.count(x => h(x._1, 991) == 0)
+      assert(r.getLong(6) === kept.map(_._3).sum + drift - g.map(_._3).sum,
+        "cents drift")
+    }
+  }
+
+  test("stat_wilson_ci: the interval brackets p_hat and replays brute") {
+    val byseg = graft.Tables.t(spark, sf, "customer")
+      .select(col("c_mktsegment"), col("c_acctbal")).collect()
+      .map(r => (r.getString(0), !r.isNullAt(1) && r.getDouble(1) > 0))
+      .groupBy(_._1)
+    val got = q("stat_wilson_ci").collect()
+    got.foreach { r =>
+      val g = byseg(r.getString(0))
+      val n = g.length.toDouble
+      val k = g.count(_._2).toDouble
+      assert((r.getLong(1), r.getLong(2)) === ((n.toLong, k.toLong)))
+      val ph = k / n
+      val denom = 1.0 + 3.8416 / n
+      val center = (ph + 3.8416 / (2 * n)) / denom
+      val half = 1.96 * math.sqrt(ph * (1 - ph) / n + 3.8416 / (4 * n * n)) / denom
+      assert(math.abs(r.getDouble(3) - ph) < 1e-6)
+      assert(math.abs(r.getDouble(4) - (center - half)) < 1e-6, "lo")
+      assert(math.abs(r.getDouble(5) - (center + half)) < 1e-6, "hi")
+      assert(r.getDouble(4) < r.getDouble(3) && r.getDouble(3) < r.getDouble(5))
+    }
+  }
 }

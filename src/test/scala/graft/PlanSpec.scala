@@ -706,6 +706,7 @@ class PlanSpec extends SparkSuite {
       "anom_lof" -> "exact-tier LOF pair join is bounded to the 256-vector base (65k pairs); scale path is the LSH-bucketed kNN",
       "ts_dtw_distance" -> "series-pair range join over the |types|-row (=5) per-type array frame — 10 pairs",
       "sort_range_boundaries" -> "crossJoin against the broadcast 1-row 31-element boundary array",
+      "vec_filtered_search" -> "crossJoin against the broadcast 1-row query-vector frame (vec_cosine_topk's shape)",
       "profile_skew_report" -> "per-key summary and bucket-max compose via broadcast 1-row crossJoins (three keys)")
     val sf = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
