@@ -56,6 +56,32 @@ object LmOps {
     // VOCABULARY-sized frame (never the corpus — the bpe_merge_step
     // argument), coverage is conditional integer sums + three divisions.
     // Deterministic (count desc, token asc) rank total order.
+    // Tokenizer fertility by language — THE tokenizer-equity metric a
+    // multilingual corpus owner tracks (a language at 2× fertility pays
+    // 2× the context budget per word): pieces per whitespace word and
+    // bytes per piece, aggregated per lang from one scan-grain pass
+    // (regex piece count mirrors text_bpe_tokens' tokenizer; the corpus
+    // is ASCII — verified at all SFs — so length() = byte length on
+    // both engines). Pure integer sums until two gridded divisions.
+    "lm_fertility" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"),
+          size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+            .cast("long").as("n_pieces"),
+          size(filter(split(lower(col("text")), " "), x => x =!= ""))
+            .cast("long").as("n_words"),
+          length(col("text")).cast("long").as("n_bytes"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_pieces")).as("pieces"), sum(col("n_words")).as("words"),
+          sum(col("n_bytes")).as("bytes"))
+        .select(col("lang"), col("n_docs"),
+          round(col("pieces").cast("double") / col("words"), 6).as("fertility"),
+          round(col("bytes").cast("double") / col("pieces"), 6)
+            .as("bytes_per_token"))
+        .orderBy(col("lang"))
+    }),
+
     "lm_ngram_coverage" -> ((s, dir) => {
       val tok = t(s, dir, "documents")
         .select(explode(split(lower(col("text")), " ")).as("w"))
@@ -301,6 +327,21 @@ object LmOps {
     }))
 
   val oracles: Map[String, String] = Map(
+    "lm_fertility" ->
+      """WITH d AS (
+           SELECT lang,
+                  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+                    AS n_pieces,
+                  CAST(len(list_filter(string_split(lower(text), ' '),
+                    x -> x <> '')) AS BIGINT) AS n_words,
+                  CAST(strlen(text) AS BIGINT) AS n_bytes
+           FROM documents)
+         SELECT lang, count(1) AS n_docs,
+                round(CAST(sum(n_pieces) AS DOUBLE) / sum(n_words), 6)
+                  AS fertility,
+                round(CAST(sum(n_bytes) AS DOUBLE) / sum(n_pieces), 6)
+                  AS bytes_per_token
+         FROM d GROUP BY lang ORDER BY lang""",
     "lm_ngram_coverage" ->
       """WITH tok AS (
            SELECT w, count(1) AS c FROM (

@@ -736,6 +736,39 @@ object VectorOps {
         .orderBy(col("probe_id"), col("rn"))
     }),
 
+    // IVF index-health report — profile_skew_report's vector-index twin
+    // (an unbalanced cell list serves p99 latency from its fattest
+    // cell): every vector assigned to its NEAREST centroid (top-1 over
+    // the broadcast centroid frame — at fixture scale a per-vec rank
+    // window; at 100 TB the same argmax as a min_by hash agg), then
+    // per-cell size, load factor vs ideal, and the foreign share —
+    // vectors whose own label ≠ their nearest cell, the reassignment
+    // rate a re-clustering would fix.
+    "vec_ivf_balance" -> ((s, dir) => {
+      val emb = embStore(s, dir)
+      val centroids = emb.groupBy(col("label"))
+        .agg(min_by(col("embedding"), col("vec_id")).as("qv"))
+        .select(col("label").as("c_label"), col("qv"))
+      val wA = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("c_label"))
+      val assign = emb.crossJoin(broadcast(centroids))
+        .withColumn("csim", round(cosine_sim(col("embedding"), col("qv")), 6))
+        .withColumn("crn", row_number().over(wA))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("label"), col("c_label").as("cell"))
+      assign.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"),
+          count(when(col("label") =!= col("cell"), 1)).as("n_foreign"))
+        .withColumn("total", sum(col("n_vecs")).over(Window.partitionBy()))
+        .withColumn("n_cells", count(lit(1)).over(Window.partitionBy()))
+        .select(col("cell"), col("n_vecs"), col("n_foreign"),
+          round(col("n_vecs").cast("double") * col("n_cells") / col("total"), 6)
+            .as("load_factor"),
+          round(col("n_foreign").cast("double") / col("n_vecs"), 6)
+            .as("foreign_share"))
+        .orderBy(col("cell"))
+    }),
+
     // the index-quality harness: recall@3 of the IVF tier against the
     // brute-force ground truth, per probe — the eval every ANN deployment
     // runs before trusting a pruned index. Built by COMPOSING the two
@@ -1673,6 +1706,27 @@ object VectorOps {
            JOIN (SELECT vec_id, embedding AS qv FROM embeddings WHERE vec_id < 8) q
              ON pc.probe_id = q.vec_id
            WHERE e.vec_id <> pc.probe_id)
-         WHERE rn <= 3 ORDER BY probe_id, rn"""
+         WHERE rn <= 3 ORDER BY probe_id, rn""",
+    "vec_ivf_balance" ->
+      s"""WITH centroids AS (
+           SELECT label AS c_label, arg_min(embedding, vec_id) AS qv
+           FROM embeddings GROUP BY label),
+         a AS (
+           SELECT vec_id, label, c_label AS cell FROM (
+             SELECT e.vec_id, e.label, c.c_label,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(${cosSql("e.embedding", "c.qv")}, 6) DESC,
+                          c.c_label) AS crn
+             FROM embeddings e CROSS JOIN centroids c)
+           WHERE crn = 1),
+         cells AS (
+           SELECT cell, count(1) AS n_vecs,
+                  count(CASE WHEN label <> cell THEN 1 END) AS n_foreign
+           FROM a GROUP BY 1)
+         SELECT CAST(cell AS INT) AS cell, n_vecs, n_foreign,
+                round(CAST(n_vecs AS DOUBLE) * count(1) OVER ()
+                  / sum(n_vecs) OVER (), 6) AS load_factor,
+                round(CAST(n_foreign AS DOUBLE) / n_vecs, 6) AS foreign_share
+         FROM cells ORDER BY cell"""
   ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
 }

@@ -5249,4 +5249,39 @@ class PropertySpec extends SparkSuite {
       assert(r.getDouble(4) < r.getDouble(3) && r.getDouble(3) < r.getDouble(5))
     }
   }
+
+  test("vec_ivf_balance: assignment conserves vectors and flags foreigners") {
+    val got = q("vec_ivf_balance").collect()
+    val nVecs = graft.Tables.t(spark, sf, "embeddings").count()
+    assert(got.map(_.getLong(1)).sum === nVecs, "every vector lands in one cell")
+    got.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "foreign <= size")
+      assert(math.abs(r.getDouble(4) -
+        r.getLong(2).toDouble / r.getLong(1)) < 1e-6)
+    }
+    val totalLoad = got.map(_.getDouble(3)).sum
+    assert(math.abs(totalLoad - got.length) < 1e-3,
+      "load factors average to 1 per cell")
+  }
+
+  test("lm_fertility: ratios replay brute piece/word/byte counts") {
+    val want = graft.Tables.t(spark, sf, "documents")
+      .select(col("lang"), col("text")).collect()
+      .map { r =>
+        val text = r.getString(1)
+        val pieces = "[a-z0-9]+".r.findAllIn(text).length.toLong
+        val words = text.toLowerCase.split(" ").count(_.nonEmpty).toLong
+        (r.getString(0), pieces, words, text.getBytes("UTF-8").length.toLong)
+      }.groupBy(_._1)
+    val got = q("lm_fertility").collect()
+    assert(got.length === want.size)
+    got.foreach { r =>
+      val g = want(r.getString(0))
+      assert(r.getLong(1) === g.length.toLong)
+      assert(math.abs(r.getDouble(2) -
+        g.map(_._2).sum.toDouble / g.map(_._3).sum) < 1e-6, "fertility")
+      assert(math.abs(r.getDouble(3) -
+        g.map(_._4).sum.toDouble / g.map(_._2).sum) < 1e-6, "bytes/token")
+    }
+  }
 }

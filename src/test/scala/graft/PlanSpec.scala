@@ -707,6 +707,7 @@ class PlanSpec extends SparkSuite {
       "ts_dtw_distance" -> "series-pair range join over the |types|-row (=5) per-type array frame — 10 pairs",
       "sort_range_boundaries" -> "crossJoin against the broadcast 1-row 31-element boundary array",
       "vec_filtered_search" -> "crossJoin against the broadcast 1-row query-vector frame (vec_cosine_topk's shape)",
+      "vec_ivf_balance" -> "crossJoin against the broadcast |labels|-row centroid frame (vec_ivf_ann's shape)",
       "profile_skew_report" -> "per-key summary and bucket-max compose via broadcast 1-row crossJoins (three keys)")
     val sf = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
