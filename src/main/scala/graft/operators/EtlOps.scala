@@ -781,6 +781,35 @@ object EtlOps {
         .orderBy(col("c_custkey"), col("valid_from"))
     }),
 
+    // Point-in-time (temporal version) join — the feature-store
+    // correctness primitive (training labels must see the dim version
+    // valid AT FACT TIME, or the model trains on leakage): facts
+    // equi-join the SCD2-shaped version table on the key, the validity
+    // interval applies as a post-join predicate — one co-partitioned
+    // shuffle, versions-per-key bounded (=2 here), never a range
+    // explosion. The rollup by effective segment makes the time travel
+    // visible: orders after the 1996 move land in MOVED.
+    "join_temporal_version" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_custkey")).orderBy(col("valid_from"))
+      val v1 = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+        .withColumn("valid_from", lit("1992-01-01").cast("date"))
+      val v2 = v1.filter(col("c_custkey") % 4 === 0)
+        .withColumn("segment", lit("MOVED"))
+        .withColumn("valid_from", lit("1996-01-01").cast("date"))
+      val vers = v1.unionByName(v2)
+        .withColumn("valid_to", coalesce(lead(col("valid_from"), 1).over(w),
+          lit("2200-01-01").cast("date")))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate").cast("date").as("od"),
+          col("o_totalprice"))
+        .join(vers, col("o_custkey") === col("c_custkey") &&
+          col("od") >= col("valid_from") && col("od") < col("valid_to"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("segment"))
+    }),
+
     // §2.I multimodal: opaque binary payload columns flow through the
     // relational pipeline with typed metadata.
     "multimodal_cols" -> ((s, dir) => {
@@ -1067,6 +1096,24 @@ object EtlOps {
            WHERE c_custkey % 4 = 0)
          WINDOW w AS (PARTITION BY c_custkey ORDER BY valid_from)
          ORDER BY c_custkey, valid_from""",
+    "join_temporal_version" ->
+      """WITH vraw AS (
+           SELECT c_custkey, c_mktsegment AS segment,
+                  DATE '1992-01-01' AS valid_from FROM customer
+           UNION ALL
+           SELECT c_custkey, 'MOVED', DATE '1996-01-01' FROM customer
+           WHERE c_custkey % 4 = 0),
+         v AS (
+           SELECT *, coalesce(lead(valid_from, 1) OVER (PARTITION BY c_custkey
+                       ORDER BY valid_from), DATE '2200-01-01') AS valid_to
+           FROM vraw)
+         SELECT segment, count(1) AS n_orders,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6)
+                  AS revenue
+         FROM orders JOIN v ON o_custkey = c_custkey
+           AND CAST(o_orderdate AS DATE) >= valid_from
+           AND CAST(o_orderdate AS DATE) < valid_to
+         GROUP BY segment ORDER BY segment""",
     "multimodal_cols" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
          decode(encode(text)) = text AS roundtrip_ok,

@@ -824,6 +824,28 @@ object TextOps {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       jaccardPairs(s, dir).orderBy(col("d1"), col("d2"))),
 
+    // Cross-source contamination matrix — WHERE the near-dups live
+    // (within one crawl, or leaking between sources — the matrix that
+    // decides whether dedup runs per-source or globally at 100 TB):
+    // the oracled Jaccard pair set rolled up to unordered source
+    // pairs, with each pair's share of the total. Pairs come from the
+    // shared bucketed candidate machinery — this adds two dim-sized
+    // source joins and a constant-sized rollup, nothing fact-scale.
+    "corpus_overlap_matrix" -> ((s, dir) => {
+      val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      jaccardPairs(s, dir)
+        .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), Seq("d1"))
+        .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), Seq("d2"))
+        .select(least(col("s1"), col("s2")).as("src_a"),
+          greatest(col("s1"), col("s2")).as("src_b"))
+        .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_pairs"))
+        .withColumn("total", sum(col("n_pairs")).over(Window.partitionBy()))
+        .select(col("src_a"), col("src_b"), col("n_pairs"),
+          round(col("n_pairs").cast("double") / col("total"), 6).as("pair_share"),
+          when(col("src_a") === col("src_b"), 1).otherwise(0).as("within_source"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // ASYMMETRIC near-subset detection — the measure Jaccard misses: a
     // short doc quoted whole inside a long one scores low on Jaccard
     // (union-normalized) but 1.0 on the overlap coefficient
@@ -1940,6 +1962,33 @@ object TextOps {
                JOIN sizes s2 ON inter.d2 = s2.doc_id)
          WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) >= 0.5
          ORDER BY d1, d2""",
+    "corpus_overlap_matrix" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS token
+           FROM documents WHERE doc_id < 256),
+         sizes AS (SELECT doc_id, count(1) AS nt FROM toks GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2, count(1) AS inter
+           FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pr AS (
+           SELECT d1, d2 FROM (
+             SELECT inter.d1, inter.d2, inter.inter, s1.nt AS n1, s2.nt AS n2
+             FROM inter JOIN sizes s1 ON inter.d1 = s1.doc_id
+             JOIN sizes s2 ON inter.d2 = s2.doc_id)
+           WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) >= 0.5),
+         m AS (
+           SELECT least(da.source, db.source) AS src_a,
+                  greatest(da.source, db.source) AS src_b
+           FROM pr JOIN documents da ON pr.d1 = da.doc_id
+                   JOIN documents db ON pr.d2 = db.doc_id),
+         c AS (SELECT src_a, src_b, count(1) AS n_pairs FROM m GROUP BY 1, 2)
+         SELECT src_a, src_b, n_pairs,
+                round(CAST(n_pairs AS DOUBLE) / sum(n_pairs) OVER (), 6)
+                  AS pair_share,
+                CAST(CASE WHEN src_a = src_b THEN 1 ELSE 0 END AS INT)
+                  AS within_source
+         FROM c ORDER BY src_a, src_b""",
     "dedup_containment" ->
       """WITH toks AS (
            SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS token

@@ -5284,4 +5284,41 @@ class PropertySpec extends SparkSuite {
         g.map(_._4).sum.toDouble / g.map(_._2).sum) < 1e-6, "bytes/token")
     }
   }
+
+  test("join_temporal_version: orders see the version valid at order time") {
+    val cust = graft.Tables.t(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val moveDay = java.time.LocalDate.of(1996, 1, 1)
+    val want = graft.Tables.t(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("date")).collect()
+      .map { r =>
+        val ck = r.getLong(0)
+        val d = r.getDate(1).toLocalDate
+        if (ck % 4 == 0 && !d.isBefore(moveDay)) "MOVED" else cust(ck)
+      }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = q("join_temporal_version").collect()
+    assert(got.length === want.size)
+    got.foreach(r => assert(r.getLong(1) === want(r.getString(0)),
+      s"${r.getString(0)} orders"))
+    assert(got.exists(_.getString(0) == "MOVED"), "the move is visible")
+  }
+
+  test("corpus_overlap_matrix: the rollup conserves the jaccard pair set") {
+    val pairs = q("dedup_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val src = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = pairs.map { case (a, b) =>
+      val (s1, s2) = (src(a), src(b))
+      (if (s1 <= s2) s1 else s2, if (s1 <= s2) s2 else s1)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = q("corpus_overlap_matrix").collect()
+    assert(got.map(_.getLong(2)).sum === pairs.length.toLong)
+    got.foreach { r =>
+      assert(r.getLong(2) === want((r.getString(0), r.getString(1))))
+      assert(r.getInt(4) === (if (r.getString(0) == r.getString(1)) 1 else 0))
+    }
+  }
 }
