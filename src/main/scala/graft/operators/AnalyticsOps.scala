@@ -3847,6 +3847,67 @@ object AnalyticsOps {
         .orderBy(col("seg"))
     }),
 
+    // Mood's median test across all segments — the k-sample location
+    // test that needs NOTHING from the distributions (kruskal needs
+    // ranks; this only needs "above the grand median or not" — the
+    // robust screen when outliers poison even ranks): grand LOWER
+    // median one rank pick (integer rank arithmetic), per-segment
+    // above/at-or-below counts pure integers, χ² = Σ(O−E)²/E with each
+    // term 6-dp-gridded to DECIMAL before the 2k-term sum (partial-agg
+    // order-proof). The rank window runs on the dim-sized frame.
+    "stat_mood_median" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"), col("c_acctbal").as("v"),
+          col("c_custkey"))
+      val ranked = persistShared("mood_ranked", c
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("v"), col("c_custkey"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy())))
+      val med = ranked.filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("v").as("med"))
+      val cells = ranked.crossJoin(broadcast(med))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("nj"),
+          count(when(col("v") > col("med"), 1)).as("aj"))
+      val m = cells
+        .withColumn("n", sum(col("nj")).over(Window.partitionBy()))
+        .withColumn("a", sum(col("aj")).over(Window.partitionBy()))
+      val ea = col("nj").cast("double") * col("a") / col("n")
+      val eb = col("nj").cast("double") * (col("n") - col("a")) / col("n")
+      m.select(col("seg"), col("nj"), col("aj"), col("n"), col("a"),
+          dec(round((col("aj") - ea) * (col("aj") - ea) / ea +
+            (col("nj") - col("aj") - eb) * (col("nj") - col("aj") - eb) / eb,
+            6)).as("term"))
+        .agg(max(col("n")).as("n_total"), max(col("a")).as("n_above"),
+          count(lit(1)).as("k"),
+          round(sum(col("term")).cast("double"), 6).as("chi2"))
+        .select(col("n_total"), col("n_above"), col("k"),
+          col("chi2"), (col("k") - 1).as("dof"))
+    }),
+
+    // Cohen's h between all segment-pair rates — the EFFECT SIZE for
+    // proportions (ztest says "different", h says "by how much" on the
+    // variance-stabilized scale; the power analysis input): h =
+    // 2·asin(√p₁) − 2·asin(√p₂), the asin/sqrt pair on the accepted
+    // libm surface, identical expression tree both engines, 6-dp
+    // grid. Same (seg, n, k) agg + bounded pair join as the z-test.
+    "stat_cohens_h" -> ((s, dir) => {
+      val m = t(s, dir, "customer").groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("c_acctbal") > 0, 1)).as("k"))
+      val j = m.as("a").join(m.as("b"), col("a.seg") < col("b.seg"))
+        .select(col("a.seg").as("seg_a"), col("b.seg").as("seg_b"),
+          col("a.k").as("ka"), col("a.n").as("na"),
+          col("b.k").as("kb"), col("b.n").as("nb"))
+      val p1 = col("ka").cast("double") / col("na")
+      val p2 = col("kb").cast("double") / col("nb")
+      j.select(col("seg_a"), col("seg_b"),
+          round(p1, 6).as("p1"), round(p2, 6).as("p2"),
+          round(lit(2.0) * asin(sqrt(p1)) - lit(2.0) * asin(sqrt(p2)), 6)
+            .as("cohens_h"))
+        .orderBy(col("seg_a"), col("seg_b"))
+    }),
+
     // Grubbs' test per nation — "is the most extreme supplier balance a
     // statistical outlier, and which row is it": G = max|x−x̄|/s. The
     // ARGMAX is decided without ever computing a float: |n·x − Σx| on
@@ -6858,6 +6919,51 @@ object AnalyticsOps {
                           + 3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
                         / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 6) AS wilson_hi
          FROM m ORDER BY seg""",
+    "stat_mood_median" ->
+      """WITH r AS (
+           SELECT c_mktsegment AS seg, c_acctbal AS v,
+                  row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn,
+                  count(1) OVER () AS n
+           FROM customer),
+         med AS (SELECT v AS med FROM r WHERE rn = (n + 1) // 2),
+         cells AS (
+           SELECT seg, count(1) AS nj,
+                  count(CASE WHEN v > med THEN 1 END) AS aj
+           FROM r CROSS JOIN med GROUP BY seg),
+         m AS (
+           SELECT seg, nj, aj,
+                  sum(nj) OVER () AS n, sum(aj) OVER () AS a
+           FROM cells),
+         terms AS (
+           SELECT CAST(max(n) AS BIGINT) AS n_total,
+                  CAST(max(a) AS BIGINT) AS n_above,
+                  count(1) AS k,
+                  sum(CAST(round(
+                    (aj - CAST(nj AS DOUBLE) * a / n)
+                      * (aj - CAST(nj AS DOUBLE) * a / n)
+                      / (CAST(nj AS DOUBLE) * a / n)
+                    + (nj - aj - CAST(nj AS DOUBLE) * (n - a) / n)
+                      * (nj - aj - CAST(nj AS DOUBLE) * (n - a) / n)
+                      / (CAST(nj AS DOUBLE) * (n - a) / n), 6)
+                    AS DECIMAL(18,6))) AS chi2d
+           FROM m)
+         SELECT n_total, n_above, k,
+                round(CAST(chi2d AS DOUBLE), 6) AS chi2,
+                CAST(k - 1 AS BIGINT) AS dof
+         FROM terms""",
+    "stat_cohens_h" ->
+      """WITH m AS (
+           SELECT c_mktsegment AS seg, count(1) AS n,
+                  count(CASE WHEN c_acctbal > 0 THEN 1 END) AS k
+           FROM customer GROUP BY 1)
+         SELECT a.seg AS seg_a, b.seg AS seg_b,
+                round(CAST(a.k AS DOUBLE) / a.n, 6) AS p1,
+                round(CAST(b.k AS DOUBLE) / b.n, 6) AS p2,
+                round(2.0 * asin(sqrt(CAST(a.k AS DOUBLE) / a.n))
+                      - 2.0 * asin(sqrt(CAST(b.k AS DOUBLE) / b.n)), 6)
+                  AS cohens_h
+         FROM m a JOIN m b ON a.seg < b.seg
+         ORDER BY seg_a, seg_b""",
     "stat_grubbs" ->
       """WITH sup AS (
            SELECT s_nationkey AS nk, s_suppkey AS sk, s_acctbal AS bal,

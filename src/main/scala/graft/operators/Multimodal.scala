@@ -153,6 +153,32 @@ object Multimodal {
     ChannelStats(docId, w * h, sr, qr, sg, qg, sb, qb)
   }
 
+  case class SharpFeat(doc_id: Long, width: Int, height: Int,
+      n_interior: Long, lap_sum: Long, lap_ssq: Long)
+
+  /** REAL decode → 4-neighbor Laplacian integer moments over the interior
+    * raster (Σlap, Σlap²) — the blur/flat-image gate an image-curation
+    * pipeline runs (a defocused or synthetic-flat image has near-zero
+    * Laplacian variance). Integer moments only; the variance derives
+    * downstream in one double tree (channelStats' convention). */
+  def analyzeSharpness(docId: Long, png: Array[Byte]): SharpFeat = {
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    val w = img.getWidth; val h = img.getHeight
+    def r(x: Int, y: Int): Int = (img.getRGB(x, y) >> 16) & 0xff
+    var s = 0L; var q = 0L; var cnt = 0L
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val lap = 4 * r(x, y) - r(x - 1, y) - r(x + 1, y) - r(x, y - 1) - r(x, y + 1)
+        s += lap; q += lap.toLong * lap; cnt += 1
+        x += 1
+      }
+      y += 1
+    }
+    SharpFeat(docId, w, h, cnt, s, q)
+  }
+
   case class AudioFeat(doc_id: Long, n_samples: Int, n_frames: Int,
       peak: Int, max_energy: Long, max_frame: Int, mean_energy: Long)
 
@@ -326,6 +352,30 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    // Laplacian sharpness — the blur/flat-image gate an image corpus
+    // runs next to mm_channel_stats' normalization moments (defocused
+    // or synthetic-flat images carry near-zero Laplacian variance):
+    // REAL decode, 4-neighbor integer Laplacian over the interior
+    // raster, variance derived downstream in one double tree. Scan-
+    // grain per-object feature extraction — the embarrassing-parallel
+    // 100 TB shape.
+    "mm_sharpness" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      media.mapPartitions(_.map { case (id, bytes) =>
+          analyzeSharpness(id, encodePng(bytes)) })
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_interior"),
+          round(col("lap_sum").cast("double") / col("n_interior"), 6)
+            .as("lap_mean"),
+          round((col("lap_ssq").cast("double") -
+            col("lap_sum").cast("double") * col("lap_sum") / col("n_interior"))
+            / col("n_interior"), 6).as("sharpness"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Silence segmentation — the audio-curation gate next to
     // mm_audio_energy's level features (dead-air share and the longest
     // silent stretch decide whether a clip survives a speech corpus):
@@ -493,6 +543,34 @@ object Multimodal {
                 CAST(m.f AS INTEGER) AS max_frame, mean_energy
          FROM feat d JOIN maxf m ON d.doc_id = m.doc_id AND m.rk = 1
          ORDER BY d.doc_id""",
+    "mm_sharpness" ->
+      """WITH dims AS (
+           SELECT doc_id, strlen(text) AS n,
+                  8 + strlen(text) % 9 AS w, 8 + strlen(text) % 7 AS h, text
+           FROM documents),
+         px AS (
+           SELECT doc_id, n, w, h, text, unnest(range(0, w * h)) AS i FROM dims),
+         interior AS (
+           SELECT doc_id, w, h,
+                  4 * ord(text[CAST(i % n AS INTEGER) + 1])
+                    - ord(text[CAST((i - 1) % n AS INTEGER) + 1])
+                    - ord(text[CAST((i + 1) % n AS INTEGER) + 1])
+                    - ord(text[CAST((i - w) % n AS INTEGER) + 1])
+                    - ord(text[CAST((i + w) % n AS INTEGER) + 1]) AS lap
+           FROM px
+           WHERE i % w >= 1 AND i % w <= w - 2
+             AND i // w >= 1 AND i // w <= h - 2),
+         m AS (
+           SELECT doc_id, w, h, count(1) AS cnt,
+                  CAST(sum(lap) AS BIGINT) AS s,
+                  CAST(sum(lap * lap) AS BIGINT) AS q
+           FROM interior GROUP BY 1, 2, 3)
+         SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                CAST(cnt AS BIGINT) AS n_interior,
+                round(CAST(s AS DOUBLE) / cnt, 6) AS lap_mean,
+                round((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / cnt) / cnt, 6)
+                  AS sharpness
+         FROM m ORDER BY doc_id""",
     "mm_silence_detect" ->
       """WITH dims AS (
            SELECT doc_id, strlen(text) AS n,

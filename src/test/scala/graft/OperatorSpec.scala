@@ -5321,4 +5321,72 @@ class PropertySpec extends SparkSuite {
       assert(r.getInt(4) === (if (r.getString(0) == r.getString(1)) 1 else 0))
     }
   }
+
+  test("mm_sharpness: Laplacian moments replay the raster formula") {
+    val got = q("mm_sharpness").collect()
+    val want = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect().map { row =>
+        val text = row.getString(1).getBytes("UTF-8")
+        val n = text.length
+        val w = 8 + n % 9; val h = 8 + n % 7
+        def r(i: Int) = text(i % n) & 0xff
+        val laps = for (y <- 1 until h - 1; x <- 1 until w - 1) yield {
+          val i = y * w + x
+          (4 * r(i) - r(i - 1) - r(i + 1) - r(i - w) - r(i + w)).toLong
+        }
+        val cnt = laps.length.toLong
+        val s = laps.sum; val q2 = laps.map(l => l * l).sum
+        row.getLong(0) -> ((w, h, cnt, s.toDouble / cnt,
+          (q2.toDouble - s.toDouble * s / cnt) / cnt))
+      }.toMap
+    assert(got.length === want.size)
+    got.foreach { r =>
+      val (w, h, cnt, mean, v) = want(r.getLong(0))
+      assert((r.getInt(1), r.getInt(2), r.getLong(3)) === ((w, h, cnt)))
+      assert(math.abs(r.getDouble(4) - mean) < 1e-6, s"${r.getLong(0)} mean")
+      assert(math.abs(r.getDouble(5) - v) < 1e-6, s"${r.getLong(0)} sharpness")
+      assert(r.getDouble(5) >= 0.0)
+    }
+  }
+
+  test("stat_mood_median: cells and chi2 replay the grand-median split") {
+    val rows = graft.Tables.t(spark, sf, "customer")
+      .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val sorted = rows.sortBy(x => (x._2, x._3))
+    val med = sorted((sorted.length + 1) / 2 - 1)._2
+    val bySeg = rows.groupBy(_._1)
+    val n = rows.length.toDouble
+    val a = rows.count(_._2 > med).toDouble
+    val chi2 = bySeg.values.map { g =>
+      val nj = g.length.toDouble
+      val aj = g.count(_._2 > med).toDouble
+      val ea = nj * a / n; val eb = nj * (n - a) / n
+      val t = (aj - ea) * (aj - ea) / ea + (nj - aj - eb) * (nj - aj - eb) / eb
+      BigDecimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    val r = q("stat_mood_median").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ===
+      ((n.toLong, a.toLong, bySeg.size.toLong)))
+    assert(math.abs(r.getDouble(3) - chi2) < 1e-6, "chi2")
+    assert(r.getLong(4) === bySeg.size.toLong - 1)
+  }
+
+  test("stat_cohens_h: the arcsine effect replays brute rates") {
+    val bySeg = graft.Tables.t(spark, sf, "customer")
+      .select(col("c_mktsegment"), col("c_acctbal")).collect()
+      .map(r => (r.getString(0), !r.isNullAt(1) && r.getDouble(1) > 0))
+      .groupBy(_._1)
+    val got = q("stat_cohens_h").collect()
+    assert(got.length === bySeg.size * (bySeg.size - 1) / 2)
+    got.foreach { r =>
+      val ga = bySeg(r.getString(0)); val gb = bySeg(r.getString(1))
+      val p1 = ga.count(_._2).toDouble / ga.length
+      val p2 = gb.count(_._2).toDouble / gb.length
+      val h = 2 * math.asin(math.sqrt(p1)) - 2 * math.asin(math.sqrt(p2))
+      assert(math.abs(r.getDouble(2) - p1) < 1e-6)
+      assert(math.abs(r.getDouble(3) - p2) < 1e-6)
+      assert(math.abs(r.getDouble(4) - h) < 1e-6, "h")
+    }
+  }
 }
