@@ -4430,6 +4430,39 @@ object AnalyticsOps {
           round(tpr + tnr - lit(1.0), 6).as("informedness"))
     }),
 
+    // Group-fairness audit — the responsible-AI eval beside eval_mcc's
+    // global quality: per segment, the classifier's positive-prediction
+    // rate (demographic parity), TPR (equal opportunity) and FPR
+    // (equalized odds' second half), plus the max-gap columns a
+    // fairness gate thresholds on. Same deterministic hash scorer; one
+    // fact agg to 5 segment rows, gaps as max−min windows over the
+    // GRIDDED rates (exact picks — the gap is a difference of two
+    // already-gridded doubles, re-gridded).
+    "eval_fairness_gaps" -> ((s, dir) => {
+      val b = t(s, dir, "customer").select(col("c_mktsegment").as("seg"),
+        (((col("c_custkey") % lit(2147483648L)) * lit(2654435761L))
+          % lit(2147483648L) % 1000 >= 500).as("pred"),
+        (col("c_acctbal") > 0).as("y"))
+      val m = b.groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("pred"), 1)).as("np"),
+          count(when(col("pred") && col("y"), 1)).as("tp"),
+          count(when(col("pred") && !col("y"), 1)).as("fp"),
+          count(when(col("y"), 1)).as("pos"))
+        .select(col("seg"), col("n"),
+          round(col("np").cast("double") / col("n"), 6).as("ppr"),
+          round(col("tp").cast("double") / col("pos"), 6).as("tpr"),
+          round(col("fp").cast("double") / (col("n") - col("pos")), 6)
+            .as("fpr"))
+      val wAll = Window.partitionBy()
+      m.select(col("seg"), col("n"), col("ppr"), col("tpr"), col("fpr"),
+          round(max(col("ppr")).over(wAll) - min(col("ppr")).over(wAll), 6)
+            .as("parity_gap"),
+          round(max(col("tpr")).over(wAll) - min(col("tpr")).over(wAll), 6)
+            .as("tpr_gap"))
+        .orderBy(col("seg"))
+    }),
+
     // NDCG@10 per segment — the RANKING eval completing the model-eval
     // kit (stat_auc_roc ranks pairs, eval_calibration checks
     // probabilities, eval_confusion the operating point; NDCG scores the
@@ -7349,6 +7382,30 @@ object AnalyticsOps {
                 round(CAST(tp AS DOUBLE) / (tp + fn)
                       + CAST(tn AS DOUBLE) / (tn + fp) - 1.0, 6) AS informedness
          FROM m""",
+    "eval_fairness_gaps" ->
+      """WITH b AS (
+           SELECT c_mktsegment AS seg,
+                  (((c_custkey % 2147483648) * 2654435761) % 2147483648) % 1000
+                    >= 500 AS pred,
+                  c_acctbal > 0 AS y
+           FROM customer),
+         m AS (
+           SELECT seg, count(1) AS n,
+                  count(CASE WHEN pred THEN 1 END) AS np,
+                  count(CASE WHEN pred AND y THEN 1 END) AS tp,
+                  count(CASE WHEN pred AND NOT y THEN 1 END) AS fp,
+                  count(CASE WHEN y THEN 1 END) AS pos
+           FROM b GROUP BY 1),
+         r AS (
+           SELECT seg, CAST(n AS BIGINT) AS n,
+                  round(CAST(np AS DOUBLE) / n, 6) AS ppr,
+                  round(CAST(tp AS DOUBLE) / pos, 6) AS tpr,
+                  round(CAST(fp AS DOUBLE) / (n - pos), 6) AS fpr
+           FROM m)
+         SELECT seg, n, ppr, tpr, fpr,
+                round(max(ppr) OVER () - min(ppr) OVER (), 6) AS parity_gap,
+                round(max(tpr) OVER () - min(tpr) OVER (), 6) AS tpr_gap
+         FROM r ORDER BY seg""",
     "eval_ndcg" ->
       """WITH ui AS (
            SELECT o_custkey AS u, l_partkey AS p, CAST(count(1) AS BIGINT) AS g

@@ -328,6 +328,31 @@ object ShapeOps {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // Rolling 7-day EXACT distinct users per day — the windowed-distinct
+    // Spark windows cannot express (COUNT DISTINCT OVER is unsupported
+    // — and at 100 TB per-window re-scans would be quadratic): each
+    // active (user, day) replicates onto its ≤7 trailing report days
+    // (a BOUNDED ×7 explode at the user-day grain, not the event
+    // grain), then one exact distinct rollup per report day. The
+    // calendar clips the first week's partial windows honestly
+    // (window_days < 7 flags them).
+    "ts_rolling_distinct" -> ((s, dir) => {
+      val ud = persistShared("rd7_ud", events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .distinct())
+      val bounds = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      ud.crossJoin(broadcast(bounds))
+        .select(col("user_id"),
+          explode(expr("sequence(day, least(date_add(day, 6), d1))"))
+            .as("rday"))
+        .groupBy(col("rday"))
+        .agg(countDistinct(col("user_id")).as("distinct_users_7d"))
+        .crossJoin(broadcast(bounds))
+        .select(col("rday").as("day"), col("distinct_users_7d"),
+          least(datediff(col("rday"), col("d0")) + 1, lit(7)).as("window_days"))
+        .orderBy(col("day"))
+    }),
+
     // 1-D Kalman filter (local-level model, Q = 1, R = 4) per event
     // series — the probabilistic smoother beside ts_ewma/ses/holt: same
     // exponential-forgetting family but the gain ADAPTS (starts high
@@ -1095,6 +1120,23 @@ object ShapeOps {
                 CAST(sum(n_new_users) OVER (PARTITION BY event_type ORDER BY day
                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct_users
          FROM d ORDER BY event_type, day""",
+    "ts_rolling_distinct" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+         ex AS (
+           SELECT user_id,
+                  CAST(unnest(range(0, least(CAST(d1 - day AS BIGINT), 6) + 1))
+                    AS BIGINT) AS off, day
+           FROM ud CROSS JOIN b),
+         r AS (
+           SELECT day + CAST(off AS INT) AS rday,
+                  count(DISTINCT user_id) AS distinct_users_7d
+           FROM ex GROUP BY 1)
+         SELECT rday AS day, distinct_users_7d,
+                CAST(least(CAST(rday - d0 AS BIGINT) + 1, 7) AS INT)
+                  AS window_days
+         FROM r CROSS JOIN b ORDER BY day""",
     "ts_ses_forecast" ->
       """WITH daily AS (
            SELECT event_type AS et, CAST(ts AS DATE) AS day, count(1) AS c

@@ -5389,4 +5389,53 @@ class PropertySpec extends SparkSuite {
       assert(math.abs(r.getDouble(4) - h) < 1e-6, "h")
     }
   }
+
+  test("ts_rolling_distinct: each day's window replays brute trailing-7") {
+    val ud = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("date")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate)).distinct
+    val days = ud.map(_._2).distinct.sortBy(_.toEpochDay)
+    val d0 = days.head
+    val got = q("ts_rolling_distinct").collect()
+    assert(got.length === days.length)
+    got.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      val want = ud.filter { case (_, ad) =>
+        !ad.isAfter(d) && ad.toEpochDay >= d.toEpochDay - 6
+      }.map(_._1).distinct.length.toLong
+      assert(r.getLong(1) === want, s"$d distinct")
+      assert(r.getInt(2) ===
+        math.min(d.toEpochDay - d0.toEpochDay + 1, 7L).toInt, s"$d window")
+    }
+  }
+
+  test("eval_fairness_gaps: per-group rates and gaps replay brute") {
+    val rows = graft.Tables.t(spark, sf, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal")).collect()
+      .map { r =>
+        val pred = (r.getLong(1) % 2147483648L) * 2654435761L % 2147483648L % 1000 >= 500
+        (r.getString(0), pred, !r.isNullAt(2) && r.getDouble(2) > 0)
+      }
+    def g6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rates = rows.groupBy(_._1).map { case (seg, g) =>
+      val pos = g.count(_._3).toDouble
+      seg -> ((g.length.toLong,
+        g6(g.count(_._2).toDouble / g.length),
+        g6(g.count(x => x._2 && x._3) / pos),
+        g6(g.count(x => x._2 && !x._3) / (g.length - pos))))
+    }
+    val got = q("eval_fairness_gaps").collect()
+    assert(got.length === rates.size)
+    val pGap = rates.values.map(_._2).max - rates.values.map(_._2).min
+    val tGap = rates.values.map(_._3).max - rates.values.map(_._3).min
+    got.foreach { r =>
+      val (n, ppr, tpr, fpr) = rates(r.getString(0))
+      assert(r.getLong(1) === n)
+      assert(r.getDouble(2) === ppr); assert(r.getDouble(3) === tpr)
+      assert(r.getDouble(4) === fpr)
+      assert(math.abs(r.getDouble(5) - pGap) < 1e-6, "parity gap")
+      assert(math.abs(r.getDouble(6) - tGap) < 1e-6, "tpr gap")
+    }
+  }
 }

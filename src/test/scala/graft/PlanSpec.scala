@@ -709,6 +709,7 @@ class PlanSpec extends SparkSuite {
       "vec_filtered_search" -> "crossJoin against the broadcast 1-row query-vector frame (vec_cosine_topk's shape)",
       "vec_ivf_balance" -> "crossJoin against the broadcast |labels|-row centroid frame (vec_ivf_ann's shape)",
       "stat_mood_median" -> "crossJoin against the broadcast 1-row grand-median frame",
+      "ts_rolling_distinct" -> "crossJoins against the broadcast 1-row calendar-bounds frame (pre-explode clip + window_days)",
       "stat_cohens_h" -> "theta self-join of a broadcast 5-row segment-count frame (<=25 pairs, stat_proportions_ztest's shape)",
       "profile_skew_report" -> "per-key summary and bucket-max compose via broadcast 1-row crossJoins (three keys)")
     val sf = "/root/testdata/sf0.001"
