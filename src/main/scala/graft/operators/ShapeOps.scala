@@ -601,6 +601,26 @@ object ShapeOps {
         .orderBy(col("day"))
     }),
 
+    // Resurrected users per day — the third leg of the DAU decomposition
+    // (new + returning + RESURRECTED after a ≥14-day absence; growth
+    // accounting splits them because a resurrection says the win-back
+    // worked, not acquisition): one lag window over the persisted
+    // (user, day) frame, then a day rollup. Integer day gaps, no floats.
+    "seq_resurrected" -> ((s, dir) => {
+      val ud = persistShared("res_ud", events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .distinct())
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      ud.withColumn("prev_day", lag(col("day"), 1).over(w))
+        .withColumn("gap", datediff(col("day"), col("prev_day")))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("active_users"),
+          count(when(col("gap") >= 14, 1)).as("resurrected"),
+          coalesce(round(sum(col("gap")).cast("double") /
+            count(col("gap")), 6), lit(0.0)).as("avg_gap_days"))
+        .orderBy(col("day"))
+    }),
+
     // New-vs-returning daily split — the acquisition/retention decomposition
     // of DAU (seq_stickiness says HOW MANY show up; this says WHO they
     // are): first-touch day per user from the same persisted (user, day)
@@ -1334,6 +1354,19 @@ object ShapeOps {
          FROM dau JOIN mau
            ON CAST(date_trunc('month', dau.day) AS DATE) = mau.mon
          ORDER BY day""",
+    "seq_resurrected" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         g AS (
+           SELECT user_id, day,
+                  CAST(day - lag(day, 1) OVER (PARTITION BY user_id
+                    ORDER BY day) AS BIGINT) AS gap
+           FROM ud)
+         SELECT day, count(1) AS active_users,
+                count(CASE WHEN gap >= 14 THEN 1 END) AS resurrected,
+                coalesce(round(CAST(sum(gap) AS DOUBLE) / count(gap), 6), 0.0)
+                  AS avg_gap_days
+         FROM g GROUP BY day ORDER BY day""",
     "seq_new_vs_returning" ->
       """WITH ud AS (
            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -5438,4 +5438,43 @@ class PropertySpec extends SparkSuite {
       assert(math.abs(r.getDouble(6) - tGap) < 1e-6, "tpr gap")
     }
   }
+
+  test("win_nth_value: positional picks replay the sorted order") {
+    val bySeg = graft.Tables.t(spark, sf, "customer")
+      .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(x => (x._2, x._3)).map(_._3)).toMap
+    val got = q("win_nth_value").collect()
+    got.take(100).foreach { r =>
+      val order = bySeg(r.getString(1))
+      assert(r.getLong(2) === order(1), "second")
+      assert(r.getLong(3) === order(2), "third")
+    }
+  }
+
+  test("seq_resurrected: gaps replay brute per-user activity history") {
+    val ud = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("date")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate)).distinct
+    val hist = ud.groupBy(_._1).view
+      .mapValues(_.map(_._2.toEpochDay).sorted).toMap
+    val gaps = ud.flatMap { case (u, d) =>
+      val ds = hist(u)
+      val i = ds.indexOf(d.toEpochDay)
+      if (i > 0) Some((d, ds(i) - ds(i - 1))) else None
+    }.groupBy(_._1)
+    val byDay = ud.groupBy(_._2)
+    val got = q("seq_resurrected").collect()
+    assert(got.length === byDay.size)
+    got.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      assert(r.getLong(1) === byDay(d).length.toLong, "active")
+      val g = gaps.getOrElse(d, Array.empty[(java.time.LocalDate, Long)])
+      assert(r.getLong(2) === g.count(_._2 >= 14).toLong, s"$d resurrected")
+      if (g.nonEmpty)
+        assert(math.abs(r.getDouble(3) - g.map(_._2).sum.toDouble / g.length) < 1e-6)
+      else assert(r.getDouble(3) === 0.0)
+    }
+  }
 }
