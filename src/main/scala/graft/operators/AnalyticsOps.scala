@@ -194,40 +194,59 @@ object AnalyticsOps {
   }
 
   /** stat_eta_squared's oracle — generated from Segments like
-    * bartlettSql/welchSql (identical Σ trees both engines). */
+    * bartlettSql/welchSql. Unlike those, the sum-of-squares algebra here is
+    * EXACT-INTEGER (cents grain, 10³ micro-scale): SST − SSW cancels ~7
+    * leading digits of ~1.5e14-magnitude moments, so even a single-ulp
+    * decimal→double cast difference between engines flips the 6-dp grid
+    * (observed at sf0.1). Both engines therefore fold the identical
+    * integers (HUGEINT here, DECIMAL(38,0) on the Spark side) and cast to
+    * double only for the final ratios — same integer, same double.
+    * Integral floor-division keeps the micro-scaled quotients exact and
+    * identical; the ≤5-count floor loss is 5e-7 units², under half the
+    * output grid. */
   private val etaSql: String = {
     val lc = Segments.map(_.toLowerCase)
     val cells = Segments.map { sg =>
       val l = sg.toLowerCase
       s"""max(CASE WHEN seg = '$sg' THEN n END) AS n_$l,
-                  max(CASE WHEN seg = '$sg' THEN sx END) AS sx_$l,
-                  max(CASE WHEN seg = '$sg' THEN sxx END) AS sxx_$l"""
+                  max(CASE WHEN seg = '$sg' THEN sc END) AS sc_$l,
+                  max(CASE WHEN seg = '$sg' THEN qc END) AS qc_$l"""
     }.mkString(",\n                  ")
     val bigN = lc.map(l => s"n_$l").mkString(" + ")
-    val sxT = lc.map(l => s"sx_$l").mkString(" + ")
-    val sxxT = lc.map(l => s"sxx_$l").mkString(" + ")
-    // each SSW term parenthesized: unparenthesized a - b + c - d would
-    // re-associate the float sum differently from Spark's (t1+t2)+t3 fold
-    val ssw = lc.map(l => s"(sxx_$l - sx_$l * sx_$l / n_$l)").mkString(" + ")
+    val scT = lc.map(l => s"sc_$l").mkString(" + ")
+    val qcT = lc.map(l => s"qc_$l").mkString(" + ")
+    val tssw = lc.map(l => s"(qc_$l * 1000 - (sc_$l * sc_$l * 1000) // n_$l)")
+      .mkString(" + ")
+    // SST's cross term decomposed per segment (sc_g·S_T), keeping each
+    // quotient ~5× smaller than S_T²/N — headroom for the BIGINT quotient
+    // Spark's `div` returns (bound: sc_g·S_T·10³ div N fits int64 through
+    // ~sf1; beyond that the quotient itself outgrows int64 and the scale
+    // constant must drop to 10²)
+    val sstCross = lc.map(l => s"((sc_$l * ($scT) * 1000) // ($bigN))")
+      .mkString(" + ")
     s"""WITH m AS (
            SELECT c_mktsegment AS seg, count(1) AS n,
-                  CAST(sum(CAST(c_acctbal AS DECIMAL(19,6))) AS DOUBLE) AS sx,
-                  CAST(sum(CAST(c_acctbal AS DECIMAL(19,6))
-                           * CAST(c_acctbal AS DECIMAL(19,6))) AS DOUBLE) AS sxx
+                  sum(CAST(round(c_acctbal * 100) AS HUGEINT)) AS sc,
+                  sum(CAST(round(c_acctbal * 100) AS HUGEINT)
+                      * CAST(round(c_acctbal * 100) AS HUGEINT)) AS qc
            FROM customer GROUP BY 1),
          piv AS (SELECT $cells FROM m),
-         f AS (SELECT *,
-                  CAST($bigN AS BIGINT) AS n_total,
-                  ($ssw) AS ssw,
-                  (($sxxT) - ($sxT) * ($sxT) / ($bigN)) AS sst,
-                  ($ssw) / CAST(($bigN) - 5 AS DOUBLE) AS msw
-               FROM piv)
+         f AS (SELECT CAST($bigN AS BIGINT) AS n_total,
+                  ($tssw) AS t_ssw,
+                  (($qcT) * 1000 - ($sstCross)) AS t_sst
+               FROM piv),
+         g AS (SELECT n_total,
+                  CAST(t_ssw AS DOUBLE) AS sswd,
+                  CAST(t_sst AS DOUBLE) AS sstd,
+                  CAST(t_sst - t_ssw AS DOUBLE) AS ssbd,
+                  CAST(t_ssw AS DOUBLE) / CAST(n_total - 5 AS DOUBLE) AS mswd
+               FROM f)
          SELECT CAST(5 AS INT) AS k, n_total,
-                round(sst - ssw, 6) AS ssb,
-                round(ssw, 6) AS ssw,
-                round((sst - ssw) / sst, 6) AS eta2,
-                round((sst - ssw - 4.0 * msw) / (sst + msw), 6) AS omega2
-         FROM f"""
+                round(ssbd / 10000000.0, 6) AS ssb,
+                round(sswd / 10000000.0, 6) AS ssw,
+                round(ssbd / sstd, 6) AS eta2,
+                round((ssbd - 4.0 * mswd) / (sstd + mswd), 6) AS omega2
+         FROM g"""
   }
 
   private[graft] val PagerankBroadcastMaxNodes = 4L << 20
@@ -2058,39 +2077,54 @@ object AnalyticsOps {
     // the less-biased ω²: the "is it LARGE, not just significant"
     // companion every F-test report needs (stat_anova says p < .05; at
     // n = 10⁶ everything is significant — these say whether it matters).
-    // SST/SSW from the same one-row Segments pivot discipline as
-    // bartlett/welch: DECIMAL-exact moments, SSB = SST − SSW, identical
-    // left-associated Σ trees, two divisions at the end.
+    // Same one-row Segments pivot as bartlett/welch, but the SS algebra is
+    // EXACT-INTEGER (cents grain, 10³ micro-scale): SSB = SST − SSW cancels
+    // ~7 leading digits of ~1.5e14 moments, so a 1-ulp decimal→double cast
+    // difference between engines flips the grid (sf0.1 regression). Both
+    // engines fold identical DECIMAL(38,0)/HUGEINT integers; doubles appear
+    // only in the final ratios — same integer, same double. See etaSql for
+    // the quotient-magnitude bounds.
     "stat_eta_squared" -> ((s, dir) => {
+      val cents = round(col("c_acctbal") * lit(100), 0).cast("decimal(38,0)")
       val m = t(s, dir, "customer")
-        .groupBy(col("c_mktsegment").as("seg"))
+        .select(col("c_mktsegment").as("seg"), cents.as("yc"))
+        .groupBy(col("seg"))
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("c_acctbal"))).as("sxd"),
-          sum(dec(col("c_acctbal")) * dec(col("c_acctbal"))).as("sxxd"))
-        .select(col("seg"), col("n"),
-          col("sxd").cast("double").as("sx"), col("sxxd").cast("double").as("sxx"))
+          sum(col("yc")).as("sc"),
+          sum(col("yc") * col("yc")).as("qc"))
       val aggExprs = Segments.flatMap { sg =>
         val l = sg.toLowerCase
         Seq(max(when(col("seg") === sg, col("n"))).as(s"n_$l"),
-          max(when(col("seg") === sg, col("sx"))).as(s"sx_$l"),
-          max(when(col("seg") === sg, col("sxx"))).as(s"sxx_$l"))
+          max(when(col("seg") === sg, col("sc"))).as(s"sc_$l"),
+          max(when(col("seg") === sg, col("qc"))).as(s"qc_$l"))
       }
       val piv = m.agg(aggExprs.head, aggExprs.tail: _*)
-      def nS(sg: String) = col(s"n_${sg.toLowerCase}")
-      def sxS(sg: String) = col(s"sx_${sg.toLowerCase}")
-      def sxxS(sg: String) = col(s"sxx_${sg.toLowerCase}")
-      val bigN = Segments.map(nS).reduce(_ + _)
-      val sxT = Segments.map(sxS).reduce(_ + _)
-      val sxxT = Segments.map(sxxS).reduce(_ + _)
-      val ssw = Segments.map(sg => sxxS(sg) - sxS(sg) * sxS(sg) / nS(sg))
-        .reduce(_ + _)
-      val sst = sxxT - sxT * sxT / bigN
-      val msw = ssw / (bigN - 5).cast("double")
-      piv.select(lit(5).as("k"), bigN.as("n_total"),
-        round(sst - ssw, 6).as("ssb"),
-        round(ssw, 6).as("ssw"),
-        round((sst - ssw) / sst, 6).as("eta2"),
-        round((sst - ssw - lit(4.0) * msw) / (sst + msw), 6).as("omega2"))
+      val lc = Segments.map(_.toLowerCase)
+      val bigNs = lc.map(l => s"n_$l").mkString(" + ")
+      val scTs = lc.map(l => s"sc_$l").mkString(" + ")
+      val qcTs = lc.map(l => s"qc_$l").mkString(" + ")
+      // `div` = Spark's integral division — exact truncation, mirroring
+      // DuckDB's `//` on the same non-negative integers
+      val tssw = lc.map(l => s"(qc_$l * 1000 - (sc_$l * sc_$l * 1000) div n_$l)")
+        .mkString(" + ")
+      val sstCross = lc.map(l => s"((sc_$l * ($scTs) * 1000) div ($bigNs))")
+        .mkString(" + ")
+      val f = piv.select(
+        expr(s"CAST($bigNs AS BIGINT)").as("n_total"),
+        expr(tssw).as("t_ssw"),
+        expr(s"($qcTs) * 1000 - ($sstCross)").as("t_sst"))
+      val g = f.select(col("n_total"),
+        col("t_ssw").cast("double").as("sswd"),
+        col("t_sst").cast("double").as("sstd"),
+        (col("t_sst") - col("t_ssw")).cast("double").as("ssbd"),
+        (col("t_ssw").cast("double") /
+          (col("n_total") - 5).cast("double")).as("mswd_den"))
+      g.select(lit(5).as("k"), col("n_total"),
+        round(col("ssbd") / lit(1.0e7), 6).as("ssb"),
+        round(col("sswd") / lit(1.0e7), 6).as("ssw"),
+        round(col("ssbd") / col("sstd"), 6).as("eta2"),
+        round((col("ssbd") - lit(4.0) * col("mswd_den")) /
+          (col("sstd") + col("mswd_den")), 6).as("omega2"))
     }),
 
     // Welch's ANOVA across the 5 segments — stat_anova's
