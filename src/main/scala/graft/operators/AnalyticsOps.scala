@@ -249,6 +249,39 @@ object AnalyticsOps {
          FROM g"""
   }
 
+  /** anom_esd's oracle — 3 unrolled removal rounds (KcorePeelRounds'
+    * bounded-round discipline); each round re-derives the moments on the
+    * shrunk sample and picks the integer-exact argmax (devn = |v6·n−S6|,
+    * tie → min event_id, stat_grubbs' discipline). */
+  private val esdSql: String = {
+    val rounds = (1 to 3).map { k =>
+      val b = if (k == 1) "base" else s"base$k"
+      s"""st$k AS (SELECT count(1) AS n, sum(CAST(v6 AS HUGEINT)) AS s6,
+                  sum(CAST(v6 AS HUGEINT) * CAST(v6 AS HUGEINT)) AS q6
+                FROM $b),
+         dev$k AS (SELECT b.event_id, b.value, b.v6, st$k.n, st$k.s6, st$k.q6,
+                  abs(CAST(b.v6 AS HUGEINT) * st$k.n - st$k.s6) AS devn
+                FROM $b b, st$k),
+         pick$k AS (SELECT min(event_id) AS pid FROM dev$k
+                  WHERE devn = (SELECT max(devn) FROM dev$k)),
+         out$k AS (SELECT $k AS esd_round, d.event_id,
+                  round(d.value, 6) AS value, d.n AS n_used,
+                  round(CAST(d.devn AS DOUBLE) /
+                        (d.n * sqrt((d.n * CAST(d.q6 AS DOUBLE) -
+                                     CAST(d.s6 AS DOUBLE) * CAST(d.s6 AS DOUBLE)) /
+                                    (d.n * (d.n - 1)))), 6) AS r_stat
+                FROM dev$k d, pick$k WHERE d.event_id = pick$k.pid),
+         base${k + 1} AS (SELECT b.event_id, b.value, b.v6 FROM $b b, pick$k
+                  WHERE b.event_id <> pick$k.pid)"""
+    }.mkString(",\n         ")
+    s"""WITH base AS (
+           SELECT event_id, value, CAST(round(value * 1000000) AS BIGINT) AS v6
+           FROM events WHERE event_type = 'purchase'),
+         $rounds
+         SELECT * FROM out1 UNION ALL SELECT * FROM out2
+         UNION ALL SELECT * FROM out3 ORDER BY esd_round"""
+  }
+
   private[graft] val PagerankBroadcastMaxNodes = 4L << 20
 
   /** Per-user distinct-item cap for recs_item_cf. The co-occurrence
@@ -2349,6 +2382,48 @@ object AnalyticsOps {
         round((ua - nA * nB / 2.0) / sigma, 6).as("z_stat"))
     }),
 
+    // Two-sample Cramér–von Mises on the same BUILDING/MACHINERY balances
+    // — mannwhitney's OMNIBUS sibling: U compares the entire empirical
+    // CDFs (Anderson's T = U/(Nnm) − (4nm−1)/(6N), U = nΣ(rᵢ−i)² +
+    // mΣ(sⱼ−j)²), so shape/spread differences a location-only rank test
+    // misses still move it. Midranks stay INTEGER end to end: with
+    // doubled ranks R2 = 2·cum_before + t + 1, a tie group's within-
+    // sample indices are consecutive, and 3·Σₖ(A−2k)² = 3na·A² −
+    // 6A·na(na+1) + 2na(na+1)(2na+1) (A = R2 − 2·cum_own_before) is an
+    // exact integer — the value-grain window + hash-agg shape of
+    // mannwhitney, sums through DECIMAL(38,0) (n·U6 passes int64 near
+    // SF1), doubles only in the one-row final algebra.
+    "stat_cvm" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+      val v = t(s, dir, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(col("c_mktsegment").as("seg"), col("c_acctbal").as("v"))
+      val g = v.groupBy(col("v")).agg(
+        sum(when(col("seg") === "BUILDING", 1L).otherwise(0L)).as("na"),
+        sum(when(col("seg") === "MACHINERY", 1L).otherwise(0L)).as("nb"))
+      val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+      def u6(a: Column, n: Column): Column =
+        lit(3L) * n * a * a - lit(6L) * a * n * (n + 1) +
+          lit(2L) * n * (n + 1) * (lit(2L) * n + 1)
+      val r = g
+        .withColumn("cuma", coalesce(sum(col("na")).over(w), lit(0L)))
+        .withColumn("cumb", coalesce(sum(col("nb")).over(w), lit(0L)))
+        .withColumn("r2", lit(2L) * (col("cuma") + col("cumb")) +
+          col("na") + col("nb") + 1)
+        .withColumn("ux6", u6(col("r2") - lit(2L) * col("cuma"), col("na")))
+        .withColumn("uy6", u6(col("r2") - lit(2L) * col("cumb"), col("nb")))
+      val m = r.agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
+        sum(d38(col("ux6"))).as("u6x"), sum(d38(col("uy6"))).as("u6y"))
+        .withColumn("u12",
+          d38(col("n_a")) * col("u6x") + d38(col("n_b")) * col("u6y"))
+      val nA = col("n_a").cast("double"); val nB = col("n_b").cast("double")
+      val nT = (col("n_a") + col("n_b")).cast("double")
+      m.select(col("n_a"), col("n_b"),
+        round(col("u12").cast("double") / 12.0, 6).as("u_stat"),
+        round(col("u12").cast("double") / 12.0 / (nT * nA * nB) -
+          (lit(4.0) * nA * nB - 1) / (lit(6.0) * nT), 6).as("t_stat"))
+    }),
+
     // Wilcoxon SIGNED-RANK test on the paired (view, purchase) daily
     // counts — the PAIRED member of the nonparametric family beside
     // stat_mannwhitney's unpaired U: same-day pairs difference out the
@@ -3973,6 +4048,46 @@ object AnalyticsOps {
               col("sx").cast("double") * col("sx").cast("double")) /
               (col("n") * (col("n") - 1)))), 6).as("g_stat"))
         .orderBy(col("nk"))
+    }),
+
+    // Generalized ESD (Rosner) screen on the purchase-value series —
+    // stat_grubbs ITERATED: a single-outlier test masks when several
+    // extremes cluster (the second inflates the sd the first is tested
+    // against); ESD removes the current most-extreme point and re-tests
+    // on the shrunk sample, K = 3 bounded rounds (KcorePeelRounds'
+    // unroll discipline — the DuckDB twin replays the same rounds).
+    // Argmax is integer-exact on the 6-dp grid (devn = |v6·n − S6|,
+    // tie → min event_id); moments DECIMAL-exact per round; each round's
+    // 1-row pick is localCheckpoint-pinned so the removal chain's
+    // lineage stays flat (the graph_hits 2^n replay lesson) — the final
+    // union replays the persisted base 6×, under the >8 replay lint.
+    "anom_esd" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+      val base = persistShared("anom_esd_base", events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("value"),
+          expr("CAST(round(value * 1000000, 0) AS BIGINT)").as("v6")))
+      var cur = base
+      val outs = (1 to 3).map { k =>
+        val st = cur.agg(count(lit(1)).as("n"), sum(d38(col("v6"))).as("s6"),
+          sum(d38(col("v6")) * d38(col("v6"))).as("q6"))
+        val dev = cur.crossJoin(broadcast(st))
+          .withColumn("devn", abs(d38(col("v6")) * col("n") - col("s6")))
+        val mx = dev.agg(max(col("devn")).as("mxd"))
+        val pick = dev.join(broadcast(mx), col("devn") === col("mxd"))
+          .agg(min(col("event_id")).as("pid")).localCheckpoint(true)
+        val out = dev.join(broadcast(pick), col("event_id") === col("pid"))
+          .select(lit(k).as("esd_round"), col("event_id"),
+            round(col("value"), 6).as("value"), col("n").as("n_used"),
+            round(col("devn").cast("double") /
+              (col("n") * sqrt((col("n") * col("q6").cast("double") -
+                col("s6").cast("double") * col("s6").cast("double")) /
+                (col("n") * (col("n") - 1)))), 6).as("r_stat"))
+        cur = cur.join(broadcast(pick), col("event_id") === col("pid"),
+          "left_anti")
+        out
+      }
+      outs.reduce(_ unionByName _).orderBy(col("esd_round"))
     }),
 
     // Spearman rank correlation of quantity vs price per returnflag —
@@ -5812,6 +5927,7 @@ object AnalyticsOps {
          ORDER BY cosine DESC, ia, ib LIMIT 20""",
     "stat_welch_anova" -> welchSql,
     "stat_eta_squared" -> etaSql,
+    "anom_esd" -> esdSql,
     "stat_partial_corr" ->
       """WITH daily AS (
            SELECT CAST(ts AS DATE) AS day, event_type, count(1) AS c
@@ -6060,6 +6176,49 @@ object AnalyticsOps {
                            (CAST(n_a + n_b + 1 AS DOUBLE)
                             - CAST(ties AS DOUBLE) / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE))), 6) AS z_stat
          FROM m""",
+    "stat_cvm" ->
+      """WITH v AS (
+           SELECT c_mktsegment AS seg, c_acctbal AS v FROM customer
+           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+         g AS (
+           SELECT v,
+                  CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                  CAST(sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+           FROM v GROUP BY v),
+         r AS (
+           SELECT na, nb,
+                  coalesce(CAST(sum(na) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cuma,
+                  coalesce(CAST(sum(nb) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cumb
+           FROM g),
+         r2 AS (
+           SELECT na, nb, 2 * (cuma + cumb) + na + nb + 1 AS r2, cuma, cumb
+           FROM r),
+         u AS (
+           SELECT na, nb,
+                  3 * na * (r2 - 2 * cuma) * (r2 - 2 * cuma)
+                    - 6 * (r2 - 2 * cuma) * na * (na + 1)
+                    + 2 * na * (na + 1) * (2 * na + 1) AS ux6,
+                  3 * nb * (r2 - 2 * cumb) * (r2 - 2 * cumb)
+                    - 6 * (r2 - 2 * cumb) * nb * (nb + 1)
+                    + 2 * nb * (nb + 1) * (2 * nb + 1) AS uy6
+           FROM r2),
+         m AS (
+           SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b,
+                  sum(CAST(ux6 AS HUGEINT)) AS u6x, sum(CAST(uy6 AS HUGEINT)) AS u6y
+           FROM u),
+         f AS (
+           SELECT n_a, n_b,
+                  CAST(n_a AS HUGEINT) * u6x + CAST(n_b AS HUGEINT) * u6y AS u12
+           FROM m)
+         SELECT n_a, n_b,
+                round(CAST(u12 AS DOUBLE) / 12.0, 6) AS u_stat,
+                round(CAST(u12 AS DOUBLE) / 12.0
+                        / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                      - (4.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) - 1)
+                        / (6.0 * CAST(n_a + n_b AS DOUBLE)), 6) AS t_stat
+         FROM f""",
     "feature_woe" ->
       """WITH j AS (
            SELECT c_mktsegment AS seg, o_orderstatus

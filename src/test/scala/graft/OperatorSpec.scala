@@ -5477,4 +5477,52 @@ class PropertySpec extends SparkSuite {
       else assert(r.getDouble(3) === 0.0)
     }
   }
+
+  test("stat_cvm: the integer rank folds replay brute midrank CvM") {
+    val rows = graft.Tables.t(spark, sf, "customer")
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_mktsegment"), col("c_acctbal")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val all = rows.map(_._2).sorted
+    def midrank(v: Double): Double = {
+      val lo = all.indexWhere(_ == v); val hi = all.lastIndexWhere(_ == v)
+      (lo + hi + 2) / 2.0 // 1-based average rank
+    }
+    def ssq(sample: Array[Double]): Double =
+      sample.sorted.zipWithIndex.map { case (v, i) =>
+        val d = midrank(v) - (i + 1); d * d
+      }.sum
+    val xs = rows.filter(_._1 == "BUILDING").map(_._2)
+    val ys = rows.filter(_._1 == "MACHINERY").map(_._2)
+    val (n, m) = (xs.length.toDouble, ys.length.toDouble)
+    val bigU = n * ssq(xs) + m * ssq(ys)
+    val bigT = bigU / ((n + m) * n * m) - (4 * n * m - 1) / (6 * (n + m))
+    val r = q("stat_cvm").collect()(0)
+    assert(r.getLong(0) === xs.length.toLong)
+    assert(r.getLong(1) === ys.length.toLong)
+    assert(math.abs(r.getDouble(2) - bigU) / bigU < 1e-9, s"u: $r vs $bigU")
+    assert(math.abs(r.getDouble(3) - bigT) < 1e-6, s"t: $r vs $bigT")
+  }
+
+  test("anom_esd: three rounds replay brute iterated Grubbs removal") {
+    var rem = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toVector
+    val got = q("anom_esd").collect()
+    assert(got.length === 3)
+    (1 to 3).foreach { k =>
+      val n = rem.length.toDouble
+      val mean = rem.map(_._2).sum / n
+      val sd = math.sqrt(rem.map(t => (t._2 - mean) * (t._2 - mean)).sum / (n - 1))
+      val pick = rem.minBy(t => (-math.abs(t._2 - mean), t._1))
+      val r = got(k - 1)
+      assert(r.getInt(0) === k)
+      assert(r.getLong(1) === pick._1, s"round $k id")
+      assert(r.getLong(3) === rem.length.toLong, s"round $k n")
+      assert(math.abs(r.getDouble(4) - math.abs(pick._2 - mean) / sd) < 1e-4,
+        s"round $k R")
+      rem = rem.filterNot(_._1 == pick._1)
+    }
+  }
 }
