@@ -282,6 +282,50 @@ object AnalyticsOps {
          UNION ALL SELECT * FROM out3 ORDER BY esd_round"""
   }
 
+  /** stat_jonckheere's oracle — generated like etaSql so both engines
+    * carry the identical integer pair-term and moment trees. */
+  private val jtSql: String = {
+    val pr = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW")
+    val cnts = pr.zipWithIndex.map { case (p, i) =>
+      s"CAST(sum(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS n$i"
+    }.mkString(",\n                  ")
+    val cums = (0 until 5).map(i =>
+      s"""coalesce(CAST(sum(n$i) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS c$i""")
+      .mkString(",\n                  ")
+    val ns = (0 until 5).map(i => s"n$i").mkString(", ")
+    val pairTerm = (for { i <- 0 until 5; j <- (i + 1) until 5 } yield
+      s"2 * n$j * c$i + n$i * n$j").mkString(" + ")
+    val ts = (0 until 5).map(i => s"CAST(sum(n$i) AS HUGEINT) AS t$i")
+      .mkString(", ")
+    val ntS = (0 until 5).map(i => s"t$i").mkString(" + ")
+    val sumsq = (0 until 5).map(i => s"t$i * t$i").mkString(" + ")
+    val s72sub = (0 until 5).map(i => s"t$i * t$i * (2 * t$i + 3)")
+      .mkString(" + ")
+    s"""WITH g AS (
+           SELECT o_totalprice AS v,
+                  $cnts
+           FROM orders GROUP BY v),
+         c AS (
+           SELECT $ns,
+                  $cums
+           FROM g),
+         m AS (
+           SELECT CAST(sum($pairTerm) AS HUGEINT) AS j2, $ts
+           FROM c),
+         f AS (
+           SELECT j2, ($ntS) AS nt,
+                  ($ntS) * ($ntS) - ($sumsq) AS mu4,
+                  ($ntS) * ($ntS) * (2 * ($ntS) + 3) - ($s72sub) AS s72
+           FROM m)
+         SELECT CAST(5 AS INT) AS k, CAST(nt AS BIGINT) AS n_total,
+                round(CAST(j2 AS DOUBLE) / 2.0, 6) AS j_stat,
+                round(CAST(2 * j2 - mu4 AS DOUBLE) / 4.0
+                      / sqrt(CAST(s72 AS DOUBLE) / 72.0), 6) AS z_stat
+         FROM f"""
+  }
+
   private[graft] val PagerankBroadcastMaxNodes = 4L << 20
 
   /** Per-user distinct-item cap for recs_item_cf. The co-occurrence
@@ -3698,6 +3742,48 @@ object AnalyticsOps {
         (col("k") - 1).as("dof"))
     }),
 
+    // Jonckheere–Terpstra ordered-alternative trend test of order value
+    // across the FIVE ORDERED priorities — the directional member of the
+    // k-sample corner: kruskal asks "are any groups different", this asks
+    // "does the value MONOTONICALLY shift as priority drops", gaining
+    // power exactly when the alternative is ordered. J = Σ_{i<j} U_ij
+    // (pairwise Mann–Whitney counts, ties at ½) stays INTEGER via the
+    // doubled trick: J2 = Σ_v Σ_{i<j} (2·n_j·cum_i + n_i·n_j) from one
+    // 5-column prefix window over the value grain; μ and σ² from the
+    // group sizes in DECIMAL(38,0) (N²(2N+3) passes int64 near SF1);
+    // normal z on the no-tie variance (documented — ties are <0.2% of
+    // the price grain) as one-row double algebra.
+    "stat_jonckheere" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+      val pr = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+        "5-LOW")
+      val cnts = pr.zipWithIndex.map { case (p, i) =>
+        sum(when(col("o_orderpriority") === p, 1L).otherwise(0L)).as(s"n$i")
+      }
+      val g = t(s, dir, "orders")
+        .groupBy(col("o_totalprice").as("v"))
+        .agg(cnts.head, cnts.tail: _*)
+      val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+      val withCum = (0 until 5).foldLeft(g) { (df, i) =>
+        df.withColumn(s"c$i", coalesce(sum(col(s"n$i")).over(w), lit(0L)))
+      }
+      val pairTerm = (for { i <- 0 until 5; j <- (i + 1) until 5 } yield
+        lit(2L) * col(s"n$j") * col(s"c$i") + col(s"n$i") * col(s"n$j"))
+        .reduce(_ + _)
+      val aggs = sum(pairTerm).as("j2") +:
+        (0 until 5).map(i => sum(col(s"n$i")).as(s"t$i"))
+      val m = withCum.agg(aggs.head, aggs.tail: _*)
+      val tS = (0 until 5).map(i => d38(col(s"t$i")))
+      val nt = tS.reduce(_ + _)
+      val mu4 = nt * nt - tS.map(t => t * t).reduce(_ + _)
+      val s72 = nt * nt * (lit(2) * nt + 3) -
+        tS.map(t => t * t * (lit(2) * t + 3)).reduce(_ + _)
+      m.select(lit(5).as("k"), nt.cast("long").as("n_total"),
+        round(col("j2").cast("double") / 2.0, 6).as("j_stat"),
+        round((d38(col("j2")) * 2 - mu4).cast("double") / 4.0 /
+          sqrt(s72.cast("double") / 72.0), 6).as("z_stat"))
+    }),
+
     // Friedman test over (day blocks × event types) — the PAIRED k-sample
     // rank test closing the nonparametric grid: within each day the k
     // series rank against each other (doubled mid-ranks, ties exact),
@@ -4577,6 +4663,34 @@ object AnalyticsOps {
             6).as("mcc"),
           round((tpr + tnr) * lit(0.5), 6).as("balanced_acc"),
           round(tpr + tnr - lit(1.0), 6).as("informedness"))
+    }),
+
+    // Cohen's kappa between the two deterministic hash raters — the
+    // inter-RATER agreement eval beside eval_mcc's truth-referenced
+    // quality and stat_mcnemar's disagreement test: chance-corrected
+    // agreement κ = (p_o − p_e)/(1 − p_e), which stays a ratio of two
+    // EXACT integers (agree·n − pe2 over n² − pe2, pe2 = a₁b₁ +
+    // (n−a₁)(n−b₁)) — no double appears until the final three divisions;
+    // nullif guards the degenerate p_e = 1 case (both raters constant)
+    // the same way stat_mcnemar guards b+c = 0. One fact-grain hash agg.
+    "eval_cohen_kappa" -> ((s, dir) => {
+      val sc = (mult: Long) => (((col("c_custkey") % lit(2147483648L)) * lit(mult))
+        % lit(2147483648L) % 1000)
+      val b = t(s, dir, "customer").select(
+        when(sc(2654435761L) >= 500, 1).otherwise(0).as("pa"),
+        when(sc(1315423911L) >= 500, 1).otherwise(0).as("pb"))
+      b.agg(count(lit(1)).as("n"),
+          count(when(col("pa") === 1, 1)).as("a_pos"),
+          count(when(col("pb") === 1, 1)).as("b_pos"),
+          count(when(col("pa") === col("pb"), 1)).as("agree"))
+        .withColumn("pe2", col("a_pos") * col("b_pos") +
+          (col("n") - col("a_pos")) * (col("n") - col("b_pos")))
+        .select(col("n"), col("a_pos"), col("b_pos"), col("agree"),
+          round(col("agree").cast("double") / col("n"), 6).as("po"),
+          round(col("pe2").cast("double") /
+            (col("n").cast("double") * col("n")), 6).as("pe"),
+          round((col("agree") * col("n") - col("pe2")).cast("double") /
+            nullif(col("n") * col("n") - col("pe2"), lit(0L)), 6).as("kappa"))
     }),
 
     // Group-fairness audit — the responsible-AI eval beside eval_mcc's
@@ -5928,6 +6042,28 @@ object AnalyticsOps {
     "stat_welch_anova" -> welchSql,
     "stat_eta_squared" -> etaSql,
     "anom_esd" -> esdSql,
+    "stat_jonckheere" -> jtSql,
+    "eval_cohen_kappa" ->
+      """WITH b AS (
+           SELECT CASE WHEN (((c_custkey % 2147483648) * 2654435761)
+                             % 2147483648) % 1000 >= 500 THEN 1 ELSE 0 END AS pa,
+                  CASE WHEN (((c_custkey % 2147483648) * 1315423911)
+                             % 2147483648) % 1000 >= 500 THEN 1 ELSE 0 END AS pb
+           FROM customer),
+         m AS (SELECT CAST(count(1) AS BIGINT) AS n,
+                  CAST(count(CASE WHEN pa = 1 THEN 1 END) AS BIGINT) AS a_pos,
+                  CAST(count(CASE WHEN pb = 1 THEN 1 END) AS BIGINT) AS b_pos,
+                  CAST(count(CASE WHEN pa = pb THEN 1 END) AS BIGINT) AS agree
+               FROM b),
+         f AS (SELECT *,
+                  a_pos * b_pos + (n - a_pos) * (n - b_pos) AS pe2
+               FROM m)
+         SELECT n, a_pos, b_pos, agree,
+                round(CAST(agree AS DOUBLE) / n, 6) AS po,
+                round(CAST(pe2 AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6) AS pe,
+                round(CAST(agree * n - pe2 AS DOUBLE)
+                      / nullif(n * n - pe2, 0), 6) AS kappa
+         FROM f""",
     "stat_partial_corr" ->
       """WITH daily AS (
            SELECT CAST(ts AS DATE) AS day, event_type, count(1) AS c

@@ -5525,4 +5525,44 @@ class PropertySpec extends SparkSuite {
       rem = rem.filterNot(_._1 == pick._1)
     }
   }
+
+  test("stat_jonckheere: J and z replay brute pairwise U counts") {
+    val rows = graft.Tables.t(spark, sf, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val pr = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val groups = pr.map(p => rows.filter(_._1 == p).map(_._2))
+    var j = 0.0
+    for { i <- groups.indices; gj <- groups.indices.drop(i + 1) }
+      for (a <- groups(i); b <- groups(gj))
+        j += (if (a < b) 1.0 else if (a == b) 0.5 else 0.0)
+    val ns = groups.map(_.length.toDouble)
+    val n = ns.sum
+    val mu = (n * n - ns.map(x => x * x).sum) / 4
+    val sig = math.sqrt((n * n * (2 * n + 3) -
+      ns.map(x => x * x * (2 * x + 3)).sum) / 72)
+    val r = q("stat_jonckheere").collect()(0)
+    assert(r.getInt(0) === 5)
+    assert(r.getLong(1) === rows.length.toLong)
+    assert(math.abs(r.getDouble(2) - j) < 1e-6, s"J: $r vs $j")
+    assert(math.abs(r.getDouble(3) - (j - mu) / sig) < 1e-6, "z")
+  }
+
+  test("eval_cohen_kappa: kappa replays brute chance-corrected agreement") {
+    val keys = graft.Tables.t(spark, sf, "customer")
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    def rater(mult: Long)(k: Long): Int =
+      if ((k % 2147483648L) * mult % 2147483648L % 1000 >= 500) 1 else 0
+    val pa = keys.map(rater(2654435761L)); val pb = keys.map(rater(1315423911L))
+    val n = keys.length.toDouble
+    val agree = pa.zip(pb).count { case (a, b) => a == b }
+    val po = agree / n
+    val pe = (pa.sum * pb.sum + (n - pa.sum) * (n - pb.sum)) / (n * n)
+    val r = q("eval_cohen_kappa").collect()(0)
+    assert(r.getLong(0) === keys.length.toLong)
+    assert(r.getLong(3) === agree.toLong)
+    assert(math.abs(r.getDouble(4) - po) < 1e-6)
+    assert(math.abs(r.getDouble(5) - pe) < 1e-6)
+    assert(math.abs(r.getDouble(6) - (po - pe) / (1 - pe)) < 1e-6, "kappa")
+  }
 }
