@@ -1834,6 +1834,48 @@ object AnalyticsOps {
         .orderBy(col("seg_a"), col("seg_b"))
     }),
 
+    // Deterministic A/B experiment readout on per-user purchase spend —
+    // the experimentation kit as one operator (assignment → guardrail
+    // moments → decision stats): arms are the multiplicative-hash parity
+    // of user_id (RNG-free, partitioning-reproducible — the
+    // sample_stratified discipline, and exactly how real systems bucket),
+    // the metric aggregates to the USER grain first on the 6-dp integer
+    // grid (an event-grain t-test would let one heavy user violate the
+    // independence the test assumes), then Welch t + Satterthwaite df +
+    // relative lift as one-row double algebra on decimal-exact arm
+    // moments (t/df/lift are scale-invariant, so the v6 grid needs no
+    // unit conversion there; displayed means divide once).
+    "seq_ab_test" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+      val u = events(s, dir).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(expr("CAST(round(value * 1000000, 0) AS BIGINT)")).as("v6"))
+        .select((((col("user_id") % lit(2147483648L)) * lit(2654435761L))
+          % lit(2147483648L) % 2).cast("int").as("arm"), col("v6"))
+      val m = u.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(d38(col("v6"))).as("sv"),
+          sum(d38(col("v6")) * d38(col("v6"))).as("svv"))
+        .select(col("arm"), col("n"),
+          (col("sv").cast("double") / col("n")).as("mu"),
+          ((col("svv").cast("double") - col("sv").cast("double") *
+            col("sv").cast("double") / col("n")) / (col("n") - 1)).as("v"))
+      val piv = m.agg(
+        max(when(col("arm") === 0, col("n"))).as("na"),
+        max(when(col("arm") === 0, col("mu"))).as("ma"),
+        max(when(col("arm") === 0, col("v"))).as("va"),
+        max(when(col("arm") === 1, col("n"))).as("nb"),
+        max(when(col("arm") === 1, col("mu"))).as("mb"),
+        max(when(col("arm") === 1, col("v"))).as("vb"))
+      val sa = col("va") / col("na"); val sb = col("vb") / col("nb")
+      piv.select(col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("ma") / lit(1.0e6), 6).as("mean_a"),
+        round(col("mb") / lit(1.0e6), 6).as("mean_b"),
+        round((col("mb") - col("ma")) / col("ma") * 100, 6).as("lift_pct"),
+        round((col("mb") - col("ma")) / sqrt(sa + sb), 6).as("t_stat"),
+        round((sa + sb) * (sa + sb) /
+          (sa * sa / (col("na") - 1) + sb * sb / (col("nb") - 1)), 6).as("df"))
+    }),
+
     // Two-one-sided-tests (TOST) equivalence screen across segment pairs
     // — the inferential INVERSE of stat_ttest: ttest asks "are these
     // means different", this asks "are they provably WITHIN ±δ of each
@@ -6043,6 +6085,42 @@ object AnalyticsOps {
     "stat_eta_squared" -> etaSql,
     "anom_esd" -> esdSql,
     "stat_jonckheere" -> jtSql,
+    "seq_ab_test" ->
+      """WITH u AS (
+           SELECT user_id,
+                  CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS HUGEINT) AS v6
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         a AS (
+           SELECT (((user_id % 2147483648) * 2654435761) % 2147483648) % 2 AS arm,
+                  v6
+           FROM u),
+         m AS (
+           SELECT arm, count(1) AS n,
+                  sum(v6) AS sv, sum(v6 * v6) AS svv
+           FROM a GROUP BY arm),
+         s AS (
+           SELECT arm, n,
+                  CAST(sv AS DOUBLE) / n AS mu,
+                  (CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n)
+                    / (n - 1) AS v
+           FROM m),
+         piv AS (
+           SELECT max(CASE WHEN arm = 0 THEN n END) AS na,
+                  max(CASE WHEN arm = 0 THEN mu END) AS ma,
+                  max(CASE WHEN arm = 0 THEN v END) AS va,
+                  max(CASE WHEN arm = 1 THEN n END) AS nb,
+                  max(CASE WHEN arm = 1 THEN mu END) AS mb,
+                  max(CASE WHEN arm = 1 THEN v END) AS vb
+           FROM s)
+         SELECT na AS n_a, nb AS n_b,
+                round(ma / 1000000.0, 6) AS mean_a,
+                round(mb / 1000000.0, 6) AS mean_b,
+                round((mb - ma) / ma * 100, 6) AS lift_pct,
+                round((mb - ma) / sqrt(va / na + vb / nb), 6) AS t_stat,
+                round((va / na + vb / nb) * (va / na + vb / nb) /
+                      ((va / na) * (va / na) / (na - 1)
+                       + (vb / nb) * (vb / nb) / (nb - 1)), 6) AS df
+         FROM piv""",
     "eval_cohen_kappa" ->
       """WITH b AS (
            SELECT CASE WHEN (((c_custkey % 2147483648) * 2654435761)

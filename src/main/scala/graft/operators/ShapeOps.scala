@@ -309,6 +309,56 @@ object ShapeOps {
         .orderBy(col("event_type"))
     }),
 
+    // Additive Holt–Winters (α=0.3, β=0.2, γ=0.2, weekly period) per
+    // event series — the SEASONAL member completing the exponential
+    // family: ses smooths level, holt adds trend, this adds the 7-day
+    // cycle snaive/seasonal_decompose observe but don't smooth. Init
+    // from the first fortnight (level = week-1 mean, trend = (week-2
+    // mean − week-1 mean)/7, seasonals = week-1 residuals), then ONE
+    // sequential 9-element array fold over the remaining days
+    // (ts_kalman_1d's state fold widened; the DuckDB twin threads the
+    // same 9-list through list_reduce via the prepended-init trick).
+    // The seasonal block ROTATES inside the fold (s2..s7 slide forward,
+    // the refreshed s1 appends) so each step faces its own weekday's
+    // seasonal and the post-fold state's s-slot 1 is already tomorrow's.
+    // Deterministic in-row array order — engine-identical doubles, no
+    // gridding; series shorter than the init fortnight yield NULL on
+    // both engines (the ts_ses_forecast hold-out guard discipline).
+    "ts_holt_winters" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type").as("et"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val h = daily.groupBy(col("et"))
+        .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("h"))
+        .select(col("et"),
+          expr("transform(h, r -> CAST(r.c AS DOUBLE))").as("vs"))
+      val l0 = aggregate(expr("slice(vs, 1, 7)"), lit(0.0), _ + _) / 7.0
+      val m2 = aggregate(expr("slice(vs, 8, 7)"), lit(0.0), _ + _) / 7.0
+      val init = concat(array(l0, (m2 - l0) / 7.0),
+        transform(expr("slice(vs, 1, 7)"), x => x - l0))
+      val st = aggregate(expr("slice(vs, 8, greatest(size(vs) - 7, 0))"),
+        init,
+        (acc, x) => {
+          val l = element_at(acc, 1); val b = element_at(acc, 2)
+          val s1 = element_at(acc, 3)
+          val lNew = lit(0.3) * (x - s1) + lit(0.7) * (l + b)
+          val bNew = lit(0.2) * (lNew - l) + lit(0.8) * b
+          val sNew = lit(0.2) * (x - lNew) + lit(0.8) * s1
+          concat(array(lNew, bNew), slice(acc, 4, 6), array(sNew))
+        })
+      val hv = h.withColumn("st", st)
+      def guarded(c: org.apache.spark.sql.Column) =
+        when(size(col("vs")) < 15, lit(null).cast("double")).otherwise(c)
+      hv.select(col("et").as("event_type"),
+          size(col("vs")).cast("long").as("n_days"),
+          guarded(round(element_at(col("st"), 1), 6)).as("level"),
+          guarded(round(element_at(col("st"), 2), 6)).as("trend"),
+          guarded(round(element_at(col("st"), 3), 6)).as("season_next"),
+          guarded(round(element_at(col("st"), 1) + element_at(col("st"), 2) +
+            element_at(col("st"), 3), 6)).as("forecast_1"))
+        .orderBy(col("event_type"))
+    }),
+
     // Daily new-user counts + CUMULATIVE DISTINCT users — the growth
     // curve every analytics stack draws, and the classic scale trap: a
     // naive running count-distinct window holds per-day state
@@ -1202,6 +1252,45 @@ object ShapeOps {
                             hh -> abs(vs[CAST(23 + hh AS INTEGER)]
                                       - (lt[1] + hh * lt[2]))), 'sum') / 7, 6)
                 END AS mae_7d
+         FROM f ORDER BY event_type""",
+    "ts_holt_winters" ->
+      """WITH daily AS (
+           SELECT event_type AS et, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         h AS (
+           SELECT et, list_transform(list(c ORDER BY day),
+                        x -> CAST(x AS DOUBLE)) AS vs
+           FROM daily GROUP BY 1),
+         f AS (
+           SELECT et, len(vs) AS n_days,
+                  list_reduce(
+                    list_prepend(
+                      list_concat(
+                        [list_aggregate(vs[1:7], 'sum') / 7.0,
+                         (list_aggregate(vs[8:14], 'sum') / 7.0
+                          - list_aggregate(vs[1:7], 'sum') / 7.0) / 7.0],
+                        list_transform(vs[1:7],
+                          x -> x - list_aggregate(vs[1:7], 'sum') / 7.0)),
+                      list_transform(vs[8:], z -> [z])),
+                    (acc, e) -> list_concat(list_concat(
+                      [0.3 * (e[1] - acc[3]) + 0.7 * (acc[1] + acc[2]),
+                       0.2 * ((0.3 * (e[1] - acc[3]) + 0.7 * (acc[1] + acc[2]))
+                              - acc[1]) + 0.8 * acc[2]],
+                      acc[4:9]),
+                      [0.2 * (e[1] - (0.3 * (e[1] - acc[3])
+                                      + 0.7 * (acc[1] + acc[2])))
+                       + 0.8 * acc[3]])) AS st,
+                  vs
+           FROM h)
+         SELECT et AS event_type, CAST(n_days AS BIGINT) AS n_days,
+                CASE WHEN len(vs) < 15 THEN NULL
+                     ELSE round(st[1], 6) END AS level,
+                CASE WHEN len(vs) < 15 THEN NULL
+                     ELSE round(st[2], 6) END AS trend,
+                CASE WHEN len(vs) < 15 THEN NULL
+                     ELSE round(st[3], 6) END AS season_next,
+                CASE WHEN len(vs) < 15 THEN NULL
+                     ELSE round(st[1] + st[2] + st[3], 6) END AS forecast_1
          FROM f ORDER BY event_type""",
     "ts_ewm_volatility" ->
       """WITH daily AS (

@@ -5565,4 +5565,60 @@ class PropertySpec extends SparkSuite {
     assert(math.abs(r.getDouble(5) - pe) < 1e-6)
     assert(math.abs(r.getDouble(6) - (po - pe) / (1 - pe)) < 1e-6, "kappa")
   }
+
+  test("seq_ab_test: Welch t and lift replay brute arm moments") {
+    val perUser = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val arms = perUser.toSeq.map { case (u, v6) =>
+      ((u % 2147483648L) * 2654435761L % 2147483648L % 2, v6.toDouble)
+    }
+    def mom(a: Long) = {
+      val xs = arms.filter(_._1 == a).map(_._2)
+      val n = xs.length.toDouble; val mu = xs.sum / n
+      (n, mu, xs.map(x => (x - mu) * (x - mu)).sum / (n - 1))
+    }
+    val (na, ma, va) = mom(0); val (nb, mb, vb) = mom(1)
+    val r = q("seq_ab_test").collect()(0)
+    assert(r.getLong(0) === na.toLong && r.getLong(1) === nb.toLong)
+    assert(math.abs(r.getDouble(2) - ma / 1e6) < 1e-5, "mean_a")
+    assert(math.abs(r.getDouble(4) - (mb - ma) / ma * 100) < 1e-5, "lift")
+    val tBr = (mb - ma) / math.sqrt(va / na + vb / nb)
+    assert(math.abs(r.getDouble(5) - tBr) < 1e-5, "t")
+    val dfBr = math.pow(va / na + vb / nb, 2) /
+      (math.pow(va / na, 2) / (na - 1) + math.pow(vb / nb, 2) / (nb - 1))
+    assert(math.abs(r.getDouble(6) - dfBr) < 1e-3, "df")
+  }
+
+  test("ts_holt_winters: the 9-state fold replays the brute recurrence") {
+    val byType = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2.toEpochDay).map(_._3.toDouble).toArray).toMap
+    val got = q("ts_holt_winters").collect()
+    got.foreach { r =>
+      val vs = byType(r.getString(0))
+      assert(r.getLong(1) === vs.length.toLong)
+      if (vs.length < 15) assert(r.isNullAt(2) && r.isNullAt(5))
+      else {
+        var l = vs.take(7).sum / 7
+        var b = (vs.slice(7, 14).sum / 7 - l) / 7
+        var sArr = vs.take(7).map(_ - l)
+        vs.drop(7).foreach { x =>
+          val lNew = 0.3 * (x - sArr(0)) + 0.7 * (l + b)
+          val bNew = 0.2 * (lNew - l) + 0.8 * b
+          val sNew = 0.2 * (x - lNew) + 0.8 * sArr(0)
+          l = lNew; b = bNew; sArr = sArr.drop(1) :+ sNew
+        }
+        assert(math.abs(r.getDouble(2) - l) < 1e-5, "level")
+        assert(math.abs(r.getDouble(3) - b) < 1e-5, "trend")
+        assert(math.abs(r.getDouble(4) - sArr(0)) < 1e-5, "season_next")
+        assert(math.abs(r.getDouble(5) - (l + b + sArr(0))) < 1e-5, "f1")
+      }
+    }
+  }
 }
