@@ -2548,6 +2548,69 @@ object AnalyticsOps {
           .as("z_stat"))
     }),
 
+    // Sign test on the same paired daily (view, purchase) counts — the
+    // assumption-FREE floor of the paired corner (ttest needs normality,
+    // wilcoxon needs symmetric differences; the sign test needs only
+    // "which side is bigger", surviving anything): S⁺ = #(d>0) over the
+    // m nonzero days against Binomial(m, ½), normal z = (2S⁺ − m)/√m —
+    // PURE INTEGER counts, one double division; day-grain, calendar-
+    // bounded at any corpus size. The weakest-but-unbreakable member
+    // beside wilcoxon's ranked power.
+    "stat_sign_test" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val xy = daily.groupBy(col("day")).pivot("event_type", Seq("view", "purchase"))
+        .agg(first(col("c")))
+        .select(coalesce(col("view"), lit(0L)).as("x"),
+          coalesce(col("purchase"), lit(0L)).as("y"))
+        .withColumn("d", col("x") - col("y"))
+      xy.agg(count(lit(1)).as("n_days"),
+          count(when(col("d") =!= 0, 1)).as("n_nonzero"),
+          count(when(col("d") > 0, 1)).as("s_plus"))
+        .select(col("n_days"), col("n_nonzero"), col("s_plus"),
+          round((lit(2L) * col("s_plus") - col("n_nonzero")).cast("double") /
+            sqrt(col("n_nonzero").cast("double")), 6).as("z_stat"))
+    }),
+
+    // Distribution-free confidence interval for the MEDIAN per segment —
+    // the companion stat_bootstrap_ci's resampling can't beat for the
+    // median (order statistics give the EXACT binomial interval): lower
+    // median at rank (n+1) div 2 (integer), CI bounds at the classic
+    // normal-approximation ranks L = ⌊(n − 1.96√n)/2⌋, U = ⌈1 + (n +
+    // 1.96√n)/2⌉ clamped to [1, n] — the rank arithmetic runs on
+    // IDENTICAL doubles both engines (same n → same 1.96√n → same
+    // floor/ceil), the picks are deterministic under ties ((value, key)
+    // order), and everything else is one rank window + a 3-way
+    // conditional max per segment.
+    "stat_median_ci" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"), col("c_acctbal").as("v"),
+          col("c_custkey").as("k"))
+      val cnt = c.groupBy(col("seg")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("seg")).orderBy(col("v"), col("k"))
+      val r = c.withColumn("rn", row_number().over(w))
+        .join(broadcast(cnt), Seq("seg"))
+        .withColumn("med_rk", expr("(n + 1) div 2"))
+        .withColumn("lo_rk", greatest(
+          floor((col("n").cast("double") - lit(1.96) *
+            sqrt(col("n").cast("double"))) / 2.0).cast("long"), lit(1L)))
+        .withColumn("hi_rk", least(
+          ceil(lit(1.0) + (col("n").cast("double") + lit(1.96) *
+            sqrt(col("n").cast("double"))) / 2.0).cast("long"), col("n")))
+      r.filter(col("rn") === col("med_rk") || col("rn") === col("lo_rk") ||
+          col("rn") === col("hi_rk"))
+        .groupBy(col("seg"))
+        .agg(max(col("n")).as("n"),
+          max(when(col("rn") === col("med_rk"), round(col("v"), 6)))
+            .as("median"),
+          max(when(col("rn") === col("lo_rk"), round(col("v"), 6)))
+            .as("ci_lo"),
+          max(when(col("rn") === col("hi_rk"), round(col("v"), 6)))
+            .as("ci_hi"))
+        .orderBy(col("seg"))
+    }),
+
     // Weight-of-evidence encoding + information value of the customer
     // segment against order outcome (status 'F' = the event) — the credit
     // scoring / feature-screening standard for "how separable is this
@@ -6085,6 +6148,48 @@ object AnalyticsOps {
     "stat_eta_squared" -> etaSql,
     "anom_esd" -> esdSql,
     "stat_jonckheere" -> jtSql,
+    "stat_sign_test" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, event_type, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         xy AS (
+           SELECT day,
+                  coalesce(max(CASE WHEN event_type = 'view' THEN c END), 0) AS x,
+                  coalesce(max(CASE WHEN event_type = 'purchase' THEN c END), 0) AS y
+           FROM daily GROUP BY day),
+         d AS (SELECT x - y AS d FROM xy),
+         m AS (SELECT CAST(count(1) AS BIGINT) AS n_days,
+                  CAST(count(CASE WHEN d <> 0 THEN 1 END) AS BIGINT) AS n_nonzero,
+                  CAST(count(CASE WHEN d > 0 THEN 1 END) AS BIGINT) AS s_plus
+               FROM d)
+         SELECT n_days, n_nonzero, s_plus,
+                round(CAST(2 * s_plus - n_nonzero AS DOUBLE) /
+                      sqrt(CAST(n_nonzero AS DOUBLE)), 6) AS z_stat
+         FROM m""",
+    "stat_median_ci" ->
+      """WITH c AS (
+           SELECT c_mktsegment AS seg, c_acctbal AS v, c_custkey AS k
+           FROM customer),
+         cnt AS (SELECT seg, count(1) AS n FROM c GROUP BY seg),
+         r AS (
+           SELECT c.seg, c.v,
+                  row_number() OVER (PARTITION BY c.seg
+                    ORDER BY c.v, c.k) AS rn,
+                  cnt.n,
+                  (cnt.n + 1) // 2 AS med_rk,
+                  greatest(CAST(floor((CAST(cnt.n AS DOUBLE)
+                    - 1.96 * sqrt(CAST(cnt.n AS DOUBLE))) / 2.0) AS BIGINT),
+                    1) AS lo_rk,
+                  least(CAST(ceil(1.0 + (CAST(cnt.n AS DOUBLE)
+                    + 1.96 * sqrt(CAST(cnt.n AS DOUBLE))) / 2.0) AS BIGINT),
+                    cnt.n) AS hi_rk
+           FROM c JOIN cnt USING (seg))
+         SELECT seg, max(n) AS n,
+                max(CASE WHEN rn = med_rk THEN round(v, 6) END) AS median,
+                max(CASE WHEN rn = lo_rk THEN round(v, 6) END) AS ci_lo,
+                max(CASE WHEN rn = hi_rk THEN round(v, 6) END) AS ci_hi
+         FROM r WHERE rn = med_rk OR rn = lo_rk OR rn = hi_rk
+         GROUP BY seg ORDER BY seg""",
     "seq_ab_test" ->
       """WITH u AS (
            SELECT user_id,

@@ -5621,4 +5621,39 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("stat_sign_test: S+ and z replay brute paired day counts") {
+    val byDay = graft.Tables.events(spark, sf)
+      .select(col("ts").cast("date").as("day"), col("event_type")).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getString(1)))
+      .groupBy(_._1).view
+      .mapValues(es => es.count(_._2 == "view").toLong -
+        es.count(_._2 == "purchase").toLong).toMap
+    val ds = byDay.values.toSeq
+    val m = ds.count(_ != 0); val sp = ds.count(_ > 0)
+    val r = q("stat_sign_test").collect()(0)
+    assert(r.getLong(0) === ds.length.toLong)
+    assert(r.getLong(1) === m.toLong && r.getLong(2) === sp.toLong)
+    assert(math.abs(r.getDouble(3) - (2.0 * sp - m) / math.sqrt(m)) < 1e-6)
+  }
+
+  test("stat_median_ci: rank picks replay brute order statistics") {
+    val bySeg = graft.Tables.t(spark, sf, "customer")
+      .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(x => (x._2, x._3)).map(_._2)).toMap
+    val got = q("stat_median_ci").collect()
+    assert(got.length === bySeg.size)
+    got.foreach { r =>
+      val vs = bySeg(r.getString(0)); val n = vs.length
+      assert(r.getLong(1) === n.toLong)
+      assert(r.getDouble(2) === vs((n + 1) / 2 - 1), "median")
+      val lo = math.max(math.floor((n - 1.96 * math.sqrt(n)) / 2).toInt, 1)
+      val hi = math.min(math.ceil(1 + (n + 1.96 * math.sqrt(n)) / 2).toInt, n)
+      assert(r.getDouble(3) === vs(lo - 1), "ci_lo")
+      assert(r.getDouble(4) === vs(hi - 1), "ci_hi")
+      assert(r.getDouble(3) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(4))
+    }
+  }
 }
