@@ -208,6 +208,27 @@ object Multimodal {
     AudioFeat(docId, total, frames, peak, maxE, maxF, totalSq / total)
   }
 
+  case class LevelCount(doc_id: Long, n_px: Int, level: Int, cnt: Long)
+
+  /** REAL decode → red-channel 256-level histogram, emitted level-grain so
+    * the entropy fold itself stays in the engine (gridded decimal sum). */
+  def redLevelCounts(docId: Long, png: Array[Byte]): Seq[LevelCount] = {
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    val w = img.getWidth; val h = img.getHeight
+    val histo = new Array[Long](256)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        histo(((img.getRGB(x, y) >> 16) & 0xff)) += 1
+        x += 1
+      }
+      y += 1
+    }
+    (0 until 256).filter(histo(_) > 0L)
+      .map(l => LevelCount(docId, w * h, l, histo(l)))
+  }
+
   case class SilenceFeat(doc_id: Long, n_frames: Int, n_silent: Int,
     n_runs: Int, longest_run: Int)
 
@@ -376,6 +397,33 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    // Red-channel Shannon entropy per image — the information-content
+    // gate beside mm_sharpness' blur variance (a compressed-noise or
+    // synthetic-flat image fails on entropy even when its Laplacian
+    // passes): REAL decode to a 256-level histogram emitted LEVEL-grain
+    // from the executor batch, so the −Σ p·ln p fold runs in the engine
+    // with each level's term 6-dp-gridded to DECIMAL before the
+    // per-doc sum (the davg discipline — ln's last ulp can't ride into
+    // the total). is_flat thresholds the gridded entropy at ln 2.
+    "mm_image_entropy" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      val lv = media.mapPartitions(_.flatMap { case (id, bytes) =>
+          redLevelCounts(id, encodePng(bytes)) })
+        .toDF()
+      val p = col("cnt").cast("double") / col("n_px")
+      lv.groupBy(col("doc_id"))
+        .agg(max(col("n_px")).as("n_px"),
+          count(lit(1)).as("n_levels"),
+          sum(dec(round(negate(p) * log(p), 6))).as("ent"))
+        .select(col("doc_id"), col("n_px"), col("n_levels"),
+          col("ent").cast("double").as("entropy"),
+          (col("ent").cast("double") < 0.693147).as("is_flat"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Silence segmentation — the audio-curation gate next to
     // mm_audio_energy's level features (dead-air share and the longest
     // silent stretch decide whether a clip survives a speech corpus):
@@ -494,6 +542,30 @@ object Multimodal {
                 round(CAST(sum_b AS DOUBLE) / n_px, 6) AS mean_b,
                 round(sqrt((CAST(ssq_b AS DOUBLE)
                   - CAST(sum_b AS DOUBLE) * sum_b / n_px) / n_px), 6) AS std_b
+         FROM m ORDER BY doc_id""",
+    "mm_image_entropy" ->
+      """WITH dims AS (
+           SELECT doc_id, strlen(text) AS n,
+                  8 + strlen(text) % 9 AS w, 8 + strlen(text) % 7 AS h, text
+           FROM documents),
+         px0 AS (
+           SELECT doc_id, n, w, h, text, unnest(range(0, w * h)) AS i FROM dims),
+         px AS (
+           SELECT doc_id, w * h AS npx,
+                  CAST(ord(text[CAST(i % n AS INTEGER) + 1]) AS BIGINT) AS r
+           FROM px0),
+         lv AS (
+           SELECT doc_id, max(npx) AS npx, r, count(1) AS cnt
+           FROM px GROUP BY doc_id, r),
+         m AS (
+           SELECT doc_id, CAST(max(npx) AS INTEGER) AS n_px,
+                  CAST(count(1) AS BIGINT) AS n_levels,
+                  sum(CAST(round(-(CAST(cnt AS DOUBLE) / npx)
+                    * ln(CAST(cnt AS DOUBLE) / npx), 6) AS DECIMAL(18,6))) AS ent
+           FROM lv GROUP BY doc_id)
+         SELECT doc_id, n_px, n_levels,
+                CAST(ent AS DOUBLE) AS entropy,
+                CAST(ent AS DOUBLE) < 0.693147 AS is_flat
          FROM m ORDER BY doc_id""",
     "mm_resize" ->
       """WITH dims AS (

@@ -5656,4 +5656,27 @@ class PropertySpec extends SparkSuite {
       assert(r.getDouble(3) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(4))
     }
   }
+
+  test("mm_image_entropy: decoded histogram entropy equals the raster formula") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val got = q("mm_image_entropy").collect()
+    assert(got.length === docs.size)
+    got.take(50).foreach { r =>
+      val bytes = docs(r.getLong(0)).getBytes("UTF-8")
+      val n = bytes.length
+      val npx = (8 + n % 9) * (8 + n % 7)
+      val hist = (0 until npx).map(i => bytes(i % n) & 0xff)
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(r.getInt(1) === npx)
+      assert(r.getLong(2) === hist.size.toLong)
+      val ent = hist.values.map { c =>
+        val p = c.toDouble / npx
+        math.rint(-p * math.log(p) * 1e6) / 1e6
+      }.sum
+      assert(math.abs(r.getDouble(3) - ent) < 1e-5, s"entropy ${r.getLong(0)}")
+      assert(r.getBoolean(4) === (r.getDouble(3) < 0.693147))
+    }
+  }
 }
