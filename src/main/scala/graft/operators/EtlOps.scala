@@ -562,6 +562,36 @@ object EtlOps {
     // per status with integer-cent exactness. Counts and cent sums
     // aggregate map-side per scan — at 100 TB this is two scans and a
     // 5-row compare, never a row-level join.
+    // Order-independent per-partition content digests — the cross-system
+    // reconciliation primitive etl_reconcile's count/sum probes can't
+    // finish (two counts can match while rows differ): each row hashes a
+    // canonical '|'-joined rendering through md5, the hex prefix folds to
+    // an integer via a positional-byte polynomial, and the digest SUMS
+    // per partition — order-independence is the point (two systems with
+    // different physical row orders exchange K partition rows, not
+    // terabytes, to find the partition that diverged). Sums ride
+    // DECIMAL(38,0)/HUGEINT (the per-row term reaches ~1e14), the
+    // published digest is the mod-2³¹−1 residue. Pure scan + hash agg —
+    // the 100 TB shape (and the digest re-partitions trivially: any
+    // partition split sums to the same total).
+    "etl_partition_digest" -> ((s, dir) => {
+      val canon = concat_ws("|", col("o_orderkey"),
+        col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+      val term = (1 to 6).map(k =>
+        ascii(substring(md5(canon.cast("binary")), k, 1)) *
+          lit(1L << (8 * (k - 1)))).reduce(_ + _)
+      t(s, dir, "orders")
+        .select(date_trunc("month", col("o_orderdate")).cast("date")
+          .as("month"), term.cast(DecimalType(38, 0)).as("d"))
+        .groupBy(col("month"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("d")).as("dsum"))
+        .select(col("month"), col("n_rows"),
+          (col("dsum") % lit(2147483647L)).cast("long").as("digest"))
+        .orderBy(col("month"))
+    }),
+
     "etl_reconcile" -> ((s, dir) => {
       def cents = expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")
       def h(m: Int) =
@@ -916,6 +946,24 @@ object EtlOps {
                 CAST(CASE WHEN date_diff('day', max_day, h_day) <= 30
                      THEN 1 ELSE 0 END AS INT) AS fresh
          FROM m, h ORDER BY table_name""",
+    "etl_partition_digest" ->
+      """WITH r AS (
+           SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                  md5(concat_ws('|', o_orderkey, o_orderstatus,
+                        CAST(round(o_totalprice * 100) AS BIGINT))) AS m
+           FROM orders),
+         d AS (
+           SELECT month,
+                  CAST(ascii(substr(m, 1, 1)) * 1
+                     + ascii(substr(m, 2, 1)) * 256
+                     + ascii(substr(m, 3, 1)) * 65536
+                     + ascii(substr(m, 4, 1)) * 16777216
+                     + ascii(substr(m, 5, 1)) * 4294967296
+                     + ascii(substr(m, 6, 1)) * 1099511627776 AS HUGEINT) AS t
+           FROM r)
+         SELECT month, CAST(count(1) AS BIGINT) AS n_rows,
+                CAST(sum(t) % 2147483647 AS BIGINT) AS digest
+         FROM d GROUP BY month ORDER BY month""",
     "etl_reconcile" ->
       """WITH src AS (
            SELECT o_orderstatus AS status, count(1) AS src_rows,

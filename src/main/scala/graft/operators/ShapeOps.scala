@@ -656,6 +656,30 @@ object ShapeOps {
     // accounting splits them because a resurrection says the win-back
     // worked, not acquisition): one lag window over the persisted
     // (user, day) frame, then a day rollup. Integer day gaps, no floats.
+    // Trailing activity-streak distribution — the retention feature
+    // every engagement product ships (the "don't break the chain" number)
+    // and seq_islands' OPERATIONAL projection: only the island that ends
+    // at each user's LAST active day matters. Classic gap-and-island
+    // grouping key (day − row_number is constant exactly on consecutive
+    // runs), then max_by(len, last_day) picks the trailing island per
+    // user WITHOUT a second window (last_day is unique across a user's
+    // islands, so the pick can't tie), and the rollup is calendar-
+    // bounded (≤ span days distinct lengths). User-partitioned windows
+    // — the 100 TB shape.
+    "seq_current_streak" -> ((s, dir) => {
+      val ud = events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      val r = ud.withColumn("grp", expr(
+        "date_sub(day, row_number() OVER (PARTITION BY user_id ORDER BY day))"))
+      val isl = r.groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"), max(col("day")).as("last_day"))
+      val cur = isl.groupBy(col("user_id"))
+        .agg(max_by(col("len"), col("last_day")).as("streak"))
+      cur.groupBy(col("streak").as("streak_len"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("streak_len"))
+    }),
+
     "seq_resurrected" -> ((s, dir) => {
       val ud = persistShared("res_ud", events(s, dir)
         .select(col("user_id"), col("ts").cast("date").as("day"))
@@ -1443,6 +1467,23 @@ object ShapeOps {
          FROM dau JOIN mau
            ON CAST(date_trunc('month', dau.day) AS DATE) = mau.mon
          ORDER BY day""",
+    "seq_current_streak" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         r AS (
+           SELECT user_id, day,
+                  day - CAST(row_number() OVER (PARTITION BY user_id
+                    ORDER BY day) AS INTEGER) AS grp
+           FROM ud),
+         isl AS (
+           SELECT user_id, grp, CAST(count(1) AS BIGINT) AS len,
+                  max(day) AS last_day
+           FROM r GROUP BY 1, 2),
+         cur AS (
+           SELECT user_id, max_by(len, last_day) AS streak
+           FROM isl GROUP BY 1)
+         SELECT streak AS streak_len, CAST(count(1) AS BIGINT) AS n_users
+         FROM cur GROUP BY 1 ORDER BY 1""",
     "seq_resurrected" ->
       """WITH ud AS (
            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

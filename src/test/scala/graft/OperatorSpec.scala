@@ -5679,4 +5679,46 @@ class PropertySpec extends SparkSuite {
       assert(r.getBoolean(4) === (r.getDouble(3) < 0.693147))
     }
   }
+
+  test("etl_partition_digest: digests are order-independent and split-stable") {
+    val got = q("etl_partition_digest").collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
+    val brute = graft.Tables.t(spark, sf, "orders")
+      .select(col("o_orderdate").cast("date"), col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice")).collect()
+      .map { r =>
+        val canon = s"${r.getLong(1)}|${r.getString(2)}|${math.round(r.getDouble(3) * 100)}"
+        val m = java.security.MessageDigest.getInstance("MD5")
+          .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val term = (0 until 6).map(k => m(k).toLong * (1L << (8 * k))).sum
+        (r.getDate(0).toLocalDate.withDayOfMonth(1), term)
+      }
+    val byMonth = brute.groupBy(_._1)
+    assert(got.length === byMonth.size)
+    got.foreach { case (mo, n, dg) =>
+      val g = byMonth(mo)
+      assert(n === g.length.toLong, s"$mo rows")
+      assert(dg === (g.map(t => BigInt(t._2)).sum mod BigInt(2147483647L))
+        .toLong, s"$mo digest")
+    }
+  }
+
+  test("seq_current_streak: trailing islands replay brute day chains") {
+    val ud = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("date")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay)).distinct
+    val streaks = ud.groupBy(_._1).view.mapValues { ds =>
+      val sorted = ds.map(_._2).sorted.reverse
+      var len = 1L
+      while (len < sorted.length &&
+        sorted(len.toInt - 1) - sorted(len.toInt) == 1) len += 1
+      len
+    }.toMap
+    val want = streaks.values.groupBy(identity).view.mapValues(_.size).toMap
+    val got = q("seq_current_streak").collect()
+    assert(got.length === want.size)
+    got.foreach { r =>
+      assert(r.getLong(1) === want(r.getLong(0)).toLong, s"streak ${r.getLong(0)}")
+    }
+  }
 }
