@@ -574,6 +574,46 @@ object AnalyticsOps {
     s.createDataFrame(r, sch)
   }
 
+  /** Memoized 3-landmark BFS distance frame (seed, node, dist) per
+    * (JVM, dir) — graph_closeness_sample and graph_harmonic_centrality
+    * fold the same visited set; the BfsRounds-round expansion must run
+    * once, not per query (the r10 per-query-artifact-rebuild lesson). */
+  private val bfsCache = new graft.ArtifactCache[
+    (org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
+     org.apache.spark.sql.types.StructType)](e =>
+    e._1.unpersist(blocking = false))
+
+  private[graft] def bfsVisited(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val (r, sch) = bfsCache.getOrElseUpdate(dir, {
+      val (undRaw, nodes) = coPurchaseGraph(s, dir)
+      val und = undRaw.select(col("p1"), col("p2"))
+      val adj = und.select(col("p1").as("src"), col("p2").as("dst"))
+        .union(und.select(col("p2").as("src"), col("p1").as("dst")))
+      val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      val seeds = deg.orderBy(col("dg").desc, col("src")).limit(3)
+        .select(col("src").as("seed"), col("src").as("node"), lit(0).as("dist"))
+      val bcastFrontier = nodes.count() <= PagerankBroadcastMaxNodes
+      var visited = seeds.localCheckpoint(true)
+      var frontier = visited.select(col("seed"), col("node"))
+      for (r <- 1 to BfsRounds) {
+        val next = adj.join(
+            if (bcastFrontier) broadcast(frontier) else frontier,
+            col("src") === col("node"))
+          .select(col("seed"), col("dst").as("node")).distinct()
+          .join(visited, Seq("seed", "node"), "left_anti")
+          .withColumn("dist", lit(r))
+          .localCheckpoint(true)
+        visited = visited.union(next).localCheckpoint(true)
+        frontier = next.select(col("seed"), col("node"))
+      }
+      val e = (visited.rdd.cache(), visited.schema)
+      e._1.count()
+      e
+    })
+    s.createDataFrame(r, sch)
+  }
+
   /** Memoized customer–part purchase interaction artifact per dir:
     * (u, p, n) with n = orders⋈lineitem co-occurrence count. THREE
     * registered queries consume this same fact-sized join — graph_hits
@@ -2980,32 +3020,29 @@ object AnalyticsOps {
     // seed count, frontier broadcast under the node gate, every level
     // checkpointed. DuckDB twin unrolls the same rounds seed-keyed.
     "graph_closeness_sample" -> ((s, dir) => {
-      val (undRaw, nodes) = coPurchaseGraph(s, dir)
-      val und = undRaw.select(col("p1"), col("p2"))
-      val adj = und.select(col("p1").as("src"), col("p2").as("dst"))
-        .union(und.select(col("p2").as("src"), col("p1").as("dst")))
-      val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("dg"))
-      val seeds = deg.orderBy(col("dg").desc, col("src")).limit(3)
-        .select(col("src").as("seed"), col("src").as("node"), lit(0).as("dist"))
-      val bcastFrontier = nodes.count() <= PagerankBroadcastMaxNodes
-      var visited = seeds.localCheckpoint(true)
-      var frontier = visited.select(col("seed"), col("node"))
-      for (r <- 1 to BfsRounds) {
-        val next = adj.join(
-            if (bcastFrontier) broadcast(frontier) else frontier,
-            col("src") === col("node"))
-          .select(col("seed"), col("dst").as("node")).distinct()
-          .join(visited, Seq("seed", "node"), "left_anti")
-          .withColumn("dist", lit(r))
-          .localCheckpoint(true)
-        visited = visited.union(next).localCheckpoint(true)
-        frontier = next.select(col("seed"), col("node"))
-      }
-      visited.groupBy(col("seed"))
+      bfsVisited(s, dir).groupBy(col("seed"))
         .agg((count(lit(1)) - 1).as("n_reached"), sum(col("dist")).as("sum_dist"))
         .select(col("seed"), col("n_reached"), col("sum_dist"),
           round(col("n_reached").cast("double") /
             nullif(col("sum_dist"), lit(0L)), 6).as("closeness"))
+        .orderBy(col("seed"))
+    }),
+
+    // Harmonic centrality from the same landmark BFS — closeness'
+    // disconnected-robust sibling (closeness divides by Σd, which a
+    // single unreachable component poisons toward 0; harmonic SUMS 1/d,
+    // so unreached nodes contribute exactly nothing — the form the
+    // centrality literature recommends on fragmented graphs). Reads the
+    // memoized 3-seed distance frame (the BFS runs once per JVM/dir,
+    // not per query — the r10 artifact-rebuild lesson); per-node 1/d is
+    // 6-dp-gridded to DECIMAL before the order-independent sum.
+    "graph_harmonic_centrality" -> ((s, dir) => {
+      bfsVisited(s, dir).groupBy(col("seed"))
+        .agg((count(lit(1)) - 1).as("n_reached"),
+          sum(when(col("dist") > 0,
+            dec(round(lit(1.0) / col("dist"), 6)))).as("h"))
+        .select(col("seed"), col("n_reached"),
+          col("h").cast("double").as("harmonic"))
         .orderBy(col("seed"))
     }),
 
@@ -3845,6 +3882,39 @@ object AnalyticsOps {
       val corr = lit(1.0) - col("ties").cast("double") / (nD * nD * nD - nD)
       m.select(col("k"), col("n"), round(h0 / corr, 6).as("h_stat"),
         (col("k") - 1).as("dof"))
+    }),
+
+    // Theil T inequality index of order value, decomposed across the
+    // priority groups — the DECOMPOSABLE concentration measure beside
+    // agg_pareto's 80/20 and stat_gini's Lorenz area (Gini famously does
+    // NOT split into within+between; Theil does exactly, which is why
+    // inequality-attribution reports use it): T = (1/n)Σ(x/μ)ln(x/μ)
+    // with x/μ = x·N/S from decimal-exact cent sums (identical doubles
+    // both engines), each row's term 6-dp-gridded to DECIMAL before the
+    // order-independent sum (the davg discipline at the fact grain);
+    // T_between from the same algebra on the 5-row group frame, T_within
+    // the gridded difference. One fact scan + two broadcast 1-row joins.
+    "stat_theil_index" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+      val o = t(s, dir, "orders").select(col("o_orderpriority").as("g"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("x"))
+      val grp = persistShared("theil_grp", o.groupBy(col("g"))
+        .agg(count(lit(1)).as("ng"), sum(d38(col("x"))).as("sg")))
+      val tot = grp.agg(sum(col("ng")).as("n"), sum(col("sg")).as("st"))
+      val r = col("x").cast("double") * col("n") / col("st").cast("double")
+      val tt = o.crossJoin(broadcast(tot))
+        .agg(sum(dec(round(r * log(r), 6))).as("tsum"), max(col("n")).as("n2"))
+      val share = col("sg").cast("double") / col("st").cast("double")
+      val ratio = col("sg").cast("double") * col("n") /
+        (col("st").cast("double") * col("ng"))
+      val tb = grp.crossJoin(broadcast(tot))
+        .agg(sum(dec(round(share * log(ratio), 6))).as("tb"))
+      tt.crossJoin(broadcast(tb))
+        .select(col("n2").as("n_total"),
+          round(col("tsum").cast("double") / col("n2"), 6).as("theil_total"),
+          round(col("tb").cast("double"), 6).as("theil_between"),
+          round(col("tsum").cast("double") / col("n2") -
+            col("tb").cast("double"), 6).as("theil_within"))
     }),
 
     // Jonckheere–Terpstra ordered-alternative trend test of order value
@@ -6148,6 +6218,32 @@ object AnalyticsOps {
     "stat_eta_squared" -> etaSql,
     "anom_esd" -> esdSql,
     "stat_jonckheere" -> jtSql,
+    "stat_theil_index" ->
+      """WITH o AS (
+           SELECT o_orderpriority AS g,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS x
+           FROM orders),
+         grp AS (
+           SELECT g, count(1) AS ng, sum(CAST(x AS HUGEINT)) AS sg
+           FROM o GROUP BY g),
+         tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n, sum(sg) AS st FROM grp),
+         rws AS (
+           SELECT CAST(x AS DOUBLE) * n / CAST(st AS DOUBLE) AS r
+           FROM o, tot),
+         tt AS (
+           SELECT sum(CAST(round(r * ln(r), 6) AS DECIMAL(18,6))) AS tsum
+           FROM rws),
+         tb AS (
+           SELECT sum(CAST(round(CAST(sg AS DOUBLE) / CAST(st AS DOUBLE)
+             * ln(CAST(sg AS DOUBLE) * n
+                  / (CAST(st AS DOUBLE) * ng)), 6) AS DECIMAL(18,6))) AS tbv
+           FROM grp, tot)
+         SELECT n AS n_total,
+                round(CAST(tsum AS DOUBLE) / n, 6) AS theil_total,
+                round(CAST(tbv AS DOUBLE), 6) AS theil_between,
+                round(CAST(tsum AS DOUBLE) / n
+                      - CAST(tbv AS DOUBLE), 6) AS theil_within
+         FROM tt, tb, tot""",
     "stat_sign_test" ->
       """WITH daily AS (
            SELECT CAST(ts AS DATE) AS day, event_type, count(1) AS c
@@ -6759,6 +6855,25 @@ object AnalyticsOps {
                  CAST(sum(dist) AS BIGINT) AS sum_dist,
                  round(CAST(count(1) - 1 AS DOUBLE) /
                        nullif(CAST(sum(dist) AS BIGINT), 0), 6) AS closeness
+          FROM cv$BfsRounds GROUP BY seed ORDER BY seed""",
+    "graph_harmonic_centrality" ->
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          und AS MATERIALIZED (
+            SELECT a.pk AS p1, b.pk AS p2
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY p1, p2 HAVING count(1) >= 2),
+          adj AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM und
+                 UNION ALL SELECT p2, p1 FROM und),
+          deg AS MATERIALIZED (SELECT src, count(1) AS dg FROM adj GROUP BY src),
+          cv0 AS MATERIALIZED (
+            SELECT src AS seed, src AS node, 0 AS dist FROM deg
+            ORDER BY dg DESC, src LIMIT 3),
+          cf0 AS MATERIALIZED (SELECT seed, node FROM cv0),
+          ${(1 to BfsRounds).map(closeRoundSql).mkString(",\n")}
+          SELECT seed, count(1) - 1 AS n_reached,
+                 CAST(sum(CASE WHEN dist > 0
+                   THEN CAST(round(1.0 / dist, 6) AS DECIMAL(18,6)) END)
+                   AS DOUBLE) AS harmonic
           FROM cv$BfsRounds GROUP BY seed ORDER BY seed""",
     "stat_ks_test" ->
       """WITH base AS (

@@ -5721,4 +5721,42 @@ class PropertySpec extends SparkSuite {
       assert(r.getLong(1) === want(r.getLong(0)).toLong, s"streak ${r.getLong(0)}")
     }
   }
+
+  test("graph_harmonic_centrality: sums 1/d over the shared BFS distances") {
+    val close = q("graph_closeness_sample").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = q("graph_harmonic_centrality").collect()
+    assert(got.length === close.size)
+    got.foreach { r =>
+      val (nReached, sumDist) = close(r.getLong(0))
+      assert(r.getLong(1) === nReached, "same visited set as closeness")
+      // harmonic >= n²/Σd (AM-HM inequality) and <= n (each term <= 1)
+      if (sumDist > 0) {
+        val hm = nReached.toDouble * nReached / sumDist
+        assert(r.getDouble(2) >= hm - 1e-4, s"AM-HM: ${r.getDouble(2)} vs $hm")
+        assert(r.getDouble(2) <= nReached.toDouble + 1e-6)
+      }
+    }
+  }
+
+  test("stat_theil_index: decomposition replays brute inequality sums") {
+    val rows = graft.Tables.t(spark, sf, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100).toDouble))
+    val n = rows.length; val s = rows.map(_._2).sum
+    def g6(x: Double) = math.rint(x * 1e6) / 1e6
+    val tTot = rows.map { case (_, x) =>
+      val rr = x * n / s; g6(rr * math.log(rr))
+    }.sum / n
+    val tBet = rows.groupBy(_._1).values.map { xs =>
+      val sg = xs.map(_._2).sum; val ng = xs.length
+      g6(sg / s * math.log(sg * n / (s * ng)))
+    }.sum
+    val r = q("stat_theil_index").collect()(0)
+    assert(r.getLong(0) === n.toLong)
+    assert(math.abs(r.getDouble(1) - tTot) < 1e-5, "total")
+    assert(math.abs(r.getDouble(2) - tBet) < 1e-6, "between")
+    assert(math.abs(r.getDouble(3) - (tTot - tBet)) < 1e-5, "within")
+    assert(r.getDouble(1) >= 0 && r.getDouble(3) >= -1e-6)
+  }
 }
