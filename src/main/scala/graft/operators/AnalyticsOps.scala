@@ -3028,6 +3028,24 @@ object AnalyticsOps {
         .orderBy(col("seed"))
     }),
 
+    // Eccentricity / diameter LOWER BOUNDS from the same landmark BFS —
+    // the third read of the memoized 3-seed distance artifact (exact
+    // eccentricity is all-pairs; the standard scalable estimate is
+    // "max distance seen from high-degree landmarks", a certified lower
+    // bound that tightens with more seeds): per-seed max dist within the
+    // hop budget, diameter_lb = the max over seeds via one broadcast
+    // 1-row combine. Pure aggs over the cached frame — zero extra BFS.
+    "graph_eccentricity_sample" -> ((s, dir) => {
+      val per = bfsVisited(s, dir).groupBy(col("seed"))
+        .agg((count(lit(1)) - 1).as("n_reached"),
+          max(col("dist")).as("eccentricity_lb"))
+      per.crossJoin(broadcast(
+          per.agg(max(col("eccentricity_lb")).as("diameter_lb"))))
+        .select(col("seed"), col("n_reached"), col("eccentricity_lb"),
+          col("diameter_lb"))
+        .orderBy(col("seed"))
+    }),
+
     // Harmonic centrality from the same landmark BFS — closeness'
     // disconnected-robust sibling (closeness divides by Σd, which a
     // single unreachable component poisons toward 0; harmonic SUMS 1/d,
@@ -6856,6 +6874,26 @@ object AnalyticsOps {
                  round(CAST(count(1) - 1 AS DOUBLE) /
                        nullif(CAST(sum(dist) AS BIGINT), 0), 6) AS closeness
           FROM cv$BfsRounds GROUP BY seed ORDER BY seed""",
+    "graph_eccentricity_sample" ->
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          und AS MATERIALIZED (
+            SELECT a.pk AS p1, b.pk AS p2
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY p1, p2 HAVING count(1) >= 2),
+          adj AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM und
+                 UNION ALL SELECT p2, p1 FROM und),
+          deg AS MATERIALIZED (SELECT src, count(1) AS dg FROM adj GROUP BY src),
+          cv0 AS MATERIALIZED (
+            SELECT src AS seed, src AS node, 0 AS dist FROM deg
+            ORDER BY dg DESC, src LIMIT 3),
+          cf0 AS MATERIALIZED (SELECT seed, node FROM cv0),
+          ${(1 to BfsRounds).map(closeRoundSql).mkString(",\n")},
+          per AS (
+            SELECT seed, count(1) - 1 AS n_reached, max(dist) AS ecc
+            FROM cv$BfsRounds GROUP BY seed)
+          SELECT seed, n_reached, ecc AS eccentricity_lb,
+                 (SELECT max(ecc) FROM per) AS diameter_lb
+          FROM per ORDER BY seed""",
     "graph_harmonic_centrality" ->
       s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
           und AS MATERIALIZED (

@@ -862,6 +862,36 @@ object VectorOps {
     // norm reference reuses the gridded per-vector L2 mean — no
     // cross-row double summation anywhere; one base pass + one
     // vec-grain agg.
+    // Per-dimension variance screen — the vector-side feature-selection
+    // pass (a near-constant coordinate carries no ranking signal but
+    // still costs memory/compute in every dot product; Matryoshka-style
+    // truncation and PQ subspace design both start from exactly this
+    // table): coordinates quantize to the 6-dp integer grid at birth so
+    // the per-dim moment sums are DECIMAL-exact and n·Q − S² is an exact
+    // integer — the informative-dims ranking (is_top) compares exact
+    // integers and can't flip on a ulp. One posexplode + 64-row hash agg
+    // + a bounded 64-row window.
+    "vec_dim_variance" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+      val ex = embStore(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("pos", "fv")))
+        .select(col("pos"),
+          expr("CAST(round(CAST(fv AS DOUBLE) * 1000000, 0) AS BIGINT)")
+            .as("v6"))
+      val m = ex.groupBy(col("pos")).agg(count(lit(1)).as("n"),
+          sum(d38(col("v6"))).as("s6"),
+          sum(d38(col("v6")) * d38(col("v6"))).as("q6"))
+        .withColumn("tv", col("q6") * col("n") - col("s6") * col("s6"))
+      val w = Window.orderBy(col("tv").desc, col("pos"))
+      m.withColumn("rk", row_number().over(w))
+        .select(col("pos"), col("n"),
+          round(col("s6").cast("double") / col("n") / 1.0e6, 6).as("mean"),
+          round(col("tv").cast("double") / (col("n") * (col("n") - 1)) /
+            1.0e12, 6).as("variance"),
+          (col("rk") <= 8).as("is_top"))
+        .orderBy(col("pos"))
+    }),
+
     "vec_drift" -> ((s, dir) => {
       val d6 = DecimalType(18, 6)
       val r6d = (c: Column) => round(c.cast("double"), 6).cast(d6)
@@ -1383,6 +1413,28 @@ object VectorOps {
           FROM j ORDER BY rrf DESC, neighbor_id""")
 
   private lazy val oraclesBase: Map[String, String] = Map(
+    "vec_dim_variance" ->
+      """WITH ex AS (
+           SELECT CAST(u.p AS INTEGER) AS pos,
+                  CAST(round(CAST(u.v AS DOUBLE) * 1000000) AS BIGINT) AS v6
+           FROM (SELECT unnest(range(0, len(embedding))) AS p,
+                        unnest(embedding) AS v
+                 FROM embeddings) u),
+         m AS (
+           SELECT pos, count(1) AS n,
+                  sum(CAST(v6 AS HUGEINT)) AS s6,
+                  sum(CAST(v6 AS HUGEINT) * CAST(v6 AS HUGEINT)) AS q6
+           FROM ex GROUP BY pos),
+         r AS (
+           SELECT pos, n, s6, q6 * n - s6 * s6 AS tv,
+                  row_number() OVER (ORDER BY q6 * n - s6 * s6 DESC, pos) AS rk
+           FROM m)
+         SELECT pos, CAST(n AS BIGINT) AS n,
+                round(CAST(s6 AS DOUBLE) / n / 1000000.0, 6) AS mean,
+                round(CAST(tv AS DOUBLE) / (n * (n - 1))
+                      / 1000000000000.0, 6) AS variance,
+                rk <= 8 AS is_top
+         FROM r ORDER BY pos""",
     "vec_binary_hamming_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
           b AS (

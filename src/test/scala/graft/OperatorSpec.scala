@@ -5759,4 +5759,43 @@ class PropertySpec extends SparkSuite {
     assert(math.abs(r.getDouble(3) - (tTot - tBet)) < 1e-5, "within")
     assert(r.getDouble(1) >= 0 && r.getDouble(3) >= -1e-6)
   }
+
+  test("graph_eccentricity_sample: bounds agree with the closeness frame") {
+    val got = q("graph_eccentricity_sample").collect()
+    val close = q("graph_closeness_sample").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.length === close.size)
+    val dia = got.map(_.getInt(3)).distinct
+    assert(dia.length === 1, "diameter_lb is one global value")
+    got.foreach { r =>
+      assert(r.getLong(1) === close(r.getLong(0)), "same visited set")
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= 4, "ecc within hop budget")
+      assert(r.getInt(2) <= dia.head)
+    }
+    assert(got.exists(_.getInt(2) === dia.head))
+  }
+
+  test("vec_dim_variance: per-dim moments replay brute gridded folds") {
+    val vecs = graft.Tables.t(spark, sf, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val got = q("vec_dim_variance").collect()
+    assert(got.length === vecs.head.length)
+    val tvs = got.indices.map { p =>
+      val v6 = vecs.map(v => math.round(v(p).toDouble * 1e6))
+      val n = v6.length.toLong
+      val s = v6.map(BigInt(_)).sum; val qq = v6.map(x => BigInt(x) * x).sum
+      (qq * n - s * s, s, n)
+    }
+    val top = tvs.zipWithIndex.sortBy(t => (-t._1._1, t._2)).take(8)
+      .map(_._2).toSet
+    got.foreach { r =>
+      val (tv, s, n) = tvs(r.getInt(0))
+      assert(r.getLong(1) === n)
+      assert(math.abs(r.getDouble(2) - s.toDouble / n / 1e6) < 1e-5, "mean")
+      assert(math.abs(r.getDouble(3) -
+        tv.toDouble / (n * (n - 1)) / 1e12) < 1e-5, "variance")
+      assert(r.getBoolean(4) === top.contains(r.getInt(0)), s"is_top ${r.getInt(0)}")
+    }
+  }
 }
