@@ -3902,6 +3902,38 @@ object AnalyticsOps {
         (col("k") - 1).as("dof"))
     }),
 
+    // Empirical-Bayes (Beta-Binomial) rate shrinkage over the
+    // (priority × year) cells — the ranking-safe rate estimator every
+    // CTR/conversion pipeline ships (a 3/4 cell must not outrank a
+    // 700/1000 cell; shrinking toward a method-of-moments Beta prior
+    // fixes exactly that): cell rates are exact-integer ratios
+    // (identical doubles), the prior's mean/variance fold 9-dp-gridded
+    // decimals over the ≤40-row cell frame, α/β close over the standard
+    // MoM identity s = m(1−m)/v − 1, and each cell's posterior mean
+    // (m·s + x)/(s + n) is one mirrored double tree. nullif guards the
+    // all-rates-equal v = 0 degenerate.
+    "stat_eb_shrinkage" -> ((s, dir) => {
+      val cells = persistShared("eb_cells", t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("g"),
+          year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("o_orderstatus") === "F", 1)).as("x"))
+        .withColumn("r", col("x").cast("double") / col("n")))
+      val prior = cells.agg(count(lit(1)).as("k"),
+        sum(dec(round(col("r"), 9), 9)).as("sr"),
+        sum(dec(round(col("r") * col("r"), 9), 9)).as("srr"))
+      val m = col("sr").cast("double") / col("k")
+      val v = (col("srr").cast("double") -
+        col("sr").cast("double") * col("sr").cast("double") / col("k")) /
+        (col("k") - 1)
+      val sS = m * (lit(1.0) - m) / nullif(v, lit(0.0)) - 1
+      cells.crossJoin(broadcast(prior))
+        .select(col("g"), col("yr"), col("n"), col("x"),
+          round(col("r"), 6).as("raw_rate"),
+          round((m * sS + col("x")) / (sS + col("n")), 6).as("shrunk_rate"))
+        .orderBy(col("g"), col("yr"))
+    }),
+
     // Theil T inequality index of order value, decomposed across the
     // priority groups — the DECOMPOSABLE concentration measure beside
     // agg_pareto's 80/20 and stat_gini's Lorenz area (Gini famously does
@@ -6236,6 +6268,31 @@ object AnalyticsOps {
     "stat_eta_squared" -> etaSql,
     "anom_esd" -> esdSql,
     "stat_jonckheere" -> jtSql,
+    "stat_eb_shrinkage" ->
+      """WITH cells AS (
+           SELECT o_orderpriority AS g,
+                  CAST(year(o_orderdate) AS INTEGER) AS yr,
+                  count(1) AS n,
+                  CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                    AS BIGINT) AS x
+           FROM orders GROUP BY 1, 2),
+         rc AS (SELECT *, CAST(x AS DOUBLE) / n AS r FROM cells),
+         prior AS (
+           SELECT count(1) AS k,
+                  sum(CAST(round(r, 9) AS DECIMAL(18,9))) AS sr,
+                  sum(CAST(round(r * r, 9) AS DECIMAL(18,9))) AS srr
+           FROM rc),
+         pm AS (
+           SELECT k, CAST(sr AS DOUBLE) / k AS m,
+                  (CAST(srr AS DOUBLE)
+                   - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / k)
+                    / (k - 1) AS v
+           FROM prior),
+         ps AS (SELECT m, m * (1.0 - m) / nullif(v, 0.0) - 1 AS ss FROM pm)
+         SELECT g, yr, n, x,
+                round(r, 6) AS raw_rate,
+                round((m * ss + x) / (ss + n), 6) AS shrunk_rate
+         FROM rc, ps ORDER BY g, yr""",
     "stat_theil_index" ->
       """WITH o AS (
            SELECT o_orderpriority AS g,

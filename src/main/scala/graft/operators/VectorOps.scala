@@ -777,6 +777,41 @@ object VectorOps {
     // sides are deterministic, so recall itself is hash-oracled — a
     // pruning regression in any ANN tier moves this number before anyone
     // reads a benchmark.
+    // Rank-biased overlap (RBO@3, p = 0.9) between the exact ranker and
+    // the IVF tier — recall counts WHICH neighbors survive; RBO weights
+    // WHERE they sit (losing rank-1 should hurt more than losing
+    // rank-3 — the top-weighted list-comparison metric IR evaluation
+    // uses when two rankers must be graded beyond set overlap). The
+    // truncated form Σ_d (1−p)p^(d−1)·|A_d∩B_d|/d re-expresses per
+    // MATCHED PAIR as a suffix-sum lookup on max(rank_A, rank_B) — the
+    // three weights are EXACT decimal literals on both engines
+    // (0.172 / 0.072 / 0.027), so the per-probe sum is decimal-exact.
+    // Composes two registered deterministic queries (vec_ann_recall's
+    // precedent); a LEFT join keeps zero-overlap probes at rbo = 0.
+    "eval_rbo" -> ((s, dir) => {
+      val a = queries("vec_knn_join")(s, dir)
+        .select(col("probe_id"), col("neighbor_id"), col("rn").as("rka"))
+      val b = queries("vec_ivf_ann")(s, dir)
+        .select(col("probe_id").as("pb"), col("neighbor_id").as("nb"),
+          col("rn").as("rkb"))
+      a.join(b, col("probe_id") === col("pb") &&
+          col("neighbor_id") === col("nb"), "left")
+        // greatest() SKIPS nulls on both engines, so an unmatched row
+        // would contribute S(rank_A) — gate on the match explicitly
+        .withColumn("contrib", when(col("nb").isNotNull,
+          when(greatest(col("rka"), col("rkb")) === 1,
+            lit(BigDecimal("0.172")))
+          .when(greatest(col("rka"), col("rkb")) === 2,
+            lit(BigDecimal("0.072")))
+          .when(greatest(col("rka"), col("rkb")) === 3,
+            lit(BigDecimal("0.027")))))
+        .groupBy(col("probe_id"))
+        .agg(count(col("nb")).as("n_common"),
+          coalesce(sum(col("contrib")), lit(BigDecimal("0")))
+            .cast("double").as("rbo"))
+        .orderBy(col("probe_id"))
+    }),
+
     "vec_ann_recall" -> ((s, dir) => {
       val truth = queries("vec_knn_join")(s, dir)
         .select(col("probe_id"), col("neighbor_id"))
@@ -1250,6 +1285,19 @@ object VectorOps {
         FROM truth t LEFT JOIN ann a
           ON t.probe_id = a.probe_id AND t.neighbor_id = a.neighbor_id
         GROUP BY t.probe_id ORDER BY t.probe_id""".replaceAll("\\s+", " ").trim) +
+    ("eval_rbo" ->
+      s"""WITH a AS (${oraclesBase("vec_knn_join")}),
+          b AS (${oraclesBase("vec_ivf_ann")})
+          SELECT a.probe_id, count(b.neighbor_id) AS n_common,
+                 CAST(coalesce(sum(CASE WHEN b.neighbor_id IS NOT NULL
+                   THEN CASE
+                     WHEN greatest(a.rn, b.rn) = 1 THEN 0.172
+                     WHEN greatest(a.rn, b.rn) = 2 THEN 0.072
+                     WHEN greatest(a.rn, b.rn) = 3 THEN 0.027 END END), 0)
+                   AS DOUBLE) AS rbo
+          FROM a LEFT JOIN b
+            ON a.probe_id = b.probe_id AND a.neighbor_id = b.neighbor_id
+          GROUP BY a.probe_id ORDER BY a.probe_id""".replaceAll("\\s+", " ").trim) +
     ("vec_pca_power" ->
       s"""WITH x AS MATERIALIZED (
             SELECT vec_id, CAST(u.p AS INTEGER) AS pos,

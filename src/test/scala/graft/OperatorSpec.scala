@@ -5798,4 +5798,55 @@ class PropertySpec extends SparkSuite {
       assert(r.getBoolean(4) === top.contains(r.getInt(0)), s"is_top ${r.getInt(0)}")
     }
   }
+
+  test("stat_eb_shrinkage: posteriors replay brute MoM Beta shrinkage") {
+    val cells = graft.Tables.t(spark, sf, "orders")
+      .select(col("o_orderpriority"), col("o_orderdate").cast("date"),
+        col("o_orderstatus")).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toLocalDate.getYear),
+        r.getString(2) == "F"))
+      .groupBy(_._1).view
+      .mapValues(xs => (xs.length.toLong, xs.count(_._2).toLong)).toMap
+    def g9(x: Double) = math.rint(x * 1e9) / 1e9
+    val rs = cells.values.map { case (n, x) => x.toDouble / n }.toSeq
+    val k = rs.length
+    val m = rs.map(g9).sum / k
+    val v = (rs.map(r => g9(r * r)).sum - rs.map(g9).sum * rs.map(g9).sum / k) / (k - 1)
+    val ss = m * (1 - m) / v - 1
+    val got = q("stat_eb_shrinkage").collect()
+    assert(got.length === cells.size)
+    got.foreach { r =>
+      val (n, x) = cells((r.getString(0), r.getInt(1)))
+      assert(r.getLong(2) === n && r.getLong(3) === x)
+      assert(math.abs(r.getDouble(4) - x.toDouble / n) < 1e-6)
+      assert(math.abs(r.getDouble(5) - (m * ss + x) / (ss + n)) < 1e-5,
+        s"shrunk ${r.getString(0)} ${r.getInt(1)}")
+      // shrinkage pulls toward the prior mean
+      val raw = x.toDouble / n
+      if (raw > m) assert(r.getDouble(5) <= raw + 1e-6)
+      else assert(r.getDouble(5) >= raw - 1e-6)
+    }
+  }
+
+  test("eval_rbo: pair suffix-sums replay brute truncated RBO@3") {
+    val aList = q("vec_knn_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val bList = q("vec_ivf_ann").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val got = q("eval_rbo").collect()
+    assert(got.length === aList.map(_._1).distinct.length)
+    val w = Seq(0.1, 0.045, 0.027) // (1-p)p^(d-1)/d at p=0.9
+    got.foreach { r =>
+      val p = r.getLong(0)
+      val as = aList.filter(_._1 == p).map(t => t._2 -> t._3).toMap
+      val bs = bList.filter(_._1 == p).map(t => t._2 -> t._3).toMap
+      val common = as.keySet intersect bs.keySet
+      assert(r.getLong(1) === common.size.toLong, s"n_common $p")
+      val rbo = (1 to 3).map { d =>
+        w(d - 1) * common.count(c => as(c) <= d && bs(c) <= d)
+      }.sum
+      assert(math.abs(r.getDouble(2) - rbo) < 1e-9, s"rbo $p")
+      assert(r.getDouble(2) >= 0 && r.getDouble(2) <= 0.172 * 3 + 1e-9)
+    }
+  }
 }
