@@ -326,6 +326,50 @@ object AnalyticsOps {
          FROM f"""
   }
 
+  /** Standard-normal quantiles at 0.1..0.9 (6-dp literals) — shared by
+    * stat_qq_normality's Spark tree and its generated SQL twin. */
+  private val QqZ = Seq(-1.281552, -0.841621, -0.524401, -0.253347, 0.0,
+    0.253347, 0.524401, 0.841621, 1.281552)
+
+  /** stat_qq_normality's oracle — generated so both engines carry the
+    * identical decile-rank picks and 9-term PPCC algebra (z literals
+    * CAST to DOUBLE: DuckDB would otherwise fold them in DECIMAL). */
+  private val qqSql: String = {
+    def z(i: Int) = s"CAST(${QqZ(i - 1)} AS DOUBLE)"
+    val ranks = (1 to 9).map(i => s"(($i * n) + 9) // 10 AS r$i")
+      .mkString(",\n                  ")
+    val rankCond = (1 to 9).map(i => s"rn = r$i").mkString(" OR ")
+    val pivots = (1 to 9).map(i =>
+      s"max(CASE WHEN rn = r$i THEN v END) AS v$i")
+      .mkString(",\n                  ")
+    val sv = (1 to 9).map(i => s"v$i").mkString(" + ")
+    val svv = (1 to 9).map(i => s"v$i * v$i").mkString(" + ")
+    val svz = (1 to 9).map(i => s"v$i * ${z(i)}").mkString(" + ")
+    val szz = (1 to 9).map(i => s"${z(i)} * ${z(i)}").mkString(" + ")
+    s"""WITH c AS (
+           SELECT c_mktsegment AS seg, c_acctbal AS v, c_custkey AS k
+           FROM customer),
+         cnt AS (SELECT seg, count(1) AS n FROM c GROUP BY seg),
+         r AS (
+           SELECT c.seg, c.v, cnt.n,
+                  row_number() OVER (PARTITION BY c.seg
+                    ORDER BY c.v, c.k) AS rn,
+                  $ranks
+           FROM c JOIN cnt USING (seg)),
+         piv AS (
+           SELECT seg, max(n) AS n,
+                  $pivots
+           FROM r WHERE $rankCond GROUP BY seg),
+         f AS (
+           SELECT seg, n, v1 AS p10, v5 AS median, v9 AS p90,
+                  ($sv) AS sv, ($svv) AS svv, ($svz) AS svz, ($szz) AS szz
+           FROM piv)
+         SELECT seg, n, round(p10, 6) AS p10, round(median, 6) AS median,
+                round(p90, 6) AS p90,
+                round(svz / sqrt((svv - sv * sv / 9.0) * szz), 6) AS ppcc
+         FROM f ORDER BY seg"""
+  }
+
   private[graft] val PagerankBroadcastMaxNodes = 4L << 20
 
   /** Per-user distinct-item cap for recs_item_cf. The co-occurrence
@@ -829,6 +873,48 @@ object AnalyticsOps {
         .orderBy(desc("r12"), col("s_suppkey"))
         .limit(20)
         .drop("r12")
+    }),
+
+    // Association rules over the co-purchase pairs — basket_pairs
+    // upgraded from counts to the decisions a merchandiser acts on
+    // (support/confidence/lift/leverage; lift > 1 = genuinely
+    // associated, not just both popular): per-item order frequencies
+    // and the order total join the shared pair artifact, every metric
+    // is a ratio of EXACT integers (identical doubles both engines),
+    // both rule directions emitted (confidence is asymmetric), top-20
+    // by (lift, antecedent, consequent) — deterministic because the
+    // lift doubles are identical cross-engine by construction.
+    "basket_rules" -> ((s, dir) => {
+      val li = persistShared("basket_rules_li",
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct())
+      val itemN = li.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+      val tot = li.agg(countDistinct(col("ok")).as("n_orders_total"))
+      val pairs = coPurchaseGraph(s, dir)._1
+        .select(col("p1"), col("p2"), col("n_orders").as("n_ab"))
+      val both = pairs.select(col("p1").as("ante"), col("p2").as("cons"),
+          col("n_ab"))
+        .unionByName(pairs.select(col("p2").as("ante"),
+          col("p1").as("cons"), col("n_ab")))
+      both
+        .join(itemN.select(col("pk").as("ante"), col("n_item").as("n_a")),
+          Seq("ante"))
+        .join(itemN.select(col("pk").as("cons"), col("n_item").as("n_c")),
+          Seq("cons"))
+        .crossJoin(broadcast(tot))
+        .select(col("ante"), col("cons"), col("n_ab"), col("n_a"), col("n_c"),
+          round(col("n_ab").cast("double") / col("n_orders_total"), 6)
+            .as("support"),
+          round(col("n_ab").cast("double") / col("n_a"), 6).as("confidence"),
+          round(col("n_ab").cast("double") * col("n_orders_total") /
+            (col("n_a").cast("double") * col("n_c")), 6).as("lift"),
+          round(col("n_ab").cast("double") / col("n_orders_total") -
+            col("n_a").cast("double") * col("n_c") /
+            (col("n_orders_total").cast("double") * col("n_orders_total")), 6)
+            .as("leverage"))
+        .orderBy(col("lift").desc, col("ante"), col("cons"))
+        .limit(20)
     }),
 
     "basket_pairs" -> ((s, dir) =>
@@ -2611,6 +2697,43 @@ object AnalyticsOps {
         .select(col("n_days"), col("n_nonzero"), col("s_plus"),
           round((lit(2L) * col("s_plus") - col("n_nonzero")).cast("double") /
             sqrt(col("n_nonzero").cast("double")), 6).as("z_stat"))
+    }),
+
+    // Normality screen via the decile probability-plot correlation
+    // (PPCC) per segment — the practical Shapiro–Wilk substitute at
+    // warehouse scale (the exact W needs order-statistic covariances;
+    // the PPCC against fixed normal quantiles is the screen practioners
+    // run, and it needs only NINE rank picks however large the group):
+    // decile ranks are pure integers (⌈i·n/10⌉ via (i·n+9) div 10),
+    // picks deterministic under ties ((value, key) order), and the
+    // 9-term Pearson algebra runs on identical doubles both engines
+    // (z literals CAST to DOUBLE in the twin). ppcc ≈ 1 = normal;
+    // heavy tails pull it down. One rank window + bounded pivot.
+    "stat_qq_normality" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"), col("c_acctbal").as("v"),
+          col("c_custkey").as("k"))
+      val cnt = c.groupBy(col("seg")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("seg")).orderBy(col("v"), col("k"))
+      val r0 = c.withColumn("rn", row_number().over(w))
+        .join(broadcast(cnt), Seq("seg"))
+      val r = (1 to 9).foldLeft(r0) { (df, i) =>
+        df.withColumn(s"r$i", expr(s"(($i * n) + 9) div 10"))
+      }
+      val aggs = max(col("n")).as("n") +: (1 to 9).map(i =>
+        max(when(col("rn") === col(s"r$i"), col("v"))).as(s"v$i"))
+      val piv = r.filter((1 to 9).map(i => col("rn") === col(s"r$i"))
+          .reduce(_ || _))
+        .groupBy(col("seg")).agg(aggs.head, aggs.tail: _*)
+      val sv = (1 to 9).map(i => col(s"v$i")).reduce(_ + _)
+      val svv = (1 to 9).map(i => col(s"v$i") * col(s"v$i")).reduce(_ + _)
+      val svz = (1 to 9).map(i => col(s"v$i") * lit(QqZ(i - 1))).reduce(_ + _)
+      val szz = QqZ.map(z => lit(z) * lit(z)).reduce(_ + _)
+      piv.select(col("seg"), col("n"),
+          round(col("v1"), 6).as("p10"), round(col("v5"), 6).as("median"),
+          round(col("v9"), 6).as("p90"),
+          round(svz / sqrt((svv - sv * sv / lit(9.0)) * szz), 6).as("ppcc"))
+        .orderBy(col("seg"))
     }),
 
     // Distribution-free confidence interval for the MEDIAN per segment —
@@ -6028,6 +6151,35 @@ object AnalyticsOps {
          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
          GROUP BY p1, p2 HAVING count(1) >= 2
          ORDER BY n_orders DESC, p1, p2""",
+    "basket_rules" ->
+      """WITH li AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         pairs AS (
+           SELECT a.pk AS p1, b.pk AS p2, CAST(count(1) AS BIGINT) AS n_ab
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY p1, p2 HAVING count(1) >= 2),
+         itemn AS (SELECT pk, CAST(count(1) AS BIGINT) AS n_item
+                   FROM li GROUP BY pk),
+         tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders_total
+                 FROM li),
+         b2 AS (
+           SELECT p1 AS ante, p2 AS cons, n_ab FROM pairs
+           UNION ALL
+           SELECT p2 AS ante, p1 AS cons, n_ab FROM pairs)
+         SELECT ante, cons, n_ab, na.n_item AS n_a, nc.n_item AS n_c,
+                round(CAST(n_ab AS DOUBLE) / n_orders_total, 6) AS support,
+                round(CAST(n_ab AS DOUBLE) / na.n_item, 6) AS confidence,
+                round(CAST(n_ab AS DOUBLE) * n_orders_total /
+                      (CAST(na.n_item AS DOUBLE) * nc.n_item), 6) AS lift,
+                round(CAST(n_ab AS DOUBLE) / n_orders_total -
+                      CAST(na.n_item AS DOUBLE) * nc.n_item /
+                      (CAST(n_orders_total AS DOUBLE) * n_orders_total), 6)
+                  AS leverage
+         FROM b2
+         JOIN itemn na ON na.pk = ante
+         JOIN itemn nc ON nc.pk = cons
+         CROSS JOIN tot
+         ORDER BY lift DESC, ante, cons LIMIT 20""",
     "profile_columns" -> {
       val numeric = Set("o_orderkey", "o_custkey", "o_totalprice")
       Seq("o_orderkey", "o_custkey", "o_totalprice",
@@ -6268,6 +6420,7 @@ object AnalyticsOps {
     "stat_eta_squared" -> etaSql,
     "anom_esd" -> esdSql,
     "stat_jonckheere" -> jtSql,
+    "stat_qq_normality" -> qqSql,
     "stat_eb_shrinkage" ->
       """WITH cells AS (
            SELECT o_orderpriority AS g,

@@ -5849,4 +5849,56 @@ class PropertySpec extends SparkSuite {
       assert(r.getDouble(2) >= 0 && r.getDouble(2) <= 0.172 * 3 + 1e-9)
     }
   }
+
+  test("basket_rules: support/confidence/lift replay brute basket counts") {
+    val li = graft.Tables.t(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val nOrders = li.map(_._1).distinct.length.toDouble
+    val itemN = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairN = li.groupBy(_._1).values.flatMap { xs =>
+      val ps = xs.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2).toMap
+    val got = q("basket_rules").collect()
+    assert(got.length === math.min(20, pairN.size * 2))
+    got.foreach { r =>
+      val (a, c) = (r.getLong(0), r.getLong(1))
+      val nab = pairN.getOrElse((a min c, a max c), -1L)
+      assert(r.getLong(2) === nab, s"n_ab $a->$c")
+      assert(r.getLong(3) === itemN(a) && r.getLong(4) === itemN(c))
+      assert(math.abs(r.getDouble(6) - nab.toDouble / itemN(a)) < 1e-6, "conf")
+      assert(math.abs(r.getDouble(7) -
+        nab * nOrders / (itemN(a).toDouble * itemN(c))) < 1e-5, "lift")
+    }
+    val lifts = got.map(_.getDouble(7))
+    assert(lifts.zip(lifts.tail).forall { case (x, y) => x >= y }, "sorted")
+  }
+
+  test("stat_qq_normality: decile PPCC replays brute rank picks") {
+    val bySeg = graft.Tables.t(spark, sf, "customer")
+      .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(x => (x._2, x._3)).map(_._2)).toMap
+    val zs = Seq(-1.281552, -0.841621, -0.524401, -0.253347, 0.0,
+      0.253347, 0.524401, 0.841621, 1.281552)
+    val got = q("stat_qq_normality").collect()
+    assert(got.length === bySeg.size)
+    got.foreach { r =>
+      val vs = bySeg(r.getString(0)); val n = vs.length
+      assert(r.getLong(1) === n.toLong)
+      val dec = (1 to 9).map(i => vs((i * n + 9) / 10 - 1))
+      assert(r.getDouble(2) === dec(0) && r.getDouble(3) === dec(4) &&
+        r.getDouble(4) === dec(8), "decile picks")
+      val sv = dec.sum; val svv = dec.map(v => v * v).sum
+      val svz = dec.zip(zs).map { case (v, z) => v * z }.sum
+      val szz = zs.map(z => z * z).sum
+      val ppcc = svz / math.sqrt((svv - sv * sv / 9) * szz)
+      assert(math.abs(r.getDouble(5) - ppcc) < 1e-5, s"ppcc ${r.getString(0)}")
+      assert(r.getDouble(5) > 0.8 && r.getDouble(5) <= 1.0)
+    }
+  }
 }

@@ -702,6 +702,7 @@ class PlanSpec extends SparkSuite {
       "stat_theil_index" -> "crossJoins against broadcast 1-row total frames (fact fold + 5-row group fold + final combine)",
       "graph_eccentricity_sample" -> "crossJoin against the broadcast 1-row diameter (max-over-seeds) frame",
       "stat_eb_shrinkage" -> "crossJoin against the broadcast 1-row MoM prior frame over the <=40-row cell frame",
+      "basket_rules" -> "crossJoin against the broadcast 1-row order-total frame",
       "eval_rbo" -> "inherits vec_ivf_ann/vec_knn_join's whitelisted bounded crossJoins (query composition, vec_ann_recall's precedent)",
       "dedup_minhash_recall" -> "crossJoins compose three 1-row count frames (truth/candidates/hits)",
       "graph_ppr" -> "crossJoins against the broadcast 1-row seed frame (one per restart round)",
