@@ -176,6 +176,40 @@ object Streams {
         .orderBy(col("w_start_s"), col("event_type"))
     }),
 
+    // Streaming rate-anomaly alert — the monitoring read every streaming
+    // rollup feeds (collect windowed counts continuously, flag the
+    // windows whose volume is statistically off): the STREAM side is a
+    // plain hourly tumbling count (exactly-once through the same
+    // complete-mode memory sink as the other windows); the ALERT side
+    // is a deterministic batch read over the materialized table —
+    // per-type moments from EXACT integer window counts, z per window
+    // as one mirrored double tree, |z| > 2 flags. nullif guards a
+    // constant series (sd = 0 → NULL z, no alert).
+    "stream_rate_alert" -> ((s, dir) => {
+      val hourly = runToTable(s, s2 => eventsStream(s2, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n")),
+        "mem_rate_alert", "complete")
+        .select(unix_timestamp(col("window.start")).as("w_start_s"),
+          col("event_type"), col("n"))
+      // moments from a RENAMED projection: both sides read the same
+      // memory-sink view, and an un-aliased self-join trips conflicting-
+      // attribute resolution on the view's output
+      val mom = hourly.select(col("event_type").as("et2"), col("n").as("n2"))
+        .groupBy(col("et2"))
+        .agg(count(lit(1)).as("k"), sum(col("n2")).as("sn"),
+          sum(col("n2") * col("n2")).as("qn"))
+      val mu = col("sn").cast("double") / col("k")
+      val sd = sqrt((col("k") * col("qn") - col("sn") * col("sn"))
+        .cast("double") / (col("k") * (col("k") - 1)))
+      hourly.join(broadcast(mom), col("event_type") === col("et2"))
+        .select(col("w_start_s"), col("event_type"), col("n"),
+          round((col("n").cast("double") - mu) / nullif(sd, lit(0.0)), 6)
+            .as("z"))
+        .withColumn("alert", abs(col("z")) > 2.0)
+        .orderBy(col("w_start_s"), col("event_type"))
+    }),
+
     "stream_sliding" -> ((s, dir) => {
       runToTable(s, s2 => eventsStream(s2, dir)
         .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
@@ -366,6 +400,24 @@ object Streams {
          count(1) AS n,
          round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
          FROM events GROUP BY 1, 2 ORDER BY w_start_s, event_type""",
+    "stream_rate_alert" ->
+      """WITH hourly AS (
+           SELECT (epoch_us(ts) // 3600000000) * 3600 AS w_start_s, event_type,
+                  CAST(count(1) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         mom AS (
+           SELECT event_type, count(1) AS k,
+                  CAST(sum(n) AS BIGINT) AS sn,
+                  CAST(sum(n * n) AS BIGINT) AS qn
+           FROM hourly GROUP BY event_type),
+         z AS (
+           SELECT w_start_s, h.event_type, n,
+                  round((CAST(n AS DOUBLE) - CAST(sn AS DOUBLE) / k) /
+                        nullif(sqrt(CAST(k * qn - sn * sn AS DOUBLE)
+                                    / (k * (k - 1))), 0.0), 6) AS z
+           FROM hourly h JOIN mom m ON h.event_type = m.event_type)
+         SELECT w_start_s, event_type, n, z, abs(z) > 2.0 AS alert
+         FROM z ORDER BY w_start_s, event_type""",
     "stream_distinct_users" ->
       """SELECT (epoch_us(ts) // 300000000) * 300 AS w_start_s, event_type,
          count(DISTINCT user_id) AS n_users

@@ -5901,4 +5901,27 @@ class PropertySpec extends SparkSuite {
       assert(r.getDouble(5) > 0.8 && r.getDouble(5) <= 1.0)
     }
   }
+
+  test("stream_rate_alert: streamed hourly z-scores replay batch moments") {
+    val hourly = graft.Tables.events(spark, sf)
+      .select((unix_timestamp(col("ts")).divide(3600)).cast("long") * 3600,
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val byType = hourly.toSeq.groupBy(_._1._2)
+    val got = q("stream_rate_alert").collect()
+    assert(got.length === hourly.size)
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getString(1))
+      assert(r.getLong(2) === hourly(key), s"count $key")
+      val ns = byType(r.getString(1)).map(_._2.toDouble)
+      val k = ns.length; val mu = ns.sum / k
+      val sd = math.sqrt(ns.map(x => (x - mu) * (x - mu)).sum / (k - 1))
+      if (sd > 0) {
+        assert(math.abs(r.getDouble(3) - (hourly(key) - mu) / sd) < 1e-4,
+          s"z $key")
+        assert(r.getBoolean(4) === (math.abs(r.getDouble(3)) > 2.0))
+      } else assert(r.isNullAt(3))
+    }
+  }
 }
