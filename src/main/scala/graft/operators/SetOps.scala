@@ -60,6 +60,31 @@ object SetOps {
       o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
         .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
         .orderBy(col("o_custkey"))
+    }),
+
+    // MULTISET set ops — the bag-semantics corner of §2.F (EXCEPT/
+    // INTERSECT collapse duplicates; the ALL forms subtract/min
+    // MULTIPLICITIES, which is what reconciliation diffs actually need:
+    // "this customer placed 3 'O' orders but only 1 'F' order" survives
+    // here and vanishes under distinct semantics). Spark plans both as
+    // one hash aggregation over (value → two counts) — no row-grain
+    // pairing, scale-safe.
+    "set_except_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .exceptAll(o.filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey")))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("multiplicity"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    "set_intersect_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .intersectAll(o.filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey")))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("multiplicity"))
+        .orderBy(col("o_custkey"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -91,6 +116,18 @@ object SetOps {
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
          EXCEPT
          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-         ORDER BY o_custkey"""
+         ORDER BY o_custkey""",
+    "set_except_all" ->
+      """SELECT o_custkey, count(1) AS multiplicity FROM (
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+           EXCEPT ALL
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+         GROUP BY o_custkey ORDER BY o_custkey""",
+    "set_intersect_all" ->
+      """SELECT o_custkey, count(1) AS multiplicity FROM (
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+           INTERSECT ALL
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+         GROUP BY o_custkey ORDER BY o_custkey"""
   ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
 }

@@ -5924,4 +5924,23 @@ class PropertySpec extends SparkSuite {
       } else assert(r.isNullAt(3))
     }
   }
+
+  test("set_except_all / set_intersect_all: multiplicities replay bag math") {
+    val byStatus = graft.Tables.t(spark, sf, "orders")
+      .select(col("o_orderstatus"), col("o_custkey")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def counts(st: String) = byStatus.filter(_._1 == st).map(_._2)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val o = counts("O"); val f = counts("F")
+    val exc = o.map { case (k, c) => k -> (c - f.getOrElse(k, 0L)) }
+      .filter(_._2 > 0)
+    val inter = f.collect { case (k, c) if o.contains(k) =>
+      k -> math.min(c, o(k)) }
+    val gotE = q("set_except_all").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotE === exc, "except all multiplicities")
+    val gotI = q("set_intersect_all").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotI === inter.toMap, "intersect all multiplicities")
+  }
 }
