@@ -1960,6 +1960,35 @@ object AnalyticsOps {
         .orderBy(col("seg_a"), col("seg_b"))
     }),
 
+    // Two-sample variance-ratio F test across segment pairs — the
+    // 2-sample corner of the equal-variance question (bartlett/levene
+    // answer it for k groups at once; the plain F = s²_a/s²_b with
+    // (n_a−1, n_b−1) dof is what a ttest's equal-variance assumption is
+    // actually checked with pre-Welch): same decimal-exact moment frame
+    // as stat_ttest (one fact pass), F and the >1-oriented ratio as
+    // double algebra on the ≤25-pair broadcast theta join.
+    "stat_f_test" -> ((s, dir) => {
+      val m = t(s, dir, "customer")
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("c_acctbal"))).as("sv"),
+          sum(dec(col("c_acctbal")) * dec(col("c_acctbal"))).as("svv"))
+        .select(col("seg"), col("n"),
+          ((col("svv").cast("double") - col("sv").cast("double") *
+            col("sv").cast("double") / col("n")) / (col("n") - 1)).as("v"))
+      val a = m.select(col("seg").as("seg_a"), col("n").as("na"),
+        col("v").as("va"))
+      val b = m.select(col("seg").as("seg_b"), col("n").as("nb"),
+        col("v").as("vb"))
+      a.join(broadcast(b), col("seg_a") < col("seg_b"))
+        .select(col("seg_a"), col("seg_b"),
+          (col("na") - 1).as("dof_a"), (col("nb") - 1).as("dof_b"),
+          round(col("va") / col("vb"), 6).as("f_stat"),
+          round(greatest(col("va") / col("vb"), col("vb") / col("va")), 6)
+            .as("f_oriented"))
+        .orderBy(col("seg_a"), col("seg_b"))
+    }),
+
     // Deterministic A/B experiment readout on per-user purchase spend —
     // the experimentation kit as one operator (assignment → guardrail
     // moments → decision stats): arms are the multiplicative-hash parity
@@ -6421,6 +6450,20 @@ object AnalyticsOps {
     "anom_esd" -> esdSql,
     "stat_jonckheere" -> jtSql,
     "stat_qq_normality" -> qqSql,
+    "stat_f_test" ->
+      """WITH m AS (
+           SELECT c_mktsegment AS seg, count(1) AS n,
+                  CAST(sum(CAST(c_acctbal AS DECIMAL(19,6))) AS DOUBLE) AS sv,
+                  CAST(sum(CAST(c_acctbal AS DECIMAL(19,6))
+                           * CAST(c_acctbal AS DECIMAL(19,6))) AS DOUBLE) AS svv
+           FROM customer GROUP BY 1),
+         v AS (SELECT seg, n, (svv - sv * sv / n) / (n - 1) AS v FROM m)
+         SELECT a.seg AS seg_a, b.seg AS seg_b,
+                a.n - 1 AS dof_a, b.n - 1 AS dof_b,
+                round(a.v / b.v, 6) AS f_stat,
+                round(greatest(a.v / b.v, b.v / a.v), 6) AS f_oriented
+         FROM v a JOIN v b ON a.seg < b.seg
+         ORDER BY seg_a, seg_b""",
     "stat_eb_shrinkage" ->
       """WITH cells AS (
            SELECT o_orderpriority AS g,

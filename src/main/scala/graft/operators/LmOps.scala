@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -168,6 +169,48 @@ object LmOps {
         .select(col("w1"), col("w2"), col("n"),
           round(col("n") / col("n_first"), 6).as("p"))
         .orderBy(desc("n"), col("w1"), col("w2"))
+    }),
+
+    // Corpus entropy RATE — the conditional-entropy upgrade of
+    // text_entropy's unigram H (how predictable is the next token GIVEN
+    // the current one; the single number that separates repetitive
+    // template text from genuinely varied prose even when their unigram
+    // mixes match): H(Y|X) ≈ H(bigram) − H(unigram), both entropies from
+    // distinct-gram frames with each p·ln p term 9-dp-gridded to DECIMAL
+    // before the order-independent sum (vocabulary-grain — bounded
+    // however large the corpus); the difference is algebra on two
+    // decimal-exact one-row frames.
+    "text_entropy_rate" -> ((s, dir) => {
+      val toks = persistShared("entrate_toks", t(s, dir, "documents")
+        .select(split(lower(col("text")), " ").as("tk")))
+      val uni = toks.select(explode(col("tk")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      val bi = toks.select(explode(expr(
+          "transform(slice(tk, 1, size(tk) - 1), (w, i) -> struct(w AS w1, tk[i + 1] AS w2))"))
+          .as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      def h(df: DataFrame): DataFrame = {
+        val tot = df.agg(sum(col("n")).as("nt"), count(lit(1)).as("v"))
+        val p = col("n").cast("double") / col("nt")
+        df.crossJoin(broadcast(tot))
+          .agg(max(col("nt")).as("total"), max(col("v")).as("vocab"),
+            sum(dec(round(p * log(p), 9), 9)).as("hsum"))
+      }
+      val h1 = h(uni).select(col("total").as("n_tokens"),
+        col("vocab").as("uni_vocab"),
+        negate(col("hsum").cast("double")).as("h1d"))
+      val h2 = h(bi).select(col("total").as("n_bigrams"),
+        col("vocab").as("bi_vocab"),
+        negate(col("hsum").cast("double")).as("h2d"))
+      h1.crossJoin(broadcast(h2))
+        .select(col("n_tokens"), col("uni_vocab"), col("n_bigrams"),
+          col("bi_vocab"),
+          round(col("h1d"), 6).as("h_unigram"),
+          round(col("h2d"), 6).as("h_bigram"),
+          round(col("h2d") - col("h1d"), 6).as("cond_entropy"))
     }),
 
     "text_entropy" -> ((s, dir) => {
@@ -393,6 +436,36 @@ object LmOps {
                 WHERE w2 IS NOT NULL AND w1 <> '' AND w2 <> '' GROUP BY w1, w2)
          SELECT w1, w2, n, round(n / sum(n) OVER (PARTITION BY w1), 6) AS p
          FROM c2 QUALIFY n >= 5 ORDER BY n DESC, w1, w2""",
+    "text_entropy_rate" ->
+      """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+         tok AS (SELECT doc_id, unnest(tk) AS w,
+                        unnest(range(1, len(tk) + 1)) AS ord FROM tk),
+         uni AS (SELECT w, count(1) AS n FROM tok WHERE w <> '' GROUP BY w),
+         bi0 AS (SELECT w AS w1,
+                        lead(w) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+                 FROM tok),
+         bi AS (SELECT w1, w2, count(1) AS n FROM bi0
+                WHERE w2 IS NOT NULL AND w1 <> '' AND w2 <> ''
+                GROUP BY w1, w2),
+         t1 AS (SELECT CAST(sum(n) AS BIGINT) AS nt, count(1) AS v FROM uni),
+         t2 AS (SELECT CAST(sum(n) AS BIGINT) AS nt, count(1) AS v FROM bi),
+         h1 AS (
+           SELECT max(t1.nt) AS n_tokens, max(t1.v) AS uni_vocab,
+                  -CAST(sum(CAST(round((CAST(n AS DOUBLE) / t1.nt)
+                    * ln(CAST(n AS DOUBLE) / t1.nt), 9) AS DECIMAL(18,9)))
+                    AS DOUBLE) AS h1d
+           FROM uni, t1),
+         h2 AS (
+           SELECT max(t2.nt) AS n_bigrams, max(t2.v) AS bi_vocab,
+                  -CAST(sum(CAST(round((CAST(n AS DOUBLE) / t2.nt)
+                    * ln(CAST(n AS DOUBLE) / t2.nt), 9) AS DECIMAL(18,9)))
+                    AS DOUBLE) AS h2d
+           FROM bi, t2)
+         SELECT n_tokens, uni_vocab, n_bigrams, bi_vocab,
+                round(h1d, 6) AS h_unigram,
+                round(h2d, 6) AS h_bigram,
+                round(h2d - h1d, 6) AS cond_entropy
+         FROM h1, h2""",
     "text_entropy" ->
       """WITH tokc AS (
            SELECT source, w, count(1) AS c FROM (

@@ -5943,4 +5943,52 @@ class PropertySpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotI === inter.toMap, "intersect all multiplicities")
   }
+
+  test("text_entropy_rate: gram entropies replay brute gridded folds") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val unis = docs.flatMap(_.toLowerCase.split(" ")).filter(_.nonEmpty)
+    val uniC = unis.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bis = docs.flatMap { t =>
+      val tk = t.toLowerCase.split(" ")
+      tk.zip(tk.tail).filter(p => p._1.nonEmpty && p._2.nonEmpty)
+    }
+    val biC = bis.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def g9(x: Double) = math.rint(x * 1e9) / 1e9
+    def ent(cs: Iterable[Long]): Double = {
+      val n = cs.sum.toDouble
+      -cs.map(c => g9(c / n * math.log(c / n))).sum
+    }
+    val r = q("text_entropy_rate").collect()(0)
+    assert(r.getLong(0) === unis.length.toLong)
+    assert(r.getLong(1) === uniC.size.toLong)
+    assert(r.getLong(2) === bis.length.toLong)
+    assert(r.getLong(3) === biC.size.toLong)
+    assert(math.abs(r.getDouble(4) - ent(uniC.values)) < 1e-5, "h1")
+    assert(math.abs(r.getDouble(5) - ent(biC.values)) < 1e-5, "h2")
+    assert(math.abs(r.getDouble(6) -
+      (ent(biC.values) - ent(uniC.values))) < 1e-5, "cond")
+    assert(r.getDouble(6) >= -1e-6 && r.getDouble(6) <= r.getDouble(4) + 1e-6)
+  }
+
+  test("stat_f_test: variance ratios replay brute segment moments") {
+    val bySeg = graft.Tables.t(spark, sf, "customer")
+      .select(col("c_mktsegment"), col("c_acctbal")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def varOf(xs: Array[Double]) = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+    }
+    val got = q("stat_f_test").collect()
+    assert(got.length === bySeg.size * (bySeg.size - 1) / 2)
+    got.foreach { r =>
+      val va = varOf(bySeg(r.getString(0))); val vb = varOf(bySeg(r.getString(1)))
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getLong(2) === bySeg(r.getString(0)).length.toLong - 1)
+      assert(math.abs(r.getDouble(4) - va / vb) < 1e-4, "f")
+      assert(math.abs(r.getDouble(5) - math.max(va / vb, vb / va)) < 1e-4)
+      assert(r.getDouble(5) >= 1.0 - 1e-9)
+    }
+  }
 }

@@ -703,6 +703,8 @@ class PlanSpec extends SparkSuite {
       "graph_eccentricity_sample" -> "crossJoin against the broadcast 1-row diameter (max-over-seeds) frame",
       "stat_eb_shrinkage" -> "crossJoin against the broadcast 1-row MoM prior frame over the <=40-row cell frame",
       "basket_rules" -> "crossJoin against the broadcast 1-row order-total frame",
+      "text_entropy_rate" -> "crossJoins against broadcast 1-row gram-total frames (text_unigram_ppl's shape)",
+      "stat_f_test" -> "theta self-join of a broadcast 5-row segment-moment frame (<=25 pairs, stat_ttest's shape)",
       "eval_rbo" -> "inherits vec_ivf_ann/vec_knn_join's whitelisted bounded crossJoins (query composition, vec_ann_recall's precedent)",
       "dedup_minhash_recall" -> "crossJoins compose three 1-row count frames (truth/candidates/hits)",
       "graph_ppr" -> "crossJoins against the broadcast 1-row seed frame (one per restart round)",
