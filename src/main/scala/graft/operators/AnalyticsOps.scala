@@ -3180,6 +3180,42 @@ object AnalyticsOps {
         .orderBy(col("seed"))
     }),
 
+    // Rich-club coefficients at degree thresholds k ∈ {2, 4, 8} — "do
+    // the hubs preferentially wire to each other" (the connectivity-
+    // elite screen beside assortativity's global correlation; a high
+    // φ(k) = hub cartel, the structure that makes a graph fragile to
+    // targeted node loss): for each k, φ = 2·E_k / (N_k(N_k−1)) where
+    // E_k counts edges with BOTH endpoints above degree k — one degree
+    // frame (broadcast, node-sized) + one edge pass per threshold, all
+    // from the shared co-purchase artifact, all exact integers until
+    // the final division.
+    "graph_richclub" -> ((s, dir) => {
+      val und = coPurchaseGraph(s, dir)._1.select(col("p1"), col("p2"))
+      val adj = und.select(col("p1").as("src"), col("p2").as("dst"))
+        .union(und.select(col("p2").as("src"), col("p1").as("dst")))
+      // node-sized and read 9× across the three thresholds —
+      // localCheckpoint (not cache) so the replays are RDD scans, not
+      // InMemoryTableScan replays of a derivation chain (>8 lint)
+      val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        .localCheckpoint(true)
+      val ks = Seq(2, 4, 8)
+      val out = ks.map { k =>
+        val rich = deg.filter(col("dg") > k).select(col("src").as("rn"))
+        val nk = rich.agg(count(lit(1)).as("n_rich"))
+        val ek = und
+          .join(broadcast(rich.select(col("rn").as("p1"))), Seq("p1"))
+          .join(broadcast(rich.select(col("rn").as("p2"))), Seq("p2"))
+          .agg(count(lit(1)).as("e_rich"))
+        ek.crossJoin(broadcast(nk))
+          .select(lit(k).as("k"), col("n_rich"), col("e_rich"),
+            round(lit(2.0) * col("e_rich") /
+              nullif((col("n_rich") * (col("n_rich") - 1)).cast("double"),
+                lit(0.0)), 6).as("phi"))
+          .select(col("k"), col("n_rich"), col("e_rich"), col("phi"))
+      }
+      out.reduce(_ unionByName _).orderBy(col("k"))
+    }),
+
     // Eccentricity / diameter LOWER BOUNDS from the same landmark BFS —
     // the third read of the memoized 3-seed distance artifact (exact
     // eccentricity is all-pairs; the standard scalable estimate is
@@ -7127,6 +7163,29 @@ object AnalyticsOps {
                  round(CAST(count(1) - 1 AS DOUBLE) /
                        nullif(CAST(sum(dist) AS BIGINT), 0), 6) AS closeness
           FROM cv$BfsRounds GROUP BY seed ORDER BY seed""",
+    "graph_richclub" -> {
+      val blocks = Seq(2, 4, 8).map { k =>
+        s"""SELECT $k AS k,
+              (SELECT CAST(count(1) AS BIGINT) FROM deg WHERE dg > $k) AS n_rich,
+              (SELECT CAST(count(1) AS BIGINT) FROM und u
+                JOIN deg d1 ON d1.src = u.p1 AND d1.dg > $k
+                JOIN deg d2 ON d2.src = u.p2 AND d2.dg > $k) AS e_rich"""
+      }.mkString("\n          UNION ALL\n          ")
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          und AS MATERIALIZED (
+            SELECT a.pk AS p1, b.pk AS p2
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY p1, p2 HAVING count(1) >= 2),
+          adj AS (SELECT p1 AS src, p2 AS dst FROM und
+                 UNION ALL SELECT p2, p1 FROM und),
+          deg AS MATERIALIZED (SELECT src, count(1) AS dg FROM adj GROUP BY src),
+          r AS ($blocks)
+          SELECT k, n_rich, e_rich,
+                 round(CAST(2.0 AS DOUBLE) * e_rich /
+                       nullif(CAST(n_rich * (n_rich - 1) AS DOUBLE), 0.0), 6)
+                   AS phi
+          FROM r ORDER BY k"""
+    },
     "graph_eccentricity_sample" ->
       s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
           und AS MATERIALIZED (

@@ -656,6 +656,39 @@ object ShapeOps {
     // accounting splits them because a resurrection says the win-back
     // worked, not acquisition): one lag window over the persisted
     // (user, day) frame, then a day rollup. Integer day gaps, no floats.
+    // Lifecycle-stage snapshot — the user-base composition number a
+    // weekly business review opens with (how many of our users are new /
+    // active / cooling / at-risk / churned AS OF the corpus horizon):
+    // one user-grain min/max rollup, recency and tenure against the
+    // broadcast horizon, fixed integer day-band CASE (bands sized to the
+    // 30-day fixture calendar, noted like ts_ses_forecast's 23/7 split:
+    // new = joined in the last 2 days of the window, then recency bands
+    // 1/2/3), stage-grain counts + exact-integer average recency/tenure.
+    // The fact is touched once; everything after is user-grain then
+    // 5-row.
+    "seq_lifecycle_stages" -> ((s, dir) => {
+      val ud = events(s, dir).groupBy(col("user_id"))
+        .agg(min(col("ts").cast("date")).as("first_day"),
+          max(col("ts").cast("date")).as("last_day"))
+      val horizon = ud.agg(max(col("last_day")).as("h"))
+      ud.crossJoin(broadcast(horizon))
+        .withColumn("rec", datediff(col("h"), col("last_day")))
+        .withColumn("ten", datediff(col("h"), col("first_day")))
+        .withColumn("stage",
+          when(col("ten") < 28, "new")
+            .when(col("rec") < 1, "active")
+            .when(col("rec") < 2, "cooling")
+            .when(col("rec") < 3, "at_risk")
+            .otherwise("churned"))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_users"),
+          round(sum(col("rec")).cast("double") / count(lit(1)), 6)
+            .as("avg_recency_days"),
+          round(sum(col("ten")).cast("double") / count(lit(1)), 6)
+            .as("avg_tenure_days"))
+        .orderBy(col("stage"))
+    }),
+
     // Trailing activity-streak distribution — the retention feature
     // every engagement product ships (the "don't break the chain" number)
     // and seq_islands' OPERATIONAL projection: only the island that ends
@@ -1467,6 +1500,26 @@ object ShapeOps {
          FROM dau JOIN mau
            ON CAST(date_trunc('month', dau.day) AS DATE) = mau.mon
          ORDER BY day""",
+    "seq_lifecycle_stages" ->
+      """WITH ud AS (
+           SELECT user_id, min(CAST(ts AS DATE)) AS first_day,
+                  max(CAST(ts AS DATE)) AS last_day
+           FROM events GROUP BY user_id),
+         h AS (SELECT max(last_day) AS h FROM ud),
+         st AS (
+           SELECT CASE WHEN (h - first_day) < 28 THEN 'new'
+                       WHEN (h - last_day) < 1 THEN 'active'
+                       WHEN (h - last_day) < 2 THEN 'cooling'
+                       WHEN (h - last_day) < 3 THEN 'at_risk'
+                       ELSE 'churned' END AS stage,
+                  (h - last_day) AS rec, (h - first_day) AS ten
+           FROM ud, h)
+         SELECT stage, CAST(count(1) AS BIGINT) AS n_users,
+                round(CAST(sum(rec) AS DOUBLE) / count(1), 6)
+                  AS avg_recency_days,
+                round(CAST(sum(ten) AS DOUBLE) / count(1), 6)
+                  AS avg_tenure_days
+         FROM st GROUP BY stage ORDER BY stage""",
     "seq_current_streak" ->
       """WITH ud AS (
            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -5991,4 +5991,54 @@ class PropertySpec extends SparkSuite {
       assert(r.getDouble(5) >= 1.0 - 1e-9)
     }
   }
+
+  test("graph_richclub: phi replays brute rich-subgraph edge counts") {
+    val edges = q("basket_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = q("graph_richclub").collect()
+    assert(got.map(_.getInt(0)).toSeq === Seq(2, 4, 8))
+    got.foreach { r =>
+      val k = r.getInt(0)
+      val rich = deg.filter(_._2 > k).keySet
+      val ek = edges.count(e => rich(e._1) && rich(e._2)).toLong
+      assert(r.getLong(1) === rich.size.toLong, s"n_rich k=$k")
+      assert(r.getLong(2) === ek, s"e_rich k=$k")
+      if (rich.size > 1)
+        assert(math.abs(r.getDouble(3) -
+          2.0 * ek / (rich.size.toLong * (rich.size - 1))) < 1e-6)
+    }
+    // phi is non-decreasing in k on hub-assortative graphs is NOT
+    // guaranteed — only bounds are: 0 <= phi <= 1
+    got.foreach(r => if (!r.isNullAt(3))
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1.0))
+  }
+
+  test("seq_lifecycle_stages: bands replay brute recency/tenure math") {
+    val ud = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("date")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+      .groupBy(_._1).view.mapValues(ds => (ds.map(_._2).min, ds.map(_._2).max))
+      .toMap
+    val h = ud.values.map(_._2).max
+    val staged = ud.values.map { case (f, l) =>
+      val (rec, ten) = (h - l, h - f)
+      val st = if (ten < 28) "new" else if (rec < 1) "active"
+        else if (rec < 2) "cooling" else if (rec < 3) "at_risk"
+        else "churned"
+      (st, rec, ten)
+    }.toSeq
+    val want = staged.groupBy(_._1)
+    val got = q("seq_lifecycle_stages").collect()
+    assert(got.length === want.size)
+    got.foreach { r =>
+      val g = want(r.getString(0))
+      assert(r.getLong(1) === g.length.toLong, s"n ${r.getString(0)}")
+      assert(math.abs(r.getDouble(2) -
+        g.map(_._2).sum.toDouble / g.length) < 1e-6, "recency")
+      assert(math.abs(r.getDouble(3) -
+        g.map(_._3).sum.toDouble / g.length) < 1e-6, "tenure")
+    }
+  }
 }
