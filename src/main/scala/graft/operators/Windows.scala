@@ -18,6 +18,34 @@ import graft.Tables._
 object Windows {
 
   val queries: Map[String, QFn] = Map(
+    // 2-D skyline (Pareto frontier) over (price, size) — the
+    // multi-objective "best tradeoffs" operator (cheapest for its size /
+    // smallest for its price; no other part is ≤ in both with one
+    // strict), a classic relational operator family the rest of §2
+    // lacked. The sweep formulation makes it one sort, not a self-join:
+    // collapse to the (cents, size) value grain, keep the min size per
+    // price (equal-price larger sizes are dominated within the group),
+    // then a point survives iff its size beats the RUNNING MIN over all
+    // strictly cheaper points — a rows-frame prefix min over the
+    // distinct-price frame (value-grain bounded; the naive dominance
+    // self-join is O(n²) and never runs). All-integer comparisons.
+    "win_skyline_2d" -> ((s, dir) => {
+      val pts = t(s, dir, "part")
+        .select(expr("CAST(round(p_retailprice * 100, 0) AS BIGINT)")
+          .as("cents"), col("p_size").as("size"))
+        .groupBy(col("cents"), col("size")).agg(count(lit(1)).as("n"))
+      val perPrice = pts.groupBy(col("cents"))
+        .agg(min(col("size")).as("size"))
+        .join(pts, Seq("cents", "size"))
+      val w = Window.orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perPrice.withColumn("runmin", min(col("size")).over(w))
+        .filter(col("runmin").isNull || col("size") < col("runmin"))
+        .select(round(col("cents").cast("double") / 100.0, 6).as("price"),
+          col("size"), col("n").as("n_parts"))
+        .orderBy(col("price"))
+    }),
+
     "win_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("c_acctbal").desc, col("c_custkey"))
@@ -195,6 +223,24 @@ object Windows {
     }))
 
   val oracles: Map[String, String] = Map(
+    "win_skyline_2d" ->
+      """WITH pts AS (
+           SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+                  p_size AS sz, count(1) AS n
+           FROM part GROUP BY 1, 2),
+         pp AS (
+           SELECT p.cents, p.sz, p.n FROM pts p
+           JOIN (SELECT cents, min(sz) AS sz FROM pts GROUP BY cents) m
+             ON p.cents = m.cents AND p.sz = m.sz),
+         r AS (
+           SELECT cents, sz, n,
+                  min(sz) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmin
+           FROM pp)
+         SELECT round(CAST(cents AS DOUBLE) / 100.0, 6) AS price,
+                CAST(sz AS INTEGER) AS size, CAST(n AS BIGINT) AS n_parts
+         FROM r WHERE runmin IS NULL OR sz < runmin
+         ORDER BY price""",
     "win_rank" ->
       """SELECT c_custkey, c_mktsegment,
          row_number() OVER w AS rn, rank() OVER w AS rnk,

@@ -6041,4 +6041,25 @@ class PropertySpec extends SparkSuite {
         g.map(_._3).sum.toDouble / g.length) < 1e-6, "tenure")
     }
   }
+
+  test("win_skyline_2d: the sweep replays brute pairwise dominance") {
+    val parts = graft.Tables.t(spark, sf, "part")
+      .select(col("p_retailprice"), col("p_size")).collect()
+      .map(r => (math.round(r.getDouble(0) * 100), r.getInt(1)))
+    def dominated(p: (Long, Int)) = parts.exists(q =>
+      q._1 <= p._1 && q._2 <= p._2 && (q._1 < p._1 || q._2 < p._2))
+    val skyline = parts.distinct.filterNot(dominated)
+      .map(p => (p._1 / 100.0, p._2))
+    val got = q("win_skyline_2d").collect()
+      .map(r => (r.getDouble(0), r.getInt(1), r.getLong(2)))
+    assert(got.map(p => (p._1, p._2)).toSet === skyline.toSet, "skyline set")
+    got.foreach { case (pr, sz, n) =>
+      val c = math.round(pr * 100)
+      assert(n === parts.count(p => p._1 == c && p._2 == sz).toLong)
+    }
+    // frontier invariant: prices ascending, sizes strictly descending
+    val sorted = got.sortBy(_._1)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) =>
+      a._1 < b._1 && a._2 > b._2 })
+  }
 }
