@@ -656,6 +656,36 @@ object ShapeOps {
     // accounting splits them because a resurrection says the win-back
     // worked, not acquisition): one lag window over the persisted
     // (user, day) frame, then a day rollup. Integer day gaps, no floats.
+    // Daily OHLC (open/high/low/close + volume) per event series — the
+    // financial-standard bar rollup (and the general "first/last value
+    // in period" idiom, which naive formulations buy with two rank
+    // windows): ONE hash aggregation per (type, day) using min_by /
+    // max_by keyed on the (ts, event_id) struct — the composite key
+    // makes the open/close picks deterministic under timestamp ties on
+    // both engines (lexicographic struct/list ordering), high/low are
+    // plain extremes on the 6-dp-rounded values, and there is no window
+    // or shuffle beyond the rollup itself. Map-side combinable at any
+    // scale.
+    "ts_ohlc" -> ((s, dir) => {
+      // composite pick key as ONE int64 (DuckDB's arg_min takes no
+      // struct/list key): µs-of-day · 10⁷ + event_id — exact and
+      // strictly ordered within any (type, day) group through ~10⁷
+      // events/id-space (8.64e10·10⁷ + id < 2⁶³)
+      val e = events(s, dir).select(col("event_type"),
+        col("ts").cast("date").as("day"),
+        expr("(unix_micros(ts) % 86400000000) * 10000000 + event_id")
+          .as("pick"),
+        round(col("value"), 6).as("v"))
+      e.groupBy(col("event_type"), col("day"))
+        .agg(
+          min_by(col("v"), col("pick")).as("open"),
+          max(col("v")).as("high"),
+          min(col("v")).as("low"),
+          max_by(col("v"), col("pick")).as("close"),
+          count(lit(1)).as("volume"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Lifecycle-stage snapshot — the user-base composition number a
     // weekly business review opens with (how many of our users are new /
     // active / cooling / at-risk / churned AS OF the corpus horizon):
@@ -1500,6 +1530,19 @@ object ShapeOps {
          FROM dau JOIN mau
            ON CAST(date_trunc('month', dau.day) AS DATE) = mau.mon
          ORDER BY day""",
+    "ts_ohlc" ->
+      """WITH e AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  (epoch_us(ts) % 86400000000) * 10000000 + event_id AS pick,
+                  round(value, 6) AS v
+           FROM events)
+         SELECT event_type, day,
+                arg_min(v, pick) AS open,
+                max(v) AS high,
+                min(v) AS low,
+                arg_max(v, pick) AS close,
+                count(1) AS volume
+         FROM e GROUP BY 1, 2 ORDER BY event_type, day""",
     "seq_lifecycle_stages" ->
       """WITH ud AS (
            SELECT user_id, min(CAST(ts AS DATE)) AS first_day,

@@ -6062,4 +6062,28 @@ class PropertySpec extends SparkSuite {
     assert(sorted.zip(sorted.tail).forall { case (a, b) =>
       a._1 < b._1 && a._2 > b._2 })
   }
+
+  test("ts_ohlc: bars replay brute first/last/extreme picks") {
+    val rows = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("ts").cast("date"),
+        unix_timestamp(col("ts")) * 1000000 +
+          (unix_micros(col("ts")) % 1000000), col("event_id"),
+        round(col("value"), 6)).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toLocalDate),
+        (r.getLong(2), r.getLong(3), r.getDouble(4))))
+    val got = q("ts_ohlc").collect()
+    val byBar = rows.groupBy(_._1)
+    assert(got.length === byBar.size)
+    got.foreach { r =>
+      val g = byBar((r.getString(0), r.getDate(1).toLocalDate)).map(_._2)
+      val open = g.minBy(t => (t._1, t._2))._3
+      val close = g.maxBy(t => (t._1, t._2))._3
+      assert(r.getDouble(2) === open, "open")
+      assert(r.getDouble(3) === g.map(_._3).max, "high")
+      assert(r.getDouble(4) === g.map(_._3).min, "low")
+      assert(r.getDouble(5) === close, "close")
+      assert(r.getLong(6) === g.length.toLong, "volume")
+      assert(r.getDouble(4) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3))
+    }
+  }
 }
