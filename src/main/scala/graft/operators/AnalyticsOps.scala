@@ -3180,6 +3180,26 @@ object AnalyticsOps {
         .orderBy(col("seed"))
     }),
 
+    // Outlier CONSENSUS vote — the screen-of-screens (each detector has
+    // a blind spot: z-score's moments are poisoned by the very outliers
+    // it hunts, MAD over-flags on near-constant series, IQR fences are
+    // blunt at heavy skew; a point flagged by ≥2 of the three is worth
+    // waking someone for): COMPOSES the three registered detectors
+    // (vec_ann_recall's precedent) on their common (event_id, type,
+    // value) output, one union + hash-agg vote — no re-derivation, each
+    // detector's own persisted artifacts do the heavy lifting.
+    "anom_consensus" -> ((s, dir) => {
+      val flagged = Seq("anom_zscore", "anom_mad", "anom_iqr").map { nm =>
+        queries(nm)(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+      }
+      flagged.reduce(_ unionByName _)
+        .groupBy(col("event_id"), col("event_type"), col("value"))
+        .agg(count(lit(1)).cast("int").as("n_detectors"))
+        .filter(col("n_detectors") >= 2)
+        .orderBy(col("event_id"))
+    }),
+
     // Rich-club coefficients at degree thresholds k ∈ {2, 4, 8} — "do
     // the hubs preferentially wire to each other" (the connectivity-
     // elite screen beside assortativity's global correlation; a high
@@ -5585,7 +5605,7 @@ object AnalyticsOps {
         FROM r${k - 1} r JOIN edges e ON e.src = r.v JOIN deg d ON d.src = r.v, nn
         GROUP BY e.dst)"""
 
-  val oracles: Map[String, String] = Map(
+  private lazy val oraclesMain: Map[String, String] = Map(
     "graph_pagerank" ->
       s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
           edges AS (SELECT DISTINCT a.sk AS src, b.sk AS dst
@@ -8530,4 +8550,18 @@ object AnalyticsOps {
          SELECT p AS part, round(CAST(ar AS DOUBLE) / CAST(am AS DOUBLE), 6) AS authority
          FROM a2r, am2 ORDER BY authority DESC, part LIMIT 10"""
   ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
+
+  val oracles: Map[String, String] = oraclesMain +
+    ("anom_consensus" ->
+      s"""WITH z AS (${oraclesMain("anom_zscore")}),
+          m AS (${oraclesMain("anom_mad")}),
+          i AS (${oraclesMain("anom_iqr")}),
+          u AS (
+            SELECT event_id, event_type, value FROM z
+            UNION ALL SELECT event_id, event_type, value FROM m
+            UNION ALL SELECT event_id, event_type, value FROM i)
+          SELECT event_id, event_type, value,
+                 CAST(count(1) AS INTEGER) AS n_detectors
+          FROM u GROUP BY 1, 2, 3 HAVING count(1) >= 2
+          ORDER BY event_id""".replaceAll("\\s+", " ").trim)
 }

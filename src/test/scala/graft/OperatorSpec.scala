@@ -6086,4 +6086,18 @@ class PropertySpec extends SparkSuite {
       assert(r.getDouble(4) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3))
     }
   }
+
+  test("anom_consensus: the vote replays the three detectors' overlap") {
+    def ids(nm: String) = q(nm).collect().map(_.getLong(0)).toSet
+    val z = ids("anom_zscore"); val m = ids("anom_mad"); val i = ids("anom_iqr")
+    val want = (z ++ m ++ i).filter(id =>
+      Seq(z(id), m(id), i(id)).count(identity) >= 2)
+    val got = q("anom_consensus").collect()
+    assert(got.map(_.getLong(0)).toSet === want, "consensus id set")
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(3) === Seq(z(id), m(id), i(id)).count(identity))
+      assert(r.getInt(3) >= 2 && r.getInt(3) <= 3)
+    }
+  }
 }
