@@ -3189,9 +3189,15 @@ object AnalyticsOps {
     // value) output, one union + hash-agg vote — no re-derivation, each
     // detector's own persisted artifacts do the heavy lifting.
     "anom_consensus" -> ((s, dir) => {
+      // each detector's flagged set is TINY (hundreds of rows) — pin it
+      // eagerly so the vote's plan unions three RDD scans instead of
+      // re-planning three full fact pipelines (the union would otherwise
+      // carry 5 un-cached events scans; the scan lint stays empty-
+      // whitelisted)
       val flagged = Seq("anom_zscore", "anom_mad", "anom_iqr").map { nm =>
         queries(nm)(s, dir)
           .select(col("event_id"), col("event_type"), col("value"))
+          .localCheckpoint(true)
       }
       flagged.reduce(_ unionByName _)
         .groupBy(col("event_id"), col("event_type"), col("value"))
