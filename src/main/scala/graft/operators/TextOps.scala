@@ -999,6 +999,24 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Duplicate-aware training weights — the SOFT alternative to
+    // dropping near-dups (hard dedup loses paraphrase diversity; the
+    // standard LM-training compromise keeps every copy but scales its
+    // loss weight by 1/cluster_size, so a 40-copy boilerplate cluster
+    // contributes one document's worth of gradient): reads the memoized
+    // cluster labels (the HashMin fixpoint runs once per JVM/dir), one
+    // cluster-size rollup broadcast back onto the doc grain. Exact
+    // 1/int weights — identical doubles both engines.
+    "sample_dedup_weights" -> ((s, dir) => {
+      val labels = clusterLabels(s, dir)
+      val sizes = labels.groupBy(col("comp"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.join(broadcast(sizes), Seq("comp"))
+        .select(col("doc_id"), col("comp"), col("cluster_size"),
+          round(lit(1.0) / col("cluster_size"), 6).as("weight"))
+        .orderBy(col("doc_id"))
+    }),
+
     // quality-aware dedup: within each near-dup cluster keep the HIGHEST
     // quality member (the text_quality score), not an arbitrary one —
     // the real training-data policy (drop dups, keep the best copy).
@@ -1836,6 +1854,35 @@ object TextOps {
          SELECT node AS doc_id, min(root) AS comp,
                 node = min(root) AS is_representative
          FROM walk GROUP BY node ORDER BY doc_id""",
+    "sample_dedup_weights" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS token
+           FROM documents WHERE doc_id < 256),
+         sizes AS (SELECT doc_id, count(1) AS nt FROM toks GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2, count(1) AS inter
+           FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT d1, d2
+           FROM (SELECT inter.d1, inter.d2, inter.inter, s1.nt AS n1, s2.nt AS n2
+                 FROM inter JOIN sizes s1 ON inter.d1 = s1.doc_id
+                 JOIN sizes s2 ON inter.d2 = s2.doc_id)
+           WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) >= 0.5),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                   UNION ALL SELECT d2, d1 FROM pairs),
+         nodes AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 256),
+         walk(node, root) AS (
+           SELECT doc_id, doc_id FROM nodes
+           UNION
+           SELECT e.b, w.root FROM walk w JOIN edges e ON e.a = w.node),
+         comp AS (SELECT node AS doc_id, min(root) AS comp
+                  FROM walk GROUP BY node),
+         sz AS (SELECT comp, CAST(count(1) AS BIGINT) AS cluster_size
+                FROM comp GROUP BY comp)
+         SELECT c.doc_id, c.comp, sz.cluster_size,
+                round(CAST(1.0 AS DOUBLE) / sz.cluster_size, 6) AS weight
+         FROM comp c JOIN sz USING (comp) ORDER BY doc_id""",
     "dedup_keep_best" ->
       s"""WITH RECURSIVE toks AS (
            SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS token

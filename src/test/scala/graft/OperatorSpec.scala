@@ -6100,4 +6100,19 @@ class PropertySpec extends SparkSuite {
       assert(r.getInt(3) >= 2 && r.getInt(3) <= 3)
     }
   }
+
+  test("sample_dedup_weights: weights replay cluster sizes and sum to components") {
+    val clusters = q("dedup_cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sizes = clusters.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val got = q("sample_dedup_weights").collect()
+    assert(got.length === clusters.length)
+    got.foreach { r =>
+      assert(r.getLong(2) === sizes(r.getLong(1)), s"size ${r.getLong(0)}")
+      assert(math.abs(r.getDouble(3) - 1.0 / sizes(r.getLong(1))) < 1e-6)
+    }
+    // effective corpus size = number of clusters (each cluster sums to ~1)
+    val total = got.map(_.getDouble(3)).sum
+    assert(math.abs(total - sizes.size) < 0.01, s"$total vs ${sizes.size}")
+  }
 }
