@@ -999,6 +999,27 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Doc-length order-of-magnitude histogram per source — the corpus-
+    // datasheet panel every data card prints (length composition per
+    // source decides packing efficiency and truncation loss before any
+    // training run): the bucket is the DECIMAL DIGIT COUNT of n_chars
+    // (an exact string-length op on both engines — floor(log₁₀) via ln
+    // would ulp-flip at exact powers), rollup to (source, bucket) with
+    // integer-exact counts/sums and one mean division. Pure hash agg.
+    "corpus_length_buckets" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"),
+          length(col("n_chars").cast("string")).as("magnitude"),
+          col("n_chars"))
+        .groupBy(col("source"), col("magnitude"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .select(col("source"), col("magnitude"), col("n_docs"),
+          col("total_chars"),
+          round(col("total_chars").cast("double") / col("n_docs"), 6)
+            .as("mean_chars"))
+        .orderBy(col("source"), col("magnitude"))
+    }),
+
     // Duplicate-aware training weights — the SOFT alternative to
     // dropping near-dups (hard dedup loses paraphrase diversity; the
     // standard LM-training compromise keeps every copy but scales its
@@ -1854,6 +1875,13 @@ object TextOps {
          SELECT node AS doc_id, min(root) AS comp,
                 node = min(root) AS is_representative
          FROM walk GROUP BY node ORDER BY doc_id""",
+    "corpus_length_buckets" ->
+      """SELECT source, CAST(length(CAST(n_chars AS VARCHAR)) AS INTEGER)
+                AS magnitude,
+              CAST(count(1) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              round(CAST(sum(n_chars) AS DOUBLE) / count(1), 6) AS mean_chars
+         FROM documents GROUP BY 1, 2 ORDER BY source, magnitude""",
     "sample_dedup_weights" ->
       """WITH RECURSIVE toks AS (
            SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS token

@@ -6115,4 +6115,21 @@ class PropertySpec extends SparkSuite {
     val total = got.map(_.getDouble(3)).sum
     assert(math.abs(total - sizes.size) < 0.01, s"$total vs ${sizes.size}")
   }
+
+  test("corpus_length_buckets: digit buckets replay brute magnitude math") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val want = docs.groupBy(t => (t._1, t._2.toString.length))
+    val got = q("corpus_length_buckets").collect()
+    assert(got.length === want.size)
+    got.foreach { r =>
+      val g = want((r.getString(0), r.getInt(1)))
+      assert(r.getLong(2) === g.length.toLong)
+      assert(r.getLong(3) === g.map(_._2).sum)
+      assert(math.abs(r.getDouble(4) -
+        g.map(_._2).sum.toDouble / g.length) < 1e-6)
+      g.foreach(d => assert(d._2.toString.length === r.getInt(1)))
+    }
+  }
 }
