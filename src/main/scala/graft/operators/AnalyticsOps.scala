@@ -3180,6 +3180,36 @@ object AnalyticsOps {
         .orderBy(col("seed"))
     }),
 
+    // Day-of-week uniformity χ² per event series — the GOODNESS-OF-FIT
+    // corner of the χ² family (stat_chi2 tests independence of two
+    // margins; this tests one margin against a fixed uniform null — the
+    // "is traffic actually flat across weekdays" screen that decides
+    // whether ts_seasonal_* machinery is even needed): 7 integer cells
+    // per type from one hash agg, expected = N/7 as one division, each
+    // cell's (O−E)²/E term 6-dp-gridded to DECIMAL before the 7-term
+    // sum, the 12.592 critical value (χ²₀.₀₅ at dof 6) as a fixed
+    // literal. Weekday via Monday-based indexing on both engines
+    // (Spark weekday() ≡ DuckDB isodow−1 — Sunday-based dayofweek
+    // DIFFERS between them and is avoided).
+    "stat_dow_uniformity" -> ((s, dir) => {
+      val cells = events(s, dir)
+        .groupBy(col("event_type"),
+          expr("weekday(CAST(ts AS DATE))").as("dow"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cells.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("nt"), count(lit(1)).as("k"))
+      val e = col("nt").cast("double") / 7.0
+      val term = (col("n") - e) * (col("n") - e) / e
+      cells.join(broadcast(tot), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(max(col("nt")).as("n_events"), max(col("k")).as("n_days_present"),
+          sum(dec(round(term, 6))).as("chi2d"))
+        .select(col("event_type"), col("n_events"), col("n_days_present"),
+          col("chi2d").cast("double").as("chi2_stat"), lit(6).as("dof"),
+          (col("chi2d").cast("double") > 12.592).as("nonuniform"))
+        .orderBy(col("event_type"))
+    }),
+
     // Outlier CONSENSUS vote — the screen-of-screens (each detector has
     // a blind spot: z-score's moments are poisoned by the very outliers
     // it hunts, MAD over-flags on near-constant series, IQR fences are
@@ -6512,6 +6542,30 @@ object AnalyticsOps {
     "anom_esd" -> esdSql,
     "stat_jonckheere" -> jtSql,
     "stat_qq_normality" -> qqSql,
+    "stat_dow_uniformity" ->
+      """WITH cells AS (
+           SELECT event_type,
+                  CAST(isodow(CAST(ts AS DATE)) - 1 AS INTEGER) AS dow,
+                  CAST(count(1) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         tot AS (
+           SELECT event_type, CAST(sum(n) AS BIGINT) AS nt,
+                  CAST(count(1) AS BIGINT) AS k
+           FROM cells GROUP BY event_type),
+         terms AS (
+           SELECT c.event_type, t.nt, t.k,
+                  CAST(round((c.n - CAST(t.nt AS DOUBLE) / 7.0)
+                    * (c.n - CAST(t.nt AS DOUBLE) / 7.0)
+                    / (CAST(t.nt AS DOUBLE) / 7.0), 6) AS DECIMAL(18,6)) AS tm
+           FROM cells c JOIN tot t ON c.event_type = t.event_type),
+         agg AS (
+           SELECT event_type, max(nt) AS n_events, max(k) AS n_days_present,
+                  CAST(sum(tm) AS DOUBLE) AS chi2_stat
+           FROM terms GROUP BY event_type)
+         SELECT event_type, n_events, n_days_present, chi2_stat,
+                CAST(6 AS INT) AS dof,
+                chi2_stat > 12.592 AS nonuniform
+         FROM agg ORDER BY event_type""",
     "stat_f_test" ->
       """WITH m AS (
            SELECT c_mktsegment AS seg, count(1) AS n,

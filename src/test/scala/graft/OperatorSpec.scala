@@ -6132,4 +6132,28 @@ class PropertySpec extends SparkSuite {
       g.foreach(d => assert(d._2.toString.length === r.getInt(1)))
     }
   }
+
+  test("stat_dow_uniformity: chi2 replays brute weekday cell counts") {
+    val byType = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("ts").cast("date")).collect()
+      .map(r => (r.getString(0),
+        r.getDate(1).toLocalDate.getDayOfWeek.getValue - 1))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).groupBy(identity).view.mapValues(_.size).toMap)
+      .toMap
+    def g6(x: Double) = math.rint(x * 1e6) / 1e6
+    val got = q("stat_dow_uniformity").collect()
+    assert(got.length === byType.size)
+    got.foreach { r =>
+      val cells = byType(r.getString(0))
+      val n = cells.values.sum.toDouble
+      assert(r.getLong(1) === n.toLong)
+      assert(r.getLong(2) === cells.size.toLong)
+      val e = n / 7
+      val chi2 = cells.values.map(c => g6((c - e) * (c - e) / e)).sum
+      assert(math.abs(r.getDouble(3) - chi2) < 1e-5, s"chi2 ${r.getString(0)}")
+      assert(r.getInt(4) === 6)
+      assert(r.getBoolean(5) === (r.getDouble(3) > 12.592))
+    }
+  }
 }
