@@ -999,6 +999,54 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Heaps'-law vocabulary-growth fit (V = K·N^β) — the corpus-scaling
+    // number beside lm_ngram_coverage's top-k view: β says how fast NEW
+    // vocabulary keeps arriving as the corpus grows (β → 0: closed
+    // domain, dedup harder; β ≈ 0.5+: open text), which sizes tokenizer
+    // vocab and OOV budgets before a scrape is extended 10×. The curve
+    // costs ONE pass, not ten distinct-counts: V(prefix) = #tokens whose
+    // FIRST document ≤ prefix end (a min-agg per token — the
+    // ts_cumulative_distinct first-touch reduction on the token grain),
+    // cumulated over 10 doc-id deciles; the 10-point log-log OLS runs on
+    // ln of EXACT integer counts (identical doubles), 9-dp-gridded
+    // decimal folds, β and ln K as mirrored trees.
+    "text_heaps_law" -> ((s, dir) => {
+      val tk = persistShared("heaps_toks", t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= ""))
+      val nd = tk.agg(max(col("doc_id")).as("maxd"))
+      val np = tk.crossJoin(broadcast(nd))
+        .groupBy(expr("(doc_id * 10) div (maxd + 1)").as("dc"))
+        .agg(count(lit(1)).as("ntok"))
+      val vp = tk.groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+        .crossJoin(broadcast(nd))
+        .groupBy(expr("(fd * 10) div (maxd + 1)").as("dc"))
+        .agg(count(lit(1)).as("nnew"))
+      val w10 = Window.orderBy(col("dc"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val pts = np.join(vp, Seq("dc"), "left")
+        .withColumn("ncum", sum(col("ntok")).over(w10))
+        .withColumn("vcum", sum(coalesce(col("nnew"), lit(0L))).over(w10))
+        .withColumn("x", log(col("ncum").cast("double")))
+        .withColumn("y", log(col("vcum").cast("double")))
+      val m = pts.agg(count(lit(1)).as("k"),
+        max(col("ncum")).as("n_tokens"), max(col("vcum")).as("vocab"),
+        sum(dec(round(col("x"), 9), 9)).as("sx"),
+        sum(dec(round(col("y"), 9), 9)).as("sy"),
+        sum(dec(round(col("x") * col("x"), 9), 9)).as("sxx"),
+        sum(dec(round(col("x") * col("y"), 9), 9)).as("sxy"))
+      val b = m.select(col("n_tokens"), col("vocab"), col("k"),
+        col("sx").cast("double").as("sxd"), col("sy").cast("double").as("syd"),
+        ((col("k") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (col("k") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double"))).as("beta"))
+      b.select(col("n_tokens"), col("vocab"),
+        round(col("beta"), 6).as("beta"),
+        round((col("syd") - col("beta") * col("sxd")) / col("k"), 6)
+          .as("ln_k"))
+    }),
+
     // Doc-length order-of-magnitude histogram per source — the corpus-
     // datasheet panel every data card prints (length composition per
     // source decides packing efficiency and truncation loss before any
@@ -1875,6 +1923,46 @@ object TextOps {
          SELECT node AS doc_id, min(root) AS comp,
                 node = min(root) AS is_representative
          FROM walk GROUP BY node ORDER BY doc_id""",
+    "text_heaps_law" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           FROM documents),
+         tk AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+         nd AS (SELECT max(doc_id) AS maxd FROM tk),
+         np AS (SELECT (doc_id * 10) // (maxd + 1) AS dc,
+                       count(1) AS ntok
+                FROM tk, nd GROUP BY 1),
+         fdoc AS (SELECT w, min(doc_id) AS fd FROM tk GROUP BY w),
+         vp AS (SELECT (fd * 10) // (maxd + 1) AS dc, count(1) AS nnew
+                FROM fdoc, nd GROUP BY 1),
+         pts AS (
+           SELECT np.dc,
+                  CAST(sum(ntok) OVER (ORDER BY np.dc
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ncum,
+                  CAST(sum(coalesce(nnew, 0)) OVER (ORDER BY np.dc
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vcum
+           FROM np LEFT JOIN vp ON np.dc = vp.dc),
+         xy AS (SELECT ncum, vcum,
+                       ln(CAST(ncum AS DOUBLE)) AS x,
+                       ln(CAST(vcum AS DOUBLE)) AS y
+                FROM pts),
+         m AS (SELECT count(1) AS k,
+                  max(ncum) AS n_tokens, max(vcum) AS vocab,
+                  sum(CAST(round(x, 9) AS DECIMAL(18,9))) AS sx,
+                  sum(CAST(round(y, 9) AS DECIMAL(18,9))) AS sy,
+                  sum(CAST(round(x * x, 9) AS DECIMAL(18,9))) AS sxx,
+                  sum(CAST(round(x * y, 9) AS DECIMAL(18,9))) AS sxy
+               FROM xy),
+         b AS (SELECT n_tokens, vocab, k,
+                  CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                  (k * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (k * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta
+               FROM m)
+         SELECT n_tokens, vocab, round(beta, 6) AS beta,
+                round((syd - beta * sxd) / k, 6) AS ln_k
+         FROM b""",
     "corpus_length_buckets" ->
       """SELECT source, CAST(length(CAST(n_chars AS VARCHAR)) AS INTEGER)
                 AS magnitude,

@@ -6156,4 +6156,34 @@ class PropertySpec extends SparkSuite {
       assert(r.getBoolean(5) === (r.getDouble(3) > 12.592))
     }
   }
+
+  test("text_heaps_law: the decile OLS replays brute vocabulary growth") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split(" ")
+        .filter(_.nonEmpty)))
+    val maxd = docs.map(_._1).max
+    def dec(d: Long) = (d * 10) / (maxd + 1)
+    val pts = (0L to 9L).map { dc =>
+      val pre = docs.filter(t => dec(t._1) <= dc)
+      val n = pre.map(_._2.length.toLong).sum
+      val v = pre.flatMap(_._2).distinct.length.toLong
+      (math.log(n.toDouble), math.log(v.toDouble), n, v)
+    }
+    def g9(x: Double) = math.rint(x * 1e9) / 1e9
+    val k = pts.length
+    val sx = pts.map(p => g9(p._1)).sum; val sy = pts.map(p => g9(p._2)).sum
+    val sxx = pts.map(p => g9(p._1 * p._1)).sum
+    val sxy = pts.map(p => g9(p._1 * p._2)).sum
+    val beta = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    val r = q("text_heaps_law").collect()(0)
+    assert(r.getLong(0) === pts.last._3, "n_tokens")
+    assert(r.getLong(1) === pts.last._4, "vocab")
+    assert(math.abs(r.getDouble(2) - beta) < 1e-5, s"beta ${r.getDouble(2)}")
+    // the synthetic corpus has a CLOSED ~30-token vocabulary, fully seen
+    // in the first decile — beta = 0 is the correct closed-domain call
+    // (open natural text reads ~0.4-0.6)
+    assert(r.getDouble(2) >= 0 && r.getDouble(2) < 1, "Heaps range")
+    assert(math.abs(r.getDouble(3) - (sy - beta * sx) / k) < 1e-4, "ln_k")
+  }
 }

@@ -706,6 +706,7 @@ class PlanSpec extends SparkSuite {
       "text_entropy_rate" -> "crossJoins against broadcast 1-row gram-total frames (text_unigram_ppl's shape)",
       "stat_f_test" -> "theta self-join of a broadcast 5-row segment-moment frame (<=25 pairs, stat_ttest's shape)",
       "graph_richclub" -> "crossJoins compose 1-row rich-edge and rich-node counts (one pair per threshold)",
+      "text_heaps_law" -> "crossJoins against the broadcast 1-row max-doc-id frame (decile bucketing)",
       "seq_lifecycle_stages" -> "crossJoin against the broadcast 1-row corpus-horizon frame (seq_churn_label's shape)",
       "eval_rbo" -> "inherits vec_ivf_ann/vec_knn_join's whitelisted bounded crossJoins (query composition, vec_ann_recall's precedent)",
       "dedup_minhash_recall" -> "crossJoins compose three 1-row count frames (truth/candidates/hits)",
