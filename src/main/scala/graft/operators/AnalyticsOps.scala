@@ -1364,25 +1364,23 @@ object AnalyticsOps {
     // Pareto concentration report on customer revenue — the 80/20 screen
     // (how concentrated is the business; the Gini sibling of eval_lift's
     // decile view): revenue is EXACT integer cents per customer, the
-    // rank runs on the customer-grain frame (dimension-sized — the
-    // stat_auc_roc exact-ranking precedent), the "customers covering 80%"
-    // cut is a pure integer cross-multiply (5·cum ≥ 4·total — no float
-    // boundary), and the top-1%/10% shares are single integer-ratio
-    // divisions. Output is one summary row.
+    // "customers covering 80%" cut is a pure integer cross-multiply
+    // (5·cum ≥ 4·total — no float boundary), and the top-1%/10% shares
+    // are single integer-ratio divisions. The customer grain scales WITH
+    // the fact (~15 B at TPC-H 100 TB), so rank + running sum go through
+    // DistRank's two-phase shape (range-slice local rank, P-row offset
+    // prefix) — no single-partition window anywhere on the customer
+    // frame. The unique (cents DESC, custkey) total order makes the
+    // result bit-identical to the oracle's native window rank.
+    // Output is one summary row.
     "agg_pareto" -> ((s, dir) => {
       val rev = t(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
           .as("cents"))
-      val wR = Window.orderBy(col("cents").desc, col("o_custkey"))
-      val wAll = Window.partitionBy(lit(1))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      rev.withColumn("rn", row_number().over(wR))
-        .withColumn("cum", sum(col("cents")).over(
-          Window.orderBy(col("cents").desc, col("o_custkey"))
-            .rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("n", count(lit(1)).over(wAll))
-        .withColumn("tot", sum(col("cents")).over(wAll))
+      DistRank.withRank(rev, Seq(col("cents").desc, col("o_custkey")),
+          rnName = "rn", nName = Some("n"),
+          cum = Some((col("cents"), "cum")), cumTotName = Some("tot"))
         .agg(max(col("n")).as("n_customers"),
           round(max(col("tot")).cast("double") / 100, 6).as("total_revenue"),
           round(max(when(col("rn") === expr("(n + 99) div 100"), col("cum")))

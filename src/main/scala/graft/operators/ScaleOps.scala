@@ -53,20 +53,32 @@ object ScaleOps {
   val queries: Map[String, QFn] = Map(
     // Range-partitioner boundary pre-flight — exactly what Spark's
     // RangePartitioner does before a global sort (sample, cut, assign),
-    // surfaced as an auditable report: a 1% deterministic hash sample,
-    // 31 exact rank-pick cut points from the sample, then every FULL
-    // row binned by a broadcast 31-element boundary array (a per-row
-    // codegen'd array count — no join, no shuffle until the 32-row
-    // rollup). load_factor tells you whether the sample was good
-    // enough BEFORE you commit a 100 TB sort to those boundaries. The
-    // global rank window runs on the SAMPLE only (that is the entire
-    // point of sampling).
+    // surfaced as an auditable report: a FIXED-SIZE deterministic-hash
+    // sample (the 3200 rows with the smallest hash — a uniform random
+    // draw whose size is CONSTANT, not a fraction of the fact, so it
+    // lowers to TakeOrderedAndProject: bounded per-partition heaps, one
+    // driver merge, no shuffle of the fact), 31 exact rank-pick cut
+    // points from the sample, then every FULL row binned by a broadcast
+    // 31-element boundary array (a per-row codegen'd array count — no
+    // join, no shuffle until the 32-row rollup). load_factor tells you
+    // whether the sample was good enough BEFORE you commit a 100 TB sort
+    // to those boundaries. The rank window runs single-partition on the
+    // SAMPLE only — bounded at 3200 rows by construction (the old 1%
+    // sample grew linearly with the fact: ~1 TB through one task at
+    // 100 TB; a constant draw is the real reservoir shape).
     "sort_range_boundaries" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice").as("v"))
-      val smp = li.filter(expr(
-        "((l_orderkey * 8 + l_linenumber) % 2147483648) * 2654435761 % 2147483648 % 100 < 1"))
+      // tie-break includes v: (l_orderkey, l_linenumber) is NOT unique in
+      // the generated lineitem, so a duplicate pair straddling the LIMIT
+      // cut would otherwise let each engine keep a different member (and
+      // a different v) — ordering by v too makes the kept v-multiset
+      // deterministic whichever duplicate wins
+      val smp = li.withColumn("h", expr(
+          "((l_orderkey * 8 + l_linenumber) % 2147483648) * 2654435761 % 2147483648"))
+        .orderBy(col("h"), col("l_orderkey"), col("l_linenumber"), col("v"))
+        .limit(3200)
       val ranked = smp
         .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
           .Window.orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))))
@@ -204,9 +216,10 @@ object ScaleOps {
       """WITH li AS (
            SELECT l_orderkey, l_linenumber, l_extendedprice AS v FROM lineitem),
          smp AS (
-           SELECT * FROM li
-           WHERE ((l_orderkey * 8 + l_linenumber) % 2147483648) * 2654435761
-                 % 2147483648 % 100 < 1),
+           SELECT v, l_orderkey, l_linenumber FROM li
+           ORDER BY ((l_orderkey * 8 + l_linenumber) % 2147483648) * 2654435761
+                    % 2147483648, l_orderkey, l_linenumber, v
+           LIMIT 3200),
          r AS (
            SELECT v,
                   row_number() OVER (ORDER BY v, l_orderkey, l_linenumber) AS rn,

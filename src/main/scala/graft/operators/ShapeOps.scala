@@ -549,8 +549,9 @@ object ShapeOps {
     // (min/median/p90/max) over integer microsecond deltas — no
     // interpolated percentiles, stat_levene's lower-median discipline.
     // Two fact-grain aggs (first view per user, first conversion per
-    // user) shuffle by user; the order-stat window runs on the
-    // USER-grain conversion frame (dimension-sized, never the fact).
+    // user) shuffle by user; the conversion frame is user-grain, which
+    // scales WITH the fact, so the exact rank goes through DistRank's
+    // two-phase shape (no single-partition window on a user-grain frame).
     "seq_funnel_time" -> ((s, dir) => {
       val e = events(s, dir)
       val fv = e.filter(col("event_type") === "view")
@@ -562,11 +563,8 @@ object ShapeOps {
         .groupBy(col("user_id"))
         .agg((min(unix_micros(col("tp"))) - max(unix_micros(col("tv"))))
           .as("du"))
-      val wG = Window.orderBy(col("du"), col("user_id"))
-      val wAll = Window.partitionBy(lit(1))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      conv.withColumn("rn", row_number().over(wG))
-        .withColumn("n", count(lit(1)).over(wAll))
+      DistRank.withRank(conv, Seq(col("du"), col("user_id")),
+          rnName = "rn", nName = Some("n"))
         .agg(max(col("n")).as("n_converted"),
           round(min(col("du")) / 1000000.0, 6).as("min_s"),
           round(max(when(col("rn") === expr("(n + 1) div 2"), col("du")))
@@ -583,8 +581,9 @@ object ShapeOps {
     // window over the purchase-only slice (ordered by the unique
     // (ts, event_id) total order), exact integer-µs deltas, summary as
     // exact rank order statistics (no interpolated percentiles — the
-    // stat_levene lower-median discipline). The ranked frame is gap-
-    // grain (≪ fact at any scale).
+    // stat_levene lower-median discipline). The gap frame scales with
+    // the fact (one row per repeat purchase), so the exact rank goes
+    // through DistRank's two-phase shape, never one partition.
     "seq_interpurchase_stats" -> ((s, dir) => {
       val p = events(s, dir).filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tu"))
@@ -593,11 +592,8 @@ object ShapeOps {
       val gaps = p.withColumn("prev", lag(col("tu"), 1).over(wU))
         .filter(col("prev").isNotNull)
         .select(col("user_id"), (col("tu") - col("prev")).as("du"))
-      val wG = Window.orderBy(col("du"), col("user_id"))
-      val wAll = Window.partitionBy(lit(1))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      gaps.withColumn("rn", row_number().over(wG))
-        .withColumn("n", count(lit(1)).over(wAll))
+      DistRank.withRank(gaps, Seq(col("du"), col("user_id")),
+          rnName = "rn", nName = Some("n"))
         .agg(max(col("n")).as("n_gaps"),
           countDistinct(col("user_id")).as("n_repeat_users"),
           round(min(col("du")) / 1000000.0, 6).as("min_s"),
@@ -816,11 +812,14 @@ object ShapeOps {
     // frequency × monetary quintiles, the workhorse behind lifecycle
     // campaigns and LTV priors): one fact-sized rollup to the customer
     // grain (exact integer cents, day-precision recency vs the 1-row
-    // broadcast horizon), then three ntile(5) windows over UNIQUE total
+    // broadcast horizon), then three ntile(5) quintiles over UNIQUE total
     // orders ((metric, custkey) — quintile boundaries deterministic on
-    // both engines). The ntile windows run single-partition BY DESIGN on
-    // the customer-grain frame (dimension-sized; stat_auc_roc's exact-
-    // ranking precedent), never the fact.
+    // both engines). The customer grain scales WITH the fact (~15 B at
+    // TPC-H 100 TB), so no native single-partition ntile window: each
+    // quintile is a chained DistRank two-phase rank plus the SQL-standard
+    // ntile-from-(rank, n) formula (DistRank.ntileOf — identical bucket
+    // rule to Spark's NTile and DuckDB's ntile, so the native-ntile
+    // oracle keeps matching bit-for-bit).
     "seq_rfm_scores" -> ((s, dir) => {
       val o = persistShared("rfm_orders", t(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderdate").cast("date").as("day"),
@@ -832,13 +831,16 @@ object ShapeOps {
       val horizon = o.agg(max(col("day")).as("h_day"))
       val base = per.crossJoin(broadcast(horizon))
         .withColumn("recency_days", datediff(col("h_day"), col("last_day")))
-      val rW = Window.orderBy(col("recency_days").desc, col("o_custkey"))
-      val fW = Window.orderBy(col("frequency"), col("o_custkey"))
-      val mW = Window.orderBy(col("monetary_cents"), col("o_custkey"))
-      base
-        .withColumn("r_score", ntile(5).over(rW))
-        .withColumn("f_score", ntile(5).over(fW))
-        .withColumn("m_score", ntile(5).over(mW))
+      val r1 = DistRank.withRank(base,
+        Seq(col("recency_days").desc, col("o_custkey")), "r_rn", Some("nn"))
+      val r2 = DistRank.withRank(r1,
+        Seq(col("frequency"), col("o_custkey")), "f_rn")
+      val r3 = DistRank.withRank(r2,
+        Seq(col("monetary_cents"), col("o_custkey")), "m_rn")
+      r3
+        .withColumn("r_score", DistRank.ntileOf(col("r_rn"), col("nn"), 5).cast("int"))
+        .withColumn("f_score", DistRank.ntileOf(col("f_rn"), col("nn"), 5).cast("int"))
+        .withColumn("m_score", DistRank.ntileOf(col("m_rn"), col("nn"), 5).cast("int"))
         .select(col("o_custkey"), col("recency_days"), col("frequency"),
           col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"),
           (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))

@@ -6186,4 +6186,51 @@ class PropertySpec extends SparkSuite {
     assert(r.getDouble(2) >= 0 && r.getDouble(2) < 1, "Heaps range")
     assert(math.abs(r.getDouble(3) - (sy - beta * sx) / k) < 1e-4, "ln_k")
   }
+
+  test("DistRank.withRank: two-phase rank/cumsum replays the brute total order") {
+    // deterministic skewed value column WITH collisions (v has only 97
+    // distinct values over 5000 rows) so the range partitioner must split
+    // tied keys across slice boundaries — the case where a partial order
+    // would make ranks boundary-dependent; the unique (v, id) total order
+    // must keep them exact anyway
+    import spark.implicits._
+    val rows = (0L until 5000L).map(i => (i, (i * 2654435761L) % 97, i % 13))
+    val df = rows.toDF("id", "v", "wt")
+    val got = graft.operators.DistRank
+      .withRank(df, Seq(col("v").desc, col("id")), "rn",
+        nName = Some("n"), cum = Some((col("wt"), "cum")),
+        cumTotName = Some("tot"))
+      .select(col("id"), col("rn"), col("n"), col("cum"), col("tot"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val sorted = rows.sortBy(t => (-t._2, t._1))
+    val totWt = rows.map(_._3).sum
+    var running = 0L
+    sorted.zipWithIndex.foreach { case ((id, _, wt), idx) =>
+      running += wt
+      val (rn, n, cum, tot) = got(id)
+      assert(rn === idx + 1L, s"rank of id=$id")
+      assert(n === 5000L)
+      assert(cum === running, s"cumsum at id=$id")
+      assert(tot === totWt)
+    }
+  }
+
+  test("DistRank.ntileOf: matches Spark's native ntile on every n % k residue") {
+    // exercise n < k, n = k, and both residue classes of n % k around it
+    import spark.implicits._
+    for (n <- Seq(1, 3, 5, 7, 10, 11, 23)) {
+      val df = (1L to n.toLong).map(i => (i, i * 7 % 17)).toDF("id", "v")
+      val native = df.withColumn("b", ntile(5).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("v"), col("id"))))
+      val two = graft.operators.DistRank
+        .withRank(df, Seq(col("v"), col("id")), "rn", nName = Some("nn"))
+        .withColumn("b2",
+          graft.operators.DistRank.ntileOf(col("rn"), col("nn"), 5))
+      val j = native.select(col("id").as("i1"), col("b"))
+        .join(two.select(col("id").as("i2"), col("b2")), col("i1") === col("i2"))
+      val bad = j.filter(col("b").cast("long") =!= col("b2")).count()
+      assert(bad === 0L, s"ntile mismatch at n=$n")
+    }
+  }
 }

@@ -798,6 +798,72 @@ class PlanSpec extends SparkSuite {
       s"re-executed scan subtrees (persist the shared frame or justify in the whitelist): ${offenders.mkString(", ")}")
   }
 
+  test("plan lint: un-partitioned windows only over bounded-grain frames") {
+    // The r10 verdict's one surviving anti-pattern class: a
+    // Window.orderBy(...) with no partition key funnels its ENTIRE input
+    // through one task. That is fine when the input grain is bounded by
+    // CONSTRUCTION (a vocabulary, a value domain, calendar days, a
+    // constant-size sample, a P-row offsets frame) and fatal when the
+    // grain scales with the fact (customers, users, fact samples) —
+    // exactly the five sites DistRank.withRank replaced this round.
+    // Sweep: every registered query's executed plan; a WindowExec whose
+    // partitionSpec is empty/foldable must either sit on a DistRank
+    // internal frame (the `_drk_` marker — its input is the P-row
+    // per-slice totals frame, P = shuffle width) or belong to a query
+    // whitelisted WITH the bound that justifies the grain.
+    val boundedGrain = Map(
+      "corpus_overlap_matrix" -> "source-pair grid: |sources|^2 <= 25 rows",
+      "corpus_token_budget" -> "length-bucket grain: fixed digit-count buckets",
+      "eval_calibration" -> "calibration-bin grain: fixed 10-bin grid",
+      "eval_fairness_gaps" -> "group grain: |segments| <= 5 rows",
+      "eval_lift" -> "decile grain: 10 rows",
+      "lm_ngram_coverage" -> "vocabulary grain (language-bounded, TextOps text_docfreq precedent)",
+      "sort_range_boundaries" -> "constant 3200-row hash sample + 32-row bucket rollup",
+      "stat_benford" -> "digit grain: 9 cells",
+      "stat_bootstrap_ci" -> "replicate grain: 64 bootstrap resamples",
+      "stat_cvm" -> "pooled distinct-value grain (decimal-gridded domain)",
+      "stat_jonckheere" -> "distinct-value grain (decimal-gridded domain)",
+      "stat_kruskal_wallis" -> "distinct-value grain (tie table over gridded domain)",
+      "stat_ks_test" -> "fixed score-bucket grid",
+      "stat_mannwhitney" -> "distinct-value grain (decimal-gridded domain)",
+      "stat_mood_median" -> "group-summary grain: |segments| <= 5 rows",
+      "stat_wilcoxon_signed" -> "distinct |diff|-value grain (gridded domain)",
+      "text_docfreq" -> "vocabulary grain (language-bounded)",
+      "text_heaps_law" -> "decile grain: 10 rows",
+      "text_token_length_hist" -> "token-length grain (word length is language-bounded)",
+      "ts_max_drawdown" -> "calendar-day grain",
+      "ts_rolling_corr" -> "calendar-day grain",
+      "vec_dim_variance" -> "embedding-dimension grain: 64 rows",
+      "vec_ivf_balance" -> "IVF-cell grain: bounded centroid count",
+      "vec_pca_power" -> "embedding-dimension grain: 64 rows",
+      "vec_rrf_fusion" -> "fused candidate grain: union of bounded top-k lists",
+      "win_skyline_2d" -> "distinct-price value grain (cents grid bounds the domain)")
+    def globalWindows(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+      val self = p match {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.forall(_.foldable) &&
+               !w.child.output.exists(_.name.startsWith("_drk_")) =>
+          Seq(w.windowExpression.map(_.sql).mkString(";").take(120))
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          globalWindows(a.executedPlan)
+        case o => o.children.flatMap(globalWindows)
+      }
+      self ++ kids
+    }
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if name.startsWith("stream_") => None // covered by StreamingSpec
+      case (name, _) if boundedGrain.contains(name) => None
+      case (name, fn) =>
+        val ws = globalWindows(fn(spark, sf).queryExecution.executedPlan)
+        if (ws.nonEmpty) Some(s"$name [${ws.head}]") else None
+    }
+    assert(offenders.isEmpty,
+      s"un-partitioned window on a possibly fact-scaling grain (use DistRank or justify the bound): ${offenders.mkString(", ")}")
+  }
+
   test("plan lint: no query replays a cached relation more than 8 times") {
     // The graph_hits r9 defect was invisible to the file-scan lint: its
     // edge frame WAS cached, but each un-pinned derivation level was
