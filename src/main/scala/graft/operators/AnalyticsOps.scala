@@ -3486,6 +3486,40 @@ object AnalyticsOps {
         .orderBy(col("grp"))
     }),
 
+    // Binned ROC AUC — the 100 TB tier stat_auc_roc's comment promised:
+    // scores land on a FIXED integer grid ($1000 buckets of exact cents),
+    // the fact collapses to a (grp, bucket) contingency table in ONE
+    // map-side-combinable groupBy, and AUC is the trapezoid over the
+    // bucket-ordered ROC: Σ_b pos_b·(2·cumneg_below + neg_b) / (2·n⁺·n⁻)
+    // (ties inside a bucket contribute the standard ½ credit), all
+    // integer until the final ratio — term sums ride DECIMAL(19,0)
+    // products because n² outgrows int64 past n ≈ 3·10⁹. The cumulative
+    // window runs on the BUCKET grain, partitioned by grp and bounded by
+    // the grid, never the fact. The exact stat_auc_roc stays as this
+    // tier's reference; a PropertySpec gate pins |binned − exact| to the
+    // grid-error band.
+    "stat_auc_roc_binned" -> ((s, dir) => {
+      val d0 = (c: Column) => c.cast(DecimalType(19, 0))
+      val o = t(s, dir, "orders").select(col("o_orderpriority").as("grp"),
+        when(col("o_orderstatus") === "F", 1).otherwise(0).as("pos"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT) div 100000").as("bkt"))
+      val cells = o.groupBy(col("grp"), col("bkt")).agg(
+        count(when(col("pos") === 1, 1)).as("pb"),
+        count(when(col("pos") === 0, 1)).as("nb"))
+      val wCum = Window.partitionBy(col("grp")).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cells.withColumn("cn", coalesce(sum(col("nb")).over(wCum), lit(0L)))
+        .groupBy(col("grp")).agg(
+          sum(col("pb")).as("n_pos"),
+          sum(col("nb")).as("n_neg"),
+          sum(d0(col("pb")) * d0(lit(2) * col("cn") + col("nb"))).as("s2"))
+        .select(col("grp"), col("n_pos"), col("n_neg"),
+          round(col("s2").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") * col("n_neg")), 6)
+            .as("auc_binned"))
+        .orderBy(col("grp"))
+    }),
+
     // Average precision (PR-AUC) per order-priority group — the
     // precision-recall side of the ranking-eval pair: stat_auc_roc's ROC
     // view is insensitive to class imbalance, AP weights by the positive
@@ -3512,6 +3546,36 @@ object AnalyticsOps {
         .select(col("grp"), col("n_pos"),
           round(col("s6").cast("double") / (col("n_pos") * lit(1000000.0)), 6)
             .as("avg_precision"))
+        .orderBy(col("grp"))
+    }),
+
+    // Binned average precision — eval_pr_auc's 100 TB tier on the same
+    // fixed $1000 cents grid as stat_auc_roc_binned: the fact collapses
+    // to (grp, bucket) pos/total counts in one map-side-combinable
+    // groupBy, buckets sweep in score-DESC order, and each bucket
+    // contributes pos_b × precision-at-bucket-end (cum_pos/cum_total
+    // through b) — step-wise binned AP. Per-bucket precision is
+    // 6-dp-gridded to integer micro-units before the order-free sum
+    // (eval_pr_auc's t6 discipline); Σ pos_b·10⁶ ≤ n⁺·10⁶ keeps the sum
+    // in int64 to ~9·10¹² positives. Bucket-grain windows only.
+    "eval_pr_auc_binned" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderpriority").as("grp"),
+        when(col("o_orderstatus") === "F", 1).otherwise(0).as("pos"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT) div 100000").as("bkt"))
+      val cells = o.groupBy(col("grp"), col("bkt")).agg(
+        count(when(col("pos") === 1, 1)).as("pb"),
+        count(lit(1)).as("tb"))
+      val wCum = Window.partitionBy(col("grp")).orderBy(col("bkt").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      cells.withColumn("cp", sum(col("pb")).over(wCum))
+        .withColumn("ct", sum(col("tb")).over(wCum))
+        .withColumn("t6", expr(
+          "CAST(round(CAST(cp AS DOUBLE) / ct * 1000000, 0) AS BIGINT)"))
+        .groupBy(col("grp"))
+        .agg(sum(col("pb")).as("n_pos"), sum(col("pb") * col("t6")).as("s6"))
+        .select(col("grp"), col("n_pos"),
+          round(col("s6").cast("double") / (col("n_pos") * lit(1000000.0)), 6)
+            .as("avg_precision_binned"))
         .orderBy(col("grp"))
     }),
 
@@ -7365,6 +7429,29 @@ object AnalyticsOps {
                 round((r12 - CAST(n_pos AS DOUBLE) * (n_pos + 1)) /
                       (2.0 * CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
          FROM m ORDER BY grp""",
+    "stat_auc_roc_binned" ->
+      """WITH o AS (
+           SELECT o_orderpriority AS grp,
+                  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
+                  CAST(round(o_totalprice * 100, 0) AS BIGINT) // 100000 AS bkt
+           FROM orders),
+         cells AS (
+           SELECT grp, bkt,
+                  count(CASE WHEN pos = 1 THEN 1 END) AS pb,
+                  count(CASE WHEN pos = 0 THEN 1 END) AS nb
+           FROM o GROUP BY 1, 2),
+         terms AS (
+           SELECT grp, pb, nb,
+                  coalesce(sum(nb) OVER (PARTITION BY grp ORDER BY bkt
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn
+           FROM cells)
+         SELECT grp, CAST(sum(pb) AS BIGINT) AS n_pos,
+                CAST(sum(nb) AS BIGINT) AS n_neg,
+                round(CAST(sum(CAST(pb AS DECIMAL(19,0))
+                             * CAST(2 * cn + nb AS DECIMAL(19,0))) AS DOUBLE)
+                      / (2.0 * CAST(sum(pb) AS DOUBLE) * sum(nb)), 6)
+                  AS auc_binned
+         FROM terms GROUP BY grp ORDER BY grp""",
     "stat_odds_ratio" ->
       """WITH m AS (
            SELECT
@@ -7723,6 +7810,29 @@ object AnalyticsOps {
                 round(CAST(sum(t6) AS DOUBLE) / (count(1) * 1000000.0), 6)
                   AS avg_precision
          FROM p GROUP BY grp ORDER BY grp""",
+    "eval_pr_auc_binned" ->
+      """WITH o AS (
+           SELECT o_orderpriority AS grp,
+                  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
+                  CAST(round(o_totalprice * 100, 0) AS BIGINT) // 100000 AS bkt
+           FROM orders),
+         cells AS (
+           SELECT grp, bkt,
+                  count(CASE WHEN pos = 1 THEN 1 END) AS pb,
+                  count(1) AS tb
+           FROM o GROUP BY 1, 2),
+         c AS (
+           SELECT grp, pb,
+                  CAST(round(CAST(sum(pb) OVER w AS DOUBLE)
+                             / sum(tb) OVER w * 1000000, 0) AS BIGINT) AS t6
+           FROM cells
+           WINDOW w AS (PARTITION BY grp ORDER BY bkt DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT grp, CAST(sum(pb) AS BIGINT) AS n_pos,
+                round(CAST(sum(pb * t6) AS DOUBLE)
+                      / (CAST(sum(pb) AS DOUBLE) * 1000000.0), 6)
+                  AS avg_precision_binned
+         FROM c GROUP BY grp ORDER BY grp""",
     "stat_jarque_bera" ->
       """WITH stats AS (
            SELECT event_type, count(1) AS n,

@@ -6187,6 +6187,27 @@ class PropertySpec extends SparkSuite {
     assert(math.abs(r.getDouble(3) - (sy - beta * sx) / k) < 1e-4, "ln_k")
   }
 
+  test("binned AUC tiers track their exact references within the grid-error band") {
+    // the binned tiers exist because the exact ranks are the one
+    // fact-sized sort in the eval family; they are only worth shipping
+    // if the $1000 score grid costs ~nothing in metric fidelity —
+    // observed deltas at sf0.001 are 2.5e-4 (ROC) / 1.9e-3 (AP); the
+    // 0.02 gate leaves room for generator drift while still failing on
+    // any real formula break (an off-by-half-bucket bug shifts AUC ~0.1)
+    def byGrp(name: String, vCol: Int) =
+      q(name).collect().map(r => r.getString(0) -> r.getDouble(vCol)).toMap
+    val exactRoc = byGrp("stat_auc_roc", 3)
+    val binnedRoc = byGrp("stat_auc_roc_binned", 3)
+    assert(exactRoc.keySet === binnedRoc.keySet)
+    exactRoc.foreach { case (g, v) =>
+      assert(math.abs(v - binnedRoc(g)) < 0.02, s"ROC grid error at $g") }
+    val exactAp = byGrp("eval_pr_auc", 2)
+    val binnedAp = byGrp("eval_pr_auc_binned", 2)
+    assert(exactAp.keySet === binnedAp.keySet)
+    exactAp.foreach { case (g, v) =>
+      assert(math.abs(v - binnedAp(g)) < 0.02, s"AP grid error at $g") }
+  }
+
   test("DistRank.withRank: two-phase rank/cumsum replays the brute total order") {
     // deterministic skewed value column WITH collisions (v has only 97
     // distinct values over 5000 rows) so the range partitioner must split
