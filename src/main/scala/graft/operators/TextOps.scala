@@ -215,8 +215,13 @@ object TextOps {
     // Tarau formulation) — the graph-based sibling of text_rake's
     // degree-scoring heuristic: a word matters if it co-occurs with
     // words that matter, recursively. The graph is VOCABULARY-bounded
-    // (never corpus-grain), so ranks broadcast unconditionally and the
-    // five 12-dp-gridded rounds reuse graph_pagerank's exact decimal
+    // (language-bounded, never corpus-grain), but the rank plan still
+    // takes graph_pagerank's SIZE GATE rather than trusting that bound:
+    // under PagerankBroadcastMaxNodes the vocab-grain rank frame
+    // broadcasts onto the cached edge frame; above it, the edges
+    // co-partition on src ONCE and only ranks shuffle per round (the
+    // forced-gate-off PlanSpec parity test exercises that path). Five
+    // 12-dp-gridded rounds reuse pagerankRound's exact decimal
     // discipline (per-round localCheckpoint, identical unrolled SQL
     // twin). Top-20 under the (12-dp rank, word) total order.
     "text_textrank" -> ((s, dir) => {
@@ -232,21 +237,20 @@ object TextOps {
           .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
           .distinct())
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("cnt"))
-      val edgesDeg = edges.join(broadcast(deg), "src")
-      val nF = deg.agg(count(lit(1)).as("nn")).localCheckpoint(true)
-      var ranks = deg.select(col("src").as("v")).crossJoin(broadcast(nF))
-        .select(col("v"), (lit(1.0) / col("nn")).as("rank"))
+      val n = deg.count() // vocabulary-count action over the cached edges
+      val bcastRanks = n <= AnalyticsOps.PagerankBroadcastMaxNodes
+      val edgesDeg0 = edges.join(broadcast(deg), "src")
+      val edgesDeg =
+        (if (bcastRanks) edgesDeg0 else edgesDeg0.repartition(col("src")))
+          .persist()
+      var ranks = deg.select(col("src").as("v"))
+        .withColumn("rank", lit(1.0 / n))
+      val base = 0.15 / n
       for (_ <- 1 to 5) {
-        ranks = edgesDeg.join(broadcast(ranks), col("src") === col("v"))
-          .select(col("dst"),
-            (col("rank") / col("cnt")).cast(DecimalType(38, 18)).as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-          .crossJoin(broadcast(nF))
-          .select(col("dst").as("v"),
-            round(lit(0.15) / col("nn") +
-              lit(0.85) * col("sc").cast("double"), 12).as("rank"))
+        ranks = AnalyticsOps.pagerankRound(edgesDeg, ranks, base, bcastRanks)
           .localCheckpoint(true)
       }
+      edgesDeg.unpersist(false) // rounds materialized; final plan reads ranks only
       ranks.select(col("v").as("word"), round(col("rank"), 6).as("rank"),
           col("rank").as("r12"))
         .orderBy(desc("r12"), col("word"))
@@ -1403,7 +1407,10 @@ object TextOps {
         .select(col("source"), col("w"), (col("c").cast("double") / col("n")).as("p"))
       val pairs = tot.as("a").join(tot.as("b"), col("a.source") < col("b.source"))
         .select(col("a.source").as("sa"), col("b.source").as("sb"))
-      val grid = pairs.crossJoin(tokc.select(col("w")).distinct())
+      // pairs is the ≤ |sources|²-row source-pair grid — broadcast it
+      // explicitly (every sibling 1-row/dim-bounded crossJoin site does)
+      // rather than leaning on AQE to notice the size at runtime
+      val grid = broadcast(pairs).crossJoin(tokc.select(col("w")).distinct())
         .join(pfrac.select(col("source").as("sa"), col("w"), col("p").as("pa")),
           Seq("sa", "w"), "left")
         .join(pfrac.select(col("source").as("sb"), col("w"), col("p").as("pb")),

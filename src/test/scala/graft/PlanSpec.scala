@@ -711,7 +711,6 @@ class PlanSpec extends SparkSuite {
       "eval_rbo" -> "inherits vec_ivf_ann/vec_knn_join's whitelisted bounded crossJoins (query composition, vec_ann_recall's precedent)",
       "dedup_minhash_recall" -> "crossJoins compose three 1-row count frames (truth/candidates/hits)",
       "graph_ppr" -> "crossJoins against the broadcast 1-row seed frame (one per restart round)",
-      "text_textrank" -> "crossJoins against the broadcast 1-row vocabulary-count frame (one per rank round)",
       "etl_freshness_report" -> "crossJoin against the broadcast 1-row corpus-horizon frame over three checkpointed 1-row summaries",
       "gdpr_t_closeness" -> "zero-cell grid crossJoins are dim-bounded: 25 nations x 5 segments x 1-row total",
       "anom_lof" -> "exact-tier LOF pair join is bounded to the 256-vector base (65k pairs); scale path is the LSH-bucketed kNN",
