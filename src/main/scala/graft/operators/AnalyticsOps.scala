@@ -3190,15 +3190,24 @@ object AnalyticsOps {
     // (Spark weekday() ≡ DuckDB isodow−1 — Sunday-based dayofweek
     // DIFFERS between them and is avoided).
     "stat_dow_uniformity" -> ((s, dir) => {
+      // cells is the (type x present-dow) grain, <= 7·|types| rows — pin
+      // it eagerly so tot + the domain join read one materialization
       val cells = events(s, dir)
         .groupBy(col("event_type"),
           expr("weekday(CAST(ts AS DATE))").as("dow"))
         .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
       val tot = cells.groupBy(col("event_type"))
         .agg(sum(col("n")).as("nt"), count(lit(1)).as("k"))
+      // left-join the FULL 7-day domain per type: a weekday with zero
+      // events contributes its whole (0−E)²/E = E term; summing present
+      // cells only understated chi2 exactly when nonuniformity is
+      // strongest (dof stays 6 and the 12.592 cut assumes 7 cells)
+      val domain = tot.withColumn("dow", explode(sequence(lit(0), lit(6))))
       val e = col("nt").cast("double") / 7.0
-      val term = (col("n") - e) * (col("n") - e) / e
-      cells.join(broadcast(tot), Seq("event_type"))
+      val nn = coalesce(col("n"), lit(0L))
+      val term = (nn - e) * (nn - e) / e
+      domain.join(cells, Seq("event_type", "dow"), "left")
         .groupBy(col("event_type"))
         .agg(max(col("nt")).as("n_events"), max(col("k")).as("n_days_present"),
           sum(dec(round(term, 6))).as("chi2d"))
@@ -6614,12 +6623,16 @@ object AnalyticsOps {
            SELECT event_type, CAST(sum(n) AS BIGINT) AS nt,
                   CAST(count(1) AS BIGINT) AS k
            FROM cells GROUP BY event_type),
+         domain AS (
+           SELECT t.event_type, t.nt, t.k, d.dow
+           FROM tot t CROSS JOIN (SELECT unnest(range(0, 7)) AS dow) d),
          terms AS (
-           SELECT c.event_type, t.nt, t.k,
-                  CAST(round((c.n - CAST(t.nt AS DOUBLE) / 7.0)
-                    * (c.n - CAST(t.nt AS DOUBLE) / 7.0)
-                    / (CAST(t.nt AS DOUBLE) / 7.0), 6) AS DECIMAL(18,6)) AS tm
-           FROM cells c JOIN tot t ON c.event_type = t.event_type),
+           SELECT dm.event_type, dm.nt, dm.k,
+                  CAST(round((coalesce(c.n, 0) - CAST(dm.nt AS DOUBLE) / 7.0)
+                    * (coalesce(c.n, 0) - CAST(dm.nt AS DOUBLE) / 7.0)
+                    / (CAST(dm.nt AS DOUBLE) / 7.0), 6) AS DECIMAL(18,6)) AS tm
+           FROM domain dm LEFT JOIN cells c
+             ON c.event_type = dm.event_type AND c.dow = dm.dow),
          agg AS (
            SELECT event_type, max(nt) AS n_events, max(k) AS n_days_present,
                   CAST(sum(tm) AS DOUBLE) AS chi2_stat

@@ -259,6 +259,13 @@ object Streams {
     // ordinary windowed count of the deduped stream. State is
     // hash-partitioned by the dedup key and expires with the watermark;
     // at scale this is exactly how per-window DAU/uniques run.
+    // FIXTURE COUPLING: the oracle is an exact batch count(DISTINCT), but
+    // dropDuplicates state is bounded by the 10-minute watermark — an
+    // event arriving >10 min out of order after its dedup state expired
+    // would be re-counted and silently diverge. StreamingSpec asserts the
+    // events fixture's max disorder (arrival-order ts regression) stays
+    // under the watermark, so a generator change that adds later data
+    // trips a test instead of a silent oracle drift.
     "stream_distinct_users" -> ((s, dir) => {
       runToTable(s, s2 => eventsStream(s2, dir)
         .withWatermark("ts", "10 minutes")

@@ -6150,7 +6150,12 @@ class PropertySpec extends SparkSuite {
       assert(r.getLong(1) === n.toLong)
       assert(r.getLong(2) === cells.size.toLong)
       val e = n / 7
-      val chi2 = cells.values.map(c => g6((c - e) * (c - e) / e)).sum
+      // FULL 7-day domain: an absent weekday contributes its (0-e)^2/e
+      // = e term (the r10 ADVICE defect was summing present cells only)
+      val chi2 = (0 to 6).map { d =>
+        val c = cells.getOrElse(d, 0)
+        g6((c - e) * (c - e) / e)
+      }.sum
       assert(math.abs(r.getDouble(3) - chi2) < 1e-5, s"chi2 ${r.getString(0)}")
       assert(r.getInt(4) === 6)
       assert(r.getBoolean(5) === (r.getDouble(3) > 12.592))

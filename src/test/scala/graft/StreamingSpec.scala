@@ -161,6 +161,26 @@ class StreamingSpec extends SparkSuite {
     } finally q0.stop()
   }
 
+  test("stream_distinct_users: fixture disorder stays under the 10-minute watermark") {
+    // the exact-batch oracle only holds while every event arrives before
+    // its window's dedup state expires; the file source delivers rows in
+    // generation (event_id) order, so the operative disorder bound is the
+    // largest ts regression in that order — assert it under the 10-minute
+    // watermark so a fixture/generator change surfaces here, not as a
+    // silent count drift in the oracle compare
+    val rows = graft.Tables.events(spark, sf)
+      .select(col("event_id"), expr("unix_micros(ts)").as("tu"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var runMax = Long.MinValue; var worst = 0L
+    rows.foreach { case (_, tu) =>
+      if (runMax > tu && runMax - tu > worst) worst = runMax - tu
+      if (tu > runMax) runMax = tu
+    }
+    assert(worst < 10L * 60 * 1000000,
+      s"events fixture max disorder ${worst / 1e6}s >= the 10-minute watermark " +
+        "— stream_distinct_users' exact-batch oracle no longer holds")
+  }
+
   test("stream_distinct_users equals its exact batch twin") {
     val out = q("stream_distinct_users")
     val want = graft.Tables.events(spark, sf)
