@@ -460,9 +460,9 @@ object AnalyticsOps {
       .union(und.select(col("p2").as("src"), col("p1").as("dst")))
     val bcastLabels = nodes.count() <= PagerankBroadcastMaxNodes
     var labels = nodes.select(col("node"), col("node").as("lbl"))
-      .localCheckpoint(true)
+      .transform(RoundPin.pin)
     for (_ <- 1 to LabelPropRounds) {
-      labels = lpaRound(adj, labels, bcastLabels).localCheckpoint(true)
+      labels = lpaRound(adj, labels, bcastLabels).transform(RoundPin.pin)
     }
     labels
   }
@@ -638,7 +638,7 @@ object AnalyticsOps {
       val seeds = deg.orderBy(col("dg").desc, col("src")).limit(3)
         .select(col("src").as("seed"), col("src").as("node"), lit(0).as("dist"))
       val bcastFrontier = nodes.count() <= PagerankBroadcastMaxNodes
-      var visited = seeds.localCheckpoint(true)
+      var visited = seeds.transform(RoundPin.pin)
       var frontier = visited.select(col("seed"), col("node"))
       for (r <- 1 to BfsRounds) {
         val next = adj.join(
@@ -647,8 +647,8 @@ object AnalyticsOps {
           .select(col("seed"), col("dst").as("node")).distinct()
           .join(visited, Seq("seed", "node"), "left_anti")
           .withColumn("dist", lit(r))
-          .localCheckpoint(true)
-        visited = visited.union(next).localCheckpoint(true)
+          .transform(RoundPin.pin)
+        visited = visited.union(next).transform(RoundPin.pin)
         frontier = next.select(col("seed"), col("node"))
       }
       val e = (visited.rdd.cache(), visited.schema)
@@ -815,7 +815,7 @@ object AnalyticsOps {
         // cluster job should use reliable checkpointing (checkpoint dir)
         // or persist with replication instead; local[n] verify is immune.
         ranks = pagerankRound(edgesDeg, ranks, base, broadcastRanks)
-          .localCheckpoint(true)
+          .transform(RoundPin.pin)
       }
       edgesDeg.unpersist(false) // rounds are materialized; the final plan no longer scans edges
       edges.unpersist(false)
@@ -847,7 +847,7 @@ object AnalyticsOps {
       val edgesDeg =
         (if (broadcastRanks) edgesDeg0 else edgesDeg0.repartition(col("src")))
           .persist()
-      val seedF = deg.agg(min(col("src")).as("seed_v")).localCheckpoint(true)
+      val seedF = deg.agg(min(col("src")).as("seed_v")).transform(RoundPin.pin)
       var ranks = deg.select(col("src").as("v"))
         .crossJoin(broadcast(seedF))
         .select(col("v"),
@@ -864,7 +864,7 @@ object AnalyticsOps {
             round(when(col("dst") === col("seed_v"), lit(0.15))
               .otherwise(lit(0.0)) +
               lit(0.85) * col("sc").cast("double"), 12).as("rank"))
-          .localCheckpoint(true)
+          .transform(RoundPin.pin)
       }
       edgesDeg.unpersist(false)
       edges.unpersist(false)
@@ -937,7 +937,7 @@ object AnalyticsOps {
       // intermediates can be unpersisted HERE — without this, repeated
       // bench/verify invocations grow the CacheManager unboundedly (each
       // call would leave three live cache entries behind).
-      val out = res.localCheckpoint(true)
+      val out = res.transform(RoundPin.pin)
       cached.foreach(_.unpersist(false))
       out
     }),
@@ -1294,7 +1294,7 @@ object AnalyticsOps {
         sum(col("y") * col("xl")).as("syxl"),
         sum(col("x") * col("xl")).as("sxxl"),
         sum(col("x") * col("yl")).as("sxyl"),
-        sum(col("yl") * col("xl")).as("sylxl")).localCheckpoint(true)
+        sum(col("yl") * col("xl")).as("sylxl")).transform(RoundPin.pin)
       val mmd = col("mm").cast("double")
       def d(c: Column) = c.cast("double")
       def row(label: String, st: Column, stt: Column, stl: Column,
@@ -2274,7 +2274,7 @@ object AnalyticsOps {
       val (res, cached) = itemCfBuild(ui0)
       // top-20 result: materialize eagerly so the persisted capped frame
       // can be unpersisted here (CacheManager hygiene, as graph_triangles)
-      val out = res.localCheckpoint(true)
+      val out = res.transform(RoundPin.pin)
       cached.foreach(_.unpersist(false))
       out
     }),
@@ -2295,7 +2295,7 @@ object AnalyticsOps {
       val (res, cached) = itemCfBuild(pu)
       val out = res
         .select(col("ia").as("ua"), col("ib").as("ub"), col("nco"), col("cosine"))
-        .localCheckpoint(true)
+        .transform(RoundPin.pin)
       cached.foreach(_.unpersist(false))
       out
     }),
@@ -2856,7 +2856,7 @@ object AnalyticsOps {
       val bcastKeep = nodes.count() <= PagerankBroadcastMaxNodes
       var edges = und.select(col("p1"), col("p2"))
       for (_ <- 1 to KcorePeelRounds) {
-        edges = kcorePeelRound(edges, bcastKeep).localCheckpoint(true)
+        edges = kcorePeelRound(edges, bcastKeep).transform(RoundPin.pin)
       }
       edges.select(explode(array(col("p1"), col("p2"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("dg"))
@@ -3071,7 +3071,7 @@ object AnalyticsOps {
       // (a node-grain job), not re-counted per round
       val bcastNbr = nodes.count() <= PagerankBroadcastMaxNodes
       for (_ <- 1 to TrussRounds) {
-        e = trussRound(e, bcastNbr).localCheckpoint(true)
+        e = trussRound(e, bcastNbr).transform(RoundPin.pin)
       }
       e.select(explode(array(col("p1"), col("p2"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("truss_degree"))
@@ -3100,7 +3100,7 @@ object AnalyticsOps {
         .withColumn("rk", row_number().over(wSeed)).filter(col("rk") <= 8)
         .select(col("src").as("walk_id"), col("src").as("node"),
           lit(0).as("step"))
-        .localCheckpoint()
+        .transform(RoundPin.pin)
       var out = frontier
       for (t <- 1 to WalkSteps) {
         val h = pmod(
@@ -3116,7 +3116,7 @@ object AnalyticsOps {
           .withColumn("rn", row_number().over(wPick))
           .filter(col("rn") === 1)
           .select(col("walk_id"), col("dst").as("node"), lit(t).as("step"))
-          .localCheckpoint()
+          .transform(RoundPin.pin)
         out = out.unionAll(frontier)
       }
       out.orderBy(col("walk_id"), col("step"))
@@ -3147,12 +3147,12 @@ object AnalyticsOps {
       // frontier; above it adj shuffles on src per round — the standard
       // large-graph BFS shape, no forced catalog-sized broadcast.
       val bcastFrontier = nodes.count() <= PagerankBroadcastMaxNodes
-      var visited = hub.localCheckpoint(true)
+      var visited = hub.transform(RoundPin.pin)
       var frontier = visited
       for (r <- 1 to BfsRounds) {
         val next = bfsExpand(adj, frontier, visited, r, bcastFrontier)
-          .localCheckpoint(true)
-        visited = visited.union(next).localCheckpoint(true)
+          .transform(RoundPin.pin)
+        visited = visited.union(next).transform(RoundPin.pin)
         frontier = next
       }
       visited.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
@@ -3196,7 +3196,7 @@ object AnalyticsOps {
         .groupBy(col("event_type"),
           expr("weekday(CAST(ts AS DATE))").as("dow"))
         .agg(count(lit(1)).as("n"))
-        .localCheckpoint(true)
+        .transform(RoundPin.pin)
       val tot = cells.groupBy(col("event_type"))
         .agg(sum(col("n")).as("nt"), count(lit(1)).as("k"))
       // left-join the FULL 7-day domain per type: a weekday with zero
@@ -3234,7 +3234,7 @@ object AnalyticsOps {
       val flagged = Seq("anom_zscore", "anom_mad", "anom_iqr").map { nm =>
         queries(nm)(s, dir)
           .select(col("event_id"), col("event_type"), col("value"))
-          .localCheckpoint(true)
+          .transform(RoundPin.pin)
       }
       flagged.reduce(_ unionByName _)
         .groupBy(col("event_id"), col("event_type"), col("value"))
@@ -3260,7 +3260,7 @@ object AnalyticsOps {
       // localCheckpoint (not cache) so the replays are RDD scans, not
       // InMemoryTableScan replays of a derivation chain (>8 lint)
       val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("dg"))
-        .localCheckpoint(true)
+        .transform(RoundPin.pin)
       val ks = Seq(2, 4, 8)
       val out = ks.map { k =>
         val rich = deg.filter(col("dg") > k).select(col("src").as("rn"))
@@ -4701,7 +4701,7 @@ object AnalyticsOps {
           .withColumn("devn", abs(d38(col("v6")) * col("n") - col("s6")))
         val mx = dev.agg(max(col("devn")).as("mxd"))
         val pick = dev.join(broadcast(mx), col("devn") === col("mxd"))
-          .agg(min(col("event_id")).as("pid")).localCheckpoint(true)
+          .agg(min(col("event_id")).as("pid")).transform(RoundPin.pin)
         val out = dev.join(broadcast(pick), col("event_id") === col("pid"))
           .select(lit(k).as("esd_round"), col("event_id"),
             round(col("value"), 6).as("value"), col("n").as("n_used"),
@@ -5507,12 +5507,12 @@ object AnalyticsOps {
       // at 44.9 s vs the graph family's ~2 s band). Pin each level: the
       // pagerank/kcore per-round localCheckpoint discipline.
       def normalize(raw: DataFrame, key: String, v: String): DataFrame = {
-        val rawP = raw.localCheckpoint(true)
+        val rawP = raw.transform(RoundPin.pin)
         val mx = rawP.agg(max(col(v)).as("mx"))
         rawP.join(broadcast(mx))
           .select(col(key),
             d6(round(col(v).cast("double") / col("mx").cast("double"), 6)).as(v))
-          .localCheckpoint(true)
+          .transform(RoundPin.pin)
       }
       // round 1: a₀ ≡ 1 → hub mass = customer degree
       val h1 = normalize(
@@ -5526,7 +5526,7 @@ object AnalyticsOps {
         edges.join(a1, Seq("p")).groupBy(col("c")).agg(sum(col("a")).as("h")),
         "c", "h")
       val a2raw = edges.join(h2, Seq("c")).groupBy(col("p")).agg(sum(col("h")).as("ar"))
-        .localCheckpoint(true)
+        .transform(RoundPin.pin)
       a2raw.join(broadcast(a2raw.agg(max(col("ar")).as("am"))))
         .select(col("p").as("part"),
           round(col("ar").cast("double") / col("am").cast("double"), 6).as("authority"))

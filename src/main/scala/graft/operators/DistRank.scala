@@ -69,7 +69,7 @@ object DistRank {
     ) { case (acc, (c, _)) =>
       acc.withColumn("_drk_lcs",
         sum(c).over(wLoc.rowsBetween(Window.unboundedPreceding, 0)))
-    }.localCheckpoint(true)
+    }.transform(RoundPin.pin)
     // P rows — one per non-empty slice; empty slices contribute nothing
     // (their count is 0, so skipping them leaves every prefix sum intact)
     val totAggs = Seq(max(col("_drk_lrn")).as("_drk_cnt")) ++

@@ -539,7 +539,7 @@ object EtlOps {
       def row(name: String, df: DataFrame, dayCol: Column): DataFrame =
         df.agg(count(lit(1)).as("n_rows"), max(dayCol).as("max_day"))
           .select(lit(name).as("table_name"), col("n_rows"), col("max_day"))
-          .localCheckpoint(true)
+          .transform(RoundPin.pin)
       val m = row("events", events(s, dir), col("ts").cast("date"))
         .unionAll(row("orders", t(s, dir, "orders"),
           col("o_orderdate").cast("date")))
@@ -632,7 +632,7 @@ object EtlOps {
       // without this the final plan scanned the caches 10× (the
       // InMemoryTableScan>8 lint caught it; graph_hits' r9 lesson)
       def cnt(df: DataFrame, as: String): DataFrame =
-        df.agg(count(lit(1)).as(as)).localCheckpoint(true)
+        df.agg(count(lit(1)).as(as)).transform(RoundPin.pin)
       val nOk = cnt(ok, "n_rows"); val nLk = cnt(lk, "n_rows")
       def row(rel: String, orphans: DataFrame, total: DataFrame): DataFrame =
         cnt(orphans, "n_orphans").crossJoin(total)

@@ -111,7 +111,7 @@ object MinHashDedup {
         .filter(col("inter").cast("double") /
           (col("n1") + col("n2") - col("inter")) >= 0.5)
         .select(col("d1"), col("d2"))
-        .localCheckpoint(true)
+        .transform(RoundPin.pin)
       // LSH candidates from the SAME banded signatures as text_dedup_near;
       // banded feeds BOTH sides of the bucket join — persisted so the
       // documents scan runs once for it (r10 scan lint caught the 4×)
@@ -122,7 +122,7 @@ object MinHashDedup {
           Seq("band_idx", "bh"))
         .filter(col("d1") < col("d2"))
         .select(col("d1"), col("d2")).distinct()
-        .localCheckpoint(true)
+        .transform(RoundPin.pin)
       val hit = truth.join(cand, Seq("d1", "d2"), "left_semi")
       truth.agg(count(lit(1)).as("n_truth"))
         .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))

@@ -248,7 +248,7 @@ object TextOps {
       val base = 0.15 / n
       for (_ <- 1 to 5) {
         ranks = AnalyticsOps.pagerankRound(edgesDeg, ranks, base, bcastRanks)
-          .localCheckpoint(true)
+          .transform(RoundPin.pin)
       }
       edgesDeg.unpersist(false) // rounds materialized; final plan reads ranks only
       ranks.select(col("v").as("word"), round(col("rank"), 6).as("rank"),
@@ -648,7 +648,7 @@ object TextOps {
       // it once with lineage truncated (the vec_knn_graph init pattern)
       // so the token grain is scanned and shuffled exactly once
       val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint(true)
+        .transform(RoundPin.pin)
       // doc length re-aggregates the (doc, term) frame, NOT the token
       // grain — Σtf per doc equals the token count exactly
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))

@@ -538,7 +538,7 @@ object VectorOps {
       // materialize once, lineage truncated (pagerank's pinning pattern)
       val init = initPairs.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= K).select(col("v"), col("n"))
-        .localCheckpoint(true)
+        .transform(RoundPin.pin)
       val nofn = init.as("a").join(init.as("c"), col("a.n") === col("c.v"))
         .select(col("a.v").as("v"), col("c.n").as("n"))
       val rev = init.select(col("n").as("v"), col("v").as("n"))
@@ -578,7 +578,7 @@ object VectorOps {
       val w = Window.partitionBy(col("v")).orderBy(col("dist"), col("n"))
       val knn = pairs.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= K).select(col("v"), col("n"), col("dist"))
-        .localCheckpoint(true)
+        .transform(RoundPin.pin)
       val kd = knn.groupBy(col("v")).agg(max(col("dist")).as("kdist"))
       val lrd = knn.join(kd.select(col("v").as("n"), col("kdist").as("nkd")), "n")
         .select(col("v"), greatest(col("nkd"), col("dist")).as("rd"))
@@ -849,7 +849,7 @@ object VectorOps {
           .select(col("vec_id"), col("pos"), r6d(col("fv")).as("xv")))
       val nRow = embStore(s, dir).agg(count(lit(1)).as("n"))
       val sx = base.groupBy(col("pos")).agg(sum(col("xv")).cast(d6).as("sxv"))
-        .localCheckpoint()
+        .transform(RoundPin.pin)
       var v = sx.select(col("pos"), lit(1).cast(d6).as("vv"))
       for (_ <- 1 to 3) {
         val s6 = base.join(broadcast(v), "pos")
@@ -865,7 +865,7 @@ object VectorOps {
           .withColumn("wd", col("n").cast("double") * col("a6").cast("double") -
             col("sxv").cast("double") * col("stv6").cast("double"))
           .withColumn("w6", round(col("wd") / 1000000.0, 6).cast(d6))
-          .localCheckpoint() // 64 rows; cuts the fact-agg lineage so the
+          .transform(RoundPin.pin) // 64 rows; cuts the fact-agg lineage so the
                              // norm + renormalize reads don't re-run it
         val nrm = w.agg(sum(col("w6") * col("w6")).as("nn"))
           .select(sqrt(col("nn").cast("double")).as("nrm"))
@@ -874,7 +874,7 @@ object VectorOps {
             round(col("w6").cast("double") / col("nrm"), 6).cast(d6).as("vv"))
       }
       val wA = Window.orderBy(abs(col("vv")).desc, col("pos"))
-      val vChk = v.localCheckpoint()
+      val vChk = v.transform(RoundPin.pin)
       val sign = vChk.withColumn("rk", row_number().over(wA))
         .filter(col("rk") === 1)
         .select(when(col("vv") < 0, -1).otherwise(1).as("sg"))
@@ -1058,7 +1058,7 @@ object VectorOps {
             .as("psim")))
       var sel = cands.orderBy(col("sim").desc, col("vec_id")).limit(1)
         .select(col("vec_id"), lit(1).as("rank"), col("sim").as("score"))
-        .localCheckpoint()
+        .transform(RoundPin.pin)
       for (step <- 2 to MmrPicks) {
         val mx = pairs.join(broadcast(sel.select(col("vec_id").as("vb"))), Seq("vb"))
           .groupBy(col("va")).agg(max(col("psim")).as("mx"))
@@ -1069,7 +1069,7 @@ object VectorOps {
             round(lit(0.7) * col("sim") - lit(0.3) * col("mx"), 6).as("score"))
           .orderBy(col("score").desc, col("vec_id")).limit(1)
           .select(col("vec_id"), lit(step).as("rank"), col("score"))
-        sel = sel.unionAll(pick).localCheckpoint()
+        sel = sel.unionAll(pick).transform(RoundPin.pin)
       }
       sel.select(col("rank"), col("vec_id"), col("score")).orderBy(col("rank"))
     }),
@@ -1123,7 +1123,7 @@ object VectorOps {
         assign = dots.withColumn("rn", row_number().over(wA))
           .filter(col("rn") === 1)
           .select(col("vec_id"), col("k"), col("dot"))
-          .localCheckpoint()
+          .transform(RoundPin.pin)
         val mean = base.join(assign.select(col("vec_id"), col("k")), "vec_id")
           .groupBy(col("k"), col("pos"))
           .agg(round(sum(col("xv")).cast("double") / count(lit(1)), 6)
@@ -1133,7 +1133,7 @@ object VectorOps {
         cent = mean.join(cn, "k")
           .select(col("k"), col("pos"),
             r6d(col("mv").cast("double") / col("cn")).as("cv"))
-          .localCheckpoint()
+          .transform(RoundPin.pin)
       }
       assign.groupBy(col("k"))
         .agg(count(lit(1)).as("n_vecs"),
@@ -1163,12 +1163,12 @@ object VectorOps {
         assign = d2.withColumn("rn", row_number().over(wA))
           .filter(col("rn") === 1)
           .select(col("vec_id"), col("k"), col("d2"))
-          .localCheckpoint() // feeds the centroid agg AND the final stats
+          .transform(RoundPin.pin) // feeds the centroid agg AND the final stats
         cent = base.join(assign.select(col("vec_id"), col("k")), "vec_id")
           .groupBy(col("k"), col("pos"))
           .agg(round(sum(col("xv")).cast("double") / count(lit(1)), 6)
             .cast(d6).as("cv"))
-          .localCheckpoint() // k×64 rows; cuts the per-round lineage
+          .transform(RoundPin.pin) // k×64 rows; cuts the per-round lineage
       }
       val sizes = assign.groupBy(col("k"))
         .agg(count(lit(1)).as("n_vecs"),

@@ -171,7 +171,7 @@ object StreamDedup {
       .select(col("doc_id"), col("batch").cast("long").as("batch_id"),
         col("kept"), col("dup_of"))
       .orderBy(col("doc_id"))
-      .localCheckpoint(true)
+      .transform(graft.operators.RoundPin.pin)
     org.apache.commons.io.FileUtils.deleteQuietly(runDir.toFile)
     res
   }

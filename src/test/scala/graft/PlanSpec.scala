@@ -797,6 +797,26 @@ class PlanSpec extends SparkSuite {
       s"re-executed scan subtrees (persist the shared frame or justify in the whitelist): ${offenders.mkString(", ")}")
   }
 
+  test("RoundPin: spark.graft.checkpointDir switches pins to reliable checkpoints, same result") {
+    // the cluster-grade fault-tolerance option the pagerank family
+    // documented since r9: localCheckpoint blocks die with an executor
+    // and strand later iterations; with the conf set, every RoundPin.pin
+    // in the process writes a RELIABLE checkpoint instead. Parity on a
+    // full pagerank member (5 gated rounds) + proof the files landed.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_rel").toString
+    val base = q("graph_pagerank").collect().map(_.toString).sorted
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val rel = q("graph_pagerank").collect().map(_.toString).sorted
+      assert(rel === base, "reliable-checkpoint path diverged from localCheckpoint path")
+      val walked = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      val nRdd =
+        try walked.filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+        finally walked.close()
+      assert(nRdd > 0, s"no reliable checkpoint data written under $dir")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
   test("plan lint: un-partitioned windows only over bounded-grain frames") {
     // The r10 verdict's one surviving anti-pattern class: a
     // Window.orderBy(...) with no partition key funnels its ENTIRE input
