@@ -1958,6 +1958,18 @@ object AnalyticsOps {
         .orderBy(col("seg_a"), col("seg_b"))
     }),
 
+    // Welch t p-value — stat_ttest plus the two-sided tail from the
+    // pinned normal grid (PValueGrids; the z approximation to t is
+    // exact to <1e-4 in p at these dof — Welch df runs in the thousands
+    // on segment-sized samples, and the approximation is NAMED rather
+    // than hidden). Composes the registered base op (anom_consensus
+    // precedent): both engines read the SAME oracle-matched t_stat, so
+    // the integer-gridded lookup index is identical by construction.
+    "stat_ttest_pvalue" -> ((s, dir) =>
+      queries("stat_ttest")(s, dir)
+        .withColumn("p_value", round(PValueGrids.pTwoSided(col("t_stat")), 6))
+        .orderBy(col("seg_a"), col("seg_b"))),
+
     // Two-sample variance-ratio F test across segment pairs — the
     // 2-sample corner of the equal-variance question (bartlett/levene
     // answer it for k groups at once; the plain F = s²_a/s²_b with
@@ -2211,6 +2223,15 @@ object AnalyticsOps {
           ((countDistinct(col("p")) - 1) * (countDistinct(col("st")) - 1)).as("dof"),
           round(sum(col("contrib")).cast("double"), 6).as("chi2"))
     }),
+
+    // Chi-square p-value — stat_chi2 plus the upper tail via the
+    // Wilson–Hilferty cube-root normalization onto the pinned normal
+    // grid (any dof, no per-dof tables; PValueGrids documents the
+    // libm-absorbing index rounding). Composes the registered base op.
+    "stat_chi2_pvalue" -> ((s, dir) =>
+      queries("stat_chi2")(s, dir)
+        .withColumn("p_value",
+          round(PValueGrids.chi2Upper(col("chi2"), col("dof")), 6))),
 
     // Cramér's V — the EFFECT SIZE for categorical association, next to
     // stat_chi2's significance statistic (the χ²-vs-V pairing mirrors
@@ -2620,6 +2641,14 @@ object AnalyticsOps {
         (nA * nB - ua).as("u_b"),
         round((ua - nA * nB / 2.0) / sigma, 6).as("z_stat"))
     }),
+
+    // Mann–Whitney p-value — two-sided tail of the tie-corrected normal
+    // approximation's z (the base op's oracle-matched z_stat) via the
+    // pinned normal grid. Composes the registered base op.
+    "stat_mannwhitney_pvalue" -> ((s, dir) =>
+      queries("stat_mannwhitney")(s, dir)
+        .withColumn("p_value",
+          round(PValueGrids.pTwoSided(col("z_stat")), 6))),
 
     // Two-sample Cramér–von Mises on the same BUILDING/MACHINERY balances
     // — mannwhitney's OMNIBUS sibling: U compares the entire empirical
@@ -3427,6 +3456,21 @@ object AnalyticsOps {
             .as("ks_stat"))
     }),
 
+    // Two-sample KS p-value — the asymptotic Kolmogorov tail at the
+    // finite-sample-corrected argument λ = (√nₑ + 0.12 + 0.11/√nₑ)·D
+    // (nₑ = n₁n₂/(n₁+n₂); sqrt is IEEE-exact, so λ is bit-identical on
+    // both engines given the oracle-matched D), looked up on the pinned
+    // Q_K grid. Composes the registered base op.
+    "stat_ks_pvalue" -> ((s, dir) =>
+      queries("stat_ks_test")(s, dir)
+        .withColumn("ne", col("n1").cast("double") * col("n2") /
+          (col("n1") + col("n2")))
+        .withColumn("ks_lambda", round(
+          (sqrt(col("ne")) + lit(0.12) + lit(0.11) / sqrt(col("ne"))) *
+            col("d_stat"), 6))
+        .select(col("n1"), col("n2"), col("d_stat"), col("ks_lambda"),
+          round(PValueGrids.ksUpper(col("ks_lambda")), 6).as("p_value"))),
+
     // Degree assortativity of the co-purchase graph — "do hubs link to
     // hubs?" (Newman 2002): Pearson correlation of the endpoint degrees
     // over the DIRECTED edge list (both orientations), the standard
@@ -4216,6 +4260,13 @@ object AnalyticsOps {
       m.select(col("k"), col("n"), round(h0 / corr, 6).as("h_stat"),
         (col("k") - 1).as("dof"))
     }),
+
+    // Kruskal–Wallis p-value — H is asymptotically χ²(k−1) under H₀;
+    // same Wilson–Hilferty + pinned-grid tail as stat_chi2_pvalue.
+    "stat_kruskal_pvalue" -> ((s, dir) =>
+      queries("stat_kruskal_wallis")(s, dir)
+        .withColumn("p_value",
+          round(PValueGrids.chi2Upper(col("h_stat"), col("dof")), 6))),
 
     // Empirical-Bayes (Beta-Binomial) rate shrinkage over the
     // (priority × year) cells — the ranking-safe rate estimator every
@@ -8744,5 +8795,39 @@ object AnalyticsOps {
           SELECT event_id, event_type, value,
                  CAST(count(1) AS INTEGER) AS n_detectors
           FROM u GROUP BY 1, 2, 3 HAVING count(1) >= 2
-          ORDER BY event_id""".replaceAll("\\s+", " ").trim)
+          ORDER BY event_id""".replaceAll("\\s+", " ").trim) +
+    // p-value tiers: each wraps its base oracle as a CTE and applies the
+    // SAME pinned-grid lookup (PValueGrids' canonical decimal strings —
+    // identical literals, identical parsed doubles on both engines)
+    ("stat_ttest_pvalue" ->
+      s"""WITH base AS (${oraclesMain("stat_ttest")})
+          SELECT seg_a, seg_b, na, nb, t_stat, df,
+                 round(${PValueGrids.pTwoSidedSql("t_stat")}, 6) AS p_value
+          FROM base ORDER BY seg_a, seg_b""".replaceAll("\\s+", " ").trim) +
+    ("stat_chi2_pvalue" ->
+      s"""WITH base AS (${oraclesMain("stat_chi2")})
+          SELECT n, dof, chi2,
+                 round(${PValueGrids.chi2UpperSql("chi2", "dof")}, 6) AS p_value
+          FROM base""".replaceAll("\\s+", " ").trim) +
+    ("stat_kruskal_pvalue" ->
+      s"""WITH base AS (${oraclesMain("stat_kruskal_wallis")})
+          SELECT k, n, h_stat, dof,
+                 round(${PValueGrids.chi2UpperSql("h_stat", "dof")}, 6) AS p_value
+          FROM base""".replaceAll("\\s+", " ").trim) +
+    ("stat_ks_pvalue" ->
+      s"""WITH base AS (${oraclesMain("stat_ks_test")}),
+          lam AS (
+            SELECT n1, n2, d_stat,
+                   round((sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)) + 0.12
+                          + 0.11 / sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)))
+                         * d_stat, 6) AS ks_lambda
+            FROM base)
+          SELECT n1, n2, d_stat, ks_lambda,
+                 round(${PValueGrids.ksUpperSql("ks_lambda")}, 6) AS p_value
+          FROM lam""".replaceAll("\\s+", " ").trim) +
+    ("stat_mannwhitney_pvalue" ->
+      s"""WITH base AS (${oraclesMain("stat_mannwhitney")})
+          SELECT n_a, n_b, u_a, u_b, z_stat,
+                 round(${PValueGrids.pTwoSidedSql("z_stat")}, 6) AS p_value
+          FROM base""".replaceAll("\\s+", " ").trim)
 }

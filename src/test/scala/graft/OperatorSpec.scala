@@ -6192,6 +6192,47 @@ class PropertySpec extends SparkSuite {
     assert(math.abs(r.getDouble(3) - (sy - beta * sx) / k) < 1e-4, "ln_k")
   }
 
+  test("p-value grid ops replay independent tail references within grid error") {
+    // independent references: Abramowitz–Stegun 7.1.26 erfc (|eps| <
+    // 1.5e-7) for the normal tail, the alternating Kolmogorov series for
+    // KS — neither shares code with PValueGrids' generation, so a
+    // transposed grid row or off-by-one index shows up here. Budget:
+    // 0.01 = grid step error (~0.0016 in p) + approximation slack.
+    def erfc(x: Double): Double = {
+      val t = 1.0 / (1.0 + 0.3275911 * math.abs(x))
+      val y = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 +
+        t * (-1.453152027 + t * 1.061405429)))) * math.exp(-x * x)
+      if (x >= 0) y else 2.0 - y
+    }
+    def qUp(z: Double) = 0.5 * erfc(z / math.sqrt(2.0))
+    def twoSided(z: Double) = math.min(1.0, 2 * qUp(math.abs(z)))
+    def whP(x: Double, k: Double) = {
+      val z = (math.cbrt(x / k) - (1 - 2 / (9 * k))) * math.sqrt(9 * k / 2)
+      if (z >= 0) qUp(z) else 1 - qUp(-z)
+    }
+    def kolm(lam: Double) = {
+      var s = 0.0
+      for (j <- 1 to 120) s += (if (j % 2 == 1) 1 else -1) * math.exp(-2.0 * j * j * lam * lam)
+      math.max(0.0, math.min(1.0, 2 * s))
+    }
+    // grid anchors
+    assert(graft.operators.PValueGrids.zUpper(0) === 0.5)
+    assert(math.abs(graft.operators.PValueGrids.zUpper(196) - 0.025) < 2e-4)
+    assert(math.abs(graft.operators.PValueGrids.ks(136) - 0.0495) < 1e-3)
+    q("stat_ttest_pvalue").collect().foreach { r =>
+      assert(math.abs(r.getDouble(6) - twoSided(r.getDouble(4))) < 0.01,
+        s"ttest p at ${r.getString(0)}/${r.getString(1)}") }
+    val mw = q("stat_mannwhitney_pvalue").collect()(0)
+    assert(math.abs(mw.getDouble(5) - twoSided(mw.getDouble(4))) < 0.01, "MW p")
+    val c2 = q("stat_chi2_pvalue").collect()(0)
+    assert(math.abs(c2.getDouble(3) - whP(c2.getDouble(2), c2.getLong(1).toDouble)) < 0.01, "chi2 p")
+    val kw = q("stat_kruskal_pvalue").collect()(0)
+    assert(math.abs(kw.getDouble(4) - whP(kw.getDouble(2), kw.getLong(3).toDouble)) < 0.01, "KW p")
+    val ks = q("stat_ks_pvalue").collect()(0)
+    if (ks.getDouble(3) > 0.3)
+      assert(math.abs(ks.getDouble(4) - kolm(ks.getDouble(3))) < 0.01, "KS p")
+  }
+
   test("binned AUC tiers track their exact references within the grid-error band") {
     // the binned tiers exist because the exact ranks are the one
     // fact-sized sort in the eval family; they are only worth shipping

@@ -719,6 +719,9 @@ class PlanSpec extends SparkSuite {
       "vec_filtered_search" -> "crossJoin against the broadcast 1-row query-vector frame (vec_cosine_topk's shape)",
       "vec_ivf_balance" -> "crossJoin against the broadcast |labels|-row centroid frame (vec_ivf_ann's shape)",
       "stat_mood_median" -> "crossJoin against the broadcast 1-row grand-median frame",
+      "stat_ttest_pvalue" -> "inherits stat_ttest's whitelisted <=25-pair theta self-join (query composition)",
+      "stat_chi2_pvalue" -> "inherits stat_chi2's whitelisted 1-row grand-total crossJoin (query composition)",
+      "stat_kruskal_pvalue" -> "inherits stat_kruskal_wallis' whitelisted 1-row tie-count crossJoin (query composition)",
       "ts_rolling_distinct" -> "crossJoins against the broadcast 1-row calendar-bounds frame (pre-explode clip + window_days)",
       "stat_cohens_h" -> "theta self-join of a broadcast 5-row segment-count frame (<=25 pairs, stat_proportions_ztest's shape)",
       "profile_skew_report" -> "per-key summary and bucket-max compose via broadcast 1-row crossJoins (three keys)")
@@ -843,8 +846,11 @@ class PlanSpec extends SparkSuite {
       "stat_cvm" -> "pooled distinct-value grain (decimal-gridded domain)",
       "stat_jonckheere" -> "distinct-value grain (decimal-gridded domain)",
       "stat_kruskal_wallis" -> "distinct-value grain (tie table over gridded domain)",
+      "stat_kruskal_pvalue" -> "inherits stat_kruskal_wallis' distinct-value grain (query composition)",
       "stat_ks_test" -> "fixed score-bucket grid",
+      "stat_ks_pvalue" -> "inherits stat_ks_test's fixed score-bucket grid (query composition)",
       "stat_mannwhitney" -> "distinct-value grain (decimal-gridded domain)",
+      "stat_mannwhitney_pvalue" -> "inherits stat_mannwhitney's distinct-value grain (query composition)",
       "stat_mood_median" -> "group-summary grain: |segments| <= 5 rows",
       "stat_wilcoxon_signed" -> "distinct |diff|-value grain (gridded domain)",
       "text_docfreq" -> "vocabulary grain (language-bounded)",
