@@ -2650,6 +2650,93 @@ object AnalyticsOps {
         .withColumn("p_value",
           round(PValueGrids.pTwoSided(col("z_stat")), 6))),
 
+    // ---- p-value tier, extended family -----------------------------
+    // Every op below is a pure composition: the registered base op's
+    // oracle-matched statistic through one of the two pinned grids
+    // (PValueGrids — normal tail for z statistics, Wilson–Hilferty +
+    // normal for chi-square of any dof, the exact χ²₁ = z² identity for
+    // dof-1). One PropertySpec replay covers the whole family against
+    // independent tail references.
+    "stat_wilcoxon_pvalue" -> ((s, dir) =>
+      queries("stat_wilcoxon_signed")(s, dir)
+        .withColumn("p_value", round(PValueGrids.pTwoSided(col("z_stat")), 6))),
+    "stat_proportions_pvalue" -> ((s, dir) =>
+      queries("stat_proportions_ztest")(s, dir)
+        .withColumn("p_value", round(PValueGrids.pTwoSided(col("z")), 6))
+        .orderBy(col("seg_a"), col("seg_b"))),
+    "stat_poisson_pvalue" -> ((s, dir) =>
+      queries("stat_poisson_ztest")(s, dir)
+        .withColumn("p_value", round(PValueGrids.pTwoSided(col("z")), 6))
+        .orderBy(col("et_a"), col("et_b"))),
+    "stat_runs_pvalue" -> ((s, dir) =>
+      queries("stat_runs_test")(s, dir)
+        .withColumn("p_value", round(PValueGrids.pTwoSided(col("z")), 6))
+        .orderBy(col("event_type"))),
+    "stat_jonckheere_pvalue" -> ((s, dir) =>
+      queries("stat_jonckheere")(s, dir)
+        .withColumn("p_value", round(PValueGrids.pTwoSided(col("z_stat")), 6))),
+    "stat_sign_pvalue" -> ((s, dir) =>
+      queries("stat_sign_test")(s, dir)
+        .withColumn("p_value", round(PValueGrids.pTwoSided(col("z_stat")), 6))),
+    // dof-1 chi-square is EXACTLY z²: p = 2·Q(√x) — no WH approximation
+    "stat_mcnemar_pvalue" -> ((s, dir) =>
+      queries("stat_mcnemar")(s, dir)
+        .withColumn("p_value",
+          round(PValueGrids.pTwoSided(sqrt(col("mcnemar_chi2"))), 6))),
+    "stat_jarque_bera_pvalue" -> ((s, dir) =>
+      queries("stat_jarque_bera")(s, dir)
+        .withColumn("p_value",
+          round(PValueGrids.chi2Upper(col("jb_stat"), col("dof")), 6))
+        .orderBy(col("event_type"))),
+    "ts_ljungbox_pvalue" -> ((s, dir) =>
+      queries("ts_ljungbox")(s, dir)
+        .withColumn("p_value",
+          round(PValueGrids.chi2Upper(col("q_stat"), col("dof")), 6))
+        .orderBy(col("event_type"))),
+    "stat_cochran_pvalue" -> ((s, dir) =>
+      queries("stat_cochran_q")(s, dir)
+        .withColumn("p_value",
+          round(PValueGrids.chi2Upper(col("q_stat"), col("dof")), 6))),
+    "stat_friedman_pvalue" -> ((s, dir) =>
+      queries("stat_friedman")(s, dir)
+        .withColumn("p_value",
+          round(PValueGrids.chi2Upper(col("chi2_stat"), col("dof")), 6))),
+    "stat_bartlett_pvalue" -> ((s, dir) =>
+      queries("stat_bartlett")(s, dir)
+        .withColumn("p_value",
+          round(PValueGrids.chi2Upper(col("chi2_stat"), col("dof")), 6))),
+    "stat_mood_pvalue" -> ((s, dir) =>
+      queries("stat_mood_median")(s, dir)
+        .withColumn("p_value",
+          round(PValueGrids.chi2Upper(col("chi2"), col("dof")), 6))),
+    "stat_dow_pvalue" -> ((s, dir) =>
+      queries("stat_dow_uniformity")(s, dir)
+        .withColumn("p_value",
+          round(PValueGrids.chi2Upper(col("chi2_stat"), col("dof")), 6))
+        .orderBy(col("event_type"))),
+    // F(k1, k2) with k2 in the tens of thousands: k1·F → χ²(k1) (the
+    // large-denominator limit, error O(1/k2)) — NAMED approximation,
+    // same WH + grid tail
+    "stat_anova_pvalue" -> ((s, dir) =>
+      queries("stat_anova")(s, dir)
+        .withColumn("p_value",
+          round(PValueGrids.chi2Upper(
+            col("f_stat") * col("df_between"), col("df_between")), 6))),
+    // large-n normal: ρ√(n−1) ~ N(0,1) under H₀ (n is day/fact-grain
+    // thousands here; sqrt is IEEE-exact on the oracle-matched inputs)
+    "stat_spearman_pvalue" -> ((s, dir) =>
+      queries("stat_spearman")(s, dir)
+        .withColumn("p_value",
+          round(PValueGrids.pTwoSided(col("rho") * sqrt(col("n") - 1)), 6))
+        .orderBy(col("rf"))),
+    // Kendall normal approximation: z = 3τ√(n(n−1)) / √(2(2n+5))
+    "stat_kendall_pvalue" -> ((s, dir) =>
+      queries("stat_kendall")(s, dir)
+        .withColumn("p_value", round(PValueGrids.pTwoSided(
+          lit(3.0) * col("tau_b") *
+            sqrt(col("n_days").cast("double") * (col("n_days") - 1)) /
+            sqrt(lit(2.0) * (lit(2.0) * col("n_days") + 5))), 6))),
+
     // Two-sample Cramér–von Mises on the same BUILDING/MACHINERY balances
     // — mannwhitney's OMNIBUS sibling: U compares the entire empirical
     // CDFs (Anderson's T = U/(Nnm) − (4nm−1)/(6N), U = nΣ(rᵢ−i)² +
@@ -8829,5 +8916,43 @@ object AnalyticsOps {
       s"""WITH base AS (${oraclesMain("stat_mannwhitney")})
           SELECT n_a, n_b, u_a, u_b, z_stat,
                  round(${PValueGrids.pTwoSidedSql("z_stat")}, 6) AS p_value
-          FROM base""".replaceAll("\\s+", " ").trim)
+          FROM base""".replaceAll("\\s+", " ").trim) ++
+    // extended p-value family: SELECT * keeps the base schema, the grid
+    // lookup appends p_value; ordered outputs re-assert the base ORDER BY
+    {
+      def z(base: String, zCol: String, order: String = ""): String =
+        s"""WITH base AS (${oraclesMain(base)})
+            SELECT *, round(${PValueGrids.pTwoSidedSql(zCol)}, 6) AS p_value
+            FROM base $order""".replaceAll("\\s+", " ").trim
+      def c2(base: String, xCol: String, kCol: String, order: String = ""): String =
+        s"""WITH base AS (${oraclesMain(base)})
+            SELECT *, round(${PValueGrids.chi2UpperSql(xCol, kCol)}, 6) AS p_value
+            FROM base $order""".replaceAll("\\s+", " ").trim
+      Map(
+        "stat_wilcoxon_pvalue" -> z("stat_wilcoxon_signed", "z_stat"),
+        "stat_proportions_pvalue" ->
+          z("stat_proportions_ztest", "z", "ORDER BY seg_a, seg_b"),
+        "stat_poisson_pvalue" ->
+          z("stat_poisson_ztest", "z", "ORDER BY et_a, et_b"),
+        "stat_runs_pvalue" -> z("stat_runs_test", "z", "ORDER BY event_type"),
+        "stat_jonckheere_pvalue" -> z("stat_jonckheere", "z_stat"),
+        "stat_sign_pvalue" -> z("stat_sign_test", "z_stat"),
+        "stat_mcnemar_pvalue" -> z("stat_mcnemar", "sqrt(mcnemar_chi2)"),
+        "stat_jarque_bera_pvalue" ->
+          c2("stat_jarque_bera", "jb_stat", "dof", "ORDER BY event_type"),
+        "ts_ljungbox_pvalue" ->
+          c2("ts_ljungbox", "q_stat", "dof", "ORDER BY event_type"),
+        "stat_cochran_pvalue" -> c2("stat_cochran_q", "q_stat", "dof"),
+        "stat_friedman_pvalue" -> c2("stat_friedman", "chi2_stat", "dof"),
+        "stat_bartlett_pvalue" -> c2("stat_bartlett", "chi2_stat", "dof"),
+        "stat_mood_pvalue" -> c2("stat_mood_median", "chi2", "dof"),
+        "stat_dow_pvalue" ->
+          c2("stat_dow_uniformity", "chi2_stat", "dof", "ORDER BY event_type"),
+        "stat_anova_pvalue" ->
+          c2("stat_anova", "f_stat * df_between", "df_between"),
+        "stat_spearman_pvalue" ->
+          z("stat_spearman", "rho * sqrt(n - 1)", "ORDER BY rf"),
+        "stat_kendall_pvalue" -> z("stat_kendall",
+          "3.0 * tau_b * sqrt(CAST(n_days AS DOUBLE) * (n_days - 1)) / sqrt(2.0 * (2 * n_days + 5))"))
+    }
 }

@@ -6231,6 +6231,21 @@ class PropertySpec extends SparkSuite {
     val ks = q("stat_ks_pvalue").collect()(0)
     if (ks.getDouble(3) > 0.3)
       assert(math.abs(ks.getDouble(4) - kolm(ks.getDouble(3))) < 0.01, "KS p")
+    // extended family spot checks — one per lookup/transform variant
+    val wil = q("stat_wilcoxon_pvalue").collect()(0)
+    assert(math.abs(wil.getDouble(3) - twoSided(wil.getDouble(2))) < 0.01, "wilcoxon p")
+    val mc = q("stat_mcnemar_pvalue").collect()(0) // exact dof-1 identity
+    assert(math.abs(mc.getDouble(7) - twoSided(math.sqrt(mc.getDouble(5)))) < 0.01, "mcnemar p")
+    val av = q("stat_anova_pvalue").collect()(0) // k1·F → chi2(k1) limit
+    assert(math.abs(av.getDouble(6) -
+      whP(av.getDouble(4) * av.getLong(2), av.getLong(2).toDouble)) < 0.01, "anova p")
+    q("stat_jarque_bera_pvalue").collect().foreach(r =>
+      assert(math.abs(r.getDouble(6) - whP(r.getDouble(4), r.getInt(5).toDouble)) < 0.01,
+        s"jb p at ${r.getString(0)}"))
+    q("stat_spearman_pvalue").collect().foreach(r =>
+      assert(math.abs(r.getDouble(3) -
+        twoSided(r.getDouble(2) * math.sqrt((r.getLong(1) - 1).toDouble))) < 0.01,
+        s"spearman p at ${r.getString(0)}"))
   }
 
   test("binned AUC tiers track their exact references within the grid-error band") {

@@ -720,6 +720,11 @@ class PlanSpec extends SparkSuite {
       "vec_ivf_balance" -> "crossJoin against the broadcast |labels|-row centroid frame (vec_ivf_ann's shape)",
       "stat_mood_median" -> "crossJoin against the broadcast 1-row grand-median frame",
       "stat_ttest_pvalue" -> "inherits stat_ttest's whitelisted <=25-pair theta self-join (query composition)",
+      "stat_proportions_pvalue" -> "inherits stat_proportions_ztest's whitelisted <=25-pair theta self-join (query composition)",
+      "stat_poisson_pvalue" -> "inherits stat_poisson_ztest's whitelisted <=25-pair theta self-join (query composition)",
+      "stat_friedman_pvalue" -> "inherits stat_friedman's whitelisted 1-row sum-of-squared-ranks crossJoin (query composition)",
+      "stat_kendall_pvalue" -> "inherits stat_kendall's whitelisted 1-row pair-classification crossJoins (query composition)",
+      "stat_mood_pvalue" -> "inherits stat_mood_median's whitelisted 1-row grand-median crossJoin (query composition)",
       "stat_chi2_pvalue" -> "inherits stat_chi2's whitelisted 1-row grand-total crossJoin (query composition)",
       "stat_kruskal_pvalue" -> "inherits stat_kruskal_wallis' whitelisted 1-row tie-count crossJoin (query composition)",
       "ts_rolling_distinct" -> "crossJoins against the broadcast 1-row calendar-bounds frame (pre-explode clip + window_days)",
@@ -845,6 +850,9 @@ class PlanSpec extends SparkSuite {
       "stat_bootstrap_ci" -> "replicate grain: 64 bootstrap resamples",
       "stat_cvm" -> "pooled distinct-value grain (decimal-gridded domain)",
       "stat_jonckheere" -> "distinct-value grain (decimal-gridded domain)",
+      "stat_jonckheere_pvalue" -> "inherits stat_jonckheere's distinct-value grain (query composition)",
+      "stat_mood_pvalue" -> "inherits stat_mood_median's group-summary grain (query composition)",
+      "stat_wilcoxon_pvalue" -> "inherits stat_wilcoxon_signed's distinct |diff|-value grain (query composition)",
       "stat_kruskal_wallis" -> "distinct-value grain (tie table over gridded domain)",
       "stat_kruskal_pvalue" -> "inherits stat_kruskal_wallis' distinct-value grain (query composition)",
       "stat_ks_test" -> "fixed score-bucket grid",
