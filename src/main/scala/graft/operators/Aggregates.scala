@@ -131,6 +131,119 @@ object Aggregates {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // TPC-H Q6 — the forecast-revenue-change scan: ONE pass over
+    // lineitem, zero joins, the whole predicate trio pushed to the
+    // parquet scan (PushedFilters carries shipdate + discount + quantity;
+    // at 100 TB this is the purest min-max row-group pruning exhibit in
+    // the suite). Discounts land on an exact 0.01 grid in the generator,
+    // so the BETWEEN bounds compare the same doubles on both engines.
+    "q6_forecast_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))),
+
+    // TPC-H Q7 — volume shipping between two trading nations: the
+    // 2-row filtered nation dims broadcast and prune supplier/customer
+    // BEFORE the fact joins (each side keeps ~2/25 of its rows), the
+    // cross-pair filter keeps the two asymmetric directions, and the
+    // year rollup is a 2×2×|years| result. Fact shuffles only on its
+    // join keys — no nation-grain exchange anywhere.
+    "q7_volume_shipping" -> ((s, dir) => {
+      val two = Seq("NATION_1", "NATION_2")
+      val n1 = t(s, dir, "nation").filter(col("n_name").isin(two: _*))
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").filter(col("n_name").isin(two: _*))
+        .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      l.join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("snk"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("cnk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // TPC-H Q8 — national market share: NATION_1's slice of AMERICA's
+    // ECONOMY-part order volume per year. The part filter rides a plain
+    // dimension join (part SCALES with SF — never force-broadcast it);
+    // nation/region dims broadcast. Share = ratio of two exact decimal
+    // sums, one double division at the end (the dsum discipline).
+    "q8_market_share" -> ((s, dir) => {
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val p = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val nS = t(s, dir, "nation")
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      t(s, dir, "lineitem")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+            .filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nS), col("s_nationkey") === col("snk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(dec(when(col("supp_nation") === "NATION_1", rev).otherwise(0)))
+            .cast("double") /
+            sum(dec(rev)).cast("double"), 6).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // TPC-H Q10 — returned-item reporting: which customers returned the
+    // most revenue in a quarter (the churn-risk / fraud triage list).
+    // Quarter-filtered orders join the R-flagged lineitem slice (both
+    // predicates pushed to their scans), customer+nation attach, top-20
+    // by exact-rounded revenue lowers to TakeOrderedAndProject.
+    "q10_returned_items" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      t(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q14 — promotion effect: PROMO parts' share of a month's
+    // discounted revenue. One month of lineitem (scan-pruned) joins the
+    // part dim (plain join — part scales with SF); the share is a ratio
+    // of two exact decimal sums, one double division (q8's discipline).
+    "q14_promo_effect" -> ((s, dir) => {
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(dec(when(col("p_type") === "PROMO", rev).otherwise(0)))
+            .cast("double") /
+          sum(dec(rev)).cast("double"), 6).as("promo_revenue"))
+    }),
+
     // HAVING-gated aggregation (TPC-H Q18 shape): orders whose total
     // quantity exceeds a threshold.
     "agg_having" -> ((s, dir) => {
@@ -729,6 +842,70 @@ object Aggregates {
            AND o_orderdate >= TIMESTAMP '1996-01-01'
            AND o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q6_forecast_revenue" ->
+      s"""SELECT ${decSum6("l_extendedprice * l_discount")} AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24""",
+    "q7_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS INT) AS l_year,
+                ${decSum6("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND n1.n_name IN ('NATION_1', 'NATION_2')
+           AND n2.n_name IN ('NATION_1', 'NATION_2')
+           AND n1.n_name <> n2.n_name
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                round(CAST(sum(CASE WHEN ns.n_name = 'NATION_1'
+                        THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+                        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                      / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                          AS DECIMAL(18,6))) AS DOUBLE), 6) AS mkt_share
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation nc ON c_nationkey = nc.n_nationkey
+         JOIN region ON nc.n_regionkey = r_regionkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ns ON s_nationkey = ns.n_nationkey
+         WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1 ORDER BY 1""",
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+                ${decSum6("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-04-01'
+           AND l_returnflag = 'R'
+         GROUP BY 1, 2, 3, 4 ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q14_promo_effect" ->
+      """SELECT round(100.0 *
+                CAST(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+                    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                    AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_revenue
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+           AND l_shipdate < TIMESTAMP '1996-10-01'""",
     "agg_histogram" ->
       s"""SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
          count(1) AS n, ${decSum6("l_quantity")} AS sum_qty
