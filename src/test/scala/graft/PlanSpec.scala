@@ -805,6 +805,27 @@ class PlanSpec extends SparkSuite {
       s"re-executed scan subtrees (persist the shared frame or justify in the whitelist): ${offenders.mkString(", ")}")
   }
 
+  test("TPC-H batch keeps its claimed shapes: q6 scan-pushed, q10 bounded top-k, q7 no nation-grain shuffle") {
+    // q6: all three predicates reach the parquet scan — a q6 that
+    // filters post-scan reads the whole fact at 100 TB
+    val p6 = q("q6_forecast_revenue").queryExecution.executedPlan.toString
+    assert(p6.contains("PushedFilters:"), p6.take(1500))
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p6).isDefined, p6.take(2000))
+    assert("PushedFilters: \\[[^\\]]*l_discount".r.findFirstIn(p6).isDefined, p6.take(2000))
+    // q10: LIMIT 20 over the revenue order lowers to TakeOrderedAndProject
+    val p10 = q("q10_returned_items").queryExecution.executedPlan.toString
+    assert(p10.contains("TakeOrderedAndProject"), p10.take(2000))
+    // q7: nation dims join via BROADCAST (no exchange keyed on the dim
+    // join keys snk/cnk), and the rollup's nation-keyed exchange sits
+    // above a partial_sum HashAggregate — map-side combined, so only the
+    // 2×2×years result crosses the wire
+    val p7 = q("q7_volume_shipping").queryExecution.executedPlan.toString
+    assert(!"Exchange hashpartitioning\\((?:snk|cnk)#".r.findFirstIn(p7).isDefined,
+      p7.take(2500))
+    assert(p7.contains("BroadcastHashJoin"), p7.take(2000))
+    assert(p7.contains("partial_sum"), p7.take(2000))
+  }
+
   test("RoundPin: spark.graft.checkpointDir switches pins to reliable checkpoints, same result") {
     // the cluster-grade fault-tolerance option the pagerank family
     // documented since r9: localCheckpoint blocks die with an executor
