@@ -95,8 +95,23 @@ private[graft] object Components {
                     broadcastMaxEdges: Long = BroadcastMaxEdges): DataFrame = {
     val s = org.apache.spark.sql.graftbridge.Bridge.cloneSession(outer)
     s.conf.set("spark.sql.adaptive.enabled", "false")
-    def pin(df: DataFrame): DataFrame =
-      s.createDataFrame(df.rdd.cache(), df.schema)
+    // RoundPin's reliable-checkpoint conf applies to this fixpoint too:
+    // with spark.graft.checkpointDir set, each round's cached RDD also
+    // checkpoints reliably (cache serves the round's reads, the
+    // checkpoint survives executor loss — the cache+checkpoint combo, so
+    // the checkpoint write reads the cache instead of recomputing). The
+    // per-round action below materializes both.
+    val reliableDir = s.conf.getOption("spark.graft.checkpointDir")
+      .filter(_.nonEmpty)
+    reliableDir.foreach { dir =>
+      if (s.sparkContext.getCheckpointDir.isEmpty)
+        s.sparkContext.setCheckpointDir(dir)
+    }
+    def pin(df: DataFrame): DataFrame = {
+      val r = df.rdd.cache()
+      if (reliableDir.isDefined) r.checkpoint()
+      s.createDataFrame(r, df.schema)
+    }
     val p = pin(pairs.select(col("d1"), col("d2")))
     // the count doubles as the cache-materializing action the loop needs
     // anyway; parallelism + broadcast strategy derive from it (see object
