@@ -529,6 +529,26 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet-style perplexity binning — head/middle/tail tertiles of the
+    // per-doc unigram perplexity (lowest ppl = head = closest to the
+    // reference LM; the quality split CCNet trains its per-bucket
+    // samplers on). Composes text_unigram_ppl; the doc grain SCALES with
+    // the corpus, so the tertile rank runs through DistRank's two-phase
+    // shape + the SQL-standard ntile formula — no single-partition
+    // window on the doc frame. Bucket rollup is 3 rows.
+    "text_ppl_buckets" -> ((s, dir) => {
+      val base = queries("text_unigram_ppl")(s, dir)
+      DistRank.withRank(base, Seq(col("ppl"), col("doc_id")), "rn", Some("nn"))
+        .withColumn("b", DistRank.ntileOf(col("rn"), col("nn"), 3))
+        .withColumn("bucket", when(col("b") === 1, "head")
+          .when(col("b") === 2, "middle").otherwise("tail"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          round(sum(dec(col("ppl"))).cast("double") / count(lit(1)), 6)
+            .as("mean_ppl"))
+        .orderBy(col("bucket"))
+    }),
+
     // PII scrubbing (training-data hygiene): redact emails and phone-like
     // digit runs. Deterministic synthetic PII is appended per doc so the
     // scrubber provably fires at every row; a real pipeline applies the
@@ -1539,6 +1559,18 @@ object TextOps {
         FROM r${k - 1} r JOIN edges e ON e.src = r.v JOIN deg d ON d.src = r.v, nn
         GROUP BY e.dst)"""
 
+  /** Shared base SQL: per-doc unigram perplexity — the text_unigram_ppl
+    * oracle, reused as a CTE by text_ppl_buckets' composition oracle. */
+  private val unigramPplSql =
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+       n AS (SELECT CAST(count(1) AS DOUBLE) AS n_total FROM tok),
+       freq AS (SELECT token AS f_token, count(1) AS tf FROM tok GROUP BY 1)
+       SELECT doc_id, count(1) AS n_tokens,
+         round(exp(-(CAST(sum(CAST(ln(tf / n_total) AS DECIMAL(18,6))) AS DOUBLE)) / count(1)), 6) AS ppl
+       FROM tok JOIN freq ON token = f_token CROSS JOIN n
+       GROUP BY doc_id ORDER BY doc_id"""
+
   val oracles: Map[String, String] = Map(
     "text_textrank" ->
       s"""WITH toks AS (
@@ -1752,15 +1784,19 @@ object TextOps {
                ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) DESC, tf.token) AS rnk
            FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n)
          WHERE rnk <= 3 ORDER BY doc_id, rnk""",
-    "text_unigram_ppl" ->
-      """WITH tok AS (
-           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
-         n AS (SELECT CAST(count(1) AS DOUBLE) AS n_total FROM tok),
-         freq AS (SELECT token AS f_token, count(1) AS tf FROM tok GROUP BY 1)
-         SELECT doc_id, count(1) AS n_tokens,
-           round(exp(-(CAST(sum(CAST(ln(tf / n_total) AS DECIMAL(18,6))) AS DOUBLE)) / count(1)), 6) AS ppl
-         FROM tok JOIN freq ON token = f_token CROSS JOIN n
-         GROUP BY doc_id ORDER BY doc_id""",
+    "text_unigram_ppl" -> unigramPplSql,
+    "text_ppl_buckets" ->
+      s"""WITH base AS ($unigramPplSql),
+         rk AS (
+           SELECT doc_id, n_tokens, ppl,
+                  ntile(3) OVER (ORDER BY ppl, doc_id) AS b
+           FROM base)
+         SELECT CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                       ELSE 'tail' END AS bucket,
+                count(1) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                round(CAST(sum(CAST(ppl AS DECIMAL(18,6))) AS DOUBLE)
+                      / count(1), 6) AS mean_ppl
+         FROM rk GROUP BY 1 ORDER BY 1""",
     "text_pii_scrub" ->
       """SELECT doc_id,
          len(regexp_extract_all(dirty, '[a-z0-9._]+@[a-z0-9.-]+')) AS n_emails,

@@ -609,6 +609,26 @@ object VectorOps {
       lshRangePairs(embStore(s, dir))
         .orderBy(col("v1"), col("v2"))),
 
+    // Near-dup threshold calibration sweep — the curve every dedup
+    // pipeline reads before committing a cosine cut: pairs surviving and
+    // docs dropped (keep-lowest-id rule: distinct v2) at each candidate
+    // threshold. ONE LSH candidate pass (pinned — four thresholds read
+    // it), a 4× explode on the PAIR grain (≪ corpus), conditional
+    // aggregation so empty thresholds still emit a row. At 100 TB the
+    // pair frame is the LSH-bounded candidate set, never all-pairs.
+    "vec_dedup_threshold_sweep" -> ((s, dir) => {
+      val pairs = lshRangePairs(embStore(s, dir)).transform(RoundPin.pin)
+      pairs
+        .withColumn("threshold",
+          explode(typedlit(Seq(0.80, 0.85, 0.90, 0.95))))
+        .groupBy(col("threshold"))
+        .agg(
+          count(when(col("sim") >= col("threshold"), 1)).as("n_pairs"),
+          countDistinct(when(col("sim") >= col("threshold"), col("v2")))
+            .as("n_docs_dropped"))
+        .orderBy(col("threshold"))
+    }),
+
     // semantic near-dup CLUSTERING — the policy layer on top of range
     // search: LSH-cosine pairs become an undirected graph, HashMin label
     // propagation (operators/Components, shared with dedup_cluster's
@@ -1615,6 +1635,17 @@ object VectorOps {
     "vec_range_search" ->
       s"""WITH $lshRangePairsSql
          SELECT d1 AS v1, d2 AS v2, sim FROM rpairs ORDER BY v1, v2""",
+    "vec_dedup_threshold_sweep" ->
+      s"""WITH $lshRangePairsSql,
+         th AS (SELECT unnest([CAST(0.80 AS DOUBLE), CAST(0.85 AS DOUBLE),
+                               CAST(0.90 AS DOUBLE), CAST(0.95 AS DOUBLE)])
+                  AS threshold),
+         x AS (SELECT t.threshold, r.d2, r.sim FROM th t CROSS JOIN rpairs r)
+         SELECT threshold,
+                count(CASE WHEN sim >= threshold THEN 1 END) AS n_pairs,
+                count(DISTINCT CASE WHEN sim >= threshold THEN d2 END)
+                  AS n_docs_dropped
+         FROM x GROUP BY 1 ORDER BY 1""",
     // the same deterministic construction the Spark side runs: LSH-seeded
     // init top-4, then ONE NN-Descent re-rank over N ∪ N∘N ∪ Nᵀ
     "vec_knn_graph" ->
