@@ -166,6 +166,28 @@ object Streams {
   }
 
   val queries: Map[String, QFn] = Map(
+    // Streaming heavy hitters — per hourly window, the top-3 event types
+    // by count (the leaderboard every streaming dashboard shows). The
+    // STREAM side is the plain tumbling count through the complete-mode
+    // memory sink; the top-k is a batch rank over the materialized
+    // WINDOW-grain frame (|windows|·|types| rows — the rank window is
+    // partitioned by window start, never global, never the fact).
+    "stream_topk" -> ((s, dir) => {
+      val hourly = runToTable(s, s2 => eventsStream(s2, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n")),
+        "mem_topk", "complete")
+        .select(unix_timestamp(col("window.start")).as("w_start_s"),
+          col("event_type"), col("n"))
+      hourly.withColumn("rk", row_number().over(
+          Window.partitionBy(col("w_start_s"))
+            .orderBy(col("n").desc, col("event_type"))))
+        .filter(col("rk") <= 3)
+        .select(col("w_start_s"), col("rk").cast("int").as("rk"),
+          col("event_type"), col("n"))
+        .orderBy(col("w_start_s"), col("rk"))
+    }),
+
     "stream_tumbling" -> ((s, dir) => {
       runToTable(s, s2 => eventsStream(s2, dir)
         .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
@@ -402,6 +424,18 @@ object Streams {
          FROM events))"""
 
   val oracles: Map[String, String] = Map(
+    "stream_topk" ->
+      """WITH hourly AS (
+           SELECT (epoch_us(ts) // 3600000000) * 3600 AS w_start_s,
+                  event_type, count(1) AS n
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT w_start_s, event_type, n,
+                  row_number() OVER (PARTITION BY w_start_s
+                    ORDER BY n DESC, event_type) AS rk
+           FROM hourly)
+         SELECT w_start_s, CAST(rk AS INT) AS rk, event_type, n
+         FROM r WHERE rk <= 3 ORDER BY w_start_s, rk""",
     "stream_tumbling" ->
       """SELECT (epoch_us(ts) // 300000000) * 300 AS w_start_s, event_type,
          count(1) AS n,

@@ -161,6 +161,21 @@ class StreamingSpec extends SparkSuite {
     } finally q0.stop()
   }
 
+  test("stream_topk: per-window ranks are dense 1..k<=3 with non-increasing counts") {
+    val rows = q("stream_topk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (w, g) =>
+      val s = g.sortBy(_._2)
+      assert(s.map(_._2).toSeq == (1 to s.length), s"ranks not dense in window $w")
+      assert(s.length <= 3, s"more than 3 rows in window $w")
+      s.toSeq.sliding(2).foreach {
+        case Seq((_, _, n1), (_, _, n2)) => assert(n1 >= n2, s"counts not sorted in $w")
+        case _ =>
+      }
+    }
+  }
+
   test("stream_distinct_users: fixture disorder stays under the 10-minute watermark") {
     // the exact-batch oracle only holds while every event arrives before
     // its window's dedup state expires; the file source delivers rows in
