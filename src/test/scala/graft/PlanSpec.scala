@@ -854,17 +854,30 @@ class PlanSpec extends SparkSuite {
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("d1", "d2")
     val base = graft.operators.Components.hashMinLabels(spark, pairs)
       .collect().map(_.toString).sorted
+    // the context checkpoint dir is set ONCE per JVM (RoundPin's
+    // documented behavior) — if an earlier test already set it, the conf
+    // dir passed here is ignored, so count rdd-* entries under the
+    // EFFECTIVE dir before vs after instead of expecting a fresh dir
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_cc").toString
+    def countRdd(root: String): Long = {
+      // getCheckpointDir returns a file: URI, conf values a bare path
+      val p = if (root.startsWith("file:"))
+        java.nio.file.Paths.get(java.net.URI.create(root))
+      else java.nio.file.Paths.get(root)
+      val w = java.nio.file.Files.walk(p)
+      try w.filter(q => q.getFileName.toString.startsWith("rdd-")).count()
+      finally w.close()
+    }
     spark.conf.set("spark.graft.checkpointDir", dir)
     try {
+      val before = spark.sparkContext.getCheckpointDir.map(countRdd).getOrElse(0L)
       val rel = graft.operators.Components.hashMinLabels(spark, pairs)
         .collect().map(_.toString).sorted
       assert(rel === base, "reliable-checkpoint fixpoint diverged")
-      val walked = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-      val nRdd =
-        try walked.filter(p => p.getFileName.toString.startsWith("rdd-")).count()
-        finally walked.close()
-      assert(nRdd > 0, s"no reliable checkpoint data written under $dir")
+      val effective = spark.sparkContext.getCheckpointDir
+        .getOrElse(fail("no checkpoint dir active after reliable run"))
+      assert(countRdd(effective) > before,
+        s"no new reliable checkpoint data under $effective")
     } finally spark.conf.unset("spark.graft.checkpointDir")
   }
 
