@@ -3689,6 +3689,39 @@ object AnalyticsOps {
         .orderBy(col("grp"))
     }),
 
+    // Classifier operating curve — precision/recall/F1 at ten fixed
+    // score thresholds (the table a threshold-picking review reads,
+    // beside stat_auc_roc_binned's single-number ranking view): the fact
+    // collapses once to the $1000-bucket contingency grain, thresholds
+    // land EXACTLY on bucket boundaries (score ≥ $1000·t ⟺ bucket ≥ t —
+    // no boundary ambiguity), a 10× explode on the BUCKET grain feeds
+    // conditional integer sums, and the three ratios are single double
+    // divisions per threshold row. No window, no second fact pass.
+    "eval_threshold_curve" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        when(col("o_orderstatus") === "F", 1).otherwise(0).as("pos"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT) div 100000").as("bkt"))
+      val cells = o.groupBy(col("bkt")).agg(
+        count(when(col("pos") === 1, 1)).as("pb"),
+        count(when(col("pos") === 0, 1)).as("nb"))
+      cells
+        .withColumn("thr", explode(typedlit((1 to 10).map(_ * 50L))))
+        .groupBy(col("thr"))
+        .agg(
+          coalesce(sum(when(col("bkt") >= col("thr"), col("pb"))), lit(0L)).as("tp"),
+          coalesce(sum(when(col("bkt") >= col("thr"), col("nb"))), lit(0L)).as("fp"),
+          sum(col("pb")).as("npos"))
+        .select((col("thr") * 1000).as("threshold"),
+          col("tp"), col("fp"), (col("npos") - col("tp")).as("fn"),
+          round(col("tp").cast("double") /
+            nullif(col("tp") + col("fp"), lit(0L)), 6).as("precision"),
+          round(col("tp").cast("double") / col("npos"), 6).as("recall"),
+          round(lit(2.0) * col("tp") /
+            (lit(2) * col("tp") + col("fp") + col("npos") - col("tp")), 6)
+            .as("f1"))
+        .orderBy(col("threshold"))
+    }),
+
     // Binned average precision — eval_pr_auc's 100 TB tier on the same
     // fixed $1000 cents grid as stat_auc_roc_binned: the fact collapses
     // to (grp, bucket) pos/total counts in one map-side-combinable
