@@ -8017,6 +8017,30 @@ object AnalyticsOps {
                       / (CAST(sum(pb) AS DOUBLE) * 1000000.0), 6)
                   AS avg_precision_binned
          FROM c GROUP BY grp ORDER BY grp""",
+    "eval_threshold_curve" ->
+      """WITH o AS (
+           SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
+                  CAST(round(o_totalprice * 100, 0) AS BIGINT) // 100000 AS bkt
+           FROM orders),
+         cells AS (
+           SELECT bkt,
+                  count(CASE WHEN pos = 1 THEN 1 END) AS pb,
+                  count(CASE WHEN pos = 0 THEN 1 END) AS nb
+           FROM o GROUP BY 1),
+         thr AS (SELECT CAST((range + 1) * 50 AS BIGINT) AS thr FROM range(10)),
+         agg AS (
+           SELECT t.thr,
+                  CAST(coalesce(sum(CASE WHEN c.bkt >= t.thr THEN c.pb END), 0)
+                       AS BIGINT) AS tp,
+                  CAST(coalesce(sum(CASE WHEN c.bkt >= t.thr THEN c.nb END), 0)
+                       AS BIGINT) AS fp,
+                  CAST(sum(c.pb) AS BIGINT) AS npos
+           FROM thr t CROSS JOIN cells c GROUP BY 1)
+         SELECT thr * 1000 AS threshold, tp, fp, npos - tp AS fn,
+                round(CAST(tp AS DOUBLE) / nullif(tp + fp, 0), 6) AS precision,
+                round(CAST(tp AS DOUBLE) / npos, 6) AS recall,
+                round(CAST(2 AS DOUBLE) * tp / (2 * tp + fp + npos - tp), 6) AS f1
+         FROM agg ORDER BY threshold""",
     "stat_jarque_bera" ->
       """WITH stats AS (
            SELECT event_type, count(1) AS n,

@@ -21,6 +21,37 @@ class OperatorSpec extends SparkSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  // Birth discipline (VERDICT r11 item 7): every registered query must be
+  // named by a SURVEY.md §2 row AND either carry a DuckDB oracle or sit in
+  // the declared no-oracle set (each member fixture-pinned in this suite or
+  // StreamingSpec). eval_threshold_curve shipped in r11 violating both —
+  // this test makes the check mechanical so it can't recur.
+  test("birth discipline: every query has a SURVEY §2 row and an oracle or a pin") {
+    val declaredNoOracle = Set(
+      "agg_approx_distinct", "agg_approx_quantile", "agg_hll_merge",
+      "dedup_minhash_recall", "dedup_simhash", "stream_dedup_near",
+      "text_dedup_near")
+    val surveyIds = {
+      val src = scala.io.Source.fromFile("SURVEY.md", "UTF-8")
+      try src.getLines()
+        .flatMap("""^\| `([a-z0-9_]+)` \|""".r.findFirstMatchIn(_))
+        .map(_.group(1)).toSet
+      finally src.close()
+    }
+    assert(surveyIds.size > 400, s"SURVEY §2 parse broke: ${surveyIds.size} ids")
+    val keys = SparkEntry.queries.keySet
+    val noRow = keys -- surveyIds
+    assert(noRow.isEmpty, s"registered without a SURVEY §2 row: $noRow")
+    val unverified = keys -- SparkEntry.oracleSql.keySet -- declaredNoOracle
+    assert(unverified.isEmpty,
+      s"registered without an oracle and not in the pinned no-oracle set: $unverified")
+    val staleDecl = declaredNoOracle -- keys
+    assert(staleDecl.isEmpty, s"declared no-oracle ids not registered: $staleDecl")
+    val oracledButDeclared = declaredNoOracle & SparkEntry.oracleSql.keySet
+    assert(oracledButDeclared.isEmpty,
+      s"ids both oracled and declared no-oracle: $oracledButDeclared")
+  }
+
   test("agg_approx_distinct is within 5% of exact") {
     val approx = q("agg_approx_distinct").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
