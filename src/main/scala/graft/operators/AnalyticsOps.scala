@@ -5574,37 +5574,33 @@ object AnalyticsOps {
         .orderBy(col("segment"))
     }),
 
-    // Cohen's kappa between the repo's two deterministic hash scorers —
-    // chance-corrected inter-rater agreement (stat_mcnemar asks "do they
-    // DISAGREE asymmetrically vs truth"; kappa asks "do they AGREE more
-    // than chance", the label-quality metric every annotation pipeline
-    // reports). All four cells are exact integer counts from one fact
-    // pass; kappa is computed from the EXACT integer cross-multiply
-    // (n·(a+d) − Σmarginals) / (n² − Σmarginals) — one double division,
-    // not a ratio of two pre-rounded ratios.
+    // QUADRATIC-WEIGHTED Cohen's kappa between the two hash raters on a
+    // 4-level ordinal scale — the ordinal-agreement eval eval_cohen_kappa
+    // (binary, unweighted) can't express: near-misses (level 1 vs 2) cost
+    // (i−j)² = 1 while opposite calls (0 vs 3) cost 9, the standard for
+    // graded annotation QA (quality tiers, star ratings). κ_w = 1 −
+    // n·Σw_ij·O_ij / Σw_ij·r_i·c_j stays EXACT integer until one double
+    // division: observed disagreement from the ≤16-cell contingency
+    // frame, expected from the 4×4 marginal cross (both broadcast-tiny
+    // crossJoins); int64 holds to 9n² ≈ n ≤ 10⁹ raters — beyond that the
+    // marginal products need DECIMAL(38). Was the unweighted duplicate of
+    // eval_cohen_kappa through r11 (VERDICT r11 item 5).
     "eval_cohens_kappa" -> ((s, dir) => {
-      val sc = (mult: Long) => (((col("c_custkey") % lit(2147483648L)) * lit(mult))
-        % lit(2147483648L) % 1000)
-      val b = t(s, dir, "customer").select(
-        when(sc(2654435761L) >= 500, 1).otherwise(0).as("pa"),
-        when(sc(1315423911L) >= 500, 1).otherwise(0).as("pb"))
-      b.agg(count(lit(1)).as("n"),
-          count(when(col("pa") === 1 && col("pb") === 1, 1)).as("a"),
-          count(when(col("pa") === 1 && col("pb") === 0, 1)).as("b"),
-          count(when(col("pa") === 0 && col("pb") === 1, 1)).as("c"),
-          count(when(col("pa") === 0 && col("pb") === 0, 1)).as("d"))
-        .select(col("n"), col("a"), col("b"), col("c"), col("d"),
-          round((col("a") + col("d")).cast("double") / col("n"), 6).as("po"),
-          round(((col("a") + col("b")) * (col("a") + col("c")) +
-            (col("c") + col("d")) * (col("b") + col("d"))).cast("double") /
-            (col("n") * col("n")), 6).as("pe"),
-          round((col("n") * (col("a") + col("d")) -
-            ((col("a") + col("b")) * (col("a") + col("c")) +
-             (col("c") + col("d")) * (col("b") + col("d")))).cast("double") /
-            nullif(col("n") * col("n") -
-              ((col("a") + col("b")) * (col("a") + col("c")) +
-               (col("c") + col("d")) * (col("b") + col("d"))), lit(0L)), 6)
-            .as("kappa"))
+      val b = t(s, dir, "customer").selectExpr(
+        "((c_custkey % 2147483648L) * 2654435761L) % 2147483648L % 1000 div 250 AS la",
+        "((c_custkey % 2147483648L) * 1315423911L) % 2147483648L % 1000 div 250 AS lb")
+      val cells = b.groupBy(col("la"), col("lb")).agg(count(lit(1)).as("o"))
+      val wOf = (i: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =>
+        (i - j) * (i - j)
+      val tot = cells.agg(sum(col("o")).as("n"),
+        sum(wOf(col("la"), col("lb")) * col("o")).as("sw_o"))
+      val ra = cells.groupBy(col("la")).agg(sum(col("o")).as("ca"))
+      val rb = cells.groupBy(col("lb")).agg(sum(col("o")).as("cb"))
+      val swe = ra.crossJoin(rb)
+        .agg(sum(wOf(col("la"), col("lb")) * col("ca") * col("cb")).as("sw_e"))
+      tot.crossJoin(swe).select(col("n"), col("sw_o"), col("sw_e"),
+        round(lit(1.0) - col("n").cast("double") * col("sw_o") /
+          nullif(col("sw_e"), lit(0L)), 6).as("kappa_w"))
     }),
 
     // Partial autocorrelation (lags 1–3) per event series — WHICH AR
@@ -8858,26 +8854,23 @@ object AnalyticsOps {
          GROUP BY 1 ORDER BY 1""",
     "eval_cohens_kappa" ->
       """WITH b AS (
-           SELECT CASE WHEN ((c_custkey % 2147483648) * 2654435761)
-                         % 2147483648 % 1000 >= 500 THEN 1 ELSE 0 END AS pa,
-                  CASE WHEN ((c_custkey % 2147483648) * 1315423911)
-                         % 2147483648 % 1000 >= 500 THEN 1 ELSE 0 END AS pb
+           SELECT ((c_custkey % 2147483648) * 2654435761)
+                    % 2147483648 % 1000 // 250 AS la,
+                  ((c_custkey % 2147483648) * 1315423911)
+                    % 2147483648 % 1000 // 250 AS lb
            FROM customer),
-         m AS (SELECT count(1) AS n,
-                      count(CASE WHEN pa = 1 AND pb = 1 THEN 1 END) AS a,
-                      count(CASE WHEN pa = 1 AND pb = 0 THEN 1 END) AS b,
-                      count(CASE WHEN pa = 0 AND pb = 1 THEN 1 END) AS c,
-                      count(CASE WHEN pa = 0 AND pb = 0 THEN 1 END) AS d
-               FROM b)
-         SELECT n, a, b, c, d,
-                round(CAST(a + d AS DOUBLE) / n, 6) AS po,
-                round(CAST((a + b) * (a + c) + (c + d) * (b + d) AS DOUBLE)
-                      / (n * n), 6) AS pe,
-                round(CAST(n * (a + d) - ((a + b) * (a + c) + (c + d) * (b + d))
-                      AS DOUBLE)
-                      / nullif(n * n - ((a + b) * (a + c) + (c + d) * (b + d)), 0),
-                      6) AS kappa
-         FROM m""",
+         cells AS (SELECT la, lb, count(1) AS o FROM b GROUP BY 1, 2),
+         tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                        CAST(sum((la - lb) * (la - lb) * o) AS BIGINT) AS sw_o
+                 FROM cells),
+         ra AS (SELECT la, CAST(sum(o) AS BIGINT) AS ca FROM cells GROUP BY 1),
+         rb AS (SELECT lb, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+         swe AS (SELECT CAST(sum((la - lb) * (la - lb) * ca * cb) AS BIGINT) AS sw_e
+                 FROM ra CROSS JOIN rb)
+         SELECT n, sw_o, sw_e,
+                round(CAST(1 AS DOUBLE)
+                      - CAST(n AS DOUBLE) * sw_o / nullif(sw_e, 0), 6) AS kappa_w
+         FROM tot CROSS JOIN swe""",
     "ts_pacf" ->
       """WITH daily AS (
            SELECT event_type AS et, ts::DATE AS day, count(1) AS c FROM events GROUP BY 1, 2),

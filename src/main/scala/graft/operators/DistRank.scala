@@ -71,9 +71,14 @@ object DistRank {
         sum(c).over(wLoc.rowsBetween(Window.unboundedPreceding, 0)))
     }.transform(RoundPin.pin)
     // P rows — one per non-empty slice; empty slices contribute nothing
-    // (their count is 0, so skipping them leaves every prefix sum intact)
+    // (their count is 0, so skipping them leaves every prefix sum intact).
+    // The slice's cum total is sum(c) over the slice, NOT max(_drk_lcs):
+    // max of a running sum equals the slice sum only when every value is
+    // non-negative — a negative-valued cum column would silently corrupt
+    // every downstream slice's offset (ADVICE r11; covered by the
+    // negative-weight PropertySpec replay).
     val totAggs = Seq(max(col("_drk_lrn")).as("_drk_cnt")) ++
-      cum.map(_ => max(col("_drk_lcs")).as("_drk_csum"))
+      cum.map { case (c, _) => sum(c).as("_drk_csum") }
     val tots = local.groupBy(col("_drk_pid")).agg(totAggs.head, totAggs.tail: _*)
     // exclusive prefix over the P-row frame: the only global window here,
     // bounded by shuffle width by construction (lint exemption: _drk_)

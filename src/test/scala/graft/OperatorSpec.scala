@@ -4695,26 +4695,24 @@ class PropertySpec extends SparkSuite {
     assert(got.values.exists(_._3 === 0), "some table defines the horizon")
   }
 
-  test("eval_cohens_kappa: cells and kappa replay the two hash scorers") {
-    val preds = graft.Tables.t(spark, sf, "customer")
+  test("eval_cohens_kappa: weighted kappa replays the 4-level hash raters") {
+    val levels = graft.Tables.t(spark, sf, "customer")
       .select(col("c_custkey")).collect().map(_.getLong(0)).map { ck =>
-        val pa = if ((ck % 2147483648L) * 2654435761L % 2147483648L % 1000 >= 500) 1 else 0
-        val pb = if ((ck % 2147483648L) * 1315423911L % 2147483648L % 1000 >= 500) 1 else 0
-        (pa, pb)
+        val la = (ck % 2147483648L) * 2654435761L % 2147483648L % 1000 / 250
+        val lb = (ck % 2147483648L) * 1315423911L % 2147483648L % 1000 / 250
+        (la, lb)
       }
-    val a = preds.count(t => t._1 == 1 && t._2 == 1).toLong
-    val b = preds.count(t => t._1 == 1 && t._2 == 0).toLong
-    val c = preds.count(t => t._1 == 0 && t._2 == 1).toLong
-    val d = preds.count(t => t._1 == 0 && t._2 == 0).toLong
-    val n = preds.length.toLong
+    val n = levels.length.toLong
+    val swO = levels.map { case (i, j) => (i - j) * (i - j) }.sum
+    val ca = levels.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cb = levels.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val swE = (for { (i, ni) <- ca; (j, nj) <- cb } yield (i - j) * (i - j) * ni * nj).sum
     val r = q("eval_cohens_kappa").collect()(0)
-    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
-      ((n, a, b, c, d)))
-    val sumMarg = (a + b) * (a + c) + (c + d) * (b + d)
-    val kappa = (n * (a + d) - sumMarg).toDouble / (n * n - sumMarg)
-    assert(math.abs(r.getDouble(5) - (a + d).toDouble / n) < 1e-6, "po")
-    assert(math.abs(r.getDouble(6) - sumMarg.toDouble / (n * n)) < 1e-6, "pe")
-    assert(math.abs(r.getDouble(7) - kappa) < 1e-6, "kappa")
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((n, swO, swE)))
+    assert(math.abs(r.getDouble(3) - (1.0 - n.toDouble * swO / swE)) < 1e-6, "kappa_w")
+    // levels genuinely span the ordinal scale and the two raters disagree
+    assert(ca.keySet === Set(0L, 1L, 2L, 3L))
+    assert(swO > 0 && r.getDouble(3) < 1.0)
   }
 
   test("gdpr_t_closeness: group TVDs replay the brute distributions") {
@@ -6326,6 +6324,29 @@ class PropertySpec extends SparkSuite {
       assert(n === 5000L)
       assert(cum === running, s"cumsum at id=$id")
       assert(tot === totWt)
+    }
+  }
+
+  test("DistRank.withRank: cumsum stays exact on NEGATIVE values") {
+    // regression for the r11 slice-total bug: _drk_csum was max(_drk_lcs)
+    // (max of the local running sum), which equals the slice sum only for
+    // non-negative cum columns — signed weights made every later slice's
+    // global running sum silently wrong. wt here is centered (i % 13 - 6,
+    // range [-6, 6], mixed-sign running sums inside every slice).
+    import spark.implicits._
+    val rows = (0L until 5000L).map(i => (i, (i * 2654435761L) % 97, i % 13 - 6))
+    val df = rows.toDF("id", "v", "wt")
+    val got = graft.operators.DistRank
+      .withRank(df, Seq(col("v").desc, col("id")), "rn",
+        cum = Some((col("wt"), "cum")), cumTotName = Some("tot"))
+      .select(col("id"), col("cum"), col("tot"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val sorted = rows.sortBy(t => (-t._2, t._1))
+    val totWt = rows.map(_._3).sum
+    var running = 0L
+    sorted.foreach { case (id, _, wt) =>
+      running += wt
+      assert(got(id) === ((running, totWt)), s"signed cumsum at id=$id")
     }
   }
 

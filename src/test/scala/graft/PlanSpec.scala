@@ -698,6 +698,7 @@ class PlanSpec extends SparkSuite {
       "stat_poisson_ztest" -> "theta self-join of a broadcast 5-row per-type moment frame (<=25 pairs, stat_ttest's shape)",
       "text_token_length_hist" -> "crossJoin against a broadcast 1-row token-total frame (text_unigram_ppl's shape)",
       "seq_rfm_scores" -> "crossJoin against the broadcast 1-row corpus-horizon (max order day) frame",
+      "eval_cohens_kappa" -> "crossJoins compose the <=4-row marginal frames (4x4 cross) and two 1-row aggregates",
       "anom_esd" -> "crossJoins against broadcast 1-row moment frames (one per ESD removal round)",
       "stat_theil_index" -> "crossJoins against broadcast 1-row total frames (fact fold + 5-row group fold + final combine)",
       "graph_eccentricity_sample" -> "crossJoin against the broadcast 1-row diameter (max-over-seeds) frame",
