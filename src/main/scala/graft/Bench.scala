@@ -51,6 +51,9 @@ object Bench {
     // pure build-attribution noise that wasted a top-8 adjudication slot
     warm("co-purchase graph")(SparkEntry.queries("graph_triangles")(spark, sfDir).count())
     warm("user-part purchases")(SparkEntry.queries("recs_item_cf")(spark, sfDir).count())
+    warm("supplier co-service graph") {
+      operators.AnalyticsOps.supplierServiceGraph(spark, sfDir); ()
+    }
     // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the timed set — dev-loop
     // re-measure convenience (variance pinning); the driver leaves it unset
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
@@ -101,6 +104,26 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     if (!sys.env.get("SPARK_GRAFT_ISOLATED").contains("0")) try {
       val outPath = sys.env.getOrElse("SPARK_GRAFT_ISOLATED_OUT", "ISOLATED.json")
+      // Rerun hygiene (r11 adjudicator finding): drop EVERY shared
+      // persist/artifact the sweep built, then rebuild only the memoized
+      // artifacts untimed — each rerun measures the query against warm
+      // artifacts and COLD per-query shared frames, the same state its
+      // sweep entry saw, so sweep-vs-min adjudicates window contention
+      // rather than conflating it with one-time builds a rerun could
+      // otherwise inherit (text_tfidf read the sweep's still-cached tf
+      // frame in r11: 10.68 s sweep vs 1.58 s rerun, partly inheritance).
+      ArtifactCache.evictAllCaches()
+      spark.catalog.clearCache()
+      warm("bucketed tables (rerun)")(operators.ScaleOps.prepareBucketed(spark, sfDir))
+      warm("jsonl/csv staging (rerun)")(operators.EtlOps.stageFixtures(spark, sfDir))
+      warm("upsert input (rerun)")(streaming.Streams.stageUpsertInput(spark, sfDir))
+      warm("dedup-near doc batches (rerun)")(streaming.StreamDedup.stageDocBatches(spark, sfDir))
+      warm("co-purchase graph (rerun)")(SparkEntry.queries("graph_triangles")(spark, sfDir).count())
+      warm("user-part purchases (rerun)")(SparkEntry.queries("recs_item_cf")(spark, sfDir).count())
+      warm("supplier co-service graph (rerun)") {
+        operators.AnalyticsOps.supplierServiceGraph(spark, sfDir); ()
+      }
+      spark.catalog.clearCache()
       val top = results.sortBy(-_._2).take(8)
       val iso = top.map { case (name, sweepSec) =>
         // a rerun that CRASHES must not contribute its (tiny) elapsed time:
