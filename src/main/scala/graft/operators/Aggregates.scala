@@ -244,6 +244,126 @@ object Aggregates {
           sum(dec(rev)).cast("double"), 6).as("promo_revenue"))
     }),
 
+    // TPC-H Q4 — order-priority checking: count a quarter's orders that
+    // had ANY line shipped after the order date (the generated schema has
+    // no commit/receipt dates; shipped-after-order is the late predicate).
+    // Written as the natural correlated EXISTS so Catalyst's
+    // RewritePredicateSubquery lowers it to a LEFT SEMI join — the quarter
+    // filter pushes to the orders scan BEFORE the semi probe, the
+    // correlated non-equi conjunct (l_shipdate > o_orderdate) rides the
+    // semi join condition, and no subquery result ever materializes
+    // (PlanSpec pins the lowering). 5-row result at any scale.
+    "q4_order_priority" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("q4_orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("q4_lineitem")
+      s.sql("""
+        SELECT o_orderpriority, count(1) AS order_count
+        FROM q4_orders
+        WHERE o_orderdate >= CAST('1996-01-01' AS TIMESTAMP)
+          AND o_orderdate < CAST('1996-04-01' AS TIMESTAMP)
+          AND EXISTS (SELECT 1 FROM q4_lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+      """)
+    }),
+
+    // TPC-H Q2 — minimum-cost supplier: for each small ECONOMY part, the
+    // supplier(s) selling it at the part's GLOBAL minimum price (lineitem
+    // is the part↔supplier bridge; the generated schema has no partsupp).
+    // The correlated scalar min subquery is the decorrelation stress the
+    // registry never touched: Catalyst rewrites it to a per-part min
+    // aggregate joined back on (partkey, price) — part's type/size filters
+    // prune BEFORE the join, and the inner min aggregates lineitem ONCE,
+    // not per outer row. Ordered by (acctbal desc, part, supplier) —
+    // boundary ties are exact duplicate rows, so the LIMIT cut is stable.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("q2_part")
+      t(s, dir, "lineitem").createOrReplaceTempView("q2_lineitem")
+      t(s, dir, "supplier").createOrReplaceTempView("q2_supplier")
+      s.sql("""
+        SELECT s_acctbal, s_name, p_partkey, p_brand, l_extendedprice AS min_price
+        FROM q2_part, q2_lineitem, q2_supplier
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND p_type = 'ECONOMY' AND p_size <= 10
+          AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+                                 FROM q2_lineitem l2
+                                 WHERE l2.l_partkey = p_partkey)
+        ORDER BY s_acctbal DESC, p_partkey, s_suppkey LIMIT 100
+      """)
+    }),
+
+    // TPC-H Q18 — large-volume customers: orders whose total quantity
+    // clears a threshold, with their customers. The IN over a grouped
+    // HAVING subquery lowers to a semi join against the aggregated
+    // order-quantity frame (aggregate once, THEN semi-probe — never a
+    // per-row re-aggregation); quantities are integers in doubles, so the
+    // sums are exact without decimal gridding. (o_totalprice desc,
+    // o_orderkey) is a total order — the LIMIT cut is deterministic.
+    "q18_large_volume" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("q18_customer")
+      t(s, dir, "orders").createOrReplaceTempView("q18_orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("q18_lineitem")
+      s.sql("""
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+               sum(l_quantity) AS total_qty
+        FROM q18_customer, q18_orders, q18_lineitem
+        WHERE o_orderkey IN (SELECT l_orderkey FROM q18_lineitem
+                             GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+      """)
+    }),
+
+    // TPC-H Q21 — suppliers who kept the order waiting: per supplier, the
+    // F-order lines shipped after the order date in MULTI-supplier orders
+    // where NO other supplier shipped later (the last shipper — the
+    // blame-assignment semantics of the original's commit/receipt chain,
+    // re-expressed on the generated schema). EXISTS + NOT EXISTS with a
+    // correlated NON-EQUI conjunct (l3.l_shipdate > l1.l_shipdate) is the
+    // anti-join chain the planner never saw from this registry: both lower
+    // to one semi and one anti join on l_orderkey with the extra
+    // predicates riding the join condition — three passes over the
+    // same-key-partitioned lineitem, zero subquery materialization.
+    "q21_suppliers_waiting" -> ((s, dir) => {
+      t(s, dir, "supplier").createOrReplaceTempView("q21_supplier")
+      t(s, dir, "lineitem").createOrReplaceTempView("q21_lineitem")
+      t(s, dir, "orders").createOrReplaceTempView("q21_orders")
+      s.sql("""
+        SELECT s_name, count(1) AS numwait
+        FROM q21_supplier, q21_lineitem l1, q21_orders
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate
+          AND EXISTS (SELECT 1 FROM q21_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM q21_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 50
+      """)
+    }),
+
+    // TPC-H Q13 — customer order-count distribution: how many customers
+    // placed 0, 1, 2… non-urgent orders. The LEFT OUTER join with the
+    // filter ON THE JOIN CONDITION (not WHERE — that would drop the
+    // zero-order customers, the classic count-bug) feeds two stacked
+    // aggregations, each key tiny (customer-grain, then count-grain);
+    // count(o_orderkey) counts only matched rows by SQL null-skipping.
+    "q13_customer_distribution" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("q13_customer")
+      t(s, dir, "orders").createOrReplaceTempView("q13_orders")
+      s.sql("""
+        SELECT c_count, count(1) AS custdist
+        FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM q13_customer LEFT OUTER JOIN q13_orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey) c_orders
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+      """)
+    }),
+
     // HAVING-gated aggregation (TPC-H Q18 shape): orders whose total
     // quantity exceeds a threshold.
     "agg_having" -> ((s, dir) => {
@@ -906,6 +1026,52 @@ object Aggregates {
          JOIN part ON l_partkey = p_partkey
          WHERE l_shipdate >= TIMESTAMP '1996-09-01'
            AND l_shipdate < TIMESTAMP '1996-10-01'""",
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(1) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q2_min_cost_supplier" ->
+      """SELECT s_acctbal, s_name, p_partkey, p_brand, l_extendedprice AS min_price
+         FROM part, lineitem, supplier
+         WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+           AND p_type = 'ECONOMY' AND p_size <= 10
+           AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+                                  FROM lineitem l2
+                                  WHERE l2.l_partkey = p_partkey)
+         ORDER BY s_acctbal DESC, p_partkey, s_suppkey LIMIT 100""",
+    "q18_large_volume" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+                sum(l_quantity) AS total_qty
+         FROM customer, orders, lineitem
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+           AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+         GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q21_suppliers_waiting" ->
+      """SELECT s_name, count(1) AS numwait
+         FROM supplier, lineitem l1, orders
+         WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+           AND o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > l1.l_shipdate)
+         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 50""",
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(1) AS custdist
+         FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+               FROM customer LEFT OUTER JOIN orders
+                 ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+               GROUP BY c_custkey) c_orders
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
     "agg_histogram" ->
       s"""SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
          count(1) AS n, ${decSum6("l_quantity")} AS sum_qty

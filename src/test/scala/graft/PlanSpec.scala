@@ -47,6 +47,35 @@ class PlanSpec extends SparkSuite {
     assert(plan("join_anti").contains("LeftAnti"), plan("join_anti").take(1500))
   }
 
+  test("TPC-H subquery shapes lower to semi/anti joins, never materialized subqueries") {
+    // Q4: correlated EXISTS (+ non-equi conjunct) -> one LEFT SEMI
+    val p4 = plan("q4_order_priority")
+    assert(p4.contains("LeftSemi"), p4.take(3000))
+    // Q18: IN over a grouped HAVING -> semi join against the aggregate
+    val p18 = plan("q18_large_volume")
+    assert(p18.contains("LeftSemi"), p18.take(3000))
+    // Q21: EXISTS + NOT EXISTS chain -> one semi AND one anti join
+    val p21 = plan("q21_suppliers_waiting")
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"), p21.take(3000))
+    // Q2: correlated scalar min -> decorrelated into a join against the
+    // once-computed per-part min aggregate (no per-row re-aggregation
+    // and no Subquery/CTE materialization node in the physical plan)
+    val p2 = plan("q2_min_cost_supplier")
+    assert(p2.contains("HashAggregate") &&
+      (p2.contains("BroadcastHashJoin") || p2.contains("SortMergeJoin") ||
+       p2.contains("ShuffledHashJoin")), p2.take(3000))
+    // Q13: the non-urgent filter must ride the LEFT OUTER join condition
+    // (filtering in WHERE would drop zero-order customers — the classic
+    // count-bug). Runtime invariant: the distribution must conserve the
+    // customer count (a WHERE-bug silently loses the dropped customers).
+    val p13 = plan("q13_customer_distribution")
+    assert(p13.contains("LeftOuter"), p13.take(3000))
+    val distTotal = q("q13_customer_distribution")
+      .agg(org.apache.spark.sql.functions.sum("custdist")).collect()(0).getLong(0)
+    val nCust = graft.Tables.t(spark, sf, "customer").count()
+    assert(distTotal === nCust, s"distribution lost customers: $distTotal != $nCust")
+  }
+
   test("PQ tiers: every join side is broadcast — no CartesianProduct, no big-side shuffle join") {
     for (name <- Seq("vec_pq_ann", "vec_ivfpq_ann")) {
       val p = plan(name)
