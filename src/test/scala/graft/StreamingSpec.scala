@@ -509,4 +509,28 @@ class StreamingSpec extends SparkSuite {
     assert(rocks.nonEmpty)
     assert(rocks === default)
   }
+
+  test("stream_topk and stream_dedup_near match under the RocksDB state store") {
+    // provider parity for the two newest stateful family members (the
+    // 100 TB state story: heavy-hitter windows and the near-dup pipeline
+    // must be provider-agnostic like stream_dedup above). stream_topk's
+    // complete-mode window agg holds real keyed state in the store;
+    // stream_dedup_near's state is its own parquet signature store, so
+    // this additionally pins that swapping the provider cannot perturb
+    // its checkpoint/offset machinery into different decisions.
+    val rocks =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    def run(name: String, provider: Option[String]): Seq[String] = {
+      val scoped = org.apache.spark.sql.graftbridge.Bridge.cloneSession(spark)
+      provider.foreach(
+        scoped.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+      SparkEntry.queries(name)(scoped, sf).collect().map(_.toString).toSeq
+    }
+    for (name <- Seq("stream_topk", "stream_dedup_near")) {
+      val r = run(name, Some(rocks))
+      val d = run(name, None)
+      assert(r.nonEmpty, s"$name: empty result under RocksDB")
+      assert(r === d, s"$name: provider changed the results")
+    }
+  }
 }
