@@ -364,6 +364,155 @@ object Aggregates {
       """)
     }),
 
+    // TPC-H Q15 — top supplier by quarterly revenue: the revenue CTE is
+    // referenced TWICE (row source + scalar max) and Catalyst plans the
+    // scalar as a subquery over the SAME aggregate subtree — exchange/
+    // subquery reuse keeps it one aggregation of the fact, not two. The
+    // revenue is 6-dp-gridded BEFORE the max/equality so the tie compare
+    // is between identical doubles on both engines.
+    "q15_top_supplier" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("q15_lineitem")
+      t(s, dir, "supplier").createOrReplaceTempView("q15_supplier")
+      s.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                   AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_revenue
+          FROM q15_lineitem
+          WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+            AND l_shipdate < CAST('1996-04-01' AS TIMESTAMP)
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM q15_supplier, revenue
+        WHERE s_suppkey = supplier_no
+          AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+      """)
+    }),
+
+    // TPC-H Q16 — supplier diversity per part bucket, excluding flagged
+    // suppliers: NOT IN over a NON-nullable key column plans a plain anti
+    // join (contrast sub_not_in's null-aware path); count(DISTINCT
+    // l_suppkey) after the anti probe is the two-shuffle distinct-agg
+    // Catalyst expands (partial distinct on (grp, supp), then count).
+    "q16_supplier_cnt" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("q16_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("q16_part")
+      t(s, dir, "supplier").createOrReplaceTempView("q16_supplier")
+      s.sql("""
+        SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM q16_lineitem JOIN q16_part ON p_partkey = l_partkey
+        WHERE p_type <> 'PROMO' AND p_size IN (1,5,10,15,20,25,30,35)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM q16_supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+      """)
+    }),
+
+    // TPC-H Q17 — small-quantity revenue: lines of one brand bought below
+    // 20% of the part's average order quantity. The correlated AVG
+    // decorrelates into a per-part aggregate joined back (aggregate
+    // lineitem ONCE); quantities are integers-in-doubles so the avg is a
+    // deterministic exact-sum/count division and the 0.2× threshold
+    // compare is identical on both engines.
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("q17_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("q17_part")
+      s.sql("""
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                 AS DOUBLE) / 7.0, 6) AS avg_yearly
+        FROM q17_lineitem, q17_part
+        WHERE p_partkey = l_partkey AND p_brand = 'Brand#11'
+          AND l_quantity < (SELECT CAST(0.2 AS DOUBLE) * avg(l2.l_quantity)
+                            FROM q17_lineitem l2
+                            WHERE l2.l_partkey = p_partkey)
+      """)
+    }),
+
+    // TPC-H Q20 — dominant suppliers: suppliers shipping >30% of some
+    // ECONOMY part's 1996 volume. A correlated scalar inside the HAVING
+    // of an IN subquery that itself nests an IN — the deepest
+    // decorrelation chain in the registry: Catalyst lowers the part IN to
+    // a semi join, the per-(supplier, part) HAVING threshold to a join
+    // against the once-aggregated per-part totals, and the outer IN to a
+    // final semi join. Integer quantity sums keep the 0.3× compare exact.
+    "q20_excess_suppliers" -> ((s, dir) => {
+      t(s, dir, "supplier").createOrReplaceTempView("q20_supplier")
+      t(s, dir, "lineitem").createOrReplaceTempView("q20_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("q20_part")
+      s.sql("""
+        SELECT s_name, round(CAST(s_acctbal AS DOUBLE), 6) AS bal
+        FROM q20_supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM q20_lineitem l1
+          WHERE l1.l_partkey IN (SELECT p_partkey FROM q20_part
+                                 WHERE p_type = 'ECONOMY')
+            AND l1.l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+            AND l1.l_shipdate < CAST('1997-01-01' AS TIMESTAMP)
+          GROUP BY l1.l_suppkey, l1.l_partkey
+          HAVING sum(l1.l_quantity) > CAST(0.3 AS DOUBLE) * (
+            SELECT sum(l2.l_quantity) FROM q20_lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey
+              AND l2.l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+              AND l2.l_shipdate < CAST('1997-01-01' AS TIMESTAMP)))
+        ORDER BY s_name
+      """)
+    }),
+
+    // TPC-H Q22 — dormant high-balance customers: above the positive-
+    // balance average AND no urgent order since 1997. One uncorrelated
+    // scalar (the decimal-exact average — plain avg(double) would be
+    // partial-sum-order dependent) plus a correlated NOT EXISTS lowered
+    // to an anti join with the date conjunct riding the condition.
+    "q22_dormant_customers" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("q22_customer")
+      t(s, dir, "orders").createOrReplaceTempView("q22_orders")
+      s.sql("""
+        SELECT c_mktsegment, count(1) AS numcust,
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 6)
+                 AS totacctbal
+        FROM q22_customer
+        WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)))
+                             AS DOUBLE) / count(1)
+                           FROM q22_customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM q22_orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT'
+                            AND o_orderdate >= CAST('1997-01-01' AS TIMESTAMP))
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+      """)
+    }),
+
+    // TPC-H Q11 — important part values: parts whose AMERICA-supplied
+    // revenue clears a fraction of the regional total. The HAVING
+    // compares against an uncorrelated scalar over the SAME
+    // join+aggregate subtree (Q15's reuse shape at 4 tables); both sides
+    // are exact decimal sums rendered to doubles before the compare, so
+    // the 0.1% threshold cuts identically cross-engine.
+    "q11_important_values" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("q11_lineitem")
+      t(s, dir, "supplier").createOrReplaceTempView("q11_supplier")
+      t(s, dir, "nation").createOrReplaceTempView("q11_nation")
+      t(s, dir, "region").createOrReplaceTempView("q11_region")
+      s.sql("""
+        SELECT l_partkey,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                 AS DOUBLE), 6) AS value
+        FROM q11_lineitem, q11_supplier, q11_nation, q11_region
+        WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        GROUP BY l_partkey
+        HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) > (
+          SELECT CAST(0.001 AS DOUBLE) *
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+          FROM q11_lineitem, q11_supplier, q11_nation, q11_region
+          WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+            AND n_regionkey = r_regionkey AND r_name = 'AMERICA')
+        ORDER BY value DESC, l_partkey
+      """)
+    }),
+
     // HAVING-gated aggregation (TPC-H Q18 shape): orders whose total
     // quantity exceeds a threshold.
     "agg_having" -> ((s, dir) => {
@@ -1072,6 +1221,80 @@ object Aggregates {
                  ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
                GROUP BY c_custkey) c_orders
          GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+           SELECT l_suppkey AS supplier_no,
+                  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                    AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM supplier, revenue
+         WHERE s_suppkey = supplier_no
+           AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+         ORDER BY s_suppkey""",
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_type <> 'PROMO' AND p_size IN (1,5,10,15,20,25,30,35)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q17_small_qty_revenue" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                  AS DOUBLE) / 7.0, 6) AS avg_yearly
+         FROM lineitem, part
+         WHERE p_partkey = l_partkey AND p_brand = 'Brand#11'
+           AND l_quantity < (SELECT CAST(0.2 AS DOUBLE) * avg(l2.l_quantity)
+                             FROM lineitem l2
+                             WHERE l2.l_partkey = p_partkey)""",
+    "q20_excess_suppliers" ->
+      """SELECT s_name, round(CAST(s_acctbal AS DOUBLE), 6) AS bal
+         FROM supplier
+         WHERE s_suppkey IN (
+           SELECT l_suppkey FROM lineitem l1
+           WHERE l1.l_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_type = 'ECONOMY')
+             AND l1.l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l1.l_shipdate < TIMESTAMP '1997-01-01'
+           GROUP BY l1.l_suppkey, l1.l_partkey
+           HAVING sum(l1.l_quantity) > CAST(0.3 AS DOUBLE) * (
+             SELECT sum(l2.l_quantity) FROM lineitem l2
+             WHERE l2.l_partkey = l1.l_partkey
+               AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
+         ORDER BY s_name""",
+    "q22_dormant_customers" ->
+      """SELECT c_mktsegment, count(1) AS numcust,
+                round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 6)
+                  AS totacctbal
+         FROM customer
+         WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)))
+                              AS DOUBLE) / count(1)
+                            FROM customer WHERE c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT'
+                             AND o_orderdate >= TIMESTAMP '1997-01-01')
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q11_important_values" ->
+      """SELECT l_partkey,
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                  AS DOUBLE), 6) AS value
+         FROM lineitem, supplier, nation, region
+         WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+           AND n_regionkey = r_regionkey AND r_name = 'AMERICA'
+         GROUP BY l_partkey
+         HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) > (
+           SELECT CAST(0.001 AS DOUBLE) *
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+           FROM lineitem, supplier, nation, region
+           WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+             AND n_regionkey = r_regionkey AND r_name = 'AMERICA')
+         ORDER BY value DESC, l_partkey""",
     "agg_histogram" ->
       s"""SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
          count(1) AS n, ${decSum6("l_quantity")} AS sum_qty

@@ -74,6 +74,25 @@ class PlanSpec extends SparkSuite {
       .agg(org.apache.spark.sql.functions.sum("custdist")).collect()(0).getLong(0)
     val nCust = graft.Tables.t(spark, sf, "customer").count()
     assert(distTotal === nCust, s"distribution lost customers: $distTotal != $nCust")
+    // Q16: NOT IN over the non-nullable supplier key -> anti join, and
+    // never a nested loop (the key can't be null, so no null-aware scan)
+    val p16 = plan("q16_supplier_cnt")
+    assert(p16.contains("LeftAnti"), p16.take(3000))
+    assert(!p16.contains("CartesianProduct"), p16.take(3000))
+    // Q17: correlated AVG decorrelates into a per-part aggregate joined
+    // back — an Aggregate feeding a join, no per-outer-row re-aggregation
+    val p17 = plan("q17_small_qty_revenue")
+    assert(p17.contains("HashAggregate") && !p17.contains("CartesianProduct"),
+      p17.take(3000))
+    // Q20: IN(HAVING(correlated scalar + nested IN)) -> a semi-join chain
+    // (at least the part-filter semi and the outer supplier semi)
+    val p20 = plan("q20_excess_suppliers")
+    assert(p20.sliding("LeftSemi".length).count(_ == "LeftSemi") >= 2,
+      p20.take(3000))
+    assert(!p20.contains("CartesianProduct"), p20.take(3000))
+    // Q22: NOT EXISTS with conjuncts -> anti join on the custkey
+    val p22 = plan("q22_dormant_customers")
+    assert(p22.contains("LeftAnti"), p22.take(3000))
   }
 
   test("PQ tiers: every join side is broadcast — no CartesianProduct, no big-side shuffle join") {
