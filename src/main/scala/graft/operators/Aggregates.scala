@@ -513,6 +513,75 @@ object Aggregates {
       """)
     }),
 
+    // TPC-H Q9 — product-type profit by nation and year (the generated
+    // schema has no partsupp, so cost = 60% of the part's retail price —
+    // the same fixed-margin basis per line): the widget-name LIKE prunes
+    // part before the fact join, profit is ONE mirrored double tree
+    // decimal-gridded per row before the order-free sum, and the rollup
+    // grain (nation × year) is tiny at any scale.
+    "q9_product_profit" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("q9_lineitem")
+      t(s, dir, "supplier").createOrReplaceTempView("q9_supplier")
+      t(s, dir, "nation").createOrReplaceTempView("q9_nation")
+      t(s, dir, "orders").createOrReplaceTempView("q9_orders")
+      t(s, dir, "part").createOrReplaceTempView("q9_part")
+      s.sql("""
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                 - CAST(0.6 AS DOUBLE) * p_retailprice * l_quantity
+                 AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_profit
+        FROM q9_lineitem, q9_supplier, q9_nation, q9_orders, q9_part
+        WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND l_orderkey = o_orderkey AND l_partkey = p_partkey
+          AND p_name LIKE '%widget%'
+        GROUP BY n_name, year(o_orderdate)
+        ORDER BY nation, o_year
+      """)
+    }),
+
+    // TPC-H Q12 — late-shipment priority split (the generated schema has
+    // no shipmode/commit/receipt dates: "late" = shipped >90 days after
+    // the order, split per returnflag): one fact join with the interval
+    // predicate, two conditional counts per group — classic shipmode
+    // report re-expressed on the available columns.
+    "q12_late_priority" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("q12_orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("q12_lineitem")
+      s.sql("""
+        SELECT l_returnflag,
+               count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 1 END) AS high_line_count,
+               count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                   THEN 1 END) AS low_line_count
+        FROM q12_orders JOIN q12_lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        GROUP BY l_returnflag ORDER BY l_returnflag
+      """)
+    }),
+
+    // TPC-H Q19 — disjunctive discounted revenue: three OR'd
+    // (brand, size-range, quantity-range) clauses. The pushdown stress:
+    // Catalyst extracts the per-relation residue of the DNF — an OR of
+    // brand/size conjuncts reaches the part SCAN and an OR of quantity
+    // ranges reaches the lineitem SCAN (plan-pinned), so both sides prune
+    // before the join instead of filtering after it — at 100 TB the
+    // difference between scanning 3 brands' rows and scanning the corpus.
+    "q19_disjunctive_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("q19_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("q19_part")
+      s.sql("""
+        SELECT round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                 AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+        FROM q19_lineitem JOIN q19_part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 21)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 20 AND 40)
+      """)
+    }),
+
     // HAVING-gated aggregation (TPC-H Q18 shape): orders whose total
     // quantity exceeds a threshold.
     "agg_having" -> ((s, dir) => {
@@ -1295,6 +1364,36 @@ object Aggregates {
            WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
              AND n_regionkey = r_regionkey AND r_name = 'AMERICA')
          ORDER BY value DESC, l_partkey""",
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                  - CAST(0.6 AS DOUBLE) * p_retailprice * l_quantity
+                  AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_profit
+         FROM lineitem, supplier, nation, orders, part
+         WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+           AND l_orderkey = o_orderkey AND l_partkey = p_partkey
+           AND p_name LIKE '%widget%'
+         GROUP BY n_name, year(o_orderdate)
+         ORDER BY nation, o_year""",
+    "q12_late_priority" ->
+      """SELECT l_returnflag,
+                count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 END) AS high_line_count,
+                count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 END) AS low_line_count
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q19_disjunctive_revenue" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                  AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 21)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+                AND l_quantity BETWEEN 10 AND 30)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+                AND l_quantity BETWEEN 20 AND 40)""",
     "agg_histogram" ->
       s"""SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
          count(1) AS n, ${decSum6("l_quantity")} AS sum_qty

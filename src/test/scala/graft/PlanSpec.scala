@@ -93,6 +93,13 @@ class PlanSpec extends SparkSuite {
     // Q22: NOT EXISTS with conjuncts -> anti join on the custkey
     val p22 = plan("q22_dormant_customers")
     assert(p22.contains("LeftAnti"), p22.take(3000))
+    // Q19: Catalyst must extract BOTH per-relation OR-residues of the
+    // DNF and push them to the scans — the quantity-range OR to the
+    // lineitem scan and the brand/size OR to the part scan (at 100 TB,
+    // the difference between scanning 3 brands and scanning the corpus)
+    val p19 = plan("q19_disjunctive_revenue")
+    assert(p19.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"), p19.take(6000))
+    assert(p19.contains("Or(Or(And(EqualTo(p_brand"), p19.take(6000))
   }
 
   test("PQ tiers: every join side is broadcast — no CartesianProduct, no big-side shuffle join") {
