@@ -302,7 +302,13 @@ object Aggregates {
     "q18_large_volume" -> ((s, dir) => {
       t(s, dir, "customer").createOrReplaceTempView("q18_customer")
       t(s, dir, "orders").createOrReplaceTempView("q18_orders")
-      t(s, dir, "lineitem").createOrReplaceTempView("q18_lineitem")
+      // the classic Q18 text references lineitem three times (IN agg +
+      // detail join + the probe's partial agg) — pin the projected fact
+      // once so all passes read the InMemoryRelation (the ≥3-scan lint's
+      // plan-level fix; SQL can't persist a subtree from inside the text)
+      persistShared("q18_li", t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity")))
+        .createOrReplaceTempView("q18_lineitem")
       s.sql("""
         SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
                sum(l_quantity) AS total_qty
@@ -327,7 +333,13 @@ object Aggregates {
     // same-key-partitioned lineitem, zero subquery materialization.
     "q21_suppliers_waiting" -> ((s, dir) => {
       t(s, dir, "supplier").createOrReplaceTempView("q21_supplier")
-      t(s, dir, "lineitem").createOrReplaceTempView("q21_lineitem")
+      // l1 + the EXISTS probe + the NOT EXISTS probe are three passes over
+      // lineitem by definition — pin the 3-column projection once so the
+      // semi/anti chain probes the InMemoryRelation instead of re-scanning
+      // the fact per probe (q18's discipline)
+      persistShared("q21_li", t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate")))
+        .createOrReplaceTempView("q21_lineitem")
       t(s, dir, "orders").createOrReplaceTempView("q21_orders")
       s.sql("""
         SELECT s_name, count(1) AS numwait

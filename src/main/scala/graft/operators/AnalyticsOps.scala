@@ -5609,7 +5609,11 @@ object AnalyticsOps {
       val b = t(s, dir, "customer").selectExpr(
         "((c_custkey % 2147483648L) * 2654435761L) % 2147483648L % 1000 div 250 AS la",
         "((c_custkey % 2147483648L) * 1315423911L) % 2147483648L % 1000 div 250 AS lb")
+      // eager pin: the ≤16-row cell frame feeds THREE sinks (totals + both
+      // marginals) — unpinned, each re-runs the full customer scan (the
+      // ≥3-scan lint catches exactly this)
       val cells = b.groupBy(col("la"), col("lb")).agg(count(lit(1)).as("o"))
+        .transform(RoundPin.pin)
       val wOf = (i: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =>
         (i - j) * (i - j)
       val tot = cells.agg(sum(col("o")).as("n"),
