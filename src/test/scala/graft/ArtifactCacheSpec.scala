@@ -64,4 +64,30 @@ class ArtifactCacheSpec extends AnyFunSuite {
     // and the artifact rebuilds transparently on next use
     assert(SparkEntry.queries("basket_pairs")(spark, SparkSuite.sf).count() === n1)
   }
+
+  test("supplierServiceGraph memoizes one build shared by pagerank and ppr") {
+    val spark = SparkSuite.spark
+    val sc = spark.sparkContext
+    ArtifactCache.evictAllCaches()
+    val base = sc.getPersistentRDDs.keySet
+    val (e1, d1, n1) = operators.AnalyticsOps.supplierServiceGraph(spark, SparkSuite.sf)
+    val added = sc.getPersistentRDDs.keySet -- base
+    assert(added.size === 2, s"expected edge+degree cached RDDs, got $added")
+    assert(n1 > 0 && d1.count() === n1)
+    // second access returns the SAME cached RDDs — no rebuild
+    val (e2, _, n2) = operators.AnalyticsOps.supplierServiceGraph(spark, SparkSuite.sf)
+    assert(n2 === n1)
+    assert(sc.getPersistentRDDs.keySet -- base === added, "second access rebuilt")
+    assert(e1.count() === e2.count())
+    // degrees in the artifact match a fresh recount over the edges
+    val recount = e1.groupBy(org.apache.spark.sql.functions.col("src"))
+      .count().count()
+    assert(recount === n1)
+    // the artifact survives catalog.clearCache (the between-queries hygiene)
+    spark.catalog.clearCache()
+    assert(sc.getPersistentRDDs.keySet.intersect(added) === added,
+      "clearCache must not drop the context-level artifact RDDs")
+    ArtifactCache.evictAllCaches()
+    assert(sc.getPersistentRDDs.keySet.intersect(added).isEmpty, "eviction leaked")
+  }
 }
