@@ -47,6 +47,12 @@ class OperatorSpec extends SparkSuite {
       s"registered without an oracle and not in the pinned no-oracle set: $unverified")
     val staleDecl = declaredNoOracle -- keys
     assert(staleDecl.isEmpty, s"declared no-oracle ids not registered: $staleDecl")
+    // reverse direction: a SURVEY §2 id that is neither registered nor a
+    // declared alias is a stale doc row (udaf_typed is SURVEY.md's one
+    // declared alias of agg_custom_udaf)
+    val declaredAliases = Set("udaf_typed")
+    val staleRows = surveyIds -- keys -- declaredAliases
+    assert(staleRows.isEmpty, s"SURVEY §2 rows with no registered query: $staleRows")
     val oracledButDeclared = declaredNoOracle & SparkEntry.oracleSql.keySet
     assert(oracledButDeclared.isEmpty,
       s"ids both oracled and declared no-oracle: $oracledButDeclared")
