@@ -376,28 +376,29 @@ object Aggregates {
       """)
     }),
 
-    // TPC-H Q15 — top supplier by quarterly revenue: the revenue CTE is
-    // referenced TWICE (row source + scalar max) and Catalyst plans the
-    // scalar as a subquery over the SAME aggregate subtree — exchange/
-    // subquery reuse keeps it one aggregation of the fact, not two. The
-    // revenue is 6-dp-gridded BEFORE the max/equality so the tie compare
-    // is between identical doubles on both engines.
+    // TPC-H Q15 — top supplier by quarterly revenue: the revenue view is
+    // referenced TWICE (row source + scalar max), and a CTE would inline
+    // into two full fact aggregations (Catalyst plans the scalar as its
+    // own subquery subtree — no exchange reuse across it; verified on the
+    // executed plan). The supplier-grain revenue frame is therefore
+    // materialized ONCE via persistShared and both references read the
+    // InMemoryRelation — at 100 TB, one fact pass instead of two. Revenue
+    // is 6-dp-gridded BEFORE the max/equality so the tie compare is
+    // between identical doubles on both engines.
     "q15_top_supplier" -> ((s, dir) => {
-      t(s, dir, "lineitem").createOrReplaceTempView("q15_lineitem")
       t(s, dir, "supplier").createOrReplaceTempView("q15_supplier")
+      persistShared("q15_rev", t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("total_revenue")))
+        .createOrReplaceTempView("q15_revenue")
       s.sql("""
-        WITH revenue AS (
-          SELECT l_suppkey AS supplier_no,
-                 round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-                   AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_revenue
-          FROM q15_lineitem
-          WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
-            AND l_shipdate < CAST('1996-04-01' AS TIMESTAMP)
-          GROUP BY l_suppkey)
         SELECT s_suppkey, s_name, total_revenue
-        FROM q15_supplier, revenue
+        FROM q15_supplier, q15_revenue
         WHERE s_suppkey = supplier_no
-          AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+          AND total_revenue = (SELECT max(total_revenue) FROM q15_revenue)
         ORDER BY s_suppkey
       """)
     }),
