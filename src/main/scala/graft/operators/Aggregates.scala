@@ -498,30 +498,31 @@ object Aggregates {
     }),
 
     // TPC-H Q11 — important part values: parts whose AMERICA-supplied
-    // revenue clears a fraction of the regional total. The HAVING
-    // compares against an uncorrelated scalar over the SAME
-    // join+aggregate subtree (Q15's reuse shape at 4 tables); both sides
-    // are exact decimal sums rendered to doubles before the compare, so
-    // the 0.1% threshold cuts identically cross-engine.
+    // revenue clears a fraction of the regional total. The classic text
+    // repeats the whole 4-table join+aggregate in the HAVING's scalar —
+    // TWO fact passes; instead the per-part exact-decimal value frame is
+    // materialized ONCE (q15's discipline) and the threshold scalar sums
+    // the SAME cached frame (decimal addition is exact, so the sum of
+    // per-part sums equals the oracle's grand sum to the bit); both sides
+    // render to doubles before the 0.1% compare, cutting identically
+    // cross-engine.
     "q11_important_values" -> ((s, dir) => {
-      t(s, dir, "lineitem").createOrReplaceTempView("q11_lineitem")
-      t(s, dir, "supplier").createOrReplaceTempView("q11_supplier")
-      t(s, dir, "nation").createOrReplaceTempView("q11_nation")
-      t(s, dir, "region").createOrReplaceTempView("q11_region")
+      val vf = t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+            .filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(dec(col("l_extendedprice"))).as("vdec"))
+      persistShared("q11_vf", vf).createOrReplaceTempView("q11_values")
       s.sql("""
-        SELECT l_partkey,
-               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
-                 AS DOUBLE), 6) AS value
-        FROM q11_lineitem, q11_supplier, q11_nation, q11_region
-        WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
-          AND n_regionkey = r_regionkey AND r_name = 'AMERICA'
-        GROUP BY l_partkey
-        HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) > (
-          SELECT CAST(0.001 AS DOUBLE) *
-                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
-          FROM q11_lineitem, q11_supplier, q11_nation, q11_region
-          WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
-            AND n_regionkey = r_regionkey AND r_name = 'AMERICA')
+        SELECT l_partkey, round(CAST(vdec AS DOUBLE), 6) AS value
+        FROM q11_values
+        WHERE CAST(vdec AS DOUBLE) > (
+          SELECT CAST(0.001 AS DOUBLE) * CAST(sum(vdec) AS DOUBLE)
+          FROM q11_values)
         ORDER BY value DESC, l_partkey
       """)
     }),
