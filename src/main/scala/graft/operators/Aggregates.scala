@@ -596,6 +596,23 @@ object Aggregates {
       """)
     }),
 
+    // ROLLUP with GROUPING()/GROUPING_ID() — the disambiguation surface
+    // every BI layer needs on super-aggregate frames: a NULL group value
+    // can mean "subtotal row" OR "the data really was NULL"; grouping()
+    // is the bit that tells them apart, grouping_id() the packed level
+    // key a report pivots on. Pure hash-agg Expand, tiny result; both
+    // engines cast the flags to INT (Spark emits tinyint/bigint natively,
+    // DuckDB its own widths — INT is the portable meet).
+    "agg_grouping_id" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
     // HAVING-gated aggregation (TPC-H Q18 shape): orders whose total
     // quantity exceeds a threshold.
     "agg_having" -> ((s, dir) => {
@@ -1398,6 +1415,13 @@ object Aggregates {
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority, count(1) AS n,
+                CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+                CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+                CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "q19_disjunctive_revenue" ->
       """SELECT round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
                   AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue

@@ -2688,6 +2688,39 @@ object AnalyticsOps {
       queries("stat_poisson_ztest")(s, dir)
         .withColumn("p_value", round(PValueGrids.pTwoSided(col("z")), 6))
         .orderBy(col("et_a"), col("et_b"))),
+
+    // Benjamini–Hochberg step-up FDR over the 10-test poisson family —
+    // what a stats deck actually REPORTS when it runs a family of tests
+    // (raw p-values multiply the false-discovery rate by m; BH is the
+    // standard correction): rank the family ascending, raw_k = p·m/k,
+    // adjusted_k = min over j ≥ k of raw_j capped at 1 (the step-up
+    // suffix-min), flag ≤ 0.05. The family frame is eagerly pinned (the
+    // base runs ONCE; its whitelisted broadcast self-join roots below the
+    // RDD scan) and every window runs on the 10-row family — bounded by
+    // the |types|² pair construction, never the fact. The cap is a CASE
+    // (least() skips NULLs on both engines); the flag compares the
+    // UNCAPPED suffix-min, identical doubles cross-engine.
+    "stat_bh_fdr" -> ((s, dir) => {
+      val base = queries("stat_poisson_pvalue")(s, dir)
+        .select(col("et_a"), col("et_b"), col("p_value"))
+        .transform(RoundPin.pin)
+      val wRank = Window.orderBy(col("p_value"), col("et_a"), col("et_b"))
+      val wAll = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wSuffix = Window
+        .orderBy(col("p_value").desc, col("et_a").desc, col("et_b").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      base.withColumn("rk", row_number().over(wRank).cast("long"))
+        .withColumn("m", count(lit(1)).over(wAll))
+        .withColumn("raw", col("p_value") * col("m") / col("rk"))
+        .withColumn("madj", min(col("raw")).over(wSuffix))
+        .select(col("et_a"), col("et_b"), col("p_value"),
+          col("rk").cast("int").as("rank"),
+          round(when(col("madj") > 1.0, lit(1.0)).otherwise(col("madj")), 6)
+            .as("p_adjusted"),
+          (col("madj") <= 0.05).cast("int").as("significant_fdr05"))
+        .orderBy(col("rank"))
+    }),
     "stat_runs_pvalue" -> ((s, dir) =>
       queries("stat_runs_test")(s, dir)
         .withColumn("p_value", round(PValueGrids.pTwoSided(col("z")), 6))
@@ -9022,6 +9055,24 @@ object AnalyticsOps {
         "stat_mood_pvalue" -> c2("stat_mood_median", "chi2", "dof"),
         "stat_dow_pvalue" ->
           c2("stat_dow_uniformity", "chi2_stat", "dof", "ORDER BY event_type"),
+        "stat_bh_fdr" ->
+          s"""WITH pbase AS (${z("stat_poisson_ztest", "z",
+                "ORDER BY et_a, et_b")}),
+              r AS (SELECT et_a, et_b, p_value,
+                      row_number() OVER (ORDER BY p_value, et_a, et_b) AS rk,
+                      count(1) OVER () AS m
+                    FROM pbase),
+              a AS (SELECT et_a, et_b, p_value, rk,
+                      min(p_value * m / rk) OVER
+                        (ORDER BY p_value DESC, et_a DESC, et_b DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS madj
+                    FROM r)
+              SELECT et_a, et_b, p_value, CAST(rk AS INT) AS rank,
+                     round(CASE WHEN madj > 1 THEN CAST(1 AS DOUBLE)
+                           ELSE madj END, 6) AS p_adjusted,
+                     CAST(madj <= 0.05 AS INT) AS significant_fdr05
+              FROM a ORDER BY rank""".replaceAll("\\s+", " ").trim,
         "stat_anova_pvalue" ->
           c2("stat_anova", "f_stat * df_between", "df_between"),
         "stat_spearman_pvalue" ->

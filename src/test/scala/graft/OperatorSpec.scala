@@ -6333,6 +6333,32 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("stat_bh_fdr: adjusted p-values replay the step-up on the collected family") {
+    val fam = q("stat_poisson_pvalue").collect()
+      .map(r => (r.getAs[String]("et_a"), r.getAs[String]("et_b"),
+        r.getAs[Double]("p_value")))
+    val m = fam.length
+    val sorted = fam.sortBy { case (a, b, p) => (p, a, b) }
+    // brute step-up: adjusted_k = min over j >= k of p_(j)*m/j, capped at 1
+    val raw = sorted.zipWithIndex.map { case ((_, _, p), i) => p * m / (i + 1) }
+    val adj = raw.indices.map(k => math.min(raw.drop(k).min, 1.0))
+    val got = q("stat_bh_fdr").collect()
+    assert(got.length === m)
+    got.foreach { r =>
+      val rank = r.getAs[Int]("rank")
+      val (ea, eb, p) = sorted(rank - 1)
+      assert((r.getAs[String]("et_a"), r.getAs[String]("et_b")) === ((ea, eb)))
+      assert(r.getAs[Double]("p_value") === p)
+      assert(math.abs(r.getAs[Double]("p_adjusted") - adj(rank - 1)) < 1e-6,
+        s"adjusted at rank $rank")
+      assert(r.getAs[Int]("significant_fdr05") ===
+        (if (raw.drop(rank - 1).min <= 0.05) 1 else 0))
+    }
+    // monotone non-decreasing in rank — the defining step-up property
+    val byRank = got.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("p_adjusted"))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+  }
+
   test("DistRank.withRank: cumsum stays exact on NEGATIVE values") {
     // regression for the r11 slice-total bug: _drk_csum was max(_drk_lcs)
     // (max of the local running sum), which equals the slice sum only for
