@@ -2721,6 +2721,67 @@ object AnalyticsOps {
           (col("madj") <= 0.05).cast("int").as("significant_fdr05"))
         .orderBy(col("rank"))
     }),
+
+    // Holm step-DOWN over the same family — the FWER sibling of
+    // stat_bh_fdr's FDR (Holm controls the stricter family-wise error,
+    // uniformly more powerful than plain Bonferroni): rank ascending,
+    // raw_k = p·(m−k+1), adjusted = prefix-MAX capped at 1 (step-down
+    // enforces monotonicity from the smallest p upward). Same pinned
+    // 10-row family, same bounded windows.
+    "stat_holm_fwer" -> ((s, dir) => {
+      val base = queries("stat_poisson_pvalue")(s, dir)
+        .select(col("et_a"), col("et_b"), col("p_value"))
+        .transform(RoundPin.pin)
+      val wRank = Window.orderBy(col("p_value"), col("et_a"), col("et_b"))
+      val wAll = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wPrefix = Window.orderBy(col("p_value"), col("et_a"), col("et_b"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      base.withColumn("rk", row_number().over(wRank).cast("long"))
+        .withColumn("m", count(lit(1)).over(wAll))
+        .withColumn("raw", col("p_value") * (col("m") - col("rk") + lit(1L)))
+        .withColumn("madj", max(col("raw")).over(wPrefix))
+        .select(col("et_a"), col("et_b"), col("p_value"),
+          col("rk").cast("int").as("rank"),
+          round(when(col("madj") > 1.0, lit(1.0)).otherwise(col("madj")), 6)
+            .as("p_adjusted"),
+          (col("madj") <= 0.05).cast("int").as("significant_fwer05"))
+        .orderBy(col("rank"))
+    }),
+
+    // Fisher's combined-probability test over the family — "is there ANY
+    // signal across the m tests": X = −2·Σ ln(p_k) ~ χ²(2m) under the
+    // global null. Each ln term is 6-dp-gridded BEFORE the sum and the
+    // sum runs in exact DECIMAL (order-free — the 0.01-index grid then
+    // absorbs the sub-ulp libm ln() differences exactly like the
+    // Wilson–Hilferty cube root); tail via the pinned chi-square grid.
+    "stat_fisher_combined" -> ((s, dir) => {
+      val base = queries("stat_poisson_pvalue")(s, dir)
+        .select(col("p_value")).transform(RoundPin.pin)
+      base.agg(count(lit(1)).as("n_tests"),
+          sum(dec(round(log(col("p_value")), 6))).as("slnp"))
+        .select(col("n_tests"),
+          round(lit(-2.0) * col("slnp").cast("double"), 6).as("fisher_chi2"),
+          (col("n_tests") * 2).cast("int").as("dof"))
+        .withColumn("p_combined",
+          round(PValueGrids.chi2Upper(col("fisher_chi2"), col("dof")), 6))
+    }),
+
+    // Stouffer's combined z over the family — the direction-AWARE
+    // combination Fisher's method can't express (Fisher ignores sign;
+    // Stouffer's Σz/√m cancels opposing effects): the base z's are
+    // already 6-dp-gridded, the sum runs in exact DECIMAL, one double
+    // division by √m, two-sided tail via the pinned normal grid.
+    "stat_stouffer_combined" -> ((s, dir) => {
+      val base = queries("stat_poisson_ztest")(s, dir)
+        .select(col("z")).transform(RoundPin.pin)
+      base.agg(count(lit(1)).as("n_tests"), sum(dec(col("z"))).as("sz"))
+        .select(col("n_tests"),
+          round(col("sz").cast("double") /
+            sqrt(col("n_tests").cast("double")), 6).as("z_combined"))
+        .withColumn("p_combined",
+          round(PValueGrids.pTwoSided(col("z_combined")), 6))
+    }),
     "stat_runs_pvalue" -> ((s, dir) =>
       queries("stat_runs_test")(s, dir)
         .withColumn("p_value", round(PValueGrids.pTwoSided(col("z")), 6))
@@ -9055,6 +9116,52 @@ object AnalyticsOps {
         "stat_mood_pvalue" -> c2("stat_mood_median", "chi2", "dof"),
         "stat_dow_pvalue" ->
           c2("stat_dow_uniformity", "chi2_stat", "dof", "ORDER BY event_type"),
+        "stat_holm_fwer" ->
+          s"""WITH pbase AS (${z("stat_poisson_ztest", "z",
+                "ORDER BY et_a, et_b")}),
+              r AS (SELECT et_a, et_b, p_value,
+                      row_number() OVER (ORDER BY p_value, et_a, et_b) AS rk,
+                      count(1) OVER () AS m
+                    FROM pbase),
+              a AS (SELECT et_a, et_b, p_value, rk,
+                      max(p_value * (m - rk + 1)) OVER
+                        (ORDER BY p_value, et_a, et_b
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS madj
+                    FROM r)
+              SELECT et_a, et_b, p_value, CAST(rk AS INT) AS rank,
+                     round(CASE WHEN madj > 1 THEN CAST(1 AS DOUBLE)
+                           ELSE madj END, 6) AS p_adjusted,
+                     CAST(madj <= 0.05 AS INT) AS significant_fwer05
+              FROM a ORDER BY rank""".replaceAll("\\s+", " ").trim,
+        "stat_fisher_combined" ->
+          s"""WITH pbase AS (${z("stat_poisson_ztest", "z",
+                "ORDER BY et_a, et_b")}),
+              m AS (SELECT CAST(count(1) AS BIGINT) AS n_tests,
+                      sum(CAST(round(ln(p_value), 6) AS DECIMAL(18,6))) AS slnp
+                    FROM pbase),
+              f AS (SELECT n_tests,
+                      round(CAST(-2 AS DOUBLE) * CAST(slnp AS DOUBLE), 6)
+                        AS fisher_chi2,
+                      CAST(n_tests * 2 AS INT) AS dof
+                    FROM m)
+              SELECT n_tests, fisher_chi2, dof,
+                     round(${PValueGrids.chi2UpperSql("fisher_chi2", "dof")}, 6)
+                       AS p_combined
+              FROM f""".replaceAll("\\s+", " ").trim,
+        "stat_stouffer_combined" ->
+          s"""WITH zbase AS (${oraclesMain("stat_poisson_ztest")}),
+              m AS (SELECT CAST(count(1) AS BIGINT) AS n_tests,
+                      sum(CAST(z AS DECIMAL(18,6))) AS sz
+                    FROM zbase),
+              f AS (SELECT n_tests,
+                      round(CAST(sz AS DOUBLE) / sqrt(CAST(n_tests AS DOUBLE)), 6)
+                        AS z_combined
+                    FROM m)
+              SELECT n_tests, z_combined,
+                     round(${PValueGrids.pTwoSidedSql("z_combined")}, 6)
+                       AS p_combined
+              FROM f""".replaceAll("\\s+", " ").trim,
         "stat_bh_fdr" ->
           s"""WITH pbase AS (${z("stat_poisson_ztest", "z",
                 "ORDER BY et_a, et_b")}),

@@ -6359,6 +6359,39 @@ class PropertySpec extends SparkSuite {
     assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
   }
 
+  test("stat_holm_fwer / fisher / stouffer replay the brute combinations") {
+    val fam = q("stat_poisson_pvalue").collect()
+      .map(r => (r.getAs[String]("et_a"), r.getAs[String]("et_b"),
+        r.getAs[Double]("p_value")))
+    val m = fam.length
+    // Holm step-down: prefix-max of p_(k)*(m-k+1), capped at 1
+    val sorted = fam.sortBy { case (a, b, p) => (p, a, b) }
+    val raw = sorted.zipWithIndex.map { case ((_, _, p), i) => p * (m - i) }
+    val adj = raw.indices.map(k => math.min(raw.take(k + 1).max, 1.0))
+    q("stat_holm_fwer").collect().foreach { r =>
+      val rank = r.getAs[Int]("rank")
+      assert(math.abs(r.getAs[Double]("p_adjusted") - adj(rank - 1)) < 1e-6,
+        s"holm adjusted at rank $rank")
+      assert(r.getAs[Int]("significant_fwer05") ===
+        (if (raw.take(rank).max <= 0.05) 1 else 0))
+    }
+    // Fisher: -2 * sum of 6-dp-gridded ln(p), chi2(2m)
+    val slnp = fam.map(t => BigDecimal(math.log(t._3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+    val rf = q("stat_fisher_combined").collect()(0)
+    assert(rf.getAs[Long]("n_tests") === m.toLong)
+    assert(math.abs(rf.getAs[Double]("fisher_chi2") -
+      (-2.0 * slnp.toDouble)) < 1e-5, "fisher chi2")
+    assert(rf.getAs[Int]("dof") === 2 * m)
+    val pc = rf.getAs[Double]("p_combined")
+    assert(pc >= 0.0 && pc <= 1.0)
+    // Stouffer: sum of gridded z over sqrt(m)
+    val zs = q("stat_poisson_ztest").collect().map(_.getAs[Double]("z"))
+    val zc = zs.map(BigDecimal(_)).sum.toDouble / math.sqrt(m.toDouble)
+    val rs = q("stat_stouffer_combined").collect()(0)
+    assert(math.abs(rs.getAs[Double]("z_combined") - zc) < 1e-6, "stouffer z")
+  }
+
   test("DistRank.withRank: cumsum stays exact on NEGATIVE values") {
     // regression for the r11 slice-total bug: _drk_csum was max(_drk_lcs)
     // (max of the local running sum), which equals the slice sum only for
