@@ -72,6 +72,31 @@ object TextOps {
   // shared by every operator bank the re-executed-subtree lint covers.
 
   val queries: Map[String, QFn] = Map(
+    // Fuzzy entity matching via the native codegen'd Jaro–Winkler
+    // expression (functions/JaroWinkler.scala — Spark ships levenshtein
+    // but no JW; semantics bit-matched to DuckDB's
+    // jaro_winkler_similarity over every blocked pair): the
+    // entity-resolution shape — block candidates by the last word so the
+    // quadratic stays inside per-block buckets at any scale (never
+    // |names|²; a larger corpus adds a second block key or salts), score
+    // each pair in the join's
+    // codegen span, keep near-matches under a (6-dp score, name, name)
+    // total order. The 100 TB path is this exact plan with a saltable
+    // block key; scoring is scan-local per pair.
+    "text_fuzzy_match" -> ((s, dir) => {
+      val names = t(s, dir, "part").select(col("p_name")).distinct()
+        .withColumn("blk", split(col("p_name"), " ").getItem(1))
+      val a = names.select(col("blk"), col("p_name").as("name_a"))
+      val b = names.select(col("blk").as("blk2"), col("p_name").as("name_b"))
+      a.join(b, col("blk") === col("blk2") && col("name_a") < col("name_b"))
+        .withColumn("similarity",
+          round(graft.functions.JaroWinkler.jw(col("name_a"), col("name_b")), 6))
+        .filter(col("similarity") >= 0.8)
+        .select(col("name_a"), col("name_b"), col("similarity"))
+        .orderBy(col("similarity").desc, col("name_a"), col("name_b"))
+        .limit(20)
+    }),
+
     // canonical-composition (NFC) first, THEN case-fold/whitespace-collapse:
     // without it, byte-distinct encodings of the same logical text (é vs
     // e+U+0301) hash to different digests and dedup misses them. ASCII
@@ -1572,6 +1597,15 @@ object TextOps {
        GROUP BY doc_id ORDER BY doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "text_fuzzy_match" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+         nb AS (SELECT p_name, split_part(p_name, ' ', 2) AS blk FROM names)
+         SELECT a.p_name AS name_a, b.p_name AS name_b,
+                round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+                  AS similarity
+         FROM nb a JOIN nb b ON a.blk = b.blk AND a.p_name < b.p_name
+         WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.8
+         ORDER BY similarity DESC, name_a, name_b LIMIT 20""",
     "text_textrank" ->
       s"""WITH toks AS (
             SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk

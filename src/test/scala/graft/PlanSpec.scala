@@ -139,6 +139,36 @@ class PlanSpec extends SparkSuite {
     assert(gen(0)._1 === "plain ascii stays" && gen(4)._1 === "")
   }
 
+  test("JaroWinkler: codegen/interpreted agree; known values match DuckDB semantics") {
+    import spark.implicits._
+    import graft.functions.JaroWinkler.jw
+    val rows = Seq(
+      (1L, "martha", "marhta"),     // classic: jaro 17/18, JW boosted
+      (2L, "dixon", "dicksonx"),    // prefix-2 boost above the 0.7 gate
+      (3L, "old anvil", "small rod"), // odd mismatch cycle — FLOORED half-count
+      (4L, "abc", "abc"),           // identity
+      (5L, "", "abc"),              // empty -> 0 (DuckDB semantics)
+      (6L, "", ""),                 // BOTH empty -> 0 (DuckDB, not 1)
+      (7L, "abcdxxxxxx", "abcdyyyyyyyyyy"), // jaro <= 0.7: boost NOT applied
+      (8L, "aaaaa", "aaaab")        // prefix capped at 4
+    ).toDF("id", "a", "b")
+    def run(mode: String): Seq[Double] = {
+      val prev = spark.conf.get("spark.sql.codegen.factoryMode")
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try rows.select(col("id"), jw(col("a"), col("b")).as("s"))
+        .orderBy(col("id")).collect().map(_.getDouble(1)).toSeq
+      finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
+    }
+    val gen = run("CODEGEN_ONLY")
+    assert(gen === run("NO_CODEGEN"))
+    // values pinned from duckdb> SELECT jaro_winkler_similarity(a, b)
+    val expect = Seq(0.9611111111111111, 0.8133333333333332, 0.4444444444444444,
+      1.0, 0.0, 0.0, 0.5619047619047619, 0.92)
+    gen.zip(expect).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(math.abs(g - e) < 1e-12, s"case ${i + 1}: $g vs $e")
+    }
+  }
+
   test("MinHashSig: codegen and interpreted paths agree bit-for-bit") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
