@@ -234,6 +234,23 @@ object ScalarBank {
         .orderBy(col("event_id"))
     }),
 
+    // XML scalar surface: per-row XML construction + xpath extraction
+    // (xpath_string / xpath_long / xpath_boolean — Hive-lineage built-ins,
+    // all codegen'd, scan-grain). The oracle inverts the construction
+    // algebraically (extraction of what format_string embedded IS the
+    // source column), so DuckDB needs no XML support — the check proves
+    // the round-trip, not the parser.
+    "fn_xml" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("xml", format_string(
+          "<e><id>%d</id><t>%s</t></e>", col("event_id"), col("event_type")))
+        .select(col("event_id"),
+          expr("xpath_long(xml, '/e/id/text()')").as("xid"),
+          expr("xpath_string(xml, '/e/t/text()')").as("xtype"),
+          expr("xpath_boolean(xml, '/e/id > 0')").cast("int").as("xpos"))
+        .orderBy(col("event_id"))
+    }),
+
     // calendar/interval arithmetic surface: add_months (month-end
     // clamped identically on both engines), last_day, quarter trunc,
     // and integer month/day horizons — the date plumbing of every
@@ -406,6 +423,10 @@ object ScalarBank {
          CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
          json_extract_string(props, '$.k') AS k_str,
          CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_struct
+         FROM events ORDER BY event_id""",
+    "fn_xml" ->
+      """SELECT event_id, event_id AS xid, event_type AS xtype,
+         CAST(event_id > 0 AS INT) AS xpos
          FROM events ORDER BY event_id""",
     "udf_scalar" ->
       """SELECT p_partkey, regexp_replace(lower(trim(p_name)), '\s+', ' ', 'g') AS clean_name

@@ -1466,6 +1466,31 @@ object AnalyticsOps {
           when(col("achieved_k") >= 5, 1).otherwise(0))
     }),
 
+    // Differentially-private count release over the segment grain — the
+    // privacy MECHANISM beside the k-anonymity/l-diversity/t-closeness
+    // AUDITS: published counts get Laplace(1/ε) noise (ε = 1) so any one
+    // individual's presence changes the release by at most e^ε odds. The
+    // noise is hash-SEEDED (the repo's RNG-free discipline — production
+    // DP pipelines seed per-release for reproducibility): u ∈ (0,1) from
+    // the Knuth multiplicative hash of the group key, inverse-CDF
+    // Laplace −b·sign(u−½)·ln(1−2|u−½|), 6-dp-gridded (the grid absorbs
+    // sub-ulp libm ln differences). One fact agg; noise is group-grain.
+    "gdpr_dp_counts" -> ((s, dir) => {
+      val u = (((length(col("c_mktsegment")) * lit(31L) +
+        ascii(col("c_mktsegment"))) * lit(2654435761L)) % lit(4294967296L) %
+        lit(1000000L) + lit(0.5)) / lit(1000000.0)
+      val lap = -signum(u - lit(0.5)) *
+        log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("true_count"))
+        .withColumn("noise", round(lap, 6))
+        .select(col("c_mktsegment"), col("true_count"),
+          round(col("true_count") + col("noise"), 6).as("dp_count"),
+          col("noise"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Benford first-digit screen on order totals — the books-level fraud
     // /data-fabrication detector (fabricated amounts flunk the log-
     // uniform first-digit law): first digits come from the INTEGER cents
@@ -6408,6 +6433,21 @@ object AnalyticsOps {
                   AS n_rows_at_risk,
                 CASE WHEN min(cnt) >= 5 THEN 1 ELSE 0 END AS satisfies_k5
          FROM g""",
+    "gdpr_dp_counts" ->
+      """WITH g AS (
+           SELECT c_mktsegment, count(1) AS true_count FROM customer GROUP BY 1),
+         n AS (
+           SELECT c_mktsegment, true_count,
+                  round(-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6)
+                    AS noise
+           FROM (SELECT c_mktsegment, true_count,
+                   (((length(c_mktsegment) * 31 + ascii(c_mktsegment))
+                     * 2654435761) % 4294967296 % 1000000 + 0.5) / 1000000.0
+                     AS u
+                 FROM g))
+         SELECT c_mktsegment, true_count,
+                round(true_count + noise, 6) AS dp_count, noise
+         FROM n ORDER BY c_mktsegment""",
     "stat_benford" ->
       """WITH obs AS (
            SELECT CAST(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)

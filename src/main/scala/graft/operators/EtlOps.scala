@@ -168,10 +168,21 @@ object EtlOps {
     path
   }
 
+  /** XML event dump — the third structured wire format beside JSONL/CSV
+    * (Spark 4 ships the XML source natively; rowTag frames each record). */
+  def stageXml(s: SparkSession, dir: String): String = {
+    val path = tmpDir(s"xml_${pathTag(dir)}")
+    if (!Files.exists(Paths.get(path, "_SUCCESS")))
+      events(s, dir).select(col("event_id"), col("event_type"), col("value"))
+        .write.mode(SaveMode.Overwrite).option("rowTag", "event")
+        .format("xml").save(path)
+    path
+  }
+
   def stageFixtures(s: SparkSession, dir: String): Unit = {
     stageJsonl(s, dir); stageCsv(s, dir); stageOrc(s, dir); stageText(s, dir)
     stagePartitioned(s, dir); stageCompact(s, dir); stageStatusDim(s, dir)
-    stageBinaryDocs(s, dir); ()
+    stageBinaryDocs(s, dir); stageXml(s, dir); ()
   }
 
   val queries: Map[String, QFn] = Map(
@@ -215,6 +226,25 @@ object EtlOps {
           StructField("event_type", StringType),
           StructField("value", DoubleType))))
         .csv(path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+        .orderBy(col("event_type"))
+    }),
+
+    // XML ingest — Spark 4's NATIVE XML source (rowTag record framing),
+    // the third structured wire format beside JSONL/CSV and the classic
+    // enterprise-feed on-ramp: schema-applied read (no inference pass —
+    // at 100 TB inference is a full extra scan), then the same
+    // decimal-exact rollup as scan_csv so the double round-trip through
+    // XML text is proven exact against the parquet-derived oracle.
+    "scan_xml" -> ((s, dir) => {
+      val path = stageXml(s, dir)
+      s.read.format("xml").option("rowTag", "event")
+        .schema(StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType))))
+        .load(path)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
         .orderBy(col("event_type"))
@@ -863,6 +893,12 @@ object EtlOps {
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(1) AS n
          FROM events GROUP BY k ORDER BY k""",
     "scan_csv" ->
+      """SELECT event_type, count(1) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // XML text round-trips doubles through the same shortest-repr string
+    // form as CSV, so the parquet-derived aggregate reproduces it exactly
+    "scan_xml" ->
       """SELECT event_type, count(1) AS n,
          round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
          FROM events GROUP BY event_type ORDER BY event_type""",
