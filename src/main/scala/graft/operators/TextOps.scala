@@ -97,6 +97,29 @@ object TextOps {
         .limit(20)
     }),
 
+    // Edit-distance triage over the same blocked candidate pairs —
+    // text_fuzzy_match's integer-exact sibling: plain levenshtein (Spark
+    // built-in) beside the native UNRESTRICTED Damerau–Levenshtein
+    // expression (functions/DamerauLevenshtein.scala); the difference
+    // between the two IS the adjacent-transposition count, the single
+    // most common human typo class a fuzzy dedup wants surfaced. All
+    // integers — engine-exact with no gridding; top-20 closest pairs
+    // under a (distance, name, name) total order.
+    "text_fuzzy_editdist" -> ((s, dir) => {
+      val names = t(s, dir, "part").select(col("p_name")).distinct()
+        .withColumn("blk", split(col("p_name"), " ").getItem(1))
+      val a = names.select(col("blk"), col("p_name").as("name_a"))
+      val b = names.select(col("blk").as("blk2"), col("p_name").as("name_b"))
+      a.join(b, col("blk") === col("blk2") && col("name_a") < col("name_b"))
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("long").as("lev"),
+          graft.functions.DamerauLevenshtein.dl(col("name_a"), col("name_b"))
+            .as("dl"))
+        .withColumn("transposition_gain", col("lev") - col("dl"))
+        .orderBy(col("dl"), col("name_a"), col("name_b"))
+        .limit(20)
+    }),
+
     // canonical-composition (NFC) first, THEN case-fold/whitespace-collapse:
     // without it, byte-distinct encodings of the same logical text (é vs
     // e+U+0301) hash to different digests and dedup misses them. ASCII
@@ -1597,6 +1620,17 @@ object TextOps {
        GROUP BY doc_id ORDER BY doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "text_fuzzy_editdist" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+         nb AS (SELECT p_name, split_part(p_name, ' ', 2) AS blk FROM names)
+         SELECT a.p_name AS name_a, b.p_name AS name_b,
+                CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev,
+                CAST(damerau_levenshtein(a.p_name, b.p_name) AS BIGINT) AS dl,
+                CAST(levenshtein(a.p_name, b.p_name)
+                     - damerau_levenshtein(a.p_name, b.p_name) AS BIGINT)
+                  AS transposition_gain
+         FROM nb a JOIN nb b ON a.blk = b.blk AND a.p_name < b.p_name
+         ORDER BY dl, name_a, name_b LIMIT 20""",
     "text_fuzzy_match" ->
       """WITH names AS (SELECT DISTINCT p_name FROM part),
          nb AS (SELECT p_name, split_part(p_name, ' ', 2) AS blk FROM names)

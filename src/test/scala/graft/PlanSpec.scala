@@ -169,6 +169,28 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("DamerauLevenshtein: codegen/interpreted agree; UNRESTRICTED variant pinned") {
+    import spark.implicits._
+    import graft.functions.DamerauLevenshtein.dl
+    val rows = Seq(
+      (1L, "CA", "ABC"),            // THE discriminator: true DL = 2, OSA = 3
+      (2L, "abcdef", "abcfad"),     // DuckDB-pinned 3
+      (3L, "kitten", "sitting"),    // no transpositions: equals levenshtein 3
+      (4L, "ab", "ba"),             // one transposition = 1
+      (5L, "", "xyz"), (6L, "same", "same")
+    ).toDF("id", "a", "b")
+    def run(mode: String): Seq[Long] = {
+      val prev = spark.conf.get("spark.sql.codegen.factoryMode")
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try rows.select(col("id"), dl(col("a"), col("b")).as("d"))
+        .orderBy(col("id")).collect().map(_.getLong(1)).toSeq
+      finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
+    }
+    val gen = run("CODEGEN_ONLY")
+    assert(gen === run("NO_CODEGEN"))
+    assert(gen === Seq(2L, 3L, 3L, 1L, 3L, 0L))
+  }
+
   test("MinHashSig: codegen and interpreted paths agree bit-for-bit") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
