@@ -4527,6 +4527,61 @@ object AnalyticsOps {
         .withColumn("p_value",
           round(PValueGrids.chi2Upper(col("h_stat"), col("dof")), 6))),
 
+    // Dunn's post-hoc test — the pairwise follow-up the Kruskal–Wallis
+    // omnibus REQUIRES before anyone acts on it ("the segments differ"
+    // is useless without WHICH pairs differ): z_ij = (R̄_i − R̄_j) /
+    // √((N(N+1)/12 − T)·(1/n_i + 1/n_j)) on the SAME doubled-rank
+    // integer machinery as stat_kruskal_wallis (rank2 = 2·cumb + t + 1,
+    // T = Σ(t³−t)/(12(N−1)) tie correction), mean ranks 6-dp-gridded
+    // before the pair algebra, two-sided p via the pinned normal grid,
+    // and Benjamini–Hochberg adjustment across the k(k−1)/2 = 10 pairs
+    // (stat_bh_fdr's step-up on the pair grain). Theta self-join of the
+    // broadcast 5-row segment frame; windows on the 10-row pair family.
+    "stat_dunn_posthoc" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"), col("c_acctbal").as("v"))
+      val g = persistShared("dunn_vals",
+        c.groupBy(col("v")).agg(count(lit(1)).as("t")))
+      val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+      val r = g.withColumn("cumb", coalesce(sum(col("t")).over(w), lit(0L)))
+        .withColumn("rank2", lit(2L) * col("cumb") + col("t") + 1)
+      val perSeg = c.groupBy(col("seg"), col("v")).agg(count(lit(1)).as("cnt"))
+        .join(r.select(col("v"), col("rank2")), Seq("v"))
+        .groupBy(col("seg"))
+        .agg(sum(col("cnt")).as("nj"),
+          round(sum(col("cnt") * col("rank2")).cast("double") /
+            (lit(2.0) * sum(col("cnt"))), 6).as("mean_rank"))
+      val tot = g.agg(sum(col("t")).as("n"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+      val pairs = perSeg.as("a")
+        .join(broadcast(perSeg.as("b")), col("a.seg") < col("b.seg"))
+        .crossJoin(broadcast(tot))
+      val nD = col("n").cast("double")
+      val sigma2 = (nD * (nD + 1) / 12 -
+        col("ties").cast("double") / (lit(12.0) * (nD - 1))) *
+        (lit(1.0) / col("a.nj") + lit(1.0) / col("b.nj"))
+      val zp = pairs.select(col("a.seg").as("seg_a"), col("b.seg").as("seg_b"),
+          col("a.nj").as("n_a"), col("b.nj").as("n_b"),
+          round((col("a.mean_rank") - col("b.mean_rank")) / sqrt(sigma2), 6)
+            .as("z"))
+        .withColumn("p_value", round(PValueGrids.pTwoSided(col("z")), 6))
+        .transform(RoundPin.pin)
+      val wRank = Window.orderBy(col("p_value"), col("seg_a"), col("seg_b"))
+      val wAll = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wSuffix = Window
+        .orderBy(col("p_value").desc, col("seg_a").desc, col("seg_b").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      zp.withColumn("rk", row_number().over(wRank).cast("long"))
+        .withColumn("m", count(lit(1)).over(wAll))
+        .withColumn("madj", min(col("p_value") * col("m") / col("rk")).over(wSuffix))
+        .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
+          col("z"), col("p_value"),
+          round(when(col("madj") > 1.0, lit(1.0)).otherwise(col("madj")), 6)
+            .as("p_adjusted"))
+        .orderBy(col("seg_a"), col("seg_b"))
+    }),
+
     // Empirical-Bayes (Beta-Binomial) rate shrinkage over the
     // (priority × year) cells — the ranking-safe rate estimator every
     // CTR/conversion pipeline ships (a 3/4 cell must not outrank a
@@ -7955,6 +8010,50 @@ object AnalyticsOps {
                        (CAST(n AS DOUBLE) * n * n - n)), 6) AS h_stat,
                 k - 1 AS dof
          FROM m CROSS JOIN tc""",
+    "stat_dunn_posthoc" ->
+      s"""WITH c AS (
+           SELECT c_mktsegment AS seg, c_acctbal AS v FROM customer),
+         g AS (SELECT v, count(1) AS t FROM c GROUP BY v),
+         r AS (SELECT v, t,
+                      2 * coalesce(sum(t) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        + t + 1 AS rank2
+               FROM g),
+         ps AS (
+           SELECT seg, CAST(sum(cnt) AS BIGINT) AS nj,
+                  round(CAST(sum(cnt * rank2) AS DOUBLE) / (2.0 * sum(cnt)), 6)
+                    AS mean_rank
+           FROM (SELECT seg, v, count(1) AS cnt FROM c GROUP BY seg, v) sv
+           JOIN r USING (v) GROUP BY seg),
+         tc AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+                       CAST(sum(t * t * t - t) AS BIGINT) AS ties
+                FROM g),
+         zp AS (
+           SELECT a.seg AS seg_a, b.seg AS seg_b,
+                  a.nj AS n_a, b.nj AS n_b,
+                  round((a.mean_rank - b.mean_rank) /
+                    sqrt((CAST(n AS DOUBLE) * (n + 1) / 12
+                          - CAST(ties AS DOUBLE) / (12.0 * (n - 1)))
+                         * (1.0 / a.nj + 1.0 / b.nj)), 6) AS z
+           FROM ps a JOIN ps b ON a.seg < b.seg CROSS JOIN tc),
+         zpp AS (
+           SELECT seg_a, seg_b, n_a, n_b, z,
+                  round(${PValueGrids.pTwoSidedSql("z")}, 6) AS p_value
+           FROM zp),
+         rk AS (SELECT seg_a, seg_b, n_a, n_b, z, p_value,
+                       row_number() OVER (ORDER BY p_value, seg_a, seg_b) AS rk,
+                       count(1) OVER () AS m
+                FROM zpp),
+         adj AS (SELECT seg_a, seg_b, n_a, n_b, z, p_value,
+                        min(p_value * m / rk) OVER
+                          (ORDER BY p_value DESC, seg_a DESC, seg_b DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS madj
+                 FROM rk)
+         SELECT seg_a, seg_b, n_a, n_b, z, p_value,
+                round(CASE WHEN madj > 1 THEN CAST(1 AS DOUBLE) ELSE madj END, 6)
+                  AS p_adjusted
+         FROM adj ORDER BY seg_a, seg_b""".replaceAll("\\s+", " ").trim,
     "stat_friedman" ->
       """WITH daily AS (
            SELECT CAST(ts AS DATE) AS day, event_type AS et, count(1) AS c

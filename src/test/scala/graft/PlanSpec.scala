@@ -1012,6 +1012,7 @@ class PlanSpec extends SparkSuite {
       "sort_range_boundaries" -> "constant 3200-row hash sample + 32-row bucket rollup",
       "stat_bh_fdr" -> "pairwise-test family grain: |types|^2 <= 10 rows (pinned stat_poisson_pvalue output)",
       "stat_holm_fwer" -> "pairwise-test family grain: |types|^2 <= 10 rows (pinned stat_poisson_pvalue output)",
+      "stat_dunn_posthoc" -> "pair family grain: |segments|^2 <= 10 rows (pinned z/p frame); the value-grain rank window sits below the pin on the value domain (kruskal's bound)",
       "stat_benford" -> "digit grain: 9 cells",
       "stat_bootstrap_ci" -> "replicate grain: 64 bootstrap resamples",
       "stat_cvm" -> "pooled distinct-value grain (decimal-gridded domain)",
