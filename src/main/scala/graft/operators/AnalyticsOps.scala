@@ -4116,6 +4116,65 @@ object AnalyticsOps {
         .orderBy(col("event_type"))
     }),
 
+    // Engle–Granger cointegration screen between the view and purchase
+    // daily series — the "do these two series share a long-run
+    // equilibrium" test a forecasting pipeline runs before trusting one
+    // series as a regressor for the other (two trending series can
+    // correlate spuriously; cointegration is the honest version): step 1
+    // OLS y~x from EXACT integer moments (one 1-row coefficient frame,
+    // identical doubles both engines); step 2 residuals 6-dp-gridded at
+    // birth; step 3 no-intercept ADF on the residual series — γ from
+    // dec(round(·,6))-gridded order-free sums of residual products, the
+    // second pass re-walks the pinned day-grain frame with γ broadcast
+    // back. Engle–Granger 5% critical value (2 variables, no trend)
+    // −3.37 flags cointegration. Day-grain windows only; the fact is
+    // rolled up once.
+    "ts_engle_granger" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(when(col("event_type") === "view", 1)).as("x"),
+          count(when(col("event_type") === "purchase", 1)).as("y"))
+        .transform(RoundPin.pin)
+      val mom = daily.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      val coef = mom.select(col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx"))).as("b"),
+          col("sx"), col("sy"))
+        .select(col("n"), col("b"),
+          ((col("sy").cast("double") - col("b") * col("sx")) / col("n")).as("a"))
+      val e = daily.crossJoin(broadcast(coef))
+        .select(col("day"), col("n"),
+          round(col("y") - col("a") - col("b") * col("x"), 6).as("e"),
+          round(col("b"), 6).as("slope"), round(col("a"), 6).as("intercept"))
+      val wD = Window.orderBy(col("day"))
+      val pairs = e
+        .withColumn("el", lag(col("e"), 1).over(wD))
+        .filter(col("el").isNotNull)
+        .withColumn("de", col("e") - col("el"))
+        .transform(RoundPin.pin)
+      val g = pairs.agg(
+        sum(dec(round(col("el") * col("de"), 6))).as("sed"),
+        sum(dec(round(col("el") * col("el"), 6))).as("see"),
+        count(lit(1)).as("t"))
+        .select((col("sed").cast("double") / col("see").cast("double")).as("gamma"),
+          col("see"), col("t"))
+      val fin = pairs.crossJoin(broadcast(g))
+        .agg(max(col("n")).as("n_days"), max(col("slope")).as("slope"),
+          max(col("intercept")).as("intercept"),
+          max(col("gamma")).as("g0"), max(col("t")).as("t0"),
+          max(col("see").cast("double")).as("see0"),
+          sum(dec(round((col("de") - col("gamma") * col("el")) *
+            (col("de") - col("gamma") * col("el")), 6))).as("sse"))
+      fin.select(col("n_days"), col("slope"), col("intercept"),
+          round(col("g0"), 6).as("gamma"),
+          round(col("g0") / sqrt((col("sse").cast("double") / (col("t0") - 1)) /
+            col("see0")), 6).as("adf_t"))
+        .withColumn("cointegrated",
+          when(col("adf_t") < -3.37, 1).otherwise(0))
+    }),
+
     // Lag/rolling feature matrix per event series — the ML feature
     // generator every forecasting/anomaly trainer consumes (lag-1,
     // lag-7, trailing 7-day mean on FULL windows only, first difference,
@@ -8010,6 +8069,47 @@ object AnalyticsOps {
                        (CAST(n AS DOUBLE) * n * n - n)), 6) AS h_stat,
                 k - 1 AS dof
          FROM m CROSS JOIN tc""",
+    "ts_engle_granger" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day,
+                  count(CASE WHEN event_type = 'view' THEN 1 END) AS x,
+                  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS y
+           FROM events GROUP BY 1),
+         mom AS (SELECT count(1) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                        CAST(sum(y) AS BIGINT) AS sy,
+                        CAST(sum(x * x) AS BIGINT) AS sxx,
+                        CAST(sum(x * y) AS BIGINT) AS sxy
+                 FROM daily),
+         coef AS (SELECT n,
+                    CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS b,
+                    sx, sy FROM mom),
+         coef2 AS (SELECT n, b, (CAST(sy AS DOUBLE) - b * sx) / n AS a FROM coef),
+         e AS (SELECT day, n, round(y - a - b * x, 6) AS e,
+                      round(b, 6) AS slope, round(a, 6) AS intercept
+               FROM daily CROSS JOIN coef2),
+         pairs AS (SELECT day, n, e, slope, intercept, el, e - el AS de FROM (
+                     SELECT day, n, e, slope, intercept,
+                            lag(e) OVER (ORDER BY day) AS el FROM e) q
+                   WHERE el IS NOT NULL),
+         g AS (SELECT
+                 CAST(sum(CAST(round(el * de, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                   / CAST(sum(CAST(round(el * el, 6) AS DECIMAL(18,6)))
+                     AS DOUBLE) AS gamma,
+                 CAST(sum(CAST(round(el * el, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                   AS see0,
+                 count(1) AS t0
+               FROM pairs),
+         fin AS (SELECT max(n) AS n_days, max(slope) AS slope,
+                        max(intercept) AS intercept, max(gamma) AS g0,
+                        max(t0) AS t0, max(see0) AS see0,
+                        CAST(sum(CAST(round((de - gamma * el) * (de - gamma * el),
+                          6) AS DECIMAL(18,6))) AS DOUBLE) AS sse
+                 FROM pairs CROSS JOIN g)
+         SELECT n_days, slope, intercept, round(g0, 6) AS gamma,
+                round(g0 / sqrt((sse / (t0 - 1)) / see0), 6) AS adf_t,
+                CASE WHEN round(g0 / sqrt((sse / (t0 - 1)) / see0), 6) < -3.37
+                     THEN 1 ELSE 0 END AS cointegrated
+         FROM fin""",
     "stat_dunn_posthoc" ->
       s"""WITH c AS (
            SELECT c_mktsegment AS seg, c_acctbal AS v FROM customer),

@@ -764,6 +764,7 @@ class PlanSpec extends SparkSuite {
       "agg_kmv_setops" -> "pairwise theta join over a <=7-row daily sketch frame",
       "graph_triangles" -> "crossJoin composes three 1-row aggregate frames",
       "ts_decay_agg" -> "crossJoin against a broadcast 1-row max-ts reference",
+      "ts_engle_granger" -> "crossJoin against the broadcast 1-row gamma/moment frames over the pinned day-grain residual frame",
       "text_cooccur_pmi" -> "crossJoins against broadcast 1-row ntok/npairs totals",
       "text_bm25" -> "crossJoin against a broadcast 1-row ndocs/ntok total",
       "vec_ann_recall" -> "composes vec_knn_join, whose broadcast <=8-probe cross join is bounded",
@@ -1012,6 +1013,7 @@ class PlanSpec extends SparkSuite {
       "sort_range_boundaries" -> "constant 3200-row hash sample + 32-row bucket rollup",
       "stat_bh_fdr" -> "pairwise-test family grain: |types|^2 <= 10 rows (pinned stat_poisson_pvalue output)",
       "stat_holm_fwer" -> "pairwise-test family grain: |types|^2 <= 10 rows (pinned stat_poisson_pvalue output)",
+      "ts_engle_granger" -> "calendar-day grain: one residual series, the lag window runs on the pinned <=|days| frame",
       "stat_dunn_posthoc" -> "pair family grain: |segments|^2 <= 10 rows (pinned z/p frame); the value-grain rank window sits below the pin on the value domain (kruskal's bound)",
       "stat_benford" -> "digit grain: 9 cells",
       "stat_bootstrap_ci" -> "replicate grain: 64 bootstrap resamples",
