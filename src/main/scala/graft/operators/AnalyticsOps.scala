@@ -2737,13 +2737,18 @@ object AnalyticsOps {
         .rowsBetween(Window.unboundedPreceding, 0)
       base.withColumn("rk", row_number().over(wRank).cast("long"))
         .withColumn("m", count(lit(1)).over(wAll))
-        .withColumn("raw", col("p_value") * col("m") / col("rk"))
-        .withColumn("madj", min(col("raw")).over(wSuffix))
+        // exact integer micro-units end to end: p6·m/rk can land EXACTLY
+        // on the 6-dp half-unit (0.101005·10/4 = 0.2525125 did at sf0.1)
+        // where Spark's HALF_UP and DuckDB's half-even disagree — the
+        // (2n+d) div 2d formula IS round-half-up on both engines
+        .withColumn("p6",
+          expr("CAST(round(p_value * 1000000, 0) AS BIGINT)"))
+        .withColumn("raw6", expr("(2 * p6 * m + rk) div (2 * rk)"))
+        .withColumn("madj6", min(col("raw6")).over(wSuffix))
         .select(col("et_a"), col("et_b"), col("p_value"),
           col("rk").cast("int").as("rank"),
-          round(when(col("madj") > 1.0, lit(1.0)).otherwise(col("madj")), 6)
-            .as("p_adjusted"),
-          (col("madj") <= 0.05).cast("int").as("significant_fdr05"))
+          (least(col("madj6"), lit(1000000L)) / 1000000.0).as("p_adjusted"),
+          (col("madj6") <= 50000L).cast("int").as("significant_fdr05"))
         .orderBy(col("rank"))
     }),
 
@@ -2764,13 +2769,15 @@ object AnalyticsOps {
         .rowsBetween(Window.unboundedPreceding, 0)
       base.withColumn("rk", row_number().over(wRank).cast("long"))
         .withColumn("m", count(lit(1)).over(wAll))
-        .withColumn("raw", col("p_value") * (col("m") - col("rk") + lit(1L)))
-        .withColumn("madj", max(col("raw")).over(wPrefix))
+        // p6·(m−k+1) is an exact integer — no division, no rounding at all
+        .withColumn("p6",
+          expr("CAST(round(p_value * 1000000, 0) AS BIGINT)"))
+        .withColumn("raw6", col("p6") * (col("m") - col("rk") + lit(1L)))
+        .withColumn("madj6", max(col("raw6")).over(wPrefix))
         .select(col("et_a"), col("et_b"), col("p_value"),
           col("rk").cast("int").as("rank"),
-          round(when(col("madj") > 1.0, lit(1.0)).otherwise(col("madj")), 6)
-            .as("p_adjusted"),
-          (col("madj") <= 0.05).cast("int").as("significant_fwer05"))
+          (least(col("madj6"), lit(1000000L)) / 1000000.0).as("p_adjusted"),
+          (col("madj6") <= 50000L).cast("int").as("significant_fwer05"))
         .orderBy(col("rank"))
     }),
 
@@ -4633,11 +4640,15 @@ object AnalyticsOps {
         .rowsBetween(Window.unboundedPreceding, 0)
       zp.withColumn("rk", row_number().over(wRank).cast("long"))
         .withColumn("m", count(lit(1)).over(wAll))
-        .withColumn("madj", min(col("p_value") * col("m") / col("rk")).over(wSuffix))
+        // stat_bh_fdr's exact micro-unit step-up (p6·m/rk can land on the
+        // 6-dp half-unit where the engines' rounding modes disagree)
+        .withColumn("p6",
+          expr("CAST(round(p_value * 1000000, 0) AS BIGINT)"))
+        .withColumn("raw6", expr("(2 * p6 * m + rk) div (2 * rk)"))
+        .withColumn("madj6", min(col("raw6")).over(wSuffix))
         .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
           col("z"), col("p_value"),
-          round(when(col("madj") > 1.0, lit(1.0)).otherwise(col("madj")), 6)
-            .as("p_adjusted"))
+          (least(col("madj6"), lit(1000000L)) / 1000000.0).as("p_adjusted"))
         .orderBy(col("seg_a"), col("seg_b"))
     }),
 
@@ -8145,14 +8156,14 @@ object AnalyticsOps {
                        count(1) OVER () AS m
                 FROM zpp),
          adj AS (SELECT seg_a, seg_b, n_a, n_b, z, p_value,
-                        min(p_value * m / rk) OVER
+                        min((2 * CAST(round(p_value * 1000000, 0) AS BIGINT) * m
+                             + rk) // (2 * rk)) OVER
                           (ORDER BY p_value DESC, seg_a DESC, seg_b DESC
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                          AS madj
+                          AS madj6
                  FROM rk)
          SELECT seg_a, seg_b, n_a, n_b, z, p_value,
-                round(CASE WHEN madj > 1 THEN CAST(1 AS DOUBLE) ELSE madj END, 6)
-                  AS p_adjusted
+                least(madj6, 1000000) / 1000000.0 AS p_adjusted
          FROM adj ORDER BY seg_a, seg_b""".replaceAll("\\s+", " ").trim,
     "stat_friedman" ->
       """WITH daily AS (
@@ -9363,15 +9374,15 @@ object AnalyticsOps {
                       count(1) OVER () AS m
                     FROM pbase),
               a AS (SELECT et_a, et_b, p_value, rk,
-                      max(p_value * (m - rk + 1)) OVER
+                      max(CAST(round(p_value * 1000000, 0) AS BIGINT)
+                          * (m - rk + 1)) OVER
                         (ORDER BY p_value, et_a, et_b
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                        AS madj
+                        AS madj6
                     FROM r)
               SELECT et_a, et_b, p_value, CAST(rk AS INT) AS rank,
-                     round(CASE WHEN madj > 1 THEN CAST(1 AS DOUBLE)
-                           ELSE madj END, 6) AS p_adjusted,
-                     CAST(madj <= 0.05 AS INT) AS significant_fwer05
+                     least(madj6, 1000000) / 1000000.0 AS p_adjusted,
+                     CAST(madj6 <= 50000 AS INT) AS significant_fwer05
               FROM a ORDER BY rank""".replaceAll("\\s+", " ").trim,
         "stat_fisher_combined" ->
           s"""WITH pbase AS (${z("stat_poisson_ztest", "z",
@@ -9409,15 +9420,15 @@ object AnalyticsOps {
                       count(1) OVER () AS m
                     FROM pbase),
               a AS (SELECT et_a, et_b, p_value, rk,
-                      min(p_value * m / rk) OVER
+                      min((2 * CAST(round(p_value * 1000000, 0) AS BIGINT) * m
+                           + rk) // (2 * rk)) OVER
                         (ORDER BY p_value DESC, et_a DESC, et_b DESC
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                        AS madj
+                        AS madj6
                     FROM r)
               SELECT et_a, et_b, p_value, CAST(rk AS INT) AS rank,
-                     round(CASE WHEN madj > 1 THEN CAST(1 AS DOUBLE)
-                           ELSE madj END, 6) AS p_adjusted,
-                     CAST(madj <= 0.05 AS INT) AS significant_fdr05
+                     least(madj6, 1000000) / 1000000.0 AS p_adjusted,
+                     CAST(madj6 <= 50000 AS INT) AS significant_fdr05
               FROM a ORDER BY rank""".replaceAll("\\s+", " ").trim,
         "stat_anova_pvalue" ->
           c2("stat_anova", "f_stat * df_between", "df_between"),

@@ -6339,9 +6339,14 @@ class PropertySpec extends SparkSuite {
         r.getAs[Double]("p_value")))
     val m = fam.length
     val sorted = fam.sortBy { case (a, b, p) => (p, a, b) }
-    // brute step-up: adjusted_k = min over j >= k of p_(j)*m/j, capped at 1
-    val raw = sorted.zipWithIndex.map { case ((_, _, p), i) => p * m / (i + 1) }
-    val adj = raw.indices.map(k => math.min(raw.drop(k).min, 1.0))
+    // brute step-up in exact integer MICRO-units (the op's semantics —
+    // p6*m/rk can land on the 6-dp half-unit where double rounding modes
+    // disagree across engines): raw6 = round-half-up(p6*m / k)
+    val raw6 = sorted.zipWithIndex.map { case ((_, _, p), i) =>
+      val p6 = math.round(p * 1000000)
+      (2 * p6 * m + (i + 1)) / (2L * (i + 1))
+    }
+    val adj6 = raw6.indices.map(k => math.min(raw6.drop(k).min, 1000000L))
     val got = q("stat_bh_fdr").collect()
     assert(got.length === m)
     got.foreach { r =>
@@ -6349,10 +6354,10 @@ class PropertySpec extends SparkSuite {
       val (ea, eb, p) = sorted(rank - 1)
       assert((r.getAs[String]("et_a"), r.getAs[String]("et_b")) === ((ea, eb)))
       assert(r.getAs[Double]("p_value") === p)
-      assert(math.abs(r.getAs[Double]("p_adjusted") - adj(rank - 1)) < 1e-6,
+      assert(r.getAs[Double]("p_adjusted") === adj6(rank - 1) / 1000000.0,
         s"adjusted at rank $rank")
       assert(r.getAs[Int]("significant_fdr05") ===
-        (if (raw.drop(rank - 1).min <= 0.05) 1 else 0))
+        (if (raw6.drop(rank - 1).min <= 50000L) 1 else 0))
     }
     // monotone non-decreasing in rank — the defining step-up property
     val byRank = got.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("p_adjusted"))
@@ -6364,16 +6369,18 @@ class PropertySpec extends SparkSuite {
       .map(r => (r.getAs[String]("et_a"), r.getAs[String]("et_b"),
         r.getAs[Double]("p_value")))
     val m = fam.length
-    // Holm step-down: prefix-max of p_(k)*(m-k+1), capped at 1
+    // Holm step-down: prefix-max of p6*(m-k+1) in exact integer
+    // micro-units (no division at all), capped at 1e6
     val sorted = fam.sortBy { case (a, b, p) => (p, a, b) }
-    val raw = sorted.zipWithIndex.map { case ((_, _, p), i) => p * (m - i) }
-    val adj = raw.indices.map(k => math.min(raw.take(k + 1).max, 1.0))
+    val raw6 = sorted.zipWithIndex.map { case ((_, _, p), i) =>
+      math.round(p * 1000000) * (m - i) }
+    val adj6 = raw6.indices.map(k => math.min(raw6.take(k + 1).max, 1000000L))
     q("stat_holm_fwer").collect().foreach { r =>
       val rank = r.getAs[Int]("rank")
-      assert(math.abs(r.getAs[Double]("p_adjusted") - adj(rank - 1)) < 1e-6,
+      assert(r.getAs[Double]("p_adjusted") === adj6(rank - 1) / 1000000.0,
         s"holm adjusted at rank $rank")
       assert(r.getAs[Int]("significant_fwer05") ===
-        (if (raw.take(rank).max <= 0.05) 1 else 0))
+        (if (raw6.take(rank).max <= 50000L) 1 else 0))
     }
     // Fisher: -2 * sum of 6-dp-gridded ln(p), chi2(2m)
     val slnp = fam.map(t => BigDecimal(math.log(t._3))
