@@ -396,6 +396,30 @@ object EtlOps {
         .orderBy(col("event_type"))
     }),
 
+    // XML sink round-trip — completes the format matrix (parquet/CSV/
+    // JSONL/ORC sinks + the native XML source): write the micro-unit
+    // integer projection (sink_csv's exact-value discipline — integers
+    // survive any text serialization bit-exactly), read back through the
+    // same rowTag framing, aggregate against the parquet-derived oracle.
+    "sink_xml" -> ((s, dir) => {
+      val path = tmpDir(s"sinkx_${pathTag(dir)}")
+      events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          expr("CAST(round(value * 1000000, 0) AS BIGINT)").as("v6"))
+        .write.mode(SaveMode.Overwrite).option("rowTag", "event")
+        .format("xml").save(path)
+      s.read.format("xml").option("rowTag", "event")
+        .schema(StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("event_type", StringType),
+          StructField("v6", LongType))))
+        .load(path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("v6")).cast("double") / 1e6, 6).as("v"))
+        .orderBy(col("event_type"))
+    }),
+
     "sink_parquet" -> ((s, dir) => {
       val path = tmpDir(s"sink_${pathTag(dir)}")
       t(s, dir, "lineitem")
@@ -936,6 +960,11 @@ object EtlOps {
          round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
          FROM events GROUP BY event_type ORDER BY event_type""",
     "sink_csv" ->
+      """SELECT event_type, count(1) AS n,
+         round(CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0, 6) AS v
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "sink_xml" ->
       """SELECT event_type, count(1) AS n,
          round(CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS DOUBLE)
                / 1000000.0, 6) AS v
