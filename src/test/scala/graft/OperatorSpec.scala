@@ -6399,6 +6399,58 @@ class PropertySpec extends SparkSuite {
     assert(math.abs(rs.getAs[Double]("z_combined") - zc) < 1e-6, "stouffer z")
   }
 
+  test("ts_engle_granger: OLS + residual ADF replay the collected daily series") {
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(when(col("event_type") === "view", 1)).as("x"),
+        count(when(col("event_type") === "purchase", 1)).as("y"))
+      .orderBy(col("day")).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val n = daily.length
+    val sx = daily.map(_._1).sum; val sy = daily.map(_._2).sum
+    val sxx = daily.map(t => t._1 * t._1).sum
+    val sxy = daily.map(t => t._1 * t._2).sum
+    val b = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx)
+    val a = (sy.toDouble - b * sx) / n
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val e = daily.map { case (x, y) => r6(y - a - b * x) }
+    val pairs = e.sliding(2).map(p => (p(0), p(1) - p(0))).toArray
+    val sed = pairs.map { case (el, de) => r6((el * de).toDouble) }.sum
+    val see = pairs.map { case (el, _) => r6((el * el).toDouble) }.sum
+    val gamma = sed.toDouble / see.toDouble
+    val sse = pairs.map { case (el, de) =>
+      r6(math.pow(de.toDouble - gamma * el.toDouble, 2)) }.sum
+    val t0 = pairs.length
+    val adfT = gamma / math.sqrt((sse.toDouble / (t0 - 1)) / see.toDouble)
+    val r = q("ts_engle_granger").collect()(0)
+    assert(r.getAs[Long]("n_days") === n.toLong)
+    assert(math.abs(r.getAs[Double]("slope") - b) < 1e-6, "slope")
+    assert(math.abs(r.getAs[Double]("intercept") - a) < 1e-6, "intercept")
+    assert(math.abs(r.getAs[Double]("gamma") - gamma) < 1e-6, "gamma")
+    assert(math.abs(r.getAs[Double]("adf_t") - adfT) < 1e-5, "adf_t")
+    assert(r.getAs[Int]("cointegrated") === (if (r.getAs[Double]("adf_t") < -3.37) 1 else 0))
+    // a unit-root residual MUST pull gamma toward 0; a stationary one
+    // toward -1 — either way the estimate is a proper fraction
+    assert(gamma > -2.0 && gamma < 1.0)
+  }
+
+  test("gdpr_dp_counts: noise replays the seeded Laplace inverse-CDF exactly") {
+    val rows = q("gdpr_dp_counts").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val seg = r.getAs[String]("c_mktsegment")
+      val u = (((seg.length * 31L + seg.head.toLong) * 2654435761L) %
+        4294967296L % 1000000L + 0.5) / 1000000.0
+      val lap = -math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      val lap6 = BigDecimal(lap).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("noise") - lap6) < 1e-9, s"noise at $seg")
+      assert(math.abs(r.getAs[Double]("dp_count") -
+        (r.getAs[Long]("true_count") + lap6)) < 1e-6, s"dp_count at $seg")
+    }
+    // the seeded noises genuinely differ across groups (not a constant)
+    assert(rows.map(_.getAs[Double]("noise")).distinct.length > 1)
+  }
+
   test("DistRank.withRank: cumsum stays exact on NEGATIVE values") {
     // regression for the r11 slice-total bug: _drk_csum was max(_drk_lcs)
     // (max of the local running sum), which equals the slice sum only for
