@@ -22,9 +22,18 @@ package graft
   *    eviction spec proves release actually unpersists.
   *
   * Every instance auto-registers in a process-wide registry so teardown
-  * code can evict everything without knowing each operator bank's caches.
+  * code can evict everything without knowing each operator bank's caches,
+  * and DECLARES how it is pre-built: a [[ArtifactCache.PerDir]] warm is a
+  * `(spark, dir) => Unit` builder [[ArtifactCache.warmAll]] runs untimed
+  * before any bench sweep. Hand-listing warmups in Bench missed three
+  * artifacts across rounds 10–12 (PQ codebook, component labels,
+  * dedup_cluster's label fixpoint — the last timed 4.56 s in-sweep vs
+  * 0.056 s isolated); co-locating the builder with the cache makes the
+  * warm set mechanical, and OperatorSpec's no-growth sweep proves no
+  * PerDir cache ever builds inside a query after warmAll.
   */
-final class ArtifactCache[V](release: V => Unit) {
+final class ArtifactCache[V](val name: String, release: V => Unit,
+    private[graft] val warm: ArtifactCache.Warm) {
   ArtifactCache.register(this)
   private val m = scala.collection.mutable.HashMap.empty[String, V]
 
@@ -55,12 +64,52 @@ final class ArtifactCache[V](release: V => Unit) {
   }
 
   private[graft] def size: Int = synchronized(m.size)
+  private[graft] def keys: Set[String] = synchronized(m.keySet.toSet)
 }
 
 object ArtifactCache {
+  /** How a cache's entries come into being — the warm contract every
+    * instance must declare at construction. */
+  sealed trait Warm
+  /** Keyed by source dir; `build(spark, dir)` materializes the artifact.
+    * [[warmAll]] runs every PerDir builder, so the bench sweep (and its
+    * ISOLATED reruns) never time a one-off artifact build inside a
+    * query entry. */
+  final case class PerDir(
+      build: (org.apache.spark.sql.SparkSession, String) => Unit) extends Warm
+  /** Keyed by query-site (not dir): entries are query-local pins built
+    * and replaced as part of each query's own plan — there is nothing
+    * dir-shaped to pre-build. Exempt from warmAll and from the
+    * no-growth sweep; `why` documents the exemption. */
+  final case class KeyDriven(why: String) extends Warm
+
   private val registry = scala.collection.mutable.Buffer.empty[ArtifactCache[_]]
   private def register(c: ArtifactCache[_]): Unit =
     registry.synchronized { registry += c }
+
+  /** Snapshot of every cache constructed so far (object-init order).
+    * Callers that need the FULL set must force operator-object init
+    * first — [[Warmups.loadAll]] is that hook. */
+  private[graft] def caches: Seq[ArtifactCache[_]] =
+    registry.synchronized { registry.toVector }
+
+  /** Run every PerDir builder for `dir`, each in its own try so one
+    * failed build cannot silently skip the rest (its consumer query
+    * would then pay the build in-sweep — the exact attribution defect
+    * this registry exists to kill). Returns the names that failed. */
+  def warmAll(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] =
+    caches.flatMap { c =>
+      c.warm match {
+        case PerDir(build) =>
+          try { build(spark, dir); None }
+          catch { case e: Throwable =>
+            System.err.println(s"[warm] artifact '${c.name}' failed: ${e.getMessage}")
+            Some(c.name)
+          }
+        case _: KeyDriven => None
+      }
+    }
 
   /** Evict every artifact cache in the process — the Bench/Verify teardown
     * hook (and the lever a long-lived driver pulls between corpora). */

@@ -65,7 +65,9 @@ object Tables {
     * [[ArtifactCache.evictAllCaches]] releases everything on Bench/Verify
     * teardown — a long-lived driver never accumulates pinned frames. */
   private val sharedFrames =
-    new ArtifactCache[DataFrame](_.unpersist(blocking = false))
+    new ArtifactCache[DataFrame]("sharedFrames", _.unpersist(blocking = false),
+      ArtifactCache.KeyDriven("query-site-keyed pins built/replaced inside " +
+        "each query's own plan; nothing dir-shaped to pre-build"))
   def persistShared(site: String, df: DataFrame): DataFrame =
     sharedFrames.put(site, df.persist())
 

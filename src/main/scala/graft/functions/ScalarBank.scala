@@ -236,14 +236,19 @@ object ScalarBank {
 
     // XML scalar surface: per-row XML construction + xpath extraction
     // (xpath_string / xpath_long / xpath_boolean — Hive-lineage built-ins,
-    // all codegen'd, scan-grain). The oracle inverts the construction
-    // algebraically (extraction of what format_string embedded IS the
-    // source column), so DuckDB needs no XML support — the check proves
-    // the round-trip, not the parser.
+    // all codegen'd, scan-grain). The embedded text is entity-escaped
+    // (& < > — the minimal text-node set) so a value containing markup
+    // chars yields well-formed XML; xpath_string decodes the entities
+    // back, so the oracle's algebraic inversion (extraction of what
+    // format_string embedded IS the source column) holds for ANY corpus,
+    // not just the current ASCII-word one. DuckDB needs no XML support —
+    // the check proves the round-trip, not the parser.
     "fn_xml" -> ((s, dir) => {
+      val esc = regexp_replace(regexp_replace(regexp_replace(
+        col("event_type"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
       events(s, dir)
         .withColumn("xml", format_string(
-          "<e><id>%d</id><t>%s</t></e>", col("event_id"), col("event_type")))
+          "<e><id>%d</id><t>%s</t></e>", col("event_id"), esc))
         .select(col("event_id"),
           expr("xpath_long(xml, '/e/id/text()')").as("xid"),
           expr("xpath_string(xml, '/e/t/text()')").as("xtype"),

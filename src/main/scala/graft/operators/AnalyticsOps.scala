@@ -553,9 +553,11 @@ object AnalyticsOps {
     ((org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType),
      (org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType))]({ case (e, n) =>
-    e._1.unpersist(blocking = false); n._1.unpersist(blocking = false)
-  })
+      org.apache.spark.sql.types.StructType))]("co-purchase graph",
+    { case (e, n) =>
+      e._1.unpersist(blocking = false); n._1.unpersist(blocking = false)
+    },
+    graft.ArtifactCache.PerDir((s, d) => { allPairsGraph(s, d); () }))
 
   /** The cached pair frame is the UNFILTERED (p1 < p2, n_orders ≥ 1)
     * count set — graph_ktruss consumes the all-pairs graph while the
@@ -611,9 +613,11 @@ object AnalyticsOps {
       org.apache.spark.sql.types.StructType),
      (org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType),
-     Long)]({ case (e, d, _) =>
-    e._1.unpersist(blocking = false); d._1.unpersist(blocking = false)
-  })
+     Long)]("supplier co-service graph",
+    { case (e, d, _) =>
+      e._1.unpersist(blocking = false); d._1.unpersist(blocking = false)
+    },
+    graft.ArtifactCache.PerDir((s, d) => { supplierServiceGraph(s, d); () }))
 
   /** (directed edges (src, dst), out-degrees (src, cnt), node count). */
   private[graft] def supplierServiceGraph(
@@ -649,8 +653,9 @@ object AnalyticsOps {
     * re-ran the whole fixpoint, 7.7 s → reading this cache). */
   private val labelsCache = new graft.ArtifactCache[
     (org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
-     org.apache.spark.sql.types.StructType)](e =>
-    e._1.unpersist(blocking = false))
+     org.apache.spark.sql.types.StructType)]("component labels",
+    e => e._1.unpersist(blocking = false),
+    graft.ArtifactCache.PerDir((s, d) => { componentLabels(s, d); () }))
 
   private[graft] def componentLabels(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
@@ -672,8 +677,9 @@ object AnalyticsOps {
     * once, not per query (the r10 per-query-artifact-rebuild lesson). */
   private val bfsCache = new graft.ArtifactCache[
     (org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
-     org.apache.spark.sql.types.StructType)](e =>
-    e._1.unpersist(blocking = false))
+     org.apache.spark.sql.types.StructType)]("landmark BFS distances",
+    e => e._1.unpersist(blocking = false),
+    graft.ArtifactCache.PerDir((s, d) => { bfsVisited(s, d); () }))
 
   private[graft] def bfsVisited(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
@@ -715,8 +721,9 @@ object AnalyticsOps {
     * Same process-memoized cached-RDD shape as [[allPairsGraph]]. */
   private val uiCache = new graft.ArtifactCache[
     (org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
-     org.apache.spark.sql.types.StructType)](e =>
-    e._1.unpersist(blocking = false))
+     org.apache.spark.sql.types.StructType)]("user-part purchases",
+    e => e._1.unpersist(blocking = false),
+    graft.ArtifactCache.PerDir((s, d) => { userPartPurchases(s, d); () }))
 
   private[graft] def userPartPurchases(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
@@ -1466,28 +1473,36 @@ object AnalyticsOps {
           when(col("achieved_k") >= 5, 1).otherwise(0))
     }),
 
-    // Differentially-private count release over the segment grain — the
-    // privacy MECHANISM beside the k-anonymity/l-diversity/t-closeness
-    // AUDITS: published counts get Laplace(1/ε) noise (ε = 1) so any one
-    // individual's presence changes the release by at most e^ε odds. The
-    // noise is hash-SEEDED (the repo's RNG-free discipline — production
-    // DP pipelines seed per-release for reproducibility): u ∈ (0,1) from
-    // the Knuth multiplicative hash of the group key, inverse-CDF
-    // Laplace −b·sign(u−½)·ln(1−2|u−½|), 6-dp-gridded (the grid absorbs
-    // sub-ulp libm ln differences). One fact agg; noise is group-grain.
+    // Laplace-noised count release over the segment grain — the noise
+    // MECHANISM shape beside the k-anonymity/l-diversity/t-closeness
+    // AUDITS. ILLUSTRATIVE-ONLY, not actually private: the noise is a
+    // deterministic function of the public group key (the repo's
+    // RNG-free discipline so the DuckDB oracle replays it bit-exactly;
+    // a production ε-DP release draws from a per-release seeded RNG the
+    // adversary cannot evaluate). Mechanism: u ∈ (0,1) from a
+    // position-weighted code-point hash of the FULL key bytes (31^(i%8)
+    // weights — exact in doubles to 2^53, so pow is engine-identical;
+    // the %2^20 reduction keeps the Knuth multiply inside BIGINT under
+    // ANSI overflow checks on both engines), inverse-CDF Laplace(1/ε),
+    // ε = 1: −b·sign(u−½)·ln(1−2|u−½|), 6-dp-gridded (the grid absorbs
+    // sub-ulp libm ln differences). Only dp_count is published — the
+    // true count and the noise stay out of the release projection. One
+    // fact agg; noise is group-grain.
     "gdpr_dp_counts" -> ((s, dir) => {
-      val u = (((length(col("c_mktsegment")) * lit(31L) +
-        ascii(col("c_mktsegment"))) * lit(2654435761L)) % lit(4294967296L) %
-        lit(1000000L) + lit(0.5)) / lit(1000000.0)
+      val keyHash = expr(
+        "aggregate(transform(sequence(1, length(c_mktsegment)), " +
+          "i -> ascii(substring(c_mktsegment, i, 1)) * " +
+          "CAST(pow(31, (i - 1) % 8) AS BIGINT)), 0L, (a, x) -> a + x)")
+      val u = (((keyHash % lit(1048576L)) * lit(2654435761L)) %
+        lit(4294967296L) % lit(1000000L) + lit(0.5)) / lit(1000000.0)
       val lap = -signum(u - lit(0.5)) *
         log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
       t(s, dir, "customer")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("true_count"))
         .withColumn("noise", round(lap, 6))
-        .select(col("c_mktsegment"), col("true_count"),
-          round(col("true_count") + col("noise"), 6).as("dp_count"),
-          col("noise"))
+        .select(col("c_mktsegment"),
+          round(col("true_count") + col("noise"), 6).as("dp_count"))
         .orderBy(col("c_mktsegment"))
     }),
 
@@ -6561,17 +6576,22 @@ object AnalyticsOps {
     "gdpr_dp_counts" ->
       """WITH g AS (
            SELECT c_mktsegment, count(1) AS true_count FROM customer GROUP BY 1),
+         h AS (
+           SELECT c_mktsegment, true_count,
+                  list_aggregate(list_transform(
+                    range(1, length(c_mktsegment) + 1),
+                    i -> unicode(substr(c_mktsegment, i, 1))
+                         * CAST(pow(31, (i - 1) % 8) AS BIGINT)), 'sum') AS kh
+           FROM g),
          n AS (
            SELECT c_mktsegment, true_count,
                   round(-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6)
                     AS noise
            FROM (SELECT c_mktsegment, true_count,
-                   (((length(c_mktsegment) * 31 + ascii(c_mktsegment))
-                     * 2654435761) % 4294967296 % 1000000 + 0.5) / 1000000.0
-                     AS u
-                 FROM g))
-         SELECT c_mktsegment, true_count,
-                round(true_count + noise, 6) AS dp_count, noise
+                   (((kh % 1048576) * 2654435761) % 4294967296 % 1000000
+                     + 0.5) / 1000000.0 AS u
+                 FROM h))
+         SELECT c_mktsegment, round(true_count + noise, 6) AS dp_count
          FROM n ORDER BY c_mktsegment""",
     "stat_benford" ->
       """WITH obs AS (

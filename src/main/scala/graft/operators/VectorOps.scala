@@ -142,7 +142,9 @@ object VectorOps {
   // would leak its per-round persisted frames) + eviction; the collected
   // rows hold no executor state, so release is a no-op beyond removal.
   private val cbCache = new graft.ArtifactCache[
-    (Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)](_ => ())
+    (Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)](
+    "pq codebook", _ => (),
+    graft.ArtifactCache.PerDir((s, d) => { pqCodebook(embStore(s, d), d); () }))
 
   private def pqCodebook(emb: DataFrame, dir: String): DataFrame = {
     val (rows, schema) = cbCache.getOrElseUpdate(dir, {

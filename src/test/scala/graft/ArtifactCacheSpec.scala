@@ -10,7 +10,8 @@ class ArtifactCacheSpec extends AnyFunSuite {
 
   test("single-flight: a racing first access builds exactly once") {
     val built = new java.util.concurrent.atomic.AtomicInteger(0)
-    val c = new ArtifactCache[Int](_ => ())
+    val c = new ArtifactCache[Int]("test-single-flight", _ => (),
+      ArtifactCache.KeyDriven("unit fixture"))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     try {
       val tasks = (1 to 8).map { _ =>
@@ -28,7 +29,8 @@ class ArtifactCacheSpec extends AnyFunSuite {
 
   test("evict runs release exactly once; entry rebuilds after eviction") {
     var released = List.empty[Int]
-    val c = new ArtifactCache[Int](v => released ::= v)
+    val c = new ArtifactCache[Int]("test-release", v => released ::= v,
+      ArtifactCache.KeyDriven("unit fixture"))
     assert(c.getOrElseUpdate("k", 7) === 7)
     c.evict("k")
     c.evict("k") // second evict of an absent key is a no-op
@@ -41,7 +43,8 @@ class ArtifactCacheSpec extends AnyFunSuite {
 
   test("put replaces and releases the previous value (persistShared discipline)") {
     var released = List.empty[Int]
-    val c = new ArtifactCache[Int](v => released ::= v)
+    val c = new ArtifactCache[Int]("test-release", v => released ::= v,
+      ArtifactCache.KeyDriven("unit fixture"))
     c.put("site", 1)
     c.put("site", 2)
     assert(released === List(1), "put must release the value it displaced")
