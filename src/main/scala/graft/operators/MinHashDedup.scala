@@ -34,9 +34,9 @@ object MinHashDedup {
     * materialize as strings. width=1 signatures are bit-identical to the
     * old SQL formulation. */
   def signatures(docs: DataFrame, idCol: String, toksCol: String,
-                 shingleWidth: Int = 1): DataFrame = {
+                 shingleWidth: Int = 1, seed: Long = 42L): DataFrame = {
     val sigged = docs.withColumn("_sig",
-      graft.functions.MinHashSig.minhash_sig(col(toksCol), K, shingleWidth))
+      graft.functions.MinHashSig.minhash_sig(col(toksCol), K, shingleWidth, seed))
     sigged.select(col(idCol) +: (0 until K).map(j => col("_sig").getItem(j).as(s"m$j")): _*)
   }
 

@@ -106,6 +106,36 @@ object Multimodal {
       Array.tabulate(16)(c => if (cnts(c) > 0) sums(c) / cnts(c) else 0L))
   }
 
+  /** Decode + block-mean onto a 9×7 (63-cell) grid — mm_phash's hash
+    * grain. 63 cells ⇒ a 63-BIT aHash: the r13 sf~1 rehearsal showed the
+    * old 16-bit hash (4-bit bands, 16 possible values) makes band
+    * buckets grow LINEARLY with the corpus and the candidate self-join
+    * quadratically — 142 s at 50k docs vs 2.8 s at 5k. With 63 bits the
+    * 15/16-bit band space (32k/64k values) keeps buckets near-constant
+    * at corpus scale, the production aHash-LSH shape. 63 (not 64)
+    * because bit 63 is the sign bit: DuckDB's `1::BIGINT << 63` raises
+    * an overflow error, so the oracle could not replay a 64th cell.
+    * The 9×7 grid matches the raster generator's dim ranges (w ∈ 8..16,
+    * h ∈ 8..14). */
+  def resizePng63(docId: Long, png: Array[Byte]): Thumb = {
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Long](63); val cnts = new Array[Long](63)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val cell = (y * 7 / h) * 9 + (x * 9 / w)
+        sums(cell) += (img.getRGB(x, y) >> 16) & 0xff
+        cnts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Thumb(docId, w, h,
+      Array.tabulate(63)(c => if (cnts(c) > 0) sums(c) / cnts(c) else 0L))
+  }
+
   // ---- deterministic PCM pattern (shared contract with the oracle) ----
   // n = payload byte count; N = 1024 + (n % 7) * 256 samples (always a
   // whole number of 256-sample frames); sample formula (Int16-safe):
@@ -444,32 +474,36 @@ object Multimodal {
     }),
 
     // Perceptual-hash image dedup — the multimodal member of the near-dup
-    // family: aHash over the REAL encode→decode thumbnail (bit i set iff
-    // cell i beats the thumbnail mean, compared cross-multiplied as
-    // 16·cellᵢ > Σcells — pure integers, no float mean), then candidate
-    // pairs through 4-bit LSH bands (hamming ≤ 2 ⇒ ≥ 2 of 4 bands equal,
-    // the pigeonhole guarantee — the same banding math as MinHash-LSH, so
-    // the self-join is bucket-bounded, never all-pairs) and an exact
-    // popcount rerank. The codec round trip runs ONCE into a pinned
-    // hash frame; the band explode and join read the cache. At 100 TB
-    // this is the image-corpus dedup shape: per-image hash (embarrassing
-    // parallel) + banded bucket join.
+    // family: 63-bit aHash over the REAL encode→decode 9×7 thumbnail
+    // (bit i set iff cell i beats the thumbnail mean, compared
+    // cross-multiplied as 63·cellᵢ > Σcells — pure integers, no float
+    // mean), then candidate pairs through 15/16-bit LSH bands
+    // (hamming ≤ 2 ⇒ ≥ 2 of 4 bands equal, the pigeonhole guarantee —
+    // the same banding math as MinHash-LSH) and an exact popcount
+    // rerank. The band space is the scale lever (r13 sf~1 rehearsal):
+    // the old 16-bit hash had 4-bit bands with only 16 possible values,
+    // so buckets grew linearly with the corpus and the self-join
+    // quadratically (142 s at 50k docs); 16-bit bands keep buckets
+    // near-constant, the production aHash-LSH shape. The codec round
+    // trip runs ONCE into a pinned hash frame; the band explode and
+    // join read the cache. At 100 TB this is the image-corpus dedup
+    // shape: per-image hash (embarrassing parallel) + banded bucket join.
     "mm_phash" -> ((s, dir) => {
       import s.implicits._
       val media = t(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
         .as[(Long, Array[Byte])]
       val hs = persistShared("phash_frame", media
-        .mapPartitions(_.map { case (id, bytes) => resizePng(id, encodePng(bytes)) })
+        .mapPartitions(_.map { case (id, bytes) => resizePng63(id, encodePng(bytes)) })
         .toDF()
         .withColumn("stot", expr("aggregate(thumb, 0L, (a, x) -> a + x)"))
         .select(col("doc_id"), expr(
-          """aggregate(sequence(0, 15), 0L, (a, i) ->
-             a + CASE WHEN thumb[i] * 16 > stot
-                      THEN CAST(shiftleft(1, i) AS BIGINT) ELSE 0L END)""").as("phash")))
+          """aggregate(sequence(0, 62), 0L, (a, i) ->
+             a + CASE WHEN thumb[i] * 63 > stot
+                      THEN shiftleft(CAST(1 AS BIGINT), i) ELSE 0L END)""").as("phash")))
       val bands = hs.select(col("doc_id"), col("phash"),
           explode(sequence(lit(0), lit(3))).as("b"))
-        .withColumn("bv", expr("shiftright(phash, CAST(b * 4 AS INT)) & 15"))
+        .withColumn("bv", expr("shiftright(phash, CAST(b * 16 AS INT)) & 65535"))
       bands.as("a").join(bands.as("b"),
           col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -690,19 +724,19 @@ object Multimodal {
                   CAST(ord(text[CAST(i % n AS INTEGER) + 1]) AS BIGINT) AS r
            FROM px0),
          cells AS (
-           SELECT doc_id, (y * 4 // h) * 4 + (x * 4 // w) AS cell,
+           SELECT doc_id, (y * 7 // h) * 9 + (x * 9 // w) AS cell,
                   SUM(r) // COUNT(*) AS v
            FROM px GROUP BY 1, 2),
          hs AS (
            SELECT doc_id,
-                  CAST(sum(CASE WHEN v * 16 > s
+                  CAST(sum(CASE WHEN v * 63 > s
                            THEN CAST(1 AS BIGINT) << CAST(cell AS INTEGER)
                            ELSE 0 END) AS BIGINT) AS phash
            FROM (SELECT doc_id, cell, v,
                         sum(v) OVER (PARTITION BY doc_id) AS s FROM cells)
            GROUP BY doc_id),
          bands AS (
-           SELECT doc_id, b, (phash >> CAST(b * 4 AS INTEGER)) & 15 AS bv, phash
+           SELECT doc_id, b, (phash >> CAST(b * 16 AS INTEGER)) & 65535 AS bv, phash
            FROM hs, UNNEST(generate_series(0, 3)) AS t(b)),
          cand AS (
            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -211,6 +211,67 @@ class StreamingSpec extends SparkSuite {
       graft.Tables.events(spark, sf).select("event_id").distinct().count())
   }
 
+  test("rest stream: mid-stream 429 kills the micro-batch; checkpoint restarts resume exactly-once") {
+    // VERDICT r12 item 6: the batch connector's retry matrix is covered
+    // by 53 unit tests, but the CONTINUOUS twin (stream_rest_ingest's
+    // MicroBatchStream) had never seen a fault mid-stream. The stub's
+    // 429once mode strikes the FIRST hit of every page; with
+    // maxRetries=0 each strike becomes a reader exception that kills the
+    // running micro-batch. Restarting from the same checkpoint must
+    // resume at the committed offset (commits strictly advance across
+    // incarnations — never reset to 0), and the parquet sink must hold
+    // every stub record exactly once at the end: no loss from the killed
+    // batches, no duplicates from the replanned ones.
+    import java.nio.file.Files
+    val stub = graft.sources.RestStubServer.start(totalRows = 200L) // 4 pages of 50
+    val root = Files.createTempDirectory("graft_rest_ckpt")
+    val ckpt = root.resolve("ckpt").toString
+    val outDir = root.resolve("out").toString
+    def committedBatches: Long = {
+      val d = java.nio.file.Paths.get(ckpt, "commits")
+      if (!Files.isDirectory(d)) 0L
+      else {
+        val listing = Files.list(d)
+        try listing.filter(p => p.getFileName.toString.forall(_.isDigit)).count()
+        finally listing.close()
+      }
+    }
+    def runOnce(): Boolean = { // true = crashed mid-stream
+      val q = spark.readStream.format("graft.sources.RestSource")
+        .option("url", stub.url).option("pages", "4").option("pageSize", "50")
+        .option("pagesPerTrigger", "1").option("maxRetries", "0")
+        .option("failMode", "429once")
+        .load()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try { q.processAllAvailable(); q.stop(); false }
+      catch { case _: Throwable =>
+        try q.stop() catch { case _: Throwable => () }
+        true
+      }
+    }
+    try {
+      var crashes = 0
+      var runs = 0
+      var committedBefore = -1L
+      while (runOnce() && runs < 12) {
+        runs += 1; crashes += 1
+        val c = committedBatches
+        assert(c >= committedBefore,
+          s"committed offsets went BACKWARDS across restart: $committedBefore -> $c")
+        committedBefore = c
+      }
+      assert(runs < 12, "stream never completed after 12 restarts")
+      assert(crashes >= 2,
+        s"fault injection never struck mid-stream (crashes=$crashes) — the test lost its teeth")
+      val got = spark.read.parquet(outDir).select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(got.toSeq === (0L until 200L),
+        s"exactly-once across ${crashes} killed batches: got ${got.length} rows, " +
+          s"first/last ${got.headOption}/${got.lastOption}")
+    } finally stub.stop()
+  }
+
   test("checkpoint recovery: restart resumes committed offsets exactly once") {
     import java.nio.file.Files
     import spark.implicits._
