@@ -275,15 +275,17 @@ object TextOps {
     // twin). Top-20 under the (12-dp rank, word) total order.
     "text_textrank" -> ((s, dir) => {
       // adjacency = the dist=1 slice of the memoized corpus pair artifact
-      // (shared with text_cooccur_pmi — VERDICT r12 item 4); rows are
-      // already distinct at the (a < b) grain, so the both-direction
-      // expansion needs no dedup
-      val und = corpusPairs(s, dir)._1
-        .filter(col("dist") === 1 && col("a") =!= col("b"))
-        .select(col("a"), col("b"))
+      // (shared with text_cooccur_pmi / text_bigram_kn_ppl — VERDICT r12
+      // item 4); pairs are ORDERED in the artifact, so the undirected
+      // edge set is the distinct of both directions (an (x,y) occurring
+      // in both orders dedups here)
+      val d1 = corpusPairs(s, dir)._1
+        .filter(col("dist") === 1 && col("w1") =!= col("w2"))
+        .select(col("w1"), col("w2"))
       val edges = persistShared("textrank_edges",
-        und.select(col("a").as("src"), col("b").as("dst"))
-          .unionAll(und.select(col("b").as("src"), col("a").as("dst"))))
+        d1.select(col("w1").as("src"), col("w2").as("dst"))
+          .unionAll(d1.select(col("w2").as("src"), col("w1").as("dst")))
+          .distinct())
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("cnt"))
       val n = deg.count() // vocabulary-count action over the cached edges
       val bcastRanks = n <= AnalyticsOps.PagerankBroadcastMaxNodes
@@ -577,6 +579,54 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Interpolated Kneser–Ney BIGRAM perplexity per doc — the standard
+    // n-gram LM quality signal one order above text_unigram_ppl (KN is
+    // what real corpus-filtering LMs like KenLM smooth with; the
+    // continuation probability downweights tokens that only ever follow
+    // one context). Model counts come from the dist=1 slice of the
+    // memoized corpus pair artifact — the orientation the artifact keeps
+    // is exactly what an n-gram LM needs — so the model trains once per
+    // dir and only the SCORING pass (one fact-sized explode, broadcast
+    // model lookups) runs per query: the score-corpus-by-LM shape at any
+    // scale (at 100 TB the bigram-type table outgrows a broadcast and
+    // the lookup becomes a shuffle join on (w1, w2); the model side is
+    // still vocab²-bounded, never corpus-grain). Discount D = 0.75 (the
+    // textbook constant) as an exact literal; p_KN built from exact
+    // BIGINT counts through ONE double expression tree identical on both
+    // engines, per-term ln 6-dp-gridded, DECIMAL-summed (order-free),
+    // exp at the end — text_unigram_ppl's discipline verbatim. Docs with
+    // fewer than 2 tokens have no bigrams and drop from the output on
+    // both sides.
+    "text_bigram_kn_ppl" -> ((s, dir) => {
+      val big = corpusPairs(s, dir)._1.filter(col("dist") === 1)
+        .select(col("w1"), col("w2"), col("cnt"))
+      val left = big.groupBy(col("w1"))
+        .agg(sum(col("cnt")).as("c1dot"), count(lit(1)).as("n1plus_fwd"))
+      val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("n1plus_rev"))
+      val types = big.agg(count(lit(1)).as("n_types"))
+      val docPairs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(lower(col("text")), " "), x => x =!= "").as("tk"))
+        .select(col("doc_id"), explode(expr(
+          "transform(slice(tk, 1, size(tk) - 1), (x, i) -> " +
+            "struct(x AS w1, element_at(tk, i + 2) AS w2))")).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      docPairs
+        .join(broadcast(big), Seq("w1", "w2")) // total: every doc bigram is in the model
+        .join(broadcast(left), Seq("w1"))
+        .join(broadcast(cont), Seq("w2"))
+        .crossJoin(broadcast(types))
+        .withColumn("p_kn",
+          greatest(col("cnt").cast("double") - lit(0.75), lit(0.0)) / col("c1dot") +
+            lit(0.75) * col("n1plus_fwd") / col("c1dot") *
+              (col("n1plus_rev").cast("double") / col("n_types")))
+        .withColumn("logp", dec(log(col("p_kn"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(exp(-sum(col("logp")).cast("double") / count(lit(1))), 6).as("ppl"))
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet-style perplexity binning — head/middle/tail tertiles of the
     // per-doc unigram perplexity (lowest ppl = head = closest to the
     // reference LM; the quality split CCNet trains its per-bucket
@@ -748,16 +798,19 @@ object TextOps {
     // identical double and the 6-dp rounding cannot diverge.
     "text_cooccur_pmi" -> ((s, dir) => {
       // unigrams and windowed pair counts both come from the memoized
-      // corpus pair artifact (shared with text_textrank — VERDICT r12
-      // item 4); both totals derive from the vocab-grain frames
-      // (Σc ≡ token count, Σcnt ≡ pair count), so the fact-sized
-      // token/pair streams were each scanned ONCE, at artifact build.
-      // The per-distance grain folds to the (a, b) grain here; pinned so
-      // c12/npairs don't re-run the fold.
+      // corpus pair artifact (shared with text_textrank /
+      // text_bigram_kn_ppl — VERDICT r12 item 4); both totals derive
+      // from the vocab-grain frames (Σc ≡ token count, Σcnt ≡ pair
+      // count), so the fact-sized token/pair streams were each scanned
+      // ONCE, at artifact build. PMI is unordered: the ordered
+      // (w1, w2, dist) grain folds to the (least, greatest) grain here;
+      // pinned so c12/npairs don't re-run the fold.
       val (pairsAll, uni) = corpusPairs(s, dir)
       val ntok = uni.agg(sum(col("c")).as("ntok"))
       val pairAgg = persistShared("cooccur_pairs",
-        pairsAll.groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("c12")))
+        pairsAll.groupBy(least(col("w1"), col("w2")).as("a"),
+            greatest(col("w1"), col("w2")).as("b"))
+          .agg(sum(col("cnt")).as("c12")))
       val npairs = pairAgg.agg(sum(col("c12")).as("npairs"))
       val c12 = pairAgg.filter(col("c12") >= 10)
       c12.join(broadcast(uni.select(col("w").as("a"), col("c").as("c1"))), "a")
@@ -1549,20 +1602,25 @@ object TextOps {
       _._1.unpersist(blocking = false),
       graft.ArtifactCache.PerDir((s, d) => { clusterLabels(s, d); () }))
 
-  /** Memoized corpus co-occurrence artifact per (JVM, dir): windowed
-    * (≤4 forward neighbors) token-pair counts `(a, b, dist, cnt)` with
-    * (a, b) = (least, greatest), plus unigram counts `(w, c)`, both over
-    * the non-empty lowered token stream. TWO registered queries fold
-    * this same fact-sized explode — text_textrank consumes the dist=1
-    * slice as its undirected edge set, text_cooccur_pmi the full-window
-    * sums plus the unigrams; through r12 each re-ran the explode from
-    * scratch (VERDICT r12 item 4: textrank at ~3.2 s real was the #1
-    * bench entry, PMI 1.85 s). Context-cached RDDs exactly like
+  /** Memoized corpus co-occurrence artifact per (JVM, dir): ORDERED
+    * windowed (≤4 forward neighbors) token-pair counts
+    * `(w1, w2, dist, cnt)` plus unigram counts `(w, c)`, both over the
+    * non-empty lowered token stream. THREE registered queries fold this
+    * same fact-sized explode — text_textrank consumes the dist=1 slice
+    * as its undirected edge set, text_cooccur_pmi the
+    * least/greatest-normalized full-window sums plus the unigrams,
+    * text_bigram_kn_ppl the dist=1 slice as its ordered bigram LM
+    * counts (the orientation is WHY the artifact keeps (w1, w2) rather
+    * than pre-normalizing — unordered consumers re-fold to their grain
+    * with a vocab-bounded agg, ordered consumers couldn't recover the
+    * order). Through r12 each consumer re-ran the explode from scratch
+    * (VERDICT r12 item 4: textrank at ~3.2 s real was the #1 bench
+    * entry, PMI 1.85 s). Context-cached RDDs exactly like
     * AnalyticsOps.allPairsGraph, so the artifact survives
     * `catalog.clearCache()` between bench queries; both frames are
     * vocabulary-bounded (never corpus-grain). A 100 TB pipeline
     * materializes exactly this co-occurrence table once per corpus
-    * snapshot and points every collocation/graph pass at it. */
+    * snapshot and points every collocation/graph/LM pass at it. */
   private val pairCache = new graft.ArtifactCache[
     ((org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType),
@@ -1573,8 +1631,8 @@ object TextOps {
     },
     graft.ArtifactCache.PerDir((s, d) => { corpusPairs(s, d); () }))
 
-  /** (windowed pair counts (a, b, dist ∈ 1..4, cnt), unigram counts
-    * (w, c)) — see [[pairCache]]. */
+  /** (ordered windowed pair counts (w1, w2, dist ∈ 1..4, cnt), unigram
+    * counts (w, c)) — see [[pairCache]]. */
   private[graft] def corpusPairs(s: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     val (p, u) = pairCache.getOrElseUpdate(dir, {
@@ -1584,15 +1642,14 @@ object TextOps {
         .select(filter(split(lower(col("text")), " "), x => x =!= "").as("tk"))
         .persist()
       // pairs generated MAP-SIDE by the nested array lambda (each token
-      // with its next ≤4 neighbors, unordered via least/greatest, offset
-      // kept as dist) — no token-grain self-join; the only shuffle
-      // carries vocabulary-bounded counts
+      // with its next ≤4 neighbors IN ORDER, offset kept as dist) — no
+      // token-grain self-join; the only shuffle carries
+      // vocabulary-bounded counts
       val pairs = toks.select(explode(expr(
         "flatten(transform(tk, (w, p) -> transform(slice(tk, p + 2, 4), " +
-          "(w2, j) -> struct(least(w, w2) AS a, greatest(w, w2) AS b, " +
-          "j + 1 AS dist))))")).as("pr"))
-        .select(col("pr.a").as("a"), col("pr.b").as("b"), col("pr.dist").as("dist"))
-        .groupBy(col("a"), col("b"), col("dist")).agg(count(lit(1)).as("cnt"))
+          "(w2, j) -> struct(w AS w1, w2 AS w2, j + 1 AS dist))))")).as("pr"))
+        .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"), col("pr.dist").as("dist"))
+        .groupBy(col("w1"), col("w2"), col("dist")).agg(count(lit(1)).as("cnt"))
       val uni = toks.select(explode(col("tk")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
       val pR = (pairs.rdd.cache(), pairs.schema)
@@ -1906,6 +1963,29 @@ object TextOps {
            FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n)
          WHERE rnk <= 3 ORDER BY doc_id, rnk""",
     "text_unigram_ppl" -> unigramPplSql,
+    "text_bigram_kn_ppl" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+           FROM documents),
+         bg0 AS (SELECT doc_id, unnest(list_zip(tk, tk[2:])) AS pr FROM tk),
+         bg AS (SELECT doc_id, pr[1] AS w1, pr[2] AS w2 FROM bg0
+                WHERE pr[2] IS NOT NULL),
+         cb AS (SELECT w1, w2, count(1) AS cnt FROM bg GROUP BY 1, 2),
+         lf AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS c1dot,
+                       count(1) AS n1plus_fwd FROM cb GROUP BY 1),
+         ct AS (SELECT w2, count(1) AS n1plus_rev FROM cb GROUP BY 1),
+         ty AS (SELECT count(1) AS n_types FROM cb),
+         sc AS (
+           SELECT doc_id,
+                  CAST(ln(greatest(CAST(cnt AS DOUBLE) - 0.75, 0.0) / c1dot
+                          + 0.75 * n1plus_fwd / c1dot
+                            * (CAST(n1plus_rev AS DOUBLE) / n_types))
+                       AS DECIMAL(18,6)) AS logp
+           FROM bg JOIN cb USING (w1, w2) JOIN lf USING (w1)
+                   JOIN ct USING (w2) CROSS JOIN ty)
+         SELECT doc_id, count(1) AS n_bigrams,
+                round(exp(-(CAST(sum(logp) AS DOUBLE)) / count(1)), 6) AS ppl
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "text_ppl_buckets" ->
       s"""WITH base AS ($unigramPplSql),
          rk AS (
