@@ -627,6 +627,49 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Dunning's log-likelihood-ratio (G²) collocations — the
+    // statistically-principled sibling of text_cooccur_pmi (PMI
+    // overweights rare pairs; G² is the 2×2 contingency likelihood test
+    // the collocation literature standardized on). Counts are the
+    // ordered dist=1 slice of the memoized corpus pair artifact (fourth
+    // consumer); margins and the total are vocab-bounded folds; G² =
+    // 2·Σ k·ln(k·N/(row·col)) over the four cells (0·ln0 = 0), built
+    // from exact BIGINT counts through ONE double tree identical on
+    // both engines (cell products cast to double BEFORE multiplying so
+    // k·N cannot overflow at petabyte N), floored at 0 (G² is
+    // non-negative; float error could otherwise produce -0.0 vs 0.0
+    // cross-engine), 6-dp-rounded, top-20 under a (g2, w1, w2) total
+    // order. Support floor cnt ≥ 10 like PMI.
+    "text_collocations_llr" -> ((s, dir) => {
+      val big = corpusPairs(s, dir)._1.filter(col("dist") === 1)
+        .select(col("w1"), col("w2"), col("cnt"))
+      val rm = big.groupBy(col("w1")).agg(sum(col("cnt")).as("rsum"))
+      val cm = big.groupBy(col("w2")).agg(sum(col("cnt")).as("csum"))
+      val tot = big.agg(sum(col("cnt")).as("n"))
+      def term(k: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column,
+          c: org.apache.spark.sql.Column,
+          n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(k > 0, k.cast("double") *
+          log(k.cast("double") * n / (r.cast("double") * c)))
+          .otherwise(lit(0.0))
+      big.filter(col("cnt") >= 10)
+        .join(broadcast(rm), Seq("w1"))
+        .join(broadcast(cm), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .withColumn("g2", round(greatest(lit(2.0) * (
+          term(col("cnt"), col("rsum"), col("csum"), col("n")) +
+            term(col("rsum") - col("cnt"), col("rsum"),
+              col("n") - col("csum"), col("n")) +
+            term(col("csum") - col("cnt"), col("n") - col("rsum"),
+              col("csum"), col("n")) +
+            term(col("n") - col("rsum") - col("csum") + col("cnt"),
+              col("n") - col("rsum"), col("n") - col("csum"), col("n"))),
+          lit(0.0)), 6))
+        .select(col("w1"), col("w2"), col("cnt").as("k11"), col("g2"))
+        .orderBy(col("g2").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
     // CCNet-style perplexity binning — head/middle/tail tertiles of the
     // per-doc unigram perplexity (lowest ppl = head = closest to the
     // reference LM; the quality split CCNet trains its per-bucket
@@ -1963,6 +2006,38 @@ object TextOps {
            FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n)
          WHERE rnk <= 3 ORDER BY doc_id, rnk""",
     "text_unigram_ppl" -> unigramPplSql,
+    "text_collocations_llr" ->
+      """WITH tk AS (
+           SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+           FROM documents),
+         bg0 AS (SELECT unnest(list_zip(tk, tk[2:])) AS pr FROM tk),
+         bg AS (SELECT pr[1] AS w1, pr[2] AS w2 FROM bg0 WHERE pr[2] IS NOT NULL),
+         cb AS (SELECT w1, w2, count(1) AS cnt FROM bg GROUP BY 1, 2),
+         r AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS rsum FROM cb GROUP BY 1),
+         c AS (SELECT w2, CAST(sum(cnt) AS BIGINT) AS csum FROM cb GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cb)
+         SELECT w1, w2, cnt AS k11,
+           round(greatest(2.0 * (
+             CASE WHEN cnt > 0
+                  THEN CAST(cnt AS DOUBLE)
+                       * ln(CAST(cnt AS DOUBLE) * n
+                            / (CAST(rsum AS DOUBLE) * csum)) ELSE 0.0 END
+           + CASE WHEN rsum - cnt > 0
+                  THEN CAST(rsum - cnt AS DOUBLE)
+                       * ln(CAST(rsum - cnt AS DOUBLE) * n
+                            / (CAST(rsum AS DOUBLE) * (n - csum))) ELSE 0.0 END
+           + CASE WHEN csum - cnt > 0
+                  THEN CAST(csum - cnt AS DOUBLE)
+                       * ln(CAST(csum - cnt AS DOUBLE) * n
+                            / (CAST(n - rsum AS DOUBLE) * csum)) ELSE 0.0 END
+           + CASE WHEN n - rsum - csum + cnt > 0
+                  THEN CAST(n - rsum - csum + cnt AS DOUBLE)
+                       * ln(CAST(n - rsum - csum + cnt AS DOUBLE) * n
+                            / (CAST(n - rsum AS DOUBLE) * (n - csum))) ELSE 0.0 END
+           ), 0.0), 6) AS g2
+         FROM cb JOIN r USING (w1) JOIN c USING (w2) CROSS JOIN tot
+         WHERE cnt >= 10
+         ORDER BY g2 DESC, w1, w2 LIMIT 20""",
     "text_bigram_kn_ppl" ->
       """WITH tk AS (
            SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
