@@ -875,6 +875,8 @@ class PlanSpec extends SparkSuite {
       "ts_decay_agg" -> "crossJoin against a broadcast 1-row max-ts reference",
       "ts_engle_granger" -> "crossJoin against the broadcast 1-row gamma/moment frames over the pinned day-grain residual frame",
       "text_cooccur_pmi" -> "crossJoins against broadcast 1-row ntok/npairs totals",
+      "text_bigram_kn_ppl" -> "crossJoin against a broadcast 1-row bigram-type total",
+      "text_collocations_llr" -> "crossJoin against a broadcast 1-row bigram-instance total",
       "text_bm25" -> "crossJoin against a broadcast 1-row ndocs/ntok total",
       "vec_ann_recall" -> "composes vec_knn_join, whose broadcast <=8-probe cross join is bounded",
       "stat_ttest" -> "theta self-join of a broadcast 5-row segment-moment frame (<=25 pairs)",
