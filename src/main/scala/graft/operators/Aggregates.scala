@@ -1092,6 +1092,46 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Weighted mean and reliability-weighted sample variance per return
+    // flag (weight = quantity, value = unit price signal extendedprice) —
+    // the weighted-moments kit beside agg_stats' unweighted one (every
+    // importance-sampled or frequency-weighted pipeline needs it; the
+    // reliability form Σw(x−m)²/(Σw − Σw²/Σw) is what survey packages
+    // compute). All four moments are EXACT DECIMAL(38,6) sums of
+    // decimal-representable products (agg_stats' discipline — parallel
+    // partial sums cannot perturb them); the two divisions are one double
+    // tree per group, 6-dp-rounded at the end. ONE fact pass, group
+    // count bounded by the flag domain.
+    "agg_weighted_moments" -> ((s, dir) => {
+      val big = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DecimalType(38, 6))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(big(col("l_quantity"))).as("sw"),
+          sum(big(col("l_quantity") * col("l_quantity"))).as("sw2"),
+          sum(big(col("l_quantity") * col("l_extendedprice"))).as("swx"),
+          sum(big(col("l_quantity") * col("l_extendedprice") * col("l_extendedprice")))
+            .as("swx2"))
+        .select(col("l_returnflag"), col("n"),
+          round(col("sw").cast("double"), 6).as("sum_w"),
+          round(col("swx").cast("double") / col("sw").cast("double"), 6)
+            .as("wmean"),
+          // publish the weighted STDDEV, not the raw variance: the
+          // variance sits at ~1e9 where a 6-dp round is inside the
+          // DECIMAL(38,6)→double conversion ulp (the moments exceed 2^53
+          // quanta, so the cast itself rounds — and the two engines may
+          // legitimately differ by 1 ulp there); sqrt compresses to ~1e4
+          // where 6 dp is far above the ulp
+          round(sqrt((col("swx2").cast("double") -
+            col("swx").cast("double") * col("swx").cast("double") /
+              col("sw").cast("double")) /
+            (col("sw").cast("double") -
+              col("sw2").cast("double") / col("sw").cast("double"))), 6)
+            .as("wstddev"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // fixed-width histogram as a plain hash aggregation: the bin id is a
     // per-row expression, so binning costs one shuffle of (bin → partials)
     // — bounded by bin count, not row count — at any scale. The DECIMAL
@@ -1663,6 +1703,22 @@ object Aggregates {
              sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS sxx,
              sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS syy,
              sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS sxy
+           FROM lineitem GROUP BY l_returnflag)
+         ORDER BY l_returnflag""",
+    "agg_weighted_moments" ->
+      """SELECT l_returnflag, n,
+         round(CAST(sw AS DOUBLE), 6) AS sum_w,
+         round(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE), 6) AS wmean,
+         round(sqrt((CAST(swx2 AS DOUBLE)
+                - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE))
+               / (CAST(sw AS DOUBLE) - CAST(sw2 AS DOUBLE) / CAST(sw AS DOUBLE))), 6)
+           AS wstddev
+         FROM (
+           SELECT l_returnflag, count(1) AS n,
+             sum(CAST(l_quantity AS DECIMAL(38,6))) AS sw,
+             sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS sw2,
+             sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS swx,
+             sum(CAST(l_quantity * l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS swx2
            FROM lineitem GROUP BY l_returnflag)
          ORDER BY l_returnflag"""
   ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }

@@ -969,6 +969,60 @@ object AnalyticsOps {
       out
     }),
 
+    // Per-edge embeddedness (triangle support) histogram + local bridges —
+    // Granovetter's tie-strength diagnostic on the co-purchase graph:
+    // embeddedness(u,v) = |N(u) ∩ N(v)| (how socially "backed" an edge
+    // is); edges with embeddedness 0 are LOCAL BRIDGES, the weak ties
+    // that carry novel information between clusters. graph_triangles
+    // counts the global total; this is the per-edge distribution the
+    // cluster-structure audit actually reads (bucket 0 = bridge count).
+    // Shape: edge × adjacency equi-join (wedge enumeration, bounded by
+    // degree like the triangle join), semi-join closes the wedge, left
+    // join 0-fills, histogram rollup is support-bounded rows. Reads the
+    // memoized pair artifact; the adjacency frame is pinned (two wedge
+    // sides read it).
+    "graph_edge_embeddedness" -> ((s, dir) => {
+      val e = coPurchaseGraph(s, dir)._1.select(col("p1"), col("p2"))
+      val adj = persistShared("edge_emb_adj",
+        e.select(col("p1").as("a"), col("p2").as("b"))
+          .unionAll(e.select(col("p2").as("a"), col("p1").as("b"))))
+      val wedges = e.join(adj.select(col("a").as("p1"), col("b").as("w")), Seq("p1"))
+        .filter(col("w") =!= col("p2"))
+      val closed = wedges.join(adj.select(col("a").as("p2"), col("b").as("w")),
+          Seq("p2", "w"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("emb"))
+      e.join(closed, Seq("p1", "p2"), "left")
+        .withColumn("emb", coalesce(col("emb"), lit(0L)))
+        .groupBy(col("emb")).agg(count(lit(1)).as("n_edges"))
+        .orderBy(col("emb"))
+    }),
+
+    // Average-neighbor-degree curve k_nn(k) — the FULL assortativity
+    // picture graph_assortativity's single coefficient compresses away
+    // (a rising curve = hubs attach to hubs; falling = hub-and-spoke;
+    // the shape matters for sampling and partitioning strategy on any
+    // real graph): per-node mean neighbor degree (one adjacency join
+    // against the degree frame, both degree-bounded), rolled up to the
+    // per-degree mean over nodes. Both means are DECIMAL-summed 6-dp
+    // divisions (order-free); the pinned adjacency feeds the degree
+    // build and the join side.
+    "graph_avg_neighbor_degree" -> ((s, dir) => {
+      val e = coPurchaseGraph(s, dir)._1.select(col("p1"), col("p2"))
+      val adj = persistShared("annd_adj",
+        e.select(col("p1").as("a"), col("p2").as("b"))
+          .unionAll(e.select(col("p2").as("a"), col("p1").as("b"))))
+      val deg = adj.groupBy(col("a")).agg(count(lit(1)).as("dg"))
+      val annd = adj
+        .join(deg.select(col("a").as("b"), col("dg").as("dgb")), Seq("b"))
+        .groupBy(col("a"))
+        .agg(count(lit(1)).as("dg"), davg(col("dgb").cast("double")).as("annd"))
+      annd.groupBy(col("dg"))
+        .agg(count(lit(1)).as("n_nodes"),
+          davg(col("annd")).as("avg_nbr_degree"))
+        .orderBy(col("dg"))
+        .withColumnRenamed("dg", "degree")
+    }),
+
     // tombstone purge audit (right-to-erasure): the cascade every governed
     // lakehouse runs — erase flagged customers, their orders, and those
     // orders' lineitems. The tombstone set is key-count-sized → broadcast
@@ -2710,6 +2764,122 @@ object AnalyticsOps {
         .withColumn("p_value",
           round(PValueGrids.pTwoSided(col("z_stat")), 6))),
 
+    // Cliff's delta — the EFFECT SIZE companion to stat_mannwhitney's
+    // significance z (the report a stats reviewer actually asks for:
+    // "significant, but how big?"). δ = P(X>Y) − P(X<Y) folds exactly out
+    // of the tie-halved U statistic the base op already computes
+    // (U_a + U_b = n_a·n_b ⇒ δ = (2U_a − n_a n_b)/(n_a n_b)), so this is a
+    // pure composition — no second fact pass, the same one-hash-agg
+    // value-grain shape at any scale. The magnitude label uses Romano's
+    // conventional cuts (0.147/0.33/0.474) compared on the ROUNDED δ so a
+    // boundary ulp can't flip the label across engines.
+    "stat_cliffs_delta" -> ((s, dir) => {
+      val nab = col("n_a").cast("double") * col("n_b")
+      queries("stat_mannwhitney")(s, dir)
+        .withColumn("delta", round((lit(2.0) * col("u_a") - nab) / nab, 6))
+        .withColumn("magnitude",
+          when(abs(col("delta")) < 0.147, "negligible")
+            .when(abs(col("delta")) < 0.33, "small")
+            .when(abs(col("delta")) < 0.474, "medium")
+            .otherwise("large"))
+        .select(col("n_a"), col("n_b"), col("delta"), col("magnitude"))
+    }),
+
+    // Brunner–Munzel test between the same two segments — the modern
+    // replacement for Mann–Whitney when the two groups may differ in
+    // VARIANCE as well as location (MW's z assumes exchangeable spreads;
+    // BM studentizes the rank means per group, Welch-style). Everything
+    // stays on stat_mannwhitney's value grain: combined AND within-group
+    // mid-ranks in the exact 2× integer encoding, per-value deviation
+    // terms (shared by every member at that value) 6-dp-gridded before
+    // the order-free DECIMAL sums, the scipy-convention statistic
+    // w = n1·n2·(R̄2−R̄1)/((n1+n2)·√(n1S1²+n2S2²)) and its Welch dof as
+    // one double tree each. Also publishes p̂ = P(X<Y)+½P(X=Y), the
+    // stochastic-superiority estimate BM actually tests.
+    "stat_brunner_munzel" -> ((s, dir) => {
+      val v = t(s, dir, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(col("c_mktsegment").as("seg"), col("c_acctbal").as("v"))
+      val g = v.groupBy(col("v")).agg(
+        sum(when(col("seg") === "BUILDING", 1L).otherwise(0L)).as("na"),
+        sum(when(col("seg") === "MACHINERY", 1L).otherwise(0L)).as("nb"))
+      val wAll = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+      val r = g
+        .withColumn("r2", lit(2L) * coalesce(sum(col("na") + col("nb")).over(wAll), lit(0L))
+          + col("na") + col("nb") + 1)
+        .withColumn("h2a", lit(2L) * coalesce(sum(col("na")).over(wAll), lit(0L))
+          + col("na") + 1)
+        .withColumn("h2b", lit(2L) * coalesce(sum(col("nb")).over(wAll), lit(0L))
+          + col("nb") + 1)
+      val m = r.agg(
+        sum(col("na")).as("n1"), sum(col("nb")).as("n2"),
+        sum(col("na") * col("r2")).as("ra2"), sum(col("nb") * col("r2")).as("rb2"))
+      val b = r.crossJoin(broadcast(m))
+        .withColumn("rb1", col("ra2").cast("double") / (lit(2L) * col("n1")))
+        .withColumn("rb2m", col("rb2").cast("double") / (lit(2L) * col("n2")))
+        .withColumn("da", (col("r2") - col("h2a")).cast("double") / 2.0
+          - col("rb1") + (col("n1") + 1).cast("double") / 2.0)
+        .withColumn("db", (col("r2") - col("h2b")).cast("double") / 2.0
+          - col("rb2m") + (col("n2") + 1).cast("double") / 2.0)
+      val agg = b.groupBy(col("n1"), col("n2"), col("rb1"), col("rb2m")).agg(
+        sum(dec(round(col("na") * col("da") * col("da"), 6))).as("ssa"),
+        sum(dec(round(col("nb") * col("db") * col("db"), 6))).as("ssb"))
+      val n1D = col("n1").cast("double"); val n2D = col("n2").cast("double")
+      val s1 = col("ssa").cast("double") / (n1D - 1.0)
+      val s2 = col("ssb").cast("double") / (n2D - 1.0)
+      val pooled = n1D * s1 + n2D * s2
+      val wStat = n1D * n2D * (col("rb2m") - col("rb1")) /
+        ((n1D + n2D) * sqrt(pooled))
+      val dof = pooled * pooled /
+        ((n1D * s1) * (n1D * s1) / (n1D - 1.0) +
+          (n2D * s2) * (n2D * s2) / (n2D - 1.0))
+      agg.select(col("n1").as("n_a"), col("n2").as("n_b"),
+        round((col("rb2m") - (n2D + 1.0) / 2.0) / n1D, 6).as("p_hat"),
+        round(wStat, 6).as("w_stat"), round(dof, 6).as("dof"))
+    }),
+
+    // Anderson–Darling 2-sample test (Scholz–Stephens tie-adjusted
+    // A²akN) — completes the EDF-distance family beside stat_ks_test
+    // (sup-norm) and stat_cvm (L2): AD weights the tails, which is where
+    // distribution drift usually hides. The midrank tie adjustment folds
+    // ENTIRELY into 2× integer encodings on the value grain (B2 = 2·cum−h,
+    // M2 = 2·cumA−na), and the quartered numerator/denominator cancel:
+    // term = (h/N)·(N·M2 − n_k·B2)²/(B2(2N−B2) − N·h) — factors cast to
+    // double BEFORE multiplying (no BIGINT overflow at petabyte N), each
+    // term 6-dp-gridded before its order-free DECIMAL sum. scipy's
+    // midrank-mode statistic exactly.
+    "stat_ad_2sample" -> ((s, dir) => {
+      val v = t(s, dir, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(col("c_mktsegment").as("seg"), col("c_acctbal").as("v"))
+      val g = v.groupBy(col("v")).agg(
+        sum(when(col("seg") === "BUILDING", 1L).otherwise(0L)).as("na"),
+        sum(when(col("seg") === "MACHINERY", 1L).otherwise(0L)).as("nb"))
+      val wI = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = g.withColumn("h", col("na") + col("nb"))
+        .withColumn("b2", lit(2L) * sum(col("na") + col("nb")).over(wI) - col("h"))
+        .withColumn("ma2", lit(2L) * sum(col("na")).over(wI) - col("na"))
+        .withColumn("mb2", lit(2L) * sum(col("nb")).over(wI) - col("nb"))
+      val m = r.agg(sum(col("na")).as("n1"), sum(col("nb")).as("n2"))
+      val b = r.crossJoin(broadcast(m))
+      val nD = (col("n1") + col("n2")).cast("double")
+      def term(m2: org.apache.spark.sql.Column, nk: org.apache.spark.sql.Column) = {
+        val d = nD * m2.cast("double") - nk.cast("double") * col("b2").cast("double")
+        val den = col("b2").cast("double") * (lit(2.0) * nD - col("b2").cast("double")) -
+          nD * col("h").cast("double")
+        col("h").cast("double") / nD * (d * d) / den
+      }
+      val agg = b.groupBy(col("n1"), col("n2")).agg(
+        sum(dec(round(term(col("ma2"), col("n1")), 6))).as("sa"),
+        sum(dec(round(term(col("mb2"), col("n2")), 6))).as("sb"))
+      val nT = (col("n1") + col("n2")).cast("double")
+      agg.select(col("n1").as("n_a"), col("n2").as("n_b"),
+        round((nT - 1.0) / nT *
+          (col("sa").cast("double") / col("n1") +
+            col("sb").cast("double") / col("n2")), 6).as("a2_stat"))
+    }),
+
     // ---- p-value tier, extended family -----------------------------
     // Every op below is a pure composition: the registered base op's
     // oracle-matched statistic through one of the two pinned grids
@@ -4138,6 +4308,102 @@ object AnalyticsOps {
         .orderBy(col("event_type"))
     }),
 
+    // KPSS level-stationarity test per event series — the MIRROR of
+    // stat_dickey_fuller (ADF's null is a unit root, KPSS's null is
+    // stationarity; running both is the standard confirmatory protocol —
+    // agreement settles the call, disagreement flags "not enough data").
+    // η = Σ S_t² / (n²·s̄²) with S_t the partial sums of demeaned counts
+    // and s̄² the Bartlett long-run variance (q=4, weights 1−l/5). Counts
+    // are exact integers, so S_t = cumsum(c) − t·mean folds from an
+    // integer prefix sum; every squared/cross term is 6-dp-gridded before
+    // its order-free DECIMAL sum (engle_granger's discipline). Stationary
+    // call at the 5% critical value 0.463 on the GRIDDED statistic.
+    // Day-grain windows over the calendar-bounded frame; one fact pass.
+    "stat_kpss" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wC = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val m = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sx"))
+      val b = daily.join(broadcast(m), Seq("event_type"))
+        .withColumn("mean", col("sx").cast("double") / col("n"))
+        .withColumn("tt", row_number().over(w))
+        .withColumn("cumc", sum(col("c")).over(wC))
+        .withColumn("st", col("cumc").cast("double") - col("tt") * col("mean"))
+        .withColumn("c1", lag(col("c"), 1).over(w))
+        .withColumn("c2", lag(col("c"), 2).over(w))
+        .withColumn("c3", lag(col("c"), 3).over(w))
+        .withColumn("c4", lag(col("c"), 4).over(w))
+      def gamma(lagged: org.apache.spark.sql.Column) =
+        sum(when(lagged.isNotNull,
+          dec(round((col("c") - col("mean")) * (lagged - col("mean")), 6)))
+          .otherwise(lit(null)))
+      val agg = b.groupBy(col("event_type")).agg(
+        max(col("n")).as("n"),
+        sum(dec(round(col("st") * col("st"), 6))).as("eta_num"),
+        gamma(col("c").cast("double")).as("g0"),
+        gamma(col("c1").cast("double")).as("g1"),
+        gamma(col("c2").cast("double")).as("g2"),
+        gamma(col("c3").cast("double")).as("g3"),
+        gamma(col("c4").cast("double")).as("g4"))
+      val nD = col("n").cast("double")
+      def gd(c: org.apache.spark.sql.Column) = c.cast("double") / nD
+      val lrv = gd(col("g0")) + lit(2.0) *
+        (lit(0.8) * gd(col("g1")) + lit(0.6) * gd(col("g2")) +
+          lit(0.4) * gd(col("g3")) + lit(0.2) * gd(col("g4")))
+      val stat = round((col("eta_num").cast("double") / nD / nD) / lrv, 6)
+      agg.select(col("event_type"), col("n"),
+          stat.as("kpss_stat"),
+          when(stat < 0.463, 1).otherwise(0).as("stationary"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Lo–MacKinlay variance-ratio test (q=5) per event series — "does
+    // this metric diffuse like a random walk?" (VR < 1 mean-reversion,
+    // VR > 1 trending; the market-efficiency workhorse, here the drift
+    // diagnostic between dickey_fuller's unit root and hurst's exponent).
+    // 1-day increments r_t and q-day increments y_t − y_{t−q} both fold
+    // from exact integer daily counts via lag windows; μ telescopes to
+    // Σr/(n−1); the unbiased-denominator form σ_c²/h with
+    // h = q(m−q+1)(1−q/m). Squared deviations 6-dp-gridded before the
+    // order-free DECIMAL sums; z under the homoscedastic null's
+    // √(2(2q−1)(q−1)/(3qm)). One fact pass, day-grain windows.
+    "ts_variance_ratio" -> ((s, dir) => {
+      val Q = 5
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("y"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val p = daily
+        .withColumn("y1", lag(col("y"), 1).over(w))
+        .withColumn("yq", lag(col("y"), Q).over(w))
+      val m = p.groupBy(col("event_type")).agg(
+        sum(when(col("y1").isNotNull, 1L)).as("m"),
+        sum(col("y") - col("y1")).as("sr"))
+      val b = p.join(broadcast(m), Seq("event_type"))
+        .withColumn("mu", col("sr").cast("double") / col("m"))
+      val agg = b.groupBy(col("event_type")).agg(
+        max(col("m")).as("m"),
+        sum(when(col("y1").isNotNull, dec(round(
+          ((col("y") - col("y1")).cast("double") - col("mu")) *
+            ((col("y") - col("y1")).cast("double") - col("mu")), 6))))
+          .as("ssa"),
+        sum(when(col("yq").isNotNull, dec(round(
+          ((col("y") - col("yq")).cast("double") - lit(Q.toDouble) * col("mu")) *
+            ((col("y") - col("yq")).cast("double") - lit(Q.toDouble) * col("mu")), 6))))
+          .as("ssc"))
+      val mD = col("m").cast("double")
+      val sa2 = col("ssa").cast("double") / (mD - 1.0)
+      val h = lit(Q.toDouble) * (mD - Q + 1) * (lit(1.0) - lit(Q.toDouble) / mD)
+      val vr = (col("ssc").cast("double") / h) / sa2
+      val se = sqrt(lit(2.0 * (2 * Q - 1) * (Q - 1)) / (lit(3.0 * Q) * mD))
+      agg.select(col("event_type"), (col("m") + 1).as("n_days"),
+          round(vr, 6).as("vr"), round((vr - 1.0) / se, 6).as("z_stat"))
+        .orderBy(col("event_type"))
+    }),
+
     // Engle–Granger cointegration screen between the view and purchase
     // daily series — the "do these two series share a long-run
     // equilibrium" test a forecasting pipeline runs before trusting one
@@ -4811,6 +5077,65 @@ object AnalyticsOps {
         (col("k") - 1).as("dof"))
     }),
 
+    // Quade test — stat_friedman with BLOCK WEIGHTS: blocks whose
+    // treatments differ more (larger within-day range) carry more
+    // evidence, so each day is weighted by the rank of its range across
+    // days (Friedman throws that information away; Quade is the more
+    // powerful test when block effects vary). Complete blocks only
+    // (page_trend's broadcast type-count gate); within-block average
+    // ranks AND across-block range ranks both in the exact 2× integer
+    // encoding; S_ij = Q_i(r_ij − (k+1)/2) terms and their squares
+    // 6-dp-gridded before every order-free DECIMAL sum (A, B, and the
+    // per-treatment S_j — the k-bounded treatment fold too, since Spark's
+    // partial-agg order is free); F = (n−1)B/(A−B), dof (k−1, (n−1)(k−1)).
+    "stat_quade" -> ((s, dir) => {
+      val daily = persistShared("quade_daily", events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"), col("event_type").as("et"))
+        .agg(count(lit(1)).as("c")))
+      val kTot = daily.agg(countDistinct(col("et")).as("k"))
+      val goodDays = daily.groupBy(col("day")).agg(count(lit(1)).as("nt"))
+        .crossJoin(broadcast(kTot))
+        .filter(col("nt") === col("k")).select(col("day"))
+      val cells = persistShared("quade_cells", daily.join(goodDays, Seq("day")))
+      // within-block 2x average ranks of c (friedman's tie encoding)
+      val g = cells.groupBy(col("day"), col("c")).agg(count(lit(1)).as("t"))
+      val wB = Window.partitionBy(col("day")).orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val r = g.withColumn("cumb", coalesce(sum(col("t")).over(wB), lit(0L)))
+        .withColumn("rank2", lit(2L) * col("cumb") + col("t") + 1)
+      // block weights: 2x average rank of the within-day range across days
+      val rng = cells.groupBy(col("day"))
+        .agg((max(col("c")) - min(col("c"))).as("rng"))
+      val gr = rng.groupBy(col("rng")).agg(count(lit(1)).as("t"))
+      val wR = Window.orderBy(col("rng")).rowsBetween(Window.unboundedPreceding, -1)
+      val qr = gr.withColumn("cumb", coalesce(sum(col("t")).over(wR), lit(0L)))
+        .withColumn("q2", lit(2L) * col("cumb") + col("t") + 1)
+      val wq = rng.join(qr.select(col("rng"), col("q2")), Seq("rng"))
+        .select(col("day"), col("q2"))
+      val kCnt = cells.agg(countDistinct(col("et")).as("k"),
+        countDistinct(col("day")).as("n"))
+      val sij = cells
+        .join(r.select(col("day"), col("c"), col("rank2")), Seq("day", "c"))
+        .join(wq, Seq("day"))
+        .crossJoin(broadcast(kCnt))
+        .withColumn("s", col("q2").cast("double") / 2.0 *
+          (col("rank2").cast("double") / 2.0 - (col("k") + 1).cast("double") / 2.0))
+      val sj = sij.groupBy(col("et"), col("k"), col("n"))
+        .agg(sum(dec(round(col("s"), 6))).as("sjd"),
+          sum(dec(round(col("s") * col("s"), 6))).as("aj"))
+      val m = sj.groupBy(col("k"), col("n")).agg(
+        sum(col("aj")).as("a"),
+        sum(dec(round(col("sjd").cast("double") * col("sjd").cast("double"), 6)))
+          .as("bnum"))
+      val nD = col("n").cast("double"); val kD2 = col("k").cast("double")
+      val bStat = col("bnum").cast("double") / nD
+      val aStat = col("a").cast("double")
+      m.select(col("n").as("n_blocks"), col("k"),
+        round((nD - 1.0) * bStat / nullif(aStat - bStat, lit(0.0)), 6).as("f_stat"),
+        (col("k") - 1).as("dof1"),
+        ((col("n") - 1) * (col("k") - 1)).as("dof2"))
+    }),
+
     // Cochran's Q over THREE paired binary scorers — the k-classifier
     // generalization of stat_mcnemar (mcnemar: 2 scorers, this: k; the
     // "is ANY of these models different" omnibus before pairwise tests):
@@ -4842,6 +5167,243 @@ object AnalyticsOps {
               col("t3") * col("t3")) - col("nn") * col("nn")).cast("double") /
             nullif(lit(3L) * col("nn") - col("ss2"), lit(0L)), 6).as("q_stat"))
         .withColumn("dof", lit(2))
+    }),
+
+    // Page's trend test (Page's L) — the ORDERED-alternative sibling of
+    // stat_friedman: Friedman asks "do these k treatments differ at all
+    // across blocks?"; Page asks "do they increase in a PRE-SPECIFIED
+    // order?" (here the alphabetical event_type order as the declared
+    // hypothesis — the fixed-order convention a benchmark needs to stay
+    // deterministic). Day = block; within-block average ranks in the exact
+    // 2× integer encoding (rank2, stat_mannwhitney's trick) so L2 = Σ j·R2_j
+    // stays BIGINT; blocks missing any treatment are dropped (Page assumes
+    // a complete design) via a broadcast 1-row type-count gate. z from the
+    // no-tie moments μ_L = nk(k+1)²/4, σ²_L = nk²(k+1)(k²−1)/144 in the 2×
+    // space (μ·2, σ·2) — average ranks make it the standard tie-smoothed
+    // approximation, identical algebra both engines. Day-grain windows
+    // only; the fact rolls up once.
+    "stat_page_trend" -> ((s, dir) => {
+      val daily = persistShared("page_daily", events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"), col("event_type").as("et"))
+        .agg(count(lit(1)).as("c")))
+      val kTot = daily.agg(countDistinct(col("et")).as("k"))
+      val goodDays = daily.groupBy(col("day")).agg(count(lit(1)).as("nt"))
+        .crossJoin(broadcast(kTot))
+        .filter(col("nt") === col("k")).select(col("day"))
+      val cells = daily.join(goodDays, Seq("day"))
+      // treatment index j: alphabetical position over the bounded type
+      // domain (k rows — the single-partition window is domain-bounded)
+      val jIdx = daily.select(col("et")).distinct()
+        .withColumn("j", row_number().over(Window.orderBy(col("et"))))
+      val g = cells.groupBy(col("day"), col("c")).agg(count(lit(1)).as("t"))
+      val w = Window.partitionBy(col("day")).orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val r = g.withColumn("cumb", coalesce(sum(col("t")).over(w), lit(0L)))
+        .withColumn("rank2", lit(2L) * col("cumb") + col("t") + 1)
+      val ranked = cells.join(r.select(col("day"), col("c"), col("rank2")),
+          Seq("day", "c"))
+        .join(broadcast(jIdx), Seq("et"))
+      val m = ranked.agg(
+        (countDistinct(col("day"))).as("n_blocks"),
+        max(col("j")).as("k"),
+        sum(col("j") * col("rank2")).as("l2"))
+      val nD = col("n_blocks").cast("double"); val kD = col("k").cast("double")
+      val mu2 = nD * kD * (kD + 1) * (kD + 1) / 2.0
+      val sd2 = sqrt(nD * kD * kD * (kD + 1) * (kD * kD - 1) / 36.0)
+      m.select(col("n_blocks"), col("k"),
+        round(col("l2").cast("double") / 2.0, 6).as("l_stat"),
+        round((col("l2").cast("double") - mu2) / sd2, 6).as("z_stat"))
+    }),
+
+    // Fleiss' kappa over THREE raters — the k-rater generalization of
+    // eval_cohen_kappa (Cohen: 2 raters; Fleiss: any k — the agreement
+    // audit a labeling pipeline runs before trusting a crowd consensus).
+    // Raters are stat_cochran_q's three deterministic multiplicative-hash
+    // scorers read as LABELS (not correctness), binary categories. Every
+    // moment is an exact integer off ONE fact pass: with n_i1 = positive
+    // votes on row i and k=3, Σ n_i0² folds to 9N − 6S1 + S2, so
+    // P̄ = (S2 − 3S1 + 3N)/(3N) and P_e = p1² + p0² — one double tree per
+    // engine, κ rounded once at the end.
+    "eval_fleiss_kappa" -> ((s, dir) => {
+      val sc = (mult: Long) => (((col("c_custkey") % lit(2147483648L)) * lit(mult))
+        % lit(2147483648L) % 1000)
+      val b = t(s, dir, "customer").select(
+        (when(sc(2654435761L) >= 500, 1L).otherwise(0L) +
+          when(sc(1315423911L) >= 500, 1L).otherwise(0L) +
+          when(sc(2246822519L) >= 500, 1L).otherwise(0L)).as("n1"))
+      val m = b.agg(count(lit(1)).as("n_items"),
+        sum(col("n1")).as("s1"), sum(col("n1") * col("n1")).as("s2"))
+      val nD = col("n_items").cast("double")
+      val pBar = (col("s2") - lit(3L) * col("s1")).cast("double") / (lit(3.0) * nD) + 1.0
+      val p1 = col("s1").cast("double") / (lit(3.0) * nD)
+      val pE = p1 * p1 + (lit(1.0) - p1) * (lit(1.0) - p1)
+      m.select(col("n_items"), lit(3).as("n_raters"),
+        round(pBar, 6).as("p_bar"), round(pE, 6).as("p_e"),
+        round((pBar - pE) / (lit(1.0) - pE), 6).as("kappa"))
+    }),
+
+    // Cronbach's alpha over the three scorer streams — the internal-
+    // consistency companion to eval_fleiss_kappa (kappa asks "do raters
+    // agree per item?", alpha asks "do these items measure ONE
+    // construct?" — the scale-reliability number every survey/label-set
+    // audit reports): α = k/(k−1)·(1 − Σvar_j/var_total). Binary items
+    // make every moment exact integers (x² = x, so var_j needs only the
+    // column total; var_total needs Σs and Σs² of the row sums) — ONE
+    // fact pass, one double tree, sample (n−1) variances.
+    "stat_cronbach_alpha" -> ((s, dir) => {
+      val sc = (mult: Long) => (((col("c_custkey") % lit(2147483648L)) * lit(mult))
+        % lit(2147483648L) % 1000)
+      val b = t(s, dir, "customer").select(
+        when(sc(2654435761L) >= 500, 1L).otherwise(0L).as("x1"),
+        when(sc(1315423911L) >= 500, 1L).otherwise(0L).as("x2"),
+        when(sc(2246822519L) >= 500, 1L).otherwise(0L).as("x3"))
+        .withColumn("s", col("x1") + col("x2") + col("x3"))
+      val m = b.agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("t1"), sum(col("x2")).as("t2"), sum(col("x3")).as("t3"),
+        sum(col("s")).as("ss"), sum(col("s") * col("s")).as("ss2"))
+      val nD = col("n").cast("double")
+      def varB(tj: org.apache.spark.sql.Column) =
+        (tj.cast("double") - tj.cast("double") * tj.cast("double") / nD) / (nD - 1.0)
+      val varTot = (col("ss2").cast("double") -
+        col("ss").cast("double") * col("ss").cast("double") / nD) / (nD - 1.0)
+      m.select(col("n").as("n_persons"), lit(3).as("k"),
+        round(lit(1.5) * (lit(1.0) -
+          (varB(col("t1")) + varB(col("t2")) + varB(col("t3"))) / varTot), 6)
+          .as("alpha"))
+    }),
+
+    // Krippendorff's alpha (binary nominal, three raters) — the
+    // content-analysis standard beside eval_fleiss_kappa: same observed
+    // disagreement, but chance is modeled from the POOLED value
+    // distribution with the (N−1) small-sample correction (kappa's P_e
+    // ignores it), so the two disagree exactly when data is scarce — a
+    // labeling audit reports both. Per-item disagreeing pairs fold to
+    // 3S1 − S2 (binary, k=3), so D_o = (3S1−S2)/(3n) and
+    // D_e = 2S1(N−S1)/(N(N−1)) with N = 3n — every moment an exact
+    // integer off ONE fact pass, factors cast to double before
+    // multiplying (petabyte-safe), α = 1 − D_o/D_e as one tree.
+    "eval_krippendorff_alpha" -> ((s, dir) => {
+      val sc = (mult: Long) => (((col("c_custkey") % lit(2147483648L)) * lit(mult))
+        % lit(2147483648L) % 1000)
+      val b = t(s, dir, "customer").select(
+        (when(sc(2654435761L) >= 500, 1L).otherwise(0L) +
+          when(sc(1315423911L) >= 500, 1L).otherwise(0L) +
+          when(sc(2246822519L) >= 500, 1L).otherwise(0L)).as("n1"))
+      val m = b.agg(count(lit(1)).as("n_items"),
+        sum(col("n1")).as("s1"), sum(col("n1") * col("n1")).as("s2"))
+      val nD = col("n_items").cast("double")
+      val bigN = lit(3.0) * nD
+      val dO = (lit(3L) * col("s1") - col("s2")).cast("double") / (lit(3.0) * nD)
+      val dE = lit(2.0) * col("s1").cast("double") *
+        (bigN - col("s1").cast("double")) / (bigN * (bigN - 1.0))
+      m.select(col("n_items"), lit(3).as("n_raters"),
+        round(dO, 6).as("d_o"), round(dE, 6).as("d_e"),
+        round(lit(1.0) - dO / dE, 6).as("alpha"))
+    }),
+
+    // Cochran–Mantel–Haenszel stratified 2×2 test + MH pooled odds
+    // ratio — "is exposure associated with outcome AFTER controlling for
+    // the stratifying confounder?" (stat_chi2 pools everything and falls
+    // to Simpson's paradox; CMH is the epidemiology/AB-testing standard
+    // that doesn't). Strata = market segments; exposure = the repo's
+    // Knuth-hash scorer, outcome = positive balance — every 2×2 cell an
+    // exact integer in ONE fact pass. Per-stratum (a−E), hypergeometric
+    // variance, and the a·d/n, b·c/n OR terms are 9-dp-gridded before
+    // their order-free DECIMAL folds over the (bounded) stratum frame;
+    // χ²_CMH = (Σ(a−E))²/ΣV (dof 1), OR_MH = Σ(ad/n)/Σ(bc/n).
+    "stat_cmh" -> ((s, dir) => {
+      val sc = (((col("c_custkey") % lit(2147483648L)) * lit(2654435761L))
+        % lit(2147483648L) % 1000)
+      val st = t(s, dir, "customer").select(
+        col("c_mktsegment").as("seg"),
+        when(sc >= 500, 1L).otherwise(0L).as("pa"),
+        when(col("c_acctbal") > 0, 1L).otherwise(0L).as("y"))
+        .groupBy(col("seg")).agg(count(lit(1)).as("n"),
+          sum(col("pa") * col("y")).as("a"),
+          sum(col("pa")).as("r1"), sum(col("y")).as("c1"))
+      val nD = col("n").cast("double")
+      val aD = col("a").cast("double")
+      val r1D = col("r1").cast("double"); val c1D = col("c1").cast("double")
+      val bD = (col("r1") - col("a")).cast("double")
+      val cD = (col("c1") - col("a")).cast("double")
+      val dD = (col("n") - col("r1") - col("c1") + col("a")).cast("double")
+      val terms = st.select(
+        dec(round(aD - r1D * c1D / nD, 9), 9).as("ame"),
+        dec(round(r1D * (col("n") - col("r1")).cast("double") * c1D *
+          (col("n") - col("c1")).cast("double") /
+          (nD * nD * (col("n") - 1).cast("double")), 9), 9).as("v"),
+        dec(round(aD * dD / nD, 9), 9).as("adn"),
+        dec(round(bD * cD / nD, 9), 9).as("bcn"))
+      terms.agg(count(lit(1)).as("n_strata"),
+          sum(col("ame")).as("sae"), sum(col("v")).as("sv"),
+          sum(col("adn")).as("sad"), sum(col("bcn")).as("sbc"))
+        .select(col("n_strata"),
+          round(col("sae").cast("double") * col("sae").cast("double") /
+            col("sv").cast("double"), 6).as("chi2_cmh"),
+          lit(1).as("dof"),
+          round(col("sad").cast("double") / col("sbc").cast("double"), 6)
+            .as("or_mh"))
+    }),
+
+    // Theil's uncertainty coefficient U(X|Y) — the ENTROPY-based
+    // categorical association beside stat_cramers_v (χ²-based symmetric)
+    // and feature_woe (binary-target): "what fraction of segment
+    // uncertainty does knowing the nation remove?" — asymmetric by
+    // design, which is what a feature-selection pass actually wants.
+    // Joint (segment × nation) counts are dim-bounded (catalog grain);
+    // every p·ln p term 9-dp-gridded before its order-free DECIMAL fold
+    // (text_entropy's discipline); U = (H(X) − H(X|Y))/H(X) as one tree.
+    "stat_theil_u" -> ((s, dir) => {
+      val j = persistShared("theil_joint", t(s, dir, "customer")
+        .groupBy(col("c_mktsegment").as("x"), col("c_nationkey").as("y"))
+        .agg(count(lit(1)).as("c")))
+      val nTot = j.agg(sum(col("c")).as("nn"))
+      val px = j.groupBy(col("x")).agg(sum(col("c")).as("cx"))
+      val py = j.groupBy(col("y")).agg(sum(col("c")).as("cy"))
+      val hx = px.crossJoin(broadcast(nTot))
+        .select(dec(round((col("cx").cast("double") / col("nn")) *
+          log(col("cx").cast("double") / col("nn")), 9), 9).as("term"))
+        .agg((-sum(col("term")).cast("double")).as("h_x"))
+      val hxy = j.join(broadcast(py), Seq("y")).crossJoin(broadcast(nTot))
+        .select(dec(round((col("c").cast("double") / col("nn")) *
+          log(col("c").cast("double") / col("cy").cast("double")), 9), 9).as("term"))
+        .agg((-sum(col("term")).cast("double")).as("h_x_given_y"))
+      hx.crossJoin(broadcast(hxy))
+        .select(round(col("h_x"), 6).as("h_x"),
+          round(col("h_x_given_y"), 6).as("h_x_given_y"),
+          round((col("h_x") - col("h_x_given_y")) / col("h_x"), 6).as("u"))
+    }),
+
+    // G-test of independence (likelihood-ratio χ²) over the same
+    // segment × nation table — stat_chi2's information-theoretic twin
+    // (G = 2Σ o·ln(o/e) is additive across partitions of the table,
+    // which Pearson's isn't — the property hierarchical drill-downs
+    // need; same asymptotic χ² null). Zero cells contribute 0 exactly
+    // (no ε hacks); e = rowsum·colsum/N in doubles cast BEFORE the
+    // multiply; per-cell terms 9-dp-gridded before the order-free
+    // DECIMAL fold over the catalog-bounded cell frame; p through the
+    // shared Wilson–Hilferty grid (PValueGrids, oracle twin included).
+    "stat_g_test" -> ((s, dir) => {
+      val j = persistShared("gtest_joint", t(s, dir, "customer")
+        .groupBy(col("c_mktsegment").as("x"), col("c_nationkey").as("y"))
+        .agg(count(lit(1)).as("o")))
+      val nTot = j.agg(sum(col("o")).as("nn"),
+        countDistinct(col("x")).as("r"), countDistinct(col("y")).as("c"))
+      val rx = j.groupBy(col("x")).agg(sum(col("o")).as("rs"))
+      val cy = j.groupBy(col("y")).agg(sum(col("o")).as("cs"))
+      val cells = j.join(broadcast(rx), Seq("x")).join(broadcast(cy), Seq("y"))
+        .crossJoin(broadcast(nTot))
+        .withColumn("e", col("rs").cast("double") * col("cs").cast("double") /
+          col("nn").cast("double"))
+        .withColumn("term",
+          dec(round(col("o").cast("double") *
+            log(col("o").cast("double") / col("e")), 9), 9))
+      val m = cells.groupBy(col("r"), col("c"))
+        .agg((sum(col("term")).cast("double") * 2.0).as("g"))
+      m.select(round(col("g"), 6).as("g_stat"),
+        ((col("r") - 1) * (col("c") - 1)).as("dof"),
+        round(PValueGrids.chi2Upper(col("g"),
+          (col("r") - 1) * (col("c") - 1)), 6).as("p_value"))
     }),
 
     // Maximum drawdown of the cumulative daily revenue series — the
@@ -6162,6 +6724,38 @@ object AnalyticsOps {
         FROM r${k - 1} r JOIN edges e ON e.src = r.v JOIN deg d ON d.src = r.v, nn
         GROUP BY e.dst)"""
 
+  /** stat_mannwhitney's oracle — single definition, reused (wrapped) by
+    * stat_cliffs_delta so the two can never drift. */
+  private lazy val mannWhitneySql: String =
+    """WITH v AS (
+           SELECT c_mktsegment AS seg, c_acctbal AS v FROM customer
+           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+         g AS (
+           SELECT v,
+                  CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                  CAST(sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+           FROM v GROUP BY v),
+         r AS (
+           SELECT na, nb, na + nb AS t,
+                  2 * coalesce(CAST(sum(na + nb) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+                    + na + nb + 1 AS rank2
+           FROM g),
+         m AS (
+           SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b,
+                  CAST(sum(na * rank2) AS BIGINT) AS ra2,
+                  CAST(sum(t * t * t - t) AS BIGINT) AS ties
+           FROM r)
+         SELECT n_a, n_b,
+                CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+                CAST(n_a AS DOUBLE) * n_b - CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_b,
+                round((CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2.0
+                       - CAST(n_a AS DOUBLE) * n_b / 2.0) /
+                      sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0 *
+                           (CAST(n_a + n_b + 1 AS DOUBLE)
+                            - CAST(ties AS DOUBLE) / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE))), 6) AS z_stat
+         FROM m"""
+
   private lazy val oraclesMain: Map[String, String] = Map(
     "graph_pagerank" ->
       s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
@@ -6204,6 +6798,42 @@ object AnalyticsOps {
                 (SELECT count(1) FROM oriented e1
                    JOIN oriented e2 ON e1.dst = e2.src
                    JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst) AS n_triangles""",
+    "graph_edge_embeddedness" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         und AS (
+           SELECT a.pk AS p1, b.pk AS p2
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY p1, p2 HAVING count(1) >= 2),
+         adj AS (SELECT p1 AS a, p2 AS b FROM und
+                 UNION ALL SELECT p2, p1 FROM und),
+         closed AS (
+           SELECT e.p1, e.p2, count(1) AS emb
+           FROM und e JOIN adj x ON x.a = e.p1 AND x.b <> e.p2
+                      JOIN adj y ON y.a = e.p2 AND y.b = x.b
+           GROUP BY e.p1, e.p2)
+         SELECT emb, count(1) AS n_edges FROM (
+           SELECT coalesce(c.emb, 0) AS emb
+           FROM und e LEFT JOIN closed c USING (p1, p2))
+         GROUP BY 1 ORDER BY 1""",
+    "graph_avg_neighbor_degree" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         und AS (
+           SELECT a.pk AS p1, b.pk AS p2
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY p1, p2 HAVING count(1) >= 2),
+         adj AS (SELECT p1 AS a, p2 AS b FROM und
+                 UNION ALL SELECT p2, p1 FROM und),
+         deg AS (SELECT a, count(1) AS dg FROM adj GROUP BY 1),
+         annd AS (
+           SELECT adj.a, count(1) AS dg,
+                  round(CAST(sum(CAST(CAST(d2.dg AS DOUBLE) AS DECIMAL(18,6)))
+                    AS DOUBLE) / count(1), 6) AS annd
+           FROM adj JOIN deg d2 ON d2.a = adj.b
+           GROUP BY adj.a)
+         SELECT dg AS degree, count(1) AS n_nodes,
+                round(CAST(sum(CAST(annd AS DECIMAL(18,6))) AS DOUBLE)
+                      / count(1), 6) AS avg_nbr_degree
+         FROM annd GROUP BY 1 ORDER BY 1""",
     "gdpr_purge" ->
       """WITH tomb AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal < -900),
          bad_orders AS (
@@ -7347,6 +7977,95 @@ object AnalyticsOps {
                 CAST(CASE WHEN round(rho / se, 6) < -2.86 THEN 1 ELSE 0 END
                   AS INT) AS stationary
          FROM i ORDER BY event_type""",
+    "stat_kpss" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         m AS (
+           SELECT event_type, count(1) AS n, CAST(sum(c) AS BIGINT) AS sx
+           FROM daily GROUP BY 1),
+         b AS (
+           SELECT d.event_type, d.c,
+                  CAST(m.sx AS DOUBLE) / m.n AS mean, m.n,
+                  CAST(row_number() OVER w AS INT) AS tt,
+                  CAST(sum(d.c) OVER (PARTITION BY d.event_type ORDER BY d.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumc,
+                  lag(d.c, 1) OVER w AS c1, lag(d.c, 2) OVER w AS c2,
+                  lag(d.c, 3) OVER w AS c3, lag(d.c, 4) OVER w AS c4
+           FROM daily d JOIN m USING (event_type)
+           WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day)),
+         a AS (
+           SELECT event_type, max(n) AS n,
+                  sum(CAST(round((CAST(cumc AS DOUBLE) - tt * mean)
+                        * (CAST(cumc AS DOUBLE) - tt * mean), 6)
+                      AS DECIMAL(18,6))) AS eta_num,
+                  sum(CAST(round((c - mean) * (CAST(c AS DOUBLE) - mean), 6)
+                      AS DECIMAL(18,6))) AS g0,
+                  sum(CASE WHEN c1 IS NOT NULL THEN
+                      CAST(round((c - mean) * (CAST(c1 AS DOUBLE) - mean), 6)
+                      AS DECIMAL(18,6)) END) AS g1,
+                  sum(CASE WHEN c2 IS NOT NULL THEN
+                      CAST(round((c - mean) * (CAST(c2 AS DOUBLE) - mean), 6)
+                      AS DECIMAL(18,6)) END) AS g2,
+                  sum(CASE WHEN c3 IS NOT NULL THEN
+                      CAST(round((c - mean) * (CAST(c3 AS DOUBLE) - mean), 6)
+                      AS DECIMAL(18,6)) END) AS g3,
+                  sum(CASE WHEN c4 IS NOT NULL THEN
+                      CAST(round((c - mean) * (CAST(c4 AS DOUBLE) - mean), 6)
+                      AS DECIMAL(18,6)) END) AS g4
+           FROM b GROUP BY 1)
+         SELECT event_type, n,
+                round((CAST(eta_num AS DOUBLE) / n / n)
+                      / (CAST(g0 AS DOUBLE) / n
+                         + 2.0 * (0.8 * (CAST(g1 AS DOUBLE) / n)
+                                  + 0.6 * (CAST(g2 AS DOUBLE) / n)
+                                  + 0.4 * (CAST(g3 AS DOUBLE) / n)
+                                  + 0.2 * (CAST(g4 AS DOUBLE) / n))), 6) AS kpss_stat,
+                CAST(CASE WHEN round((CAST(eta_num AS DOUBLE) / n / n)
+                      / (CAST(g0 AS DOUBLE) / n
+                         + 2.0 * (0.8 * (CAST(g1 AS DOUBLE) / n)
+                                  + 0.6 * (CAST(g2 AS DOUBLE) / n)
+                                  + 0.4 * (CAST(g3 AS DOUBLE) / n)
+                                  + 0.2 * (CAST(g4 AS DOUBLE) / n))), 6) < 0.463
+                     THEN 1 ELSE 0 END AS INT) AS stationary
+         FROM a ORDER BY event_type""",
+    "ts_variance_ratio" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS y
+           FROM events GROUP BY 1, 2),
+         p AS (
+           SELECT event_type, y,
+                  lag(y, 1) OVER w AS y1, lag(y, 5) OVER w AS yq
+           FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         m AS (
+           SELECT event_type,
+                  CAST(sum(CASE WHEN y1 IS NOT NULL THEN 1 END) AS BIGINT) AS m,
+                  CAST(sum(y - y1) AS BIGINT) AS sr
+           FROM p GROUP BY 1),
+         b AS (
+           SELECT p.event_type, p.y, p.y1, p.yq, m.m,
+                  CAST(m.sr AS DOUBLE) / m.m AS mu
+           FROM p JOIN m USING (event_type)),
+         a AS (
+           SELECT event_type, max(m) AS m,
+                  sum(CASE WHEN y1 IS NOT NULL THEN
+                      CAST(round((CAST(y - y1 AS DOUBLE) - mu)
+                        * (CAST(y - y1 AS DOUBLE) - mu), 6)
+                      AS DECIMAL(18,6)) END) AS ssa,
+                  sum(CASE WHEN yq IS NOT NULL THEN
+                      CAST(round((CAST(y - yq AS DOUBLE) - 5.0 * mu)
+                        * (CAST(y - yq AS DOUBLE) - 5.0 * mu), 6)
+                      AS DECIMAL(18,6)) END) AS ssc
+           FROM b GROUP BY 1)
+         SELECT event_type, m + 1 AS n_days,
+                round((CAST(ssc AS DOUBLE)
+                       / (5.0 * (CAST(m AS DOUBLE) - 5 + 1) * (1.0 - 5.0 / m)))
+                      / (CAST(ssa AS DOUBLE) / (CAST(m AS DOUBLE) - 1.0)), 6) AS vr,
+                round(((CAST(ssc AS DOUBLE)
+                        / (5.0 * (CAST(m AS DOUBLE) - 5 + 1) * (1.0 - 5.0 / m)))
+                       / (CAST(ssa AS DOUBLE) / (CAST(m AS DOUBLE) - 1.0)) - 1.0)
+                      / sqrt(72.0 / (15.0 * m)), 6) AS z_stat
+         FROM a ORDER BY event_type""",
     "ts_feature_matrix" ->
       """WITH daily AS (
            SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS c
@@ -7494,7 +8213,21 @@ object AnalyticsOps {
          FROM d JOIN thr USING (event_type)
          WHERE abs(resid6) > 3 * thr6
          ORDER BY d.event_type, d.day""",
-    "stat_mannwhitney" ->
+    "stat_mannwhitney" -> mannWhitneySql,
+    "stat_cliffs_delta" ->
+      s"""WITH base AS ($mannWhitneySql)
+         SELECT n_a, n_b,
+                round((2.0 * u_a - CAST(n_a AS DOUBLE) * n_b)
+                      / (CAST(n_a AS DOUBLE) * n_b), 6) AS delta,
+                CASE WHEN abs(round((2.0 * u_a - CAST(n_a AS DOUBLE) * n_b)
+                       / (CAST(n_a AS DOUBLE) * n_b), 6)) < 0.147 THEN 'negligible'
+                     WHEN abs(round((2.0 * u_a - CAST(n_a AS DOUBLE) * n_b)
+                       / (CAST(n_a AS DOUBLE) * n_b), 6)) < 0.33 THEN 'small'
+                     WHEN abs(round((2.0 * u_a - CAST(n_a AS DOUBLE) * n_b)
+                       / (CAST(n_a AS DOUBLE) * n_b), 6)) < 0.474 THEN 'medium'
+                     ELSE 'large' END AS magnitude
+         FROM base""",
+    "stat_brunner_munzel" ->
       """WITH v AS (
            SELECT c_mktsegment AS seg, c_acctbal AS v FROM customer
            WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
@@ -7504,24 +8237,206 @@ object AnalyticsOps {
                   CAST(sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS nb
            FROM v GROUP BY v),
          r AS (
-           SELECT na, nb, na + nb AS t,
-                  2 * coalesce(CAST(sum(na + nb) OVER (ORDER BY v
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
-                    + na + nb + 1 AS rank2
-           FROM g),
+           SELECT na, nb,
+                  2 * coalesce(CAST(sum(na + nb) OVER wp AS BIGINT), 0) + na + nb + 1 AS r2,
+                  2 * coalesce(CAST(sum(na) OVER wp AS BIGINT), 0) + na + 1 AS h2a,
+                  2 * coalesce(CAST(sum(nb) OVER wp AS BIGINT), 0) + nb + 1 AS h2b
+           FROM g
+           WINDOW wp AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
          m AS (
-           SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b,
-                  CAST(sum(na * rank2) AS BIGINT) AS ra2,
-                  CAST(sum(t * t * t - t) AS BIGINT) AS ties
-           FROM r)
-         SELECT n_a, n_b,
-                CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
-                CAST(n_a AS DOUBLE) * n_b - CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_b,
-                round((CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2.0
-                       - CAST(n_a AS DOUBLE) * n_b / 2.0) /
-                      sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0 *
-                           (CAST(n_a + n_b + 1 AS DOUBLE)
-                            - CAST(ties AS DOUBLE) / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE))), 6) AS z_stat
+           SELECT CAST(sum(na) AS BIGINT) AS n1, CAST(sum(nb) AS BIGINT) AS n2,
+                  CAST(sum(na * r2) AS BIGINT) AS ra2,
+                  CAST(sum(nb * r2) AS BIGINT) AS rb2
+           FROM r),
+         b AS (
+           SELECT r.na, r.nb, r.r2, r.h2a, r.h2b, m.n1, m.n2,
+                  CAST(m.ra2 AS DOUBLE) / (2 * m.n1) AS rb1,
+                  CAST(m.rb2 AS DOUBLE) / (2 * m.n2) AS rb2m
+           FROM r CROSS JOIN m),
+         b2 AS (
+           SELECT *,
+                  CAST(r2 - h2a AS DOUBLE) / 2.0 - rb1
+                    + CAST(n1 + 1 AS DOUBLE) / 2.0 AS da,
+                  CAST(r2 - h2b AS DOUBLE) / 2.0 - rb2m
+                    + CAST(n2 + 1 AS DOUBLE) / 2.0 AS db
+           FROM b),
+         a AS (
+           SELECT n1, n2, rb1, rb2m,
+                  sum(CAST(round(na * da * da, 6) AS DECIMAL(18,6))) AS ssa,
+                  sum(CAST(round(nb * db * db, 6) AS DECIMAL(18,6))) AS ssb
+           FROM b2 GROUP BY 1, 2, 3, 4)
+         SELECT n1 AS n_a, n2 AS n_b,
+                round((rb2m - (CAST(n2 AS DOUBLE) + 1.0) / 2.0)
+                      / CAST(n1 AS DOUBLE), 6) AS p_hat,
+                round(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * (rb2m - rb1)
+                      / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                         * sqrt(CAST(n1 AS DOUBLE)
+                                  * (CAST(ssa AS DOUBLE) / (CAST(n1 AS DOUBLE) - 1.0))
+                                + CAST(n2 AS DOUBLE)
+                                  * (CAST(ssb AS DOUBLE) / (CAST(n2 AS DOUBLE) - 1.0)))), 6)
+                  AS w_stat,
+                round((CAST(n1 AS DOUBLE)
+                         * (CAST(ssa AS DOUBLE) / (CAST(n1 AS DOUBLE) - 1.0))
+                       + CAST(n2 AS DOUBLE)
+                         * (CAST(ssb AS DOUBLE) / (CAST(n2 AS DOUBLE) - 1.0)))
+                      * (CAST(n1 AS DOUBLE)
+                           * (CAST(ssa AS DOUBLE) / (CAST(n1 AS DOUBLE) - 1.0))
+                         + CAST(n2 AS DOUBLE)
+                           * (CAST(ssb AS DOUBLE) / (CAST(n2 AS DOUBLE) - 1.0)))
+                      / ((CAST(n1 AS DOUBLE)
+                            * (CAST(ssa AS DOUBLE) / (CAST(n1 AS DOUBLE) - 1.0)))
+                         * (CAST(n1 AS DOUBLE)
+                            * (CAST(ssa AS DOUBLE) / (CAST(n1 AS DOUBLE) - 1.0)))
+                         / (CAST(n1 AS DOUBLE) - 1.0)
+                         + (CAST(n2 AS DOUBLE)
+                            * (CAST(ssb AS DOUBLE) / (CAST(n2 AS DOUBLE) - 1.0)))
+                         * (CAST(n2 AS DOUBLE)
+                            * (CAST(ssb AS DOUBLE) / (CAST(n2 AS DOUBLE) - 1.0)))
+                         / (CAST(n2 AS DOUBLE) - 1.0)), 6) AS dof
+         FROM a""",
+    "stat_ad_2sample" ->
+      """WITH v AS (
+           SELECT c_mktsegment AS seg, c_acctbal AS v FROM customer
+           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+         g AS (
+           SELECT v,
+                  CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                  CAST(sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+           FROM v GROUP BY v),
+         r AS (
+           SELECT na, nb, na + nb AS h,
+                  2 * CAST(sum(na + nb) OVER wi AS BIGINT) - (na + nb) AS b2,
+                  2 * CAST(sum(na) OVER wi AS BIGINT) - na AS ma2,
+                  2 * CAST(sum(nb) OVER wi AS BIGINT) - nb AS mb2
+           FROM g
+           WINDOW wi AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         m AS (SELECT CAST(sum(na) AS BIGINT) AS n1, CAST(sum(nb) AS BIGINT) AS n2
+               FROM r),
+         b AS (SELECT r.*, m.n1, m.n2, CAST(m.n1 + m.n2 AS DOUBLE) AS nd
+               FROM r CROSS JOIN m),
+         a AS (
+           SELECT n1, n2,
+                  sum(CAST(round(
+                    CAST(h AS DOUBLE) / nd
+                      * ((nd * CAST(ma2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(b2 AS DOUBLE))
+                         * (nd * CAST(ma2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(b2 AS DOUBLE)))
+                      / (CAST(b2 AS DOUBLE) * (2.0 * nd - CAST(b2 AS DOUBLE))
+                         - nd * CAST(h AS DOUBLE)), 6) AS DECIMAL(18,6))) AS sa,
+                  sum(CAST(round(
+                    CAST(h AS DOUBLE) / nd
+                      * ((nd * CAST(mb2 AS DOUBLE) - CAST(n2 AS DOUBLE) * CAST(b2 AS DOUBLE))
+                         * (nd * CAST(mb2 AS DOUBLE) - CAST(n2 AS DOUBLE) * CAST(b2 AS DOUBLE)))
+                      / (CAST(b2 AS DOUBLE) * (2.0 * nd - CAST(b2 AS DOUBLE))
+                         - nd * CAST(h AS DOUBLE)), 6) AS DECIMAL(18,6))) AS sb
+           FROM b GROUP BY 1, 2)
+         SELECT n1 AS n_a, n2 AS n_b,
+                round((CAST(n1 + n2 AS DOUBLE) - 1.0) / CAST(n1 + n2 AS DOUBLE)
+                      * (CAST(sa AS DOUBLE) / n1 + CAST(sb AS DOUBLE) / n2), 6)
+                  AS a2_stat
+         FROM a""",
+    "eval_krippendorff_alpha" ->
+      """WITH b AS (
+           SELECT (CASE WHEN ((c_custkey % 2147483648) * 2654435761)
+                          % 2147483648 % 1000 >= 500 THEN 1 ELSE 0 END
+                 + CASE WHEN ((c_custkey % 2147483648) * 1315423911)
+                          % 2147483648 % 1000 >= 500 THEN 1 ELSE 0 END
+                 + CASE WHEN ((c_custkey % 2147483648) * 2246822519)
+                          % 2147483648 % 1000 >= 500 THEN 1 ELSE 0 END) AS n1
+           FROM customer),
+         m AS (SELECT count(1) AS n_items,
+                      CAST(sum(n1) AS BIGINT) AS s1,
+                      CAST(sum(n1 * n1) AS BIGINT) AS s2
+               FROM b)
+         SELECT n_items, CAST(3 AS INT) AS n_raters,
+                round(CAST(3 * s1 - s2 AS DOUBLE)
+                      / (3.0 * CAST(n_items AS DOUBLE)), 6) AS d_o,
+                round(2.0 * CAST(s1 AS DOUBLE)
+                      * (3.0 * CAST(n_items AS DOUBLE) - CAST(s1 AS DOUBLE))
+                      / ((3.0 * CAST(n_items AS DOUBLE))
+                         * (3.0 * CAST(n_items AS DOUBLE) - 1.0)), 6) AS d_e,
+                round(1.0 - (CAST(3 * s1 - s2 AS DOUBLE)
+                             / (3.0 * CAST(n_items AS DOUBLE)))
+                      / (2.0 * CAST(s1 AS DOUBLE)
+                         * (3.0 * CAST(n_items AS DOUBLE) - CAST(s1 AS DOUBLE))
+                         / ((3.0 * CAST(n_items AS DOUBLE))
+                            * (3.0 * CAST(n_items AS DOUBLE) - 1.0))), 6) AS alpha
+         FROM m""",
+    "stat_cmh" ->
+      """WITH base AS (
+           SELECT c_mktsegment AS seg,
+                  CASE WHEN ((c_custkey % 2147483648) * 2654435761)
+                         % 2147483648 % 1000 >= 500 THEN 1 ELSE 0 END AS pa,
+                  CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS y
+           FROM customer),
+         st AS (
+           SELECT seg, count(1) AS n,
+                  CAST(sum(pa * y) AS BIGINT) AS a,
+                  CAST(sum(pa) AS BIGINT) AS r1, CAST(sum(y) AS BIGINT) AS c1
+           FROM base GROUP BY 1),
+         terms AS (
+           SELECT
+             CAST(round(CAST(a AS DOUBLE)
+               - CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE), 9)
+               AS DECIMAL(18,9)) AS ame,
+             CAST(round(CAST(r1 AS DOUBLE) * CAST(n - r1 AS DOUBLE)
+                 * CAST(c1 AS DOUBLE) * CAST(n - c1 AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 9)
+               AS DECIMAL(18,9)) AS v,
+             CAST(round(CAST(a AS DOUBLE) * CAST(n - r1 - c1 + a AS DOUBLE)
+               / CAST(n AS DOUBLE), 9) AS DECIMAL(18,9)) AS adn,
+             CAST(round(CAST(r1 - a AS DOUBLE) * CAST(c1 - a AS DOUBLE)
+               / CAST(n AS DOUBLE), 9) AS DECIMAL(18,9)) AS bcn
+           FROM st),
+         m AS (SELECT count(1) AS n_strata, sum(ame) AS sae, sum(v) AS sv,
+                      sum(adn) AS sad, sum(bcn) AS sbc
+               FROM terms)
+         SELECT n_strata,
+                round(CAST(sae AS DOUBLE) * CAST(sae AS DOUBLE)
+                      / CAST(sv AS DOUBLE), 6) AS chi2_cmh,
+                CAST(1 AS INT) AS dof,
+                round(CAST(sad AS DOUBLE) / CAST(sbc AS DOUBLE), 6) AS or_mh
+         FROM m""",
+    "stat_theil_u" ->
+      """WITH j AS (
+           SELECT c_mktsegment AS x, c_nationkey AS y, count(1) AS c
+           FROM customer GROUP BY 1, 2),
+         nt AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM j),
+         px AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM j GROUP BY 1),
+         py AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM j GROUP BY 1),
+         hx AS (
+           SELECT -CAST(sum(CAST(round((CAST(cx AS DOUBLE) / nn)
+                 * ln(CAST(cx AS DOUBLE) / nn), 9) AS DECIMAL(18,9))) AS DOUBLE)
+             AS h_x
+           FROM px CROSS JOIN nt),
+         hxy AS (
+           SELECT -CAST(sum(CAST(round((CAST(c AS DOUBLE) / nn)
+                 * ln(CAST(c AS DOUBLE) / CAST(cy AS DOUBLE)), 9)
+               AS DECIMAL(18,9))) AS DOUBLE) AS h_x_given_y
+           FROM j JOIN py USING (y) CROSS JOIN nt)
+         SELECT round(h_x, 6) AS h_x, round(h_x_given_y, 6) AS h_x_given_y,
+                round((h_x - h_x_given_y) / h_x, 6) AS u
+         FROM hx CROSS JOIN hxy""",
+    "stat_g_test" ->
+      s"""WITH j AS (
+           SELECT c_mktsegment AS x, c_nationkey AS y, count(1) AS o
+           FROM customer GROUP BY 1, 2),
+         nt AS (SELECT CAST(sum(o) AS BIGINT) AS nn,
+                       count(DISTINCT x) AS r, count(DISTINCT y) AS c
+                FROM j),
+         rx AS (SELECT x, CAST(sum(o) AS BIGINT) AS rs FROM j GROUP BY 1),
+         cy AS (SELECT y, CAST(sum(o) AS BIGINT) AS cs FROM j GROUP BY 1),
+         cells AS (
+           SELECT nt.r, nt.c,
+                  CAST(round(CAST(o AS DOUBLE)
+                    * ln(CAST(o AS DOUBLE)
+                         / (CAST(rs AS DOUBLE) * CAST(cs AS DOUBLE)
+                            / CAST(nn AS DOUBLE))), 9) AS DECIMAL(18,9)) AS term
+           FROM j JOIN rx USING (x) JOIN cy USING (y) CROSS JOIN nt),
+         m AS (SELECT r, c, CAST(sum(term) AS DOUBLE) * 2.0 AS g
+               FROM cells GROUP BY 1, 2)
+         SELECT round(g, 6) AS g_stat, (r - 1) * (c - 1) AS dof,
+                round(${PValueGrids.chi2UpperSql("g", "((r - 1) * (c - 1))")}, 6)
+                  AS p_value
          FROM m""",
     "stat_cvm" ->
       """WITH v AS (
@@ -8213,6 +9128,55 @@ object AnalyticsOps {
                         * (CAST(k AS DOUBLE) + 1) / 4), 6) AS chi2_stat,
                 k - 1 AS dof
          FROM m CROSS JOIN s2""",
+    "stat_quade" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, event_type AS et, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         kt AS (SELECT count(DISTINCT et) AS k FROM daily),
+         gd AS (SELECT day FROM (
+                  SELECT day, count(1) AS nt FROM daily GROUP BY 1)
+                CROSS JOIN kt WHERE nt = k),
+         cells AS (SELECT d.day, d.et, d.c FROM daily d JOIN gd USING (day)),
+         g AS (SELECT day, c, count(1) AS t FROM cells GROUP BY day, c),
+         r AS (SELECT day, c,
+                      2 * coalesce(sum(t) OVER (PARTITION BY day ORDER BY c
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        + t + 1 AS rank2
+               FROM g),
+         rg AS (SELECT day, max(c) - min(c) AS rng FROM cells GROUP BY 1),
+         gr AS (SELECT rng, count(1) AS t FROM rg GROUP BY 1),
+         qr AS (SELECT rng,
+                       2 * coalesce(sum(t) OVER (ORDER BY rng
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         + t + 1 AS q2
+                FROM gr),
+         wq AS (SELECT rg.day, qr.q2 FROM rg JOIN qr USING (rng)),
+         kc AS (SELECT count(DISTINCT et) AS k, count(DISTINCT day) AS n
+                FROM cells),
+         sij AS (
+           SELECT cells.et, kc.k, kc.n,
+                  CAST(q2 AS DOUBLE) / 2.0
+                    * (CAST(rank2 AS DOUBLE) / 2.0
+                       - CAST(k + 1 AS DOUBLE) / 2.0) AS s
+           FROM cells JOIN r USING (day, c) JOIN wq USING (day) CROSS JOIN kc),
+         sj AS (
+           SELECT et, k, n,
+                  sum(CAST(round(s, 6) AS DECIMAL(18,6))) AS sjd,
+                  sum(CAST(round(s * s, 6) AS DECIMAL(18,6))) AS aj
+           FROM sij GROUP BY 1, 2, 3),
+         m AS (
+           SELECT k, n, sum(aj) AS a,
+                  sum(CAST(round(CAST(sjd AS DOUBLE) * CAST(sjd AS DOUBLE), 6)
+                      AS DECIMAL(18,6))) AS bnum
+           FROM sj GROUP BY 1, 2)
+         SELECT n AS n_blocks, k,
+                round((CAST(n AS DOUBLE) - 1.0)
+                        * (CAST(bnum AS DOUBLE) / CAST(n AS DOUBLE))
+                      / nullif(CAST(a AS DOUBLE)
+                               - CAST(bnum AS DOUBLE) / CAST(n AS DOUBLE), 0.0), 6)
+                  AS f_stat,
+                k - 1 AS dof1, (n - 1) * (k - 1) AS dof2
+         FROM m""",
     "stat_cochran_q" ->
       """WITH b AS (
            SELECT CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS y,
@@ -8241,6 +9205,92 @@ object AnalyticsOps {
                 round(CAST(2 * (3 * (t1 * t1 + t2 * t2 + t3 * t3) - nn * nn)
                       AS DOUBLE) / nullif(3 * nn - ss2, 0), 6) AS q_stat,
                 CAST(2 AS INT) AS dof
+         FROM m""",
+    "stat_page_trend" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, event_type AS et, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         kt AS (SELECT count(DISTINCT et) AS k FROM daily),
+         gd AS (SELECT day FROM (
+                  SELECT day, count(1) AS nt FROM daily GROUP BY 1)
+                CROSS JOIN kt WHERE nt = k),
+         cells AS (SELECT d.day, d.et, d.c FROM daily d JOIN gd USING (day)),
+         j AS (SELECT et, CAST(row_number() OVER (ORDER BY et) AS INT) AS j
+               FROM (SELECT DISTINCT et FROM daily)),
+         g AS (SELECT day, c, count(1) AS t FROM cells GROUP BY day, c),
+         r AS (SELECT day, c,
+                      2 * coalesce(sum(t) OVER (PARTITION BY day ORDER BY c
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        + t + 1 AS rank2
+               FROM g),
+         rk AS (SELECT cells.day, j.j, r.rank2
+                FROM cells JOIN r USING (day, c) JOIN j USING (et)),
+         m AS (SELECT count(DISTINCT day) AS n_blocks,
+                      CAST(max(j) AS INT) AS k,
+                      CAST(sum(j * rank2) AS BIGINT) AS l2
+               FROM rk)
+         SELECT n_blocks, k,
+                round(CAST(l2 AS DOUBLE) / 2.0, 6) AS l_stat,
+                round((CAST(l2 AS DOUBLE)
+                       - CAST(n_blocks AS DOUBLE) * k * (k + 1) * (k + 1) / 2.0)
+                      / sqrt(CAST(n_blocks AS DOUBLE) * k * k * (k + 1)
+                             * (k * k - 1) / 36.0), 6) AS z_stat
+         FROM m""",
+    "eval_fleiss_kappa" ->
+      """WITH b AS (
+           SELECT (CASE WHEN ((c_custkey % 2147483648) * 2654435761)
+                          % 2147483648 % 1000 >= 500 THEN 1 ELSE 0 END
+                 + CASE WHEN ((c_custkey % 2147483648) * 1315423911)
+                          % 2147483648 % 1000 >= 500 THEN 1 ELSE 0 END
+                 + CASE WHEN ((c_custkey % 2147483648) * 2246822519)
+                          % 2147483648 % 1000 >= 500 THEN 1 ELSE 0 END) AS n1
+           FROM customer),
+         m AS (SELECT count(1) AS n_items,
+                      CAST(sum(n1) AS BIGINT) AS s1,
+                      CAST(sum(n1 * n1) AS BIGINT) AS s2
+               FROM b)
+         SELECT n_items, CAST(3 AS INT) AS n_raters,
+                round(CAST(s2 - 3 * s1 AS DOUBLE) / (3.0 * n_items) + 1.0, 6) AS p_bar,
+                round((CAST(s1 AS DOUBLE) / (3.0 * n_items))
+                        * (CAST(s1 AS DOUBLE) / (3.0 * n_items))
+                      + (1.0 - CAST(s1 AS DOUBLE) / (3.0 * n_items))
+                        * (1.0 - CAST(s1 AS DOUBLE) / (3.0 * n_items)), 6) AS p_e,
+                round(((CAST(s2 - 3 * s1 AS DOUBLE) / (3.0 * n_items) + 1.0)
+                       - ((CAST(s1 AS DOUBLE) / (3.0 * n_items))
+                            * (CAST(s1 AS DOUBLE) / (3.0 * n_items))
+                          + (1.0 - CAST(s1 AS DOUBLE) / (3.0 * n_items))
+                            * (1.0 - CAST(s1 AS DOUBLE) / (3.0 * n_items))))
+                      / (1.0 - ((CAST(s1 AS DOUBLE) / (3.0 * n_items))
+                            * (CAST(s1 AS DOUBLE) / (3.0 * n_items))
+                          + (1.0 - CAST(s1 AS DOUBLE) / (3.0 * n_items))
+                            * (1.0 - CAST(s1 AS DOUBLE) / (3.0 * n_items)))), 6) AS kappa
+         FROM m""",
+    "stat_cronbach_alpha" ->
+      """WITH b AS (
+           SELECT CASE WHEN ((c_custkey % 2147483648) * 2654435761)
+                         % 2147483648 % 1000 >= 500 THEN 1 ELSE 0 END AS x1,
+                  CASE WHEN ((c_custkey % 2147483648) * 1315423911)
+                         % 2147483648 % 1000 >= 500 THEN 1 ELSE 0 END AS x2,
+                  CASE WHEN ((c_custkey % 2147483648) * 2246822519)
+                         % 2147483648 % 1000 >= 500 THEN 1 ELSE 0 END AS x3
+           FROM customer),
+         b2 AS (SELECT x1, x2, x3, x1 + x2 + x3 AS s FROM b),
+         m AS (
+           SELECT count(1) AS n,
+                  CAST(sum(x1) AS BIGINT) AS t1, CAST(sum(x2) AS BIGINT) AS t2,
+                  CAST(sum(x3) AS BIGINT) AS t3,
+                  CAST(sum(s) AS BIGINT) AS ss, CAST(sum(s * s) AS BIGINT) AS ss2
+           FROM b2)
+         SELECT n AS n_persons, CAST(3 AS INT) AS k,
+                round(1.5 * (1.0 -
+                  ((CAST(t1 AS DOUBLE) - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE)
+                      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+                   + (CAST(t2 AS DOUBLE) - CAST(t2 AS DOUBLE) * CAST(t2 AS DOUBLE)
+                      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+                   + (CAST(t3 AS DOUBLE) - CAST(t3 AS DOUBLE) * CAST(t3 AS DOUBLE)
+                      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+                  / ((CAST(ss2 AS DOUBLE) - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))), 6) AS alpha
          FROM m""",
     "ts_max_drawdown" ->
       """WITH daily AS (

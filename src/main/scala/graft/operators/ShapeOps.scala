@@ -625,6 +625,57 @@ object ShapeOps {
         .orderBy(col("user_id"))
     }),
 
+    // Kaplan–Meier time-to-conversion curve — the censoring-aware
+    // "how long until a user first purchases" estimate a naive
+    // mean-days-to-convert systematically biases (users who HAVEN'T
+    // converted yet aren't failures, they're CENSORED at the horizon;
+    // dropping them overstates conversion speed): event = first purchase
+    // at t = days since first activity; censoring time = horizon − first
+    // activity for never-purchasers. Risk sets by suffix-sum over the
+    // calendar-bounded t grain (total − prefix — no fact-sized window),
+    // S(t) = Π(1 − d/n) computed as exp of the DECIMAL-cumsum of
+    // 9-dp-gridded ln terms (the product is order-sensitive; the gridded
+    // log-sum isn't). One fact pass to the user grain; day-grain after.
+    "seq_survival_km" -> ((s, dir) => {
+      val ev = persistShared("km_ev", events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("day"),
+          col("event_type")))
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("first_day"),
+          min(when(col("event_type") === "purchase", col("day")))
+            .as("first_purchase"))
+      val horizon = ev.agg(max(col("day")).as("h_day"))
+      val lives = perUser.crossJoin(broadcast(horizon))
+        .select(
+          when(col("first_purchase").isNotNull,
+            datediff(col("first_purchase"), col("first_day")))
+            .otherwise(datediff(col("h_day"), col("first_day"))).as("t"),
+          when(col("first_purchase").isNotNull, 0L).otherwise(1L)
+            .as("censored"))
+      val byT = lives.groupBy(col("t"))
+        .agg(count(lit(1)).as("n_t"),
+          sum(lit(1L) - col("censored")).as("d_t"))
+      val wSuf = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = byT.agg(sum(col("n_t")).as("n_total"))
+      byT.crossJoin(broadcast(tot))
+        .withColumn("n_risk", col("n_total") - coalesce(sum(col("n_t")).over(wSuf), lit(0L)))
+        // greatest(·, 1e-12) keeps the final all-deaths row finite (ln 0
+        // would NaN the DECIMAL grid); exp(≤ −27.6) still rounds to the
+        // correct S = 0 on both engines
+        .withColumn("lnterm", dec(round(
+          log(greatest(lit(1.0) - col("d_t").cast("double") / col("n_risk"),
+            lit(1e-12))), 9), 9))
+        .withColumn("survival",
+          round(exp(sum(col("lnterm")).over(wCum).cast("double")), 6))
+        .filter(col("d_t") > 0)
+        .select(col("t").as("t_days"), col("n_risk"), col("d_t").as("n_events"),
+          col("survival"))
+        .orderBy(col("t_days"))
+    }),
+
     // DAU/MAU stickiness per day — THE engagement-health ratio (what
     // share of the month's audience shows up daily): day-grain DAU and
     // month-grain MAU are two exact distinct rollups of the same
@@ -1673,6 +1724,44 @@ object ShapeOps {
                 CAST(CASE WHEN date_diff('day', last_day, h_day) > 7
                      THEN 1 ELSE 0 END AS INT) AS churned
          FROM pu, h ORDER BY user_id""",
+    "seq_survival_km" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
+         pu AS (
+           SELECT user_id, min(day) AS first_day,
+                  min(CASE WHEN event_type = 'purchase' THEN day END)
+                    AS first_purchase
+           FROM ev GROUP BY 1),
+         h AS (SELECT max(day) AS h_day FROM ev),
+         lives AS (
+           SELECT CASE WHEN first_purchase IS NOT NULL
+                       THEN CAST(date_diff('day', first_day, first_purchase) AS INT)
+                       ELSE CAST(date_diff('day', first_day, h_day) AS INT)
+                  END AS t,
+                  CASE WHEN first_purchase IS NOT NULL THEN 0 ELSE 1 END
+                    AS censored
+           FROM pu, h),
+         byt AS (
+           SELECT t, count(1) AS n_t,
+                  CAST(sum(1 - censored) AS BIGINT) AS d_t
+           FROM lives GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS n_total FROM byt),
+         rk AS (
+           SELECT t, n_t, d_t,
+                  n_total - coalesce(CAST(sum(n_t) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+                    AS n_risk
+           FROM byt CROSS JOIN tot),
+         sv AS (
+           SELECT t, n_risk, d_t,
+                  round(exp(CAST(sum(CAST(round(ln(greatest(
+                      1.0 - CAST(d_t AS DOUBLE) / n_risk, 1e-12)), 9)
+                    AS DECIMAL(18,9))) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE)), 6) AS survival
+           FROM rk)
+         SELECT t AS t_days, n_risk, d_t AS n_events, survival
+         FROM sv WHERE d_t > 0 ORDER BY t_days""",
     "seq_interpurchase_stats" ->
       """WITH p AS (
            SELECT user_id, event_id, epoch_us(ts) AS tu FROM events

@@ -986,6 +986,29 @@ object TextOps {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       jaccardPairs(s, dir).orderBy(col("d1"), col("d2"))),
 
+    // Jaccard dedup threshold sweep — the policy knob report for the
+    // text side (vec_dedup_threshold_sweep's twin on lexical near-dups):
+    // how many candidate pairs fire and how many docs would drop at each
+    // Jaccard cutoff, computed in ONE pass over the pinned candidate pair
+    // frame (the bucketed generator runs once; the sweep is an explode
+    // against a constant 6-row threshold array — no per-threshold
+    // re-scan). The curve a dedup rollout reads before picking 0.8.
+    "text_dedup_threshold_sweep" -> ((s, dir) => {
+      val pairs = pairStats(s, dir)
+        .withColumn("jaccard",
+          r6(col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))))
+        .select(col("d1"), col("d2"), col("jaccard"))
+        .transform(RoundPin.pin)
+      pairs
+        .withColumn("threshold",
+          explode(typedlit(Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8))))
+        .groupBy(col("threshold"))
+        .agg(count(when(col("jaccard") >= col("threshold"), 1)).as("n_pairs"),
+          countDistinct(when(col("jaccard") >= col("threshold"), col("d2")))
+            .as("n_docs_dropped"))
+        .orderBy(col("threshold"))
+    }),
+
     // Cross-source contamination matrix — WHERE the near-dups live
     // (within one crawl, or leaking between sources — the matrix that
     // decides whether dedup runs per-source or globally at 100 TB):
@@ -2445,6 +2468,30 @@ object TextOps {
                JOIN sizes s2 ON inter.d2 = s2.doc_id)
          WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) >= 0.5
          ORDER BY d1, d2""",
+    "text_dedup_threshold_sweep" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS token
+           FROM documents WHERE doc_id < 256),
+         sizes AS (SELECT doc_id, count(1) AS nt FROM toks GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2, count(1) AS inter
+           FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         jp AS (
+           SELECT d1, d2,
+             round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) AS jaccard
+           FROM (SELECT inter.d1, inter.d2, inter.inter, s1.nt AS n1, s2.nt AS n2
+                 FROM inter JOIN sizes s1 ON inter.d1 = s1.doc_id
+                 JOIN sizes s2 ON inter.d2 = s2.doc_id)),
+         th AS (SELECT unnest([CAST(0.3 AS DOUBLE), CAST(0.4 AS DOUBLE),
+                               CAST(0.5 AS DOUBLE), CAST(0.6 AS DOUBLE),
+                               CAST(0.7 AS DOUBLE), CAST(0.8 AS DOUBLE)])
+                  AS threshold)
+         SELECT threshold,
+                count(CASE WHEN jaccard >= threshold THEN 1 END) AS n_pairs,
+                count(DISTINCT CASE WHEN jaccard >= threshold THEN d2 END)
+                  AS n_docs_dropped
+         FROM th CROSS JOIN jp GROUP BY 1 ORDER BY 1""",
     "corpus_overlap_matrix" ->
       """WITH toks AS (
            SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS token

@@ -62,6 +62,34 @@ object VectorOps {
        / (sqrt(list_aggregate(list_transform(range(1, ${n + 1}), i -> $a[i]::DOUBLE * $a[i]::DOUBLE), 'sum'))
           * sqrt(list_aggregate(list_transform(range(1, ${n + 1}), i -> $b[i]::DOUBLE * $b[i]::DOUBLE), 'sum')))"""
 
+  /** DuckDB twin of [[knnGraphFrame]] — a complete SELECT (no trailing
+    * ORDER BY) so vec_knn_graph can order it and vec_hubness can fold it
+    * from one definition. */
+  private lazy val knnGraphSql: String =
+    s"""WITH $lshBucketsSql,
+         init0 AS (
+           SELECT l.vec_id AS v, r.vec_id AS n,
+                  round(${cosSql("l.embedding", "r.embedding")}, 6) AS sim
+           FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id),
+         init AS (
+           SELECT v, n FROM (
+             SELECT v, n, row_number() OVER (PARTITION BY v ORDER BY sim DESC, n) AS rk
+             FROM init0) WHERE rk <= 4),
+         cand AS (
+           SELECT DISTINCT v, n FROM (
+             SELECT v, n FROM init
+             UNION ALL SELECT a.v, c.n FROM init a JOIN init c ON a.n = c.v
+             UNION ALL SELECT n AS v, v AS n FROM init)
+           WHERE v <> n),
+         scored AS (
+           SELECT c.v, c.n,
+                  round(${cosSql("e1.embedding", "e2.embedding")}, 6) AS sim
+           FROM cand c JOIN embeddings e1 ON c.v = e1.vec_id
+                       JOIN embeddings e2 ON c.n = e2.vec_id)
+         SELECT v AS vec_id, CAST(rk AS INTEGER) AS rk, n AS nbr_id, sim FROM (
+           SELECT v, n, sim, row_number() OVER (PARTITION BY v ORDER BY sim DESC, n) AS rk
+           FROM scored) WHERE rk <= 4"""
+
   /** DuckDB regeneration of [[lshPlanes]] bucketing: the `b` CTE
     * (vec_id, embedding, bucket) shared by the range/cluster pair oracles
     * and the k-NN-graph oracle. */
@@ -114,6 +142,40 @@ object VectorOps {
       .withColumn("sim", round(cosine_sim(col("e1"), col("e2")), 6))
       .filter(col("sim") >= 0.3)
       .select(col("v1"), col("v2"), col("sim"))
+  }
+
+  /** The approximate k-NN graph (vec_id, rk, nbr_id, sim), K=4: LSH-seeded
+    * init top-K, one NN-Descent re-rank over N ∪ N∘N ∪ Nᵀ — the shared
+    * construction behind vec_knn_graph (which just orders it) and
+    * vec_hubness (which folds its in-degrees). Single definition so the
+    * two registered consumers can never drift. */
+  private def knnGraphFrame(s: SparkSession, dir: String): DataFrame = {
+    val K = 4
+    val emb = embStore(s, dir).select(col("vec_id"), col("embedding"))
+    val b = emb.withColumn("bucket",
+      graft.functions.LshBucket.lsh_bucket(col("embedding"), lshPlanes))
+    val w = Window.partitionBy(col("v")).orderBy(col("sim").desc, col("n"))
+    val initPairs = b.as("l").join(b.as("r"), col("l.bucket") === col("r.bucket"))
+      .filter(col("l.vec_id") =!= col("r.vec_id"))
+      .select(col("l.vec_id").as("v"), col("r.vec_id").as("n"),
+        round(cosine_sim(col("l.embedding"), col("r.embedding")), 6).as("sim"))
+    // init graph is consumed three times by the refinement round —
+    // materialize once, lineage truncated (pagerank's pinning pattern)
+    val init = initPairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K).select(col("v"), col("n"))
+      .transform(RoundPin.pin)
+    val nofn = init.as("a").join(init.as("c"), col("a.n") === col("c.v"))
+      .select(col("a.v").as("v"), col("c.n").as("n"))
+    val rev = init.select(col("n").as("v"), col("v").as("n"))
+    val cand = init.unionAll(nofn).unionAll(rev)
+      .filter(col("v") =!= col("n")).distinct()
+    val scored = cand
+      .join(emb.select(col("vec_id").as("v"), col("embedding").as("ev")), "v")
+      .join(emb.select(col("vec_id").as("n"), col("embedding").as("en")), "n")
+      .select(col("v"), col("n"),
+        round(cosine_sim(col("ev"), col("en")), 6).as("sim"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= K)
+      .select(col("v").as("vec_id"), col("rk"), col("n").as("nbr_id"), col("sim"))
   }
 
   // ---- product-quantization building blocks (vec_pq_ann, vec_ivfpq_ann)
@@ -526,34 +588,81 @@ object VectorOps {
     // rank windows run over ≤K²+2K-row partitions — every step scales.
     // Deterministic throughout (fixed planes, 6-dp-rounded sims, id
     // tie-breaks), so the full two-phase construction is DuckDB-oracled.
-    "vec_knn_graph" -> ((s, dir) => {
-      val K = 4
-      val emb = embStore(s, dir).select(col("vec_id"), col("embedding"))
-      val b = emb.withColumn("bucket",
-        graft.functions.LshBucket.lsh_bucket(col("embedding"), lshPlanes))
-      val w = Window.partitionBy(col("v")).orderBy(col("sim").desc, col("n"))
-      val initPairs = b.as("l").join(b.as("r"), col("l.bucket") === col("r.bucket"))
-        .filter(col("l.vec_id") =!= col("r.vec_id"))
-        .select(col("l.vec_id").as("v"), col("r.vec_id").as("n"),
-          round(cosine_sim(col("l.embedding"), col("r.embedding")), 6).as("sim"))
-      // init graph is consumed three times by the refinement round —
-      // materialize once, lineage truncated (pagerank's pinning pattern)
-      val init = initPairs.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= K).select(col("v"), col("n"))
-        .transform(RoundPin.pin)
-      val nofn = init.as("a").join(init.as("c"), col("a.n") === col("c.v"))
-        .select(col("a.v").as("v"), col("c.n").as("n"))
-      val rev = init.select(col("n").as("v"), col("v").as("n"))
-      val cand = init.unionAll(nofn).unionAll(rev)
-        .filter(col("v") =!= col("n")).distinct()
-      val scored = cand
-        .join(emb.select(col("vec_id").as("v"), col("embedding").as("ev")), "v")
-        .join(emb.select(col("vec_id").as("n"), col("embedding").as("en")), "n")
-        .select(col("v"), col("n"),
-          round(cosine_sim(col("ev"), col("en")), 6).as("sim"))
-      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= K)
-        .select(col("v").as("vec_id"), col("rk"), col("n").as("nbr_id"), col("sim"))
-        .orderBy(col("vec_id"), col("rk"))
+    "vec_knn_graph" -> ((s, dir) =>
+      knnGraphFrame(s, dir).orderBy(col("vec_id"), col("rk"))),
+
+    // Hubness report over the approximate k-NN graph — THE
+    // embedding-space pathology screen the ANN family needs beside
+    // vec_space_health's collapse check (high-dimensional spaces grow
+    // "hub" points that appear in everyone's neighbor list and drag
+    // retrieval quality; skewed k-occurrence is the standard symptom,
+    // Radovanović et al.'s N_k statistic): k-occurrence of each vector =
+    // its in-degree in vec_knn_graph's LSH-seeded NN-Descent graph
+    // (bucketed construction, never all-pairs), vectors nobody lists
+    // enter at 0 via a left join on the id domain, rolled up to the
+    // (k_occ, n_vecs) histogram — in-degree-bounded rows at any corpus
+    // size. Pure composition of the shared graph construction.
+    "vec_hubness" -> ((s, dir) => {
+      val occ = knnGraphFrame(s, dir)
+        .groupBy(col("nbr_id").as("vec_id")).agg(count(lit(1)).as("k_occ"))
+      embStore(s, dir).select(col("vec_id"))
+        .join(occ, Seq("vec_id"), "left")
+        .withColumn("k_occ", coalesce(col("k_occ"), lit(0L)))
+        .groupBy(col("k_occ")).agg(count(lit(1)).as("n_vecs"))
+        .orderBy(col("k_occ"))
+    }),
+
+    // TwoNN intrinsic-dimension estimate (Facco et al.) — "how many
+    // dimensions does this embedding cloud REALLY use?" (the companion
+    // number to vec_space_health's participation ratio, but metric-based:
+    // it sees curved manifolds PCA-style variance can't). Exact tier over
+    // the 256-vector base (anom_lof's whitelisted bounded pair join; the
+    // billion-vector path swaps in vec_knn_graph's bucketed 2-NN):
+    // per-point 1st/2nd-NN cosine distances gridded to DECIMAL at birth,
+    // μ = d2/d1, d̂ = n / Σ ln μ with each ln term 6-dp-gridded before
+    // the order-free DECIMAL sum. Duplicate points (d1 = 0) drop on both
+    // engines — μ is undefined there.
+    "vec_intrinsic_dim" -> ((s, dir) => {
+      val base = embStore(s, dir).filter(col("vec_id") < 256)
+        .select(col("vec_id"), col("embedding"))
+      val pairs = base.as("a").join(base.as("b"),
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("v"), col("b.vec_id").as("n"),
+          dec(round(lit(1.0) - cosine_sim(col("a.embedding"), col("b.embedding")), 6))
+            .as("dist"))
+      val w = Window.partitionBy(col("v")).orderBy(col("dist"), col("n"))
+      val nn2 = pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .groupBy(col("v")).agg(
+          min(when(col("rn") === 1, col("dist"))).as("d1"),
+          min(when(col("rn") === 2, col("dist"))).as("d2"))
+      nn2.filter(col("d1") > 0)
+        .select(dec(round(log(col("d2").cast("double") / col("d1").cast("double")), 6))
+          .as("lnmu"))
+        .agg(count(lit(1)).as("n_points"),
+          round(count(lit(1)).cast("double") / sum(col("lnmu")).cast("double"), 6)
+            .as("id_hat"))
+    }),
+
+    // Hard-negative mining for contrastive training — the third consumer
+    // of the LSH candidate generator: a good negative is CLOSE but not a
+    // duplicate (random negatives are too easy; near-dups are false
+    // negatives), so take the [0.3, 0.8) cosine band of the bucketed
+    // candidate pairs, symmetrize (each side anchors), and keep each
+    // anchor's 2 HARDEST (highest-sim) negatives under a (sim, id) total
+    // order. Bucket-equi-join candidates only — never all-pairs — and the
+    // per-anchor window is K-bounded; the exact shape a billion-pair
+    // training-pair pipeline runs. Band frame is pinned: both union
+    // branches read it.
+    "vec_hard_negatives" -> ((s, dir) => {
+      val hard = persistShared("vec_hardneg_band",
+        lshRangePairs(embStore(s, dir)).filter(col("sim") < 0.8))
+      val sym = hard.select(col("v1").as("anchor"), col("v2").as("neg"), col("sim"))
+        .unionAll(hard.select(col("v2").as("anchor"), col("v1").as("neg"), col("sim")))
+      val w = Window.partitionBy(col("anchor")).orderBy(col("sim").desc, col("neg"))
+      sym.withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+        .select(col("anchor"), col("rk"), col("neg").as("negative_id"), col("sim"))
+        .orderBy(col("anchor"), col("rk"))
     }),
 
     // Local Outlier Factor (k=4) over the embedding space — the DENSITY
@@ -1650,30 +1759,55 @@ object VectorOps {
          FROM x GROUP BY 1 ORDER BY 1""",
     // the same deterministic construction the Spark side runs: LSH-seeded
     // init top-4, then ONE NN-Descent re-rank over N ∪ N∘N ∪ Nᵀ
-    "vec_knn_graph" ->
-      s"""WITH $lshBucketsSql,
-         init0 AS (
-           SELECT l.vec_id AS v, r.vec_id AS n,
-                  round(${cosSql("l.embedding", "r.embedding")}, 6) AS sim
-           FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id),
-         init AS (
-           SELECT v, n FROM (
-             SELECT v, n, row_number() OVER (PARTITION BY v ORDER BY sim DESC, n) AS rk
-             FROM init0) WHERE rk <= 4),
-         cand AS (
-           SELECT DISTINCT v, n FROM (
-             SELECT v, n FROM init
-             UNION ALL SELECT a.v, c.n FROM init a JOIN init c ON a.n = c.v
-             UNION ALL SELECT n AS v, v AS n FROM init)
-           WHERE v <> n),
-         scored AS (
-           SELECT c.v, c.n,
-                  round(${cosSql("e1.embedding", "e2.embedding")}, 6) AS sim
-           FROM cand c JOIN embeddings e1 ON c.v = e1.vec_id
-                       JOIN embeddings e2 ON c.n = e2.vec_id)
-         SELECT v AS vec_id, CAST(rk AS INTEGER) AS rk, n AS nbr_id, sim FROM (
-           SELECT v, n, sim, row_number() OVER (PARTITION BY v ORDER BY sim DESC, n) AS rk
-           FROM scored) WHERE rk <= 4 ORDER BY vec_id, rk""",
+    "vec_knn_graph" -> s"$knnGraphSql ORDER BY vec_id, rk",
+    // k-occurrence (in-degree) fold of the SAME graph construction,
+    // 0-filled over the id domain
+    "vec_hubness" ->
+      s"""WITH g AS ($knnGraphSql),
+         occ AS (SELECT nbr_id AS vec_id, count(1) AS k_occ FROM g GROUP BY 1),
+         a AS (SELECT e.vec_id, coalesce(o.k_occ, 0) AS k_occ
+               FROM embeddings e LEFT JOIN occ o USING (vec_id))
+         SELECT k_occ, count(1) AS n_vecs FROM a GROUP BY 1 ORDER BY 1""",
+    // TwoNN replay: bounded exact pair join, gridded distances, same
+    // d2/d1 log terms decimal-summed
+    "vec_intrinsic_dim" ->
+      s"""WITH base AS (
+           SELECT vec_id, embedding FROM embeddings WHERE vec_id < 256),
+         p AS (
+           SELECT a.vec_id AS v, b.vec_id AS n,
+                  CAST(round(1.0 - ${cosSql("a.embedding", "b.embedding")}, 6)
+                    AS DECIMAL(18,6)) AS dist
+           FROM base a JOIN base b ON a.vec_id <> b.vec_id),
+         nn AS (
+           SELECT v,
+                  min(CASE WHEN rn = 1 THEN dist END) AS d1,
+                  min(CASE WHEN rn = 2 THEN dist END) AS d2
+           FROM (SELECT v, dist,
+                   row_number() OVER (PARTITION BY v ORDER BY dist, n) AS rn
+                 FROM p)
+           WHERE rn <= 2 GROUP BY v),
+         lm AS (
+           SELECT CAST(round(ln(CAST(d2 AS DOUBLE) / CAST(d1 AS DOUBLE)), 6)
+                    AS DECIMAL(18,6)) AS lnmu
+           FROM nn WHERE d1 > 0)
+         SELECT count(1) AS n_points,
+                round(CAST(count(1) AS DOUBLE)
+                      / CAST(sum(lnmu) AS DOUBLE), 6) AS id_hat
+         FROM lm""",
+    // the [0.3, 0.8) band of the SAME LSH candidate pairs, symmetrized,
+    // top-2 hardest per anchor
+    "vec_hard_negatives" ->
+      s"""WITH $lshRangePairsSql,
+         hard AS (SELECT v1, v2, sim FROM (
+                    SELECT d1 AS v1, d2 AS v2, sim FROM rpairs)
+                  WHERE sim < 0.8),
+         sym AS (SELECT v1 AS anchor, v2 AS neg, sim FROM hard
+                 UNION ALL SELECT v2, v1, sim FROM hard)
+         SELECT anchor, CAST(rk AS INT) AS rk, neg AS negative_id, sim FROM (
+           SELECT anchor, neg, sim,
+                  row_number() OVER (PARTITION BY anchor ORDER BY sim DESC, neg) AS rk
+           FROM sym)
+         WHERE rk <= 2 ORDER BY anchor, rk""",
     "anom_lof" ->
       s"""WITH base AS (
            SELECT vec_id, embedding FROM embeddings WHERE vec_id < 256),

@@ -877,6 +877,13 @@ class PlanSpec extends SparkSuite {
       "text_cooccur_pmi" -> "crossJoins against broadcast 1-row ntok/npairs totals",
       "text_bigram_kn_ppl" -> "crossJoin against a broadcast 1-row bigram-type total",
       "text_collocations_llr" -> "crossJoin against a broadcast 1-row bigram-instance total",
+      "stat_page_trend" -> "crossJoin against a broadcast 1-row event-type-count frame over the calendar-bounded day frame",
+      "stat_quade" -> "crossJoins against broadcast 1-row type-count/block-count frames over the calendar-bounded day frame",
+      "stat_brunner_munzel" -> "crossJoin against a broadcast 1-row rank-moment frame over the value-grain frame",
+      "stat_ad_2sample" -> "crossJoin against a broadcast 1-row group-count frame over the value-grain frame",
+      "stat_theil_u" -> "crossJoins compose broadcast 1-row total/entropy frames over catalog-grain margins",
+      "stat_g_test" -> "crossJoin against a broadcast 1-row total/dims frame over the catalog-grain cell frame",
+      "seq_survival_km" -> "crossJoins against broadcast 1-row horizon/total frames over user- and lifetime-grain frames",
       "text_bm25" -> "crossJoin against a broadcast 1-row ndocs/ntok total",
       "vec_ann_recall" -> "composes vec_knn_join, whose broadcast <=8-probe cross join is bounded",
       "stat_ttest" -> "theta self-join of a broadcast 5-row segment-moment frame (<=25 pairs)",
@@ -934,6 +941,7 @@ class PlanSpec extends SparkSuite {
       "etl_freshness_report" -> "crossJoin against the broadcast 1-row corpus-horizon frame over three checkpointed 1-row summaries",
       "gdpr_t_closeness" -> "zero-cell grid crossJoins are dim-bounded: 25 nations x 5 segments x 1-row total",
       "anom_lof" -> "exact-tier LOF pair join is bounded to the 256-vector base (65k pairs); scale path is the LSH-bucketed kNN",
+      "vec_intrinsic_dim" -> "exact-tier TwoNN pair join is bounded to the 256-vector base (65k pairs); scale path is the LSH-bucketed 2-NN",
       "ts_dtw_distance" -> "series-pair range join over the |types|-row (=5) per-type array frame — 10 pairs",
       "sort_range_boundaries" -> "crossJoin against the broadcast 1-row 31-element boundary array",
       "vec_filtered_search" -> "crossJoin against the broadcast 1-row query-vector frame (vec_cosine_topk's shape)",
@@ -1139,6 +1147,12 @@ class PlanSpec extends SparkSuite {
       "stat_ks_pvalue" -> "inherits stat_ks_test's fixed score-bucket grid (query composition)",
       "stat_mannwhitney" -> "distinct-value grain (decimal-gridded domain)",
       "stat_mannwhitney_pvalue" -> "inherits stat_mannwhitney's distinct-value grain (query composition)",
+      "stat_cliffs_delta" -> "inherits stat_mannwhitney's distinct-value grain (query composition)",
+      "stat_page_trend" -> "treatment-index window runs over the distinct event-type domain (bounded catalog of types)",
+      "stat_brunner_munzel" -> "distinct-value grain (stat_mannwhitney's decimal-gridded domain)",
+      "stat_quade" -> "range-rank window runs over the calendar-bounded day-range grain",
+      "stat_ad_2sample" -> "distinct-value grain (stat_mannwhitney's decimal-gridded domain)",
+      "seq_survival_km" -> "risk-set and survival windows run over the calendar-bounded lifetime grain",
       "stat_mood_median" -> "group-summary grain: |segments| <= 5 rows",
       "stat_wilcoxon_signed" -> "distinct |diff|-value grain (gridded domain)",
       "text_docfreq" -> "vocabulary grain (language-bounded)",
