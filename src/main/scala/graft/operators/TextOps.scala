@@ -986,6 +986,35 @@ object TextOps {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       jaccardPairs(s, dir).orderBy(col("d1"), col("d2"))),
 
+    // Code-vs-prose detector — the pretraining router every mixed crawl
+    // needs (code wants different dedup/quality/tokenizer settings than
+    // prose; mislabeling either direction poisons both corpora):
+    // symbol-density (brackets/braces/operators per char) and
+    // code-keyword density per token, clamped and averaged to one score.
+    // Pure per-row codegen'd regex + HOF work — no shuffle, linear at
+    // any scale. Thresholds are exact literals; the flag compares the
+    // ROUNDED score so an ulp can't flip it cross-engine.
+    "text_code_detect" -> ((s, dir) => {
+      val kws = Seq("def", "return", "import", "class", "if", "else",
+        "for", "while", "var", "val", "function")
+      t(s, dir, "documents")
+        .withColumn("n_sym",
+          size(expr("regexp_extract_all(text, '[;{}()=\\\\[\\\\]<>]', 0)")))
+        .withColumn("toks", filter(split(lower(col("text")), " "), x => x =!= ""))
+        .withColumn("n_kw",
+          size(filter(col("toks"), x => x.isin(kws: _*))))
+        .withColumn("sym_ratio",
+          round(col("n_sym").cast("double") / col("n_chars"), 6))
+        .withColumn("kw_ratio",
+          round(col("n_kw").cast("double") / size(col("toks")), 6))
+        .withColumn("code_score", round(
+          lit(0.5) * least(lit(1.0), lit(10.0) * col("sym_ratio")) +
+            lit(0.5) * least(lit(1.0), lit(5.0) * col("kw_ratio")), 6))
+        .select(col("doc_id"), col("sym_ratio"), col("kw_ratio"),
+          col("code_score"), (col("code_score") >= 0.3).as("is_code"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Jaccard dedup threshold sweep — the policy knob report for the
     // text side (vec_dedup_threshold_sweep's twin on lexical near-dups):
     // how many candidate pairs fire and how many docs would drop at each
@@ -2468,6 +2497,26 @@ object TextOps {
                JOIN sizes s2 ON inter.d2 = s2.doc_id)
          WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) >= 0.5
          ORDER BY d1, d2""",
+    "text_code_detect" ->
+      """WITH b AS (
+           SELECT doc_id, n_chars,
+                  len(regexp_extract_all(text, '[;{}()=\[\]<>]')) AS n_sym,
+                  list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           FROM documents),
+         r AS (
+           SELECT doc_id,
+                  round(CAST(n_sym AS DOUBLE) / n_chars, 6) AS sym_ratio,
+                  round(CAST(len(list_filter(toks, x -> list_contains(
+                      ['def', 'return', 'import', 'class', 'if', 'else',
+                       'for', 'while', 'var', 'val', 'function'], x)))
+                    AS DOUBLE) / len(toks), 6) AS kw_ratio
+           FROM b)
+         SELECT doc_id, sym_ratio, kw_ratio,
+                round(0.5 * least(1.0, 10.0 * sym_ratio)
+                      + 0.5 * least(1.0, 5.0 * kw_ratio), 6) AS code_score,
+                round(0.5 * least(1.0, 10.0 * sym_ratio)
+                      + 0.5 * least(1.0, 5.0 * kw_ratio), 6) >= 0.3 AS is_code
+         FROM r ORDER BY doc_id""",
     "text_dedup_threshold_sweep" ->
       """WITH toks AS (
            SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS token

@@ -644,6 +644,56 @@ object VectorOps {
             .as("id_hat"))
     }),
 
+    // Centroid-approximated silhouette per label — the clustering-quality
+    // number for a LABELED embedding space (are these label clusters
+    // actually separated, or is the probe fooling itself?): classic
+    // silhouette is all-pairs; the centroid approximation (a = distance
+    // to own centroid, b = nearest other centroid) is the form that
+    // scales — label-count-bounded centroid frame broadcast against one
+    // corpus pass. Centroids are vec_centroid_agg's sequential ordered
+    // folds (identical doubles both engines, no mid-grid needed); cosine
+    // distances 6-dp-gridded at birth, s = (b−a)/max(a,b) gridded, label
+    // rollup DECIMAL-summed. Also counts misassigned vectors (nearer to
+    // a foreign centroid) — the confusion signal retrieval probes watch.
+    "vec_silhouette_centroid" -> ((s, dir) => {
+      val emb = embStore(s, dir)
+      val ex = emb
+        .select(col("label"), col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "fv")))
+        .select(col("label"), col("pos"),
+          struct(col("vec_id"), col("fv").cast("double").as("v")).as("rec"))
+      val cents = ex.groupBy(col("label"), col("pos"))
+        .agg(sort_array(collect_list(col("rec"))).as("h"))
+        .select(col("label").as("cl"), col("pos"),
+          (aggregate(expr("slice(h, 2, size(h) - 1)"),
+            col("h").getItem(0).getField("v"),
+            (acc, x) => acc + x.getField("v")) / size(col("h"))).as("cv1"))
+        .groupBy(col("cl"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv1")))),
+          p => p.getField("cv1")).as("cv"))
+      val dot = expr("aggregate(zip_with(embedding, cv, (x, y) -> CAST(x AS DOUBLE) * y), " +
+        "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)")
+      val nv = expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+      val nc = expr("aggregate(cv, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)")
+      val d = emb.select(col("vec_id"), col("label"), col("embedding"))
+        .crossJoin(broadcast(cents))
+        .withColumn("dist",
+          dec(round(lit(1.0) - dot / (sqrt(nv) * sqrt(nc)), 6)))
+      val ab = d.groupBy(col("vec_id"), col("label"))
+        .agg(max(when(col("cl") === col("label"), col("dist"))).as("a"),
+          min(when(col("cl") =!= col("label"), col("dist"))).as("b"))
+        .withColumn("sil", dec(round(
+          (col("b") - col("a")).cast("double") /
+            greatest(col("a"), col("b")).cast("double"), 6)))
+      ab.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(col("sil")).cast("double") / count(lit(1)), 6)
+            .as("mean_silhouette"),
+          sum(when(col("b") < col("a"), 1L).otherwise(0L)).as("n_misassigned"))
+        .orderBy(col("label"))
+    }),
+
     // Hard-negative mining for contrastive training — the third consumer
     // of the LSH candidate generator: a good negative is CLOSE but not a
     // duplicate (random negatives are too easy; near-dups are false
@@ -1794,6 +1844,46 @@ object VectorOps {
                 round(CAST(count(1) AS DOUBLE)
                       / CAST(sum(lnmu) AS DOUBLE), 6) AS id_hat
          FROM lm""",
+    // same sequential centroid folds as vec_centroid_agg's oracle,
+    // assembled to arrays, then the same gridded cosine-distance tree
+    "vec_silhouette_centroid" ->
+      """WITH ex AS (
+           SELECT label, vec_id,
+                  unnest(range(0, len(embedding))) AS pos,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+         grp AS (
+           SELECT label AS cl, pos, list(v ORDER BY vec_id) AS vs
+           FROM ex GROUP BY 1, 2),
+         c1 AS (SELECT cl, pos,
+                       list_reduce(vs, (acc, x) -> acc + x) / len(vs) AS cv1
+                FROM grp),
+         cents AS (SELECT cl, list(cv1 ORDER BY pos) AS cv FROM c1 GROUP BY 1),
+         d AS (
+           SELECT e.vec_id, e.label, c.cl,
+             CAST(round(1.0
+               - list_aggregate(list_transform(range(1, 65),
+                   i -> e.embedding[i]::DOUBLE * c.cv[i]), 'sum')
+               / (sqrt(list_aggregate(list_transform(e.embedding,
+                     x -> x::DOUBLE * x::DOUBLE), 'sum'))
+                  * sqrt(list_aggregate(list_transform(c.cv, x -> x * x), 'sum'))), 6)
+               AS DECIMAL(18,6)) AS dist
+           FROM embeddings e CROSS JOIN cents c),
+         ab AS (
+           SELECT vec_id, label,
+                  max(CASE WHEN cl = label THEN dist END) AS a,
+                  min(CASE WHEN cl <> label THEN dist END) AS b
+           FROM d GROUP BY 1, 2),
+         sil AS (
+           SELECT label,
+                  CAST(round(CAST(b - a AS DOUBLE)
+                    / CAST(greatest(a, b) AS DOUBLE), 6) AS DECIMAL(18,6)) AS s,
+                  CASE WHEN b < a THEN 1 ELSE 0 END AS mis
+           FROM ab)
+         SELECT label, count(1) AS n_vecs,
+                round(CAST(sum(s) AS DOUBLE) / count(1), 6) AS mean_silhouette,
+                CAST(sum(mis) AS BIGINT) AS n_misassigned
+         FROM sil GROUP BY 1 ORDER BY 1""",
     // the [0.3, 0.8) band of the SAME LSH candidate pairs, symmetrized,
     // top-2 hardest per anchor
     "vec_hard_negatives" ->

@@ -198,6 +198,31 @@ object Streams {
         .orderBy(col("w_start_s"), col("event_type"))
     }),
 
+    // Windowed pivot — the wide per-window metrics row every streaming
+    // dashboard reads (one row per hour, one column per event type).
+    // Structured Streaming rejects `.pivot` on a streaming frame, so the
+    // production workaround IS the operator: conditional aggregation
+    // against the known type catalog (exact integer counts per column,
+    // one stateful agg — same state size as the long-format rollup but
+    // no downstream reshape). Catalog changes are schema changes here,
+    // which is what a dashboard contract wants anyway.
+    "stream_windowed_pivot" -> ((s, dir) => {
+      runToTable(s, s2 => eventsStream(s2, dir)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+          sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("n_signup"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+          count(lit(1)).as("n_total")),
+        "mem_wpivot", "complete")
+        .select(unix_timestamp(col("window.start")).as("w_start_s"),
+          col("n_click"), col("n_error"), col("n_purchase"),
+          col("n_signup"), col("n_view"), col("n_total"))
+        .orderBy(col("w_start_s"))
+    }),
+
     // Streaming rate-anomaly alert — the monitoring read every streaming
     // rollup feeds (collect windowed counts continuously, flag the
     // windows whose volume is statistically off): the STREAM side is a
@@ -441,6 +466,15 @@ object Streams {
          count(1) AS n,
          round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
          FROM events GROUP BY 1, 2 ORDER BY w_start_s, event_type""",
+    "stream_windowed_pivot" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600 AS w_start_s,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+         CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+         count(1) AS n_total
+         FROM events GROUP BY 1 ORDER BY w_start_s""",
     "stream_rate_alert" ->
       """WITH hourly AS (
            SELECT (epoch_us(ts) // 3600000000) * 3600 AS w_start_s, event_type,

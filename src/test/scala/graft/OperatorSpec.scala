@@ -458,6 +458,82 @@ class OperatorSpec extends SparkSuite {
       s"kappa ${r.getDouble(4)} vs brute $want")
   }
 
+  test("vec_silhouette_centroid: per-label silhouette replays the brute centroid build") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val cents = emb.groupBy(_._2).map { case (l, vs) =>
+      l -> (0 until 64).map(i =>
+        vs.map(_._3(i).toDouble).sum / vs.length).toArray
+    }
+    def cos(a: Array[Float], c: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nc = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * c(i); na += a(i).toDouble * a(i).toDouble
+        nc += c(i) * c(i)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nc))
+    }
+    val sils = emb.map { case (_, l, e) =>
+      val a = 1.0 - cos(e, cents(l))
+      val b = cents.filter(_._1 != l).values.map(c => 1.0 - cos(e, c)).min
+      (l, (b - a) / math.max(a, b), b < a)
+    }
+    val want = sils.groupBy(_._1).map { case (l, ss) =>
+      l -> ((ss.length.toLong, ss.map(_._2).sum / ss.length,
+        ss.count(_._3).toLong))
+    }
+    val got = q("vec_silhouette_centroid").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got.keySet === want.keySet, "label domain")
+    want.foreach { case (l, (n, m, mis)) =>
+      assert(got(l)._1 === n, s"n_vecs at $l")
+      assert(math.abs(got(l)._2 - m) < 1e-4, s"silhouette at $l: ${got(l)._2} vs $m")
+      assert(got(l)._3 === mis, s"misassigned at $l")
+    }
+  }
+
+  test("text_code_detect: score replays the brute symbol/keyword densities") {
+    val kws = Set("def", "return", "import", "class", "if", "else",
+      "for", "while", "var", "val", "function")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val got = q("text_code_detect").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    docs.foreach { case (id, text, nChars) =>
+      val nSym = text.count(c => ";{}()=[]<>".contains(c))
+      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      val symR = nSym.toDouble / nChars
+      val kwR = toks.count(kws.contains).toDouble / toks.length
+      val score = 0.5 * math.min(1.0, 10 * symR) + 0.5 * math.min(1.0, 5 * kwR)
+      assert(math.abs(got(id)._1 - symR) < 1e-5, s"sym_ratio at $id")
+      assert(math.abs(got(id)._2 - kwR) < 1e-5, s"kw_ratio at $id")
+      assert(math.abs(got(id)._3 - score) < 1e-4, s"score at $id")
+      assert(got(id)._4 === (got(id)._3 >= 0.3), s"flag at $id")
+    }
+  }
+
+  test("stream_windowed_pivot: wide row equals the brute hourly type counts") {
+    val ev = graft.Tables.events(spark, sf)
+      .select(unix_timestamp(col("ts")).as("us"), col("event_type")).collect()
+      .map(r => (r.getLong(0) / 3600 * 3600, r.getString(1)))
+    val want = ev.groupBy(_._1).map { case (h, es) =>
+      h -> (Seq("click", "error", "purchase", "signup", "view")
+        .map(t => es.count(_._2 == t).toLong), es.length.toLong)
+    }
+    val got = q("stream_windowed_pivot").collect()
+      .map(r => r.getLong(0) ->
+        ((1 to 5).map(r.getLong).toSeq, r.getLong(6))).toMap
+    assert(got.keySet === want.keySet, "hour windows")
+    want.foreach { case (h, (cols, tot)) =>
+      assert(got(h)._1 === cols, s"per-type counts at hour $h")
+      assert(got(h)._2 === tot, s"total at hour $h")
+      assert(got(h)._1.sum === tot, "columns sum to the total")
+    }
+  }
+
   test("stat_g_test: G replays the brute likelihood-ratio build and is additive-consistent") {
     val rows = spark.read.parquet(s"$sf/customer.parquet")
       .select("c_mktsegment", "c_nationkey").collect()
