@@ -1132,6 +1132,26 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Geometric and harmonic means per return flag — the two means the
+    // arithmetic one silently misrepresents (growth factors and ratios
+    // want geometric; rates want harmonic — averaging them
+    // arithmetically overstates both): gmean = exp(mean ln x) with
+    // per-row ln 12-dp-gridded, hmean = n/Σ(1/x) with reciprocals
+    // 18-dp-gridded (they live below 0.01, the fine grid keeps the
+    // bounded-group sums exact AND order-free). ONE fact pass.
+    "agg_gmean_hmean" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(round(log(col("l_extendedprice")), 12), 12)).as("sln"),
+          sum(dec(round(lit(1.0) / col("l_extendedprice"), 18), 18)).as("srec"))
+        .select(col("l_returnflag"), col("n"),
+          round(exp(col("sln").cast("double") / col("n")), 6).as("gmean"),
+          round(col("n").cast("double") / col("srec").cast("double"), 6)
+            .as("hmean"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // fixed-width histogram as a plain hash aggregation: the bin id is a
     // per-row expression, so binning costs one shuffle of (bin → partials)
     // — bounded by bin count, not row count — at any scale. The DECIMAL
@@ -1704,6 +1724,16 @@ object Aggregates {
              sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS syy,
              sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS sxy
            FROM lineitem GROUP BY l_returnflag)
+         ORDER BY l_returnflag""",
+    "agg_gmean_hmean" ->
+      """SELECT l_returnflag, n,
+         round(exp(CAST(sln AS DOUBLE) / n), 6) AS gmean,
+         round(CAST(n AS DOUBLE) / CAST(srec AS DOUBLE), 6) AS hmean
+         FROM (
+           SELECT l_returnflag, count(1) AS n,
+             sum(CAST(round(ln(l_extendedprice), 12) AS DECIMAL(18,12))) AS sln,
+             sum(CAST(round(1.0 / l_extendedprice, 18) AS DECIMAL(18,18))) AS srec
+           FROM lineitem GROUP BY 1)
          ORDER BY l_returnflag""",
     "agg_weighted_moments" ->
       """SELECT l_returnflag, n,

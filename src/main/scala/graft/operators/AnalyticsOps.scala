@@ -4404,6 +4404,48 @@ object AnalyticsOps {
         .orderBy(col("event_type"))
     }),
 
+    // Engle's ARCH LM test (one lag) per event series — volatility
+    // clustering: "are big moves followed by big moves?" (the
+    // heteroskedasticity diagnostic that decides whether dickey_fuller/
+    // variance_ratio's homoscedastic-null z's can be trusted): squared
+    // 1-day increments u_t regressed on u_{t−1}, LM = n·R² ~ χ²₁.
+    // Increments are exact integers; the squared series goes through
+    // DECIMAL(38,6) product sums (agg_stats' discipline — u·u can
+    // exceed 2^53 long before it exceeds 38 digits), R² as one double
+    // tree, p through the shared Wilson–Hilferty grid.
+    "stat_arch_lm" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val big = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DecimalType(38, 6))
+      val u = daily
+        .withColumn("r", col("c") - lag(col("c"), 1).over(w))
+        .filter(col("r").isNotNull)
+        .withColumn("u", col("r") * col("r"))
+        .withColumn("x", lag(col("u"), 1).over(w))
+        .filter(col("x").isNotNull)
+      // factors cast to double BEFORE multiplying (an ANSI long*long
+      // would overflow first at extreme day-volumes; the double product
+      // is exact in our range and the DECIMAL sum is order-free)
+      val m = u.groupBy(col("event_type")).agg(count(lit(1)).as("n"),
+        sum(big(col("x"))).as("sx"), sum(big(col("u"))).as("sy"),
+        sum(big(col("x").cast("double") * col("x").cast("double"))).as("sxx"),
+        sum(big(col("x").cast("double") * col("u").cast("double"))).as("sxy"),
+        sum(big(col("u").cast("double") * col("u").cast("double"))).as("syy"))
+      val nD = col("n").cast("double")
+      val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+      val num = nD * col("sxy").cast("double") - sxD * syD
+      val r2 = num * num /
+        ((nD * col("sxx").cast("double") - sxD * sxD) *
+          (nD * col("syy").cast("double") - syD * syD))
+      m.select(col("event_type"), col("n"),
+          round(nD * r2, 6).as("lm_stat"),
+          round(PValueGrids.chi2Upper(nD * r2, lit(1)), 6).as("p_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Engle–Granger cointegration screen between the view and purchase
     // daily series — the "do these two series share a long-run
     // equilibrium" test a forecasting pipeline runs before trusting one
@@ -8066,6 +8108,43 @@ object AnalyticsOps {
                        / (CAST(ssa AS DOUBLE) / (CAST(m AS DOUBLE) - 1.0)) - 1.0)
                       / sqrt(72.0 / (15.0 * m)), 6) AS z_stat
          FROM a ORDER BY event_type""",
+    "stat_arch_lm" ->
+      s"""WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         rr AS (
+           SELECT event_type, day,
+                  c - lag(c) OVER (PARTITION BY event_type ORDER BY day) AS r
+           FROM daily),
+         uu AS (SELECT event_type, day, r * r AS u FROM rr WHERE r IS NOT NULL),
+         xx AS (
+           SELECT event_type, u,
+                  lag(u) OVER (PARTITION BY event_type ORDER BY day) AS x
+           FROM uu),
+         f AS (SELECT event_type, u, x FROM xx WHERE x IS NOT NULL),
+         m AS (
+           SELECT event_type, count(1) AS n,
+                  sum(CAST(x AS DECIMAL(38,6))) AS sx,
+                  sum(CAST(u AS DECIMAL(38,6))) AS sy,
+                  sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,6))) AS sxx,
+                  sum(CAST(CAST(x AS DOUBLE) * CAST(u AS DOUBLE) AS DECIMAL(38,6))) AS sxy,
+                  sum(CAST(CAST(u AS DOUBLE) * CAST(u AS DOUBLE) AS DECIMAL(38,6))) AS syy
+           FROM f GROUP BY 1),
+         g AS (
+           SELECT event_type, n,
+                  CAST(n AS DOUBLE)
+                    * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS lm
+           FROM m)
+         SELECT event_type, n, round(lm, 6) AS lm_stat,
+                round(${PValueGrids.chi2UpperSql("lm", "1")}, 6) AS p_value
+         FROM g ORDER BY event_type""",
     "ts_feature_matrix" ->
       """WITH daily AS (
            SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS c

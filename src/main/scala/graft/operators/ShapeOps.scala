@@ -921,6 +921,40 @@ object ShapeOps {
         .orderBy(col("prev_type"), col("next_type"))
     }),
 
+    // Stationary distribution of the behavior Markov chain — "where does
+    // a user's session settle long-run?" (seq_markov_transitions gives
+    // the one-step matrix; the steady state is what capacity planning
+    // and next-event priors actually consume). Five unrolled power-
+    // iteration rounds over the state-catalog-bounded matrix (graph_
+    // pagerank's replayed-rounds discipline): uniform start, each round
+    // π'(j) = Σ π(i)·p(i,j) with per-term 12-dp DECIMAL gridding so the
+    // ≤|states| partial sums are order-free, final 6-dp publish. Every
+    // frame is |states|-bounded — the only fact-sized work is the one
+    // transition-count rollup.
+    "seq_markov_stationary" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = persistShared("markov_pairs", events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n")))
+      val p = pairs.withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+      val states = pairs.select(col("prev_type").as("st")).distinct()
+      val k = states.crossJoin(broadcast(states.agg(count(lit(1)).as("ns"))))
+      var pi = k.select(col("st"), (lit(1.0) / col("ns")).as("rank"))
+      for (_ <- 1 to 5) {
+        pi = pi.join(p, col("st") === col("prev_type"))
+          .groupBy(col("next_type"))
+          .agg(sum(dec(round(col("rank") * col("p"), 12), 12)).cast("double")
+            .as("rank"))
+          .select(col("next_type").as("st"), col("rank"))
+      }
+      pi.select(col("st").as("state"), round(col("rank"), 6).as("pi"))
+        .orderBy(col("state"))
+    }),
+
     // Directed-graph reciprocity over the session-transition graph —
     // "is the flow a cycle or a funnel": share of a→b edges whose b→a
     // twin exists, plus the weighted form Σmin(w_ab,w_ba)/Σw. The
@@ -1206,6 +1240,29 @@ object ShapeOps {
          SELECT prev_type, next_type, n,
                 round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS p
          FROM c ORDER BY prev_type, next_type""",
+    "seq_markov_stationary" -> {
+      def round(k: Int): String =
+        s"""r$k AS (
+           SELECT p.next_type AS st,
+                  CAST(sum(CAST(round(r.rank * p.p, 12) AS DECIMAL(18,12)))
+                    AS DOUBLE) AS rank
+           FROM r${k - 1} r JOIN p ON r.st = p.prev_type GROUP BY 1)"""
+      s"""WITH seq AS (
+           SELECT event_type AS prev_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS next_type
+           FROM events),
+         c AS (SELECT prev_type, next_type, count(1) AS n
+               FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         p AS (SELECT prev_type, next_type,
+                      CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) AS p
+               FROM c),
+         st AS (SELECT DISTINCT prev_type AS st FROM c),
+         ns AS (SELECT CAST(count(1) AS BIGINT) AS ns FROM st),
+         r0 AS (SELECT st, 1.0 / ns AS rank FROM st CROSS JOIN ns),
+         ${(1 to 5).map(round).mkString(",\n")}
+         SELECT st AS state, round(rank, 6) AS pi FROM r5 ORDER BY state"""
+    },
     "graph_reciprocity" ->
       """WITH seq AS (
            SELECT event_type AS prev_type,

@@ -458,6 +458,71 @@ class OperatorSpec extends SparkSuite {
       s"kappa ${r.getDouble(4)} vs brute $want")
   }
 
+  test("seq_markov_stationary: pi replays five brute power rounds and sums to 1") {
+    val trans = q("seq_markov_transitions").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = trans.map(_._1).distinct.sorted
+    val rowSum = trans.groupBy(_._1).map { case (s, v) => s -> v.map(_._3).sum }
+    val p = trans.map { case (a, b, n) => (a, b) -> n.toDouble / rowSum(a) }.toMap
+    var pi = states.map(_ -> 1.0 / states.length).toMap
+    for (_ <- 1 to 5) {
+      pi = states.map { j =>
+        j -> states.map(i => pi(i) * p.getOrElse((i, j), 0.0)).sum
+      }.toMap
+    }
+    val got = q("seq_markov_stationary").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === pi.keySet, "state domain")
+    pi.foreach { case (st, v) =>
+      assert(math.abs(got(st) - v) < 1e-4, s"pi at $st: ${got(st)} vs $v")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-4, "pi sums to 1")
+  }
+
+  test("stat_arch_lm: LM replays the brute squared-increment regression") {
+    val daily = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("ts").cast("date").cast("string")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).map { case ((et, d), v) => (et, d) -> v.length.toLong }
+    val byEt = daily.groupBy(_._1._1).map { case (et, m) =>
+      et -> m.toSeq.sortBy(_._1._2).map(_._2)
+    }
+    val got = q("stat_arch_lm").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    byEt.foreach { case (et, cs) =>
+      val u = cs.zip(cs.tail).map { case (a, b) => ((b - a) * (b - a)).toDouble }
+      val x = u.dropRight(1); val y = u.drop(1)
+      val n = x.length
+      val num = n * x.zip(y).map { case (a, b) => a * b }.sum - x.sum * y.sum
+      val r2 = num * num /
+        ((n * x.map(a => a * a).sum - x.sum * x.sum) *
+          (n * y.map(a => a * a).sum - y.sum * y.sum))
+      assert(got(et)._1 === n.toLong, s"n at $et")
+      assert(math.abs(got(et)._2 - n * r2) < 1e-3,
+        s"LM at $et: ${got(et)._2} vs ${n * r2}")
+    }
+  }
+
+  test("agg_gmean_hmean: means replay brute folds and order correctly") {
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val got = q("agg_gmean_hmean").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    rows.groupBy(_._1).foreach { case (flag, rs) =>
+      val xs = rs.map(_._2)
+      val gm = math.exp(xs.map(math.log).sum / xs.length)
+      val hm = xs.length / xs.map(1.0 / _).sum
+      val am = xs.sum / xs.length
+      assert(got(flag)._1 === xs.length.toLong, s"n at $flag")
+      assert(math.abs(got(flag)._2 - gm) < 1e-2, s"gmean at $flag")
+      assert(math.abs(got(flag)._3 - hm) < 1e-2, s"hmean at $flag")
+      // AM-GM-HM inequality must hold on real data
+      assert(got(flag)._3 <= got(flag)._2 + 1e-6 && got(flag)._2 <= am + 1e-6,
+        s"HM <= GM <= AM at $flag")
+    }
+  }
+
   test("vec_silhouette_centroid: per-label silhouette replays the brute centroid build") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "label", "embedding").collect()
