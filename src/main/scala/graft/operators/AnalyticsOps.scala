@@ -4404,6 +4404,101 @@ object AnalyticsOps {
         .orderBy(col("event_type"))
     }),
 
+    // One-sample KS uniformity test on the hour-of-day distribution —
+    // "is traffic flat across the day?" as a DISTRIBUTION test
+    // (stat_dow_uniformity asks the χ² version for weekdays; KS reads
+    // the cumulative shape, which catches smooth drifts χ² bins dilute).
+    // The sup over the continuous uniform CDF lands on hour boundaries,
+    // so D folds from EXACT integers: dnum = max(|24·cum − (h+1)·N|,
+    // |24·cumprev − h·N|), D = dnum/(24N); λ = √N·D through the shared
+    // pinned KS tail grid. Hour grain is 24 rows at any scale.
+    "stat_ks_uniform" -> ((s, dir) => {
+      val byH = events(s, dir)
+        .groupBy(hour(col("ts")).as("h")).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("h"))
+      val r = byH
+        .withColumn("cum", sum(col("c")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("nn", sum(col("c")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("dnum", greatest(
+          abs(lit(24L) * col("cum") - (col("h") + 1) * col("nn")),
+          abs(lit(24L) * (col("cum") - col("c")) - col("h") * col("nn"))))
+      val m = r.agg(max(col("nn")).as("n"), max(col("dnum")).as("dnum"))
+      val dStat = col("dnum").cast("double") / (lit(24.0) * col("n").cast("double"))
+      val lam = sqrt(col("n").cast("double")) * dStat
+      m.select(col("n"), round(dStat, 6).as("d_stat"),
+        round(lam, 6).as("ks_lambda"),
+        round(PValueGrids.ksUpper(lam), 6).as("p_value"))
+    }),
+
+    // Bowker's symmetry test over the behavior transition matrix — the
+    // k×k generalization of stat_mcnemar applied to session flows: "is
+    // traffic i→j as common as j→i?" (asymmetry = directional funnels;
+    // symmetry = random wandering — the honest test before reading
+    // seq_markov_transitions' arrows as causal). χ² = Σ_{i<j}
+    // (n_ij − n_ji)²/(n_ij + n_ji) over the type-catalog-bounded pair
+    // frame (empty pairs drop, dof = counted pairs); terms 9-dp-gridded
+    // before the bounded DECIMAL fold, p via the shared χ² grid with
+    // data-dependent dof. One fact pass for the lead() pairs.
+    "stat_bowker" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("a"), col("next_type").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .transform(df => persistShared("bowker_pairs", df))
+      val fwd = pairs.filter(col("a") < col("b"))
+      val rev = pairs.filter(col("a") > col("b"))
+        .select(col("b").as("a"), col("a").as("b"), col("n").as("nrev"))
+      val cells = fwd.join(rev, Seq("a", "b"), "full")
+        .select(coalesce(col("n"), lit(0L)).as("nf"),
+          coalesce(col("nrev"), lit(0L)).as("nr"))
+        .filter(col("nf") + col("nr") > 0)
+        .select(dec(round(
+          (col("nf") - col("nr")).cast("double") *
+            (col("nf") - col("nr")).cast("double") /
+            (col("nf") + col("nr")).cast("double"), 9), 9).as("term"))
+      val m = cells.agg(count(lit(1)).as("dof"),
+        sum(col("term")).cast("double").as("chi2"))
+      m.select(round(col("chi2"), 6).as("chi2_stat"), col("dof"),
+        round(PValueGrids.chi2Upper(col("chi2"), col("dof")), 6).as("p_value"))
+    }),
+
+    // Turning-point randomness test per event series — "does this metric
+    // wiggle like noise or glide like a trend?" (the simplest honest
+    // IID check beside stat_runs_test's sign version: a random series
+    // has E[T] = 2(n−2)/3 strict local extrema; trends and smoothing
+    // both depress T): strict-inequality extrema from two lag/lead
+    // integer comparisons (ties break no peak — deterministic), z from
+    // the exact moments, two-sided p via the pinned normal grid.
+    "ts_turning_points" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val p = daily
+        .withColumn("pv", lag(col("c"), 1).over(w))
+        .withColumn("nx", lead(col("c"), 1).over(w))
+      val m = p.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("pv").isNotNull && col("nx").isNotNull &&
+          ((col("pv") < col("c") && col("c") > col("nx")) ||
+            (col("pv") > col("c") && col("c") < col("nx"))), 1L)
+          .otherwise(0L)).as("t"))
+      val nD = col("n").cast("double")
+      val e = lit(2.0) * (nD - 2.0) / 3.0
+      val z = (col("t").cast("double") - e) /
+        sqrt((lit(16.0) * nD - 29.0) / 90.0)
+      m.select(col("event_type"), col("n").as("n_days"),
+          col("t").as("n_turning"),
+          round(z, 6).as("z_stat"),
+          round(PValueGrids.pTwoSided(z), 6).as("p_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Engle's ARCH LM test (one lag) per event series — volatility
     // clustering: "are big moves followed by big moves?" (the
     // heteroskedasticity diagnostic that decides whether dickey_fuller/
@@ -8108,6 +8203,68 @@ object AnalyticsOps {
                        / (CAST(ssa AS DOUBLE) / (CAST(m AS DOUBLE) - 1.0)) - 1.0)
                       / sqrt(72.0 / (15.0 * m)), 6) AS z_stat
          FROM a ORDER BY event_type""",
+    "stat_ks_uniform" -> {
+      val lam = "sqrt(CAST(n AS DOUBLE)) * (CAST(dnum AS DOUBLE) / (24.0 * CAST(n AS DOUBLE)))"
+      s"""WITH byh AS (
+           SELECT CAST(hour(ts) AS INT) AS h, count(1) AS c
+           FROM events GROUP BY 1),
+         r AS (
+           SELECT h, c,
+                  CAST(sum(c) OVER (ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                  CAST(sum(c) OVER () AS BIGINT) AS nn
+           FROM byh),
+         d AS (
+           SELECT max(nn) AS n,
+                  max(greatest(abs(24 * cum - (h + 1) * nn),
+                               abs(24 * (cum - c) - h * nn))) AS dnum
+           FROM r)
+         SELECT n,
+                round(CAST(dnum AS DOUBLE) / (24.0 * CAST(n AS DOUBLE)), 6) AS d_stat,
+                round($lam, 6) AS ks_lambda,
+                round(${PValueGrids.ksUpperSql(lam)}, 6) AS p_value
+         FROM d"""
+    },
+    "stat_bowker" ->
+      s"""WITH seq AS (
+           SELECT event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS next_type
+           FROM events),
+         c AS (SELECT event_type AS a, next_type AS b, count(1) AS n
+               FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         f AS (SELECT a, b, n FROM c WHERE a < b),
+         rv AS (SELECT b AS a, a AS b, n AS nrev FROM c WHERE a > b),
+         cells AS (
+           SELECT coalesce(f.n, 0) AS nf, coalesce(rv.nrev, 0) AS nr
+           FROM f FULL JOIN rv USING (a, b)),
+         t AS (
+           SELECT CAST(round(CAST(nf - nr AS DOUBLE) * CAST(nf - nr AS DOUBLE)
+               / CAST(nf + nr AS DOUBLE), 9) AS DECIMAL(18,9)) AS term
+           FROM cells WHERE nf + nr > 0),
+         m AS (SELECT count(1) AS dof, CAST(sum(term) AS DOUBLE) AS chi2 FROM t)
+         SELECT round(chi2, 6) AS chi2_stat, dof,
+                round(${PValueGrids.chi2UpperSql("chi2", "dof")}, 6) AS p_value
+         FROM m""",
+    "ts_turning_points" -> {
+      val z = "(CAST(t AS DOUBLE) - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0) / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0)"
+      s"""WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         p AS (
+           SELECT event_type, c, lag(c) OVER w AS pv, lead(c) OVER w AS nx
+           FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         m AS (
+           SELECT event_type, count(1) AS n,
+                  CAST(sum(CASE WHEN pv IS NOT NULL AND nx IS NOT NULL AND
+                    ((pv < c AND c > nx) OR (pv > c AND c < nx))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS t
+           FROM p GROUP BY 1)
+         SELECT event_type, n AS n_days, t AS n_turning,
+                round($z, 6) AS z_stat,
+                round(${PValueGrids.pTwoSidedSql(z)}, 6) AS p_value
+         FROM m ORDER BY event_type"""
+    },
     "stat_arch_lm" ->
       s"""WITH daily AS (
            SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS c

@@ -458,6 +458,61 @@ class OperatorSpec extends SparkSuite {
       s"kappa ${r.getDouble(4)} vs brute $want")
   }
 
+  test("stat_ks_uniform: D replays the brute hour-ecdf sup") {
+    val hs = graft.Tables.events(spark, sf)
+      .select(hour(col("ts"))).collect().map(_.getInt(0))
+    val n = hs.length
+    val d = (0 until 24).flatMap { h =>
+      val cum = hs.count(_ <= h).toDouble
+      val cumPrev = hs.count(_ < h).toDouble
+      Seq(math.abs(cum / n - (h + 1) / 24.0), math.abs(cumPrev / n - h / 24.0))
+    }.max
+    val r = q("stat_ks_uniform").collect().head
+    assert(r.getLong(0) === n.toLong, "n")
+    assert(math.abs(r.getDouble(1) - d) < 1e-5, s"D ${r.getDouble(1)} vs brute $d")
+    assert(math.abs(r.getDouble(2) - math.sqrt(n.toDouble) * d) < 1e-4, "lambda")
+    assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1, "p in [0,1]")
+  }
+
+  test("stat_bowker: chi2 replays the brute symmetric-pair fold") {
+    val trans = q("seq_markov_transitions").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val types = trans.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct.sorted
+    val terms = for {
+      i <- types.indices; j <- i + 1 until types.length
+      nf = trans.getOrElse((types(i), types(j)), 0L)
+      nr = trans.getOrElse((types(j), types(i)), 0L)
+      if nf + nr > 0
+    } yield (nf - nr).toDouble * (nf - nr) / (nf + nr)
+    val r = q("stat_bowker").collect().head
+    assert(math.abs(r.getDouble(0) - terms.sum) < 1e-3,
+      s"chi2 ${r.getDouble(0)} vs brute ${terms.sum}")
+    assert(r.getLong(1) === terms.length.toLong, "dof")
+  }
+
+  test("ts_turning_points: T replays the brute strict-extrema count") {
+    val daily = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("ts").cast("date").cast("string")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).map { case ((et, d), v) => (et, d) -> v.length.toLong }
+    val byEt = daily.groupBy(_._1._1).map { case (et, m) =>
+      et -> m.toSeq.sortBy(_._1._2).map(_._2)
+    }
+    val got = q("ts_turning_points").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    byEt.foreach { case (et, cs) =>
+      val t = (1 until cs.length - 1).count { i =>
+        (cs(i - 1) < cs(i) && cs(i) > cs(i + 1)) ||
+          (cs(i - 1) > cs(i) && cs(i) < cs(i + 1))
+      }
+      val n = cs.length
+      val z = (t - 2.0 * (n - 2) / 3.0) / math.sqrt((16.0 * n - 29) / 90.0)
+      assert(got(et)._1 === n.toLong, s"n at $et")
+      assert(got(et)._2 === t.toLong, s"T at $et: ${got(et)._2} vs $t")
+      assert(math.abs(got(et)._3 - z) < 1e-4, s"z at $et")
+    }
+  }
+
   test("seq_markov_stationary: pi replays five brute power rounds and sums to 1") {
     val trans = q("seq_markov_transitions").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))

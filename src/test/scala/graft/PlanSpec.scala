@@ -1155,6 +1155,7 @@ class PlanSpec extends SparkSuite {
       "stat_quade" -> "range-rank window runs over the calendar-bounded day-range grain",
       "stat_ad_2sample" -> "distinct-value grain (stat_mannwhitney's decimal-gridded domain)",
       "seq_survival_km" -> "risk-set and survival windows run over the calendar-bounded lifetime grain",
+      "stat_ks_uniform" -> "cumulative windows run over the 24-row hour-of-day grain",
       "stat_mood_median" -> "group-summary grain: |segments| <= 5 rows",
       "stat_wilcoxon_signed" -> "distinct |diff|-value grain (gridded domain)",
       "text_docfreq" -> "vocabulary grain (language-bounded)",
