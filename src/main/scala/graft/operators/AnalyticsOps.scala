@@ -2385,6 +2385,64 @@ object AnalyticsOps {
             (col("n") * least(col("r") - 1, col("c") - 1))), 6).as("cramers_v"))
     }),
 
+    // Bergsma's bias-corrected Cramér's V — plain V is systematically
+    // inflated on finite samples (E[χ²] > 0 under independence; small
+    // strata read "association" out of pure noise), and the correction
+    // is what comparative feature-screening tables should rank by. Pure
+    // composition of the registered base op (the oracle-matched chi2/n/
+    // r/c), φ̃² = max(0, φ² − (r−1)(c−1)/(n−1)), shrunken dimensions
+    // r̃ = r − (r−1)²/(n−1), one double tree both engines.
+    "stat_cramers_v_corrected" -> ((s, dir) => {
+      val base = queries("stat_cramers_v")(s, dir)
+      val nD = col("n").cast("double")
+      val rD = col("r").cast("double"); val cD = col("c").cast("double")
+      val phi2 = col("chi2") / nD
+      val phi2c = greatest(phi2 - (rD - 1.0) * (cD - 1.0) / (nD - 1.0), lit(0.0))
+      val rT = rD - (rD - 1.0) * (rD - 1.0) / (nD - 1.0)
+      val cT = cD - (cD - 1.0) * (cD - 1.0) / (nD - 1.0)
+      base.select(col("n"), col("r"), col("c"), col("cramers_v"),
+        round(sqrt(phi2c / least(rT - 1.0, cT - 1.0)), 6).as("v_corrected"))
+    }),
+
+    // Pettitt's change-point test per event series — the NONPARAMETRIC
+    // single change-point locator beside ts_changepoint's CUSUM mean
+    // shift (rank-based: robust to the heavy-tailed daily-count spikes
+    // that drag a mean-based split): with midranks in the exact 2×
+    // integer encoding, U_t = Σ(2·midrank) − t(n+1) stays BIGINT;
+    // K = max|U_t| over t < n, change day = earliest argmax (min_by
+    // tie-break), p ≈ min(1, 2·exp(−6K²/(n³+n²))) with K cast to double
+    // before squaring. Day-grain windows only.
+    "ts_pettitt" -> ((s, dir) => {
+      val daily = persistShared("pettitt_daily", events(s, dir)
+        .groupBy(col("event_type").as("et"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c")))
+      val g = daily.groupBy(col("et"), col("c")).agg(count(lit(1)).as("t"))
+      val wV = Window.partitionBy(col("et")).orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val r = g.withColumn("cumb", coalesce(sum(col("t")).over(wV), lit(0L)))
+        .withColumn("rank2", lit(2L) * col("cumb") + col("t") + 1)
+      val nF = daily.groupBy(col("et")).agg(count(lit(1)).as("n"))
+      val wD = Window.partitionBy(col("et")).orderBy(col("day"))
+      val u = daily.join(r.select(col("et"), col("c"), col("rank2")), Seq("et", "c"))
+        .join(broadcast(nF), Seq("et"))
+        .withColumn("cumr2",
+          sum(col("rank2")).over(wD.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .withColumn("tt", row_number().over(wD))
+        .withColumn("u", col("cumr2") - col("tt") * (col("n") + 1))
+        .filter(col("tt") < col("n"))
+      val m = u.groupBy(col("et"), col("n")).agg(
+        max(abs(col("u"))).as("k"),
+        min_by(col("day"), struct((lit(Long.MaxValue) - abs(col("u"))).as("negk"),
+          col("day"))).as("cp_day"))
+      val nD = col("n").cast("double"); val kD = col("k").cast("double")
+      m.select(col("et").as("event_type"), col("n").as("n_days"),
+          col("k").as("k_stat"), col("cp_day"),
+          round(least(lit(1.0), lit(2.0) *
+            exp(lit(-6.0) * kD * kD / (nD * nD * nD + nD * nD))), 6).as("p_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Item-based collaborative filtering: cosine similarity between
     // items over the binary user–item interaction matrix (customers ×
     // parts via their orders), the classic "customers who bought X also
@@ -4402,6 +4460,53 @@ object AnalyticsOps {
       agg.select(col("event_type"), (col("m") + 1).as("n_days"),
           round(vr, 6).as("vr"), round((vr - 1.0) / se, 6).as("z_stat"))
         .orderBy(col("event_type"))
+    }),
+
+    // Distance correlation between the view and purchase daily series —
+    // the MODERN dependence measure (Székely's dCor): zero iff
+    // independent, unlike Pearson/Spearman/Kendall which all miss
+    // non-monotone coupling (a V-shaped response reads 0 on all three
+    // and positive here). Day-grain n² pair frame (calendar-bounded —
+    // the same bounded-self-join license as stat_kendall), integer
+    // |difference| distances, double-centered via broadcast margin
+    // frames, every A·B/A²/B² term 9-dp-gridded before its order-free
+    // DECIMAL fold. dCor = √(dCov²/√(dVarX·dVarY)).
+    "stat_distance_corr" -> ((s, dir) => {
+      val daily = persistShared("dcor_daily", events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(when(col("event_type") === "view", 1)).as("x"),
+          count(when(col("event_type") === "purchase", 1)).as("y")))
+      val p = daily.as("a").join(daily.as("b"), lit(true))
+        .select(col("a.day").as("dj"), col("b.day").as("dk"),
+          abs(col("a.x") - col("b.x")).cast("double").as("ax"),
+          abs(col("a.y") - col("b.y")).cast("double").as("ay"))
+        .transform(RoundPin.pin)
+      val rj = p.groupBy(col("dj")).agg(sum(col("ax")).as("rxj"), sum(col("ay")).as("ryj"))
+      val ck = p.groupBy(col("dk")).agg(sum(col("ax")).as("cxk"), sum(col("ay")).as("cyk"))
+      val g = p.agg(sum(col("ax")).as("gx"), sum(col("ay")).as("gy"))
+      val nn = daily.agg(count(lit(1)).as("n"))
+      val nD = col("n").cast("double")
+      val aC = col("ax") - col("rxj") / nD - col("cxk") / nD + col("gx") / (nD * nD)
+      val bC = col("ay") - col("ryj") / nD - col("cyk") / nD + col("gy") / (nD * nD)
+      val m = p.join(broadcast(rj), Seq("dj")).join(broadcast(ck), Seq("dk"))
+        .crossJoin(broadcast(g)).crossJoin(broadcast(nn))
+        .select(col("n"),
+          dec(round(aC * bC, 9), 9).as("tab"),
+          dec(round(aC * aC, 9), 9).as("taa"),
+          dec(round(bC * bC, 9), 9).as("tbb"))
+        .groupBy(col("n"))
+        .agg(sum(col("tab")).cast("double").as("sab"),
+          sum(col("taa")).cast("double").as("saa"),
+          sum(col("tbb")).cast("double").as("sbb"))
+      val n2 = col("n").cast("double") * col("n").cast("double")
+      // greatest(·,0): dCov² is non-negative in exact arithmetic, but the
+      // 9-dp grid could leave a −1e-9 residue and DuckDB hard-errors on
+      // sqrt(negative) where Spark returns NaN — clamp both engines
+      val sab0 = greatest(col("sab") / n2, lit(0.0))
+      m.select(col("n").as("n_days"),
+        round(sqrt(sab0 / sqrt((col("saa") / n2) * (col("sbb") / n2))), 6)
+          .as("dcor"),
+        round(sqrt(sab0), 6).as("dcov"))
     }),
 
     // One-sample KS uniformity test on the hour-of-day distribution —
@@ -7830,6 +7935,43 @@ object AnalyticsOps {
                 round(x2, 6) AS chi2,
                 round(sqrt(x2 / (n * least(r - 1, c - 1))), 6) AS cramers_v
          FROM g""",
+    "stat_cramers_v_corrected" ->
+      """WITH obs AS (
+           SELECT c_mktsegment AS seg, n_regionkey AS reg, count(1) AS o
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2),
+         rowt AS (SELECT seg, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
+         colt AS (SELECT reg, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+         tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+         cells AS (SELECT coalesce(obs.o, 0) AS o, rowt.seg, colt.reg, n,
+                          CAST(rt AS DOUBLE) * ct / n AS e
+                   FROM rowt CROSS JOIN colt
+                   LEFT JOIN obs ON obs.seg = rowt.seg AND obs.reg = colt.reg
+                   CROSS JOIN tot),
+         c2 AS (SELECT seg, reg, n,
+                       CAST(round((o - e) * (o - e) / e, 6) AS DECIMAL(19,6)) AS contrib
+                FROM cells),
+         g AS (SELECT max(n) AS n,
+                      count(DISTINCT seg) AS r, count(DISTINCT reg) AS c,
+                      CAST(sum(contrib) AS DOUBLE) AS x2
+               FROM c2),
+         base AS (
+           SELECT n, r, c,
+                  round(x2, 6) AS chi2,
+                  round(sqrt(x2 / (n * least(r - 1, c - 1))), 6) AS cramers_v
+           FROM g)
+         SELECT n, r, c, cramers_v,
+                round(sqrt(greatest(chi2 / CAST(n AS DOUBLE)
+                        - (CAST(r AS DOUBLE) - 1.0) * (CAST(c AS DOUBLE) - 1.0)
+                          / (CAST(n AS DOUBLE) - 1.0), 0.0)
+                      / least(CAST(r AS DOUBLE)
+                                - (CAST(r AS DOUBLE) - 1.0) * (CAST(r AS DOUBLE) - 1.0)
+                                  / (CAST(n AS DOUBLE) - 1.0) - 1.0,
+                              CAST(c AS DOUBLE)
+                                - (CAST(c AS DOUBLE) - 1.0) * (CAST(c AS DOUBLE) - 1.0)
+                                  / (CAST(n AS DOUBLE) - 1.0) - 1.0)), 6)
+                  AS v_corrected
+         FROM base""",
     "recs_item_cf" ->
       """WITH ui0 AS (
            SELECT DISTINCT o_custkey AS u, l_partkey AS i
@@ -8203,6 +8345,83 @@ object AnalyticsOps {
                        / (CAST(ssa AS DOUBLE) / (CAST(m AS DOUBLE) - 1.0)) - 1.0)
                       / sqrt(72.0 / (15.0 * m)), 6) AS z_stat
          FROM a ORDER BY event_type""",
+    "stat_distance_corr" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day,
+                  count(CASE WHEN event_type = 'view' THEN 1 END) AS x,
+                  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS y
+           FROM events GROUP BY 1),
+         p AS (
+           SELECT a.day AS dj, b.day AS dk,
+                  CAST(abs(a.x - b.x) AS DOUBLE) AS ax,
+                  CAST(abs(a.y - b.y) AS DOUBLE) AS ay
+           FROM daily a CROSS JOIN daily b),
+         rj AS (SELECT dj, sum(ax) AS rxj, sum(ay) AS ryj FROM p GROUP BY 1),
+         ck AS (SELECT dk, sum(ax) AS cxk, sum(ay) AS cyk FROM p GROUP BY 1),
+         g AS (SELECT sum(ax) AS gx, sum(ay) AS gy FROM p),
+         nn AS (SELECT count(1) AS n FROM daily),
+         m AS (
+           SELECT n,
+                  CAST(sum(CAST(round(
+                    (ax - rxj / CAST(n AS DOUBLE) - cxk / CAST(n AS DOUBLE)
+                       + gx / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                    * (ay - ryj / CAST(n AS DOUBLE) - cyk / CAST(n AS DOUBLE)
+                       + gy / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 9)
+                    AS DECIMAL(18,9))) AS DOUBLE) AS sab,
+                  CAST(sum(CAST(round(
+                    (ax - rxj / CAST(n AS DOUBLE) - cxk / CAST(n AS DOUBLE)
+                       + gx / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                    * (ax - rxj / CAST(n AS DOUBLE) - cxk / CAST(n AS DOUBLE)
+                       + gx / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 9)
+                    AS DECIMAL(18,9))) AS DOUBLE) AS saa,
+                  CAST(sum(CAST(round(
+                    (ay - ryj / CAST(n AS DOUBLE) - cyk / CAST(n AS DOUBLE)
+                       + gy / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                    * (ay - ryj / CAST(n AS DOUBLE) - cyk / CAST(n AS DOUBLE)
+                       + gy / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 9)
+                    AS DECIMAL(18,9))) AS DOUBLE) AS sbb
+           FROM p JOIN rj USING (dj) JOIN ck USING (dk)
+                CROSS JOIN g CROSS JOIN nn
+           GROUP BY n)
+         SELECT n AS n_days,
+                round(sqrt(greatest(sab / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0.0)
+                      / sqrt((saa / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                             * (sbb / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))), 6)
+                  AS dcor,
+                round(sqrt(greatest(sab / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0.0)), 6)
+                  AS dcov
+         FROM m""",
+    "ts_pettitt" ->
+      """WITH daily AS (
+           SELECT event_type AS et, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         g AS (SELECT et, c, count(1) AS t FROM daily GROUP BY et, c),
+         r AS (SELECT et, c,
+                      2 * coalesce(sum(t) OVER (PARTITION BY et ORDER BY c
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        + t + 1 AS rank2
+               FROM g),
+         nf AS (SELECT et, count(1) AS n FROM daily GROUP BY 1),
+         u AS (
+           SELECT d.et, d.day, nf.n,
+                  CAST(sum(r.rank2) OVER (PARTITION BY d.et ORDER BY d.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    - (row_number() OVER (PARTITION BY d.et ORDER BY d.day))
+                      * (nf.n + 1) AS uv,
+                  row_number() OVER (PARTITION BY d.et ORDER BY d.day) AS tt
+           FROM daily d JOIN r ON r.et = d.et AND r.c = d.c
+                        JOIN nf ON nf.et = d.et),
+         m AS (
+           SELECT et, n, max(abs(uv)) AS k,
+                  min(CASE WHEN abs(uv) = max_abs THEN day END) AS cp_day
+           FROM (SELECT u.*, max(abs(uv)) OVER (PARTITION BY et) AS max_abs
+                 FROM u WHERE tt < n)
+           GROUP BY et, n)
+         SELECT et AS event_type, n AS n_days, k AS k_stat, cp_day,
+                round(least(1.0, 2.0 * exp(-6.0 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))), 6) AS p_value
+         FROM m ORDER BY event_type""",
     "stat_ks_uniform" -> {
       val lam = "sqrt(CAST(n AS DOUBLE)) * (CAST(dnum AS DOUBLE) / (24.0 * CAST(n AS DOUBLE)))"
       s"""WITH byh AS (

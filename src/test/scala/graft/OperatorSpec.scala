@@ -458,6 +458,76 @@ class OperatorSpec extends SparkSuite {
       s"kappa ${r.getDouble(4)} vs brute $want")
   }
 
+  test("stat_distance_corr: dCor replays the brute double-centered build") {
+    val daily = graft.Tables.events(spark, sf)
+      .select(col("ts").cast("date").cast("string"), col("event_type")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (_, es) =>
+        (es.count(_._2 == "view").toDouble, es.count(_._2 == "purchase").toDouble)
+      }
+    val n = daily.length
+    def centered(f: ((Double, Double)) => Double): Array[Array[Double]] = {
+      val a = Array.tabulate(n, n)((j, k) => math.abs(f(daily(j)) - f(daily(k))))
+      val rm = a.map(_.sum / n)
+      val cm = (0 until n).map(k => a.map(_(k)).sum / n)
+      val gm = a.map(_.sum).sum / (n.toDouble * n)
+      Array.tabulate(n, n)((j, k) => a(j)(k) - rm(j) - cm(k) + gm)
+    }
+    val ac = centered(_._1); val bc = centered(_._2)
+    def mean2(m: Array[Array[Double]], o: Array[Array[Double]]): Double =
+      (for (j <- 0 until n; k <- 0 until n) yield m(j)(k) * o(j)(k)).sum / (n.toDouble * n)
+    val dcov2 = mean2(ac, bc)
+    val dcor = math.sqrt(dcov2 / math.sqrt(mean2(ac, ac) * mean2(bc, bc)))
+    val r = q("stat_distance_corr").collect().head
+    assert(r.getLong(0) === n.toLong, "n_days")
+    assert(math.abs(r.getDouble(1) - dcor) < 1e-4, s"dcor ${r.getDouble(1)} vs $dcor")
+    assert(math.abs(r.getDouble(2) - math.sqrt(dcov2)) < 1e-4, "dcov")
+    assert(r.getDouble(1) >= 0 && r.getDouble(1) <= 1.0 + 1e-9, "dcor in [0,1]")
+  }
+
+  test("stat_cramers_v_corrected: correction replays the brute Bergsma formula") {
+    val base = q("stat_cramers_v").collect().head
+    val n = base.getLong(0).toDouble
+    val rr = base.getLong(1).toDouble; val cc = base.getLong(2).toDouble
+    val chi2 = base.getDouble(4)
+    val phi2c = math.max(0.0, chi2 / n - (rr - 1) * (cc - 1) / (n - 1))
+    val rT = rr - (rr - 1) * (rr - 1) / (n - 1)
+    val cT = cc - (cc - 1) * (cc - 1) / (n - 1)
+    val want = math.sqrt(phi2c / math.min(rT - 1, cT - 1))
+    val r = q("stat_cramers_v_corrected").collect().head
+    assert(math.abs(r.getDouble(4) - want) < 1e-5,
+      s"v_corrected ${r.getDouble(4)} vs brute $want")
+    // the correction can only shrink V
+    assert(r.getDouble(4) <= r.getDouble(3) + 1e-9, "V_bc <= V")
+  }
+
+  test("ts_pettitt: K and the change day replay the brute rank build") {
+    val daily = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("ts").cast("date").cast("string")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).map { case ((et, d), v) => (et, d) -> v.length.toLong }
+    val byEt = daily.groupBy(_._1._1).map { case (et, m) =>
+      et -> m.toSeq.sortBy(_._1._2).map { case ((_, d), c) => (d, c) }
+    }
+    val got = q("ts_pettitt").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDate(3).toString, r.getDouble(4)))).toMap
+    byEt.foreach { case (et, ds) =>
+      val cs = ds.map(_._2); val n = cs.length
+      val ranks = cs.map(c => cs.count(_ < c) + (cs.count(_ == c) + 1) / 2.0)
+      val us = (1 until n).map { t =>
+        2.0 * ranks.take(t).sum - t.toDouble * (n + 1)
+      }
+      val k = us.map(math.abs).max
+      val cpIdx = us.indexWhere(u => math.abs(u) == k)
+      val p = math.min(1.0, 2.0 * math.exp(-6.0 * k * k / (math.pow(n, 3) + n.toDouble * n)))
+      assert(got(et)._1 === n.toLong, s"n at $et")
+      assert(got(et)._2 === k.toLong, s"K at $et: ${got(et)._2} vs $k")
+      assert(got(et)._3 === ds(cpIdx)._1, s"cp day at $et")
+      assert(math.abs(got(et)._4 - p) < 1e-4, s"p at $et")
+    }
+  }
+
   test("stat_ks_uniform: D replays the brute hour-ecdf sup") {
     val hs = graft.Tables.events(spark, sf)
       .select(hour(col("ts"))).collect().map(_.getInt(0))

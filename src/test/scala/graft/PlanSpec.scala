@@ -885,6 +885,7 @@ class PlanSpec extends SparkSuite {
       "stat_g_test" -> "crossJoin against a broadcast 1-row total/dims frame over the catalog-grain cell frame",
       "vec_silhouette_centroid" -> "crossJoin against the broadcast label-count-bounded centroid frame (10 rows)",
       "seq_markov_stationary" -> "crossJoin against a broadcast 1-row state-count frame over the state-catalog-bounded frame",
+      "stat_distance_corr" -> "day-grain n^2 pair self-join is calendar-bounded (stat_kendall's license) + broadcast 1-row margin frames",
       "seq_survival_km" -> "crossJoins against broadcast 1-row horizon/total frames over user- and lifetime-grain frames",
       "text_bm25" -> "crossJoin against a broadcast 1-row ndocs/ntok total",
       "vec_ann_recall" -> "composes vec_knn_join, whose broadcast <=8-probe cross join is bounded",
