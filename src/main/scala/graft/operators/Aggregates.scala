@@ -1224,6 +1224,23 @@ object Aggregates {
           round(GeoMean.geoMean(col("l_extendedprice")), 6).as("geo_price"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // §2.J second typed Aggregator — the weighted mean via the
+    // Aggregator[(w, x), Buf, Double] API with an EXACT integer-cents
+    // buffer (see functions/WeightedMean: GeoMean's double buffer can
+    // hide under the 6-dp round at log magnitudes; a price-scale Σw·x
+    // cannot, so the buffer must be order-proof by construction). Same
+    // quantity-weighted price mean as agg_weighted_moments' declarative
+    // path — two API surfaces, one oracle-checked number.
+    "udaf_weighted" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(graft.functions.WeightedMean.weightedMean(
+            col("l_quantity"), col("l_extendedprice")), 6).as("wmean_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
     }))
 
   private val decSum6 = (e: String) =>
@@ -1725,6 +1742,13 @@ object Aggregates {
              sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS sxy
            FROM lineitem GROUP BY l_returnflag)
          ORDER BY l_returnflag""",
+    "udaf_weighted" ->
+      """SELECT l_returnflag,
+         round((CAST(sum(CAST(round(l_quantity * l_extendedprice * 100, 0)
+                  AS BIGINT)) AS DOUBLE) / 100.0)
+               / sum(CAST(round(l_quantity, 0) AS BIGINT)), 6) AS wmean_price,
+         count(1) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_gmean_hmean" ->
       """SELECT l_returnflag, n,
          round(exp(CAST(sln AS DOUBLE) / n), 6) AS gmean,

@@ -627,6 +627,49 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Stupid-backoff bigram perplexity per doc — the THIRD classic
+    // smoothing beside Jelinek–Mercer (text_ngram_lm_interp) and
+    // Kneser–Ney (text_bigram_kn_ppl), and the one web-scale LMs
+    // actually shipped (Brants et al.: no normalization, just backoff
+    // s(w2|w1) = c(w1w2)/c(w1·) if seen else 0.4·marginal — cheaper to
+    // train at trillions of tokens and nearly as good for FILTERING).
+    // Fifth consumer of the memoized corpus pair artifact: model =
+    // dist=1 slice; unigram backoff = the successor marginal
+    // c(·w2)/N_bigrams from the SAME slice (one consistent support);
+    // unseen-everywhere backs off to 0.4/N. Broadcast model lookups
+    // (shuffle join on (w1,w2) at 100 TB), per-term ln 6-dp-gridded
+    // DECIMAL-summed — the KN scorer's discipline verbatim.
+    "text_stupid_backoff_ppl" -> ((s, dir) => {
+      val big = corpusPairs(s, dir)._1.filter(col("dist") === 1)
+        .select(col("w1"), col("w2"), col("cnt"))
+      val left = big.groupBy(col("w1")).agg(sum(col("cnt")).as("c1dot"))
+      val cont = big.groupBy(col("w2")).agg(sum(col("cnt")).as("cdot2"))
+      val tot = big.agg(sum(col("cnt")).as("nbig"))
+      val docPairs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(lower(col("text")), " "), x => x =!= "").as("tk"))
+        .select(col("doc_id"), explode(expr(
+          "transform(slice(tk, 1, size(tk) - 1), (x, i) -> " +
+            "struct(x AS w1, element_at(tk, i + 2) AS w2))")).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      docPairs
+        .join(broadcast(big), Seq("w1", "w2"), "left")
+        .join(broadcast(left), Seq("w1"), "left")
+        .join(broadcast(cont), Seq("w2"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("sc",
+          when(col("cnt").isNotNull,
+            col("cnt").cast("double") / col("c1dot"))
+            .when(col("cdot2").isNotNull,
+              lit(0.4) * col("cdot2").cast("double") / col("nbig"))
+            .otherwise(lit(0.4) / col("nbig")))
+        .withColumn("logp", dec(log(col("sc"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(exp(-sum(col("logp")).cast("double") / count(lit(1))), 6).as("ppl"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Dunning's log-likelihood-ratio (G²) collocations — the
     // statistically-principled sibling of text_cooccur_pmi (PMI
     // overweights rare pairs; G² is the 2×2 contingency likelihood test
@@ -985,6 +1028,33 @@ object TextOps {
     // regardless of corpus scale; the unbounded path is MinHash/LSH).
     "dedup_ngram_jaccard" -> ((s, dir) =>
       jaccardPairs(s, dir).orderBy(col("d1"), col("d2"))),
+
+    // Context-window fit report — the capacity-planning read every
+    // training run does before picking sequence length (what share of
+    // documents fit whole, and what share of TOKENS survives
+    // truncation, at each candidate window): one token-count pass,
+    // explode against the constant 4-window array (threshold-sweep
+    // pattern — no per-window re-scan), exact integer counts and
+    // min(ntok, window) token retention. Pairs with pack_sequences
+    // (which asks the packing question for the chosen window).
+    "lm_context_window_fit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(size(filter(split(lower(col("text")), " "), x => x =!= ""))
+          .as("ntok"))
+      docs.withColumn("ctx_window", explode(typedlit(Seq(512, 2048, 8192, 32768))))
+        .groupBy(col("ctx_window"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ntok") <= col("ctx_window"), 1L).otherwise(0L)).as("n_docs_fit"),
+          sum(col("ntok").cast("long")).as("n_tokens"),
+          sum(least(col("ntok").cast("long"), col("ctx_window").cast("long")))
+            .as("n_tokens_kept"))
+        .select(col("ctx_window"), col("n_docs_fit"),
+          round(col("n_docs_fit").cast("double") / col("n_docs"), 6)
+            .as("docs_share"),
+          round(col("n_tokens_kept").cast("double") /
+            col("n_tokens").cast("double"), 6).as("tokens_kept_share"))
+        .orderBy(col("ctx_window"))
+    }),
 
     // Code-vs-prose detector — the pretraining router every mixed crawl
     // needs (code wants different dedup/quality/tokenizer settings than
@@ -2497,6 +2567,45 @@ object TextOps {
                JOIN sizes s2 ON inter.d2 = s2.doc_id)
          WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) >= 0.5
          ORDER BY d1, d2""",
+    "text_stupid_backoff_ppl" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+           FROM documents),
+         bg0 AS (SELECT doc_id, unnest(list_zip(tk, tk[2:])) AS pr FROM tk),
+         bg AS (SELECT doc_id, pr[1] AS w1, pr[2] AS w2 FROM bg0
+                WHERE pr[2] IS NOT NULL),
+         cb AS (SELECT w1, w2, count(1) AS cnt FROM bg GROUP BY 1, 2),
+         lf AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS c1dot FROM cb GROUP BY 1),
+         ct AS (SELECT w2, CAST(sum(cnt) AS BIGINT) AS cdot2 FROM cb GROUP BY 1),
+         ty AS (SELECT CAST(sum(cnt) AS BIGINT) AS nbig FROM cb),
+         sc AS (
+           SELECT doc_id,
+                  CAST(ln(CASE
+                      WHEN cb.cnt IS NOT NULL
+                        THEN CAST(cb.cnt AS DOUBLE) / lf.c1dot
+                      WHEN ct.cdot2 IS NOT NULL
+                        THEN 0.4 * CAST(ct.cdot2 AS DOUBLE) / nbig
+                      ELSE 0.4 / nbig END) AS DECIMAL(18,6)) AS logp
+           FROM bg LEFT JOIN cb USING (w1, w2) LEFT JOIN lf USING (w1)
+                   LEFT JOIN ct USING (w2) CROSS JOIN ty)
+         SELECT doc_id, count(1) AS n_bigrams,
+                round(exp(-(CAST(sum(logp) AS DOUBLE)) / count(1)), 6) AS ppl
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    "lm_context_window_fit" ->
+      """WITH d AS (
+           SELECT len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+             AS ntok
+           FROM documents),
+         w AS (SELECT unnest([512, 2048, 8192, 32768]) AS ctx_window)
+         SELECT ctx_window,
+                CAST(sum(CASE WHEN ntok <= ctx_window THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_docs_fit,
+                round(CAST(sum(CASE WHEN ntok <= ctx_window THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(1), 6) AS docs_share,
+                round(CAST(sum(least(CAST(ntok AS BIGINT), CAST(ctx_window AS BIGINT)))
+                    AS DOUBLE) / CAST(sum(CAST(ntok AS BIGINT)) AS DOUBLE), 6)
+                  AS tokens_kept_share
+         FROM w CROSS JOIN d GROUP BY 1 ORDER BY 1""",
     "text_code_detect" ->
       """WITH b AS (
            SELECT doc_id, n_chars,

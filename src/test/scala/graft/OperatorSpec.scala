@@ -458,6 +458,82 @@ class OperatorSpec extends SparkSuite {
       s"kappa ${r.getDouble(4)} vs brute $want")
   }
 
+  test("text_stupid_backoff_ppl: ppl replays the brute backoff model") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase
+        .split(" ").filter(_.nonEmpty).toSeq))
+    val bigrams = docs.flatMap { case (_, tk) => tk.zip(tk.drop(1)) }
+    val cb = bigrams.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val c1dot = cb.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val nbig = cb.values.sum
+    def logp6(b: (String, String)): BigDecimal = {
+      val p = cb(b).toDouble / c1dot(b._1) // training corpus: always seen
+      BigDecimal(math.log(p)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val want = docs.filter(_._2.length >= 2).map { case (id, tk) =>
+      val bs = tk.zip(tk.drop(1))
+      val s = bs.map(logp6).sum.toDouble
+      id -> math.exp(-s / bs.length)
+    }.toMap
+    val got = q("text_stupid_backoff_ppl").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (id, p) =>
+      assert(math.abs(got(id) - p) < 1e-4, s"ppl at $id: ${got(id)} vs $p")
+    }
+    assert(nbig > 0)
+    // stupid backoff's unnormalized MLE must sit at-or-below KN's
+    // smoothed perplexity on the training corpus (KN reserves mass)
+    val kn = q("text_bigram_kn_ppl").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val gmSb = math.exp(want.keySet.map(d => math.log(got(d))).sum / want.size)
+    val gmKn = math.exp(want.keySet.map(d => math.log(kn(d))).sum / want.size)
+    assert(gmSb <= gmKn, s"train-corpus SB ppl ($gmSb) should not exceed KN ($gmKn)")
+  }
+
+  test("lm_context_window_fit: shares replay brute truncation counts") {
+    val ntoks = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect()
+      .map(_.getString(0).toLowerCase.split(" ").count(_.nonEmpty))
+    val total = ntoks.map(_.toLong).sum
+    val got = q("lm_context_window_fit").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    Seq(512, 2048, 8192, 32768).foreach { w =>
+      val fit = ntoks.count(_ <= w)
+      val kept = ntoks.map(t => math.min(t, w).toLong).sum
+      assert(got(w)._1 === fit.toLong, s"n_docs_fit at $w")
+      assert(math.abs(got(w)._2 - fit.toDouble / ntoks.length) < 1e-5, s"docs_share at $w")
+      assert(math.abs(got(w)._3 - kept.toDouble / total) < 1e-5, s"tokens_kept at $w")
+    }
+    // both curves must be monotone non-decreasing in the window
+    val ws = Seq(512, 2048, 8192, 32768).map(got)
+    assert(ws.zip(ws.tail).forall { case (a, b) => a._2 <= b._2 + 1e-9 && a._3 <= b._3 + 1e-9 },
+      "monotone fit curves")
+  }
+
+  test("udaf_weighted: typed Aggregator matches the declarative weighted mean") {
+    val typed = q("udaf_weighted").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val decl = q("agg_weighted_moments").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(typed.keySet === decl.keySet)
+    typed.foreach { case (flag, v) =>
+      assert(math.abs(v - decl(flag)) < 1e-5,
+        s"typed vs declarative wmean at $flag: $v vs ${decl(flag)}")
+    }
+    // order-proof by construction: repartitioned input gives the
+    // identical result bit for bit
+    import org.apache.spark.sql.functions.{col => c}
+    val shuffled = graft.Tables.t(spark, sf, "lineitem").repartition(7)
+      .groupBy(c("l_returnflag"))
+      .agg(org.apache.spark.sql.functions.round(
+        graft.functions.WeightedMean.weightedMean(
+          c("l_quantity"), c("l_extendedprice")), 6).as("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(shuffled === typed, "parallel-merge invariance")
+  }
+
   test("stat_distance_corr: dCor replays the brute double-centered build") {
     val daily = graft.Tables.events(spark, sf)
       .select(col("ts").cast("date").cast("string"), col("event_type")).collect()

@@ -876,6 +876,7 @@ class PlanSpec extends SparkSuite {
       "ts_engle_granger" -> "crossJoin against the broadcast 1-row gamma/moment frames over the pinned day-grain residual frame",
       "text_cooccur_pmi" -> "crossJoins against broadcast 1-row ntok/npairs totals",
       "text_bigram_kn_ppl" -> "crossJoin against a broadcast 1-row bigram-type total",
+      "text_stupid_backoff_ppl" -> "crossJoin against a broadcast 1-row bigram total",
       "text_collocations_llr" -> "crossJoin against a broadcast 1-row bigram-instance total",
       "stat_page_trend" -> "crossJoin against a broadcast 1-row event-type-count frame over the calendar-bounded day frame",
       "stat_quade" -> "crossJoins against broadcast 1-row type-count/block-count frames over the calendar-bounded day frame",
