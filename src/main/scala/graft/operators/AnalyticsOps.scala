@@ -4462,6 +4462,89 @@ object AnalyticsOps {
         .orderBy(col("event_type"))
     }),
 
+    // MASE of the seasonal-naive forecast — the SCALE-FREE forecast
+    // metric the M-competitions standardized on (ts_forecast_snaive's
+    // MAPE explodes near zero counts and can't compare across series;
+    // MASE normalizes by the one-step naive's in-sample MAE, so < 1
+    // means "beats naive"): both numerator (lag-7) and denominator
+    // (lag-1) errors are exact integer |differences| on the day grain,
+    // summed exactly, one double tree per series at the end. The daily
+    // frame is pinned — three self-alignments read it.
+    "ts_forecast_mase" -> ((s, dir) => {
+      val daily = persistShared("mase_daily", events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c")))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val sn = daily
+        .withColumn("f7", lag(col("c"), 7).over(w))
+        .withColumn("f1", lag(col("c"), 1).over(w))
+      val m = sn.groupBy(col("event_type")).agg(
+        sum(when(col("f7").isNotNull, 1L)).as("n7"),
+        sum(when(col("f7").isNotNull, abs(col("c") - col("f7")))).as("ae7"),
+        sum(when(col("f1").isNotNull, 1L)).as("n1"),
+        sum(when(col("f1").isNotNull, abs(col("c") - col("f1")))).as("ae1"))
+      val mae7 = col("ae7").cast("double") / col("n7")
+      val mae1 = col("ae1").cast("double") / col("n1")
+      m.select(col("event_type"), col("n7").as("n_forecasts"),
+          round(mae7, 6).as("mae_snaive"), round(mae1, 6).as("mae_naive"),
+          round(mae7 / mae1, 6).as("mase"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Per-user behavior entropy — "how predictable is each user?" (the
+    // personalization-readiness screen: low-entropy users are
+    // rule-predictable, high-entropy users need context; the user-grain
+    // number behind seq_markov_transitions' corpus-level matrix). One
+    // fact pass to (user, next-event) transition counts, per-user
+    // p·log2 p terms 9-dp-gridded before the user-grain DECIMAL fold —
+    // user grain ≪ fact at any scale. Emits the per-user frame for
+    // downstream joins (churn/LTV models consume exactly this).
+    "seq_behavior_entropy" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trans = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("user_id"), col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = Window.partitionBy(col("user_id"))
+      trans
+        .withColumn("p", col("n").cast("double") / sum(col("n")).over(tot))
+        .withColumn("term", dec(round(col("p") * log2(col("p")), 9), 9))
+        .groupBy(col("user_id"))
+        .agg(sum(col("n")).as("n_transitions"),
+          round(-sum(col("term")).cast("double"), 6).as("entropy_bits"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Markov predictability ceiling — the accuracy a majority-class
+    // next-event predictor achieves from the transition matrix alone
+    // (THE baseline to beat before any sequence model is worth
+    // training; also the honest read on how much signal the matrix
+    // holds): per prev-state best-successor share + the overall
+    // ceiling Σ max_j n_ij / Σ n_ij, exact integer counts with a
+    // deterministic (count, type) argmax tie-break, catalog-bounded
+    // rollup.
+    "seq_markov_predictability" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val wP = Window.partitionBy(col("prev_type"))
+      pairs
+        .withColumn("n_total", sum(col("n")).over(wP))
+        .withColumn("rk", row_number().over(
+          wP.orderBy(col("n").desc, col("next_type"))))
+        .filter(col("rk") === 1)
+        .select(col("prev_type"), col("next_type").as("best_next"),
+          col("n_total"),
+          round(col("n").cast("double") / col("n_total"), 6).as("accuracy"))
+        .orderBy(col("prev_type"))
+    }),
+
     // Distance correlation between the view and purchase daily series —
     // the MODERN dependence measure (Székely's dCor): zero iff
     // independent, unlike Pearson/Spearman/Kendall which all miss
@@ -8345,6 +8428,61 @@ object AnalyticsOps {
                        / (CAST(ssa AS DOUBLE) / (CAST(m AS DOUBLE) - 1.0)) - 1.0)
                       / sqrt(72.0 / (15.0 * m)), 6) AS z_stat
          FROM a ORDER BY event_type""",
+    "ts_forecast_mase" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         p AS (
+           SELECT event_type, c,
+                  lag(c, 7) OVER w AS f7, lag(c, 1) OVER w AS f1
+           FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         m AS (
+           SELECT event_type,
+                  CAST(sum(CASE WHEN f7 IS NOT NULL THEN 1 END) AS BIGINT) AS n7,
+                  CAST(sum(CASE WHEN f7 IS NOT NULL THEN abs(c - f7) END) AS BIGINT) AS ae7,
+                  CAST(sum(CASE WHEN f1 IS NOT NULL THEN 1 END) AS BIGINT) AS n1,
+                  CAST(sum(CASE WHEN f1 IS NOT NULL THEN abs(c - f1) END) AS BIGINT) AS ae1
+           FROM p GROUP BY 1)
+         SELECT event_type, n7 AS n_forecasts,
+                round(CAST(ae7 AS DOUBLE) / n7, 6) AS mae_snaive,
+                round(CAST(ae1 AS DOUBLE) / n1, 6) AS mae_naive,
+                round((CAST(ae7 AS DOUBLE) / n7) / (CAST(ae1 AS DOUBLE) / n1), 6)
+                  AS mase
+         FROM m ORDER BY event_type""",
+    "seq_behavior_entropy" ->
+      """WITH seq AS (
+           SELECT user_id, event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS next_type
+           FROM events),
+         c AS (SELECT user_id, event_type, next_type, count(1) AS n
+               FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2, 3),
+         t AS (
+           SELECT user_id, n,
+                  CAST(round((CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY user_id))
+                    * log2(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY user_id)), 9)
+                  AS DECIMAL(18,9)) AS term
+           FROM c)
+         SELECT user_id, CAST(sum(n) AS BIGINT) AS n_transitions,
+                round(-CAST(sum(term) AS DOUBLE), 6) AS entropy_bits
+         FROM t GROUP BY 1 ORDER BY user_id""",
+    "seq_markov_predictability" ->
+      """WITH seq AS (
+           SELECT event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS next_type
+           FROM events),
+         c AS (SELECT event_type AS prev_type, next_type, count(1) AS n
+               FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         r AS (
+           SELECT prev_type, next_type, n,
+                  CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS n_total,
+                  row_number() OVER (PARTITION BY prev_type
+                    ORDER BY n DESC, next_type) AS rk
+           FROM c)
+         SELECT prev_type, next_type AS best_next, n_total,
+                round(CAST(n AS DOUBLE) / n_total, 6) AS accuracy
+         FROM r WHERE rk = 1 ORDER BY prev_type""",
     "stat_distance_corr" ->
       """WITH daily AS (
            SELECT CAST(ts AS DATE) AS day,

@@ -458,6 +458,65 @@ class OperatorSpec extends SparkSuite {
       s"kappa ${r.getDouble(4)} vs brute $want")
   }
 
+  test("ts_forecast_mase: MASE replays the brute lag-error build") {
+    val daily = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("ts").cast("date").cast("string")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).map { case ((et, d), v) => (et, d) -> v.length.toLong }
+    val byEt = daily.groupBy(_._1._1).map { case (et, m) =>
+      et -> m.toSeq.sortBy(_._1._2).map(_._2)
+    }
+    val got = q("ts_forecast_mase").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    byEt.foreach { case (et, cs) =>
+      // contiguous-day series at this sf: lag-k aligns with index-k
+      val ae7 = (7 until cs.length).map(i => math.abs(cs(i) - cs(i - 7))).sum
+      val ae1 = (1 until cs.length).map(i => math.abs(cs(i) - cs(i - 1))).sum
+      val mae7 = ae7.toDouble / (cs.length - 7)
+      val mae1 = ae1.toDouble / (cs.length - 1)
+      assert(got(et)._1 === (cs.length - 7).toLong, s"n at $et")
+      assert(math.abs(got(et)._2 - mae7) < 1e-5, s"mae_snaive at $et")
+      assert(math.abs(got(et)._3 - mae1) < 1e-5, s"mae_naive at $et")
+      assert(math.abs(got(et)._4 - mae7 / mae1) < 1e-4, s"mase at $et")
+    }
+  }
+
+  test("seq_behavior_entropy: per-user entropy replays the brute transition build") {
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .orderBy(col("user_id"), col("ts"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    val byUser = ev.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSeq }
+    val got = q("seq_behavior_entropy").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    byUser.foreach { case (u, es) =>
+      val trans = es.zip(es.drop(1))
+      val counts = trans.groupBy(identity).map(_._2.size)
+      val n = trans.length.toDouble
+      val h = -counts.map { c => c / n * (math.log(c / n) / math.log(2)) }.sum
+      assert(got(u)._1 === trans.length.toLong, s"n_transitions at $u")
+      assert(math.abs(got(u)._2 - h) < 1e-4, s"entropy at $u: ${got(u)._2} vs $h")
+    }
+    assert(got.keySet === byUser.keySet)
+  }
+
+  test("seq_markov_predictability: ceiling replays the brute majority vote") {
+    val trans = q("seq_markov_transitions").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val got = q("seq_markov_predictability").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    trans.groupBy(_._1).foreach { case (prev, rows) =>
+      val best = rows.maxBy(r => (r._3, -r._2.head.toInt))
+      val bestTie = rows.filter(_._3 == best._3).map(_._2).min
+      val total = rows.map(_._3).sum
+      assert(got(prev)._1 === bestTie, s"best_next at $prev")
+      assert(got(prev)._2 === total, s"n_total at $prev")
+      assert(math.abs(got(prev)._3 -
+        rows.map(_._3).max.toDouble / total) < 1e-5, s"accuracy at $prev")
+    }
+  }
+
   test("text_stupid_backoff_ppl: ppl replays the brute backoff model") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
