@@ -904,6 +904,7 @@ class PlanSpec extends SparkSuite {
       "lm_kneser_ney" -> "crossJoin against a broadcast 1-row bigram-type-count frame",
       "graph_hits" -> "crossJoins against broadcast 1-row max-score frames (one per normalize round)",
       "stat_cramers_v" -> "margin cross product of 5x5 cell-grain frames + broadcast 1-row grand total (stat_chi2's shape)",
+      "stat_cramers_v_corrected" -> "inherits stat_cramers_v's whitelisted 5x5 margin cross product (query composition)",
       "text_js_divergence" -> "crossJoin builds the (source-pair x vocabulary) grid — both sides vocabulary/catalog-bounded, never corpus-grain",
       "eval_lift" -> "crossJoin against a broadcast 1-row n/total-positives frame",
       "sample_importance" -> "crossJoin against a broadcast 1-row max-length frame",
