@@ -4620,6 +4620,49 @@ object AnalyticsOps {
         round(PValueGrids.ksUpper(lam), 6).as("p_value"))
     }),
 
+    // Lilliefors normality test (EDF vs the FITTED normal) — the missing
+    // member of the normality battery: jarque_bera reads moments,
+    // qq_normality reads quantile shape, this reads the full CDF
+    // distance with estimated μ̂/σ̂ (plain KS tables are invalid once
+    // parameters come from the data — Lilliefors' correction is the
+    // 0.886/√n critical line). Determinism: all moments fold from EXACT
+    // integer cents (DECIMAL(38,0) sums — BIGINT→double conversions are
+    // identical on both engines, unlike the DECIMAL(38,6) path that bit
+    // agg_weighted_moments), Φ through the SHARED pinned normal grid
+    // (0.01-z granularity absorbs libm ulps), D on the value grain.
+    "stat_lilliefors" -> ((s, dir) => {
+      val v = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").as("vc"))
+      val g = v.groupBy(col("vc")).agg(count(lit(1)).as("cnt"))
+      // double sums of EXACT integral products (all < 2^53): order-free
+      // by integrality, no decimal conversion in the path at all
+      val m = g.agg(sum(col("cnt")).as("n"),
+        sum(col("vc").cast("double") * col("cnt")).as("sx"),
+        sum(col("vc").cast("double") * col("vc").cast("double") * col("cnt"))
+          .as("sxx"))
+      val w = Window.orderBy(col("vc"))
+      val nD = col("n").cast("double")
+      val mu = col("sx").cast("double") / nD
+      val sd = sqrt((col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double") / nD) / (nD - 1.0))
+      val z = (col("vc").cast("double") - col("mu")) / col("sd")
+      val phi = when(z >= 0, lit(1.0) - PValueGrids.qUpper(z))
+        .otherwise(PValueGrids.qUpper(-z))
+      val r = g.crossJoin(broadcast(m.select(col("n"), mu.as("mu"), sd.as("sd"))))
+        .withColumn("cum", sum(col("cnt")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("phi", phi)
+        .withColumn("dp", abs(col("cum").cast("double") / nD - col("phi")))
+        .withColumn("dm", abs((col("cum") - col("cnt")).cast("double") / nD - col("phi")))
+      r.agg(max(col("n")).as("n"),
+          round(max(greatest(col("dp"), col("dm"))), 6).as("d_stat"))
+        .select(col("n"), col("d_stat"),
+          round(lit(0.886) / sqrt(col("n").cast("double")), 6).as("crit_005"),
+          when(col("d_stat") < round(lit(0.886) / sqrt(col("n").cast("double")), 6), 1)
+            .otherwise(0).as("normal_at_005"))
+    }),
+
     // Bowker's symmetry test over the behavior transition matrix — the
     // k×k generalization of stat_mcnemar applied to session flows: "is
     // traffic i→j as common as j→i?" (asymmetry = directional funnels;
@@ -8560,6 +8603,51 @@ object AnalyticsOps {
                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
                      + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))), 6) AS p_value
          FROM m ORDER BY event_type""",
+    "stat_lilliefors" -> {
+      val za = s"(SELECT ${PValueGrids.zUpperSql} AS za)"
+      s"""WITH v AS (
+           SELECT CAST(round(c_acctbal * 100, 0) AS BIGINT) AS vc
+           FROM customer WHERE c_mktsegment = 'BUILDING'),
+         g AS (SELECT vc, count(1) AS cnt FROM v GROUP BY 1),
+         m AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                      sum(CAST(vc AS DOUBLE) * cnt) AS sx,
+                      sum(CAST(vc AS DOUBLE) * CAST(vc AS DOUBLE) * cnt) AS sxx
+               FROM g),
+         mm AS (SELECT n,
+                       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                       sqrt((CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                               / CAST(n AS DOUBLE))
+                            / (CAST(n AS DOUBLE) - 1.0)) AS sd
+                FROM m),
+         zg AS $za,
+         r AS (
+           SELECT g.vc, g.cnt, mm.n,
+                  CAST(sum(g.cnt) OVER (ORDER BY g.vc
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    AS cum,
+                  (CAST(g.vc AS DOUBLE) - mm.mu) / mm.sd AS z
+           FROM g CROSS JOIN mm),
+         p AS (
+           SELECT r.*, CASE WHEN z >= 0
+               THEN 1.0 - list_extract(za,
+                 greatest(least(CAST(round(z * 100, 0) AS INT), 600), 0) + 1)
+               ELSE list_extract(za,
+                 greatest(least(CAST(round((-z) * 100, 0) AS INT), 600), 0) + 1)
+             END AS phi
+           FROM r CROSS JOIN zg),
+         d AS (
+           SELECT max(n) AS n,
+                  round(max(greatest(
+                    abs(CAST(cum AS DOUBLE) / n - phi),
+                    abs(CAST(cum - cnt AS DOUBLE) / n - phi))), 6) AS d_stat
+           FROM p)
+         SELECT n, d_stat,
+                round(0.886 / sqrt(CAST(n AS DOUBLE)), 6) AS crit_005,
+                CAST(CASE WHEN d_stat < round(0.886 / sqrt(CAST(n AS DOUBLE)), 6)
+                     THEN 1 ELSE 0 END AS INT) AS normal_at_005
+         FROM d"""
+    },
     "stat_ks_uniform" -> {
       val lam = "sqrt(CAST(n AS DOUBLE)) * (CAST(dnum AS DOUBLE) / (24.0 * CAST(n AS DOUBLE)))"
       s"""WITH byh AS (

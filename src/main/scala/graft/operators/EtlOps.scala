@@ -763,6 +763,35 @@ object EtlOps {
     // sequence (ts_resample's spine precedent — never a fact-sized
     // cross); the presence probe is one hour-grain LEFT join. Output is
     // the per-type gap summary with first/last missing hour.
+    // Out-of-order arrival report — the watermark-sizing read every
+    // streaming deployment needs BEFORE picking a lateness bound
+    // (stream_watermark assumes 10 minutes; this measures what the
+    // source actually does): within each user's arrival order
+    // (event_id is the arrival proxy), an event is LATE if its ts
+    // precedes the running max; lateness = that regression in seconds.
+    // Per-user windows (never a global sort), exact integer µs math,
+    // one fact pass to a 1-row report: late share, max and mean
+    // lateness — the numbers that justify (or indict) the 10-minute
+    // default.
+    "etl_disorder_report" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val e = events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tu"))
+        .withColumn("maxprev", max(col("tu")).over(w))
+        .withColumn("late_us",
+          when(col("maxprev").isNotNull && col("tu") < col("maxprev"),
+            col("maxprev") - col("tu")).otherwise(lit(0L)))
+      e.agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+        round(sum(when(col("late_us") > 0, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("late_share"),
+        round(max(col("late_us")).cast("double") / 1000000.0, 6)
+          .as("max_lateness_s"),
+        round(sum(col("late_us")).cast("double") / count(lit(1)) / 1000000.0, 6)
+          .as("mean_lateness_s"))
+    }),
+
     "etl_gap_detect" -> ((s, dir) => {
       // ONE fact pass: the pinned hour-grain rollup also supplies the
       // calendar bounds (date_trunc is monotone, so min/max of truncated
@@ -1146,6 +1175,27 @@ object EtlOps {
            WHERE o_orderkey % 3 = 0)
          QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY _ingested_at DESC) = 1
          ORDER BY o_orderkey""",
+    "etl_disorder_report" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS tu FROM events),
+         p AS (
+           SELECT tu, max(tu) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxprev
+           FROM e),
+         l AS (
+           SELECT CASE WHEN maxprev IS NOT NULL AND tu < maxprev
+                       THEN maxprev - tu ELSE 0 END AS late_us
+           FROM p)
+         SELECT count(1) AS n_events,
+                CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_late,
+                round(CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(1), 6) AS late_share,
+                round(CAST(max(late_us) AS DOUBLE) / 1000000.0, 6)
+                  AS max_lateness_s,
+                round(CAST(sum(late_us) AS DOUBLE) / count(1) / 1000000.0, 6)
+                  AS mean_lateness_s
+         FROM l""",
     "etl_gap_detect" ->
       """WITH hourly AS (
            SELECT event_type, date_trunc('hour', ts) AS hr, count(1) AS n

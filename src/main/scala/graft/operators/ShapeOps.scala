@@ -676,6 +676,27 @@ object ShapeOps {
         .orderBy(col("t_days"))
     }),
 
+    // Repeat-purchase depth curve — "what share of buyers come back a
+    // k-th time?" (THE retention-economics read: LTV models hang off
+    // exactly this decay; seq_survival_km times the FIRST conversion,
+    // this counts depth): per-user purchase counts in one fact pass,
+    // explode against the constant depth array (threshold-sweep
+    // pattern), share of k≥1 buyers reaching each depth. Exact integer
+    // counts, one division per row of a 5-row output.
+    "seq_repeat_purchase_curve" -> ((s, dir) => {
+      val perUser = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("k"))
+      val base = perUser.agg(count(lit(1)).as("n_buyers"))
+      perUser.withColumn("depth", explode(typedlit(Seq(1, 2, 3, 5, 10))))
+        .groupBy(col("depth"))
+        .agg(sum(when(col("k") >= col("depth"), 1L).otherwise(0L)).as("n_users"))
+        .crossJoin(broadcast(base))
+        .select(col("depth"), col("n_users"),
+          round(col("n_users").cast("double") / col("n_buyers"), 6).as("share"))
+        .orderBy(col("depth"))
+    }),
+
     // DAU/MAU stickiness per day — THE engagement-health ratio (what
     // share of the month's audience shows up daily): day-grain DAU and
     // month-grain MAU are two exact distinct rollups of the same
@@ -1781,6 +1802,19 @@ object ShapeOps {
                 CAST(CASE WHEN date_diff('day', last_day, h_day) > 7
                      THEN 1 ELSE 0 END AS INT) AS churned
          FROM pu, h ORDER BY user_id""",
+    "seq_repeat_purchase_curve" ->
+      """WITH pu AS (
+           SELECT user_id, count(1) AS k FROM events
+           WHERE event_type = 'purchase' GROUP BY 1),
+         b AS (SELECT CAST(count(1) AS BIGINT) AS n_buyers FROM pu),
+         d AS (SELECT unnest([1, 2, 3, 5, 10]) AS depth)
+         SELECT depth,
+                CAST(sum(CASE WHEN k >= depth THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_users,
+                round(CAST(sum(CASE WHEN k >= depth THEN 1 ELSE 0 END) AS DOUBLE)
+                      / n_buyers, 6) AS share
+         FROM d CROSS JOIN pu CROSS JOIN b
+         GROUP BY depth, n_buyers ORDER BY depth""",
     "seq_survival_km" ->
       """WITH ev AS (
            SELECT user_id, CAST(ts AS DATE) AS day, event_type FROM events),

@@ -458,6 +458,78 @@ class OperatorSpec extends SparkSuite {
       s"kappa ${r.getDouble(4)} vs brute $want")
   }
 
+  test("stat_lilliefors: D replays the brute fitted-normal EDF sup on the shared grid") {
+    val vs = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_acctbal").collect()
+      .map(r => math.round(r.getDouble(0) * 100))
+    val n = vs.length
+    val sx = vs.map(_.toDouble).sum
+    val sxx = vs.map(v => v * v.toDouble).sum
+    val mu = sx / n
+    val sd = math.sqrt((sxx - sx * sx / n) / (n - 1))
+    // replay the PINNED grid's Phi, not libm's: the operator's contract
+    // is "Phi through the shared 0.01-z grid"
+    def phi(z: Double): Double = {
+      def q(x: Double): Double = graft.operators.PValueGrids
+        .zUpper(math.max(0, math.min(600,
+          BigDecimal(x * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt)))
+      if (z >= 0) 1.0 - q(z) else q(-z)
+    }
+    val sorted = vs.sorted
+    val distinct = sorted.distinct
+    val d = distinct.flatMap { v =>
+      val cum = sorted.count(_ <= v).toDouble
+      val cnt = sorted.count(_ == v).toDouble
+      val p = phi((v - mu) / sd)
+      Seq(math.abs(cum / n - p), math.abs((cum - cnt) / n - p))
+    }.max
+    val r = q("stat_lilliefors").collect().head
+    assert(r.getLong(0) === n.toLong, "n")
+    assert(math.abs(r.getDouble(1) - d) < 1e-5, s"D ${r.getDouble(1)} vs brute $d")
+    assert(math.abs(r.getDouble(2) - 0.886 / math.sqrt(n)) < 1e-5, "crit")
+    assert(r.getInt(3) === (if (r.getDouble(1) < r.getDouble(2)) 1 else 0), "flag")
+  }
+
+  test("seq_repeat_purchase_curve: depth shares replay brute purchase counts") {
+    val ks = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("user_id").collect().map(_.getLong(0))
+      .groupBy(identity).map(_._2.length)
+    val got = q("seq_repeat_purchase_curve").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    Seq(1, 2, 3, 5, 10).foreach { depth =>
+      val nUsers = ks.count(_ >= depth)
+      assert(got(depth)._1 === nUsers.toLong, s"n_users at depth $depth")
+      assert(math.abs(got(depth)._2 - nUsers.toDouble / ks.size) < 1e-5,
+        s"share at depth $depth")
+    }
+    val shares = Seq(1, 2, 3, 5, 10).map(got(_)._2)
+    assert(shares.head === 1.0, "depth 1 = all buyers")
+    assert(shares.zip(shares.tail).forall { case (a, b) => a >= b }, "monotone decay")
+  }
+
+  test("etl_disorder_report: lateness replays the brute per-user arrival scan") {
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lates = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(_._2)
+      var maxSeen = Long.MinValue
+      sorted.map { case (_, _, tu) =>
+        val late = if (maxSeen != Long.MinValue && tu < maxSeen) maxSeen - tu else 0L
+        maxSeen = math.max(maxSeen, tu)
+        late
+      }
+    }.toSeq
+    val r = q("etl_disorder_report").collect().head
+    assert(r.getLong(0) === ev.length.toLong, "n_events")
+    assert(r.getLong(1) === lates.count(_ > 0).toLong, "n_late")
+    assert(math.abs(r.getDouble(3) - lates.max / 1e6) < 1e-5, "max lateness")
+    assert(math.abs(r.getDouble(4) - lates.map(_.toDouble).sum / ev.length / 1e6) < 1e-5,
+      "mean lateness")
+  }
+
   test("ts_forecast_mase: MASE replays the brute lag-error build") {
     val daily = graft.Tables.events(spark, sf)
       .select(col("event_type"), col("ts").cast("date").cast("string")).collect()

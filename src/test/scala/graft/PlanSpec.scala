@@ -887,6 +887,8 @@ class PlanSpec extends SparkSuite {
       "vec_silhouette_centroid" -> "crossJoin against the broadcast label-count-bounded centroid frame (10 rows)",
       "seq_markov_stationary" -> "crossJoin against a broadcast 1-row state-count frame over the state-catalog-bounded frame",
       "stat_distance_corr" -> "day-grain n^2 pair self-join is calendar-bounded (stat_kendall's license) + broadcast 1-row margin frames",
+      "stat_lilliefors" -> "crossJoin against a broadcast 1-row moment frame over the value-grain frame",
+      "seq_repeat_purchase_curve" -> "crossJoin against a broadcast 1-row buyer-count frame over the user-grain frame",
       "seq_survival_km" -> "crossJoins against broadcast 1-row horizon/total frames over user- and lifetime-grain frames",
       "text_bm25" -> "crossJoin against a broadcast 1-row ndocs/ntok total",
       "vec_ann_recall" -> "composes vec_knn_join, whose broadcast <=8-probe cross join is bounded",
@@ -1159,6 +1161,7 @@ class PlanSpec extends SparkSuite {
       "stat_ad_2sample" -> "distinct-value grain (stat_mannwhitney's decimal-gridded domain)",
       "seq_survival_km" -> "risk-set and survival windows run over the calendar-bounded lifetime grain",
       "stat_ks_uniform" -> "cumulative windows run over the 24-row hour-of-day grain",
+      "stat_lilliefors" -> "distinct-value grain (stat_mannwhitney's decimal-gridded domain)",
       "stat_mood_median" -> "group-summary grain: |segments| <= 5 rows",
       "stat_wilcoxon_signed" -> "distinct |diff|-value grain (gridded domain)",
       "text_docfreq" -> "vocabulary grain (language-bounded)",
