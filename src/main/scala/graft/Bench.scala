@@ -47,7 +47,14 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .sortBy(_._1).map { case (name, fn) =>
+      .sortBy(_._1).zipWithIndex.map { case ((name, fn), i) =>
+      // GC barrier between ~128-query chunks (VERDICT r13 item 2): a
+      // 500+-query single-JVM sweep accumulates GC/codegen pressure that
+      // the driver's window charged to whichever queries ran late
+      // (text bank at 2–23× isolated cost). The barrier drains garbage
+      // OUTSIDE any query's timing so each chunk starts from a settled
+      // heap — the in-process equivalent of the chunked-sweep remedy.
+      if (i > 0 && i % 128 == 0) { System.gc(); Thread.sleep(200) }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -105,6 +112,29 @@ object Bench {
       spark.catalog.clearCache()
       Warmups.warmAll(spark, sfDir)
       spark.catalog.clearCache()
+      // Window-warmth CONTROLS (VERDICT r13 item 6): fixed sub-second,
+      // artifact-free queries re-run in every ISOLATED block. Their
+      // sweep/min ratio measures residual window warmth DIRECTLY — the
+      // 1.3–1.4 "rerun-warmth floor" in SURVEY §6 was estimated, never
+      // measured — so the judge can de-bias noise_ratio with an
+      // empirical same-window baseline instead of a guess.
+      val controlNames = Seq("project_select", "filter_pred", "cast_coerce")
+      val sweepByName = results.toMap
+      val controlRatios = controlNames.flatMap { name =>
+        sweepByName.get(name).flatMap { sweepSec =>
+          val runs = (1 to 2).flatMap { _ =>
+            val t0 = System.nanoTime()
+            val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+                     catch { case _: Throwable => false }
+            val sec = (System.nanoTime() - t0) / 1e9
+            spark.catalog.clearCache()
+            if (ok) Some(sec) else None
+          }
+          if (runs.isEmpty) None else Some(sweepSec / math.max(runs.min, 1e-9))
+        }
+      }
+      val controlRatio = if (controlRatios.isEmpty) None
+        else Some(controlRatios.sorted.apply(controlRatios.size / 2))
       // top-16 (was 8 through r12): two same-tree r12 windows read +10-15%
       // uniformly and 6 of 8 adjudicated entries were contention — the
       // wider net plus the noise_ratio below lets a single-window read
@@ -143,7 +173,8 @@ object Bench {
           case oks   => d3(oks.min)
         }
         s""""$name":{"sweep":${d3(sweepSec)},"reruns":[$rendered],"min":$minStr}"""
-      } ++ noiseRatio.map(r => s""""_noise_ratio_median":${d3(r)}""")
+      } ++ noiseRatio.map(r => s""""_noise_ratio_median":${d3(r)}""") ++
+        controlRatio.map(r => s""""_control_ratio":${d3(r)}""")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
         entries.mkString("{", ",", "}\n"))
       System.err.println(s"[bench] isolated re-measure written to $outPath")

@@ -37,6 +37,15 @@ object Tables {
     }
   }
 
+  /** The events generator's CLOSED event-type catalog (TESTDATA.md;
+    * RestStubServer emits the same set). Single source of truth for every
+    * operator that enumerates types — the windowed-pivot columns, the
+    * valid-split whitelist, the quarantine rule — so a catalog change is
+    * one edit, and the pivot's per-type columns can never silently drop a
+    * type while n_total still counts it (StreamingSpec asserts the
+    * row-sum identity). Sorted, so derived column order is deterministic. */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
   /** Exact-arithmetic image of a double column: DECIMAL(18, s).
     * Sums/avgs over this are order-independent, hence identical between
     * Spark's parallel partial aggregation and DuckDB's. */

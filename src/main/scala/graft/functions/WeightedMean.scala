@@ -25,6 +25,12 @@ object WeightedMean {
     new Aggregator[(Double, Double), Buf, Double] {
       def zero: Buf = Buf(0L, 0L)
       def reduce(b: Buf, in: (Double, Double)): Buf = {
+        // the exactness contract REQUIRES integral weights — a fractional
+        // w would be silently rounded into a wrong mean, so fail loudly
+        // (per-row cost is one compare, noise next to the udaf dispatch)
+        if (in._1 != math.rint(in._1))
+          throw new IllegalArgumentException(
+            s"weightedMean requires integral weights, got ${in._1}")
         b.cents += math.round(in._1 * in._2 * 100)
         b.w += math.round(in._1)
         b
@@ -38,5 +44,13 @@ object WeightedMean {
 
   private lazy val fn = udaf(agg)
 
+  /** Weighted mean Σw·x / Σw with an exact integer-cents buffer.
+    *
+    * CONTRACT: `w` must be integral-valued (a count/quantity column) and
+    * `x` at most 2-decimal (a price column) — that is what makes
+    * round(w·x·100) exact and the buffer order-proof. A fractional
+    * weight throws `IllegalArgumentException` at reduce time rather
+    * than silently rounding into a wrong mean; a >2-dp `x` quantizes to
+    * cents (document at the call site if that is acceptable). */
   def weightedMean(w: Column, x: Column): Column = fn(w, x)
 }

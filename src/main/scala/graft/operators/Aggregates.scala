@@ -19,6 +19,18 @@ import graft.functions.GeoMean
   */
 object Aggregates {
 
+  /** Per-returnflag geometric mean of extendedprice through the typed
+    * `Aggregator[Double, Buf, Double]` API (functions/GeoMean) — the one
+    * implementation behind BOTH §2.J `udaf_typed` and §2.D
+    * `agg_custom_udaf`. */
+  private def customUdafFrame(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(GeoMean.geoMean(col("l_extendedprice")), 6).as("geo_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, QFn] = Map(
     "agg_group" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -1217,14 +1229,13 @@ object Aggregates {
         .orderBy(col("c_mktsegment"))
     }),
 
-    "agg_custom_udaf" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(GeoMean.geoMean(col("l_extendedprice")), 6).as("geo_price"),
-          count(lit(1)).as("n"))
-        .orderBy(col("l_returnflag"))
-    }),
+    "agg_custom_udaf" -> ((s, dir) => customUdafFrame(s, dir)),
+
+    // §2.J `udaf_typed` IS the typed-Aggregator surface of agg_custom_udaf
+    // (one implementation, two inventory rows). Registered as a first-class
+    // entry so the §2⇄registry map is exactly 1:1 (VERDICT r13 item 7) —
+    // same frame builder, same oracle.
+    "udaf_typed" -> ((s, dir) => customUdafFrame(s, dir)),
 
     // §2.J second typed Aggregator — the weighted mean via the
     // Aggregator[(w, x), Buf, Double] API with an EXACT integer-cents
@@ -1725,6 +1736,9 @@ object Aggregates {
                 max(CASE WHEN rn = (90 * n + 99) // 100 THEN v END) AS p90_disc
          FROM r GROUP BY fl ORDER BY fl""",
     "agg_custom_udaf" ->
+      """SELECT l_returnflag, round(exp(avg(ln(l_extendedprice))), 6) AS geo_price, count(1) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "udaf_typed" ->
       """SELECT l_returnflag, round(exp(avg(ln(l_extendedprice))), 6) AS geo_price, count(1) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_stats" ->

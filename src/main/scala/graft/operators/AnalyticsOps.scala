@@ -370,7 +370,7 @@ object AnalyticsOps {
          FROM f ORDER BY seg"""
   }
 
-  private[graft] val PagerankBroadcastMaxNodes = 4L << 20
+  private[graft] val PagerankBroadcastMaxNodes = graft.Knobs.GraphBroadcastMaxNodesDefault
 
   /** Per-user distinct-item cap for recs_item_cf. The co-occurrence
     * self-join fans out quadratically in the heaviest basket, so a single
@@ -390,7 +390,7 @@ object AnalyticsOps {
     * 3-core fixpoint well inside the bound. Real peeling converges in
     * O(log n) effective rounds on power-law graphs — at 100 TB the same
     * loop runs with a convergence check (count of removed nodes = 0). */
-  private[graft] val KcorePeelRounds = 6
+  private[graft] val KcorePeelRounds = graft.Knobs.KcorePeelRoundsDefault
 
   /** Steps per walk for graph_walk_corpus — bounded-round like
     * KcorePeelRounds; the DuckDB twin unrolls the same steps. */
@@ -402,7 +402,7 @@ object AnalyticsOps {
     * and the DuckDB twin unrolls the same rounds, so the gate is exact
     * whether or not a given scale has converged (sf0.01 converges at 7,
     * sf0.1 at 3, the tiny fixture immediately). */
-  private[graft] val TrussRounds = 6
+  private[graft] val TrussRounds = graft.Knobs.TrussRoundsDefault
 
   /** Synchronous rounds for graph_label_prop — bounded-round semantics
     * like KcorePeelRounds/BfsRounds so the DuckDB twin unrolls the same
@@ -410,7 +410,7 @@ object AnalyticsOps {
     * fixture graph; real LPA runs to label-change convergence in O(log n)
     * effective rounds on power-law graphs — same loop, convergence check
     * instead of a fixed bound. */
-  private[graft] val LabelPropRounds = 4
+  private[graft] val LabelPropRounds = graft.Knobs.LabelPropRoundsDefault
 
   /** One kcore peel: node-sized degree agg off the (checkpointed) edge
     * frame, degree-≥3 survivors applied back as two semi-joins. Under the
@@ -458,10 +458,10 @@ object AnalyticsOps {
     val (und, nodes) = coPurchaseGraph(s, dir)
     val adj = und.select(col("p1").as("src"), col("p2").as("dst"))
       .union(und.select(col("p2").as("src"), col("p1").as("dst")))
-    val bcastLabels = nodes.count() <= PagerankBroadcastMaxNodes
+    val bcastLabels = nodes.count() <= graft.Knobs.graphBroadcastMaxNodes(s)
     var labels = nodes.select(col("node"), col("node").as("lbl"))
       .transform(RoundPin.pin)
-    for (_ <- 1 to LabelPropRounds) {
+    for (_ <- 1 to graft.Knobs.labelPropRounds(s)) {
       labels = lpaRound(adj, labels, bcastLabels).transform(RoundPin.pin)
     }
     labels
@@ -516,7 +516,7 @@ object AnalyticsOps {
     * BfsRounds hops of the hub"), NOT a full component sweep — at
     * sf0.01 the frontier is still alive at round 4, exactly the
     * ego-network use case. The DuckDB twin unrolls the same rounds. */
-  private[graft] val BfsRounds = 4
+  private[graft] val BfsRounds = graft.Knobs.BfsRoundsDefault
 
   /** One PageRank round. With `broadcastRanks` (node count under the gate)
     * the rank table is BROADCAST onto the cached edge frame — no edge
@@ -691,10 +691,10 @@ object AnalyticsOps {
       val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("dg"))
       val seeds = deg.orderBy(col("dg").desc, col("src")).limit(3)
         .select(col("src").as("seed"), col("src").as("node"), lit(0).as("dist"))
-      val bcastFrontier = nodes.count() <= PagerankBroadcastMaxNodes
+      val bcastFrontier = nodes.count() <= graft.Knobs.graphBroadcastMaxNodes(s)
       var visited = seeds.transform(RoundPin.pin)
       var frontier = visited.select(col("seed"), col("node"))
-      for (r <- 1 to BfsRounds) {
+      for (r <- 1 to graft.Knobs.bfsRounds(s)) {
         val next = adj.join(
             if (bcastFrontier) broadcast(frontier) else frontier,
             col("src") === col("node"))
@@ -834,7 +834,7 @@ object AnalyticsOps {
       // frame on `src` ONCE here (the persist below pins the exchange),
       // so each round's join reuses it and only the node-count-sized
       // rank frame shuffles — unbounded-safe.
-      val broadcastRanks = n <= PagerankBroadcastMaxNodes
+      val broadcastRanks = n <= graft.Knobs.graphBroadcastMaxNodes(s)
       val edgesDeg0 = edges.join(broadcast(deg), "src")
       val edgesDeg =
         (if (broadcastRanks) edgesDeg0 else edgesDeg0.repartition(col("src")))
@@ -870,7 +870,7 @@ object AnalyticsOps {
     // (12-dp rank, key) total order.
     "graph_ppr" -> ((s, dir) => {
       val (edges, deg, n) = supplierServiceGraph(s, dir)
-      val broadcastRanks = n <= PagerankBroadcastMaxNodes
+      val broadcastRanks = n <= graft.Knobs.graphBroadcastMaxNodes(s)
       val edgesDeg0 = edges.join(broadcast(deg), "src")
       val edgesDeg =
         (if (broadcastRanks) edgesDeg0 else edgesDeg0.repartition(col("src")))
@@ -3358,9 +3358,9 @@ object AnalyticsOps {
       // shuffle semi-joins — edge-linear per round, no driver/executor OOM
       // from forcing a catalog-sized broadcast. The count is a node-sized
       // job over the context-cached artifact, not a corpus re-scan.
-      val bcastKeep = nodes.count() <= PagerankBroadcastMaxNodes
+      val bcastKeep = nodes.count() <= graft.Knobs.graphBroadcastMaxNodes(s)
       var edges = und.select(col("p1"), col("p2"))
-      for (_ <- 1 to KcorePeelRounds) {
+      for (_ <- 1 to graft.Knobs.kcorePeelRounds(s)) {
         edges = kcorePeelRound(edges, bcastKeep).transform(RoundPin.pin)
       }
       edges.select(explode(array(col("p1"), col("p2"))).as("node"))
@@ -3574,8 +3574,8 @@ object AnalyticsOps {
       // node-grain — so the gate compares the NODE domain against the
       // node ceiling, computed ONCE off the artifact's cached node frame
       // (a node-grain job), not re-counted per round
-      val bcastNbr = nodes.count() <= PagerankBroadcastMaxNodes
-      for (_ <- 1 to TrussRounds) {
+      val bcastNbr = nodes.count() <= graft.Knobs.graphBroadcastMaxNodes(s)
+      for (_ <- 1 to graft.Knobs.trussRounds(s)) {
         e = trussRound(e, bcastNbr).transform(RoundPin.pin)
       }
       e.select(explode(array(col("p1"), col("p2"))).as("node"))
@@ -3651,10 +3651,10 @@ object AnalyticsOps {
       // pagerank/kcore): under it the expansion join broadcasts the
       // frontier; above it adj shuffles on src per round — the standard
       // large-graph BFS shape, no forced catalog-sized broadcast.
-      val bcastFrontier = nodes.count() <= PagerankBroadcastMaxNodes
+      val bcastFrontier = nodes.count() <= graft.Knobs.graphBroadcastMaxNodes(s)
       var visited = hub.transform(RoundPin.pin)
       var frontier = visited
-      for (r <- 1 to BfsRounds) {
+      for (r <- 1 to graft.Knobs.bfsRounds(s)) {
         val next = bfsExpand(adj, frontier, visited, r, bcastFrontier)
           .transform(RoundPin.pin)
         visited = visited.union(next).transform(RoundPin.pin)

@@ -46,7 +46,7 @@ private[graft] object Components {
   /** Edge-count gate for the loop's per-round broadcast hints: a pair
     * frame past this is no longer a safe repeated broadcast (same
     * reasoning as AnalyticsOps.PagerankBroadcastMaxNodes). */
-  private[graft] val BroadcastMaxEdges = 2L << 20
+  private[graft] val BroadcastMaxEdges = graft.Knobs.ComponentsBroadcastMaxEdgesDefault
 
   /** `pairs`: columns `d1`,`d2` — one row per UNDIRECTED edge
     * (symmetrized internally). `nodes` (one column `id`), when given,
@@ -88,11 +88,13 @@ private[graft] object Components {
       .groupBy("doc_id").agg(min(col("comp")).as("comp"))
   }
 
-  /** `broadcastMaxEdges` overrides [[BroadcastMaxEdges]] so tests can
-    * force the above-gate shuffle path end-to-end on fixture graphs. */
+  /** `broadcastMaxEdges` overrides the gate so tests can force the
+    * above-gate shuffle path end-to-end on fixture graphs; the -1
+    * default resolves the conf-overridable knob
+    * (graft.Knobs.componentsBroadcastMaxEdges). */
   def hashMinLabels(outer: SparkSession, pairs: DataFrame,
                     nodes: Option[DataFrame] = None,
-                    broadcastMaxEdges: Long = BroadcastMaxEdges): DataFrame = {
+                    broadcastMaxEdges: Long = -1L): DataFrame = {
     val s = org.apache.spark.sql.graftbridge.Bridge.cloneSession(outer)
     s.conf.set("spark.sql.adaptive.enabled", "false")
     // RoundPin's reliable-checkpoint conf applies to this fixpoint too:
@@ -119,8 +121,10 @@ private[graft] object Components {
     // scale — no hard-coded fixture conf
     val nEdges = p.count()
     s.conf.set("spark.sql.shuffle.partitions", loopPartitions(nEdges).toString)
+    val maxEdges = if (broadcastMaxEdges >= 0) broadcastMaxEdges
+      else graft.Knobs.componentsBroadcastMaxEdges(outer)
     val bcast: DataFrame => DataFrame =
-      if (nEdges <= broadcastMaxEdges) broadcast else identity
+      if (nEdges <= maxEdges) broadcast else identity
     val edges = pin(p.union(p.select(col("d2").as("d1"), col("d1").as("d2"))))
     val nodeIds = nodes.getOrElse(
       p.select(col("d1").as("id")).union(p.select(col("d2").as("id"))).distinct())

@@ -535,7 +535,7 @@ object EtlOps {
           when(col("user_id").isNull, "missing_user")
             .when(col("ts").isNull, "missing_ts")
             .when(col("value") < 0, "negative_value")
-            .when(!col("event_type").isin("error", "signup", "purchase", "view", "click"),
+            .when(!col("event_type").isin(EventTypes: _*),
               "unknown_type"))
         .filter(col("reason").isNotNull)
         .select(col("event_id"), col("event_type"), col("reason"))

@@ -77,7 +77,7 @@ object Relational {
       events(s, dir)
         .withColumn("_valid",
           col("value") >= 0 &&
-            col("event_type").isin("error", "signup", "purchase", "view", "click") &&
+            col("event_type").isin(EventTypes: _*) &&
             col("ts").isNotNull && col("user_id").isNotNull)
         .select(col("event_id"), col("_valid"))
         .orderBy(col("event_id"))

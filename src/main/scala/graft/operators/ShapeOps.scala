@@ -948,8 +948,14 @@ object ShapeOps {
     // and next-event priors actually consume). Five unrolled power-
     // iteration rounds over the state-catalog-bounded matrix (graph_
     // pagerank's replayed-rounds discipline): uniform start, each round
-    // π'(j) = Σ π(i)·p(i,j) with per-term 12-dp DECIMAL gridding so the
-    // ≤|states| partial sums are order-free, final 6-dp publish. Every
+    // π'(j) = Σ π(i)·p(i,j) + D/|states| where D is the mass sitting on
+    // DANGLING states (successor-only, no outgoing transitions —
+    // pagerank's uniform-redistribution treatment, ADVICE r13: the
+    // previous join-only round silently dropped that mass, so π need
+    // not sum to 1 on data with absorbing states). Per-term 12-dp
+    // DECIMAL gridding keeps the ≤|states| partial sums order-free;
+    // final 6-dp publish. The state domain is prev ∪ next, so
+    // successor-only states now carry rank instead of vanishing. Every
     // frame is |states|-bounded — the only fact-sized work is the one
     // transition-count rollup.
     "seq_markov_stationary" -> ((s, dir) => {
@@ -962,15 +968,34 @@ object ShapeOps {
         .agg(count(lit(1)).as("n")))
       val p = pairs.withColumn("p", col("n").cast("double") /
         sum(col("n")).over(Window.partitionBy(col("prev_type"))))
-      val states = pairs.select(col("prev_type").as("st")).distinct()
+      val states = pairs.select(col("prev_type").as("st"))
+        .unionByName(pairs.select(col("next_type").as("st"))).distinct()
+      // the (st, ns) state-domain frame joins into EVERY round — pinned
+      // once so its pairs-derived subtree never replays (the 8-replay
+      // lint caught an unpinned per-round domain at x314)
       val k = states.crossJoin(broadcast(states.agg(count(lit(1)).as("ns"))))
-      var pi = k.select(col("st"), (lit(1.0) / col("ns")).as("rank"))
+        .transform(RoundPin.pin)
+      var pi = k.select(col("st"), col("ns"), (lit(1.0) / col("ns")).as("rank"))
       for (_ <- 1 to 5) {
-        pi = pi.join(p, col("st") === col("prev_type"))
+        // ONE pass over pi per round, and ONE reference to its output:
+        // rows of p sum to 1 per source state, so Σ_j contrib(j) =
+        // Σ_{i has outgoing} π(i) and the dangling mass is dm = 1 − that
+        // sum (π sums to 1 by construction every round) — computed as an
+        // un-partitioned window over the ≤|types| joined rows (bounded
+        // grain, whitelisted) instead of a second pi branch. The whole
+        // 5-round recursion stays ONE lazy plan — no per-round action.
+        val contrib = pi.join(p, col("st") === col("prev_type"))
           .groupBy(col("next_type"))
           .agg(sum(dec(round(col("rank") * col("p"), 12), 12)).cast("double")
-            .as("rank"))
-          .select(col("next_type").as("st"), col("rank"))
+            .as("contrib"))
+          .select(col("next_type").as("st"), col("contrib"))
+        pi = k.join(contrib, Seq("st"), "left")
+          .withColumn("c", coalesce(col("contrib"), lit(0.0)))
+          .withColumn("dm", lit(1.0) -
+            sum(dec(round(col("c"), 12), 12)).over(Window.partitionBy())
+              .cast("double"))
+          .select(col("st"), col("ns"),
+            (col("c") + col("dm") / col("ns")).as("rank"))
       }
       pi.select(col("st").as("state"), round(col("rank"), 6).as("pi"))
         .orderBy(col("state"))
@@ -1003,6 +1028,34 @@ object ShapeOps {
             .as("reciprocity"),
           round(col("w_recip").cast("double") / col("w_total"), 6)
             .as("w_reciprocity"))
+    }),
+
+    // Cohort retention matrix — the classic triangle every growth
+    // dashboard opens with (cohort = first-active day, columns = days
+    // since, cell = share of the cohort active that day): one fact pass
+    // to the DISTINCT (user, day) grain, a user-grain min for the
+    // cohort day, cohort sizes and the activity rollup both
+    // cohort-grain. At 100 TB the only fact-sized step is the first
+    // distinct (shuffle on user_id); everything after is user-grain or
+    // smaller, and the published matrix is |days|·8 rows. Day offsets
+    // capped at 7 (the week-one retention curve).
+    "seq_retention_matrix" -> ((s, dir) => {
+      val ud = persistShared("retention_user_days", events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("d")).distinct())
+      val cohorts = persistShared("retention_cohorts",
+        ud.groupBy(col("user_id")).agg(min(col("d")).as("cd")))
+      val sizes = cohorts.groupBy(col("cd")).agg(count(lit(1)).as("n_users"))
+      ud.join(cohorts, "user_id")
+        .withColumn("day_offset", datediff(col("d"), col("cd")))
+        .filter(col("day_offset") <= 7)
+        .groupBy(col("cd"), col("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(sizes, "cd")
+        .select(col("cd").cast("string").as("cohort_day"),
+          col("day_offset"), col("n_active"),
+          round(col("n_active").cast("double") / col("n_users"), 6)
+            .as("retention"))
+        .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
     // top onboarding paths — "what do users actually do first": the
@@ -1263,11 +1316,21 @@ object ShapeOps {
          FROM c ORDER BY prev_type, next_type""",
     "seq_markov_stationary" -> {
       def round(k: Int): String =
-        s"""r$k AS (
+        s"""t$k AS (
            SELECT p.next_type AS st,
                   CAST(sum(CAST(round(r.rank * p.p, 12) AS DECIMAL(18,12)))
                     AS DOUBLE) AS rank
-           FROM r${k - 1} r JOIN p ON r.st = p.prev_type GROUP BY 1)"""
+           FROM r${k - 1} r JOIN p ON r.st = p.prev_type GROUP BY 1),
+         d$k AS (
+           SELECT 1 - CAST(sum(CAST(round(rank, 12) AS DECIMAL(18,12)))
+                    AS DOUBLE) AS dm
+           FROM t$k),
+         r$k AS (
+           SELECT s.st,
+                  coalesce(t.rank, 0) + d.dm / ns.ns AS rank
+           FROM st s
+           LEFT JOIN t$k t ON s.st = t.st
+           CROSS JOIN d$k d CROSS JOIN ns)"""
       s"""WITH seq AS (
            SELECT event_type AS prev_type,
                   lead(event_type) OVER (PARTITION BY user_id
@@ -1278,7 +1341,7 @@ object ShapeOps {
          p AS (SELECT prev_type, next_type,
                       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) AS p
                FROM c),
-         st AS (SELECT DISTINCT prev_type AS st FROM c),
+         st AS (SELECT prev_type AS st FROM c UNION SELECT next_type FROM c),
          ns AS (SELECT CAST(count(1) AS BIGINT) AS ns FROM st),
          r0 AS (SELECT st, 1.0 / ns AS rank FROM st CROSS JOIN ns),
          ${(1 to 5).map(round).mkString(",\n")}
@@ -1301,6 +1364,18 @@ object ShapeOps {
                 round(CAST(coalesce(sum(least(a.n_f, b.n_f)), 0) AS DOUBLE)
                   / sum(a.n_f), 6) AS w_reciprocity
          FROM e a LEFT JOIN e b ON a.src = b.dst AND a.dst = b.src""",
+    "seq_retention_matrix" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         c AS (SELECT user_id, min(d) AS cd FROM ud GROUP BY 1),
+         sz AS (SELECT cd, count(1) AS n_users FROM c GROUP BY 1),
+         a AS (SELECT c.cd, CAST(date_diff('day', c.cd, ud.d) AS INTEGER) AS day_offset,
+                      count(1) AS n_active
+               FROM ud JOIN c USING (user_id)
+               WHERE date_diff('day', c.cd, ud.d) <= 7 GROUP BY 1, 2)
+         SELECT CAST(a.cd AS VARCHAR) AS cohort_day, a.day_offset,
+                CAST(a.n_active AS BIGINT) AS n_active,
+                round(CAST(a.n_active AS DOUBLE) / sz.n_users, 6) AS retention
+         FROM a JOIN sz USING (cd) ORDER BY 1, 2""",
     "seq_path_topk" ->
       """WITH r AS (
            SELECT user_id, event_type,

@@ -288,7 +288,7 @@ object TextOps {
           .distinct())
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("cnt"))
       val n = deg.count() // vocabulary-count action over the cached edges
-      val bcastRanks = n <= AnalyticsOps.PagerankBroadcastMaxNodes
+      val bcastRanks = n <= graft.Knobs.graphBroadcastMaxNodes(s)
       val edgesDeg0 = edges.join(broadcast(deg), "src")
       val edgesDeg =
         (if (bcastRanks) edgesDeg0 else edgesDeg0.repartition(col("src")))
@@ -1479,6 +1479,40 @@ object TextOps {
         .agg(count(lit(1)).as("shared"))
         .orderBy(col("shared").desc, col("doc_a"), col("doc_b"))
         .limit(20)
+    }),
+
+    // CROSS-BATCH substring containment (VERDICT r13 item 8 — the
+    // RefinedWeb-style tier the containment ladder was missing): for each
+    // NEW-batch doc (the LAST 100 doc_ids — the relative split keeps the
+    // batch small next to a growing corpus at any scale, unlike a fixed
+    // id range), what fraction of its verbatim 8-token shingles already
+    // exists ANYWHERE in the standing corpus (every earlier doc)? Unlike
+    // text_substring_dedup (within-corpus PAIRS) this is batch-vs-corpus:
+    // the corpus side collapses to its DISTINCT shingle set — the standing
+    // substring index an incremental pipeline keeps materialized, exactly
+    // like dedup_incremental's digest set — and the batch side aggregates
+    // in ONE pass off a left join on the shingle hash. No self-join, no
+    // pair grain: per-batch-doc cost is O(its shingles), corpus cost is
+    // the index build, amortized across every future batch. Docs whose
+    // containment ≥ 0.5 are flagged dropped (the mostly-boilerplate /
+    // re-crawled-content cut). Shingles ride the process-shared
+    // shingleFrame, so the explode is never re-run per consumer; the
+    // batch boundary is a broadcast 1-row max-id frame.
+    "dedup_substring_incremental" -> ((s, dir) => {
+      val sh = shingleFrame(s, dir)
+      val lo = t(s, dir, "documents")
+        .agg((max(col("doc_id")) - lit(99L)).as("lo"))
+      val shL = sh.crossJoin(broadcast(lo))
+      val corpusIdx = shL.filter(col("doc_id") < col("lo"))
+        .select(col("sgl")).distinct().withColumn("hit", lit(1))
+      shL.filter(col("doc_id") >= col("lo"))
+        .join(corpusIdx, Seq("sgl"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_contained"))
+        .withColumn("containment",
+          round(col("n_contained").cast("double") / col("n_shingles"), 6))
+        .withColumn("dropped", (col("containment") >= 0.5).cast("int"))
+        .orderBy(col("doc_id"))
     }),
 
     // RAKE keyphrase extraction — the unsupervised keyword miner
@@ -2744,6 +2778,21 @@ object TextOps {
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(1) AS BIGINT) AS shared
          FROM cand a JOIN cand b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
          GROUP BY 1, 2 ORDER BY shared DESC, doc_a, doc_b LIMIT 20""",
+    "dedup_substring_incremental" ->
+      """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+         mx AS (SELECT max(doc_id) - 99 AS lo FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+7], ' ') AS sgl
+                FROM tk, UNNEST(generate_series(1, len(tk) - 7)) AS t(i)
+                WHERE len(tk) >= 8),
+         idx AS (SELECT DISTINCT sgl FROM sh WHERE doc_id < (SELECT lo FROM mx))
+         SELECT b.doc_id, CAST(count(1) AS BIGINT) AS n_shingles,
+                CAST(count(i.sgl) AS BIGINT) AS n_contained,
+                round(CAST(count(i.sgl) AS DOUBLE) / count(1), 6) AS containment,
+                CASE WHEN round(CAST(count(i.sgl) AS DOUBLE) / count(1), 6) >= 0.5
+                     THEN 1 ELSE 0 END AS dropped
+         FROM sh b LEFT JOIN idx i ON b.sgl = i.sgl
+         WHERE b.doc_id >= (SELECT lo FROM mx)
+         GROUP BY b.doc_id ORDER BY b.doc_id""",
     "text_ngram_novelty" ->
       """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
          sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+7], ' ') AS sgl

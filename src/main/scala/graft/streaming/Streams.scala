@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
-import graft.Tables.{dsum, t, QFn}
+import graft.Tables.{dsum, t, EventTypes, QFn}
 
 /** §2.H Structured Streaming operators (SURVEY.md): the reference's
   * continuous paginated pull + incremental load loop
@@ -85,14 +85,18 @@ object Streams {
     * which is what keeps a continuous upsert viable at 100 TB.
     * (On a real cluster this is the Delta/Iceberg MERGE plan; the dynamic
     * overwrite is the transaction-log-less commit boundary.) */
-  private[graft] val PK_BUCKETS = 16
+  private[graft] val PK_BUCKETS = graft.Knobs.UpsertPkBucketsDefault
   private[graft] def upsertBatch(incoming: DataFrame, tgtDir: java.nio.file.Path,
       batchId: Long): Unit = {
     if (incoming.isEmpty) return // an empty trigger must not touch the target
     val ss = incoming.sparkSession
+    // knob note: the bucket count must stay FIXED for the life of one
+    // target dir (it IS the layout); the conf override is for sizing a
+    // NEW deployment, not retuning an existing sink
+    val pkBuckets = graft.Knobs.upsertPkBuckets(incoming.sparkSession)
     val withPk = incoming
       .withColumn("_batch", lit(batchId))
-      .withColumn("_pk", pmod(col("event_id"), lit(PK_BUCKETS)).cast("int"))
+      .withColumn("_pk", pmod(col("event_id"), lit(pkBuckets)).cast("int"))
     if (!Files.exists(tgtDir)) {
       withPk.write.mode(SaveMode.Overwrite).partitionBy("_pk").parquet(tgtDir.toString)
     } else {
@@ -205,21 +209,19 @@ object Streams {
     // against the known type catalog (exact integer counts per column,
     // one stateful agg — same state size as the long-format rollup but
     // no downstream reshape). Catalog changes are schema changes here,
-    // which is what a dashboard contract wants anyway.
+    // which is what a dashboard contract wants anyway — the columns
+    // derive from Tables.EventTypes (the generator's closed catalog), so
+    // a type added there grows the row rather than silently leaking into
+    // n_total only; StreamingSpec pins Σ n_<type> == n_total.
     "stream_windowed_pivot" -> ((s, dir) => {
+      val perType = EventTypes.map(et =>
+        sum(when(col("event_type") === et, 1L).otherwise(0L)).as(s"n_$et"))
       runToTable(s, s2 => eventsStream(s2, dir)
         .groupBy(window(col("ts"), "1 hour"))
-        .agg(
-          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
-          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"),
-          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
-          sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("n_signup"),
-          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
-          count(lit(1)).as("n_total")),
+        .agg(perType.head, perType.tail :+ count(lit(1)).as("n_total"): _*),
         "mem_wpivot", "complete")
-        .select(unix_timestamp(col("window.start")).as("w_start_s"),
-          col("n_click"), col("n_error"), col("n_purchase"),
-          col("n_signup"), col("n_view"), col("n_total"))
+        .select(unix_timestamp(col("window.start")).as("w_start_s") +:
+          (EventTypes.map(et => col(s"n_$et")) :+ col("n_total")): _*)
         .orderBy(col("w_start_s"))
     }),
 

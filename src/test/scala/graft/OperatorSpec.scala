@@ -67,11 +67,9 @@ class OperatorSpec extends SparkSuite {
       s"registered without an oracle and not in the pinned no-oracle set: $unverified")
     val staleDecl = declaredNoOracle -- keys
     assert(staleDecl.isEmpty, s"declared no-oracle ids not registered: $staleDecl")
-    // reverse direction: a SURVEY §2 id that is neither registered nor a
-    // declared alias is a stale doc row (udaf_typed is SURVEY.md's one
-    // declared alias of agg_custom_udaf)
-    val declaredAliases = Set("udaf_typed")
-    val staleRows = surveyIds -- keys -- declaredAliases
+    // reverse direction: a SURVEY §2 id that is not registered is a stale
+    // doc row (no alias exemptions since r14 — udaf_typed is registered)
+    val staleRows = surveyIds -- keys
     assert(staleRows.isEmpty, s"SURVEY §2 rows with no registered query: $staleRows")
     val oracledButDeclared = declaredNoOracle & SparkEntry.oracleSql.keySet
     assert(oracledButDeclared.isEmpty,
@@ -793,13 +791,18 @@ class OperatorSpec extends SparkSuite {
   test("seq_markov_stationary: pi replays five brute power rounds and sums to 1") {
     val trans = q("seq_markov_transitions").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    val states = trans.map(_._1).distinct.sorted
+    // state domain is prev ∪ next; successor-only (dangling) states keep
+    // their mass via uniform redistribution each round (ADVICE r13)
+    val srcStates = trans.map(_._1).distinct.toSet
+    val states = (trans.map(_._1) ++ trans.map(_._2)).distinct.sorted
     val rowSum = trans.groupBy(_._1).map { case (s, v) => s -> v.map(_._3).sum }
     val p = trans.map { case (a, b, n) => (a, b) -> n.toDouble / rowSum(a) }.toMap
     var pi = states.map(_ -> 1.0 / states.length).toMap
     for (_ <- 1 to 5) {
+      val dm = states.filterNot(srcStates).map(pi).sum
       pi = states.map { j =>
-        j -> states.map(i => pi(i) * p.getOrElse((i, j), 0.0)).sum
+        j -> (states.map(i => pi(i) * p.getOrElse((i, j), 0.0)).sum
+          + dm / states.length)
       }.toMap
     }
     val got = q("seq_markov_stationary").collect()
@@ -809,6 +812,30 @@ class OperatorSpec extends SparkSuite {
       assert(math.abs(got(st) - v) < 1e-4, s"pi at $st: ${got(st)} vs $v")
     }
     assert(math.abs(got.values.sum - 1.0) < 1e-4, "pi sums to 1")
+  }
+
+  test("seq_markov_stationary: dangling (successor-only) states keep mass, pi sums to 1") {
+    // the events fixture has no absorbing states, so the redistribution
+    // path needs its own corpus: a -> b -> a -> b -> exit, where 'exit'
+    // never transitions out. Pre-fix, exit's mass vanished each round and
+    // pi summed below 1; pagerank-style uniform redistribution keeps it.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_markov").toString
+    Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "a"),
+      (1L, "2024-01-01 00:01:00", 2L, "b"),
+      (1L, "2024-01-01 00:02:00", 3L, "a"),
+      (1L, "2024-01-01 00:03:00", 4L, "b"),
+      (1L, "2024-01-01 00:04:00", 5L, "exit"))
+      .toDF("user_id", "ts_s", "event_id", "event_type")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .write.parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("seq_markov_stationary")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === Set("a", "b", "exit"), "state domain is prev ∪ next")
+    assert(got("exit") > 0.1, s"absorbing state holds mass, got ${got("exit")}")
+    assert(math.abs(got.values.sum - 1.0) < 1e-4,
+      s"pi sums to 1 with dangling states, got ${got.values.sum}")
   }
 
   test("stat_arch_lm: LM replays the brute squared-increment regression") {
@@ -2442,11 +2469,10 @@ class PropertySpec extends SparkSuite {
     // Recompute the init tier (same LSH bucket + top-4) and compare.
     import spark.implicits._
     val emb = graft.Tables.t(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
-    val planes: Seq[Seq[Double]] = (0 until 8).map { j =>
-      (0 until 64).map { i =>
-        (((j * 1315423911L + i * 2654435761L) % 2001 + 2001) % 2001 - 1000) / 1000.0
-      }
-    }
+    // same corpus-size-adaptive plane derivation as the operator, so this
+    // replay stays valid at any fixture scale (8 planes ≤ 32k vectors)
+    val planes = graft.operators.VectorOps.lshPlanes(
+      graft.operators.VectorOps.lshPlaneCount(emb.count()))
     val b = emb.withColumn("bucket",
       graft.functions.LshBucket.lsh_bucket(col("embedding"), planes))
     val w = org.apache.spark.sql.expressions.Window
@@ -2463,6 +2489,87 @@ class PropertySpec extends SparkSuite {
         fail(s"node $v rank $rk present in init but absent in refined"))
       assert(simRef >= simInit - 1e-9, s"node $v rank $rk regressed: $simInit -> $simRef")
     }
+  }
+
+  test("seq_retention_matrix: cells replay a brute cohort fold and never exceed 1") {
+    val ud = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("date").cast("string")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val cohort = ud.groupBy(_._1).map { case (u, v) => u -> v.map(_._2).min }
+    val sizes = cohort.values.groupBy(identity).map { case (d, v) => d -> v.size }
+    def off(cd: String, d: String): Long =
+      java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(cd), java.time.LocalDate.parse(d))
+    val exp = ud.map { case (u, d) => (cohort(u), off(cohort(u), d)) }
+      .filter(_._2 <= 7)
+      .groupBy(identity).map { case ((cd, o), v) => (cd, o.toInt) -> v.size.toLong }
+    val got = q("seq_retention_matrix").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(g => (g._1, g._2) -> g._3).toMap === exp, "n_active grain")
+    got.foreach { case (cd, o, n, ret) =>
+      assert(ret > 0 && ret <= 1.0 + 1e-9, s"retention bound at ($cd, $o)")
+      assert(math.abs(ret - n.toDouble / sizes(cd)) < 1e-6, s"share at ($cd, $o)")
+    }
+    // day-0 retention is 1 by construction (every cohort member is
+    // active on their first day)
+    got.filter(_._2 == 0).foreach { case (cd, _, n, ret) =>
+      assert(ret === 1.0 && n === sizes(cd).toLong, s"day-0 at $cd")
+    }
+  }
+
+  test("vec_mips_topk: ranking replays brute inner products; order ties to cosine only up to norms") {
+    val emb = graft.Tables.t(spark, sf, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def ip(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      math.rint(s * 1e6) / 1e6
+    }
+    val got = q("vec_mips_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.map(_._1).distinct.sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+    got.groupBy(_._1).foreach { case (p, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (1 to 5), s"probe $p ranks")
+      val brute = emb.toSeq.filter(_._1 != p)
+        .map { case (id, v) => (id, ip(v, emb(p))) }
+        .sortBy { case (id, s) => (-s, id) }.take(5)
+      assert(rows.sortBy(_._4).map(r => (r._2, r._3)).toSeq === brute,
+        s"probe $p top-5 inner products")
+    }
+  }
+
+  test("dedup_substring_incremental: containment replays a brute shingle-index probe") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingles(t: String): Set[String] = {
+      val tk = t.toLowerCase.split(" ", -1)
+      if (tk.length < 8) Set.empty
+      else tk.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val lo = docs.map(_._1).max - 99
+    val idx = docs.filter(_._1 < lo).flatMap(d => shingles(d._2)).toSet
+    val exp = docs.filter(_._1 >= lo).toSeq
+      .map { case (id, t) => id -> shingles(t) }
+      .filter(_._2.nonEmpty)
+      .map { case (id, sh) =>
+        val n = sh.size.toLong
+        val c = sh.count(idx).toLong
+        (id, n, c)
+      }.sortBy(_._1)
+    val got = q("dedup_substring_incremental").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4)))
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq === exp, "id/shingle/contained grain")
+    got.foreach { case (id, n, c, cont, dropped) =>
+      assert(math.abs(cont - c.toDouble / n) < 1e-6, s"containment at $id")
+      assert(dropped === (if (cont >= 0.5) 1 else 0), s"dropped flag at $id")
+    }
+    // the operator must see real containment on this corpus (planted
+    // near-dups and recurring boilerplate shingles cross the last-100
+    // batch boundary at every fixture scale) — an all-zero column would
+    // mean the index probe is vacuous
+    assert(got.exists(_._3 > 0), "no batch shingle found in the corpus index")
   }
 
   test("text_boilerplate_scrub: docs carrying mined spans shrink; others stay byte-identical") {

@@ -767,16 +767,22 @@ class PlanSpec extends SparkSuite {
     // assignment itself shuffles NOTHING (only the output order sorts)
     assert(hashExchanges("corpus_mix") === 0, plan("corpus_mix").take(2000))
     assert(plan("corpus_mix").contains("BroadcastHashJoin"), plan("corpus_mix").take(2000))
-    // vec_knn_graph: the top-K rank windows must lower to partial+final
-    // WindowGroupLimit (per-node K-bounded heaps, map-side pruning BEFORE
-    // the shuffle) — a full sort-window here would be the 100 TB bug.
-    val p = plan("vec_knn_graph")
+    // vec_knn_graph is an ArtifactCache since r14 (shared with
+    // vec_hubness): the LIVE plan must be the cached-RDD read + order —
+    // zero hash exchanges, no re-run of the construction
+    val live = plan("vec_knn_graph")
+    assert(live.contains("Scan ExistingRDD"), live.take(2000))
+    assert(hashExchanges("vec_knn_graph") === 0, live.take(2000))
+    // the BUILD plan keeps the r7 discipline: top-K rank windows lower
+    // to partial+final WindowGroupLimit (per-node K-bounded heaps,
+    // map-side pruning BEFORE the shuffle — a full sort-window here
+    // would be the 100 TB bug); off the checkpointed init graph:
+    // 2 exchanges for the N∘N self-join, 1 for the candidate distinct,
+    // 1 for the final per-node window; init enters as an RDD scan
+    val p = graft.operators.VectorOps.buildKnnGraph(spark, sf)
+      .queryExecution.executedPlan.toString
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(2000))
-    // off the checkpointed init graph: 2 exchanges for the N∘N self-join,
-    // 1 for the candidate distinct, 1 for the final per-node window — and
-    // the init frame enters as an RDD scan (lineage truncated), not a
-    // re-computed pair build
-    assert(hashExchanges("vec_knn_graph") === 4, p.take(3000))
+    assert("Exchange hashpartitioning\\(".r.findAllIn(p).size === 4, p.take(3000))
     assert(p.contains("Scan ExistingRDD"), p.take(2000))
     // text_bm25: the checkpointed tf frame feeds df/dl/scoring, so the
     // token grain shuffles ONCE; 4 exchanges total (tf + df + dl + the
@@ -858,6 +864,7 @@ class PlanSpec extends SparkSuite {
       "vec_sq_topk" -> "crossJoin against a broadcast 1-row query vector",
       "vec_binary_hamming_topk" -> "crossJoin against a broadcast 1-row query vector+word",
       "vec_knn_join" -> "probe side is a broadcast <=64-vector set",
+      "vec_mips_topk" -> "probe side is a broadcast <=4-vector set",
       "dedup_embed_cosine" -> "probe window is a broadcast bounded set",
       "text_tfidf" -> "crossJoin against a broadcast 1-row corpus count",
       "text_unigram_ppl" -> "crossJoin against a broadcast 1-row total",
@@ -885,12 +892,13 @@ class PlanSpec extends SparkSuite {
       "stat_theil_u" -> "crossJoins compose broadcast 1-row total/entropy frames over catalog-grain margins",
       "stat_g_test" -> "crossJoin against a broadcast 1-row total/dims frame over the catalog-grain cell frame",
       "vec_silhouette_centroid" -> "crossJoin against the broadcast label-count-bounded centroid frame (10 rows)",
-      "seq_markov_stationary" -> "crossJoin against a broadcast 1-row state-count frame over the state-catalog-bounded frame",
+      "seq_markov_stationary" -> "crossJoins against broadcast 1-row state-count and dangling-mass frames over the state-catalog-bounded frame",
       "stat_distance_corr" -> "day-grain n^2 pair self-join is calendar-bounded (stat_kendall's license) + broadcast 1-row margin frames",
       "stat_lilliefors" -> "crossJoin against a broadcast 1-row moment frame over the value-grain frame",
       "seq_repeat_purchase_curve" -> "crossJoin against a broadcast 1-row buyer-count frame over the user-grain frame",
       "seq_survival_km" -> "crossJoins against broadcast 1-row horizon/total frames over user- and lifetime-grain frames",
       "text_bm25" -> "crossJoin against a broadcast 1-row ndocs/ntok total",
+      "dedup_substring_incremental" -> "crossJoin against a broadcast 1-row max-doc-id batch boundary over the shared shingle frame",
       "vec_ann_recall" -> "composes vec_knn_join, whose broadcast <=8-probe cross join is bounded",
       "stat_ttest" -> "theta self-join of a broadcast 5-row segment-moment frame (<=25 pairs)",
       "stat_cohens_d" -> "theta self-join of a broadcast 5-row segment-moment frame (<=25 pairs)",
@@ -1160,6 +1168,7 @@ class PlanSpec extends SparkSuite {
       "stat_quade" -> "range-rank window runs over the calendar-bounded day-range grain",
       "stat_ad_2sample" -> "distinct-value grain (stat_mannwhitney's decimal-gridded domain)",
       "seq_survival_km" -> "risk-set and survival windows run over the calendar-bounded lifetime grain",
+      "seq_markov_stationary" -> "dangling-mass window runs over the joined state domain: |types| <= 25 rows per round",
       "stat_ks_uniform" -> "cumulative windows run over the 24-row hour-of-day grain",
       "stat_lilliefors" -> "distinct-value grain (stat_mannwhitney's decimal-gridded domain)",
       "stat_mood_median" -> "group-summary grain: |segments| <= 5 rows",

@@ -17,7 +17,11 @@ object SparkSuite {
     s.sparkContext.setLogLevel("ERROR")
     s
   }
-  val sf: String = "/root/testdata/sf0.001"
+  /** Fixture dir every suite reads. SPARK_GRAFT_TEST_SF_DIR points the
+    * SAME assertions at another scale — the sf~1 rehearsal replays the
+    * plan pins and streaming suite against /tmp/sfscale1 this way
+    * (VERDICT r13 items 4/5); unset, the default dev fixture. */
+  val sf: String = sys.env.getOrElse("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 }
 
 abstract class SparkSuite extends AnyFunSuite {
