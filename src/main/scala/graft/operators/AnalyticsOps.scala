@@ -6783,6 +6783,50 @@ object AnalyticsOps {
         .orderBy(col("segment"))
     }),
 
+    // Precision@k / recall@k per segment — the operating-point twins the
+    // rank-quality tripod (NDCG/MRR/MAP) doesn't publish: "if we show k,
+    // what share is relevant, and what share of the relevant did we
+    // surface". Same artifact, same hash permutation, same bounded-heap
+    // top-10 as eval_mrr/eval_map; the three k points ride ONE per-user
+    // explode of the collected top-10 relevance array (constant 10-long
+    // slices, codegen'd), per-user terms 6-dp-gridded to integer
+    // micro-units so segment means are order-free sums. Users with no
+    // relevant item contribute recall 0 (stated denominator convention,
+    // mirrored in the oracle).
+    "eval_precision_recall_k" -> ((s, dir) => {
+      import org.apache.spark.sql.catalyst.expressions.aggregate.GraftTopK
+      import org.apache.spark.sql.graftbridge.Bridge
+      val ui = userPartPurchases(s, dir)
+        .select(col("u"), col("p"),
+          when(col("n") >= 2, 1).otherwise(0).as("r"))
+        .withColumn("hv", expr(
+          "((u % 2147483648) * 1000003 + p) % 2147483648 * 2654435761 % 2147483648"))
+      val top10 = Bridge.column(GraftTopK
+        .collectTopK(Bridge.expression(
+          struct(col("hv").as("h"), col("p").as("p"), col("r").as("r"))), 10,
+          reverse = true)
+        .toAggregateExpression())
+      ui.groupBy(col("u"))
+        .agg(top10.as("td"), sum(col("r")).cast("long").as("rtot"))
+        .withColumn("rl", expr("transform(td, x -> x.r)"))
+        .withColumn("k", explode(typedlit(Seq(1, 5, 10))))
+        .withColumn("hits", expr(
+          "CAST(aggregate(slice(rl, 1, k), 0, (a, b) -> a + b) AS BIGINT)"))
+        .withColumn("p6", expr("CAST(round(hits * 1000000.0 / k, 0) AS BIGINT)"))
+        .withColumn("r6", expr(
+          "CASE WHEN rtot > 0 THEN CAST(round(hits * 1000000.0 / rtot, 0) AS BIGINT) " +
+            "ELSE CAST(0 AS BIGINT) END"))
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey").as("u"), col("c_mktsegment").as("segment")), Seq("u"))
+        .groupBy(col("segment"), col("k"))
+        .agg(count(lit(1)).as("n_users"),
+          round(sum(col("p6")).cast("double") /
+            (count(lit(1)) * lit(1000000.0)), 6).as("mean_precision"),
+          round(sum(col("r6")).cast("double") /
+            (count(lit(1)) * lit(1000000.0)), 6).as("mean_recall"))
+        .orderBy(col("segment"), col("k"))
+    }),
+
     // QUADRATIC-WEIGHTED Cohen's kappa between the two hash raters on a
     // 4-level ordinal scale — the ordinal-agreement eval eval_cohen_kappa
     // (binary, unweighted) can't express: near-misses (level 1 vs 2) cost
@@ -10971,6 +11015,36 @@ object AnalyticsOps {
                 round(CAST(sum(ap6) AS DOUBLE) / (count(1) * 1000000.0), 6) AS mean_ap
          FROM ap JOIN customer ON c_custkey = u
          GROUP BY 1 ORDER BY 1""",
+    "eval_precision_recall_k" ->
+      """WITH ui AS (
+           SELECT o_custkey AS u, l_partkey AS p,
+                  CASE WHEN count(1) >= 2 THEN 1 ELSE 0 END AS r
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+         h AS (SELECT u, p, r,
+                      (((u % 2147483648) * 1000003 + p) % 2147483648
+                       * 2654435761) % 2147483648 AS hv
+               FROM ui),
+         rm AS (SELECT u, r, row_number() OVER (PARTITION BY u ORDER BY hv, p) AS rn
+                FROM h),
+         ks AS (SELECT unnest([1, 5, 10]) AS k),
+         hk AS (SELECT rm.u, ks.k,
+                       CAST(sum(CASE WHEN rm.rn <= ks.k THEN rm.r ELSE 0 END)
+                         AS BIGINT) AS hits
+                FROM rm CROSS JOIN ks WHERE rm.rn <= 10 GROUP BY 1, 2),
+         rt AS (SELECT u, CAST(sum(r) AS BIGINT) AS rtot FROM rm GROUP BY u),
+         pu AS (SELECT hk.u, hk.k,
+                       CAST(round(hits * 1000000.0 / k, 0) AS BIGINT) AS p6,
+                       CASE WHEN rtot > 0
+                            THEN CAST(round(hits * 1000000.0 / rtot, 0) AS BIGINT)
+                            ELSE 0 END AS r6
+                FROM hk JOIN rt ON hk.u = rt.u)
+         SELECT c_mktsegment AS segment, k, count(1) AS n_users,
+                round(CAST(sum(p6) AS DOUBLE) / (count(1) * 1000000.0), 6)
+                  AS mean_precision,
+                round(CAST(sum(r6) AS DOUBLE) / (count(1) * 1000000.0), 6)
+                  AS mean_recall
+         FROM pu JOIN customer ON c_custkey = u
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "eval_cohens_kappa" ->
       """WITH b AS (
            SELECT ((c_custkey % 2147483648) * 2654435761)

@@ -586,6 +586,65 @@ object VectorOps {
         .orderBy(col("probe_id"), col("rn"))
     }),
 
+    // MMR (maximal marginal relevance) diversity re-rank — the
+    // λ·relevance − (1−λ)·redundancy greedy (Carbonell & Goldstein 1998)
+    // every RAG retrieval stack runs between the ANN shortlist and
+    // context assembly, so near-duplicate passages don't crowd the
+    // context window. The DISTRIBUTED part is the shortlist: one corpus
+    // scan → top-20 by cosine (TakeOrdered lowering, probe broadcast);
+    // the greedy then runs on the COLLECTED 20-row shortlist — bounded
+    // by construction, the standard head-node rerank step, same
+    // bounded-collect license as the PQ codebook (pqCodebook). λ = 0.7,
+    // k = 5; all sims 6-dp-gridded with the engine's HALF_UP rounding
+    // and (score desc, id) tie order, so the DuckDB oracle replays the
+    // exact same 5 greedy steps unrolled.
+    "vec_mmr_rerank" -> ((s, dir) => {
+      val emb = embStore(s, dir)
+      val q0 = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val cand = emb.crossJoin(broadcast(q0))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"),
+          round(cosine_sim(col("embedding"), col("qv")), 6).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(20)
+        .collect() // bounded: exactly the 20-row shortlist
+      val ids = cand.map(_.getLong(0))
+      val embs = cand.map(_.getSeq[Float](1).toArray)
+      val rel = cand.map(_.getDouble(2))
+      def r6l(v: Double): Double =
+        BigDecimal(v).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      // same widened sequential-fold arithmetic as CosineSim/cosSql, so
+      // the 6-dp pair sims match the oracle's bit for bit
+      def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        val m = math.min(a.length, b.length)
+        while (i < m) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        r6l(dot / (math.sqrt(na) * math.sqrt(nb)))
+      }
+      val n = ids.length
+      val selIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+      while (selIdx.length < math.min(5, n)) {
+        val scored = (0 until n).filterNot(selIdx.contains).map { c =>
+          val score =
+            if (selIdx.isEmpty) r6l(0.7 * rel(c))
+            else {
+              val red = selIdx.map(si => cosLocal(embs(c), embs(si))).max
+              r6l(0.7 * rel(c) - 0.3 * red)
+            }
+          (c, score)
+        }
+        val (best, bs) = scored.minBy { case (c, sc) => (-sc, ids(c)) }
+        selIdx += best
+        out += ((selIdx.length, ids(best), rel(best), bs))
+      }
+      import s.implicits._
+      out.toSeq.toDF("rk", "vec_id", "rel", "mmr").orderBy(col("rk"))
+    }),
+
     "vec_knn_join" -> ((s, dir) => {
       val emb = embStore(s, dir)
       val probes = emb.filter(col("vec_id") < 8)
@@ -1825,6 +1884,35 @@ object VectorOps {
            round(${cosSql("dqe", "dqq")}, 6) AS sim_sq,
            round(${cosSql("embedding", "qe")}, 6) AS sim_full
          FROM dq ORDER BY sim_sq DESC, vec_id LIMIT 10""",
+    "vec_mmr_rerank" -> {
+      def prevSel(k: Int): String =
+        (1 until k).map(i => s"SELECT vec_id FROM s$i").mkString(" UNION ALL ")
+      def step(k: Int): String =
+        s"""s$k AS (
+           SELECT c.vec_id, c.rel,
+                  round(0.7 * c.rel - 0.3 * max(pr.sim), 6) AS mmr
+           FROM cand c JOIN pr ON pr.ca = c.vec_id AND pr.cb IN (${prevSel(k)})
+           WHERE c.vec_id NOT IN (${prevSel(k)})
+           GROUP BY c.vec_id, c.rel
+           ORDER BY mmr DESC, c.vec_id LIMIT 1)"""
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         cand AS (
+           SELECT e.vec_id, e.embedding, round($sqlCosDuck, 6) AS rel
+           FROM embeddings e CROSS JOIN q
+           WHERE e.vec_id <> 0
+           ORDER BY rel DESC, e.vec_id LIMIT 20),
+         pr AS (
+           SELECT a.vec_id AS ca, b.vec_id AS cb,
+                  round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
+           FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         s1 AS (SELECT vec_id, rel, round(0.7 * rel, 6) AS mmr
+                FROM cand ORDER BY mmr DESC, vec_id LIMIT 1),
+         ${(2 to 5).map(step).mkString(",\n")}
+         SELECT * FROM (
+           ${(1 to 5).map(i => s"SELECT $i AS rk, vec_id, rel, mmr FROM s$i")
+              .mkString(" UNION ALL ")})
+         ORDER BY rk"""
+    },
     "vec_mips_topk" ->
       s"""SELECT probe_id, vec_id AS item_id, ip, rn FROM (
            SELECT q.probe_id, e.vec_id,

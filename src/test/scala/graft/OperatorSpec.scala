@@ -2491,6 +2491,92 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("eval_precision_recall_k: segment means replay a brute ranked-list fold") {
+    val li = graft.Tables.t(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ord = graft.Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seg = graft.Tables.t(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ui = li.map { case (o, p) => (ord(o), p) }
+      .groupBy(identity).map { case ((u, p), v) => (u, p, if (v.size >= 2) 1 else 0) }
+    def hv(u: Long, p: Long): Long =
+      ((u % 2147483648L) * 1000003L + p) % 2147483648L * 2654435761L % 2147483648L
+    val perUser = ui.groupBy(_._1).map { case (u, items) =>
+      val ranked = items.toSeq.sortBy { case (_, p, _) => (hv(u, p), p) }.map(_._3)
+      val rtot = items.map(_._3).sum.toLong
+      u -> (ranked.take(10), rtot)
+    }
+    val exp = (for {
+      (u, (top, rtot)) <- perUser.toSeq
+      k <- Seq(1, 5, 10)
+    } yield {
+      val hits = top.take(k).sum.toLong
+      val p6 = math.round(hits * 1000000.0 / k)
+      val r6 = if (rtot > 0) math.round(hits * 1000000.0 / rtot) else 0L
+      ((seg(u), k), (p6, r6))
+    }).groupBy(_._1).map { case (key, v) =>
+      key -> (v.size.toLong,
+        math.rint(v.map(_._2._1).sum.toDouble / (v.size * 1000000.0) * 1e6) / 1e6,
+        math.rint(v.map(_._2._2).sum.toDouble / (v.size * 1000000.0) * 1e6) / 1e6)
+    }
+    val got = q("eval_precision_recall_k").collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet === exp.keySet, "segment × k grid")
+    exp.foreach { case (key, (n, mp, mr)) =>
+      val (gn, gp, gr) = got(key)
+      assert(gn === n, s"n_users at $key")
+      assert(math.abs(gp - mp) < 2e-6, s"mean_precision at $key: $gp vs $mp")
+      assert(math.abs(gr - mr) < 2e-6, s"mean_recall at $key: $gr vs $mr")
+    }
+    // precision@k is monotonically defined against hits: recall at k=10
+    // must dominate recall at k=1 per segment (hits only grow with k)
+    got.keys.map(_._1).foreach { sg =>
+      assert(got((sg, 10))._3 >= got((sg, 1))._3 - 1e-9, s"recall monotone at $sg")
+    }
+  }
+
+  test("vec_mmr_rerank: greedy replays independently; scores non-increasing; picks diverse") {
+    val got = q("vec_mmr_rerank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq === (1 to 5), "dense ranks")
+    assert(got.map(_._2).distinct.length === 5, "distinct picks")
+    val scores = got.sortBy(_._1).map(_._4)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b - 1e-9 },
+      s"MMR scores must be non-increasing (shrinking candidates, growing redundancy): ${scores.toSeq}")
+    // independent greedy replay over the same top-20 shortlist
+    val emb = graft.Tables.t(spark, sf, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { val x = a(i).toDouble; val y = b(i).toDouble
+        d += x * y; na += x * x; nb += y * y; i += 1 }
+      r6(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val qv = emb(0L)
+    val short = emb.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(v, qv)) }
+      .sortBy { case (id, rl) => (-rl, id) }.take(20)
+    var sel = List.empty[Long]
+    val replay = (1 to 5).map { rk =>
+      val (id, sc) = short.filterNot(c => sel.contains(c._1)).map { case (id, rl) =>
+        val score = if (sel.isEmpty) r6(0.7 * rl)
+          else r6(0.7 * rl - 0.3 * sel.map(sid => cos(emb(id), emb(sid))).max)
+        (id, score)
+      }.minBy { case (id, sc) => (-sc, id) }
+      sel = sel :+ id
+      (rk, id, sc)
+    }
+    assert(got.sortBy(_._1).map(g => (g._1, g._2, g._4)).toSeq === replay,
+      "greedy pick sequence replays")
+  }
+
   test("seq_retention_matrix: cells replay a brute cohort fold and never exceed 1") {
     val ud = graft.Tables.events(spark, sf)
       .select(col("user_id"), col("ts").cast("date").cast("string")).distinct()

@@ -113,9 +113,30 @@ class PlanSpec extends SparkSuite {
         "scan:supplier" -> 1, "topk" -> 1),
       "q22_dormant_customers" -> Map("bhj:LeftAnti" -> 1,
         "scan:customer" -> 2, "scan:orders" -> 1))
+    // At the dev fixture the pin is EXACT, strategy included. The sf~1
+    // rehearsal replays this same test against 10x data, where join
+    // sides legitimately outgrow the 10MB broadcast threshold and the
+    // planner flips BHJ -> SMJ/SHJ (observed r14: q2/q3/q4/q5/q10/q17/
+    // q18/q20/q21 each flipped exactly one hash join, all structural
+    // counts intact). There, STRUCTURE must hold — scan counts per
+    // table, join count per join TYPE, topk lowering, cached reads —
+    // while the hash-join strategy may move. A nested loop or cartesian
+    // appearing stays a failure at every scale (bnlj keys are never
+    // normalized).
+    val strategyAgnostic = sf != "/root/testdata/sf0.001"
+    def norm(m: Map[String, Int]): Map[String, Int] =
+      if (!strategyAgnostic) m
+      else m.toSeq
+        .map { case (k, v) =>
+          (if (k.startsWith("bhj:") || k.startsWith("smj:") || k.startsWith("shj:"))
+            "join:" + k.substring(4)
+          else k) -> v
+        }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
     val diffs = expected.toSeq.sortBy(_._1).flatMap { case (name, exp) =>
-      val got = planSignature(name)
-      if (got != exp) Some(s"$name:\n  got      $got\n  expected $exp") else None
+      val got = norm(planSignature(name))
+      val want = norm(exp)
+      if (got != want) Some(s"$name:\n  got      $got\n  expected $want") else None
     }
     assert(diffs.isEmpty, diffs.mkString("\n"))
   }
@@ -865,6 +886,7 @@ class PlanSpec extends SparkSuite {
       "vec_binary_hamming_topk" -> "crossJoin against a broadcast 1-row query vector+word",
       "vec_knn_join" -> "probe side is a broadcast <=64-vector set",
       "vec_mips_topk" -> "probe side is a broadcast <=4-vector set",
+      "vec_mmr_rerank" -> "shortlist build crossJoins one broadcast query vector; greedy runs on the collected 20-row shortlist",
       "dedup_embed_cosine" -> "probe window is a broadcast bounded set",
       "text_tfidf" -> "crossJoin against a broadcast 1-row corpus count",
       "text_unigram_ppl" -> "crossJoin against a broadcast 1-row total",

@@ -7,10 +7,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * sequentially under sbt's forked test JVM). */
 object SparkSuite {
   lazy val spark: SparkSession = {
+    // the sf~1 rehearsal replays these suites against 10x data — let it
+    // use the full machine (local[4] keeps the dev loop light)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_TEST_CPUS", "4")
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master(s"local[$cpus]")
       .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

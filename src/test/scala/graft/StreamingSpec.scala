@@ -197,7 +197,14 @@ class StreamingSpec extends SparkSuite {
     // generation (event_id) order, so the operative disorder bound is the
     // largest ts regression in that order — assert it under the 10-minute
     // watermark so a fixture/generator change surfaces here, not as a
-    // silent count drift in the oracle compare
+    // silent count drift in the oracle compare. This is a guard on the
+    // DRIVER-GENERATED fixtures only: the sf~1 rehearsal corpus is a
+    // re-keyed ×10 APPEND of sf0.1 (whole month repeats per copy —
+    // month-scale disorder by construction), where the equality test
+    // still passes because the staged single file arrives as one
+    // micro-batch; the premise guard is meaningless there.
+    assume(sf.startsWith("/root/testdata/"),
+      "disorder premise guard applies to the driver-generated fixtures only")
     val rows = graft.Tables.events(spark, sf)
       .select(col("event_id"), expr("unix_micros(ts)").as("tu"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
