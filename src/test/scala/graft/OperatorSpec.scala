@@ -3402,6 +3402,72 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("stat_seasonal_mk: per-season S and variance sums match a brute recompute") {
+    val rows = q("stat_seasonal_mk").collect()
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(x => (x.getString(0), x.getDate(1).toLocalDate, x.getLong(2)))
+    rows.foreach { r =>
+      val et = r.getString(0)
+      // like seasons only: group days by day-of-week within the series
+      val bySeason = daily.filter(_._1 == et)
+        .groupBy(_._2.getDayOfWeek)
+        .map { case (_, xs) => xs.sortBy(_._2.toEpochDay).map(_._3) }
+      assert(r.getLong(1) === bySeason.size.toLong, s"$et: n_seasons")
+      var sTot = 0L
+      var var18 = 0L
+      bySeason.foreach { series =>
+        val n = series.length
+        for (i <- series.indices; j <- i + 1 until n)
+          sTot += java.lang.Long.signum(series(j) - series(i))
+        val tie = series.groupBy(identity).values
+          .map(g => { val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }).sum
+        var18 += n.toLong * (n - 1) * (2L * n + 5) - tie
+      }
+      assert(r.getLong(2) === sTot, s"$et: seasonal S")
+      val v = var18 / 18.0
+      val z =
+        if (sTot > 0) (sTot - 1) / math.sqrt(v)
+        else if (sTot < 0) (sTot + 1) / math.sqrt(v)
+        else 0.0
+      assert(math.abs(r.getDouble(3) - z) < 1e-6, s"$et: z")
+    }
+  }
+
+  test("recs_coverage_diversity: coverage and Gini replay a brute fold off the sim pairs") {
+    val r = q("recs_coverage_diversity").collect().head
+    val inter = graft.operators.AnalyticsOps.userPartPurchases(spark, sf)
+      .select(col("u"), col("p")).collect().map(x => (x.getLong(0), x.getLong(1)))
+    val pairs = q("recs_item_cf").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(3)))
+    val nbr = pairs.flatMap { case (a, b, c) => Seq(a -> (b, c), b -> (a, c)) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    val owned = inter.groupBy(_._1).map { case (u, v) => u -> v.map(_._2).toSet }
+    val top3 = owned.toSeq.flatMap { case (u, basket) =>
+      val cand = basket.toSeq.flatMap(i => nbr.getOrElse(i, Seq.empty[(Long, Double)]))
+        .filterNot { case (rec, _) => basket(rec) }
+        .groupBy(_._1).map { case (rec, v) => (rec, v.map(_._2).max) }
+      cand.toSeq.sortBy { case (rec, sc) => (-sc, rec) }.take(3)
+        .map { case (rec, _) => (u, rec) }
+    }
+    val catalog = inter.map(_._2).distinct.length.toLong
+    val nRecItems = top3.map(_._2).distinct.length.toLong
+    assert(r.getLong(0) === owned.size.toLong, "n_users")
+    assert(r.getLong(1) === top3.map(_._1).distinct.length.toLong, "n_rec_users")
+    assert(r.getLong(2) === catalog, "catalog_size")
+    assert(r.getLong(3) === nRecItems, "n_rec_items")
+    assert(math.abs(r.getDouble(4) - nRecItems.toDouble / catalog) < 1e-6, "coverage")
+    val counts = top3.groupBy(_._2).toSeq
+      .map { case (rec, v) => (rec, v.size.toLong) }
+      .sortBy { case (rec, c) => (c, rec) }
+    val m = counts.length; val tot = counts.map(_._2).sum
+    val gini = counts.zipWithIndex
+      .map { case ((_, c), i0) => (2L * (i0 + 1) - m - 1) * c }.sum.toDouble / (m.toLong * tot)
+    assert(math.abs(r.getDouble(5) - gini) < 1e-6, s"gini: ${r.getDouble(5)} vs $gini")
+    assert(r.getDouble(5) >= 0.0 && r.getDouble(5) < 1.0, "gini range")
+  }
+
   test("stat_bootstrap_ci: CI bounds are the exact order statistics of hash-weighted replicate means") {
     val r = q("stat_bootstrap_ci").collect().head
     val cust = spark.read.parquet(s"$sf/customer.parquet")

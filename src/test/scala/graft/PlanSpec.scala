@@ -994,7 +994,8 @@ class PlanSpec extends SparkSuite {
       "stat_kruskal_pvalue" -> "inherits stat_kruskal_wallis' whitelisted 1-row tie-count crossJoin (query composition)",
       "ts_rolling_distinct" -> "crossJoins against the broadcast 1-row calendar-bounds frame (pre-explode clip + window_days)",
       "stat_cohens_h" -> "theta self-join of a broadcast 5-row segment-count frame (<=25 pairs, stat_proportions_ztest's shape)",
-      "profile_skew_report" -> "per-key summary and bucket-max compose via broadcast 1-row crossJoins (three keys)")
+      "profile_skew_report" -> "per-key summary and bucket-max compose via broadcast 1-row crossJoins (three keys)",
+      "recs_coverage_diversity" -> "composes broadcast 1-row totals/gini frames via crossJoins over the bounded recommended-item domain")
     val sf = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if boundedByConstruction.contains(name) => None
@@ -1191,6 +1192,7 @@ class PlanSpec extends SparkSuite {
       "stat_ad_2sample" -> "distinct-value grain (stat_mannwhitney's decimal-gridded domain)",
       "seq_survival_km" -> "risk-set and survival windows run over the calendar-bounded lifetime grain",
       "seq_markov_stationary" -> "dangling-mass window runs over the joined state domain: |types| <= 25 rows per round",
+      "recs_coverage_diversity" -> "Gini rank window runs over the recommended-item domain: <=40 rows (endpoints of the top-20 pair list)",
       "stat_ks_uniform" -> "cumulative windows run over the 24-row hour-of-day grain",
       "stat_lilliefors" -> "distinct-value grain (stat_mannwhitney's decimal-gridded domain)",
       "stat_mood_median" -> "group-summary grain: |segments| <= 5 rows",
