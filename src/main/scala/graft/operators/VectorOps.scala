@@ -586,6 +586,48 @@ object VectorOps {
         .orderBy(col("probe_id"), col("rn"))
     }),
 
+    // Per-source embedding-centroid drift — the domain-shift monitor an
+    // embedding pipeline runs per ingest source (a crawler that changed
+    // its extraction, a source whose content drifted: its centroid
+    // rotates away from the corpus centroid long before downstream
+    // quality metrics move). Per-(source, dim) means via the
+    // vec_centroid_agg fold discipline (per-group values sorted by
+    // vec_id, ONE sequential double fold — deterministic without
+    // gridding raw floats), then cosine(source centroid, global
+    // centroid) from 12-dp-gridded per-dim products summed order-free.
+    // Scale shape: one dim-explode pass (fact × 64), two bounded-grain
+    // aggs (|sources|·64 and 64 rows), a broadcast 64-row join — the
+    // report is |sources| rows at any corpus size. Most-drifted first.
+    "vec_source_drift" -> ((s, dir) => {
+      val ex = persistShared("vec_drift_ex", embStore(s, dir)
+        .join(t(s, dir, "documents")
+          .select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
+        .select(col("source"), col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "fv")))
+        .select(col("source"), col("pos"),
+          struct(col("vec_id"), col("fv").cast("double").as("v")).as("rec")))
+      def meanOf(df: DataFrame, keys: Column*): DataFrame = df
+        .groupBy(keys: _*)
+        .agg(sort_array(collect_list(col("rec"))).as("h"))
+        .withColumn("m", aggregate(expr("slice(h, 2, size(h) - 1)"),
+          col("h").getItem(0).getField("v"),
+          (acc, x) => acc + x.getField("v")) / size(col("h")))
+      val bySrc = meanOf(ex, col("source"), col("pos"))
+        .select(col("source"), col("pos"), col("m").as("c"))
+      val global = meanOf(ex, col("pos"))
+        .select(col("pos"), col("m").as("g"))
+      bySrc.join(broadcast(global), Seq("pos"))
+        .groupBy(col("source"))
+        .agg(
+          sum(dec(round(col("c") * col("g"), 12), 12)).cast("double").as("dot"),
+          sum(dec(round(col("c") * col("c"), 12), 12)).cast("double").as("nc"),
+          sum(dec(round(col("g") * col("g"), 12), 12)).cast("double").as("ng"))
+        .select(col("source"),
+          round(col("dot") / (sqrt(col("nc")) * sqrt(col("ng"))), 6)
+            .as("centroid_cos"))
+        .orderBy(col("centroid_cos"), col("source"))
+    }),
+
     // MMR (maximal marginal relevance) diversity re-rank — the
     // λ·relevance − (1−λ)·redundancy greedy (Carbonell & Goldstein 1998)
     // every RAG retrieval stack runs between the ANN shortlist and
@@ -1884,6 +1926,33 @@ object VectorOps {
            round(${cosSql("dqe", "dqq")}, 6) AS sim_sq,
            round(${cosSql("embedding", "qe")}, 6) AS sim_full
          FROM dq ORDER BY sim_sq DESC, vec_id LIMIT 10""",
+    "vec_source_drift" ->
+      """WITH ex AS MATERIALIZED (
+           SELECT d.source, e.vec_id,
+                  unnest(range(0, len(e.embedding))) AS pos,
+                  CAST(unnest(e.embedding) AS DOUBLE) AS v
+           FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+         bysrc AS (
+           SELECT source, pos, list(v ORDER BY vec_id) AS vs
+           FROM ex GROUP BY 1, 2),
+         c1 AS (SELECT source, pos,
+                       list_reduce(vs, (acc, x) -> acc + x) / len(vs) AS c
+                FROM bysrc),
+         gl AS (SELECT pos, list(v ORDER BY vec_id) AS vs FROM ex GROUP BY 1),
+         g1 AS (SELECT pos,
+                       list_reduce(vs, (acc, x) -> acc + x) / len(vs) AS g
+                FROM gl),
+         terms AS (
+           SELECT c1.source,
+                  CAST(round(c * g, 12) AS DECIMAL(18,12)) AS dg,
+                  CAST(round(c * c, 12) AS DECIMAL(18,12)) AS cc,
+                  CAST(round(g * g, 12) AS DECIMAL(18,12)) AS gg
+           FROM c1 JOIN g1 USING (pos))
+         SELECT source,
+                round(CAST(sum(dg) AS DOUBLE) /
+                  (sqrt(CAST(sum(cc) AS DOUBLE)) * sqrt(CAST(sum(gg) AS DOUBLE))), 6)
+                  AS centroid_cos
+         FROM terms GROUP BY 1 ORDER BY centroid_cos, source""",
     "vec_mmr_rerank" -> {
       def prevSel(k: Int): String =
         (1 until k).map(i => s"SELECT vec_id FROM s$i").mkString(" UNION ALL ")

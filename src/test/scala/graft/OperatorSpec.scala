@@ -2577,6 +2577,78 @@ class PropertySpec extends SparkSuite {
       "greedy pick sequence replays")
   }
 
+  test("text_winnow_overlap: the top-20 pair list replays a brute winnowing pass") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val fps = docs.flatMap { case (id, text) =>
+      val tk = text.toLowerCase.split(" ", -1)
+      if (tk.length < 11) Seq.empty
+      else {
+        val hs = tk.sliding(8).map(w => md5hex(w.mkString(" "))).toArray
+        val nsh = hs.length
+        // full w=4 windows; rightmost minimal hash per window
+        (0 until nsh - 3).map { i =>
+          val win = (i to i + 3).map(j => (hs(j), -j))
+          val (h, _) = win.min
+          h
+        }.distinct.map(h => (id, h))
+      }
+    }
+    val df = fps.groupBy(_._2).map { case (h, v) => h -> v.length }
+    val kept = fps.filter { case (_, h) => df(h) >= 2 && df(h) <= 16 }
+    val byH = kept.groupBy(_._2).values
+    val exp = byH.flatMap { grp =>
+      val ids = grp.map(_._1).sorted
+      for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+    }.groupBy(identity).map { case ((a, b), v) => (a, b, v.size.toLong) }
+      .toSeq.sortBy { case (a, b, n) => (-n, a, b) }.take(20)
+    val got = q("text_winnow_overlap").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === exp, s"winnow pair list:\n got $got\n exp $exp")
+    assert(got.nonEmpty, "fixture must produce shared fingerprints")
+  }
+
+  test("vec_source_drift: cosines replay a brute per-source centroid fold, ascending") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val emb = graft.Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val dims = emb.head._2.length
+    def centroid(rows: Seq[(Long, Array[Float])]): Array[Double] = {
+      val sorted = rows.sortBy(_._1)
+      (0 until dims).map { p =>
+        var acc = sorted.head._2(p).toDouble
+        sorted.tail.foreach(r => acc += r._2(p).toDouble)
+        acc / sorted.length
+      }.toArray
+    }
+    val g = centroid(emb.toSeq)
+    def r12(v: Double) = BigDecimal(v)
+      .setScale(12, scala.math.BigDecimal.RoundingMode.HALF_UP)
+    val exp = emb.toSeq.groupBy(r => docs(r._1)).map { case (src, rows) =>
+      val c = centroid(rows)
+      val dot = (0 until dims).map(p => r12(c(p) * g(p))).sum.toDouble
+      val nc = (0 until dims).map(p => r12(c(p) * c(p))).sum.toDouble
+      val ng = (0 until dims).map(p => r12(g(p) * g(p))).sum.toDouble
+      src -> dot / (math.sqrt(nc) * math.sqrt(ng))
+    }
+    val got = q("vec_source_drift").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.map(_._1).toSet === exp.keySet, "source domain")
+    got.foreach { case (src, cosv) =>
+      assert(math.abs(cosv - exp(src)) < 1e-6, s"centroid cosine at $src")
+    }
+    val vals = got.map(_._2)
+    assert(vals.zip(vals.tail).forall { case (a, b) => a <= b + 1e-12 },
+      "most-drifted-first ordering")
+  }
+
   test("seq_retention_matrix: cells replay a brute cohort fold and never exceed 1") {
     val ud = graft.Tables.events(spark, sf)
       .select(col("user_id"), col("ts").cast("date").cast("string")).distinct()
