@@ -5062,6 +5062,53 @@ object AnalyticsOps {
         .orderBy(col("event_type"))
     }),
 
+    // Breusch–Pagan heteroskedasticity test per event series — the
+    // residual-variance diagnostic beside stat_durbin_watson's
+    // autocorrelation and stat_arch_lm's volatility clustering (a
+    // trending VARIANCE invalidates the OLS error bars every forecast
+    // op publishes): daily counts regressed on the day index, then the
+    // LM = n·R² of the auxiliary e² ~ t regression, flagged against
+    // χ²(1) at 0.05 (3.841459). Slope/intercept from DECIMAL-exact
+    // moments; e² 6-dp-gridded before the order-free auxiliary sums;
+    // both regressions calendar-bounded at any event volume.
+    "stat_breusch_pagan" -> ((s, dir) => {
+      val daily = persistShared("bp_daily", events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("t", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("day"))).cast("double"))
+        .withColumn("y", col("c").cast("double")))
+      val m1 = daily.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("t"), 6)).cast("double").as("st"),
+        sum(dec(col("y"), 6)).cast("double").as("sy"),
+        sum(dec(round(col("t") * col("t"), 6), 6)).cast("double").as("stt"),
+        sum(dec(round(col("t") * col("y"), 6), 6)).cast("double").as("sty"))
+      val ab = m1
+        .withColumn("b", (col("n") * col("sty") - col("st") * col("sy")) /
+          (col("n") * col("stt") - col("st") * col("st")))
+        .withColumn("a", (col("sy") - col("b") * col("st")) / col("n"))
+        .select(col("event_type"), col("a"), col("b"))
+      val resid = daily.join(broadcast(ab), Seq("event_type"))
+        .withColumn("e2", round((col("y") - col("a") - col("b") * col("t")) *
+          (col("y") - col("a") - col("b") * col("t")), 6))
+      resid.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n_days"),
+          sum(dec(col("t"), 6)).cast("double").as("st"),
+          sum(dec(col("e2"), 6)).cast("double").as("se"),
+          sum(dec(round(col("t") * col("t"), 6), 6)).cast("double").as("stt"),
+          sum(dec(round(col("t") * col("e2"), 6), 6)).cast("double").as("ste"),
+          sum(dec(round(col("e2") * col("e2"), 6), 6)).cast("double").as("see"))
+        .withColumn("lm", round(col("n_days") *
+          (col("n_days") * col("ste") - col("st") * col("se")) *
+          (col("n_days") * col("ste") - col("st") * col("se")) /
+          nullif((col("n_days") * col("stt") - col("st") * col("st")) *
+            (col("n_days") * col("see") - col("se") * col("se")), lit(0.0)), 6))
+        .select(col("event_type"), col("n_days"), col("lm"),
+          (col("lm") > 3.841459).as("heteroskedastic"))
+        .orderBy(col("event_type"))
+    }),
+
     // SEASONAL Mann–Kendall — the trend screen ts_trend_mannkendall
     // gives a false negative on when the series has strong day-of-week
     // structure (weekday/weekend level shifts swamp a slow drift; the
@@ -10585,6 +10632,47 @@ object AnalyticsOps {
                      WHEN z < -1.959964 THEN 'decreasing'
                      ELSE 'no trend' END AS trend
          FROM zz ORDER BY event_type""",
+    "stat_breusch_pagan" ->
+      """WITH daily AS MATERIALIZED (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         d2 AS (
+           SELECT event_type, CAST(c AS DOUBLE) AS y,
+                  CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+                    AS DOUBLE) AS t
+           FROM daily),
+         m1 AS (
+           SELECT event_type, count(1) AS n,
+                  CAST(sum(CAST(t AS DECIMAL(18,6))) AS DOUBLE) AS st,
+                  CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+                  CAST(sum(CAST(round(t * t, 6) AS DECIMAL(18,6))) AS DOUBLE) AS stt,
+                  CAST(sum(CAST(round(t * y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sty
+           FROM d2 GROUP BY 1),
+         ab AS (
+           SELECT event_type,
+                  (n * sty - st * sy) / (n * stt - st * st) AS b,
+                  (sy - (n * sty - st * sy) / (n * stt - st * st) * st) / n AS a
+           FROM m1),
+         r AS (
+           SELECT d2.event_type, d2.t,
+                  round((d2.y - ab.a - ab.b * d2.t) * (d2.y - ab.a - ab.b * d2.t), 6) AS e2
+           FROM d2 JOIN ab USING (event_type)),
+         m2 AS (
+           SELECT event_type, count(1) AS n_days,
+                  CAST(sum(CAST(t AS DECIMAL(18,6))) AS DOUBLE) AS st,
+                  CAST(sum(CAST(e2 AS DECIMAL(18,6))) AS DOUBLE) AS se,
+                  CAST(sum(CAST(round(t * t, 6) AS DECIMAL(18,6))) AS DOUBLE) AS stt,
+                  CAST(sum(CAST(round(t * e2, 6) AS DECIMAL(18,6))) AS DOUBLE) AS ste,
+                  CAST(sum(CAST(round(e2 * e2, 6) AS DECIMAL(18,6))) AS DOUBLE) AS see
+           FROM r GROUP BY 1)
+         SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+                round(n_days * (n_days * ste - st * se) * (n_days * ste - st * se)
+                  / nullif((n_days * stt - st * st) * (n_days * see - se * se), 0.0), 6)
+                  AS lm,
+                round(n_days * (n_days * ste - st * se) * (n_days * ste - st * se)
+                  / nullif((n_days * stt - st * st) * (n_days * see - se * se), 0.0), 6)
+                  > 3.841459 AS heteroskedastic
+         FROM m2 ORDER BY event_type""",
     "stat_seasonal_mk" ->
       """WITH d0 AS MATERIALIZED (
            SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS c

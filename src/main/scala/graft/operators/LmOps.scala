@@ -57,6 +57,37 @@ object LmOps {
     // VOCABULARY-sized frame (never the corpus — the bpe_merge_step
     // argument), coverage is conditional integer sums + three divisions.
     // Deterministic (count desc, token asc) rank total order.
+    // Sampling-temperature mixture table — the α-weighting every
+    // multilingual / multi-source pretraining mix publishes (p_s ∝
+    // share_s^α: α=1 is proportional, α→0 uniform; the UNICODE/XLM-R
+    // temperature trick that up-weights small sources without flooding
+    // the mix): exact integer token counts per source, share^α gridded
+    // to 12 dp so the per-α normalizer is an order-free DECIMAL sum,
+    // boost = p_sampled/share says how much each source is up/down
+    // weighted. One fact pass; the table is |sources|×4 rows at any
+    // corpus size, and the normalizer rides a per-α window on that
+    // bounded grain.
+    "lm_mixture_temperature" -> ((s, dir) => {
+      // ts feeds the total AND the per-source rows — pinned so the
+      // fact-grain token count runs once
+      val ts = persistShared("mixtemp_counts", t(s, dir, "documents")
+        .select(col("source"),
+          size(filter(split(lower(col("text")), " "), x => x =!= "")).as("ntok"))
+        .groupBy(col("source")).agg(sum(col("ntok").cast("long")).as("n_tokens")))
+      ts.crossJoin(broadcast(ts.agg(sum(col("n_tokens")).as("nt"))))
+        .withColumn("share", col("n_tokens").cast("double") / col("nt"))
+        .withColumn("alpha", explode(typedlit(Seq(0.3, 0.5, 0.7, 1.0))))
+        .withColumn("w", dec(round(pow(col("share"), col("alpha")), 12), 12))
+        .withColumn("zsum", sum(col("w")).over(Window.partitionBy(col("alpha"))))
+        .select(col("source"), col("alpha"), col("n_tokens"),
+          round(col("share"), 6).as("share"),
+          round(col("w").cast("double") / col("zsum").cast("double"), 6)
+            .as("p_sampled"),
+          round(col("w").cast("double") / col("zsum").cast("double") /
+            col("share"), 6).as("boost"))
+        .orderBy(col("alpha"), col("source"))
+    }),
+
     // Tokenizer fertility by language — THE tokenizer-equity metric a
     // multilingual corpus owner tracks (a language at 2× fertility pays
     // 2× the context budget per word): pieces per whitespace word and
@@ -370,6 +401,26 @@ object LmOps {
     }))
 
   val oracles: Map[String, String] = Map(
+    "lm_mixture_temperature" ->
+      """WITH tc AS (
+           SELECT source,
+                  CAST(sum(len(list_filter(string_split(lower(text), ' '),
+                    x -> x <> ''))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS nt FROM tc),
+         base AS (SELECT source, n_tokens,
+                         CAST(n_tokens AS DOUBLE) / nt AS share
+                  FROM tc CROSS JOIN tot),
+         al AS (SELECT unnest([CAST(0.3 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                               CAST(0.7 AS DOUBLE), CAST(1.0 AS DOUBLE)]) AS alpha),
+         w AS (SELECT source, n_tokens, share, alpha,
+                      CAST(round(pow(share, alpha), 12) AS DECIMAL(18,12)) AS w
+               FROM base CROSS JOIN al),
+         z AS (SELECT alpha, sum(w) AS zsum FROM w GROUP BY 1)
+         SELECT w.source, w.alpha, w.n_tokens, round(share, 6) AS share,
+                round(CAST(w AS DOUBLE) / CAST(zsum AS DOUBLE), 6) AS p_sampled,
+                round(CAST(w AS DOUBLE) / CAST(zsum AS DOUBLE) / share, 6) AS boost
+         FROM w JOIN z USING (alpha) ORDER BY alpha, source""",
     "lm_fertility" ->
       """WITH d AS (
            SELECT lang,

@@ -2577,6 +2577,64 @@ class PropertySpec extends SparkSuite {
       "greedy pick sequence replays")
   }
 
+  test("lm_mixture_temperature: per-alpha rows normalize to 1 and flatten as alpha drops") {
+    val got = q("lm_mixture_temperature").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val byAlpha = got.groupBy(_._2)
+    assert(byAlpha.keySet === Set(0.3, 0.5, 0.7, 1.0))
+    byAlpha.foreach { case (a, rows) =>
+      assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-4, s"alpha=$a: Σp = 1")
+      // alpha=1 is proportional sampling: p == share, boost == 1
+      if (a == 1.0) rows.foreach { r =>
+        assert(math.abs(r._5 - r._4) < 2e-6, s"p=share at alpha=1 for ${r._1}")
+        assert(math.abs(r._6 - 1.0) < 1e-4, s"boost=1 at alpha=1 for ${r._1}")
+      }
+    }
+    // temperature flattens: the SMALLEST source's boost grows as alpha
+    // drops; the LARGEST source's boost shrinks
+    val smallest = got.filter(_._2 == 1.0).minBy(_._3)._1
+    val largest = got.filter(_._2 == 1.0).maxBy(_._3)._1
+    def boostAt(src: String, a: Double) =
+      got.find(r => r._1 == src && r._2 == a).get._6
+    assert(boostAt(smallest, 0.3) >= boostAt(smallest, 0.7),
+      "small source up-weighted more at lower alpha")
+    assert(boostAt(largest, 0.3) <= boostAt(largest, 0.7) + 1e-9,
+      "large source down-weighted more at lower alpha")
+  }
+
+  test("stat_breusch_pagan: LM replays the brute two-stage regression") {
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(x => (x.getString(0), x.getDate(1).toString, x.getLong(2)))
+      .groupBy(_._1).map { case (et, v) => et -> v.sortBy(_._2).map(_._3.toDouble) }
+    def r6d(v: Double) = BigDecimal(v)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = q("stat_breusch_pagan").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    got.foreach { case (et, nDays, lm, flag) =>
+      val ys = daily(et)
+      val n = ys.length
+      assert(nDays === n.toLong, s"$et: n_days")
+      val ts = (1 to n).map(_.toDouble)
+      val st = ts.sum; val sy = ys.sum
+      val stt = ts.map(t => r6d(t * t)).sum
+      val sty = ts.zip(ys).map { case (t, y) => r6d(t * y) }.sum
+      val b = (n * sty - st * sy) / (n * stt - st * st)
+      val a = (sy - b * st) / n
+      val e2 = ts.zip(ys).map { case (t, y) => r6d((y - a - b * t) * (y - a - b * t)) }
+      val se = e2.sum
+      val ste = ts.zip(e2).map { case (t, e) => r6d(t * e) }.sum
+      val see = e2.map(e => r6d(e * e)).sum
+      val num = n * (n * ste - st * se) * (n * ste - st * se)
+      val den = (n * stt - st * st) * (n * see - se * se)
+      val expLm = num / den
+      assert(math.abs(lm - expLm) < 1e-4, s"$et: LM $lm vs $expLm")
+      assert(flag === (lm > 3.841459), s"$et: flag")
+    }
+  }
+
   test("text_winnow_overlap: the top-20 pair list replays a brute winnowing pass") {
     val docs = graft.Tables.t(spark, sf, "documents")
       .select(col("doc_id"), col("text")).collect()
