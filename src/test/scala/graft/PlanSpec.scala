@@ -995,7 +995,8 @@ class PlanSpec extends SparkSuite {
       "ts_rolling_distinct" -> "crossJoins against the broadcast 1-row calendar-bounds frame (pre-explode clip + window_days)",
       "stat_cohens_h" -> "theta self-join of a broadcast 5-row segment-count frame (<=25 pairs, stat_proportions_ztest's shape)",
       "profile_skew_report" -> "per-key summary and bucket-max compose via broadcast 1-row crossJoins (three keys)",
-      "recs_coverage_diversity" -> "composes broadcast 1-row totals/gini frames via crossJoins over the bounded recommended-item domain")
+      "recs_coverage_diversity" -> "composes broadcast 1-row totals/gini frames via crossJoins over the bounded recommended-item domain",
+      "lm_mixture_temperature" -> "crossJoin against the broadcast 1-row corpus-token total over the |sources|-grain frame")
     val sf = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if boundedByConstruction.contains(name) => None
