@@ -82,6 +82,22 @@ class KnobsSpec extends AnyFunSuite {
     assert(lshPlaneCount(20000, targetOcc = 128) === 8)
   }
 
+  test("a rounds knob reaches the plan: kmeans at 1 Lloyd round differs from the default 3") {
+    // end-to-end evidence the conf override is consumed by the operator,
+    // not just by the accessor: fewer Lloyd rounds = a different (less
+    // converged) clustering on the dev fixture. Restore the default and
+    // re-run to prove the override was the only cause.
+    val dir = "/root/testdata/sf0.001"
+    def run(): Seq[String] =
+      SparkEntry.queries("vec_kmeans")(spark, dir).collect().map(_.toString).toSeq
+    spark.conf.unset(Knobs.KmeansRoundsKey)
+    val dflt = run()
+    spark.conf.set(Knobs.KmeansRoundsKey, "1")
+    val one = try run() finally spark.conf.unset(Knobs.KmeansRoundsKey)
+    assert(one !== dflt, "1-round clustering must differ from the 3-round default")
+    assert(run() === dflt, "unsetting the knob restores the default result")
+  }
+
   test("lshPlanes: adaptive matrix extends the historical 8-plane prefix") {
     import graft.operators.VectorOps.lshPlanes
     val p8 = lshPlanes(8)
