@@ -39,27 +39,44 @@ object Bench {
         System.err.println(s"[bench] warmup '$label' failed: ${e.getMessage}")
       }
     Warmups.warmAll(spark, sfDir)
-    warm("agg_group")(SparkEntry.queries("agg_group")(spark, sfDir).count())
-    warm("null_clean")(SparkEntry.queries("null_clean")(spark, sfDir).count())
-    warm("vec_cosine_topk")(SparkEntry.queries("vec_cosine_topk")(spark, sfDir).count())
     // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the timed set — dev-loop
     // re-measure convenience (variance pinning); the driver leaves it unset
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq
+    val timedSet = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .sortBy(_._1).zipWithIndex.map { case ((name, fn), i) =>
+      .sortBy(_._1)
+    // Untimed JIT/codegen warm block (VERDICT r14 item 1): the driver's
+    // r14 window charged the alphabetically-FIRST ~16 queries 7–21× their
+    // isolated minima — sweep-start cold JIT/codegen cost landing on
+    // whichever names sort first (`agg_*`), with even artifact-free
+    // controls reading 1.8× in that region. Run ONE query per name-prefix
+    // family (agg_, anom_, fn_, graph_, stream_, text_, vec_, win_, …)
+    // untimed before the sweep so every operator bank's codegen shapes,
+    // parquet footers and shuffle paths are compiled before any clock
+    // starts. ~35 mostly-sub-second queries — bounded, family-complete,
+    // and independent of which names happen to sort to the sweep head.
+    timedSet.groupBy { case (name, _) => name.takeWhile(_ != '_') }
+      .toSeq.sortBy(_._1)
+      .foreach { case (_, members) =>
+        val (name, fn) = members.minBy(_._1)
+        warm(s"family:$name") { fn(spark, sfDir).count() }
+        spark.catalog.clearCache()
+      }
+    val results = timedSet.zipWithIndex.map { case ((name, fn), i) =>
       // GC barrier between ~128-query chunks (VERDICT r13 item 2): a
       // 500+-query single-JVM sweep accumulates GC/codegen pressure that
       // the driver's window charged to whichever queries ran late
       // (text bank at 2–23× isolated cost). The barrier drains garbage
       // OUTSIDE any query's timing so each chunk starts from a settled
       // heap — the in-process equivalent of the chunked-sweep remedy.
-      if (i > 0 && i % 128 == 0) { System.gc(); Thread.sleep(200) }
+      // i == 0 included (r14 item 1): the warm block above just churned
+      // the heap; timing starts from a settled state like every chunk.
+      if (i % 128 == 0) { System.gc(); Thread.sleep(200) }
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1L
+          false
       }
       val sec = (System.nanoTime() - t0) / 1e9
       // isolate queries from each other: persisted frames (text_langid/
@@ -68,20 +85,26 @@ object Bench {
       // that runs AFTER them — each query pays its own cache build inside
       // its own timing, nothing leaks forward
       spark.catalog.clearCache()
-      name -> sec
+      (name, sec, ok)
     }
     def d3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def ent(kv: (String, Double)): String = "\"" + kv._1 + "\":" + d3(kv._2)
+    // ok-only view: a query that THREW still shows its wall time in the
+    // detail/contract lines (the window did spend it), but it must not
+    // feed the adjudication machinery below — its sweepSec is time-to-
+    // failure, and a control or top-16 entry built on it would bias the
+    // warmth baseline the judge de-biases with (ADVICE r14).
+    val okResults = results.collect { case (n, s, true) => (n, s) }
     val total = results.map(_._2).sum
     // full detail, slowest first — its own line, NOT the contract line
-    println(results.sortBy(-_._2).map(ent).mkString("{\"detail\":{", ",", "}}"))
+    println(results.map(r => (r._1, r._2)).sortBy(-_._2).map(ent).mkString("{\"detail\":{", ",", "}}"))
     // contract line: fixed fields ~90 chars + sfDir; fill `queries` slowest-
     // first until the 1500-char budget would overflow (tail buffer is 2000)
     val budget = 1500
     val fixed = s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":{},"sf":"$sfDir","n_queries":${results.size}}"""
     var room = budget - fixed.length
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
-    results.sortBy(-_._2).foreach { kv =>
+    results.map(r => (r._1, r._2)).sortBy(-_._2).foreach { kv =>
       val e = ent(kv)
       if (room - (e.length + 1) >= 0) { kept += e; room -= e.length + 1 }
     }
@@ -119,7 +142,7 @@ object Bench {
       // measured — so the judge can de-bias noise_ratio with an
       // empirical same-window baseline instead of a guess.
       val controlNames = Seq("project_select", "filter_pred", "cast_coerce")
-      val sweepByName = results.toMap
+      val sweepByName = okResults.toMap
       val controlRatios = controlNames.flatMap { name =>
         sweepByName.get(name).flatMap { sweepSec =>
           val runs = (1 to 2).flatMap { _ =>
@@ -139,7 +162,7 @@ object Bench {
       // uniformly and 6 of 8 adjudicated entries were contention — the
       // wider net plus the noise_ratio below lets a single-window read
       // be corrected without manual re-measures
-      val top = results.sortBy(-_._2).take(16)
+      val top = okResults.sortBy(-_._2).take(16)
       val iso = top.map { case (name, sweepSec) =>
         // a rerun that CRASHES must not contribute its (tiny) elapsed time:
         // min-of-reruns would then adjudicate a real regression as an
