@@ -86,20 +86,57 @@ object Streams {
     * (On a real cluster this is the Delta/Iceberg MERGE plan; the dynamic
     * overwrite is the transaction-log-less commit boundary.) */
   private[graft] val PK_BUCKETS = graft.Knobs.UpsertPkBucketsDefault
+
+  /** The bucket count is the TARGET'S layout, not the session's opinion:
+    * a merge keyed on a different count than the one the resident rows
+    * were written with prunes those rows out of the merge read and
+    * silently duplicates/loses updates. The count is therefore persisted
+    * WITH the target (`_PK_BUCKETS` marker, written once at create) and
+    * every later merge uses the marker — failing loudly if the session
+    * conf disagrees, instead of trusting it (ADVICE r14). A pre-marker
+    * target (older layout on disk) derives the count from its `_pk=`
+    * partition dirs and writes the marker on first touch. */
+  private val PkMarker = "_PK_BUCKETS"
+  private[graft] def pkBucketsOf(tgtDir: java.nio.file.Path): Option[Int] = {
+    val marker = tgtDir.resolve(PkMarker)
+    if (Files.exists(marker)) Some(Files.readString(marker).trim.toInt)
+    else if (Files.exists(tgtDir)) {
+      val listing = Files.list(tgtDir)
+      val maxPk =
+        try listing.toArray(new Array[java.nio.file.Path](_))
+          .map(_.getFileName.toString).collect {
+            case n if n.startsWith("_pk=") => n.stripPrefix("_pk=").toInt
+          }
+        finally listing.close()
+      // derivation only sees buckets that HOLD rows; valid because the
+      // layout hashes uniformly and this fallback exists for legacy dirs
+      if (maxPk.isEmpty) None else Some(maxPk.max + 1)
+    } else None
+  }
+
   private[graft] def upsertBatch(incoming: DataFrame, tgtDir: java.nio.file.Path,
       batchId: Long): Unit = {
     if (incoming.isEmpty) return // an empty trigger must not touch the target
     val ss = incoming.sparkSession
-    // knob note: the bucket count must stay FIXED for the life of one
-    // target dir (it IS the layout); the conf override is for sizing a
-    // NEW deployment, not retuning an existing sink
-    val pkBuckets = graft.Knobs.upsertPkBuckets(incoming.sparkSession)
+    val confBuckets = graft.Knobs.upsertPkBuckets(incoming.sparkSession)
+    val resident = pkBucketsOf(tgtDir)
+    resident.foreach { n =>
+      require(n == confBuckets,
+        s"upsert target $tgtDir was laid out with _pk buckets=$n but " +
+          s"${graft.Knobs.UpsertPkBucketsKey}=$confBuckets — the bucket count is " +
+          "fixed for the life of a target; retune only for NEW targets " +
+          "(or rewrite this one)")
+    }
+    val pkBuckets = resident.getOrElse(confBuckets)
     val withPk = incoming
       .withColumn("_batch", lit(batchId))
       .withColumn("_pk", pmod(col("event_id"), lit(pkBuckets)).cast("int"))
     if (!Files.exists(tgtDir)) {
       withPk.write.mode(SaveMode.Overwrite).partitionBy("_pk").parquet(tgtDir.toString)
+      Files.writeString(tgtDir.resolve(PkMarker), pkBuckets.toString)
     } else {
+      if (resident.exists(_ => !Files.exists(tgtDir.resolve(PkMarker))))
+        Files.writeString(tgtDir.resolve(PkMarker), pkBuckets.toString)
       // touched bucket ids: bounded by PK_BUCKETS, safe to collect
       val touched = withPk.select(col("_pk")).distinct().collect().map(_.getInt(0)).toSeq
       val existing = ss.read.parquet(tgtDir.toString)

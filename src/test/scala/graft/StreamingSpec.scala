@@ -412,6 +412,37 @@ class StreamingSpec extends SparkSuite {
     assert(byId.size === 64 && byId(3L) === 9.0 && byId(19L) === 9.0 && byId(4L) === 1.0)
   }
 
+  test("upsertBatch pins the bucket count to the TARGET: marker written at create, conf mismatch fails loudly, legacy dirs derive") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val cols = Seq("event_id", "user_id", "event_type", "value")
+    val b1 = (0L until 64L).map(i => (i, i, "view", 1.0)).toDF(cols: _*)
+    val tgt = Files.createTempDirectory("graft_upsert_marker").resolve("tgt")
+    graft.streaming.Streams.upsertBatch(b1, tgt, 0L)
+    // create wrote the layout's bucket count WITH the target
+    assert(Files.readString(tgt.resolve("_PK_BUCKETS")).trim.toInt ===
+      graft.streaming.Streams.PK_BUCKETS)
+    // a later merge under a RETUNED conf must fail loudly, not silently
+    // re-key the layout and prune resident rows out of the merge read
+    spark.conf.set(graft.Knobs.UpsertPkBucketsKey, "8")
+    val b2 = Seq((3L, 3L, "view", 9.0)).toDF(cols: _*)
+    val e = intercept[IllegalArgumentException] {
+      try graft.streaming.Streams.upsertBatch(b2, tgt, 1L)
+      finally spark.conf.unset(graft.Knobs.UpsertPkBucketsKey)
+    }
+    assert(e.getMessage.contains("buckets=16") && e.getMessage.contains("=8"))
+    // legacy target (no marker): count derives from the _pk= dirs on
+    // first touch and the marker is backfilled
+    Files.delete(tgt.resolve("_PK_BUCKETS"))
+    graft.streaming.Streams.upsertBatch(b2, tgt, 1L)
+    assert(Files.readString(tgt.resolve("_PK_BUCKETS")).trim.toInt ===
+      graft.streaming.Streams.PK_BUCKETS)
+    val byId = spark.read.parquet(tgt.toString)
+      .select(col("event_id"), col("value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byId.size === 64 && byId(3L) === 9.0 && byId(4L) === 1.0)
+  }
+
   test("checkpointed foreachBatch upsert: restart resumes batch ids, merges exactly once") {
     import java.nio.file.Files
     import org.apache.spark.sql.DataFrame
