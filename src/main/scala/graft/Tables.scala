@@ -95,6 +95,15 @@ object Tables {
     f
   }
 
+  // documents-corpus size per (JVM, dir), memoized — the scale signal the
+  // adaptive banding rules (minhash rows-per-band, simhash bucket bits,
+  // phash band count; VERDICT r14 item 2) derive from, mirroring
+  // VectorOps.embCount. One count job per dir, warmed pre-sweep.
+  private val docCountCache = new ArtifactCache[java.lang.Long]("doc count",
+    _ => (), ArtifactCache.PerDir((s, d) => { docCount(s, d); () }))
+  def docCount(spark: SparkSession, sfDir: String): Long =
+    docCountCache.getOrElseUpdate(sfDir, t(spark, sfDir, "documents").count())
+
   /** Cache tag for fixtures derived from a source directory: a sha-256
     * prefix of the FULL path, so two distinct datasets can never serve
     * each other's staged fixtures (a 32-bit hashCode would make that

@@ -22,29 +22,62 @@ import graft.Tables._
   */
 object MinHashDedup {
 
-  private val K = 16      // minhash signature length
-  private val BANDS = 4   // 4 bands × 4 rows
+  private val K = 16      // default minhash signature length (4 bands × 4)
+  private val BANDS = 4   // band count is fixed; rows-per-band adapts
 
-  /** doc_id + K-column minhash signature for an (id, tokens) projection.
+  /** Corpus-adaptive rows-per-band (VERDICT r14 item 2 — the 4×4 banding
+    * was the last fixed constant of the LSH-planes class): smallest
+    * r ∈ [4, 16] with occ·4^r ≥ n. An unrelated pair collides in a band
+    * with probability ≈ J_bg^r (J_bg = background Jaccard), so holding
+    * occ·4^r ≥ n keeps expected background candidate volume ~linear in
+    * the corpus where a fixed r makes it quadratic. Signature K = 4·r;
+    * r = 4 (K = 16, bit-identical to the historical signatures and every
+    * fixture pin) through occ·256 = 65 536 docs — all fixture, bench and
+    * ×10 rehearsal scales — then +1 row per 4× corpus. Capped at r = 16:
+    * past occ·4^16 the S-curve threshold saturates and the documented
+    * scale path is wider shingles, like the 30-plane LSH cap. Pure
+    * integer rule; exact duplicates collide at ANY r. */
+  private[graft] def bandRows(n: Long,
+      occ: Long = graft.Knobs.MinhashTargetOccupancyDefault): Int =
+    (4 to 16).find(r => (occ << (2 * r)) >= n).getOrElse(16)
+
+  /** Corpus-adaptive bucket width for dedup_simhash's published bucket:
+    * smallest b ∈ [8, 16] bits with occ·2^b ≥ n (top b bits of the
+    * 16-bit signature); 8 bits — the historical `/256` bucket — through
+    * occ·256 = 8 192 docs, capped at the signature width (past
+    * occ·2^16 docs the 16-bit signature itself saturates; the scale
+    * path is a wider signature, documented like the LSH plane cap). */
+  private[graft] def simhashBucketBits(n: Long,
+      occ: Long = graft.Knobs.SimhashTargetOccupancyDefault): Int =
+    (8 to 16).find(b => (occ << b) >= n).getOrElse(16)
+
+  /** doc_id + k-column minhash signature for an (id, tokens) projection.
     * One fused codegen pass (functions/MinHashSig): each token hashed ONCE,
-    * all K minima updated per element — replacing the K separate
+    * all k minima updated per element — replacing the k separate
     * interpreted `aggregate` HOFs that re-traversed the array 16× per row
     * (the round-3 19 s text_dedup_near hot spot). `shingleWidth` > 1
     * hash-combines width-token windows in the same pass, so shingles never
     * materialize as strings. width=1 signatures are bit-identical to the
-    * old SQL formulation. */
+    * old SQL formulation; signature m_j is independent of k (seeded per
+    * j), so a longer signature EXTENDS the historical prefix exactly like
+    * the adaptive LSH plane matrix. `k` defaults to the compiled K = 16;
+    * batch callers pass 4·bandRows(n). NOTE: stream_dedup_near's
+    * signature STORE is a persisted layout — like the upsert sink's
+    * `_PK_BUCKETS`, its k is fixed at store creation (the compiled
+    * default), not corpus-adaptive mid-stream. */
   def signatures(docs: DataFrame, idCol: String, toksCol: String,
-                 shingleWidth: Int = 1, seed: Long = 42L): DataFrame = {
+                 shingleWidth: Int = 1, seed: Long = 42L, k: Int = K): DataFrame = {
     val sigged = docs.withColumn("_sig",
-      graft.functions.MinHashSig.minhash_sig(col(toksCol), K, shingleWidth, seed))
-    sigged.select(col(idCol) +: (0 until K).map(j => col("_sig").getItem(j).as(s"m$j")): _*)
+      graft.functions.MinHashSig.minhash_sig(col(toksCol), k, shingleWidth, seed))
+    sigged.select(col(idCol) +: (0 until k).map(j => col("_sig").getItem(j).as(s"m$j")): _*)
   }
 
-  /** (band_idx, band_hash) per doc: 4-hash bands hashed together. */
-  def banded(sig: DataFrame, idCol: String): DataFrame = {
+  /** (band_idx, band_hash) per doc: rows-per-band hashes hashed together;
+    * always [[BANDS]] bands, k/BANDS rows each. */
+  def banded(sig: DataFrame, idCol: String, k: Int = K): DataFrame = {
     val bands = (0 until BANDS).map { b =>
       struct(lit(b).as("band_idx"),
-        xxhash64((0 until K / BANDS).map(i => col(s"m${b * (K / BANDS) + i}")): _*).as("bh"))
+        xxhash64((0 until k / BANDS).map(i => col(s"m${b * (k / BANDS) + i}")): _*).as("bh"))
     }
     sig.select(col(idCol), explode(array(bands: _*)).as("band"))
       .select(col(idCol), col("band.band_idx").as("band_idx"), col("band.bh").as("bh"))
@@ -66,10 +99,12 @@ object MinHashDedup {
     // DuckDB twin (no SQL oracle possible), the sf0.001 candidate-pair set
     // is pinned verbatim by OperatorSpec's fixture regression test.
     "text_dedup_near" -> ((s, dir) => {
+      val k = BANDS * bandRows(graft.Tables.docCount(s, dir),
+        graft.Knobs.minhashTargetOccupancy(s))
       val docs = t(s, dir, "documents")
         .withColumn("toks", split(lower(col("text")), " "))
-      val sig = signatures(docs, "doc_id", "toks", shingleWidth = 3)
-      val b = banded(sig, "doc_id")
+      val sig = signatures(docs, "doc_id", "toks", shingleWidth = 3, k = k)
+      val b = banded(sig, "doc_id", k = k)
       val a1 = b.select(col("doc_id").as("d1"), col("band_idx"), col("bh"))
       val a2 = b.select(col("doc_id").as("d2"), col("band_idx"), col("bh"))
       a1.join(a2, Seq("band_idx", "bh")).filter(col("d1") < col("d2"))
@@ -112,11 +147,15 @@ object MinHashDedup {
           (col("n1") + col("n2") - col("inter")) >= 0.5)
         .select(col("d1"), col("d2"))
         .transform(RoundPin.pin)
-      // LSH candidates from the SAME banded signatures as text_dedup_near;
+      // LSH candidates from the SAME banded signatures as text_dedup_near
+      // (including its corpus-derived rows-per-band — the production path
+      // being graded is the one the production parameters produce);
       // banded feeds BOTH sides of the bucket join — persisted so the
       // documents scan runs once for it (r10 scan lint caught the 4×)
-      val sig = signatures(docs, "doc_id", "toks", shingleWidth = 3)
-      val b = persistShared("mh_recall_bands", banded(sig, "doc_id"))
+      val k = BANDS * bandRows(graft.Tables.docCount(s, dir),
+        graft.Knobs.minhashTargetOccupancy(s))
+      val sig = signatures(docs, "doc_id", "toks", shingleWidth = 3, k = k)
+      val b = persistShared("mh_recall_bands", banded(sig, "doc_id", k = k))
       val cand = b.select(col("doc_id").as("d1"), col("band_idx"), col("bh"))
         .join(b.select(col("doc_id").as("d2"), col("band_idx"), col("bh")),
           Seq("band_idx", "bh"))
@@ -132,8 +171,12 @@ object MinHashDedup {
             nullif(col("n_truth"), lit(0L)), 6).as("recall"))
     }),
 
-    // 16-bit SimHash signature + high-byte bucket per document.
+    // 16-bit SimHash signature + corpus-adaptive top-bits bucket per
+    // document (simhashBucketBits: 8 bits — the historical /256 — at every
+    // fixture/bench scale, widening with the corpus).
     "dedup_simhash" -> ((s, dir) => {
+      val bits = simhashBucketBits(graft.Tables.docCount(s, dir),
+        graft.Knobs.simhashTargetOccupancy(s))
       val tok = t(s, dir, "documents")
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
         .withColumn("h", xxhash64(col("token")))
@@ -144,7 +187,7 @@ object MinHashDedup {
       val simhash = (0 until 16).map(b =>
         when(col(s"s$b") * 2 >= col("n"), lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
       agg1.select(col("doc_id"), simhash.as("simhash"),
-          (simhash / 256).cast("long").as("bucket"))
+          (simhash / (1L << (16 - bits))).cast("long").as("bucket"))
         .orderBy(col("doc_id"))
     }))
 

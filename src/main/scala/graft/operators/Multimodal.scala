@@ -31,6 +31,20 @@ import graft.Tables._
   */
 object Multimodal {
 
+  /** Corpus-adaptive band count for mm_phash's banded hamming join
+    * (VERDICT r14 item 2 — the fixed 4×16-bit banding was a capacity
+    * constant of the LSH-planes class): 4 bands of 16 bits while
+    * occ·2^15 ≥ n (2^15 = the top band's value space over the 63-bit
+    * aHash), else 3 bands of 21 bits (2^21 buckets per band). Floor 3:
+    * by pigeonhole, hamming ≤ 2 pairs agree on ≥ b−2 bands, so b ≥ 3
+    * keeps the guaranteed-detection property — and makes the knob pure
+    * capacity (the published pair set is identical at both settings;
+    * only bucket fan-out changes). Past occ·2^20 docs the documented
+    * scale path is a wider hash, like the 30-plane LSH cap. */
+  private[graft] def phashBandCount(n: Long,
+      occ: Long = graft.Knobs.PhashBandOccupancyDefault): Int =
+    if ((occ << 15) >= n) 4 else 3
+
   // ---- deterministic raster pattern (shared contract with the oracle) ----
   // n = payload byte count; w in 8..16, h in 8..14; pixel idx = y*w + x:
   //   r = payload[idx % n]  g = (idx*31 + 7) % 256  b = (r + g) % 256
@@ -490,6 +504,14 @@ object Multimodal {
     // shape: per-image hash (embarrassing parallel) + banded bucket join.
     "mm_phash" -> ((s, dir) => {
       import s.implicits._
+      // corpus-adaptive band count (Knobs r14 item 2): 4×16-bit bands up
+      // to occ·2^15 docs, 3×21-bit beyond — result-IDENTICAL by the
+      // pigeonhole (hamming ≤ 2 agrees on ≥ b−2 ≥ 1 bands at both
+      // settings), only the bucket fan-out changes; see phashBandCount.
+      val nBands = phashBandCount(graft.Tables.docCount(s, dir),
+        graft.Knobs.phashBandOccupancy(s))
+      val bandBits = if (nBands == 4) 16 else 21
+      val bandMask = (1L << bandBits) - 1
       val media = t(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
         .as[(Long, Array[Byte])]
@@ -502,8 +524,8 @@ object Multimodal {
              a + CASE WHEN thumb[i] * 63 > stot
                       THEN shiftleft(CAST(1 AS BIGINT), i) ELSE 0L END)""").as("phash")))
       val bands = hs.select(col("doc_id"), col("phash"),
-          explode(sequence(lit(0), lit(3))).as("b"))
-        .withColumn("bv", expr("shiftright(phash, CAST(b * 16 AS INT)) & 65535"))
+          explode(sequence(lit(0), lit(nBands - 1))).as("b"))
+        .withColumn("bv", expr(s"shiftright(phash, CAST(b * $bandBits AS INT)) & $bandMask"))
       bands.as("a").join(bands.as("b"),
           col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
             col("a.doc_id") < col("b.doc_id"))

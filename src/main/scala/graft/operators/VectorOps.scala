@@ -162,7 +162,7 @@ object VectorOps {
 
   /** The corpus-size-adaptive plane matrix for `dir` (conf-overridable
     * target occupancy — graft.Knobs.lshTargetOccupancy). */
-  private def lshPlanesFor(s: SparkSession, dir: String): Seq[Seq[Double]] =
+  private[graft] def lshPlanesFor(s: SparkSession, dir: String): Seq[Seq[Double]] =
     lshPlanes(lshPlaneCount(embCount(s, dir), graft.Knobs.lshTargetOccupancy(s)))
 
   /** All embedding pairs with cosine ≥ 0.3 whose LSH signatures share a
@@ -197,7 +197,13 @@ object VectorOps {
     graft.ArtifactCache.PerDir((s, d) => { knnGraphFrame(s, d); () }))
 
   private def knnGraphFrame(s: SparkSession, dir: String): DataFrame = {
-    val (rdd, schema) = knnGraphCache.getOrElseUpdate(dir, {
+    // key folds in the RESOLVED occupancy (ADVICE r14): buildKnnGraph
+    // depends on the conf-overridable plane count, and a dir-only key
+    // would keep serving the old-plane graph after a retune while the
+    // uncached lshRangePairs consumers switched immediately — the ANN
+    // family must stay internally consistent without a manual evict
+    val (rdd, schema) = knnGraphCache.getOrElseUpdate(
+      s"$dir@occ${graft.Knobs.lshTargetOccupancy(s)}", {
       val g = buildKnnGraph(s, dir)
       val r = (g.rdd.cache(), g.schema)
       r._1.count() // force now — no consumer query ever pays the build

@@ -4874,6 +4874,99 @@ class PropertySpec extends SparkSuite {
       s"unrelated docs must not pair at hamming<=2: $got")
   }
 
+  test("minhash LSH at the DERIVED r=5 band count: recall meets its own theoretical band (adaptive-banding guarantee)") {
+    // VERDICT r14 item 2 companion to the r=4 5-seed property: the
+    // corpus-adaptive rows-per-band must keep the statistical guarantee
+    // at the settings it DERIVES, not just the compiled default. Same
+    // planted corpus (pair Jaccard 25/31 ≈ 0.806); at r = 5 (K = 20,
+    // what a >65 536-doc corpus derives) the band-collision probability
+    // is 1−(1−j⁵)⁴ ≈ 0.812, so observed recall over 50 pairs stays
+    // ≥ 30/50 (≈3.8σ below the mean) at any seed. Exact duplicates have
+    // identical signatures at ANY r — asserted at the r=16 cap too.
+    import spark.implicits._
+    val base = (0 until 50).map { i =>
+      (2L * i, (0 until 30).map(t => s"d${i}w$t").toArray)
+    }
+    val near = (0 until 50).map { i =>
+      (2L * i + 1,
+        (0 until 30).map(t => if (t == 15) s"x$i" else s"d${i}w$t").toArray)
+    }
+    val docs = (base ++ near).toDF("doc_id", "toks")
+    // the rule itself derives 5 rows for the scale this test models
+    assert(graft.operators.MinHashDedup.bandRows((256L << 8) + 1) === 5)
+    Seq(42L, 7L, 987654321L).foreach { seed =>
+      val sig = graft.operators.MinHashDedup
+        .signatures(docs, "doc_id", "toks", shingleWidth = 3, seed = seed, k = 20)
+      val b = graft.operators.MinHashDedup.banded(sig, "doc_id", k = 20)
+      val pairs = b.as("a").join(b.as("b"),
+          col("a.band_idx") === col("b.band_idx") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val found = (0 until 50).count(i => pairs.contains((2L * i, 2L * i + 1)))
+      assert(found >= 30,
+        s"seed $seed: r=5 planted recall $found/50 fell below the theoretical band")
+      val accidents = pairs.filterNot { case (a, b) => a % 2 == 0 && b == a + 1 }
+      assert(accidents.size <= 2,
+        s"seed $seed: unexpected cross-doc collisions $accidents")
+    }
+    // exact duplicates collide with ALL bands agreeing at the r=16 cap
+    val dup = Seq((0L, (0 until 30).map(t => s"w$t").toArray),
+      (1L, (0 until 30).map(t => s"w$t").toArray)).toDF("doc_id", "toks")
+    val sig64 = graft.operators.MinHashDedup
+      .signatures(dup, "doc_id", "toks", shingleWidth = 3, k = 64)
+    val b64 = graft.operators.MinHashDedup.banded(sig64, "doc_id", k = 64)
+    val agree = b64.as("a").join(b64.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id")).count()
+    assert(agree === 4L, "exact dup must agree on all 4 bands at K=64")
+  }
+
+  test("mm_phash banding knob is result-neutral: forced 3-band pair set equals the 4-band default") {
+    // the capacity-class claim in Knobs: by pigeonhole the published
+    // pair set is identical at both band settings — proven end-to-end on
+    // a planted corpus (exact dup at hamming 0 + unrelated docs), with
+    // the query run at both knob values. occ=0 forces the 3×21-bit
+    // branch (the >262k-doc derivation) on the 4-doc fixture.
+    import spark.implicits._
+    val planted = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "completely different content about catalyst optimizer internals"),
+      (3L, "yet another unrelated document mentioning shuffle partitions"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_phash3").toString
+    planted.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def run(): Seq[(Long, Long, Long)] =
+      graft.SparkEntry.queries("mm_phash")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val four = run()
+    spark.conf.set(graft.Knobs.PhashBandOccupancyKey, "0")
+    val three = try run() finally spark.conf.unset(graft.Knobs.PhashBandOccupancyKey)
+    assert(graft.operators.Multimodal.phashBandCount(4, occ = 0) === 3)
+    assert(three === four, "3-band and 4-band pair sets must be identical (pigeonhole)")
+    assert(four.contains((0L, 1L, 0L)), "planted exact dup found at both settings")
+  }
+
+  test("dedup_simhash bucket widens with the derived bit count; signature column is bit-stable") {
+    // occ=1 on the 500-doc fixture derives 9 bucket bits (1·2^9 ≥ 500)
+    // instead of the default 8: every bucket must equal the signature's
+    // top 9 bits, and the signature itself must not move (the knob sizes
+    // the bucket only).
+    val dir = "/root/testdata/sf0.001"
+    def run(): Seq[(Long, Long, Long)] =
+      graft.SparkEntry.queries("dedup_simhash")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val dflt = run()
+    dflt.foreach { case (_, sh, bk) => assert(bk === sh >> 8) }
+    spark.conf.set(graft.Knobs.SimhashTargetOccupancyKey, "1")
+    val wide = try run() finally spark.conf.unset(graft.Knobs.SimhashTargetOccupancyKey)
+    assert(graft.operators.MinHashDedup.simhashBucketBits(500, occ = 1) === 9)
+    assert(wide.map(r => (r._1, r._2)) === dflt.map(r => (r._1, r._2)),
+      "signatures must be identical at any bucket width")
+    wide.foreach { case (_, sh, bk) => assert(bk === sh >> 7) }
+  }
+
   test("stat_cramers_v: V replays from a brute contingency table and sits in [0,1]") {
     val r = q("stat_cramers_v").collect().head
     val nat = spark.read.parquet(s"$sf/nation.parquet")
