@@ -212,6 +212,39 @@ object VectorOps {
     s.createDataFrame(rdd, schema)
   }
 
+  /** Standing LSH bucket index for the incremental-ingest tier
+    * (`vec_index_incremental`; VERDICT r14 item 6 — dedup_incremental's
+    * vector twin): the RESIDENT corpus (every vector outside the ingest
+    * slice `vec_id % 16 = 7`), bucketed with planes derived from the
+    * RESIDENT count. An index's plane count is its persisted layout (the
+    * `_PK_BUCKETS` discipline): arrivals PROBE it with the index's own
+    * planes — they never re-derive the plane count or rebuild the index.
+    * Context-cached per (dir, occupancy) like the knn graph: the RDD
+    * materializes once (warmed pre-sweep, key folds in the resolved
+    * occupancy per ADVICE r14), so every ingest batch pays batch-sized
+    * bucket hashing plus bucket-local joins. At 100 TB this is the
+    * standing ANN index a continuously-growing embedding store
+    * maintains — new shards fold in by bucket append, not rebuild. */
+  private val standingIdxCache = new graft.ArtifactCache[
+    (Int, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
+     org.apache.spark.sql.types.StructType)]("standing lsh index",
+    _._2.unpersist(blocking = false),
+    graft.ArtifactCache.PerDir((s, d) => { standingIndex(s, d); () }))
+
+  private def standingIndex(s: SparkSession, dir: String): (Int, DataFrame) = {
+    val occ = graft.Knobs.lshTargetOccupancy(s)
+    val (planes, rdd, schema) = standingIdxCache.getOrElseUpdate(s"$dir@occ$occ", {
+      val standing = embStore(s, dir).filter(col("vec_id") % 16 =!= 7)
+      val p = lshPlaneCount(standing.count(), occ)
+      val idx = standing.withColumn("bucket",
+        graft.functions.LshBucket.lsh_bucket(col("embedding"), lshPlanes(p)))
+      val r = idx.rdd.cache()
+      r.count() // force — no ingest batch ever pays the index build
+      (p, r, idx.schema)
+    })
+    (planes, s.createDataFrame(rdd, schema))
+  }
+
   private[graft] def buildKnnGraph(s: SparkSession, dir: String): DataFrame = {
     val K = 4
     val emb = embStore(s, dir).select(col("vec_id"), col("embedding"))
@@ -758,6 +791,31 @@ object VectorOps {
         .filter(col("rn") <= 3)
         .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("sim"), col("rn"))
         .orderBy(col("probe_id"), col("rn"))
+    }),
+
+    // Incremental-ingest ANN tier: the newest ingest slice
+    // (vec_id % 16 = 7, the deterministic stand-in for "this batch's
+    // arrivals") probes the STANDING LSH bucket index — planes frozen
+    // with the resident corpus, index context-cached and built once per
+    // (dir, occupancy) — and reports each arrival's top-3 resident
+    // neighbors among its bucket-mates. Per-batch cost is batch-sized
+    // hashing + bucket-local joins; the index is NEVER rebuilt on ingest
+    // (PlanSpec pins the cached-RDD read). Fully DuckDB-oracled: the
+    // oracle re-derives the plane count from the resident count(*).
+    "vec_index_incremental" -> ((s, dir) => {
+      val (planes, idx) = standingIndex(s, dir)
+      val batch = embStore(s, dir).filter(col("vec_id") % 16 === 7)
+        .withColumn("bucket",
+          graft.functions.LshBucket.lsh_bucket(col("embedding"), lshPlanes(planes)))
+        .select(col("bucket"), col("vec_id"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nbr_id"))
+      batch.join(idx.select(col("bucket"), col("vec_id").as("nbr_id"),
+          col("embedding").as("nv")), "bucket")
+        .withColumn("sim", round(cosine_sim(col("qv"), col("nv")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("vec_id"), col("rk"), col("nbr_id"), col("sim"))
+        .orderBy(col("vec_id"), col("rk"))
     }),
 
     // Approximate k-NN GRAPH construction via one NN-Descent round — the
@@ -2035,6 +2093,35 @@ object VectorOps {
                           FROM b WHERE vec_id < 8) q
              ON e.bucket = q.bucket AND e.vec_id <> q.probe_id)
          WHERE rn <= 3 ORDER BY probe_id, rn""",
+    // the standing-index twin of the lsh_ann oracle: the plane count
+    // derives from the RESIDENT count (vec_id % 16 <> 7) — bucketing
+    // everything with those planes and filtering afterwards is
+    // equivalent to the Scala side's probe-the-frozen-index shape.
+    "vec_index_incremental" ->
+      s"""WITH np AS (
+           SELECT coalesce(min(p), 30) AS planes FROM range(8, 31) tp(p)
+           WHERE (${graft.Knobs.LshTargetOccupancyDefault}::BIGINT << p)
+                 >= (SELECT count(*) FROM embeddings WHERE vec_id % 16 <> 7)),
+         b AS (
+           SELECT vec_id, embedding,
+             CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << j) ELSE 0 END) AS INTEGER) AS bucket
+           FROM (
+             SELECT e0.vec_id, e0.embedding, p.j,
+               list_aggregate(list_transform(range(1, 65), i ->
+                 e0.embedding[i]::DOUBLE *
+                 ((((p.j * 1315423911 + (i - 1) * 2654435761) % 2001 + 2001) % 2001 - 1000) / 1000.0)),
+                 'sum') AS d
+             FROM embeddings e0
+             CROSS JOIN (SELECT unnest(range(0, (SELECT planes FROM np))) AS j) p)
+           GROUP BY vec_id, embedding)
+         SELECT vec_id, CAST(rk AS INTEGER) AS rk, nbr_id, sim FROM (
+           SELECT q.vec_id, r.vec_id AS nbr_id,
+                  round(${cosSql("q.embedding", "r.embedding")}, 6) AS sim,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY round(${cosSql("q.embedding", "r.embedding")}, 6) DESC, r.vec_id) AS rk
+           FROM b q JOIN b r ON q.bucket = r.bucket
+           WHERE q.vec_id % 16 = 7 AND r.vec_id % 16 <> 7)
+         WHERE rk <= 3 ORDER BY vec_id, rk""",
     // same plane formula → same buckets; the bucket-restricted pair set
     // and the cosine floor are both reproduced, so the ANN recall trade
     // itself is what the hash compare pins.

@@ -4967,6 +4967,50 @@ class PropertySpec extends SparkSuite {
     wide.foreach { case (_, sh, bk) => assert(bk === sh >> 7) }
   }
 
+  test("vec_index_incremental: batch probes replay a brute frozen-plane LSH + cosine top-3") {
+    // the incremental tier's whole contract in one replay: planes derive
+    // from the RESIDENT count only, arrivals hash with those frozen
+    // planes, candidates are resident bucket-mates, top-3 under a
+    // (sim desc, id) total order. Brute recompute in driver Scala with
+    // the same left-fold arithmetic order as the codegen expressions.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val standing = emb.filter(_._1 % 16 != 7)
+    val planes = graft.operators.VectorOps.lshPlanes(
+      graft.operators.VectorOps.lshPlaneCount(standing.length.toLong))
+    def bucket(e: Array[Float]): Long =
+      planes.zipWithIndex.map { case (pl, j) =>
+        var d = 0.0; var i = 0
+        while (i < 64) { d += e(i).toDouble * pl(i); i += 1 }
+        if (d > 0) 1L << j else 0L
+      }.sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < 64) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      math.rint(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val idx = standing.groupBy { case (_, e) => bucket(e) }
+    val expect = emb.filter(_._1 % 16 == 7).toSeq.flatMap { case (qid, qv) =>
+      idx.getOrElse(bucket(qv), Array.empty[(Long, Array[Float])]).toSeq
+        .map { case (nid, nv) => (nid, cos(qv, nv)) }
+        .sortBy { case (nid, sim) => (-sim, nid) }.take(3).zipWithIndex
+        .map { case ((nid, sim), i) => (qid, i + 1, nid, sim) }
+    }.sortBy(t => (t._1, t._2))
+    val got = q("vec_index_incremental").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === expect)
+    // every probe is an arrival, every neighbor a resident
+    got.foreach { case (v, _, n, _) =>
+      assert(v % 16 === 7L); assert(n % 16 !== 7L)
+    }
+  }
+
   test("stat_cramers_v: V replays from a brute contingency table and sits in [0,1]") {
     val r = q("stat_cramers_v").collect().head
     val nat = spark.read.parquet(s"$sf/nation.parquet")
