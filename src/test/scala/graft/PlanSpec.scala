@@ -893,6 +893,21 @@ class PlanSpec extends SparkSuite {
       "graph_neighbor_jaccard left persisted frames in the CacheManager")
   }
 
+  /** Full-inventory plan sweep with chunked heap hygiene (VERDICT r14
+    * item 4): the four lints below each build ~550 physical plans
+    * back-to-back; every build re-pins its query-site shared frames, and
+    * at the 10x sfscale1 replay the accumulated InMemoryRelations plus
+    * codegen/plan churn OOM'd an 8 g driver (the recipe demanded 48 g).
+    * The Bench GC-chunk discipline applied to plan sweeps: every 64
+    * plans, drop the SQL cache (query-site pins re-pin on the next
+    * build; RDD-level artifact caches are unaffected) and drain garbage
+    * outside any assertion. */
+  private def sweepPlans[A](f: (String, graft.Tables.QFn) => Option[A]): Seq[A] =
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.flatMap { case ((name, fn), i) =>
+      if (i > 0 && i % 64 == 0) { spark.catalog.clearCache(); System.gc() }
+      f(name, fn)
+    }
+
   test("plan lint: no query plans an unbounded cartesian / nested-loop join") {
     // sweep EVERY registered query's physical plan: a CartesianProduct or
     // BroadcastNestedLoopJoin is only acceptable when one side is bounded
@@ -1020,7 +1035,7 @@ class PlanSpec extends SparkSuite {
       "recs_coverage_diversity" -> "composes broadcast 1-row totals/gini frames via crossJoins over the bounded recommended-item domain",
       "lm_mixture_temperature" -> "crossJoin against the broadcast 1-row corpus-token total over the |sources|-grain frame")
     val sf = "/root/testdata/sf0.001"
-    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+    val offenders = sweepPlans {
       case (name, _) if boundedByConstruction.contains(name) => None
       // streaming queries RUN on build and return a memory-table scan —
       // their plan is lint-trivial but building them here would re-run
@@ -1078,7 +1093,7 @@ class PlanSpec extends SparkSuite {
     // spine derivation from aggregated frames, the shared embeddings
     // store). A new entry here must carry the bound that justifies it.
     val allowed = Map.empty[String, String]
-    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+    val offenders = sweepPlans {
       case (name, _) if name.startsWith("stream_") => None // covered by StreamingSpec
       case (name, fn) =>
         val counts = uncachedScans(fn(spark, sf).queryExecution.executedPlan)
@@ -1245,7 +1260,7 @@ class PlanSpec extends SparkSuite {
       }
       self ++ kids
     }
-    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+    val offenders = sweepPlans {
       case (name, _) if name.startsWith("stream_") => None // covered by StreamingSpec
       case (name, _) if boundedGrain.contains(name) => None
       case (name, fn) =>
@@ -1276,7 +1291,7 @@ class PlanSpec extends SparkSuite {
       }
       self + p.children.map(countIms).sum
     }
-    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+    val offenders = sweepPlans {
       case (name, _) if name.startsWith("stream_") => None
       case (name, fn) =>
         val n = countIms(fn(spark, sf).queryExecution.executedPlan)

@@ -631,14 +631,15 @@ class StreamingSpec extends SparkSuite {
     assert(rocks === default)
   }
 
-  test("stream_topk and stream_dedup_near match under the RocksDB state store") {
-    // provider parity for the two newest stateful family members (the
-    // 100 TB state story: heavy-hitter windows and the near-dup pipeline
-    // must be provider-agnostic like stream_dedup above). stream_topk's
-    // complete-mode window agg holds real keyed state in the store;
-    // stream_dedup_near's state is its own parquet signature store, so
-    // this additionally pins that swapping the provider cannot perturb
-    // its checkpoint/offset machinery into different decisions.
+  test("the FULL streaming block matches under the RocksDB state store") {
+    // provider parity for EVERY registered stream_* query (VERDICT r14
+    // item 5 — parity covered 4 members through r14; the sfscale1
+    // rehearsal ran the default provider only). The default HDFS-backed
+    // store keeps keyed state on the executor heap; RocksDB spills to
+    // local SST files and is the production answer at 100 TB keyed-state
+    // scale — so the WHOLE block must be provider-agnostic: identical
+    // results under both stores. Runs at SPARK_GRAFT_TEST_SF_DIR, so the
+    // sfscale1 replay exercises it at 10x event density for free.
     val rocks =
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     def run(name: String, provider: Option[String]): Seq[String] = {
@@ -647,11 +648,17 @@ class StreamingSpec extends SparkSuite {
         scoped.conf.set("spark.sql.streaming.stateStore.providerClass", _))
       SparkEntry.queries(name)(scoped, sf).collect().map(_.toString).toSeq
     }
-    for (name <- Seq("stream_topk", "stream_dedup_near")) {
-      val r = run(name, Some(rocks))
-      val d = run(name, None)
-      assert(r.nonEmpty, s"$name: empty result under RocksDB")
-      assert(r === d, s"$name: provider changed the results")
+    val block = SparkEntry.queries.keys.filter(_.startsWith("stream_")).toSeq.sorted
+    assert(block.size >= 14, s"streaming block shrank? $block")
+    val failures = block.flatMap { name =>
+      try {
+        val r = run(name, Some(rocks))
+        val d = run(name, None)
+        if (r.isEmpty) Some(s"$name: empty result under RocksDB")
+        else if (r != d) Some(s"$name: provider changed the results")
+        else None
+      } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
     }
+    assert(failures.isEmpty, failures.mkString("\n"))
   }
 }
