@@ -5749,6 +5749,126 @@ object AnalyticsOps {
         round((col("l2").cast("double") - mu2) / sd2, 6).as("z_stat"))
     }),
 
+    // Kendall's coefficient of concordance W — "do the k judges agree on
+    // the ranking?" over judges = event types ranking objects = the
+    // complete-block days by daily volume (stat_page_trend's goodDays
+    // discipline keeps the design complete; stat_friedman tests the same
+    // blocks for ANY difference, W MEASURES the agreement on [0,1]).
+    // Integer throughout: 2x-average-ranks (the rank2 idiom) within each
+    // judge, per-day rank sums R2, S2 = Σ R2² − 2m(n+1)ΣR2 + nm²(n+1)²
+    // (mean of R2 is exactly m(n+1)), tie correction ΣT = Σ(t³−t) per
+    // judge — one double division at the end: W = 3·S2/(m²(n³−n) − mΣT),
+    // χ² = m(n−1)W. Day-grain everywhere; nothing fact-scaling.
+    "stat_kendalls_w" -> ((s, dir) => {
+      val daily = persistShared("kw_daily", events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"), col("event_type").as("et"))
+        .agg(count(lit(1)).as("c")))
+      val kTot = daily.agg(countDistinct(col("et")).as("k"))
+      val goodDays = daily.groupBy(col("day")).agg(count(lit(1)).as("nt"))
+        .crossJoin(broadcast(kTot))
+        .filter(col("nt") === col("k")).select(col("day"))
+      val cells = persistShared("kw_cells", daily.join(goodDays, Seq("day")))
+      val g = persistShared("kw_g",
+        cells.groupBy(col("et"), col("c")).agg(count(lit(1)).as("t")))
+      val wR = Window.partitionBy(col("et")).orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val r = g.withColumn("cumb", coalesce(sum(col("t")).over(wR), lit(0L)))
+        .withColumn("rank2", lit(2L) * col("cumb") + col("t") + 1)
+      val rsum = cells.join(r.select(col("et"), col("c"), col("rank2")), Seq("et", "c"))
+        .groupBy(col("day")).agg(sum(col("rank2")).as("r2"))
+      val ties = g.select((col("t") * col("t") * col("t") - col("t")).as("ttt"))
+        .agg(sum(col("ttt")).as("tt"))
+      val m0 = rsum.agg(count(lit(1)).as("n"), sum(col("r2")).as("sr"),
+          sum(col("r2") * col("r2")).as("srq"))
+        .crossJoin(broadcast(kTot)).crossJoin(broadcast(ties))
+      val nL = col("n"); val mL = col("k")
+      val s2 = col("srq") - lit(2L) * mL * (nL + 1) * col("sr") +
+        nL * mL * mL * (nL + 1) * (nL + 1)
+      val denom = (mL * mL * (nL * nL * nL - nL) - mL * col("tt")).cast("double")
+      val wStat = lit(3.0) * s2.cast("double") / denom
+      m0.select(nL.as("n_days"), mL.as("n_types"),
+        round(wStat, 6).as("w"),
+        round(mL.cast("double") * (nL - 1).cast("double") * wStat, 6).as("chi2"))
+    }),
+
+    // Sample entropy SampEn(m=2, r=0.2σ) of the daily event-count series
+    // — the regularity/complexity screen beside ts_perm_entropy (SampEn
+    // sees amplitude structure ordinal patterns can't, and unlike ApEn
+    // it excludes self-matches, so it is bias-free and defined without a
+    // tolerance fudge): B = template pairs of length 2 within Chebyshev
+    // tolerance r, A = the same pairs still within r at length 3,
+    // SampEn = −ln(A/B). The series is integer counts and r derives from
+    // EXACT integer moments (r = 0.2·sqrt((nΣx²−(Σx)²)/n²), rounded 6dp),
+    // so every comparison is engine-exact. Day-grain n² pair join —
+    // calendar-bounded, the stat_distance_corr license.
+    "ts_sample_entropy" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val wO = Window.orderBy(col("day"))
+      val ser = persistShared("sampen_ser", daily
+        .withColumn("t", row_number().over(wO))
+        .withColumn("x1", lead(col("x"), 1).over(wO))
+        .withColumn("x2", lead(col("x"), 2).over(wO))
+        .filter(col("x2").isNotNull)
+        .select(col("t"), col("x"), col("x1"), col("x2")))
+      val mom = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      val rT = mom.select(col("n"),
+        round(lit(0.2) * sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast("double") / (col("n") * col("n")).cast("double")), 6).as("r"))
+      val pairs = ser.as("a").join(ser.as("b"), col("a.t") < col("b.t"))
+        .crossJoin(broadcast(rT))
+      val m2 = greatest(abs(col("a.x") - col("b.x")),
+        abs(col("a.x1") - col("b.x1"))).cast("double") <= col("r")
+      val m3 = m2 && abs(col("a.x2") - col("b.x2")).cast("double") <= col("r")
+      pairs.agg(max(col("n")).as("n_days"), max(col("r")).as("r"),
+          count(when(m2, 1)).as("b_count"), count(when(m3, 1)).as("a_count"))
+        .select(col("n_days"), col("r"), col("b_count"), col("a_count"),
+          round(-log(col("a_count").cast("double") /
+            nullif(col("b_count"), lit(0L))), 6).as("sampen"))
+    }),
+
+    // Ansari-Bradley rank test for SCALE difference ("same center, is
+    // one type's value spread wider?") between the view and click value
+    // distributions — the dispersion companion to stat_mannwhitney's
+    // location test and stat_levene's moment-based spread test (AB is
+    // fully rank-based: outlier-proof where Levene is not). Pooled
+    // values on the 6-dp grid, 2x-average-ranks from the rank2 idiom,
+    // score2 = min(rank2, 2(n+1)−rank2) (twice the folded AB score, so
+    // ties stay integer-exact), AB = Σ scores over the view group, and
+    // the classic normal approximation with separate even/odd-n moments.
+    // Distinct-value grain throughout.
+    "stat_ansari_bradley" -> ((s, dir) => {
+      val pool = events(s, dir)
+        .filter(col("event_type").isin("view", "click"))
+        .select(round(col("value"), 6).as("v"),
+          when(col("event_type") === "view", 1L).otherwise(0L).as("isx"))
+      val g = persistShared("ab_g", pool.groupBy(col("v"))
+        .agg(count(lit(1)).as("t"), sum(col("isx")).as("tx")))
+      val wR = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+      val tot = g.agg(sum(col("t")).as("n"), sum(col("tx")).as("m"))
+      val scored = g
+        .withColumn("cumb", coalesce(sum(col("t")).over(wR), lit(0L)))
+        .withColumn("rank2", lit(2L) * col("cumb") + col("t") + 1)
+        .crossJoin(broadcast(tot))
+        .withColumn("score2",
+          least(col("rank2"), lit(2L) * (col("n") + 1) - col("rank2")))
+      val agg0 = scored.agg(max(col("n")).as("n"), max(col("m")).as("m"),
+        sum(col("tx") * col("score2")).as("ab2"))
+      val nD = col("n").cast("double"); val mD = col("m").cast("double")
+      val kD = (col("n") - col("m")).cast("double")
+      val ab = col("ab2").cast("double") / 2.0
+      val even = col("n") % 2 === 0
+      val mu = when(even, mD * (nD + 2) / 4.0)
+        .otherwise(mD * (nD + 1) * (nD + 1) / (nD * 4.0))
+      val vr = when(even, mD * kD * (nD + 2) * (nD - 2) / ((nD - 1) * 48.0))
+        .otherwise(mD * kD * (nD + 1) * (nD * nD + 3.0) / (nD * nD * 48.0))
+      agg0.select(col("m").as("n_view"), (col("n") - col("m")).as("n_click"),
+        round(ab, 6).as("ab_stat"),
+        round((ab - mu) / sqrt(vr), 6).as("z"))
+    }),
+
     // Fleiss' kappa over THREE raters — the k-rater generalization of
     // eval_cohen_kappa (Cohen: 2 raters; Fleiss: any k — the agreement
     // audit a labeling pipeline runs before trusting a crowd consensus).
@@ -10170,6 +10290,88 @@ object AnalyticsOps {
                       / sqrt(CAST(n_blocks AS DOUBLE) * k * k * (k + 1)
                              * (k * k - 1) / 36.0), 6) AS z_stat
          FROM m""",
+    "stat_kendalls_w" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, event_type AS et, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         kt AS (SELECT count(DISTINCT et) AS k FROM daily),
+         gd AS (SELECT day FROM (
+                  SELECT day, count(1) AS nt FROM daily GROUP BY 1)
+                CROSS JOIN kt WHERE nt = k),
+         cells AS (SELECT d.day, d.et, d.c FROM daily d JOIN gd USING (day)),
+         g AS (SELECT et, c, count(1) AS t FROM cells GROUP BY et, c),
+         r AS (SELECT et, c,
+                      2 * coalesce(sum(t) OVER (PARTITION BY et ORDER BY c
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        + t + 1 AS rank2
+               FROM g),
+         rsum AS (SELECT cells.day, CAST(sum(r.rank2) AS BIGINT) AS r2
+                  FROM cells JOIN r USING (et, c) GROUP BY 1),
+         tc AS (SELECT CAST(sum(t*t*t - t) AS BIGINT) AS tt FROM g),
+         m AS (SELECT count(1) AS n, CAST(sum(r2) AS BIGINT) AS sr,
+                      CAST(sum(r2*r2) AS BIGINT) AS srq FROM rsum)
+         SELECT n AS n_days, CAST(k AS BIGINT) AS n_types,
+                round(3.0 * CAST(srq - 2*k*(n+1)*sr + n*k*k*(n+1)*(n+1) AS DOUBLE)
+                      / CAST(k*k*(n*n*n - n) - k*tt AS DOUBLE), 6) AS w,
+                round(CAST(k AS DOUBLE) * (n - 1)
+                      * (3.0 * CAST(srq - 2*k*(n+1)*sr + n*k*k*(n+1)*(n+1) AS DOUBLE)
+                         / CAST(k*k*(n*n*n - n) - k*tt AS DOUBLE)), 6) AS chi2
+         FROM m CROSS JOIN kt CROSS JOIN tc""",
+    "ts_sample_entropy" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, count(1) AS x FROM events GROUP BY 1),
+         mom AS (SELECT count(1) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                        CAST(sum(x*x) AS BIGINT) AS sxx FROM daily),
+         rt AS (SELECT n, round(0.2 * sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                                / CAST(n*n AS DOUBLE)), 6) AS r FROM mom),
+         ser AS (SELECT row_number() OVER (ORDER BY day) AS t, x,
+                        lead(x, 1) OVER (ORDER BY day) AS x1,
+                        lead(x, 2) OVER (ORDER BY day) AS x2
+                 FROM daily QUALIFY x2 IS NOT NULL),
+         p AS (SELECT a.x AS ax, a.x1 AS ax1, a.x2 AS ax2,
+                      b.x AS bx, b.x1 AS bx1, b.x2 AS bx2, rt.n, rt.r
+               FROM ser a JOIN ser b ON a.t < b.t CROSS JOIN rt),
+         cnt AS (SELECT max(n) AS n_days, max(r) AS r,
+                        count(CASE WHEN CAST(greatest(abs(ax-bx), abs(ax1-bx1)) AS DOUBLE) <= r
+                                   THEN 1 END) AS b_count,
+                        count(CASE WHEN CAST(greatest(abs(ax-bx), abs(ax1-bx1)) AS DOUBLE) <= r
+                                    AND CAST(abs(ax2-bx2) AS DOUBLE) <= r
+                                   THEN 1 END) AS a_count
+                 FROM p)
+         SELECT n_days, r, b_count, a_count,
+                round(-ln(CAST(a_count AS DOUBLE) / nullif(b_count, 0)), 6) AS sampen
+         FROM cnt""",
+    "stat_ansari_bradley" ->
+      """WITH pool AS (
+           SELECT round(value, 6) AS v,
+                  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS isx
+           FROM events WHERE event_type IN ('view', 'click')),
+         g AS (SELECT v, count(1) AS t, CAST(sum(isx) AS BIGINT) AS tx
+               FROM pool GROUP BY v),
+         tot AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+                        CAST(sum(tx) AS BIGINT) AS m FROM g),
+         sc AS (SELECT tx,
+                       least(rank2, 2*(n + 1) - rank2) AS score2, n, m
+                FROM (SELECT v, t, tx,
+                             2 * coalesce(sum(t) OVER (ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                               + t + 1 AS rank2
+                      FROM g) CROSS JOIN tot),
+         a0 AS (SELECT max(n) AS n, max(m) AS m,
+                       CAST(sum(tx * score2) AS BIGINT) AS ab2 FROM sc)
+         SELECT m AS n_view, n - m AS n_click,
+                round(CAST(ab2 AS DOUBLE) / 2.0, 6) AS ab_stat,
+                round((CAST(ab2 AS DOUBLE) / 2.0
+                       - CASE WHEN n % 2 = 0
+                              THEN CAST(m AS DOUBLE) * (n + 2) / 4.0
+                              ELSE CAST(m AS DOUBLE) * (n + 1) * (n + 1) / (4.0 * n) END)
+                      / sqrt(CASE WHEN n % 2 = 0
+                                  THEN CAST(m AS DOUBLE) * (n - m) * (n + 2) * (n - 2)
+                                       / (48.0 * (n - 1))
+                                  ELSE CAST(m AS DOUBLE) * (n - m) * (n + 1)
+                                       * (3.0 + CAST(n AS DOUBLE) * n) / (48.0 * n * n) END),
+                      6) AS z
+         FROM a0""",
     "eval_fleiss_kappa" ->
       """WITH b AS (
            SELECT (CASE WHEN ((c_custkey % 2147483648) * 2654435761)

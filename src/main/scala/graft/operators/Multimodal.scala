@@ -93,6 +93,34 @@ object Multimodal {
     MediaFeat(docId, w, h, sr, sg, sb, histo)
   }
 
+  case class DomColor(doc_id: Long, rk: Int, bin: Long, n_px: Long)
+
+  /** REAL decode → 64-bin RGB-222 quantization (2 bits per channel,
+    * bin = (r/64)·16 + (g/64)·4 + b/64) → top-3 bins by (count desc,
+    * bin asc). The palette summary an image-curation pipeline keys its
+    * near-solid/letterbox/duplicate screens on; per-image work, no
+    * cross-image state. Lossless codec ⇒ oracle replays the bins from
+    * the raster formula exactly (the mm_decode contract). */
+  def dominantColors(docId: Long, png: Array[Byte]): Seq[DomColor] = {
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    val w = img.getWidth; val h = img.getHeight
+    val bins = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        bins((r / 64) * 16 + (g / 64) * 4 + b / 64) += 1
+        x += 1
+      }
+      y += 1
+    }
+    bins.zipWithIndex.filter(_._1 > 0)
+      .sortBy { case (n, bin) => (-n, bin) }.take(3).zipWithIndex
+      .map { case ((n, bin), i) => DomColor(docId, i + 1, bin.toLong, n) }.toSeq
+  }
+
   case class Thumb(doc_id: Long, width: Int, height: Int, thumb: Array[Long])
 
   /** REAL resize input: decode the PNG, then block-mean the red channel
@@ -374,6 +402,23 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    // Dominant-palette summary — top-3 RGB-222 quantization bins per
+    // image through the real encode→decode round trip (the near-solid /
+    // letterbox / palette-duplicate screen an image-curation pipeline
+    // runs beside mm_channel_stats' moments: moments can't tell "two
+    // colors half-and-half" from "one mid-gray"). Integer bin counts
+    // with an (n_px desc, bin) total order — engine-exact.
+    "mm_dominant_color" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      media.mapPartitions(_.flatMap { case (id, bytes) =>
+          dominantColors(id, encodePng(bytes)) })
+        .toDF()
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
     // Per-channel normalization statistics (mean/std per RGB channel) —
     // what an image-training pipeline computes over its corpus before
     // standardizing inputs, through the SAME real encode→decode round
@@ -567,6 +612,30 @@ object Multimodal {
                 array_to_string(list_transform(range(0, 16),
                   k -> CAST(len(list_filter(rbins, x -> x = k)) AS VARCHAR)), ',') AS histo
          FROM feat ORDER BY doc_id""",
+    "mm_dominant_color" ->
+      """WITH dims AS (
+           SELECT doc_id, strlen(text) AS n,
+                  8 + strlen(text) % 9 AS w, 8 + strlen(text) % 7 AS h, text
+           FROM documents),
+         px0 AS (
+           SELECT doc_id, n, text, unnest(range(0, w * h)) AS i FROM dims),
+         px AS (
+           SELECT doc_id,
+                  CAST(ord(text[CAST(i % n AS INTEGER) + 1]) AS BIGINT) AS r,
+                  (i * 31 + 7) % 256 AS g
+           FROM px0),
+         bins AS (
+           SELECT doc_id,
+                  (r // 64) * 16 + (g // 64) * 4 + ((r + g) % 256) // 64 AS bin,
+                  count(1) AS n_px
+           FROM px GROUP BY 1, 2),
+         rk AS (
+           SELECT doc_id, bin, n_px,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY n_px DESC, bin) AS rk
+           FROM bins)
+         SELECT doc_id, CAST(rk AS INTEGER) AS rk, CAST(bin AS BIGINT) AS bin,
+                CAST(n_px AS BIGINT) AS n_px
+         FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""",
     "mm_channel_stats" ->
       """WITH dims AS (
            SELECT doc_id, strlen(text) AS n,

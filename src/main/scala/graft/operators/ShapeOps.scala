@@ -212,6 +212,40 @@ object ShapeOps {
         .orderBy(col("event_type"))
     }),
 
+    // Croston's method — THE intermittent-demand forecaster (sparse
+    // series with many zero days defeat plain SES: the level decays
+    // toward zero between demands; Croston separates demand SIZE from
+    // demand SPACING): per type, SES(α=0.3) over the nonzero daily
+    // demands → z, SES over the day gaps between consecutive demand
+    // days → p, forecast rate = z/p demand per day. Gaps come straight
+    // from the sorted demand-day list (no calendar grid needed — zero
+    // days are IMPLIED by the spacing), the same per-type bounded-array
+    // fold family as ts_ses/ts_theta; a type with one demand day has no
+    // interval estimate → NULL p and rate on both engines.
+    "ts_croston" -> ((s, dir) => {
+      def fold(arr: String) = expr(
+        s"aggregate(slice($arr, 2, size($arr) - 1), element_at($arr, 1), " +
+          "(acc, x) -> 0.3 * x + 0.7 * acc)")
+      val daily = events(s, dir)
+        .groupBy(col("event_type").as("et"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val h = daily.groupBy(col("et"))
+        .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("h"))
+        .withColumn("qs", expr("transform(h, r -> CAST(r.c AS DOUBLE))"))
+        .withColumn("gaps", expr(
+          """IF(size(h) < 2, CAST(NULL AS ARRAY<DOUBLE>),
+               transform(sequence(2, size(h)),
+                 k -> CAST(datediff(h[k-1].day, h[k-2].day) AS DOUBLE)))"""))
+      h.select(col("et").as("event_type"),
+          size(col("qs")).cast("long").as("n_demand_days"),
+          round(fold("qs"), 6).as("z_level"),
+          when(col("gaps").isNull, lit(null).cast("double"))
+            .otherwise(round(fold("gaps"), 6)).as("p_interval"),
+          when(col("gaps").isNull, lit(null).cast("double"))
+            .otherwise(round(fold("qs") / fold("gaps"), 6)).as("demand_rate"))
+        .orderBy(col("event_type"))
+    }),
+
     // SHAPLEY-VALUE attribution over the three touch channels — the
     // game-theoretic member completing the attribution family (linear =
     // equal split, position = U-shape, time_decay = recency; Shapley is
@@ -1519,6 +1553,33 @@ object ShapeOps {
                      ELSE round(list_aggregate(list_transform(vs[24:30],
                             x -> abs(x - lvl)), 'sum') / 7, 6) END AS mae_7d
          FROM f ORDER BY event_type""",
+    "ts_croston" ->
+      """WITH daily AS (
+           SELECT event_type AS et, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         h AS (
+           SELECT et,
+                  list_transform(list(c ORDER BY day),
+                    x -> CAST(x AS DOUBLE)) AS qs,
+                  list(day ORDER BY day) AS ds
+           FROM daily GROUP BY 1),
+         g AS (
+           SELECT et, qs, len(qs) AS nd,
+                  CASE WHEN len(ds) < 2 THEN NULL
+                       ELSE list_transform(range(2, len(ds) + 1),
+                              k -> CAST(ds[CAST(k AS INTEGER)]
+                                        - ds[CAST(k AS INTEGER) - 1] AS DOUBLE)) END AS gaps
+           FROM h)
+         SELECT et AS event_type, CAST(nd AS BIGINT) AS n_demand_days,
+                round(list_reduce(qs, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS z_level,
+                CASE WHEN gaps IS NULL THEN NULL
+                     ELSE round(list_reduce(gaps, (acc, x) -> 0.3 * x + 0.7 * acc), 6)
+                END AS p_interval,
+                CASE WHEN gaps IS NULL THEN NULL
+                     ELSE round(list_reduce(qs, (acc, x) -> 0.3 * x + 0.7 * acc)
+                                / list_reduce(gaps, (acc, x) -> 0.3 * x + 0.7 * acc), 6)
+                END AS demand_rate
+         FROM g ORDER BY event_type""",
     "ts_holt_forecast" ->
       """WITH daily AS (
            SELECT event_type AS et, CAST(ts AS DATE) AS day, count(1) AS c

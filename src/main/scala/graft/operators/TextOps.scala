@@ -1683,6 +1683,29 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Yule's K characteristic — the frequency-spectrum vocabulary-
+    // repetitiveness constant (K = 10⁴·(Σc² − N)/N² over the per-doc
+    // type-frequency spectrum): unlike TTR it is length-invariant, so it
+    // ranks short and long documents on one scale — the classic
+    // templated/generated-text screen beside text_repetition (which
+    // looks at adjacent n-grams; K sees GLOBAL reuse). Same one-explode
+    // (doc, word) grain as text_lexical_diversity; pure integer sums
+    // with one final division, engine-exact.
+    "text_yules_k" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(
+          sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(col("c") * col("c")).as("sum_c2"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          round(lit(10000.0) * (col("sum_c2") - col("n_tokens")).cast("double") /
+            (col("n_tokens") * col("n_tokens")), 6).as("yules_k"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Importance sampling under a length-proportional inclusion
     // probability — the curation primitive between uniform sample_split
     // and the hard corpus_token_budget cut: keep each document with
@@ -3003,6 +3026,17 @@ object TextOps {
                 round(CAST(vocab AS DOUBLE) / n_tokens, 6) AS corpus_ttr,
                 round(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS avg_doc_tokens
          FROM tok CROSS JOIN dims""",
+    "text_yules_k" ->
+      """WITH wc AS (
+           SELECT doc_id, w, count(1) AS c FROM (
+             SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+             FROM documents)
+           WHERE w <> '' GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                count(1) AS n_types,
+                round(10000.0 * CAST(sum(c*c) - sum(c) AS DOUBLE) /
+                      (sum(c) * sum(c)), 6) AS yules_k
+         FROM wc GROUP BY doc_id ORDER BY doc_id""",
     "text_lexical_diversity" ->
       """WITH wc AS (
            SELECT doc_id, w, count(1) AS c FROM (

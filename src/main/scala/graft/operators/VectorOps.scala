@@ -1568,33 +1568,55 @@ object VectorOps {
         .orderBy(col("cluster"))
     }),
 
-    "vec_kmeans" -> ((s, dir) => {
+    // Normalized mutual information between the bounded-Lloyd clustering
+    // and the embeddings' label column — the external cluster-quality
+    // audit beside vec_silhouette_centroid's internal one (silhouette
+    // asks "are the clusters tight?"; NMI asks "do they RECOVER the
+    // known structure?" — the number an embedding-pipeline regression
+    // gate watches). Shares kmeansAssignCent with vec_kmeans (identical
+    // loop, identical oracle CTEs); the contingency is cluster×label
+    // bounded (≤8×|labels| cells), every entropy term 6-dp-gridded
+    // before an order-free DECIMAL sum, NMI = MI/√(H_C·H_L).
+    "vec_cluster_nmi" -> ((s, dir) => {
       val d6 = DecimalType(18, 6)
-      val r6d = (c: Column) => round(c.cast("double"), 6).cast(d6)
-      val base = persistSharedPerDir("vec_pca_base", dir,
-        embStore(s, dir).select(col("vec_id"),
-            posexplode(col("embedding")).as(Seq("pos", "fv")))
-          .select(col("vec_id"), col("pos"), r6d(col("fv")).as("xv")))
-      val d12 = DecimalType(12, 6)
-      var cent = base.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("k"), col("pos"), col("xv").as("cv"))
-      var assign: DataFrame = null
-      for (_ <- 1 to graft.Knobs.kmeansRounds(s)) {
-        val diff = (col("xv") - col("cv")).cast(d12)
-        val d2 = base.join(broadcast(cent), "pos")
-          .groupBy(col("vec_id"), col("k"))
-          .agg(sum(diff * diff).as("d2"))
-        val wA = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("k"))
-        assign = d2.withColumn("rn", row_number().over(wA))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("k"), col("d2"))
-          .transform(RoundPin.pin) // feeds the centroid agg AND the final stats
-        cent = base.join(assign.select(col("vec_id"), col("k")), "vec_id")
-          .groupBy(col("k"), col("pos"))
-          .agg(round(sum(col("xv")).cast("double") / count(lit(1)), 6)
-            .cast(d6).as("cv"))
-          .transform(RoundPin.pin) // k×64 rows; cuts the per-round lineage
-      }
+      val (assign, _) = kmeansAssignCent(s, dir)
+      val ct = persistShared("nmi_ct", assign.select(col("vec_id"), col("k"))
+        .join(embStore(s, dir).select(col("vec_id"), col("label")), "vec_id")
+        .groupBy(col("k"), col("label")).agg(count(lit(1)).as("nkl")))
+      val ak = persistShared("nmi_ak",
+        ct.groupBy(col("k")).agg(sum(col("nkl")).as("ak")))
+      val bl = persistShared("nmi_bl",
+        ct.groupBy(col("label")).agg(sum(col("nkl")).as("bl")))
+      val nT = ct.agg(sum(col("nkl")).as("n"))
+      // ALL THREE entropy sums fold on the joined ct grain — H(C) =
+      // −Σ_kl (nkl/n)·ln(ak/n) equals −Σ_k (ak/n)·ln(ak/n) exactly and
+      // keeps the whole query one pass over the pinned contingency (the
+      // 2-frame formulation replayed the cached frames 10×, the
+      // graph_hits lint class). Terms 6-dp-gridded, order-free DECIMAL
+      // sums, identical formulation in the oracle.
+      val nD = col("n").cast("double")
+      val p = col("nkl").cast("double") / nD
+      val miT = round(p * log(col("nkl").cast("double") * nD /
+        (col("ak").cast("double") * col("bl"))), 6)
+      val hcT = round(-p * log(col("ak").cast("double") / nD), 6)
+      val hlT = round(-p * log(col("bl").cast("double") / nD), 6)
+      val agg0 = ct.join(broadcast(ak), "k").join(broadcast(bl), "label")
+        .crossJoin(broadcast(nT))
+        .agg(max(col("n")).as("n_vecs"),
+          countDistinct(col("k")).as("n_clusters"),
+          countDistinct(col("label")).as("n_labels"),
+          sum(miT.cast(d6)).cast("double").as("mi"),
+          sum(hcT.cast(d6)).cast("double").as("h_cluster"),
+          sum(hlT.cast(d6)).cast("double").as("h_label"))
+      agg0.select(col("n_vecs"), col("n_clusters"), col("n_labels"),
+        round(col("mi"), 6).as("mi"),
+        round(col("h_cluster"), 6).as("h_cluster"),
+        round(col("h_label"), 6).as("h_label"),
+        round(col("mi") / sqrt(col("h_cluster") * col("h_label")), 6).as("nmi"))
+    }),
+
+    "vec_kmeans" -> ((s, dir) => {
+      val (assign, cent) = kmeansAssignCent(s, dir)
       val sizes = assign.groupBy(col("k"))
         .agg(count(lit(1)).as("n_vecs"),
           round(sum(col("d2")).cast("double"), 6).as("inertia"))
@@ -1611,6 +1633,42 @@ object VectorOps {
     * pagerank's 5 and kcore's 6 peels; the DuckDB twin unrolls the same
     * rounds CTE for CTE. */
   private[graft] val KmeansRounds = graft.Knobs.KmeansRoundsDefault
+
+  /** The bounded-Lloyd loop (final assignment + final centroids) shared
+    * by vec_kmeans and vec_cluster_nmi — one implementation, so both
+    * consumers' DuckDB twins unroll the SAME kmeansRoundSql CTEs and a
+    * clustering change can never skew one without the other. Decimal-
+    * exact distances, argmin under a (d2, k) total order, re-gridded
+    * centroid means, per-round RoundPin lineage cuts. */
+  private def kmeansAssignCent(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d6 = DecimalType(18, 6)
+    val r6d = (c: Column) => round(c.cast("double"), 6).cast(d6)
+    val base = persistSharedPerDir("vec_pca_base", dir,
+      embStore(s, dir).select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "fv")))
+        .select(col("vec_id"), col("pos"), r6d(col("fv")).as("xv")))
+    val d12 = DecimalType(12, 6)
+    var cent = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("k"), col("pos"), col("xv").as("cv"))
+    var assign: DataFrame = null
+    for (_ <- 1 to graft.Knobs.kmeansRounds(s)) {
+      val diff = (col("xv") - col("cv")).cast(d12)
+      val d2 = base.join(broadcast(cent), "pos")
+        .groupBy(col("vec_id"), col("k"))
+        .agg(sum(diff * diff).as("d2"))
+      val wA = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("k"))
+      assign = d2.withColumn("rn", row_number().over(wA))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("k"), col("d2"))
+        .transform(RoundPin.pin) // feeds the centroid agg AND the final stats
+      cent = base.join(assign.select(col("vec_id"), col("k")), "vec_id")
+        .groupBy(col("k"), col("pos"))
+        .agg(round(sum(col("xv")).cast("double") / count(lit(1)), 6)
+          .cast(d6).as("cv"))
+        .transform(RoundPin.pin) // k×64 rows; cuts the per-round lineage
+    }
+    (assign, cent)
+  }
 
   /** Picks for vec_mmr's unrolled greedy selection (first pick = plain
     * argmax sim; each later pick one MMR argmax step). */
@@ -1759,6 +1817,42 @@ object VectorOps {
             FROM c$KmeansRounds GROUP BY 1)
           SELECT s.k AS cluster, s.n_vecs, s.inertia, n.centroid_norm
           FROM sizes s JOIN norms n USING (k) ORDER BY cluster""") +
+    ("vec_cluster_nmi" ->
+      s"""WITH x AS MATERIALIZED (
+            SELECT vec_id, CAST(u.p AS INTEGER) AS pos,
+                   CAST(round(CAST(u.v AS DOUBLE), 6) AS DECIMAL(18,6)) AS xv
+            FROM (SELECT vec_id, unnest(range(0, len(embedding))) AS p,
+                         unnest(embedding) AS v
+                  FROM embeddings) u),
+          c0 AS (
+            SELECT CAST(vec_id AS INT) AS k, pos, xv AS cv FROM x WHERE vec_id < 8),
+          ${(1 to KmeansRounds).map(kmeansRoundSql).mkString(",\n")},
+          ct AS (
+            SELECT a.k, e.label, count(1) AS nkl
+            FROM a$KmeansRounds a JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+          ak AS (SELECT k, CAST(sum(nkl) AS BIGINT) AS ak FROM ct GROUP BY 1),
+          bl AS (SELECT label, CAST(sum(nkl) AS BIGINT) AS bl FROM ct GROUP BY 1),
+          nt AS (SELECT CAST(sum(nkl) AS BIGINT) AS n FROM ct),
+          a0 AS (
+            SELECT max(n) AS n_vecs,
+                   count(DISTINCT k) AS n_clusters,
+                   count(DISTINCT label) AS n_labels,
+                   CAST(sum(CAST(round((CAST(nkl AS DOUBLE) / n)
+                     * ln(CAST(nkl AS DOUBLE) * n / (CAST(ak AS DOUBLE) * bl)), 6)
+                   AS DECIMAL(18,6))) AS DOUBLE) AS mi,
+                   CAST(sum(CAST(round(-(CAST(nkl AS DOUBLE) / n)
+                     * ln(CAST(ak AS DOUBLE) / n), 6) AS DECIMAL(18,6))) AS DOUBLE)
+                   AS h_cluster,
+                   CAST(sum(CAST(round(-(CAST(nkl AS DOUBLE) / n)
+                     * ln(CAST(bl AS DOUBLE) / n), 6) AS DECIMAL(18,6))) AS DOUBLE)
+                   AS h_label
+            FROM ct JOIN ak USING (k) JOIN bl USING (label) CROSS JOIN nt)
+          SELECT n_vecs, n_clusters, n_labels,
+                 round(mi, 6) AS mi,
+                 round(h_cluster, 6) AS h_cluster,
+                 round(h_label, 6) AS h_label,
+                 round(mi / sqrt(h_cluster * h_label), 6) AS nmi
+          FROM a0""") +
     ("vec_spherical_kmeans" ->
       s"""WITH x AS MATERIALIZED (
             SELECT vec_id, CAST(u.p AS INTEGER) AS pos,

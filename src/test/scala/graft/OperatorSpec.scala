@@ -5011,6 +5011,181 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("text_yules_k: K replays from a brute frequency spectrum and is length-invariant under doubling") {
+    val rows = q("text_yules_k").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty)))
+    docs.foreach { case (id, toks) =>
+      val freq = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val n = toks.length.toLong
+      val k = math.rint(1e4 * (freq.values.map(c => c * c).sum - n) / (n.toDouble * n) * 1e6) / 1e6
+      val (gn, gt, gk) = rows(id)
+      assert(gn === n && gt === freq.size.toLong, s"doc $id counts")
+      assert(math.abs(gk - k) < 1e-9, s"doc $id K $gk vs $k")
+      // the defining property TTR lacks: concatenating a doc with itself
+      // doubles every frequency — K is unchanged: 1e4(4Σc²−2N)/4N² vs
+      // 1e4(Σc²−N)/N² differ only via the −N term halving... verify
+      // numerically on the doubled spectrum
+      val n2 = 2 * n
+      val k2 = 1e4 * (freq.values.map(c => 4L * c * c).sum - n2) / (n2.toDouble * n2)
+      val k1 = 1e4 * (freq.values.map(c => c * c).sum - n) / (n.toDouble * n)
+      assert(math.abs(k2 - k1) <= 1e4 / (2.0 * n) + 1e-9,
+        s"doc $id: doubling moved K beyond its 1/(2N) term: $k1 -> $k2")
+    }
+  }
+
+  test("stat_kendalls_w: W replays brute average-ranks with tie correction; bounds hold") {
+    val r = q("stat_kendalls_w").collect().head
+    val daily = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("ts").cast("date").cast("string").as("day"), col("event_type"))
+      .collect().map(x => (x.getString(0), x.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val types = daily.keys.map(_._2).toSeq.distinct.sorted
+    val allDays = daily.keys.map(_._1).toSeq.distinct
+    val good = allDays.filter(d => types.forall(t => daily.contains((d, t)))).sorted
+    val m = types.size; val n = good.size
+    // average ranks within each judge, tie correction
+    var tt = 0L
+    val rsum = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+    types.foreach { t =>
+      val vals = good.map(d => d -> daily((d, t)))
+      val byC = vals.groupBy(_._2)
+      byC.foreach { case (_, g) => val s2 = g.size.toLong; tt += s2 * s2 * s2 - s2 }
+      val sortedC = byC.keys.toSeq.sorted
+      var cum = 0L
+      sortedC.foreach { c =>
+        val g = byC(c)
+        val avg = cum + (g.size + 1) / 2.0
+        g.foreach { case (d, _) => rsum(d) += avg }
+        cum += g.size
+      }
+    }
+    val mean = m * (n + 1) / 2.0
+    val sS = good.map(d => { val x = rsum(d) - mean; x * x }).sum
+    val w = 12.0 * sS / (m.toLong * m * (n.toLong * n * n - n) - m * tt)
+    assert(r.getLong(0) === n.toLong && r.getLong(1) === m.toLong)
+    assert(math.abs(r.getDouble(2) - w) < 1e-6, s"W ${r.getDouble(2)} vs $w")
+    assert(w >= -1e-9 && w <= 1 + 1e-9, "W must sit in [0,1]")
+    assert(math.abs(r.getDouble(3) - m * (n - 1) * w) < 1e-4, "chi2 = m(n-1)W")
+  }
+
+  test("ts_sample_entropy: A/B counts replay a brute O(n^2) template match") {
+    val r = q("ts_sample_entropy").collect().head
+    val xs = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("ts").cast("date").cast("string").as("day"))
+      .collect().map(_.getString(0))
+      .groupBy(identity).toSeq.sortBy(_._1).map(_._2.length.toLong).toArray
+    val n = xs.length
+    val sx = xs.sum; val sxx = xs.map(x => x * x).sum
+    val rr = math.rint(0.2 * math.sqrt((n * sxx - sx * sx).toDouble / (n.toLong * n)) * 1e6) / 1e6
+    var a = 0L; var b = 0L
+    for (i <- 0 until n - 2; j <- i + 1 until n - 2) {
+      val m2 = math.max(math.abs(xs(i) - xs(j)), math.abs(xs(i + 1) - xs(j + 1)))
+      if (m2.toDouble <= rr) {
+        b += 1
+        if (math.abs(xs(i + 2) - xs(j + 2)).toDouble <= rr) a += 1
+      }
+    }
+    assert(r.getLong(0) === n.toLong && math.abs(r.getDouble(1) - rr) < 1e-9)
+    assert(r.getLong(2) === b && r.getLong(3) === a, s"B/A ${r.getLong(2)}/${r.getLong(3)} vs $b/$a")
+    if (a > 0) assert(math.abs(r.getDouble(4) - (-math.log(a.toDouble / b))) < 1e-6)
+  }
+
+  test("stat_ansari_bradley: AB replays brute folded average ranks") {
+    val r = q("stat_ansari_bradley").collect().head
+    val pool = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type").isin("view", "click"))
+      .select(round(col("value"), 6).as("v"), col("event_type")).collect()
+      .map(x => (x.getDouble(0), x.getString(1) == "view"))
+    val n = pool.length; val m = pool.count(_._2)
+    val byV = pool.groupBy(_._1)
+    val sortedV = byV.keys.toSeq.sorted
+    var cum = 0L; var ab = 0.0
+    sortedV.foreach { v =>
+      val g = byV(v)
+      val avgRank = cum + (g.size + 1) / 2.0
+      val score = math.min(avgRank, n + 1 - avgRank)
+      ab += score * g.count(_._2)
+      cum += g.size
+    }
+    assert(r.getLong(0) === m.toLong && r.getLong(1) === (n - m).toLong)
+    assert(math.abs(r.getDouble(2) - ab) < 1e-6, s"AB ${r.getDouble(2)} vs $ab")
+    val (mu, vr) =
+      if (n % 2 == 0)
+        (m.toDouble * (n + 2) / 4.0,
+         m.toDouble * (n - m) * (n + 2) * (n - 2) / ((n - 1) * 48.0))
+      else
+        (m.toDouble * (n + 1) * (n + 1) / (n * 4.0),
+         m.toDouble * (n - m) * (n + 1) * (n.toDouble * n + 3.0) / (n.toDouble * n * 48.0))
+    assert(math.abs(r.getDouble(3) - (ab - mu) / math.sqrt(vr)) < 1e-6)
+  }
+
+  test("ts_croston: z and p replay the sequential SES recursions per type") {
+    val rows = q("ts_croston").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        Option(r.get(3)).map(_ => r.getDouble(3)),
+        Option(r.get(4)).map(_ => r.getDouble(4))))).toMap
+    val daily = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"), col("ts").cast("date").cast("string").as("day"))
+      .collect().map(x => (x.getString(0), x.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toDouble).toMap
+    def ses(vs: Seq[Double]): Double = vs.tail.foldLeft(vs.head)((acc, x) => 0.3 * x + 0.7 * acc)
+    daily.keys.map(_._1).toSeq.distinct.foreach { t =>
+      val days = daily.keys.filter(_._1 == t).map(_._2).toSeq.sorted
+      val qs = days.map(d => daily((t, d)))
+      val gaps = days.sliding(2).collect { case Seq(a, b) =>
+        java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse(a), java.time.LocalDate.parse(b)).toDouble
+      }.toSeq
+      val (gn, gz, gp, gr) = rows(t)
+      assert(gn === days.size.toLong)
+      assert(math.abs(gz - math.rint(ses(qs) * 1e6) / 1e6) < 1e-9, s"$t z")
+      if (days.size < 2) assert(gp.isEmpty && gr.isEmpty)
+      else {
+        assert(math.abs(gp.get - math.rint(ses(gaps) * 1e6) / 1e6) < 1e-9, s"$t p")
+        assert(math.abs(gr.get - ses(qs) / ses(gaps)) < 1e-5, s"$t rate")
+      }
+    }
+  }
+
+  test("mm_dominant_color: bins replay the raster formula (codec-independent) and counts bound by the raster size") {
+    val rows = q("mm_dominant_color").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    docs.foreach { case (id, text) =>
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = bytes.length
+      val w = 8 + n % 9; val h = 8 + n % 7
+      val bins = new Array[Long](64)
+      (0 until w * h).foreach { i =>
+        val r = bytes(i % n) & 0xff; val g = (i * 31 + 7) % 256; val b = (r + g) % 256
+        bins((r / 64) * 16 + (g / 64) * 4 + b / 64) += 1
+      }
+      val expect = bins.zipWithIndex.filter(_._1 > 0)
+        .sortBy { case (c, bin) => (-c, bin) }.take(3).zipWithIndex
+        .map { case ((c, bin), i) => (id, i + 1, bin.toLong, c) }.toSeq
+      assert(rows(id).toSeq.sortBy(_._2) === expect, s"doc $id palette")
+      assert(rows(id).map(_._4).sum <= w.toLong * h, s"doc $id counts exceed raster")
+    }
+  }
+
+  test("vec_cluster_nmi: information bounds hold and dimensions match vec_kmeans") {
+    val r = q("vec_cluster_nmi").collect().head
+    val nVecs = r.getLong(0); val mi = r.getDouble(3)
+    val hc = r.getDouble(4); val hl = r.getDouble(5); val nmi = r.getDouble(6)
+    assert(nVecs === spark.read.parquet(s"$sf/embeddings.parquet").count())
+    assert(hc > 0 && hl > 0, "degenerate entropies")
+    // MI ≤ min(H_C, H_L) up to the 6-dp term gridding; NMI in [0, 1]
+    assert(mi >= -1e-4 && mi <= math.min(hc, hl) + 1e-3, s"MI $mi vs H($hc, $hl)")
+    assert(nmi >= -1e-6 && nmi <= 1 + 1e-6, s"NMI $nmi out of [0,1]")
+    val kclusters = q("vec_kmeans").collect().map(_.getInt(0)).distinct.length
+    assert(r.getLong(1) === kclusters.toLong, "cluster count must match vec_kmeans")
+  }
+
   test("stat_cramers_v: V replays from a brute contingency table and sits in [0,1]") {
     val r = q("stat_cramers_v").collect().head
     val nat = spark.read.parquet(s"$sf/nation.parquet")

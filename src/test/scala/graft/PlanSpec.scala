@@ -1033,7 +1033,11 @@ class PlanSpec extends SparkSuite {
       "stat_cohens_h" -> "theta self-join of a broadcast 5-row segment-count frame (<=25 pairs, stat_proportions_ztest's shape)",
       "profile_skew_report" -> "per-key summary and bucket-max compose via broadcast 1-row crossJoins (three keys)",
       "recs_coverage_diversity" -> "composes broadcast 1-row totals/gini frames via crossJoins over the bounded recommended-item domain",
-      "lm_mixture_temperature" -> "crossJoin against the broadcast 1-row corpus-token total over the |sources|-grain frame")
+      "lm_mixture_temperature" -> "crossJoin against the broadcast 1-row corpus-token total over the |sources|-grain frame",
+      "stat_kendalls_w" -> "crossJoins compose broadcast 1-row judge-count/tie-correction/moment frames over the day-grain rank sums",
+      "ts_sample_entropy" -> "day-grain n^2 template self-join (stat_distance_corr's license) + broadcast 1-row tolerance frame",
+      "stat_ansari_bradley" -> "crossJoin against a broadcast 1-row pooled-count frame over the value-grain frame (stat_brunner_munzel's shape)",
+      "vec_cluster_nmi" -> "crossJoin against a broadcast 1-row total over the <=8x|labels| contingency grain")
     val sf = "/root/testdata/sf0.001"
     val offenders = sweepPlans {
       case (name, _) if boundedByConstruction.contains(name) => None
@@ -1244,7 +1248,9 @@ class PlanSpec extends SparkSuite {
       "vec_ivf_balance" -> "IVF-cell grain: bounded centroid count",
       "vec_pca_power" -> "embedding-dimension grain: 64 rows",
       "vec_rrf_fusion" -> "fused candidate grain: union of bounded top-k lists",
-      "win_skyline_2d" -> "distinct-price value grain (cents grid bounds the domain)")
+      "win_skyline_2d" -> "distinct-price value grain (cents grid bounds the domain)",
+      "stat_ansari_bradley" -> "distinct-value grain (stat_mannwhitney's decimal-gridded domain)",
+      "ts_sample_entropy" -> "calendar-day grain (template series)")
     def globalWindows(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
       val self = p match {
         case w: org.apache.spark.sql.execution.window.WindowExec

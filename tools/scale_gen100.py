@@ -12,7 +12,7 @@ rehearsed at x10 — this dataset exists for the sketch/ANN family).
 
 Derived settings this corpus must exercise (asserted by the rehearsal):
   embeddings 200k -> lshPlaneCount = 15 (8 << 15 >= 200k)
-  documents  500k -> minhash bandRows = 5 (256*4^5 >= 500k),
+  documents  500k -> minhash bandRows = 6 / K = 24 (256*4^6 >= 500k),
                      simhashBucketBits = 14 (32 << 14 >= 500k),
                      phashBandCount = 3 (8 << 15 < 500k)
 
