@@ -3930,6 +3930,57 @@ object AnalyticsOps {
         round(ssb / sst, 6).as("eta_sq"))
     }),
 
+    // Two-way factorial ANOVA (event_type × weekday, interaction
+    // included) on event value — "does the type effect DEPEND on the day
+    // of week?", the question k one-way ANOVAs can't answer without
+    // inflating error. Weighted cell-means decomposition (exact for
+    // balanced designs, the textbook Type-I form; documented as
+    // descriptive under imbalance): SS_A/SS_B from the margins,
+    // SS_AB = SS_cells − SS_A − SS_B, SS_W = Σy² − SS_cells' raw term.
+    // One fact pass to the ≤5×7 cell grain (pinned; margins fold the
+    // cells, never the fact), decimal-exact sums, each Σ(S²/n) term
+    // 6-dp-gridded before its order-free decimal sum (stat_anova's
+    // discipline), F ratios as one final double tree.
+    "stat_anova_two_way" -> ((s, dir) => {
+      val cells = events(s, dir)
+        .groupBy(col("event_type").as("a"),
+          expr("weekday(CAST(ts AS DATE))").as("b"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).as("sv"),
+          sum(dec(col("value")) * dec(col("value"))).as("svv"))
+        .transform(RoundPin.pin)
+      def sqTerm(sv: Column, n: Column): Column =
+        dec(round(sv.cast("double") * sv.cast("double") / n, 6))
+      val aM = cells.groupBy(col("a"))
+        .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
+        .agg(count(lit(1)).as("ka"),
+          sum(sqTerm(col("sv"), col("n"))).cast("double").as("sa"))
+      val bM = cells.groupBy(col("b"))
+        .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
+        .agg(count(lit(1)).as("kb"),
+          sum(sqTerm(col("sv"), col("n"))).cast("double").as("sb"))
+      val g = cells.agg(sum(col("n")).as("nt"), sum(col("sv")).as("svt"),
+        sum(col("svv")).cast("double").as("svvt"),
+        count(lit(1)).as("ncells"),
+        sum(sqTerm(col("sv"), col("n"))).cast("double").as("scc"))
+      val j = g.crossJoin(broadcast(aM)).crossJoin(broadcast(bM))
+      val cf = col("svt").cast("double") * col("svt").cast("double") / col("nt")
+      val ssA = col("sa") - cf
+      val ssB = col("sb") - cf
+      val ssAB = col("scc") - col("sa") - col("sb") + cf
+      val ssW = col("svvt") - col("scc")
+      val dfA = col("ka") - 1; val dfB = col("kb") - 1
+      val dfAB = (col("ka") - 1) * (col("kb") - 1)
+      val dfW = col("nt") - col("ncells")
+      def f(ss: Column, df: Column): Column =
+        round((ss / df.cast("double")) / (ssW / dfW.cast("double")), 6)
+      j.select(col("nt").as("n"), col("ka").as("a_levels"), col("kb").as("b_levels"),
+        f(ssA, dfA).as("f_type"), f(ssB, dfB).as("f_weekday"),
+        f(ssAB, dfAB).as("f_interaction"),
+        round(ssA / (col("svvt") - cf), 6).as("eta_sq_type"),
+        round(ssB / (col("svvt") - cf), 6).as("eta_sq_weekday"))
+    }),
+
     // Per-node clustering coefficient on the co-purchase graph: how
     // close each node's neighborhood is to a clique (cc = closed
     // wedges / possible wedges) — the local-density profile behind
@@ -4366,6 +4417,46 @@ object AnalyticsOps {
       m.withColumn("rk", row_number().over(wR)).filter(col("rk") <= 3)
         .select(col("event_type"), col("p").cast("long").as("period"), col("power"))
         .orderBy(col("event_type"), col("period"))
+    }),
+
+    // Fisher's g test for hidden periodicity — "is the periodogram's
+    // peak REAL or just the largest of n noise ordinates?", the
+    // significance gate ts_periodogram's raw top-3 can't answer (every
+    // series has a largest peak): g = max ordinate / Σ ordinates over
+    // the SAME gridded-term periodogram construction, with the exact
+    // null tail P(G > g) ≈ n·(1−g)^(n−1) (the first Bonferroni term of
+    // Fisher's exact distribution — conservative, standard practice).
+    // Same decimal-summed cos/sin terms as ts_periodogram, so the two
+    // stay mutually consistent by construction.
+    "ts_fisher_g" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val td = daily.withColumn("t",
+        row_number().over(Window.partitionBy(col("event_type")).orderBy(col("day"))))
+      val ang = col("t").cast("double") * (lit(2.0) * lit(math.Pi)) / col("p")
+      val m = td.withColumn("p", explode(sequence(lit(2), lit(14))))
+        .withColumn("ca", round(col("c") * cos(ang), 6))
+        .withColumn("sa", round(col("c") * sin(ang), 6))
+        .groupBy(col("event_type"), col("p"))
+        .agg(sum(dec(col("ca"))).cast("double").as("aa"),
+          sum(dec(col("sa"))).cast("double").as("bb"))
+        .select(col("event_type"), col("p"),
+          round(col("aa") * col("aa") + col("bb") * col("bb"), 6).as("power"))
+      val wR = Window.partitionBy(col("event_type"))
+        .orderBy(col("power").desc, col("p"))
+      m.withColumn("rk", row_number().over(wR))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_periods"),
+          max(when(col("rk") === 1, col("p"))).cast("long").as("peak_period"),
+          max(when(col("rk") === 1, col("power"))).as("pk"),
+          sum(dec(col("power"))).cast("double").as("tot"))
+        .select(col("event_type"), col("n_periods"), col("peak_period"),
+          round(col("pk") / col("tot"), 6).as("g"),
+          round(col("n_periods").cast("double") *
+            pow(lit(1.0) - col("pk") / col("tot"),
+              col("n_periods").cast("double") - 1), 6).as("p_value"))
+        .orderBy(col("event_type"))
     }),
 
     // Partial correlation r_xy·z between daily view and purchase counts
@@ -10719,6 +10810,43 @@ object AnalyticsOps {
            FROM m)
          SELECT event_type, CAST(p AS BIGINT) AS period, power
          FROM r WHERE rk <= 3 ORDER BY event_type, period""",
+    "ts_fisher_g" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS c
+           FROM events GROUP BY 1, 2),
+         td AS (
+           SELECT event_type, c,
+                  row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+           FROM daily),
+         e AS (
+           SELECT event_type, c, t, CAST(p.range AS INTEGER) AS p
+           FROM td CROSS JOIN range(2, 15) p),
+         terms AS (
+           SELECT event_type, p,
+                  round(c * cos(CAST(t AS DOUBLE) * (2.0 * pi()) / p), 6) AS ca,
+                  round(c * sin(CAST(t AS DOUBLE) * (2.0 * pi()) / p), 6) AS sa
+           FROM e),
+         m AS (
+           SELECT event_type, p,
+                  CAST(sum(CAST(ca AS DECIMAL(18,6))) AS DOUBLE) AS aa,
+                  CAST(sum(CAST(sa AS DECIMAL(18,6))) AS DOUBLE) AS bb
+           FROM terms GROUP BY 1, 2),
+         r AS (
+           SELECT event_type, p, round(aa * aa + bb * bb, 6) AS power,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY round(aa * aa + bb * bb, 6) DESC, p) AS rk
+           FROM m),
+         a0 AS (
+           SELECT event_type, count(1) AS n_periods,
+                  CAST(max(CASE WHEN rk = 1 THEN p END) AS BIGINT) AS peak_period,
+                  max(CASE WHEN rk = 1 THEN power END) AS pk,
+                  CAST(sum(CAST(power AS DECIMAL(18,6))) AS DOUBLE) AS tot
+           FROM r GROUP BY 1)
+         SELECT event_type, n_periods, peak_period,
+                round(pk / tot, 6) AS g,
+                round(CAST(n_periods AS DOUBLE)
+                      * pow(1.0 - pk / tot, CAST(n_periods AS DOUBLE) - 1), 6) AS p_value
+         FROM a0 ORDER BY event_type""",
     "ts_spectral_entropy" ->
       """WITH daily AS (
            SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS c
@@ -11076,6 +11204,48 @@ object AnalyticsOps {
                 round(CAST(sum(ae) AS DOUBLE) / count(1), 6) AS mae,
                 round(CAST(sum(CAST(ape AS DECIMAL(18,6))) AS DOUBLE) / count(1), 6) AS mape
          FROM j GROUP BY event_type ORDER BY event_type""",
+    "stat_anova_two_way" ->
+      """WITH cells AS (
+           SELECT event_type AS a,
+                  CAST(isodow(CAST(ts AS DATE)) - 1 AS INTEGER) AS b,
+                  count(1) AS n,
+                  sum(CAST(value AS DECIMAL(19,6))) AS sv,
+                  sum(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6))) AS svv
+           FROM events GROUP BY 1, 2),
+         am AS (
+           SELECT count(1) AS ka,
+                  CAST(sum(CAST(round(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n, 6)
+                    AS DECIMAL(18,6))) AS DOUBLE) AS sa
+           FROM (SELECT a, CAST(sum(n) AS BIGINT) AS n, sum(sv) AS sv
+                 FROM cells GROUP BY 1)),
+         bm AS (
+           SELECT count(1) AS kb,
+                  CAST(sum(CAST(round(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n, 6)
+                    AS DECIMAL(18,6))) AS DOUBLE) AS sb
+           FROM (SELECT b, CAST(sum(n) AS BIGINT) AS n, sum(sv) AS sv
+                 FROM cells GROUP BY 1)),
+         g AS (
+           SELECT CAST(sum(n) AS BIGINT) AS nt, sum(sv) AS svt,
+                  CAST(sum(svv) AS DOUBLE) AS svvt, count(1) AS ncells,
+                  CAST(sum(CAST(round(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n, 6)
+                    AS DECIMAL(18,6))) AS DOUBLE) AS scc
+           FROM cells),
+         j AS (SELECT * FROM g CROSS JOIN am CROSS JOIN bm)
+         SELECT nt AS n, ka AS a_levels, kb AS b_levels,
+                round(((sa - CAST(svt AS DOUBLE) * CAST(svt AS DOUBLE) / nt) / (ka - 1))
+                      / ((svvt - scc) / (nt - ncells)), 6) AS f_type,
+                round(((sb - CAST(svt AS DOUBLE) * CAST(svt AS DOUBLE) / nt) / (kb - 1))
+                      / ((svvt - scc) / (nt - ncells)), 6) AS f_weekday,
+                round(((scc - sa - sb + CAST(svt AS DOUBLE) * CAST(svt AS DOUBLE) / nt)
+                       / ((ka - 1) * (kb - 1)))
+                      / ((svvt - scc) / (nt - ncells)), 6) AS f_interaction,
+                round((sa - CAST(svt AS DOUBLE) * CAST(svt AS DOUBLE) / nt)
+                      / (svvt - CAST(svt AS DOUBLE) * CAST(svt AS DOUBLE) / nt), 6)
+                  AS eta_sq_type,
+                round((sb - CAST(svt AS DOUBLE) * CAST(svt AS DOUBLE) / nt)
+                      / (svvt - CAST(svt AS DOUBLE) * CAST(svt AS DOUBLE) / nt), 6)
+                  AS eta_sq_weekday
+         FROM j""",
     "stat_anova" ->
       """WITH m AS (
            SELECT c_mktsegment AS seg, count(1) AS n,

@@ -121,6 +121,41 @@ object Multimodal {
       .map { case ((n, bin), i) => DomColor(docId, i + 1, bin.toLong, n) }.toSeq
   }
 
+  case class Letterbox(doc_id: Long, n_border: Long, modal_bin: Long,
+      modal_n: Long, uniformity: Double)
+
+  /** REAL decode → border-frame palette concentration: the RGB-222 bin
+    * counts over the image's 1-pixel border, the modal bin under a
+    * (count desc, bin asc) total order, and uniformity = modal/|border|.
+    * A letterboxed/pillarboxed or solid-padded image reads near 1.0 —
+    * the crop-before-train screen an image-curation pipeline runs before
+    * mm_resize bakes the padding into every thumbnail. Integer counts;
+    * the one division rounds at 6 dp. */
+  def letterboxStats(docId: Long, png: Array[Byte]): Letterbox = {
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    val w = img.getWidth; val h = img.getHeight
+    val bins = new Array[Long](64)
+    var nb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (x == 0 || x == w - 1 || y == 0 || y == h - 1) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          bins((r / 64) * 16 + (g / 64) * 4 + b / 64) += 1
+          nb += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val (mn, mb) = bins.zipWithIndex.map { case (n, b) => (n, b) }
+      .maxBy { case (n, b) => (n, -b) }
+    Letterbox(docId, nb, mb.toLong, mn,
+      math.rint(mn.toDouble / nb * 1e6) / 1e6)
+  }
+
   case class Thumb(doc_id: Long, width: Int, height: Int, thumb: Array[Long])
 
   /** REAL resize input: decode the PNG, then block-mean the red channel
@@ -419,6 +454,21 @@ object Multimodal {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
+    // Border-frame palette concentration (letterbox/pillarbox/solid-pad
+    // screen): modal RGB-222 bin share over each image's 1-pixel border
+    // through the real encode→decode round trip — near-1.0 uniformity
+    // means padding that mm_resize would bake into every thumbnail.
+    "mm_letterbox_detect" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      media.mapPartitions(_.map { case (id, bytes) =>
+          letterboxStats(id, encodePng(bytes)) })
+        .toDF()
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-channel normalization statistics (mean/std per RGB channel) —
     // what an image-training pipeline computes over its corpus before
     // standardizing inputs, through the SAME real encode→decode round
@@ -612,6 +662,36 @@ object Multimodal {
                 array_to_string(list_transform(range(0, 16),
                   k -> CAST(len(list_filter(rbins, x -> x = k)) AS VARCHAR)), ',') AS histo
          FROM feat ORDER BY doc_id""",
+    "mm_letterbox_detect" ->
+      """WITH dims AS (
+           SELECT doc_id, strlen(text) AS n,
+                  8 + strlen(text) % 9 AS w, 8 + strlen(text) % 7 AS h, text
+           FROM documents),
+         px0 AS (
+           SELECT doc_id, n, w, h, text, unnest(range(0, w * h)) AS i FROM dims),
+         px AS (
+           SELECT doc_id,
+                  CAST(ord(text[CAST(i % n AS INTEGER) + 1]) AS BIGINT) AS r,
+                  (i * 31 + 7) % 256 AS g
+           FROM px0
+           WHERE i % w = 0 OR i % w = w - 1 OR i // w = 0 OR i // w = h - 1),
+         bins AS (
+           SELECT doc_id,
+                  (r // 64) * 16 + (g // 64) * 4 + ((r + g) % 256) // 64 AS bin,
+                  count(1) AS n_bin
+           FROM px GROUP BY 1, 2),
+         tot AS (SELECT doc_id, CAST(sum(n_bin) AS BIGINT) AS n_border
+                 FROM bins GROUP BY 1),
+         modal AS (
+           SELECT doc_id, bin, n_bin FROM (
+             SELECT doc_id, bin, n_bin,
+                    row_number() OVER (PARTITION BY doc_id
+                      ORDER BY n_bin DESC, bin) AS rk
+             FROM bins) WHERE rk = 1)
+         SELECT t.doc_id, t.n_border, CAST(m.bin AS BIGINT) AS modal_bin,
+                CAST(m.n_bin AS BIGINT) AS modal_n,
+                round(CAST(m.n_bin AS DOUBLE) / t.n_border, 6) AS uniformity
+         FROM tot t JOIN modal m USING (doc_id) ORDER BY t.doc_id""",
     "mm_dominant_color" ->
       """WITH dims AS (
            SELECT doc_id, strlen(text) AS n,

@@ -239,6 +239,36 @@ object Streams {
         .orderBy(col("w_start_s"), col("event_type"))
     }),
 
+    // Streaming histogram quantiles — per tumbling hour, p50/p95 as
+    // fixed-bin histogram edges (50 × width-10 bins over the value
+    // domain): the bounded-state way to serve latency/value percentiles
+    // from a stream — exact quantiles need the window's full value
+    // multiset in state, a histogram needs 50 counters per window at ANY
+    // event rate. The STREAM side is the windowed bin count through the
+    // complete-mode memory sink; the quantile fold is a batch rank over
+    // the (window × ≤50 bins) grain, integer-exact (2·cum ≥ n and
+    // 20·cum ≥ 19·n avoid float thresholds).
+    "stream_hist_quantile" -> ((s, dir) => {
+      val binned = runToTable(s, s2 => eventsStream(s2, dir)
+        .withColumn("bin", least(lit(49L), floor(col("value") / 10).cast("long")))
+        .groupBy(window(col("ts"), "1 hour"), col("bin"))
+        .agg(count(lit(1)).as("n")),
+        "mem_histq", "complete")
+        .select(unix_timestamp(col("window.start")).as("w_start_s"),
+          col("bin"), col("n"))
+      val wW = Window.partitionBy(col("w_start_s")).orderBy(col("bin"))
+      val tot = Window.partitionBy(col("w_start_s"))
+      binned
+        .withColumn("cum", sum(col("n")).over(
+          wW.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("nt", sum(col("n")).over(tot))
+        .groupBy(col("w_start_s"))
+        .agg(max(col("nt")).as("n"),
+          (min(when(col("cum") * 2 >= col("nt"), col("bin"))) * 10.0).as("p50_edge"),
+          (min(when(col("cum") * 20 >= col("nt") * 19, col("bin"))) * 10.0).as("p95_edge"))
+        .orderBy(col("w_start_s"))
+    }),
+
     // Windowed pivot — the wide per-window metrics row every streaming
     // dashboard reads (one row per hour, one column per event type).
     // Structured Streaming rejects `.pivot` on a streaming frame, so the
@@ -505,6 +535,22 @@ object Streams {
          count(1) AS n,
          round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
          FROM events GROUP BY 1, 2 ORDER BY w_start_s, event_type""",
+    "stream_hist_quantile" ->
+      """WITH b AS (
+           SELECT (epoch_us(ts) // 3600000000) * 3600 AS w_start_s,
+                  least(49, CAST(floor(value / 10) AS BIGINT)) AS bin,
+                  count(1) AS n
+           FROM events GROUP BY 1, 2),
+         c AS (
+           SELECT w_start_s, bin, n,
+                  sum(n) OVER (PARTITION BY w_start_s ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                  sum(n) OVER (PARTITION BY w_start_s) AS nt
+           FROM b)
+         SELECT w_start_s, CAST(max(nt) AS BIGINT) AS n,
+                min(CASE WHEN cum * 2 >= nt THEN bin END) * 10.0 AS p50_edge,
+                min(CASE WHEN cum * 20 >= nt * 19 THEN bin END) * 10.0 AS p95_edge
+         FROM c GROUP BY w_start_s ORDER BY w_start_s""",
     "stream_windowed_pivot" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600 AS w_start_s,
          CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

@@ -5186,6 +5186,80 @@ class PropertySpec extends SparkSuite {
     assert(r.getLong(1) === kclusters.toLong, "cluster count must match vec_kmeans")
   }
 
+  test("ts_fisher_g: g replays the periodogram fold; significance is max-share by construction") {
+    val rows = q("ts_fisher_g").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val pg = q("ts_periodogram").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    rows.foreach { case (et, (np, peak, g, p)) =>
+      assert(np === 13L, "period grid 2..14")
+      assert(g > 0 && g <= 1 + 1e-9, s"$et: g $g out of (0,1]")
+      assert(p >= 0, s"$et: negative p")
+      // the reported peak must be ts_periodogram's rank-1 period for the
+      // same series (mutual consistency of the shared construction)
+      val top = pg.filter(_._1 == et).maxBy(x => (x._3, -x._2))
+      assert(top._2 === peak, s"$et: peak $peak vs periodogram top ${top._2}")
+    }
+  }
+
+  test("stat_anova_two_way: decomposition replays brute weighted cell means; SS components reconcile") {
+    val r = q("stat_anova_two_way").collect().head
+    val rowsE = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"),
+        expr("weekday(CAST(ts AS DATE))").as("b"), col("value")).collect()
+      .map(x => ((x.getString(0), x.getInt(1)), BigDecimal(x.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+    def grid6(d: Double) = math.rint(d * 1e6) / 1e6
+    val cells = rowsE.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    def sqSum(groups: Iterable[Seq[BigDecimal]]): Double =
+      groups.map { g =>
+        val sv = g.sum.toDouble
+        BigDecimal(grid6(sv * sv / g.size)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+    val scc = sqSum(cells.values)
+    val sa = sqSum(cells.toSeq.groupBy(_._1._1).values.map(_.flatMap(_._2)))
+    val sb = sqSum(cells.toSeq.groupBy(_._1._2).values.map(_.flatMap(_._2)))
+    val nt = rowsE.length
+    val svt = rowsE.map(_._2).sum.toDouble
+    val svvt = rowsE.map(v => v._2 * v._2).sum.toDouble
+    val cf = svt * svt / nt
+    val ka = cells.keys.map(_._1).toSeq.distinct.size
+    val kb = cells.keys.map(_._2).toSeq.distinct.size
+    val ssW = svvt - scc
+    def f(ss: Double, df: Long): Double = (ss / df) / (ssW / (nt - cells.size))
+    assert(r.getLong(0) === nt.toLong && r.getLong(1) === ka.toLong && r.getLong(2) === kb.toLong)
+    assert(math.abs(r.getDouble(3) - f(sa - cf, ka - 1)) < 1e-4, "F_type")
+    assert(math.abs(r.getDouble(4) - f(sb - cf, kb - 1)) < 1e-4, "F_weekday")
+    assert(math.abs(r.getDouble(5) - f(scc - sa - sb + cf, (ka - 1).toLong * (kb - 1))) < 1e-4,
+      "F_interaction")
+    // SS reconciliation: A + B + AB + W = total (cell-means identity)
+    val lhs = (sa - cf) + (sb - cf) + (scc - sa - sb + cf) + ssW
+    assert(math.abs(lhs - (svvt - cf)) < 1e-3, "SS components must sum to SS_total")
+  }
+
+  test("mm_letterbox_detect: border stats replay the raster formula (codec-independent)") {
+    val rows = q("mm_letterbox_detect").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    docs.foreach { case (id, text) =>
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = bytes.length; val w = 8 + n % 9; val h = 8 + n % 7
+      val bins = new Array[Long](64); var nb = 0L
+      (0 until w * h).foreach { i =>
+        val x = i % w; val y = i / w
+        if (x == 0 || x == w - 1 || y == 0 || y == h - 1) {
+          val r = bytes(i % n) & 0xff; val g = (i * 31 + 7) % 256; val b = (r + g) % 256
+          bins((r / 64) * 16 + (g / 64) * 4 + b / 64) += 1; nb += 1
+        }
+      }
+      val (mn, mb) = bins.zipWithIndex.maxBy { case (c, bin) => (c, -bin) }
+      val (gn, gb, gm, gu) = rows(id)
+      assert(gn === nb && gb === mb.toLong && gm === mn, s"doc $id border stats")
+      assert(math.abs(gu - math.rint(mn.toDouble / nb * 1e6) / 1e6) < 1e-9, s"doc $id uniformity")
+      assert(nb === 2L * (w + h) - 4, s"doc $id border size")
+    }
+  }
+
   test("stat_cramers_v: V replays from a brute contingency table and sits in [0,1]") {
     val r = q("stat_cramers_v").collect().head
     val nat = spark.read.parquet(s"$sf/nation.parquet")
