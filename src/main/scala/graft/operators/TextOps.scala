@@ -1706,6 +1706,35 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // DEFLATE compression ratio per document — the Gopher/FineWeb-class
+    // quality screen the surface heuristics approximate (machine-
+    // generated/templated text compresses far below natural prose;
+    // binary-ish noise barely compresses): the REAL java.util.zip
+    // Deflater (level 6, raw stream) on executors, per-doc and
+    // embarrassingly parallel at any corpus scale — the mm_* real-codec
+    // discipline applied to text. zlib has no DuckDB twin, so this
+    // joins the declared no-oracle set: the spec recomputes every row
+    // through the same codec independently and pins planted
+    // repetitive-vs-unique behavior.
+    "text_compression_ratio" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val defl = new java.util.zip.Deflater(6, true)
+          defl.setInput(raw); defl.finish()
+          val buf = new Array[Byte](raw.length * 2 + 64)
+          var n = 0
+          while (!defl.finished()) n += defl.deflate(buf, n, buf.length - n)
+          defl.end()
+          (id, raw.length.toLong, n.toLong,
+            math.rint(n.toDouble / raw.length * 1e6) / 1e6)
+        })
+        .toDF("doc_id", "n_raw", "n_deflate", "ratio")
+        .orderBy(col("doc_id"))
+    }),
+
     // Importance sampling under a length-proportional inclusion
     // probability — the curation primitive between uniform sample_split
     // and the hard corpus_token_budget cut: keep each document with

@@ -793,6 +793,41 @@ object VectorOps {
         .orderBy(col("probe_id"), col("rn"))
     }),
 
+    // Recall@k CURVE of the LSH tier vs exact ground truth (k = 1, 3, 5)
+    // — vec_ann_recall grades the IVF tier at one k; serving decisions
+    // need the curve (recall@1 may be fine while recall@5 collapses, or
+    // vice versa — the shape says whether to raise probes or planes).
+    // Exact tier: bounded 8-probe broadcast pass (vec_knn_join's
+    // license); LSH tier: the SAME bucketed candidates vec_lsh_ann
+    // serves. Both deterministic, so the whole curve is hash-oracled.
+    "vec_recall_curve" -> ((s, dir) => {
+      val emb = embStore(s, dir)
+      val withBucket = emb.withColumn("bucket",
+        graft.functions.LshBucket.lsh_bucket(col("embedding"), lshPlanesFor(s, dir)))
+      val probes = withBucket.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("qv"),
+          col("bucket").as("pb"))
+      val wP = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+      val exact = emb.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("sim", round(cosine_sim(col("embedding"), col("qv")), 6))
+        .withColumn("rk_e", row_number().over(wP)).filter(col("rk_e") <= 5)
+        .select(col("probe_id"), col("vec_id"), col("rk_e"))
+      val lsh = withBucket.join(broadcast(probes),
+          col("bucket") === col("pb") && col("vec_id") =!= col("probe_id"))
+        .withColumn("sim", round(cosine_sim(col("embedding"), col("qv")), 6))
+        .withColumn("rk_l", row_number().over(wP)).filter(col("rk_l") <= 5)
+        .select(col("probe_id"), col("vec_id"), col("rk_l"))
+      val j = exact.join(lsh, Seq("probe_id", "vec_id"), "left")
+      j.withColumn("k", explode(array(lit(1), lit(3), lit(5))))
+        .groupBy(col("k"))
+        .agg(count(when(col("rk_e") <= col("k"), 1)).as("n_truth"),
+          count(when(col("rk_e") <= col("k") && col("rk_l") <= col("k"), 1)).as("n_hit"))
+        .select(col("k"), col("n_truth"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"))
+        .orderBy(col("k"))
+    }),
+
     // Incremental-ingest ANN tier: the newest ingest slice
     // (vec_id % 16 = 7, the deterministic stand-in for "this batch's
     // arrivals") probes the STANDING LSH bucket index — planes frozen
@@ -2187,6 +2222,38 @@ object VectorOps {
                           FROM b WHERE vec_id < 8) q
              ON e.bucket = q.bucket AND e.vec_id <> q.probe_id)
          WHERE rn <= 3 ORDER BY probe_id, rn""",
+    // exact tier + the lsh_ann candidate tier composed per k — the
+    // engine grades its own index, hash-compared (vec_ann_recall's
+    // precedent, widened to the k curve)
+    "vec_recall_curve" ->
+      s"""WITH $lshBucketsSql,
+         probes AS (
+           SELECT vec_id AS probe_id, embedding AS qv, bucket AS pb
+           FROM b WHERE vec_id < 8),
+         exact AS (
+           SELECT probe_id, vec_id, rk_e FROM (
+             SELECT p.probe_id, e.vec_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                 ORDER BY round(${cosSql("e.embedding", "p.qv")}, 6) DESC, e.vec_id) AS rk_e
+             FROM embeddings e CROSS JOIN probes p
+             WHERE e.vec_id <> p.probe_id)
+           WHERE rk_e <= 5),
+         lsh AS (
+           SELECT probe_id, vec_id, rk_l FROM (
+             SELECT p.probe_id, e.vec_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                 ORDER BY round(${cosSql("e.embedding", "p.qv")}, 6) DESC, e.vec_id) AS rk_l
+             FROM b e JOIN probes p ON e.bucket = p.pb AND e.vec_id <> p.probe_id)
+           WHERE rk_l <= 5),
+         j AS (
+           SELECT x.probe_id, x.vec_id, x.rk_e, l.rk_l
+           FROM exact x LEFT JOIN lsh l USING (probe_id, vec_id)),
+         kk AS (SELECT unnest([1, 3, 5]) AS k)
+         SELECT k, CAST(count(CASE WHEN rk_e <= k THEN 1 END) AS BIGINT) AS n_truth,
+                CAST(count(CASE WHEN rk_e <= k AND rk_l <= k THEN 1 END) AS BIGINT) AS n_hit,
+                round(CAST(count(CASE WHEN rk_e <= k AND rk_l <= k THEN 1 END) AS DOUBLE)
+                      / count(CASE WHEN rk_e <= k THEN 1 END), 6) AS recall
+         FROM kk CROSS JOIN j GROUP BY k ORDER BY k""",
     // the standing-index twin of the lsh_ann oracle: the plane count
     // derives from the RESIDENT count (vec_id % 16 <> 7) — bucketing
     // everything with those planes and filtering afterwards is

@@ -50,7 +50,7 @@ class OperatorSpec extends SparkSuite {
     val declaredNoOracle = Set(
       "agg_approx_distinct", "agg_approx_quantile", "agg_hll_merge",
       "dedup_minhash_recall", "dedup_simhash", "stream_dedup_near",
-      "text_dedup_near")
+      "text_dedup_near", "text_compression_ratio")
     val surveyIds = {
       val src = scala.io.Source.fromFile("SURVEY.md", "UTF-8")
       try src.getLines()
@@ -5258,6 +5258,66 @@ class PropertySpec extends SparkSuite {
       assert(math.abs(gu - math.rint(mn.toDouble / nb * 1e6) / 1e6) < 1e-9, s"doc $id uniformity")
       assert(nb === 2L * (w + h) - 4, s"doc $id border size")
     }
+  }
+
+  test("vec_recall_curve: cross-consistent with vec_lsh_ann at k=3; truth counts exact") {
+    val rows = q("vec_recall_curve").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.keySet === Set(1, 3, 5))
+    rows.foreach { case (k, (truth, hit, rec)) =>
+      assert(truth === 8L * k, s"k=$k: truth must be 8 probes x k")
+      assert(hit <= truth && rec >= 0 && rec <= 1)
+      assert(math.abs(rec - hit.toDouble / truth) < 1e-6) // rec is 6-dp-rounded
+    }
+    // k=3 hits replay from the REGISTERED queries: exact top-3 from a
+    // brute cosine pass, candidate top-3 from vec_lsh_ann itself
+    val lsh3 = q("vec_lsh_ann").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < 64) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      math.rint(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val probes = emb.filter(_._1 < 8)
+    val hits3 = probes.map { case (pid, qv) =>
+      val top3 = emb.filter(_._1 != pid).map { case (v, e) => (v, cos(qv, e)) }
+        .sortBy { case (v, s2) => (-s2, v) }.take(3).map(_._1).toSet
+      top3.count(v => lsh3.contains((pid, v)))
+    }.sum
+    assert(rows(3)._2 === hits3.toLong, s"k=3 hits ${rows(3)._2} vs brute $hits3")
+  }
+
+  test("text_compression_ratio: every row recomputes through the codec; planted repetitive text compresses harder") {
+    val rows = q("text_compression_ratio").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def deflate(text: String): (Long, Long) = {
+      val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val d = new java.util.zip.Deflater(6, true)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length * 2 + 64)
+      var n = 0
+      while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+      d.end()
+      (raw.length.toLong, n.toLong)
+    }
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .foreach { r =>
+        val (nr, nd) = deflate(r.getString(1))
+        val (gr, gd, ratio) = rows(r.getLong(0))
+        assert(gr === nr && gd === nd, s"doc ${r.getLong(0)} codec drift")
+        assert(math.abs(ratio - math.rint(nd.toDouble / nr * 1e6) / 1e6) < 1e-9)
+      }
+    // planted behavior: heavy repetition compresses far below a
+    // same-length unique-token document
+    val (_, repN) = deflate(Seq.fill(100)("the same phrase again").mkString(" "))
+    val uniq = (0 until 100).map(i => s"w${i}x${i * 7919}").mkString(" ")
+    val (uLen, uN) = deflate(uniq)
+    assert(repN.toDouble / (100 * 22) < 0.1, "repetitive text must compress hard")
+    assert(uN.toDouble / uLen > 0.3, "unique-token text must resist compression")
   }
 
   test("stat_cramers_v: V replays from a brute contingency table and sits in [0,1]") {
