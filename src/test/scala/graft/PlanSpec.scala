@@ -1038,7 +1038,8 @@ class PlanSpec extends SparkSuite {
       "ts_sample_entropy" -> "day-grain n^2 template self-join (stat_distance_corr's license) + broadcast 1-row tolerance frame",
       "stat_ansari_bradley" -> "crossJoin against a broadcast 1-row pooled-count frame over the value-grain frame (stat_brunner_munzel's shape)",
       "vec_cluster_nmi" -> "crossJoin against a broadcast 1-row total over the <=8x|labels| contingency grain",
-      "stat_anova_two_way" -> "crossJoins compose broadcast 1-row margin frames over the <=5x7 pinned cell grain")
+      "stat_anova_two_way" -> "crossJoins compose broadcast 1-row margin frames over the <=5x7 pinned cell grain",
+      "vec_recall_curve" -> "exact tier crossJoins the broadcast <=8-probe set (vec_knn_join's license)")
     val sf = "/root/testdata/sf0.001"
     val offenders = sweepPlans {
       case (name, _) if boundedByConstruction.contains(name) => None
