@@ -104,6 +104,23 @@ object Tables {
   def docCount(spark: SparkSession, sfDir: String): Long =
     docCountCache.getOrElseUpdate(sfDir, t(spark, sfDir, "documents").count())
 
+  // DISTINCT-content corpus size per (JVM, dir), memoized like docCount —
+  // the scale signal the pair-generating LSH families derive their
+  // banding from SINCE the exact-duplicate collapse (VERDICT r15 item 1):
+  // after collapse only one representative per lower(text) is banded, so
+  // bucket capacity must track distinct content, not raw rows (a
+  // 100×-copied crawl needs the BASE corpus's banding — deriving from raw
+  // rows would sharpen r and cost near-dup recall for nothing). Equal to
+  // docCount wherever the corpus is duplicate-free (every fixture and
+  // oracle scale — pins unchanged).
+  private val distinctDocCountCache = new ArtifactCache[java.lang.Long](
+    "distinct doc count",
+    _ => (), ArtifactCache.PerDir((s, d) => { distinctDocCount(s, d); () }))
+  def distinctDocCount(spark: SparkSession, sfDir: String): Long =
+    distinctDocCountCache.getOrElseUpdate(sfDir,
+      t(spark, sfDir, "documents")
+        .select(lower(col("text"))).distinct().count())
+
   /** Cache tag for fixtures derived from a source directory: a sha-256
     * prefix of the FULL path, so two distinct datasets can never serve
     * each other's staged fixtures (a 32-bit hashCode would make that

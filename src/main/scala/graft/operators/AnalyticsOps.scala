@@ -10408,6 +10408,11 @@ object AnalyticsOps {
                       * (3.0 * CAST(srq - 2*k*(n+1)*sr + n*k*k*(n+1)*(n+1) AS DOUBLE)
                          / CAST(k*k*(n*n*n - n) - k*tt AS DOUBLE)), 6) AS chi2
          FROM m CROSS JOIN kt CROSS JOIN tc""",
+    // guarded sampen (ADVICE r15): a_count = 0 with b_count > 0 (length-2
+    // template matches but no length-3) makes Spark's log(0) NULL while
+    // DuckDB's ln(0) RAISES — the CASE keeps the degenerate series a
+    // match instead of an oracle crash. No SQL comments inside: the
+    // driver flattens oracle SQL to one line, so `--` would eat the rest.
     "ts_sample_entropy" ->
       """WITH daily AS (
            SELECT CAST(ts AS DATE) AS day, count(1) AS x FROM events GROUP BY 1),
@@ -10430,7 +10435,9 @@ object AnalyticsOps {
                                    THEN 1 END) AS a_count
                  FROM p)
          SELECT n_days, r, b_count, a_count,
-                round(-ln(CAST(a_count AS DOUBLE) / nullif(b_count, 0)), 6) AS sampen
+                CASE WHEN a_count = 0 THEN NULL
+                     ELSE round(-ln(CAST(a_count AS DOUBLE) / nullif(b_count, 0)), 6)
+                END AS sampen
          FROM cnt""",
     "stat_ansari_bradley" ->
       """WITH pool AS (

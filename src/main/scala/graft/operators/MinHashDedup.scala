@@ -98,17 +98,83 @@ object MinHashDedup {
     // output; both are valid LSH parameterizations. Since xxhash64 has no
     // DuckDB twin (no SQL oracle possible), the sf0.001 candidate-pair set
     // is pinned verbatim by OperatorSpec's fixture regression test.
+    // EXACT-DUPLICATE COLLAPSE (VERDICT r15 item 1 — the one named
+    // scale-killer): docs sharing lower(text) have IDENTICAL signatures,
+    // so they collide in every band at any r — banding them individually
+    // makes the bucket self-join quadratic in cluster size, and real
+    // 100 TB crawls carry boilerplate clusters of 1e5–1e6 verbatim
+    // copies (1e10–1e12 pairs from a single bucket). Instead: collapse
+    // to one representative (min doc_id) per exact key, band
+    // REPRESENTATIVES only (pair work ~linear in distinct content), and
+    // re-expand membership relationally after the near-dup decision.
+    // The published top-100 is recovered EXACTLY from bounded frames:
+    //  - within an exact cluster every pair agrees on all BANDS bands;
+    //    ordered by (d1, d2), any pair past the 101 smallest members has
+    //    ≥ 101 same-rank predecessors, so rank ≤ 101 members and the 100
+    //    smallest-rep clusters suffice for any global top-100;
+    //  - across clusters n_bands(m1, m2) = n_bands(rep1, rep2)
+    //    (identical signatures member-by-member), the lex-smallest
+    //    member pair of a cluster pair IS (rep1, rep2) (reps are cluster
+    //    minima), so the top-100 rep pairs by (n_bands desc, r1, r2)
+    //    contain every cluster pair that can reach the global top-100,
+    //    and within one cluster pair any member pair beyond either
+    //    side's rank 101 has ≥ 101 same-n_bands predecessors.
+    // Duplicate-free corpora (every fixture/bench scale) take the
+    // degenerate path — every cluster is a singleton — and the output
+    // is bit-identical to the pre-collapse formulation (the sf0.001 pin
+    // and the 5-seed recall property are unchanged).
     "text_dedup_near" -> ((s, dir) => {
-      val k = BANDS * bandRows(graft.Tables.docCount(s, dir),
+      val k = BANDS * bandRows(graft.Tables.distinctDocCount(s, dir),
         graft.Knobs.minhashTargetOccupancy(s))
-      val docs = t(s, dir, "documents")
-        .withColumn("toks", split(lower(col("text")), " "))
-      val sig = signatures(docs, "doc_id", "toks", shingleWidth = 3, k = k)
+      val keyed = t(s, dir, "documents")
+        .select(col("doc_id"), lower(col("text")).as("lt"))
+        .withColumn("ekey", sha2(col("lt"), 256))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("ekey")).orderBy(col("doc_id"))
+      // one shuffle by exact key; text kept only on rank-1 rows (the
+      // representatives), ranks capped at 101 (sufficient for any
+      // top-100 — see proof above)
+      val members = persistShared("tdn_members", keyed
+        .withColumn("mrank", row_number().over(w))
+        .filter(col("mrank") <= 101)
+        .select(col("doc_id"), col("ekey"), col("mrank"),
+          when(col("mrank") === 1, col("lt")).as("lt")))
+      val reps = members.filter(col("mrank") === 1)
+        .select(col("doc_id"), col("ekey"), split(col("lt"), " ").as("toks"))
+      val sig = signatures(reps, "doc_id", "toks", shingleWidth = 3, k = k)
       val b = banded(sig, "doc_id", k = k)
-      val a1 = b.select(col("doc_id").as("d1"), col("band_idx"), col("bh"))
-      val a2 = b.select(col("doc_id").as("d2"), col("band_idx"), col("bh"))
-      a1.join(a2, Seq("band_idx", "bh")).filter(col("d1") < col("d2"))
-        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_bands"))
+      val a1 = b.select(col("doc_id").as("r1"), col("band_idx"), col("bh"))
+      val a2 = b.select(col("doc_id").as("r2"), col("band_idx"), col("bh"))
+      val repPairs = a1.join(a2, Seq("band_idx", "bh"))
+        .filter(col("r1") < col("r2"))
+        .groupBy(col("r1"), col("r2")).agg(count(lit(1)).as("n_bands"))
+        .orderBy(col("n_bands").desc, col("r1"), col("r2"))
+        .limit(100)
+      // cross-cluster expansion: members of the two clusters behind each
+      // surviving rep pair (≤ 100 · 101 · 101 rows, constant-bounded)
+      val repKey = members.filter(col("mrank") === 1)
+        .select(col("doc_id").as("rep"), col("ekey"))
+      val m1 = members.select(col("ekey").as("k1"), col("doc_id").as("ma"))
+      val m2 = members.select(col("ekey").as("k2"), col("doc_id").as("mb"))
+      val cross = broadcast(repPairs
+          .join(repKey.select(col("rep").as("r1"), col("ekey").as("k1")), "r1")
+          .join(repKey.select(col("rep").as("r2"), col("ekey").as("k2")), "r2"))
+        .join(m1, "k1").join(m2, "k2")
+        .select(least(col("ma"), col("mb")).as("d1"),
+          greatest(col("ma"), col("mb")).as("d2"), col("n_bands"))
+      // within-cluster expansion: every pair in an exact cluster agrees
+      // on all bands; the 100 smallest-rep multi-member clusters bound it
+      val dupTop = broadcast(members.filter(col("mrank") === 2)
+        .select(col("ekey")).join(repKey, "ekey")
+        .orderBy(col("rep")).limit(100).select(col("ekey")))
+      val within = dupTop
+        .join(members.select(col("ekey"), col("doc_id").as("d1"),
+          col("mrank").as("ra")), "ekey")
+        .join(members.select(col("ekey"), col("doc_id").as("d2"),
+          col("mrank").as("rb")), "ekey")
+        .filter(col("ra") < col("rb"))
+        .select(col("d1"), col("d2"), lit(BANDS.toLong).as("n_bands"))
+      cross.unionAll(within)
         .orderBy(col("n_bands").desc, col("d1"), col("d2"))
         .limit(100)
     }),
@@ -152,7 +218,7 @@ object MinHashDedup {
       // being graded is the one the production parameters produce);
       // banded feeds BOTH sides of the bucket join — persisted so the
       // documents scan runs once for it (r10 scan lint caught the 4×)
-      val k = BANDS * bandRows(graft.Tables.docCount(s, dir),
+      val k = BANDS * bandRows(graft.Tables.distinctDocCount(s, dir),
         graft.Knobs.minhashTargetOccupancy(s))
       val sig = signatures(docs, "doc_id", "toks", shingleWidth = 3, k = k)
       val b = persistShared("mh_recall_bands", banded(sig, "doc_id", k = k))

@@ -603,32 +603,70 @@ object Multimodal {
       // to occ·2^15 docs, 3×21-bit beyond — result-IDENTICAL by the
       // pigeonhole (hamming ≤ 2 agrees on ≥ b−2 ≥ 1 bands at both
       // settings), only the bucket fan-out changes; see phashBandCount.
-      val nBands = phashBandCount(graft.Tables.docCount(s, dir),
+      // Capacity signal = DISTINCT content (the collapse below bands one
+      // row per distinct hash, so raw row count would over-provision).
+      val nBands = phashBandCount(graft.Tables.distinctDocCount(s, dir),
         graft.Knobs.phashBandOccupancy(s))
       val bandBits = if (nBands == 4) 16 else 21
       val bandMask = (1L << bandBits) - 1
-      val media = t(s, dir, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-        .as[(Long, Array[Byte])]
+      // DIGEST-KEYED DECODE DEDUP + EXACT-DUP COLLAPSE (VERDICT r15
+      // items 1+3): a 100×-copied crawl is >99% verbatim payloads — the
+      // PNG round trip runs ONCE per distinct payload (keyed by its
+      // sha2 digest; the min-doc_id member is the decode representative),
+      // and the banded hamming join sees ONE row per distinct hash (equal
+      // hashes collide in every band at any banding, so banding members
+      // individually made pair work quadratic in copy-factor). Membership
+      // re-expands relationally after the near-dup decision — the
+      // published pair set is EXACTLY the per-doc formulation's:
+      // same-hash docs pair at hamming 0; cross-hash doc pairs share a
+      // band iff their hashes do, with the same hamming.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("dig"))
+      val members = persistShared("phash_members",
+        t(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .withColumn("dig", sha2(col("payload"), 256))
+          .withColumn("rep", min(col("doc_id")).over(w))
+          .select(col("doc_id"), col("rep"),
+            when(col("doc_id") === col("rep"), col("payload")).as("payload")))
+      val media = members.filter(col("doc_id") === col("rep"))
+        .select(col("rep"), col("payload")).as[(Long, Array[Byte])]
       val hs = persistShared("phash_frame", media
         .mapPartitions(_.map { case (id, bytes) => resizePng63(id, encodePng(bytes)) })
         .toDF()
         .withColumn("stot", expr("aggregate(thumb, 0L, (a, x) -> a + x)"))
-        .select(col("doc_id"), expr(
+        .select(col("doc_id").as("rep"), expr(
           """aggregate(sequence(0, 62), 0L, (a, i) ->
              a + CASE WHEN thumb[i] * 63 > stot
                       THEN shiftleft(CAST(1 AS BIGINT), i) ELSE 0L END)""").as("phash")))
-      val bands = hs.select(col("doc_id"), col("phash"),
+      // second collapse: one banded row per DISTINCT hash value
+      val hreps = persistShared("phash_hreps",
+        hs.groupBy(col("phash")).agg(min(col("rep")).as("hrep")))
+      val bands = hreps.select(col("hrep"), col("phash"),
           explode(sequence(lit(0), lit(nBands - 1))).as("b"))
         .withColumn("bv", expr(s"shiftright(phash, CAST(b * $bandBits AS INT)) & $bandMask"))
-      bands.as("a").join(bands.as("b"),
+      val repPairs = bands.as("a").join(bands.as("b"),
           col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.hrep") < col("b.hrep"))
+        .select(col("a.hrep").as("ha"), col("b.hrep").as("hb"),
           col("a.phash").as("pa"), col("b.phash").as("pb")).distinct()
-        .select(col("doc_a"), col("doc_b"),
+        .select(col("ha"), col("hb"),
           expr("CAST(bit_count(pa ^ pb) AS BIGINT)").as("hamming"))
         .filter(col("hamming") <= 2)
+      // doc → distinct-hash representative, for relational re-expansion
+      val d2h = persistShared("phash_doc2h",
+        members.select(col("doc_id"), col("rep"))
+          .join(hs, "rep").join(hreps, "phash")
+          .select(col("doc_id"), col("hrep")))
+      val cross = repPairs
+        .join(d2h.select(col("hrep").as("ha"), col("doc_id").as("da")), "ha")
+        .join(d2h.select(col("hrep").as("hb"), col("doc_id").as("db")), "hb")
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+      val within = d2h.as("x").join(d2h.as("y"),
+          col("x.hrep") === col("y.hrep") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          lit(0L).as("hamming"))
+      cross.unionAll(within)
         .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
     }))
 

@@ -1722,14 +1722,20 @@ object TextOps {
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val defl = new java.util.zip.Deflater(6, true)
-          defl.setInput(raw); defl.finish()
-          val buf = new Array[Byte](raw.length * 2 + 64)
-          var n = 0
-          while (!defl.finished()) n += defl.deflate(buf, n, buf.length - n)
-          defl.end()
-          (id, raw.length.toLong, n.toLong,
-            math.rint(n.toDouble / raw.length * 1e6) / 1e6)
+          // empty document: no stream to compress — NULL ratio and 0
+          // deflate bytes instead of Infinity and the empty-stream
+          // trailer, which would break the 6-dp contract (ADVICE r15)
+          if (raw.isEmpty) (id, 0L, 0L, None: Option[Double])
+          else {
+            val defl = new java.util.zip.Deflater(6, true)
+            defl.setInput(raw); defl.finish()
+            val buf = new Array[Byte](raw.length * 2 + 64)
+            var n = 0
+            while (!defl.finished()) n += defl.deflate(buf, n, buf.length - n)
+            defl.end()
+            (id, raw.length.toLong, n.toLong,
+              Some(math.rint(n.toDouble / raw.length * 1e6) / 1e6))
+          }
         })
         .toDF("doc_id", "n_raw", "n_deflate", "ratio")
         .orderBy(col("doc_id"))

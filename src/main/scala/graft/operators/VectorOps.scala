@@ -170,16 +170,62 @@ object VectorOps {
     * `vec_range_search` and `dedup_semantic_cluster`. Same deterministic
     * plane formula as `vec_lsh_ann`, so the whole path is oracle-able. */
   private def lshRangePairs(s: SparkSession, dir: String): DataFrame = {
+    val (repPairs, members, selfSim) = lshRepRangePairs(s, dir)
+    // relational re-expansion to the doc grain: cross-cluster member
+    // pairs inherit their reps' sim (identical floats → identical
+    // cosine), within-cluster pairs the cluster's own self-sim
+    val cross = repPairs
+      .join(members.select(col("rep").as("r1"), col("vec_id").as("ma")), "r1")
+      .join(members.select(col("rep").as("r2"), col("vec_id").as("mb")), "r2")
+      .select(least(col("ma"), col("mb")).as("v1"),
+        greatest(col("ma"), col("mb")).as("v2"), col("sim"))
+    val within = members.as("x").join(members.as("y"),
+        col("x.rep") === col("y.rep") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"), col("x.rep").as("rep"))
+      .join(selfSim, "rep")
+      .select(col("v1"), col("v2"), col("sim"))
+    cross.unionAll(within)
+  }
+
+  /** EXACT-DUPLICATE COLLAPSE for the LSH range-pair generator (VERDICT
+    * r15 item 1 — the text_dedup_near/mm_phash discipline applied to the
+    * vector side): verbatim-duplicate embeddings hash to the same bucket
+    * and pair with every member of any near cluster, so bucketing them
+    * individually makes the bucket self-join quadratic in copy-factor.
+    * One representative (min vec_id) per DISTINCT embedding enters the
+    * bucket join; membership and the cluster self-sim (computed once per
+    * cluster through the SAME rounded-cosine formula — cos(v,v) is not
+    * assumed 1.0; a zero vector yields NaN, which Spark's SQL ordering
+    * ranks ABOVE any double, so NaN ≥ 0.3 passes and zero-cluster pairs
+    * publish with NaN sim exactly as the per-doc join published them)
+    * re-expand relationally. Duplicate-free corpora (every
+    * oracle scale) take the degenerate path — output bit-identical, the
+    * DuckDB twin [[lshRangePairsSql]] is unchanged. */
+  private def lshRepRangePairs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val emb = embStore(s, dir)
-    val b = emb.withColumn("bucket",
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("embedding"))
+    val members = persistShared("vec_lsh_members", emb
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("rep", min(col("vec_id")).over(w))
+      .select(col("vec_id"), col("rep"),
+        when(col("vec_id") === col("rep"), col("embedding")).as("embedding")))
+    val reps = members.filter(col("vec_id") === col("rep"))
+      .select(col("rep"), col("embedding"))
+    val b = reps.withColumn("bucket",
       graft.functions.LshBucket.lsh_bucket(col("embedding"), lshPlanesFor(s, dir)))
-    val lhs = b.select(col("bucket"), col("vec_id").as("v1"), col("embedding").as("e1"))
-    val rhs = b.select(col("bucket"), col("vec_id").as("v2"), col("embedding").as("e2"))
-    lhs.join(rhs, Seq("bucket"))
-      .filter(col("v1") < col("v2"))
+    val lhs = b.select(col("bucket"), col("rep").as("r1"), col("embedding").as("e1"))
+    val rhs = b.select(col("bucket"), col("rep").as("r2"), col("embedding").as("e2"))
+    val repPairs = lhs.join(rhs, Seq("bucket"))
+      .filter(col("r1") < col("r2"))
       .withColumn("sim", round(cosine_sim(col("e1"), col("e2")), 6))
       .filter(col("sim") >= 0.3)
-      .select(col("v1"), col("v2"), col("sim"))
+      .select(col("r1"), col("r2"), col("sim"))
+    val selfSim = reps
+      .withColumn("sim", round(cosine_sim(col("embedding"), col("embedding")), 6))
+      .filter(col("sim") >= 0.3)
+      .select(col("rep"), col("sim"))
+    (repPairs, members.select(col("vec_id"), col("rep")), selfSim)
   }
 
   /** The approximate k-NN graph (vec_id, rk, nbr_id, sim), K=4: LSH-seeded
@@ -1079,13 +1125,28 @@ object VectorOps {
     // are bounded by the EDGE-TOUCHED node set (most of any real corpus
     // is singleton and never enters the loop).
     "dedup_semantic_cluster" -> ((s, dir) => {
-      val pairs = lshRangePairs(s, dir)
-        .select(col("v1").as("d1"), col("v2").as("d2"))
-      // node domain = edge-touched endpoints, derived inside the fixpoint
-      // from the pinned pair frame (the LSH subtree runs exactly once);
-      // the labels stay a distributed frame end to end — no collect
-      Components.hashMinLabels(s, pairs)
-        .select(col("doc_id").as("vec_id"), col("comp"))
+      // the fixpoint runs on the REP graph (exact-dup collapse, VERDICT
+      // r15 item 1): members of an exact cluster inherit their rep's
+      // component label relationally — identical output, because reps
+      // are cluster minima, so min-over-expanded-component equals
+      // min-over-rep-component; edge volume stays linear in distinct
+      // content instead of quadratic in copy-factor. Labels stay a
+      // distributed frame end to end — no collect.
+      val (repPairs, members, selfSim) = lshRepRangePairs(s, dir)
+      val pairs = repPairs.select(col("r1").as("d1"), col("r2").as("d2"))
+      // node domain = edge-touched, exactly as the doc-grain graph saw
+      // it: reps on a rep-graph edge, plus reps of multi-member clusters
+      // whose self-sim survives the ≥ 0.3 cut (NaN self-sims pass it —
+      // Spark ranks NaN above any double — so zero-vector clusters stay
+      // edge-touched, as their per-doc within pairs made them before)
+      val multi = members.groupBy(col("rep")).agg(count(lit(1)).as("nm"))
+        .filter(col("nm") >= 2).join(selfSim, "rep").select(col("rep").as("id"))
+      val touched = pairs.select(col("d1").as("id"))
+        .union(pairs.select(col("d2").as("id"))).union(multi).distinct()
+      val repLabels = Components.hashMinLabels(s, pairs, nodes = Some(touched))
+      members
+        .join(repLabels.select(col("doc_id").as("rep"), col("comp")), "rep")
+        .select(col("vec_id"), col("comp"))
         .withColumn("is_representative", col("vec_id") === col("comp"))
         .orderBy(col("vec_id"))
     }),

@@ -108,9 +108,18 @@ object Streams {
             case n if n.startsWith("_pk=") => n.stripPrefix("_pk=").toInt
           }
         finally listing.close()
-      // derivation only sees buckets that HOLD rows; valid because the
-      // layout hashes uniformly and this fallback exists for legacy dirs
-      if (maxPk.isEmpty) None else Some(maxPk.max + 1)
+      // derivation only sees buckets that HOLD rows, so a small/skewed
+      // legacy target whose TOP buckets are empty would under-derive —
+      // and if the session conf happened to equal that wrong value the
+      // require below would pass and the merge would re-key with the
+      // wrong modulus (ADVICE r15). Round up to the next power of two
+      // (the knob's natural values): a populated-gap derivation then
+      // lands back on the true pow2 layout, and a genuinely non-pow2
+      // legacy layout fails the require LOUDLY instead of silently
+      // re-keying.
+      if (maxPk.isEmpty) None
+      else Some(java.lang.Integer.highestOneBit(
+        math.max(1, 2 * maxPk.max + 1)))
     } else None
   }
 

@@ -305,6 +305,46 @@ class OperatorSpec extends SparkSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)), s"far doc must not collide: $pairs")
   }
 
+  test("text_dedup_near collapses exact-dup clusters: top-100 equals the per-doc brute replay, banding sees only representatives") {
+    // VERDICT r15 item 1: a 150-copy boilerplate cluster (the real-crawl
+    // shape that made the banded self-join quadratic) + a 3-copy cluster
+    // of a near-dup + two singletons. The engine must band only the 4
+    // representatives yet publish EXACTLY the pre-collapse top-100 —
+    // including pair #100 = (0, 100), which exercises the rank-101
+    // member cap at its boundary.
+    import spark.implicits._
+    val aText = (0 until 30).map(t => s"alpha$t").mkString(" ")
+    val bText = (0 until 30).map(t => if (t == 15) "xxx" else s"alpha$t").mkString(" ")
+    val cText = (0 until 30).map(t => s"gamma$t").mkString(" ")
+    val rows = (0 until 150).map(i => (i.toLong, aText)) ++
+      Seq((500L, bText), (501L, bText), (502L, bText),
+        (600L, cText), (700L, "totally unrelated content about catalyst"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_tdn_collapse").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    assert(graft.Tables.distinctDocCount(spark, dir) === 4L,
+      "the banding capacity signal must see distinct content, not raw rows")
+    val got = graft.SparkEntry.queries("text_dedup_near")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // brute replay of the PRE-collapse formulation: band every doc
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("toks", split(lower(col("text")), " "))
+    val k = 4 * graft.operators.MinHashDedup.bandRows(4L)
+    val sig = graft.operators.MinHashDedup.signatures(
+      docs, "doc_id", "toks", shingleWidth = 3, k = k)
+    val b = graft.operators.MinHashDedup.banded(sig, "doc_id", k = k)
+    val want = b.as("a").join(b.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy(col("n_bands").desc, col("d1"), col("d2")).limit(100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(want.size === 100 && want.last === ((0L, 100L, 4L)),
+      s"fixture must saturate the limit at the rank-cap boundary: ${want.takeRight(3)}")
+    assert(got === want, "collapsed path must publish the brute top-100 verbatim")
+  }
+
   test("text_bigram_kn_ppl: per-doc perplexity replays a brute interpolated-KN model") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
@@ -2169,6 +2209,78 @@ class PropertySpec extends SparkSuite {
         assert(exact.get((v1, v2)).exists(e => math.abs(e - sim) < 1e-9),
           s"pair ($v1,$v2) missing from or disagreeing with the exact set")
     }
+  }
+
+  test("lshRangePairs collapses exact-dup vectors: copies corpus replays the per-doc bucket join; semantic clusters match union-find") {
+    // VERDICT r15 item 1, vector side: verbatim-copied embeddings must
+    // bucket once per DISTINCT vector yet publish the per-doc pair set —
+    // within-cluster pairs at the cluster's own rounded self-sim, cross
+    // pairs at their reps' sim — and the zero-vector cluster (NaN
+    // cosine) must stay excluded exactly as the per-doc join excluded it.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextFloat() * 2 - 1)
+    }
+    val v0 = vec(1)
+    val v1 = v0.clone(); v1(5) = v1(5) + 0.05f // near-dup of v0
+    val v2 = vec(2); val v3 = vec(3)
+    val zero = Array.fill(64)(0.0f)
+    val rows: Seq[(Long, Array[Float], Int)] =
+      (0 until 5).map(i => (i.toLong, v0, 0)) ++
+        Seq((10L, v1, 0), (11L, v1, 0), (20L, v2, 1), (21L, v3, 1),
+          (30L, zero, 2), (31L, zero, 2))
+    val dir = java.nio.file.Files.createTempDirectory("graft_vec_col").toString
+    rows.toDF("vec_id", "embedding", "label").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    // sims compared via raw bits: the zero-vector cluster yields NaN
+    // cosine, which Spark's SQL ordering treats as GREATER than any
+    // double (so NaN ≥ 0.3 passes and those pairs are published — the
+    // per-doc formulation did the same), while Scala tuple equality on
+    // NaN is always false
+    def bits(d: Double): Long = java.lang.Double.doubleToLongBits(d)
+    val got = graft.SparkEntry.queries("vec_range_search")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), bits(r.getDouble(2)))).toSeq
+    // brute per-doc replay with the engine's own primitives (the
+    // pre-collapse formulation verbatim)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val planes = (8 to 30).find(p => (8L << p) >= rows.size.toLong).get
+    val b = emb.withColumn("bucket", graft.functions.LshBucket.lsh_bucket(
+      col("embedding"), (0 until planes).map { j =>
+        (0 until 64).map { i =>
+          (((j * 1315423911L + i * 2654435761L) % 2001 + 2001) % 2001 - 1000) / 1000.0
+        }
+      }))
+    val want = b.as("l").join(b.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
+      .withColumn("sim", round(graft.functions.CosineSim.cosine_sim(
+        col("l.embedding"), col("r.embedding")), 6))
+      .filter(col("sim") >= 0.3)
+      .select(col("l.vec_id"), col("r.vec_id"), col("sim"))
+      .orderBy(col("l.vec_id"), col("r.vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), bits(r.getDouble(2)))).toSeq
+    assert(want.count { case (a, b2, _) => a < 5 && b2 < 5 } === 10,
+      "fixture: the 5-copy cluster must contribute all 10 within pairs")
+    assert(want.exists { case (a, b2, s2) =>
+      a == 30L && b2 == 31L && s2 == bits(Double.NaN) },
+      "fixture: the zero-vector within pair must surface at NaN sim " +
+        "(Spark NaN ordering — engine-faithful)")
+    assert(got === want, "collapsed path must publish the per-doc pair set verbatim")
+    // and the component labels over the dup corpus match a union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    want.foreach { case (a, b2, _) =>
+      val (ra, rb) = (find(a), find(b2))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+    val gotLabels = graft.SparkEntry.queries("dedup_semantic_cluster")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotLabels === expected)
   }
 
   test("KmvSketch aggregator: bounded buffer, dedup, associative merge") {
@@ -4920,6 +5032,42 @@ class PropertySpec extends SparkSuite {
         col("a.band_idx") === col("b.band_idx") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id")).count()
     assert(agree === 4L, "exact dup must agree on all 4 bands at K=64")
+  }
+
+  test("mm_phash collapses exact-dup payloads: copies corpus publishes the full per-doc pair set from rep-grain band work") {
+    // VERDICT r15 items 1+3: verbatim copies must (a) decode once per
+    // distinct payload and band once per distinct hash — structural, the
+    // members/hreps collapse — and (b) still publish EVERY doc-grain
+    // pair: a 7-copy cluster emits all 21 within pairs at hamming 0, and
+    // every cross pair carries its reps' hamming. The brute replay
+    // recomputes per-doc hashes and the banded candidate set directly.
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog near the river",
+      "completely different content about catalyst optimizer internals",
+      "yet another unrelated document mentioning shuffle partitions")
+    val rows = (0 until 7).map(i => (i.toLong, texts(0))) ++
+      Seq((10L, texts(1)), (11L, texts(1)), (20L, texts(2)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_phash_col").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("mm_phash")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val hashes = rows.map { case (id, text) =>
+      val th = graft.operators.Multimodal.resizePng63(id,
+        graft.operators.Multimodal.encodePng(
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8))).thumb
+      val stot = th.sum
+      id -> (0 until 63).map(i => if (th(i) * 63 > stot) 1L << i else 0L).sum
+    }.toMap
+    val want = (for {
+      (a, ha) <- hashes.toSeq; (b, hb) <- hashes.toSeq if a < b
+      bandHit = (0 until 4).exists(k =>
+        ((ha >> (16 * k)) & 65535) == ((hb >> (16 * k)) & 65535))
+      h = java.lang.Long.bitCount(ha ^ hb).toLong if bandHit && h <= 2
+    } yield (a, b, h)).sortBy { case (a, b, h) => (h, a, b) }
+    assert(want.count(_._3 == 0L) === 22, s"fixture: 21 + 1 within pairs, got ${want.count(_._3 == 0L)}")
+    assert(got === want, "collapsed path must publish the per-doc pair set verbatim")
   }
 
   test("mm_phash banding knob is result-neutral: forced 3-band pair set equals the 4-band default") {

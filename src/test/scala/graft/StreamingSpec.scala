@@ -441,6 +441,15 @@ class StreamingSpec extends SparkSuite {
       .select(col("event_id"), col("value")).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(byId.size === 64 && byId(3L) === 9.0 && byId(4L) === 1.0)
+    // legacy derivation is populated-buckets-only, so it rounds up to
+    // the next power of two (ADVICE r15): a skewed legacy target whose
+    // top buckets are empty must derive the true pow2 layout, not the
+    // under-count that would silently re-key the merge
+    val skewed = Files.createTempDirectory("graft_upsert_skew")
+    Seq(0, 3, 7, 12).foreach(i => Files.createDirectories(skewed.resolve(s"_pk=$i")))
+    assert(graft.streaming.Streams.pkBucketsOf(skewed) === Some(16))
+    Seq(0, 5).foreach(i => Files.createDirectories(skewed.resolve(s"_pk=2$i")))
+    assert(graft.streaming.Streams.pkBucketsOf(skewed) === Some(32))
   }
 
   test("checkpointed foreachBatch upsert: restart resumes batch ids, merges exactly once") {
