@@ -55,10 +55,28 @@ object StreamDedup {
       retainBatches: Long = Long.MaxValue): Unit = {
     if (batch.isEmpty) return
     val ss = batch.sparkSession
-    val docs = batch.select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
-    val sig = MinHashDedup.signatures(docs, "doc_id", "toks", shingleWidth = 3)
-    val bands = MinHashDedup.banded(sig, "doc_id").persist()
-    val ids = bands.select(col("doc_id")).distinct()
+    // EXACT-DUPLICATE COLLAPSE at the batch grain (VERDICT r15 item 1 —
+    // the store was already collision-free by construction: survivors
+    // never share a band, so only the IN-BATCH self-join was quadratic
+    // in copy-factor, and a crawl-ingest batch full of boilerplate
+    // copies is exactly the case that hits it). One signature per
+    // distinct lower(text); members re-join relationally. The per-doc
+    // decision is recovered EXACTLY: every candidate e < d sharing a
+    // band is dominated by a cluster minimum (its own rep), so
+    //   dup_of_batch(d) = min(rep          if d ≠ rep,
+    //                         cmin_ext     if cmin_ext < d)
+    // with cmin_ext = min rep of band-colliding store-surviving
+    // clusters, and dup_of_store is per-cluster (identical signatures
+    // probe identical store buckets).
+    val keyed = batch.select(col("doc_id"), lower(col("text")).as("lt"))
+      .withColumn("rep", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lt"))))
+    val members = keyed.select(col("doc_id"), col("rep")).persist()
+    val reps = keyed.filter(col("doc_id") === col("rep"))
+      .select(col("rep").as("doc_id"), split(col("lt"), " ").as("toks"))
+    val sig = MinHashDedup.signatures(reps, "doc_id", "toks", shingleWidth = 3)
+    val bands = MinHashDedup.banded(sig, "doc_id")
+      .withColumnRenamed("doc_id", "rep").persist()
     val hasStore = Files.exists(storeDir) && {
       val l = Files.list(storeDir)
       try l.anyMatch(p => p.getFileName.toString.startsWith("batch=")) finally l.close()
@@ -76,33 +94,44 @@ object StreamDedup {
             col("batch") >= batchId - retainBatches)
           .select(col("doc_id").as("s_id"), col("band_idx"), col("bh"))
         bands.join(store, Seq("band_idx", "bh"))
-          .groupBy(col("doc_id")).agg(min(col("s_id")).as("dup_of_store"))
-      } else ids.filter(lit(false)).withColumn("dup_of_store", lit(null).cast("long"))
-    // 2. keep-first among the store survivors inside this batch
-    val survBands = bands.join(storeDrop.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    val inBatchDrop = survBands.select(col("doc_id").as("d"), col("band_idx"), col("bh"))
-      .join(survBands.select(col("doc_id").as("e"), col("band_idx"), col("bh")),
+          .groupBy(col("rep")).agg(min(col("s_id")).as("dup_of_store"))
+      } else bands.select(col("rep")).limit(0)
+        .withColumn("dup_of_store", lit(null).cast("long"))
+    // 2. keep-first among the store survivors inside this batch, on the
+    //    REP grain: colliding cluster pairs → each cluster's smallest
+    //    colliding neighbor rep
+    val survBands = bands.join(storeDrop.select(col("rep")), Seq("rep"), "left_anti")
+    val inBatchDrop = survBands.select(col("rep").as("d"), col("band_idx"), col("bh"))
+      .join(survBands.select(col("rep").as("e"), col("band_idx"), col("bh")),
         Seq("band_idx", "bh"))
-      .filter(col("e") < col("d"))
-      .groupBy(col("d")).agg(min(col("e")).as("dup_of_batch"))
-    // decisions are persisted BEFORE the store write so the write's
-    // lineage reads the cache, never the store directory it writes to
-    val decisions = ids
-      .join(storeDrop, Seq("doc_id"), "left")
-      .join(inBatchDrop, col("doc_id") === col("d"), "left")
+      .filter(col("e") =!= col("d"))
+      .groupBy(col("d")).agg(min(col("e")).as("cmin_ext"))
+    // decisions re-expand to the member grain; persisted BEFORE the
+    // store write so the write's lineage reads the cache, never the
+    // store directory it writes to
+    val decisions = members
+      .join(storeDrop, Seq("rep"), "left")
+      .join(inBatchDrop, col("rep") === col("d"), "left")
       .select(col("doc_id"),
-        coalesce(col("dup_of_store"), col("dup_of_batch")).as("dup_of"))
+        coalesce(col("dup_of_store"),
+          least(when(col("doc_id") =!= col("rep"), col("rep")),
+            when(col("cmin_ext") < col("doc_id"), col("cmin_ext"))))
+          .as("dup_of"))
       .withColumn("kept", col("dup_of").isNull)
       .persist()
     decisions.write.mode(SaveMode.Overwrite)
       .parquet(outDir.resolve(s"batch=$batchId").toString)
-    // 3. survivors' signatures extend the store (own partition, overwrite)
-    bands.join(decisions.filter(col("kept")).select(col("doc_id")), Seq("doc_id"))
-      .select(col("doc_id"), col("band_idx"), col("bh"))
+    // 3. survivors' signatures extend the store (own partition,
+    //    overwrite). Survivors are always cluster reps (a non-rep member
+    //    is at least its rep's duplicate), so the rep-grain band frame
+    //    covers them.
+    bands.join(decisions.filter(col("kept")).select(col("doc_id").as("rep")), Seq("rep"))
+      .select(col("rep").as("doc_id"), col("band_idx"), col("bh"))
       .write.mode(SaveMode.Overwrite)
       .parquet(storeDir.resolve(s"batch=$batchId").toString)
     decisions.unpersist(false)
     bands.unpersist(false)
+    members.unpersist(false)
   }
 
   /** Move the single part-file of a coalesce(1) staging write onto a
