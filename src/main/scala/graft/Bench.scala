@@ -27,6 +27,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_STATESTORE=rocksdb times the streaming family under the
+    // production state store (VERDICT r15 item 4 — the ×100 streaming
+    // suspects had only run the default heap-backed provider). Session
+    // clones inherit the conf, so every stream_* scoped session follows.
+    if (sys.env.get("SPARK_GRAFT_STATESTORE").contains("rocksdb"))
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // untimed warmup: JIT, codegen cache, parquet footers — so per-query
     // numbers measure the query, not whichever one ran first — plus the
     // fixtures and EVERY ArtifactCache'd shared-artifact build, derived
