@@ -174,6 +174,27 @@ object RestStubServer {
           send(400, """{"error": "missing required header"}""")
         } else if (!basicOk) {
           send(401, """{"error": "bad basic credentials"}""")
+        } else if (fail.startsWith("429burst") && {
+            // &fail=429burstN → the FIRST hit of every Nth page of the
+            // chain returns a retryable fault, alternating 429 (with
+            // Retry-After: 0) and 500 per burst — the production-shaped
+            // intermittent-throttle profile for LONG chains, where
+            // per-page 429once would force one restart per page
+            val n = math.max(1L, fail.stripPrefix("429burst").toLong)
+            val ordinal =
+              if (cursorMode) cursorStart.getOrElse(0L) / math.max(1L, limit)
+              else page
+            ordinal % n == 0 &&
+              (failedOnce.putIfAbsent(s"$fail-$failKey", java.lang.Boolean.TRUE) eq null)
+          }) {
+          val n = math.max(1L, fail.stripPrefix("429burst").toLong)
+          val ordinal =
+            if (cursorMode) cursorStart.getOrElse(0L) / math.max(1L, limit)
+            else page
+          if ((ordinal / n) % 2 == 0) {
+            x.getResponseHeaders.set("Retry-After", "0")
+            send(429, """{"error": "throttled burst"}""")
+          } else send(500, """{"error": "transient burst"}""")
         } else if ((fail == "429once" || fail == "429retryafter" ||
             fail == "429retrydate" || fail == "500once") &&
             (failedOnce.putIfAbsent(s"$fail-$failKey", java.lang.Boolean.TRUE) eq null)) {
