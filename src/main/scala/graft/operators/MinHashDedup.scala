@@ -84,6 +84,42 @@ object MinHashDedup {
   }
 
   val queries: Map[String, QFn] = Map(
+    // The exact-dup collapse published as its own operator (round 16 —
+    // the building block every LSH pair family now shares): each doc's
+    // cluster representative (min doc_id over identical lower(text)) and
+    // cluster size. At 100 TB this frame IS the dedup ledger: band reps,
+    // re-expand members, weight by cluster_size. One window shuffle on
+    // the exact key — fully oracle-able (no sketch involved).
+    "dedup_rep_collapse" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lower(col("text")))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          min(col("doc_id")).over(w).as("rep"),
+          count(lit(1)).over(w).as("cluster_size"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Duplication profile of the corpus — the curation report read
+    // before choosing a dedup strategy (a crawl with 1e6-copy boilerplate
+    // clusters needs the collapse; a clean corpus doesn't): cluster-size
+    // histogram over exact keys with each size's share of documents.
+    // Two aggregations on the cluster grain; the share divides two exact
+    // longs once, 6-dp-gridded.
+    "corpus_dup_profile" -> ((s, dir) => {
+      val sizes = t(s, dir, "documents")
+        .groupBy(lower(col("text")).as("lt")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+      sizes.groupBy(col("c").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("c")).as("n_docs"))
+        .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+          round(col("n_docs").cast("double") /
+            sum(col("n_docs")).over(w), 6).as("doc_share"))
+        .orderBy(col("cluster_size"))
+    }),
+
     // 3-shingle MinHash-LSH near-duplicate candidate pairs, ranked by band
     // agreement. Shingling (vs raw token sets) keeps band buckets sparse —
     // on this corpus token-set banding produces 2500-doc buckets (≈3M pairs
@@ -257,5 +293,20 @@ object MinHashDedup {
         .orderBy(col("doc_id"))
     }))
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "dedup_rep_collapse" ->
+      """SELECT doc_id,
+                min(doc_id) OVER (PARTITION BY lower(text)) AS rep,
+                count(*) OVER (PARTITION BY lower(text)) AS cluster_size
+         FROM documents ORDER BY doc_id""",
+    "corpus_dup_profile" ->
+      """WITH sizes AS (
+           SELECT lower(text) AS lt, count(*) AS c FROM documents GROUP BY 1),
+         hist AS (
+           SELECT c AS cluster_size, count(*) AS n_clusters,
+                  CAST(sum(c) AS BIGINT) AS n_docs
+           FROM sizes GROUP BY 1)
+         SELECT cluster_size, n_clusters, n_docs,
+                round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS doc_share
+         FROM hist ORDER BY cluster_size""")
 }

@@ -1095,6 +1095,21 @@ object VectorOps {
       lshRangePairs(s, dir)
         .orderBy(col("v1"), col("v2"))),
 
+    // The vector twin of dedup_rep_collapse (round 16): each vector's
+    // exact-duplicate representative (min vec_id over identical
+    // embeddings) and cluster size — the ledger the rep-collapsed LSH
+    // bucket join re-expands from. Window over the embedding value
+    // itself (no hash, no collision semantics); fully oracle-able.
+    "vec_dup_collapse" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("embedding"))
+      embStore(s, dir)
+        .select(col("vec_id"),
+          min(col("vec_id")).over(w).as("rep"),
+          count(lit(1)).over(w).as("cluster_size"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Near-dup threshold calibration sweep — the curve every dedup
     // pipeline reads before committing a cosine cut: pairs surviving and
     // docs dropped (keep-lowest-id rule: distinct v2) at each candidate
@@ -2409,6 +2424,11 @@ object VectorOps {
     "vec_range_search" ->
       s"""WITH $lshRangePairsSql
          SELECT d1 AS v1, d2 AS v2, sim FROM rpairs ORDER BY v1, v2""",
+    "vec_dup_collapse" ->
+      """SELECT vec_id,
+                min(vec_id) OVER (PARTITION BY embedding) AS rep,
+                count(*) OVER (PARTITION BY embedding) AS cluster_size
+         FROM embeddings ORDER BY vec_id""",
     "vec_dedup_threshold_sweep" ->
       s"""WITH $lshRangePairsSql,
          th AS (SELECT unnest([CAST(0.80 AS DOUBLE), CAST(0.85 AS DOUBLE),

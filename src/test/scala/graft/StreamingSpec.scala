@@ -350,24 +350,33 @@ class StreamingSpec extends SparkSuite {
         .collect().map(_.getLong(0)).sorted
       assert(got.toSeq === (0L until pages.toLong * pageSize),
         s"stream exactly-once at $pages pages: got ${got.length} rows")
+      // Spark purges offset files beyond minBatchesToRetain (default
+      // 100), so at 10k pages only the TAIL of the log survives — assert
+      // over the retained (index, offset) window and recover the batch
+      // count from the last batch INDEX, which survives purging
       val offDir = java.nio.file.Paths.get(ckpt, "offsets")
       val listing = Files.list(offDir)
       val offs = try listing
         .filter(p => p.getFileName.toString.forall(_.isDigit))
         .toArray(new Array[java.nio.file.Path](_)).toSeq
         .sortBy(_.getFileName.toString.toInt)
-        .map(p => Files.readAllLines(p).get(2).trim.toInt)
+        .map(p => (p.getFileName.toString.toInt,
+          Files.readAllLines(p).get(2).trim.toInt))
       finally listing.close()
-      assert(offs === offs.sorted && offs.distinct === offs,
+      assert(offs.map(_._2) === offs.map(_._2).sorted &&
+        offs.map(_._2).distinct === offs.map(_._2),
         s"committed page offsets must be strictly monotone: $offs")
-      assert(offs.last === pages, s"final offset must drain the API: ${offs.last}")
-      // bounded micro-batches: every advance ≤ the admission-control
-      // grant, and the batch count is the contract's ceil(pages/grant)
-      val steps = (0 +: offs).sliding(2).map(w => w(1) - w(0)).toSeq
-      assert(steps.forall(_ <= perTrigger),
+      assert(offs.last._2 === pages, s"final offset must drain the API: ${offs.last}")
+      // bounded micro-batches: every retained advance ≤ the admission-
+      // control grant (consecutive indices only), and the total batch
+      // count matches the contract's ceil(pages/grant)
+      val steps = offs.sliding(2).collect {
+        case Seq((i1, o1), (i2, o2)) if i2 == i1 + 1 => o2 - o1
+      }.toSeq
+      assert(steps.nonEmpty && steps.forall(_ <= perTrigger),
         s"a micro-batch exceeded the admission-control grant: $steps")
-      assert(offs.length === (pages + perTrigger - 1) / perTrigger,
-        s"micro-batch count off contract: ${offs.length}")
+      assert(offs.last._1 + 1 === (pages + perTrigger - 1) / perTrigger,
+        s"micro-batch count off contract: ${offs.last._1 + 1}")
     } finally stub.stop()
   }
 
