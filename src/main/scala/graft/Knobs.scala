@@ -59,7 +59,10 @@ object Knobs {
 
   /** Background-collision budget for MinHash-LSH banding (text_dedup_near,
     * dedup_minhash_recall): rows-per-band r is the smallest in [4, 16]
-    * with occupancy·4^r ≥ |docs| (signature K = 4·r, always 4 bands), so
+    * with occupancy·4^r ≥ |distinct docs| (signature K = 4·r, always 4
+    * bands; since the r16 exact-dup collapse only one representative per
+    * distinct lower(text) is banded, so capacity tracks distinct content
+    * — a 100×-copied crawl keeps its base corpus's banding), so
     * the expected unrelated-pair band-collision volume — which is what
     * blows up candidate generation at corpus scale, a band agreeing by
     * chance with probability ≈ J_bg^r — stays ~linear in the corpus

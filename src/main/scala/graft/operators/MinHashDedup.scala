@@ -10,8 +10,13 @@ import graft.Tables._
   * MinHash: per doc, K=16 permutation minima approximated by
   * min(xxhash64(token ⊕ seed)); signatures banded (4 bands × 4 hashes) and
   * band-bucket-joined, so candidate generation is a hash-partitioned
-  * groupBy — never an all-pairs cross join. This is the unbounded-scale
-  * path: cost is O(docs × tokens) + bucket-local pair expansion.
+  * groupBy — never an all-pairs cross join. Since round 16 only one
+  * REPRESENTATIVE per distinct lower(text) is banded (exact copies
+  * collide in every band at any r — per-doc banding was quadratic in
+  * copy-factor; ×100 rehearsal: 107.9M band-join rows → 836) and
+  * membership re-expands relationally. This is the unbounded-scale
+  * path: cost is O(distinct docs × tokens) + bucket-local pair
+  * expansion + member-count-bounded re-expansion.
   *
   * SimHash: 16-bit signature from per-bit majority vote over token hashes;
   * hamming-adjacent buckets give the candidate set.
