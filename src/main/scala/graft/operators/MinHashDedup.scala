@@ -114,14 +114,17 @@ object MinHashDedup {
     "corpus_dup_profile" -> ((s, dir) => {
       val sizes = t(s, dir, "documents")
         .groupBy(lower(col("text")).as("lt")).agg(count(lit(1)).as("c"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(lit(1))
-      sizes.groupBy(col("c").as("cluster_size"))
+      // histogram persisted (cluster-size grain, tiny), total via a 1-row
+      // agg broadcast — NOT a global window: an un-partitioned window
+      // would single-partition the frame, and cluster-size cardinality,
+      // while small in practice, is not formally bounded (lint r16)
+      val hist = persistShared("cdp_hist", sizes
+        .groupBy(col("c").as("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"),
-          sum(col("c")).as("n_docs"))
+          sum(col("c")).as("n_docs")))
+      hist.crossJoin(broadcast(hist.agg(sum(col("n_docs")).as("tot"))))
         .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
-          round(col("n_docs").cast("double") /
-            sum(col("n_docs")).over(w), 6).as("doc_share"))
+          round(col("n_docs").cast("double") / col("tot"), 6).as("doc_share"))
         .orderBy(col("cluster_size"))
     }),
 
@@ -183,7 +186,10 @@ object MinHashDedup {
       val reps = members.filter(col("mrank") === 1)
         .select(col("doc_id"), col("ekey"), split(col("lt"), " ").as("toks"))
       val sig = signatures(reps, "doc_id", "toks", shingleWidth = 3, k = k)
-      val b = banded(sig, "doc_id", k = k)
+      // pin the banded frame: both self-join sides otherwise re-execute
+      // the signature chain through the members cache (lint r16 — the
+      // frame is rep-grain × bands, bounded by distinct content)
+      val b = RoundPin.pin(banded(sig, "doc_id", k = k))
       val a1 = b.select(col("doc_id").as("r1"), col("band_idx"), col("bh"))
       val a2 = b.select(col("doc_id").as("r2"), col("band_idx"), col("bh"))
       val repPairs = a1.join(a2, Seq("band_idx", "bh"))
@@ -193,8 +199,10 @@ object MinHashDedup {
         .limit(100)
       // cross-cluster expansion: members of the two clusters behind each
       // surviving rep pair (≤ 100 · 101 · 101 rows, constant-bounded)
-      val repKey = members.filter(col("mrank") === 1)
-        .select(col("doc_id").as("rep"), col("ekey"))
+      // pinned: read three times below (two cross joins + dupTop) — each
+      // use would otherwise replay the members cache (lint r16)
+      val repKey = RoundPin.pin(members.filter(col("mrank") === 1)
+        .select(col("doc_id").as("rep"), col("ekey")))
       val m1 = members.select(col("ekey").as("k1"), col("doc_id").as("ma"))
       val m2 = members.select(col("ekey").as("k2"), col("doc_id").as("mb"))
       val cross = broadcast(repPairs

@@ -60,6 +60,47 @@ object TextOps {
       s"($id, '${txt.replace("'", "''")}')"
     }.mkString(", ")
 
+  /** Mojibake/encoding-damage fixture for text_encoding_screen (the
+    * synthetic corpus is clean ASCII, so the damage classes ride in as
+    * literals like the NFC fixture above): UTF-8-read-as-Windows-1252
+    * digraphs (Ã©/â€” -> "cafÃ©", "â€”"), the double-encode artifact
+    * (ÃƒÂ©), a real U+FFFD replacement char, and C0 control bytes. */
+  private[graft] val mojibakeFixture: Seq[(Long, String)] = Seq(
+    (-15L, "caf\u00c3\u00a9 menu \u00e2\u20ac\u201d prices"),
+    (-14L, "clean ascii text only"),
+    (-13L, "lost byte \ufffd in stream"),
+    (-12L, "double \u00c3\u0083\u00c2\u00a9 encode"),
+    (-11L, "ctrl\u0001char and bell\u0007"))
+
+  private def mojibakeFixtureValues: String =
+    mojibakeFixture.map { case (id, txt) =>
+      s"($id, '${txt.replace("'", "''")}')"
+    }.mkString(", ")
+
+  /** OCR-artifact fixture for text_ocr_quality — the synthetic corpus has
+    * no scan damage (verified zero hits at every SF), so the three artifact
+    * classes ride in as literals: line-break hyphenation residue ("- "),
+    * broken-word single letters, and digit-letter fusions (l/1, O/0). */
+  private[graft] val ocrFixture: Seq[(Long, String)] = Seq(
+    (-25L, "the quick brown fox jumps clean"),
+    (-24L, "scan frag m ent with str ay letters x q z"),
+    (-23L, "hyphen- ated line- break resi- due everywhere"),
+    (-22L, "digit fusi0n w0rds like c1ean and 0ther n01se"),
+    (-21L, "a i legit single words stay unflagged"))
+
+  private def ocrFixtureValues: String =
+    ocrFixture.map { case (id, txt) =>
+      s"($id, '${txt.replace("'", "''")}')"
+    }.mkString(", ")
+
+  // Shared regex constants for text_encoding_screen — ONE string feeds
+  // both engines (Spark lit() and the DuckDB oracle interpolation), so
+  // the pattern can never drift between them. Java regex and RE2 both
+  // read \xNN hex classes and plain alternation identically here.
+  private val mojiPat = "\u00c3|\u00c2|\u00e2\u20ac|\u00ef\u00bf\u00bd"
+  private val replPat = "\ufffd"
+  private val ctrlPat = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+
   // Shared-subtree persists (text_langid's token frame, text_tfidf's tf
   // frame) must not accumulate for the JVM lifetime: a long-lived process
   // invoking these queries over many data dirs would pin one cached frame
@@ -160,6 +201,49 @@ object TextOps {
           length(nfc(col("text"))).as("n_cp_nfc"),
           (nfc(col("text")) =!= col("text")).as("changed"),
           sha2(nfc(col("text")), 256).as("nfc_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // encoding-damage screen (r16): the charset-hygiene gate a web-scale
+    // crawl runs before any text op — UTF-8-read-as-Windows-1252 mojibake
+    // digraphs (Ã/Â/â€ markers), U+FFFD replacement chars (lossy decode
+    // already happened upstream), and C0 control bytes (binary bleed).
+    // The synthetic corpus is clean ASCII, so the damage classes ride in
+    // on the mojibakeFixture literals (text_nfc's discipline); per-row
+    // codegen regexp counts, scan-grain, zero shuffle at any corpus size.
+    "text_encoding_screen" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionAll(mojibakeFixture.toDF("doc_id", "text"))
+      docs.select(
+          col("doc_id"),
+          regexp_count(col("text"), lit(mojiPat)).as("n_moji"),
+          regexp_count(col("text"), lit(replPat)).as("n_repl"),
+          regexp_count(col("text"), lit(ctrlPat)).as("n_ctrl"))
+        .withColumn("suspect",
+          col("n_moji") + col("n_repl") + col("n_ctrl") > 0)
+        .orderBy(col("doc_id"))
+    }),
+
+    // OCR-artifact screen (r16): the quality gate specific to scanned-book
+    // / PDF-extraction sources (a top-3 pretraining corpus class) that the
+    // generic gates (text_quality, text_gopher_quality) don't isolate:
+    // stray single letters from broken words (legit 'a'/'i' excluded),
+    // digit-letter fusions (l/1, O/0 confusions), and line-break
+    // hyphenation residue ("- " mid-text). All per-row token HOFs and one
+    // replace-based substring count — scan-grain codegen, zero shuffle.
+    "text_ocr_quality" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionAll(ocrFixture.toDF("doc_id", "text"))
+        .withColumn("toks", split(lower(col("text")), " "))
+        .select(col("doc_id"), size(col("toks")).as("n_toks"),
+          expr("size(filter(toks, t -> t rlike '^[b-hj-z]$'))").as("n_single"),
+          expr("size(filter(toks, t -> t rlike '[a-z]' and t rlike '[0-9]'))").as("n_mixed"),
+          expr("(length(text) - length(replace(text, '- ', ''))) div 2").as("n_hyphen_break"))
+        .withColumn("ocr_score",
+          round((col("n_single") + col("n_mixed") + col("n_hyphen_break"))
+            .cast("double") / col("n_toks"), 6))
         .orderBy(col("doc_id"))
     }),
 
@@ -1176,6 +1260,65 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Bloom-filter decontamination screen (r16) — the 100 TB-scale sibling
+    // of text_decontaminate above: that op broadcasts the eval set's
+    // DISTINCT GRAM STRINGS (fine for small benchmarks, but an 8-13-gram
+    // sweep over a large eval suite broadcasts gigabytes); this one
+    // broadcasts a FIXED 2^18-bit Bloom bitmap (8192 ×32-bit words ≈ 32 KB
+    // at ANY eval-set size) and probes it map-side. Grams live in hash
+    // space end to end: the 5-token window folds through the corpus
+    // rolling-hash idiom (text_fingerprint's fold — no gram strings ever
+    // materialize, the corpus side streams integers), k=2 positions per
+    // gram (h and h·Knuth mod m), build = one bit_or agg over eval
+    // positions, probe = two broadcast joins against the word table +
+    // codegen bit tests. The op grades its own filter: n_bloom vs
+    // n_exact (signature-exact membership of h in the eval set) measures
+    // the realized false-positive overhead a production pre-filter pays —
+    // Bloom-positive docs feed the exact verifier, so FP cost is extra
+    // verification, never wrong decisions. Fully oracled: DuckDB replays
+    // hash, bitmap, and probes bit-for-bit.
+    "corpus_bloom_decontaminate" -> ((s, dir) => {
+      val g = t(s, dir, "documents")
+        .withColumn("toks", split(lower(col("text")), " "))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(sequence(1, size(toks) - 4),
+               i -> aggregate(slice(toks, i, 5), 0L,
+                      (acc, t) -> (acc * 131 + (length(t) * 31 + ascii(t))) % 1000000007)))""")).as("h"))
+        .withColumn("p1", col("h") % lit(262144L))
+        .withColumn("p2", (col("h") * lit(2654435761L)) % lit(262144L))
+      // eval slice persisted (benchmark-sized, and the doc_id < 32
+      // predicate pushes to the scan): bloom words + the exact signature
+      // set both derive from it, so documents is scanned once per side
+      // (lint r16 — re-executed scan subtrees)
+      val evalPos = persistShared("cbd_eval", g.filter(col("doc_id") < 32))
+      val bloom = evalPos
+        .select(explode(array(col("p1"), col("p2"))).as("p"))
+        .groupBy(expr("p div 32").as("widx"))
+        .agg(expr("bit_or(shiftleft(1L, CAST(p % 32 AS INT)))").as("w"))
+      val ev = evalPos.select(col("h")).distinct().withColumn("ehit", lit(1))
+      g.filter(col("doc_id") >= 32)
+        .withColumn("w1", expr("p1 div 32"))
+        .withColumn("w2", expr("p2 div 32"))
+        .join(broadcast(bloom.select(col("widx").as("w1"), col("w").as("b1w"))),
+          Seq("w1"), "left_outer")
+        .join(broadcast(bloom.select(col("widx").as("w2"), col("w").as("b2w"))),
+          Seq("w2"), "left_outer")
+        .join(broadcast(ev), Seq("h"), "left_outer")
+        .withColumn("bhit",
+          col("b1w").isNotNull && col("b2w").isNotNull &&
+            expr("(b1w & shiftleft(1L, CAST(p1 % 32 AS INT))) != 0") &&
+            expr("(b2w & shiftleft(1L, CAST(p2 % 32 AS INT))) != 0"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("ng"),
+          count(when(col("bhit"), 1)).as("n_bloom"),
+          count(col("ehit")).as("n_exact"))
+        .filter(col("n_bloom") > 0)
+        .select(col("doc_id"), col("ng"), col("n_bloom"), col("n_exact"),
+          round(col("n_bloom").cast("double") / col("ng"), 6).as("bloom_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic stratified sampling: per-language keep rates
     // (downsample the dominant 'en' to 40%, keep the rest at 90%) decided
     // by a multiplicative hash of the key, not an RNG — reproducible
@@ -2127,6 +2270,33 @@ object TextOps {
                 nfc_normalize(text) <> text AS changed,
                 sha256(nfc_normalize(text)) AS nfc_hash
          FROM docs ORDER BY doc_id"""),
+    "text_encoding_screen" ->
+      ("""WITH docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL VALUES """ + mojibakeFixtureValues + """)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '""" + mojiPat + """')) AS INTEGER) AS n_moji,
+                CAST(len(regexp_extract_all(text, '""" + replPat + """')) AS INTEGER) AS n_repl,
+                CAST(len(regexp_extract_all(text, '""" + ctrlPat + """')) AS INTEGER) AS n_ctrl,
+                (len(regexp_extract_all(text, '""" + mojiPat + """'))
+                 + len(regexp_extract_all(text, '""" + replPat + """'))
+                 + len(regexp_extract_all(text, '""" + ctrlPat + """'))) > 0 AS suspect
+         FROM docs ORDER BY doc_id"""),
+    "text_ocr_quality" ->
+      ("""WITH docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL VALUES """ + ocrFixtureValues + """),
+         d AS (
+           SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM docs),
+         m AS (
+           SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_toks,
+                  CAST(len(list_filter(toks, t -> regexp_matches(t, '^[b-hj-z]$'))) AS INTEGER) AS n_single,
+                  CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]') AND regexp_matches(t, '[0-9]'))) AS INTEGER) AS n_mixed,
+                  (strlen(text) - strlen(replace(text, '- ', ''))) // 2 AS n_hyphen_break
+           FROM d)
+         SELECT doc_id, n_toks, n_single, n_mixed, n_hyphen_break,
+                round(CAST(n_single + n_mixed + n_hyphen_break AS DOUBLE) / n_toks, 6) AS ocr_score
+         FROM m ORDER BY doc_id"""),
     "text_docfreq" ->
       """SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS rnk FROM
          (SELECT token, count(DISTINCT doc_id) AS df FROM
@@ -2680,6 +2850,40 @@ object TextOps {
          GROUP BY g.doc_id
          HAVING count(e.gram) > 0
          ORDER BY g.doc_id""",
+    "corpus_bloom_decontaminate" ->
+      """WITH g AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, len(toks) - 3),
+                    i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+4],
+                             t -> CAST(length(t) * 31 + ascii(t) AS BIGINT))),
+                           (acc, v) -> (acc * 131 + v) % 1000000007)))) AS h
+           FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+           WHERE len(toks) >= 5),
+         pos AS (
+           SELECT doc_id, h, h % 262144 AS p1, (h * 2654435761) % 262144 AS p2 FROM g),
+         bloom AS (
+           SELECT p // 32 AS widx, bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS w
+           FROM (SELECT unnest([p1, p2]) AS p FROM pos WHERE doc_id < 32)
+           GROUP BY 1),
+         ev AS (SELECT DISTINCT h FROM pos WHERE doc_id < 32),
+         probe AS (
+           SELECT c.doc_id,
+             (b1.w IS NOT NULL AND (b1.w & (CAST(1 AS BIGINT) << CAST(c.p1 % 32 AS INTEGER))) != 0
+              AND b2.w IS NOT NULL AND (b2.w & (CAST(1 AS BIGINT) << CAST(c.p2 % 32 AS INTEGER))) != 0) AS bhit,
+             (ev.h IS NOT NULL) AS ehit
+           FROM pos c
+           LEFT JOIN bloom b1 ON c.p1 // 32 = b1.widx
+           LEFT JOIN bloom b2 ON c.p2 // 32 = b2.widx
+           LEFT JOIN ev ON c.h = ev.h
+           WHERE c.doc_id >= 32)
+         SELECT doc_id, count(1) AS ng,
+                count(CASE WHEN bhit THEN 1 END) AS n_bloom,
+                count(CASE WHEN ehit THEN 1 END) AS n_exact,
+                round(CAST(count(CASE WHEN bhit THEN 1 END) AS DOUBLE) / count(1), 6) AS bloom_frac
+         FROM probe GROUP BY doc_id
+         HAVING count(CASE WHEN bhit THEN 1 END) > 0
+         ORDER BY doc_id""",
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents
          WHERE ((doc_id % 2147483648) * 2654435761) % 100 < (CASE WHEN lang = 'en' THEN 40 ELSE 90 END)

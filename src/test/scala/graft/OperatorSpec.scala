@@ -138,6 +138,67 @@ class OperatorSpec extends SparkSuite {
     assert(frames.forall(f => f(2).toInt <= 256 && f(2).toInt > 0))
   }
 
+  test("mm_scene_cut: brute-force density replay; partial last frame is not a false cut") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 8).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = q("mm_scene_cut").filter(col("doc_id") < 8).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val text = docs(r.getLong(0))
+      val frames = text.grouped(64).toSeq
+      val dens = frames.map(f => f.count(_ != ' ').toLong * 1000 / f.length)
+      val jumps =
+        if (dens.size >= 2) dens.sliding(2).map(w => math.abs(w(1) - w(0))).toSeq
+        else Seq.empty[Long]
+      assert(r.getInt(1) === frames.size, s"n_frames doc ${r.getLong(0)}")
+      assert(r.getInt(2) === jumps.count(_ > 100), s"n_cuts doc ${r.getLong(0)}")
+      assert(r.getLong(3) === (if (jumps.nonEmpty) jumps.max else 0L),
+        s"max_jump doc ${r.getLong(0)}")
+    }
+  }
+
+  test("corpus_bloom_decontaminate: Bloom never misses (no false negatives)") {
+    val rows = q("corpus_bloom_decontaminate").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ng = r.getLong(1); val nb = r.getLong(2); val ne = r.getLong(3)
+      assert(nb >= ne, s"bloom missed a signature-exact hit for doc ${r.getLong(0)}")
+      assert(nb <= ng)
+    }
+    // string-exact contamination (text_decontaminate) implies identical
+    // gram strings, hence identical rolling hashes, hence Bloom hits —
+    // the screen must flag every doc the exact join flags
+    val exactDocs = q("text_decontaminate").select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    val bloomDocs = rows.map(_.getLong(0)).toSet
+    assert(exactDocs.subsetOf(bloomDocs),
+      s"string-exact contaminated docs escaped the Bloom screen: ${exactDocs -- bloomDocs}")
+  }
+
+  test("text_encoding_screen: fixture damage classes classify; corpus reads clean") {
+    val rows = q("text_encoding_screen").filter(col("doc_id") < 0).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4)))).toMap
+    assert(rows(-15L) === ((2, 0, 0, true)))  // mojibake digraphs
+    assert(rows(-14L) === ((0, 0, 0, false))) // clean control row
+    assert(rows(-13L) === ((0, 1, 0, true)))  // U+FFFD replacement
+    assert(rows(-12L) === ((2, 0, 0, true)))  // double-encode artifact
+    assert(rows(-11L) === ((0, 0, 2, true)))  // C0 control bytes
+    assert(q("text_encoding_screen")
+      .filter(col("doc_id") >= 0 && col("suspect")).count() === 0L)
+  }
+
+  test("text_ocr_quality: artifact fixture classes flagged; legit a/i singles are not") {
+    val rows = q("text_ocr_quality").filter(col("doc_id") < 0).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+    assert(rows(-25L) === ((0, 0, 0L))) // clean
+    assert(rows(-24L) === ((4, 0, 0L))) // stray letters m x q z
+    assert(rows(-23L) === ((0, 0, 3L))) // hyphen-break residue
+    assert(rows(-22L) === ((0, 5, 0L))) // digit fusions
+    assert(rows(-21L) === ((0, 0, 0L))) // a/i legit singles
+  }
+
   test("fn_map: map construction round-trips keys and values") {
     val rows = q("fn_map").limit(5).collect()
     rows.foreach { r =>

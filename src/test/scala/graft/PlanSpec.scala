@@ -970,6 +970,7 @@ class PlanSpec extends SparkSuite {
       "vec_pca_power" -> "crossJoins against broadcast 1-row scalars (n, s'v, norm, sign) per power round",
       "graph_modularity" -> "crossJoins compose four 1-row aggregate frames (m, e_c, sum d_c^2, n_communities)",
       "sample_balanced" -> "crossJoin against a broadcast 1-row min-class-count frame",
+      "corpus_dup_profile" -> "crossJoin against a broadcast 1-row corpus-doc total over the persisted cluster-size histogram",
       "lm_kneser_ney" -> "crossJoin against a broadcast 1-row bigram-type-count frame",
       "graph_hits" -> "crossJoins against broadcast 1-row max-score frames (one per normalize round)",
       "stat_cramers_v" -> "margin cross product of 5x5 cell-grain frames + broadcast 1-row grand total (stat_chi2's shape)",

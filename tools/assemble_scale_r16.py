@@ -33,7 +33,7 @@ out = {
         "gates: x30 (600k nodes) broadcast gate ON, x220 (4.4M nodes > 4.19M knob) gate OFF naturally; LPA round plan verified BroadcastExchange-free on the shuffle fallback at x220.",
         "x100: same 30-suspect list as r15 with the exact-dup collapse live; mm_phash 284.8s->4.0s, text_dedup_near in-band.",
         "x30_graph: lineitem/orders multiplied x30 (18M lineitem rows) — first graph/TPC-H axis evidence above x10; sfscale220 (132M rows) used for the gate probe only.",
-        "x100_stream_rocksdb: the x100 streaming suspects replayed under RocksDBStateStoreProvider (VERDICT r15 item 4).",
+        "x100_stream_rocksdb: full 10-query streaming block completes under RocksDBStateStoreProvider at x100 (436.1s sweep / isolated mins 72.4s stream_session, 43.7s stream_dedup); vs the default heap store the per-op JNI+serde cost reads 1.6-6x at this state size (stream_dedup 27.0->43.7s min, stream_distinct_users 7.2->42.2s) - the provider trades per-op cost for state beyond heap, which is the 100TB play; no failures, no OOM.",
     ],
 }
 json.dump(out, open("SCALE_r16.json", "w"), indent=1)
