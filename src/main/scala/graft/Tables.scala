@@ -121,6 +121,21 @@ object Tables {
       t(spark, sfDir, "documents")
         .select(lower(col("text"))).distinct().count())
 
+  /** True when the exact-dup collapse machinery must run for the
+    * documents corpus: duplicates exist (distinct lower(text) < rows —
+    * which also implies distinct payload bytes < rows, so the same gate
+    * serves mm_phash's digest collapse), or
+    * `spark.graft.dedup.forceCollapse=true` (the test/parity override).
+    * Gate OFF takes the pre-collapse direct formulation — bit-identical
+    * output (every cluster is a singleton), none of the collapse's
+    * window/persist/re-expansion cost (optimization r16); both counts
+    * are warmed memoized artifacts, so the gate itself is free at query
+    * time. The broadcast-gate idiom: a capacity branch, never a result
+    * change. */
+  def docCollapseGate(spark: SparkSession, sfDir: String): Boolean =
+    spark.conf.getOption("spark.graft.dedup.forceCollapse").contains("true") ||
+      distinctDocCount(spark, sfDir) < docCount(spark, sfDir)
+
   /** Cache tag for fixtures derived from a source directory: a sha-256
     * prefix of the FULL path, so two distinct datasets can never serve
     * each other's staged fixtures (a 32-bit hashCode would make that

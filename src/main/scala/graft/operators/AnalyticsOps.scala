@@ -448,6 +448,19 @@ object AnalyticsOps {
       .select(col("node"), coalesce(col("wl"), col("lbl")).as("lbl"))
   }
 
+  /** Memoized LPA label assignment per (JVM, dir) — TWO registered
+    * queries (graph_label_prop, graph_modularity) fold the SAME
+    * LabelPropRounds synchronous-vote partition; through r16 each
+    * invocation re-ran all rounds (~1.3 s apiece at sf0.1) even though
+    * the partition is a deterministic function of the dir — the
+    * componentLabels/bfsVisited artifact shape applied here
+    * (optimization r16; the r10 per-query-artifact-rebuild lesson). */
+  private val lpaCache = new graft.ArtifactCache[
+    (org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
+     org.apache.spark.sql.types.StructType)]("LPA labels",
+    e => e._1.unpersist(blocking = false),
+    graft.ArtifactCache.PerDir((s, d) => { lpaLabels(s, d); () }))
+
   /** Final LPA label assignment (node, lbl) after [[LabelPropRounds]]
     * synchronous majority votes — the loop graph_label_prop always ran,
     * factored out so graph_modularity can score the SAME partition.
@@ -455,16 +468,21 @@ object AnalyticsOps {
     * callers reference it repeatedly without re-running any round. */
   private[graft] def lpaLabels(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
-    val (und, nodes) = coPurchaseGraph(s, dir)
-    val adj = und.select(col("p1").as("src"), col("p2").as("dst"))
-      .union(und.select(col("p2").as("src"), col("p1").as("dst")))
-    val bcastLabels = nodes.count() <= graft.Knobs.graphBroadcastMaxNodes(s)
-    var labels = nodes.select(col("node"), col("node").as("lbl"))
-      .transform(RoundPin.pin)
-    for (_ <- 1 to graft.Knobs.labelPropRounds(s)) {
-      labels = lpaRound(adj, labels, bcastLabels).transform(RoundPin.pin)
-    }
-    labels
+    val (r, sch) = lpaCache.getOrElseUpdate(dir, {
+      val (und, nodes) = coPurchaseGraph(s, dir)
+      val adj = und.select(col("p1").as("src"), col("p2").as("dst"))
+        .union(und.select(col("p2").as("src"), col("p1").as("dst")))
+      val bcastLabels = nodes.count() <= graft.Knobs.graphBroadcastMaxNodes(s)
+      var labels = nodes.select(col("node"), col("node").as("lbl"))
+        .transform(RoundPin.pin)
+      for (_ <- 1 to graft.Knobs.labelPropRounds(s)) {
+        labels = lpaRound(adj, labels, bcastLabels).transform(RoundPin.pin)
+      }
+      val e = (labels.rdd.cache(), labels.schema)
+      e._1.count()
+      e
+    })
+    s.createDataFrame(r, sch)
   }
 
   /** One ktruss support peel among the surviving edges. support =
@@ -495,6 +513,44 @@ object AnalyticsOps {
       .join(nside("p2", "nb2"), Seq("p2"))
       .filter(size(array_intersect(col("nb1"), col("nb2"))) >= 8)
       .select(col("p1"), col("p2"))
+  }
+
+  /** graph_ktruss's surviving edge set after the bounded support peels.
+    * FIXPOINT EARLY-EXIT (optimization r16, guide §1.2 "don't compute
+    * things you throw away"): [[trussRound]] returns a SUBSET of its
+    * input rows (two key-grain inner joins + a filter over a
+    * duplicate-free edge set), so an unchanged count IS set equality,
+    * and the round function is deterministic — every further round
+    * returns the same set. Rounds past the fixpoint are therefore
+    * no-op peels; skipping them is bit-identical to the unrolled
+    * TrussRounds semantics the DuckDB oracle replays (sf0.1 converges
+    * at round 3 of 6 — the oracle gate exercises the early exit; sf0.01
+    * converges at 7, so all 6 rounds still run there). The per-round
+    * count is one cheap job over the just-checkpointed blocks.
+    * `earlyExit = false` forces the full unroll (spec parity hook). */
+  private[graft] def ktrussEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String, earlyExit: Boolean = true): DataFrame = {
+    // the all-pairs co-purchase graph IS the shared artifact's cached
+    // frame (ktruss peels the unfiltered pair set; the n ≥ 2 family
+    // reads its subgraph) — no per-query distinct/self-join rebuild
+    val (allPairs, nodes) = allPairsGraph(s, dir)
+    var e = allPairs.select(col("p1"), col("p2"))
+    // the per-round broadcast frame is the NEIGHBOR-LIST dim, which is
+    // node-grain — so the gate compares the NODE domain against the
+    // node ceiling, computed ONCE off the artifact's cached node frame
+    // (a node-grain job), not re-counted per round
+    val bcastNbr = nodes.count() <= graft.Knobs.graphBroadcastMaxNodes(s)
+    var prev = if (earlyExit) e.count() else -1L
+    var stable = false
+    for (_ <- 1 to graft.Knobs.trussRounds(s) if !stable) {
+      e = trussRound(e, bcastNbr).transform(RoundPin.pin)
+      if (earlyExit) {
+        val c = e.count()
+        stable = c == prev
+        prev = c
+      }
+    }
+    e
   }
 
   /** One BFS frontier expansion: frontier ⋈ adjacency, new nodes via
@@ -3436,8 +3492,18 @@ object AnalyticsOps {
       // job over the context-cached artifact, not a corpus re-scan.
       val bcastKeep = nodes.count() <= graft.Knobs.graphBroadcastMaxNodes(s)
       var edges = und.select(col("p1"), col("p2"))
-      for (_ <- 1 to graft.Knobs.kcorePeelRounds(s)) {
+      // FIXPOINT EARLY-EXIT (optimization r16, same argument as
+      // [[ktrussEdges]]): a peel round returns a subset (two semi-joins)
+      // of a duplicate-free edge set, so an unchanged count is set
+      // equality and every further round is a no-op — skipping them is
+      // bit-identical to the unrolled KcorePeelRounds the oracle replays.
+      var prev = edges.count()
+      var stable = false
+      for (_ <- 1 to graft.Knobs.kcorePeelRounds(s) if !stable) {
         edges = kcorePeelRound(edges, bcastKeep).transform(RoundPin.pin)
+        val c = edges.count()
+        stable = c == prev
+        prev = c
       }
       edges.select(explode(array(col("p1"), col("p2"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("dg"))
@@ -3641,20 +3707,8 @@ object AnalyticsOps {
     // caught), filters, checkpoints; edge-bounded per round,
     // monotonically shrinking. Output: top-10 nodes by truss degree.
     "graph_ktruss" -> ((s, dir) => {
-      // the all-pairs co-purchase graph IS the shared artifact's cached
-      // frame (ktruss peels the unfiltered pair set; the n ≥ 2 family
-      // reads its subgraph) — no per-query distinct/self-join rebuild
-      val (allPairs, nodes) = allPairsGraph(s, dir)
-      var e = allPairs.select(col("p1"), col("p2"))
-      // the per-round broadcast frame is the NEIGHBOR-LIST dim, which is
-      // node-grain — so the gate compares the NODE domain against the
-      // node ceiling, computed ONCE off the artifact's cached node frame
-      // (a node-grain job), not re-counted per round
-      val bcastNbr = nodes.count() <= graft.Knobs.graphBroadcastMaxNodes(s)
-      for (_ <- 1 to graft.Knobs.trussRounds(s)) {
-        e = trussRound(e, bcastNbr).transform(RoundPin.pin)
-      }
-      e.select(explode(array(col("p1"), col("p2"))).as("node"))
+      ktrussEdges(s, dir)
+        .select(explode(array(col("p1"), col("p2"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("truss_degree"))
         .orderBy(col("truss_degree").desc, col("node"))
         .limit(10)
@@ -3730,11 +3784,20 @@ object AnalyticsOps {
       val bcastFrontier = nodes.count() <= graft.Knobs.graphBroadcastMaxNodes(s)
       var visited = hub.transform(RoundPin.pin)
       var frontier = visited
-      for (r <- 1 to graft.Knobs.bfsRounds(s)) {
+      // EMPTY-FRONTIER EARLY-EXIT (optimization r16): an empty frontier
+      // expands to an empty frontier forever, so every later round
+      // unions nothing — skipping them is bit-identical to the unrolled
+      // BfsRounds the oracle replays. The count is one cheap job over
+      // the just-checkpointed frontier blocks.
+      var dead = false
+      for (r <- 1 to graft.Knobs.bfsRounds(s) if !dead) {
         val next = bfsExpand(adj, frontier, visited, r, bcastFrontier)
           .transform(RoundPin.pin)
-        visited = visited.union(next).transform(RoundPin.pin)
-        frontier = next
+        dead = next.count() == 0
+        if (!dead) {
+          visited = visited.union(next).transform(RoundPin.pin)
+          frontier = next
+        }
       }
       visited.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("dist"))

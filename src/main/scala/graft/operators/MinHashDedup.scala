@@ -88,7 +88,7 @@ object MinHashDedup {
       .select(col(idCol), col("band.band_idx").as("band_idx"), col("band.bh").as("bh"))
   }
 
-  val queries: Map[String, QFn] = Map(
+  val queries: Map[String, QFn] = Map[String, QFn](
     // The exact-dup collapse published as its own operator (round 16 —
     // the building block every LSH pair family now shares): each doc's
     // cluster representative (min doc_id over identical lower(text)) and
@@ -167,9 +167,32 @@ object MinHashDedup {
     // degenerate path — every cluster is a singleton — and the output
     // is bit-identical to the pre-collapse formulation (the sf0.001 pin
     // and the 5-seed recall property are unchanged).
-    "text_dedup_near" -> ((s, dir) => {
+    "text_dedup_near" -> ((s, dir) => textDedupNearFrame(s, dir))) ++ moreQueries
+
+  /** text_dedup_near body — factored out so the spec can compare the
+    * collapse gate's two branches directly. Gate OFF (duplicate-free
+    * corpus, [[graft.Tables.docCollapseGate]]): the pre-collapse direct
+    * formulation — band every doc, bucket self-join, top-100; every
+    * cluster is a singleton so the rep machinery below is the identity
+    * and its window/persist/re-expansion cost buys nothing
+    * (optimization r16). Gate ON: the representative collapse with
+    * relational re-expansion, per the proof in the comment above. */
+  private[graft] def textDedupNearFrame(s: SparkSession, dir: String): DataFrame = {
       val k = BANDS * bandRows(graft.Tables.distinctDocCount(s, dir),
         graft.Knobs.minhashTargetOccupancy(s))
+      if (!graft.Tables.docCollapseGate(s, dir)) {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        val sig = signatures(docs, "doc_id", "toks", shingleWidth = 3, k = k)
+        val b = RoundPin.pin(banded(sig, "doc_id", k = k))
+        return b.select(col("doc_id").as("d1"), col("band_idx"), col("bh"))
+          .join(b.select(col("doc_id").as("d2"), col("band_idx"), col("bh")),
+            Seq("band_idx", "bh"))
+          .filter(col("d1") < col("d2"))
+          .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_bands"))
+          .orderBy(col("n_bands").desc, col("d1"), col("d2"))
+          .limit(100)
+      }
       val keyed = t(s, dir, "documents")
         .select(col("doc_id"), lower(col("text")).as("lt"))
         .withColumn("ekey", sha2(col("lt"), 256))
@@ -226,8 +249,9 @@ object MinHashDedup {
       cross.unionAll(within)
         .orderBy(col("n_bands").desc, col("d1"), col("d2"))
         .limit(100)
-    }),
+  }
 
+  private def moreQueries: Map[String, QFn] = Map(
     // Recall audit of the MinHash-LSH candidate generator — the dedup
     // family's analogue of vec_ann_recall (an index you never grade is
     // an index you can't trust): exact 3-gram-shingle Jaccard ≥ 0.5

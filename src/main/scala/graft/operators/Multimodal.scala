@@ -597,39 +597,67 @@ object Multimodal {
     // trip runs ONCE into a pinned hash frame; the band explode and
     // join read the cache. At 100 TB this is the image-corpus dedup
     // shape: per-image hash (embarrassing parallel) + banded bucket join.
-    "mm_phash" -> ((s, dir) => {
+    "mm_phash" -> ((s, dir) => phashFrame(s, dir)))
+
+  /** mm_phash body — factored out so the spec can compare the collapse
+    * gate's two branches directly.
+    *
+    * DIGEST-KEYED DECODE DEDUP + EXACT-DUP COLLAPSE (VERDICT r15
+    * items 1+3): a 100×-copied crawl is >99% verbatim payloads — the
+    * PNG round trip runs ONCE per distinct payload (keyed by its
+    * sha2 digest; the min-doc_id member is the decode representative),
+    * and the banded hamming join sees ONE row per distinct hash (equal
+    * hashes collide in every band at any banding, so banding members
+    * individually made pair work quadratic in copy-factor). Membership
+    * re-expands relationally after the near-dup decision — the
+    * published pair set is EXACTLY the per-doc formulation's:
+    * same-hash docs pair at hamming 0; cross-hash doc pairs share a
+    * band iff their hashes do, with the same hamming.
+    *
+    * The payload collapse is GATED on actual duplication
+    * ([[graft.Tables.docCollapseGate]], optimization r16): a
+    * duplicate-free corpus (every fixture/bench scale) decodes each doc
+    * directly — the digest window + members persist + the members side
+    * of the re-expansion join bought nothing there (~1 s/query at
+    * sf0.1). The HASH-grain collapse (one banded row per distinct
+    * phash) stays on in both branches: distinct payloads can still
+    * share an aHash, and that collapse is hash-grain-cheap. */
+  private[graft] def phashFrame(s: SparkSession, dir: String): DataFrame = {
       import s.implicits._
       // corpus-adaptive band count (Knobs r14 item 2): 4×16-bit bands up
       // to occ·2^15 docs, 3×21-bit beyond — result-IDENTICAL by the
       // pigeonhole (hamming ≤ 2 agrees on ≥ b−2 ≥ 1 bands at both
       // settings), only the bucket fan-out changes; see phashBandCount.
-      // Capacity signal = DISTINCT content (the collapse below bands one
+      // Capacity signal = DISTINCT content (the collapse bands one
       // row per distinct hash, so raw row count would over-provision).
       val nBands = phashBandCount(graft.Tables.distinctDocCount(s, dir),
         graft.Knobs.phashBandOccupancy(s))
       val bandBits = if (nBands == 4) 16 else 21
       val bandMask = (1L << bandBits) - 1
-      // DIGEST-KEYED DECODE DEDUP + EXACT-DUP COLLAPSE (VERDICT r15
-      // items 1+3): a 100×-copied crawl is >99% verbatim payloads — the
-      // PNG round trip runs ONCE per distinct payload (keyed by its
-      // sha2 digest; the min-doc_id member is the decode representative),
-      // and the banded hamming join sees ONE row per distinct hash (equal
-      // hashes collide in every band at any banding, so banding members
-      // individually made pair work quadratic in copy-factor). Membership
-      // re-expands relationally after the near-dup decision — the
-      // published pair set is EXACTLY the per-doc formulation's:
-      // same-hash docs pair at hamming 0; cross-hash doc pairs share a
-      // band iff their hashes do, with the same hamming.
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("dig"))
-      val members = persistShared("phash_members",
-        t(s, dir, "documents")
-          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-          .withColumn("dig", sha2(col("payload"), 256))
-          .withColumn("rep", min(col("doc_id")).over(w))
-          .select(col("doc_id"), col("rep"),
-            when(col("doc_id") === col("rep"), col("payload")).as("payload")))
-      val media = members.filter(col("doc_id") === col("rep"))
-        .select(col("rep"), col("payload")).as[(Long, Array[Byte])]
+      val collapse = graft.Tables.docCollapseGate(s, dir)
+      // gate ON: one payload-cluster representative decodes per distinct
+      // digest; gate OFF: every doc IS its own representative (identity
+      // members, no window, no persist)
+      val membersOpt: Option[DataFrame] =
+        if (!collapse) None
+        else {
+          val w = org.apache.spark.sql.expressions.Window.partitionBy(col("dig"))
+          Some(persistShared("phash_members",
+            t(s, dir, "documents")
+              .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+              .withColumn("dig", sha2(col("payload"), 256))
+              .withColumn("rep", min(col("doc_id")).over(w))
+              .select(col("doc_id"), col("rep"),
+                when(col("doc_id") === col("rep"), col("payload")).as("payload"))))
+        }
+      val media: org.apache.spark.sql.Dataset[(Long, Array[Byte])] =
+        membersOpt match {
+          case Some(members) => members.filter(col("doc_id") === col("rep"))
+            .select(col("rep"), col("payload")).as[(Long, Array[Byte])]
+          case None => t(s, dir, "documents")
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+            .as[(Long, Array[Byte])]
+        }
       val hs = persistShared("phash_frame", media
         .mapPartitions(_.map { case (id, bytes) => resizePng63(id, encodePng(bytes)) })
         .toDF()
@@ -638,7 +666,7 @@ object Multimodal {
           """aggregate(sequence(0, 62), 0L, (a, i) ->
              a + CASE WHEN thumb[i] * 63 > stot
                       THEN shiftleft(CAST(1 AS BIGINT), i) ELSE 0L END)""").as("phash")))
-      // second collapse: one banded row per DISTINCT hash value
+      // hash-grain collapse: one banded row per DISTINCT hash value
       val hreps = persistShared("phash_hreps",
         hs.groupBy(col("phash")).agg(min(col("rep")).as("hrep")))
       val bands = hreps.select(col("hrep"), col("phash"),
@@ -653,10 +681,16 @@ object Multimodal {
           expr("CAST(bit_count(pa ^ pb) AS BIGINT)").as("hamming"))
         .filter(col("hamming") <= 2)
       // doc → distinct-hash representative, for relational re-expansion
+      // (gate OFF: rep IS the doc_id, so hs ⋈ hreps already carries it)
       val d2h = persistShared("phash_doc2h",
-        members.select(col("doc_id"), col("rep"))
-          .join(hs, "rep").join(hreps, "phash")
-          .select(col("doc_id"), col("hrep")))
+        membersOpt match {
+          case Some(members) => members
+            .select(col("doc_id"), col("rep"))
+            .join(hs, "rep").join(hreps, "phash")
+            .select(col("doc_id"), col("hrep"))
+          case None => hs.join(hreps, "phash")
+            .select(col("rep").as("doc_id"), col("hrep"))
+        })
       val cross = repPairs
         .join(d2h.select(col("hrep").as("ha"), col("doc_id").as("da")), "ha")
         .join(d2h.select(col("hrep").as("hb"), col("doc_id").as("db")), "hb")
@@ -668,7 +702,7 @@ object Multimodal {
           lit(0L).as("hamming"))
       cross.unionAll(within)
         .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
-    }))
+  }
 
   // The codec is lossless, so the oracle recomputes the features straight
   // from the raster pattern (the corpus is ASCII — verified at all SFs —

@@ -160,6 +160,30 @@ object VectorOps {
   private[graft] def embCount(s: SparkSession, dir: String): Long =
     nEmbCache.getOrElseUpdate(dir, embStore(s, dir).count())
 
+  // DISTINCT-embedding corpus size per (JVM, dir), memoized like embCount
+  // — the vector twin of Tables.distinctDocCount: the exact-dup-collapse
+  // GATE compares it against embCount, so a duplicate-free corpus (every
+  // fixture/bench scale) skips the collapse machinery outright and a
+  // copied crawl engages it (optimization r16: the collapse added a
+  // window-by-embedding + persist + two re-expansion joins to every
+  // lshRangePairs consumer — ~3 s/query at sf0.1 — that bought nothing
+  // where no duplicates exist; the gate is the broadcast-gate idiom, a
+  // capacity branch that never changes results)
+  private val nDistinctEmbCache = new graft.ArtifactCache[java.lang.Long](
+    "distinct emb count",
+    _ => (), graft.ArtifactCache.PerDir((s, d) => { distinctEmbCount(s, d); () }))
+  private[graft] def distinctEmbCount(s: SparkSession, dir: String): Long =
+    nDistinctEmbCache.getOrElseUpdate(dir,
+      embStore(s, dir).select(col("embedding")).distinct().count())
+
+  /** True when the collapse machinery must run: the corpus carries exact-
+    * duplicate embeddings, or `spark.graft.dedup.forceCollapse=true`
+    * (the test/parity override — production never needs it; the branch
+    * is result-identical by construction, see [[lshRepRangePairs]]). */
+  private[graft] def embCollapseGate(s: SparkSession, dir: String): Boolean =
+    s.conf.getOption("spark.graft.dedup.forceCollapse").contains("true") ||
+      distinctEmbCount(s, dir) < embCount(s, dir)
+
   /** The corpus-size-adaptive plane matrix for `dir` (conf-overridable
     * target occupancy — graft.Knobs.lshTargetOccupancy). */
   private[graft] def lshPlanesFor(s: SparkSession, dir: String): Seq[Seq[Double]] =
@@ -169,7 +193,23 @@ object VectorOps {
     * bucket (columns v1 < v2, sim) — the candidate generator for both
     * `vec_range_search` and `dedup_semantic_cluster`. Same deterministic
     * plane formula as `vec_lsh_ann`, so the whole path is oracle-able. */
-  private def lshRangePairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def lshRangePairs(s: SparkSession, dir: String): DataFrame = {
+    // dup-free corpora (gate OFF): the rep graph IS the doc graph —
+    // members is the identity map, within is empty — so the direct
+    // bucket join publishes the identical pair set without the collapse
+    // machinery's window/persist/re-expansion (optimization r16; the
+    // equivalence is pinned by OperatorSpec's forceCollapse parity test)
+    if (!embCollapseGate(s, dir)) {
+      val b = embStore(s, dir).withColumn("bucket",
+        graft.functions.LshBucket.lsh_bucket(col("embedding"), lshPlanesFor(s, dir)))
+      val lhs = b.select(col("bucket"), col("vec_id").as("v1"), col("embedding").as("e1"))
+      val rhs = b.select(col("bucket"), col("vec_id").as("v2"), col("embedding").as("e2"))
+      return lhs.join(rhs, Seq("bucket"))
+        .filter(col("v1") < col("v2"))
+        .withColumn("sim", round(cosine_sim(col("e1"), col("e2")), 6))
+        .filter(col("sim") >= 0.3)
+        .select(col("v1"), col("v2"), col("sim"))
+    }
     val (repPairs, members, selfSim) = lshRepRangePairs(s, dir)
     // relational re-expansion to the doc grain: cross-cluster member
     // pairs inherit their reps' sim (identical floats → identical
@@ -226,6 +266,45 @@ object VectorOps {
       .filter(col("sim") >= 0.3)
       .select(col("rep"), col("sim"))
     (repPairs, members.select(col("vec_id"), col("rep")), selfSim)
+  }
+
+  /** dedup_semantic_cluster body — factored out so the spec can compare
+    * the gate's two branches directly. Gate OFF (duplicate-free corpus):
+    * the r15 direct formulation — HashMin over the doc-grain LSH pairs,
+    * node domain = edge-touched endpoints. Gate ON: the fixpoint runs on
+    * the REP graph (exact-dup collapse, VERDICT r15 item 1) — members of
+    * an exact cluster inherit their rep's component label relationally;
+    * identical output, because reps are cluster minima, so
+    * min-over-expanded-component equals min-over-rep-component; edge
+    * volume stays linear in distinct content instead of quadratic in
+    * copy-factor. Labels stay a distributed frame end to end — no
+    * collect. */
+  private[graft] def semanticClusterFrame(s: SparkSession, dir: String): DataFrame = {
+    if (!embCollapseGate(s, dir)) {
+      val pairs = lshRangePairs(s, dir)
+        .select(col("v1").as("d1"), col("v2").as("d2"))
+      return Components.hashMinLabels(s, pairs)
+        .select(col("doc_id").as("vec_id"), col("comp"))
+        .withColumn("is_representative", col("vec_id") === col("comp"))
+        .orderBy(col("vec_id"))
+    }
+    val (repPairs, members, selfSim) = lshRepRangePairs(s, dir)
+    val pairs = repPairs.select(col("r1").as("d1"), col("r2").as("d2"))
+    // node domain = edge-touched, exactly as the doc-grain graph saw
+    // it: reps on a rep-graph edge, plus reps of multi-member clusters
+    // whose self-sim survives the ≥ 0.3 cut (NaN self-sims pass it —
+    // Spark ranks NaN above any double — so zero-vector clusters stay
+    // edge-touched, as their per-doc within pairs made them before)
+    val multi = members.groupBy(col("rep")).agg(count(lit(1)).as("nm"))
+      .filter(col("nm") >= 2).join(selfSim, "rep").select(col("rep").as("id"))
+    val touched = pairs.select(col("d1").as("id"))
+      .union(pairs.select(col("d2").as("id"))).union(multi).distinct()
+    val repLabels = Components.hashMinLabels(s, pairs, nodes = Some(touched))
+    members
+      .join(repLabels.select(col("doc_id").as("rep"), col("comp")), "rep")
+      .select(col("vec_id"), col("comp"))
+      .withColumn("is_representative", col("vec_id") === col("comp"))
+      .orderBy(col("vec_id"))
   }
 
   /** The approximate k-NN graph (vec_id, rk, nbr_id, sim), K=4: LSH-seeded
@@ -1139,32 +1218,7 @@ object VectorOps {
     // never all-pairs — and a component fixpoint whose iterated frames
     // are bounded by the EDGE-TOUCHED node set (most of any real corpus
     // is singleton and never enters the loop).
-    "dedup_semantic_cluster" -> ((s, dir) => {
-      // the fixpoint runs on the REP graph (exact-dup collapse, VERDICT
-      // r15 item 1): members of an exact cluster inherit their rep's
-      // component label relationally — identical output, because reps
-      // are cluster minima, so min-over-expanded-component equals
-      // min-over-rep-component; edge volume stays linear in distinct
-      // content instead of quadratic in copy-factor. Labels stay a
-      // distributed frame end to end — no collect.
-      val (repPairs, members, selfSim) = lshRepRangePairs(s, dir)
-      val pairs = repPairs.select(col("r1").as("d1"), col("r2").as("d2"))
-      // node domain = edge-touched, exactly as the doc-grain graph saw
-      // it: reps on a rep-graph edge, plus reps of multi-member clusters
-      // whose self-sim survives the ≥ 0.3 cut (NaN self-sims pass it —
-      // Spark ranks NaN above any double — so zero-vector clusters stay
-      // edge-touched, as their per-doc within pairs made them before)
-      val multi = members.groupBy(col("rep")).agg(count(lit(1)).as("nm"))
-        .filter(col("nm") >= 2).join(selfSim, "rep").select(col("rep").as("id"))
-      val touched = pairs.select(col("d1").as("id"))
-        .union(pairs.select(col("d2").as("id"))).union(multi).distinct()
-      val repLabels = Components.hashMinLabels(s, pairs, nodes = Some(touched))
-      members
-        .join(repLabels.select(col("doc_id").as("rep"), col("comp")), "rep")
-        .select(col("vec_id"), col("comp"))
-        .withColumn("is_representative", col("vec_id") === col("comp"))
-        .orderBy(col("vec_id"))
-    }),
+    "dedup_semantic_cluster" -> ((s, dir) => semanticClusterFrame(s, dir)),
 
     // Product-quantization ANN (PQ + ADC re-rank): M=8 subspaces × 8 dims,
     // K=16 codewords per subspace, codebook TRAINED by deterministic

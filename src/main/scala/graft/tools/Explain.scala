@@ -14,6 +14,13 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // GRAFT_EXPLAIN_CONF=k=v;k=v — session confs to apply before planning
+    // (e.g. spark.graft.dedup.forceCollapse=true to print a gated query's
+    // collapse-branch plan on a dup-free corpus)
+    sys.env.get("GRAFT_EXPLAIN_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     for (n <- names) {
       println(s"\n========== $n ==========")
       graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")

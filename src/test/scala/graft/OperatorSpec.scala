@@ -406,6 +406,41 @@ class OperatorSpec extends SparkSuite {
     assert(got === want, "collapsed path must publish the brute top-100 verbatim")
   }
 
+  test("collapse gate: forced-collapse branch matches the dup-free fast path verbatim (optimization r16)") {
+    // The exact-dup collapse is GATED on actual duplication
+    // (Tables.docCollapseGate / VectorOps.embCollapseGate): a dup-free
+    // corpus takes the pre-collapse direct formulation, a copied crawl
+    // (or spark.graft.dedup.forceCollapse=true) the rep collapse. The
+    // gate is a capacity branch — both branches must publish identical
+    // rows. sf0.001 is duplicate-free, so the registered queries run the
+    // fast path here and the forced clone runs the collapse machinery.
+    assert(graft.Tables.docCount(spark, sf) ===
+      graft.Tables.distinctDocCount(spark, sf),
+      "fixture contract: sf0.001 documents are duplicate-free")
+    val forced = org.apache.spark.sql.graftbridge.Bridge.cloneSession(spark)
+    forced.conf.set("spark.graft.dedup.forceCollapse", "true")
+    for (q <- Seq("text_dedup_near", "mm_phash", "vec_range_search",
+        "dedup_semantic_cluster")) {
+      val fast = SparkEntry.queries(q)(spark, sf).collect()
+        .map(_.toString).toSeq
+      val coll = SparkEntry.queries(q)(forced, sf).collect()
+        .map(_.toString).toSeq
+      assert(coll === fast,
+        s"$q: forced-collapse branch diverged from the gated fast path")
+    }
+  }
+
+  test("graph_ktruss fixpoint early-exit equals the full TrussRounds unroll (optimization r16)") {
+    // trussRound returns a subset of its input edge set, so an unchanged
+    // count is set equality and every later round is a no-op; the tiny
+    // fixture converges immediately, so the early exit engages here while
+    // earlyExit=false grinds all TrussRounds rounds — same edges.
+    def edges(earlyExit: Boolean): Seq[(Long, Long)] =
+      graft.operators.AnalyticsOps.ktrussEdges(spark, sf, earlyExit)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(edges(earlyExit = true) === edges(earlyExit = false))
+  }
+
   test("text_bigram_kn_ppl: per-doc perplexity replays a brute interpolated-KN model") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
