@@ -182,7 +182,17 @@ object StreamDedup {
     val storeDir = runDir.resolve("store")
     val outDir = runDir.resolve("out")
     val scoped = org.apache.spark.sql.graftbridge.Bridge.cloneSession(s)
-    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    // size-derived narrow parallelism for the bounded replay, exactly as
+    // Streams.streamShufflePartitions (optimization r16): input bytes =
+    // the staged batch files
+    val nBytes = try {
+      val l = Files.list(inDir)
+      try l.toArray(new Array[java.nio.file.Path](_))
+        .filter(p => p.toString.endsWith(".parquet")).map(Files.size).sum
+      finally l.close()
+    } catch { case _: Throwable => 0L }
+    scoped.conf.set("spark.sql.shuffle.partitions",
+      Streams.streamShufflePartitions(s, nBytes).toString)
     val src = scoped.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
     val q = src.writeStream

@@ -197,19 +197,44 @@ object Streams {
     inDir
   }
 
+  /** Shuffle-partition count for the bounded stream replays — SIZE-DERIVED
+    * (optimization r16; guide §2.2 "fewer, larger reduce partitions" and
+    * the scale-adaptive-settings rule): state-store instances, their
+    * per-batch commits and the memory-sink collection all scale with
+    * shuffle partitions, and an idle A/B at sf0.1 read the family at
+    * 33.6 s (8 partitions, the old constant) / 30.3 s (4) / 27.8 s (2) /
+    * 33.3 s (1 — compute serializes). One partition per 32 MB of stream
+    * input, floor 2, capped at the context's parallelism: sf0.1's 2 MB
+    * events file → 2; the ×100 rehearsal's ~200 MB → 7; a real deployment
+    * sets `spark.graft.stream.shufflePartitions` (state must be
+    * executor-memory-sized, the upsert-sink bucket rule). Results are
+    * partition-count-independent (every query ends in an ORDER BY; the
+    * RocksDB/default-provider parity spec re-runs the family). */
+  private[graft] def streamShufflePartitions(s: SparkSession, bytes: Long): Int =
+    s.conf.getOption("spark.graft.stream.shufflePartitions").map(_.toInt)
+      .getOrElse {
+        val byBytes = 1 + ((bytes - 1) / (32L << 20)).toInt
+        math.max(2, math.min(s.sparkContext.defaultParallelism, byBytes))
+      }
+
   /** Run a streaming aggregation to completion into a memory sink.
     * State-store instances scale with shuffle partitions; for these
-    * bounded replays 8 partitions cut per-batch state-commit overhead
-    * without changing results. The narrow setting lives in a CLONED
-    * session (shared SparkContext, isolated SQLConf — the stream is built
-    * by `build` against that clone), so the caller's session conf is never
-    * mutated and a concurrent query on it can't silently inherit narrow
-    * parallelism. The memory-sink view and the returned frame are bound to
-    * the clone, which is dropped with it. */
-  private def runToTable(s: SparkSession, build: SparkSession => DataFrame,
+    * bounded replays the size-derived narrow setting cuts per-batch
+    * state-commit overhead without changing results. The narrow setting
+    * lives in a CLONED session (shared SparkContext, isolated SQLConf —
+    * the stream is built by `build` against that clone), so the caller's
+    * session conf is never mutated and a concurrent query on it can't
+    * silently inherit narrow parallelism. The memory-sink view and the
+    * returned frame are bound to the clone, which is dropped with it. */
+  private def runToTable(s: SparkSession, dir: String,
+      build: SparkSession => DataFrame,
       name: String, mode: String): DataFrame = {
     val scoped = org.apache.spark.sql.graftbridge.Bridge.cloneSession(s)
-    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    val nBytes = try Files.size(Paths.get(dir, "events.parquet")) catch {
+      case _: Throwable => 0L
+    }
+    scoped.conf.set("spark.sql.shuffle.partitions",
+      streamShufflePartitions(s, nBytes).toString)
     val q = build(scoped).writeStream.format("memory").queryName(name).outputMode(mode).start()
     try { q.processAllAvailable() } finally q.stop()
     scoped.table(name)
@@ -223,7 +248,7 @@ object Streams {
     // WINDOW-grain frame (|windows|·|types| rows — the rank window is
     // partitioned by window start, never global, never the fact).
     "stream_topk" -> ((s, dir) => {
-      val hourly = runToTable(s, s2 => eventsStream(s2, dir)
+      val hourly = runToTable(s, dir, s2 => eventsStream(s2, dir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n")),
         "mem_topk", "complete")
@@ -239,7 +264,7 @@ object Streams {
     }),
 
     "stream_tumbling" -> ((s, dir) => {
-      runToTable(s, s2 => eventsStream(s2, dir)
+      runToTable(s, dir, s2 => eventsStream(s2, dir)
         .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("v")),
         "mem_tumbling", "complete")
@@ -258,7 +283,7 @@ object Streams {
     // the (window × ≤50 bins) grain, integer-exact (2·cum ≥ n and
     // 20·cum ≥ 19·n avoid float thresholds).
     "stream_hist_quantile" -> ((s, dir) => {
-      val binned = runToTable(s, s2 => eventsStream(s2, dir)
+      val binned = runToTable(s, dir, s2 => eventsStream(s2, dir)
         .withColumn("bin", least(lit(49L), floor(col("value") / 10).cast("long")))
         .groupBy(window(col("ts"), "1 hour"), col("bin"))
         .agg(count(lit(1)).as("n")),
@@ -292,7 +317,7 @@ object Streams {
     "stream_windowed_pivot" -> ((s, dir) => {
       val perType = EventTypes.map(et =>
         sum(when(col("event_type") === et, 1L).otherwise(0L)).as(s"n_$et"))
-      runToTable(s, s2 => eventsStream(s2, dir)
+      runToTable(s, dir, s2 => eventsStream(s2, dir)
         .groupBy(window(col("ts"), "1 hour"))
         .agg(perType.head, perType.tail :+ count(lit(1)).as("n_total"): _*),
         "mem_wpivot", "complete")
@@ -311,7 +336,7 @@ object Streams {
     // as one mirrored double tree, |z| > 2 flags. nullif guards a
     // constant series (sd = 0 → NULL z, no alert).
     "stream_rate_alert" -> ((s, dir) => {
-      val hourly = runToTable(s, s2 => eventsStream(s2, dir)
+      val hourly = runToTable(s, dir, s2 => eventsStream(s2, dir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n")),
         "mem_rate_alert", "complete")
@@ -336,7 +361,7 @@ object Streams {
     }),
 
     "stream_sliding" -> ((s, dir) => {
-      runToTable(s, s2 => eventsStream(s2, dir)
+      runToTable(s, dir, s2 => eventsStream(s2, dir)
         .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("v")),
         "mem_sliding", "complete")
@@ -346,7 +371,7 @@ object Streams {
     }),
 
     "stream_session" -> ((s, dir) => {
-      runToTable(s, s2 => eventsStream(s2, dir)
+      runToTable(s, dir, s2 => eventsStream(s2, dir)
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events")),
         "mem_session", "complete")
@@ -358,7 +383,7 @@ object Streams {
     }),
 
     "stream_watermark" -> ((s, dir) => {
-      runToTable(s, s2 => eventsStream(s2, dir)
+      runToTable(s, dir, s2 => eventsStream(s2, dir)
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n")),
@@ -369,7 +394,7 @@ object Streams {
     }),
 
     "stream_dedup" -> ((s, dir) => {
-      runToTable(s, s2 => eventsStream(s2, dir)
+      runToTable(s, dir, s2 => eventsStream(s2, dir)
         .withWatermark("ts", "10 minutes")
         .dropDuplicates("event_id")
         .select(col("event_id"), col("event_type")),
@@ -392,7 +417,7 @@ object Streams {
     // under the watermark, so a generator change that adds later data
     // trips a test instead of a silent oracle drift.
     "stream_distinct_users" -> ((s, dir) => {
-      runToTable(s, s2 => eventsStream(s2, dir)
+      runToTable(s, dir, s2 => eventsStream(s2, dir)
         .withWatermark("ts", "10 minutes")
         .select(window(col("ts"), "5 minutes").as("w"),
           col("event_type"), col("user_id"))
@@ -409,7 +434,7 @@ object Streams {
     // dimension (the connector pattern: incoming feed ⋈ reference data).
     // The static side is broadcast into every micro-batch.
     "stream_static_join" -> ((s, dir) => {
-      runToTable(s, { s2 =>
+      runToTable(s, dir, { s2 =>
         val dim = t(s2, dir, "customer")
           .select(col("c_custkey"), col("c_mktsegment"))
         eventsStream(s2, dir)
@@ -426,7 +451,7 @@ object Streams {
     // order-insensitive (count + strict max on (ts, event_id)), so no
     // in-batch sort is needed for determinism.
     "stream_custom_state" -> ((s, dir) => {
-      runToTable(s, { s2 =>
+      runToTable(s, dir, { s2 =>
         import s2.implicits._
         import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
         val src = eventsStream(s2, dir)
@@ -462,7 +487,7 @@ object Streams {
     // streams forever. State is hash-partitioned by user_id, the same
     // shuffle a batch join would use, so it scales like the batch twin.
     "stream_stream_join" -> ((s, dir) => {
-      runToTable(s, { s2 =>
+      runToTable(s, dir, { s2 =>
         val clicks = eventsStream(s2, dir)
           .filter(col("event_type") === "click")
           .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
