@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // default driver heap 24g (was 8g): the 570-query local[32] sweep in an
+  // 8g JVM is GC-BOUND — the round-17 idle-machine A/B on identical code
+  // read 578.2 s / noise_ratio 5.06 at 8g vs 476.5 s / 1.35 at 24g
+  // (OPTIMIZATION_r17.md "heap" ledger). Sized to the 128 GiB contract
+  // sandbox; SPARK_DRIVER_MEM still overrides for smaller hosts.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -21,10 +21,10 @@ object Bench {
     // pin a smaller width deliberately
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
+    val spark = Tuning.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_STATESTORE=rocksdb times the streaming family under the
@@ -45,7 +45,13 @@ object Bench {
       try body catch { case e: Throwable =>
         System.err.println(s"[bench] warmup '$label' failed: ${e.getMessage}")
       }
-    Warmups.warmAll(spark, sfDir)
+    // itemized: per-fixture/per-artifact build seconds print below with
+    // the detail line and the contract line carries the total as
+    // `warm_sec`, so the untimed warm block's cost is part of the round
+    // record instead of invisible (VERDICT r16 item 6 — e.g. the LPA
+    // label artifact computes here, not in graph_label_prop's entry)
+    val warmTimings = Warmups.warmAllTimed(spark, sfDir)
+    val warmTotal = warmTimings.map(_._2).sum
     // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the timed set — dev-loop
     // re-measure convenience (variance pinning); the driver leaves it unset
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
@@ -105,17 +111,22 @@ object Bench {
     val total = results.map(_._2).sum
     // full detail, slowest first — its own line, NOT the contract line
     println(results.map(r => (r._1, r._2)).sortBy(-_._2).map(ent).mkString("{\"detail\":{", ",", "}}"))
+    // untimed warm block itemization (own line, human/audit-facing):
+    // every fixture staging + PerDir artifact build with its seconds
+    println(warmTimings.sortBy(-_._2)
+      .map { case (n, sec, ok) => ent((if (ok) n else s"$n FAILED", sec)) }
+      .mkString("{\"warm_detail\":{", ",", s"},\"warm_total\":${d3(warmTotal)}}"))
     // contract line: fixed fields ~90 chars + sfDir; fill `queries` slowest-
     // first until the 1500-char budget would overflow (tail buffer is 2000)
     val budget = 1500
-    val fixed = s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":{},"sf":"$sfDir","n_queries":${results.size}}"""
+    val fixed = s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":{},"sf":"$sfDir","n_queries":${results.size},"warm_sec":${d3(warmTotal)}}"""
     var room = budget - fixed.length
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     results.map(r => (r._1, r._2)).sortBy(-_._2).foreach { kv =>
       val e = ent(kv)
       if (room - (e.length + 1) >= 0) { kept += e; room -= e.length + 1 }
     }
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir","n_queries":${results.size}}""")
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir","n_queries":${results.size},"warm_sec":${d3(warmTotal)}}""")
     // Automated spike adjudication (6 rounds of manual re-measures showed
     // the sweep's slowest entries are often WINDOW CONTENTION, not code):
     // re-run the top outliers after the sweep, 2× each with cache hygiene,
@@ -217,7 +228,7 @@ object Bench {
     // ISOLATED reruns in particular — prints before this, so nothing can
     // flood the contract line out of the parse window again (r10 lesson)
     val noiseField = noiseRatio.fold("")(r => s""","noise_ratio":${d3(r)}""")
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir","n_queries":${results.size}$noiseField}""")
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir","n_queries":${results.size},"warm_sec":${d3(warmTotal)}$noiseField}""")
     spark.stop()
     sys.exit(0) // see Verify: stub/stream non-daemon threads must not wedge the JVM
   }

@@ -20,10 +20,10 @@ object GraftSession {
 
   def builder(master: String = "local[*]",
       shufflePartitions: Int = 32): SparkSession.Builder =
-    SparkSession.builder()
+    Tuning.tuned(SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.session.timeZone", "UTC"))
       .withExtensions(new plans.GraftExtensions)
 
   def create(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession =

@@ -36,19 +36,28 @@ object Warmups {
     * in its own try (one failed fixture must not silently skip the
     * rest — a timed query would then pay its staging cost). Returns the
     * labels that failed, for callers that want to surface them. */
-  def warmAll(spark: SparkSession, dir: String): Seq[String] = {
+  def warmAll(spark: SparkSession, dir: String): Seq[String] =
+    warmAllTimed(spark, dir).collect { case (name, _, false) => name }
+
+  /** [[warmAll]] with per-step wall seconds ((label, sec, ok) per fixture
+    * and per PerDir artifact build) — Bench itemizes these in its output
+    * so the untimed warm block's cost is visible in the round record
+    * (VERDICT r16 item 6; see ArtifactCache.warmAllTimed). */
+  def warmAllTimed(spark: SparkSession, dir: String): Seq[(String, Double, Boolean)] = {
     loadAll()
-    def step(label: String)(body: => Unit): Option[String] =
-      try { body; None } catch { case e: Throwable =>
+    def step(label: String)(body: => Unit): (String, Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok = try { body; true } catch { case e: Throwable =>
         System.err.println(s"[warm] fixture '$label' failed: ${e.getMessage}")
-        Some(label)
+        false
       }
+      (label, (System.nanoTime() - t0) / 1e9, ok)
+    }
     val fixtures = Seq(
       step("bucketed tables")(operators.ScaleOps.prepareBucketed(spark, dir)),
       step("jsonl/csv staging")(operators.EtlOps.stageFixtures(spark, dir)),
       step("upsert input")(streaming.Streams.stageUpsertInput(spark, dir)),
-      step("dedup-near doc batches")(streaming.StreamDedup.stageDocBatches(spark, dir))
-    ).flatten
-    fixtures ++ ArtifactCache.warmAll(spark, dir)
+      step("dedup-near doc batches")(streaming.StreamDedup.stageDocBatches(spark, dir)))
+    fixtures ++ ArtifactCache.warmAllTimed(spark, dir)
   }
 }

@@ -9,10 +9,10 @@ object Explain {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val names = if (args.length > 1) args(1).split(",").toSeq
       else Seq("agg_group", "join_broadcast", "scan_parquet", "limit_n")
-    val spark = SparkSession.builder().master("local[8]")
+    val spark = graft.Tuning.tuned(SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // GRAFT_EXPLAIN_CONF=k=v;k=v — session confs to apply before planning
     // (e.g. spark.graft.dedup.forceCollapse=true to print a gated query's

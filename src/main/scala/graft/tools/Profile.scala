@@ -12,18 +12,28 @@ object Profile {
     val names = if (args.length > 2) args(2).split(",").toSeq
       else graft.SparkEntry.queries.keys.toSeq.sorted
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.Tuning.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_CONF=k=v;k=v — session confs to apply before running
+    // (dev A/B convenience, mirrors Explain's GRAFT_EXPLAIN_CONF)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
+    graft.Warmups.warmAll(spark, sfDir)
+    spark.catalog.clearCache()
     for (name <- names) {
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(name)(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // bench hygiene: per-run cache build
+        sec
       }
       println(f"$name%-24s ${times.map(t => f"$t%6.2f").mkString(" ")}")
     }
