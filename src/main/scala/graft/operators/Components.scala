@@ -110,7 +110,7 @@ private[graft] object Components {
         s.sparkContext.setCheckpointDir(dir)
     }
     def pin(df: DataFrame): DataFrame = {
-      val r = df.rdd.cache()
+      val r = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       if (reliableDir.isDefined) r.checkpoint()
       s.createDataFrame(r, df.schema)
     }

@@ -2039,7 +2039,7 @@ object TextOps {
         .filter(col("pos") <= col("nsh") - 3) // full windows only
         .select(col("doc_id"), col("sel.h").as("fp"))
         .distinct()
-      val r = (df.rdd.cache(), df.schema)
+      val r = (df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), df.schema)
       r._1.count() // force now — no consumer query ever pays the build
       r
     })
@@ -2055,7 +2055,7 @@ object TextOps {
           "transform(sequence(1, size(tk) - 7), i -> array_join(slice(tk, i, 8), ' '))"))
           .as("sgl"))
         .distinct()
-      val r = (df.rdd.cache(), df.schema)
+      val r = (df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), df.schema)
       r._1.count() // force now — no consumer query ever pays the explode
       r
     })
@@ -2135,8 +2135,8 @@ object TextOps {
         .groupBy(col("w1"), col("w2"), col("dist")).agg(count(lit(1)).as("cnt"))
       val uni = toks.select(explode(col("tk")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      val pR = (pairs.rdd.cache(), pairs.schema)
-      val uR = (uni.rdd.cache(), uni.schema)
+      val pR = (pairs.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), pairs.schema)
+      val uR = (uni.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), uni.schema)
       // force both RDDs now so the toks persist can drop and later scans
       // never re-run the explode lineage
       pR._1.count(); uR._1.count()
@@ -2158,7 +2158,7 @@ object TextOps {
         .select(col("doc_id").as("id"))
       val pairs = jaccardPairs(outer, dir).select(col("d1"), col("d2"))
       val labels = Components.hashMinLabels(outer, pairs, Some(docs))
-      (labels.rdd.cache(), labels.schema)
+      (labels.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), labels.schema)
     })
     outer.createDataFrame(rdd, schema)
   }

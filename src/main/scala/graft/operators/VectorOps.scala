@@ -330,7 +330,7 @@ object VectorOps {
     val (rdd, schema) = knnGraphCache.getOrElseUpdate(
       s"$dir@occ${graft.Knobs.lshTargetOccupancy(s)}", {
       val g = buildKnnGraph(s, dir)
-      val r = (g.rdd.cache(), g.schema)
+      val r = (g.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), g.schema)
       r._1.count() // force now — no consumer query ever pays the build
       r
     })
@@ -363,7 +363,7 @@ object VectorOps {
       val p = lshPlaneCount(standing.count(), occ)
       val idx = standing.withColumn("bucket",
         graft.functions.LshBucket.lsh_bucket(col("embedding"), lshPlanes(p)))
-      val r = idx.rdd.cache()
+      val r = idx.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       r.count() // force — no ingest batch ever pays the index build
       (p, r, idx.schema)
     })
@@ -1785,8 +1785,8 @@ object VectorOps {
     val rounds = graft.Knobs.kmeansRounds(s)
     val (ar, asch, cr, csch) = kmeansCache.getOrElseUpdate(s"$dir@r$rounds", {
       val (a, c) = buildKmeans(s, dir)
-      val arr = a.rdd.cache(); arr.count() // force — consumers never pay the build
-      val crr = c.rdd.cache(); crr.count()
+      val arr = a.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK); arr.count() // force — consumers never pay the build
+      val crr = c.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK); crr.count()
       (arr, a.schema, crr, c.schema)
     })
     (s.createDataFrame(ar, asch), s.createDataFrame(cr, csch))
@@ -1808,7 +1808,7 @@ object VectorOps {
     val rounds = graft.Knobs.kmeansRounds(s)
     val (rdd, schema) = sphCache.getOrElseUpdate(s"$dir@r$rounds", {
       val a = buildSpherical(s, dir)
-      val r = a.rdd.cache()
+      val r = a.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       r.count() // force — the query never pays the build
       (r, a.schema)
     })
