@@ -478,7 +478,7 @@ object AnalyticsOps {
       for (_ <- 1 to graft.Knobs.labelPropRounds(s)) {
         labels = lpaRound(adj, labels, bcastLabels).transform(RoundPin.pin)
       }
-      val e = (labels.rdd.cache(), labels.schema)
+      val e = (labels.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), labels.schema)
       e._1.count()
       e
     })
@@ -509,9 +509,16 @@ object AnalyticsOps {
       val n = nbr.select(col("src").as(k), col("nb").as(out))
       if (bcastNbr) broadcast(n) else n
     }
+    // support test = early-terminating sorted-merge count (codegen, guide
+    // §4; optimization r17): identical to
+    // `size(array_intersect(nb1, nb2)) >= 8` on these sorted distinct
+    // lists, but no per-edge hash-set/intersection-array allocation and
+    // the merge stops at the 8th witness — the round-1 full-graph pass is
+    // the dominating cost of the peel (VERDICT r16 item 5)
     e.join(nside("p1", "nb1"), Seq("p1"))
       .join(nside("p2", "nb2"), Seq("p2"))
-      .filter(size(array_intersect(col("nb1"), col("nb2"))) >= 8)
+      .filter(graft.functions.SortedIntersectGE
+        .sorted_intersect_ge(col("nb1"), col("nb2"), 8))
       .select(col("p1"), col("p2"))
   }
 
@@ -634,8 +641,8 @@ object AnalyticsOps {
         .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
         .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n_orders"))
       val nodes = li.select(col("pk").as("node")).distinct()
-      val e = (undCounts.rdd.cache(), undCounts.schema)
-      val n = (nodes.rdd.cache(), nodes.schema)
+      val e = (undCounts.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), undCounts.schema)
+      val n = (nodes.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), nodes.schema)
       // force both RDDs now so the li persist can drop and later scans
       // never re-run the pair-build lineage
       e._1.count(); n._1.count()
@@ -690,8 +697,8 @@ object AnalyticsOps {
         .select(col("e.src"), col("e.dst")).distinct()
         .persist()
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("cnt"))
-      val eR = (edges.rdd.cache(), edges.schema)
-      val dR = (deg.rdd.cache(), deg.schema)
+      val eR = (edges.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), edges.schema)
+      val dR = (deg.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), deg.schema)
       // force both RDDs now so the DataFrame persist can drop and later
       // scans never re-run the pair-build lineage
       eR._1.count()
@@ -720,7 +727,7 @@ object AnalyticsOps {
       val df = Components.hashMinLabels(s,
         uc.select(col("p1").as("d1"), col("p2").as("d2")),
         Some(nodes.select(col("node").as("id"))))
-      val e = (df.rdd.cache(), df.schema)
+      val e = (df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), df.schema)
       e._1.count()
       e
     })
@@ -761,7 +768,7 @@ object AnalyticsOps {
         visited = visited.union(next).transform(RoundPin.pin)
         frontier = next.select(col("seed"), col("node"))
       }
-      val e = (visited.rdd.cache(), visited.schema)
+      val e = (visited.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), visited.schema)
       e._1.count()
       e
     })
@@ -789,7 +796,7 @@ object AnalyticsOps {
           col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_custkey").as("u"), col("l_partkey").as("p"))
         .agg(count(lit(1)).as("n"))
-      val e = (df.rdd.cache(), df.schema)
+      val e = (df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), df.schema)
       e._1.count()
       e
     })

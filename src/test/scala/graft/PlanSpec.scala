@@ -397,6 +397,36 @@ class PlanSpec extends SparkSuite {
     assert(bad.isNullAt(0))
   }
 
+  test("SortedIntersectGE: codegen/interpreted agree and equal size(array_intersect) >= k") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // random sorted arrays WITH duplicate runs — the expression must count
+    // distinct common values exactly like array_intersect's distinct result
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 200L).map { i =>
+      def arr(): Array[Long] =
+        Array.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).sorted
+      (i, arr(), arr())
+    } :+ ((201L, Array.empty[Long], Array(1L, 2L, 3L)))
+    val df = rows.toDF("id", "a", "b")
+    def run(mode: String, k: Int): Seq[Boolean] = {
+      val prev = spark.conf.get("spark.sql.codegen.factoryMode")
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try df.select(col("id"), graft.functions.SortedIntersectGE
+          .sorted_intersect_ge(col("a"), col("b"), k).as("r"))
+        .orderBy(col("id")).collect().map(_.getBoolean(1)).toSeq
+      finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
+    }
+    for (k <- Seq(1, 3, 8)) {
+      val gen = run("CODEGEN_ONLY", k)
+      assert(gen === run("NO_CODEGEN", k), s"k=$k codegen/interpreted diverge")
+      val ref = df.select(col("id"),
+          (size(array_intersect(col("a"), col("b"))) >= k).as("r"))
+        .orderBy(col("id")).collect().map(_.getBoolean(1)).toSeq
+      assert(gen === ref, s"k=$k must equal size(array_intersect(...)) >= $k")
+    }
+  }
+
   test("text_tfidf / text_langid reuse the pinned token frame (no double scan)") {
     // the shared tf/tok subtree is persisted; both the broadcast build and
     // the probe side must read the InMemoryRelation, not recompute the
