@@ -178,7 +178,10 @@ object StreamDedup {
     * into a FRESH per-invocation store/output (the store accumulates by
     * design — reuse across runs would dedup against a previous run). */
   def run(s: org.apache.spark.sql.SparkSession, inDir: java.nio.file.Path): DataFrame = {
-    val runDir = Files.createTempDirectory("graft_sdn_")
+    // per-run store/checkpoint/out are ephemeral replay state → scratch
+    // medium (tmpfs when present; spark.graft.stream.scratchDir overrides
+    // — see Streams.scratchBase), deleted below either way
+    val runDir = Files.createTempDirectory(Streams.scratchBase(s), "graft_sdn_")
     val storeDir = runDir.resolve("store")
     val outDir = runDir.resolve("out")
     val scoped = org.apache.spark.sql.graftbridge.Bridge.cloneSession(s)
